@@ -1,0 +1,273 @@
+"""Deduplication operators over ``documents`` — the LLM-pipeline
+surface (BASELINE.json north star): exact dedup, n-gram Jaccard
+near-dedup, MinHash+LSH candidate generation, SimHash fingerprints.
+
+Hashing strategy: every hash is ``md5`` of a string — identical hex
+output in Spark and DuckDB, so signatures/fingerprints hash-match in
+the oracle. MinHash min-comparison is on fixed-length hex strings,
+where lexicographic order == numeric order.
+
+Scale notes (100 TB):
+- Exact dedup groups on the full text; at scale you'd group on
+  ``md5(text)`` (same partitioning, 32-byte shuffle keys) — shown in
+  q60 via an md5 key so the shuffle never carries document bodies.
+- Jaccard via inverted shingle index: the self-join is on shingle,
+  so hot (high-document-frequency) shingles quadratically blow up
+  candidate pairs. 5-word shingles keep DF low; a DF cap is the
+  standard mitigation and the MinHash path (q62) is the scale
+  default: O(docs × bands) instead of O(pairs).
+- All joins here shuffle on hash/shingle keys — uniformly
+  distributed by construction, no skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+N_HASHES = 8  # minhash functions
+N_BANDS = 4  # LSH bands (2 rows per band)
+HI_NIBBLE = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def _shingles(k: int) -> Column:
+    """k-word shingles from pre-split column ``w`` (requires
+    ``size(w) >= k`` filtered upstream)."""
+    return F.expr(
+        f"transform(sequence(0, size(w) - {k}), i -> concat_ws(' ', slice(w, i + 1, {k})))"
+    )
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= k)
+    )
+    return docs.select(
+        "doc_id", F.explode(_shingles(k)).alias("shingle")
+    ).distinct()
+
+
+def _sql_shingles(k: int) -> str:
+    """DuckDB CTEs ``docs`` + ``sh``: distinct k-word shingles."""
+    return f"""
+    docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= {k}
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i+1:i+{k}], ' ') AS shingle
+      FROM docs, UNNEST(range(len(w) - {k - 1})) AS t(i)
+    )"""
+
+
+@register(
+    "q60_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies,
+           MIN(n_chars) AS n_chars
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q60_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the lowest doc_id.
+
+    Grouping on md5(text) (not text) keeps shuffle keys at 32 bytes
+    regardless of document size — the 100 TB-safe form.
+    """
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_chars").alias("n_chars"),
+        )
+        .select("keep_doc_id", "n_copies", "n_chars")
+    )
+
+
+@register(
+    "q61_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_sql_shingles(5)},
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    """,
+)
+def q61_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over 5-word shingles via an
+    inverted index self-join (candidate pairs share ≥1 shingle, so
+    no O(n²) cross join). Jaccard = |∩| / (|A| + |B| - |∩|)."""
+    sh = _shingle_df(spark, sf_dir, 5)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n        ".join(
+        f"MIN(CASE WHEN seed = {i} THEN mh END) AS h{i}" for i in range(N_HASHES)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS bkey FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH {_sql_shingles(3)},
+    hashed AS (
+      SELECT doc_id, s AS seed,
+             MIN(md5(CAST(s AS VARCHAR) || ':' || shingle)) AS mh
+      FROM sh, UNNEST(range({N_HASHES})) AS u(s)
+      GROUP BY doc_id, s
+    ),
+    sig AS (
+      SELECT doc_id,
+        {sig_cols}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """
+
+
+@register("q62_dedup_minhash_lsh", oracle=_minhash_oracle())
+def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates: 8 minhashes over 3-word
+    shingles → 4 bands of 2 → docs sharing a band are candidates.
+
+    The scale path for fuzzy dedup: cost is O(docs × shingles) for
+    signatures plus a self-join on band keys (uniform md5 values →
+    no skew), never O(docs²).
+    """
+    sh = _shingle_df(spark, sf_dir, 3)
+    seeds = F.array([F.lit(i) for i in range(N_HASHES)])
+    hashed = (
+        sh.select("doc_id", "shingle", F.explode(seeds).alias("seed"))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(
+                F.concat(
+                    F.col("seed").cast("string"), F.lit(":"), F.col("shingle")
+                ).cast("binary")
+            ).alias("h"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"h{i}")
+                for i in range(N_HASHES)
+            ]
+        )
+    )
+    bands = hashed.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias(
+                            "bkey"
+                        ),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _simhash_oracle() -> str:
+    nibbles = ", ".join(f"'{c}'" for c in HI_NIBBLE)
+    bits = ",\n      ".join(
+        f"CASE WHEN SUM(CASE WHEN substr(hw, {i + 1}, 1) IN ({nibbles})"
+        f" THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END"
+        for i in range(16)
+    )
+    return f"""
+    WITH words AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    h AS (SELECT doc_id, md5(word) AS hw FROM words)
+    SELECT doc_id, CONCAT(
+      {bits}
+    ) AS simhash
+    FROM h GROUP BY doc_id
+    """
+
+
+@register("q63_dedup_simhash", oracle=_simhash_oracle())
+def q63_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document: each bit is the sign
+    of the term-frequency-weighted vote of one md5 hex digit. Docs
+    with small Hamming distance are near-dups; identical fingerprints
+    bucket together for O(n) candidate generation.
+    """
+    words = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    h = words.select("doc_id", F.md5(F.col("word").cast("binary")).alias("hw"))
+    votes = [
+        F.sum(
+            F.when(F.substring("hw", i + 1, 1).isin(*HI_NIBBLE), 1).otherwise(-1)
+        )
+        for i in range(16)
+    ]
+    bits = [F.when(v >= 0, "1").otherwise("0") for v in votes]
+    return h.groupBy("doc_id").agg(F.concat(*bits).alias("simhash"))

@@ -1,0 +1,277 @@
+"""Scalar-function surface (string / date / math / JSON) and the
+batch equivalents of the streaming operators (tumbling window,
+sliding window, gap-based sessionization) over the ``events`` table.
+
+The true streaming variants (readStream + watermark) live in
+``hadoop_brotli_spark.streaming``; the driver's DuckDB oracle can
+only check batch, so these queries define the shared semantics.
+
+Determinism notes:
+- Timestamp arithmetic is done in integer microseconds
+  (``unix_micros`` ↔ DuckDB ``epoch_us``) — no float time math.
+- Math functions restricted to IEEE-correctly-rounded ops (sqrt,
+  abs, floor, ceil) plus ln rounded to 6 decimals; ``pow``/``exp``
+  are not correctly-rounded by libm and can differ across JVM/C.
+
+Scale notes (100 TB): window aggregation = one shuffle on
+(window, keys); sessionization = one shuffle on user_id + sort —
+both linear. The sliding window expands each event into
+window/slide rows *before* the shuffle (factor 2 here) — the
+standard cost of overlapping windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import dsum, sql_dsum, t
+
+# ------------------------------------------------------- scalar funcs
+
+
+@register(
+    "q50_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LOWER(c_mktsegment) AS seg_lower,
+           CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           CONCAT(c_name, ':', c_mktsegment) AS name_seg,
+           REPLACE(c_name, 'Customer', 'Cust') AS name_short,
+           CONTAINS(c_name, '1') AS has_one
+    FROM customer
+    """,
+)
+def q50_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions: case, length, substring, concat,
+    replace, contains."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("c_name"), F.lit(":"), F.col("c_mktsegment")).alias("name_seg"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("name_short"),
+        F.col("c_name").contains("1").alias("has_one"),
+    )
+
+
+@register(
+    "q51_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+           CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
+           CAST(DAY(o_orderdate) AS BIGINT) AS order_day,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
+           CAST(DATE_DIFF('day', o_orderdate, TIMESTAMP '2000-01-01') AS BIGINT)
+             AS days_to_y2k
+    FROM orders
+    """,
+)
+def q51_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar functions: extract parts, truncate, diff."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month_start"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate"))
+        .cast("bigint")
+        .alias("days_to_y2k"),
+    )
+
+
+@register(
+    "q52_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_extendedprice - 50000.0) AS abs_dev,
+           FLOOR(l_quantity / 7.0) AS qty_bucket,
+           CEIL(l_extendedprice / 1000.0) AS price_k,
+           SQRT(l_extendedprice) AS price_sqrt,
+           ROUND(LN(l_extendedprice), 6) AS price_ln
+    FROM lineitem
+    WHERE l_extendedprice > 0
+    """,
+)
+def q52_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar functions (IEEE-stable subset; see module doc)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000.0).alias("abs_dev"),
+        F.floor(F.col("l_quantity") / 7.0).cast("double").alias("qty_bucket"),
+        F.ceil(F.col("l_extendedprice") / 1000.0).cast("double").alias("price_k"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+    )
+
+
+@register(
+    "q53_json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def q53_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the ``events.props`` string column.
+
+    Spark side uses the real JSON path operator (get_json_object);
+    the oracle extracts the same scalar with a regex so it does not
+    depend on DuckDB's JSON extension.
+    """
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+# ------------------------------------------------- time-window (batch)
+
+
+@register(
+    "q54_tumbling_window",
+    oracle=f"""
+    SELECT DATE_TRUNC('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY DATE_TRUNC('hour', ts), event_type
+    """,
+)
+def q54_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch form of the
+    streaming groupBy(window(ts, '1 hour')))."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q55_sliding_window",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, value, (epoch_us(ts) // 300000000) AS slot
+      FROM events
+    )
+    SELECT make_timestamp((slot - off) * 300000000) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM ev CROSS JOIN (SELECT UNNEST([0, 1]) AS off) offs
+    GROUP BY 1, 2
+    """,
+)
+def q55_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 10-minute windows every 5 minutes — each event
+    lands in exactly 2 windows. Oracle reproduces Spark's window
+    assignment with integer-microsecond slot arithmetic."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q56_sessionization",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q56_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap), the batch
+    twin of streaming ``session_window``: lag → new-session flag →
+    running sum as session id → per-session aggregates.
+
+    Scale: one shuffle on user_id; both window passes reuse the same
+    partitioning (Catalyst plans a single exchange).
+    """
+    gap_us = 30 * 60 * 1_000_000
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wsum = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ev = t(spark, sf_dir, "events")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum("is_new").over(wsum).cast("bigint").alias("session_id"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("sum_value"),
+    )

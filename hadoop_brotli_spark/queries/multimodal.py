@@ -1,0 +1,105 @@
+"""Multimodal-column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas
+functions via ``mapInPandas``.
+
+The container has no image/audio libraries, so the *decode* step is
+a deterministic fake (documented stub — see
+``hadoop_brotli_spark.functions.media``); everything Spark-side is
+real: binary columns, mapInPandas batch iteration, typed output
+schemas, and partition-preserving narrow execution.
+
+Scale notes (100 TB): media blobs ride in parquet binary columns —
+splittable, column-pruned (a metadata-only query never reads blob
+bytes). mapInPandas streams Arrow batches, so peak memory is one
+batch of blobs per core, not one partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.media import fake_decode_meta
+from ..registry import register
+from ._util import t
+
+
+@register(
+    "q90_multimodal_decode",
+    oracle="""
+    WITH blobs AS (
+      SELECT doc_id, encode(text) AS payload FROM documents
+    )
+    SELECT doc_id,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+           CAST(64 + octet_length(payload) % 576 AS BIGINT) AS width,
+           CAST(48 + (octet_length(payload) * 7) % 432 AS BIGINT) AS height,
+           CAST(1 + octet_length(payload) % 15 AS BIGINT) AS n_frames
+    FROM blobs
+    """,
+)
+def q90_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode: build an opaque payload column, then
+    extract typed media metadata with an Arrow-batched pandas
+    function over mapInPandas.
+
+    The metadata formula is the deterministic fake decoder
+    (``fake_decode_meta``); the oracle reproduces it arithmetically.
+    A real deployment swaps the stub for PIL/ffmpeg with the same
+    schema and batch shape.
+    """
+    blobs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = fake_decode_meta(pdf["payload"])
+            meta.insert(0, "doc_id", pdf["doc_id"])
+            yield meta
+
+    schema = "doc_id long, n_bytes long, width long, height long, n_frames long"
+    return blobs.mapInPandas(decode, schema=schema)
+
+
+@register(
+    "q91_frame_sample",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             1 + octet_length(encode(text)) % 15 AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           md5(CAST(doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR)) AS frame_tag
+    FROM meta, UNNEST(range(0, n_frames, 4)) AS u(f)
+    """,
+)
+def q91_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: every 4th frame index per document's
+    fake-decoded frame count, tagged with a deterministic frame id.
+    Pure Catalyst (sequence + explode) — frame *extraction* would
+    drop into mapInPandas exactly like q90's decode."""
+    meta = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (1 + F.length(F.col("text").cast("binary")) % 15).alias("n_frames"),
+    )
+    return meta.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, n_frames - 1, 4)")).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("frame_idx").cast("string"),
+            ).cast("binary")
+        ).alias("frame_tag"),
+    )

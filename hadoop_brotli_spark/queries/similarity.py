@@ -1,0 +1,271 @@
+"""Similarity search over ``embeddings`` (array<float>, dim 64):
+brute-force cosine top-k (the correctness baseline), LSH-bucketed
+approximate NN (the scale path), embedding near-dup pairs, and
+norm statistics.
+
+Numeric determinism: dot products / norms are computed in DOUBLE
+(elements cast up) and every emitted similarity is ROUND(x, 6); the
+ranking key is the *rounded* value with a vec_id tie-break, so
+last-ULP summation-order differences between engines cannot reorder
+the top-k.
+
+Scale notes (100 TB):
+- q70 broadcasts the (small) query set and streams the corpus — no
+  shuffle at all; cost O(|corpus| × |queries| × dim).
+- q71 is the scale default for all-pairs search: sign-bit LSH
+  buckets (random-hyperplane LSH with axis-aligned planes) shrink
+  candidates from O(n²) to O(Σ bucket²); buckets shuffle-join on an
+  8-bit key. A production variant adds multiple hash tables for
+  recall; the operator shape is identical.
+- Arrays stay JVM-side: higher-order functions (aggregate/zip_with)
+  are Catalyst expressions, not Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+DIM = 64
+N_SIGN_BITS = 8
+
+
+def dot_double(a: str, b: str) -> Column:
+    """Σ aᵢ·bᵢ in double precision (sequential JVM-side fold)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_double(a: str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.col(a),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def sign_bucket(col: str, bits: int = N_SIGN_BITS) -> Column:
+    """LSH bucket id: concatenated sign bits of the first ``bits``
+    dimensions (axis-aligned random-hyperplane LSH)."""
+    return F.concat(
+        *[
+            F.when(F.col(col).getItem(i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(bits)
+        ]
+    )
+
+
+def _sql_sign_bucket(col: str, bits: int = N_SIGN_BITS) -> str:
+    cases = ", ".join(
+        f"CASE WHEN {col}[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(bits)
+    )
+    return f"CONCAT({cases})"
+
+
+@register(
+    "q70_knn_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             CAST(UNNEST(q.embedding) AS DOUBLE) AS x,
+             CAST(UNNEST(c.embedding) AS DOUBLE) AS y
+      FROM q, embeddings c
+      WHERE c.vec_id <> q.vec_id
+    ),
+    dots AS (
+      SELECT query_id, cand_id,
+             SUM(x * y) AS dot,
+             SQRT(SUM(x * x)) AS nq,
+             SQRT(SUM(y * y)) AS nc
+      FROM pairs GROUP BY query_id, cand_id
+    ),
+    scored AS (
+      SELECT query_id, cand_id, ROUND(dot / (nq * nc), 6) AS cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY ROUND(dot / (nq * nc), 6) DESC, cand_id ASC
+             ) AS BIGINT) AS rn
+      FROM dots
+    )
+    SELECT query_id, cand_id, cosine, rn FROM scored WHERE rn <= 10
+    """,
+)
+def q70_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for a query set (vec_id < 5):
+    broadcast queries × streamed corpus, JVM-side array math,
+    window top-k per query."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+    )
+    cosine = F.round(
+        dot_double("qe", "ce") / (norm_double("qe") * norm_double("ce")), 6
+    )
+    from pyspark.sql import Window as W
+
+    scored = pairs.select("query_id", "cand_id", cosine.alias("cosine"))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "cand_id", "cosine", "rn")
+    )
+
+
+@register(
+    "q71_ann_lsh_bucketed",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_sql_sign_bucket('embedding')} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, a.bucket,
+             CAST(UNNEST(a.embedding) AS DOUBLE) AS x,
+             CAST(UNNEST(b2.embedding) AS DOUBLE) AS y
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    ),
+    dots AS (
+      SELECT vec_a, vec_b, bucket,
+             SUM(x * y) AS dot,
+             SQRT(SUM(x * x)) AS na,
+             SQRT(SUM(y * y)) AS nb
+      FROM pairs GROUP BY vec_a, vec_b, bucket
+    ),
+    scored AS (
+      SELECT vec_a, vec_b, bucket, ROUND(dot / (na * nb), 6) AS cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY vec_a
+               ORDER BY ROUND(dot / (na * nb), 6) DESC, vec_b ASC
+             ) AS BIGINT) AS rn
+      FROM dots
+    )
+    SELECT vec_a, vec_b, bucket, cosine, rn FROM scored WHERE rn <= 3
+    """,
+)
+def q71_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate all-pairs NN: sign-bit LSH bucket join, cosine
+    within bucket, top-3 per vector. Same recall/cost trade as a
+    single-table random-hyperplane LSH index."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", sign_bucket("embedding").alias("bucket")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("bucket"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")),
+    )
+    cosine = F.round(dot_double("ea", "eb") / (norm_double("ea") * norm_double("eb")), 6)
+    from pyspark.sql import Window as W
+
+    scored = pairs.select("vec_a", "vec_b", "bucket", cosine.alias("cosine"))
+    w = W.partitionBy("vec_a").orderBy(F.col("cosine").desc(), F.col("vec_b").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("vec_a", "vec_b", "bucket", "cosine", "rn")
+    )
+
+
+@register(
+    "q72_embedding_neardup",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_sql_sign_bucket('embedding', 4)} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+             CAST(UNNEST(a.embedding) AS DOUBLE) AS x,
+             CAST(UNNEST(b2.embedding) AS DOUBLE) AS y
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    ),
+    dots AS (
+      SELECT vec_a, vec_b,
+             SUM(x * y) AS dot, SQRT(SUM(x * x)) AS na, SQRT(SUM(y * y)) AS nb
+      FROM pairs GROUP BY vec_a, vec_b
+    )
+    SELECT vec_a, vec_b, ROUND(dot / (na * nb), 6) AS cosine
+    FROM dots
+    WHERE ROUND(dot / (na * nb), 6) >= 0.92
+    """,
+)
+def q72_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.92) with a
+    coarse 4-bit LSH prefilter — the embedding twin of MinHash
+    dedup for semantically-duplicated training data."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", sign_bucket("embedding", 4).alias("bucket")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    pairs = a.join(
+        b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b"))
+    )
+    cosine = F.round(dot_double("ea", "eb") / (norm_double("ea") * norm_double("eb")), 6)
+    return (
+        pairs.select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= 0.92)
+    )
+
+
+@register(
+    "q73_embedding_norm_stats",
+    oracle="""
+    WITH e AS (
+      SELECT label, vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT label, vec_id, SQRT(SUM(x * x)) AS nrm
+      FROM e GROUP BY label, vec_id
+    )
+    SELECT label, COUNT(*) AS n_vectors,
+           ROUND(SUM(nrm) / COUNT(*), 4) AS avg_norm,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(MAX(nrm), 6) AS max_norm
+    FROM norms GROUP BY label
+    """,
+)
+def q73_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics over the embedding column."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "label", norm_double("embedding").alias("nrm")
+    )
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.sum("nrm") / F.count(F.lit(1)), 4).alias("avg_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )

@@ -1,0 +1,258 @@
+"""Text-analysis operators over ``documents``: token statistics,
+quality scoring, corpus-trained character-n-gram language ID,
+rolling-hash document fingerprinting, per-source corpus stats.
+
+All arithmetic stays on integers (token counts, char counts) until a
+final division, so ratios are bit-identical across engines.
+
+Scale notes (100 TB): every operator here is scan → narrow transform
+→ one hash aggregation; the language-ID profile (q82) is a tiny
+aggregate (langs × top-20 trigrams) broadcast back against the
+corpus — classic map-side-join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+STOPWORDS = ("the", "a", "of", "and")
+PROFILE_K = 20  # trigrams per language profile
+
+
+@register(
+    "q80_token_stats",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT word) AS n_uniq_tokens,
+           CAST(SUM(LENGTH(word)) AS DOUBLE) / COUNT(*) AS avg_token_len,
+           CAST(COUNT(DISTINCT word) AS DOUBLE) / COUNT(*) AS ttr
+    FROM words GROUP BY doc_id
+    """,
+)
+def q80_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer): totals, uniques, mean
+    token length, type-token ratio."""
+    words = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    return words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("word").alias("n_uniq_tokens"),
+        (F.sum(F.length("word")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_token_len"
+        ),
+        (F.countDistinct("word").cast("double") / F.count(F.lit(1))).alias("ttr"),
+    )
+
+
+@register(
+    "q81_quality_score",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    stats AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(CASE WHEN word IN {STOPWORDS!r} THEN 1 ELSE 0 END) AS n_stop
+      FROM words GROUP BY doc_id
+    )
+    SELECT s.doc_id, d.lang, s.n_tokens,
+           CAST(s.n_stop AS DOUBLE) / s.n_tokens AS stopword_ratio,
+           ROUND(
+             LEAST(1.0, s.n_tokens / 100.0)
+             * (1.0 - CAST(s.n_stop AS DOUBLE) / s.n_tokens), 6
+           ) AS quality_score
+    FROM stats s JOIN documents d ON d.doc_id = s.doc_id
+    """,
+)
+def q81_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score: length credit (saturating at
+    100 tokens) discounted by stopword density — the shape of
+    C4/Gopher-style quality filters, exact-arithmetic for the oracle."""
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    stats = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("word").isin(*STOPWORDS), 1).otherwise(0)).alias("n_stop"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    score = F.round(
+        F.least(F.lit(1.0), F.col("n_tokens") / 100.0) * (1.0 - stop_ratio), 6
+    )
+    return (
+        stats.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            stop_ratio.alias("stopword_ratio"),
+            score.alias("quality_score"),
+        )
+    )
+
+
+@register(
+    "q82_lang_id_ngram",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, lang, substr(text, i + 1, 3) AS tri
+      FROM documents, UNNEST(range(length(text) - 2)) AS u(i)
+    ),
+    profile_counts AS (
+      SELECT lang, tri, COUNT(*) AS cnt
+      FROM grams GROUP BY lang, tri
+    ),
+    profile AS (
+      SELECT lang, tri, cnt FROM (
+        SELECT lang, tri, cnt,
+               ROW_NUMBER() OVER (
+                 PARTITION BY lang ORDER BY cnt DESC, tri ASC
+               ) AS rk
+        FROM profile_counts
+      ) WHERE rk <= {PROFILE_K}
+    ),
+    doc_tris AS (
+      SELECT DISTINCT doc_id, lang AS true_lang, tri FROM grams
+    ),
+    scores AS (
+      SELECT d.doc_id, d.true_lang, p.lang AS cand_lang, SUM(p.cnt) AS score
+      FROM doc_tris d JOIN profile p ON p.tri = d.tri
+      GROUP BY d.doc_id, d.true_lang, p.lang
+    ),
+    best AS (
+      SELECT doc_id, true_lang, cand_lang AS predicted_lang, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, cand_lang ASC
+             ) AS rk
+      FROM scores
+    )
+    SELECT doc_id, true_lang, predicted_lang, score
+    FROM best WHERE rk = 1
+    """,
+)
+def q82_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID, trained on the corpus itself:
+    build top-20 trigram profiles per lang, score each document by
+    summed profile counts of its distinct trigrams, argmax.
+
+    The profile is a tiny aggregate → broadcast joined back against
+    the exploded corpus (map-side join at scale). Integer scores
+    keep the argmax exact.
+    """
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        ).alias("tri"),
+    )
+    profile_counts = grams.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("cnt"))
+    wprof = W.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("tri").asc())
+    profile = (
+        profile_counts.withColumn("rk", F.row_number().over(wprof))
+        .filter(F.col("rk") <= PROFILE_K)
+        .select(F.col("lang").alias("cand_lang"), "tri", "cnt")
+    )
+    doc_tris = grams.select(
+        "doc_id", F.col("lang").alias("true_lang"), "tri"
+    ).distinct()
+    scores = (
+        doc_tris.join(F.broadcast(profile), "tri")
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(F.sum("cnt").alias("score"))
+    )
+    wbest = W.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand_lang").asc()
+    )
+    return (
+        scores.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id", "true_lang", F.col("cand_lang").alias("predicted_lang"), "score"
+        )
+    )
+
+
+@register(
+    "q83_doc_fingerprint",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 4
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i+1:i+4], ' ') AS shingle
+      FROM docs, UNNEST(range(len(w) - 3)) AS t(i)
+    ),
+    fp AS (
+      SELECT doc_id, MIN(md5(shingle)) AS fingerprint
+      FROM sh GROUP BY doc_id
+    )
+    SELECT doc_id, fingerprint,
+           COUNT(*) OVER (PARTITION BY fingerprint) AS n_bucket
+    FROM fp
+    """,
+)
+def q83_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint (winnowing, window = whole doc): the
+    min md5 over 4-word shingles. Equal fingerprints → near-certain
+    overlap; ``n_bucket`` surfaces collision clusters."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 4)
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 4), i -> concat_ws(' ', slice(w, i + 1, 4)))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    fp = sh.groupBy("doc_id").agg(
+        F.min(F.md5(F.col("shingle").cast("binary"))).alias("fingerprint")
+    )
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        F.count(F.lit(1)).over(W.partitionBy("fingerprint")).alias("n_bucket"),
+    )
+
+
+@register(
+    "q84_corpus_stats",
+    oracle="""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def q84_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus statistics — integer-exact."""
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

@@ -1,0 +1,62 @@
+"""Query registry: the single source of truth for the engine's query
+surface (`__spark_entry__.queries()` / `oracle_sql()` are thin views
+over this).
+
+Each entry pairs a DataFrame-building callable with the equivalent
+ANSI SQL that DuckDB runs as the correctness oracle. Oracle-less
+entries (``oracle=None``) are allowed for genuinely non-SQL ops
+(custom stateful streaming, opaque-binary plumbing) and get the
+driver's weaker rows-only check.
+
+Determinism contract (FIXTURES.md): every computed column is aliased
+identically on both sides; float aggregates are rounded on both
+sides; top-k queries carry total-order tie-breakers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    doc: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: add a (spark, sf_dir) -> DataFrame builder to the
+    registry, with its DuckDB oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load_all_queries() -> dict[str, QuerySpec]:
+    """Import every query module (side effect: fills REGISTRY)."""
+    from .queries import (  # noqa: F401
+        dedup,
+        events,
+        multimodal,
+        relational,
+        similarity,
+        textstats,
+        windows,
+    )
+
+    return REGISTRY
