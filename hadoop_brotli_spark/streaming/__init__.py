@@ -1,0 +1,10 @@
+"""Structured Streaming surface: watermarked tumbling/sliding/session
+windows and custom stateful operators over the ``events`` stream."""
+
+from .jobs import (  # noqa: F401
+    read_events_stream,
+    session_aggregate,
+    sliding_counts,
+    stateful_user_counts,
+    tumbling_counts,
+)

@@ -1,0 +1,145 @@
+"""Structured Streaming validation: each streaming job, driven to
+completion over the finite events fixture (memory sink +
+processAllAvailable), must agree with its batch twin."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hadoop_brotli_spark.catalog import load_table
+from hadoop_brotli_spark.registry import load_all_queries
+from hadoop_brotli_spark.streaming import (
+    read_events_stream,
+    session_aggregate,
+    sliding_counts,
+    stateful_user_counts,
+    tumbling_counts,
+)
+
+SPECS = load_all_queries()
+
+
+def run_to_completion(stream_df, name: str, mode: str):
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_matches_batch(spark, sf_dir):
+    stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    run_to_completion(stream, "t_tumble", "complete")
+    got = rows(spark.sql("SELECT * FROM t_tumble"))
+    want = rows(SPECS["q54_tumbling_window"].fn(spark, sf_dir))
+    assert got == want
+
+
+def test_sliding_matches_batch(spark, sf_dir):
+    stream = sliding_counts(read_events_stream(spark, sf_dir))
+    run_to_completion(stream, "t_slide", "complete")
+    got = rows(spark.sql("SELECT * FROM t_slide"))
+    want = rows(SPECS["q55_sliding_window"].fn(spark, sf_dir))
+    assert got == want
+
+
+def test_session_window_matches_batch(spark, sf_dir):
+    """Native session_window sessions == batch lag/cumsum sessions
+    (same gap): compare per-user session counts and event totals."""
+    stream = session_aggregate(read_events_stream(spark, sf_dir), gap="30 minutes")
+    run_to_completion(stream, "t_sess", "complete")
+    got = rows(
+        spark.sql(
+            "SELECT user_id, session_start, n_events, sum_value FROM t_sess"
+        )
+    )
+    want = rows(
+        SPECS["q56_sessionization"]
+        .fn(spark, sf_dir)
+        .select("user_id", "session_start", "n_events", "sum_value")
+    )
+    assert got == want
+
+
+def test_stateful_user_counts(spark, sf_dir):
+    stream = stateful_user_counts(read_events_stream(spark, sf_dir))
+    run_to_completion(stream, "t_state", "update")
+    # update mode emits one row per user per batch; final state = last emit
+    got = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rk
+          FROM t_state
+        ) WHERE rk = 1
+        """
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col("value").cast("decimal(18,2)")) .cast("double")).alias("total_value"),
+        )
+    )
+    assert rows(got.select("user_id", "n_events", "total_value")) == rows(batch)
+
+
+def test_late_data_dropped_with_watermark(spark, tmp_path):
+    """Watermark semantics: an event older than watermark - delay is
+    dropped in append mode. Construct a two-file stream where file 2
+    advances the watermark past file 1's window, then a third file
+    delivers a late event."""
+    import pandas as pd
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write(name, ts_list):
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(len(ts_list)),
+                "ts": [pd.Timestamp(t) for t in ts_list],
+                "user_id": [1] * len(ts_list),
+                "event_type": ["click"] * len(ts_list),
+                "value": [1.0] * len(ts_list),
+                "props": ["{}"] * len(ts_list),
+            }
+        )
+        pdf.to_parquet(d / name)
+
+    write("events.parquet", [base, base + pd.Timedelta(hours=3)])
+
+    stream = tumbling_counts(
+        read_events_stream(spark, str(d)), watermark="30 minutes"
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # late event: hour-0 window is far behind the watermark now
+        write("events2.parquet", [base + pd.Timedelta(minutes=5)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.sql(
+        "SELECT sum(n_events) AS n FROM t_late "
+        "WHERE window_start = timestamp'2024-01-01 00:00:00'"
+    ).collect()[0].n
+    # the on-time event counted once; the late one was dropped
+    assert emitted == 1
