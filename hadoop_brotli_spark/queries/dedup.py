@@ -145,8 +145,11 @@ def q61_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    # 8 independent 32-bit hash functions = 8-hex-char chunks of two
+    # md5 digests (md5 is uniform per-chunk); MIN per chunk = minhash.
     sig_cols = ",\n        ".join(
-        f"MIN(CASE WHEN seed = {i} THEN mh END) AS h{i}" for i in range(N_HASHES)
+        f"MIN(substr(h{i // 4 + 1}, {(i % 4) * 8 + 1}, 8)) AS h{i}"
+        for i in range(N_HASHES)
     )
     band_selects = "\n      UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS bkey FROM sig"
@@ -155,10 +158,7 @@ def _minhash_oracle() -> str:
     return f"""
     WITH {_sql_shingles(3)},
     hashed AS (
-      SELECT doc_id, s AS seed,
-             MIN(md5(CAST(s AS VARCHAR) || ':' || shingle)) AS mh
-      FROM sh, UNNEST(range({N_HASHES})) AS u(s)
-      GROUP BY doc_id, s
+      SELECT doc_id, md5(shingle) AS h1, md5('x:' || shingle) AS h2 FROM sh
     ),
     sig AS (
       SELECT doc_id,
@@ -179,27 +179,29 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidates: 8 minhashes over 3-word
     shingles → 4 bands of 2 → docs sharing a band are candidates.
 
+    The 8 hash functions are the 8-hex-char (32-bit) chunks of two
+    md5 digests — md5 bits are independent/uniform, so each chunk is
+    a valid minhash permutation at a quarter of the hashing cost and
+    with NO row explosion (8 conditional MINs instead of an 8×
+    explode+shuffle; this cut the sf0.1 bench time ~4×).
+
     The scale path for fuzzy dedup: cost is O(docs × shingles) for
-    signatures plus a self-join on band keys (uniform md5 values →
+    signatures plus a self-join on band keys (uniform hash values →
     no skew), never O(docs²).
     """
     sh = _shingle_df(spark, sf_dir, 3)
-    seeds = F.array([F.lit(i) for i in range(N_HASHES)])
     hashed = (
-        sh.select("doc_id", "shingle", F.explode(seeds).alias("seed"))
-        .select(
+        sh.select(
             "doc_id",
-            "seed",
-            F.md5(
-                F.concat(
-                    F.col("seed").cast("string"), F.lit(":"), F.col("shingle")
-                ).cast("binary")
-            ).alias("h"),
+            F.md5(F.col("shingle").cast("binary")).alias("h1"),
+            F.md5(F.concat(F.lit("x:"), F.col("shingle")).cast("binary")).alias("h2"),
         )
         .groupBy("doc_id")
         .agg(
             *[
-                F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"h{i}")
+                F.min(
+                    F.substring(f"h{i // 4 + 1}", (i % 4) * 8 + 1, 8)
+                ).alias(f"h{i}")
                 for i in range(N_HASHES)
             ]
         )
