@@ -1,0 +1,450 @@
+"""Advanced operator surface: as-of / range joins, GROUPING SETS,
+exact percentiles, correlated subqueries, distribution window
+functions, funnel analysis, higher-order array functions, and an
+IVF-style ANN probe.
+
+These extend the host-framework capabilities the reference codec
+relies on (SURVEY.md §2b — the reference itself implements none of
+this; its relational surface is inherited from Hadoop/Spark) with the
+operators a large-scale training-data pipeline needs.
+
+Scale notes (100 TB):
+- The as-of join (q16) is the union+window formulation: O(n log n)
+  sort within user partitions instead of the O(n·m) inequality join a
+  naive formulation would plan. One shuffle on user_id, no skew
+  beyond the user-activity distribution (AQE skew-split covers it).
+- The range join (q17) broadcasts the band table — a theta join that
+  executes map-side with zero shuffle.
+- IVF ANN (q74) broadcasts the centroid set; cell assignment is a
+  map-side argmax and the probe is an equi-join on cell id — the
+  standard inverted-file trade: cost drops from O(n²) to
+  O(n·K + Σ|cell|·|queries in cell|).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import dsum, sql_dsum, t
+from .similarity import dot_double, norm_double
+
+# ------------------------------------------------------------- joins
+
+
+@register(
+    "q16_join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT MAX(c.ts) FROM events c
+            WHERE c.user_id = p.user_id
+              AND c.event_type = 'click'
+              AND c.ts <= p.ts) AS last_click_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q16_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event paired with the most recent
+    click (ts <= purchase ts) by the same user.
+
+    Implemented as union + sorted window (last non-null click ts over
+    an unbounded-preceding frame) — the scale path: one shuffle on
+    user_id and a per-partition sort, never the O(n·m) inequality
+    join. Same-ts clicks sort before the purchase probe so the
+    closed bound (<=) is honored.
+    """
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_probe"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        "event_id",
+        F.lit(1).alias("is_probe"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+@register(
+    "q17_join_range_bands",
+    oracle=f"""
+    SELECT b.band,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice')} AS band_revenue
+    FROM lineitem l
+    JOIN (VALUES ('low', 0.0, 15.0),
+                 ('mid', 15.0, 35.0),
+                 ('high', 35.0, 60.0)) AS b(band, lo, hi)
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band
+    """,
+)
+def q17_join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: lineitem rows bucketed into quantity
+    bands via lo <= q < hi predicates against a broadcast band table.
+
+    Broadcasting turns the theta join into a map-side nested loop
+    over 3 rows — zero shuffle regardless of fact-table size.
+    """
+    bands = spark.createDataFrame(
+        [("low", 0.0, 15.0), ("mid", 15.0, 35.0), ("high", 35.0, 60.0)],
+        "band string, lo double, hi double",
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice")).alias("band_revenue"),
+        )
+    )
+
+
+# ------------------------------------------------------ aggregations
+
+_GROUPING_SETS_SQL = """
+SELECT c_mktsegment, c_nationkey,
+       CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+       CAST(GROUPING(c_nationkey) AS BIGINT) AS g_nat,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+"""
+
+
+@register("q27_agg_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def q27_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with GROUPING() markers — the general form of
+    rollup/cube (q22/q23). The same ANSI SQL runs on both engines;
+    Catalyst expands it to an Expand + single hash aggregate (one
+    pass over the data for all three sets)."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@register(
+    "q28_agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
+                          x -> ROUND(x, 4)) AS price_quartiles,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q28_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (quartiles + median) of
+    order totals per priority class.
+
+    Spark's `percentile` and DuckDB's `quantile_cont` share the
+    p*(n-1) interpolation definition; results are rounded on both
+    sides to absorb last-ULP arithmetic-order differences. Exact
+    percentiles sort within groups; at 100 TB switch to
+    `approx_percentile` (t-digest, mergeable map-side sketch).
+    """
+    o = t(spark, sf_dir, "orders")
+    qs = F.percentile("o_totalprice", F.lit([0.25, 0.5, 0.75]))
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.transform(qs, lambda x: F.round(x, 4)).alias("price_quartiles"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+    )
+
+
+# -------------------------------------------------------- subqueries
+
+_EXISTS_SQL = """
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM customer c
+WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 300000.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F'
+                    AND o.o_totalprice < 1000.0)
+"""
+
+
+@register("q36_subquery_exists", oracle=_EXISTS_SQL)
+def q36_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS + IN-list — one ANSI string for
+    both engines. Catalyst rewrites the subqueries to left-semi and
+    left-anti hash joins on o_custkey (no per-row re-execution)."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_EXISTS_SQL)
+
+
+# ----------------------------------------------------------- windows
+
+
+@register(
+    "q46_window_percent_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND(PERCENT_RANK() OVER w, 6) AS acctbal_pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS acctbal_cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q46_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank + cume_dist of
+    account balance within market segment (c_custkey tie-break makes
+    ranks total-ordered)."""
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.percent_rank().over(w), 6).alias("acctbal_pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("acctbal_cume_dist"),
+        )
+    )
+
+
+# ------------------------------------------------------------ events
+
+
+@register(
+    "q57_event_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.s_ts
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT COUNT(*) AS n_signup_users,
+           COUNT(c.c_ts) AS n_click_after,
+           COUNT(p.p_ts) AS n_purchase_after
+    FROM s
+    LEFT JOIN c ON s.user_id = c.user_id
+    LEFT JOIN p ON s.user_id = p.user_id
+    """,
+)
+def q57_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: signup → first later click → first later
+    purchase, counting users surviving each stage.
+
+    Each stage is a groupBy on user_id (same key, so AQE/Catalyst
+    reuse the partitioning across stages) and the stage joins are
+    equi-joins on user_id.
+    """
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_signup_users"),
+            F.count("c_ts").alias("n_click_after"),
+            F.count("p_ts").alias("n_purchase_after"),
+        )
+    )
+
+
+# ------------------------------------------------------------ arrays
+
+
+@register(
+    "q58_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(length(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> ABS(CAST(x AS DOUBLE)))), 4) AS l1_norm,
+           ROUND(CAST(list_max(embedding[1:4]) AS DOUBLE), 6) AS head4_max
+    FROM embeddings
+    """,
+)
+def q58_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column:
+    lambda filter (positive count), transform+aggregate (L1 norm),
+    slice+max. All are Catalyst expressions inside whole-stage
+    codegen — no Python, no explode, no shuffle.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    l1 = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + F.abs(x.cast("double")),
+    )
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("bigint").alias(
+            "n_pos"
+        ),
+        F.round(l1, 4).alias("l1_norm"),
+        F.round(
+            F.array_max(F.slice(F.col("embedding"), 1, 4)).cast("double"), 6
+        ).alias("head4_max"),
+    )
+
+
+# --------------------------------------------------------------- ann
+
+N_CENTROIDS = 8
+
+
+@register(
+    "q74_ann_ivf",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      WHERE vec_id < {N_CENTROIDS}
+    ),
+    pairs AS (
+      SELECT v.vec_id, c.cid,
+             CAST(UNNEST(v.embedding) AS DOUBLE) AS x,
+             CAST(UNNEST(c.ce) AS DOUBLE) AS y
+      FROM embeddings v, cent c
+    ),
+    dots AS (
+      SELECT vec_id, cid, SUM(x * y) AS dot,
+             SQRT(SUM(x * x)) AS nv, SQRT(SUM(y * y)) AS nc
+      FROM pairs GROUP BY vec_id, cid
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY ROUND(dot / (nv * nc), 6) DESC, cid ASC) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS cand_id, qa.cell,
+             CAST(UNNEST(q.embedding) AS DOUBLE) AS x,
+             CAST(UNNEST(v.embedding) AS DOUBLE) AS y
+      FROM embeddings q
+      JOIN assign qa ON q.vec_id = qa.vec_id
+      JOIN assign va ON va.cell = qa.cell AND va.vec_id <> q.vec_id
+      JOIN embeddings v ON v.vec_id = va.vec_id
+      WHERE q.vec_id < 5
+    ),
+    pdots AS (
+      SELECT query_id, cand_id, cell, SUM(x * y) AS dot,
+             SQRT(SUM(x * x)) AS nq, SQRT(SUM(y * y)) AS nc
+      FROM probe GROUP BY query_id, cand_id, cell
+    ),
+    scored AS (
+      SELECT query_id, cand_id, cell,
+             ROUND(dot / (nq * nc), 6) AS cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY ROUND(dot / (nq * nc), 6) DESC, cand_id ASC)
+               AS BIGINT) AS rn
+      FROM pdots
+    )
+    SELECT query_id, cand_id, cell, cosine, rn FROM scored WHERE rn <= 5
+    """,
+)
+def q74_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: vectors are assigned to the nearest of
+    {N_CENTROIDS} fixed centroids (inverted-file cells), then each
+    query (vec_id < 5) probes only its own cell — top-5 by cosine.
+
+    Centroids here are the first {N_CENTROIDS} vectors (a stand-in
+    for a k-means codebook, which would be trained offline); the
+    operator shape — broadcast codebook, map-side argmax assignment,
+    equi-join probe on cell id — is the production IVF plan.
+    """
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    sim = F.round(dot_double("embedding", "ce") / (norm_double("embedding") * norm_double("ce")), 6)
+    rn_w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    q = (
+        emb.filter(F.col("vec_id") < 5)
+        .join(assign, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            "cell",
+        )
+    )
+    cands = (
+        emb.join(assign, "vec_id")
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("ve"),
+            F.col("cell").alias("cell_v"),
+        )
+    )
+    pairs = q.join(
+        cands,
+        (F.col("cell") == F.col("cell_v")) & (F.col("cand_id") != F.col("query_id")),
+    )
+    cosine = F.round(dot_double("qe", "ve") / (norm_double("qe") * norm_double("ve")), 6)
+    topk_w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        pairs.select("query_id", "cand_id", "cell", cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(topk_w).cast("bigint"))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "cand_id", "cell", "cosine", "rn")
+    )

@@ -50,6 +50,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def load_all_queries() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills REGISTRY)."""
     from .queries import (  # noqa: F401
+        advanced,
         dedup,
         events,
         multimodal,
