@@ -337,6 +337,133 @@ def q58_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------- skew / generators
+
+N_SALTS = 8
+
+
+@register(
+    "q18_agg_salted",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q18_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation: group keys are widened with a
+    deterministic {N_SALTS}-way salt for the first (wide) shuffle,
+    then partials are re-aggregated on the true key.
+
+    The manual form of what AQE skew-split does adaptively — on a
+    100 TB input where one l_returnflag value dominates, the salt
+    spreads the hot key over {N_SALTS} reducers. Decimal partial sums
+    make the re-aggregation exact, so the result is bit-identical to
+    the unsalted plan (the oracle is the plain GROUP BY).
+    """
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(N_SALTS))
+    )
+    partial = li.groupBy("l_returnflag", "l_linestatus", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("pq"),
+    )
+    return partial.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("pn").alias("n_rows"),
+        F.sum("pq").cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "q47_window_range_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS value_last_hour
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts
+      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q47_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per user, rolling count and exact sum
+    of event values over the trailing hour [ts - 1h, ts].
+
+    Spark's rangeBetween needs a numeric ordering column, so ts is
+    ordered as epoch seconds with a [-3600, 0] frame — the same
+    closed-interval peers DuckDB's INTERVAL RANGE frame selects.
+    """
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias(
+            "value_last_hour"
+        ),
+    )
+
+
+@register(
+    "q59_explode_tokens",
+    oracle="""
+    SELECT d.doc_id, CAST(r.i - 1 AS INTEGER) AS pos, d.arr[r.i] AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS arr
+          FROM documents WHERE doc_id < 100) d,
+         UNNEST(range(1, 4)) AS r(i)
+    WHERE r.i <= len(d.arr)
+    """,
+)
+def q59_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator (UDTF-family) surface: posexplode of the first three
+    tokens per document — one input row fanning out to N output rows
+    with ordinality, entirely JVM-side."""
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.posexplode(F.slice(F.split("text", " "), 1, 3)).alias("pos", "token"),
+        )
+    )
+
+
+@register(
+    "q85_pandas_udf_score",
+    oracle="""
+    SELECT doc_id,
+           ROUND(LN(1 + n_chars) + 0.1 * len(string_split(text, ' ')), 6)
+             AS readability
+    FROM documents
+    """,
+)
+def q85_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar Pandas UDF: a per-document score
+    computed in numpy over Arrow batches.
+
+    The sanctioned Python escape hatch (SURVEY.md §2b UDF row):
+    columnar Arrow transfer + whole-batch numpy, ~10-100× faster
+    than a row-at-a-time Python UDF. The formula is reproduced in the
+    oracle SQL, so the vectorized path is correctness-checked too.
+    """
+    from ..functions.text_udfs import readability_score
+
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", readability_score("text", "n_chars").alias("readability"))
+    )
+
+
 # --------------------------------------------------------------- ann
 
 N_CENTROIDS = 8
