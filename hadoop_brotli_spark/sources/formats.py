@@ -1,0 +1,109 @@
+"""General source/sink surface beyond parquet and ``.bro``: CSV,
+JSON-lines, and plain text, plus the partitioned-parquet sink.
+
+The reference inherits all of this from its host framework (a Hadoop
+codec participates in any file format via the codec SPI —
+SURVEY.md §2b "Scans / sources"); here it is a typed, schema-explicit
+API over Spark's native readers.
+
+Scale notes (100 TB):
+- Schemas are always explicit — schema inference reads the data
+  twice and is banned here.
+- CSV/JSON scans are splittable (uncompressed or with a splittable
+  codec); Spark parallelizes by ``maxPartitionBytes`` chunks.
+- The parquet sink partitions by low-cardinality columns only
+  (`partition_by`) and controls file sizing through
+  ``maxRecordsPerFile`` — many small files are the #1 large-scale
+  read-amplification bug.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+TIMESTAMP_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    header: bool = True,
+    **options: Any,
+) -> DataFrame:
+    """CSV scan with a mandatory explicit schema (no inference pass)."""
+    return (
+        spark.read.format("csv")
+        .schema(schema)
+        .option("header", str(header).lower())
+        .option("timestampFormat", options.pop("timestampFormat", TIMESTAMP_FMT))
+        .options(**options)
+        .load(path)
+    )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    **options: Any,
+) -> DataFrame:
+    """JSON-lines scan with explicit schema; malformed rows are kept
+    null-columned under PERMISSIVE mode (Spark default) rather than
+    failing the 100-TB job at row 99 billion."""
+    return (
+        spark.read.format("json")
+        .schema(schema)
+        .option("timestampFormat", options.pop("timestampFormat", TIMESTAMP_FMT))
+        .options(**options)
+        .load(path)
+    )
+
+
+def read_text(
+    spark: SparkSession, path: str, whole_file: bool = False
+) -> DataFrame:
+    """Plain-text scan → DataFrame[value: string]; ``whole_file``
+    gives one row per file (for document-corpus ingestion)."""
+    return spark.read.option("wholetext", str(whole_file).lower()).text(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned parquet sink — the engine's primary output format.
+
+    ``compression`` applies per column chunk (splittable regardless of
+    codec, unlike the whole-file ``.bro`` path). ``zstd`` is the
+    modern default; pass ``brotli`` where the Hadoop native lib is
+    available for bitstream parity with the reference.
+    """
+    w = df.write.mode(mode).option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, header: bool = True, mode: str = "overwrite"
+) -> None:
+    (
+        df.write.mode(mode)
+        .option("header", str(header).lower())
+        .option("timestampFormat", TIMESTAMP_FMT)
+        .csv(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("timestampFormat", TIMESTAMP_FMT).json(path)

@@ -1,0 +1,79 @@
+"""Roundtrip tests for the CSV / JSON-lines / text sources and the
+partitioned parquet sink (hadoop_brotli_spark.sources.formats)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hadoop_brotli_spark.catalog import load_table
+from hadoop_brotli_spark.sources import formats
+
+DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def _sorted_rows(df, key):
+    return [tuple(r) for r in df.orderBy(key).collect()]
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_csv")
+    formats.write_csv(docs, out)
+    back = formats.read_csv(spark, out, DOCS_SCHEMA)
+    assert _sorted_rows(back, "doc_id") == _sorted_rows(docs, "doc_id")
+
+
+def test_csv_roundtrip_timestamps(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").drop("props")  # JSON commas vs CSV
+    out = str(tmp_path / "events_csv")
+    formats.write_csv(ev, out)
+    back = formats.read_csv(
+        spark, out, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    assert _sorted_rows(back, "event_id") == _sorted_rows(ev, "event_id")
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_jsonl")
+    formats.write_jsonl(ev, out)
+    back = formats.read_jsonl(spark, out, EVENTS_SCHEMA).select(*ev.columns)
+    assert _sorted_rows(back, "event_id") == _sorted_rows(ev, "event_id")
+
+
+def test_text_roundtrip(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    out = str(tmp_path / "docs_text")
+    docs.write.mode("overwrite").text(out)
+    back = formats.read_text(spark, out)
+    assert sorted(r.value for r in back.collect()) == sorted(
+        r.value for r in docs.collect()
+    )
+
+
+def test_partitioned_parquet_sink(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_part")
+    formats.write_parquet(docs, out, partition_by=["lang"], compression="zstd")
+    # hive-style partition dirs exist
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    dirs = {d.split("=")[1] for d in os.listdir(out) if d.startswith("lang=")}
+    assert dirs == langs
+    back = spark.read.parquet(out).select(*docs.columns)
+    assert _sorted_rows(back, "doc_id") == _sorted_rows(docs, "doc_id")
+    # partition pruning: the lang predicate must land in
+    # PartitionFilters (directory pruning), not post-scan Filter
+    one = sorted(langs)[0]
+    filtered = spark.read.parquet(out).filter(F.col("lang") == one)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert filtered.count() == docs.filter(F.col("lang") == one).count()
