@@ -145,14 +145,18 @@ def q61_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
-    # 8 independent 32-bit hash functions = 8-hex-char chunks of two
+    # 8 independent 28-bit hash functions = 7-hex-char chunks of two
     # md5 digests (md5 is uniform per-chunk); MIN per chunk = minhash.
+    # Integer minhashes keep the agg buffer fixed-width (HashAggregate,
+    # not SortAggregate) and the band join key a single BIGINT.
     sig_cols = ",\n        ".join(
-        f"MIN(substr(h{i // 4 + 1}, {(i % 4) * 8 + 1}, 8)) AS h{i}"
+        f"MIN(CAST('0x' || substr(h{i // 4 + 1}, {(i % 4) * 7 + 1}, 7) AS BIGINT))"
+        f" AS h{i}"
         for i in range(N_HASHES)
     )
     band_selects = "\n      UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS bkey FROM sig"
+        f"SELECT doc_id, {b} AS band,"
+        f" h{2 * b} * 268435456 + h{2 * b + 1} AS bkey FROM sig"
         for b in range(N_BANDS)
     )
     return f"""
@@ -179,11 +183,14 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidates: 8 minhashes over 3-word
     shingles → 4 bands of 2 → docs sharing a band are candidates.
 
-    The 8 hash functions are the 8-hex-char (32-bit) chunks of two
+    The 8 hash functions are the 7-hex-char (28-bit) chunks of two
     md5 digests — md5 bits are independent/uniform, so each chunk is
     a valid minhash permutation at a quarter of the hashing cost and
     with NO row explosion (8 conditional MINs instead of an 8×
-    explode+shuffle; this cut the sf0.1 bench time ~4×).
+    explode+shuffle; this cut the sf0.1 bench time ~4×). Chunks are
+    parsed to BIGINT so the signature agg keeps a fixed-width buffer
+    (HashAggregate, not SortAggregate) and each 2-row band packs into
+    one 56-bit BIGINT join key.
 
     The scale path for fuzzy dedup: cost is O(docs × shingles) for
     signatures plus a self-join on band keys (uniform hash values →
@@ -200,7 +207,9 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             *[
                 F.min(
-                    F.substring(f"h{i // 4 + 1}", (i % 4) * 8 + 1, 8)
+                    F.conv(
+                        F.substring(f"h{i // 4 + 1}", (i % 4) * 7 + 1, 7), 16, 10
+                    ).cast("long")
                 ).alias(f"h{i}")
                 for i in range(N_HASHES)
             ]
@@ -213,24 +222,36 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias(
-                            "bkey"
-                        ),
+                        (
+                            F.col(f"h{2 * b}") * F.lit(1 << 28)
+                            + F.col(f"h{2 * b + 1}")
+                        ).alias("bkey"),
                     )
                     for b in range(N_BANDS)
                 ]
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bkey")
-    a, b = bands.alias("a"), bands.alias("b")
+    # Pair generation via bucket-collect instead of a self-join: the
+    # signature pipeline runs ONCE, one shuffle on (band, bkey), and
+    # pairs are emitted JVM-side from each (small) bucket's sorted
+    # doc list. A self-join would scan+hash the corpus twice.
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
