@@ -144,11 +144,16 @@ def q61_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
-    # 8 independent 28-bit hash functions = 7-hex-char chunks of two
-    # md5 digests (md5 is uniform per-chunk); MIN per chunk = minhash.
-    # Integer minhashes keep the agg buffer fixed-width (HashAggregate,
-    # not SortAggregate) and the band join key a single BIGINT.
+def _minhash_pairs_ctes() -> str:
+    """Shared DuckDB CTE chain ending in ``pairs(doc_a, doc_b)`` —
+    the MinHash+LSH candidate pairs (used by q62 and the clustering
+    oracles q64/q65).
+
+    8 independent 28-bit hash functions = 7-hex-char chunks of two
+    md5 digests (md5 is uniform per-chunk); MIN per chunk = minhash.
+    Integer minhashes keep the agg buffer fixed-width (HashAggregate,
+    not SortAggregate) and the band join key a single BIGINT.
+    """
     sig_cols = ",\n        ".join(
         f"MIN(CAST('0x' || substr(h{i // 4 + 1}, {(i % 4) * 7 + 1}, 7) AS BIGINT))"
         f" AS h{i}"
@@ -159,8 +164,7 @@ def _minhash_oracle() -> str:
         f" h{2 * b} * 268435456 + h{2 * b + 1} AS bkey FROM sig"
         for b in range(N_BANDS)
     )
-    return f"""
-    WITH {_sql_shingles(3)},
+    return f"""{_sql_shingles(3)},
     hashed AS (
       SELECT doc_id, md5(shingle) AS h1, md5('x:' || shingle) AS h2 FROM sh
     ),
@@ -171,17 +175,25 @@ def _minhash_oracle() -> str:
     ),
     bands AS (
       {band_selects}
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a
-    JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                  AND a.doc_id < b.doc_id
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_pairs_ctes()}
+    SELECT doc_a, doc_b FROM pairs
     """
 
 
-@register("q62_dedup_minhash_lsh", oracle=_minhash_oracle())
-def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup candidates: 8 minhashes over 3-word
-    shingles → 4 bands of 2 → docs sharing a band are candidates.
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (doc_a < doc_b) — shared by q62
+    (reported directly) and q64/q65 (clustered).
 
     The 8 hash functions are the 7-hex-char (28-bit) chunks of two
     md5 digests — md5 bits are independent/uniform, so each chunk is
@@ -253,6 +265,117 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.doc_a", "p.doc_b")
         .distinct()
+    )
+
+
+@register("q62_dedup_minhash_lsh", oracle=_minhash_oracle())
+def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidate pairs (see _minhash_pairs)."""
+    return _minhash_pairs(spark, sf_dir)
+
+
+def _clusters_ctes() -> str:
+    """CTE chain ``pairs`` → ``clusters(doc_id, cluster_id)``:
+    connected components over the candidate-pair graph via a
+    recursive transitive-closure CTE (exact fixpoint — fine at
+    oracle scale; the Spark side uses iterative min-label
+    propagation, the scalable equivalent)."""
+    return f"""{_minhash_pairs_ctes()},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT doc_id, doc_id FROM documents
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    ),
+    clusters AS (
+      SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    )"""
+
+
+def _propagate_labels(pairs: DataFrame, docs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    Each round: every vertex takes the min label among itself and its
+    neighbors; stop when no label changes. Rounds = graph diameter —
+    small for dedup graphs (near-clique duplicate groups). At 100 TB
+    scale the same loop runs with checkpointed DataFrames per round
+    (lineage truncated via localCheckpoint) and converges in a
+    handful of shuffles; the alternating large-star/small-star
+    algorithm is the drop-in upgrade for adversarial diameters.
+    """
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.dst, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_lbl"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "q64_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_clusters_ctes()}
+    SELECT doc_id, cluster_id FROM clusters
+    """,
+)
+def q64_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the MinHash+LSH
+    candidate-pair graph; every document labeled with the min doc_id
+    of its component (singletons label themselves)."""
+    pairs = _minhash_pairs(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return _propagate_labels(pairs, docs)
+
+
+@register(
+    "q65_dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_clusters_ctes()}
+    SELECT cluster_id, COUNT(*) AS n_members,
+           COUNT(*) - 1 AS n_removed
+    FROM clusters GROUP BY cluster_id
+    """,
+)
+def q65_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document summary: one row per duplicate cluster with
+    member count and how many docs dedup removes (keep-first
+    policy: the representative is the min doc_id = cluster_id)."""
+    return (
+        q64_dedup_clusters(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (F.count(F.lit(1)) - 1).alias("n_removed"),
+        )
     )
 
 
