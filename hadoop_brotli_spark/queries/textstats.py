@@ -256,3 +256,39 @@ def q84_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+@register(
+    "q86_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT)
+             AS n_subtokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT)
+             AS n_alpha,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+           CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT)
+             AS n_punct
+    FROM documents
+    """,
+)
+def q86_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting: pre-tokenizer classes (alpha
+    runs / digit runs / single punctuation), the standard byte-pair
+    pre-segmentation shape — all inside codegen via
+    ``regexp_extract_all`` (no explode: per-row array lengths)."""
+    docs = t(spark, sf_dir, "documents")
+
+    def n_matches(pattern: str):
+        return F.size(F.regexp_extract_all("text", F.lit(pattern), 0)).cast("bigint")
+
+    return docs.select(
+        "doc_id",
+        n_matches(BPE_RE).alias("n_subtokens"),
+        n_matches("[a-zA-Z]+").alias("n_alpha"),
+        n_matches("[0-9]+").alias("n_num"),
+        n_matches("[^a-zA-Z0-9 ]").alias("n_punct"),
+    )
