@@ -575,3 +575,137 @@ def q74_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "cand_id", "cell", "cosine", "rn")
     )
+
+
+# ----------------------------------------------------- pivot / melt
+
+
+@register(
+    "q29_pivot_native",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {sql_dsum('CASE WHEN o_orderstatus = %s THEN o_totalprice END' % "'F'")}
+             AS status_F,
+           {sql_dsum('CASE WHEN o_orderstatus = %s THEN o_totalprice END' % "'O'")}
+             AS status_O,
+           {sql_dsum('CASE WHEN o_orderstatus = %s THEN o_totalprice END' % "'P'")}
+             AS status_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q29_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``.pivot()`` with an explicit value list (no extra
+    distinct-values pass — at scale ALWAYS pass the list): order
+    totals per priority, one column per status."""
+    piv = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum(F.col("o_totalprice")))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F").alias("status_F"),
+        F.col("O").alias("status_O"),
+        F.col("P").alias("status_P"),
+    )
+
+
+@register(
+    "q39_unpivot_melt",
+    oracle="""
+    WITH wide AS (
+      SELECT c_mktsegment,
+             CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS min_bal,
+             CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, 'min_bal' AS stat, min_bal AS value FROM wide
+    UNION ALL
+    SELECT c_mktsegment, 'max_bal' AS stat, max_bal AS value FROM wide
+    """,
+)
+def q39_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-segment stats back to long
+    (segment, stat, value) rows via ``DataFrame.unpivot`` — the
+    inverse of q29's pivot, a narrow zero-shuffle transform."""
+    wide = (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.min(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("min_bal"),
+            F.max(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("max_bal"),
+        )
+    )
+    return wide.unpivot(
+        ids=["c_mktsegment"],
+        values=["min_bal", "max_bal"],
+        variableColumnName="stat",
+        valueColumnName="value",
+    )
+
+
+# ------------------------------------------------------- multimodal
+
+
+@register(
+    "q92_audio_features",
+    oracle="""
+    WITH samples AS (
+      SELECT doc_id, ascii(substr(text, CAST(i AS INTEGER), 1)) AS v
+      FROM documents, UNNEST(range(1, len(text) + 1)) AS r(i)
+    ),
+    sums AS (
+      SELECT doc_id, COUNT(*) AS n,
+             SUM(v) AS s, SUM(v * v) AS ss
+      FROM samples GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(s AS DOUBLE) / n AS mean_amp,
+           SQRT(CAST(ss AS DOUBLE) / n) AS rms,
+           (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n AS variance
+    FROM sums
+    """,
+)
+def q92_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over an opaque binary column: treat
+    payload bytes as 8-bit PCM samples, compute mean amplitude / RMS
+    / variance whole-batch in numpy via mapInPandas.
+
+    The "waveform" is the documents payload (no audio libs in this
+    container — a real deployment swaps np.frombuffer for a proper
+    codec decode with identical schema/batch shape). Byte sums are
+    exact integers in both engines, so the derived doubles are
+    bit-identical to the SQL oracle with no rounding.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    blobs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "mean_amp": [], "rms": [], "variance": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(arr)
+                s = int(arr.sum())
+                ss = int((arr * arr).sum())
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["mean_amp"].append(s / n)
+                out["rms"].append(float(np.sqrt(ss / n)))
+                out["variance"].append((ss - s * s / n) / n)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, n_samples long, mean_amp double, rms double,"
+        " variance double"
+    )
+    return blobs.mapInPandas(features, schema=schema)
