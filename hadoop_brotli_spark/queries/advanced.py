@@ -709,3 +709,81 @@ def q92_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         " variance double"
     )
     return blobs.mapInPandas(features, schema=schema)
+
+
+# ------------------------------------------------------- merge / CDC
+
+
+@register(
+    "q37_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey,
+             ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2) AS o_totalprice,
+             'R' AS o_orderstatus
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    inserts AS (
+      SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM orders) + 1
+               AS o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             'N' AS o_orderstatus
+      FROM orders WHERE o_orderkey < 10
+    ),
+    kept AS (
+      SELECT o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+             o.o_orderstatus
+      FROM orders o ANTI JOIN updates u ON o.o_orderkey = u.o_orderkey
+    )
+    SELECT * FROM kept
+    UNION ALL
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), o_orderstatus FROM updates
+    UNION ALL
+    SELECT * FROM inserts
+    """,
+)
+def q37_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emulated MERGE INTO (no Delta in v1): updates = F-status
+    orders repriced +10%, inserts = synthetic rows keyed above the
+    max orderkey. Snapshot = (target anti-join updates) + updated +
+    inserts — the standard CDC upsert recipe from narrow joins on
+    the merge key. The max-key scalar joins in via a broadcast
+    single-row cross join (no driver collect)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 1.1, 2)
+        .cast("double")
+        .alias("o_totalprice"),
+        F.lit("R").alias("o_orderstatus"),
+    )
+    max_key = o.agg(F.max("o_orderkey").alias("mk"))
+    inserts = (
+        o.filter(F.col("o_orderkey") < 10)
+        .crossJoin(F.broadcast(max_key))
+        .select(
+            (F.col("o_orderkey") + F.col("mk") + 1).alias("o_orderkey"),
+            "o_totalprice",
+            F.lit("N").alias("o_orderstatus"),
+        )
+    )
+    kept = o.join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
+    return kept.unionByName(updates).unionByName(inserts)
+
+
+@register("q38_approx_percentile", oracle=None)
+def q38_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch: ``approx_percentile`` (t-digest-
+    style, combines map-side) — the 100 TB path where q28's exact
+    sort-based percentiles stop scaling. Rows-only check: sketch
+    error bounds differ per engine, so no value oracle."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.approx_percentile("o_totalprice", F.lit([0.25, 0.5, 0.75]), F.lit(1000))
+            .alias("approx_quartiles")
+        )
+    )
