@@ -83,6 +83,11 @@ def write_bro_text(
     return report.count()
 
 
+BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
 def read_bro_text(
     spark: SparkSession,
     path: str,
@@ -94,7 +99,6 @@ def read_bro_text(
     non-splittable reference) → streaming decompress + line split in
     an Arrow-batched pandas transform.
     """
-    config = BroConfig.from_options(options)
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", f"*{BRO_EXTENSION}")
@@ -104,6 +108,34 @@ def read_bro_text(
     # one file per task: repartition by file so big files don't queue
     # behind each other on one core
     files = files.repartition("path")
+    return _decode_files(files, options)
+
+
+def stream_bro_text(
+    spark: SparkSession,
+    path: str,
+    options: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Structured-Streaming ``.bro`` source: new ``*.bro`` files
+    landing under ``path`` are decompressed incrementally (file
+    discovery and exactly-once tracking come from Spark's file
+    streaming source; the decode is the same mapInPandas transform
+    as the batch reader). Pair with ``.writeStream`` + checkpoint
+    for a continuously-ingesting codec pipeline."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", f"*{BRO_EXTENSION}")
+        .load(path)
+        .select("path", "content")
+    )
+    return _decode_files(files, options)
+
+
+def _decode_files(
+    files: DataFrame, options: dict[str, Any] | None = None
+) -> DataFrame:
+    config = BroConfig.from_options(options)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
