@@ -385,8 +385,8 @@ def q18_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS value_last_hour
     FROM events
     WINDOW w AS (
-      PARTITION BY user_id ORDER BY ts
-      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+      PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
     )
     """,
 )
@@ -394,9 +394,10 @@ def q47_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame: per user, rolling count and exact sum
     of event values over the trailing hour [ts - 1h, ts].
 
-    Spark's rangeBetween needs a numeric ordering column, so ts is
-    ordered as epoch seconds with a [-3600, 0] frame — the same
-    closed-interval peers DuckDB's INTERVAL RANGE frame selects.
+    Spark's rangeBetween needs a numeric ordering column, so both
+    sides order by truncated epoch seconds with a [-3600, 0] frame —
+    identical peer sets by construction (an INTERVAL RANGE frame over
+    raw timestamps would differ on sub-second fractions).
     """
     w = (
         W.partitionBy("user_id")
