@@ -417,3 +417,59 @@ def q63_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     bits = [F.when(v >= 0, "1").otherwise("0") for v in votes]
     return h.groupBy("doc_id").agg(F.concat(*bits).alias("simhash"))
+
+
+@register(
+    "q66_dedup_editdistance",
+    oracle="""
+    WITH cand AS (
+      SELECT doc_id, text, n_chars, lang FROM documents WHERE doc_id < 200
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+    FROM cand a
+    JOIN cand b
+      ON a.lang = b.lang
+     AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 10
+    WHERE levenshtein(a.text, b.text) <= 20
+    """,
+)
+def q66_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs with blocking: candidates must
+    share a language and sit within a ±10-char length band before the
+    O(len²) levenshtein runs.
+
+    Blocking is the scale lever: the equi-join key (lang; in
+    production, lang × length-bucket × minhash-band) bounds the
+    quadratic comparison to within-block pairs, and |Δlen| ≤ 10 is a
+    free lower bound on the distance itself (|Δlen| ≤ edit_dist).
+    """
+    cand = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text", "n_chars", "lang")
+    )
+    a = cand.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("ta"),
+        F.col("n_chars").alias("na"),
+        "lang",
+    )
+    b = cand.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("tb"),
+        F.col("n_chars").alias("nb"),
+        F.col("lang").alias("lang_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("na") - F.col("nb")) <= 10),
+        )
+        .withColumn("edit_dist", F.levenshtein("ta", "tb").cast("bigint"))
+        .filter(F.col("edit_dist") <= 20)
+        .select("doc_a", "doc_b", "edit_dist")
+    )
