@@ -788,3 +788,36 @@ def q38_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("approx_quartiles")
         )
     )
+
+
+@register(
+    "q48_window_nth_value",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_orderkey,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def q48_window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over an unbounded frame: each customer's second
+    order (NULL for single-order customers), reduced with DISTINCT
+    to one row per customer."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.nth_value("o_orderkey", 2).over(w).alias("second_orderkey"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        )
+        .distinct()
+    )

@@ -107,3 +107,28 @@ def write_csv(
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("timestampFormat", TIMESTAMP_FMT).json(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """ORC scan (built-in, splittable, footer-schema'd like parquet)."""
+    r = spark.read.format("orc")
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+    mode: str = "overwrite",
+) -> None:
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -77,3 +77,11 @@ def test_partitioned_parquet_sink(spark, sf_dir, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1].split("]")[0]
     assert filtered.count() == docs.filter(F.col("lang") == one).count()
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_orc")
+    formats.write_orc(ev, out)
+    back = formats.read_orc(spark, out).select(*ev.columns)
+    assert _sorted_rows(back, "event_id") == _sorted_rows(ev, "event_id")
