@@ -30,6 +30,7 @@ from ._util import t
 
 N_HASHES = 8  # minhash functions
 N_BANDS = 4  # LSH bands (2 rows per band)
+MAX_SHINGLE_DF = 50  # q61: drop shingles in more docs than this
 HI_NIBBLE = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
@@ -100,9 +101,15 @@ def q60_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ),
+    rare AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM sh a
+      JOIN rare r ON a.shingle = r.shingle
+      JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -116,10 +123,24 @@ def q60_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q61_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact Jaccard over 5-word shingles via an
     inverted index self-join (candidate pairs share ≥1 shingle, so
-    no O(n²) cross join). Jaccard = |∩| / (|A| + |B| - |∩|)."""
+    no O(n²) cross join). Jaccard = |∩| / (|A| + |B| - |∩|).
+
+    Hot shingles (document frequency > MAX_SHINGLE_DF) are dropped
+    from the index before the self-join — the standard stop-shingle
+    cap that bounds the quadratic per-shingle pair blowup at scale
+    (a shingle in d docs contributes d² candidate pairs). The oracle
+    applies the identical cap.
+    """
     sh = _shingle_df(spark, sf_dir, 5)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    indexed = sh.join(rare, "shingle")
+    a, b = indexed.alias("a"), indexed.alias("b")
     inter = (
         a.join(
             b,
