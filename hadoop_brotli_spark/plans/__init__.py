@@ -1,0 +1,7 @@
+from .inspect import (  # noqa: F401
+    executed_plan,
+    exchange_count,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema,
+)

@@ -1,0 +1,79 @@
+"""Physical-plan inspection: the ".explain and iterate" loop as code.
+
+These predicates let operator authors (and the plan-quality test
+suite) assert the properties that matter at 100 TB — filters reached
+the scan, small sides broadcast, no accidental extra shuffles —
+instead of eyeballing explain output.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    """The physical plan string (pre-execution; AQE plans show the
+    initial physical plan). Scan metadata (PushedFilters/ReadSchema)
+    is truncated at spark.sql.maxMetadataStringLength — raise it
+    while rendering so predicates can parse complete lists."""
+    conf = df.sparkSession.conf
+    prev = conf.get("spark.sql.maxMetadataStringLength", "100")
+    conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        conf.set("spark.sql.maxMetadataStringLength", prev)
+
+
+def _split_balanced(s: str) -> list[str]:
+    """Split a comma-separated list, ignoring commas inside parens
+    (predicate args like GreaterThanOrEqual(p_size,10))."""
+    out, buf, depth = [], [], 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return [x for x in out if x]
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters that reached the datasource scan(s), flattened."""
+    out: list[str] = []
+    for m in re.finditer(
+        r"PushedFilters: \[(.*?)(?:\]|\.\.\.|\n)", executed_plan(df)
+    ):
+        out.extend(_split_balanced(m.group(1)))
+    return out
+
+
+def read_schema(df: DataFrame) -> list[str]:
+    """Column names each scan actually reads (column pruning check)."""
+    cols: list[str] = []
+    for m in re.finditer(
+        r"ReadSchema: struct<(.*?)(?:>|\.\.\.|\n)", executed_plan(df)
+    ):
+        cols.extend(c.split(":")[0].strip() for c in m.group(1).split(",") if c)
+    return cols
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    plan = executed_plan(df)
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle Exchanges planned (broadcast exchanges are
+    not counted — they move small data by design)."""
+    plan = executed_plan(df)
+    return len(re.findall(r"\bExchange (?:hash|range|Single)", plan))

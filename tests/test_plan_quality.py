@@ -5,41 +5,38 @@ dimension/small sides, and whole-stage codegen on hot paths.
 
 These guard against regressions like a filter silently becoming
 post-scan (e.g. wrapped in a UDF) or a broadcast degrading to a
-shuffle join."""
+shuffle join. Inspection predicates live in
+``hadoop_brotli_spark.plans`` (the engine-side "explain and iterate"
+API)."""
 
 from __future__ import annotations
 
 import pytest
 
+from hadoop_brotli_spark import plans
 from hadoop_brotli_spark.registry import load_all_queries
 
 SPECS = load_all_queries()
 
 
-def plan_of(spark, sf_dir: str, name: str) -> str:
-    df = SPECS[name].fn(spark, sf_dir)
-    return df._jdf.queryExecution().executedPlan().toString()
+def q(spark, sf_dir: str, name: str):
+    return SPECS[name].fn(spark, sf_dir)
 
 
-@pytest.mark.parametrize(
-    "name, token",
-    [
-        # shipdate predicate reaches the parquet reader
-        ("q01_pricing_summary", "PushedFilters: [IsNotNull(l_shipdate)"),
-        # conjunctive predicates pushed (p_size/p_retailprice)
-        ("q02_filter_project", "GreaterThanOrEqual(p_size,10)"),
-    ],
-)
-def test_filter_pushdown(spark, sf_dir, name, token):
-    assert token in plan_of(spark, sf_dir, name)
+def test_filter_pushdown(spark, sf_dir):
+    # shipdate predicate reaches the parquet reader
+    pf = plans.pushed_filters(q(spark, sf_dir, "q01_pricing_summary"))
+    assert any("l_shipdate" in f for f in pf), pf
+    # conjunctive predicates pushed (p_size/p_retailprice)
+    pf2 = plans.pushed_filters(q(spark, sf_dir, "q02_filter_project"))
+    assert "GreaterThanOrEqual(p_size,10)" in pf2, pf2
 
 
 def test_column_pruning(spark, sf_dir):
     # q02 projects 3 columns + 2 filter-only columns; the scan must
     # not read the full part schema
-    plan = plan_of(spark, sf_dir, "q02_filter_project")
-    scan = plan.split("ReadSchema:")[1].splitlines()[0]
-    assert "p_brand" not in scan
+    cols = plans.read_schema(q(spark, sf_dir, "q02_filter_project"))
+    assert "p_brand" not in cols, cols
 
 
 @pytest.mark.parametrize(
@@ -52,13 +49,20 @@ def test_column_pruning(spark, sf_dir):
     ],
 )
 def test_broadcast_join_used(spark, sf_dir, name):
-    assert "Broadcast" in plan_of(spark, sf_dir, name)
+    assert plans.has_broadcast_join(q(spark, sf_dir, name))
 
 
 def test_range_join_is_broadcast_not_cartesian(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "q17_join_range_bands")
+    plan = plans.executed_plan(q(spark, sf_dir, "q17_join_range_bands"))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_single_table_aggs_shuffle_once(spark, sf_dir):
+    # scan→agg queries need exactly one shuffle (partial→final);
+    # q01 adds a range exchange for its final orderBy
+    assert plans.exchange_count(q(spark, sf_dir, "q06_revenue_forecast")) <= 1
+    assert plans.exchange_count(q(spark, sf_dir, "q01_pricing_summary")) <= 2
 
 
 def test_whole_stage_codegen(spark, sf_dir):
@@ -66,7 +70,7 @@ def test_whole_stage_codegen(spark, sf_dir):
     # AQE wrapping hides them, so disable it for the plan inspection)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        plan = plan_of(spark, sf_dir, "q01_pricing_summary")
+        plan = plans.executed_plan(q(spark, sf_dir, "q01_pricing_summary"))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "*(" in plan
@@ -74,16 +78,14 @@ def test_whole_stage_codegen(spark, sf_dir):
 
 def test_asof_join_has_no_inequality_join(spark, sf_dir):
     # the union+window formulation must not plan any join at all
-    plan = plan_of(spark, sf_dir, "q16_join_asof")
+    plan = plans.executed_plan(q(spark, sf_dir, "q16_join_asof"))
     assert "Join" not in plan
     assert "Window" in plan
 
 
 def test_minhash_no_seed_explode(spark, sf_dir):
     # q62 derives 8 minhashes from 2 digests. Two Generates are
-    # legitimate (shingle explode + band explode), each appearing
-    # twice because the signature subtree feeds both sides of the
-    # band self-join (ReuseExchange dedups at runtime). The old 8x
-    # per-seed explode would add two more.
-    plan = plan_of(spark, sf_dir, "q62_dedup_minhash_lsh")
+    # legitimate (shingle explode + band explode). The old 8x
+    # per-seed explode would add more.
+    plan = plans.executed_plan(q(spark, sf_dir, "q62_dedup_minhash_lsh"))
     assert plan.count("Generate explode") <= 4
