@@ -292,3 +292,53 @@ def q86_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_matches("[0-9]+").alias("n_num"),
         n_matches("[^a-zA-Z0-9 ]").alias("n_punct"),
     )
+
+
+@register(
+    "q87_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
+      FROM documents, UNNEST(range(1, len(text) + 1)) AS r(i)
+    ),
+    hist AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+    ),
+    agg AS (
+      SELECT doc_id, SUM(c) AS n, SUM(c * log2(c)) AS s
+      FROM hist GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_chars_total,
+           ROUND(log2(n) - s / n, 4) AS char_entropy
+    FROM agg
+    """,
+)
+def q87_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    gibberish/boilerplate quality signal (low entropy = repeated
+    chars, high = noise).
+
+    Uses the algebraic form H = log2(n) - sum(c*log2(c))/n so both
+    engines evaluate the identical expression over exact integer
+    counts; rounded to 4 to absorb summation-order ULPs.
+    """
+    docs = t(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        "text",
+    ).select("doc_id", F.col("text").substr(F.col("i"), F.lit(1)).alias("ch"))
+    hist = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        hist.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log2("c")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_chars_total"),
+            F.round(F.log2("n") - F.col("s") / F.col("n"), 4).alias("char_entropy"),
+        )
+    )
