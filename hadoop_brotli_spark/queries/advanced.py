@@ -821,3 +821,71 @@ def q48_window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ------------------------------------------------- grouped map (UDAF)
+
+
+@register(
+    "q49_grouped_pandas_gaps",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, epoch_us(o_orderdate) AS ts_us,
+             LAG(epoch_us(o_orderdate)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+             ) AS prev_us
+      FROM orders
+    )
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(ts_us - prev_us) AS DOUBLE)
+             / COUNT(ts_us - prev_us) / 86400000000.0 AS mean_gap_days,
+           CAST(MAX(ts_us - prev_us) AS DOUBLE) / 86400000000.0
+             AS max_gap_days
+    FROM ordered GROUP BY o_custkey
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q49_grouped_pandas_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF via ``applyInPandas``: per-customer
+    inter-order gap statistics computed whole-group in pandas.
+
+    The escape hatch for per-group logic Catalyst can't express
+    (here it could — the oracle is the lag-window form — which is
+    exactly what makes it verifiable). Gaps are integer microseconds,
+    so the derived doubles match the SQL bit-for-bit. One shuffle on
+    the group key; each group materializes as one pandas frame, so
+    group size (orders per customer) bounds executor memory, not
+    partition size.
+    """
+    import pandas as pd
+
+    def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
+        us = pdf["o_orderdate"].astype("datetime64[us]").astype("int64")
+        d = us.diff().dropna()
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                columns=["o_custkey", "n_orders", "mean_gap_days", "max_gap_days"]
+            )
+        return pd.DataFrame(
+            {
+                "o_custkey": [pdf["o_custkey"].iloc[0]],
+                "n_orders": [n],
+                "mean_gap_days": [float(d.sum()) / len(d) / 86400000000.0],
+                "max_gap_days": [float(d.max()) / 86400000000.0],
+            }
+        )
+
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .groupBy("o_custkey")
+        .applyInPandas(
+            gaps,
+            schema="o_custkey long, n_orders long, mean_gap_days double,"
+            " max_gap_days double",
+        )
+    )

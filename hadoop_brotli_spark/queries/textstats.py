@@ -342,3 +342,46 @@ def q87_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log2("n") - F.col("s") / F.col("n"), 4).alias("char_entropy"),
         )
     )
+
+
+@register(
+    "q88_data_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+               % 10 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'valid'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def q88_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment: hash the stable key
+    (never RNG) into 10 buckets → 80/10/10 split, counted per lang.
+
+    Hash-based splits are the reproducible-sampling pattern for
+    training pipelines: membership is a pure function of the key, so
+    re-runs, backfills, and cross-system checks agree exactly —
+    unlike df.sample(), whose RNG is partition-layout-dependent.
+    """
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 7), 16, 10).cast(
+            "long"
+        ),
+        F.lit(10),
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "valid").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
