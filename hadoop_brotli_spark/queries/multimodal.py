@@ -103,3 +103,59 @@ def q91_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("binary")
         ).alias("frame_tag"),
     )
+
+
+@register(
+    "q93_image_resize",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             64 + octet_length(encode(text)) % 576 AS width,
+             48 + (octet_length(encode(text)) * 7) % 432 AS height
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(CASE WHEN width >= height
+                     THEN 224
+                     ELSE (width * 224) // height END AS BIGINT) AS out_w,
+           CAST(CASE WHEN width >= height
+                     THEN (height * 224) // width
+                     ELSE 224 END AS BIGINT) AS out_h
+    FROM meta
+    """,
+)
+def q93_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize planning: aspect-preserving fit into 224×224 from
+    the fake-decoded dimensions, computed whole-batch in pandas via
+    mapInPandas (integer arithmetic — exact oracle).
+
+    The real pixel resample (PIL.Image.resize) slots into the same
+    batch loop behind ``functions.media.decode_image`` (stubbed:
+    NotImplementedError without PIL); schema and batch shape are what
+    a production resize job uses.
+    """
+    blobs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def resize_plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = fake_decode_meta(pdf["payload"])
+            w, h = meta["width"], meta["height"]
+            landscape = w >= h
+            out_w = landscape * 224 + (~landscape) * (w * 224 // h)
+            out_h = landscape * (h * 224 // w) + (~landscape) * 224
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "out_w": out_w.astype("int64"),
+                    "out_h": out_h.astype("int64"),
+                }
+            )
+
+    schema = "doc_id long, width long, height long, out_w long, out_h long"
+    return blobs.mapInPandas(resize_plan, schema=schema)
