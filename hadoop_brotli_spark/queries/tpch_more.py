@@ -1,0 +1,279 @@
+"""Remaining classic TPC-H-shaped queries (Q4/Q7/Q8/Q9/Q19 analogs),
+adapted to the driver's star schema (FIXTURES.md §B — no partsupp /
+commitdate columns, synthetic NATION_* names).
+
+These fill the operator gaps the earlier q-numbers skipped: EXISTS
+with a correlated non-equi predicate (q04), dual-role dimension joins
+(nation joined twice, q07/q08), conditional market-share ratios (q08),
+computed-profit aggregation (q09), and a disjunctive multi-column
+join predicate (q19).
+
+The reference codec has none of this (SURVEY.md §2b — relational ops
+are absent from the 19-file census; capability inherited from the
+host framework). Spark-first: every join declares its small side with
+``F.broadcast``; facts shuffle once on the join key.
+
+Scale notes (100 TB): nation/region/supplier/part are broadcast at
+any realistic scale (part is the largest at ~2 GB for 100 TB TPC-H —
+still under the executor budget; if not, it degrades to one shuffle
+join that AQE plans). The only unavoidable shuffle is
+orders⋈lineitem; year-grouped outputs keep final aggregation tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import dsum, sql_dsum, t, ts
+
+# Exact-arithmetic note (_util docstring): all money columns carry two
+# decimal digits, so products with 1-/2-decimal factors stay exact at
+# DECIMAL scale 4-6 and hash-match DuckDB bit-for-bit.
+
+
+@register(
+    "q04_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-style: correlated EXISTS → left-semi join → agg.
+
+    The EXISTS carries a non-equi conjunct (l_shipdate > o_orderdate,
+    standing in for the reference schema's commitdate check). Spark
+    plans it as a left-semi hash join on l_orderkey with the
+    inequality as a post-join filter — one shuffle, and the semi join
+    stops probing an order after its first late lineitem.
+    """
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts("1996-01-01"))
+        & (F.col("o_orderdate") < ts("1997-01-01"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q07_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, CAST(YEAR(l.l_shipdate) AS BIGINT)
+    """,
+)
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-style volume shipping between two nations.
+
+    nation joins twice under different roles (supplier side vs
+    customer side) — aliased broadcasts keep both JVM-side. The
+    cross-nation disjunction runs after both dimension joins, as in
+    the spec; only orders⋈lineitem shuffles.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1996-01-01"))
+        & (F.col("l_shipdate") < ts("1998-01-01"))
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .withColumn("l_year", F.year("l_shipdate").cast("bigint"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q08_market_share",
+    oracle=f"""
+    SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+           {sql_dsum("CASE WHEN n2.n_name = 'NATION_3' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END", 4)}
+             / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS mkt_share
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN region r   ON n1.n_regionkey = r.r_regionkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    WHERE r.r_name = 'AMERICA' AND p.p_type = 'STANDARD'
+    GROUP BY CAST(YEAR(o.o_orderdate) AS BIGINT)
+    """,
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-style national market share: conditional-sum ratio.
+
+    Ratio of two exact decimal sums over identical rows — the same
+    IEEE division in both engines, so the hash matches without
+    rounding. Customer-side nation restricts the region; supplier-
+    side nation (second role) feeds the CASE numerator.
+    """
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_regionkey")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .groupBy("o_year")
+        .agg(
+            (
+                dsum(
+                    F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0)),
+                    4,
+                )
+                / dsum(volume, 4)
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q09_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount) - 0.5 * p.p_retailprice * l.l_quantity', 6)} AS profit
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%green%'
+    GROUP BY n.n_name, CAST(YEAR(o.o_orderdate) AS BIGINT)
+    """,
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-style product-type profit by supplier nation and year.
+
+    No partsupp table in this schema, so supply cost is modeled as
+    half the part's retail price (0.5 is exactly representable, so
+    the profit expression stays exact at DECIMAL scale 6 — see
+    _util's determinism note). part is filtered by name substring
+    before its broadcast.
+    """
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%green%"))
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    n = t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg(dsum(profit, 6).alias("profit"))
+    )
+
+
+@register(
+    "q19_discount_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#3'  AND l.l_quantity BETWEEN 1 AND 11
+           AND p.p_size BETWEEN 1 AND 5)
+       OR (p.p_brand = 'Brand#14' AND l.l_quantity BETWEEN 10 AND 20
+           AND p.p_size BETWEEN 1 AND 10)
+       OR (p.p_brand = 'Brand#21' AND l.l_quantity BETWEEN 20 AND 30
+           AND p.p_size BETWEEN 1 AND 15)
+    """,
+)
+def q19_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-style disjunctive join predicate → global agg.
+
+    The three-branch OR mixes columns from both sides, so it cannot
+    be fully pushed to either scan; Catalyst still derives the
+    residual single-side implications (brand IN (...) on part,
+    quantity range on lineitem) via constraint propagation, and the
+    equi-key p_partkey keeps this a hash join (never cartesian).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#3") & q.between(1, 11) & sz.between(1, 5))
+        | ((F.col("p_brand") == "Brand#14") & q.between(10, 20) & sz.between(1, 10))
+        | ((F.col("p_brand") == "Brand#21") & q.between(20, 30) & sz.between(1, 15))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

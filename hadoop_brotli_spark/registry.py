@@ -57,6 +57,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         relational,
         similarity,
         textstats,
+        tpch_more,
         windows,
     )
 
