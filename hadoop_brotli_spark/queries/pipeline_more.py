@@ -1,0 +1,238 @@
+"""Training-data-pipeline operators, batch 2: embedding bucket
+centroids (the k-means/IVF building block), int8 scalar quantization
+(the storage/ANN scale path), corpus term salience (TF-IDF-shaped
+ranking without engine-specific ``ln``), and deterministic stratified
+sampling.
+
+Like every relational op, these are absent from the reference codec
+(SURVEY.md §2b census) — they extend the engine along the
+BASELINE.json north star (LLM-data-pipeline surface).
+
+Numeric determinism (see _util/similarity docstrings): float arrays
+are cast to DOUBLE before math; centroid sums run over ROUND(x, 6)
+values in DECIMAL so partial-aggregation order cannot change the
+result; salience avoids ``ln`` entirely (libm results differ between
+engines) in favor of exact integer ratios.
+
+Scale notes (100 TB):
+- q75: one shuffle on (bucket, dim) — 2^8 buckets × 64 dims = 16k
+  groups regardless of corpus size; partial aggregation does the
+  heavy lifting map-side. This is exactly one k-means/IVF training
+  iteration, so the same plan shape iterates for codebook learning.
+- q76: purely per-row (no shuffle until the per-vector re-group,
+  which AQE coalesces); the int8 codes cut ANN candidate-scan bytes
+  4× vs float32 — the standard IVF-PQ-ish storage layout.
+- q77: explode → two-level agg; term keys are Zipf-skewed, but the
+  map-side partial agg absorbs hot terms before the shuffle. The
+  doc-count scalar joins via broadcast, never a driver collect.
+- q89: sampling is a pure hash of the key — no RNG, no
+  partition-layout dependence, reproducible across engines/runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import dsum, t
+from .similarity import _sql_sign_bucket, sign_bucket
+
+
+@register(
+    "q75_embedding_centroids",
+    oracle=f"""
+    WITH b AS (
+      SELECT {_sql_sign_bucket('embedding')} AS bucket,
+             CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT bucket, UNNEST(e) AS x,
+             CAST(generate_subscripts(e, 1) AS BIGINT) - 1 AS dim
+      FROM b
+    )
+    SELECT bucket, dim,
+           CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS centroid,
+           COUNT(*) AS n_vecs
+    FROM ex GROUP BY bucket, dim
+    """,
+)
+def q75_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LSH-bucket centroids: one k-means/IVF training iteration.
+
+    posexplode keeps the dim index JVM-side; the exact-decimal sum
+    over rounded elements makes the mean order-independent, so the
+    hash matches DuckDB regardless of partial-agg ordering.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        sign_bucket("embedding").alias("bucket"),
+        F.posexplode(F.col("embedding")).alias("dim", "x"),
+    )
+    return (
+        ex.groupBy("bucket", F.col("dim").cast("bigint").alias("dim"))
+        .agg(
+            (dsum(F.round(F.col("x").cast("double"), 6), 6) / F.count(F.lit(1))).alias(
+                "centroid"
+            ),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+@register(
+    "q76_embedding_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    st AS (
+      SELECT vec_id, e, list_min(e) AS mn,
+             (list_max(e) - list_min(e)) / 255.0 AS sc
+      FROM e
+    ),
+    ex AS (SELECT vec_id, mn, sc, UNNEST(e) AS x FROM st),
+    c AS (
+      SELECT vec_id, x, mn, sc,
+             CASE WHEN sc = 0 THEN 0
+                  ELSE LEAST(CAST(FLOOR((x - mn) / sc) AS BIGINT), 255)
+             END AS code
+      FROM ex
+    )
+    SELECT vec_id,
+           CAST(COUNT(DISTINCT code) AS BIGINT) AS n_levels,
+           ROUND(MAX(ABS(mn + (code + 0.5) * sc - x)), 6) AS max_abs_err
+    FROM c GROUP BY vec_id
+    """,
+)
+def q76_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of embeddings + reconstruction error.
+
+    Per-vector affine codes ``floor((x - min) / scale)`` clamped to
+    [0, 255], dequantized at bin centers. Every step is the same
+    IEEE-double expression in both engines, so even FLOOR edge cases
+    agree bit-for-bit. Constant vectors degrade to code 0 with zero
+    error (scale = 0 guard).
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    st = e.select(
+        "vec_id",
+        F.array_min("e").alias("mn"),
+        ((F.array_max("e") - F.array_min("e")) / F.lit(255.0)).alias("sc"),
+        F.explode("e").alias("x"),
+    )
+    code = (
+        F.when(F.col("sc") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.floor((F.col("x") - F.col("mn")) / F.col("sc")),
+                F.lit(255).cast("bigint"),
+            )
+        )
+        .alias("code")
+    )
+    c = st.select("vec_id", "x", "mn", "sc", code)
+    deq = F.col("mn") + (F.col("code").cast("double") + F.lit(0.5)) * F.col("sc")
+    return c.groupBy("vec_id").agg(
+        F.countDistinct("code").alias("n_levels"),
+        F.round(F.max(F.abs(deq - F.col("x"))), 6).alias("max_abs_err"),
+    )
+
+
+@register(
+    "q77_term_salience",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+    ),
+    f AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf
+      FROM toks WHERE term <> '' GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT term, df, cf,
+           CAST(cf * (n_docs + 1) AS DOUBLE) / CAST(df + 1 AS DOUBLE) AS salience
+    FROM f, n
+    ORDER BY salience DESC, term ASC
+    LIMIT 50
+    """,
+)
+def q77_term_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term salience: TF-IDF-shaped ranking of the top-50
+    terms, with the idf factor as an exact integer ratio
+    ``cf · (N+1) / (df+1)`` — no ``ln``, whose libm rounding differs
+    between engines and would break the value hash.
+
+    The corpus doc count joins as a broadcast scalar (never a
+    driver-side collect), keeping the whole plan distributed.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    f = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"), F.count(F.lit(1)).alias("cf")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        f.crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "df",
+            "cf",
+            (
+                (F.col("cf") * (F.col("n_docs") + 1)).cast("double")
+                / (F.col("df") + 1).cast("double")
+            ).alias("salience"),
+        )
+        .orderBy(F.col("salience").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "q89_stratified_sample",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang, n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+               % 100 AS bucket,
+             CASE WHEN lang IN ('es', 'zh') THEN 20 ELSE 50 END AS rate
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS sum_chars
+    FROM assigned WHERE bucket < rate GROUP BY lang
+    """,
+)
+def q89_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language rates applied
+    through a hash of the stable key (md5(doc_id) % 100 < rate).
+
+    Unlike ``df.sampleBy``, membership is a pure function of the key
+    — identical across runs, partitionings, and engines — which is
+    what training pipelines need for reproducible subsets and
+    incremental backfills.
+    """
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 7),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    rate = F.when(F.col("lang").isin("es", "zh"), 20).otherwise(50)
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

@@ -54,6 +54,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         dedup,
         events,
         multimodal,
+        pipeline_more,
         relational,
         similarity,
         textstats,
