@@ -2,6 +2,8 @@
 windows and custom stateful operators over the ``events`` stream."""
 
 from .jobs import (  # noqa: F401
+    click_purchase_join,
+    dedup_events,
     read_events_stream,
     session_aggregate,
     sliding_counts,

@@ -136,3 +136,58 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once deduplication by ``event_id``.
+
+    ``dropDuplicates`` keyed on the id with a watermark bounds the
+    dedup state: an id is remembered only until its event time falls
+    behind the watermark, so at 100 TB/day the state store holds one
+    compact key per id per delay window instead of growing forever.
+    This is the streaming twin of batch exact dedup (q60 family).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def click_purchase_join(
+    clicks: DataFrame, purchases: DataFrame, max_gap: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the same
+    user's clicks in the preceding ``max_gap``.
+
+    Both sides carry watermarks and the join predicate carries the
+    time bound — that pair is what lets Spark expire buffered rows
+    (otherwise a stream-stream join would hold both streams in state
+    forever). Equi-key: user_id; state is per-user rows within the
+    gap window.
+    """
+    c = clicks.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        c.withWatermark("click_ts", max_gap)
+        .join(
+            p.withWatermark("purchase_ts", max_gap),
+            F.expr(
+                "c_user = p_user AND "
+                f"click_ts BETWEEN purchase_ts - INTERVAL {max_gap} AND purchase_ts"
+            ),
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            "click_ts",
+            "purchase_ts",
+            "purchase_value",
+        )
+    )

@@ -197,3 +197,65 @@ def test_stream_bro_source(spark, sf_dir, tmp_path):
         r.value for r in spark.sql("SELECT value FROM bro_stream_t2").collect()
     )
     assert got_all == batch_all
+
+
+def test_streaming_dedup(spark, sf_dir, tmp_path):
+    """Duplicated input files → dropDuplicates-with-watermark keeps
+    exactly one row per event_id (== the batch distinct count)."""
+    import shutil
+    from hadoop_brotli_spark.streaming import dedup_events
+
+    src = f"{sf_dir}/events.parquet"
+    d = tmp_path / "dup_events"
+    d.mkdir()
+    shutil.copy(src, d / "events_a.parquet")
+    shutil.copy(src, d / "events_b.parquet")
+
+    stream = dedup_events(read_events_stream(spark, str(d))).select(
+        "event_id", "event_type"
+    )
+    run_to_completion(stream, "t_dedup", "append")
+    got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM t_dedup").first()
+    want = load_table(spark, sf_dir, "events").count()
+    assert got.n == want == got.d
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream time-interval join == the same join in batch."""
+    from hadoop_brotli_spark.streaming import click_purchase_join
+
+    stream = click_purchase_join(
+        read_events_stream(spark, sf_dir), read_events_stream(spark, sf_dir)
+    )
+    run_to_completion(stream, "t_ssj", "append")
+    got = rows(spark.sql("SELECT * FROM t_ssj"))
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    want = rows(
+        c.join(
+            p,
+            F.expr(
+                "c_user = p_user AND "
+                "click_ts BETWEEN purchase_ts - INTERVAL 1 HOUR AND purchase_ts"
+            ),
+        ).select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            "click_ts",
+            "purchase_ts",
+            "purchase_value",
+        )
+    )
+    assert len(got) > 0 and got == want
