@@ -236,3 +236,124 @@ def q89_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+@register(
+    "q67_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT)
+             AS n_norm_chars
+    FROM documents
+    """,
+)
+def q67_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase → strip non-alnum →
+    collapse whitespace) emitting the normalized-content hash that
+    exact dedup keys on.
+
+    Normalize-then-hash is the standard prelude to dedup at scale:
+    downstream shuffles carry the 32-byte hash, never the document
+    body, and formatting-only variants collapse to one key. Pure
+    codegen string expressions — no UDF in the hot path.
+    """
+    docs = t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("norm_hash"),
+        F.length(norm).cast("bigint").alias("n_norm_chars"),
+    )
+
+
+def _sql_split_bucket() -> str:
+    return (
+        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 10"
+    )
+
+
+@register(
+    "q68_split_contamination",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+      FROM docs, UNNEST(range(len(w) - 2)) AS u(i)
+    ),
+    assigned AS (
+      SELECT doc_id, {_sql_split_bucket()} AS bucket FROM documents
+    ),
+    train_sh AS (
+      SELECT DISTINCT md5(shingle) AS h
+      FROM sh JOIN assigned USING (doc_id) WHERE bucket < 8
+    ),
+    test_sh AS (
+      SELECT doc_id, md5(shingle) AS h
+      FROM sh JOIN assigned USING (doc_id) WHERE bucket = 9
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM test_sh GROUP BY doc_id),
+    contam AS (
+      SELECT doc_id, COUNT(*) AS n_contam
+      FROM test_sh WHERE h IN (SELECT h FROM train_sh) GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_shingles,
+           COALESCE(c.n_contam, 0) AS n_contam,
+           CAST(COALESCE(c.n_contam, 0) AS DOUBLE) / t.n_shingles
+             AS contamination
+    FROM totals t LEFT JOIN contam c USING (doc_id)
+    """,
+)
+def q68_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: fraction of each test doc's
+    3-word shingles that also occur anywhere in the train split.
+
+    The benchmark-leakage check every training pipeline needs before
+    shipping a split. Both sides of the membership join carry md5
+    shingle hashes (fixed 32-byte shuffle keys, never shingle text);
+    the train side is a distinct hash set, so the left-semi
+    membership probe is an equi-join on uniform keys — no skew, no
+    quadratic blowup, O(test shingles + train shingles) at any SF.
+    """
+    from .dedup import _shingle_df
+
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 7),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(10),
+    )
+    assigned = docs.select("doc_id", bucket.alias("bucket"))
+    sh = _shingle_df(spark, sf_dir, 3).select(
+        "doc_id", F.md5(F.col("shingle").cast("binary")).alias("h")
+    )
+    sh_b = sh.join(assigned, "doc_id")
+    train_sh = sh_b.filter(F.col("bucket") < 8).select("h").distinct()
+    test_sh = sh_b.filter(F.col("bucket") == 9).select("doc_id", "h")
+    totals = test_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    contam = (
+        test_sh.join(train_sh, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contam"))
+    )
+    return totals.join(contam, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_contam"), F.lit(0)).alias("n_contam"),
+        (
+            F.coalesce(F.col("n_contam"), F.lit(0)).cast("double")
+            / F.col("n_shingles")
+        ).alias("contamination"),
+    )
