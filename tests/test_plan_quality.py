@@ -89,3 +89,44 @@ def test_minhash_no_seed_explode(spark, sf_dir):
     # per-seed explode would add more.
     plan = plans.executed_plan(q(spark, sf_dir, "q62_dedup_minhash_lsh"))
     assert plan.count("Generate explode") <= 4
+
+
+def test_q04_plans_semi_join(spark, sf_dir):
+    # correlated EXISTS must become a left-semi hash/merge join
+    plan = plans.executed_plan(q(spark, sf_dir, "q04_order_priority"))
+    assert "LeftSemi" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q07_volume_shipping", "q08_market_share", "q09_product_profit"]
+)
+def test_tpch_star_joins_single_shuffle_edge(spark, sf_dir, name):
+    # all dimensions broadcast; the only shuffled join edge is
+    # orders⋈lineitem
+    plan = plans.executed_plan(q(spark, sf_dir, name))
+    assert "BroadcastHashJoin" in plan
+    shuffled = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert shuffled <= 1, plan
+
+
+def test_q19_disjunctive_stays_hash_join(spark, sf_dir):
+    # the mixed-side OR predicate must not degrade the equi-join
+    plan = plans.executed_plan(q(spark, sf_dir, "q19_discount_revenue"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q75_centroids_single_shuffle(spark, sf_dir):
+    # explode → partial agg → one exchange on (bucket, dim) → final
+    assert plans.exchange_count(q(spark, sf_dir, "q75_embedding_centroids")) <= 1
+
+
+def test_q77_scalar_is_broadcast_not_cartesian(spark, sf_dir):
+    plan = plans.executed_plan(q(spark, sf_dir, "q77_term_salience"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q68_contamination_semi_join_on_hashes(spark, sf_dir):
+    plan = plans.executed_plan(q(spark, sf_dir, "q68_split_contamination"))
+    assert "LeftSemi" in plan
