@@ -85,3 +85,15 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     formats.write_orc(ev, out)
     back = formats.read_orc(spark, out).select(*ev.columns)
     assert _sorted_rows(back, "event_id") == _sorted_rows(ev, "event_id")
+
+
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    # timestamps go through the shared TIMESTAMP_FMT; re-read with an
+    # explicit schema (inference would widen longs)
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_xml")
+    formats.write_xml(docs, out, row_tag="doc")
+    back = formats.read_xml(spark, out, row_tag="doc", schema=docs.schema).select(
+        *docs.columns
+    )
+    assert _sorted_rows(back, "doc_id") == _sorted_rows(docs, "doc_id")
