@@ -163,3 +163,32 @@ def write_xml(
         .option("timestampFormat", TIMESTAMP_FMT)
         .save(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: int = 512,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    roughly ``target_file_mb`` each. Returns the partition count.
+
+    The 100 TB operational chore: streaming/incremental sinks emit
+    thousands of small files whose per-file open/footer cost dominates
+    scans. Sizing uses the dataset's on-disk bytes (driver-side file
+    listing only — no data collect); an optional sortWithinPartitions
+    restores clustering so min/max row-group stats stay selective.
+    """
+    import math
+
+    path = spark._jvm.org.apache.hadoop.fs.Path(src)  # type: ignore[union-attr]
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+    size_bytes = fs.getContentSummary(path).getLength()
+    n = max(1, math.ceil(size_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src).repartition(n)
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+    df.write.mode("overwrite").parquet(dst)
+    return n

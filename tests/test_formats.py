@@ -97,3 +97,19 @@ def test_xml_roundtrip(spark, sf_dir, tmp_path):
         *docs.columns
     )
     assert _sorted_rows(back, "doc_id") == _sorted_rows(docs, "doc_id")
+
+
+def test_compact_parquet(spark, sf_dir, tmp_path):
+    # explode a table into many tiny files, compact back to few
+    li = load_table(spark, sf_dir, "lineitem")
+    many = str(tmp_path / "many")
+    li.repartition(64).write.parquet(many)
+    compacted = str(tmp_path / "compacted")
+    n = formats.compact_parquet(spark, many, compacted, target_file_mb=512,
+                                sort_within_by=["l_orderkey"])
+    assert n == 1  # tiny dataset → single right-sized file
+    import glob
+    files = glob.glob(f"{compacted}/*.parquet")
+    assert len(files) == n
+    back = spark.read.parquet(compacted)
+    assert back.count() == li.count()
