@@ -275,3 +275,39 @@ def q56_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value")).alias("sum_value"),
     )
+
+
+@register(
+    "q69_time_rollup",
+    oracle=f"""
+    SELECT CAST(DATE_TRUNC('month', ts) AS TIMESTAMP) AS month_start,
+           CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day_start,
+           DATE_TRUNC('hour', ts) AS hour_start,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY ROLLUP (CAST(DATE_TRUNC('month', ts) AS TIMESTAMP),
+                     CAST(DATE_TRUNC('day', ts) AS TIMESTAMP),
+                     DATE_TRUNC('hour', ts))
+    """,
+)
+def q69_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: one pass produces
+    hourly, daily, monthly, and grand-total aggregates via
+    ROLLUP over nested date_trunc levels.
+
+    The timeseries-store "continuous aggregate" pattern expressed as
+    a single Catalyst plan: Expand + one hash aggregation — coarser
+    granularities come from the same shuffle, not separate scans. At
+    100 TB the Expand factor (4 rows per input row) is absorbed by
+    map-side partial aggregation into at most hours×types groups.
+    """
+    ev = t(spark, sf_dir, "events")
+    return ev.rollup(
+        F.date_trunc("month", "ts").alias("month_start"),
+        F.date_trunc("day", "ts").alias("day_start"),
+        F.date_trunc("hour", "ts").alias("hour_start"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
