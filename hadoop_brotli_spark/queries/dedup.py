@@ -42,15 +42,20 @@ def _shingles(k: int) -> Column:
     )
 
 
-def _shingle_df(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+def _shingle_df(
+    spark: SparkSession, sf_dir: str, k: int, distinct: bool = True
+) -> DataFrame:
+    """Exploded k-word shingles. ``distinct=True`` (the set view)
+    costs a shuffle — pass False for consumers whose aggregate is
+    duplicate-insensitive (MIN for minhash signatures), which keeps
+    the shingle stream entirely map-side."""
     docs = (
         t(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("w"))
         .filter(F.size("w") >= k)
     )
-    return docs.select(
-        "doc_id", F.explode(_shingles(k)).alias("shingle")
-    ).distinct()
+    sh = docs.select("doc_id", F.explode(_shingles(k)).alias("shingle"))
+    return sh.distinct() if distinct else sh
 
 
 def _sql_shingles(k: int) -> str:
@@ -229,7 +234,10 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures plus a self-join on band keys (uniform hash values →
     no skew), never O(docs²).
     """
-    sh = _shingle_df(spark, sf_dir, 3)
+    # MIN is duplicate-insensitive, so the signature agg consumes the
+    # raw (non-distinct) shingle stream: no pre-shuffle of shingles,
+    # the only wide exchange is the groupBy(doc_id) itself.
+    sh = _shingle_df(spark, sf_dir, 3, distinct=False)
     hashed = (
         sh.select(
             "doc_id",
