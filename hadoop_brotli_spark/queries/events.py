@@ -311,3 +311,31 @@ def q69_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value")).alias("sum_value"),
     )
+
+
+@register(
+    "q78_map_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def q78_map_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON ``props`` into
+    ``map<string,bigint>`` and apply map functions (size, sorted
+    keys, value lookup) — all Catalyst expressions.
+
+    ``from_json`` to a typed map is the scalable JSON path: one parse
+    per row in codegen, columns pruned at the scan, no Python.
+    """
+    ev = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.size(m).cast("bigint").alias("n_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_csv"),
+        m.getItem("k").alias("k_value"),
+    )

@@ -357,3 +357,41 @@ def q68_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_shingles")
         ).alias("contamination"),
     )
+
+
+@register(
+    "q79_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT UNNEST(string_split(text, ' ')) AS term FROM documents
+    ),
+    f AS (
+      SELECT term, COUNT(*) AS cf FROM toks WHERE term <> '' GROUP BY term
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks WHERE term <> '')
+    SELECT term, cf, CAST(cf AS DOUBLE) / n AS support
+    FROM f, tot
+    WHERE cf * 200 > n
+    """,
+)
+def q79_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: tokens with corpus support above 0.5%.
+
+    The threshold compare is integer (``cf · 200 > n``) so no float
+    enters the predicate. At 100 TB the same shape runs with a
+    count-min/space-saving sketch as the pre-filter and this exact
+    count as the verification pass over the (tiny) candidate set.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    f = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        f.crossJoin(F.broadcast(tot))
+        .filter(F.col("cf") * 200 > F.col("n"))
+        .select(
+            "term", "cf", (F.col("cf").cast("double") / F.col("n")).alias("support")
+        )
+    )
