@@ -59,6 +59,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         similarity,
         textstats,
         tpch_more,
+        udf_surface,
         windows,
     )
 
