@@ -130,3 +130,15 @@ def test_q77_scalar_is_broadcast_not_cartesian(spark, sf_dir):
 def test_q68_contamination_semi_join_on_hashes(spark, sf_dir):
     plan = plans.executed_plan(q(spark, sf_dir, "q68_split_contamination"))
     assert "LeftSemi" in plan
+
+
+def test_no_cartesian_product_anywhere(spark, sf_dir):
+    """Blanket guard: no registered query may plan a CartesianProduct
+    — even the deliberate cross joins must broadcast their small side
+    (BroadcastNestedLoopJoin), never shuffle-pair full partitions."""
+    bad = []
+    for name, spec in sorted(SPECS.items()):
+        plan = plans.executed_plan(spec.fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            bad.append(name)
+    assert not bad, bad
