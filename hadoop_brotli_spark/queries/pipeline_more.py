@@ -395,3 +395,45 @@ def q79_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term", "cf", (F.col("cf").cast("double") / F.col("n")).alias("support")
         )
     )
+
+
+@register(
+    "q96_repetition_score",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+      FROM docs, UNNEST(range(len(w) - 2)) AS u(i)
+    ),
+    cnt AS (
+      SELECT doc_id, shingle, COUNT(*) AS c FROM sh GROUP BY doc_id, shingle
+    )
+    SELECT doc_id,
+           SUM(c) AS n_shingles,
+           MAX(c) AS max_repeat,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS repetition
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def q96_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-text detector: fraction of a document's 3-gram
+    stream owned by its single most-repeated 3-gram.
+
+    Looping/boilerplate generations score near 1; natural text stays
+    low — a standard pre-training quality filter. Both aggregation
+    levels group by doc_id, so after the first shuffle the second is
+    partition-local (no re-exchange); counts are integers, the final
+    ratio one identical IEEE division.
+    """
+    from .dedup import _shingle_df
+
+    sh = _shingle_df(spark, sf_dir, 3, distinct=False)
+    cnt = sh.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_shingles"),
+        F.max("c").alias("max_repeat"),
+        (F.max("c").cast("double") / F.sum("c")).alias("repetition"),
+    )
