@@ -155,3 +155,41 @@ def _decode_files(
                 yield pd.DataFrame({"value": lines, "path": fpath})
 
     return files.mapInPandas(decode, schema="value string, path string")
+
+
+def read_bro_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    sep: str = ",",
+    header: bool = False,
+    options: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Typed CSV over ``.bro``: decompress lines, parse with the
+    codegen ``from_csv`` expression into the given DDL ``schema``.
+
+    This is the reference's deployment pattern — a Hadoop job reading
+    codec-compressed delimited text — as one declarative plan: the
+    decode UDF feeds Catalyst expressions, no second pass. With
+    ``header=True`` the per-file header line (matching the schema's
+    column names) is dropped.
+    """
+    lines = read_bro_text(spark, path, options)
+    if header:
+        names = [f.split()[0] for f in schema.split(",")]
+        lines = lines.filter(F.col("value") != sep.join(n.strip() for n in names))
+    return lines.select(
+        F.from_csv("value", schema, {"sep": sep}).alias("r")
+    ).select("r.*")
+
+
+def read_bro_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    options: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Typed JSONL over ``.bro``: decompress lines, ``from_json``
+    each into the given DDL ``schema``."""
+    lines = read_bro_text(spark, path, options)
+    return lines.select(F.from_json("value", schema).alias("r")).select("r.*")

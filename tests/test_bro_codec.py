@@ -141,3 +141,47 @@ def test_spark_roundtrip_real_table(spark, sf_dir, tmp_path):
 
 
 from pyspark.sql.functions import col as F_col, lit as F_lit  # noqa: E402
+
+
+def test_bro_csv_typed_roundtrip(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hadoop_brotli_spark.catalog import load_table
+    from hadoop_brotli_spark.sources.bro_spark import (
+        read_bro_csv,
+        write_bro_text,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    n_ref = nation.count()
+    csv_lines = nation.select(
+        F.concat_ws(",", "n_nationkey", "n_name", "n_regionkey").alias("value")
+    )
+    out = str(tmp_path / "nation_bro_csv")
+    write_bro_text(csv_lines, out)
+    back = read_bro_csv(
+        spark, out, "n_nationkey int, n_name string, n_regionkey int"
+    )
+    assert back.count() == n_ref
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in nation.collect()
+    )
+
+
+def test_bro_jsonl_typed_roundtrip(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hadoop_brotli_spark.catalog import load_table
+    from hadoop_brotli_spark.sources.bro_spark import (
+        read_bro_jsonl,
+        write_bro_text,
+    )
+
+    region = load_table(spark, sf_dir, "region")
+    json_lines = region.select(F.to_json(F.struct("r_regionkey", "r_name")).alias("value"))
+    out = str(tmp_path / "region_bro_jsonl")
+    write_bro_text(json_lines, out)
+    back = read_bro_jsonl(spark, out, "r_regionkey int, r_name string")
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in region.collect()
+    )
