@@ -8,5 +8,6 @@ from .jobs import (  # noqa: F401
     session_aggregate,
     sliding_counts,
     stateful_user_counts,
+    stateful_user_counts_tws,
     tumbling_counts,
 )

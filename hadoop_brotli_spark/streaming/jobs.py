@@ -191,3 +191,64 @@ def click_purchase_join(
             "purchase_value",
         )
     )
+
+
+def stateful_user_counts_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, total) on the Spark 4
+    ``transformWithStateInPandas`` API — the arbitrary-state
+    successor to ``applyInPandasWithState`` with typed state
+    primitives (ValueState here; List/MapState for bigger shapes)
+    and explicit timer support for key expiry.
+
+    Same integer-cents exactness contract as the
+    ``applyInPandasWithState`` twin above.
+
+    Requires protobuf at runtime (the TWS state server speaks proto);
+    environments without it should use the ``applyInPandasWithState``
+    twin — the validation test skips accordingly.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    output_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total_cents", LongType())]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(round(float(pdf["value"].sum()) * 100))
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [cents / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=output_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

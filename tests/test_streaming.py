@@ -259,3 +259,60 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         )
     )
     assert len(got) > 0 and got == want
+
+
+def test_stateful_user_counts_transform_with_state(spark, sf_dir):
+    """transformWithStateInPandas twin agrees with the batch
+    aggregate (same final per-user state as the
+    applyInPandasWithState operator)."""
+    # the TWS runtime ships state protos over protobuf, absent here
+    pytest.importorskip("google.protobuf.descriptor")
+    from hadoop_brotli_spark.streaming import stateful_user_counts_tws
+
+    stream = stateful_user_counts_tws(read_events_stream(spark, sf_dir))
+    run_to_completion(stream, "t_tws", "update")
+    got = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rk
+          FROM t_tws
+        ) WHERE rk = 1
+        """
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col("value").cast("decimal(18,2)")).cast("double")).alias(
+                "total_value"
+            ),
+        )
+    )
+    assert rows(got.select("user_id", "n_events", "total_value")) == rows(batch)
+
+
+def test_streaming_parquet_sink_checkpointed(spark, sf_dir, tmp_path):
+    """File-sink exactly-once: tumbling counts stream into parquet
+    with a checkpoint; the committed files equal the batch result."""
+    stream = tumbling_counts(read_events_stream(spark, sf_dir), watermark="0 seconds")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    want = SPECS["q54_tumbling_window"].fn(spark, sf_dir)
+    # append mode only emits windows closed by the watermark; with the
+    # finite fixture every window except the last is closed
+    assert rows(got) == rows(
+        want.filter(F.col("window_start") < F.lit("2024-01-30 23:00:00").cast("timestamp"))
+    )
