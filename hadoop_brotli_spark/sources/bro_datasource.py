@@ -1,0 +1,177 @@
+"""``.bro`` as a first-class Spark data source:
+``spark.read.format("bro")`` / ``df.write.format("bro")`` via the
+PySpark 4 Python DataSource API.
+
+This is the closest Spark-native analog of the reference's codec SPI
+registration (`BroCodec` listed in ``io.compression.codecs`` +
+extension dispatch, `BroCodec.java:56-59`): after one
+``spark.dataSource.register(BroDataSource)`` call, any reader in the
+session opens ``.bro`` files by format name with the same
+``bro.quality`` / ``bro.buffer-size`` options the reference exposes
+through Hadoop conf.
+
+Reference-semantics notes:
+- extension dispatch: only ``*.bro`` files are listed (§2a #4)
+- non-splittable: one file ⇒ one InputPartition ⇒ one task (§4) —
+  the planner sees the real per-file parallelism, exactly like the
+  reference's one-map-task-per-file deployment
+- streaming bounded-memory decode/encode inside each task
+- the writer emits one file per task and commits via task messages
+  (atomic rename publish), so failed tasks never leave partial files
+  visible
+
+Scale notes (100 TB): parallelism = file count; the writer inherits
+upstream partitioning (``df.repartition(n)`` sizes the files). File
+listing happens once on the driver — a glob over the directory, the
+same metadata cost every file source pays.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+from .bro_codec import (
+    BRO_EXTENSION,
+    BroConfig,
+    compress_stream,
+    decompress_stream,
+)
+
+
+class BroFilePartition(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+class BroCommit(WriterCommitMessage):
+    def __init__(self, tmp: str, final: str) -> None:
+        self.tmp = tmp
+        self.final = final
+
+
+def _list_bro_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, f"*{BRO_EXTENSION}")))
+    if path.endswith(BRO_EXTENSION) and os.path.exists(path):
+        return [path]
+    return sorted(p for p in glob.glob(path) if p.endswith(BRO_EXTENSION))
+
+
+class BroReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("bro source requires a path")
+        self.config = BroConfig.from_options(dict(options))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # non-splittable codec: one file = one partition = one task
+        return [BroFilePartition(p) for p in _list_bro_files(self.path)]
+
+    def read(self, partition: BroFilePartition) -> Iterator[tuple]:
+        config = self.config
+        path = partition.path
+
+        def chunks() -> Iterator[bytes]:
+            with open(path, "rb") as f:
+                while True:
+                    b = f.read(config.buffer_size)
+                    if not b:
+                        return
+                    yield b
+
+        tail = b""
+        for block in decompress_stream(chunks(), config):
+            buf = tail + block
+            lines = buf.split(b"\n")
+            tail = lines.pop()
+            for line in lines:
+                yield (line.decode("utf-8"), path)
+        if tail:
+            yield (tail.decode("utf-8"), path)
+
+
+class BroWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("bro sink requires a path")
+        self.config = BroConfig.from_options(dict(options))
+        self.overwrite = overwrite
+
+    def write(self, rows: Iterator) -> BroCommit:
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        os.makedirs(self.path, exist_ok=True)
+        final = os.path.join(self.path, f"part-{pid:05d}{BRO_EXTENSION}")
+        tmp = f"{final}.{uuid.uuid4().hex}.tmp"
+
+        def line_chunks() -> Iterator[bytes]:
+            batch: list[str] = []
+            size = 0
+            for row in rows:
+                v = row[0]
+                batch.append("" if v is None else str(v))
+                size += len(batch[-1]) + 1
+                if size >= self.config.buffer_size:
+                    yield ("\n".join(batch) + "\n").encode("utf-8")
+                    batch, size = [], 0
+            if batch:
+                yield ("\n".join(batch) + "\n").encode("utf-8")
+
+        with open(tmp, "wb") as f:
+            for block in compress_stream(line_chunks(), self.config):
+                f.write(block)
+        return BroCommit(tmp=tmp, final=final)
+
+    def commit(self, messages: list[BroCommit]) -> None:
+        # publish atomically only on job success (rename per task file)
+        for m in messages:
+            if m is not None:
+                os.replace(m.tmp, m.final)
+
+    def abort(self, messages: list[BroCommit]) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp):
+                os.remove(m.tmp)
+
+
+class BroDataSource(DataSource):
+    """``format("bro")``: newline-delimited text in ``.bro`` files.
+
+    Schema is fixed at ``value string, path string`` on read (the
+    reference codec is schema-free byte streams; lines + provenance
+    is the text-source view). On write, the first column is the line.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "bro"
+
+    def schema(self) -> str:
+        return "value string, path string"
+
+    def reader(self, schema) -> BroReader:
+        return BroReader(dict(self.options))
+
+    def writer(self, schema, overwrite: bool) -> BroWriter:
+        return BroWriter(dict(self.options), overwrite)
+
+
+def register_bro_source(spark) -> None:
+    """One-call SPI registration (the ``io.compression.codecs`` analog)."""
+    spark.dataSource.register(BroDataSource)

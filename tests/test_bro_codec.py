@@ -185,3 +185,33 @@ def test_bro_jsonl_typed_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in region.collect()
     )
+
+
+def test_bro_python_datasource_roundtrip(spark, sf_dir, tmp_path):
+    """spark.read.format('bro') / write.format('bro'): registered
+    Python data source round-trips lines with quality options, one
+    file per partition, one partition per file on read."""
+    from pyspark.sql import functions as F
+
+    from hadoop_brotli_spark.catalog import load_table
+    from hadoop_brotli_spark.sources.bro_datasource import register_bro_source
+
+    register_bro_source(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat_ws("\t", "doc_id", "text").alias("value")
+    )
+    out = str(tmp_path / "ds_bro")
+    docs.repartition(3).write.format("bro").option("bro.quality", "5").mode(
+        "append"
+    ).save(out)
+    import glob
+
+    files = glob.glob(f"{out}/*.bro")
+    assert len(files) == 3
+    back = spark.read.format("bro").load(out)
+    assert back.columns == ["value", "path"]
+    # non-splittable: one partition per file
+    assert back.rdd.getNumPartitions() == 3
+    assert sorted(r.value for r in back.collect()) == sorted(
+        r.value for r in docs.collect()
+    )
