@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -150,6 +151,52 @@ class BroWriter(DataSourceWriter):
                 os.remove(m.tmp)
 
 
+class BroStreamReader(SimpleDataSourceStreamReader):
+    """Streaming ``format("bro")``: new ``.bro`` files are the
+    micro-batch unit; offsets are the set of files already committed,
+    so replays between two offsets are deterministic (exactly-once
+    with a checkpointed sink).
+
+    Scale note: the offset carries the processed-file list — fine for
+    demo/ingest dirs; a production source would watermark on
+    (mtime, name) to keep offsets O(1). Discovery order is sorted, so
+    restarts are stable.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("bro stream source requires a path")
+        self.config = BroConfig.from_options(dict(options))
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def _rows(self, files: list[str]) -> list[tuple]:
+        # materialized (not a generator): the simple-reader protocol
+        # pickles prefetched rows into the micro-batch plan
+        out: list[tuple] = []
+        for path in files:
+            part = BroFilePartition(path)
+            reader = BroReader({"path": path})
+            reader.config = self.config
+            out.extend(reader.read(part))
+        return out
+
+    def read(self, start: dict) -> tuple:
+        seen = set(start["files"])
+        new = [f for f in _list_bro_files(self.path) if f not in seen]
+        end = {"files": sorted(seen | set(new))}
+        return iter(self._rows(new)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        new = sorted(set(end["files"]) - set(start["files"]))
+        return iter(self._rows(new))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class BroDataSource(DataSource):
     """``format("bro")``: newline-delimited text in ``.bro`` files.
 
@@ -170,6 +217,9 @@ class BroDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> BroWriter:
         return BroWriter(dict(self.options), overwrite)
+
+    def simpleStreamReader(self, schema) -> BroStreamReader:
+        return BroStreamReader(dict(self.options))
 
 
 def register_bro_source(spark) -> None:

@@ -215,3 +215,46 @@ def test_bro_python_datasource_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(r.value for r in back.collect()) == sorted(
         r.value for r in docs.collect()
     )
+
+
+def test_bro_datasource_streaming(spark, sf_dir, tmp_path):
+    """Streaming format('bro'): files present at start are one batch;
+    a file landing later is picked up as a new batch."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from hadoop_brotli_spark.catalog import load_table
+    from hadoop_brotli_spark.sources.bro_codec import BroConfig, compress_stream
+    from hadoop_brotli_spark.sources.bro_datasource import register_bro_source
+
+    register_bro_source(spark)
+    out = str(tmp_path / "stream_bro")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("value")
+    )
+    nation.repartition(2).write.format("bro").mode("append").save(out)
+
+    stream = spark.readStream.format("bro").load(out)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ds_bro")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("SELECT COUNT(*) c FROM t_ds_bro").first().c
+        assert n1 == nation.count()
+        # late-arriving file → next micro-batch
+        cfg = BroConfig.from_options(None)
+        with open(f"{out}/late-00000.bro", "wb") as f:
+            for block in compress_stream(iter([b"extra_row\n"]), cfg):
+                f.write(block)
+        q.processAllAvailable()
+        n2 = spark.sql("SELECT COUNT(*) c FROM t_ds_bro").first().c
+        assert n2 == n1 + 1
+    finally:
+        q.stop()
+    assert len(glob.glob(f"{out}/*.bro")) == 3
