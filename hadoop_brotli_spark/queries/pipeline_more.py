@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import dsum, t
+from ._util import dsum, t, ts
 from .similarity import _sql_sign_bucket, sign_bucket
 
 
@@ -436,4 +436,47 @@ def q96_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_shingles"),
         F.max("c").alias("max_repeat"),
         (F.max("c").cast("double") / F.sum("c")).alias("repetition"),
+    )
+
+
+@register(
+    "q97_incremental_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q97_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a base rollup (shipdate <
+    cutoff) merged with a delta rollup (shipdate >= cutoff) must
+    equal the full recompute — which is exactly what the oracle
+    checks.
+
+    This is the materialized-view refresh pattern for daily ETL at
+    100 TB: only the delta partition is scanned per refresh, and the
+    merge is a re-aggregation of partial aggregates. Decimal-exact
+    sums are what make the merge bit-identical to a cold recompute
+    (IEEE double partials would drift with grouping order).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    cutoff = ts("1997-01-01")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("p_qty"),
+            F.count(F.lit(1)).alias("p_n"),
+        )
+
+    base = partial(li.filter(F.col("l_shipdate") < cutoff))
+    delta = partial(li.filter(F.col("l_shipdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("p_qty").cast("double").alias("sum_qty"),
+            F.sum("p_n").alias("n_rows"),
+        )
     )

@@ -142,3 +142,44 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
         if "CartesianProduct" in plan:
             bad.append(name)
     assert not bad, bad
+
+
+def test_runtime_bloom_filter_join_available(spark, sf_dir):
+    """At 100 TB, runtime bloom filters prune the fact side of a
+    selective fact-fact join before the shuffle. The thresholds are
+    sized for real clusters; lowering them here proves the engine
+    path works end-to-end in this Spark build."""
+    from pyspark.sql import functions as F
+
+    from hadoop_brotli_spark.catalog import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloomfilter" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
