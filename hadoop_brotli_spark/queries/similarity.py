@@ -269,3 +269,49 @@ def q73_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nrm"), 6).alias("min_norm"),
         F.round(F.max("nrm"), 6).alias("max_norm"),
     )
+
+
+@register("q98_ann_recall", oracle=None)
+def q98_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall of the LSH-bucketed search
+    against exact brute-force top-k, per query vector and overall.
+
+    Rows-only (no SQL oracle — it compares two of this engine's own
+    pipelines, which is the point: in-engine evaluation tooling for
+    tuning bucket bits / probe counts before a 100 TB rollout).
+    Exact side reuses q70; approximate side scores only same-bucket
+    candidates, mirroring q71's candidate generation.
+    """
+    from pyspark.sql import Window as W
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", sign_bucket("embedding").alias("bucket")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qb"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        F.col("bucket").alias("cb"),
+    )
+    cosine = F.round(dot_double("qe", "ce") / (norm_double("qe") * norm_double("ce")), 6)
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", "qb", "cb", cosine.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    exact10 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    # hit = the exact neighbor would have been generated by the LSH
+    # bucket probe (same sign bucket as the query)
+    return exact10.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.when(F.col("qb") == F.col("cb"), 1).otherwise(0)).alias("n_hits"),
+        (
+            F.sum(F.when(F.col("qb") == F.col("cb"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("recall_at_10"),
+    )
