@@ -277,3 +277,41 @@ def q19_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@register(
+    "q99_nullsafe_join",
+    oracle="""
+    WITH a AS (
+      SELECT NULLIF(o_orderstatus, 'O') AS status_a, COUNT(*) AS n_orders
+      FROM orders GROUP BY NULLIF(o_orderstatus, 'O')
+    ),
+    b AS (
+      SELECT NULLIF(l_linestatus, 'O') AS status_b, COUNT(*) AS n_lines
+      FROM lineitem GROUP BY NULLIF(l_linestatus, 'O')
+    )
+    SELECT a.status_a, a.n_orders, b.status_b, b.n_lines
+    FROM a FULL JOIN b ON a.status_a IS NOT DISTINCT FROM b.status_b
+    """,
+)
+def q99_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM) under
+    a full outer join: NULL keys pair with NULL keys instead of
+    dropping out — the semantics ETL needs when the join key itself
+    is nullable (here NULLIF-derived status codes).
+    """
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    a = (
+        o.select(F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_a"))
+        .groupBy("status_a")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    b = (
+        li.select(F.nullif(F.col("l_linestatus"), F.lit("O")).alias("status_b"))
+        .groupBy("status_b")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    return a.join(b, F.col("status_a").eqNullSafe(F.col("status_b")), "full").select(
+        "status_a", "n_orders", "status_b", "n_lines"
+    )
