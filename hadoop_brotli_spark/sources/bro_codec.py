@@ -146,8 +146,26 @@ def _decompressor():
     return _BrotliDecompressor() if HAS_BROTLI else _ZlibDecompressor()
 
 
+@dataclass
+class CodecStats:
+    """Real byte accounting. The reference declares this surface but
+    stubs it to 0 (BroCompressor.getBytesRead/getBytesWritten,
+    BroCompressor.java:83-91) — we implement it properly: Hadoop
+    semantics, bytes_read = bytes fed in, bytes_written = bytes
+    emitted by this transform."""
+
+    bytes_read: int = 0
+    bytes_written: int = 0
+
+    @property
+    def ratio(self) -> float:
+        return self.bytes_written / self.bytes_read if self.bytes_read else 0.0
+
+
 def compress_stream(
-    chunks: Iterable[bytes], config: BroConfig | None = None
+    chunks: Iterable[bytes],
+    config: BroConfig | None = None,
+    stats: CodecStats | None = None,
 ) -> Iterator[bytes]:
     """Streaming compress: bounded memory, one block in flight —
     the generator twin of the reference's ring-buffer block pipeline
@@ -156,16 +174,24 @@ def compress_stream(
     comp = _compressor(config.quality)
     for chunk in chunks:
         if chunk:
+            if stats is not None:
+                stats.bytes_read += len(chunk)
             out = comp.compress(bytes(chunk))
             if out:
+                if stats is not None:
+                    stats.bytes_written += len(out)
                 yield out
     tail = comp.finish()
     if tail:
+        if stats is not None:
+            stats.bytes_written += len(tail)
         yield tail
 
 
 def decompress_stream(
-    chunks: Iterable[bytes], config: BroConfig | None = None
+    chunks: Iterable[bytes],
+    config: BroConfig | None = None,
+    stats: CodecStats | None = None,
 ) -> Iterator[bytes]:
     """Streaming decompress with corruption detection — the pull-loop
     twin of BroDecompressorStream.decompress
@@ -173,11 +199,17 @@ def decompress_stream(
     dec = _decompressor()
     for chunk in chunks:
         if chunk:
+            if stats is not None:
+                stats.bytes_read += len(chunk)
             out = dec.decompress(bytes(chunk))
             if out:
+                if stats is not None:
+                    stats.bytes_written += len(out)
                 yield out
     tail = dec.finish()
     if tail:
+        if stats is not None:
+            stats.bytes_written += len(tail)
         yield tail
 
 

@@ -258,3 +258,26 @@ def test_bro_datasource_streaming(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert len(glob.glob(f"{out}/*.bro")) == 3
+
+
+def test_codec_stats_real_counters():
+    """The reference stubs getBytesRead/getBytesWritten to 0
+    (BroCompressor.java:83-91); our counters must be real and
+    symmetric across the round trip."""
+    from hadoop_brotli_spark.sources.bro_codec import (
+        CodecStats,
+        compress_stream,
+        decompress_stream,
+    )
+
+    payload = (b"engine " * 5000, b"stats " * 3000)
+    c_stats, d_stats = CodecStats(), CodecStats()
+    compressed = b"".join(compress_stream(iter(payload), stats=c_stats))
+    raw = b"".join(decompress_stream(iter([compressed]), stats=d_stats))
+    n_raw = sum(len(p) for p in payload)
+    assert raw == b"".join(payload)
+    assert c_stats.bytes_read == n_raw
+    assert c_stats.bytes_written == len(compressed) > 0
+    assert d_stats.bytes_read == len(compressed)
+    assert d_stats.bytes_written == n_raw
+    assert 0 < c_stats.ratio < 1  # compressible payload
