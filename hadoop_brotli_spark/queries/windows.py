@@ -198,3 +198,38 @@ def q45_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "q100_forward_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    """,
+)
+def q100_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward): every event
+    carries the user's most recent purchase value, via
+    ``last(..., ignorenulls=True)`` over a running frame.
+
+    The standard sparse→dense gap-filling operator for feature
+    pipelines. Partitioned by user with a total order (ts, event_id)
+    so the fill is deterministic; one shuffle, sort within partition.
+    """
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    purchase_value = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.last(purchase_value, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
