@@ -480,3 +480,36 @@ def q97_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p_n").alias("n_rows"),
         )
     )
+
+
+@register(
+    "q101_pivot_multi_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS O_qty,
+           COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O_n,
+           CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS F_qty,
+           COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F_n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q101_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native pivot with MULTIPLE aggregates per cell: each pivot
+    value (linestatus) produces a sum and a count column, named by
+    Spark's ``<value>_<agg alias>`` convention.
+
+    Explicit pivot values skip the extra distinct-values job Spark
+    otherwise runs before planning — the required form at scale.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            dsum(F.col("l_quantity")).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
