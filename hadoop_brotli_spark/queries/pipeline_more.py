@@ -513,3 +513,39 @@ def q101_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "q102_bag_set_ops",
+    oracle="""
+    WITH a AS (SELECT l_returnflag AS flag FROM lineitem WHERE l_quantity >= 25),
+    b AS (SELECT l_returnflag AS flag FROM lineitem WHERE l_discount >= 0.05),
+    i AS (SELECT flag FROM a INTERSECT ALL SELECT flag FROM b),
+    e AS (SELECT flag FROM a EXCEPT ALL SELECT flag FROM b)
+    SELECT 'intersect_all' AS op, flag, COUNT(*) AS n FROM i GROUP BY flag
+    UNION ALL
+    SELECT 'except_all' AS op, flag, COUNT(*) AS n FROM e GROUP BY flag
+    """,
+)
+def q102_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL):
+    multiplicities are min(m, n) and m - n per value — distinct from
+    q32/q33's set semantics, and the variant dedup bookkeeping needs
+    (how many copies survive, not just which values).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 25).select(F.col("l_returnflag").alias("flag"))
+    b = li.filter(F.col("l_discount") >= 0.05).select(F.col("l_returnflag").alias("flag"))
+    i = (
+        a.intersectAll(b)
+        .groupBy("flag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "flag", "n")
+    )
+    e = (
+        a.exceptAll(b)
+        .groupBy("flag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "flag", "n")
+    )
+    return i.unionByName(e)
