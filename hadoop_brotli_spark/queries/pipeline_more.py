@@ -549,3 +549,41 @@ def q102_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except_all").alias("op"), "flag", "n")
     )
     return i.unionByName(e)
+
+
+@register(
+    "q103_explode_outer",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 7 = 0
+                  THEN CAST([] AS DOUBLE[])
+                  ELSE CAST(embedding[1:2] AS DOUBLE[]) END AS pair
+      FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(UNNEST(CASE WHEN len(pair) = 0
+                             THEN [CAST(NULL AS DOUBLE)]
+                             ELSE pair END), 6) AS x
+    FROM base
+    """,
+)
+def q103_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer``: rows with empty arrays survive as NULL
+    output rows (plain explode would drop them — silently losing
+    every document/vector with no extracted features, the classic
+    pipeline bug this operator exists to avoid).
+
+    Every 7th vector's array is emptied to exercise the outer path;
+    the oracle emulates outer semantics by substituting [NULL].
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    pair = F.when(
+        F.col("vec_id") % 7 == 0,
+        F.array().cast("array<double>"),
+    ).otherwise(F.slice(F.transform("embedding", lambda x: x.cast("double")), 1, 2))
+    return (
+        emb.select("vec_id", pair.alias("pair"))
+        .select("vec_id", F.explode_outer("pair").alias("raw_x"))
+        .select("vec_id", F.round("raw_x", 6).alias("x"))
+    )
