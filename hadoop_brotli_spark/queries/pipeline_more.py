@@ -587,3 +587,30 @@ def q103_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.explode_outer("pair").alias("raw_x"))
         .select("vec_id", F.round("raw_x", 6).alias("x"))
     )
+
+
+@register(
+    "q104_filtered_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+           COUNT(*) FILTER (WHERE l_discount = 0.0) AS n_nodisc,
+           BOOL_OR(l_tax > 0.07) AS any_high_tax,
+           BOOL_AND(l_quantity > 0) AS all_positive_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q104_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern aggregate forms: per-condition counts (``count_if`` ==
+    SQL FILTER clause) and boolean aggregates (``bool_or`` /
+    ``bool_and``) — one pass instead of N self-joins or CASE
+    pyramids; all partial-aggregatable, so one shuffle as usual.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+        F.count_if(F.col("l_discount") == 0.0).alias("n_nodisc"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+    )
