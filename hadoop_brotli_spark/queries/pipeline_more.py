@@ -614,3 +614,81 @@ def q104_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
         F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
     )
+
+
+@register(
+    "q105_string_agg",
+    oracle="""
+    SELECT l_returnflag,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+             AS statuses_csv,
+           COUNT(DISTINCT l_linestatus) AS n_statuses
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q105_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): distinct
+    values collected, sorted, joined — sorted-before-join is what
+    makes a collect deterministic across partition orders (a bare
+    collect_list would hash differently every run).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias(
+            "statuses_csv"
+        ),
+        F.countDistinct("l_linestatus").alias("n_statuses"),
+    )
+
+
+@register(
+    "q106_calendar_fill",
+    oracle="""
+    WITH spine_days AS (
+      SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01',
+                                    TIMESTAMP '2024-01-30',
+                                    INTERVAL 1 DAY)) AS day
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (SELECT day, event_type FROM spine_days CROSS JOIN types),
+    counts AS (
+      SELECT DATE_TRUNC('day', ts) AS day, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.day, s.event_type, COALESCE(c.n, 0) AS n_events
+    FROM spine s
+    LEFT JOIN counts c ON s.day = c.day AND s.event_type = c.event_type
+    """,
+)
+def q106_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine zero fill: a generated (day × event_type) spine
+    left-joined to daily counts, so days with no events appear as 0
+    instead of vanishing — what dashboards and training-label
+    pipelines need on the time axis.
+
+    The spine comes from ``sequence()`` + explode (no driver-side
+    loop). The aggregated counts side is broadcast (a left join can
+    only build its right side); both are calendar-sized, never
+    data-sized.
+    """
+    ev = t(spark, sf_dir, "events")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("timestamp"),
+                F.lit("2024-01-30").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    spine = days.crossJoin(types)
+    counts = (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), F.col("event_type")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spine.join(F.broadcast(counts), ["day", "event_type"], "left").select(
+        "day", "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
+    )
