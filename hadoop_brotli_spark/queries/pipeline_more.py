@@ -692,3 +692,85 @@ def q106_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(F.broadcast(counts), ["day", "event_type"], "left").select(
         "day", "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
     )
+
+
+@register(
+    "q107_pipeline_funnel",
+    oracle="""
+    WITH normed AS (
+      SELECT doc_id, n_chars,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash
+      FROM documents
+    ),
+    kept AS (
+      SELECT MIN(doc_id) AS doc_id, MIN(n_chars) AS n_chars
+      FROM normed GROUP BY norm_hash
+    ),
+    quality AS (SELECT doc_id FROM kept WHERE n_chars >= 200),
+    split AS (
+      SELECT doc_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+                       AS BIGINT) % 10 < 8
+                  THEN 'train' ELSE 'heldout' END AS part
+      FROM quality
+    )
+    SELECT 'raw' AS stage, COUNT(*) AS n FROM documents
+    UNION ALL
+    SELECT 'deduped', COUNT(*) FROM kept
+    UNION ALL
+    SELECT 'quality', COUNT(*) FROM quality
+    UNION ALL
+    SELECT 'train', COUNT(*) FROM split WHERE part = 'train'
+    UNION ALL
+    SELECT 'heldout', COUNT(*) FROM split WHERE part = 'heldout'
+    """,
+)
+def q107_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: the full training-data funnel in one plan —
+    normalize → exact dedup on the normalized hash (keep lowest
+    doc_id) → length-based quality gate → hash split — reporting the
+    survivor count per stage.
+
+    Composition is the point: every stage is one of this engine's
+    individually-verified operators (q67, q60, q81-family, q88)
+    chained as DataFrames, and Catalyst still plans it as one job.
+    All shuffle keys are 32-byte hashes; stage counts are exact.
+    """
+    docs = t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    normed = docs.select(
+        "doc_id", "n_chars", F.md5(norm.cast("binary")).alias("norm_hash")
+    )
+    kept = normed.groupBy("norm_hash").agg(
+        F.min("doc_id").alias("doc_id"), F.min("n_chars").alias("n_chars")
+    )
+    quality = kept.filter(F.col("n_chars") >= 200).select("doc_id")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 7),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(10),
+    )
+    split = quality.select(
+        F.when(bucket < 8, "train").otherwise("heldout").alias("part")
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("stage"), "n"
+        )
+
+    return (
+        stage("raw", docs)
+        .unionByName(stage("deduped", kept))
+        .unionByName(stage("quality", quality))
+        .unionByName(stage("train", split.filter(F.col("part") == "train")))
+        .unionByName(stage("heldout", split.filter(F.col("part") == "heldout")))
+    )
