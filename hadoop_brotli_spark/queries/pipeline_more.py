@@ -774,3 +774,34 @@ def q107_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("train", split.filter(F.col("part") == "train")))
         .unionByName(stage("heldout", split.filter(F.col("part") == "heldout")))
     )
+
+
+@register("q108_hll_sketch_merge", oracle=None)
+def q108_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, built into Spark):
+    per-group sketches built with ``hll_sketch_agg`` are merged with
+    ``hll_union_agg`` into a global estimate — re-aggregation WITHOUT
+    re-scanning, the architecture for incremental distinct counts
+    over 100 TB (store per-partition sketch bytes, union on demand).
+
+    Rows-only: sketch estimates are approximate, and DuckDB's HLL
+    internals differ — the smoke check plus the in-query exact/
+    estimate comparison columns stand in for the hash oracle.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.countDistinct("l_orderkey").alias("exact_per_flag"),
+    )
+    merged = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_global"),
+        F.sum(F.lit(1)).alias("n_groups"),
+    )
+    exact = li.agg(F.countDistinct("l_orderkey").alias("exact_global"))
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n_groups",
+        "est_global",
+        "exact_global",
+        (F.abs(F.col("est_global") - F.col("exact_global")) / F.col("exact_global"))
+        .alias("rel_err"),
+    )
