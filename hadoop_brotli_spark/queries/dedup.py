@@ -175,24 +175,27 @@ def _minhash_pairs_ctes() -> str:
     the MinHash+LSH candidate pairs (used by q62 and the clustering
     oracles q64/q65).
 
-    8 independent 28-bit hash functions = 7-hex-char chunks of two
-    md5 digests (md5 is uniform per-chunk); MIN per chunk = minhash.
+    8 independent 16-bit hash functions = 4-hex-char chunks of ONE
+    md5 digest (md5 is uniform per-chunk); MIN per chunk = minhash.
+    One digest instead of two halves the hashing cost over the
+    shingle stream — the dominant q62 term; 16-bit minhashes are
+    ample for banding (band key = 32 bits, collision-negligible).
     Integer minhashes keep the agg buffer fixed-width (HashAggregate,
     not SortAggregate) and the band join key a single BIGINT.
     """
     sig_cols = ",\n        ".join(
-        f"MIN(CAST('0x' || substr(h{i // 4 + 1}, {(i % 4) * 7 + 1}, 7) AS BIGINT))"
+        f"MIN(CAST('0x' || substr(h1, {i * 4 + 1}, 4) AS BIGINT))"
         f" AS h{i}"
         for i in range(N_HASHES)
     )
     band_selects = "\n      UNION ALL ".join(
         f"SELECT doc_id, {b} AS band,"
-        f" h{2 * b} * 268435456 + h{2 * b + 1} AS bkey FROM sig"
+        f" h{2 * b} * 65536 + h{2 * b + 1} AS bkey FROM sig"
         for b in range(N_BANDS)
     )
     return f"""{_sql_shingles(3)},
     hashed AS (
-      SELECT doc_id, md5(shingle) AS h1, md5('x:' || shingle) AS h2 FROM sh
+      SELECT doc_id, md5(shingle) AS h1 FROM sh
     ),
     sig AS (
       SELECT doc_id,
@@ -221,14 +224,16 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (doc_a < doc_b) — shared by q62
     (reported directly) and q64/q65 (clustered).
 
-    The 8 hash functions are the 7-hex-char (28-bit) chunks of two
-    md5 digests — md5 bits are independent/uniform, so each chunk is
-    a valid minhash permutation at a quarter of the hashing cost and
+    The 8 hash functions are the 4-hex-char (16-bit) chunks of ONE
+    md5 digest — md5 bits are independent/uniform, so each chunk is
+    a valid minhash permutation at an eighth of the hashing cost and
     with NO row explosion (8 conditional MINs instead of an 8×
-    explode+shuffle; this cut the sf0.1 bench time ~4×). Chunks are
-    parsed to BIGINT so the signature agg keeps a fixed-width buffer
-    (HashAggregate, not SortAggregate) and each 2-row band packs into
-    one 56-bit BIGINT join key.
+    explode+shuffle; chunking instead of per-seed hashing cut the
+    sf0.1 bench time ~4×, and single-digest chunking halves the
+    remaining md5 work). Chunks are parsed to BIGINT so the
+    signature agg keeps a fixed-width buffer (HashAggregate, not
+    SortAggregate) and each 2-row band packs into one 32-bit BIGINT
+    join key.
 
     The scale path for fuzzy dedup: cost is O(docs × shingles) for
     signatures plus a self-join on band keys (uniform hash values →
@@ -242,15 +247,12 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.select(
             "doc_id",
             F.md5(F.col("shingle").cast("binary")).alias("h1"),
-            F.md5(F.concat(F.lit("x:"), F.col("shingle")).cast("binary")).alias("h2"),
         )
         .groupBy("doc_id")
         .agg(
             *[
                 F.min(
-                    F.conv(
-                        F.substring(f"h{i // 4 + 1}", (i % 4) * 7 + 1, 7), 16, 10
-                    ).cast("long")
+                    F.conv(F.substring("h1", i * 4 + 1, 4), 16, 10).cast("long")
                 ).alias(f"h{i}")
                 for i in range(N_HASHES)
             ]
@@ -264,7 +266,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(b).alias("band"),
                         (
-                            F.col(f"h{2 * b}") * F.lit(1 << 28)
+                            F.col(f"h{2 * b}") * F.lit(1 << 16)
                             + F.col(f"h{2 * b + 1}")
                         ).alias("bkey"),
                     )
