@@ -805,3 +805,55 @@ def q108_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("est_global") - F.col("exact_global")) / F.col("exact_global"))
         .alias("rel_err"),
     )
+
+
+@register(
+    "q109_fk_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_orphans FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem->part', COUNT(*) FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'orders->customer', COUNT(*) FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer->nation', COUNT(*) FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'nation->region', COUNT(*) FROM nation n
+      WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)
+    """,
+)
+def q109_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every foreign
+    key in the star schema via anti joins — the ingest-time data-
+    quality gate that catches broken upstream extracts before they
+    poison downstream joins (orphans silently vanish in inner joins).
+
+    Dimension sides broadcast; the fact-side anti joins are the only
+    shuffles and stop probing on first match.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    p = t(spark, sf_dir, "part")
+
+    def orphans(name, child, parent, ck, pk, bcast=True):
+        par = F.broadcast(parent.select(pk)) if bcast else parent.select(pk)
+        return (
+            child.join(par, F.col(ck) == F.col(pk), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans("lineitem->orders", li, o, "l_orderkey", "o_orderkey", bcast=False)
+        .unionByName(orphans("lineitem->part", li, p, "l_partkey", "p_partkey"))
+        .unionByName(orphans("orders->customer", o, c, "o_custkey", "c_custkey"))
+        .unionByName(orphans("customer->nation", c, n, "c_nationkey", "n_nationkey"))
+        .unionByName(orphans("nation->region", n, r, "n_regionkey", "r_regionkey"))
+    )
