@@ -857,3 +857,42 @@ def q109_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(orphans("customer->nation", c, n, "c_nationkey", "n_nationkey"))
         .unionByName(orphans("nation->region", n, r, "n_regionkey", "r_regionkey"))
     )
+
+
+STOPWORDS = ("select", "from", "where", "join", "group")
+
+
+@register(
+    "q110_array_set_ops",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(list_intersect(tk, {list(STOPWORDS)})) AS BIGINT) AS n_stop,
+           CAST(len(list_filter(tk,
+                x -> NOT list_contains({list(STOPWORDS)}, x))) AS BIGINT)
+             AS n_nonstop,
+           list_contains(tk, 'select') AS has_select
+    FROM toks
+    """,
+)
+def q110_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra: per-document distinct-token sets intersected
+    / subtracted against a stopword list, plus membership — all
+    Catalyst array expressions (no explode, no shuffle; purely
+    per-row codegen). Sizes are emitted instead of arrays so element
+    order never enters the hash.
+    """
+    docs = t(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    tk = F.array_distinct(F.split("text", " "))
+    return docs.select(
+        "doc_id",
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        F.size(F.array_intersect(tk, stop)).cast("bigint").alias("n_stop"),
+        F.size(F.array_except(tk, stop)).cast("bigint").alias("n_nonstop"),
+        F.array_contains(tk, "select").alias("has_select"),
+    )
