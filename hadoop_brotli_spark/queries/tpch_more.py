@@ -315,3 +315,262 @@ def q99_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, F.col("status_a").eqNullSafe(F.col("status_b")), "full").select(
         "status_a", "n_orders", "status_b", "n_lines"
     )
+
+
+@register(
+    "q111_cust_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) per_cust
+    GROUP BY c_count
+    """,
+)
+def q111_cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-style customer order distribution: a histogram of
+    per-customer order counts, including zero-order customers.
+
+    Two-level aggregation with a filtered LEFT join: the predicate on
+    orders lives on the join (not a WHERE, which would turn the outer
+    join inner). COUNT(o_orderkey) counts matched rows only, so
+    unmatched customers land in the c_count=0 bucket.
+
+    Scale: one shuffle join on custkey (AQE-planned; orders is the
+    bigger side), then the second aggregate groups on c_count — at
+    most a few hundred distinct values regardless of input size, so
+    the final exchange is tiny. The reference codec has no join or
+    aggregate surface (SURVEY.md §2b).
+    """
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q112_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    """,
+)
+def q112_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-style "suppliers who kept orders waiting": late lines
+    on finished orders where another supplier participated but only
+    this supplier was late (shipdate > orderdate + 60 days stands in
+    for the reference schema's receipt/commit dates, FIXTURES.md §B).
+
+    Spark-first rewrite: instead of two correlated self-joins (the
+    EXISTS / NOT EXISTS above), aggregate lineitem⋈orders ONCE per
+    order — distinct supplier count and distinct *late* supplier
+    count — and filter late lines against those two numbers
+    (n_supp > 1 ∧ n_late_supp = 1 ⟺ "someone else shipped, nobody
+    else was late"). One shuffle over the fact table instead of
+    three; supplier is broadcast for the name lookup.
+    """
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    sole_late = (
+        lo.filter(F.col("is_late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "q113_dormant_high_balance",
+    oracle="""
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM (
+      SELECT SUBSTRING(c.c_name, 17, 2) AS cntrycode, c.c_acctbal
+      FROM customer c
+      WHERE c.c_acctbal > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*)
+          FROM customer c2 WHERE c2.c_acctbal > 0.0
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+    ) dormant
+    GROUP BY cntrycode
+    """,
+)
+def q113_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-style sales opportunity: customers with above-average
+    positive balance and NO orders, bucketed by a code derived from
+    the customer name (chars 17-18 — the name's trailing digits —
+    standing in for Q22's phone country code).
+
+    Three classic shapes in one plan: an uncorrelated scalar subquery
+    (global average as a broadcast 1-row cross join — no collect),
+    NOT EXISTS as a left-anti join, and post-aggregation over a
+    derived grouping key.
+
+    Scale: the scalar aggregate is one partial+final pass; the anti
+    join shuffles customer against the orders key projection (AQE
+    handles size); everything after operates on the dormant subset.
+    """
+    c = t(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    dormant = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select(
+            F.substring(F.col("c_name"), 17, 2).alias("cntrycode"),
+            F.col("c_acctbal"),
+        )
+    )
+    return dormant.groupBy("cntrycode").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dsum(F.col("c_acctbal")).alias("totacctbal"),
+    )
+
+
+@register(
+    "q114_small_qty_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+      SELECT l2.l_partkey AS a_partkey,
+             CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+      FROM lineitem l2 GROUP BY l2.l_partkey
+    ) a ON a.a_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#11', 'Brand#13')
+      AND l.l_quantity < 0.5 * a.avg_qty
+    """,
+)
+def q114_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-style small-quantity-order revenue: lines whose
+    quantity is below half the part's average quantity, for two
+    brands, expressed as a decorrelated aggregate join (the
+    textbook form is a correlated scalar subquery per part).
+
+    Determinism: avg_qty is the exact-decimal sum divided by the
+    count (identical double in both engines, _util docstring), and
+    0.5 * avg_qty is one IEEE multiply of that identical value, so
+    the comparison cuts the same rows everywhere.
+
+    Scale: the per-part average is one partial+final pass over
+    lineitem keyed by partkey; re-joining it to lineitem reuses the
+    same key, so AQE plans back-to-back shuffles on one partitioning;
+    part is broadcast. Output is a single global aggregate row.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_q = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty")
+    )
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#11", "Brand#13"))
+        .select("p_partkey")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(avg_q, F.col("a_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg((dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q115_large_volume_customers",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           big.sum_qty
+    FROM (
+      SELECT l.l_orderkey,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem l
+      GROUP BY l.l_orderkey
+      HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 250
+    ) big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q115_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-style large-volume customers: orders whose total
+    line quantity exceeds a threshold, with customer detail.
+
+    The textbook form filters via `o_orderkey IN (GROUP BY ...
+    HAVING)` and then re-aggregates; since the IN-set and the final
+    group are the same key, we aggregate ONCE, filter, and join the
+    survivors outward — halving the fact-table passes. sum_qty is
+    exact decimal arithmetic (order-insensitive, hash-stable).
+
+    Scale: one shuffle of lineitem on orderkey; HAVING cuts the
+    result to the rare heavy orders BEFORE the joins, so the joins
+    move only qualifying keys (runtime bloom/DPP-friendly shape).
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250.0)
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "sum_qty",
+        )
+    )
