@@ -1,0 +1,305 @@
+"""Classic warehouse-analytics patterns over the events/lineitem
+fixtures: gaps-and-islands streaks, exact distributed statistical
+moments, cohort retention, and RFM segmentation.
+
+The reference codec has no analytics surface at all (SURVEY.md §2b —
+the 19-file census contains only stream compression); these queries
+are part of the engine's north-star extension set, expressed
+Spark-first and DuckDB-oracle-checked.
+
+Determinism notes follow `_util`: counts and decimal-cast sums are
+exact; every derived double is produced by the *same* sequence of
+IEEE operations on identical operands in both engines, so comparisons
+and hashes match bit-for-bit without rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import dsum, t
+
+
+@register(
+    "q116_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    seq AS (
+      SELECT user_id, d,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, d - CAST(rn AS INTEGER) AS anchor,
+             COUNT(*) AS streak_len
+      FROM seq
+      GROUP BY user_id, d - CAST(rn AS INTEGER)
+    )
+    SELECT user_id,
+           MAX(streak_len) AS max_streak,
+           COUNT(*) AS n_streaks,
+           SUM(streak_len) AS active_days
+    FROM islands
+    GROUP BY user_id
+    """,
+)
+def q116_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-day activity streaks.
+
+    The classic trick — ``day - row_number()`` is constant within a
+    run of consecutive days — turns streak detection into a plain
+    groupBy, with no self-join and no iterative logic.
+
+    Scale: the window partitions by user_id (never global), and its
+    input is the *distinct* (user, day) set — bounded by users ×
+    calendar days, far smaller than raw events. Everything after is
+    two keyed aggregations on the same user_id partitioning, which
+    Catalyst plans without an extra exchange.
+    """
+    ev = t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = (
+        days.withColumn("rn", F.row_number().over(w))
+        .withColumn("anchor", F.date_sub(F.col("d"), F.col("rn")))
+        .groupBy("user_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.max("streak_len").alias("max_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("streak_len").alias("active_days"),
+    )
+
+
+@register(
+    "q117_stats_moments",
+    oracle="""
+    SELECT l_returnflag, n_rows,
+           (n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+             AS corr_qty_price,
+           (sxy - sx * sy / n) / (n - 1.0) AS covar_qty_price,
+           (sxx - sx * sx / n) / (n - 1.0) AS var_qty,
+           SQRT((syy - sy * sy / n) / (n - 1.0)) AS stddev_price
+    FROM (
+      SELECT l_returnflag,
+             COUNT(*) AS n_rows,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             -- DECIMAL(38,·) sums are int128-backed in DuckDB, whose
+             -- direct ->DOUBLE cast is not correctly rounded (off by
+             -- one ulp vs Spark's BigDecimal path); the VARCHAR
+             -- round-trip forces a correctly-rounded parse.
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    ) s
+    """,
+)
+def q117_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance / variance per group via exact
+    sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy).
+
+    Built-in ``corr``/``covar_samp`` stream doubles in partition
+    order, so their results differ across engines and even across
+    runs; accumulating the five sums as DECIMAL(38,·) instead makes
+    the sufficient statistics exact integers (inputs carry ≤2
+    decimals, products ≤4), and the closed-form moments then come out
+    of identical IEEE arithmetic in any engine.
+
+    Scale: one partial+final aggregation pass — the sufficient
+    statistics are trivially mergeable, which is exactly why this
+    formulation (not a two-pass mean-then-deviation loop) is the
+    100 TB shape. DECIMAL(38,4) headroom: Σ(price²) at 100 TB TPC-H
+    is ~10²⁰, well under the 10³⁴ cap.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(qty.cast("decimal(38,2)")).cast("double").alias("sx"),
+        F.sum(price.cast("decimal(38,2)")).cast("double").alias("sy"),
+        F.sum((qty * qty).cast("decimal(38,4)")).cast("double").alias("sxx"),
+        F.sum((price * price).cast("decimal(38,4)")).cast("double").alias("syy"),
+        F.sum((qty * price).cast("decimal(38,4)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return stats.select(
+        "l_returnflag",
+        "n_rows",
+        ((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).alias(
+            "corr_qty_price"
+        ),
+        ((sxy - sx * sy / n) / (n - 1.0)).alias("covar_qty_price"),
+        ((sxx - sx * sx / n) / (n - 1.0)).alias("var_qty"),
+        F.sqrt((syy - sy * sy / n) / (n - 1.0)).alias("stddev_price"),
+    )
+
+
+@register(
+    "q118_cohort_retention",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    firstd AS (
+      SELECT user_id, MIN(d) AS cohort_d FROM ud GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_d, COUNT(*) AS cohort_size FROM firstd GROUP BY cohort_d
+    )
+    SELECT f.cohort_d,
+           CAST(FLOOR(date_diff('day', f.cohort_d, u.d) / 7.0) AS BIGINT)
+             AS week_offset,
+           s.cohort_size,
+           COUNT(DISTINCT u.user_id) AS n_active,
+           CAST(COUNT(DISTINCT u.user_id) AS DOUBLE) / s.cohort_size
+             AS retention
+    FROM ud u
+    JOIN firstd f ON u.user_id = f.user_id
+    JOIN sizes s ON s.cohort_d = f.cohort_d
+    GROUP BY f.cohort_d,
+             CAST(FLOOR(date_diff('day', f.cohort_d, u.d) / 7.0) AS BIGINT),
+             s.cohort_size
+    """,
+)
+def q118_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day,
+    tracked by week-offset activity, with retention as a fraction of
+    cohort size.
+
+    Scale: both the distinct-day reduction and the first-seen
+    aggregate shuffle on user_id, and the activity⋈cohort join reuses
+    that same partitioning — Catalyst plans one user_id exchange for
+    all three. The cohort-size table is dates-sized (tiny) and
+    broadcast. The output is cohorts × weeks, independent of event
+    volume.
+    """
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    firstd = ud.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    sizes = firstd.groupBy("cohort_d").agg(F.count(F.lit(1)).alias("cohort_size"))
+    joined = (
+        ud.join(firstd, "user_id")
+        .join(F.broadcast(sizes), "cohort_d")
+        .withColumn(
+            "week_offset",
+            F.floor(F.datediff(F.col("d"), F.col("cohort_d")) / 7.0).cast("bigint"),
+        )
+    )
+    return (
+        joined.groupBy("cohort_d", "week_offset", "cohort_size")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select(
+            "cohort_d",
+            "week_offset",
+            "cohort_size",
+            "n_active",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+@register(
+    "q119_rfm_segments",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary,
+             MAX(CAST(ts AS DATE)) AS last_d
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    stats AS (
+      SELECT MAX(last_d) AS anchor_d,
+             CAST(SUM(freq) AS DOUBLE) / COUNT(*) AS avg_freq,
+             CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_monetary
+      FROM per_user
+    )
+    SELECT user_id,
+           CAST(date_diff('day', last_d, anchor_d) AS BIGINT) AS recency_days,
+           freq, monetary,
+           CASE WHEN date_diff('day', last_d, anchor_d) <= 3 THEN 3
+                WHEN date_diff('day', last_d, anchor_d) <= 10 THEN 2
+                ELSE 1 END AS r_score,
+           CASE WHEN freq >= 1.25 * avg_freq THEN 3
+                WHEN freq >= 0.75 * avg_freq THEN 2
+                ELSE 1 END AS f_score,
+           CASE WHEN monetary >= 1.25 * avg_monetary THEN 3
+                WHEN monetary >= 0.75 * avg_monetary THEN 2
+                ELSE 1 END AS m_score,
+           CASE WHEN date_diff('day', last_d, anchor_d) <= 3
+                     AND freq >= 1.25 * avg_freq
+                     AND monetary >= 1.25 * avg_monetary THEN 'champion'
+                WHEN date_diff('day', last_d, anchor_d) <= 10
+                     AND freq >= 0.75 * avg_freq THEN 'loyal'
+                WHEN date_diff('day', last_d, anchor_d) > 10
+                     AND monetary >= 1.25 * avg_monetary THEN 'at_risk'
+                ELSE 'casual' END AS segment
+    FROM per_user CROSS JOIN stats
+    """,
+)
+def q119_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation
+    with corpus-relative score thresholds.
+
+    Thresholds derive from global purchase statistics (latest
+    purchase date, average frequency, average spend) broadcast as a
+    1-row table — so the scoring is a pure row-wise expression, no
+    global rank/ntile window (SURVEY.md §8: no global-order windows;
+    rank-based quantiles are covered by q28/q38). Corpus-relative
+    cutoffs also keep the segmentation meaningful at any scale
+    factor.
+
+    Determinism: freq/counts are integers, monetary is an exact
+    decimal sum, and every threshold (1.25·avg etc.) is the same IEEE
+    expression on identical operands in both engines.
+    """
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("freq"),
+        dsum(F.col("value")).alias("monetary"),
+        F.max(F.col("ts").cast("date")).alias("last_d"),
+    )
+    stats = per_user.agg(
+        F.max("last_d").alias("anchor_d"),
+        (F.sum("freq").cast("double") / F.count(F.lit(1))).alias("avg_freq"),
+        (dsum(F.col("monetary")) / F.count(F.lit(1))).alias("avg_monetary"),
+    )
+    rec = F.datediff(F.col("anchor_d"), F.col("last_d"))
+    freq, mon = F.col("freq"), F.col("monetary")
+    af, am = F.col("avg_freq"), F.col("avg_monetary")
+    r_score = F.when(rec <= 3, 3).when(rec <= 10, 2).otherwise(1)
+    f_score = F.when(freq >= 1.25 * af, 3).when(freq >= 0.75 * af, 2).otherwise(1)
+    m_score = F.when(mon >= 1.25 * am, 3).when(mon >= 0.75 * am, 2).otherwise(1)
+    segment = (
+        F.when((rec <= 3) & (freq >= 1.25 * af) & (mon >= 1.25 * am), "champion")
+        .when((rec <= 10) & (freq >= 0.75 * af), "loyal")
+        .when((rec > 10) & (mon >= 1.25 * am), "at_risk")
+        .otherwise("casual")
+    )
+    return per_user.crossJoin(F.broadcast(stats)).select(
+        "user_id",
+        rec.cast("bigint").alias("recency_days"),
+        "freq",
+        "monetary",
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+        segment.alias("segment"),
+    )

@@ -51,6 +51,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills REGISTRY)."""
     from .queries import (  # noqa: F401
         advanced,
+        analytics,
         dedup,
         events,
         multimodal,
