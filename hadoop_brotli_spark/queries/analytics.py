@@ -303,3 +303,270 @@ def q119_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         m_score.alias("m_score"),
         segment.alias("segment"),
     )
+
+
+@register(
+    "q120_interp_resample",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    bounds AS (
+      SELECT user_id, MIN(d) AS min_d, MAX(d) AS max_d FROM obs GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id,
+             CAST(UNNEST(generate_series(CAST(min_d AS TIMESTAMP),
+                                         CAST(max_d AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ),
+    filled AS (
+      SELECT s.user_id, s.d, o.v,
+             LAST_VALUE(CASE WHEN o.v IS NOT NULL THEN o.d END IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+             LAST_VALUE(o.v IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+             FIRST_VALUE(CASE WHEN o.v IS NOT NULL THEN o.d END IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.d
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d,
+             FIRST_VALUE(o.v IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.d
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v
+      FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.d = o.d
+    )
+    SELECT user_id, d, v,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                THEN prev_v + (next_v - prev_v)
+                       * (CAST(date_diff('day', prev_d, d) AS DOUBLE)
+                          / CAST(date_diff('day', prev_d, next_d) AS DOUBLE))
+                ELSE NULL END AS v_filled
+    FROM filled
+    """,
+)
+def q120_interp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with linear interpolation: each user's
+    daily average value on a gap-free per-user day spine, missing
+    days filled by interpolating between the surrounding
+    observations (timescale/pandas-`interpolate` semantics).
+
+    The neighbor lookup is two IGNORE-NULLS window passes (last
+    non-null before, first non-null after) — no self-join against
+    the observation table.
+
+    Determinism: observed values are exact decimal averages; the
+    interpolation `v0 + (v1-v0)·Δt/Δtotal` runs the identical IEEE
+    sequence on identical operands in both engines.
+
+    Scale: spine size is user-count × their active date span (never
+    event volume); all windows partition by user_id; the spine⋈obs
+    join and both windows share the user_id partitioning, so
+    Catalyst plans a single exchange.
+    """
+    ev = t(spark, sf_dir, "events")
+    obs = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg((dsum(F.col("value")) / F.count(F.lit(1))).alias("v"))
+    )
+    bounds = obs.groupBy("user_id").agg(
+        F.min("d").alias("min_d"), F.max("d").alias("max_d")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("min_d").cast("timestamp"),
+                F.col("max_d").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d_ts"),
+    ).select("user_id", F.col("d_ts").cast("date").alias("d"))
+    joined = spine.join(obs, ["user_id", "d"], "left")
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("v").isNotNull(), F.col("d"))
+    filled = joined.select(
+        "user_id",
+        "d",
+        "v",
+        F.last(obs_d, ignorenulls=True).over(w_back).alias("prev_d"),
+        F.last(F.col("v"), ignorenulls=True).over(w_back).alias("prev_v"),
+        F.first(obs_d, ignorenulls=True).over(w_fwd).alias("next_d"),
+        F.first(F.col("v"), ignorenulls=True).over(w_fwd).alias("next_v"),
+    )
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        F.datediff(F.col("d"), F.col("prev_d")).cast("double")
+        / F.datediff(F.col("next_d"), F.col("prev_d")).cast("double")
+    )
+    return filled.select(
+        "user_id",
+        "d",
+        "v",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(), interp)
+        .alias("v_filled"),
+    )
+
+
+@register(
+    "q121_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_trans,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS p_trans
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def q121_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (state → next state) pair, the transition
+    count and row-normalized probability.
+
+    A window over a grouped aggregate (SUM(COUNT(*)) OVER state)
+    computes the per-source normalizer without a second scan or a
+    self-join. Sequence order is total (ts, event_id) so lag pairs
+    are reproducible under any partitioning.
+
+    Scale: the lag window partitions by user_id; the aggregate
+    reduces to |states|² rows, so the normalizing window is over a
+    tiny relation. One fact shuffle on user_id, one on the pair key.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    w_norm = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        (F.col("n_trans").cast("double") / F.sum("n_trans").over(w_norm)).alias(
+            "p_trans"
+        ),
+    )
+
+
+@register(
+    "q122_rolling_distinct_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    contrib AS (
+      SELECT user_id,
+             CAST(UNNEST(generate_series(CAST(d AS TIMESTAMP),
+                                         CAST(d AS TIMESTAMP) + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY)) AS DATE) AS window_end
+      FROM ud
+    )
+    SELECT window_end, COUNT(DISTINCT user_id) AS users_7d
+    FROM contrib
+    GROUP BY window_end
+    """,
+)
+def q122_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the metric SQL
+    windows cannot express (COUNT(DISTINCT) is not a supported
+    window aggregate in Spark or DuckDB).
+
+    Scatter formulation: each distinct (user, day) contributes to
+    the 7 window-end days it falls in, then a plain distinct-count
+    groups by window end. Trailing windows past the last active day
+    are included (they are still valid 7-day windows ending there).
+
+    Scale: fan-out is a fixed ×7 on the *distinct* user-day set, far
+    cheaper at 100 TB than a 7-way self-join or re-scanning raw
+    events per day; the distinct and the final count shuffle on
+    bounded keys (users × days, days).
+    """
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d").cast("timestamp"),
+                F.col("d").cast("timestamp") + F.expr("INTERVAL 6 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("we_ts"),
+    ).select("user_id", F.col("we_ts").cast("date").alias("window_end"))
+    return contrib.groupBy("window_end").agg(
+        F.countDistinct("user_id").alias("users_7d")
+    )
+
+
+@register(
+    "q123_dwell_time",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(next_ts) AS n_intervals,
+           SUM(CASE WHEN next_ts IS NOT NULL
+                    THEN epoch_us(next_ts) - epoch_us(ts)
+                    ELSE 0 END) AS total_dwell_us,
+           CAST(SUM(CASE WHEN next_ts IS NOT NULL
+                         THEN epoch_us(next_ts) - epoch_us(ts)
+                         ELSE 0 END) AS DOUBLE)
+             / COUNT(next_ts) AS avg_dwell_us
+    FROM seq
+    GROUP BY event_type
+    """,
+)
+def q123_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time analysis: how long users linger on each event type
+    before their next action (lead-timestamp deltas, aggregated per
+    type).
+
+    Durations are exact integer microseconds (``unix_micros`` /
+    ``epoch_us`` on the micros-truncated timestamps both engines
+    read — catalog.load_table docstring), so sums are
+    order-insensitive and the average is one exact division.
+
+    Scale: the lead window partitions by user_id; the aggregate
+    reduces to |event types| rows. One fact shuffle.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", "ts", F.lead("ts").over(w).alias("next_ts")
+    )
+    dwell = F.when(
+        F.col("next_ts").isNotNull(),
+        F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts")),
+    ).otherwise(F.lit(0))
+    return seq.groupBy("event_type").agg(
+        F.count("next_ts").alias("n_intervals"),
+        F.sum(dwell).alias("total_dwell_us"),
+        (F.sum(dwell).cast("double") / F.count("next_ts")).alias("avg_dwell_us"),
+    )
