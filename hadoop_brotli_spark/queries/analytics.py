@@ -178,28 +178,42 @@ def q118_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracked by week-offset activity, with retention as a fraction of
     cohort size.
 
-    Scale: both the distinct-day reduction and the first-seen
-    aggregate shuffle on user_id, and the activity⋈cohort join reuses
-    that same partitioning — Catalyst plans one user_id exchange for
-    all three. The cohort-size table is dates-sized (tiny) and
-    broadcast. The output is cohorts × weeks, independent of event
-    volume.
+    Scale: ONE user_id aggregation collects each user's distinct
+    active days (bounded by the calendar, not event volume — with
+    map-side partial aggregation, so the shuffle moves day-sets, not
+    events) and derives the cohort day as its minimum. Exploding to
+    (user, cohort, week) rows and de-duplicating makes the final
+    count a plain COUNT — no two-phase countDistinct — and the
+    cohort-size table is dates-sized and broadcast. Half the
+    exchanges of the naive distinct→first-seen→join→countDistinct
+    plan.
     """
     ev = t(spark, sf_dir, "events")
-    ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
-    firstd = ud.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
-    sizes = firstd.groupBy("cohort_d").agg(F.count(F.lit(1)).alias("cohort_size"))
-    joined = (
-        ud.join(firstd, "user_id")
-        .join(F.broadcast(sizes), "cohort_d")
-        .withColumn(
-            "week_offset",
-            F.floor(F.datediff(F.col("d"), F.col("cohort_d")) / 7.0).cast("bigint"),
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_set(F.col("ts").cast("date")).alias("days")
+    )
+    uw = (
+        per_user.select(
+            "user_id",
+            F.array_min("days").alias("cohort_d"),
+            F.explode("days").alias("d"),
         )
+        .select(
+            "user_id",
+            "cohort_d",
+            F.floor(F.datediff(F.col("d"), F.col("cohort_d")) / 7.0)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .dropDuplicates(["user_id", "cohort_d", "week_offset"])
+    )
+    sizes = per_user.groupBy(F.array_min("days").alias("cohort_d")).agg(
+        F.count(F.lit(1)).alias("cohort_size")
     )
     return (
-        joined.groupBy("cohort_d", "week_offset", "cohort_size")
-        .agg(F.countDistinct("user_id").alias("n_active"))
+        uw.groupBy("cohort_d", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_d")
         .select(
             "cohort_d",
             "week_offset",
