@@ -584,3 +584,190 @@ def q123_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dwell).alias("total_dwell_us"),
         (F.sum(dwell).cast("double") / F.count("next_ts")).alias("avg_dwell_us"),
     )
+
+
+@register(
+    "q124_source_vocab_overlap",
+    oracle="""
+    WITH sw AS (
+      SELECT DISTINCT source, w
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+      WHERE w <> ''
+    ),
+    sizes AS (
+      SELECT source, COUNT(*) AS vocab FROM sw GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b, i.n_common,
+           sa.vocab AS vocab_a, sb.vocab AS vocab_b,
+           CAST(i.n_common AS DOUBLE)
+             / (sa.vocab + sb.vocab - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """,
+)
+def q124_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: pairwise vocabulary overlap
+    (Jaccard) between document sources — the corpus-level audit that
+    flags sources copying from each other before near-dup pair
+    hunting (q61/q62) drills into documents.
+
+    Scale: the distinct (source, word) reduction shrinks the fact
+    side to vocabulary size before any join; the pair join is an
+    equi-join on the word (uniform fixed-width key, no crossJoin),
+    and source-count tables are broadcast. Source count is small, so
+    the output matrix is tiny.
+    """
+    docs = t(spark, sf_dir, "documents")
+    sw = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    sizes = sw.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
+    a = sw.select(F.col("source").alias("src_a"), "w")
+    b = sw.select(F.col("source").alias("src_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("vocab").alias("vocab_a")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("vocab").alias("vocab_b")))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "vocab_a",
+            "vocab_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "q125_doc_chunking",
+    oracle="""
+    SELECT doc_id, i AS chunk_idx,
+           SUBSTRING(text, CAST(i * 200 + 1 AS INTEGER), 200) AS chunk_text,
+           LENGTH(SUBSTRING(text, CAST(i * 200 + 1 AS INTEGER), 200))
+             AS chunk_len
+    FROM documents,
+         UNNEST(generate_series(
+           0, CAST(GREATEST(CEIL(LENGTH(text) / 200.0), 1) AS BIGINT) - 1
+         )) AS u(i)
+    """,
+)
+def q125_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size document chunking for training ingestion: split
+    every document into 200-char chunks with provenance
+    (doc_id, chunk_idx) — the step between raw corpus and
+    tokenizer-sized training records.
+
+    Empty or short docs still emit one (possibly short) chunk
+    (GREATEST(…,1)), so no document silently disappears.
+
+    Scale: pure row-local generate+substring — no shuffle at all;
+    the explode fan-out is bounded by doc length / chunk size.
+    Chunk text stays JVM-side (no Python), and downstream writers
+    can partition on a hash of doc_id for even file sizing.
+    """
+    docs = t(spark, sf_dir, "documents")
+    n_chunks = F.greatest(F.ceil(F.length("text") / 200.0), F.lit(1)).cast("bigint")
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr("substring(text, CAST(chunk_idx * 200 + 1 AS INT), 200)").alias(
+                "chunk_text"
+            ),
+            F.length(
+                F.expr("substring(text, CAST(chunk_idx * 200 + 1 AS INT), 200)")
+            ).alias("chunk_len"),
+        )
+    )
+
+
+@register(
+    "q126_sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id,
+             LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(FLOOR(
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens AS DOUBLE) / 512.0
+             ) AS BIGINT) AS seq_id
+      FROM toks
+    )
+    SELECT source, seq_id, COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / 512.0 AS fill_ratio
+    FROM packed
+    GROUP BY source, seq_id
+    """,
+)
+def q126_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training sequence packing: assign documents (in stable doc_id
+    order per source) to fixed-capacity 512-token sequences by
+    cumulative token offset — the scalable one-pass approximation of
+    greedy sample packing used to batch short documents for LLM
+    training.
+
+    A document's sequence is determined by the cumulative token
+    count *before* it (cumsum − n_tokens), so assignment is a pure
+    running-sum window — no iterative packer, no driver loop.
+
+    Scale: the window partitions by source and orders by doc_id
+    (deterministic, resumable); output is one row per packed
+    sequence with its fill ratio, flagging sources whose doc-length
+    distribution packs poorly.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        (
+            F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+        ).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "seq_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("double") / 512.0
+        ).cast("bigint"),
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / 512.0).alias("fill_ratio"),
+    )
