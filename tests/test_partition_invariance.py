@@ -1,0 +1,64 @@
+"""Results must not depend on physical parallelism.
+
+At 100 TB the same query runs with thousands of shuffle partitions and
+AQE re-planning; any order- or partitioning-sensitive expression
+(float accumulation order, window ties, non-deterministic hashing)
+would silently change answers between cluster sizes. This suite runs
+a representative slice of the registry — window sequences, exact
+decimal/float moments, dedup hashing, packing, sampling — under
+deliberately different shuffle-partition counts with AQE toggled, and
+asserts bit-identical normalized results.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_brotli_spark.registry import load_all_queries
+
+from .conftest import SF_DIR_MED
+from .oracle_harness import _norm_rows
+
+SPECS = load_all_queries()
+
+# One representative per sensitivity class: window-over-sequence,
+# cumulative packing, hash dedup, float sufficient statistics,
+# window-normalized probabilities, interpolation, hash sampling.
+SAMPLE = [
+    "q41_window_running_sum",
+    "q62_dedup_minhash_lsh",
+    "q88_data_split",
+    "q116_activity_streaks",
+    "q117_stats_moments",
+    "q120_interp_resample",
+    "q121_event_transitions",
+    "q126_sequence_packing",
+]
+
+
+def _normalized(spark, name: str) -> list[tuple]:
+    df = SPECS[name].fn(spark, SF_DIR_MED)
+    return _norm_rows(list(df.columns), [tuple(r) for r in df.collect()])
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_partition_invariance(spark, name):
+    conf = spark.conf
+    orig_parts = conf.get("spark.sql.shuffle.partitions")
+    orig_aqe = conf.get("spark.sql.adaptive.enabled")
+    try:
+        conf.set("spark.sql.shuffle.partitions", "3")
+        conf.set("spark.sql.adaptive.enabled", "true")
+        r_small = _normalized(spark, name)
+
+        conf.set("spark.sql.shuffle.partitions", "17")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        r_large = _normalized(spark, name)
+    finally:
+        conf.set("spark.sql.shuffle.partitions", orig_parts)
+        conf.set("spark.sql.adaptive.enabled", orig_aqe)
+
+    assert r_small == r_large, (
+        f"{name}: result depends on partitioning "
+        f"(3-partition AQE run != 17-partition no-AQE run)"
+    )
