@@ -339,3 +339,79 @@ def q78_map_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_csv"),
         m.getItem("k").alias("k_value"),
     )
+
+
+@register(
+    "q127_error_safe_ops",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           COUNT(o_totalprice / NULLIF(o_custkey % 10, 0)) AS n_safe_div,
+           MIN(o_totalprice / NULLIF(o_custkey % 10, 0)) AS min_div,
+           MAX(o_totalprice / NULLIF(o_custkey % 10, 0)) AS max_div,
+           COUNT(TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS INTEGER))
+             AS n_prio_numeric,
+           COUNT(TRY_CAST(o_orderstatus AS INTEGER)) AS n_status_numeric
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q127_error_safe_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family: ``try_divide`` / ``try_cast``
+    turn divide-by-zero and bad casts into NULLs instead of failed
+    jobs — the semantics a 100 TB pipeline needs, where one poison
+    row must not kill a 6-hour job.
+
+    The division aggregates use MIN/MAX (order-free selection), not
+    SUM, because summing float quotients would be
+    accumulation-order-dependent.
+    """
+    o = t(spark, sf_dir, "orders")
+    safe_div = F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 10)
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(safe_div).alias("n_safe_div"),
+        F.min(safe_div).alias("min_div"),
+        F.max(safe_div).alias("max_div"),
+        F.count(
+            F.try_to_number(F.substring("o_orderpriority", 1, 1), F.lit("9")).cast(
+                "int"
+            )
+        ).alias("n_prio_numeric"),
+        F.count(F.expr("TRY_CAST(o_orderstatus AS INT)")).alias("n_status_numeric"),
+    )
+
+
+@register(
+    "q128_bitwise_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           BIT_AND(o_orderkey) AS and_key,
+           BIT_OR(o_orderkey) AS or_key,
+           BIT_XOR(o_orderkey) AS xor_key,
+           SUM(o_orderkey & 255) AS sum_low_byte,
+           MAX(xor(o_orderkey, o_custkey)) AS max_xor,
+           MIN(o_orderkey >> 3) AS min_shifted
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q128_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar + aggregate family: AND/OR/XOR reductions and
+    shift/mask scalars — the toolkit for packed flag columns and
+    hash mixing. (DuckDB note: ``^`` is POWER there, so the oracle
+    spells XOR as ``xor()``.)
+
+    All-integer arithmetic: order-insensitive and exact under any
+    partitioning; one partial+final aggregation pass.
+    """
+    o = t(spark, sf_dir, "orders")
+    key, cust = F.col("o_orderkey"), F.col("o_custkey")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and(key).alias("and_key"),
+        F.bit_or(key).alias("or_key"),
+        F.bit_xor(key).alias("xor_key"),
+        F.sum(key.bitwiseAND(F.lit(255))).alias("sum_low_byte"),
+        F.max(key.bitwiseXOR(cust)).alias("max_xor"),
+        F.min(F.shiftright(key, 3)).alias("min_shifted"),
+    )
