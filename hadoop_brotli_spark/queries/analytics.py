@@ -1,6 +1,9 @@
-"""Classic warehouse-analytics patterns over the events/lineitem
-fixtures: gaps-and-islands streaks, exact distributed statistical
-moments, cohort retention, and RFM segmentation.
+"""Classic warehouse-analytics and corpus-prep patterns over the
+events/lineitem/documents fixtures: gaps-and-islands streaks, exact
+distributed statistical moments, cohort retention, RFM segmentation,
+interpolation resampling, Markov transitions, rolling distinct
+counts, dwell times, cross-source contamination, document chunking,
+and training sequence packing.
 
 The reference codec has no analytics surface at all (SURVEY.md §2b —
 the 19-file census contains only stream compression); these queries

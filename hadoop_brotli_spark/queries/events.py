@@ -415,3 +415,87 @@ def q128_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(key.bitwiseXOR(cust)).alias("max_xor"),
         F.min(F.shiftright(key, 3)).alias("min_shifted"),
     )
+
+
+@register(
+    "q129_mode_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    r AS (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rk
+      FROM c
+    )
+    SELECT user_id, event_type AS mode_event, n AS n_occurrences
+    FROM r WHERE rk = 1
+    """,
+)
+def q129_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent value): count,
+    then rank with a total-order tie-break (count DESC, value ASC).
+
+    Built-in ``mode()``/``max_by()`` break ties arbitrarily — fine
+    interactively, but nondeterministic across partitionings, which
+    the oracle hash (and any reproducible pipeline) cannot accept.
+
+    Scale: the count reduces events to (user × event-type) before
+    the window, and the rank window partitions by user_id.
+    """
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )
+
+
+@register(
+    "q130_union_by_name",
+    oracle="""
+    SELECT o_orderkey AS key, o_totalprice AS amount, 'order' AS src
+    FROM orders WHERE o_totalprice > 400000.0
+    UNION ALL BY NAME
+    SELECT l_orderkey AS key, 'lineitem' AS src,
+           CAST(l_quantity AS DOUBLE) AS qty
+    FROM lineitem WHERE l_quantity > 49.0
+    """,
+)
+def q130_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two relations with partially
+    overlapping columns combined BY NAME, absent columns padded with
+    NULL (``unionByName(allowMissingColumns=True)`` /
+    ``UNION ALL BY NAME``) — how heterogeneous ingestion batches
+    append into one table without positional-union corruption.
+
+    Scale: a union is a zero-shuffle plan concatenation; each side
+    keeps its own pushed-down filter.
+    """
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000.0)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_totalprice").alias("amount"),
+            F.lit("order").alias("src"),
+        )
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 49.0)
+        .select(
+            F.col("l_orderkey").alias("key"),
+            F.lit("lineitem").alias("src"),
+            F.col("l_quantity").cast("double").alias("qty"),
+        )
+    )
+    return o.unionByName(li, allowMissingColumns=True)
