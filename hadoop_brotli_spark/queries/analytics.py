@@ -621,10 +621,13 @@ def q124_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hunting (q61/q62) drills into documents.
 
     Scale: the distinct (source, word) reduction shrinks the fact
-    side to vocabulary size before any join; the pair join is an
-    equi-join on the word (uniform fixed-width key, no crossJoin),
-    and source-count tables are broadcast. Source count is small, so
-    the output matrix is tiny.
+    side to vocabulary size first; then — instead of a vocabulary
+    self-join, which would plan the distinct subtree twice — one
+    groupBy(word) collects each word's source set (bounded by
+    |sources|, ~10) and emits the co-occurrence pairs by a double
+    explode with src_a < src_b: bounded ×(|sources|²/2) fan-out on
+    shared words only, zero joins on the big side. Source-count
+    tables are broadcast; the output matrix is tiny.
     """
     docs = t(spark, sf_dir, "documents")
     sw = (
@@ -632,11 +635,18 @@ def q124_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
         .distinct()
     )
-    sizes = sw.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
-    a = sw.select(F.col("source").alias("src_a"), "w")
-    b = sw.select(F.col("source").alias("src_b"), "w")
+    word_srcs = sw.groupBy("w").agg(F.collect_set("source").alias("srcs"))
+    # vocab sizes derived from word_srcs (identical subtree on both
+    # branches -> the planner reuses one exchange instead of running
+    # the distinct twice)
+    sizes = (
+        word_srcs.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
     inter = (
-        a.join(b, "w")
+        word_srcs.select(F.explode("srcs").alias("src_a"), "srcs")
+        .select("src_a", F.explode("srcs").alias("src_b"))
         .filter(F.col("src_a") < F.col("src_b"))
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
