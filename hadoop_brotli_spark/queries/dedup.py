@@ -130,31 +130,31 @@ def q61_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted index self-join (candidate pairs share ≥1 shingle, so
     no O(n²) cross join). Jaccard = |∩| / (|A| + |B| - |∩|).
 
-    Hot shingles (document frequency > MAX_SHINGLE_DF) are dropped
-    from the index before the self-join — the standard stop-shingle
-    cap that bounds the quadratic per-shingle pair blowup at scale
-    (a shingle in d docs contributes d² candidate pairs). The oracle
-    applies the identical cap.
+    Hot shingles (document frequency > MAX_SHINGLE_DF) are dropped —
+    the standard stop-shingle cap that bounds the quadratic
+    per-shingle pair blowup at scale (a shingle in d docs contributes
+    d² candidate pairs). The oracle applies the identical cap.
+
+    Instead of an inverted-index SELF-JOIN (which plans the shingle
+    pipeline twice more and shuffles it for both join sides), ONE
+    groupBy(shingle) both measures document frequency and collects
+    the posting list; the df cap bounds the list at MAX_SHINGLE_DF,
+    so candidate pairs come from a bounded in-row double explode.
+    The per-doc size branch shares the same distinct-shingle subtree
+    (exchange reuse).
     """
     sh = _shingle_df(spark, sf_dir, 5)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    rare = (
+    postings = (
         sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("shingle")
+        .agg(F.collect_set("doc_id").alias("docs"))
+        .filter(F.size("docs") <= MAX_SHINGLE_DF)
     )
-    indexed = sh.join(rare, "shingle")
-    a, b = indexed.alias("a"), indexed.alias("b")
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        postings.select(F.explode("docs").alias("doc_a"), "docs")
+        .select("doc_a", F.explode("docs").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
