@@ -320,9 +320,12 @@ def q68_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     The benchmark-leakage check every training pipeline needs before
     shipping a split. Both sides of the membership join carry md5
     shingle hashes (fixed 32-byte shuffle keys, never shingle text);
-    the train side is a distinct hash set, so the left-semi
-    membership probe is an equi-join on uniform keys — no skew, no
-    quadratic blowup, O(test shingles + train shingles) at any SF.
+    the train side is a distinct hash set, so the membership probe is
+    an equi-join on uniform keys — no skew, no quadratic blowup,
+    O(test shingles + train shingles) at any SF. A LEFT join with a
+    match marker (instead of left-semi + a second totals pass) lets
+    ONE aggregation produce both the shingle total (COUNT(*)) and the
+    contaminated count (COUNT(marker)) — no re-scan, no final join.
     """
     from .dedup import _shingle_df
 
@@ -340,22 +343,28 @@ def q68_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5(F.col("shingle").cast("binary")).alias("h")
     )
     sh_b = sh.join(assigned, "doc_id")
-    train_sh = sh_b.filter(F.col("bucket") < 8).select("h").distinct()
-    test_sh = sh_b.filter(F.col("bucket") == 9).select("doc_id", "h")
-    totals = test_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    contam = (
-        test_sh.join(train_sh, "h", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contam"))
+    train_sh = (
+        sh_b.filter(F.col("bucket") < 8)
+        .select("h")
+        .distinct()
+        .withColumn("in_train", F.lit(1))
     )
-    return totals.join(contam, "doc_id", "left").select(
-        "doc_id",
-        "n_shingles",
-        F.coalesce(F.col("n_contam"), F.lit(0)).alias("n_contam"),
-        (
-            F.coalesce(F.col("n_contam"), F.lit(0)).cast("double")
-            / F.col("n_shingles")
-        ).alias("contamination"),
+    test_sh = sh_b.filter(F.col("bucket") == 9).select("doc_id", "h")
+    return (
+        test_sh.join(train_sh, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("in_train").alias("n_contam"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contam",
+            (F.col("n_contam").cast("double") / F.col("n_shingles")).alias(
+                "contamination"
+            ),
+        )
     )
 
 

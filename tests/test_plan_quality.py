@@ -127,9 +127,13 @@ def test_q77_scalar_is_broadcast_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_q68_contamination_semi_join_on_hashes(spark, sf_dir):
+def test_q68_contamination_marker_join_on_hashes(spark, sf_dir):
+    # membership probe is a LEFT join with a match marker so one
+    # aggregation yields totals and contaminated counts — no
+    # semi-join + second totals pass
     plan = plans.executed_plan(q(spark, sf_dir, "q68_split_contamination"))
-    assert "LeftSemi" in plan
+    assert "LeftOuter" in plan
+    assert "LeftSemi" not in plan
 
 
 def test_no_cartesian_product_anywhere(spark, sf_dir):
