@@ -264,38 +264,59 @@ def q57_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel: signup → first later click → first later
     purchase, counting users surviving each stage.
 
-    Each stage is a groupBy on user_id (same key, so AQE/Catalyst
-    reuse the partitioning across stages) and the stage joins are
-    equi-joins on user_id.
+    One-shuffle formulation: a single groupBy(user_id) collects each
+    user's funnel-relevant events (filtered map-side to the three
+    types), and the stage timestamps fall out of array lambdas —
+    s_ts = min signup ts, c_ts = min click ts after s_ts, p_ts = min
+    purchase ts after c_ts. The naive per-stage join chain shuffles
+    the fact table once per stage (10 exchanges); this is 2.
+
+    Scale: per-user state is the user's own funnel events only
+    (bounded; types filtered before the shuffle); stage logic is
+    Catalyst higher-order functions, fully codegen'd, no Python.
     """
-    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    s = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("s_ts"))
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "click", "purchase"))
+        .select("user_id", "event_type", "ts")
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s, "user_id")
-        .filter(F.col("ts") > F.col("s_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("c_ts"))
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts", "event_type")).alias("evs")
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("c_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
-    )
-    return (
-        s.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .agg(
-            F.count(F.lit(1)).alias("n_signup_users"),
-            F.count("c_ts").alias("n_click_after"),
-            F.count("p_ts").alias("n_purchase_after"),
+    staged = (
+        per_user.withColumn(
+            "s_ts",
+            F.array_min(
+                F.expr(
+                    "transform(filter(evs, e -> e.event_type = 'signup'),"
+                    " e -> e.ts)"
+                )
+            ),
         )
+        .withColumn(
+            "c_ts",
+            F.array_min(
+                F.expr(
+                    "transform(filter(evs, e -> e.event_type = 'click'"
+                    " AND e.ts > s_ts), e -> e.ts)"
+                )
+            ),
+        )
+        .withColumn(
+            "p_ts",
+            F.array_min(
+                F.expr(
+                    "transform(filter(evs, e -> e.event_type = 'purchase'"
+                    " AND e.ts > c_ts), e -> e.ts)"
+                )
+            ),
+        )
+        .filter(F.col("s_ts").isNotNull())
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_signup_users"),
+        F.count("c_ts").alias("n_click_after"),
+        F.count("p_ts").alias("n_purchase_after"),
     )
 
 
