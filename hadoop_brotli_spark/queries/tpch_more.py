@@ -22,7 +22,7 @@ orders⋈lineitem; year-grouped outputs keep final aggregation tiny.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -384,12 +384,15 @@ def q112_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the reference schema's receipt/commit dates, FIXTURES.md §B).
 
     Spark-first rewrite: instead of two correlated self-joins (the
-    EXISTS / NOT EXISTS above), aggregate lineitem⋈orders ONCE per
-    order — distinct supplier count and distinct *late* supplier
-    count — and filter late lines against those two numbers
-    (n_supp > 1 ∧ n_late_supp = 1 ⟺ "someone else shipped, nobody
-    else was late"). One shuffle over the fact table instead of
-    three; supplier is broadcast for the name lookup.
+    EXISTS / NOT EXISTS above), attach per-order distinct supplier
+    count and distinct *late* supplier count with window
+    collect_sets OVER the order key — the window runs on the
+    partitioning the join just produced (no second pass over the
+    fact table, no aggregate-then-rejoin) — and filter late lines
+    against those two numbers (n_supp > 1 ∧ n_late_supp = 1 ⟺
+    "someone else shipped, nobody else was late"). Supplier is
+    broadcast for the name lookup. Per-order supplier sets are
+    bounded by lines-per-order, so window state is small.
     """
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
@@ -399,16 +402,20 @@ def q112_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
-    )
+    w = Window.partitionBy("l_orderkey")
     sole_late = (
-        lo.filter(F.col("is_late"))
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        lo.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(
+            F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
     )
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
