@@ -784,3 +784,94 @@ def q126_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         (F.sum("n_tokens").cast("double") / 512.0).alias("fill_ratio"),
     )
+
+
+@register(
+    "q131_histogram_cdf",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+             COUNT(*) AS n
+      FROM orders GROUP BY CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT)
+    )
+    SELECT bucket, n,
+           SUM(n) OVER (ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_n,
+           CAST(SUM(n) OVER (ORDER BY bucket
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE)
+             / SUM(n) OVER () AS cdf
+    FROM b
+    """,
+)
+def q131_histogram_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram with cumulative distribution: bucket
+    counts plus running total and CDF share — the scalable way to
+    see a distribution at 100 TB (vs exact percentiles, which need
+    a global sort).
+
+    The only global-order window here runs over the HISTOGRAM — a
+    few dozen buckets regardless of input size — never over
+    data-sized input (SURVEY.md §8). Bucketing itself is a pure
+    row-wise floor, one aggregation pass.
+    """
+    o = t(spark, sf_dir, "orders")
+    b = (
+        o.select(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy()
+    return b.select(
+        "bucket",
+        "n",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        (F.sum("n").over(w_cum).cast("double") / F.sum("n").over(w_tot)).alias(
+            "cdf"
+        ),
+    )
+
+
+@register(
+    "q132_weighted_stats",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_w,
+           CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4)))
+                AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS wavg_price,
+           CAST(SUM(CAST(l_quantity * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS effective_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q132_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted aggregates: quantity-weighted average price and
+    discount-effective quantity per group — plain AVG treats a
+    1-unit line and a 50-unit line equally; weighted stats are what
+    pricing and inventory actually need.
+
+    Exact decimal sums on both numerator and denominator (2-decimal
+    factors ⇒ 4-decimal products, _util docstring) make the ratio a
+    single identical IEEE division — order-free, partition-free.
+    One partial+final aggregation pass.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    qty, price, disc = (
+        F.col("l_quantity"),
+        F.col("l_extendedprice"),
+        F.col("l_discount"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        dsum(qty).alias("total_w"),
+        (dsum(qty * price, 4) / dsum(qty)).alias("wavg_price"),
+        dsum(qty * (1 - disc), 4).alias("effective_qty"),
+    )
