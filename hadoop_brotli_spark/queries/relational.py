@@ -639,3 +639,66 @@ def q35_correlated_agg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(agg, F.col("o_orderkey") == F.col("l_orderkey")).select(
         "o_orderkey", "o_totalprice", "line_total"
     )
+
+
+@register(
+    "q133_not_in_null_semantics",
+    oracle="""
+    WITH clean AS (
+      SELECT o_orderpriority, COUNT(*) AS n_not_in_clean
+      FROM orders
+      WHERE o_custkey NOT IN (
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0.0
+      )
+      GROUP BY o_orderpriority
+    ),
+    nullable AS (
+      SELECT COUNT(*) AS n_not_in_nullable
+      FROM orders
+      WHERE o_custkey NOT IN (
+        SELECT NULLIF(c_custkey, 0) FROM customer WHERE c_acctbal < 0.0
+      )
+    )
+    SELECT c.o_orderpriority, c.n_not_in_clean, n.n_not_in_nullable
+    FROM clean c CROSS JOIN nullable n
+    """,
+)
+def q133_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``NOT IN`` subquery semantics, including the NULL trap:
+    against a NULL-free subquery NOT IN behaves as an anti join, but
+    one NULL in the subquery (here NULLIF(c_custkey, 0)) makes the
+    predicate UNKNOWN for every probe row — so n_not_in_nullable is
+    0 whenever customer 0 has negative balance. The registry's other
+    anti joins (q13, q36) use NOT EXISTS, which has no such trap;
+    this query pins the difference.
+
+    Runs through the SQL entry point (``spark.sql`` over registered
+    views — same Catalyst pipeline), because DataFrame ``isin``
+    cannot express a null-aware subquery; Spark plans it as a
+    NullAwareAntiJoin (broadcast-only, build side is the subquery).
+    """
+    from ..catalog import load_table
+
+    for name in ("orders", "customer"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        WITH clean AS (
+          SELECT o_orderpriority, COUNT(*) AS n_not_in_clean
+          FROM orders
+          WHERE o_custkey NOT IN (
+            SELECT c_custkey FROM customer WHERE c_acctbal < 0.0
+          )
+          GROUP BY o_orderpriority
+        ),
+        nullable AS (
+          SELECT COUNT(*) AS n_not_in_nullable
+          FROM orders
+          WHERE o_custkey NOT IN (
+            SELECT NULLIF(c_custkey, 0) FROM customer WHERE c_acctbal < 0.0
+          )
+        )
+        SELECT c.o_orderpriority, c.n_not_in_clean, n.n_not_in_nullable
+        FROM clean c CROSS JOIN nullable n
+        """
+    )
