@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t
+from ._util import dsum, t
 
 
 @register(
@@ -232,4 +232,92 @@ def q100_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.last(purchase_value, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+@register(
+    "q134_topk_with_ties",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             RANK() OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC) AS rk
+      FROM customer
+    )
+    SELECT c_mktsegment, c_custkey, c_acctbal, rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q134_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group WITH ties: RANK() <= k admits every row tied
+    at the boundary — the correct semantics for leaderboards and
+    "top 3 balances" questions, distinct from q40's row_number()
+    (exactly k, needs a tie-break to be deterministic). RANK output
+    is deterministic even on ties because equal keys get equal
+    ranks, so no tie-break column is required.
+
+    Scale: window partitions by the group key; rows beyond the
+    per-group boundary are dropped before anything downstream.
+    """
+    c = t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    return (
+        c.select("c_mktsegment", "c_custkey", "c_acctbal")
+        .withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "q135_percent_of_parent",
+    oracle="""
+    WITH nat AS (
+      SELECT n.n_regionkey, n.n_name,
+             CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS nat_bal
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_regionkey, n.n_name
+    )
+    SELECT r.r_name, nat.n_name, nat.nat_bal,
+           nat.nat_bal
+             / CAST(SUM(CAST(nat.nat_bal AS DECIMAL(18,2)))
+                    OVER (PARTITION BY nat.n_regionkey) AS DOUBLE)
+             AS pct_of_region
+    FROM nat JOIN region r ON r.r_regionkey = nat.n_regionkey
+    """,
+)
+def q135_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent in a dimension hierarchy: each nation's
+    share of its region's customer balance — the ratio-to-report
+    pattern dashboards use for drill-downs.
+
+    The parent total is a window over the ALREADY-AGGREGATED nation
+    rows (25 rows regardless of input size), so no second pass over
+    the fact table and no data-sized window. Determinism: summing
+    doubles inside a window would be iteration-order-dependent, so
+    the window sum re-casts the (exactly 2-decimal) nation totals to
+    DECIMAL — exact in any order — and only the final share division
+    happens in IEEE doubles, identically in both engines.
+    """
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    nat = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey", "n_name")
+        .agg(dsum(F.col("c_acctbal")).alias("nat_bal"))
+    )
+    w = W.partitionBy("n_regionkey")
+    return (
+        nat.join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select(
+            "r_name",
+            "n_name",
+            "nat_bal",
+            (
+                F.col("nat_bal")
+                / F.sum(F.col("nat_bal").cast("decimal(18,2)"))
+                .over(w)
+                .cast("double")
+            ).alias("pct_of_region"),
+        )
     )
