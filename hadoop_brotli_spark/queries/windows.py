@@ -321,3 +321,52 @@ def q135_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_of_region"),
         )
     )
+
+
+@register(
+    "q136_pareto_frontier",
+    oracle="""
+    WITH ordered AS (
+      SELECT p_brand, p_partkey, p_retailprice, p_size,
+             MAX(p_size) OVER (PARTITION BY p_brand
+                               ORDER BY p_retailprice, p_size DESC, p_partkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS best_size_so_far
+      FROM part
+    )
+    SELECT p_brand, p_partkey, p_retailprice, p_size
+    FROM ordered
+    WHERE best_size_so_far IS NULL OR p_size > best_size_so_far
+    """,
+)
+def q136_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) per brand: parts not dominated on
+    (lower price, larger size) by any other part of the same brand —
+    the two-criteria shortlist query (cheapest-for-its-size).
+
+    Single window sweep instead of the naive NOT EXISTS self-join:
+    ordered by price, a part is on the frontier iff its size beats
+    the running max of everything cheaper. The (price, size DESC,
+    partkey) total order makes survivors deterministic for exact
+    (price, size) duplicates — first key wins.
+
+    Scale: O(n log n) per brand vs the self-join's O(n²) candidate
+    pairs; the window partitions by brand (never global).
+    """
+    p = t(spark, sf_dir, "part")
+    w = (
+        W.partitionBy("p_brand")
+        .orderBy(
+            F.col("p_retailprice"), F.col("p_size").desc(), F.col("p_partkey")
+        )
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        p.select("p_brand", "p_partkey", "p_retailprice", "p_size")
+        .withColumn("best_size_so_far", F.max("p_size").over(w))
+        .filter(
+            F.col("best_size_so_far").isNull()
+            | (F.col("p_size") > F.col("best_size_so_far"))
+        )
+        .drop("best_size_so_far")
+    )
