@@ -875,3 +875,212 @@ def q132_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dsum(qty * price, 4) / dsum(qty)).alias("wavg_price"),
         dsum(qty * (1 - disc), 4).alias("effective_qty"),
     )
+
+
+@register(
+    "q137_basket_lift",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+      FROM events
+    ),
+    n_baskets AS (
+      SELECT COUNT(*) AS total FROM (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      ) b
+    ),
+    singles AS (
+      SELECT event_type, COUNT(*) AS n FROM baskets GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_ab
+      FROM baskets a
+      JOIN baskets b ON a.user_id = b.user_id AND a.d = b.d
+                    AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b, p.n_ab,
+           CAST(p.n_ab AS DOUBLE) / sa.n AS confidence_a_to_b,
+           CAST(p.n_ab AS DOUBLE) * t.total / (sa.n * sb.n) AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    CROSS JOIN n_baskets t
+    """,
+)
+def q137_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association metrics over user-day baskets:
+    pair support, confidence, and lift for event-type
+    co-occurrence — the data-mining classic, sized so the itemset
+    alphabet (event types) keeps pair fan-out bounded.
+
+    One groupBy(basket) collects each basket's distinct types (≤5)
+    and emits pairs via in-row double explode — no basket self-join
+    (the oracle spells the equivalent self-join for DuckDB). Ratios
+    divide exact integers, identically in both engines.
+    """
+    ev = t(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d"), "event_type"
+    ).distinct()
+    per_basket = baskets.groupBy("user_id", "d").agg(
+        F.collect_set("event_type").alias("types")
+    )
+    n_baskets = per_basket.agg(F.count(F.lit(1)).alias("total"))
+    singles = (
+        per_basket.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        per_basket.select(F.explode("types").alias("type_a"), "types")
+        .select("type_a", F.explode("types").alias("type_b"))
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = F.broadcast(
+        singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    )
+    sb = F.broadcast(
+        singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    )
+    return (
+        pairs.join(sa, "type_a")
+        .join(sb, "type_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            (F.col("n_ab").cast("double") / F.col("na")).alias(
+                "confidence_a_to_b"
+            ),
+            (
+                F.col("n_ab").cast("double") * F.col("total")
+                / (F.col("na") * F.col("nb"))
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "q138_time_to_event",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS purchase_ts
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT CASE WHEN purchase_ts IS NULL THEN 'censored'
+                WHEN purchase_ts <= signup_ts THEN 'pre_signup'
+                ELSE CAST(date_diff('day', CAST(signup_ts AS DATE),
+                                    CAST(purchase_ts AS DATE)) AS VARCHAR)
+           END AS days_to_purchase,
+           COUNT(*) AS n_users
+    FROM firsts
+    WHERE signup_ts IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q138_time_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-event distribution (survival-analysis input): days
+    from first signup to first purchase per user, with explicit
+    censoring buckets (never purchased / purchased before signup) —
+    the shape a conversion-latency or churn model trains on.
+
+    One aggregation computes both first-event timestamps
+    (conditional MINs — no per-stage joins); the day-diff histogram
+    is integer-exact.
+    """
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "signup_ts"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "purchase_ts"
+        ),
+    )
+    days = F.datediff(
+        F.col("purchase_ts").cast("date"), F.col("signup_ts").cast("date")
+    )
+    bucket = (
+        F.when(F.col("purchase_ts").isNull(), "censored")
+        .when(F.col("purchase_ts") <= F.col("signup_ts"), "pre_signup")
+        .otherwise(days.cast("string"))
+    )
+    return (
+        firsts.filter(F.col("signup_ts").isNotNull())
+        .groupBy(bucket.alias("days_to_purchase"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "q139_outlier_audit",
+    oracle="""
+    WITH stats AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS s1,
+             CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                                AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
+               AS s2
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    scored AS (
+      SELECT l.l_returnflag, l.l_extendedprice,
+             s1 / n AS mu,
+             SQRT((s2 - s1 * s1 / n) / (n - 1.0)) AS sigma
+      FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(CASE WHEN ABS(l_extendedprice - mu) > 2.0 * sigma
+                      THEN 1 END) AS n_outliers,
+           CAST(COUNT(CASE WHEN ABS(l_extendedprice - mu) > 2.0 * sigma
+                           THEN 1 END) AS DOUBLE) / COUNT(*) AS outlier_rate
+    FROM scored
+    GROUP BY l_returnflag
+    """,
+)
+def q139_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier audit per group: rows beyond 2σ of their
+    group's mean, as a count and rate — the data-quality gate a
+    pipeline runs before training ingestion.
+
+    Group statistics come from the exact-sufficient-statistics
+    pattern (q117): one aggregation pass, mergeable, no two-pass
+    mean-then-deviation. The per-row z-test is identical IEEE
+    arithmetic on identical operands, so the cut is reproducible
+    across engines and partitionings. The tiny stats table is
+    broadcast back onto the fact rows.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(price).alias("s1"),
+        F.sum((price * price).cast("decimal(38,4)")).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    enriched = li.join(F.broadcast(stats), "l_returnflag").select(
+        "l_returnflag",
+        "l_extendedprice",
+        (s1 / n).alias("mu"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - 1.0)).alias("sigma"),
+    )
+    is_out = F.abs(F.col("l_extendedprice") - F.col("mu")) > 2.0 * F.col("sigma")
+    return enriched.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(is_out, 1)).alias("n_outliers"),
+        (F.count(F.when(is_out, 1)).cast("double") / F.count(F.lit(1))).alias(
+            "outlier_rate"
+        ),
+    )
