@@ -33,6 +33,11 @@ SAMPLE = [
     "q120_interp_resample",
     "q121_event_transitions",
     "q126_sequence_packing",
+    "q131_histogram_cdf",
+    "q135_percent_of_parent",
+    "q136_pareto_frontier",
+    "q137_basket_lift",
+    "q139_outlier_audit",
 ]
 
 
