@@ -504,3 +504,72 @@ def q66_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 20)
         .select("doc_a", "doc_b", "edit_dist")
     )
+
+
+@register(
+    "q140_lsh_verified_pairs",
+    oracle=f"""
+    WITH {{pairs_ctes}},
+    hsets AS (
+      SELECT doc_id, md5(shingle) AS h FROM sh
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM hsets GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+      FROM pairs p
+      JOIN hsets a ON a.doc_id = p.doc_a
+      JOIN hsets b ON b.doc_id = p.doc_b AND b.h = a.h
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5
+    """.format(pairs_ctes=_minhash_pairs_ctes()),
+)
+def q140_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERIFY stage of two-stage LSH dedup: exact shingle-set
+    Jaccard computed ONLY for MinHash candidate pairs (q62), keeping
+    pairs at ≥ 0.5 — the architecture production near-dedup actually
+    ships (LSH recall pass → exact precision pass), completing the
+    q61 (exhaustive exact) / q62 (candidates only) pair.
+
+    Scale: the exact check touches O(candidates) pairs, not
+    O(docs²); each side's shingle fingerprint set is collected once
+    (fixed-width md5 hashes, never shingle text — q68's rule) and
+    the intersection is an in-row array_intersect, so verification
+    is two hash joins on doc ids plus codegen'd array math.
+    """
+    pairs = _minhash_pairs(spark, sf_dir)
+    sh = _shingle_df(spark, sf_dir, 3)
+    hsets = (
+        sh.select("doc_id", F.md5(F.col("shingle").cast("binary")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs"))
+    )
+    a = hsets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    b = hsets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    scored = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ha", "hb")).alias("n_common"),
+            F.size("ha").alias("na"),
+            F.size("hb").alias("nb"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        scored.filter(F.col("n_common") > 0)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
