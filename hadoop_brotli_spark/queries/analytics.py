@@ -1084,3 +1084,96 @@ def q139_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outlier_rate"
         ),
     )
+
+
+@register(
+    "q141_distribution_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT source, CAST(FLOOR(n_chars / 50.0) AS BIGINT) AS bin,
+             COUNT(*) AS n
+      FROM documents
+      GROUP BY source, CAST(FLOOR(n_chars / 50.0) AS BIGINT)
+    ),
+    totals AS (
+      SELECT source, SUM(n) AS total FROM binned GROUP BY source
+    ),
+    grid AS (
+      SELECT s.source, b.bin FROM totals s
+      CROSS JOIN (SELECT DISTINCT bin FROM binned) b
+    ),
+    cdf AS (
+      SELECT g.source, g.bin,
+             CAST(SUM(COALESCE(bi.n, 0)) OVER (PARTITION BY g.source
+                    ORDER BY g.bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE)
+               / t.total AS cum_share
+      FROM grid g
+      LEFT JOIN binned bi ON bi.source = g.source AND bi.bin = g.bin
+      JOIN totals t ON t.source = g.source
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           MAX(ABS(a.cum_share - b.cum_share)) AS ks_stat
+    FROM cdf a
+    JOIN cdf b ON a.bin = b.bin AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q141_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: a binned two-sample KS statistic
+    (max CDF gap) for document length between every pair of
+    sources — the check a training pipeline runs to catch a source
+    whose content shifted between snapshots.
+
+    Each source's CDF is evaluated on the SHARED bin grid (missing
+    bins zero-filled) so gaps compare aligned points. Everything
+    after the per-source histogram operates on |sources| × |bins|
+    rows — the pair join and windows are on bounded aggregates, not
+    data. CDF shares divide exact integers; MAX of identical doubles
+    is order-free.
+    """
+    docs = t(spark, sf_dir, "documents")
+    binned = (
+        docs.select(
+            "source", F.floor(F.col("n_chars") / 50.0).cast("bigint").alias("bin")
+        )
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = binned.groupBy("source").agg(F.sum("n").alias("total"))
+    bins = binned.select("bin").distinct()
+    grid = totals.select("source", "total").crossJoin(F.broadcast(bins))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = (
+        grid.join(binned, ["source", "bin"], "left")
+        .select(
+            "source",
+            "bin",
+            "total",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n0"),
+        )
+        .select(
+            "source",
+            "bin",
+            (F.sum("n0").over(w).cast("double") / F.col("total")).alias(
+                "cum_share"
+            ),
+        )
+    )
+    a = cdf.select(
+        F.col("source").alias("src_a"), "bin", F.col("cum_share").alias("ca")
+    )
+    b = cdf.select(
+        F.col("source").alias("src_b"), "bin", F.col("cum_share").alias("cb")
+    )
+    return (
+        a.join(b, "bin")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.max(F.abs(F.col("ca") - F.col("cb"))).alias("ks_stat"))
+    )
