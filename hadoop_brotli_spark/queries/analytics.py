@@ -1177,3 +1177,135 @@ def q141_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_a", "src_b")
         .agg(F.max(F.abs(F.col("ca") - F.col("cb"))).alias("ks_stat"))
     )
+
+
+@register(
+    "q142_chi_square_cells",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, COUNT(*) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    row_t AS (SELECT lang, SUM(o) AS rt FROM obs GROUP BY lang),
+    col_t AS (SELECT source, SUM(o) AS ct FROM obs GROUP BY source),
+    tot AS (SELECT SUM(o) AS n FROM obs)
+    SELECT obs.lang, obs.source, obs.o,
+           CAST(r.rt AS DOUBLE) * c.ct / t.n AS expected,
+           (obs.o - CAST(r.rt AS DOUBLE) * c.ct / t.n)
+             * (obs.o - CAST(r.rt AS DOUBLE) * c.ct / t.n)
+             / (CAST(r.rt AS DOUBLE) * c.ct / t.n) AS chi2_cell
+    FROM obs
+    JOIN row_t r ON r.lang = obs.lang
+    JOIN col_t c ON c.source = obs.source
+    CROSS JOIN tot t
+    """,
+)
+def q142_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit between two categorical columns
+    (lang × source): per-cell observed vs expected counts and the
+    cell's χ² contribution — the test that catches a source
+    over-represented in one language before a sampler bakes the
+    bias in.
+
+    Emitted per cell (not summed): a float total would be
+    accumulation-order-dependent, while per-cell values are pure
+    functions of exact integers — reproducible anywhere, and more
+    actionable (the offending cells are visible). Row/column totals
+    derive from the contingency aggregate itself (languages ×
+    sources rows), so the fact table is scanned once.
+    """
+    docs = t(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    row_t = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
+    col_t = obs.groupBy("source").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    return (
+        obs.join(F.broadcast(row_t), "lang")
+        .join(F.broadcast(col_t), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "o",
+            e.alias("expected"),
+            ((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2_cell"),
+        )
+    )
+
+
+@register(
+    "q143_bounce_rate",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_id
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_id,
+             CAST(MIN(ts) AS DATE) AS d,
+             COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT d,
+           COUNT(*) AS n_sessions,
+           COUNT(CASE WHEN n_events = 1 THEN 1 END) AS n_bounces,
+           CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE)
+             / COUNT(*) AS bounce_rate
+    FROM per_session
+    GROUP BY d
+    """,
+)
+def q143_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions (30-minute inactivity
+    gap, q56's definition) containing exactly one event — the
+    engagement-quality metric sitting on top of sessionization.
+
+    Scale: the gap-flag and session-id windows partition by user_id
+    on one shuffle; everything after operates on per-session rows
+    (bounded by sessions, not events), and the daily rate divides
+    exact integers.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1
+        ).otherwise(0).alias("is_new"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("is_new").over(w_cum).cast("bigint").alias("session_id"),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").cast("date").alias("d"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = F.count(F.when(F.col("n_events") == 1, 1))
+    return per_session.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounce.alias("n_bounces"),
+        (bounce.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
+    )
