@@ -1309,3 +1309,89 @@ def q143_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounce.alias("n_bounces"),
         (bounce.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
     )
+
+
+@register(
+    "q144_priority_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT lang, doc_id, n_chars, rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def q144_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic priority sampling: exactly k rows per stratum,
+    chosen by hash-of-key order — reproducible across engines, runs,
+    and partitionings (unlike rand()-based sampling), and
+    automatically stable under data appends that don't change the
+    winning hashes. Complements q89's hash-mod stratified sample
+    (fixed RATE, variable count) with a fixed-COUNT guarantee.
+
+    Scale: one window per stratum key; the md5 priority is computed
+    row-side, so the sort key is a fixed-width hash, and rows beyond
+    rank k drop before anything downstream.
+    """
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@register(
+    "q145_join_cardinality",
+    oracle="""
+    WITH ko AS (
+      SELECT o_orderkey AS k, COUNT(*) AS n_o FROM orders GROUP BY o_orderkey
+    ),
+    kl AS (
+      SELECT l_orderkey AS k, COUNT(*) AS n_l FROM lineitem
+      GROUP BY l_orderkey
+    )
+    SELECT COUNT(ko.k) AS n_matching_keys,
+           SUM(ko.n_o * kl.n_l) AS join_rows,
+           MAX(kl.n_l) AS max_fanout,
+           CAST(SUM(ko.n_o * kl.n_l) AS DOUBLE) / COUNT(ko.k)
+             AS avg_rows_per_key
+    FROM ko JOIN kl ON ko.k = kl.k
+    """,
+)
+def q145_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality profiling WITHOUT executing the join: the
+    exact orders⋈lineitem output size is Σ(count_o(k)·count_l(k))
+    over shared keys — per-key count aggregates joined instead of
+    the fact tables themselves. The pre-flight check that catches a
+    fan-out (many-to-many key) before it materializes a
+    trillion-row join at 100 TB; max_fanout pinpoints skewed keys
+    that need salting or AQE skew splitting.
+
+    All-integer arithmetic: exact under any partitioning; the
+    key-count relations are as big as the key space, not the data.
+    """
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    ko = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_o")
+    )
+    kl = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    return ko.join(kl, "k").agg(
+        F.count("k").alias("n_matching_keys"),
+        F.sum(F.col("n_o") * F.col("n_l")).alias("join_rows"),
+        F.max("n_l").alias("max_fanout"),
+        (
+            F.sum(F.col("n_o") * F.col("n_l")).cast("double") / F.count("k")
+        ).alias("avg_rows_per_key"),
+    )
