@@ -385,3 +385,49 @@ def q88_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "q146_regex_extract_family",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 's[a-z]+')) AS BIGINT)
+             AS n_s_words,
+           regexp_extract(text, 's[a-z]+') AS first_s_word,
+           CAST(len(list_distinct(regexp_extract_all(text, 's[a-z]+')))
+                AS BIGINT) AS n_distinct_s_words,
+           regexp_matches(text, 'join [a-z]+ scan') AS has_join_scan,
+           regexp_replace(text, 's[a-z]+', '_', 'g') LIKE '%_ _%'
+             AS has_adjacent_s_words
+    FROM documents
+    """,
+)
+def q146_regex_extract_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp function family over document text: extract-all with
+    count and distinct count, first match, boolean pattern test, and
+    global replace — the text-wrangling surface corpus filters are
+    built from.
+
+    Patterns stick to portable character-class syntax (identical
+    semantics in Java regex and RE2); both engines return '' (not
+    NULL) for a no-match extract, which the oracle relies on.
+
+    Scale: pure row-local codegen'd string work — no shuffle, no
+    Python; column pruning reaches the scan.
+    """
+    docs = t(spark, sf_dir, "documents")
+    pat = "s[a-z]+"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("bigint").alias(
+            "n_s_words"
+        ),
+        F.regexp_extract("text", pat, 0).alias("first_s_word"),
+        F.size(F.array_distinct(F.regexp_extract_all("text", F.lit(pat), 0)))
+        .cast("bigint")
+        .alias("n_distinct_s_words"),
+        F.col("text").rlike("join [a-z]+ scan").alias("has_join_scan"),
+        F.regexp_replace("text", pat, "_").like("%_ _%").alias(
+            "has_adjacent_s_words"
+        ),
+    )
