@@ -1395,3 +1395,78 @@ def q145_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_o") * F.col("n_l")).cast("double") / F.count("k")
         ).alias("avg_rows_per_key"),
     )
+
+
+@register(
+    "q147_timeseries_anomaly",
+    oracle="""
+    WITH per_hour AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    scored AS (
+      SELECT h, n,
+             SUM(n) OVER w AS s1,
+             SUM(n * n) OVER w AS s2,
+             COUNT(*) OVER w AS k
+      FROM per_hour
+      WINDOW w AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CAST(h AS TIMESTAMP) AS h, n, k AS window_hours,
+           CAST(s1 AS DOUBLE) / k AS mu,
+           (n - CAST(s1 AS DOUBLE) / k)
+             / SQRT((s2 - CAST(s1 AS DOUBLE) * s1 / k) / (k - 1.0))
+             AS zscore
+    FROM scored
+    WHERE k >= 12
+      AND (s2 - CAST(s1 AS DOUBLE) * s1 / k) > 0
+    """,
+)
+def q147_timeseries_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly scores for event volume: each hour's
+    count z-scored against the previous 24 hours — the streaming-ops
+    alerting primitive (traffic spike / outage dip detection),
+    expressed batch-side.
+
+    The trailing mean/std come from window sums of n and n² —
+    integer-exact in any order — so the z-score is one identical
+    IEEE expression per row. Warm-up hours (fewer than 12 trailing
+    points) and zero-variance windows are excluded.
+
+    Scale: the window runs over the per-hour aggregate (8,760 rows
+    per year regardless of event volume), never raw events. For
+    per-entity alerting the same window partitions by entity key.
+    """
+    ev = t(spark, sf_dir, "events")
+    per_hour = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("h").rowsBetween(-24, -1)
+    n, s1, s2, k = (
+        F.col("n"),
+        F.sum("n").over(w),
+        F.sum(F.col("n") * F.col("n")).over(w),
+        F.count(F.lit(1)).over(w),
+    )
+    scored = per_hour.select(
+        F.col("h").cast("timestamp").alias("h"),
+        "n",
+        s1.alias("s1"),
+        s2.alias("s2"),
+        k.alias("k"),
+    )
+    s1c, s2c, kc = F.col("s1"), F.col("s2"), F.col("k")
+    mu = s1c.cast("double") / kc
+    var = (s2c - s1c.cast("double") * s1c / kc) / (kc - 1.0)
+    return (
+        scored.filter(
+            (kc >= 12) & ((s2c - s1c.cast("double") * s1c / kc) > 0)
+        )
+        .select(
+            "h",
+            "n",
+            kc.alias("window_hours"),
+            mu.alias("mu"),
+            ((F.col("n") - mu) / F.sqrt(var)).alias("zscore"),
+        )
+    )
