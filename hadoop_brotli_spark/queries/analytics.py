@@ -1470,3 +1470,126 @@ def q147_timeseries_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("n") - mu) / F.sqrt(var)).alias("zscore"),
         )
     )
+
+
+@register(
+    "q148_journey_paths",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path3
+      FROM ranked WHERE rn <= 3
+      GROUP BY user_id
+    )
+    SELECT path3, COUNT(*) AS n_users
+    FROM paths GROUP BY path3
+    """,
+)
+def q148_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer journey path analysis: each user's first three
+    events joined into a path string, counted across users — the
+    entry-funnel fingerprint product analytics asks for ("what do
+    new users do first?").
+
+    Path assembly is rank-filter (first 3 per user, total-ordered)
+    then an ORDER-BY string aggregation — deterministic because the
+    rank order is total. Output cardinality is |event types|³ at
+    most.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path3")
+        )
+    )
+    return paths.groupBy("path3").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "q149_recency_features",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(rn - last_purchase_rn AS BIGINT) AS events_since_purchase,
+           epoch_us(ts) - epoch_us(last_purchase_ts) AS usecs_since_purchase
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+             ROW_NUMBER() OVER w AS rn,
+             MAX(CASE WHEN event_type = 'purchase' THEN ts END) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_purchase_ts,
+             MAX(CASE WHEN event_type = 'purchase'
+                      THEN rn0 END) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_purchase_rn
+      FROM (
+        SELECT *, ROW_NUMBER() OVER w AS rn0 FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ) base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) feat
+    WHERE last_purchase_ts IS NOT NULL
+    """,
+)
+def q149_recency_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event recency feature engineering: for every event after
+    a user's first purchase, how many events and how many
+    microseconds since that user's most recent PRIOR purchase — the
+    point-in-time-correct features a propensity model trains on
+    (strictly-preceding frame ⇒ no label leakage).
+
+    The "last prior purchase" lookup is a conditional running MAX
+    over a 1-PRECEDING frame — no self-join against a purchase
+    table, and timestamps/row-numbers are integer-exact.
+
+    Scale: both windows share the same (user_id, ts, event_id)
+    partitioning and sort — one shuffle, one sort, two frame passes.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    base = ev.withColumn("rn0", F.row_number().over(w))
+    feat = base.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).over(w_prev).alias("last_purchase_ts"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("rn0"))
+        ).over(w_prev).alias("last_purchase_rn"),
+    )
+    return feat.filter(F.col("last_purchase_ts").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("rn") - F.col("last_purchase_rn")).cast("bigint").alias(
+            "events_since_purchase"
+        ),
+        (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.col("last_purchase_ts"))
+        ).alias("usecs_since_purchase"),
+    )
