@@ -702,3 +702,69 @@ def q133_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM clean c CROSS JOIN nullable n
         """
     )
+
+
+@register(
+    "q150_table_stats",
+    oracle="""
+    SELECT 'orders' AS table_name, COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderkey) AS n_distinct_key,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           COUNT(*) - COUNT(o_custkey) AS n_null_fk
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', COUNT(*), COUNT(DISTINCT l_orderkey),
+           MIN(l_orderkey), MAX(l_orderkey),
+           COUNT(*) - COUNT(l_partkey)
+    FROM lineitem
+    UNION ALL
+    SELECT 'customer', COUNT(*), COUNT(DISTINCT c_custkey),
+           MIN(c_custkey), MAX(c_custkey),
+           COUNT(*) - COUNT(c_nationkey)
+    FROM customer
+    UNION ALL
+    SELECT 'documents', COUNT(*), COUNT(DISTINCT doc_id),
+           MIN(doc_id), MAX(doc_id),
+           COUNT(*) - COUNT(source)
+    FROM documents
+    """,
+)
+def q150_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog statistics collection (the ANALYZE TABLE equivalent):
+    per-table row counts, key cardinality and range, and FK null
+    counts in one unioned snapshot — the numbers a cost-based
+    optimizer's join ordering and the q145 cardinality profile feed
+    on, and the drift baseline an ingest pipeline re-computes per
+    batch.
+
+    Each branch is one partial+final aggregation over its own scan
+    (column-pruned to the profiled columns); the union is plan
+    concatenation, no shuffle between branches.
+    """
+
+    def stats(name, df, key, fk):
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(key).alias("n_distinct_key"),
+            F.min(key).alias("min_key"),
+            F.max(key).alias("max_key"),
+            (F.count(F.lit(1)) - F.count(fk)).alias("n_null_fk"),
+        )
+
+    return (
+        stats("orders", t(spark, sf_dir, "orders"), "o_orderkey", "o_custkey")
+        .unionByName(
+            stats(
+                "lineitem", t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+            )
+        )
+        .unionByName(
+            stats(
+                "customer", t(spark, sf_dir, "customer"), "c_custkey", "c_nationkey"
+            )
+        )
+        .unionByName(
+            stats("documents", t(spark, sf_dir, "documents"), "doc_id", "source")
+        )
+    )
