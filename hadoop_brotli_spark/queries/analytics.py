@@ -1593,3 +1593,114 @@ def q149_recency_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.col("last_purchase_ts"))
         ).alias("usecs_since_purchase"),
     )
+
+
+@register(
+    "q151_ab_test",
+    oracle="""
+    WITH spend AS (
+      SELECT user_id,
+             CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7)
+                       AS BIGINT) % 2 AS BIGINT) AS variant,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    avg_spend AS (
+      SELECT CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_m
+      FROM spend
+    ),
+    assigned AS (
+      SELECT s.user_id, s.variant,
+             CASE WHEN s.monetary > a.avg_m THEN 1 ELSE 0 END AS converted
+      FROM spend s CROSS JOIN avg_spend a
+    ),
+    per_variant AS (
+      SELECT variant, COUNT(*) AS n_users, SUM(converted) AS n_converted,
+             CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conv_rate
+      FROM assigned GROUP BY variant
+    ),
+    paired AS (
+      SELECT a.n_users AS n_a, a.n_converted AS c_a, a.conv_rate AS rate_a,
+             b.n_users AS n_b, b.n_converted AS c_b, b.conv_rate AS rate_b,
+             CAST(a.n_converted + b.n_converted AS DOUBLE)
+               / (a.n_users + b.n_users) AS pooled
+      FROM per_variant a JOIN per_variant b
+        ON a.variant = 0 AND b.variant = 1
+    )
+    SELECT n_a, c_a, rate_a, n_b, c_b, rate_b,
+           (rate_a - rate_b)
+             / SQRT(pooled * (1 - pooled)
+                    * (1.0 / n_a + 1.0 / n_b)) AS z_stat
+    FROM paired
+    """,
+)
+def q151_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic hash-based variant
+    assignment (md5(user) % 2 — reproducible, no stored assignment
+    table), per-variant conversion (purchase spend above the corpus
+    average — corpus-relative so it splits at any scale factor), and
+    the pooled two-proportion z-statistic.
+
+    Every input to the z formula is an exact integer ratio, so the
+    statistic is the same IEEE expression in both engines. The
+    hash-assignment trick is the same membership rule as the q88
+    train/valid/test split — one convention across experiments and
+    data splits.
+
+    Scale: one user-grouped pass over events, then all arithmetic on
+    a 2-row aggregate.
+    """
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    variant = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 7),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    ).cast("bigint")
+    spend = ev.groupBy("user_id").agg(dsum(F.col("value")).alias("monetary")).select(
+        "user_id", variant.alias("variant"), "monetary"
+    )
+    avg_spend = spend.agg(
+        (dsum(F.col("monetary")) / F.count(F.lit(1))).alias("avg_m")
+    )
+    assigned = spend.crossJoin(F.broadcast(avg_spend)).select(
+        "variant",
+        F.when(F.col("monetary") > F.col("avg_m"), 1).otherwise(0).alias(
+            "converted"
+        ),
+    )
+    per_variant = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias(
+            "conv_rate"
+        ),
+    )
+    a = per_variant.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n_a"),
+        F.col("n_converted").alias("c_a"),
+        F.col("conv_rate").alias("rate_a"),
+    )
+    b = per_variant.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n_b"),
+        F.col("n_converted").alias("c_b"),
+        F.col("conv_rate").alias("rate_b"),
+    )
+    paired = a.crossJoin(F.broadcast(b)).withColumn(
+        "pooled",
+        (F.col("c_a") + F.col("c_b")).cast("double")
+        / (F.col("n_a") + F.col("n_b")),
+    )
+    z = (F.col("rate_a") - F.col("rate_b")) / F.sqrt(
+        F.col("pooled")
+        * (1 - F.col("pooled"))
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return paired.select(
+        "n_a", "c_a", "rate_a", "n_b", "c_b", "rate_b", z.alias("z_stat")
+    )
