@@ -1,0 +1,130 @@
+"""Property-based oracle parity: Spark and DuckDB must agree on
+RANDOMLY GENERATED inputs, not just the driver's fixtures.
+
+Hypothesis generates small events/documents tables (adversarial
+shapes: duplicate timestamps, single-user bursts, empty-ish tables,
+repeated texts), writes them as parquet into a scratch sf_dir, and
+runs a slice of the registry through the same compare() used
+everywhere else. This catches determinism bugs that fixture data
+can't — tie-breaking, empty-group edges, all-duplicate corpora.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hadoop_brotli_spark import TABLES
+from hadoop_brotli_spark.registry import load_all_queries
+
+from .conftest import SF_DIR
+from .oracle_harness import compare
+
+SPECS = load_all_queries()
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+WORDS = ["scan", "join", "sort", "hash", "merge", "table", "key", "batch"]
+
+# Queries whose semantics are events/documents-driven and cheap enough
+# to run per-example.
+EVENT_QUERIES = [
+    "q116_activity_streaks",
+    "q121_event_transitions",
+    "q143_bounce_rate",
+]
+DOC_QUERIES = [
+    "q60_dedup_exact",
+    "q126_sequence_packing",
+]
+
+
+@pytest.fixture(scope="module")
+def scratch_sf(tmp_path_factory) -> Path:
+    """A writable sf_dir seeded with the static small tables; the
+    generated tables are overwritten per example."""
+    base = tmp_path_factory.mktemp("prop_sf")
+    for name in TABLES:
+        shutil.copy(Path(SF_DIR) / f"{name}.parquet", base / f"{name}.parquet")
+    return base
+
+
+events_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # user_id
+        st.integers(0, 86_400),  # seconds offset within a few days
+        st.sampled_from(EVENT_TYPES),
+        st.integers(0, 99_999),  # cents -> 2-decimal value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+docs_rows = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from(WORDS), min_size=1, max_size=12),  # text
+        st.sampled_from(["src0", "src1"]),
+        st.sampled_from(["en", "de"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _write_events(base: Path, rows) -> None:
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [
+                pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s * 37)
+                for _, s, _, _ in rows
+            ],
+            "user_id": [u for u, _, _, _ in rows],
+            "event_type": [e for _, _, e, _ in rows],
+            "value": [c / 100.0 for _, _, _, c in rows],
+            "props": ['{"k": 1}'] * len(rows),
+        }
+    )
+    df.to_parquet(base / "events.parquet", index=False)
+
+
+def _write_docs(base: Path, rows) -> None:
+    texts = [" ".join(w) for w, _, _ in rows]
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(rows)),
+            "text": texts,
+            "lang": [lang for _, _, lang in rows],
+            "source": [src for _, src, _ in rows],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    df.to_parquet(base / "documents.parquet", index=False)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=events_rows)
+def test_event_queries_match_oracle_on_generated_data(spark, scratch_sf, rows):
+    _write_events(scratch_sf, rows)
+    for name in EVENT_QUERIES:
+        compare(SPECS[name], spark, str(scratch_sf))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=docs_rows)
+def test_doc_queries_match_oracle_on_generated_data(spark, scratch_sf, rows):
+    _write_docs(scratch_sf, rows)
+    for name in DOC_QUERIES:
+        compare(SPECS[name], spark, str(scratch_sf))
