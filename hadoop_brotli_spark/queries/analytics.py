@@ -1704,3 +1704,171 @@ def q151_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paired.select(
         "n_a", "c_a", "rate_a", "n_b", "c_b", "rate_b", z.alias("z_stat")
     )
+
+
+@register(
+    "q152_adoption_curve",
+    oracle="""
+    WITH firstd AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events
+      GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT d, COUNT(*) AS n_new FROM firstd GROUP BY d
+    )
+    SELECT d, n_new,
+           SUM(n_new) OVER (ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum_users
+    FROM per_day
+    """,
+)
+def q152_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative adoption curve: new users per first-seen day and
+    the running total — the growth chart every product dashboard
+    leads with.
+
+    The running sum is a global-order window over the per-DAY
+    aggregate (calendar-bounded, like q131/q147 — never data-sized);
+    first-seen derivation is one user-keyed aggregation.
+    """
+    ev = t(spark, sf_dir, "events")
+    firstd = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("d"))
+    per_day = firstd.groupBy("d").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        "d", "n_new", F.sum("n_new").over(w).alias("cum_users")
+    )
+
+
+@register(
+    "q153_user_concentration",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    top10 AS (
+      SELECT n FROM per_user ORDER BY n DESC, user_id ASC LIMIT 10
+    )
+    SELECT (SELECT COUNT(*) FROM per_user) AS n_users,
+           (SELECT SUM(n) FROM per_user) AS total_events,
+           (SELECT SUM(n) FROM top10) AS top10_events,
+           CAST((SELECT SUM(n) FROM top10) AS DOUBLE)
+             / (SELECT SUM(n) FROM per_user) AS top10_share
+    """,
+)
+def q153_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration: what share of all events the ten most
+    active users generate — the power-law health check that decides
+    whether per-user keys need skew handling (SURVEY.md §8 salting).
+
+    Top-k goes through orderBy().limit() → TakeOrderedAndProject
+    (per-partition top-k + driver merge of k·p rows, the scalable
+    global-top-k idiom) with a total-order tie-break; everything
+    else is exact integer sums combined by a 1-row broadcast cross
+    join.
+    """
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    totals = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("total_events"),
+    )
+    top10 = (
+        per_user.orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(10)
+        .agg(F.sum("n").alias("top10_events"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(top10))
+        .select(
+            "n_users",
+            "total_events",
+            "top10_events",
+            (
+                F.col("top10_events").cast("double") / F.col("total_events")
+            ).alias("top10_share"),
+        )
+    )
+
+
+@register(
+    "q154_growth_accounting",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    seq AS (
+      SELECT user_id, d,
+             LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d,
+             LEAD(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d
+      FROM ud
+    ),
+    states AS (
+      SELECT d,
+             COUNT(CASE WHEN prev_d IS NULL THEN 1 END) AS n_new,
+             COUNT(CASE WHEN prev_d = d - 1 THEN 1 END) AS n_retained,
+             COUNT(CASE WHEN prev_d IS NOT NULL AND prev_d < d - 1 THEN 1 END)
+               AS n_resurrected
+      FROM seq GROUP BY d
+    ),
+    churn AS (
+      SELECT d + 1 AS d, COUNT(*) AS n_churned
+      FROM seq
+      WHERE next_d IS NULL OR next_d > d + 1
+      GROUP BY d + 1
+    )
+    SELECT s.d, s.n_new, s.n_retained, s.n_resurrected,
+           COALESCE(c.n_churned, 0) AS n_churned
+    FROM states s LEFT JOIN churn c ON c.d = s.d
+    """,
+)
+def q154_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: every active user classified as new
+    (first day), retained (active yesterday too), or resurrected
+    (returning after a gap), plus how many of the previous day's
+    actives churned — the four-quadrant DAU decomposition growth teams
+    live by.
+
+    One distinct (user, day) reduction feeds both a lag and a lead
+    window on the same user partitioning (one shuffle, one sort);
+    churn attributes to the day AFTER the user's last consecutive
+    active day. All counts are exact integers.
+    """
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    seq = ud.select(
+        "user_id",
+        "d",
+        F.lag("d").over(w).alias("prev_d"),
+        F.lead("d").over(w).alias("next_d"),
+    )
+    states = seq.groupBy("d").agg(
+        F.count(F.when(F.col("prev_d").isNull(), 1)).alias("n_new"),
+        F.count(
+            F.when(F.col("prev_d") == F.date_sub(F.col("d"), 1), 1)
+        ).alias("n_retained"),
+        F.count(
+            F.when(
+                F.col("prev_d").isNotNull()
+                & (F.col("prev_d") < F.date_sub(F.col("d"), 1)),
+                1,
+            )
+        ).alias("n_resurrected"),
+    )
+    churn = (
+        seq.filter(
+            F.col("next_d").isNull()
+            | (F.col("next_d") > F.date_add(F.col("d"), 1))
+        )
+        .groupBy(F.date_add(F.col("d"), 1).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return states.join(churn, "d", "left").select(
+        "d",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce(F.col("n_churned"), F.lit(0)).alias("n_churned"),
+    )
