@@ -573,3 +573,50 @@ def q140_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+@register(
+    "q155_golden_record",
+    oracle="""
+    WITH scored AS (
+      SELECT md5(text) AS th, doc_id, n_chars, source,
+             ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM documents
+    )
+    SELECT th AS text_hash, doc_id AS golden_doc_id, n_chars, source
+    FROM scored WHERE rk = 1
+    """,
+)
+def q155_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship (golden-record selection) for duplicate groups:
+    within each exact-duplicate cluster, keep the most complete
+    record (longest text, ties to the lowest doc_id) with its
+    attributes — the master-data step after dedup detection (q60
+    counts copies; this picks WHICH row survives, with a business
+    rule).
+
+    Implemented as a single aggregation argmax: MAX over
+    struct(n_chars, -doc_id, ...) — struct comparison is
+    lexicographic, so one partial+final hash aggregate replaces the
+    rank-window + filter (no sort, half the shuffle width). The
+    oracle spells the equivalent window form.
+    """
+    docs = t(spark, sf_dir, "documents")
+    best = F.max(
+        F.struct(
+            F.col("n_chars").alias("n_chars"),
+            (-F.col("doc_id")).alias("neg_doc_id"),
+            F.col("source").alias("source"),
+        )
+    ).alias("best")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(best)
+        .select(
+            "text_hash",
+            (-F.col("best.neg_doc_id")).alias("golden_doc_id"),
+            F.col("best.n_chars").alias("n_chars"),
+            F.col("best.source").alias("source"),
+        )
+    )
