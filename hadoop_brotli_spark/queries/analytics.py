@@ -1872,3 +1872,193 @@ def q154_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_resurrected",
         F.coalesce(F.col("n_churned"), F.lit(0)).alias("n_churned"),
     )
+
+
+@register(
+    "q156_period_over_period",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY date_trunc('month', o_orderdate)
+    )
+    SELECT m, revenue,
+           LAG(revenue) OVER (ORDER BY m) AS prev_revenue,
+           (revenue - LAG(revenue) OVER (ORDER BY m))
+             / NULLIF(LAG(revenue) OVER (ORDER BY m), 0.0) AS mom_growth
+    FROM monthly
+    """,
+)
+def q156_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth: monthly revenue with the previous
+    month's value and the growth rate — the period-comparison shape
+    every KPI report uses (LAG over the time grain, NULLIF-guarded
+    division for ANSI mode).
+
+    The lag window orders the bounded monthly aggregate (12 rows per
+    year regardless of order volume — q131/q147's rule); revenue is
+    an exact decimal sum, so prev/current and their ratio are
+    identical doubles in both engines.
+    """
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    w = Window.orderBy("m")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "m",
+        "revenue",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / F.nullif(prev, F.lit(0.0))).alias(
+            "mom_growth"
+        ),
+    )
+
+
+@register(
+    "q157_contribution_analysis",
+    oracle="""
+    WITH by_nation AS (
+      SELECT n.n_name,
+             CAST(SUM(CAST(CASE WHEN o.o_orderdate >= TIMESTAMP '1996-01-01'
+                                 AND o.o_orderdate < TIMESTAMP '1997-01-01'
+                                THEN o.o_totalprice ELSE 0 END
+                           AS DECIMAL(18,2))) AS DOUBLE) AS rev_1996,
+             CAST(SUM(CAST(CASE WHEN o.o_orderdate >= TIMESTAMP '1997-01-01'
+                                 AND o.o_orderdate < TIMESTAMP '1998-01-01'
+                                THEN o.o_totalprice ELSE 0 END
+                           AS DECIMAL(18,2))) AS DOUBLE) AS rev_1997
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name
+    ),
+    total AS (
+      SELECT CAST(SUM(CAST(rev_1997 - rev_1996 AS DECIMAL(18,2)))
+                  AS DOUBLE) AS total_delta
+      FROM by_nation
+    )
+    SELECT b.n_name, b.rev_1996, b.rev_1997,
+           b.rev_1997 - b.rev_1996 AS delta,
+           (b.rev_1997 - b.rev_1996) / NULLIF(t.total_delta, 0.0)
+             AS share_of_change
+    FROM by_nation b CROSS JOIN total t
+    """,
+)
+def q157_contribution_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis: which nation drove the year-over-year
+    revenue change — per-group deltas and each group's share of the
+    total movement, the "explain this change" decomposition analysts
+    run after every KPI shift.
+
+    Both periods aggregate in ONE pass (conditional decimal sums, no
+    second scan or self-join); the total delta re-sums the exact
+    per-group deltas as decimals, so shares divide identical
+    doubles.
+    """
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def year_rev(y0, y1):
+        return dsum(
+            F.when(
+                (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(y1).cast("timestamp")),
+                F.col("o_totalprice"),
+            ).otherwise(0.0)
+        )
+
+    by_nation = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            year_rev("1996-01-01", "1997-01-01").alias("rev_1996"),
+            year_rev("1997-01-01", "1998-01-01").alias("rev_1997"),
+        )
+    )
+    total = by_nation.agg(
+        dsum(F.col("rev_1997") - F.col("rev_1996")).alias("total_delta")
+    )
+    return by_nation.crossJoin(F.broadcast(total)).select(
+        "n_name",
+        "rev_1996",
+        "rev_1997",
+        (F.col("rev_1997") - F.col("rev_1996")).alias("delta"),
+        (
+            (F.col("rev_1997") - F.col("rev_1996"))
+            / F.nullif(F.col("total_delta"), F.lit(0.0))
+        ).alias("share_of_change"),
+    )
+
+
+@register(
+    "q158_abc_classification",
+    oracle="""
+    WITH part_rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue_dec
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, revenue,
+             CAST(SUM(revenue_dec) OVER (ORDER BY revenue_dec DESC,
+                                                  l_partkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE)
+               / CAST(SUM(revenue_dec) OVER () AS DOUBLE) AS cum_share
+      FROM part_rev
+    )
+    SELECT CASE WHEN cum_share <= 0.5 THEN 'A'
+                WHEN cum_share <= 0.8 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE)
+             AS class_revenue
+    FROM ranked
+    GROUP BY CASE WHEN cum_share <= 0.5 THEN 'A'
+                  WHEN cum_share <= 0.8 THEN 'B'
+                  ELSE 'C' END
+    """,
+)
+def q158_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification: parts bucketed by cumulative
+    revenue share — A carries the first 50% of revenue, B to 80%,
+    C the tail — the inventory-prioritization classic.
+
+    The cumulative window runs over the PER-PART aggregate (catalog-
+    sized, not lineitem-sized) and accumulates DECIMAL (exact in any
+    order, q135's rule) before one double division per row; the
+    class cut then re-aggregates to three rows.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+            "revenue_dec"
+        )
+    )
+    w_cum = Window.orderBy(
+        F.col("revenue_dec").desc(), F.col("l_partkey").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_tot = Window.partitionBy()
+    ranked = part_rev.select(
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        (
+            F.sum("revenue_dec").over(w_cum).cast("double")
+            / F.sum("revenue_dec").over(w_tot).cast("double")
+        ).alias("cum_share"),
+    )
+    abc = (
+        F.when(F.col("cum_share") <= 0.5, "A")
+        .when(F.col("cum_share") <= 0.8, "B")
+        .otherwise("C")
+    )
+    return ranked.groupBy(abc.alias("abc_class")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        dsum(F.col("revenue")).alias("class_revenue"),
+    )
