@@ -620,3 +620,53 @@ def q155_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.source").alias("source"),
         )
     )
+
+
+@register(
+    "q160_source_dup_rate",
+    oracle=f"""
+    WITH {{pairs_ctes}},
+    dup_docs AS (
+      SELECT doc_a AS doc_id FROM pairs
+      UNION
+      SELECT doc_b FROM pairs
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           COUNT(dd.doc_id) AS n_near_dup,
+           CAST(COUNT(dd.doc_id) AS DOUBLE) / COUNT(*) AS dup_rate
+    FROM documents d
+    LEFT JOIN dup_docs dd ON dd.doc_id = d.doc_id
+    GROUP BY d.source
+    """.format(pairs_ctes=_minhash_pairs_ctes()),
+)
+def q160_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup health dashboard: per source, how many documents are
+    involved in at least one MinHash near-dup candidate pair — the
+    corpus-quality number a data team tracks per snapshot (a source
+    whose dup_rate jumps is re-crawling itself).
+
+    Builds on the q62 candidate machinery; the flagged-doc set is
+    the pair endpoints de-duplicated (fixed-width ids), joined back
+    with the q68-style LEFT-join marker so one aggregation yields
+    totals and flagged counts together.
+    """
+    pairs = _minhash_pairs(spark, sf_dir)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        docs.join(dup_docs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("is_dup").alias("n_near_dup"),
+            (F.count("is_dup").cast("double") / F.count(F.lit(1))).alias(
+                "dup_rate"
+            ),
+        )
+    )

@@ -581,3 +581,51 @@ def q115_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+@register(
+    "q159_sla_bands",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           COUNT(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
+                      THEN 1 END) AS within_30d,
+           COUNT(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 30
+                       AND date_diff('day', o.o_orderdate, l.l_shipdate) <= 90
+                      THEN 1 END) AS d31_to_90,
+           COUNT(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                      THEN 1 END) AS over_90d,
+           CAST(COUNT(CASE WHEN date_diff('day', o.o_orderdate,
+                                          l.l_shipdate) <= 30
+                           THEN 1 END) AS DOUBLE) / COUNT(*) AS sla_30d_rate
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q159_sla_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment SLA banding: order-to-ship latency bucketed into
+    ≤30 / 31-90 / >90 day bands per order priority, with the 30-day
+    SLA attainment rate — the operations scorecard query.
+
+    Latency is an integer day-diff, bands are conditional counts in
+    ONE aggregation pass (no per-band scans), and the rate divides
+    exact integers. One fact-fact shuffle on the order key.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    within30 = F.count(F.when(lat <= 30, 1))
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            within30.alias("within_30d"),
+            F.count(F.when((lat > 30) & (lat <= 90), 1)).alias("d31_to_90"),
+            F.count(F.when(lat > 90, 1)).alias("over_90d"),
+            (within30.cast("double") / F.count(F.lit(1))).alias("sla_30d_rate"),
+        )
+    )
