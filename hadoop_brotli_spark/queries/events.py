@@ -499,3 +499,116 @@ def q130_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return o.unionByName(li, allowMissingColumns=True)
+
+
+@register(
+    "q161_debounce",
+    oracle="""
+    WITH keyed AS (
+      SELECT user_id, event_type, ts, event_id, value,
+             epoch_us(ts) // 5000000 AS w5s
+      FROM events
+    ),
+    first_in_window AS (
+      SELECT user_id, event_type, w5s,
+             MIN(ROW(epoch_us(ts), event_id)) AS sel,
+             COUNT(*) AS n_raw
+      FROM keyed
+      GROUP BY user_id, event_type, w5s
+    )
+    SELECT k.user_id, k.event_type, k.event_id, k.ts, k.value, f.n_raw
+    FROM first_in_window f
+    JOIN keyed k
+      ON k.user_id = f.user_id AND k.event_type = f.event_type
+     AND k.w5s = f.w5s
+     AND ROW(epoch_us(k.ts), k.event_id) = f.sel
+    """,
+)
+def q161_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debouncing: within each (user, event type, 5-second
+    window), keep only the FIRST event and record how many raw
+    events it absorbed — the duplicate-click / retry-storm filter
+    ingest pipelines apply before counting anything.
+
+    Spark side selects the survivor with a single-aggregation struct
+    argmin (MIN over struct(epoch, event_id) — total order, q155's
+    technique), then re-joins the surviving key to recover the full
+    row; the oracle mirrors with MIN(ROW(...)).
+
+    Scale: the groupBy key is (user, type, window) — high
+    cardinality, uniform; no window function needed at all.
+    """
+    ev = t(spark, sf_dir, "events")
+    keyed = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+        (F.unix_micros(F.col("ts")) / F.lit(5_000_000))
+        .cast("bigint")
+        .alias("w5s"),
+        F.unix_micros(F.col("ts")).alias("e_us"),
+    )
+    first = keyed.groupBy("user_id", "event_type", "w5s").agg(
+        F.min(F.struct(F.col("e_us"), F.col("event_id"))).alias("sel"),
+        F.count(F.lit(1)).alias("n_raw"),
+    )
+    return (
+        keyed.join(first, ["user_id", "event_type", "w5s"])
+        .filter(
+            (F.col("e_us") == F.col("sel.e_us"))
+            & (F.col("event_id") == F.col("sel.event_id"))
+        )
+        .select("user_id", "event_type", "event_id", "ts", "value", "n_raw")
+    )
+
+
+@register(
+    "q162_seasonality",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             COUNT(*) AS n_events,
+             COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+      FROM events
+      GROUP BY CAST(EXTRACT(dow FROM ts) AS BIGINT),
+               CAST(EXTRACT(hour FROM ts) AS BIGINT)
+    )
+    SELECT dow, hod, n_events, n_days,
+           CAST(n_events AS DOUBLE) / n_days AS events_per_active_day
+    FROM cells
+    """,
+)
+def q162_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic seasonality profile: the day-of-week × hour-of-day
+    event matrix, normalized by how many distinct calendar days fed
+    each cell — the heatmap behind capacity planning and anomaly
+    baselines (q147's trailing window catches deviations FROM this
+    shape).
+
+    DOW convention: Sunday=0 (DuckDB ``EXTRACT(dow)``); Spark's
+    ``dayofweek`` is 1-based Sunday=1, so it maps via −1. One
+    aggregation pass; 7×24 output regardless of volume.
+    """
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(F.col("ts").cast("date")).alias("n_days"),
+        )
+        .select(
+            "dow",
+            "hod",
+            "n_events",
+            "n_days",
+            (F.col("n_events").cast("double") / F.col("n_days")).alias(
+                "events_per_active_day"
+            ),
+        )
+    )
