@@ -629,3 +629,71 @@ def q159_sla_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             (within30.cast("double") / F.count(F.lit(1))).alias("sla_30d_rate"),
         )
     )
+
+
+@register(
+    "q163_discount_elasticity",
+    oracle="""
+    SELECT CAST(FLOOR(l_discount * 100 / 2) AS BIGINT) AS disc_band,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*) AS avg_net_revenue
+    FROM lineitem
+    GROUP BY CAST(FLOOR(l_discount * 100 / 2) AS BIGINT)
+    """,
+)
+def q163_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-band elasticity proxy: average quantity and net
+    revenue per 2-percentage-point discount band — the pricing
+    team's first look at whether discounts actually move volume.
+
+    Banding is a pure row-wise floor on the (2-decimal) discount;
+    averages are exact decimal sums over counts. One aggregation
+    pass, ~25 output rows.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    band = F.floor(F.col("l_discount") * 100 / 2).cast("bigint")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy(band.alias("disc_band")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+        (dsum(net, 4) / F.count(F.lit(1))).alias("avg_net_revenue"),
+    )
+
+
+@register(
+    "q164_keyset_pagination",
+    oracle="""
+    SELECT o_orderdate, o_orderkey, o_totalprice
+    FROM orders
+    WHERE (o_orderdate, o_orderkey) > (TIMESTAMP '1997-06-01', 700)
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 20
+    """,
+)
+def q164_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) pagination: fetch the next page strictly
+    after a (date, key) cursor with a composite-key comparison —
+    the OFFSET-free pattern that serves "page 50,000" in constant
+    work, because the cursor predicate pushes into the scan instead
+    of skipping rows.
+
+    The row-value comparison ``(a,b) > (x,y)`` decomposes to
+    ``a > x OR (a = x AND b > y)`` on the Spark side (pushdown-
+    friendly conjuncts); the page itself is a total-ordered
+    TakeOrderedAndProject.
+    """
+    o = t(spark, sf_dir, "orders")
+    cur_d, cur_k = F.lit("1997-06-01").cast("timestamp"), F.lit(700)
+    seek = (F.col("o_orderdate") > cur_d) | (
+        (F.col("o_orderdate") == cur_d) & (F.col("o_orderkey") > cur_k)
+    )
+    return (
+        o.filter(seek)
+        .select("o_orderdate", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(20)
+    )
