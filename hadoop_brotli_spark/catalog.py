@@ -31,13 +31,35 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast any ``timestamp_ntz`` column to ``timestamp``.
+
+    The driver regenerates testdata between rounds and the parquet
+    logical type of timestamp columns has varied (TIMESTAMP(NANOS),
+    TIMESTAMP_NTZ, TIMESTAMP). With the session timezone pinned UTC
+    the NTZ→TIMESTAMP cast is value-preserving, and it keeps the whole
+    query surface on one timestamp type — functions like
+    ``unix_micros`` reject NTZ, and DuckDB's naive TIMESTAMP matches
+    UTC-pinned instants exactly.
+    """
+    from pyspark.sql import functions as F
+
+    ntz_cols = [f.name for f in df.schema.fields
+                if f.dataType.typeName() == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Lazy: just a scan node until an action runs.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS) which Spark
-    does not read natively: we read nanos as long (legacy conf, safe
-    to set at runtime) and floor-divide to microseconds — the same
-    truncation DuckDB applies, so oracle timestamps agree.
+    ``events.ts`` has been written as parquet TIMESTAMP(NANOS) in some
+    driver generations, which Spark does not read natively: we read
+    nanos as long (legacy conf, safe to set at runtime) and
+    floor-divide to microseconds — the same truncation DuckDB applies,
+    so oracle timestamps agree. NTZ columns are cast to TIMESTAMP
+    (see ``_normalize_timestamps``).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -48,8 +70,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+        return _normalize_timestamps(df)
+    return _normalize_timestamps(spark.read.parquet(table_path(sf_dir, name)))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

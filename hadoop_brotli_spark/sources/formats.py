@@ -40,6 +40,9 @@ def read_csv(
         .schema(schema)
         .option("header", str(header).lower())
         .option("timestampFormat", options.pop("timestampFormat", TIMESTAMP_FMT))
+        .option(
+            "timestampNTZFormat", options.pop("timestampNTZFormat", TIMESTAMP_FMT)
+        )
         .options(**options)
         .load(path)
     )
@@ -58,6 +61,9 @@ def read_jsonl(
         spark.read.format("json")
         .schema(schema)
         .option("timestampFormat", options.pop("timestampFormat", TIMESTAMP_FMT))
+        .option(
+            "timestampNTZFormat", options.pop("timestampNTZFormat", TIMESTAMP_FMT)
+        )
         .options(**options)
         .load(path)
     )
@@ -101,12 +107,18 @@ def write_csv(
         df.write.mode(mode)
         .option("header", str(header).lower())
         .option("timestampFormat", TIMESTAMP_FMT)
+        .option("timestampNTZFormat", TIMESTAMP_FMT)
         .csv(path)
     )
 
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    df.write.mode(mode).option("timestampFormat", TIMESTAMP_FMT).json(path)
+    (
+        df.write.mode(mode)
+        .option("timestampFormat", TIMESTAMP_FMT)
+        .option("timestampNTZFormat", TIMESTAMP_FMT)
+        .json(path)
+    )
 
 
 def read_orc(

@@ -38,16 +38,33 @@ EVENTS_SCHEMA = StructType(
 
 
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """readStream over the events parquet (nanos ts → timestamp, same
-    conversion as the batch catalog)."""
+    """readStream over the events parquet, normalizing ``ts`` to
+    TIMESTAMP the same way the batch catalog does.
+
+    The driver has generated ``events.ts`` as TIMESTAMP(NANOS),
+    TIMESTAMP_NTZ, and TIMESTAMP across rounds; a stream source needs
+    an explicit schema, so we probe the parquet footer with a batch
+    read (metadata-only, no data scan) and adapt. With the session
+    timezone pinned UTC every variant yields identical instants.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    footer = (
+        spark.read.option("pathGlobFilter", "events*.parquet")
+        .parquet(events_dir)
+        .schema
+    )
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(footer)
         .format("parquet")
         .option("pathGlobFilter", "events*.parquet")
         .load(events_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = {f.name: f.dataType.typeName() for f in footer.fields}["ts"]
+    if ts_type == "long":  # TIMESTAMP(NANOS) read as raw nanos
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
