@@ -2062,3 +2062,157 @@ def q158_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         dsum(F.col("revenue")).alias("class_revenue"),
     )
+
+
+@register(
+    "q170_dau_mau_stickiness",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(DATE_TRUNC('month', ts) AS TIMESTAMP) AS month,
+             CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT CAST(DATE_TRUNC('month', ts) AS TIMESTAMP) AS month,
+             COUNT(DISTINCT user_id) AS mau
+      FROM events GROUP BY 1
+    )
+    SELECT m.month, m.mau,
+           CAST(SUM(d.dau) AS DOUBLE) / COUNT(*) AS avg_dau,
+           CAST(SUM(d.dau) AS DOUBLE) / COUNT(*) / m.mau AS stickiness
+    FROM d JOIN m ON d.month = m.month
+    GROUP BY m.month, m.mau
+    """,
+)
+def q170_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics stickiness: per month, average daily active
+    users over monthly active users (the DAU/MAU ratio).
+
+    Two distinct-count reductions at different grains, joined at the
+    month grain. Both reductions shuffle the DISTINCT (user, period)
+    key space — far smaller than raw events — and the join input is
+    bounded by the calendar (≤31 day rows per month row), so the mau
+    side is broadcast. All ratios divide exact integers as doubles in
+    the same order on both engines.
+
+    100 TB: the only data-sized shuffles are the two distinct
+    expansions; everything downstream is calendar-sized.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        F.date_trunc("month", "ts").alias("month"),
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+    )
+    d = ev.groupBy("month", "day").agg(F.countDistinct("user_id").alias("dau"))
+    m = ev.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    avg_dau = F.sum("dau").cast("double") / F.count(F.lit(1))
+    return (
+        d.join(F.broadcast(m), "month")
+        .groupBy("month", "mau")
+        .agg(
+            avg_dau.alias("avg_dau"),
+            (avg_dau / F.col("mau")).alias("stickiness"),
+        )
+        .select("month", "mau", "avg_dau", "stickiness")
+    )
+
+
+@register(
+    "q171_last_touch_attribution",
+    oracle="""
+    WITH attributed AS (
+      SELECT event_type, value,
+             LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events
+    )
+    SELECT COALESCE(touch, 'none') AS touch_type,
+           COUNT(*) AS purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS attributed_value
+    FROM attributed
+    WHERE event_type = 'purchase'
+    GROUP BY COALESCE(touch, 'none')
+    """,
+)
+def q171_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the most recent
+    preceding click/view by the same user (or 'none').
+
+    One IGNORE-NULLS last() over a per-user window — the streaming
+    frame (UNBOUNDED PRECEDING .. 1 PRECEDING) is O(1) per row, no
+    self-join, no per-purchase scan-back. Ties are broken by
+    (ts, event_id) for cross-engine determinism. The filter to
+    purchases happens AFTER the window (earlier rows are the
+    candidate touches), then a 3-group aggregate.
+
+    100 TB: one shuffle on user_id for the window, then a tiny agg;
+    attributed value sums exact cents.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin("click", "view"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", "value", touch.alias("touch"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )
+
+
+@register(
+    "q172_event_cooccurrence",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS users_both
+    FROM ut a
+    JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def q172_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence matrix: for each unordered pair of
+    event types, how many users did both.
+
+    The self-join runs on the DISTINCT (user, type) reduction — at
+    most |types| rows per user (5 here), so the join fan-out is
+    bounded by |types|² per user regardless of raw event volume. The
+    ``<`` conjunct keeps each unordered pair once and rides along as
+    a post-join filter on the user_id hash join.
+
+    100 TB: the distinct reduction is the data-sized shuffle; the
+    self-join shuffles the already-reduced key space and cannot
+    explode (bounded multiplicity per key).
+    """
+    ut = t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("users_both"))
+    )

@@ -697,3 +697,258 @@ def q164_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .limit(20)
     )
+
+
+@register(
+    "q165_pipeline_value_share",
+    oracle="""
+    WITH partval AS (
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,4))) AS val
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'O'
+      GROUP BY l.l_partkey
+    ),
+    total AS (SELECT SUM(val) AS tot FROM partval)
+    SELECT p.l_partkey, CAST(p.val AS DOUBLE) AS pipeline_value
+    FROM partval p, total
+    WHERE p.val * 1000 > total.tot
+    """,
+)
+def q165_pipeline_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-style value concentration (no partsupp table in this
+    schema, so "stock value" becomes open-order pipeline revenue per
+    part): parts holding more than 0.1% of the total open pipeline.
+
+    Shape: fact-fact join → per-part aggregate → scalar grand total →
+    HAVING against the broadcast scalar. The grand total re-aggregates
+    the per-part aggregate (tiny — one row per part), never the raw
+    fact. The 0.1% threshold is compared as ``val * 1000 > total`` in
+    exact decimal arithmetic — no float epsilon, hash-identical to
+    DuckDB. Reference has no aggregation at all (SURVEY.md §2b).
+
+    100 TB: two shuffles total (join key, then part key); the scalar
+    total is a 1-row broadcast, so the final filter is map-side.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey"
+    )
+    partval = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("val")
+        )
+    )
+    total = partval.agg(F.sum("val").alias("tot"))
+    return (
+        partval.join(F.broadcast(total))
+        .filter(F.col("val") * 1000 > F.col("tot"))
+        .select("l_partkey", F.col("val").cast("double").alias("pipeline_value"))
+    )
+
+
+@register(
+    "q166_promo_revenue_share",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('month', l.l_shipdate) AS TIMESTAMP) AS ship_month,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             * 100.0 /
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS promo_share
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY DATE_TRUNC('month', l.l_shipdate)
+    """,
+)
+def q166_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-style promotion effect, by ship month: percentage of
+    revenue from PROMO-type parts.
+
+    Conditional aggregation (CASE inside SUM) computes both the promo
+    and total sums in ONE pass over the joined rows — no second scan,
+    no self-join. part is broadcast; the only shuffle is the 12-group
+    month aggregation. Both sums are exact decimals; the final ratio
+    is one double division, bit-identical across engines.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1997-01-01"))
+        & (F.col("l_shipdate") < ts("1998-01-01"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+                .cast("double")
+                * 100.0
+                / F.sum(rev).cast("double")
+            ).alias("promo_share")
+        )
+    )
+
+
+@register(
+    "q167_top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM rev r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q167_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-style top supplier: supplier(s) with the maximum
+    revenue in 1996Q1, ties kept (the spec's VIEW + scalar-max shape).
+
+    The revenue aggregate is computed once and reused for both the
+    scalar MAX and the final filter (Spark caches nothing here — the
+    plan simply re-derives the 10-row aggregate, which AQE executes as
+    two tiny stages). Equality against the max is safe because the
+    revenue is an exact decimal, not a float. supplier is broadcast.
+
+    100 TB: one shuffle on l_suppkey (bounded by supplier count); the
+    scalar max is a 1-row broadcast join, not a global sort.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1996-01-01"))
+        & (F.col("l_shipdate") < ts("1996-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q168_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q168_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-style parts/supplier relationship: how many distinct
+    suppliers ship each surviving (brand, type, size) combination.
+
+    The exclusion predicates live on the broadcast part side, so they
+    prune BEFORE the join fans out (Catalyst pushes them into the part
+    scan — `p_size IN (...)` arrives as a PushedFilter). COUNT
+    DISTINCT over the group triggers Spark's two-phase distinct
+    expansion; keys are (brand,type,size,suppkey) — uniform, no skew.
+    """
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q169_dominant_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    ),
+    pt AS (SELECT l_partkey, SUM(qty) AS total FROM ps GROUP BY l_partkey)
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM ps
+    JOIN pt ON ps.l_partkey = pt.l_partkey
+    JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+    WHERE ps.qty * 2 > pt.total
+    """,
+)
+def q169_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-style excess-availability probe, adapted: suppliers
+    that shipped MORE THAN HALF of some part's total quantity.
+
+    The per-part total re-aggregates the (part, supplier) partial —
+    the classic partial-reuse shape: the expensive fact scan happens
+    once, the second aggregate and the join both operate on the
+    already-reduced key space. The 50% share test is exact decimal
+    (``qty * 2 > total``). Output is DISTINCT suppliers (semi-join
+    semantics via dropDuplicates on the bounded supplier key space).
+
+    100 TB: one fact shuffle on (l_partkey, l_suppkey); everything
+    after is proportional to |part|×avg-suppliers-per-part, orders of
+    magnitude smaller; supplier is broadcast.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty")
+    )
+    pt = ps.groupBy("l_partkey").agg(F.sum("qty").alias("total"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        ps.join(pt, "l_partkey")
+        .filter(F.col("qty") * 2 > F.col("total"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .dropDuplicates()
+    )
