@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import dsum, t
+from ._util import dsum, t, ts
 
 
 @register(
@@ -2215,4 +2215,251 @@ def q172_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.event_type").alias("type_b"),
         )
         .agg(F.count(F.lit(1)).alias("users_both"))
+    )
+
+
+@register(
+    "q173_scd2_intervals",
+    oracle="""
+    WITH marked AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             LAG(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev_status
+      FROM orders
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from, o_orderkey
+      FROM marked
+      WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+    )
+    SELECT o_custkey, o_orderstatus, valid_from,
+           LEAD(valid_from) OVER (
+             PARTITION BY o_custkey ORDER BY valid_from, o_orderkey
+           ) AS valid_to
+    FROM changes
+    """,
+)
+def q173_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension) interval construction from a
+    change log: per customer, collapse consecutive orders with the
+    same status and emit [valid_from, valid_to) validity intervals
+    (NULL valid_to = current). This is the history-table build step a
+    warehouse runs before any point-in-time join.
+
+    Two windows over the SAME (o_custkey, date, key) ordering — the
+    change-detection LAG and the interval-closing LEAD — so Spark
+    sorts the partition once and reuses it; no self-join, no
+    gaps-and-islands grouping pass. Ties on order date are broken by
+    o_orderkey for cross-engine determinism.
+
+    100 TB: one shuffle on o_custkey; the LEAD runs on the
+    change-compressed rows (≤ raw, typically ≪).
+    """
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.select(
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderdate",
+            "o_orderkey",
+            F.lag("o_orderstatus").over(w).alias("prev_status"),
+        )
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+        .select(
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_orderdate").alias("valid_from"),
+            "o_orderkey",
+        )
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+    return changes.select(
+        "o_custkey",
+        "o_orderstatus",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+
+
+@register(
+    "q174_order_reconciliation",
+    oracle="""
+    WITH lines AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS line_total
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    cls AS (
+      SELECT o.o_orderkey,
+             CASE WHEN l.l_orderkey IS NULL THEN 'no_lines'
+                  WHEN CAST(l.line_total AS DOUBLE) >= o.o_totalprice
+                    THEN 'lines_gte_header'
+                  ELSE 'lines_lt_header' END AS recon_class,
+             CASE WHEN l.l_orderkey IS NULL THEN NULL
+                  ELSE CAST(ROUND(CAST(l.line_total AS DOUBLE)
+                                  / o.o_totalprice, 4)
+                            AS DECIMAL(12,4)) END AS ratio
+      FROM orders o
+      LEFT JOIN lines l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT recon_class, COUNT(*) AS n_orders,
+           CAST(SUM(ratio) AS DOUBLE) / COUNT(ratio) AS avg_ratio
+    FROM cls GROUP BY recon_class
+    """,
+)
+def q174_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header/detail reconciliation audit: compare each order's header
+    total against the sum of its line amounts and band the outcome —
+    the standard cross-source integrity check before a warehouse
+    publishes a fact table.
+
+    The per-row ratio is rounded FIRST (deterministic per row) and
+    summed as an exact decimal, so the average is partition-order-free
+    — the 100 TB-safe way to average a float expression. One fact
+    aggregate + one key join; orders-side attributes never shuffle
+    with the lineitem fan-in.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    lines = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("line_total")
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    cls = o.join(lines, F.col("o_orderkey") == F.col("l_orderkey"), "left").select(
+        F.when(F.col("l_orderkey").isNull(), "no_lines")
+        .when(
+            F.col("line_total").cast("double") >= F.col("o_totalprice"),
+            "lines_gte_header",
+        )
+        .otherwise("lines_lt_header")
+        .alias("recon_class"),
+        F.when(
+            F.col("l_orderkey").isNotNull(),
+            F.round(
+                F.col("line_total").cast("double") / F.col("o_totalprice"), 4
+            ).cast("decimal(12,4)"),
+        ).alias("ratio"),
+    )
+    return cls.groupBy("recon_class").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("ratio").cast("double") / F.count("ratio")).alias("avg_ratio"),
+    )
+
+
+@register(
+    "q175_linenumber_gap_audit",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines,
+             MIN(l_linenumber) AS min_ln, MAX(l_linenumber) AS max_ln
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CASE WHEN min_ln = 1 AND max_ln = n_lines THEN 'contiguous'
+                ELSE 'gapped' END AS seq_class,
+           COUNT(*) AS n_orders,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lines
+    FROM per_order GROUP BY 1
+    """,
+)
+def q175_linenumber_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness audit: per order, are line numbers the
+    contiguous run 1..n? (min=1 ∧ max=count is the O(1)-state test —
+    no sort, no lag, no explode of expected numbers.)
+
+    Complements the q109 referential-integrity audit: that checks
+    keys exist across tables; this checks intra-group sequence
+    integrity. One partial+final aggregate on the order key, then a
+    2-group rollup — nothing here grows with data beyond the first
+    aggregate.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("l_linenumber").alias("min_ln"),
+        F.max("l_linenumber").alias("max_ln"),
+    )
+    seq_class = (
+        F.when(
+            (F.col("min_ln") == 1) & (F.col("max_ln") == F.col("n_lines")),
+            "contiguous",
+        )
+        .otherwise("gapped")
+        .alias("seq_class")
+    )
+    return per_order.groupBy(seq_class).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("n_lines").cast("bigint").alias("n_lines"),
+    )
+
+
+@register(
+    "q180_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-06-01'
+    ),
+    chg AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice * 1.1 AS DECIMAL(18,3)) AS DOUBLE)
+               AS new_price
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    ),
+    merged AS (
+      SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+             CASE WHEN c.o_orderkey IS NULL THEN 'keep'
+                  WHEN b.o_orderkey IS NULL THEN 'insert'
+                  ELSE 'update' END AS action,
+             COALESCE(c.new_price, b.o_totalprice) AS price
+      FROM base b FULL OUTER JOIN chg c ON b.o_orderkey = c.o_orderkey
+    )
+    SELECT action, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(price AS DECIMAL(18,3))) AS DOUBLE) AS total_price
+    FROM merged GROUP BY action
+    """,
+)
+def q180_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert semantics expressed relationally: apply a
+    changeset to a base snapshot via FULL OUTER join + COALESCE,
+    classifying every key as keep / update / insert — what Spark
+    users do without a Delta/Iceberg MERGE INTO, and the audit a
+    MERGE implementation must pass.
+
+    The changeset simulates repricing (+10%, rounded to an exact
+    3-decimal value BEFORE the merge so downstream sums stay exact
+    decimals). One shuffle on the merge key; both sides are
+    pre-projected to (key, payload) so the wide order row never
+    shuffles.
+
+    100 TB: this is the shape where bucketed tables pay off — if base
+    and changes are bucketed on the key (sources/bucketing.py), the
+    full-outer join is Exchange-free.
+    """
+    o = t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderdate") < ts("1997-06-01")).select(
+        F.col("o_orderkey").alias("b_key"), "o_totalprice"
+    )
+    chg = o.filter(F.col("o_orderdate") >= ts("1997-01-01")).select(
+        F.col("o_orderkey").alias("c_key"),
+        (F.col("o_totalprice") * 1.1)
+        .cast("decimal(18,3)")
+        .cast("double")
+        .alias("new_price"),
+    )
+    merged = base.join(chg, F.col("b_key") == F.col("c_key"), "full_outer").select(
+        F.when(F.col("c_key").isNull(), "keep")
+        .when(F.col("b_key").isNull(), "insert")
+        .otherwise("update")
+        .alias("action"),
+        F.coalesce("new_price", "o_totalprice").alias("price"),
+    )
+    return merged.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("price").cast("decimal(18,3)")).cast("double").alias(
+            "total_price"
+        ),
     )

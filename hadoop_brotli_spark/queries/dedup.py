@@ -670,3 +670,58 @@ def q160_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q179_incremental_corpus_gate",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT MD5(text) AS h FROM documents
+      WHERE source IN ('src0', 'src1')
+    ),
+    inc AS (
+      SELECT lang, MD5(text) AS h FROM documents
+      WHERE source NOT IN ('src0', 'src1')
+    )
+    SELECT i.lang,
+           COUNT(*) AS incoming,
+           COUNT(*) FILTER (WHERE hs.h IS NULL) AS novel,
+           COUNT(*) FILTER (WHERE hs.h IS NOT NULL) AS already_seen
+    FROM inc i LEFT JOIN hist hs ON i.h = hs.h
+    GROUP BY i.lang
+    """,
+)
+def q179_incremental_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup gate: of the incoming sources'
+    documents, how many are novel vs already present in the
+    historical corpus (by exact content hash)? This is the membership
+    check an incremental pipeline runs so it only processes unseen
+    documents — cross-corpus, unlike q60's within-corpus dedup.
+
+    Both sides reduce to fixed-width md5 keys before the join (the
+    document bodies never shuffle); the historical side is DISTINCT
+    hashes only. The left join + conditional counts yields novel and
+    seen in one pass.
+
+    100 TB: the history side is the candidate for a broadcast bloom
+    filter or a bucketed hash table; as an equi-join on uniform
+    128-bit keys it has no skew by construction.
+    """
+    d = t(spark, sf_dir, "documents")
+    hist = (
+        d.filter(F.col("source").isin("src0", "src1"))
+        .select(F.md5("text").alias("hh"))
+        .distinct()
+    )
+    inc = d.filter(~F.col("source").isin("src0", "src1")).select(
+        "lang", F.md5("text").alias("h")
+    )
+    return (
+        inc.join(hist, F.col("h") == F.col("hh"), "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("incoming"),
+            F.count_if(F.col("hh").isNull()).alias("novel"),
+            F.count_if(F.col("hh").isNotNull()).alias("already_seen"),
+        )
+    )

@@ -612,3 +612,54 @@ def q162_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q178_out_of_order_audit",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS hwm
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE ts < hwm) AS out_of_order,
+           COUNT(*) FILTER (WHERE ts < hwm - INTERVAL 10 MINUTE)
+             AS late_10m,
+           COUNT(*) FILTER (WHERE ts < hwm - INTERVAL 1 HOUR) AS late_1h
+    FROM seq GROUP BY event_type
+    """,
+)
+def q178_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data audit: how out-of-order is the stream? Per event
+    type, count events whose timestamp is behind the per-user
+    high-water mark at arrival (arrival order = event_id, the
+    generation sequence), at three lateness thresholds.
+
+    This is the batch probe that sizes a streaming watermark
+    (streaming/jobs.py): `late_1h` is exactly the data a 1-hour
+    watermark would drop. The high-water mark is a running MAX over
+    the preceding frame — O(1) state per row, one shuffle on
+    user_id, no self-join against earlier events.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seq = ev.select("event_type", "ts", F.max("ts").over(w).alias("hwm"))
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(F.col("ts") < F.col("hwm")).alias("out_of_order"),
+        F.count_if(
+            F.col("ts") < F.col("hwm") - F.expr("INTERVAL 10 MINUTES")
+        ).alias("late_10m"),
+        F.count_if(F.col("ts") < F.col("hwm") - F.expr("INTERVAL 1 HOUR")).alias(
+            "late_1h"
+        ),
+    )

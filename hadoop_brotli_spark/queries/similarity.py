@@ -315,3 +315,78 @@ def q98_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("recall_at_10"),
     )
+
+
+@register(
+    "q177_label_centroid_similarity",
+    oracle="""
+    WITH elems AS (
+      SELECT label, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS i
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, i, ROUND(SUM(x) / COUNT(*), 6) AS c
+      FROM elems GROUP BY label, i
+    ),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(a.c * b.c) AS dot,
+             SQRT(SUM(a.c * a.c)) AS na, SQRT(SUM(b.c * b.c)) AS nb
+      FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           ROUND(dot / (na * nb), 6) AS centroid_cosine
+    FROM pairs
+    """,
+)
+def q177_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class centroid similarity: mean vector per label, then
+    cosine between every label pair — the embedding-space health
+    check (are my classes separable?) run before training on a
+    labeled corpus.
+
+    Centroid components are rounded to 6 decimals BEFORE the pairwise
+    stage (same on both engines), so the pair dot-products consume
+    identical inputs regardless of partial-sum order. The pairwise
+    join is on the dimension index with a label inequality — its size
+    is |labels|²·dim, independent of corpus size.
+
+    100 TB: the per-(label, dim) mean is one mergeable partial
+    aggregate over the corpus (fixed |labels|×64 state); everything
+    after is constant-sized.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    elems = e.select(
+        "label", F.posexplode("embedding").alias("i0", "xf")
+    ).select(
+        "label", (F.col("i0") + 1).alias("i"), F.col("xf").cast("double").alias("x")
+    )
+    cent = elems.groupBy("label", "i").agg(
+        F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("c")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("i").alias("ia"), F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("i").alias("ib"), F.col("c").alias("cb")
+    )
+    pairs = a.join(
+        b, (F.col("ia") == F.col("ib")) & (F.col("label_a") < F.col("label_b"))
+    )
+    return (
+        pairs.groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sqrt(F.sum(F.col("ca") * F.col("ca"))).alias("na"),
+            F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("nb"),
+        )
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "centroid_cosine"
+            ),
+        )
+    )

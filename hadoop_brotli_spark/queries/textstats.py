@@ -431,3 +431,68 @@ def q146_regex_extract_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             "has_adjacent_s_words"
         ),
     )
+
+
+@register(
+    "q176_filter_rule_attribution",
+    oracle="""
+    WITH scored AS (
+      SELECT source,
+             LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS wc,
+             CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+               / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS mwl,
+             CAST(LENGTH(text)
+                  - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g'))
+                  AS DOUBLE) / LENGTH(text) AS digit_frac
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE NOT (wc BETWEEN 20 AND 2000))
+             AS fail_wordcount,
+           COUNT(*) FILTER (WHERE NOT (mwl BETWEEN 3 AND 12))
+             AS fail_wordlen,
+           COUNT(*) FILTER (WHERE NOT (digit_frac < 0.2))
+             AS fail_digits,
+           COUNT(*) FILTER (WHERE wc BETWEEN 20 AND 2000
+                              AND mwl BETWEEN 3 AND 12
+                              AND digit_frac < 0.2) AS pass_all
+    FROM scored GROUP BY source
+    """,
+)
+def q176_filter_rule_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus filter-rule attribution: for each quality rule
+    (word-count bounds, mean word length, digit fraction — the
+    Gopher-style heuristics), how many documents each rule rejects
+    per source, plus the all-rules survivor count. Rule attribution
+    is what tells a pipeline owner WHICH gate is eating their data.
+
+    All three signals are length arithmetic on the single-spaced
+    text (no explode, no tokenizer UDF): word count = spaces + 1,
+    mean word length = letters/words, digit fraction via one
+    regexp_replace. One scan, one conditional-count aggregate —
+    Catalyst keeps the whole thing in codegen.
+
+    100 TB: per-row string ops + a |sources|-group agg; the text
+    column prunes away after the projection.
+    """
+    d = t(spark, sf_dir, "documents")
+    wc = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    letters = F.length(F.regexp_replace("text", " ", ""))
+    mwl = letters.cast("double") / wc
+    digit_frac = (
+        F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    ).cast("double") / F.length("text")
+    scored = d.select(
+        "source", wc.alias("wc"), mwl.alias("mwl"), digit_frac.alias("digit_frac")
+    )
+    r1 = F.col("wc").between(20, 2000)
+    r2 = F.col("mwl").between(3, 12)
+    r3 = F.col("digit_frac") < 0.2
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(~r1).alias("fail_wordcount"),
+        F.count_if(~r2).alias("fail_wordlen"),
+        F.count_if(~r3).alias("fail_digits"),
+        F.count_if(r1 & r2 & r3).alias("pass_all"),
+    )
