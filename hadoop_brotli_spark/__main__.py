@@ -1,0 +1,93 @@
+"""Command-line entry point: run registered queries from a shell.
+
+The reference codec is driven through Hadoop CLIs (`hadoop fs -text
+x.bro` works because the codec registers for the `.bro` extension —
+SURVEY.md §2a #4); the equivalent operational surface for this engine
+is a small CLI over the query registry:
+
+    python -m hadoop_brotli_spark list
+    python -m hadoop_brotli_spark run q01_pricing_summary \
+        [--sf-dir /root/testdata/sf0.1] [--explain] [--json] [--limit N]
+    python -m hadoop_brotli_spark sql "SELECT ... FROM lineitem ..." \
+        [--sf-dir ...]
+
+`run` executes one registered query; `sql` registers the catalog
+tables as temp views and executes ad-hoc SQL through the same
+Catalyst pipeline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .catalog import DEFAULT_SF_DIR, register_views
+from .registry import load_all_queries
+from .session import get_spark
+
+
+def _print_df(df, as_json: bool, limit: int | None) -> None:
+    if limit is not None:
+        df = df.limit(limit)
+    if as_json:
+        for row in df.toJSON().toLocalIterator():
+            print(row)
+    else:
+        df.show(limit or 20, truncate=False)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="hadoop_brotli_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registered queries")
+
+    run = sub.add_parser("run", help="run one registered query")
+    run.add_argument("name")
+    run.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    run.add_argument("--explain", action="store_true",
+                     help="print the formatted physical plan instead of rows")
+    run.add_argument("--json", action="store_true", dest="as_json")
+    run.add_argument("--limit", type=int, default=None)
+
+    sql = sub.add_parser("sql", help="run ad-hoc SQL over the catalog views")
+    sql.add_argument("query")
+    sql.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    sql.add_argument("--json", action="store_true", dest="as_json")
+    sql.add_argument("--limit", type=int, default=None)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "list":
+        specs = load_all_queries()
+        for name in sorted(specs):
+            oracle = "oracle" if specs[name].oracle else "rows-only"
+            print(f"{name}\t{oracle}")
+        return 0
+
+    spark = get_spark("hbs-cli")
+    try:
+        if args.cmd == "run":
+            specs = load_all_queries()
+            if args.name not in specs:
+                print(f"unknown query {args.name!r}; see `list`",
+                      file=sys.stderr)
+                return 2
+            df = specs[args.name].fn(spark, args.sf_dir)
+            if args.explain:
+                print(df._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution
+                    .ExplainMode.fromString("formatted")))
+            else:
+                _print_df(df, args.as_json, args.limit)
+        elif args.cmd == "sql":
+            register_views(spark, args.sf_dir)
+            _print_df(spark.sql(args.query), args.as_json, args.limit)
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

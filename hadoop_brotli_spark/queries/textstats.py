@@ -496,3 +496,172 @@ def q176_filter_rule_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(~r3).alias("fail_digits"),
         F.count_if(r1 & r2 & r3).alias("pass_all"),
     )
+
+
+@register(
+    "q181_mixture_weights",
+    oracle="""
+    WITH src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs, n_chars,
+             POWER(CAST(n_chars AS DOUBLE), 0.7) AS raw_w
+      FROM src
+    )
+    SELECT source, n_docs, n_chars,
+           ROUND(raw_w / SUM(raw_w) OVER (), 6) AS mix_weight
+    FROM w
+    """,
+)
+def q181_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixture weights: the data-mixing step
+    of a training pipeline — sample sources proportional to
+    size^alpha (alpha=0.7 flattens the natural distribution so small
+    sources aren't drowned).
+
+    Per-source sizes are one aggregate; the normalization is a window
+    over the |sources|-row result (bounded — a global window here is
+    fine because it runs on the aggregate, never on raw rows, the
+    same rule as q131). Weight rounded to 6dp on both engines to
+    absorb pow()'s last-ULP platform variance.
+    """
+    d = t(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    raw_w = F.pow(F.col("n_chars").cast("double"), 0.7)
+    w = src.select("source", "n_docs", "n_chars", raw_w.alias("raw_w"))
+    return w.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(
+            F.col("raw_w") / F.sum("raw_w").over(W.partitionBy()), 6
+        ).alias("mix_weight"),
+    )
+
+
+@register(
+    "q182_length_bucket_padding",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(POWER(2, CEIL(LOG2(n_chars))) AS BIGINT) AS bucket,
+             n_chars
+      FROM documents
+    )
+    SELECT bucket, COUNT(*) AS n_docs,
+           CAST(SUM(bucket - n_chars) AS BIGINT) AS padding_chars,
+           CAST(SUM(bucket - n_chars) AS DOUBLE)
+             / CAST(SUM(bucket) AS BIGINT) AS waste_frac
+    FROM b GROUP BY bucket
+    """,
+)
+def q182_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: assign each document to its
+    power-of-two length bucket and measure the padding a fixed-shape
+    batcher would waste per bucket — the sizing input for sequence
+    bucketing in a training data loader.
+
+    Bucket assignment is per-row arithmetic (log2/ceil/pow of
+    integers < 2^53 — exact in IEEE double on both engines); the
+    aggregate is integer-exact. One scan, |buckets| groups.
+    """
+    d = t(spark, sf_dir, "documents")
+    bucket = F.pow(F.lit(2), F.ceil(F.log2("n_chars"))).cast("bigint")
+    b = d.select(bucket.alias("bucket"), "n_chars")
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("bucket") - F.col("n_chars")).cast("bigint").alias(
+            "padding_chars"
+        ),
+        (
+            F.sum(F.col("bucket") - F.col("n_chars")).cast("double")
+            / F.sum("bucket").cast("bigint")
+        ).alias("waste_frac"),
+    )
+
+
+@register(
+    "q183_vocabulary_stats",
+    oracle="""
+    WITH words AS (
+      SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS w
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT w) AS vocab_size,
+           CAST(COUNT(DISTINCT w) AS DOUBLE) / COUNT(*) AS type_token_ratio
+    FROM words GROUP BY source
+    """,
+)
+def q183_vocabulary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary statistics: token count, vocabulary size,
+    and type/token ratio — the lexical-diversity probe that flags
+    TEMPLATE-generated or degenerate sources before training.
+
+    Tokenization is a JVM-side split+explode; COUNT DISTINCT goes
+    through Spark's two-phase distinct expansion on (source, word) —
+    fixed-width-ish keys, partial aggregation collapses repeats
+    map-side, so the shuffle carries at most |sources|×|vocab| rows
+    regardless of corpus size.
+    """
+    d = t(spark, sf_dir, "documents")
+    words = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    return words.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("vocab_size"),
+        (F.countDistinct("w").cast("double") / F.count(F.lit(1))).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+@register(
+    "q184_top_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT STRING_SPLIT(text, ' ') AS ws FROM documents
+    ),
+    bigrams AS (
+      SELECT UNNEST(LIST_ZIP(ws[:LEN(ws)-1], ws[2:])) AS p FROM toks
+    ),
+    counted AS (
+      SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS n
+      FROM bigrams GROUP BY 1, 2
+    )
+    SELECT w1, w2, n FROM counted
+    ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 20
+    """,
+)
+def q184_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams with a total-order tie-break — the
+    n-gram frequency table behind collocation mining and degenerate-
+    phrase detection.
+
+    Bigrams come from zipping the token array with its tail
+    (arrays_zip + slice — one explode of n-1 pairs per doc, all
+    JVM-side, no self-join). Counts are exact integers; the global
+    top-20 goes through orderBy+limit → TakeOrderedAndProject
+    (per-partition top-k, driver merges k·p rows, never a full sort
+    to one task).
+    """
+    d = t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    pairs = F.arrays_zip(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))).alias("w1"),
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))).alias("w2"),
+    )
+    bigrams = d.select(F.explode(pairs).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    return (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(20)
+    )
