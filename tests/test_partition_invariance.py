@@ -38,6 +38,11 @@ SAMPLE = [
     "q136_pareto_frontier",
     "q137_basket_lift",
     "q139_outlier_audit",
+    # exact-decimal scalar-threshold join and centroid rounding must
+    # not depend on partial-aggregation order
+    "q165_pipeline_value_share",
+    "q177_label_centroid_similarity",
+    "q174_order_reconciliation",
 ]
 
 

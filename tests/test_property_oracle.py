@@ -36,10 +36,18 @@ EVENT_QUERIES = [
     "q116_activity_streaks",
     "q121_event_transitions",
     "q143_bounce_rate",
+    # tie-break-sensitive windows: duplicate timestamps are the attack
+    "q171_last_touch_attribution",
+    "q178_out_of_order_audit",
+    "q172_event_cooccurrence",
 ]
 DOC_QUERIES = [
     "q60_dedup_exact",
     "q126_sequence_packing",
+    # repeated texts / tiny vocab stress distinct + top-k tie-breaks
+    "q179_incremental_corpus_gate",
+    "q183_vocabulary_stats",
+    "q184_top_bigrams",
 ]
 
 
@@ -67,7 +75,7 @@ events_rows = st.lists(
 docs_rows = st.lists(
     st.tuples(
         st.lists(st.sampled_from(WORDS), min_size=1, max_size=12),  # text
-        st.sampled_from(["src0", "src1"]),
+        st.sampled_from(["src0", "src1", "src2"]),
         st.sampled_from(["en", "de"]),
     ),
     min_size=1,
