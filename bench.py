@@ -74,6 +74,34 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # Codec path: .bro write+read round-trip over the documents text
+    # (the reference's own capability — streaming block compression
+    # through the Spark datasource layer).
+    import shutil
+    import tempfile
+
+    from hadoop_brotli_spark.sources.bro_spark import (
+        read_bro_text,
+        write_bro_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("text").alias("value")
+    )
+    out = tempfile.mkdtemp(prefix="bench_bro_")
+    try:
+        t0 = time.perf_counter()
+        write_bro_text(docs.repartition(8), out)
+        n = read_bro_text(spark, out).count()
+        timings["bro_codec_roundtrip"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# bro_codec_roundtrip: {timings['bro_codec_roundtrip']:.3f}s"
+            f" ({n} lines)",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

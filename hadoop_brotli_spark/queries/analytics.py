@@ -2463,3 +2463,179 @@ def q180_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price"
         ),
     )
+
+
+@register(
+    "q185_overlap_conflicts",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_custkey, l.l_orderkey,
+             MIN(l.l_shipdate) AS s, MAX(l.l_shipdate) AS e
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey, l.l_orderkey
+    )
+    SELECT a.o_custkey, COUNT(*) AS overlapping_pairs
+    FROM spans a
+    JOIN spans b ON a.o_custkey = b.o_custkey
+               AND a.l_orderkey < b.l_orderkey
+               AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.o_custkey
+    """,
+)
+def q185_overlap_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: per customer, how many pairs of
+    their orders have overlapping shipping spans [first ship, last
+    ship] — the schedule-conflict shape (double-booking detection,
+    resource contention) over derived intervals.
+
+    Intervals are first REDUCED per order (min/max aggregate), then
+    the self-join runs as an equi-join on the partition key
+    (customer) with the overlap test `a.s <= b.e AND b.s <= a.e` and
+    key ordering as post-join filters — never an unbounded interval
+    cross-join. Per-key multiplicity is bounded (orders per
+    customer), so the fan-out is quadratic only in that small factor.
+
+    100 TB: one fact shuffle to build spans, one equi-join shuffle on
+    the key; a global interval join without an equi key would instead
+    need range bucketing (the q17 pattern).
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    spans = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "l_orderkey")
+        .agg(F.min("l_shipdate").alias("s"), F.max("l_shipdate").alias("e"))
+    )
+    a = spans.alias("a")
+    b = spans.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.l_orderkey") < F.col("b.l_orderkey"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .groupBy(F.col("a.o_custkey").alias("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("overlapping_pairs"))
+    )
+
+
+@register(
+    "q186_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.50) AS q2,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders
+    )
+    SELECT CASE WHEN o_totalprice <= q1 THEN 'p00_25'
+                WHEN o_totalprice <= q2 THEN 'p25_50'
+                WHEN o_totalprice <= q3 THEN 'p50_75'
+                ELSE 'p75_100' END AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS bucket_total
+    FROM orders, b
+    GROUP BY 1
+    """,
+)
+def q186_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram: quartile boundaries from exact
+    interpolated percentiles, then per-bucket counts and exact
+    totals — the histogram a cost-based optimizer keeps for skewed
+    columns, complementing q131's fixed-width (equi-WIDTH) bins.
+
+    Two passes by construction (boundaries, then classification) —
+    the classify pass compares against a broadcast 1-row boundary
+    set, so it is map-side; no rank/ntile window over raw rows
+    (NTILE would need a global sort). Spark's `percentile` and
+    DuckDB's `quantile_cont` share the linear-interpolation
+    definition, so boundaries agree bit-for-bit (q28 precedent).
+    """
+    o = t(spark, sf_dir, "orders").select("o_totalprice")
+    b = o.agg(
+        F.percentile("o_totalprice", 0.25).alias("q1"),
+        F.percentile("o_totalprice", 0.50).alias("q2"),
+        F.percentile("o_totalprice", 0.75).alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") <= F.col("q1"), "p00_25")
+        .when(F.col("o_totalprice") <= F.col("q2"), "p25_50")
+        .when(F.col("o_totalprice") <= F.col("q3"), "p50_75")
+        .otherwise("p75_100")
+    )
+    return (
+        o.join(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bucket_total"),
+        )
+    )
+
+
+@register(
+    "q189_trend_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(DATE_TRUNC('day', ts)) / 86400.0) AS BIGINT)
+               AS x,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS y
+      FROM events
+      GROUP BY event_type, DATE_TRUNC('day', ts)
+    ),
+    stats AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day
+    FROM stats
+    """,
+)
+def q189_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend: slope of daily revenue over
+    time for each event type, from ONE pass of integer sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²) — the scalable regression shape
+    (no centering pass, no collect, mergeable partials).
+
+    x is the epoch-day index and y exact cents, so every sum is
+    integer-exact and the closed-form slope divides two exactly-
+    computed numbers — bit-identical across engines and partition
+    orders. The daily grain reduction comes first, so the sufficient
+    statistics aggregate over ≤ |types|×|days| rows.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y")
+    ).select(
+        "event_type",
+        F.floor(F.unix_timestamp("day") / 86400.0).cast("bigint").alias("x"),
+        "y",
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return stats.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        (num.cast("double") / den.cast("double")).alias("slope_cents_per_day"),
+    )

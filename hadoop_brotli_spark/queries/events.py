@@ -663,3 +663,67 @@ def q178_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "late_1h"
         ),
     )
+
+
+@register(
+    "q187_forward_asof_followup",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, ts,
+             MIN(CASE WHEN event_type = 'error' THEN sec END) OVER (
+               PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN 1 FOLLOWING AND 3600 FOLLOWING
+             ) AS next_err_sec
+      FROM (SELECT user_id, event_type, ts,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+            FROM events)
+    )
+    SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_purchases,
+           COUNT(next_err_sec) AS with_error_1h,
+           CAST(COUNT(next_err_sec) AS DOUBLE) / COUNT(*)
+             AS error_followup_rate
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY DATE_TRUNC('day', ts)
+    """,
+)
+def q187_forward_asof_followup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with tolerance: for each purchase, is there an
+    error event by the same user within the NEXT hour? (The mirror of
+    the q16 backward as-of — incident attribution, cancellation
+    follow-up, next-touch joins.)
+
+    One conditional MIN over a FORWARD-bounded RANGE frame
+    (1..3600 s following on the per-user second-ordered window) — no
+    self-join of events to events, no per-purchase scan-ahead. The
+    frame orders by truncated epoch seconds so peer sets are
+    identical across engines (q47's rule). Counting happens after
+    the window, at the day grain.
+
+    100 TB: one shuffle on user_id; the window state is a bounded
+    time range, the same bound a stream-stream interval join
+    (streaming/jobs.py click_purchase_join) would keep.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", F.unix_timestamp("ts").alias("sec")
+    )
+    w = W.partitionBy("user_id").orderBy("sec").rangeBetween(1, 3600)
+    seq = ev.select(
+        "event_type",
+        "ts",
+        F.min(F.when(F.col("event_type") == "error", F.col("sec")))
+        .over(w)
+        .alias("next_err_sec"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count("next_err_sec").alias("with_error_1h"),
+            (F.count("next_err_sec").cast("double") / F.count(F.lit(1))).alias(
+                "error_followup_rate"
+            ),
+        )
+    )

@@ -665,3 +665,50 @@ def q184_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(20)
     )
+
+
+@register(
+    "q188_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             -LN((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+                       AS BIGINT) + 1) / 268435456.0)
+               / n_chars AS es_key
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, ROUND(es_key, 9) AS es_key
+    FROM keyed
+    ORDER BY es_key ASC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def q188_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis): key = -ln(u)/w with u a pure hash of the
+    stable doc key and w = n_chars; the k smallest keys ARE a
+    length-weighted sample. Reproducible across engines, runs, and
+    partitionings — same reason q88 hashes instead of RNG — and
+    top-k-able, which real weighted reservoir sampling needs.
+
+    u = (hash7hex + 1)/2^28 ∈ (0, 1], so ln is finite; selection by
+    continuous keys cannot tie (distinct hashes), and the emitted
+    key is rounded for cross-engine display. The top-k runs as
+    TakeOrderedAndProject — per-partition heaps, no global sort.
+    """
+    d = t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 7),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 1) / F.lit(268435456.0)
+    es_key = -F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "source", "n_chars", es_key.alias("es_key"))
+        .orderBy(F.col("es_key").asc(), F.col("doc_id").asc())
+        .limit(20)
+        .select(
+            "doc_id", "source", "n_chars", F.round("es_key", 9).alias("es_key")
+        )
+    )
