@@ -2639,3 +2639,188 @@ def q189_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_days"),
         (num.cast("double") / den.cast("double")).alias("slope_cents_per_day"),
     )
+
+
+@register(
+    "q190_topn_with_other",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand, p.p_type,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,4))) AS revenue
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand, p.p_type
+    ),
+    ranked AS (
+      SELECT p_brand, p_type, revenue,
+             ROW_NUMBER() OVER (
+               PARTITION BY p_brand ORDER BY revenue DESC, p_type ASC
+             ) AS rk
+      FROM rev
+    )
+    SELECT p_brand,
+           CASE WHEN rk <= 3 THEN p_type ELSE 'OTHER' END AS type_bucket,
+           CAST(SUM(revenue) AS DOUBLE) AS revenue
+    FROM ranked
+    GROUP BY p_brand, CASE WHEN rk <= 3 THEN p_type ELSE 'OTHER' END
+    """,
+)
+def q190_topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group with remainder rollup: each brand's top-3 part
+    types by revenue, everything else collapsed into one OTHER row —
+    the BI presentation shape (dashboards can't show 50 slices).
+
+    Rank runs over the ALREADY-AGGREGATED (brand, type) grain — never
+    a window over raw lineitem — and the collapse is a second tiny
+    aggregate over the same grain. Deterministic: exact-decimal
+    revenue with a p_type tie-break in the rank, and OTHER sums exact
+    decimals.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    rev = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("revenue").desc(), F.col("p_type").asc()
+    )
+    ranked = rev.withColumn("rk", F.row_number().over(w))
+    bucket = F.when(F.col("rk") <= 3, F.col("p_type")).otherwise("OTHER")
+    return (
+        ranked.groupBy("p_brand", bucket.alias("type_bucket"))
+        .agg(F.sum("revenue").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q192_activation_latency",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id
+    ),
+    lat AS (
+      SELECT CAST(FLOOR(epoch(first_purchase)) 
+                  - FLOOR(epoch(first_signup)) AS BIGINT) AS latency_sec
+      FROM firsts
+      WHERE first_signup IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_signup
+    )
+    SELECT COUNT(*) AS n_activated,
+           quantile_cont(latency_sec, 0.50) AS p50_sec,
+           quantile_cont(latency_sec, 0.90) AS p90_sec,
+           quantile_cont(latency_sec, 0.99) AS p99_sec
+    FROM lat
+    """,
+)
+def q192_activation_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation latency: per user, time from first signup to first
+    purchase, summarized as exact p50/p90/p99 — the activation-funnel
+    health metric.
+
+    Both "firsts" come from ONE conditional-MIN aggregate per user
+    (no per-type scans, no join of events to events — the q138
+    single-pass shape); percentiles run over the user-grain
+    reduction, which is orders of magnitude smaller than raw events.
+    Latencies are integer seconds, so interpolated percentiles agree
+    across engines (q28 precedent).
+    """
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    lat = firsts.filter(
+        F.col("first_signup").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_signup"))
+    ).select(
+        (
+            F.floor(F.unix_timestamp("first_purchase"))
+            - F.floor(F.unix_timestamp("first_signup"))
+        )
+        .cast("bigint")
+        .alias("latency_sec")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_activated"),
+        F.percentile("latency_sec", 0.50).alias("p50_sec"),
+        F.percentile("latency_sec", 0.90).alias("p90_sec"),
+        F.percentile("latency_sec", 0.99).alias("p99_sec"),
+    )
+
+
+@register(
+    "q193_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med_v
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med_v,
+             ABS(e.value - m.med_v) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad_v
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (
+             WHERE d.adev > 3.0 * 1.4826 * m.mad_v
+           ) AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+)
+def q193_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: flag
+    events whose |value − median| exceeds 3 scaled MADs — the
+    outlier rule that, unlike the z-score audit (q139), is not itself
+    corrupted by the outliers it hunts.
+
+    Two percentile passes by necessity (median, then MAD of
+    deviations), each over a per-type aggregate that is broadcast
+    back — the raw table is scanned twice but never self-joined on
+    data-sized keys. The threshold comparison is pure per-row
+    arithmetic on identically-computed doubles.
+    """
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med_v")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med_v")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad_v")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(
+                F.col("adev") > 3.0 * 1.4826 * F.col("mad_v")
+            ).alias("n_outliers"),
+        )
+    )

@@ -712,3 +712,60 @@ def q188_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", "n_chars", F.round("es_key", 9).alias("es_key")
         )
     )
+
+
+@register(
+    "q191_langid_confusion",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, lang, substr(text, i + 1, 3) AS tri
+      FROM documents, UNNEST(range(length(text) - 2)) AS u(i)
+    ),
+    profile_counts AS (
+      SELECT lang, tri, COUNT(*) AS cnt
+      FROM grams GROUP BY lang, tri
+    ),
+    profile AS (
+      SELECT lang, tri, cnt FROM (
+        SELECT lang, tri, cnt,
+               ROW_NUMBER() OVER (
+                 PARTITION BY lang ORDER BY cnt DESC, tri ASC
+               ) AS rk
+        FROM profile_counts
+      ) WHERE rk <= {PROFILE_K}
+    ),
+    doc_tris AS (
+      SELECT DISTINCT doc_id, lang AS true_lang, tri FROM grams
+    ),
+    scores AS (
+      SELECT d.doc_id, d.true_lang, p.lang AS cand_lang, SUM(p.cnt) AS score
+      FROM doc_tris d JOIN profile p ON p.tri = d.tri
+      GROUP BY d.doc_id, d.true_lang, p.lang
+    ),
+    best AS (
+      SELECT doc_id, true_lang, cand_lang AS predicted_lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, cand_lang ASC
+             ) AS rk
+      FROM scores
+    )
+    SELECT true_lang, predicted_lang, COUNT(*) AS n_docs
+    FROM best WHERE rk = 1
+    GROUP BY true_lang, predicted_lang
+    """,
+)
+def q191_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix for the in-engine
+    language identifier (q82): true lang × predicted lang counts —
+    the in-pipeline model-quality readout (precision/recall fall out
+    of the row/column sums).
+
+    Reuses the q82 plan wholesale (same profile broadcast, same
+    argmax) and adds one bounded |langs|² aggregate on top —
+    evaluation as a query, no exported predictions, no second
+    system.
+    """
+    preds = q82_lang_id_ngram(spark, sf_dir)
+    return preds.groupBy("true_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
