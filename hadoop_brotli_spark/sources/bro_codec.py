@@ -19,7 +19,15 @@ brotli bitstream — no brotli binding exists offline; SURVEY.md §7).
 
 Not replicated (documented reference quirks, SURVEY.md §4):
 byte counters stubbed to 0, no-op ``Decompressor.reset()``, JNI
-global-ref leak, empty ``setDictionary``.
+global-ref leak.
+
+Implemented BEYOND the reference: custom dictionary support — the
+reference declares the surface but leaves it empty (``setDictionary``
+no-op at ``BroCompressor.java:78-81``; "TODOs: Custom dictionary
+support", ``README.md:4-5``). Both backends accept a preset
+dictionary (``bro.dictionary`` inline string / ``bro.dictionary-file``
+path); zlib uses ``zdict`` (FDICT-checksummed, so a wrong or missing
+dictionary surfaces as ``BroCorruptError``, not silent garbage).
 """
 
 from __future__ import annotations
@@ -55,22 +63,37 @@ class BroConfig:
 
     quality: int = DEFAULT_QUALITY  # "bro.quality", 1..11
     buffer_size: int = DEFAULT_BUFFER_SIZE  # "bro.buffer-size"
+    dictionary: bytes | None = None  # the reference's declared TODO
 
     @classmethod
     def from_options(cls, options: dict[str, Any] | None) -> "BroConfig":
         options = options or {}
+        dictionary: bytes | None = None
+        if "bro.dictionary" in options:
+            raw = options["bro.dictionary"]
+            dictionary = raw if isinstance(raw, bytes) else str(raw).encode()
+        elif "bro.dictionary-file" in options:
+            with open(options["bro.dictionary-file"], "rb") as f:
+                dictionary = f.read()
         return cls(
             quality=int(options.get("bro.quality", DEFAULT_QUALITY)),
             buffer_size=int(options.get("bro.buffer-size", DEFAULT_BUFFER_SIZE)),
+            dictionary=dictionary,
         )
 
 
 class _ZlibCompressor:
     """zlib fallback with the reference's push-style block surface."""
 
-    def __init__(self, quality: int) -> None:
+    def __init__(self, quality: int, dictionary: bytes | None = None) -> None:
         # map brotli quality 1..11 onto zlib 1..9
-        self._c = zlib.compressobj(max(1, min(9, quality)))
+        level = max(1, min(9, quality))
+        if dictionary:
+            self._c = zlib.compressobj(level, zlib.DEFLATED, zlib.MAX_WBITS,
+                                       zlib.DEF_MEM_LEVEL,
+                                       zlib.Z_DEFAULT_STRATEGY, dictionary)
+        else:
+            self._c = zlib.compressobj(level)
 
     def compress(self, data: bytes) -> bytes:
         return self._c.compress(data)
@@ -80,8 +103,12 @@ class _ZlibCompressor:
 
 
 class _ZlibDecompressor:
-    def __init__(self) -> None:
-        self._d = zlib.decompressobj()
+    def __init__(self, dictionary: bytes | None = None) -> None:
+        self._d = (
+            zlib.decompressobj(zdict=dictionary)
+            if dictionary
+            else zlib.decompressobj()
+        )
 
     def decompress(self, data: bytes) -> bytes:
         try:
@@ -104,8 +131,21 @@ class _ZlibDecompressor:
 
 
 class _BrotliCompressor:
-    def __init__(self, quality: int) -> None:
-        self._c = brotli.Compressor(quality=quality, lgwin=LGWIN)
+    def __init__(self, quality: int, dictionary: bytes | None = None) -> None:
+        if dictionary:  # pragma: no cover - needs brotli
+            # brotli's C binding takes the custom dictionary at
+            # compress time; reject rather than silently ignore if
+            # this build has no such parameter.
+            try:
+                self._c = brotli.Compressor(
+                    quality=quality, lgwin=LGWIN, dictionary=dictionary
+                )
+            except TypeError as exc:
+                raise NotImplementedError(
+                    "this brotli build does not support custom dictionaries"
+                ) from exc
+        else:
+            self._c = brotli.Compressor(quality=quality, lgwin=LGWIN)
 
     def compress(self, data: bytes) -> bytes:
         return self._c.process(data)
@@ -115,8 +155,16 @@ class _BrotliCompressor:
 
 
 class _BrotliDecompressor:
-    def __init__(self) -> None:
-        self._d = brotli.Decompressor()
+    def __init__(self, dictionary: bytes | None = None) -> None:
+        if dictionary:  # pragma: no cover - needs brotli
+            try:
+                self._d = brotli.Decompressor(dictionary=dictionary)
+            except TypeError as exc:
+                raise NotImplementedError(
+                    "this brotli build does not support custom dictionaries"
+                ) from exc
+        else:
+            self._d = brotli.Decompressor()
 
     def decompress(self, data: bytes) -> bytes:
         try:
@@ -138,12 +186,14 @@ def get_backend() -> str:
     return "brotli" if HAS_BROTLI else "zlib"
 
 
-def _compressor(quality: int):
-    return _BrotliCompressor(quality) if HAS_BROTLI else _ZlibCompressor(quality)
+def _compressor(config: BroConfig):
+    cls = _BrotliCompressor if HAS_BROTLI else _ZlibCompressor
+    return cls(config.quality, config.dictionary)
 
 
-def _decompressor():
-    return _BrotliDecompressor() if HAS_BROTLI else _ZlibDecompressor()
+def _decompressor(config: BroConfig):
+    cls = _BrotliDecompressor if HAS_BROTLI else _ZlibDecompressor
+    return cls(config.dictionary)
 
 
 @dataclass
@@ -171,7 +221,7 @@ def compress_stream(
     the generator twin of the reference's ring-buffer block pipeline
     (BroCompressor.java:123-142)."""
     config = config or BroConfig()
-    comp = _compressor(config.quality)
+    comp = _compressor(config)
     for chunk in chunks:
         if chunk:
             if stats is not None:
@@ -196,7 +246,8 @@ def decompress_stream(
     """Streaming decompress with corruption detection — the pull-loop
     twin of BroDecompressorStream.decompress
     (BroDecompressorStream.java:37-64)."""
-    dec = _decompressor()
+    config = config or BroConfig()
+    dec = _decompressor(config)
     for chunk in chunks:
         if chunk:
             if stats is not None:

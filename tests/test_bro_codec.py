@@ -281,3 +281,68 @@ def test_codec_stats_real_counters():
     assert d_stats.bytes_read == len(compressed)
     assert d_stats.bytes_written == n_raw
     assert 0 < c_stats.ratio < 1  # compressible payload
+
+
+# ------------------------------------------------------------------
+# Dictionary support — the reference's declared-but-empty TODO
+# (BroCompressor.setDictionary no-op, BroCompressor.java:78-81;
+# README.md:4-5 "Custom dictionary support"). We implement it.
+
+DICT = b"select from where group by order limit join table scan " * 8
+DICT_PAYLOAD = (
+    b"select value from table where key group by value order by key " * 500
+)
+
+
+def test_dictionary_roundtrip_and_benefit(tmp_path):
+    from hadoop_brotli_spark.sources.bro_codec import (
+        BroConfig,
+        read_bro_bytes,
+        write_bro_bytes,
+    )
+
+    plain_cfg = BroConfig()
+    dict_cfg = BroConfig.from_options({"bro.dictionary": DICT})
+
+    p_plain = str(tmp_path / "plain.bro")
+    p_dict = str(tmp_path / "dict.bro")
+    n_plain = write_bro_bytes(DICT_PAYLOAD, p_plain, plain_cfg)
+    n_dict = write_bro_bytes(DICT_PAYLOAD, p_dict, dict_cfg)
+
+    assert b"".join(read_bro_bytes(p_dict, dict_cfg)) == DICT_PAYLOAD
+    # a dictionary of the payload's vocabulary must not hurt
+    assert n_dict <= n_plain
+
+
+def test_dictionary_file_option(tmp_path):
+    from hadoop_brotli_spark.sources.bro_codec import (
+        BroConfig,
+        read_bro_bytes,
+        write_bro_bytes,
+    )
+
+    dict_path = tmp_path / "vocab.dict"
+    dict_path.write_bytes(DICT)
+    cfg = BroConfig.from_options({"bro.dictionary-file": str(dict_path)})
+    p = str(tmp_path / "f.bro")
+    write_bro_bytes(b"payload " * 1000, p, cfg)
+    assert b"".join(read_bro_bytes(p, cfg)) == b"payload " * 1000
+
+
+def test_wrong_or_missing_dictionary_is_corruption(tmp_path):
+    from hadoop_brotli_spark.sources.bro_codec import (
+        BroConfig,
+        BroCorruptError,
+        read_bro_bytes,
+        write_bro_bytes,
+    )
+
+    cfg = BroConfig.from_options({"bro.dictionary": DICT})
+    p = str(tmp_path / "d.bro")
+    write_bro_bytes(DICT_PAYLOAD, p, cfg)
+
+    with pytest.raises(BroCorruptError):
+        b"".join(read_bro_bytes(p, BroConfig()))  # missing dict
+    with pytest.raises(BroCorruptError):
+        bad = BroConfig.from_options({"bro.dictionary": b"unrelated words"})
+        b"".join(read_bro_bytes(p, bad))  # wrong dict
