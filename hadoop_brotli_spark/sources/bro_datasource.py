@@ -35,6 +35,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -197,6 +198,79 @@ class BroStreamReader(SimpleDataSourceStreamReader):
         pass
 
 
+class BroStreamWriter(DataSourceStreamWriter):
+    """Streaming ``.bro`` sink: one file per partition per epoch,
+    published atomically at epoch commit.
+
+    Exactly-once with a checkpointed query: file names are
+    deterministic in (batchId, partitionId), so a replayed epoch
+    rewrites the same files (idempotent ``os.replace``) instead of
+    duplicating data; aborted epochs leave only ``.tmp`` files that
+    never become visible. This is the sink-side twin of the
+    file-list-offset stream reader above — together they give the
+    codec path end-to-end streaming with the same at-least-once →
+    exactly-once upgrade Spark's own file sink provides.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("bro stream sink requires a path")
+        self.config = BroConfig.from_options(dict(options))
+
+    def write(self, iterator) -> BroCommit:
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        # batchId is not exposed to the executor-side write();
+        # name the temp uniquely and let commit() place it under the
+        # epoch-deterministic final name.
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(
+            self.path, f".epoch-{uuid.uuid4().hex}-{pid:05d}.tmp"
+        )
+
+        def line_chunks() -> Iterator[bytes]:
+            batch: list[str] = []
+            size = 0
+            for row in iterator:
+                v = row[0]
+                batch.append("" if v is None else str(v))
+                size += len(batch[-1]) + 1
+                if size >= self.config.buffer_size:
+                    yield ("\n".join(batch) + "\n").encode("utf-8")
+                    batch, size = [], 0
+            if batch:
+                yield ("\n".join(batch) + "\n").encode("utf-8")
+
+        wrote = False
+        with open(tmp, "wb") as f:
+            for block in compress_stream(line_chunks(), self.config):
+                f.write(block)
+                wrote = True
+        if not wrote:  # empty partition: publish nothing
+            os.remove(tmp)
+            return BroCommit(tmp="", final="")
+        return BroCommit(tmp=tmp, final=f"{pid:05d}")
+
+    def commit(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.tmp:
+                final = os.path.join(
+                    self.path,
+                    f"part-{batchId:08d}-{m.final}{BRO_EXTENSION}",
+                )
+                os.replace(m.tmp, final)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.tmp and os.path.exists(m.tmp):
+                os.remove(m.tmp)
+
+
 class BroDataSource(DataSource):
     """``format("bro")``: newline-delimited text in ``.bro`` files.
 
@@ -220,6 +294,9 @@ class BroDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> BroStreamReader:
         return BroStreamReader(dict(self.options))
+
+    def streamWriter(self, schema, overwrite: bool) -> BroStreamWriter:
+        return BroStreamWriter(dict(self.options))
 
 
 def register_bro_source(spark) -> None:
