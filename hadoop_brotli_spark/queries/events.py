@@ -727,3 +727,100 @@ def q187_forward_asof_followup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q194_daily_percentile_bands",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_events,
+           quantile_cont(value, 0.5) AS p50_value,
+           quantile_cont(value, 0.9) AS p90_value,
+           quantile_cont(value, 0.99) AS p99_value
+    FROM events
+    GROUP BY DATE_TRUNC('day', ts)
+    """,
+)
+def q194_daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily latency/value percentile bands: the monitoring time
+    series (p50/p90/p99 per day) every operations dashboard draws.
+
+    One grouped aggregate at the day grain; exact interpolated
+    percentiles within each group (both engines share the
+    linear-interpolation definition — q28 precedent). At scale the
+    exact percentile per bounded group is fine because groups are
+    calendar-sized; over data-sized groups the mergeable switch is
+    approx_percentile (q38).
+    """
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.percentile("value", 0.5).alias("p50_value"),
+        F.percentile("value", 0.9).alias("p90_value"),
+        F.percentile("value", 0.99).alias("p99_value"),
+    )
+
+
+@register(
+    "q195_resettable_running_sum",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS seg
+      FROM events
+    ),
+    run AS (
+      SELECT user_id, seg,
+             SUM(CAST(value AS DECIMAL(18,2))) AS seg_value,
+             COUNT(*) AS n_events
+      FROM seq GROUP BY user_id, seg
+    )
+    SELECT user_id,
+           COUNT(*) AS n_segments,
+           CAST(MAX(seg_value) AS DOUBLE) AS max_basket_value,
+           CAST(SUM(n_events) AS DOUBLE) / COUNT(*)
+             AS avg_events_per_segment
+    FROM run GROUP BY user_id
+    """,
+)
+def q195_resettable_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate that RESETS on a condition: per user,
+    accumulate event value until each purchase closes the "basket",
+    then summarize baskets — the conditional-reset cumulative shape
+    (session spend, counters between failures, burn since refill).
+
+    The reset is not a join or an iterative loop: a cumulative
+    conditional count over the preceding frame assigns each row its
+    segment number (the purchase row closes its own segment), and
+    the basket totals are then an ordinary exact-decimal aggregate on
+    (user, segment). One window + two hash aggregates, one shuffle
+    on user_id. Ties break on (ts, event_id) for determinism.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seg = F.coalesce(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(w),
+        F.lit(0),
+    )
+    seq = ev.select("user_id", "value", seg.alias("seg"))
+    run = seq.groupBy("user_id", "seg").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("seg_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return run.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.max("seg_value").cast("double").alias("max_basket_value"),
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias(
+            "avg_events_per_segment"
+        ),
+    )
