@@ -910,3 +910,82 @@ def q49_grouped_pandas_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             " max_gap_days double",
         )
     )
+
+
+@register(
+    "q196_hierarchy_flatten",
+    oracle="""
+    WITH RECURSIVE walk(doc_id, anc, depth) AS (
+      SELECT doc_id, doc_id, 0
+      FROM documents WHERE doc_id < 64
+      UNION ALL
+      SELECT w.doc_id, w.anc // 2, w.depth + 1
+      FROM walk w WHERE w.anc > 1
+    )
+    SELECT doc_id,
+           CAST(MAX(depth) AS BIGINT) AS depth,
+           CAST(MIN(anc) AS BIGINT) AS root
+    FROM walk GROUP BY doc_id
+    """,
+)
+def q196_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE capability: flatten a parent hierarchy (here the
+    implicit tree ``parent = floor(id / 2)``) to per-node depth and
+    root — the org-chart / bill-of-materials traversal SQL expresses
+    with WITH RECURSIVE, which Spark lacks natively.
+
+    The Spark side uses pointer jumping (path halving): each round
+    replaces every node's ancestor pointer with its ancestor's
+    ancestor, so rounds = O(log depth), not O(depth) — 20 rounds
+    cover depth ~10^6. Each round is one self-join on the CURRENT
+    ancestor frontier (bounded by node count), with localCheckpoint
+    truncating lineage like q64's label propagation.
+
+    100 TB note: pointer jumping is the scalable recursion pattern —
+    a literal row-per-step recursion would need depth rounds and
+    carry the full path; here state is one (node, anc, depth) row.
+    """
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    # state: (doc_id, anc, depth climbed so far)
+    state = d.select(
+        "doc_id", F.col("doc_id").alias("anc"), F.lit(0).alias("depth")
+    )
+    # jump table starts as one parent step: anc -> (anc/2, 1 step)
+    jump = state.select(
+        F.col("doc_id").alias("j_from"),
+        F.floor(F.col("doc_id") / 2).cast("long").alias("j_to"),
+        F.lit(1).alias("j_steps"),
+    ).filter(F.col("j_from") > 1)
+    for _ in range(7):  # 2^7 = 128 levels > log2(64)
+        stepped = (
+            state.join(jump, state.anc == jump.j_from, "left")
+            .select(
+                "doc_id",
+                F.coalesce("j_to", "anc").alias("anc"),
+                (F.col("depth") + F.coalesce("j_steps", F.lit(0))).alias(
+                    "depth"
+                ),
+            )
+            .localCheckpoint()
+        )
+        j2 = jump.select(
+            F.col("j_from").alias("f2"), F.col("j_to").alias("t2"),
+            F.col("j_steps").alias("s2"),
+        )
+        jump = (
+            jump.join(j2, jump.j_to == j2.f2, "left")
+            .select(
+                "j_from",
+                F.coalesce("t2", "j_to").alias("j_to"),
+                (F.col("j_steps") + F.coalesce("s2", F.lit(0))).alias(
+                    "j_steps"
+                ),
+            )
+            .localCheckpoint()
+        )
+        state = stepped
+    return state.select(
+        "doc_id",
+        F.col("depth").cast("bigint").alias("depth"),
+        F.col("anc").cast("bigint").alias("root"),
+    )
