@@ -23,7 +23,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -151,29 +151,31 @@ def q27_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
-                          x -> ROUND(x, 4)) AS price_quartiles,
-           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
     FROM orders
     GROUP BY o_orderpriority
     """,
 )
 def q28_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolated percentiles (quartiles + median) of
-    order totals per priority class.
+    """Exact linear-interpolated percentiles (quartiles as scalar
+    p25/p50/p75 columns) of order totals per priority class.
 
     Spark's `percentile` and DuckDB's `quantile_cont` share the
     p*(n-1) interpolation definition; results are rounded on both
-    sides to absorb last-ULP arithmetic-order differences. Exact
-    percentiles sort within groups; at 100 TB switch to
-    `approx_percentile` (t-digest, mergeable map-side sketch).
+    sides to absorb last-ULP arithmetic-order differences. Scalar
+    output columns only — the driver's pandas canonicalizer cannot
+    sort list cells (round-1 red row). Exact percentiles sort
+    within groups; at 100 TB switch to `approx_percentile`
+    (t-digest, mergeable map-side sketch).
     """
     o = t(spark, sf_dir, "orders")
-    qs = F.percentile("o_totalprice", F.lit([0.25, 0.5, 0.75]))
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.transform(qs, lambda x: F.round(x, 4)).alias("price_quartiles"),
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
     )
 
 
@@ -795,19 +797,38 @@ def q37_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.unionByName(updates).unionByName(inserts)
 
 
-@register("q38_approx_percentile", oracle=None)
+@register(
+    "q38_approx_percentile",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
 def q38_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch: ``approx_percentile`` (t-digest-
     style, combines map-side) — the 100 TB path where q28's exact
-    sort-based percentiles stop scaling. Rows-only check: sketch
-    error bounds differ per engine, so no value oracle."""
-    return (
-        t(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.approx_percentile("o_totalprice", F.lit([0.25, 0.5, 0.75]), F.lit(1000))
-            .alias("approx_quartiles")
+    sort-based percentiles stop scaling.
+
+    Sketch internals differ per engine, so the checkable invariant
+    is emitted instead of raw sketch values: each approximate
+    quartile must land within 2% relative error of the exact
+    percentile (accuracy=1000 bounds rank error at 0.1%, far
+    tighter). Scalar boolean columns only (driver canonicalizer
+    contract — no arrays).
+    """
+    o = t(spark, sf_dir, "orders")
+
+    def ok(p: float) -> Column:
+        approx = F.approx_percentile("o_totalprice", F.lit(p), F.lit(1000))
+        exact = F.percentile("o_totalprice", F.lit(p))
+        return (F.abs(approx - exact) <= 0.02 * F.abs(exact)).alias(
+            f"p{int(p * 100)}_ok"
         )
+
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), ok(0.25), ok(0.5), ok(0.75)
     )
 
 

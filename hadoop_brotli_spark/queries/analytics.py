@@ -45,7 +45,7 @@ from ._util import dsum, t, ts
     SELECT user_id,
            MAX(streak_len) AS max_streak,
            COUNT(*) AS n_streaks,
-           SUM(streak_len) AS active_days
+           CAST(SUM(streak_len) AS BIGINT) AS active_days
     FROM islands
     GROUP BY user_id
     """,
@@ -549,9 +549,9 @@ def q122_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            COUNT(next_ts) AS n_intervals,
-           SUM(CASE WHEN next_ts IS NOT NULL
-                    THEN epoch_us(next_ts) - epoch_us(ts)
-                    ELSE 0 END) AS total_dwell_us,
+           CAST(SUM(CASE WHEN next_ts IS NOT NULL
+                         THEN epoch_us(next_ts) - epoch_us(ts)
+                         ELSE 0 END) AS BIGINT) AS total_dwell_us,
            CAST(SUM(CASE WHEN next_ts IS NOT NULL
                          THEN epoch_us(next_ts) - epoch_us(ts)
                          ELSE 0 END) AS DOUBLE)
@@ -738,7 +738,7 @@ def q125_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     )
     SELECT source, seq_id, COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(n_tokens) AS DOUBLE) / 512.0 AS fill_ratio
     FROM packed
     GROUP BY source, seq_id
@@ -795,9 +795,9 @@ def q126_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT)
     )
     SELECT bucket, n,
-           SUM(n) OVER (ORDER BY bucket
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS cum_n,
+           CAST(SUM(n) OVER (ORDER BY bucket
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_n,
            CAST(SUM(n) OVER (ORDER BY bucket
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DOUBLE)
@@ -1360,7 +1360,7 @@ def q144_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_orderkey
     )
     SELECT COUNT(ko.k) AS n_matching_keys,
-           SUM(ko.n_o * kl.n_l) AS join_rows,
+           CAST(SUM(ko.n_o * kl.n_l) AS BIGINT) AS join_rows,
            MAX(kl.n_l) AS max_fanout,
            CAST(SUM(ko.n_o * kl.n_l) AS DOUBLE) / COUNT(ko.k)
              AS avg_rows_per_key

@@ -785,7 +785,15 @@ def q107_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q108_hll_sketch_merge", oracle=None)
+@register(
+    "q108_hll_sketch_merge",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_groups,
+           COUNT(DISTINCT l_orderkey) AS exact_global,
+           TRUE AS est_ok
+    FROM lineitem
+    """,
+)
 def q108_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Apache DataSketches, built into Spark):
     per-group sketches built with ``hll_sketch_agg`` are merged with
@@ -793,26 +801,26 @@ def q108_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scanning, the architecture for incremental distinct counts
     over 100 TB (store per-partition sketch bytes, union on demand).
 
-    Rows-only: sketch estimates are approximate, and DuckDB's HLL
-    internals differ — the smoke check plus the in-query exact/
-    estimate comparison columns stand in for the hash oracle.
+    Sketch estimates can't hash-match across engines, so the output
+    is the checkable invariant (round-1 VERDICT task 7): the merged
+    estimate must land within 5% of the exact global distinct.
     """
     li = t(spark, sf_dir, "lineitem")
     per_flag = li.groupBy("l_returnflag").agg(
-        F.hll_sketch_agg("l_orderkey").alias("sk"),
-        F.countDistinct("l_orderkey").alias("exact_per_flag"),
+        F.hll_sketch_agg("l_orderkey").alias("sk")
     )
     merged = per_flag.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_global"),
-        F.sum(F.lit(1)).alias("n_groups"),
+        F.count(F.lit(1)).alias("n_groups"),
     )
     exact = li.agg(F.countDistinct("l_orderkey").alias("exact_global"))
     return merged.crossJoin(F.broadcast(exact)).select(
         "n_groups",
-        "est_global",
         "exact_global",
-        (F.abs(F.col("est_global") - F.col("exact_global")) / F.col("exact_global"))
-        .alias("rel_err"),
+        (
+            F.abs(F.col("est_global") - F.col("exact_global"))
+            <= 0.05 * F.col("exact_global")
+        ).alias("est_ok"),
     )
 
 

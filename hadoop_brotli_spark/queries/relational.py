@@ -368,19 +368,39 @@ def q20_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q21_agg_approx_distinct", oracle=None)
+@register(
+    "q21_agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_exact,
+           TRUE AS est_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q21_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++).
+    """approx_count_distinct (HyperLogLog++) vs exact distinct.
 
-    No oracle: DuckDB's approx_count_distinct uses a different sketch
-    so values can't hash-match; driver records rows-only. At 100 TB
-    this is the right default over exact distinct — no shuffle of the
-    distinct values, only fixed-size sketches merge.
+    HLL internals differ per engine, so the checkable invariant is
+    emitted instead of the raw estimate: ``est_ok`` asserts the
+    rsd=0.01 estimate lands within 5% (≈5σ) of the exact count
+    (round-1 VERDICT task 7 — no permanently-red oracle-less rows).
+    At 100 TB the sketch is the right default over exact distinct —
+    no shuffle of the distinct values, only fixed-size sketches
+    merge; the exact column here is the verification harness.
     """
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"))
+        .agg(
+            F.countDistinct("l_partkey").alias("n_exact"),
+            (
+                F.abs(
+                    F.approx_count_distinct("l_partkey", 0.01)
+                    - F.countDistinct("l_partkey")
+                )
+                <= 0.05 * F.countDistinct("l_partkey")
+            ).alias("est_ok"),
+        )
     )
 
 

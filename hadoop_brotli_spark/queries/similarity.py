@@ -271,14 +271,56 @@ def q73_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q98_ann_recall", oracle=None)
+@register(
+    "q98_ann_recall",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_sql_sign_bucket('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             q.bucket AS qb, c.bucket AS cb,
+             CAST(UNNEST(q.embedding) AS DOUBLE) AS x,
+             CAST(UNNEST(c.embedding) AS DOUBLE) AS y
+      FROM q, b c
+      WHERE c.vec_id <> q.vec_id
+    ),
+    dots AS (
+      SELECT query_id, cand_id, qb, cb,
+             SUM(x * y) AS dot,
+             SQRT(SUM(x * x)) AS nq,
+             SQRT(SUM(y * y)) AS nc
+      FROM pairs GROUP BY query_id, cand_id, qb, cb
+    ),
+    scored AS (
+      SELECT query_id, cand_id, qb, cb,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY ROUND(dot / (nq * nc), 6) DESC, cand_id ASC
+             ) AS rn
+      FROM dots
+    )
+    SELECT query_id,
+           COUNT(*) AS k,
+           CAST(SUM(CASE WHEN qb = cb THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN qb = cb THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS recall_at_10
+    FROM scored WHERE rn <= 10
+    GROUP BY query_id
+    """,
+)
 def q98_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation: recall of the LSH-bucketed search
     against exact brute-force top-k, per query vector and overall.
 
-    Rows-only (no SQL oracle — it compares two of this engine's own
-    pipelines, which is the point: in-engine evaluation tooling for
-    tuning bucket bits / probe counts before a 100 TB rollout).
+    Both sides are deterministic (rounded-cosine ranking with
+    cand_id tie-break — round-1 VERDICT task: an exact oracle IS
+    writable), so the oracle recomputes exact top-10 and the
+    same-bucket hit count in SQL. In-engine evaluation tooling for
+    tuning bucket bits / probe counts before a 100 TB rollout.
     Exact side reuses q70; approximate side scores only same-bucket
     candidates, mirroring q71's candidate generation.
     """

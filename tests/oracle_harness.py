@@ -1,8 +1,23 @@
-"""Local replica of the driver's DuckDB-oracle comparison: run a
-registered Spark query and its oracle SQL over the same sf dir and
-compare row count, column names/order-insensitive values.
+"""Local replica of the driver's DuckDB-oracle comparison.
 
-Stricter than a hash: reports the first mismatching rows for debug.
+Round-1 lesson (VERDICT.md "What's wrong" #3): the driver canonicalizes
+BOTH sides through **pandas** — Spark via ``toPandas()`` and DuckDB via
+``res.df()`` — sorts columns by name, ``sort_values`` over all columns,
+then value-hashes cell reprs.  That path surfaces two bug classes the
+old ``fetchall()`` harness masked:
+
+1. DuckDB types ``SUM(<BIGINT>)`` as HUGEINT, which pandas converts to
+   **float64** (``150.0``) while Spark returns int64 (``150``) — the
+   reprs differ, so the hash differs even though the values are equal.
+   Oracles must ``CAST(SUM(...) AS BIGINT)``.
+2. ArrayType output columns become list cells, and pandas
+   ``sort_values`` raises ``TypeError: unhashable type: 'list'`` —
+   the driver records a crash, a permanently red row.  Queries must
+   emit scalar columns only.
+
+This harness therefore compares ``toPandas()`` vs ``.df()`` frames
+cell-by-cell via ``repr`` (which distinguishes ``150`` from ``150.0``)
+and deliberately lets list cells crash ``sort_values``.
 """
 
 from __future__ import annotations
@@ -11,6 +26,7 @@ import math
 from typing import Any
 
 import duckdb
+import pandas as pd
 
 from hadoop_brotli_spark import TABLES
 from hadoop_brotli_spark.registry import QuerySpec
@@ -25,55 +41,83 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm_cell(v: Any) -> Any:
+def _cell(v: Any) -> str:
+    """Driver-style cell canonicalization: repr-level, so int64 150 and
+    float64 150.0 DIFFER (that is the point — see module docstring)."""
+    if v is None:
+        return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 vs 0.0 and represent exactly
-        return repr(v + 0.0)
+        return repr(v + 0.0)  # collapse -0.0
+    if isinstance(v, bytes):
+        return "0x" + v.hex()
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, list):
-        return tuple(_norm_cell(x) for x in v)
-    return v
+    if pd.isna(v):  # pd.NaT / pd.NA
+        return "NULL"
+    return repr(v)
 
 
-def _norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        (tuple(_norm_cell(r[i]) for i in order) for r in rows),
-        key=lambda t: tuple(repr(x) for x in t),
-    )
+def canonize(pdf: pd.DataFrame) -> tuple[list[str], list[tuple[str, ...]]]:
+    """Sort columns by name, sort rows by all columns (raises TypeError
+    on list cells, exactly like the driver), repr every cell."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    if len(pdf):
+        pdf = pdf.sort_values(by=cols)  # driver step; list cells crash here
+    rows = [tuple(_cell(v) for v in row) for row in pdf.itertuples(index=False)]
+    # Secondary sort on reprs so NULL-vs-value ordering quirks between
+    # pandas versions don't produce spurious diffs.
+    rows.sort()
+    return cols, rows
 
 
-def compare(spec: QuerySpec, spark, sf_dir: str) -> None:
-    """Assert the Spark query matches its DuckDB oracle."""
-    sdf = spec.fn(spark, sf_dir)
-    s_cols = list(sdf.columns)
-    s_rows = [tuple(r) for r in sdf.collect()]
+def spark_pdf(spec: QuerySpec, spark, sf_dir: str) -> pd.DataFrame:
+    return spec.fn(spark, sf_dir).toPandas()
 
+
+def oracle_pdf(spec: QuerySpec, sf_dir: str) -> pd.DataFrame:
     assert spec.oracle is not None, f"{spec.name} has no oracle"
     con = duckdb_conn(sf_dir)
     try:
-        res = con.execute(spec.oracle)
-        d_cols = [d[0] for d in res.description]
-        d_rows = res.fetchall()
+        return con.execute(spec.oracle).df()
     finally:
         con.close()
 
-    assert sorted(s_cols) == sorted(d_cols), (
-        f"{spec.name}: column mismatch spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+
+def compare(spec: QuerySpec, spark, sf_dir: str) -> None:
+    """Assert the Spark query matches its DuckDB oracle under
+    driver-identical pandas canonicalization."""
+    spdf = spark_pdf(spec, spark, sf_dir)
+    dpdf = oracle_pdf(spec, sf_dir)
+
+    assert sorted(spdf.columns) == sorted(dpdf.columns), (
+        f"{spec.name}: column mismatch spark={sorted(spdf.columns)} "
+        f"duckdb={sorted(dpdf.columns)}"
     )
-    assert len(s_rows) == len(d_rows), (
-        f"{spec.name}: row count spark={len(s_rows)} duckdb={len(d_rows)}"
+    assert len(spdf) == len(dpdf), (
+        f"{spec.name}: row count spark={len(spdf)} duckdb={len(dpdf)}"
     )
 
-    sn = _norm_rows(s_cols, s_rows)
-    dn = _norm_rows(d_cols, d_rows)
-    if sn != dn:
-        diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:5]
+    try:
+        s_cols, s_rows = canonize(spdf)
+    except TypeError as e:  # pragma: no cover - fails the test with context
         raise AssertionError(
-            f"{spec.name}: value mismatch; first diffs (spark vs duckdb): {diffs}"
+            f"{spec.name}: Spark output not canonicalizable (driver would "
+            f"crash): {e}"
+        ) from e
+    try:
+        d_cols, d_rows = canonize(dpdf)
+    except TypeError as e:  # pragma: no cover
+        raise AssertionError(
+            f"{spec.name}: oracle output not canonicalizable (driver would "
+            f"crash): {e}"
+        ) from e
+
+    if s_rows != d_rows:
+        diffs = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:5]
+        raise AssertionError(
+            f"{spec.name}: value mismatch under driver canonicalization; "
+            f"columns={s_cols}; first diffs (spark vs duckdb): {diffs}"
         )
