@@ -1618,7 +1618,8 @@ def q149_recency_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM spend s CROSS JOIN avg_spend a
     ),
     per_variant AS (
-      SELECT variant, COUNT(*) AS n_users, SUM(converted) AS n_converted,
+      SELECT variant, COUNT(*) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted,
              CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conv_rate
       FROM assigned GROUP BY variant
     ),
@@ -1717,9 +1718,9 @@ def q151_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d, COUNT(*) AS n_new FROM firstd GROUP BY d
     )
     SELECT d, n_new,
-           SUM(n_new) OVER (ORDER BY d
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND CURRENT ROW) AS cum_users
+           CAST(SUM(n_new) OVER (ORDER BY d
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT) AS cum_users
     FROM per_day
     """,
 )
@@ -1751,8 +1752,8 @@ def q152_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT n FROM per_user ORDER BY n DESC, user_id ASC LIMIT 10
     )
     SELECT (SELECT COUNT(*) FROM per_user) AS n_users,
-           (SELECT SUM(n) FROM per_user) AS total_events,
-           (SELECT SUM(n) FROM top10) AS top10_events,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM per_user) AS total_events,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM top10) AS top10_events,
            CAST((SELECT SUM(n) FROM top10) AS DOUBLE)
              / (SELECT SUM(n) FROM per_user) AS top10_share
     """,

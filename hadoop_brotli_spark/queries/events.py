@@ -389,7 +389,7 @@ def q127_error_safe_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            BIT_AND(o_orderkey) AS and_key,
            BIT_OR(o_orderkey) AS or_key,
            BIT_XOR(o_orderkey) AS xor_key,
-           SUM(o_orderkey & 255) AS sum_low_byte,
+           CAST(SUM(o_orderkey & 255) AS BIGINT) AS sum_low_byte,
            MAX(xor(o_orderkey, o_custkey)) AS max_xor,
            MIN(o_orderkey >> 3) AS min_shifted
     FROM orders

@@ -205,7 +205,8 @@ def q77_term_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lang IN ('es', 'zh') THEN 20 ELSE 50 END AS rate
       FROM documents
     )
-    SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS sum_chars
+    SELECT lang, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM assigned WHERE bucket < rate GROUP BY lang
     """,
 )
@@ -421,7 +422,7 @@ def q79_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, shingle, COUNT(*) AS c FROM sh GROUP BY doc_id, shingle
     )
     SELECT doc_id,
-           SUM(c) AS n_shingles,
+           CAST(SUM(c) AS BIGINT) AS n_shingles,
            MAX(c) AS max_repeat,
            CAST(MAX(c) AS DOUBLE) / SUM(c) AS repetition
     FROM cnt GROUP BY doc_id

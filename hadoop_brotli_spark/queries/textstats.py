@@ -124,7 +124,8 @@ def q81_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id, lang AS true_lang, tri FROM grams
     ),
     scores AS (
-      SELECT d.doc_id, d.true_lang, p.lang AS cand_lang, SUM(p.cnt) AS score
+      SELECT d.doc_id, d.true_lang, p.lang AS cand_lang,
+             CAST(SUM(p.cnt) AS BIGINT) AS score
       FROM doc_tris d JOIN profile p ON p.tri = d.tri
       GROUP BY d.doc_id, d.true_lang, p.lang
     ),
@@ -235,7 +236,7 @@ def q83_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source, lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars

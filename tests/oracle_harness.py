@@ -53,10 +53,37 @@ def _cell(v: Any) -> str:
     if isinstance(v, bytes):
         return "0x" + v.hex()
     if hasattr(v, "isoformat"):
-        return v.isoformat()
+        # Spark DATE -> datetime.date; DuckDB DATE -> midnight
+        # Timestamp. The driver's round-1 results show these hash
+        # equal (q118 passed with a DATE column), so canonicalize
+        # dates to midnight timestamps.
+        iso = v.isoformat()
+        if len(iso) == 10:  # bare date
+            iso += "T00:00:00"
+        return iso
     if pd.isna(v):  # pd.NaT / pd.NA
         return "NULL"
     return repr(v)
+
+
+def _norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    """Spark-vs-Spark row normalization (partition-invariance / SQL-
+    surface tests): column-name ordering + repr cells. List cells are
+    allowed here — both sides are Spark, so dtype artifacts don't
+    apply; tuples keep them hashable."""
+
+    def cell(v: Any) -> Any:
+        if isinstance(v, (list, tuple)):
+            return tuple(cell(x) for x in v)
+        if isinstance(v, dict):
+            return tuple(sorted((k, cell(x)) for k, x in v.items()))
+        return _cell(v)
+
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(cell(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple(repr(x) for x in t),
+    )
 
 
 def canonize(pdf: pd.DataFrame) -> tuple[list[str], list[tuple[str, ...]]]:
