@@ -31,6 +31,7 @@ from ._util import t
 N_HASHES = 8  # minhash functions
 N_BANDS = 4  # LSH bands (2 rows per band)
 MAX_SHINGLE_DF = 50  # q61: drop shingles in more docs than this
+MAX_LSH_BUCKET = 64  # q62: skip LSH buckets bigger than this (skew guard)
 HI_NIBBLE = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
@@ -205,11 +206,16 @@ def _minhash_pairs_ctes() -> str:
     bands AS (
       {band_selects}
     ),
+    bsz AS (
+      SELECT band, bkey, COUNT(*) AS n FROM bands GROUP BY band, bkey
+    ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a
       JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
                   AND a.doc_id < b.doc_id
+      JOIN bsz s ON s.band = a.band AND s.bkey = a.bkey
+                AND s.n <= {MAX_LSH_BUCKET}
     )"""
 
 
@@ -279,10 +285,23 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature pipeline runs ONCE, one shuffle on (band, bkey), and
     # pairs are emitted JVM-side from each (small) bucket's sorted
     # doc list. A self-join would scan+hash the corpus twice.
+    # Bucket-size cap (round-1 VERDICT task 4): a degenerate corpus
+    # (e.g. millions of identical docs) concentrates one giant LSH
+    # bucket whose collect_set and O(bucket²) pair emission would
+    # land in a single task. The window count runs BEFORE collect_set
+    # on the same (band, bkey) partitioning (one exchange, spillable
+    # sort — bounded task memory even for a corpus-sized bucket), so
+    # oversized buckets are dropped without ever materializing their
+    # doc list. Near-dup groups that big should go through exact
+    # dedup (q60) first; the oracle applies the identical cap.
+    from pyspark.sql import Window
+
+    bn = F.count(F.lit(1)).over(Window.partitionBy("band", "bkey"))
     buckets = (
-        bands.groupBy("band", "bkey")
+        bands.withColumn("bn", bn)
+        .filter((F.col("bn") >= 2) & (F.col("bn") <= MAX_LSH_BUCKET))
+        .groupBy("band", "bkey")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
     )
     return (
         buckets.select(

@@ -1,0 +1,87 @@
+"""Scale-hazard guards for the dedup surface (round-1 VERDICT task 4):
+a degenerate corpus — thousands of identical documents — must not
+concentrate an unbounded LSH bucket in one task.
+
+With 10k identical docs, every band hashes to the same bucket; the
+MAX_LSH_BUCKET cap must drop those buckets BEFORE collect_set, so the
+query completes with bounded task memory and emits zero candidate
+pairs (exact dedup q60 is the right tool for identical docs).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+N_IDENTICAL = 10_000
+TEXT = "the quick brown fox jumps over the lazy dog again and again"
+
+
+@pytest.fixture(scope="module")
+def degenerate_sf_dir(tmp_path_factory):
+    """A testdata-shaped dir whose documents table is 10k identical
+    docs plus a couple of genuine near-dups."""
+    d = tmp_path_factory.mktemp("degenerate")
+    rows = [
+        {
+            "doc_id": i,
+            "text": TEXT,
+            "lang": "en",
+            "source": "src0",
+            "n_chars": len(TEXT),
+        }
+        for i in range(N_IDENTICAL)
+    ]
+    # two near-dup (but not identical) docs in their own small bucket
+    for i, suffix in ((N_IDENTICAL, "one"), (N_IDENTICAL + 1, "two")):
+        text = "completely different words entirely unique tokens " + suffix
+        rows.append(
+            {
+                "doc_id": i,
+                "text": text,
+                "lang": "en",
+                "source": "src1",
+                "n_chars": len(text),
+            }
+        )
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_minhash_lsh_degenerate_corpus_bounded(spark, degenerate_sf_dir):
+    from hadoop_brotli_spark.queries.dedup import MAX_LSH_BUCKET, _minhash_pairs
+
+    pairs = _minhash_pairs(spark, degenerate_sf_dir).collect()
+    # The 10k-identical bucket (size >> MAX_LSH_BUCKET) must be
+    # dropped, not exploded into ~50M pairs.
+    assert N_IDENTICAL > MAX_LSH_BUCKET
+    ids = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    assert not any(i < N_IDENTICAL for i in ids), (
+        "oversized LSH bucket leaked candidate pairs"
+    )
+    # The small near-dup bucket survives the cap.
+    assert (N_IDENTICAL, N_IDENTICAL + 1) in {(r.doc_a, r.doc_b) for r in pairs}
+
+
+def test_minhash_lsh_cap_matches_oracle(spark, degenerate_sf_dir):
+    """The DuckDB oracle applies the identical bucket cap, so even a
+    degenerate corpus hash-matches."""
+    import duckdb
+
+    from hadoop_brotli_spark.queries.dedup import _minhash_oracle, _minhash_pairs
+
+    spark_rows = sorted(
+        (r.doc_a, r.doc_b) for r in _minhash_pairs(spark, degenerate_sf_dir).collect()
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{degenerate_sf_dir}/documents.parquet')"
+        )
+        oracle_rows = sorted(
+            (a, b) for a, b in con.execute(_minhash_oracle()).fetchall()
+        )
+    finally:
+        con.close()
+    assert spark_rows == oracle_rows
