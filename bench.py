@@ -25,7 +25,8 @@ from hadoop_brotli_spark.session import get_spark
 
 # Representative spread: scan-agg, multi-join, window, dedup families,
 # similarity, text. Keep this list stable across rounds for
-# comparability.
+# comparability — the JSON "value" is the sum over HEADLINE (+ codec
+# round-trip) only, so it stays comparable to BASELINE.md's r1 total.
 HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -38,6 +39,18 @@ HEADLINE = [
     "q62_dedup_minhash_lsh",
     "q70_knn_bruteforce",
     "q80_token_stats",
+]
+
+# Heavy-analytics depth (round-1 VERDICT task 9): the most expensive
+# registry plans, timed and reported in "queries" so regressions in
+# the wide-plan surface show up round-over-round — but EXCLUDED from
+# "value" to keep the headline total comparable across rounds.
+DEPTH = [
+    "q107_pipeline_funnel",
+    "q124_source_vocab_overlap",
+    "q137_basket_lift",
+    "q141_distribution_drift",
+    "q82_lang_id_ngram",
 ]
 
 
@@ -67,7 +80,7 @@ def main() -> None:
     w.count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + DEPTH:
         fn = specs[name].fn
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()
@@ -102,7 +115,9 @@ def main() -> None:
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
-    total = round(sum(timings.values()), 3)
+    total = round(
+        sum(v for k, v in timings.items() if k not in DEPTH), 3
+    )
     print(
         json.dumps(
             {

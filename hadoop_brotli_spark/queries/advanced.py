@@ -971,12 +971,17 @@ def q196_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = d.select(
         "doc_id", F.col("doc_id").alias("anc"), F.lit(0).alias("depth")
     )
-    # jump table starts as one parent step: anc -> (anc/2, 1 step)
-    jump = state.select(
-        F.col("doc_id").alias("j_from"),
-        F.floor(F.col("doc_id") / 2).cast("long").alias("j_to"),
+    # Jump table starts as one parent step: anc -> (anc/2, 1 step),
+    # built over the full id RANGE (2..63), not over the doc_ids
+    # present in documents: a walk passes through intermediate
+    # ancestors that need not exist as document rows, and a gapped
+    # doc_id domain would otherwise stall the pointer chase at the
+    # first missing ancestor (silently diverging from the oracle).
+    jump = spark.range(2, 64).select(
+        F.col("id").alias("j_from"),
+        F.floor(F.col("id") / 2).cast("long").alias("j_to"),
         F.lit(1).alias("j_steps"),
-    ).filter(F.col("j_from") > 1)
+    )
     for _ in range(7):  # 2^7 = 128 levels > log2(64)
         stepped = (
             state.join(jump, state.anc == jump.j_from, "left")

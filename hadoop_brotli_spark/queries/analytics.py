@@ -2598,7 +2598,8 @@ def q186_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_days,
            CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day
+             / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0)
+             AS slope_cents_per_day
     FROM stats
     """,
 )
@@ -2635,10 +2636,14 @@ def q189_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # den = 0 when a type has a single distinct day: Spark's non-ANSI
+    # double 0/0 is NULL but recent DuckDB yields IEEE NaN, so both
+    # sides guard explicitly (NULLIF in the oracle) to agree on NULL.
+    slope = F.when(den != 0, num.cast("double") / den.cast("double"))
     return stats.select(
         "event_type",
         F.col("n").cast("bigint").alias("n_days"),
-        (num.cast("double") / den.cast("double")).alias("slope_cents_per_day"),
+        slope.alias("slope_cents_per_day"),
     )
 
 

@@ -141,15 +141,32 @@ class BroWriter(DataSourceWriter):
         return BroCommit(tmp=tmp, final=final)
 
     def commit(self, messages: list[BroCommit]) -> None:
-        # publish atomically only on job success (rename per task file)
+        # Publish atomically only on job success (rename per task
+        # file), then sweep temp files from failed/speculative task
+        # attempts — those never deliver a commit message, so abort()
+        # alone cannot reclaim them. Single-writer local/shared-FS
+        # assumption: see class docstring.
         for m in messages:
             if m is not None:
                 os.replace(m.tmp, m.final)
+        self._sweep_stale_tmps()
 
     def abort(self, messages: list[BroCommit]) -> None:
         for m in messages:
             if m is not None and os.path.exists(m.tmp):
                 os.remove(m.tmp)
+        self._sweep_stale_tmps()
+
+    def _sweep_stale_tmps(self) -> None:
+        import glob
+
+        for leftover in glob.glob(
+            os.path.join(self.path, f"part-*{BRO_EXTENSION}.*.tmp")
+        ):
+            try:
+                os.remove(leftover)
+            except OSError:
+                pass
 
 
 class BroStreamReader(SimpleDataSourceStreamReader):
@@ -210,6 +227,14 @@ class BroStreamWriter(DataSourceStreamWriter):
     file-list-offset stream reader above — together they give the
     codec path end-to-end streaming with the same at-least-once →
     exactly-once upgrade Spark's own file sink provides.
+
+    Scope note: commit()/abort() run on the DRIVER and os.replace the
+    task-written temp files, so the guarantee assumes a filesystem
+    both driver and executors see (local FS in this repo's single-
+    node scope, or NFS/shared mounts). On object stores you'd swap
+    the rename for a manifest commit. The sink dir is assumed
+    single-writer (one streaming query), which makes the stale-temp
+    sweep at commit/abort safe.
     """
 
     def __init__(self, options: dict) -> None:
@@ -233,10 +258,17 @@ class BroStreamWriter(DataSourceStreamWriter):
             self.path, f".epoch-{uuid.uuid4().hex}-{pid:05d}.tmp"
         )
 
+        # Track row consumption, not emitted bytes: the codec flush
+        # tail means compress_stream yields ~8 bytes even for zero
+        # input, so "did the compressor emit" is always true and
+        # would publish junk zero-line files for empty partitions.
+        consumed = [False]
+
         def line_chunks() -> Iterator[bytes]:
             batch: list[str] = []
             size = 0
             for row in iterator:
+                consumed[0] = True
                 v = row[0]
                 batch.append("" if v is None else str(v))
                 size += len(batch[-1]) + 1
@@ -246,12 +278,10 @@ class BroStreamWriter(DataSourceStreamWriter):
             if batch:
                 yield ("\n".join(batch) + "\n").encode("utf-8")
 
-        wrote = False
         with open(tmp, "wb") as f:
             for block in compress_stream(line_chunks(), self.config):
                 f.write(block)
-                wrote = True
-        if not wrote:  # empty partition: publish nothing
+        if not consumed[0]:  # empty partition: publish nothing
             os.remove(tmp)
             return BroCommit(tmp="", final="")
         return BroCommit(tmp=tmp, final=f"{pid:05d}")
@@ -264,11 +294,27 @@ class BroStreamWriter(DataSourceStreamWriter):
                     f"part-{batchId:08d}-{m.final}{BRO_EXTENSION}",
                 )
                 os.replace(m.tmp, final)
+        self._sweep_stale_tmps()
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
             if m is not None and m.tmp and os.path.exists(m.tmp):
                 os.remove(m.tmp)
+        self._sweep_stale_tmps()
+
+    def _sweep_stale_tmps(self) -> None:
+        # Failed/speculative task attempts never deliver a commit
+        # message, so their uuid-named temps would accumulate
+        # forever; epochs are serial per query and the dir is
+        # single-writer (class docstring), so any leftover temp at
+        # commit/abort time is dead.
+        import glob
+
+        for leftover in glob.glob(os.path.join(self.path, ".epoch-*.tmp")):
+            try:
+                os.remove(leftover)
+            except OSError:
+                pass
 
 
 class BroDataSource(DataSource):

@@ -387,8 +387,8 @@ def test_bro_datasource_stream_writer(spark, sf_dir, tmp_path):
     got = sorted(r.value for r in back.collect())
     want = sorted(r.value.upper() for r in nation.collect())
     assert got == want
-    # epoch-deterministic names, no temp residue
-    import glob as g
-
-    files = g.glob(f"{dst}/*")
-    assert files and all(f.endswith(".bro") for f in files)
+    # epoch-deterministic names, no temp residue — os.listdir, not
+    # glob("*"): the sink's temp names start with ".epoch-" and
+    # glob's dotfile exclusion would hide a leaked temp forever
+    entries = os.listdir(dst)
+    assert entries and all(e.endswith(".bro") for e in entries), entries
