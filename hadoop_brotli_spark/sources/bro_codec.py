@@ -102,6 +102,16 @@ class _ZlibCompressor:
         return self._c.flush(zlib.Z_FINISH)
 
 
+def looks_like_zlib(header: bytes) -> bool:
+    """Two-byte zlib header check (RFC 1950): low nibble of CMF must
+    be 8 (deflate) and CMF·256+FLG divisible by 31. Brotli has no
+    magic bytes, so a reference-codec-written ``.bro`` file fails
+    this check with overwhelming probability."""
+    if len(header) < 2:
+        return False
+    return header[0] & 0x0F == 8 and (header[0] * 256 + header[1]) % 31 == 0
+
+
 class _ZlibDecompressor:
     def __init__(self, dictionary: bytes | None = None) -> None:
         self._d = (
@@ -109,8 +119,23 @@ class _ZlibDecompressor:
             if dictionary
             else zlib.decompressobj()
         )
+        self._sniffed = False
 
     def decompress(self, data: bytes) -> bytes:
+        # Cross-backend sniff (SURVEY §2a row 4 / VERDICT task 6):
+        # files written by the REFERENCE codec are brotli bitstreams;
+        # with no brotli wheel this backend can't read them, and
+        # zlib's own "incorrect header check" error would read as
+        # data corruption. Fail loudly with the actual cause instead.
+        if not self._sniffed and data:
+            self._sniffed = True
+            if not looks_like_zlib(bytes(data[:2])):
+                raise BroCorruptError(
+                    "not a zlib-backend .bro stream (bad RFC1950 header); "
+                    "this is likely a brotli bitstream written by the "
+                    "reference codec — install the 'brotli' package so the "
+                    "brotli backend can read it"
+                )
         try:
             return self._d.decompress(data)
         except zlib.error as exc:

@@ -392,3 +392,56 @@ def test_bro_datasource_stream_writer(spark, sf_dir, tmp_path):
     # glob's dotfile exclusion would hide a leaked temp forever
     entries = os.listdir(dst)
     assert entries and all(e.endswith(".bro") for e in entries), entries
+
+
+# ---------------------------------------------------------------- brotli
+# Backend self-activation (VERDICT task 6): when a brotli wheel is
+# present, run the full TestBro grid through the REAL brotli backend
+# explicitly (not via the module-level default), so bitstream interop
+# with the reference codec is covered the moment the environment
+# allows it. Offline this is skipped-not-failed.
+
+from hadoop_brotli_spark.sources.bro_codec import (  # noqa: E402
+    HAS_BROTLI,
+    BroCorruptError,
+    _BrotliCompressor,
+    _BrotliDecompressor,
+    looks_like_zlib,
+)
+
+
+@pytest.mark.skipif(not HAS_BROTLI, reason="no brotli wheel in this environment")
+@pytest.mark.parametrize("entropy", [1, 10, 208])
+@pytest.mark.parametrize("n_chunks", [0, 1, 3, 30])
+def test_brotli_backend_grid(entropy, n_chunks):
+    payload = gen_payload(42, n_chunks, 4096, entropy)
+    comp = _BrotliCompressor(quality=6)
+    compressed = comp.compress(payload) + comp.finish()
+    dec = _BrotliDecompressor()
+    out = dec.decompress(compressed)
+    dec.finish()
+    assert out == payload
+
+
+def test_zlib_header_sniff():
+    import zlib as z
+
+    assert looks_like_zlib(z.compress(b"hello")[:2])
+    # brotli streams (and arbitrary bytes) fail the RFC1950 check
+    assert not looks_like_zlib(b"\x1b\x00")
+    assert not looks_like_zlib(b"")
+    assert not looks_like_zlib(b"\x8b\x1f")  # gzip magic reversed
+
+
+@pytest.mark.skipif(HAS_BROTLI, reason="zlib fallback not active")
+def test_reference_bitstream_fails_loudly(tmp_path):
+    """A brotli bitstream (as the reference codec writes) read by the
+    zlib fallback must raise a clear backend-mismatch message, not a
+    cryptic corruption error."""
+    from hadoop_brotli_spark.sources.bro_codec import read_bro_bytes
+
+    p = tmp_path / "ref.bro"
+    # brotli stream prefix for "hello" (fixed bytes, no wheel needed)
+    p.write_bytes(bytes.fromhex("8b028068656c6c6f03"))
+    with pytest.raises(BroCorruptError, match="brotli bitstream"):
+        b"".join(read_bro_bytes(str(p)))
