@@ -226,6 +226,33 @@ def _minhash_oracle() -> str:
     """
 
 
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signatures (doc_id, h0..h7) — the shared
+    sketch for LSH banding (q62/q64/q65) and signature-similarity
+    estimation (q199).
+
+    MIN is duplicate-insensitive, so the signature agg consumes the
+    raw (non-distinct) shingle stream: no pre-shuffle of shingles,
+    the only wide exchange is the groupBy(doc_id) itself.
+    """
+    sh = _shingle_df(spark, sf_dir, 3, distinct=False)
+    return (
+        sh.select(
+            "doc_id",
+            F.md5(F.col("shingle").cast("binary")).alias("h1"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    F.conv(F.substring("h1", i * 4 + 1, 4), 16, 10).cast("long")
+                ).alias(f"h{i}")
+                for i in range(N_HASHES)
+            ]
+        )
+    )
+
+
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (doc_a < doc_b) — shared by q62
     (reported directly) and q64/q65 (clustered).
@@ -245,25 +272,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures plus a self-join on band keys (uniform hash values →
     no skew), never O(docs²).
     """
-    # MIN is duplicate-insensitive, so the signature agg consumes the
-    # raw (non-distinct) shingle stream: no pre-shuffle of shingles,
-    # the only wide exchange is the groupBy(doc_id) itself.
-    sh = _shingle_df(spark, sf_dir, 3, distinct=False)
-    hashed = (
-        sh.select(
-            "doc_id",
-            F.md5(F.col("shingle").cast("binary")).alias("h1"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(
-                    F.conv(F.substring("h1", i * 4 + 1, 4), 16, 10).cast("long")
-                ).alias(f"h{i}")
-                for i in range(N_HASHES)
-            ]
-        )
-    )
+    hashed = _signatures(spark, sf_dir)
     bands = hashed.select(
         "doc_id",
         F.explode(

@@ -54,6 +54,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         analytics,
         dedup,
         events,
+        extras,
         multimodal,
         pipeline_more,
         relational,
