@@ -113,3 +113,32 @@ def test_compact_parquet(spark, sf_dir, tmp_path):
     assert len(files) == n
     back = spark.read.parquet(compacted)
     assert back.count() == li.count()
+
+
+def test_avro_gated(spark, sf_dir, tmp_path):
+    """Avro is an external module (not bundled offline): with it
+    present the round-trip must work; without it the reader/writer
+    must raise the actionable NotImplementedError, not a raw
+    ClassNotFound."""
+    import pytest as _pytest
+
+    from hadoop_brotli_spark.catalog import load_table
+    from hadoop_brotli_spark.sources.formats import (
+        avro_available,
+        read_avro,
+        write_avro,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_avro")
+    if avro_available(spark):  # pragma: no cover - needs spark-avro
+        write_avro(nation, out)
+        back = read_avro(spark, out)
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, nation.collect())
+        )
+    else:
+        with _pytest.raises(NotImplementedError, match="spark-avro"):
+            write_avro(nation, out)
+        with _pytest.raises(NotImplementedError, match="spark-avro"):
+            read_avro(spark, out).collect()
