@@ -40,6 +40,9 @@ EVENT_QUERIES = [
     "q171_last_touch_attribution",
     "q178_out_of_order_audit",
     "q172_event_cooccurrence",
+    # degenerate-denominator guard (ADVICE r1): single-distinct-day
+    # event types must yield NULL slope in BOTH engines
+    "q189_trend_slope",
 ]
 DOC_QUERIES = [
     "q60_dedup_exact",
@@ -48,6 +51,9 @@ DOC_QUERIES = [
     "q179_incremental_corpus_gate",
     "q183_vocabulary_stats",
     "q184_top_bigrams",
+    # repeated texts collapse LSH buckets/signatures — sketch-space
+    # estimates must still match exactly
+    "q199_minhash_jaccard_estimate",
 ]
 
 
