@@ -407,3 +407,78 @@ def q201_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return r.select("doc_id", F.col("r").alias("rank_fp"))
+
+
+# ------------------------------------------- sketch heavy hitters
+
+
+@register(
+    "q202_approx_top_k",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS est_n,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, p_brand ASC)
+                AS BIGINT) AS rk
+    FROM part GROUP BY p_brand
+    """,
+)
+def q202_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based heavy hitters: ``approx_top_k`` (Spark 4's
+    mergeable frequent-items sketch) over part brands — the
+    fixed-memory alternative to q79's exact two-pass heavy hitters
+    at 100 TB (one sketch per partition, merged map-side, never a
+    full groupBy of the key space).
+
+    Verifiable invariant: with maxItemsTracked (10k) far above the
+    brand cardinality (25) the sketch is EXACT, so the oracle is the
+    plain exact count; k exceeds the cardinality so no tie at the
+    k-boundary can reorder membership. The struct-array sketch
+    output is exploded to scalar rows (driver contract — no arrays),
+    ranked with a total order.
+    """
+    p = t(spark, sf_dir, "part")
+    topk = p.select(
+        F.explode(F.expr("approx_top_k(p_brand, 30)")).alias("e")
+    ).select(
+        F.col("e.item").alias("p_brand"), F.col("e.count").alias("est_n")
+    )
+    w = W.orderBy(F.col("est_n").desc(), F.col("p_brand").asc())
+    return topk.withColumn("rk", F.row_number().over(w).cast("bigint"))
+
+
+# --------------------------------------- VARIANT semi-structured type
+
+
+@register(
+    "q203_variant_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(CAST(props->>'k' AS BIGINT)) AS n_with_k,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+           MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q203_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path: ``parse_json`` into Spark 4's
+    VARIANT type, typed extraction with ``variant_get`` — the
+    shredded-storage successor to q53's string-based
+    ``get_json_object`` (at 100 TB, VARIANT columns store parsed
+    binary JSON once instead of re-parsing strings per query, and
+    Parquet shredding pushes field access down to column chunks).
+
+    The VARIANT value never leaves the plan (scalar typed extracts
+    only), so the driver contract holds; the oracle uses DuckDB's
+    native JSON operators over the same props column.
+    """
+    ev = t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
