@@ -482,3 +482,158 @@ def q203_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
+
+
+# ---------------------------------------------------- LATERAL joins
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c.c_custkey, c.c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c.c_acctbal DESC, c.c_custkey ASC
+  LIMIT 2
+) t
+"""
+
+
+@register("q204_lateral_topk", oracle=_LATERAL_SQL)
+def q204_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: each
+    nation's top-2 customers by account balance — the ANSI
+    "for-each-row subquery" form of per-group top-k. ONE SQL string
+    runs on both engines (q27/q36 pattern).
+
+    Catalyst decorrelates this into a ranked window over the join —
+    no per-row re-execution — so the plan is the q40 top-k shape
+    even though the query is written row-at-a-time. Ties broken on
+    c_custkey for determinism.
+    """
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_SQL)
+
+
+# ----------------------------------------------- discrete percentiles
+
+
+@register(
+    "q205_percentile_disc",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.25) AS p25_disc,
+           quantile_disc(l_quantity, 0.5) AS p50_disc,
+           quantile_disc(l_quantity, 0.9) AS p90_disc,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q205_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (``percentile_disc`` / WITHIN GROUP):
+    unlike q28's interpolated quantile_cont, the discrete variant
+    returns an ACTUAL data value — no arithmetic, so results are
+    exact in any float regime and meaningful for non-averageable
+    domains. Both engines share the "smallest value with cumulative
+    distribution ≥ p" definition.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)"
+        ).alias("p25_disc"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)"
+        ).alias("p50_disc"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)"
+        ).alias("p90_disc"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ------------------------------------------- native session windows
+
+
+@register(
+    "q206_session_window_native",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS sid
+      FROM seq
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q206_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window`` aggregate (gap = 30 min) in
+    batch mode — the built-in operator behind q56's manual
+    lag-cumsum sessionization and the batch twin of the streaming
+    session-window job (`streaming/jobs.py`). The session struct is
+    flattened to scalar start/end columns (driver contract).
+
+    Spark's session end = last event + gap; the oracle reproduces
+    exactly that (MAX(ts) + 30 min) over lag-derived session islands.
+    At scale this is one shuffle on user_id with Spark merging
+    overlapping per-partition sessions — no window sort in user code.
+    """
+    ev = t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return g.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+    )
+
+
+# -------------------------------------------- bitmap exact distinct
+
+
+@register(
+    "q207_bitmap_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q207_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmaps (``bitmap_bucket_number``/
+    ``bitmap_bit_position``/``bitmap_construct_agg``/``bitmap_count``)
+    — the third point on the distinct-count spectrum beside q20's
+    shuffle-the-values exact count and q21's approximate HLL: exact
+    AND mergeable. At 100 TB the per-(key, bucket) bitmaps are
+    fixed-size (4 KB per 32k-id bucket), combine map-side, and can
+    be PERSISTED for incremental refresh like q108's sketches —
+    re-aggregation without re-scanning, but with an exact answer.
+
+    The binary bitmap stays inside the plan (only counts are
+    emitted — driver contract).
+    """
+    ev = t(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_users")
+    )
