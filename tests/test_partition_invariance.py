@@ -43,6 +43,13 @@ SAMPLE = [
     "q165_pipeline_value_share",
     "q177_label_centroid_similarity",
     "q174_order_reconciliation",
+    # round-2 additions: fixed-point iteration, framed percentile
+    # window, sketch-space estimates, struct-ordered argmax
+    "q197_argmax_order",
+    "q198_rolling_median",
+    "q199_minhash_jaccard_estimate",
+    "q201_pagerank_fixed_point",
+    "q207_bitmap_distinct",
 ]
 
 
