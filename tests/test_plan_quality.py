@@ -231,3 +231,34 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q197_argmax_no_window(spark, sf_dir):
+    """max_by/min_by must plan as ONE aggregate pass — no window
+    sort, no self-join, at most the single groupBy exchange."""
+    plan = plans.executed_plan(q(spark, sf_dir, "q197_argmax_order"))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plans.exchange_count(q(spark, sf_dir, "q197_argmax_order")) <= 1
+
+
+def test_q107_funnel_single_wide_pass(spark, sf_dir):
+    """Round-2 restructure: the funnel is one corpus scan + one wide
+    exchange + tiny 1-row aggregates (was 9 exchanges in r1)."""
+    assert plans.exchange_count(q(spark, sf_dir, "q107_pipeline_funnel")) <= 3
+
+
+def test_q204_lateral_decorrelated(spark, sf_dir):
+    """The correlated LATERAL-with-LIMIT must decorrelate to a ranked
+    window over a join — not per-outer-row re-execution (no nested
+    CartesianProduct; WindowGroupLimit pushes the LIMIT into the
+    per-group sort)."""
+    plan = plans.executed_plan(q(spark, sf_dir, "q204_lateral_topk"))
+    assert "WindowGroupLimit" in plan or "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q207_bitmap_two_level_agg(spark, sf_dir):
+    """Bitmap distinct: per-(key, bucket) bitmaps then a per-key count
+    reduction — two keyed exchanges, never a shuffle of raw ids."""
+    assert plans.exchange_count(q(spark, sf_dir, "q207_bitmap_distinct")) <= 2
