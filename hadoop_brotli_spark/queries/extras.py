@@ -637,3 +637,121 @@ def q207_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_users")
     )
+
+
+# ------------------------------------------------ winsorized stats
+
+
+@register(
+    "q208_winsorized_stats",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    ),
+    clipped AS (
+      SELECT e.event_type,
+             CASE WHEN e.value < b.lo THEN 1 ELSE 0 END AS is_lo,
+             CASE WHEN e.value > b.hi THEN 1 ELSE 0 END AS is_hi,
+             ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 6) AS wv
+      FROM events e JOIN b ON b.event_type = e.event_type
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(is_lo) AS BIGINT) AS n_clipped_lo,
+           CAST(SUM(is_hi) AS BIGINT) AS n_clipped_hi,
+           CAST(SUM(CAST(wv AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS winsorized_mean
+    FROM clipped GROUP BY event_type
+    """,
+)
+def q208_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean: clip values at per-group p5/p95 before
+    averaging — the robust-statistics prep that stops a single
+    corrupt value from poisoning a 100 TB aggregate (q193's MAD is
+    the detection twin; this is the mitigation).
+
+    The percentile thresholds broadcast back onto rows (two passes,
+    no self-join shuffle of the fact side); clipped values are
+    rounded then exact-decimal-summed so the mean is
+    order-independent (q117's rule — interpolated thresholds carry
+    arbitrary mantissas, so raw double summation would be
+    partition-order-dependent).
+    """
+    ev = t(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        F.when(F.col("value") < F.col("lo"), 1).otherwise(0).alias("is_lo"),
+        F.when(F.col("value") > F.col("hi"), 1).otherwise(0).alias("is_hi"),
+        F.round(F.least(F.greatest("value", "lo"), "hi"), 6).alias("wv"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("is_lo").cast("bigint").alias("n_clipped_lo"),
+        F.sum("is_hi").cast("bigint").alias("n_clipped_hi"),
+        (dsum(F.col("wv"), 6) / F.count(F.lit(1))).alias("winsorized_mean"),
+    )
+
+
+# ------------------------------------------ explicit NULLS ordering
+
+
+@register(
+    "q209_nulls_last_rank",
+    oracle="""
+    WITH second AS (
+      SELECT DISTINCT o_custkey,
+             NTH_VALUE(o_totalprice, 2) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             ) AS second_price
+      FROM orders
+    )
+    SELECT s.o_custkey, c.c_mktsegment, s.second_price,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY c.c_mktsegment
+             ORDER BY s.second_price DESC NULLS LAST, s.o_custkey ASC
+           ) AS BIGINT) AS rk
+    FROM second s JOIN customer c ON c.c_custkey = s.o_custkey
+    """,
+)
+def q209_nulls_last_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS ordering: rank customers per segment by their
+    (nullable) second-order price with ``DESC NULLS LAST`` — the
+    semantics trap query. Engines disagree on DEFAULT null placement
+    (Spark: NULLS LAST on DESC; ANSI leaves it implementation-
+    defined), so portable ranking over nullable keys must spell it
+    out; this entry pins that the engine honors the explicit form.
+
+    Single-order customers (NULL second price) sink to the bottom of
+    each segment's ranking instead of floating to the top.
+    """
+    o = t(spark, sf_dir, "orders")
+    w2 = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    second = (
+        o.select(
+            "o_custkey",
+            F.nth_value("o_totalprice", 2).over(w2).alias("second_price"),
+        )
+        .distinct()
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    wr = W.partitionBy("c_mktsegment").orderBy(
+        F.col("second_price").desc_nulls_last(), F.col("o_custkey").asc()
+    )
+    return (
+        second.join(c, second.o_custkey == c.c_custkey)
+        .select("o_custkey", "c_mktsegment", "second_price")
+        .withColumn("rk", F.row_number().over(wr).cast("bigint"))
+    )
