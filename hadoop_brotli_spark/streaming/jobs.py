@@ -269,3 +269,52 @@ def stateful_user_counts_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def foreach_batch_upsert(
+    aggregated: DataFrame, target_dir: str, checkpoint_dir: str, keys: list[str]
+):
+    """Streaming UPSERT sink via ``foreachBatch``: each micro-batch
+    MERGEs its (update-mode) aggregate rows into a keyed parquet
+    target — the production pattern for maintaining a queryable
+    materialized aggregate from a stream when the sink has no native
+    merge (plain parquet, JDBC, …).
+
+    Exactly-once: foreachBatch can replay a batch after failure, so
+    the merge must be idempotent — it is, because each batch REPLACES
+    target rows by key (anti-join keep + union new) rather than
+    appending; replaying batch N re-derives the same target state.
+    The swap is an atomic directory rename (same local/shared-FS
+    scope as the `.bro` sink — `bro_datasource.BroStreamWriter`
+    docstring); table formats with native MERGE (Delta/Iceberg) slot
+    into the same hook.
+
+    Scale: per batch, work is |batch keys| vs the keyed target —
+    a broadcast anti-join when the batch is small (the common case:
+    only hot keys update per micro-batch).
+    """
+    import os
+    import shutil
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = batch_df.dropDuplicates(keys)  # update-mode re-emits a key once
+        if os.path.isdir(target_dir):
+            cur = spark.read.parquet(target_dir)
+            kept = cur.join(F.broadcast(new.select(*keys)), keys, "left_anti")
+            merged = kept.unionByName(new)
+        else:
+            merged = new
+        tmp = f"{target_dir}.batch-{batch_id}.tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{target_dir}.old-{batch_id}"
+        if os.path.isdir(target_dir):
+            os.replace(target_dir, old)
+        os.replace(tmp, target_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        aggregated.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(upsert)
+    )

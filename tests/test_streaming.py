@@ -316,3 +316,49 @@ def test_streaming_parquet_sink_checkpointed(spark, sf_dir, tmp_path):
     assert rows(got) == rows(
         want.filter(F.col("window_start") < F.lit("2024-01-30 23:00:00").cast("timestamp"))
     )
+
+
+def test_foreach_batch_upsert_matches_batch(spark, sf_dir, tmp_path):
+    """The foreachBatch upsert target must converge to the same rows
+    as the batch aggregate over the full input (exactly-once merge,
+    keys replaced not appended)."""
+    from hadoop_brotli_spark.catalog import load_table
+    from hadoop_brotli_spark.streaming.jobs import (
+        foreach_batch_upsert,
+        read_events_stream,
+    )
+
+    import shutil
+
+    d = tmp_path / "ev_in"
+    d.mkdir()
+    # the stream source globs events*.parquet (driver layout)
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    events_dir = str(d)
+
+    stream = read_events_stream(spark, events_dir)
+    agg = stream.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    target = str(tmp_path / "upsert_target")
+    q = foreach_batch_upsert(
+        agg, target, str(tmp_path / "ckpt_up"), ["user_id", "event_type"]
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        map(tuple, spark.read.parquet(target).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect(),
+        )
+    )
+    assert got == want
