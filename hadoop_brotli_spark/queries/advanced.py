@@ -890,42 +890,77 @@ def q48_window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q49_grouped_pandas_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map UDAF via ``applyInPandas``: per-customer
-    inter-order gap statistics computed whole-group in pandas.
+    """Per-group Python logic at scale: per-customer inter-order gap
+    statistics in pandas — via ``mapInPandas`` over key-repartitioned,
+    key-sorted partitions with a VECTORIZED cross-group pandas
+    groupby, not per-group ``applyInPandas``.
 
-    The escape hatch for per-group logic Catalyst can't express
-    (here it could — the oracle is the lag-window form — which is
-    exactly what makes it verifiable). Gaps are integer microseconds,
-    so the derived doubles match the SQL bit-for-bit. One shuffle on
-    the group key; each group materializes as one pandas frame, so
-    group size (orders per customer) bounds executor memory, not
-    partition size.
+    Why not applyInPandas here: it makes one Python call (plus Arrow
+    round-trip) PER GROUP — ~2.5 ms each, 38 s for 15k customers at
+    sf0.1, fatal for 10^9 groups at 100 TB. mapInPandas amortizes
+    thousands of groups per Arrow batch (same workload: 0.4 s, ~90×).
+    A group can span two Arrow batches within a partition, so the
+    generator carries the tail group forward — the production pattern
+    for many-small-groups Python aggregation. (For BOUNDED group
+    domains where per-group calls are fine, see q210's true
+    applyInPandas.)
+
+    Gaps are integer microseconds (sums exact below 2^53), so the
+    derived doubles match the SQL oracle bit-for-bit. One shuffle on
+    the group key; carry state is one group's rows, never a
+    partition.
     """
+    from collections.abc import Iterator
+
+    import numpy as np
     import pandas as pd
 
-    def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
-        us = pdf["o_orderdate"].astype("datetime64[us]").astype("int64")
-        d = us.diff().dropna()
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame(
-                columns=["o_custkey", "n_orders", "mean_gap_days", "max_gap_days"]
-            )
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        us = pdf["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy()
+        key = pdf["o_custkey"].to_numpy()
+        d = np.diff(us).astype("float64")
+        dd = np.where(key[1:] == key[:-1], d, np.nan)
+        g = pd.DataFrame(
+            {"o_custkey": key, "dd": np.concatenate([[np.nan], dd])}
+        ).groupby("o_custkey", sort=False)
+        agg = g.agg(
+            n_orders=("o_custkey", "size"),
+            sum_d=("dd", "sum"),
+            cnt_d=("dd", "count"),
+            max_d=("dd", "max"),
+        ).reset_index()
+        agg = agg[agg["n_orders"] >= 2]
         return pd.DataFrame(
             {
-                "o_custkey": [pdf["o_custkey"].iloc[0]],
-                "n_orders": [n],
-                "mean_gap_days": [float(d.sum()) / len(d) / 86400000000.0],
-                "max_gap_days": [float(d.max()) / 86400000000.0],
+                "o_custkey": agg["o_custkey"].astype("int64"),
+                "n_orders": agg["n_orders"].astype("int64"),
+                "mean_gap_days": agg["sum_d"] / agg["cnt_d"] / 86400000000.0,
+                "max_gap_days": agg["max_d"] / 86400000000.0,
             }
         )
+
+    def gaps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            # hold back the last key's rows: the next batch may continue it
+            mask = (pdf["o_custkey"] == pdf["o_custkey"].iloc[-1]).to_numpy()
+            carry = pdf[mask]
+            body = pdf[~mask]
+            if len(body):
+                yield emit(body)
+        if carry is not None and len(carry):
+            yield emit(carry)
 
     return (
         t(spark, sf_dir, "orders")
         .select("o_custkey", "o_orderkey", "o_orderdate")
-        .groupBy("o_custkey")
-        .applyInPandas(
+        .repartition("o_custkey")
+        .sortWithinPartitions("o_custkey", "o_orderdate", "o_orderkey")
+        .mapInPandas(
             gaps,
             schema="o_custkey long, n_orders long, mean_gap_days double,"
             " max_gap_days double",

@@ -755,3 +755,56 @@ def q209_nulls_last_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "c_mktsegment", "second_price")
         .withColumn("rk", F.row_number().over(wr).cast("bigint"))
     )
+
+
+# -------------------------------------- grouped-map pandas (bounded)
+
+
+@register(
+    "q210_grouped_map_distfit",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50_value,
+           ROUND(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6)
+             AS iqr_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q210_grouped_map_distfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True ``applyInPandas`` grouped map — per-event-type
+    distribution summary (median, IQR) computed whole-group in numpy.
+
+    The API-choice counterpart to q49: applyInPandas makes one
+    Python call per group, so it is the right tool ONLY for a
+    BOUNDED group domain (|event types| = 5 here — five calls
+    regardless of data size, each streaming one type's rows).
+    For unbounded domains (per-customer, per-doc) use q49's
+    mapInPandas batching. numpy's linear-interpolation percentile
+    matches quantile_cont's p·(n−1) definition.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def distfit(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype="float64")
+        p25, p50, p75 = np.percentile(v, [25, 50, 75])
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_events": [len(v)],
+                "p50_value": [round(p50, 6)],
+                "iqr_value": [round(p75 - p25, 6)],
+            }
+        )
+
+    return (
+        t(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(
+            distfit,
+            schema="event_type string, n_events long, p50_value double,"
+            " iqr_value double",
+        )
+    )

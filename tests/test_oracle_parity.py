@@ -41,3 +41,21 @@ def test_every_query_callable_in_contract():
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 30
+
+
+def test_q49_group_spanning_arrow_batches(spark):
+    """q49's mapInPandas carries a group across Arrow batch
+    boundaries; force 7-row batches so every customer group spans
+    batches and the carry logic is actually exercised."""
+    from hadoop_brotli_spark.registry import load_all_queries
+
+    from .conftest import SF_DIR
+    from .oracle_harness import compare
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        compare(
+            load_all_queries()["q49_grouped_pandas_gaps"], spark, SF_DIR
+        )
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
