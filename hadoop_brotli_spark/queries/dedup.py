@@ -369,34 +369,45 @@ def _propagate_labels(pairs: DataFrame, docs: DataFrame, max_iter: int = 20) -> 
     sym = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    # Propagate over GRAPH VERTICES only: singletons (the vast
+    # majority of a deduped corpus) never change label, so carrying
+    # them through every iteration would shuffle + checkpoint the
+    # whole corpus per round for nothing. They join back once at the
+    # end. The convergence count rides on the same checkpointed
+    # frame (old label kept alongside new) instead of a second join
+    # — one action per round, total per-round cost ∝ graph size.
+    labels = sym.select("src").distinct().select(
+        F.col("src").alias("doc_id"), F.col("src").alias("cluster_id")
+    )
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.src == labels.doc_id)
             .groupBy("dst")
             .agg(F.min("cluster_id").alias("nbr_lbl"))
         )
-        new_labels = (
+        # lazy checkpoint: the convergence count below is the ONE
+        # action per round that both materializes the checkpoint and
+        # decides the early stop — no separate eager-checkpoint job.
+        stepped = (
             labels.join(nbr_min, labels.doc_id == nbr_min.dst, "left")
             .select(
                 "doc_id",
+                F.col("cluster_id").alias("old_id"),
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce(F.col("nbr_lbl"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("cluster_id") != F.col("old_id")).count()
+        labels = stepped.select("doc_id", "cluster_id")
         if changed == 0:
             break
-    return labels
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
 
 
 @register(
