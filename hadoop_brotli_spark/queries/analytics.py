@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import dsum, t, ts
+from ._util import dsum, fan_out, t, ts
 
 
 @register(
@@ -631,7 +631,7 @@ def q124_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = t(spark, sf_dir, "documents")
     sw = (
-        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        fan_out(docs).select("source", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
         .distinct()
     )

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t
+from ._util import fan_out, t
 
 N_HASHES = 8  # minhash functions
 N_BANDS = 4  # LSH bands (2 rows per band)
@@ -50,7 +50,7 @@ def _shingle_df(
     costs a shuffle — pass False for consumers whose aggregate is
     duplicate-insensitive (MIN for minhash signatures), which keeps
     the shingle stream entirely map-side."""
-    docs = (
+    docs = fan_out(
         t(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("w"))
         .filter(F.size("w") >= k)
@@ -475,7 +475,7 @@ def q63_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with small Hamming distance are near-dups; identical fingerprints
     bucket together for O(n) candidate generation.
     """
-    words = t(spark, sf_dir, "documents").select(
+    words = fan_out(t(spark, sf_dir, "documents")).select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
     h = words.select("doc_id", F.md5(F.col("word").cast("binary")).alias("hw"))

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t
+from ._util import fan_out, t
 
 STOPWORDS = ("the", "a", "of", "and")
 PROFILE_K = 20  # trigrams per language profile
@@ -40,7 +40,7 @@ PROFILE_K = 20  # trigrams per language profile
 def q80_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokenizer): totals, uniques, mean
     token length, type-token ratio."""
-    words = t(spark, sf_dir, "documents").select(
+    words = fan_out(t(spark, sf_dir, "documents")).select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
     return words.groupBy("doc_id").agg(
@@ -79,7 +79,9 @@ def q81_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 tokens) discounted by stopword density — the shape of
     C4/Gopher-style quality filters, exact-arithmetic for the oracle."""
     docs = t(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    words = fan_out(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
     stats = words.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(F.when(F.col("word").isin(*STOPWORDS), 1).otherwise(0)).alias("n_stop"),
@@ -156,7 +158,9 @@ def q82_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ReuseExchange scans + explodes + shuffles the corpus once
     instead of twice (measured ~35% off the q82 bench time).
     """
-    docs = t(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    docs = fan_out(
+        t(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    )
     grams = docs.select(
         "doc_id",
         "lang",
@@ -632,7 +636,7 @@ def q183_vocabulary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus size.
     """
     d = t(spark, sf_dir, "documents")
-    words = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    words = fan_out(d).select("source", F.explode(F.split("text", " ")).alias("w"))
     return words.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.countDistinct("w").alias("vocab_size"),
