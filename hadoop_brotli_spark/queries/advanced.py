@@ -28,7 +28,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import dsum, sql_dsum, t
+from ._util import dsum, fan_out, sql_dsum, t
 from .similarity import dot_double, norm_double
 
 # ------------------------------------------------------------- joins
@@ -103,13 +103,18 @@ def q17_join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands via lo <= q < hi predicates against a broadcast band table.
 
     Broadcasting turns the theta join into a map-side nested loop
-    over 3 rows — zero shuffle regardless of fact-table size.
+    over 3 rows — zero shuffle regardless of fact-table size. The
+    probe side is fanned out first: the BNLJ probe is row-expensive,
+    and a single-row-group test file would otherwise run it on one
+    task (3.1 s → 0.9 s at sf0.1; no-op on well-split inputs).
     """
     bands = spark.createDataFrame(
         [("low", 0.0, 15.0), ("mid", 15.0, 35.0), ("high", 35.0, 60.0)],
         "band string, lo double, hi double",
     )
-    li = t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    li = fan_out(
+        t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    )
     return (
         li.join(
             F.broadcast(bands),
