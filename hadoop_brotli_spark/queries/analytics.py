@@ -631,7 +631,7 @@ def q124_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = t(spark, sf_dir, "documents")
     sw = (
-        fan_out(docs).select("source", F.explode(F.split("text", " ")).alias("w"))
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
         .distinct()
     )

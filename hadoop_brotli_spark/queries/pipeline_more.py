@@ -172,7 +172,7 @@ def q77_term_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side collect), keeping the whole plan distributed.
     """
     docs = t(spark, sf_dir, "documents")
-    toks = fan_out(docs).select(
+    toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
     f = toks.groupBy("term").agg(
@@ -393,7 +393,7 @@ def q79_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     count as the verification pass over the (tiny) candidate set.
     """
     docs = t(spark, sf_dir, "documents")
-    toks = fan_out(docs).select(F.explode(F.split("text", " ")).alias("term")).filter(
+    toks = docs.select(F.explode(F.split("text", " ")).alias("term")).filter(
         F.col("term") != ""
     )
     f = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))

@@ -40,7 +40,7 @@ PROFILE_K = 20  # trigrams per language profile
 def q80_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokenizer): totals, uniques, mean
     token length, type-token ratio."""
-    words = fan_out(t(spark, sf_dir, "documents")).select(
+    words = t(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
     return words.groupBy("doc_id").agg(
@@ -79,7 +79,7 @@ def q81_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 tokens) discounted by stopword density — the shape of
     C4/Gopher-style quality filters, exact-arithmetic for the oracle."""
     docs = t(spark, sf_dir, "documents")
-    words = fan_out(docs).select(
+    words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
     stats = words.groupBy("doc_id").agg(
@@ -636,7 +636,7 @@ def q183_vocabulary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus size.
     """
     d = t(spark, sf_dir, "documents")
-    words = fan_out(d).select("source", F.explode(F.split("text", " ")).alias("w"))
+    words = d.select("source", F.explode(F.split("text", " ")).alias("w"))
     return words.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.countDistinct("w").alias("vocab_size"),
