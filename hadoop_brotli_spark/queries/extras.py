@@ -808,3 +808,82 @@ def q210_grouped_map_distfit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " iqr_value double",
         )
     )
+
+
+# ------------------------------------------- containment similarity
+
+from .dedup import MAX_SHINGLE_DF, _shingle_df, _sql_shingles  # noqa: E402
+
+
+@register(
+    "q211_shingle_containment",
+    oracle=f"""
+    WITH {_sql_shingles(5)},
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ),
+    rare AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a
+      JOIN rare r ON a.shingle = r.shingle
+      JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / sa.n AS containment_ab,
+           CAST(n_common AS DOUBLE) / sb.n AS containment_ba
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / sa.n >= 0.8
+       OR CAST(n_common AS DOUBLE) / sb.n >= 0.8
+    """,
+)
+def q211_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: Broder containment C(A,B) = |A∩B| / |A|
+    over 5-word shingle sets — catches sub-document duplication
+    (doc A pasted inside a larger doc B), which symmetric Jaccard
+    (q61) misses: a small doc inside a big one has low Jaccard but
+    containment ≈ 1. The standard second metric for training-data
+    dedup (quote farms, boilerplate wrappers, scraped mirrors).
+
+    Same inverted-index + DF-cap candidate generation as q61 (one
+    groupBy(shingle), bounded in-row pair explode — never O(n²));
+    only the final ratio differs, and both directions are emitted so
+    the asymmetry is visible. Exact integer ratios → exact doubles.
+    """
+    sh = _shingle_df(spark, sf_dir, 5)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    postings = (
+        sh.groupBy("shingle")
+        .agg(F.collect_set("doc_id").alias("docs"))
+        .filter(F.size("docs") <= MAX_SHINGLE_DF)
+    )
+    inter = (
+        postings.select(F.explode("docs").alias("doc_a"), "docs")
+        .select("doc_a", F.explode("docs").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    c_ab = F.col("n_common").cast("double") / F.col("na")
+    c_ba = F.col("n_common").cast("double") / F.col("nb")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            c_ab.alias("containment_ab"),
+            c_ba.alias("containment_ba"),
+        )
+        .filter(
+            (F.col("containment_ab") >= 0.8) | (F.col("containment_ba") >= 0.8)
+        )
+    )
