@@ -57,6 +57,7 @@ DEPTH = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    loadavg = [round(os.getloadavg()[0], 2)]
     spark = get_spark("hbs-bench")
     specs = load_all_queries()
 
@@ -118,6 +119,7 @@ def main() -> None:
     total = round(
         sum(v for k, v in timings.items() if k not in DEPTH), 3
     )
+    loadavg.append(round(os.getloadavg()[0], 2))
     print(
         json.dumps(
             {
@@ -126,6 +128,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                # Ambient host contention at measurement time (this
+                # container shares a host): 1-min load average before
+                # and after the run. Same-code reruns have measured
+                # 1.2s-5.6s for the same query purely with ambient
+                # load — compare rounds with the load context in view.
+                "loadavg_pre_post": loadavg,
             }
         )
     )
