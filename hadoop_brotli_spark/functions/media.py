@@ -105,9 +105,71 @@ def decode_image(payload: bytes) -> "Image.Image":
     return Image.open(io.BytesIO(payload))
 
 
+WAV_HEADER_LEN = 44  # RIFF(12) + fmt chunk(24) + data chunk header(8)
+
+
+def build_wav(samples, sample_rate: int, channels: int = 1) -> bytes:
+    """Byte-exact canonical WAV file: RIFF/WAVE container, PCM
+    (format tag 1) 16-bit ``fmt `` chunk, one ``data`` chunk holding
+    the int16 little-endian samples."""
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * channels * 2
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate, byte_rate,
+        block_align, 16,
+    )
+    data_hdr = struct.pack("<4sI", b"data", len(data))
+    riff_len = 4 + len(fmt) + len(data_hdr) + len(data)
+    return struct.pack("<4sI4s", b"RIFF", riff_len, b"WAVE") + fmt + data_hdr + data
+
+
+def parse_wav(payload: bytes):
+    """REAL WAV decode with stdlib struct + numpy only: validate the
+    RIFF/WAVE magic, read (channels, sample_rate, bits) out of the
+    ``fmt `` chunk, walk chunks to ``data``, and decode the PCM16
+    samples as a little-endian int16 array. Returns
+    ``(sample_rate, channels, n_frames, samples)`` or
+    ``(None, None, None, None)`` for unrecognized/non-PCM16 payloads
+    (poison-row safe, never raises on arbitrary bytes)."""
+    import numpy as np
+
+    b = bytes(payload)
+    if len(b) < WAV_HEADER_LEN or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return (None, None, None, None)
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(b):
+        cid, clen = struct.unpack("<4sI", b[pos : pos + 8])
+        body = b[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt " and clen >= 16:
+            tag, channels, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if tag != 1 or bits != 16:
+                return (None, None, None, None)
+            fmt = (rate, channels)
+        elif cid == b"data" and fmt is not None:
+            samples = np.frombuffer(body[: len(body) // 2 * 2], dtype="<i2")
+            rate, channels = fmt
+            return (rate, channels, len(samples) // max(channels, 1), samples)
+        pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+    return (None, None, None, None)
+
+
 def decode_audio(payload: bytes):
-    """Decode an audio blob to samples. STUB: no audio backend in
-    this container."""
+    """Decode an audio blob to (sample_rate, samples).
+
+    REAL for canonical PCM16 WAV (RIFF parse + numpy int16 view — no
+    external libraries needed; see ``parse_wav``). Other codecs
+    (mp3/flac/ogg) need soundfile/librosa, absent in this container.
+    """
+    rate, _channels, _n, samples = parse_wav(payload)
+    if rate is not None:
+        return (rate, samples)
     raise NotImplementedError(
-        "audio decode requires soundfile/librosa; absent in this environment"
+        "non-WAV audio decode requires soundfile/librosa; absent in this "
+        "environment (PCM16 WAV decodes natively via parse_wav)"
     )

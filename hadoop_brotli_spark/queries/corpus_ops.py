@@ -559,3 +559,69 @@ def q216_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_label", "pred_label").agg(
         F.count(F.lit(1)).alias("n_queries")
     )
+
+
+# --------------------------------------------- q218 vocab OOV rate
+
+OOV_VOCAB_SIZE = 30
+
+
+@register(
+    "q218_vocab_oov_rate",
+    oracle=f"""
+    WITH words AS (
+      SELECT source, UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    vocab AS (
+      SELECT word FROM (
+        SELECT word, ROW_NUMBER() OVER (
+          ORDER BY COUNT(*) DESC, word ASC
+        ) AS r
+        FROM words GROUP BY word
+      ) WHERE r <= {OOV_VOCAB_SIZE}
+    ),
+    marked AS (
+      SELECT w.source,
+             CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+      FROM words w LEFT JOIN vocab v ON w.word = v.word
+    )
+    SELECT source,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
+    FROM marked GROUP BY source
+    """,
+)
+def q218_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: build the corpus top-30
+    vocabulary by global word frequency (ties broken on the word
+    itself — a total order), then measure each source's
+    out-of-vocabulary token rate. The pre-training question this
+    answers: how much of each source would a fixed-size vocab
+    fragment into unknowns / byte-fallback?
+
+    Shape: the vocab is a TakeOrdered top-K over the word aggregate
+    (global window never touches corpus-sized data), broadcast back
+    against the token stream — membership is a broadcast-hash left
+    join, zero token shuffle; the per-source reduction is
+    |sources|-sized. The exact integer ratio divides bit-identically
+    on both engines, no rounding needed.
+    """
+    words = fan_out(t(spark, sf_dir, "documents")).select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    wv = W.orderBy(F.col("c").desc(), F.col("word").asc())
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("word", F.row_number().over(wv).alias("r"))
+        .filter(F.col("r") <= OOV_VOCAB_SIZE)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    marked = words.join(F.broadcast(vocab), "word", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(oov).cast("bigint").alias("n_oov"),
+        (F.sum(oov).cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+    )

@@ -183,3 +183,85 @@ def q93_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "doc_id long, width long, height long, out_w long, out_h long"
     return blobs.mapInPandas(resize_plan, schema=schema)
+
+
+@register(
+    "q217_wav_decode",
+    oracle="""
+    WITH samples AS (
+      SELECT doc_id,
+             (ascii(substr(text, CAST(i AS INTEGER), 1)) - 64) * 256 AS v
+      FROM documents, UNNEST(range(1, len(text) + 1)) AS r(i)
+    ),
+    sums AS (
+      SELECT doc_id, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS ss
+      FROM samples GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(s AS DOUBLE) / n AS mean_amp,
+           SQRT(CAST(ss AS DOUBLE) / n) AS rms
+    FROM sums
+    """,
+)
+def q217_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column WAV decode with a REAL RIFF/PCM16 parser (the
+    audio twin of q90's image header parse — ``decode_audio`` is no
+    longer a stub for WAV).
+
+    Stage 1 synthesizes byte-exact WAV files (RIFF/WAVE container,
+    PCM16 ``fmt `` chunk, int16 LE data; samples derived from text
+    bytes, rate from doc_id — the corpus has no audio files, so this
+    stands in for reading them). Stage 2 — the operator under test —
+    genuinely decodes rate/frames/samples back OUT of the bytes with
+    ``parse_wav`` (chunk walk + struct.unpack + numpy int16 view, no
+    shared arithmetic with stage 1; samples go negative, so int16
+    signedness must round-trip). The oracle recomputes everything
+    independently from text, so a parser bug (endianness, chunk
+    offset, sign handling) breaks the hash.
+
+    Int sums are exact in both engines → derived doubles are
+    bit-identical with no rounding. Same 100 TB shape as q90:
+    blobs in parquet binary columns, Arrow-batched mapInPandas,
+    narrow (shuffle-free) execution.
+    """
+    from ..functions.media import build_wav, parse_wav
+
+    blobs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "sample_rate": [],
+                "n_frames": [],
+                "mean_amp": [],
+                "rms": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (
+                    np.frombuffer(text.encode("ascii"), dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    - 64
+                ) * 256
+                payload = build_wav(raw, 8000 + (doc_id % 3) * 4000)
+                rate, _ch, n, samples = parse_wav(payload)
+                arr = samples.astype(np.int64)
+                s = int(arr.sum())
+                ss = int((arr * arr).sum())
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(n)
+                out["mean_amp"].append(s / n)
+                out["rms"].append(float(np.sqrt(ss / n)))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, sample_rate long, n_frames long, mean_amp double,"
+        " rms double"
+    )
+    return blobs.mapInPandas(decode, schema=schema)

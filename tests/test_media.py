@@ -49,3 +49,61 @@ def test_real_png_fixture_parses():
     )
     fmt, w, h = parse_image_header(real)
     assert (fmt, w, h) == ("png", 1, 1)
+
+
+# ----------------------------------------------------- WAV (RIFF/PCM16)
+
+
+def test_wav_roundtrip_signed_samples():
+    from hadoop_brotli_spark.functions.media import build_wav, parse_wav
+
+    samples = [-32768, -1, 0, 1, 255, 256, 32767]
+    b = build_wav(samples, 16000)
+    rate, channels, n_frames, decoded = parse_wav(b)
+    assert (rate, channels, n_frames) == (16000, 1, len(samples))
+    assert list(decoded) == samples  # int16 signedness must round-trip
+
+
+def test_wav_stereo_frame_count():
+    from hadoop_brotli_spark.functions.media import build_wav, parse_wav
+
+    b = build_wav([1, 2, 3, 4, 5, 6], 8000, channels=2)
+    rate, channels, n_frames, decoded = parse_wav(b)
+    assert (rate, channels, n_frames) == (8000, 2, 3)
+    assert len(decoded) == 6
+
+
+def test_wav_skips_unknown_chunks():
+    import struct
+
+    from hadoop_brotli_spark.functions.media import build_wav, parse_wav
+
+    b = build_wav([7, -7], 44100)
+    # splice a LIST chunk between fmt and data (odd length: exercises
+    # RIFF word-alignment in the chunk walk)
+    extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"
+    spliced = b[:36] + extra + b[36:]
+    rate, _c, n, decoded = parse_wav(spliced)
+    assert (rate, n, list(decoded)) == (44100, 2, [7, -7])
+
+
+def test_wav_rejects_garbage_and_non_pcm16():
+    import struct
+
+    from hadoop_brotli_spark.functions.media import build_wav, parse_wav
+
+    for junk in (b"", b"RIFF", b"RIFFxxxxWAVE", bytes(100),
+                 b"not audio " * 10):
+        assert parse_wav(junk) == (None, None, None, None)
+    # 8-bit PCM (bits=8) must be refused, not mis-decoded
+    b = bytearray(build_wav([1, 2], 8000))
+    struct.pack_into("<H", b, 34, 8)
+    assert parse_wav(bytes(b)) == (None, None, None, None)
+
+
+def test_decode_audio_real_for_wav():
+    from hadoop_brotli_spark.functions.media import build_wav, decode_audio
+
+    rate, samples = decode_audio(build_wav([10, -10], 22050))
+    assert rate == 22050
+    assert list(samples) == [10, -10]
