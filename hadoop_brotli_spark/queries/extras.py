@@ -887,3 +887,229 @@ def q211_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("containment_ab") >= 0.8) | (F.col("containment_ba") >= 0.8)
         )
     )
+
+
+# ---------------------------------------------- count-min sketch
+
+CMS_DEPTH = 4  # hash rows
+CMS_WIDTH = 64  # buckets per row
+CMS_TOP_USERS = 20
+
+
+def _cms_bucket(row: int, key_expr):
+    """Portable CMS bucket hash: 8 md5 hex chars of (row, key) mod
+    width. md5 is the one keyed hash both engines compute
+    identically (xxhash64 seeds differ engine-to-engine)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{row}:"), key_expr).cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % CMS_WIDTH
+    )
+
+
+def _sql_cms_bucket(row: int, key_expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('cms{row}:' || {key_expr}), 1, 8))"
+        f" AS BIGINT) % {CMS_WIDTH}"
+    )
+
+
+@register(
+    "q219_count_min_sketch",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT CAST(user_id AS VARCHAR) AS k FROM events
+    ),
+    sketch AS (
+      {" UNION ALL ".join(
+          f'''SELECT {r} AS row, {_sql_cms_bucket(r, "k")} AS bucket,
+                     COUNT(*) AS c
+              FROM keyed GROUP BY bucket'''
+          for r in range(CMS_DEPTH)
+      )}
+    ),
+    exact AS (
+      SELECT k, COUNT(*) AS exact_n FROM keyed GROUP BY k
+    ),
+    probes AS (
+      SELECT e.k, e.exact_n, MIN(s.c) AS cms_estimate
+      FROM exact e
+      JOIN sketch s
+        ON (   (s.row = 0 AND s.bucket = {_sql_cms_bucket(0, "e.k")})
+            OR (s.row = 1 AND s.bucket = {_sql_cms_bucket(1, "e.k")})
+            OR (s.row = 2 AND s.bucket = {_sql_cms_bucket(2, "e.k")})
+            OR (s.row = 3 AND s.bucket = {_sql_cms_bucket(3, "e.k")}))
+      GROUP BY e.k, e.exact_n
+    ),
+    ranked AS (
+      SELECT CAST(k AS BIGINT) AS user_id, exact_n,
+             CAST(cms_estimate AS BIGINT) AS cms_estimate,
+             ROW_NUMBER() OVER (ORDER BY exact_n DESC, CAST(k AS BIGINT) ASC)
+               AS rn
+      FROM probes
+    )
+    SELECT user_id, exact_n, cms_estimate
+    FROM ranked WHERE rn <= {CMS_TOP_USERS}
+    """,
+)
+def q219_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, built and probed
+    entirely in-engine: a {CMS_DEPTH}x{CMS_WIDTH} counter table (the
+    sketch — fixed-size mergeable state, the streaming-friendly
+    heavy-hitter primitive) summarizes per-user event counts; each
+    key's estimate is the MIN over its {CMS_DEPTH} hashed buckets.
+    Output: the 20 heaviest users with exact count vs CMS estimate —
+    the estimate can only OVERcount (bucket collisions), never
+    under, and with ~1000 users in 64 buckets collisions are real,
+    so the overestimate is visible and oracle-checked exactly.
+
+    Cross-engine determinism: bucket hashes are md5-derived (the one
+    keyed hash both engines compute identically), so Spark and
+    DuckDB build byte-identical sketch state — the comparison is an
+    exact hash match, not a tolerance invariant (q21/q108's pattern
+    is for engine-native sketches like HLL whose internals differ).
+
+    Scale shape: the sketch build is {CMS_DEPTH} map-side partial
+    aggregates over fixed {CMS_DEPTH}x{CMS_WIDTH} state (one bounded
+    shuffle); probing broadcasts the {CMS_DEPTH * CMS_WIDTH}-row
+    sketch against the per-key aggregate. At 100 TB the sketch costs
+    the same 256 counters regardless of corpus size — that is the
+    point of a CMS.
+    """
+    keyed = t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    sketch_rows = [
+        keyed.groupBy(_cms_bucket(r, F.col("k")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.lit(r).alias("row"), "bucket", "c")
+        for r in range(CMS_DEPTH)
+    ]
+    sketch = sketch_rows[0]
+    for s in sketch_rows[1:]:
+        sketch = sketch.unionAll(s)
+
+    exact = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("exact_n"))
+    probed = exact
+    for r in range(CMS_DEPTH):
+        row_counts = F.broadcast(
+            sketch.filter(F.col("row") == r).select(
+                F.col("bucket").alias(f"b{r}"), F.col("c").alias(f"c{r}")
+            )
+        )
+        probed = probed.withColumn(f"b{r}", _cms_bucket(r, F.col("k"))).join(
+            row_counts, f"b{r}"
+        )
+    estimate = F.least(*[F.col(f"c{r}") for r in range(CMS_DEPTH)])
+    wr = W.orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+    return (
+        probed.select(
+            F.col("k").cast("bigint").alias("user_id"),
+            "exact_n",
+            estimate.cast("bigint").alias("cms_estimate"),
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= CMS_TOP_USERS)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------- binned interval join
+
+@register(
+    "q220_interval_bin_join",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             MIN(ts) AS span_start, MAX(ts) AS span_end
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    err_hours AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c
+      FROM events WHERE event_type = 'error'
+      GROUP BY date_trunc('hour', ts)
+    ),
+    incidents AS (
+      -- top-decile error hours (scale-free: an absolute threshold
+      -- fits no single sf; ranking the bounded hour aggregate does)
+      SELECT h AS inc_start, h + INTERVAL 1 HOUR AS inc_end
+      FROM (
+        SELECT h, ROW_NUMBER() OVER (ORDER BY c DESC, h ASC) AS rn,
+               COUNT(*) OVER () AS nh
+        FROM err_hours
+      ) WHERE rn <= (nh + 9) // 10
+    )
+    SELECT s.user_id,
+           COUNT(DISTINCT i.inc_start) AS n_incidents,
+           CAST(MIN(i.inc_start) AS TIMESTAMP) AS first_incident
+    FROM spans s
+    JOIN incidents i
+      ON s.span_start < i.inc_end AND i.inc_start <= s.span_end
+    GROUP BY s.user_id
+    """,
+)
+def q220_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via time-bin fan-out: per-user daily
+    activity spans [first event, last event] joined against incident
+    windows (the top-decile error hours — rank-thresholded on the
+    bounded hour aggregate, so the definition is scale-free) on the
+    OVERLAP predicate — but executed as an EQUI-join.
+
+    The scale pattern: a raw inequality join (start < end AND
+    start <= end) plans as BNLJ — quadratic. Instead each span
+    explodes into the hour bins it covers (``sequence`` over
+    truncated hours — fan-out bounded by span length / bin width,
+    here <= 24) and each incident IS a bin, so the overlap becomes a
+    hash equi-join on the bin key, distinct-counted per user. The
+    oracle states the semantic predicate directly (DuckDB's IEJoin
+    handles it at oracle scale), proving the binned plan computes
+    the same relation.
+    """
+    ev = t(spark, sf_dir, "events")
+    spans = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.min("ts").alias("span_start"), F.max("ts").alias("span_end")
+    )
+    err_hours = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wh = W.orderBy(F.col("c").desc(), F.col("h").asc())
+    incidents = (
+        err_hours.select(
+            "h",
+            F.row_number().over(wh).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy()).alias("nh"),
+        )
+        .filter(F.col("rn") <= F.floor((F.col("nh") + 9) / 10))
+        .select(F.col("h").alias("inc_start"))
+    )
+    binned = spans.select(
+        "user_id",
+        "span_start",
+        "span_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "span_start"),
+                F.date_trunc("hour", "span_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("inc_start"),
+    )
+    # bin membership == overlap with [inc_start, inc_start + 1h):
+    # span_start < inc_end is implied by truncation; keep the exact
+    # predicate anyway so the equivalence to the oracle's inequality
+    # form is explicit, not an artifact of bin alignment.
+    joined = binned.join(F.broadcast(incidents), "inc_start").filter(
+        (F.col("span_start") < F.col("inc_start") + F.expr("INTERVAL 1 HOUR"))
+        & (F.col("inc_start") <= F.col("span_end"))
+    )
+    return joined.groupBy("user_id").agg(
+        F.count_distinct("inc_start").alias("n_incidents"),
+        F.min("inc_start").alias("first_incident"),
+    )
