@@ -181,9 +181,11 @@ def q212_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+    from ..functions.columns import hamming_distance
+
     fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"))
     fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"))
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("bigint")
+    hamming = hamming_distance("sim_a", "sim_b").cast("bigint")
     return (
         cand.join(fa, "doc_a")
         .join(fb, "doc_b")
@@ -200,16 +202,11 @@ Z_BUCKET_SHIFT = 12  # keep the top 8 z-bits -> 256 layout buckets
 
 def _morton(x, y):
     """Interleave the low Z_DIM_BITS of x (even positions) and y (odd
-    positions) into one integer — pure shifts/masks, codegen-side."""
-    terms = []
-    for j in range(Z_DIM_BITS):
-        terms.append(
-            F.shiftleft(F.shiftright(x, j).bitwiseAND(F.lit(1)), 2 * j)
-        )
-        terms.append(
-            F.shiftleft(F.shiftright(y, j).bitwiseAND(F.lit(1)), 2 * j + 1)
-        )
-    return functools.reduce(operator.add, terms)
+    positions) into one integer — pure shifts/masks, codegen-side
+    (canonical implementation: ``functions.columns.zorder_key``)."""
+    from ..functions.columns import zorder_key
+
+    return zorder_key(x, y, Z_DIM_BITS)
 
 
 def _sql_morton(x: str, y: str) -> str:

@@ -897,17 +897,12 @@ CMS_TOP_USERS = 20
 
 
 def _cms_bucket(row: int, key_expr):
-    """Portable CMS bucket hash: 8 md5 hex chars of (row, key) mod
-    width. md5 is the one keyed hash both engines compute
-    identically (xxhash64 seeds differ engine-to-engine)."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"cms{row}:"), key_expr).cast("binary")), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % CMS_WIDTH
-    )
+    """Portable CMS bucket hash (canonical implementation:
+    ``functions.columns.cms_bucket`` — md5-derived so both engines
+    compute identical sketch state)."""
+    from ..functions.columns import cms_bucket
+
+    return cms_bucket(key_expr, row, CMS_WIDTH)
 
 
 def _sql_cms_bucket(row: int, key_expr: str) -> str:

@@ -33,34 +33,27 @@ DIM = 64
 N_SIGN_BITS = 8
 
 
+# Canonical implementations live in the public function library
+# (functions/columns.py) so library users get the exact expressions
+# the query surface is built from; these module-level names are kept
+# for the query implementations below.
+from ..functions.columns import dot_product, l2_norm  # noqa: E402
+from ..functions.columns import sign_bucket as _sign_bucket  # noqa: E402
+
+
 def dot_double(a: str, b: str) -> Column:
     """Σ aᵢ·bᵢ in double precision (sequential JVM-side fold)."""
-    return F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    return dot_product(a, b)
 
 
 def norm_double(a: str) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.col(a),
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
+    return l2_norm(a)
 
 
 def sign_bucket(col: str, bits: int = N_SIGN_BITS) -> Column:
     """LSH bucket id: concatenated sign bits of the first ``bits``
     dimensions (axis-aligned random-hyperplane LSH)."""
-    return F.concat(
-        *[
-            F.when(F.col(col).getItem(i) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(bits)
-        ]
-    )
+    return _sign_bucket(col, bits)
 
 
 def _sql_sign_bucket(col: str, bits: int = N_SIGN_BITS) -> str:

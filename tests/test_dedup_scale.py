@@ -85,3 +85,42 @@ def test_minhash_lsh_cap_matches_oracle(spark, degenerate_sf_dir):
     finally:
         con.close()
     assert spark_rows == oracle_rows
+
+
+def test_simhash_bands_degenerate_corpus_bounded(spark, degenerate_sf_dir):
+    """q212's band buckets use the same MAX_LSH_BUCKET pre-collect
+    cap: 10k identical docs collapse to ONE fingerprint, whose band
+    buckets must be dropped, not exploded into ~50M pairs."""
+    from hadoop_brotli_spark.queries.corpus_ops import q212_simhash_band_pairs
+
+    pairs = q212_simhash_band_pairs(spark, degenerate_sf_dir).collect()
+    ids = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    assert not any(i < N_IDENTICAL for i in ids), (
+        "oversized SimHash band bucket leaked candidate pairs"
+    )
+
+
+def test_simhash_bands_cap_matches_oracle(spark, degenerate_sf_dir):
+    """The q212 oracle applies the identical bucket cap, so the
+    degenerate corpus still hash-matches row-for-row."""
+    import duckdb
+
+    from hadoop_brotli_spark.queries.corpus_ops import (
+        _simhash_oracle_pairs,
+        q212_simhash_band_pairs,
+    )
+
+    spark_rows = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in q212_simhash_band_pairs(spark, degenerate_sf_dir).collect()
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{degenerate_sf_dir}/documents.parquet')"
+        )
+        oracle_rows = sorted(tuple(r) for r in con.execute(_simhash_oracle_pairs()).fetchall())
+    finally:
+        con.close()
+    assert spark_rows == oracle_rows
