@@ -1108,3 +1108,136 @@ def q220_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("inc_start").alias("n_incidents"),
         F.min("inc_start").alias("first_incident"),
     )
+
+
+# ------------------------------------------- bloom-filter join prune
+
+BLOOM_M = 8192  # bits
+BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos(r: int, key_expr):
+    """Bloom bit position r: md5-derived (portable across engines,
+    same rationale as the CMS buckets)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bf{r}:"), key_expr).cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_M
+    )
+
+
+def _sql_bloom_pos(r: int, key_expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('bf{r}:' || {key_expr}), 1, 8)) AS BIGINT)"
+        f" % {BLOOM_M}"
+    )
+
+
+@register(
+    "q221_bloom_join_prune",
+    oracle=f"""
+    WITH build AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderkey % 67 = 0 AND o_orderstatus = 'F'
+    ),
+    bits AS (
+      {" UNION ".join(
+          f"SELECT DISTINCT {_sql_bloom_pos(r, 'CAST(o_orderkey AS VARCHAR)')} AS bit FROM build"
+          for r in range(BLOOM_K)
+      )}
+    ),
+    probe AS (
+      SELECT l_orderkey,
+             {", ".join(
+                 f"{_sql_bloom_pos(r, 'CAST(l_orderkey AS VARCHAR)')} AS p{r}"
+                 for r in range(BLOOM_K)
+             )}
+      FROM lineitem
+    ),
+    passed AS (
+      SELECT p.l_orderkey FROM probe p
+      WHERE {" AND ".join(
+          f"EXISTS (SELECT 1 FROM bits b WHERE b.bit = p.p{r})"
+          for r in range(BLOOM_K)
+      )}
+    ),
+    truth AS (
+      SELECT l.l_orderkey FROM lineitem l
+      WHERE EXISTS (SELECT 1 FROM build b WHERE b.o_orderkey = l.l_orderkey)
+    )
+    SELECT (SELECT COUNT(*) FROM lineitem) AS n_probe_rows,
+           (SELECT COUNT(*) FROM passed) AS n_bloom_pass,
+           (SELECT COUNT(*) FROM truth) AS n_true_match,
+           (SELECT COUNT(*) FROM passed) - (SELECT COUNT(*) FROM truth)
+             AS n_false_pos
+    """,
+)
+def q221_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction — the runtime-filter pattern:
+    a selective build side (0.5% of orders) is summarized into a
+    {BLOOM_M}-bit / {BLOOM_K}-hash Bloom filter whose SET-BIT list is
+    broadcast to the fact scan; probe rows reach the real join only
+    if all {BLOOM_K} of their bit positions are set. Output audits
+    the filter: probe rows in, Bloom survivors, true matches, and
+    false positives (Bloom guarantees zero false NEGATIVES — the
+    survivors always contain every true match).
+
+    Scale story: at 100 TB the broadcast is a ~1 KB bitmap instead
+    of a shuffle of the fact table — ~99% of fact rows die at the
+    scan, BEFORE the join exchange. Spark's AQE injects this very
+    pattern as InSubqueryExec/bloom runtime filters for suitable
+    plans; this operator states it explicitly, with md5-derived
+    positions so the oracle builds the byte-identical filter.
+
+    Implementation: the set-bit list (≤ {BLOOM_M} rows) broadcasts
+    into {BLOOM_K} successive LEFT SEMI joins (one per hash) — each
+    semi join is a bitmap-membership test on a codegen-computed
+    position, and the true-match check is a final broadcast semi
+    join against the build keys.
+    """
+    okey = F.col("o_orderkey").cast("string")
+    lkey = F.col("l_orderkey").cast("string")
+    build = (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 67 == 0) & (F.col("o_orderstatus") == "F"))
+        .select("o_orderkey")
+    )
+    bits = None
+    for r in range(BLOOM_K):
+        b = build.select(_bloom_pos(r, okey).alias("bit"))
+        bits = b if bits is None else bits.union(b)
+    bits = bits.distinct()
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    probe = li.select(
+        "l_orderkey",
+        *[_bloom_pos(r, lkey).alias(f"p{r}") for r in range(BLOOM_K)],
+    )
+    passed = probe
+    for r in range(BLOOM_K):
+        passed = passed.join(
+            F.broadcast(bits.withColumnRenamed("bit", f"p{r}")),
+            f"p{r}",
+            "left_semi",
+        )
+    truth = li.join(
+        F.broadcast(build.withColumnRenamed("o_orderkey", "l_orderkey")),
+        "l_orderkey",
+        "left_semi",
+    )
+    counts = (
+        li.agg(F.count(F.lit(1)).alias("n_probe_rows"))
+        .crossJoin(passed.agg(F.count(F.lit(1)).alias("n_bloom_pass")))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_true_match")))
+    )
+    return counts.select(
+        "n_probe_rows",
+        "n_bloom_pass",
+        "n_true_match",
+        (F.col("n_bloom_pass") - F.col("n_true_match")).alias("n_false_pos"),
+    )

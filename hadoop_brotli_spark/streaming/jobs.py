@@ -318,3 +318,56 @@ def foreach_batch_upsert(
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(upsert)
     )
+
+
+def streaming_cms_partials(
+    events: DataFrame, target_dir: str, checkpoint_dir: str,
+    depth: int = 4, width: int = 64,
+):
+    """Streaming count-min-sketch maintenance via ``foreachBatch``:
+    each micro-batch reduces to its own depth×width PARTIAL sketch,
+    written to ``{target_dir}/batch=<id>/`` with overwrite — and the
+    queryable sketch is the SUM of all partials (``read_cms``).
+
+    This is the point of mergeable sketch state: merge = counter
+    addition, so incremental maintenance needs no read-modify-write
+    of global state (contrast ``foreach_batch_upsert``, which must
+    anti-join the target). Exactly-once falls out of idempotent
+    per-batch overwrite: a replayed batch rewrites ITS OWN partial
+    directory, never double-counts.
+
+    Scale: each partial is ≤ depth×width rows regardless of batch
+    size; merging N partials is a trivial bounded aggregate.
+    Compaction (summing partials into one) is an optional
+    maintenance job with the same addition semantics.
+    """
+    from ..functions.columns import cms_bucket
+
+    keyed = events.select(F.col("user_id").cast("string").alias("k"))
+
+    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        parts = None
+        for r in range(depth):
+            p = (
+                batch_df.groupBy(cms_bucket("k", r, width).alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .select(F.lit(r).alias("row"), "bucket", "c")
+            )
+            parts = p if parts is None else parts.unionAll(p)
+        parts.write.mode("overwrite").parquet(f"{target_dir}/batch={batch_id}")
+
+    return (
+        keyed.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_partial)
+    )
+
+
+def read_cms(spark: SparkSession, target_dir: str) -> DataFrame:
+    """Merge all streaming CMS partials into the queryable sketch:
+    (row, bucket) -> total count. Counter addition IS sketch merge."""
+    return (
+        spark.read.parquet(target_dir)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )

@@ -362,3 +362,59 @@ def test_foreach_batch_upsert_matches_batch(spark, sf_dir, tmp_path):
         )
     )
     assert got == want
+
+
+def test_streaming_cms_partials_merge_to_batch_sketch(spark, sf_dir, tmp_path):
+    """Incrementally-maintained CMS partials must MERGE (by counter
+    addition) to exactly the sketch a batch job builds over the full
+    input — the mergeability property that makes sketches the right
+    streaming state. maxFilesPerTrigger=1 forces multiple batches so
+    the merge is actually exercised."""
+    import glob
+    import shutil
+
+    from hadoop_brotli_spark.catalog import load_table
+    from hadoop_brotli_spark.functions.columns import cms_bucket
+    from hadoop_brotli_spark.streaming.jobs import (
+        read_cms,
+        streaming_cms_partials,
+    )
+
+    d = tmp_path / "ev_in"
+    d.mkdir()
+    # two input directories of part files -> multiple micro-batches
+    full = load_table(spark, sf_dir, "events")
+    full.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(str(d / "a"))
+    full.filter(F.col("user_id") % 2 == 1).coalesce(1).write.parquet(str(d / "b"))
+
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+
+    target = str(tmp_path / "cms_target")
+    q = streaming_cms_partials(
+        stream, target, str(tmp_path / "ckpt_cms")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(glob.glob(f"{target}/batch=*")) >= 2, "expected multiple partials"
+
+    got = sorted(map(tuple, read_cms(spark, target).collect()))
+
+    keyed = full.select(F.col("user_id").cast("string").alias("k"))
+    want_parts = None
+    for r in range(4):
+        p = (
+            keyed.groupBy(cms_bucket("k", r, 64).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.lit(r).alias("row"), "bucket", "c")
+        )
+        want_parts = p if want_parts is None else want_parts.unionAll(p)
+    want = sorted(map(tuple, want_parts.collect()))
+    assert got == want
