@@ -622,3 +622,148 @@ def q218_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(oov).cast("bigint").alias("n_oov"),
         (F.sum(oov).cast("double") / F.count(F.lit(1))).alias("oov_rate"),
     )
+
+
+# --------------------------------------------- q223 key-skew report
+
+
+@register(
+    "q223_join_key_skew",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT c,
+             ROW_NUMBER() OVER (ORDER BY c ASC, user_id ASC) AS i,
+             ROW_NUMBER() OVER (ORDER BY c DESC, user_id ASC) AS r
+      FROM counts
+    ),
+    tot AS (
+      SELECT COUNT(*) AS k, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(i * c) AS BIGINT) AS swc,
+             CAST(MAX(c) AS BIGINT) AS cmax,
+             CAST(SUM(CASE WHEN r <= 10 THEN c ELSE 0 END) AS BIGINT)
+               AS top10
+      FROM ranked
+    )
+    SELECT n AS n_rows, k AS n_keys,
+           CAST(cmax AS DOUBLE) / n AS top1_share,
+           CAST(top10 AS DOUBLE) / n AS top10_share,
+           CAST(2 * swc - (k + 1) * n AS DOUBLE) / (k * n) AS gini
+    FROM tot
+    """,
+)
+def q223_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew pre-flight: the diagnostic a pipeline runs on a
+    key BEFORE shuffling 100 TB on it. Reports key count, the
+    heaviest key's share, the top-10 share, and the Gini coefficient
+    of the key-frequency distribution (0 = uniform, →1 = one key
+    owns everything; Gini = (2·Σᵢ i·cᵢ − (K+1)·N) / (K·N) over
+    ascending-sorted counts).
+
+    High Gini / top-1 share ⇒ salt the aggregation (q18's pattern)
+    or let AQE skew-split the join. All arithmetic is integer until
+    the three final divisions (exact int ratios divide bit-identically
+    on both engines — no rounding, no tolerance). The rank windows
+    run over the REDUCED per-key aggregate (|keys| rows), never raw
+    events; q145 profiles per-key fan-out, this reduces the whole
+    distribution to scalars.
+    """
+    counts = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wi = W.orderBy(F.col("c").asc(), F.col("user_id").asc())
+    wr = W.orderBy(F.col("c").desc(), F.col("user_id").asc())
+    ranked = counts.select(
+        "c",
+        F.row_number().over(wi).alias("i"),
+        F.row_number().over(wr).alias("r"),
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("i") * F.col("c")).cast("bigint").alias("swc"),
+        F.max("c").cast("bigint").alias("cmax"),
+        F.sum(F.when(F.col("r") <= 10, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("top10"),
+    )
+    return tot.select(
+        F.col("n").alias("n_rows"),
+        F.col("k").alias("n_keys"),
+        (F.col("cmax").cast("double") / F.col("n")).alias("top1_share"),
+        (F.col("top10").cast("double") / F.col("n")).alias("top10_share"),
+        (
+            (2 * F.col("swc") - (F.col("k") + 1) * F.col("n")).cast("double")
+            / (F.col("k") * F.col("n"))
+        ).alias("gini"),
+    )
+
+
+# ------------------------------------- q224 per-dimension quantization stats
+
+
+@register(
+    "q224_embedding_dim_stats",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(i AS INTEGER) AS dim,
+             embedding[CAST(i + 1 AS INTEGER)] AS x
+      FROM embeddings, UNNEST(range(len(embedding))) AS r(i)
+    ),
+    s AS (
+      SELECT dim, COUNT(*) AS n,
+             SUM(CAST(x AS DOUBLE)) AS sx,
+             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sxx,
+             MIN(CAST(x AS DOUBLE)) AS xmin,
+             MAX(CAST(x AS DOUBLE)) AS xmax
+      FROM e GROUP BY dim
+    )
+    SELECT dim, CAST(n AS BIGINT) AS n_values,
+           ROUND(sx / n, 6) AS mean,
+           ROUND((sxx - sx * sx / n) / n, 6) AS variance,
+           xmin AS dim_min, xmax AS dim_max,
+           ROUND(127.0 / GREATEST(ABS(xmin), ABS(xmax)), 6) AS int8_scale
+    FROM s
+    """,
+)
+def q224_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics — the calibration pass an
+    int8 quantizer (q76) runs first: mean/variance locate dead or
+    dominant dimensions, min/max set the symmetric int8 scale factor
+    (127 / max|x|) per dimension.
+
+    Shape: posexplode fans each vector into (dim, value) and ONE
+    aggregate pass reduces to 64 rows of sufficient statistics —
+    mergeable, no second pass (no mean-then-deviation). min/max are
+    float-exact (comparisons, not sums), so int8_scale is exact;
+    mean/variance round at 1e-6 to absorb summation order (q73's
+    precedent).
+    """
+    e = t(spark, sf_dir, "embeddings").select(
+        F.posexplode("embedding").alias("dim", "x")
+    )
+    x = F.col("x").cast("double")
+    s = e.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.min(x).alias("xmin"),
+        F.max(x).alias("xmax"),
+    )
+    return s.select(
+        "dim",
+        F.col("n").cast("bigint").alias("n_values"),
+        F.round(F.col("sx") / F.col("n"), 6).alias("mean"),
+        F.round(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n"), 6
+        ).alias("variance"),
+        F.col("xmin").alias("dim_min"),
+        F.col("xmax").alias("dim_max"),
+        F.round(127.0 / F.greatest(F.abs("xmin"), F.abs("xmax")), 6).alias(
+            "int8_scale"
+        ),
+    )

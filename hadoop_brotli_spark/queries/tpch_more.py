@@ -952,3 +952,68 @@ def q169_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .dropDuplicates()
     )
+
+
+@register(
+    "q222_returned_item_ranking",
+    oracle=f"""
+    WITH agg AS (
+      SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+             {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)}
+               AS revenue
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+        AND o.o_orderdate < TIMESTAMP '1996-10-01'
+        AND l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey ASC)
+               AS rn
+      FROM agg
+    )
+    SELECT c_custkey, c_name, n_name, c_acctbal, revenue
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def q222_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-style: top-20 customers by revenue lost to RETURNED
+    items in one quarter — the classic 4-way star join → agg →
+    deterministic top-k (revenue is decimal-exact, ties break on
+    custkey, so the limit hashes identically on both engines).
+
+    Plan: lineitem is pre-filtered to 'R' rows AND orders to the
+    quarter BEFORE the fact-fact join (both predicates reach their
+    parquet scans); customer joins the aggregated per-custkey result
+    (aggregate-then-join — the Q10 trick that shrinks the join input
+    from fact-sized to customer-sized), and nation broadcasts onto
+    the final 20-row frame.
+    """
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts("1996-07-01"))
+        & (F.col("o_orderdate") < ts("1996-10-01"))
+    )
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    per_cust = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    joined = (
+        per_cust.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        joined.select(
+            "c_custkey", "c_name", "n_name", "c_acctbal", "revenue",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
