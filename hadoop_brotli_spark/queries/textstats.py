@@ -794,3 +794,163 @@ def q191_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preds.groupBy("true_lang", "predicted_lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# ------------------------------------------------ tokenizer building
+
+VOCAB_INDEX_SIZE = 50  # dense-id vocabulary size
+ENCODE_DOC_LIMIT = 50  # docs whose encoding prefix is emitted
+ENCODE_PREFIX = 8  # first N token ids shown per doc
+
+
+@register(
+    "q225_vocab_indexing",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, i, string_split(text, ' ')[CAST(i + 1 AS INTEGER)] AS word
+      FROM documents,
+           UNNEST(range(len(string_split(text, ' ')))) AS r(i)
+    ),
+    vocab AS (
+      SELECT word,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word ASC) - 1 AS tok
+      FROM words GROUP BY word
+      QUALIFY tok < {VOCAB_INDEX_SIZE}
+    ),
+    encoded AS (
+      SELECT w.doc_id, w.i,
+             CAST(COALESCE(v.tok, {VOCAB_INDEX_SIZE}) AS VARCHAR) AS tid
+      FROM words w LEFT JOIN vocab v ON w.word = v.word
+      WHERE w.doc_id < {ENCODE_DOC_LIMIT}
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN tid = '{VOCAB_INDEX_SIZE}' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unk,
+           string_agg(tid, '-' ORDER BY i) FILTER (i < {ENCODE_PREFIX})
+             AS encoded_prefix
+    FROM encoded GROUP BY doc_id
+    """,
+)
+def q225_vocab_indexing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary indexing — the corpus→token-ids step of a
+    pretraining pipeline, entirely in-engine: dense token ids are
+    assigned by global frequency rank (ties on the word — a total
+    order), documents re-encode as id sequences via a broadcast
+    vocab join, and out-of-vocab words map to the UNK id (= vocab
+    size). Output per document (first 50): token count, UNK count,
+    and the first-8-id encoding as a '-'-joined string (scalar —
+    array outputs crash the driver's canonicalizer by contract).
+
+    Scale shape: the vocab is a top-K over the word aggregate;
+    encoding is a broadcast-hash left join against the token stream
+    (zero corpus shuffle); the per-doc re-assembly groups on doc_id
+    with an ORDER-pinned string_agg (position-explicit on both
+    engines, so the sequence is partition-order-free).
+    """
+    words = fan_out(t(spark, sf_dir, "documents")).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "word")
+    )
+    wv = W.orderBy(F.col("c").desc(), F.col("word").asc())
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("word", (F.row_number().over(wv) - 1).alias("tok"))
+        .filter(F.col("tok") < VOCAB_INDEX_SIZE)
+    )
+    encoded = (
+        words.filter(F.col("doc_id") < ENCODE_DOC_LIMIT)
+        .join(F.broadcast(vocab), "word", "left")
+        .select(
+            "doc_id",
+            "i",
+            F.coalesce(F.col("tok"), F.lit(VOCAB_INDEX_SIZE))
+            .cast("string")
+            .alias("tid"),
+        )
+    )
+    prefix = F.concat_ws(
+        "-",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("i") < ENCODE_PREFIX, F.struct("i", "tid"))
+                )
+            ),
+            lambda s: s["tid"],
+        ),
+    )
+    return encoded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("tid") == str(VOCAB_INDEX_SIZE), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unk"),
+        prefix.alias("encoded_prefix"),
+    )
+
+
+@register(
+    "q226_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT string_split(text, ' ')[CAST(i + 1 AS INTEGER)] AS word
+      FROM documents,
+           UNNEST(range(len(string_split(text, ' ')))) AS r(i)
+    ),
+    wc AS (
+      SELECT word, COUNT(*) AS n FROM words
+      WHERE len(word) >= 2 GROUP BY word
+    ),
+    pairs AS (
+      SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, n
+      FROM wc, UNNEST(range(1, len(word))) AS r(i)
+    ),
+    agg AS (
+      SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, pair_count FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair ASC) AS rn
+      FROM agg
+    ) WHERE rn <= 20
+    """,
+)
+def q226_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training iteration — the adjacent-symbol-pair count
+    that decides the next merge: every adjacent character pair inside
+    every word, weighted by the word's corpus frequency; top-20 by
+    count (ties on the pair string).
+
+    The BPE-at-scale trick is in the shape: pairs are counted over
+    the DISTINCT-WORD aggregate (vocabulary-sized) weighted by word
+    counts — never by re-scanning the corpus per iteration. A full
+    BPE trainer loops this plan, applying the winning merge to the
+    vocab between rounds (the iterative-loop pattern of q64/q201).
+    """
+    words = fan_out(t(spark, sf_dir, "documents")).select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    # length >= 2 guard: Spark's sequence(1, 0) DESCENDS (it does not
+    # return empty like DuckDB's range), so 1-char words must not
+    # reach the transform
+    wc = (
+        words.filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "n",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("n").cast("bigint").alias("pair_count"))
+    w = W.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+    return (
+        agg.select("pair", "pair_count", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
