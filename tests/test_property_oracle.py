@@ -43,6 +43,12 @@ EVENT_QUERIES = [
     # degenerate-denominator guard (ADVICE r1): single-distinct-day
     # event types must yield NULL slope in BOTH engines
     "q189_trend_slope",
+    # sketch state must be byte-identical cross-engine on any input
+    "q219_count_min_sketch",
+    # sparse/absent error hours -> empty incident set on both sides
+    "q220_interval_bin_join",
+    # k=1 users / single-event corpora stress the Gini denominators
+    "q223_join_key_skew",
 ]
 DOC_QUERIES = [
     "q60_dedup_exact",
@@ -54,6 +60,17 @@ DOC_QUERIES = [
     # repeated texts collapse LSH buckets/signatures — sketch-space
     # estimates must still match exactly
     "q199_minhash_jaccard_estimate",
+    # identical fingerprints / sub-cap buckets: every pair at
+    # hamming 0 must emerge identically on both sides
+    "q212_simhash_band_pairs",
+    # tiny vocab: sources with one distinct rank must NULL the slope
+    "q215_zipf_slope",
+    # vocab size exceeds the corpus vocabulary -> zero OOV everywhere
+    "q218_vocab_oov_rate",
+    # dense-id assignment under heavy count ties; 1-word docs
+    "q225_vocab_indexing",
+    # pair-count ties; 1-char-word-free corpus by construction
+    "q226_bpe_pair_counts",
 ]
 
 
