@@ -142,10 +142,13 @@ def q212_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint join and ``bit_count(a XOR b)`` — integer-exact on
     both engines, no float comparisons anywhere.
     """
+    from ..functions.columns import hamming_distance
+
     fp = _simhash_fp(spark, sf_dir)
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = fp.select(
         "doc_id",
+        "sim",
         F.explode(
             F.array(
                 *[
@@ -159,39 +162,38 @@ def q212_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-        "sim",
-    ).select("doc_id", "bk.b", "bk.key")
+    ).select("doc_id", "sim", "bk.b", "bk.key")
+    # The fingerprint rides INSIDE the bucket structs, so the
+    # corpus-sized fingerprint pipeline runs exactly once — no
+    # re-join of fp against the candidate pairs (which would plan
+    # the word-explode + 56-vote aggregate two more times).
     bn = F.count(F.lit(1)).over(W.partitionBy("b", "key"))
     buckets = (
         bands.withColumn("bn", bn)
         .filter((F.col("bn") >= 2) & (F.col("bn") <= MAX_LSH_BUCKET))
         .groupBy("b", "key")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .agg(
+            F.sort_array(F.collect_set(F.struct("doc_id", "sim"))).alias("ids")
+        )
     )
-    cand = (
+    pairs = (
         buckets.select(
             F.explode(
                 F.expr(
                     "flatten(transform(ids, (x, i) ->"
                     " transform(slice(ids, i + 2, size(ids) - i - 1),"
-                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                    " y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+                    " x.sim AS sim_a, y.sim AS sim_b))))"
                 )
             ).alias("p")
         )
-        .select("p.doc_a", "p.doc_b")
+        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
         .distinct()
     )
-    from ..functions.columns import hamming_distance
-
-    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"))
-    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"))
     hamming = hamming_distance("sim_a", "sim_b").cast("bigint")
-    return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-    )
+    return pairs.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
 
 
 # ------------------------------------------------- q213 z-order audit
@@ -360,9 +362,18 @@ def q214_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(W.partitionBy()).alias("n_edges"),
     )
-    top_e = ranked.filter(
-        F.col("rn") <= F.floor(F.col("n_edges") / TRI_EDGE_FRACTION)
-    ).select("sa", "sb")
+    # Materialize the reduced top-decile edge list before the
+    # triangle two-hop join: its three aliases would otherwise
+    # re-plan the lineitem-distinct + posting-agg + rank pipeline
+    # three times (same rule as q64's edge checkpoint — persist the
+    # small reduced graph, never re-derive it from the fact table).
+    top_e = (
+        ranked.filter(
+            F.col("rn") <= F.floor(F.col("n_edges") / TRI_EDGE_FRACTION)
+        )
+        .select("sa", "sb")
+        .localCheckpoint(eager=True)
+    )
     e1 = top_e.select(F.col("sa").alias("s_a"), F.col("sb").alias("s_b"))
     e2 = top_e.select(F.col("sa").alias("s_b"), F.col("sb").alias("s_c"))
     e3 = top_e.select(F.col("sa").alias("s_a"), F.col("sb").alias("s_c"))
