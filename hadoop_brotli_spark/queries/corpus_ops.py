@@ -778,3 +778,188 @@ def q224_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "int8_scale"
         ),
     )
+
+
+# ------------------------------------------------ q227 retrieval MRR
+
+MRR_Q_LO, MRR_Q_HI = 100, 150  # evaluation query slice
+
+
+@register(
+    "q227_retrieval_mrr",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id >= {MRR_Q_LO} AND vec_id < {MRR_Q_HI}
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, q.label AS qlabel,
+             c.vec_id AS cand_id, c.label AS clabel,
+             CAST(UNNEST(q.embedding) AS DOUBLE) AS x,
+             CAST(UNNEST(c.embedding) AS DOUBLE) AS y
+      FROM q, embeddings c
+      WHERE c.vec_id <> q.vec_id
+    ),
+    dots AS (
+      SELECT query_id, qlabel, cand_id, clabel,
+             SUM(x * y) AS dot, SQRT(SUM(x * x)) AS nq, SQRT(SUM(y * y)) AS nc
+      FROM pairs GROUP BY query_id, qlabel, cand_id, clabel
+    ),
+    scored AS (
+      SELECT query_id, qlabel, clabel,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY ROUND(dot / (nq * nc), 6) DESC, cand_id ASC
+             ) AS rnk
+      FROM dots
+    ),
+    first_hit AS (
+      SELECT query_id, qlabel, MIN(rnk) AS hit_rank
+      FROM scored WHERE clabel = qlabel
+      GROUP BY query_id, qlabel
+    )
+    SELECT qlabel AS label,
+           COUNT(*) AS n_queries,
+           ROUND(SUM(1.0 / hit_rank) / COUNT(*), 6) AS mrr,
+           CAST(MIN(hit_rank) AS BIGINT) AS best_rank,
+           CAST(MAX(hit_rank) AS BIGINT) AS worst_rank
+    FROM first_hit GROUP BY qlabel
+    """,
+)
+def q227_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank — the retrieval-quality eval beside
+    recall@k (q98) and the kNN confusion matrix (q216): for each
+    held-out query vector, the cosine rank of the FIRST
+    same-label neighbor; MRR = mean(1/rank) per label, with
+    best/worst first-hit ranks as the spread.
+
+    Plan shape is q70's: 50 broadcast queries against the streamed
+    corpus, scoring window partitioned per query, conditional-MIN
+    for the first hit (no per-rank loop). ROUND(…, 6) absorbs the
+    reciprocal-sum's last-ulp order sensitivity (q73's precedent).
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(
+        (F.col("vec_id") >= MRR_Q_LO) & (F.col("vec_id") < MRR_Q_HI)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("clabel"),
+    )
+    cosine = F.round(
+        dot_double("qe", "ce") / (norm_double("qe") * norm_double("ce")), 6
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "qlabel", "clabel", "cand_id", cosine.alias("cos"))
+        .select(
+            "query_id", "qlabel", "clabel", F.row_number().over(wq).alias("rnk")
+        )
+    )
+    first_hit = (
+        scored.filter(F.col("clabel") == F.col("qlabel"))
+        .groupBy("query_id", "qlabel")
+        .agg(F.min("rnk").alias("hit_rank"))
+    )
+    return first_hit.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.sum(1.0 / F.col("hit_rank")) / F.count(F.lit(1)), 6).alias("mrr"),
+        F.min("hit_rank").cast("bigint").alias("best_rank"),
+        F.max("hit_rank").cast("bigint").alias("worst_rank"),
+    )
+
+
+# ------------------------------------------- q228 boilerplate blocks
+
+BOILER_BLOCK_WORDS = 10  # block grain (docs carry no newlines)
+BOILER_MIN_DOCS = 3  # block in >= this many docs = boilerplate
+
+
+@register(
+    "q228_boilerplate_blocks",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id, source,
+             array_to_string(
+               w[CAST(i * {BOILER_BLOCK_WORDS} + 1 AS INTEGER)
+                 :CAST((i + 1) * {BOILER_BLOCK_WORDS} AS INTEGER)], ' ')
+               AS block
+      FROM docs,
+           UNNEST(range((len(w) + {BOILER_BLOCK_WORDS - 1})
+                        // {BOILER_BLOCK_WORDS})) AS r(i)
+    ),
+    freq AS (
+      SELECT block, COUNT(DISTINCT doc_id) AS df FROM blocks GROUP BY block
+    ),
+    marked AS (
+      SELECT b.doc_id, b.source,
+             CASE WHEN f.df >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END AS boiler
+      FROM blocks b JOIN freq f ON f.block = b.block
+    )
+    SELECT source,
+           COUNT(*) AS n_blocks,
+           CAST(SUM(boiler) AS BIGINT) AS n_boiler_blocks,
+           CAST(SUM(boiler) AS DOUBLE) / COUNT(*) AS boiler_rate,
+           CAST(COUNT(DISTINCT CASE WHEN boiler = 1 THEN doc_id END)
+                AS BIGINT) AS docs_affected
+    FROM marked GROUP BY source
+    """,
+)
+def q228_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (CCNet/RefinedWeb-style
+    line dedup, at a 10-word block grain since the corpus has no
+    newlines): a block appearing in >= {BOILER_MIN_DOCS} DISTINCT
+    documents is boilerplate (headers, footers, templates); report
+    each source's boilerplate block rate and affected-doc count —
+    the removal pass would drop exactly the marked blocks.
+
+    Scale shape: blocks hash-reduce by content for the
+    document-frequency count (one shuffle keyed on the block text —
+    a production variant keys on md5(block) for fixed-width keys, as
+    q60 does); the marker joins the DF aggregate back onto the block
+    stream. Distinct from q61 (whole-doc similarity) and q96
+    (within-doc repetition): this finds TEMPLATE text shared across
+    unrelated documents.
+    """
+    docs = fan_out(
+        t(spark, sf_dir, "documents").select(
+            "doc_id", "source", F.split("text", " ").alias("w")
+        )
+    )
+    k = BOILER_BLOCK_WORDS
+    blocks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (size(w) + {k - 1}) DIV {k} - 1),"
+                f" i -> concat_ws(' ', slice(w, i * {k} + 1, {k})))"
+            )
+        ).alias("block"),
+    )
+    freq = blocks.groupBy("block").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    marked = blocks.join(freq, "block").select(
+        "doc_id",
+        "source",
+        F.when(F.col("df") >= BOILER_MIN_DOCS, 1).otherwise(0).alias("boiler"),
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("boiler").cast("bigint").alias("n_boiler_blocks"),
+        (F.sum("boiler").cast("double") / F.count(F.lit(1))).alias("boiler_rate"),
+        F.count_distinct(
+            F.when(F.col("boiler") == 1, F.col("doc_id"))
+        ).cast("bigint").alias("docs_affected"),
+    )
