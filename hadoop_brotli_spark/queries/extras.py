@@ -1241,3 +1241,166 @@ def q221_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true_match",
         (F.col("n_bloom_pass") - F.col("n_true_match")).alias("n_false_pos"),
     )
+
+
+# ------------------------------------------------ portable HLL sketch
+
+HLL_M = 64  # registers (6-bit bucket index)
+HLL_W = 50  # rho domain: low 50 bits of the 56-bit hash
+HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al. for m = 64)
+
+
+def _hll_rho_sql(w: str) -> str:
+    """rho(w) = position of the highest set bit from the top of the
+    50-bit window (1-based), 51 for w = 0 — as a CASE cascade over
+    power-of-two thresholds (no bin()/log dependency, so Spark and
+    DuckDB evaluate the identical integer comparisons)."""
+    cases = " ".join(
+        f"WHEN {w} >= {1 << (HLL_W - r)} THEN {r}"
+        for r in range(1, HLL_W + 1)
+    )
+    return f"CASE {cases} ELSE {HLL_W + 1} END"
+
+
+def _hll_rho_col(w):
+    expr = F.lit(HLL_W + 1)
+    for r in range(HLL_W, 0, -1):
+        expr = F.when(w >= F.lit(1 << (HLL_W - r)), F.lit(r)).otherwise(expr)
+    return expr
+
+
+@register(
+    "q229_portable_hll",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS v
+      FROM events
+    ),
+    parts AS (
+      SELECT event_type,
+             (v >> {HLL_W}) & {HLL_M - 1} AS bucket,
+             {_hll_rho_sql(f"v & {(1 << HLL_W) - 1}")} AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, bucket, MAX(rho) AS m FROM parts
+      GROUP BY event_type, bucket
+    ),
+    spine AS (
+      SELECT et.event_type, CAST(i AS BIGINT) AS bucket
+      FROM (SELECT DISTINCT event_type FROM events) et,
+           UNNEST(range({HLL_M})) AS r(i)
+    ),
+    full_regs AS (
+      SELECT s.event_type, COALESCE(g.m, 0) AS m
+      FROM spine s LEFT JOIN regs g
+        ON g.event_type = s.event_type AND g.bucket = s.bucket
+    ),
+    est AS (
+      SELECT event_type,
+             {HLL_ALPHA} * {HLL_M} * {HLL_M}
+               / SUM(1.0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE))
+               AS raw_est,
+             SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v_zero
+      FROM full_regs GROUP BY event_type
+    ),
+    corrected AS (
+      -- small-range (linear counting) correction, per the HLL paper:
+      -- below 2.5m with empty registers, m*ln(m/V) beats the raw
+      -- estimator's bias
+      SELECT event_type,
+             CASE WHEN raw_est <= 2.5 * {HLL_M} AND v_zero > 0
+                  THEN {HLL_M} * ln({HLL_M} / CAST(v_zero AS DOUBLE))
+                  ELSE raw_est END AS hll_est
+      FROM est
+    ),
+    exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+           ROUND(e.hll_est, 4) AS hll_estimate,
+           ROUND(ABS(e.hll_est - x.exact_distinct) / x.exact_distinct, 6)
+             AS rel_error
+    FROM corrected e JOIN exact x ON x.event_type = e.event_type
+    """,
+)
+def q229_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built from first principles in-engine, portable
+    across engines: 64 registers keyed by the top 6 bits of a
+    56-bit md5 hash, register = MAX over the stream of rho(low 50
+    bits) — MAX is duplicate-insensitive, so the raw event stream
+    feeds the aggregate with no pre-distinct (the q62 minhash trick).
+    Estimate = α·m²/Σ2^(−Mⱼ), with 2^(−M) computed as
+    1/(1<<M) — shift-exact powers of two, so the float sum and the
+    final estimate are BIT-IDENTICAL on Spark and DuckDB and the
+    oracle is an exact hash match (unlike engine-native HLLs —
+    q21/q108 — whose internals differ and need tolerance
+    invariants). Output compares the estimate to the exact distinct
+    per event_type with its relative error.
+
+    Scale: fixed 64-register state per group, mergeable by register
+    MAX — the same merge the streaming CMS partials use
+    (`streaming/jobs.py`); at 100 TB the sketch shuffles 64 small
+    integers per group instead of the distinct key set. The rho CASE
+    cascade is 50 integer comparisons in codegen (no log/bin
+    dependency with engine-specific semantics).
+    """
+    ev = t(spark, sf_dir, "events")
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string")).cast("binary")),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("long")
+    parts = ev.select(
+        "event_type",
+        F.shiftright(v, HLL_W).bitwiseAND(F.lit(HLL_M - 1)).alias("bucket"),
+        _hll_rho_col(v.bitwiseAND(F.lit((1 << HLL_W) - 1))).alias("rho"),
+    )
+    regs = parts.groupBy("event_type", "bucket").agg(F.max("rho").alias("m"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("bucket"),
+        )
+    )
+    full_regs = spine.join(regs, ["event_type", "bucket"], "left").select(
+        "event_type", F.coalesce(F.col("m"), F.lit(0)).alias("m")
+    )
+    inv = F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)")
+    est = full_regs.groupBy("event_type").agg(
+        (F.lit(HLL_ALPHA * HLL_M * HLL_M) / F.sum(inv)).alias("raw_est"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("v_zero"),
+    )
+    # small-range (linear counting) correction per the HLL paper
+    est = est.select(
+        "event_type",
+        F.when(
+            (F.col("raw_est") <= 2.5 * HLL_M) & (F.col("v_zero") > 0),
+            HLL_M * F.log(HLL_M / F.col("v_zero").cast("double")),
+        )
+        .otherwise(F.col("raw_est"))
+        .alias("hll_est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        F.round("hll_est", 4).alias("hll_estimate"),
+        F.round(
+            F.abs(F.col("hll_est") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_error"),
+    )
