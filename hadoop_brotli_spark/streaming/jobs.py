@@ -371,3 +371,19 @@ def read_cms(spark: SparkSession, target_dir: str) -> DataFrame:
         .groupBy("row", "bucket")
         .agg(F.sum("c").alias("c"))
     )
+
+
+def enrich_events(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the event
+    stream broadcast-joins the STATIC dimension (stateless — unlike
+    stream-stream joins no watermark/state store is involved, and
+    the dimension is re-resolved per micro-batch, so a dim updated
+    in place between batches is picked up automatically).
+
+    Left join preserves events with no dimension row (cold-start
+    users) with NULL attributes — dropping them in an enrichment
+    stage silently shrinks the stream. At scale the dim side is the
+    broadcast (or a bucketed static table for huge dims); the stream
+    side never shuffles.
+    """
+    return events.join(F.broadcast(dim), "user_id", "left")

@@ -418,3 +418,29 @@ def test_streaming_cms_partials_merge_to_batch_sketch(spark, sf_dir, tmp_path):
         want_parts = p if want_parts is None else want_parts.unionAll(p)
     want = sorted(map(tuple, want_parts.collect()))
     assert got == want
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    """Stream-static left join == the same join in batch, including
+    preserved no-match events."""
+    from hadoop_brotli_spark.streaming.jobs import (
+        enrich_events,
+        read_events_stream,
+    )
+
+    dim = spark.range(0, 10).select(
+        F.col("id").alias("user_id"), (F.col("id") % 3).alias("tier")
+    )
+    stream = enrich_events(read_events_stream(spark, sf_dir), dim).select(
+        "event_id", "user_id", "tier"
+    )
+    run_to_completion(stream, "t_enrich", "append")
+    got = rows(spark.sql("SELECT event_id, user_id, tier FROM t_enrich"))
+    want = rows(
+        enrich_events(load_table(spark, sf_dir, "events"), dim).select(
+            "event_id", "user_id", "tier"
+        )
+    )
+    assert got == want
+    # no-match events must survive with NULL tier
+    assert any(r[2] is None for r in got)
