@@ -1404,3 +1404,170 @@ def q229_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_error"),
     )
+
+
+# ------------------------------------------------ CUSUM changepoint
+
+
+@register(
+    "q231_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d, {sql_dsum('o_totalprice')} AS rev
+      FROM orders GROUP BY o_orderdate
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n, {sql_dsum('rev', 2)} AS s FROM daily
+    ),
+    cum AS (
+      SELECT d, rev,
+             SUM(rev - (SELECT s / n FROM tot))
+               OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM daily
+    ),
+    ranked AS (
+      SELECT d, rev, ROUND(cusum, 4) AS cusum,
+             ROW_NUMBER() OVER (ORDER BY ABS(cusum) DESC, d ASC) AS rn
+      FROM cum
+    )
+    SELECT d AS changepoint_date, rev AS day_revenue, cusum AS cusum_peak
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q231_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over daily revenue: the running
+    sum of deviations from the global mean peaks (in absolute value)
+    exactly where the series' level shifts — the standard
+    single-changepoint estimator, beside q147's rolling z-score
+    (local anomalies) and q189's trend slope (drift).
+
+    Shape: the cumulative window runs over the per-DAY aggregate
+    (calendar-bounded — q131's global-window rule); the global mean
+    is a broadcast 1-row aggregate; exact-decimal daily sums make
+    the deviations exact, so only the final CUSUM (mean division
+    makes it float) rounds at 1e-4. Argmax via rank with a date
+    tie-break — a total order on both engines.
+    """
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(dsum(F.col("o_totalprice")).alias("rev"))
+    )
+    tot = daily.agg(
+        (dsum(F.col("rev")) / F.count(F.lit(1))).alias("mean_rev")
+    )
+    wc = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "rev",
+        F.round(F.sum(F.col("rev") - F.col("mean_rev")).over(wc), 4).alias("cusum"),
+    )
+    wr = W.orderBy(F.abs(F.col("cusum")).desc(), F.col("d").asc())
+    return (
+        cum.select(
+            F.col("d").alias("changepoint_date"),
+            F.col("rev").alias("day_revenue"),
+            F.col("cusum").alias("cusum_peak"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ------------------------------------------------ kNN label-noise audit
+
+NOISE_SAMPLE = 200  # audited vectors (query side)
+NOISE_K = 5
+
+
+@register(
+    "q232_label_noise_audit",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id < {NOISE_SAMPLE}
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, q.label AS qlabel,
+             c.vec_id AS cand_id, c.label AS clabel,
+             CAST(UNNEST(q.embedding) AS DOUBLE) AS x,
+             CAST(UNNEST(c.embedding) AS DOUBLE) AS y
+      FROM q, embeddings c
+      WHERE c.vec_id <> q.vec_id
+    ),
+    dots AS (
+      SELECT query_id, qlabel, cand_id, clabel,
+             SUM(x * y) AS dot, SQRT(SUM(x * x)) AS nq, SQRT(SUM(y * y)) AS nc
+      FROM pairs GROUP BY query_id, qlabel, cand_id, clabel
+    ),
+    topk AS (
+      SELECT query_id, qlabel, clabel FROM (
+        SELECT query_id, qlabel, clabel,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY ROUND(dot / (nq * nc), 6) DESC, cand_id ASC
+               ) AS rn
+        FROM dots
+      ) WHERE rn <= {NOISE_K}
+    ),
+    votes AS (
+      SELECT query_id, qlabel,
+             CAST(SUM(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree
+      FROM topk GROUP BY query_id, qlabel
+    )
+    SELECT qlabel AS label,
+           COUNT(*) AS n_audited,
+           CAST(SUM(CASE WHEN n_agree * 2 < {NOISE_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_suspect,
+           CAST(SUM(CASE WHEN n_agree * 2 < {NOISE_K} THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS suspect_rate
+    FROM votes GROUP BY qlabel
+    """,
+)
+def q232_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit (confident-learning lite): a vector whose
+    own label disagrees with the MAJORITY of its 5 cosine-nearest
+    neighbors is a mislabeling suspect; report per-label suspect
+    counts and rates over a 200-vector audit sample — the dataset-
+    quality gate run before training on labeled embeddings (q216
+    evaluates the classifier, this flags the training data itself).
+
+    Same broadcast-sample-vs-streamed-corpus shape as q70/q216;
+    agreement is an integer vote (n_agree·2 < k avoids any float
+    threshold), ratios are exact integer divisions.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < NOISE_SAMPLE).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("clabel"),
+    )
+    cosine = F.round(
+        dot_double("qe", "ce") / (norm_double("qe") * norm_double("ce")), 6
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    topk = (
+        F.broadcast(q)
+        .join(c, F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "qlabel", "clabel", "cand_id", cosine.alias("cos"))
+        .select("query_id", "qlabel", "clabel", F.row_number().over(wq).alias("rn"))
+        .filter(F.col("rn") <= NOISE_K)
+    )
+    votes = topk.groupBy("query_id", "qlabel").agg(
+        F.sum(F.when(F.col("clabel") == F.col("qlabel"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree")
+    )
+    suspect = F.when(F.col("n_agree") * 2 < NOISE_K, 1).otherwise(0)
+    return votes.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_audited"),
+        F.sum(suspect).cast("bigint").alias("n_suspect"),
+        (F.sum(suspect).cast("double") / F.count(F.lit(1))).alias("suspect_rate"),
+    )
