@@ -1073,3 +1073,138 @@ def q230_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(jac >= PREFIX_JACCARD_T)
     )
+
+
+# --------------------------------------------- q233 hybrid RRF fusion
+
+RRF_K = 60  # standard RRF damping constant
+RRF_QUERIES = 5
+RRF_TOP = 5
+RRF_SIGN_DIMS = 56  # sign-agreement ranker dimensionality
+
+
+@register(
+    "q233_rrf_hybrid_retrieval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {RRF_QUERIES}
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             CAST(UNNEST(q.embedding) AS DOUBLE) AS x,
+             CAST(UNNEST(c.embedding) AS DOUBLE) AS y,
+             UNNEST(range(len(q.embedding))) AS dim
+      FROM q, embeddings c
+      WHERE c.vec_id <> q.vec_id
+    ),
+    scores AS (
+      SELECT query_id, cand_id,
+             SUM(x * y) AS dot,
+             SQRT(SUM(x * x)) AS nq, SQRT(SUM(y * y)) AS nc,
+             SUM(CASE WHEN dim < {RRF_SIGN_DIMS}
+                      AND ((x >= 0) = (y >= 0)) THEN 1 ELSE 0 END)
+               AS sign_agree
+      FROM pairs GROUP BY query_id, cand_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY ROUND(dot / (nq * nc), 6) DESC, cand_id ASC)
+               AS rank_cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY sign_agree DESC, cand_id ASC) AS rank_sign
+      FROM scores
+    ),
+    fused AS (
+      SELECT query_id, cand_id, rank_cos, rank_sign,
+             ROUND(1.0 / ({RRF_K} + rank_cos)
+                   + 1.0 / ({RRF_K} + rank_sign), 6) AS rrf_score
+      FROM ranked
+    )
+    SELECT query_id, cand_id,
+           CAST(rank_cos AS BIGINT) AS rank_cos,
+           CAST(rank_sign AS BIGINT) AS rank_sign,
+           rrf_score,
+           CAST(rn AS BIGINT) AS fused_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY rrf_score DESC, cand_id ASC) AS rn
+      FROM fused
+    ) WHERE rn <= {RRF_TOP}
+    """,
+)
+def q233_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: two rankers —
+    exact cosine (the dense signal) and sign-agreement count (a
+    cheap binary-sketch signal standing in for the second retriever
+    of a hybrid stack) — are fused per query as
+    Σ 1/(60+rankᵢ), the standard RRF formula; top-5 fused results
+    per query.
+
+    Why RRF at scale: fusion needs only each system's RANKS — no
+    score calibration across heterogeneous retrievers — so each
+    ranker runs its own optimal plan (here both share one
+    broadcast-query corpus pass computing the two scores together;
+    both rank windows partition by query_id and reuse the same
+    scored exchange). 1/(60+r) is an exact double division on both
+    engines, so fusion order — and the oracle hash — is
+    deterministic with cand_id tie-breaks.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < RRF_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce")
+    )
+    cosine = F.round(
+        dot_double("qe", "ce") / (norm_double("qe") * norm_double("ce")), 6
+    )
+    sign_agree = F.aggregate(
+        F.zip_with(
+            F.slice("qe", 1, RRF_SIGN_DIMS),
+            F.slice("ce", 1, RRF_SIGN_DIMS),
+            lambda x, y: ((x >= 0) == (y >= 0)).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine.alias("cos"),
+            sign_agree.alias("sign_agree"),
+        )
+    )
+    wc = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    ws = W.partitionBy("query_id").orderBy(
+        F.col("sign_agree").desc(), F.col("cand_id").asc()
+    )
+    ranked = scored.select(
+        "query_id",
+        "cand_id",
+        F.row_number().over(wc).alias("rank_cos"),
+        F.row_number().over(ws).alias("rank_sign"),
+    )
+    rrf = F.round(
+        1.0 / (RRF_K + F.col("rank_cos")) + 1.0 / (RRF_K + F.col("rank_sign")), 6
+    )
+    wf = W.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("cand_id").asc()
+    )
+    return (
+        ranked.withColumn("rrf_score", rrf)
+        .withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= RRF_TOP)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("rank_cos").cast("bigint").alias("rank_cos"),
+            F.col("rank_sign").cast("bigint").alias("rank_sign"),
+            "rrf_score",
+            F.col("fused_rank").cast("bigint").alias("fused_rank"),
+        )
+    )
