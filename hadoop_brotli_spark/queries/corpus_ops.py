@@ -50,7 +50,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import fan_out, t
+from ._util import dsum, fan_out, t
 from .dedup import MAX_LSH_BUCKET, _shingle_df
 from .similarity import dot_double, norm_double
 
@@ -1207,4 +1207,244 @@ def q233_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rrf_score",
             F.col("fused_rank").cast("bigint").alias("fused_rank"),
         )
+    )
+
+
+# --------------------------------------------------- q234 CUPED A/B
+
+CUPED_SPLIT = "2024-01-16"  # pre-period | post-period boundary
+
+
+@register(
+    "q234_cuped_ab_readout",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7)
+                       AS BIGINT) % 2 AS BIGINT) AS variant,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT}'
+                           THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END)
+                  AS DOUBLE) AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}'
+                           THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END)
+                  AS DOUBLE) AS y
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sxx
+      FROM per_user
+    ),
+    theta AS (
+      SELECT n, sx / n AS mean_x,
+             (sxy - sx * sy / n) / NULLIF(sxx - sx * sx / n, 0) AS th
+      FROM stats
+    ),
+    adjusted AS (
+      SELECT u.variant, u.y,
+             u.y - t.th * (u.x - t.mean_x) AS y_adj
+      FROM per_user u CROSS JOIN theta t
+    )
+    SELECT variant,
+           COUNT(*) AS n_users,
+           ROUND(CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_post,
+           ROUND(SUM(y_adj) / COUNT(*), 6) AS mean_post_cuped,
+           ROUND((SUM(y_adj * y_adj) - SUM(y_adj) * SUM(y_adj) / COUNT(*))
+                 / NULLIF(SUM(y * y) - SUM(y) * SUM(y) / COUNT(*), 0), 6)
+             AS var_ratio
+    FROM adjusted GROUP BY variant
+    """,
+)
+def q234_cuped_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout — the production upgrade
+    of q151's plain z-test: each user's post-period purchase spend is
+    adjusted by their PRE-period spend (the covariate),
+    y' = y − θ·(x − x̄) with θ = cov(x,y)/var(x), which removes the
+    between-user variance the experiment didn't cause. Output per
+    hash-assigned variant: raw vs CUPED-adjusted means and the
+    achieved variance ratio (the sensitivity gain — <1 means a
+    smaller experiment detects the same effect).
+
+    Exactness: x, y, and their products are 2-/4-decimal exact, so
+    θ and x̄ are identical doubles on both engines; only the final
+    means/variances of the adjusted (non-representable) y' round at
+    1e-6 to absorb summation order. θ and the covariate stats come
+    from ONE pass of mergeable sufficient statistics broadcast back
+    as a 1-row aggregate — no per-user second scan at 100 TB.
+    """
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    variant = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 7),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    ).cast("bigint")
+    pre = F.when(F.col("ts") < F.lit(CUPED_SPLIT).cast("timestamp"), F.col("value")).otherwise(F.lit(0.0))
+    post = F.when(F.col("ts") >= F.lit(CUPED_SPLIT).cast("timestamp"), F.col("value")).otherwise(F.lit(0.0))
+    per_user = ev.groupBy("user_id").agg(
+        dsum(pre).alias("x"), dsum(post).alias("y")
+    ).select(variant.alias("variant"), "x", "y")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    stats = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d2("x")).cast("double").alias("sx"),
+        F.sum(d2("y")).cast("double").alias("sy"),
+        F.sum(d2("x") * d2("y")).cast("double").alias("sxy"),
+        F.sum(d2("x") * d2("x")).cast("double").alias("sxx"),
+    )
+    theta = stats.select(
+        (F.col("sx") / F.col("n")).alias("mean_x"),
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / F.when(
+                F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n") != 0,
+                F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"),
+            )
+        ).alias("th"),
+    )
+    adjusted = per_user.crossJoin(F.broadcast(theta)).select(
+        "variant",
+        "y",
+        (F.col("y") - F.col("th") * (F.col("x") - F.col("mean_x"))).alias("y_adj"),
+    )
+    n = F.count(F.lit(1))
+    var_adj = F.sum(F.col("y_adj") * F.col("y_adj")) - F.sum("y_adj") * F.sum("y_adj") / n
+    var_raw = F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y") / n
+    return adjusted.groupBy("variant").agg(
+        n.alias("n_users"),
+        F.round(F.sum(d2("y")).cast("double") / n, 6).alias("mean_post"),
+        F.round(F.sum("y_adj") / n, 6).alias("mean_post_cuped"),
+        F.round(var_adj / F.when(var_raw != 0, var_raw), 6).alias("var_ratio"),
+    )
+
+
+# ------------------------------------------- q235 temporal graph diff
+
+GRAPH_SPLIT_DATE = "1998-01-01"
+
+
+def _period_edges_sql(pred: str) -> str:
+    """DuckDB CTE body: top-decile co-supply edges for one period."""
+    return f"""(
+      WITH ps AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        WHERE {pred}
+      ),
+      parts AS (
+        SELECT p, list_sort(list(s)) AS ss FROM ps GROUP BY p
+        HAVING COUNT(*) <= {MAX_SUPP_PER_PART}
+      ),
+      expanded AS (
+        SELECT a.s AS sa, b.s AS sb
+        FROM (SELECT p, UNNEST(ss) AS s FROM parts) a
+        JOIN (SELECT p, UNNEST(ss) AS s FROM parts) b
+          ON a.p = b.p AND a.s < b.s
+      ),
+      e AS (SELECT sa, sb, COUNT(*) AS c FROM expanded GROUP BY sa, sb),
+      ranked AS (
+        SELECT sa, sb,
+               ROW_NUMBER() OVER (ORDER BY c DESC, sa, sb) AS rn,
+               COUNT(*) OVER () AS ne
+        FROM e
+      )
+      SELECT sa, sb FROM ranked WHERE rn <= ne // {TRI_EDGE_FRACTION}
+    )"""
+
+
+@register(
+    "q235_cosupply_graph_diff",
+    oracle=f"""
+    WITH p1 AS {_period_edges_sql(f"l_shipdate < TIMESTAMP '{GRAPH_SPLIT_DATE}'")},
+    p2 AS {_period_edges_sql(f"l_shipdate >= TIMESTAMP '{GRAPH_SPLIT_DATE}'")}
+    SELECT COALESCE(p1.sa, p2.sa) AS s_a,
+           COALESCE(p1.sb, p2.sb) AS s_b,
+           CASE WHEN p1.sa IS NULL THEN 'new'
+                WHEN p2.sa IS NULL THEN 'lost'
+                ELSE 'kept' END AS status
+    FROM p1 FULL OUTER JOIN p2
+      ON p1.sa = p2.sa AND p1.sb = p2.sb
+    """,
+)
+def q235_cosupply_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal graph evolution: the q214 co-supply edge set built
+    independently for two ship-date periods, then diffed — each edge
+    is 'new' (top-decile only after the split), 'lost' (only
+    before), or 'kept'. The relationship-churn readout a supply
+    dashboard tracks period over period.
+
+    Shape: each period's edge pipeline is the q214 plan (capped
+    posting lists → reduced edge aggregate → rank threshold on the
+    REDUCED set), and the diff is a FULL OUTER join of two
+    |edges|-sized lists — never fact-sized. The rank-based decile
+    threshold re-normalizes per period, so the diff compares
+    RELATIVE co-supply strength (an absolute threshold would tag
+    every edge 'lost' in a shrinking period).
+    """
+
+    def period_edges(pred):
+        ps = (
+            t(spark, sf_dir, "lineitem")
+            .filter(pred)
+            .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+            .distinct()
+        )
+        parts = (
+            ps.groupBy("p")
+            .agg(F.sort_array(F.collect_set("s")).alias("ss"))
+            .filter(F.size("ss") <= MAX_SUPP_PER_PART)
+        )
+        e = (
+            parts.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ss, (x, i) ->"
+                        " transform(slice(ss, i + 2, size(ss) - i - 1),"
+                        " y -> struct(x AS sa, y AS sb))))"
+                    )
+                ).alias("pr")
+            )
+            .select("pr.sa", "pr.sb")
+            .groupBy("sa", "sb")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = W.orderBy(F.col("c").desc(), "sa", "sb")
+        return (
+            e.select(
+                "sa",
+                "sb",
+                F.row_number().over(w).alias("rn"),
+                F.count(F.lit(1)).over(W.partitionBy()).alias("ne"),
+            )
+            .filter(F.col("rn") <= F.floor(F.col("ne") / TRI_EDGE_FRACTION))
+            .select("sa", "sb")
+        )
+
+    split = F.lit(GRAPH_SPLIT_DATE).cast("timestamp")
+    p1 = period_edges(F.col("l_shipdate") < split).withColumnRenamed(
+        "sa", "sa1"
+    ).withColumnRenamed("sb", "sb1")
+    p2 = period_edges(F.col("l_shipdate") >= split).withColumnRenamed(
+        "sa", "sa2"
+    ).withColumnRenamed("sb", "sb2")
+    diff = p1.join(
+        p2, (F.col("sa1") == F.col("sa2")) & (F.col("sb1") == F.col("sb2")), "full"
+    )
+    status = (
+        F.when(F.col("sa1").isNull(), "new")
+        .when(F.col("sa2").isNull(), "lost")
+        .otherwise("kept")
+    )
+    return diff.select(
+        F.coalesce(F.col("sa1"), F.col("sa2")).alias("s_a"),
+        F.coalesce(F.col("sb1"), F.col("sb2")).alias("s_b"),
+        status.alias("status"),
     )
