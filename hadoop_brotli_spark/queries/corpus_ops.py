@@ -1448,3 +1448,118 @@ def q235_cosupply_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("sb1"), F.col("sb2")).alias("s_b"),
         status.alias("status"),
     )
+
+
+# -------------------------------------------- q237 hard-negative mining
+
+MINE_ANCHORS = 100
+
+
+@register(
+    "q237_hard_negative_mining",
+    oracle=f"""
+    WITH a AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id < {MINE_ANCHORS}
+    ),
+    pairs AS (
+      SELECT a.vec_id AS anchor_id, a.label AS alabel,
+             c.vec_id AS cand_id, c.label AS clabel,
+             CAST(UNNEST(a.embedding) AS DOUBLE) AS x,
+             CAST(UNNEST(c.embedding) AS DOUBLE) AS y
+      FROM a, embeddings c
+      WHERE c.vec_id <> a.vec_id
+    ),
+    scored AS (
+      SELECT anchor_id, alabel, cand_id, clabel,
+             ROUND(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))), 6)
+               AS cos
+      FROM pairs GROUP BY anchor_id, alabel, cand_id, clabel
+    ),
+    pos AS (
+      SELECT anchor_id, alabel, cand_id AS positive_id, cos AS pos_cos
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                 ORDER BY cos DESC, cand_id ASC) AS rn
+        FROM scored WHERE clabel = alabel
+      ) WHERE rn = 1
+    ),
+    neg AS (
+      SELECT anchor_id, cand_id AS negative_id, cos AS neg_cos
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                 ORDER BY cos DESC, cand_id ASC) AS rn
+        FROM scored WHERE clabel <> alabel
+      ) WHERE rn = 1
+    )
+    SELECT p.anchor_id, p.alabel AS label,
+           p.positive_id, p.pos_cos,
+           n.negative_id, n.neg_cos,
+           ROUND(p.pos_cos - n.neg_cos, 6) AS margin
+    FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
+    """,
+)
+def q237_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining: for each anchor vector, the
+    hardest POSITIVE (most-similar same-label vector) and the hardest
+    NEGATIVE (most-similar different-label vector — the one a
+    contrastive loss learns most from), with the margin between
+    them. Negative-margin anchors sit inside another label's
+    neighborhood — the triplets a fine-tuning run should sample
+    first (q232 flags them as label-noise suspects; this op EMITS
+    the training pairs).
+
+    Same broadcast-anchor/streamed-corpus shape as q70; both argmax
+    windows partition per anchor over the single scored exchange,
+    with (cosine DESC, cand_id ASC) total orders.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < MINE_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("alabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("clabel"),
+    )
+    cosine = F.round(
+        dot_double("qe", "ce") / (norm_double("qe") * norm_double("ce")), 6
+    )
+    scored = (
+        F.broadcast(a)
+        .join(c, F.col("cand_id") != F.col("anchor_id"))
+        .select("anchor_id", "alabel", "cand_id", "clabel", cosine.alias("cos"))
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    pos = (
+        scored.filter(F.col("clabel") == F.col("alabel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("alabel").alias("label"),
+            F.col("cand_id").alias("positive_id"),
+            F.col("cos").alias("pos_cos"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("clabel") != F.col("alabel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("negative_id"),
+            F.col("cos").alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "label",
+        "positive_id",
+        "pos_cos",
+        "negative_id",
+        "neg_cos",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+    )

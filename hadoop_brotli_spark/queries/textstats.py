@@ -954,3 +954,133 @@ def q226_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .drop("rn")
     )
+
+
+# ------------------------------------------ bigram LM perplexity gate
+
+LM_TRAIN_MOD = 10  # md5(doc_id) % 10 < 8 -> train, else score
+LM_TRAIN_LT = 8
+
+
+@register(
+    "q236_bigram_lm_score",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                  AS BIGINT) % {LM_TRAIN_MOD} AS bucket
+      FROM documents
+    ),
+    train_words AS (
+      SELECT doc_id, i,
+             string_split(text, ' ')[CAST(i + 1 AS INTEGER)] AS w
+      FROM split, UNNEST(range(len(string_split(text, ' ')))) AS r(i)
+      WHERE bucket < {LM_TRAIN_LT}
+    ),
+    train_bigrams AS (
+      SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c12
+      FROM train_words a
+      JOIN train_words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      GROUP BY a.w, b.w
+    ),
+    train_unigrams AS (
+      SELECT w AS w1, COUNT(*) AS c1 FROM train_words GROUP BY w
+    ),
+    vocab AS (SELECT COUNT(*) AS v FROM train_unigrams),
+    score_words AS (
+      SELECT doc_id, i,
+             string_split(text, ' ')[CAST(i + 1 AS INTEGER)] AS w
+      FROM split, UNNEST(range(len(string_split(text, ' ')))) AS r(i)
+      WHERE bucket >= {LM_TRAIN_LT}
+    ),
+    score_bigrams AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM score_words a
+      JOIN score_words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    ),
+    scored AS (
+      SELECT s.doc_id,
+             ln((COALESCE(tb.c12, 0) + 1.0)
+                / (COALESCE(tu.c1, 0) + (SELECT v FROM vocab))) AS lp
+      FROM score_bigrams s
+      LEFT JOIN train_bigrams tb ON tb.w1 = s.w1 AND tb.w2 = s.w2
+      LEFT JOIN train_unigrams tu ON tu.w1 = s.w1
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(-SUM(lp) / COUNT(*), 4) AS avg_neg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q236_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine bigram language-model quality scoring — the
+    perplexity-style filter gate (CCNet scores documents with a
+    reference LM and drops the worst): an add-one-smoothed bigram LM
+    is trained on the hash-split 80% of the corpus and every held-out
+    document is scored by its average negative log-probability
+    (monotone in perplexity; high = unusual/degenerate text).
+
+    Shape: the "model" IS two aggregates — bigram and unigram count
+    tables (vocabulary²-bounded, not corpus-bounded) — joined onto
+    the held-out bigram stream; smoothing makes unseen bigrams
+    finite. ln() rounds at 1e-4 (q87's precedent). The train/score
+    membership is the q88 hash rule, so the split reproduces
+    everywhere. A production variant swaps the count tables for a
+    KenLM scorer inside mapInPandas with the identical plan shape.
+    """
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 7),
+            16,
+            10,
+        ).cast("long")
+        % LM_TRAIN_MOD
+    )
+    words = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.posexplode(F.split("text", " ")).alias("i", "w"),
+    )
+    bigrams = (
+        words.alias("a")
+        .join(
+            words.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.i") == F.col("a.i") + 1),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.bucket").alias("bucket"),
+            F.col("a.w").alias("w1"),
+            F.col("b.w").alias("w2"),
+        )
+    )
+    train_bi = (
+        bigrams.filter(F.col("bucket") < LM_TRAIN_LT)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    train_uni = (
+        words.filter(F.col("bucket") < LM_TRAIN_LT)
+        .groupBy(F.col("w").alias("w1"))
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = train_uni.agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        bigrams.filter(F.col("bucket") >= LM_TRAIN_LT)
+        .join(F.broadcast(train_bi), ["w1", "w2"], "left")
+        .join(F.broadcast(train_uni), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + 1.0)
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-F.sum("lp") / F.count(F.lit(1)), 4).alias("avg_neg_logprob"),
+    )
