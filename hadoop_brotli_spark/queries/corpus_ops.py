@@ -90,7 +90,9 @@ def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.groupBy("doc_id").agg(sim.alias("sim"))
 
 
-def _simhash_oracle_pairs() -> str:
+def _simhash_fp_sql() -> str:
+    """Standalone DuckDB SELECT producing (doc_id, sim) — the packed
+    56-bit fingerprint table (shared by the q212 and q238 oracles)."""
     bits = " + ".join(
         f"CASE WHEN SUM(CASE WHEN ((strpos('0123456789abcdef',"
         f" substr(hw, {j // 4 + 1}, 1)) - 1) >> {3 - j % 4}) & 1 = 1"
@@ -98,14 +100,19 @@ def _simhash_oracle_pairs() -> str:
         f" THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END"
         for j in range(SIMHASH_BITS)
     )
+    return f"""
+      WITH words AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+      ),
+      h AS (SELECT doc_id, md5(word) AS hw FROM words)
+      SELECT doc_id, ({bits}) AS sim FROM h GROUP BY doc_id"""
+
+
+def _simhash_oracle_pairs() -> str:
     band_ids = ", ".join(str(b) for b in range(SIMHASH_BANDS))
     mask = (1 << SIMHASH_BAND_BITS) - 1
     return f"""
-    WITH words AS (
-      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
-    ),
-    h AS (SELECT doc_id, md5(word) AS hw FROM words),
-    fp AS (SELECT doc_id, ({bits}) AS sim FROM h GROUP BY doc_id),
+    WITH fp AS ({_simhash_fp_sql()}),
     bands AS (
       SELECT doc_id, b, (sim >> (b * {SIMHASH_BAND_BITS})) & {mask} AS key
       FROM fp, UNNEST([{band_ids}]) AS t(b)
@@ -1563,3 +1570,94 @@ def q237_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_cos",
         F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
     )
+
+
+# ----------------------------------------- q238 ensemble dedup matrix
+
+
+@register(
+    "q238_dedup_ensemble_matrix",
+    oracle=None,  # placeholder replaced below (needs dedup import)
+)
+def q238_dedup_ensemble_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble dedup decision matrix: the UNION of MinHash+LSH
+    candidates (q62 — set-overlap signal) and SimHash band candidates
+    (q212 — weighted-profile signal), each pair annotated with which
+    detector(s) fired and its exact fingerprint Hamming distance —
+    the reviewer table a production dedup pipeline emits before
+    deletion, making detector disagreement (a pair only ONE signal
+    caught) auditable instead of silent.
+
+    Shape: both candidate generators run their normal reduced-pair
+    plans; the matrix is a full-outer join of two small pair lists,
+    then one fingerprint join for the common Hamming column. At
+    100 TB the ensemble costs the sum of its detectors plus
+    |pairs|-sized joins — detector reuse, not a new corpus pass.
+    """
+    from ..functions.columns import hamming_distance
+    from .dedup import _minhash_pairs
+
+    mh = _minhash_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("mh")
+    )
+    sh = q212_simhash_band_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("sa"), F.col("doc_b").alias("sb"), F.lit(1).alias("sh")
+    )
+    u = mh.join(
+        sh, (F.col("doc_a") == F.col("sa")) & (F.col("doc_b") == F.col("sb")), "full"
+    ).select(
+        F.coalesce(F.col("doc_a"), F.col("sa")).alias("doc_a"),
+        F.coalesce(F.col("doc_b"), F.col("sb")).alias("doc_b"),
+        F.coalesce(F.col("mh"), F.lit(0)).cast("bigint").alias("by_minhash"),
+        F.coalesce(F.col("sh"), F.lit(0)).cast("bigint").alias("by_simhash"),
+    )
+    fp = _simhash_fp(spark, sf_dir)
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"))
+    return (
+        u.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "by_minhash",
+            "by_simhash",
+            hamming_distance("sim_a", "sim_b").cast("bigint").alias("hamming"),
+        )
+    )
+
+
+def _install_q238_oracle() -> None:
+    """q238's oracle needs dedup's minhash CTE chain; registry entries
+    are frozen dataclasses, so rebuild the spec with the oracle set."""
+    from dataclasses import replace
+
+    from ..registry import REGISTRY
+    from .dedup import _minhash_oracle
+
+    oracle = f"""
+    WITH mh AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()})),
+    shp AS (SELECT doc_a, doc_b FROM ({_simhash_oracle_pairs()})),
+    u AS (
+      SELECT COALESCE(mh.doc_a, shp.doc_a) AS doc_a,
+             COALESCE(mh.doc_b, shp.doc_b) AS doc_b,
+             CAST(CASE WHEN mh.doc_a IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS by_minhash,
+             CAST(CASE WHEN shp.doc_a IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS by_simhash
+      FROM mh FULL OUTER JOIN shp
+        ON mh.doc_a = shp.doc_a AND mh.doc_b = shp.doc_b
+    ),
+    fp AS ({_simhash_fp_sql()})
+    SELECT u.doc_a, u.doc_b, u.by_minhash, u.by_simhash,
+           CAST(bit_count(xor(fa.sim, fb.sim)) AS BIGINT) AS hamming
+    FROM u
+    JOIN fp fa ON fa.doc_id = u.doc_a
+    JOIN fp fb ON fb.doc_id = u.doc_b
+    """
+    REGISTRY["q238_dedup_ensemble_matrix"] = replace(
+        REGISTRY["q238_dedup_ensemble_matrix"], oracle=oracle
+    )
+
+
+_install_q238_oracle()
