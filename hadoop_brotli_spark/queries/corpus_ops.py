@@ -1661,3 +1661,223 @@ def _install_q238_oracle() -> None:
 
 
 _install_q238_oracle()
+
+
+# --------------------------------------- q239 LSH banding sweep audit
+
+
+@register(
+    "q239_lsh_banding_sweep",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+      FROM docs, UNNEST(range(len(w) - 2)) AS t(i)
+    ),
+    hashed AS (SELECT doc_id, md5(shingle) AS h1 FROM sh),
+    sig AS (
+      SELECT doc_id,
+        MIN(CAST('0x' || substr(h1, 1, 4) AS BIGINT)) AS h0,
+        MIN(CAST('0x' || substr(h1, 5, 4) AS BIGINT)) AS h1_,
+        MIN(CAST('0x' || substr(h1, 9, 4) AS BIGINT)) AS h2,
+        MIN(CAST('0x' || substr(h1, 13, 4) AS BIGINT)) AS h3,
+        MIN(CAST('0x' || substr(h1, 17, 4) AS BIGINT)) AS h4,
+        MIN(CAST('0x' || substr(h1, 21, 4) AS BIGINT)) AS h5,
+        MIN(CAST('0x' || substr(h1, 25, 4) AS BIGINT)) AS h6,
+        MIN(CAST('0x' || substr(h1, 29, 4) AS BIGINT)) AS h7
+      FROM hashed GROUP BY doc_id
+    ),
+    b8 AS (  -- 8 bands x 1 row (most recall); string keys sidestep
+             -- 64-bit packing overflow on wide bands
+      SELECT 0 AS band, CAST(h0 AS VARCHAR) AS bkey, doc_id FROM sig
+      UNION ALL SELECT 1, CAST(h1_ AS VARCHAR), doc_id FROM sig
+      UNION ALL SELECT 2, CAST(h2 AS VARCHAR), doc_id FROM sig
+      UNION ALL SELECT 3, CAST(h3 AS VARCHAR), doc_id FROM sig
+      UNION ALL SELECT 4, CAST(h4 AS VARCHAR), doc_id FROM sig
+      UNION ALL SELECT 5, CAST(h5 AS VARCHAR), doc_id FROM sig
+      UNION ALL SELECT 6, CAST(h6 AS VARCHAR), doc_id FROM sig
+      UNION ALL SELECT 7, CAST(h7 AS VARCHAR), doc_id FROM sig
+    ),
+    b4 AS (  -- 4 bands x 2 rows (the engine default)
+      SELECT 0 AS band, h0 || '-' || h1_ AS bkey, doc_id FROM sig
+      UNION ALL SELECT 1, h2 || '-' || h3, doc_id FROM sig
+      UNION ALL SELECT 2, h4 || '-' || h5, doc_id FROM sig
+      UNION ALL SELECT 3, h6 || '-' || h7, doc_id FROM sig
+    ),
+    b2 AS (  -- 2 bands x 4 rows (most precision)
+      SELECT 0 AS band,
+             h0 || '-' || h1_ || '-' || h2 || '-' || h3 AS bkey,
+             doc_id FROM sig
+      UNION ALL
+      SELECT 1, h4 || '-' || h5 || '-' || h6 || '-' || h7, doc_id
+      FROM sig
+    ),
+    c8 AS (
+      SELECT COUNT(*) AS n FROM (
+        SELECT DISTINCT a.doc_id, b.doc_id FROM b8 a
+        JOIN b8 b ON a.band = b.band AND a.bkey = b.bkey
+                 AND a.doc_id < b.doc_id)
+    ),
+    c4 AS (
+      SELECT COUNT(*) AS n FROM (
+        SELECT DISTINCT a.doc_id, b.doc_id FROM b4 a
+        JOIN b4 b ON a.band = b.band AND a.bkey = b.bkey
+                 AND a.doc_id < b.doc_id)
+    ),
+    c2 AS (
+      SELECT COUNT(*) AS n FROM (
+        SELECT DISTINCT a.doc_id, b.doc_id FROM b2 a
+        JOIN b2 b ON a.band = b.band AND a.bkey = b.bkey
+                 AND a.doc_id < b.doc_id)
+    )
+    SELECT * FROM (
+      SELECT '8x1' AS config, CAST((SELECT n FROM c8) AS BIGINT)
+               AS n_candidates
+      UNION ALL SELECT '4x2', CAST((SELECT n FROM c4) AS BIGINT)
+      UNION ALL SELECT '2x4', CAST((SELECT n FROM c2) AS BIGINT)
+    )
+    """,
+)
+def q239_lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding parameter sweep — the recall/precision tuning
+    table for MinHash dedup: with 8 minhashes, candidate-pair counts
+    under 8 bands x 1 row (threshold-curve ~J^1 per band: max
+    recall, most false candidates), 4x2 (the engine's q62 default),
+    and 2x4 (~J^4: high precision, recall only for strong dups).
+    Monotone by construction: n(8x1) >= n(4x2) >= n(2x4) — the
+    sweep quantifies what each step buys BEFORE committing a corpus
+    pass to the wrong operating point.
+
+    Shape: ONE signature pipeline (the q62 sketch — computed once,
+    it is the same 8-int row re-banded three ways), three band-key
+    shuffles over the small signature table, three bounded distinct
+    counts. Candidate generation is count-only here — no pair
+    materialization.
+    """
+    from .dedup import N_HASHES, _signatures
+
+    sig = _signatures(spark, sf_dir).localCheckpoint(eager=True)
+
+    def n_pairs(groups: list[list[int]]):
+        bands = None
+        for band, hs in enumerate(groups):
+            # string keys: positional 16-bit packing overflows a long
+            # beyond 3 chunks, and this audit never does key math
+            key = F.concat_ws("-", *[F.col(f"h{h}").cast("string") for h in hs])
+            b = sig.select(F.lit(band).alias("band"), key.alias("bkey"), "doc_id")
+            bands = b if bands is None else bands.unionAll(b)
+        a = bands.select("band", "bkey", F.col("doc_id").alias("da"))
+        bb = bands.select(
+            F.col("band").alias("band2"), F.col("bkey").alias("bkey2"),
+            F.col("doc_id").alias("db"),
+        )
+        return (
+            a.join(
+                bb,
+                (F.col("band") == F.col("band2"))
+                & (F.col("bkey") == F.col("bkey2"))
+                & (F.col("da") < F.col("db")),
+            )
+            .select("da", "db")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        )
+
+    h = list(range(N_HASHES))
+    c8 = n_pairs([[i] for i in h]).select(F.lit("8x1").alias("config"), "n_candidates")
+    c4 = n_pairs([h[i : i + 2] for i in range(0, 8, 2)]).select(
+        F.lit("4x2").alias("config"), "n_candidates"
+    )
+    c2 = n_pairs([h[:4], h[4:]]).select(F.lit("2x4").alias("config"), "n_candidates")
+    return c8.unionAll(c4).unionAll(c2)
+
+
+# ------------------------------------- q240 policy propagation
+
+RESTRICTED_SOURCE = "src0"
+
+
+@register(
+    "q240_policy_propagation",
+    oracle=None,  # installed below (needs dedup's recursive cluster CTEs)
+)
+def q240_policy_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance-tag propagation through duplicate clusters: if ANY
+    member of a near-dup cluster comes from a restricted source, the
+    WHOLE cluster inherits the restriction (a near-copy of
+    restricted text is restricted, whatever its own source claims) —
+    the takedown/licensing semantics a corpus pipeline must apply
+    transitively, not row-wise. Output per source: docs, directly
+    restricted docs, and transitively caught docs (the ones a naive
+    source filter would have missed).
+
+    Shape: q64's connected-components labels (iterative min-label
+    propagation over the reduced pair graph) joined to a per-cluster
+    ANY-restricted flag (one aggregate over the label table), marker
+    join back, per-source rollup. No new corpus pass beyond the
+    clustering itself.
+    """
+    from .dedup import q64_dedup_clusters
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    labels = q64_dedup_clusters(spark, sf_dir)
+    member = docs.join(labels, "doc_id")
+    cluster_flag = (
+        member.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.when(F.col("source") == RESTRICTED_SOURCE, 1).otherwise(0)
+            ).alias("restricted")
+        )
+    )
+    marked = member.join(cluster_flag, "cluster_id").select(
+        "source",
+        F.when(F.col("source") == RESTRICTED_SOURCE, 1).otherwise(0).alias("direct"),
+        F.col("restricted").alias("flagged"),
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("direct").cast("bigint").alias("n_direct"),
+        F.sum("flagged").cast("bigint").alias("n_flagged"),
+        (F.sum("flagged") - F.sum("direct")).cast("bigint").alias("n_transitive"),
+    )
+
+
+def _install_q240_oracle() -> None:
+    from dataclasses import replace
+
+    from ..registry import REGISTRY
+    from .dedup import _clusters_ctes
+
+    oracle = f"""
+    WITH RECURSIVE {_clusters_ctes()},
+    member AS (
+      SELECT d.doc_id, d.source, c.cluster_id
+      FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
+    ),
+    cflag AS (
+      SELECT cluster_id,
+             MAX(CASE WHEN source = '{RESTRICTED_SOURCE}' THEN 1 ELSE 0 END)
+               AS restricted
+      FROM member GROUP BY cluster_id
+    )
+    SELECT m.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN m.source = '{RESTRICTED_SOURCE}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_direct,
+           CAST(SUM(f.restricted) AS BIGINT) AS n_flagged,
+           CAST(SUM(f.restricted)
+                - SUM(CASE WHEN m.source = '{RESTRICTED_SOURCE}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_transitive
+    FROM member m JOIN cflag f ON f.cluster_id = m.cluster_id
+    GROUP BY m.source
+    """
+    REGISTRY["q240_policy_propagation"] = replace(
+        REGISTRY["q240_policy_propagation"], oracle=oracle
+    )
+
+
+_install_q240_oracle()
