@@ -1881,3 +1881,196 @@ def _install_q240_oracle() -> None:
 
 
 _install_q240_oracle()
+
+
+# ------------------------------------------ q241 span-corruption plan
+
+MASK_PCT = 15  # target masked-token percentage
+
+
+@register(
+    "q241_span_corruption_plan",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, i,
+             CASE WHEN CAST(('0x' || substr(
+                      md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+                      1, 7)) AS BIGINT) % 100 < {MASK_PCT}
+                  THEN 1 ELSE 0 END AS masked
+      FROM documents,
+           UNNEST(range(len(string_split(text, ' ')))) AS r(i)
+    ),
+    runs AS (
+      SELECT doc_id, masked,
+             CASE WHEN masked = 1 AND COALESCE(LAG(masked) OVER (
+                    PARTITION BY doc_id ORDER BY i), 0) = 0
+                  THEN 1 ELSE 0 END AS span_start
+      FROM toks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(masked) AS BIGINT) AS n_masked,
+           CAST(SUM(span_start) AS BIGINT) AS n_spans,
+           CAST(SUM(masked) AS DOUBLE) / COUNT(*) AS mask_rate
+    FROM runs GROUP BY doc_id
+    """,
+)
+def q241_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denoising-objective corruption planning (BERT/T5-style): each
+    token is masked iff md5(doc_id, position) % 100 < 15 — a pure
+    hash, so the corruption pattern is REPRODUCIBLE across engines,
+    runs, and partitionings (the q88 split rule applied
+    token-wise; a stateful RNG would make every retry a different
+    dataset). Contiguous masked runs merge into spans (T5 replaces
+    each span with one sentinel); output per doc: token count,
+    masked count, span count, realized mask rate.
+
+    Shape: posexplode → hash → one LAG window partitioned by doc_id
+    for span starts → per-doc aggregate. The mask decision is
+    codegen arithmetic; nothing in the plan is corpus-order-
+    dependent.
+    """
+    toks = fan_out(t(spark, sf_dir, "documents")).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("i").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("long")
+    masked = (h % 100 < MASK_PCT).cast("int")
+    wd = W.partitionBy("doc_id").orderBy("i")
+    runs = toks.select("doc_id", "i", masked.alias("masked")).select(
+        "doc_id",
+        "masked",
+        F.when(
+            (F.col("masked") == 1)
+            & (F.coalesce(F.lag("masked").over(wd), F.lit(0)) == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("span_start"),
+    )
+    return runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("masked").cast("bigint").alias("n_masked"),
+        F.sum("span_start").cast("bigint").alias("n_spans"),
+        (F.sum("masked").cast("double") / F.count(F.lit(1))).alias("mask_rate"),
+    )
+
+
+# ------------------------------------------ q242 epoch shuffle audit
+
+SHUFFLE_SHARDS = 64
+
+
+def _epoch_pos_sql(e: int) -> str:
+    """DuckDB subquery: (doc_id, source, pos) — the sharded epoch-
+    permutation position for epoch ``e``."""
+    return f"""(
+      WITH keyed AS (
+        SELECT doc_id, source,
+               md5('epoch{e}:' || CAST(doc_id AS VARCHAR)) AS h,
+               CAST(('0x' || substr(md5('epoch{e}:' || CAST(doc_id AS VARCHAR)),
+                     1, 7)) AS BIGINT) % {SHUFFLE_SHARDS} AS shard
+        FROM documents
+      ),
+      ranked AS (
+        SELECT doc_id, source, shard,
+               ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                 AS r_in_shard
+        FROM keyed
+      ),
+      offsets AS (
+        SELECT shard,
+               COALESCE(SUM(COUNT(*)) OVER (ORDER BY shard
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS off
+        FROM keyed GROUP BY shard
+      )
+      SELECT r.doc_id, r.source, o.off + r.r_in_shard AS pos
+      FROM ranked r JOIN offsets o ON o.shard = r.shard
+    )"""
+
+
+@register(
+    "q242_epoch_shuffle_audit",
+    oracle=f"""
+    WITH p1 AS {_epoch_pos_sql(1)},
+    p2 AS {_epoch_pos_sql(2)}
+    SELECT p1.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ABS(p1.pos - p2.pos)) AS BIGINT) AS total_displacement,
+           CAST(SUM(ABS(p1.pos - p2.pos)) AS DOUBLE) / COUNT(*)
+             AS avg_displacement,
+           CAST(MIN(p1.pos) AS BIGINT) AS earliest_epoch1_position
+    FROM p1 JOIN p2 ON p2.doc_id = p1.doc_id
+    GROUP BY p1.source
+    """,
+)
+def q242_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shuffling audit, in the SHARDED form that
+    actually runs at 100 TB: epoch e's training order is (shard =
+    hash_e % 64, rank of hash_e within shard), with each document's
+    global position reconstructed as shard offset + in-shard rank.
+    No global-order window ever touches corpus-sized data — in-shard
+    ranks partition by shard, and the offset cumsum runs over the
+    64-row shard-size aggregate (the engine's bounded-global-window
+    rule). The permutation is a pure seeded hash, so a resumed job
+    re-derives the identical order.
+
+    The audit compares two epochs: per-source total/average position
+    displacement (~n/3 for independent permutations — near-zero
+    means epochs repeat an order, starving sample diversity) and
+    each source's earliest epoch-1 position (interleaving check: no
+    source ghettoized to the tail).
+    """
+
+    def epoch_pos(e: int) -> DataFrame:
+        h = F.md5(
+            F.concat(
+                F.lit(f"epoch{e}:"), F.col("doc_id").cast("string")
+            ).cast("binary")
+        )
+        shard = (
+            F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % SHUFFLE_SHARDS
+        )
+        keyed = t(spark, sf_dir, "documents").select(
+            "doc_id", "source", h.alias("h"), shard.alias("shard")
+        )
+        wr = W.partitionBy("shard").orderBy("h", "doc_id")
+        ranked = keyed.select(
+            "doc_id", "source", "shard", F.row_number().over(wr).alias("r")
+        )
+        wo = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+        offsets = (
+            keyed.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .select(
+                "shard", F.coalesce(F.sum("sz").over(wo), F.lit(0)).alias("off")
+            )
+        )
+        return ranked.join(F.broadcast(offsets), "shard").select(
+            "doc_id", "source", (F.col("off") + F.col("r")).alias(f"pos{e}")
+        )
+
+    p1 = epoch_pos(1)
+    p2 = epoch_pos(2).select("doc_id", "pos2")
+    joined = p1.join(p2, "doc_id")
+    disp = F.abs(F.col("pos1") - F.col("pos2"))
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(disp).cast("bigint").alias("total_displacement"),
+        (F.sum(disp).cast("double") / F.count(F.lit(1))).alias("avg_displacement"),
+        F.min("pos1").cast("bigint").alias("earliest_epoch1_position"),
+    )
