@@ -2074,3 +2074,133 @@ def q242_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(disp).cast("double") / F.count(F.lit(1))).alias("avg_displacement"),
         F.min("pos1").cast("bigint").alias("earliest_epoch1_position"),
     )
+
+
+# ------------------------------------------ q243 token budget planner
+
+BUDGET_TOKENS = 500_000  # target training tokens (sf-independent plan)
+MIX_TEMP_NUM, MIX_TEMP_DEN = 7, 10  # temperature 0.7 as a rational
+
+
+@register(
+    "q243_token_budget_plan",
+    oracle=f"""
+    WITH src AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    weighted AS (
+      SELECT source, n_tokens,
+             ROUND(POWER(n_tokens, {MIX_TEMP_NUM} / {MIX_TEMP_DEN}.0), 6)
+               AS w
+      FROM src
+    ),
+    tot AS (SELECT SUM(w) AS sw FROM weighted)
+    SELECT w.source, w.n_tokens,
+           ROUND(w.w / t.sw, 6) AS mix_weight,
+           CAST(FLOOR({BUDGET_TOKENS} * w.w / t.sw) AS BIGINT)
+             AS budget_tokens,
+           ROUND({BUDGET_TOKENS} * w.w / t.sw / w.n_tokens, 4) AS epochs
+    FROM weighted w CROSS JOIN tot t
+    """,
+)
+def q243_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture token budget planner: temperature-weighted
+    source sampling (w ∝ tokens^0.7 — upweights small sources, the
+    standard multi-source mixing rule) allocated against a fixed
+    global token budget, with the implied EPOCH COUNT per source —
+    the number every data-mixing decision actually turns on (epochs
+    >> 1 on a small source means memorization risk; << 1 on a big
+    one means wasted corpus).
+
+    Shape: everything reduces to the |sources|-row aggregate before
+    any arithmetic; POWER(x, 0.7) rounds at 1e-6 before the share
+    division (q181's convention — cross-engine pow is the one
+    non-exact step).
+    """
+    src = (
+        fan_out(t(spark, sf_dir, "documents"))
+        .select("source", F.size(F.split("text", " ")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("bigint").alias("n_tokens"))
+    )
+    w = F.round(F.pow(F.col("n_tokens"), F.lit(MIX_TEMP_NUM / MIX_TEMP_DEN)), 6)
+    weighted = src.select("source", "n_tokens", w.alias("w"))
+    tot = weighted.agg(F.sum("w").alias("sw"))
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("w") / F.col("sw"), 6).alias("mix_weight"),
+        F.floor(BUDGET_TOKENS * F.col("w") / F.col("sw"))
+        .cast("bigint")
+        .alias("budget_tokens"),
+        F.round(
+            BUDGET_TOKENS * F.col("w") / F.col("sw") / F.col("n_tokens"), 4
+        ).alias("epochs"),
+    )
+
+
+# -------------------------------------- q244 watermark recommendation
+
+
+@register(
+    "q244_watermark_recommendation",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+      FROM events
+    ),
+    lateness AS (
+      SELECT event_type,
+             CAST(date_diff('microsecond', ts, hwm) AS BIGINT) / 1000000.0
+               AS late_s
+      FROM ordered
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           ROUND(MAX(late_s), 4) AS max_lateness_s,
+           ROUND(quantile_cont(late_s, 0.99), 4) AS p99_lateness_s
+    FROM lateness GROUP BY event_type
+    """,
+)
+def q244_watermark_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay sizing from observed disorder: replay each
+    event_type's stream in arrival order (event_id — the ingest
+    sequence), track the running event-time high-water mark, and
+    measure every event's lateness behind it. The p99 lateness IS
+    the watermark delay that would keep 99% of events inside the
+    window state (q178 audits per-user disorder; this emits the
+    per-stream OPERATING PARAMETER a `withWatermark` call needs).
+
+    Shape: one running-MAX window per event_type over arrival order,
+    then a bounded per-type aggregate; the exact-percentile runs on
+    the per-type grain. Lateness is exact integer microseconds
+    scaled to seconds (2-decimal-free: /1e6 is exact for µs counts
+    < 2^53); only the interpolated p99 rounds.
+    """
+    ev = t(spark, sf_dir, "events")
+    wh = W.partitionBy("event_type").orderBy("event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    lateness = ev.select(
+        "event_type",
+        (
+            (
+                F.unix_micros(F.max("ts").over(wh)) - F.unix_micros(F.col("ts"))
+            )
+            / 1_000_000.0
+        ).alias("late_s"),
+    )
+    return lateness.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.round(F.max("late_s"), 4).alias("max_lateness_s"),
+        F.round(F.percentile("late_s", F.lit(0.99)), 4).alias("p99_lateness_s"),
+    )
