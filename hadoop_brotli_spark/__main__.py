@@ -10,6 +10,7 @@ is a small CLI over the query registry:
         [--sf-dir /root/testdata/sf0.1] [--explain] [--json] [--limit N]
     python -m hadoop_brotli_spark sql "SELECT ... FROM lineitem ..." \
         [--sf-dir ...]
+    python -m hadoop_brotli_spark verify <query>|all [--sf-dir ...]
 
 `run` executes one registered query; `sql` registers the catalog
 tables as temp views and executes ad-hoc SQL through the same
@@ -57,6 +58,14 @@ def main(argv: list[str] | None = None) -> int:
     sql.add_argument("--json", action="store_true", dest="as_json")
     sql.add_argument("--limit", type=int, default=None)
 
+    ver = sub.add_parser(
+        "verify",
+        help="compare one registered query (or 'all') against its "
+        "DuckDB oracle under driver-identical canonicalization",
+    )
+    ver.add_argument("name")
+    ver.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "list":
@@ -84,6 +93,27 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "sql":
             register_views(spark, args.sf_dir)
             _print_df(spark.sql(args.query), args.as_json, args.limit)
+        elif args.cmd == "verify":
+            from .oracle import compare
+
+            specs = load_all_queries()
+            names = sorted(specs) if args.name == "all" else [args.name]
+            if args.name != "all" and args.name not in specs:
+                print(f"unknown query {args.name!r}; see `list`",
+                      file=sys.stderr)
+                return 2
+            n_fail = 0
+            for name in names:
+                try:
+                    compare(specs[name], spark, args.sf_dir)
+                    print(f"OK   {name}")
+                except AssertionError as exc:
+                    n_fail += 1
+                    print(f"FAIL {name}: {exc}")
+            if n_fail:
+                print(f"{n_fail}/{len(names)} queries FAILED",
+                      file=sys.stderr)
+                return 1
         return 0
     finally:
         spark.stop()

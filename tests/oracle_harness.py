@@ -1,150 +1,13 @@
-"""Local replica of the driver's DuckDB-oracle comparison.
+"""Thin re-export: the oracle comparator lives in the package
+(`hadoop_brotli_spark.oracle`) so the CLI `verify` subcommand and the
+test suite share one driver-identical implementation."""
 
-Round-1 lesson (VERDICT.md "What's wrong" #3): the driver canonicalizes
-BOTH sides through **pandas** — Spark via ``toPandas()`` and DuckDB via
-``res.df()`` — sorts columns by name, ``sort_values`` over all columns,
-then value-hashes cell reprs.  That path surfaces two bug classes the
-old ``fetchall()`` harness masked:
-
-1. DuckDB types ``SUM(<BIGINT>)`` as HUGEINT, which pandas converts to
-   **float64** (``150.0``) while Spark returns int64 (``150``) — the
-   reprs differ, so the hash differs even though the values are equal.
-   Oracles must ``CAST(SUM(...) AS BIGINT)``.
-2. ArrayType output columns become list cells, and pandas
-   ``sort_values`` raises ``TypeError: unhashable type: 'list'`` —
-   the driver records a crash, a permanently red row.  Queries must
-   emit scalar columns only.
-
-This harness therefore compares ``toPandas()`` vs ``.df()`` frames
-cell-by-cell via ``repr`` (which distinguishes ``150`` from ``150.0``)
-and deliberately lets list cells crash ``sort_values``.
-"""
-
-from __future__ import annotations
-
-import math
-from typing import Any
-
-import duckdb
-import pandas as pd
-
-from hadoop_brotli_spark import TABLES
-from hadoop_brotli_spark.registry import QuerySpec
-
-
-def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
-    for name in TABLES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
-        )
-    return con
-
-
-def _cell(v: Any) -> str:
-    """Driver-style cell canonicalization: repr-level, so int64 150 and
-    float64 150.0 DIFFER (that is the point — see module docstring)."""
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v + 0.0)  # collapse -0.0
-    if isinstance(v, bytes):
-        return "0x" + v.hex()
-    if hasattr(v, "isoformat"):
-        # Spark DATE -> datetime.date; DuckDB DATE -> midnight
-        # Timestamp. The driver's round-1 results show these hash
-        # equal (q118 passed with a DATE column), so canonicalize
-        # dates to midnight timestamps.
-        iso = v.isoformat()
-        if len(iso) == 10:  # bare date
-            iso += "T00:00:00"
-        return iso
-    if pd.isna(v):  # pd.NaT / pd.NA
-        return "NULL"
-    return repr(v)
-
-
-def _norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
-    """Spark-vs-Spark row normalization (partition-invariance / SQL-
-    surface tests): column-name ordering + repr cells. List cells are
-    allowed here — both sides are Spark, so dtype artifacts don't
-    apply; tuples keep them hashable."""
-
-    def cell(v: Any) -> Any:
-        if isinstance(v, (list, tuple)):
-            return tuple(cell(x) for x in v)
-        if isinstance(v, dict):
-            return tuple(sorted((k, cell(x)) for k, x in v.items()))
-        return _cell(v)
-
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        (tuple(cell(r[i]) for i in order) for r in rows),
-        key=lambda t: tuple(repr(x) for x in t),
-    )
-
-
-def canonize(pdf: pd.DataFrame) -> tuple[list[str], list[tuple[str, ...]]]:
-    """Sort columns by name, sort rows by all columns (raises TypeError
-    on list cells, exactly like the driver), repr every cell."""
-    cols = sorted(pdf.columns)
-    pdf = pdf[cols]
-    if len(pdf):
-        pdf = pdf.sort_values(by=cols)  # driver step; list cells crash here
-    rows = [tuple(_cell(v) for v in row) for row in pdf.itertuples(index=False)]
-    # Secondary sort on reprs so NULL-vs-value ordering quirks between
-    # pandas versions don't produce spurious diffs.
-    rows.sort()
-    return cols, rows
-
-
-def spark_pdf(spec: QuerySpec, spark, sf_dir: str) -> pd.DataFrame:
-    return spec.fn(spark, sf_dir).toPandas()
-
-
-def oracle_pdf(spec: QuerySpec, sf_dir: str) -> pd.DataFrame:
-    assert spec.oracle is not None, f"{spec.name} has no oracle"
-    con = duckdb_conn(sf_dir)
-    try:
-        return con.execute(spec.oracle).df()
-    finally:
-        con.close()
-
-
-def compare(spec: QuerySpec, spark, sf_dir: str) -> None:
-    """Assert the Spark query matches its DuckDB oracle under
-    driver-identical pandas canonicalization."""
-    spdf = spark_pdf(spec, spark, sf_dir)
-    dpdf = oracle_pdf(spec, sf_dir)
-
-    assert sorted(spdf.columns) == sorted(dpdf.columns), (
-        f"{spec.name}: column mismatch spark={sorted(spdf.columns)} "
-        f"duckdb={sorted(dpdf.columns)}"
-    )
-    assert len(spdf) == len(dpdf), (
-        f"{spec.name}: row count spark={len(spdf)} duckdb={len(dpdf)}"
-    )
-
-    try:
-        s_cols, s_rows = canonize(spdf)
-    except TypeError as e:  # pragma: no cover - fails the test with context
-        raise AssertionError(
-            f"{spec.name}: Spark output not canonicalizable (driver would "
-            f"crash): {e}"
-        ) from e
-    try:
-        d_cols, d_rows = canonize(dpdf)
-    except TypeError as e:  # pragma: no cover
-        raise AssertionError(
-            f"{spec.name}: oracle output not canonicalizable (driver would "
-            f"crash): {e}"
-        ) from e
-
-    if s_rows != d_rows:
-        diffs = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:5]
-        raise AssertionError(
-            f"{spec.name}: value mismatch under driver canonicalization; "
-            f"columns={s_cols}; first diffs (spark vs duckdb): {diffs}"
-        )
+from hadoop_brotli_spark.oracle import (  # noqa: F401
+    _cell,
+    _norm_rows,
+    canonize,
+    compare,
+    duckdb_conn,
+    oracle_pdf,
+    spark_pdf,
+)

@@ -40,3 +40,14 @@ def test_cli_run_json():
 def test_cli_unknown_query():
     p = _run("run", "q_nope")
     assert p.returncode == 2
+
+
+def test_cli_verify_one():
+    p = _run("verify", "q01_pricing_summary", "--sf-dir", SF)
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "OK   q01_pricing_summary" in p.stdout
+
+
+def test_cli_verify_unknown():
+    p = _run("verify", "q_nope")
+    assert p.returncode == 2
