@@ -2204,3 +2204,58 @@ def q244_watermark_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.max("late_s"), 4).alias("max_lateness_s"),
         F.round(F.percentile("late_s", F.lit(0.99)), 4).alias("p99_lateness_s"),
     )
+
+
+# -------------------------------------- q245 temporal consistency audit
+
+
+@register(
+    "q245_temporal_consistency_audit",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ship_before_order,
+           CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS anomaly_rate,
+           CAST(MIN(date_diff('day', o.o_orderdate, l.l_shipdate))
+                AS BIGINT) AS min_lag_days,
+           CAST(MAX(date_diff('day', o.o_orderdate, l.l_shipdate))
+                AS BIGINT) AS max_lag_days
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q245_temporal_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table temporal-consistency audit: a lineitem shipping
+    BEFORE its order exists is a causality violation — the
+    referential-TIME check beside q109's referential-KEY check
+    (dangling foreign keys). Per priority class: violation counts,
+    rate, and the full ship-lag envelope. On this driver-generated
+    fixture ~half of all lines violate (ship dates are drawn
+    independently of order dates), which is exactly the kind of
+    generator artifact this audit exists to surface before anyone
+    trains on 'fulfillment latency' features (q159/q192 compute them
+    assuming sane lags).
+
+    Shape: one fact-fact equi-join (the orders side pruned to two
+    columns) and a 5-row aggregate; lag arithmetic is exact integer
+    days.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    viol = F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(viol).cast("bigint").alias("n_ship_before_order"),
+        (F.sum(viol).cast("double") / F.count(F.lit(1))).alias("anomaly_rate"),
+        F.min(lag).cast("bigint").alias("min_lag_days"),
+        F.max(lag).cast("bigint").alias("max_lag_days"),
+    )
