@@ -1571,3 +1571,138 @@ def q232_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(suspect).cast("bigint").alias("n_suspect"),
         (F.sum(suspect).cast("double") / F.count(F.lit(1))).alias("suspect_rate"),
     )
+
+
+@register(
+    "q246_hll_register_merge",
+    oracle=f"""
+    WITH h AS (
+      SELECT source,
+             CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS v
+      FROM events e JOIN documents d ON d.doc_id = e.user_id % 500
+    ),
+    parts AS (
+      SELECT source,
+             (v >> {HLL_W}) & {HLL_M - 1} AS bucket,
+             {_hll_rho_sql(f"v & {(1 << HLL_W) - 1}")} AS rho
+      FROM h
+    ),
+    per_source_regs AS (
+      SELECT source, bucket, MAX(rho) AS m FROM parts
+      GROUP BY source, bucket
+    ),
+    merged_regs AS (
+      -- sketch MERGE: register-wise MAX across the per-source sketches
+      SELECT bucket, MAX(m) AS m FROM per_source_regs GROUP BY bucket
+    ),
+    spine AS (SELECT CAST(i AS BIGINT) AS bucket FROM UNNEST(range({HLL_M})) r(i)),
+    full_regs AS (
+      SELECT COALESCE(g.m, 0) AS m
+      FROM spine s LEFT JOIN merged_regs g ON g.bucket = s.bucket
+    ),
+    est AS (
+      SELECT {HLL_ALPHA} * {HLL_M} * {HLL_M}
+               / SUM(1.0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE)) AS raw_est,
+             SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v_zero
+      FROM full_regs
+    ),
+    corrected AS (
+      SELECT CASE WHEN raw_est <= 2.5 * {HLL_M} AND v_zero > 0
+                  THEN {HLL_M} * ln({HLL_M} / CAST(v_zero AS DOUBLE))
+                  ELSE raw_est END AS hll_est
+      FROM est
+    ),
+    exact AS (
+      SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM per_source_regs)
+             AS n_partial_registers,
+           CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+           ROUND(c.hll_est, 4) AS merged_estimate,
+           ROUND(ABS(c.hll_est - x.exact_distinct) / x.exact_distinct, 6)
+             AS rel_error
+    FROM corrected c CROSS JOIN exact x
+    """,
+)
+def q246_hll_register_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch MERGE demonstrated in the batch layer: per-source
+    register tables (the shape a 1000-executor cluster would emit —
+    one 64-register sketch per shard/source) merged into ONE global
+    sketch by register-wise MAX, whose corrected estimate is compared
+    to the global exact distinct. This is the property that makes
+    sketches the 100 TB answer: merging N partial sketches costs
+    N×64 integers, while exact distinct-union costs a key shuffle —
+    and the merged estimate equals what a single global sketch would
+    have produced (MAX is associative/commutative over any
+    partitioning).
+
+    The source dimension rides in via a doc join (events carry no
+    source), making the partials genuinely partitioned state. All
+    hashing is md5-derived (q229's portable-HLL construction), so
+    both engines build byte-identical partial AND merged registers —
+    exact hash-match oracle, no tolerance.
+    """
+    ev = t(spark, sf_dir, "events")
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("jk"), "source"
+    )
+    joined = ev.select(
+        "user_id", (F.col("user_id") % 500).alias("jk")
+    ).join(F.broadcast(docs), "jk")
+    v = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("hll:"), F.col("user_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("long")
+    parts = joined.select(
+        "source",
+        F.shiftright(v, HLL_W).bitwiseAND(F.lit(HLL_M - 1)).alias("bucket"),
+        _hll_rho_col(v.bitwiseAND(F.lit((1 << HLL_W) - 1))).alias("rho"),
+    )
+    per_source = parts.groupBy("source", "bucket").agg(F.max("rho").alias("m"))
+    merged = per_source.groupBy("bucket").agg(F.max("m").alias("m"))
+    spine = t(spark, sf_dir, "events").sparkSession.range(HLL_M).select(
+        F.col("id").alias("bucket")
+    )
+    full_regs = spine.join(merged, "bucket", "left").select(
+        F.coalesce(F.col("m"), F.lit(0)).alias("m")
+    )
+    inv = F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)")
+    est = full_regs.agg(
+        (F.lit(HLL_ALPHA * HLL_M * HLL_M) / F.sum(inv)).alias("raw_est"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("v_zero"),
+    ).select(
+        F.when(
+            (F.col("raw_est") <= 2.5 * HLL_M) & (F.col("v_zero") > 0),
+            HLL_M * F.log(HLL_M / F.col("v_zero").cast("double")),
+        )
+        .otherwise(F.col("raw_est"))
+        .alias("hll_est")
+    )
+    n_partials = per_source.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_partial_registers")
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    return (
+        n_partials.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_partial_registers",
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+            F.round("hll_est", 4).alias("merged_estimate"),
+            F.round(
+                F.abs(F.col("hll_est") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_error"),
+        )
+    )
