@@ -138,7 +138,6 @@ def _write_docs(base: Path, rows) -> None:
 
 
 @settings(
-    max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -150,7 +149,6 @@ def test_event_queries_match_oracle_on_generated_data(spark, scratch_sf, rows):
 
 
 @settings(
-    max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
