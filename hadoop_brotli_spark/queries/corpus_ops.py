@@ -2259,3 +2259,196 @@ def q245_temporal_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFra
         F.min(lag).cast("bigint").alias("min_lag_days"),
         F.max(lag).cast("bigint").alias("max_lag_days"),
     )
+
+
+# ---------------------------------------------- q247 k-anonymity audit
+
+KANON_K = 5
+KANON_LEN_BUCKET = 50
+
+
+@register(
+    "q247_k_anonymity_audit",
+    oracle=f"""
+    WITH cells AS (
+      SELECT source, lang,
+             CAST(n_chars // {KANON_LEN_BUCKET} AS BIGINT) AS len_bucket,
+             COUNT(*) AS n
+      FROM documents GROUP BY source, lang, len_bucket
+    )
+    SELECT source,
+           COUNT(*) AS n_cells,
+           CAST(SUM(CASE WHEN n < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_cells,
+           CAST(SUM(CASE WHEN n < {KANON_K} THEN n ELSE 0 END) AS BIGINT)
+             AS n_risky_docs,
+           CAST(SUM(CASE WHEN n < {KANON_K} THEN n ELSE 0 END) AS DOUBLE)
+             / SUM(n) AS risky_doc_rate
+    FROM cells GROUP BY source
+    """,
+)
+def q247_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers: every (source, lang,
+    length-bucket) equivalence class with fewer than k={KANON_K}
+    members is a re-identification risk — a released record in a
+    tiny class is effectively unique. Per source: class counts,
+    risky classes, and the fraction of documents that would need
+    suppression or generalization (coarser buckets) before release.
+    The privacy gate a dataset-publication pipeline runs beside the
+    contamination (q68) and PII-pattern (q146) checks.
+
+    Shape: one aggregate to the quasi-identifier grain (bounded:
+    |sources|×|langs|×|buckets|), one rollup to sources; integer
+    arithmetic throughout with one exact ratio.
+    """
+    docs = t(spark, sf_dir, "documents")
+    cells = docs.groupBy(
+        "source",
+        "lang",
+        F.floor(F.col("n_chars") / KANON_LEN_BUCKET).cast("bigint").alias(
+            "len_bucket"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    risky = F.when(F.col("n") < KANON_K, F.col("n")).otherwise(0)
+    risky_c = F.when(F.col("n") < KANON_K, 1).otherwise(0)
+    return cells.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(risky_c).cast("bigint").alias("n_risky_cells"),
+        F.sum(risky).cast("bigint").alias("n_risky_docs"),
+        (F.sum(risky).cast("double") / F.sum("n")).alias("risky_doc_rate"),
+    )
+
+
+# ----------------------------------- q248 incremental session merge
+
+SESSION_SPLIT = "2024-01-16"
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "q248_incremental_session_merge",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                       > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sessions AS (
+      SELECT user_id, value,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sessions GROUP BY user_id
+    """,
+)
+def q248_incremental_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sessionization with boundary-session merge — the
+    batch-boundary problem every incremental pipeline hits: events
+    arrive in two batches (split at {SESSION_SPLIT}), each batch is
+    sessionized INDEPENDENTLY (the q56 lag/cumsum plan on a fraction
+    of the data), and sessions straddling the boundary are healed by
+    ONE merge rule: a user's last batch-A session merges with their
+    first batch-B session iff the cross-boundary gap is within the
+    30-minute session gap.
+
+    THE ORACLE SESSIONIZES THE WHOLE STREAM AT ONCE — so the hash
+    match is a PROOF that split-then-merge computes exactly what a
+    full recompute would, which is what makes incremental
+    sessionization trustworthy at 100 TB (re-sessionizing the full
+    history per batch is the thing you cannot afford; only the
+    per-user boundary sessions — 2 rows per user — need inspecting).
+    """
+    split = F.lit(SESSION_SPLIT).cast("timestamp")
+    ev = t(spark, sf_dir, "events")
+
+    def sessionize(evf: DataFrame) -> DataFrame:
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").asc(), F.col("event_id").asc()
+        )
+        wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        flagged = evf.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (
+                    (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
+                    > SESSION_GAP_US
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_new"),
+        )
+        return (
+            flagged.withColumn("sid", F.sum("is_new").over(wsum))
+            .groupBy("user_id", "sid")
+            .agg(
+                F.min("ts").alias("s_start"),
+                F.max("ts").alias("s_end"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+            )
+        )
+
+    sa = sessionize(ev.filter(F.col("ts") < split))
+    sb = sessionize(ev.filter(F.col("ts") >= split))
+
+    last_a = (
+        sa.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("s_end").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("s_end").alias("a_end"))
+    )
+    first_b = (
+        sb.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("s_start").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("s_start").alias("b_start"))
+    )
+    merges = last_a.join(first_b, "user_id").select(
+        "user_id",
+        (
+            (F.unix_micros(F.col("b_start")) - F.unix_micros(F.col("a_end")))
+            <= SESSION_GAP_US
+        )
+        .cast("int")
+        .alias("merged"),
+    )
+    per_user = (
+        sa.unionByName(sb)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("raw_sessions"),
+            F.sum("n").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+        )
+    )
+    return per_user.join(merges, "user_id", "left").select(
+        "user_id",
+        (F.col("raw_sessions") - F.coalesce(F.col("merged"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_sessions"),
+        "n_events",
+        "sum_value",
+    )
