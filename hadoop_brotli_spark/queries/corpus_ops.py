@@ -1023,6 +1023,14 @@ def q230_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot tokens (q61's DF-cap problem) is designed out rather than
     capped. One shuffle for the frequency ranking, one for the
     prefix-token join, verify on candidates only.
+
+    Degenerate-corpus caveat (deliberate, unlike q62's cap): an
+    EXACT similarity join's OUTPUT is itself quadratic when the
+    corpus is mass-duplicated (g identical docs ⇒ C(g,2) true pairs
+    at J=1 — the oracle emits them too, so no plan can avoid them).
+    A cap here would break the losslessness theorem this operator
+    exists to demonstrate; the production composition is exact dedup
+    (q60) FIRST, then prefix-join the survivors.
     """
     toks = _shingle_df(spark, sf_dir, 3).select(
         "doc_id", F.col("shingle").alias("tok")
