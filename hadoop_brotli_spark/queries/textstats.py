@@ -999,9 +999,12 @@ LM_TRAIN_LT = 8
       JOIN score_words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
     ),
     scored AS (
+      -- NULLIF: an (adversarially) empty train split has v = 0, and
+      -- ln(x/0) must be NULL on both engines, not inf/ANSI-error
       SELECT s.doc_id,
              ln((COALESCE(tb.c12, 0) + 1.0)
-                / (COALESCE(tu.c1, 0) + (SELECT v FROM vocab))) AS lp
+                / NULLIF(COALESCE(tu.c1, 0) + (SELECT v FROM vocab), 0))
+               AS lp
       FROM score_bigrams s
       LEFT JOIN train_bigrams tb ON tb.w1 = s.w1 AND tb.w2 = s.w2
       LEFT JOIN train_unigrams tu ON tu.w1 = s.w1
@@ -1074,9 +1077,13 @@ def q236_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
+            # empty-train guard: denominator 0 -> NULL lp (ANSI-safe)
             F.log(
                 (F.coalesce(F.col("c12"), F.lit(0)) + 1.0)
-                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+                / F.when(
+                    (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")) != 0,
+                    F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"),
+                )
             ).alias("lp"),
         )
     )

@@ -49,6 +49,11 @@ EVENT_QUERIES = [
     "q220_interval_bin_join",
     # k=1 users / single-event corpora stress the Gini denominators
     "q223_join_key_skew",
+    # exact percentile over tiny type groups; zero-late streams
+    "q244_watermark_recommendation",
+    # batch-boundary merge must equal whole-stream sessionization on
+    # ANY event layout (single-sided users, boundary-straddling gaps)
+    "q248_incremental_session_merge",
 ]
 DOC_QUERIES = [
     "q60_dedup_exact",
@@ -71,6 +76,15 @@ DOC_QUERIES = [
     "q225_vocab_indexing",
     # pair-count ties; 1-char-word-free corpus by construction
     "q226_bpe_pair_counts",
+    # block DF thresholds under mass-duplicated tiny corpora
+    "q228_boilerplate_blocks",
+    # adversarial hash splits can empty the LM train side -> NULL
+    # scores on BOTH engines (guard added for exactly this)
+    "q236_bigram_lm_score",
+    # mask-rate determinism on 1-word docs / heavy duplication
+    "q241_span_corruption_plan",
+    # sub-k cells everywhere when every doc is its own cell
+    "q247_k_anonymity_audit",
 ]
 
 
