@@ -2460,3 +2460,140 @@ def q248_incremental_session_merge(spark: SparkSession, sf_dir: str) -> DataFram
         "n_events",
         "sum_value",
     )
+
+
+# --------------------------------------------- q249 two-stage rerank
+
+RERANK_STAGE1_K = 20
+RERANK_FINAL_K = 5
+
+
+@register(
+    "q249_two_stage_rerank",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             CAST(UNNEST(q.embedding) AS DOUBLE) AS x,
+             CAST(UNNEST(c.embedding) AS DOUBLE) AS y
+      FROM q, embeddings c
+      WHERE c.vec_id <> q.vec_id
+    ),
+    feats AS (
+      SELECT query_id, cand_id,
+             SUM(x * y) AS dot,
+             SQRT(SUM(x * x)) AS nq, SQRT(SUM(y * y)) AS nc,
+             SUM((x - y) * (x - y)) AS l2sq
+      FROM pairs GROUP BY query_id, cand_id
+    ),
+    stage1 AS (
+      SELECT query_id, cand_id,
+             ROUND(dot / (nq * nc), 6) AS cosine, l2sq,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY ROUND(dot / (nq * nc), 6) DESC, cand_id ASC) AS rn
+      FROM feats
+    ),
+    reranked AS (
+      SELECT query_id, cand_id, cosine,
+             ROUND(0.7 * cosine - 0.3 * SQRT(l2sq) / 8.0, 6) AS rerank_score
+      FROM stage1 WHERE rn <= {RERANK_STAGE1_K}
+    )
+    SELECT query_id, cand_id, cosine, rerank_score,
+           CAST(rn AS BIGINT) AS final_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY rerank_score DESC, cand_id ASC) AS rn
+      FROM reranked
+    ) WHERE rn <= {RERANK_FINAL_K}
+    """,
+)
+def q249_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieve→re-rank — the production retrieval shape:
+    stage 1 recalls top-{RERANK_STAGE1_K} per query by cheap cosine
+    (JVM-side, corpus-wide); stage 2 re-scores ONLY those candidates
+    with an expensive scorer through Arrow-batched ``mapInPandas`` —
+    exactly where a cross-encoder model call would sit, receiving
+    (query, candidate) feature batches. The stand-in scorer
+    (0.7·cosine − 0.3·L2/8, deterministic and SQL-expressible) keeps
+    the oracle exact while the PLUMBING — per-query candidate
+    pruning before Python, bounded Arrow batches, typed return
+    schema — is the real thing; swapping in a model changes one
+    function body, not the plan.
+
+    Scale: stage 2's cost is queries×{RERANK_STAGE1_K} rows, never
+    corpus-sized — the whole point of staging.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+    cosine = F.round(
+        dot_double("qe", "ce") / (norm_double("qe") * norm_double("ce")), 6
+    )
+    l2sq = F.aggregate(
+        F.zip_with(
+            F.col("qe"),
+            F.col("ce"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w1 = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    stage1 = (
+        F.broadcast(q)
+        .join(c, F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id", cosine.alias("cosine"), l2sq.alias("l2sq")
+        )
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= RERANK_STAGE1_K)
+        .select("query_id", "cand_id", "cosine", "l2sq")
+    )
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # the cross-encoder slot: whole-batch vectorized scoring (a
+        # model.predict(batch) drops in here unchanged)
+        import numpy as np
+
+        for pdf in batches:
+            score = np.round(
+                0.7 * pdf["cosine"].to_numpy()
+                - 0.3 * np.sqrt(pdf["l2sq"].to_numpy()) / 8.0,
+                6,
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "cand_id": pdf["cand_id"],
+                    "cosine": pdf["cosine"],
+                    "rerank_score": score,
+                }
+            )
+
+    schema = (
+        "query_id long, cand_id long, cosine double, rerank_score double"
+    )
+    reranked = stage1.mapInPandas(rerank, schema=schema)
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("rerank_score").desc(), F.col("cand_id").asc()
+    )
+    return (
+        reranked.withColumn("final_rank", F.row_number().over(w2))
+        .filter(F.col("final_rank") <= RERANK_FINAL_K)
+        .select(
+            "query_id",
+            "cand_id",
+            "cosine",
+            "rerank_score",
+            F.col("final_rank").cast("bigint").alias("final_rank"),
+        )
+    )
