@@ -1706,3 +1706,93 @@ def q246_hll_register_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+# ---------------------------------------------- PSI drift monitor
+
+PSI_SPLIT = "2024-01-16"
+PSI_BINS = 10
+PSI_BIN_WIDTH = 100  # value in [0, ~1000): fixed-width bins, shared grid
+
+
+@register(
+    "q250_psi_drift_monitor",
+    oracle=f"""
+    WITH binned AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 'ref' ELSE 'cur' END
+               AS period,
+             -- explicit FLOOR: DuckDB's // on DOUBLE is plain division
+             -- (and BIGINT CAST rounds half-even), not floor division
+             LEAST(CAST(FLOOR(value / {PSI_BIN_WIDTH}) AS BIGINT),
+                   {PSI_BINS - 1}) AS bin
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, bin,
+             SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS nr,
+             SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS nc
+      FROM binned GROUP BY event_type, bin
+    ),
+    tot AS (
+      SELECT event_type, SUM(nr) AS tr, SUM(nc) AS tc
+      FROM counts GROUP BY event_type
+    ),
+    terms AS (
+      -- 0.5-count smoothing keeps empty bins finite on both engines
+      SELECT c.event_type,
+             ((c.nr + 0.5) / (t.tr + 0.5 * {PSI_BINS})
+              - (c.nc + 0.5) / (t.tc + 0.5 * {PSI_BINS}))
+             * ln(((c.nr + 0.5) / (t.tr + 0.5 * {PSI_BINS}))
+                  / ((c.nc + 0.5) / (t.tc + 0.5 * {PSI_BINS}))) AS term,
+             c.nr, c.nc
+      FROM counts c JOIN tot t ON t.event_type = c.event_type
+    )
+    SELECT event_type,
+           CAST(SUM(nr) AS BIGINT) AS n_ref,
+           CAST(SUM(nc) AS BIGINT) AS n_cur,
+           ROUND(SUM(term), 4) AS psi
+    FROM terms GROUP BY event_type
+    """,
+)
+def q250_psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index — the industry-standard feature
+    drift score (q141's KS statistic is its two-sample-test twin):
+    each event_type's value distribution is compared between the
+    reference period (before {PSI_SPLIT}) and the current period
+    over a SHARED fixed-width bin grid; PSI = Σ (p−q)·ln(p/q).
+    Rule-of-thumb gates: <0.1 stable, 0.1-0.25 monitor, >0.25
+    retrain/alert.
+
+    Cross-engine determinism: integer bin counts → 0.5-smoothed
+    exact ratios (empty bins stay finite without an epsilon fudge
+    that engines would round differently) → one ln per bin, summed
+    over {PSI_BINS} bins and rounded at 1e-4 (q87's precedent).
+    Shape: one pass to the (type, bin) grain, all arithmetic on a
+    bounded aggregate.
+    """
+    split = F.lit(PSI_SPLIT).cast("timestamp")
+    binned = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("ts") < split, "ref").otherwise("cur").alias("period"),
+        F.least(
+            F.floor(F.col("value") / PSI_BIN_WIDTH).cast("bigint"),
+            F.lit(PSI_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("nr"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("nc"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("nr").alias("tr"), F.sum("nc").alias("tc")
+    )
+    j = counts.join(tot, "event_type")
+    p = (F.col("nr") + 0.5) / (F.col("tr") + 0.5 * PSI_BINS)
+    q = (F.col("nc") + 0.5) / (F.col("tc") + 0.5 * PSI_BINS)
+    term = (p - q) * F.log(p / q)
+    return j.groupBy("event_type").agg(
+        F.sum("nr").cast("bigint").alias("n_ref"),
+        F.sum("nc").cast("bigint").alias("n_cur"),
+        F.round(F.sum(term), 4).alias("psi"),
+    )
