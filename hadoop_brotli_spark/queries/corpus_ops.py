@@ -2597,3 +2597,217 @@ def q249_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("final_rank").cast("bigint").alias("final_rank"),
         )
     )
+
+
+# ------------------------------------------ q251 source quality league
+
+LEAGUE_STOPWORDS = ("the", "a", "of", "and")  # q81's gate words
+
+
+@register(
+    "q251_source_quality_league",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, source, i,
+             string_split(text, ' ')[CAST(i + 1 AS INTEGER)] AS word
+      FROM documents,
+           UNNEST(range(len(string_split(text, ' ')))) AS r(i)
+    ),
+    quality AS (
+      SELECT d.source,
+             ROUND(SUM(ROUND(LEAST(1.0, s.n_tokens / 100.0)
+                             * (1.0 - CAST(s.n_stop AS DOUBLE) / s.n_tokens),
+                             6)) / COUNT(*), 4) AS avg_quality
+      FROM (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               SUM(CASE WHEN word IN {LEAGUE_STOPWORDS!r} THEN 1 ELSE 0 END)
+                 AS n_stop
+        FROM words GROUP BY doc_id
+      ) s JOIN documents d ON d.doc_id = s.doc_id
+      GROUP BY d.source
+    ),
+    dup AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
+               AS dup_rate
+      FROM documents GROUP BY source
+    ),
+    vocab AS (
+      SELECT word FROM (
+        SELECT word, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word ASC)
+                 AS r
+        FROM words GROUP BY word
+      ) WHERE r <= {OOV_VOCAB_SIZE}
+    ),
+    oov AS (
+      SELECT w.source,
+             CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS oov_rate
+      FROM words w LEFT JOIN vocab v ON w.word = v.word
+      GROUP BY w.source
+    ),
+    blocks AS (
+      SELECT doc_id, source,
+             array_to_string(
+               w[CAST(i * {BOILER_BLOCK_WORDS} + 1 AS INTEGER)
+                 :CAST((i + 1) * {BOILER_BLOCK_WORDS} AS INTEGER)], ' ')
+               AS block
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+            FROM documents) d,
+           UNNEST(range((len(w) + {BOILER_BLOCK_WORDS - 1})
+                        // {BOILER_BLOCK_WORDS})) AS r(i)
+    ),
+    bfreq AS (
+      SELECT block, COUNT(DISTINCT doc_id) AS df FROM blocks GROUP BY block
+    ),
+    boiler AS (
+      SELECT b.source,
+             CAST(SUM(CASE WHEN f.df >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*) AS boiler_rate
+      FROM blocks b JOIN bfreq f ON f.block = b.block
+      GROUP BY b.source
+    ),
+    league AS (
+      SELECT d.source, d.n_docs, q.avg_quality,
+             ROUND(d.dup_rate, 6) AS dup_rate,
+             ROUND(o.oov_rate, 6) AS oov_rate,
+             ROUND(bl.boiler_rate, 6) AS boiler_rate,
+             ROUND(q.avg_quality - 0.5 * d.dup_rate - 0.5 * o.oov_rate
+                   - 0.5 * bl.boiler_rate, 6) AS league_score
+      FROM dup d
+      JOIN quality q ON q.source = d.source
+      JOIN oov o ON o.source = d.source
+      JOIN boiler bl ON bl.source = d.source
+    )
+    SELECT source, n_docs, avg_quality, dup_rate, oov_rate, boiler_rate,
+           league_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY league_score DESC, source ASC)
+                AS BIGINT) AS league_rank
+    FROM league
+    """,
+)
+def q251_source_quality_league(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality league table — the executive composition of
+    the pipeline's individual gauges into ONE ranked readout: mean
+    heuristic quality (q81's formula), exact-duplicate rate (q60's
+    hash), out-of-vocabulary rate (q218), and boilerplate-block rate
+    (q228), combined into a league score (quality minus half of each
+    defect rate) and ranked. This is the table a data-sourcing
+    review actually reads — per-metric queries exist for drill-down,
+    the league decides which source's contract gets renegotiated.
+
+    Shape: four independent |sources|-row aggregates (each the
+    reduced form of its parent operator) joined on the tiny source
+    key — composing pipeline signals costs four bounded joins, never
+    another corpus pass per metric beyond the metric's own. Defect
+    ratios are exact integer divisions; only the rounded-mean and
+    the composite round (1e-4/1e-6).
+    """
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    words = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    # quality (q81 per-doc formula, averaged per source)
+    per_doc = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(
+            F.when(F.col("word").isin(*LEAGUE_STOPWORDS), 1).otherwise(0)
+        ).alias("n_stop"),
+    )
+    score = F.round(
+        F.least(F.lit(1.0), F.col("n_tokens") / 100.0)
+        * (1.0 - F.col("n_stop").cast("double") / F.col("n_tokens")),
+        6,
+    )
+    quality = (
+        per_doc.join(t(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.round(F.sum(score) / F.count(F.lit(1)), 4).alias("avg_quality"))
+    )
+    # exact-dup rate
+    dup = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                1.0
+                - F.count_distinct(F.md5(F.col("text").cast("binary"))).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("dup_rate"),
+        )
+    )
+    # OOV rate (q218 vocab)
+    wv = W.orderBy(F.col("c").desc(), F.col("word").asc())
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("word", F.row_number().over(wv).alias("r"))
+        .filter(F.col("r") <= OOV_VOCAB_SIZE)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    oov = (
+        words.join(F.broadcast(vocab), "word", "left")
+        .groupBy("source")
+        .agg(
+            (
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("oov_rate")
+        )
+    )
+    # boilerplate rate (q228 blocks)
+    k = BOILER_BLOCK_WORDS
+    blocks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (size(split(text, ' ')) + {k - 1})"
+                f" DIV {k} - 1),"
+                f" i -> concat_ws(' ', slice(split(text, ' '), i * {k} + 1, {k})))"
+            )
+        ).alias("block"),
+    )
+    bfreq = blocks.groupBy("block").agg(F.count_distinct("doc_id").alias("df"))
+    boiler = (
+        blocks.join(bfreq, "block")
+        .groupBy("source")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("df") >= BOILER_MIN_DOCS, 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("boiler_rate")
+        )
+    )
+    league = (
+        dup.join(quality, "source")
+        .join(oov, "source")
+        .join(boiler, "source")
+        .select(
+            "source",
+            "n_docs",
+            "avg_quality",
+            F.round("dup_rate", 6).alias("dup_rate"),
+            F.round("oov_rate", 6).alias("oov_rate"),
+            F.round("boiler_rate", 6).alias("boiler_rate"),
+            F.round(
+                F.col("avg_quality")
+                - 0.5 * F.col("dup_rate")
+                - 0.5 * F.col("oov_rate")
+                - 0.5 * F.col("boiler_rate"),
+                6,
+            ).alias("league_score"),
+        )
+    )
+    wr = W.orderBy(F.col("league_score").desc(), F.col("source").asc())
+    return league.withColumn(
+        "league_rank", F.row_number().over(wr).cast("bigint")
+    )
