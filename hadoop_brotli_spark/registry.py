@@ -52,6 +52,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
     from .queries import (  # noqa: F401
         advanced,
         analytics,
+        closing_ops,
         corpus_ops,
         dedup,
         events,
