@@ -399,3 +399,472 @@ def q255_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_per_word"
         ),
     )
+
+
+# --------------------------------------- q256 fuzzy entity resolution
+
+ER_MAX_LEV = 3
+
+
+@register(
+    "q256_fuzzy_entity_match",
+    oracle=f"""
+    WITH names AS (
+      SELECT p_name,
+             COUNT(*) AS n_entries,
+             {{sql_davg_price}} AS avg_price,
+             string_split(p_name, ' ')[-1] AS block
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_distance,
+           a.n_entries AS entries_a, b.n_entries AS entries_b,
+           ROUND(ABS(a.avg_price - b.avg_price), 6) AS price_gap
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {ER_MAX_LEV}
+    """.replace(
+        "{sql_davg_price}",
+        "CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)",
+    ),
+)
+def q256_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution over the product catalog:
+    candidate pairs are generated ONLY within a blocking key (the
+    name's final token — the product noun), then verified with exact
+    Levenshtein edit distance <= {ER_MAX_LEV}. Output pairs carry
+    each side's catalog-entry count and the average-price gap — the
+    merge-review worksheet of a dedup-the-catalog pipeline.
+
+    The scale structure is the canonical ER shape: reduce to the
+    DISTINCT name grain first (vocabulary-sized, not catalog-sized),
+    equi-join on the block key (never all-pairs — blocking is to ER
+    what LSH banding is to MinHash), and run the quadratic-cost
+    verifier (levenshtein is O(len^2) per pair) on candidates only.
+    Both engines evaluate the same classic DP edit distance.
+    """
+    names = (
+        t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_entries"),
+            (
+                F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_price"),
+        )
+        .withColumn("block", F.element_at(F.split("p_name", " "), -1))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_entries").alias("entries_a"),
+        F.col("avg_price").alias("price_a"),
+        "block",
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_entries").alias("entries_b"),
+        F.col("avg_price").alias("price_b"),
+        F.col("block").alias("block_b"),
+    )
+    pairs = a.join(
+        b, (F.col("block") == F.col("block_b")) & (F.col("name_a") < F.col("name_b"))
+    )
+    lev = F.levenshtein("name_a", "name_b")
+    return (
+        pairs.filter(lev <= ER_MAX_LEV)
+        .select(
+            "name_a",
+            "name_b",
+            lev.cast("bigint").alias("edit_distance"),
+            "entries_a",
+            "entries_b",
+            F.round(F.abs(F.col("price_a") - F.col("price_b")), 6).alias("price_gap"),
+        )
+    )
+
+
+# ------------------------------------------------ q257 Benford audit
+
+# log10(1 + 1/d) as shared repr literals: embedding the SAME double
+# constant in both engines sidesteps any libm log() last-bit skew.
+BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+# CAST each literal: DuckDB types bare decimal literals as DECIMAL,
+# which would drag the whole chi-square expression into decimal
+# arithmetic (and overflow); Spark literals are DOUBLE already.
+_BENFORD_CASE_SQL = "CASE " + " ".join(
+    f"WHEN first_digit = {d} THEN CAST({p!r} AS DOUBLE)"
+    for d, p in BENFORD_P.items()
+) + " END"
+
+
+@register(
+    "q257_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS first_digit
+      FROM orders
+    ),
+    counts AS (
+      SELECT first_digit, COUNT(*) AS n_orders FROM digits GROUP BY first_digit
+    ),
+    tot AS (SELECT SUM(n_orders) AS n FROM counts)
+    SELECT c.first_digit,
+           CAST(c.n_orders AS BIGINT) AS n_orders,
+           ROUND(CAST(c.n_orders AS DOUBLE) / t.n, 6) AS observed_freq,
+           ROUND({_BENFORD_CASE_SQL}, 6) AS benford_freq,
+           ROUND((c.n_orders - t.n * ({_BENFORD_CASE_SQL}))
+                   * (c.n_orders - t.n * ({_BENFORD_CASE_SQL}))
+                   / (t.n * ({_BENFORD_CASE_SQL})), 6) AS chi2_contribution
+    FROM counts c, tot t
+    """,
+)
+def q257_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the
+    data-forensics gate that flags fabricated or truncated numeric
+    columns: per leading digit, observed frequency vs the Benford
+    expectation log10(1+1/d) and the chi-square contribution. (This
+    fixture's near-uniform price generator fails Benford loudly —
+    exactly what the audit is for: a generator artifact IS a
+    distribution anomaly.)
+
+    One fact-column scan reduced to a 9-row digit histogram
+    (integer string arithmetic, no float parsing); expectations are
+    shared double literals so both engines compute bit-identical
+    statistics. The scalar total joins back via a 1-row broadcast.
+    """
+    digits = t(spark, sf_dir, "orders").select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("first_digit")
+    )
+    counts = digits.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = counts.agg(F.sum("n_orders").alias("n"))
+    bcase = F.lit(None).cast("double")
+    for d, p in BENFORD_P.items():
+        bcase = F.when(F.col("first_digit") == d, F.lit(p)).otherwise(bcase)
+    joined = counts.crossJoin(F.broadcast(tot))
+    return joined.select(
+        "first_digit",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round(F.col("n_orders").cast("double") / F.col("n"), 6).alias(
+            "observed_freq"
+        ),
+        F.round(bcase, 6).alias("benford_freq"),
+        F.round(
+            (F.col("n_orders") - F.col("n") * bcase)
+            * (F.col("n_orders") - F.col("n") * bcase)
+            / (F.col("n") * bcase),
+            6,
+        ).alias("chi2_contribution"),
+    )
+
+
+# --------------------------------------------- q258 autocorrelation
+
+ACF_MAX_LAG = 7
+
+
+def _acf_lag_sql(k: int) -> str:
+    # Sums run in exact DECIMAL (order-independent — the products are
+    # ~1e12 with 4 decimals, past double's 2^53 exact-integer range,
+    # so a float sum would be partition-order-dependent); only the
+    # final correlation arithmetic drops to IEEE double.
+    return f"""
+    SELECT {k} AS lag, n_pairs,
+           ROUND((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf
+    FROM (
+      SELECT COUNT(*) AS n_pairs,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM (
+        SELECT rev AS x, LAG(rev, {k}) OVER (ORDER BY d) AS y FROM daily
+      ) WHERE y IS NOT NULL
+    )
+    """
+
+
+@register(
+    "q258_revenue_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS rev
+      FROM orders GROUP BY o_orderdate
+    )
+    {" UNION ALL ".join(_acf_lag_sql(k) for k in range(1, ACF_MAX_LAG + 1))}
+    """,
+)
+def q258_revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation diagnostics of the daily-revenue series:
+    Pearson ACF at lags 1..{ACF_MAX_LAG} — the seasonality/
+    persistence readout that decides differencing and window sizes
+    for every downstream forecast (q06) and anomaly monitor (q147/
+    q231). A weekly cycle surfaces as a lag-7 peak.
+
+    Daily revenue stays an exact DECIMAL; the series is
+    calendar-grain (bounded — the engine's global-window rule), one
+    window pass computes all {ACF_MAX_LAG} lag columns, and each lag
+    reduces to five DECIMAL-exact sufficient statistics (the
+    rev-squared products are ~1e12 at 4 decimals — beyond double's
+    2^53 exact range, so float sums would be partition-order-
+    dependent). Only the final correlation formula runs in IEEE
+    double, identically on both engines.
+    """
+    from pyspark.sql import Window as W
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    w = W.orderBy("d")
+    lagged = daily.select(
+        F.col("rev").alias("x"),
+        *[F.lag("rev", k).over(w).alias(f"y{k}") for k in range(1, ACF_MAX_LAG + 1)],
+    )
+    stacked = lagged.select(
+        "x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"), F.col(f"y{k}").alias("y")
+                    )
+                    for k in range(1, ACF_MAX_LAG + 1)
+                ]
+            )
+        ).alias("s"),
+    ).select("x", F.col("s.lag").alias("lag"), F.col("s.y").alias("y"))
+    pairs = stacked.filter(F.col("y").isNotNull())
+    stats = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return stats.select("lag", "n_pairs", F.round(num / den, 6).alias("acf"))
+
+
+# ----------------------------- q259 HLL intersection (incl-excl)
+
+from .extras import HLL_ALPHA, HLL_M, HLL_W, _hll_rho_col, _hll_rho_sql  # noqa: E402
+
+
+def _hll_est_sql(regs: str, keys: str) -> str:
+    """Corrected HLL estimate (q229's formula) over dense register
+    rows ``regs(keys..., m)``, grouped by ``keys``."""
+    return f"""(
+      SELECT {keys},
+             CASE WHEN raw_est <= 2.5 * {HLL_M} AND v_zero > 0
+                  THEN {HLL_M} * ln({HLL_M} / CAST(v_zero AS DOUBLE))
+                  ELSE raw_est END AS est
+      FROM (
+        SELECT {keys},
+               {HLL_ALPHA} * {HLL_M} * {HLL_M}
+                 / SUM(1.0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE)) AS raw_est,
+               SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v_zero
+        FROM {regs} GROUP BY {keys}
+      )
+    )"""
+
+
+@register(
+    "q259_hll_intersection",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS v
+      FROM events
+    ),
+    regs AS (
+      SELECT event_type, (v >> {HLL_W}) & {HLL_M - 1} AS bucket,
+             MAX({_hll_rho_sql(f"v & {(1 << HLL_W) - 1}")}) AS m
+      FROM h GROUP BY event_type, bucket
+    ),
+    spine AS (
+      SELECT et.event_type, CAST(i AS BIGINT) AS bucket
+      FROM (SELECT DISTINCT event_type FROM events) et,
+           UNNEST(range({HLL_M})) AS r(i)
+    ),
+    dense AS (
+      SELECT s.event_type, s.bucket, COALESCE(g.m, 0) AS m
+      FROM spine s LEFT JOIN regs g
+        ON g.event_type = s.event_type AND g.bucket = s.bucket
+    ),
+    est AS {_hll_est_sql('dense', 'event_type')},
+    uregs AS (
+      SELECT a.event_type AS et_a, b.event_type AS et_b, a.bucket,
+             GREATEST(a.m, b.m) AS m
+      FROM dense a JOIN dense b
+        ON a.bucket = b.bucket AND a.event_type < b.event_type
+    ),
+    uest AS {_hll_est_sql('uregs', 'et_a, et_b')},
+    du AS (SELECT DISTINCT event_type, user_id FROM events),
+    exact AS (
+      SELECT a.event_type AS et_a, b.event_type AS et_b,
+             COUNT(*) AS exact_intersection
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT x.et_a, x.et_b,
+           CAST(x.exact_intersection AS BIGINT) AS exact_intersection,
+           ROUND(ea.est + eb.est - u.est, 4) AS est_intersection,
+           ROUND(ABS(ea.est + eb.est - u.est - x.exact_intersection)
+                 / x.exact_intersection, 6) AS rel_error
+    FROM exact x
+    JOIN est ea ON ea.event_type = x.et_a
+    JOIN est eb ON eb.event_type = x.et_b
+    JOIN uest u ON u.et_a = x.et_a AND u.et_b = x.et_b
+    """,
+)
+def q259_hll_intersection(spark, sf_dir):
+    """Distinct-user OVERLAP between every event-type pair, estimated
+    from HLL sketches by inclusion-exclusion: |A∩B| ≈ est(A) +
+    est(B) − est(A∪B), where the union sketch is the register-wise
+    MAX of the two operand sketches — the set-algebra read the
+    mergeable-sketch layer (q229 construction, q246 merge) exists to
+    answer without ever re-shuffling raw keys. Compared against the
+    exact intersection with relative error per pair.
+
+    Scale: each operand is a fixed 64-register vector; the pairwise
+    union stage is |types|²×64 rows of integer MAX — corpus-size-
+    free. Shift-exact 2^−M powers keep every estimate bit-identical
+    across engines (q229's portability argument), so even the
+    inclusion-exclusion DIFFERENCE hash-matches exactly. The known
+    caveat is statistical, not mechanical: inclusion-exclusion
+    variance grows as the intersection shrinks relative to the
+    union (rel_error makes that visible per pair).
+    """
+    ev = t(spark, sf_dir, "events")
+    v = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("hll:"), F.col("user_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("long")
+    regs = (
+        ev.select(
+            "event_type",
+            F.shiftright(v, HLL_W).bitwiseAND(F.lit(HLL_M - 1)).alias("bucket"),
+            _hll_rho_col(v.bitwiseAND(F.lit((1 << HLL_W) - 1))).alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.lit(HLL_M - 1).cast("long")
+                )
+            ).alias("bucket"),
+        )
+    )
+    dense = spine.join(regs, ["event_type", "bucket"], "left").select(
+        "event_type", "bucket", F.coalesce(F.col("m"), F.lit(0)).alias("m")
+    )
+
+    inv = F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)")
+
+    def estimate(df, keys):
+        raw = df.groupBy(*keys).agg(
+            (F.lit(HLL_ALPHA * HLL_M * HLL_M) / F.sum(inv)).alias("raw_est"),
+            F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("v_zero"),
+        )
+        return raw.select(
+            *keys,
+            F.when(
+                (F.col("raw_est") <= 2.5 * HLL_M) & (F.col("v_zero") > 0),
+                HLL_M * F.log(HLL_M / F.col("v_zero").cast("double")),
+            )
+            .otherwise(F.col("raw_est"))
+            .alias("est"),
+        )
+
+    est = estimate(dense, ["event_type"])
+    da = dense.select(
+        F.col("event_type").alias("et_a"), "bucket", F.col("m").alias("ma")
+    )
+    db = dense.select(
+        F.col("event_type").alias("et_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("m").alias("mb"),
+    )
+    uregs = da.join(
+        db,
+        (F.col("bucket") == F.col("bucket_b")) & (F.col("et_a") < F.col("et_b")),
+    ).select("et_a", "et_b", F.greatest("ma", "mb").alias("m"))
+    uest = estimate(uregs, ["et_a", "et_b"])
+
+    du = ev.select("event_type", "user_id").distinct()
+    a = du.select(F.col("event_type").alias("et_a"), "user_id")
+    b = du.select(F.col("event_type").alias("et_b"), F.col("user_id").alias("ub"))
+    exact = (
+        a.join(b, (F.col("user_id") == F.col("ub")) & (F.col("et_a") < F.col("et_b")))
+        .groupBy("et_a", "et_b")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+
+    ea = est.select(F.col("event_type").alias("et_a"), F.col("est").alias("est_a"))
+    eb = est.select(F.col("event_type").alias("et_b"), F.col("est").alias("est_b"))
+    inter = F.col("est_a") + F.col("est_b") - F.col("est")
+    return (
+        exact.join(F.broadcast(ea), "et_a")
+        .join(F.broadcast(eb), "et_b")
+        .join(F.broadcast(uest), ["et_a", "et_b"])
+        .select(
+            "et_a",
+            "et_b",
+            F.col("exact_intersection").cast("bigint").alias("exact_intersection"),
+            F.round(inter, 4).alias("est_intersection"),
+            F.round(
+                F.abs(inter - F.col("exact_intersection"))
+                / F.col("exact_intersection"),
+                6,
+            ).alias("rel_error"),
+        )
+    )
