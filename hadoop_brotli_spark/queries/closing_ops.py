@@ -868,3 +868,115 @@ def q259_hll_intersection(spark, sf_dir):
             ).alias("rel_error"),
         )
     )
+
+
+# -------------------------------- q260 content-defined chunking dedup
+
+CDC_K = 8  # rolling context window (bytes) that decides a boundary
+CDC_D = 32  # boundary divisor -> expected chunk length ~CDC_D bytes
+
+
+@register(
+    "q260_cdc_chunk_dedup",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, text, len(text) AS L FROM documents
+    ),
+    bpos AS (
+      SELECT DISTINCT doc_id, source, text, i FROM (
+        SELECT doc_id, source, text, i
+        FROM d, UNNEST(range({CDC_K}, L + 1)) AS r(i)
+        WHERE CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER) - {CDC_K - 1}, {CDC_K})), 1, 4))
+                   AS BIGINT) % {CDC_D} = 0
+        UNION ALL
+        SELECT doc_id, source, text, L AS i FROM d
+      )
+    ),
+    chunks AS (
+      SELECT doc_id, source,
+             substr(text,
+                    CAST(COALESCE(LAG(i) OVER w, 0) AS INTEGER) + 1,
+                    CAST(i - COALESCE(LAG(i) OVER w, 0) AS INTEGER)) AS chunk
+      FROM bpos
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    hashed AS (
+      SELECT source, md5(chunk) AS ch, len(chunk) AS clen FROM chunks
+    ),
+    per_hash AS (
+      SELECT source, ch, COUNT(*) AS n_copies, MIN(clen) AS clen
+      FROM hashed GROUP BY source, ch
+    )
+    SELECT source,
+           CAST(SUM(n_copies) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_copies * clen) AS BIGINT) AS total_bytes,
+           COUNT(*) AS distinct_chunks,
+           CAST(SUM(clen) AS BIGINT) AS distinct_bytes,
+           ROUND(1.0 - CAST(SUM(clen) AS DOUBLE) / SUM(n_copies * clen), 6)
+             AS dedup_ratio
+    FROM per_hash GROUP BY source
+    """,
+)
+def q260_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (CDC) dedup audit — the storage-layer
+    twin of the text dedup family, and the op that sits UPSTREAM of
+    the `.bro` codec in a dedup-then-compress pipeline: a chunk
+    boundary falls wherever the hash of the trailing {CDC_K}-byte
+    context divides {CDC_D} (plus a forced end-of-doc boundary), so
+    an insertion re-chunks only its neighborhood — unlike fixed-size
+    blocks, where one shifted byte invalidates every later block.
+    Per source: chunk count, raw vs distinct bytes, and the dedup
+    ratio a chunk-store would achieve.
+
+    Plan: explode candidate positions, one md5 per position (the
+    production implementation replaces this with FastCDC's gear hash
+    — O(1)/byte, no per-position digest, plus min/max chunk clamps —
+    inside mapInPandas; the downstream shape is identical), per-doc
+    LAG window pairs consecutive boundaries into chunks, then the
+    dedup accounting reduces on (source, chunk-hash) — the shuffle
+    carries 16-byte hashes + lengths, never chunk bodies.
+    """
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", F.length("text").alias("L")
+    )
+    cond_hash = (
+        "conv(substring(md5(cast(substring(text, i - "
+        f"{CDC_K - 1}, {CDC_K}) as binary)), 1, 4), 16, 10) % {CDC_D} = 0"
+    )
+    bounds = F.expr(
+        f"array_distinct(concat(filter(sequence({CDC_K}L, L), i -> {cond_hash}),"
+        " array(L)))"
+    )
+    bpos = fan_out(d).select(
+        "doc_id", "source", "text", F.explode(bounds).alias("i")
+    )
+    w = W.partitionBy("doc_id").orderBy("i")
+    prev = F.coalesce(F.lag("i").over(w), F.lit(0))
+    chunks = bpos.select(
+        "source",
+        F.substring(
+            F.col("text"), (prev + 1).cast("int"), (F.col("i") - prev).cast("int")
+        ).alias("chunk"),
+    )
+    hashed = chunks.select(
+        "source",
+        F.md5(F.col("chunk").cast("binary")).alias("ch"),
+        F.length("chunk").alias("clen"),
+    )
+    per_hash = hashed.groupBy("source", "ch").agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min("clen").alias("clen")
+    )
+    return per_hash.groupBy("source").agg(
+        F.sum("n_copies").cast("bigint").alias("n_chunks"),
+        F.sum(F.col("n_copies") * F.col("clen")).cast("bigint").alias("total_bytes"),
+        F.count(F.lit(1)).alias("distinct_chunks"),
+        F.sum("clen").cast("bigint").alias("distinct_bytes"),
+        F.round(
+            1.0
+            - F.sum("clen").cast("double")
+            / F.sum(F.col("n_copies") * F.col("clen")),
+            6,
+        ).alias("dedup_ratio"),
+    )
