@@ -980,3 +980,319 @@ def q260_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dedup_ratio"),
     )
+
+
+# ------------------------------------------- q261 Kaplan-Meier curve
+
+KM_WINDOW_DAYS = 7  # administrative right-censoring horizon
+
+
+@register(
+    "q261_kaplan_meier",
+    oracle=f"""
+    WITH su AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    pu AS (
+      SELECT e.user_id, MIN(e.ts) AS t1
+      FROM events e JOIN su ON su.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= su.t0
+      GROUP BY e.user_id
+    ),
+    obs AS (
+      SELECT su.user_id,
+             CASE WHEN p.t1 IS NULL
+                    OR date_diff('day', CAST(su.t0 AS DATE), CAST(p.t1 AS DATE))
+                       > {KM_WINDOW_DAYS}
+                  THEN {KM_WINDOW_DAYS}
+                  ELSE date_diff('day', CAST(su.t0 AS DATE), CAST(p.t1 AS DATE))
+             END AS t,
+             CASE WHEN p.t1 IS NOT NULL
+                    AND date_diff('day', CAST(su.t0 AS DATE), CAST(p.t1 AS DATE))
+                        <= {KM_WINDOW_DAYS}
+                  THEN 1 ELSE 0 END AS ev
+      FROM su LEFT JOIN pu p ON p.user_id = su.user_id
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM obs),
+    steps AS (SELECT t, SUM(ev) AS d, SUM(1 - ev) AS c FROM obs GROUP BY t),
+    km AS (
+      SELECT t, d, c,
+             n - COALESCE(SUM(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM steps, tot
+    )
+    SELECT t AS t_day,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d_events,
+           CAST(c AS BIGINT) AS n_censored,
+           ROUND(EXP(SUM(LN(GREATEST(
+                   1.0 - CAST(d AS DOUBLE) / n_risk, 1e-300)))
+                 OVER (ORDER BY t)), 6) AS survival
+    FROM km
+    """,
+)
+def q261_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for signup→first-purchase
+    conversion, right-censored at a {KM_WINDOW_DAYS}-day observation
+    window (administrative censoring — the subjects still "alive"
+    past the horizon leave the risk set WITHOUT counting as events,
+    which a naive conversion-rate-by-day readout gets wrong). Per
+    step: number at risk, events, censored, and the KM estimate
+    S(t) = Π(1 − dᵢ/nᵢ).
+
+    Plan: two per-user conditional-MIN reductions (q149's
+    point-in-time shape) feed a {KM_WINDOW_DAYS + 1}-row step table;
+    the risk-set and product windows run over that bounded grain.
+    The product is EXP(SUM(LN(...))) with identical op order on both
+    engines (q229's ln precedent); a GREATEST(…,1e-300) floor makes
+    the S(t)=0 corner portable instead of ln(0)-undefined.
+    """
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    dur = F.datediff(F.to_date("t1"), F.to_date("t0"))
+    obs = su.join(pu, "user_id", "left").select(
+        F.when(F.col("t1").isNull() | (dur > KM_WINDOW_DAYS), KM_WINDOW_DAYS)
+        .otherwise(dur)
+        .alias("t"),
+        F.when(F.col("t1").isNotNull() & (dur <= KM_WINDOW_DAYS), 1)
+        .otherwise(0)
+        .alias("ev"),
+    )
+    tot = obs.agg(F.count(F.lit(1)).alias("n"))
+    steps = obs.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c")
+    )
+    wprev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    wcum = W.orderBy("t")
+    km = steps.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("n") - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0)),
+    )
+    factor = F.greatest(
+        F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"), F.lit(1e-300)
+    )
+    return km.select(
+        F.col("t").alias("t_day"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("d_events"),
+        F.col("c").cast("bigint").alias("n_censored"),
+        F.round(F.exp(F.sum(F.log(factor)).over(wcum)), 6).alias("survival"),
+    )
+
+
+# ---------------------------------------- q262 table content checksum
+
+# Canonical column encodings shared by both engines. Doubles encode
+# as FLOOR(x * 10^s) integers (identical IEEE multiply+floor on both
+# sides — a canonical integer encoding, not pretty-printing);
+# timestamps force an explicit 6-digit-microsecond format; float32
+# vectors encode per-element via the same FLOOR trick at 10^6.
+_CKSUM_TABLES: dict[str, list[tuple[str, str]]] = {
+    # table -> [(kind, column)] in canonical column order
+    "region": [("i", "r_regionkey"), ("s", "r_name")],
+    "nation": [("i", "n_nationkey"), ("s", "n_name"), ("i", "n_regionkey")],
+    "customer": [
+        ("i", "c_custkey"), ("s", "c_name"), ("i", "c_nationkey"),
+        ("f", "c_acctbal"), ("s", "c_mktsegment"),
+    ],
+    "supplier": [
+        ("i", "s_suppkey"), ("s", "s_name"), ("i", "s_nationkey"),
+        ("f", "s_acctbal"),
+    ],
+    "part": [
+        ("i", "p_partkey"), ("s", "p_name"), ("s", "p_brand"),
+        ("s", "p_type"), ("i", "p_size"), ("f", "p_retailprice"),
+    ],
+    "orders": [
+        ("i", "o_orderkey"), ("i", "o_custkey"), ("s", "o_orderstatus"),
+        ("f", "o_totalprice"), ("d", "o_orderdate"), ("s", "o_orderpriority"),
+    ],
+    "lineitem": [
+        ("i", "l_orderkey"), ("i", "l_partkey"), ("i", "l_suppkey"),
+        ("i", "l_linenumber"), ("f", "l_quantity"), ("f", "l_extendedprice"),
+        ("f", "l_discount"), ("f", "l_tax"), ("s", "l_returnflag"),
+        ("s", "l_linestatus"), ("d", "l_shipdate"),
+    ],
+    "events": [
+        ("i", "event_id"), ("ts", "ts"), ("i", "user_id"),
+        ("s", "event_type"), ("f", "value"), ("s", "props"),
+    ],
+    "documents": [
+        ("i", "doc_id"), ("s", "text"), ("s", "lang"), ("s", "source"),
+        ("i", "n_chars"),
+    ],
+    "embeddings": [("i", "vec_id"), ("vec", "embedding"), ("i", "label")],
+}
+
+
+def _cksum_col_sql(kind: str, col: str) -> str:
+    if kind == "i":
+        return f"CAST({col} AS VARCHAR)"
+    if kind == "s":
+        return col
+    if kind == "f":
+        return f"CAST(CAST(FLOOR({col} * 100) AS BIGINT) AS VARCHAR)"
+    if kind == "d":
+        return f"CAST({col} AS VARCHAR)"
+    if kind == "ts":
+        return f"strftime({col}, '%Y-%m-%d %H:%M:%S.%f')"
+    if kind == "vec":
+        return (
+            f"array_to_string(list_transform({col}, x -> CAST(CAST("
+            "FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)), ',')"
+        )
+    raise ValueError(kind)
+
+
+def _cksum_col_spark(kind: str, col: str):
+    if kind == "i":
+        return F.col(col).cast("string")
+    if kind == "s":
+        return F.col(col)
+    if kind == "f":
+        return F.floor(F.col(col) * 100).cast("bigint").cast("string")
+    if kind == "d":
+        return F.col(col).cast("string")
+    if kind == "ts":
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    if kind == "vec":
+        return F.expr(
+            f"array_join(transform({col}, x -> cast(cast("
+            "floor(cast(x as double) * 1000000) as bigint) as string)), ',')"
+        )
+    raise ValueError(kind)
+
+
+@register(
+    "q262_table_checksum",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{tname}' AS table_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(md5(concat_ws('|',
+             {", ".join(_cksum_col_sql(k, c) for k, c in cols)}
+           )), 1, 8)) AS BIGINT)) AS BIGINT) AS content_checksum
+    FROM {tname}"""
+        for tname, cols in _CKSUM_TABLES.items()
+    ),
+)
+def q262_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum of every catalog table —
+    the migration-parity gate: a team switching engines (the north
+    star's 'run every query they run today') proves the DATA arrived
+    intact before trusting any query output. Per table: row count +
+    SUM of per-row md5-prefix ints over a canonically-encoded row
+    string (pipe-joined columns; doubles as FLOOR(x·10²) integers,
+    timestamps at forced 6-digit microseconds, float32 vectors as
+    FLOOR(x·10⁶) element lists — every encoding an identical IEEE
+    op sequence on both engines, never locale/engine float
+    printing).
+
+    Scale: embarrassingly parallel — one codegen md5 per row, SUM
+    partial-aggregates map-side, zero shuffles beyond the final
+    1-row-per-table reduce; the 32-bit hash prefix keeps the BIGINT
+    sum overflow-free to ~10⁹ rows per table (use a modular wrap
+    beyond that).
+    """
+    parts = []
+    for tname, cols in _CKSUM_TABLES.items():
+        row_str = F.concat_ws("|", *[_cksum_col_spark(k, c) for k, c in cols])
+        h = F.conv(F.substring(F.md5(row_str.cast("binary")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        parts.append(
+            t(spark, sf_dir, tname).agg(
+                F.lit(tname).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(h).cast("bigint").alias("content_checksum"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ------------------------------------------------ q263 OHLC bars
+
+
+@register(
+    "q263_ohlc_bars",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, value,
+             ROW_NUMBER() OVER w_asc AS rn_open,
+             ROW_NUMBER() OVER w_desc AS rn_close
+      FROM events
+      WINDOW
+        w_asc AS (PARTITION BY event_type, CAST(ts AS DATE)
+                  ORDER BY ts, event_id),
+        w_desc AS (PARTITION BY event_type, CAST(ts AS DATE)
+                   ORDER BY ts DESC, event_id DESC)
+    )
+    SELECT event_type, d,
+           MIN(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MIN(CASE WHEN rn_close = 1 THEN value END) AS close,
+           COUNT(*) AS volume,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS turnover
+    FROM ranked
+    GROUP BY event_type, d
+    """,
+)
+def q263_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar aggregation — the time-series downsampling op every
+    metrics store ships: per (event_type, day), the first (open) and
+    last (close) observed value with total-order tie-breakers
+    (ts, event_id), the high/low extremes, event volume, and the
+    exact-decimal turnover.
+
+    One window sort per partition serves both endpoint ranks (the
+    descending rank reuses the ascending sort's exchange), and the
+    bar reduce is a plain per-key aggregate — the canonical
+    windowed-downsample plan, partitioned by real keys (never a
+    global window).
+    """
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    w_asc = W.partitionBy("event_type", "d").orderBy("ts", "event_id")
+    w_desc = W.partitionBy("event_type", "d").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "event_type",
+        "d",
+        "value",
+        F.row_number().over(w_asc).alias("rn_open"),
+        F.row_number().over(w_desc).alias("rn_close"),
+    )
+    return ranked.groupBy("event_type", "d").agg(
+        F.min(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("turnover"),
+    )
