@@ -1296,3 +1296,306 @@ def q263_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("volume"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("turnover"),
     )
+
+
+# -------------------------------------- q264 Merkle-bucket replica diff
+
+MERKLE_BUCKETS = 256
+# deterministic "replica damage": rows whose key-hash lands in
+# [0, 2) of 1000 are missing from replica B — a simulated partial
+# data loss the diff must localize
+DAMAGE_PERMILLE = 2
+
+_ORD_ROW = (
+    "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),"
+    " o_orderstatus, CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR),"
+    " CAST(o_orderdate AS VARCHAR), o_orderpriority)"
+)
+
+
+@register(
+    "q264_merkle_bucket_diff",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(('0x' || substr(md5('bkt:' || CAST(o_orderkey AS VARCHAR)),
+                   1, 7)) AS BIGINT) % {MERKLE_BUCKETS} AS bucket,
+             CAST(('0x' || substr(md5('dmg:' || CAST(o_orderkey AS VARCHAR)),
+                   1, 7)) AS BIGINT) % 1000 AS dmg,
+             CAST(('0x' || substr(md5({_ORD_ROW}), 1, 8)) AS BIGINT) AS rh
+      FROM orders
+    ),
+    a AS (
+      SELECT bucket, COUNT(*) AS rows_a, CAST(SUM(rh) AS BIGINT) AS cksum_a
+      FROM base GROUP BY bucket
+    ),
+    b AS (
+      SELECT bucket, COUNT(*) AS rows_b, CAST(SUM(rh) AS BIGINT) AS cksum_b
+      FROM base WHERE dmg >= {DAMAGE_PERMILLE} GROUP BY bucket
+    )
+    SELECT a.bucket, a.rows_a,
+           COALESCE(b.rows_b, 0) AS rows_b,
+           a.cksum_a, COALESCE(b.cksum_b, 0) AS cksum_b,
+           a.rows_a - COALESCE(b.rows_b, 0) AS rows_missing
+    FROM a LEFT JOIN b ON b.bucket = a.bucket
+    WHERE COALESCE(b.cksum_b, 0) <> a.cksum_a
+    """,
+)
+def q264_merkle_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-bucket anti-entropy diff between two table replicas —
+    the reconciliation op (Dynamo/Cassandra repair, cross-region
+    sync) that LOCALIZES divergence instead of re-shipping the
+    table: rows hash into {MERKLE_BUCKETS} buckets; each replica
+    reduces to per-bucket (count, content checksum); only buckets
+    whose checksums disagree are reported (and would be re-synced).
+    Replica B simulates a deterministic ~0.2% data loss so the diff
+    has real rows to find.
+
+    Scale: each replica side is one scan + a {MERKLE_BUCKETS}-row
+    aggregate (map-side partials; the q262 canonical row encoding),
+    the diff joins two {MERKLE_BUCKETS}-row frames, and re-sync cost
+    drops from O(table) to O(damaged buckets × bucket size). A
+    production tree adds levels (bucket → sub-bucket) by reusing
+    this op with a finer modulus on the flagged buckets only.
+    """
+    o = t(spark, sf_dir, "orders")
+    kh = lambda tag: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat(F.lit(tag), F.col("o_orderkey").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("long")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.col("o_orderdate").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    base = o.select(
+        (kh("bkt:") % MERKLE_BUCKETS).alias("bucket"),
+        (kh("dmg:") % 1000).alias("dmg"),
+        F.conv(F.substring(F.md5(row_str.cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("rh"),
+    )
+    a = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rows_a"),
+        F.sum("rh").cast("bigint").alias("cksum_a"),
+    )
+    b = base.filter(F.col("dmg") >= DAMAGE_PERMILLE).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rows_b"),
+        F.sum("rh").cast("bigint").alias("cksum_b"),
+    )
+    return (
+        a.join(b, "bucket", "left")
+        .select(
+            "bucket",
+            "rows_a",
+            F.coalesce("rows_b", F.lit(0)).alias("rows_b"),
+            "cksum_a",
+            F.coalesce("cksum_b", F.lit(0)).alias("cksum_b"),
+            (F.col("rows_a") - F.coalesce("rows_b", F.lit(0))).alias(
+                "rows_missing"
+            ),
+        )
+        .filter(F.col("cksum_b") != F.col("cksum_a"))
+    )
+
+
+# ---------------------------------------- q265 Theil-Sen robust trend
+
+
+@register(
+    "q265_theil_sen_trend",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY m) AS i, rev FROM monthly
+    ),
+    slopes AS (
+      SELECT (b.rev - a.rev) / (b.i - a.i) AS s
+      FROM idx a JOIN idx b ON b.i > a.i
+    ),
+    ts AS (SELECT quantile_cont(s, 0.5) AS theil_sen FROM slopes),
+    ols AS (
+      SELECT (COUNT(*) * SUM(i * rev) - SUM(i) * SUM(rev))
+               / (COUNT(*) * SUM(i * i) - SUM(i) * SUM(i)) AS ols
+      FROM idx
+    )
+    SELECT (SELECT COUNT(*) FROM idx) AS n_months,
+           (SELECT COUNT(*) FROM slopes) AS n_pairs,
+           ROUND(ts.theil_sen, 4) AS theil_sen_slope,
+           ROUND(ols.ols, 4) AS ols_slope
+    FROM ts, ols
+    """,
+)
+def q265_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator over monthly revenue — the
+    median of all pairwise slopes, which a single corrupted month
+    cannot drag (up to ~29% outliers), reported beside the OLS slope
+    (q189's estimator) so the gap itself is the outlier signal.
+
+    The quadratic pair-generation runs on the MONTHLY grain — a
+    bounded aggregate (~80 rows → ~3k pairs), never fact rows; the
+    slope median uses the q28 percentile definition (identical
+    interpolation in both engines). OLS sufficient statistics reuse
+    the same bounded series. The two scalars join as 1-row
+    broadcasts.
+    """
+    from pyspark.sql import Window as W
+
+    monthly = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("m"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    idx = monthly.select(
+        F.row_number().over(W.orderBy("m")).alias("i"), "rev"
+    )
+    a = idx.select(F.col("i").alias("ia"), F.col("rev").alias("ra"))
+    b = idx.select(F.col("i").alias("ib"), F.col("rev").alias("rb"))
+    slopes = a.join(b, F.col("ib") > F.col("ia")).select(
+        ((F.col("rb") - F.col("ra")) / (F.col("ib") - F.col("ia"))).alias("s")
+    )
+    ts_df = slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.percentile("s", F.lit(0.5)), 4).alias("theil_sen_slope"),
+    )
+    ols = idx.agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.round(
+            (
+                F.count(F.lit(1)) * F.sum(F.col("i") * F.col("rev"))
+                - F.sum("i") * F.sum("rev")
+            )
+            / (
+                F.count(F.lit(1)) * F.sum(F.col("i") * F.col("i"))
+                - F.sum("i") * F.sum("i")
+            ),
+            4,
+        ).alias("ols_slope"),
+    )
+    return (
+        ols.crossJoin(F.broadcast(ts_df))
+        .select("n_months", "n_pairs", "theil_sen_slope", "ols_slope")
+    )
+
+
+# ------------------------------------- q266 Wilson interval readout
+
+WILSON_Z = 1.959963984540054  # 97.5th normal quantile, shared literal
+
+
+@register(
+    "q266_wilson_interval",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+                         1, 7)) AS BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS variant,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT variant, COUNT(*) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM assigned GROUP BY variant
+    )
+    SELECT variant, n_users, n_converted,
+           ROUND(p_hat, 6) AS conversion_rate,
+           ROUND((p_hat + zz / (2 * n) - z * SQRT(p_hat * (1 - p_hat) / n
+                  + zz / (4 * n * n))) / (1 + zz / n), 6) AS wilson_lower,
+           ROUND((p_hat + zz / (2 * n) + z * SQRT(p_hat * (1 - p_hat) / n
+                  + zz / (4 * n * n))) / (1 + zz / n), 6) AS wilson_upper
+    FROM (
+      SELECT variant, n_users, n_converted,
+             CAST(n_converted AS DOUBLE) / n_users AS p_hat,
+             CAST(n_users AS DOUBLE) AS n,
+             CAST({WILSON_Z!r} AS DOUBLE) AS z,
+             CAST({WILSON_Z!r} AS DOUBLE) * CAST({WILSON_Z!r} AS DOUBLE) AS zz
+      FROM agg
+    )
+    """,
+)
+def q266_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score 95% confidence interval on per-variant conversion
+    — the interval-estimate readout beside q151's two-proportion
+    z-test and q234's CUPED adjustment. Wilson (unlike the naive
+    Wald interval) stays inside [0,1] and behaves at small n or
+    extreme rates — the interval a launch-review dashboard should
+    print.
+
+    Variant assignment is the pure key hash (engine-reproducible,
+    q151's rule); the per-user conversion flag is one MAX reduce;
+    the interval arithmetic runs on a |variants|-row frame with the
+    z quantile embedded as a shared double literal (no engine
+    erf/quantile dependency).
+    """
+    ev = t(spark, sf_dir, "events")
+    variant = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("ab:"), F.col("user_id").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    # variant is a pure function of the group key — derive it after
+    # the reduce (no second scan, no join)
+    assigned = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+        .select("user_id", "converted", variant.alias("variant"))
+    )
+    agg = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    p = F.col("n_converted").cast("double") / F.col("n_users")
+    n = F.col("n_users").cast("double")
+    z = F.lit(WILSON_Z)
+    zz = F.lit(WILSON_Z) * F.lit(WILSON_Z)
+    center = p + zz / (2 * n)
+    margin = z * F.sqrt(p * (1 - p) / n + zz / (4 * n * n))
+    denom = 1 + zz / n
+    return agg.select(
+        "variant",
+        "n_users",
+        "n_converted",
+        F.round(p, 6).alias("conversion_rate"),
+        F.round((center - margin) / denom, 6).alias("wilson_lower"),
+        F.round((center + margin) / denom, 6).alias("wilson_upper"),
+    )
