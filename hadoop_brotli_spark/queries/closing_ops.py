@@ -945,9 +945,13 @@ def q260_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv(substring(md5(cast(substring(text, i - "
         f"{CDC_K - 1}, {CDC_K}) as binary)), 1, 4), 16, 10) % {CDC_D} = 0"
     )
+    # sequence() DESCENDS when start > stop (unlike DuckDB's range,
+    # which is empty), so clamp the stop at CDC_K and re-filter
+    # i <= L — otherwise docs shorter than the context window get
+    # spurious negative-offset boundaries (hypothesis-found).
     bounds = F.expr(
-        f"array_distinct(concat(filter(sequence({CDC_K}L, L), i -> {cond_hash}),"
-        " array(L)))"
+        f"array_distinct(concat(filter(sequence({CDC_K}, greatest(L, {CDC_K})),"
+        f" i -> i <= L AND {cond_hash}), array(L)))"
     )
     bpos = fan_out(d).select(
         "doc_id", "source", "text", F.explode(bounds).alias("i")

@@ -54,6 +54,13 @@ EVENT_QUERIES = [
     # batch-boundary merge must equal whole-stream sessionization on
     # ANY event layout (single-sided users, boundary-straddling gaps)
     "q248_incremental_session_merge",
+    # censoring edges: no signups, purchase-before-signup, same-day
+    # conversion — risk set and ln-product must agree on all of them
+    "q261_kaplan_meier",
+    # duplicate timestamps attack the open/close tie-breakers
+    "q263_ohlc_bars",
+    # single-variant splits and p∈{0,1} corners of the interval
+    "q266_wilson_interval",
 ]
 DOC_QUERIES = [
     "q60_dedup_exact",
@@ -85,6 +92,14 @@ DOC_QUERIES = [
     "q241_span_corruption_plan",
     # sub-k cells everywhere when every doc is its own cell
     "q247_k_anonymity_audit",
+    # regex counts/redaction checksum under tiny repeated texts
+    "q252_pii_pattern_scrub",
+    # docs below the 8-token window + mass-duplicated corpora
+    "q253_exact_substring_dup",
+    # 1-word docs: zero-division guards on token/word ratios
+    "q255_tokenizer_fertility",
+    # docs shorter than the CDC context window -> single forced chunk
+    "q260_cdc_chunk_dedup",
 ]
 
 
