@@ -51,6 +51,10 @@ DEPTH = [
     "q137_basket_lift",
     "q141_distribution_drift",
     "q82_lang_id_ngram",
+    # round-2 heavy text ops: token-count-sized window fan-out (q253)
+    # and per-position CDC hashing (q260)
+    "q253_exact_substring_dup",
+    "q260_cdc_chunk_dedup",
 ]
 
 

@@ -1603,3 +1603,309 @@ def q266_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - margin) / denom, 6).alias("wilson_lower"),
         F.round((center + margin) / denom, 6).alias("wilson_upper"),
     )
+
+
+# ------------------------------------------------ q267 one-way ANOVA
+
+
+@register(
+    "q267_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) AS ng,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sg,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS qg
+      FROM events GROUP BY event_type
+    ),
+    parts AS (
+      SELECT COUNT(*) AS k,
+             CAST(SUM(ng) AS BIGINT) AS n,
+             CAST(SUM(CAST(sg AS DECIMAL(28,2))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(qg AS DECIMAL(28,4))) AS DOUBLE) AS q,
+             -- per-group (Σv)²/n in double, decimal-summed so the
+             -- cross-group addition is order-independent
+             CAST(SUM(CAST(sg * sg / ng AS DECIMAL(28,8))) AS DOUBLE) AS sb
+      FROM g
+    )
+    SELECT k AS k_groups, n AS n_total,
+           ROUND(sb - s * s / n, 6) AS ss_between,
+           ROUND(q - sb, 6) AS ss_within,
+           ROUND(((sb - s * s / n) / (k - 1)) / ((q - sb) / (n - k)), 6)
+             AS f_stat,
+           ROUND((sb - s * s / n) / (q - s * s / n), 6) AS eta_sq
+    FROM parts
+    """,
+)
+def q267_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across event types — the numeric-
+    outcome counterpart of q142's chi-square independence audit:
+    between/within sum-of-squares decomposition, the F statistic, and
+    eta² effect size.
+
+    Everything reduces to per-group sufficient statistics (n, Σv,
+    Σv² — 2-decimal values make both sums DECIMAL-exact and
+    order-independent); the only float sums that cross groups pass
+    through a DECIMAL(28,8) roundtrip so they're order-independent
+    too, and the final F arithmetic is identical IEEE ops on a
+    |groups|-row frame.
+    """
+    dec = F.col("value").cast("decimal(18,2)")
+    g = t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(dec).cast("double").alias("sg"),
+        F.sum(dec * dec).cast("double").alias("qg"),
+    )
+    parts = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum(F.col("sg").cast("decimal(28,2)")).cast("double").alias("s"),
+        F.sum(F.col("qg").cast("decimal(28,4)")).cast("double").alias("q"),
+        F.sum(
+            (F.col("sg") * F.col("sg") / F.col("ng")).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("sb"),
+    )
+    ssb = F.col("sb") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("q") - F.col("sb")
+    sst = F.col("q") - F.col("s") * F.col("s") / F.col("n")
+    return parts.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_total"),
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6)
+        .alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_sq"),
+    )
+
+
+# ------------------------------------------- q269 leaderboard churn
+
+CHURN_TOPK = 10
+
+
+@register(
+    "q269_topk_churn",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey, CAST(YEAR(l_shipdate) AS INTEGER) AS y,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+               AS rev
+      FROM lineitem
+      WHERE YEAR(l_shipdate) IN (1996, 1997)
+      GROUP BY l_partkey, YEAR(l_shipdate)
+    ),
+    ranked AS (
+      SELECT l_partkey, y, rev,
+             ROW_NUMBER() OVER (PARTITION BY y
+               ORDER BY rev DESC, l_partkey) AS rk
+      FROM rev
+    ),
+    t1 AS (SELECT l_partkey, rk, rev FROM ranked
+           WHERE y = 1996 AND rk <= {CHURN_TOPK}),
+    t2 AS (SELECT l_partkey, rk, rev FROM ranked
+           WHERE y = 1997 AND rk <= {CHURN_TOPK})
+    SELECT COALESCE(t1.l_partkey, t2.l_partkey) AS l_partkey,
+           CASE WHEN t1.l_partkey IS NULL THEN 'entered'
+                WHEN t2.l_partkey IS NULL THEN 'exited'
+                ELSE 'stayed' END AS status,
+           t1.rk AS rank_1996, t2.rk AS rank_1997,
+           CAST(t1.rev AS DOUBLE) AS rev_1996,
+           CAST(t2.rev AS DOUBLE) AS rev_1997
+    FROM t1 FULL OUTER JOIN t2 ON t2.l_partkey = t1.l_partkey
+    """,
+)
+def q269_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{CHURN_TOPK} revenue leaderboard churn between 1996 and
+    1997: which parts entered, exited, or stayed, with both ranks and
+    revenues — the period-over-period diff every ranked dashboard
+    needs (the heavy-hitter analog of q235's graph edge diff).
+
+    Both leaderboards come from ONE scan and one per-(part, year)
+    exact-decimal reduce; ranking windows partition by year (never
+    global over facts), and the diff is a full-outer join of two
+    {CHURN_TOPK}-row frames. Ranks carry a total-order tie-breaker.
+    """
+    from pyspark.sql import Window as W
+
+    rev = (
+        t(spark, sf_dir, "lineitem")
+        .withColumn("y", F.year("l_shipdate"))
+        .filter(F.col("y").isin(1996, 1997))
+        .groupBy("l_partkey", "y")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("rev")
+        )
+    )
+    wrk = W.partitionBy("y").orderBy(F.col("rev").desc(), F.col("l_partkey"))
+    ranked = rev.withColumn("rk", F.row_number().over(wrk)).filter(
+        F.col("rk") <= CHURN_TOPK
+    )
+    t1 = ranked.filter(F.col("y") == 1996).select(
+        F.col("l_partkey").alias("pk1"),
+        F.col("rk").alias("rank_1996"),
+        F.col("rev").alias("rev1"),
+    )
+    t2 = ranked.filter(F.col("y") == 1997).select(
+        F.col("l_partkey").alias("pk2"),
+        F.col("rk").alias("rank_1997"),
+        F.col("rev").alias("rev2"),
+    )
+    joined = t1.join(t2, t1["pk1"] == t2["pk2"], "full_outer")
+    return joined.select(
+        F.coalesce("pk1", "pk2").alias("l_partkey"),
+        F.when(F.col("pk1").isNull(), "entered")
+        .when(F.col("pk2").isNull(), "exited")
+        .otherwise("stayed")
+        .alias("status"),
+        "rank_1996",
+        "rank_1997",
+        F.col("rev1").cast("double").alias("rev_1996"),
+        F.col("rev2").cast("double").alias("rev_1997"),
+    )
+
+
+# ------------------------------------- q268 iterative BPE merge loop
+
+BPE_ITERS = 3
+
+
+def _bpe_sql() -> str:
+    """Three unrolled BPE iterations as chained CTEs. w0 holds the
+    distinct-word vocabulary as spaced character symbols."""
+    ctes = [
+        """w0 AS (
+      SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS w,
+             COUNT(*) AS freq
+      FROM (
+        SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
+      ) WHERE len(word) >= 2
+      GROUP BY 1
+    )"""
+    ]
+    rows = []
+    for i in range(1, BPE_ITERS + 1):
+        prev = f"w{i - 1}"
+        ctes.append(
+            f"""p{i} AS (
+      SELECT s[j] || ' ' || s[j + 1] AS pair,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT string_split(w, ' ') AS s, freq FROM {prev}),
+           UNNEST(range(1, len(s))) AS r(j)
+      GROUP BY 1
+    ),
+    b{i} AS (
+      SELECT pair, cnt FROM p{i}
+      ORDER BY cnt DESC, pair ASC LIMIT 1
+    ),
+    w{i} AS (
+      SELECT trim(replace(replace(
+               ' ' || w.w || ' ',
+               ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
+               ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '))
+               AS w,
+             w.freq
+      FROM {prev} w, b{i} b
+    ),
+    v{i} AS (
+      SELECT COUNT(DISTINCT sym) AS n_syms
+      FROM (SELECT UNNEST(string_split(w, ' ')) AS sym FROM w{i})
+    )"""
+        )
+        rows.append(
+            f"SELECT {i} AS iter, b{i}.pair AS merged_pair, b{i}.cnt AS"
+            f" pair_count, CAST(v{i}.n_syms AS BIGINT) AS n_symbols_after"
+            f" FROM b{i}, v{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(rows)
+
+
+@register("q268_bpe_merge_iterations", oracle=_bpe_sql())
+def q268_bpe_merge_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, three merge iterations unrolled — the
+    iterative loop q226's single pair-count stops short of: each
+    round counts adjacent symbol pairs over the frequency-weighted
+    DISTINCT-WORD vocabulary, picks the argmax pair (count desc, pair
+    asc tie-break), and rewrites every word with the merged symbol.
+    Output per iteration: the merged pair, its count, and the symbol
+    inventory size after the merge.
+
+    State between iterations is the vocabulary table itself
+    (vocabulary-sized, never corpus-sized) — the canonical Spark
+    shape for a bounded iterative algorithm: unroll known-small
+    iteration counts into one plan; checkpoint the vocab per round
+    when the count is data-driven (q64's loop rule). The merge
+    rewrite is a two-pass left-to-right `replace` with identical
+    scan semantics in both engines (pass 2 catches occurrences whose
+    boundary space pass 1 consumed; deviates from reference BPE only
+    on 5+ same-symbol runs, identically on both sides). The argmax
+    pair broadcasts to the rewrite as a 1-row frame.
+    """
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("w"), "freq"
+        )
+    )
+    out_rows = []
+    cur = words
+    for i in range(1, BPE_ITERS + 1):
+        syms = F.split("w", " ")
+        pairs = (
+            cur.select(syms.alias("s"), "freq")
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1),"
+                        " j -> concat(element_at(s, j), ' ',"
+                        " element_at(s, j + 1)))"
+                    )
+                ).alias("pair"),
+                "freq",
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        wb = W.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        best = (
+            pairs.withColumn("rn", F.row_number().over(wb))
+            .filter(F.col("rn") == 1)
+            .select("pair", "cnt")
+        )
+        merged = cur.crossJoin(F.broadcast(best)).select(
+            F.trim(
+                F.expr(
+                    "replace(replace(' ' || w || ' ',"
+                    " ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),"
+                    " ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')"
+                )
+            ).alias("w"),
+            "freq",
+        )
+        nsyms = merged.select(
+            F.explode(F.split("w", " ")).alias("sym")
+        ).agg(F.count_distinct("sym").alias("n_syms"))
+        out_rows.append(
+            best.crossJoin(F.broadcast(nsyms)).select(
+                F.lit(i).alias("iter"),
+                F.col("pair").alias("merged_pair"),
+                F.col("cnt").alias("pair_count"),
+                F.col("n_syms").cast("bigint").alias("n_symbols_after"),
+            )
+        )
+        cur = merged
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -100,6 +100,9 @@ DOC_QUERIES = [
     "q255_tokenizer_fertility",
     # docs shorter than the CDC context window -> single forced chunk
     "q260_cdc_chunk_dedup",
+    # heavy pair-count ties + repeated single-word corpora attack the
+    # argmax tie-break and the two-pass merge rewrite
+    "q268_bpe_merge_iterations",
 ]
 
 
