@@ -1909,3 +1909,176 @@ def q268_bpe_merge_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in out_rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------- q270 sweep-line max concurrency
+
+
+@register(
+    "q270_interval_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS s,
+             MAX(CAST(l.l_shipdate AS DATE)) AS e
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    ),
+    deltas AS (
+      SELECT s AS d, 1 AS delta FROM iv
+      UNION ALL
+      SELECT e + 1 AS d, -1 AS delta FROM iv
+    ),
+    daily AS (SELECT d, CAST(SUM(delta) AS BIGINT) AS dd FROM daily_src),
+    run AS (
+      SELECT d, SUM(dd) OVER (ORDER BY d) AS conc
+      FROM (SELECT d, CAST(SUM(delta) AS BIGINT) AS dd
+            FROM deltas GROUP BY d)
+    ),
+    ranked AS (
+      SELECT YEAR(d) AS y, d, conc,
+             ROW_NUMBER() OVER (PARTITION BY YEAR(d)
+               ORDER BY conc DESC, d ASC) AS rk
+      FROM run
+    )
+    SELECT CAST(y AS INTEGER) AS year,
+           CAST(conc AS BIGINT) AS peak_concurrency,
+           d AS peak_date
+    FROM ranked WHERE rk = 1
+    """.replace(
+        "daily AS (SELECT d, CAST(SUM(delta) AS BIGINT) AS dd FROM daily_src),\n    ",
+        "",
+    ),
+)
+def q270_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line maximum interval concurrency: how many orders are
+    simultaneously in flight (order date → last line shipment), peak
+    per year with the earliest peak date — the capacity-planning
+    gauge (open connections / WIP inventory / concurrent sessions)
+    that pairwise overlap ops (q185/q220) cannot answer.
+
+    The classic O(n log n) sweep as a plan: intervals reduce to ±1
+    boundary deltas, deltas reduce to the DAILY grain (bounded
+    calendar series — the engine's global-window rule), and one
+    running sum ordered by day is the concurrency curve; per-year
+    argmax is a rank over that bounded curve. Interval construction
+    is one orders↔lineitem join + per-order MAX.
+    """
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    iv = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("s"))
+        .agg(F.max(F.to_date("l_shipdate")).alias("e"))
+        .select("s", "e")
+    )
+    deltas = iv.select(F.col("s").alias("d"), F.lit(1).alias("delta")).unionByName(
+        iv.select(F.date_add("e", 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").cast("bigint").alias("dd"))
+    run = daily.select("d", F.sum("dd").over(W.orderBy("d")).alias("conc"))
+    wr = W.partitionBy(F.year("d")).orderBy(F.col("conc").desc(), F.col("d").asc())
+    return (
+        run.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.year("d").cast("int").alias("year"),
+            F.col("conc").cast("bigint").alias("peak_concurrency"),
+            F.col("d").alias("peak_date"),
+        )
+    )
+
+
+# ------------------------------------------ q271 bottom-k sketch
+
+BOTTOMK_K = 64
+BOTTOMK_SPACE = float(1 << 56)  # hash domain: 14 hex chars
+
+
+@register(
+    "q271_bottomk_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5('bk:' || CAST(user_id AS VARCHAR)),
+                   1, 14)) AS BIGINT) AS v
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd
+      FROM h
+    )
+    SELECT event_type,
+           CAST(nd AS BIGINT) AS exact_distinct,
+           ROUND(CASE WHEN nd < {BOTTOMK_K} THEN CAST(nd AS DOUBLE)
+                 ELSE ({BOTTOMK_K} - 1) * {BOTTOMK_SPACE!r} / v END, 4)
+             AS bottomk_estimate,
+           ROUND(ABS(CASE WHEN nd < {BOTTOMK_K} THEN CAST(nd AS DOUBLE)
+                 ELSE ({BOTTOMK_K} - 1) * {BOTTOMK_SPACE!r} / v END - nd)
+                 / nd, 6) AS rel_error
+    FROM ranked
+    WHERE rk = CASE WHEN nd < {BOTTOMK_K} THEN nd ELSE {BOTTOMK_K} END
+    """,
+)
+def q271_bottomk_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) distinct-count sketch beside the HLL family
+    (q229/q246/q259): the k-th smallest of the distinct key hashes
+    estimates cardinality as (k−1)·|H|/h_k. Unlike HLL registers, a
+    bottom-k sketch ALSO supports set intersection via Jaccard on
+    the k-min sets (the q199 MinHash bridge) — which is why
+    production systems (e.g. Theta sketches) carry it. Exact-vs-
+    estimate relative error per event type; small groups (n < k)
+    fall back to the exact count, as a real KMV sketch does.
+
+    The hash rank runs on the DISTINCT-key reduce. At 100 TB the
+    window becomes a k-smallest aggregate (per-partition top-k
+    lists merged associatively — the TakeOrdered shape); the
+    estimate arithmetic is shift-exact/IEEE-identical cross-engine.
+    """
+    from pyspark.sql import Window as W
+
+    h = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bk:"), F.col("user_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    14,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("v"),
+        )
+        .distinct()
+    )
+    wrk = W.partitionBy("event_type").orderBy("v")
+    wall = W.partitionBy("event_type")
+    ranked = h.select(
+        "event_type",
+        "v",
+        F.row_number().over(wrk).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("nd"),
+    )
+    est = F.when(
+        F.col("nd") < BOTTOMK_K, F.col("nd").cast("double")
+    ).otherwise(F.lit(float(BOTTOMK_K - 1)) * F.lit(BOTTOMK_SPACE) / F.col("v"))
+    return ranked.filter(
+        F.col("rk")
+        == F.when(F.col("nd") < BOTTOMK_K, F.col("nd")).otherwise(BOTTOMK_K)
+    ).select(
+        "event_type",
+        F.col("nd").cast("bigint").alias("exact_distinct"),
+        F.round(est, 4).alias("bottomk_estimate"),
+        F.round(F.abs(est - F.col("nd")) / F.col("nd"), 6).alias("rel_error"),
+    )

@@ -61,6 +61,8 @@ EVENT_QUERIES = [
     "q263_ohlc_bars",
     # single-variant splits and p∈{0,1} corners of the interval
     "q266_wilson_interval",
+    # tiny groups exercise the n<k exact-fallback branch of KMV
+    "q271_bottomk_distinct",
 ]
 DOC_QUERIES = [
     "q60_dedup_exact",
