@@ -3,6 +3,7 @@ windows and custom stateful operators over the ``events`` stream."""
 
 from .jobs import (  # noqa: F401
     click_purchase_join,
+    purchase_click_left_join,
     dedup_events,
     read_events_stream,
     session_aggregate,

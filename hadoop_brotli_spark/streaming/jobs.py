@@ -37,7 +37,11 @@ EVENTS_SCHEMA = StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """readStream over the events parquet, normalizing ``ts`` to
     TIMESTAMP the same way the batch catalog does.
 
@@ -53,12 +57,17 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         .parquet(events_dir)
         .schema
     )
-    raw = (
+    reader = (
         spark.readStream.schema(footer)
         .format("parquet")
         .option("pathGlobFilter", "events*.parquet")
-        .load(events_dir)
     )
+    if max_files_per_trigger is not None:
+        # bound each micro-batch so multi-file fixtures advance the
+        # watermark BETWEEN batches (outer joins emit their
+        # null-padded rows only on watermark advance)
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(events_dir)
     ts_type = {f.name: f.dataType.typeName() for f in footer.fields}["ts"]
     if ts_type == "long":  # TIMESTAMP(NANOS) read as raw nanos
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -206,6 +215,58 @@ def click_purchase_join(
             "click_ts",
             "purchase_ts",
             "purchase_value",
+        )
+    )
+
+
+def purchase_click_left_join(
+    purchases: DataFrame, clicks: DataFrame, max_gap: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase emits exactly
+    once — joined to each same-user click in the preceding
+    ``max_gap``, or with NULL click columns once the click-side
+    watermark proves no matching click can still arrive.
+
+    The outer side is the semantic difference from
+    ``click_purchase_join``: an unmatched purchase row is NOT
+    droppable state — it must be HELD until the watermark passes
+    ``purchase_ts`` (only then is "no click existed" a fact, not an
+    absence-so-far), at which point Spark emits the null-padded row
+    and frees the state. That watermark-gated null emission is why
+    both sides need watermarks AND the join predicate needs the time
+    bound; without them the engine cannot ever conclude a match is
+    impossible. State per key stays bounded by the gap window, same
+    as the inner form.
+    """
+    p = purchases.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    c = clicks.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return (
+        p.withWatermark("purchase_ts", max_gap)
+        .join(
+            c.withWatermark("click_ts", max_gap),
+            F.expr(
+                "p_user = c_user AND "
+                f"click_ts BETWEEN purchase_ts - INTERVAL {max_gap}"
+                " AND purchase_ts"
+            ),
+            "leftOuter",
+        )
+        .select(
+            F.col("p_user").alias("user_id"),
+            "purchase_id",
+            "purchase_ts",
+            "purchase_value",
+            "click_id",
+            "click_ts",
         )
     )
 

@@ -444,3 +444,81 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir):
     assert got == want
     # no-match events must survive with NULL tier
     assert any(r[2] is None for r in got)
+
+
+def test_stream_stream_left_join_matches_batch(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream join: matched rows == batch inner
+    join; null-padded rows appear exactly for purchases the
+    watermark has proven click-less (and never spuriously)."""
+    import pandas as pd
+
+    from hadoop_brotli_spark.streaming import purchase_click_left_join
+
+    # split the fixture into two time-halves so the second micro-batch
+    # runs with a watermark advanced by the first (null emission needs
+    # watermark movement between batches)
+    ev_pdf = (
+        load_table(spark, sf_dir, "events").toPandas().sort_values("ts")
+    )
+    half = len(ev_pdf) // 2
+    d = tmp_path / "halves"
+    d.mkdir()
+    ev_pdf.iloc[:half].to_parquet(d / "events_a.parquet", index=False)
+    ev_pdf.iloc[half:].to_parquet(d / "events_b.parquet", index=False)
+
+    stream = purchase_click_left_join(
+        read_events_stream(spark, str(d), max_files_per_trigger=1),
+        read_events_stream(spark, str(d), max_files_per_trigger=1),
+    )
+    run_to_completion(stream, "t_ssl", "append")
+    got = spark.sql("SELECT * FROM t_ssl")
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    cond = F.expr(
+        "p_user = c_user AND "
+        "click_ts BETWEEN purchase_ts - INTERVAL 1 HOUR AND purchase_ts"
+    )
+    batch_inner = rows(
+        p.join(c, cond).select(
+            F.col("p_user").alias("user_id"),
+            "purchase_id",
+            "purchase_ts",
+            "purchase_value",
+            "click_id",
+            "click_ts",
+        )
+    )
+    # 1) matched rows agree exactly with the batch inner join
+    assert rows(got.filter(F.col("click_id").isNotNull())) == batch_inner
+
+    # 2) null rows are a SUBSET of the batch click-less purchases …
+    batch_nulls = {
+        r.purchase_id for r in p.join(c, cond, "left_anti").collect()
+    }
+    got_nulls = {
+        r.purchase_id for r in got.filter(F.col("click_id").isNull()).collect()
+    }
+    assert got_nulls <= batch_nulls
+
+    # 3) … and every click-less purchase old enough that the first
+    # batch's watermark already closed it MUST have emitted
+    first_half_max = pd.Timestamp(ev_pdf.iloc[:half]["ts"].max())
+    closed_before = first_half_max - pd.Timedelta(hours=2)
+    must_emit = {
+        r.purchase_id
+        for r in p.join(c, cond, "left_anti")
+        .filter(F.col("purchase_ts") <= F.lit(closed_before))
+        .collect()
+    }
+    assert must_emit <= got_nulls
