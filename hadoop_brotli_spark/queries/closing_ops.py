@@ -2082,3 +2082,360 @@ def q271_bottomk_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est, 4).alias("bottomk_estimate"),
         F.round(F.abs(est - F.col("nd")) / F.col("nd"), 6).alias("rel_error"),
     )
+
+
+# --------------------------------------------- q272 WOE / IV binning
+
+WOE_BINS = [0.2, 0.4, 0.6, 0.8]
+
+
+@register(
+    "q272_woe_iv_binning",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE)
+               AS click_value,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    cuts AS (
+      SELECT quantile_cont(click_value, 0.2) AS c1,
+             quantile_cont(click_value, 0.4) AS c2,
+             quantile_cont(click_value, 0.6) AS c3,
+             quantile_cont(click_value, 0.8) AS c4
+      FROM per_user
+    ),
+    binned AS (
+      SELECT CASE WHEN click_value <= c1 THEN 1
+                  WHEN click_value <= c2 THEN 2
+                  WHEN click_value <= c3 THEN 3
+                  WHEN click_value <= c4 THEN 4
+                  ELSE 5 END AS bin,
+             y
+      FROM per_user, cuts
+    ),
+    tot AS (
+      SELECT CAST(SUM(y) AS DOUBLE) AS p,
+             CAST(SUM(1 - y) AS DOUBLE) AS n
+      FROM binned
+    )
+    SELECT bin,
+           COUNT(*) AS n_users,
+           CAST(SUM(y) AS BIGINT) AS n_converted,
+           ROUND(LN(((SUM(y) + 0.5) / NULLIF(p, 0.0))
+                 / ((SUM(1 - y) + 0.5) / NULLIF(n, 0.0))), 6) AS woe,
+           ROUND(((SUM(y) + 0.5) / NULLIF(p, 0.0)
+                   - (SUM(1 - y) + 0.5) / NULLIF(n, 0.0))
+                 * LN(((SUM(y) + 0.5) / NULLIF(p, 0.0))
+                 / ((SUM(1 - y) + 0.5) / NULLIF(n, 0.0))), 6)
+             AS iv_contribution
+    FROM binned, tot
+    GROUP BY bin, p, n
+    """,
+)
+def q272_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value feature audit — the
+    credit-scoring-era feature-selection op that still gates every
+    tabular-model feature: per-(user, day) click value binned into quintiles
+    (percentile thresholds broadcast map-side, q186's pattern — no
+    global ntile sort), per bin the same-day conversion split, the
+    0.5-smoothed WOE = ln(share_pos/share_neg), and the per-bin IV
+    contribution (q142's chi-square style: contributions, not an
+    order-dependent float total).
+
+    Two bounded passes: the (user, day)-grain reduce (the grain guarantees both classes exist — this fixture's every USER eventually converts, and Spark-4 ANSI double division treats a 0 class total as an error, not infinity), then a 5-row bin
+    aggregate; ln runs on identical operands in both engines (q229
+    precedent), smoothing keeps empty cells portable instead of
+    ln(0)-undefined.
+    """
+    per_user = t(spark, sf_dir, "events").groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "click",
+                F.col("value").cast("decimal(18,2)"),
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("click_value"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    cuts = per_user.agg(
+        *[
+            F.percentile("click_value", F.lit(q)).alias(f"c{i + 1}")
+            for i, q in enumerate(WOE_BINS)
+        ]
+    )
+    binned = per_user.crossJoin(F.broadcast(cuts)).select(
+        F.when(F.col("click_value") <= F.col("c1"), 1)
+        .when(F.col("click_value") <= F.col("c2"), 2)
+        .when(F.col("click_value") <= F.col("c3"), 3)
+        .when(F.col("click_value") <= F.col("c4"), 4)
+        .otherwise(5)
+        .alias("bin"),
+        "y",
+    )
+    tot = binned.agg(
+        F.sum("y").cast("double").alias("p"),
+        F.sum(1 - F.col("y")).cast("double").alias("n"),
+    )
+    g = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("y").cast("bigint").alias("n_converted"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+    )
+    joined = g.crossJoin(F.broadcast(tot))
+    # NULLIF the class totals: a generated corpus with zero
+    # positives/negatives must yield NULL WOE on both engines (Spark
+    # ANSI errors on double/0, DuckDB returns inf)
+    pos_share = (F.col("n_converted") + 0.5) / F.nullif(F.col("p"), F.lit(0.0))
+    neg_share = (F.col("n_neg") + 0.5) / F.nullif(F.col("n"), F.lit(0.0))
+    woe = F.log(pos_share / neg_share)
+    return joined.select(
+        "bin",
+        "n_users",
+        "n_converted",
+        F.round(woe, 6).alias("woe"),
+        F.round((pos_share - neg_share) * woe, 6).alias("iv_contribution"),
+    )
+
+
+# ------------------------------------ q273 leave-one-out target enc
+
+LOO_PROBE_KEYS = 20
+
+
+@register(
+    "q273_target_encoding_loo",
+    oracle=f"""
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
+                  AS DECIMAL(28,2)) AS y
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment
+    ),
+    seg AS (
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(y) AS DECIMAL(28,2)) AS s
+      FROM spend GROUP BY c_mktsegment
+    )
+    SELECT sp.c_custkey, sp.c_mktsegment,
+           CAST(sp.y AS DOUBLE) AS own_spend,
+           ROUND(CAST(sg.s - sp.y AS DOUBLE) / NULLIF(sg.n - 1, 0), 6)
+             AS loo_encoding,
+           ROUND(CAST(sg.s AS DOUBLE) / sg.n, 6) AS naive_encoding
+    FROM spend sp JOIN seg sg ON sg.c_mktsegment = sp.c_mktsegment
+    WHERE sp.c_custkey < {LOO_PROBE_KEYS}
+    """,
+)
+def q273_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of customer market segment
+    against total spend — the leakage-safe categorical encoder:
+    each row's feature is (segment sum − OWN target)/(n−1), so a
+    row never sees its own label (the naive segment mean, also
+    emitted, leaks it — the gap between the two columns IS the
+    leakage). Output is the bounded probe slice (custkey <
+    {LOO_PROBE_KEYS}) with both encodings.
+
+    Plan: one per-customer exact-decimal reduce, one |segments|-row
+    aggregate broadcast back onto rows — the encoding is map-side
+    arithmetic, no per-row window; NULLIF guards singleton
+    segments. At 100 TB this is the standard two-pass encoder
+    (aggregate once, broadcast, encode in the scan).
+    """
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                F.lit(0).cast("decimal(18,2)"),
+            )
+            .cast("decimal(28,2)")
+            .alias("y")
+        )
+    )
+    seg = spend.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("decimal(28,2)").alias("s"),
+    )
+    return (
+        spend.filter(F.col("c_custkey") < LOO_PROBE_KEYS)
+        .join(F.broadcast(seg), "c_mktsegment")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.col("y").cast("double").alias("own_spend"),
+            F.round(
+                (F.col("s") - F.col("y")).cast("double")
+                / F.nullif(F.col("n") - 1, F.lit(0)),
+                6,
+            ).alias("loo_encoding"),
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias(
+                "naive_encoding"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------- q274 feature hashing
+
+HASH_DIMS = 32
+
+
+@register(
+    "q274_feature_hashing",
+    oracle=f"""
+    WITH words AS (
+      SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    mapped AS (
+      SELECT w,
+             CAST(('0x' || substr(md5('fh:' || w), 1, 7)) AS BIGINT)
+               % {HASH_DIMS} AS dim,
+             CASE WHEN CAST(('0x' || substr(md5('fs:' || w), 1, 7)) AS BIGINT)
+                  % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM words
+    )
+    SELECT dim,
+           COUNT(DISTINCT w) AS n_distinct_words,
+           COUNT(*) AS total_count,
+           CAST(SUM(sgn) AS BIGINT) AS signed_sum
+    FROM mapped GROUP BY dim
+    """,
+)
+def q274_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (feature hashing): every corpus token maps
+    to one of {HASH_DIMS} feature dimensions by hash, with a second
+    hash bit supplying the ± sign that makes collisions cancel in
+    expectation (Weinberger et al. 2009) — the vocabulary-free
+    featurizer for models that can't ship a vocab (vs q225's
+    indexed vocabulary). Per dimension: distinct words landing there
+    (the collision census), raw count mass, and the signed sum an
+    actual hashed feature vector would carry.
+
+    No vocabulary state, no broadcast, no shuffle beyond one
+    {HASH_DIMS}-row aggregate — the property that makes the trick
+    the 100 TB featurizer; the distinct-word count rides the same
+    reduce two-phase.
+    """
+    words = fan_out(t(spark, sf_dir, "documents")).select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+
+    def h(tag: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag), F.col("w")).cast("binary")), 1, 7
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    mapped = words.select(
+        "w",
+        (h("fh:") % HASH_DIMS).alias("dim"),
+        F.when(h("fs:") % 2 == 0, 1).otherwise(-1).alias("sgn"),
+    )
+    return mapped.groupBy("dim").agg(
+        F.count_distinct("w").alias("n_distinct_words"),
+        F.count(F.lit(1)).alias("total_count"),
+        F.sum("sgn").cast("bigint").alias("signed_sum"),
+    )
+
+
+# ---------------------------------------------- q275 exact AUC
+
+
+@register(
+    "q275_auc_rank",
+    oracle="""
+    WITH scored AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    hist AS (
+      SELECT score, CAST(SUM(y) AS BIGINT) AS np,
+             CAST(SUM(1 - y) AS BIGINT) AS nn
+      FROM scored GROUP BY score
+    ),
+    cum AS (
+      SELECT score, np, nn,
+             COALESCE(SUM(nn) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_neg
+      FROM hist
+    ),
+    agg AS (
+      SELECT CAST(SUM(np) AS BIGINT) AS p,
+             CAST(SUM(nn) AS BIGINT) AS n,
+             CAST(SUM(np * (2 * cum_neg + nn)) AS BIGINT) AS num2
+      FROM cum
+    )
+    SELECT p AS n_pos, n AS n_neg,
+           ROUND(CAST(num2 AS DOUBLE) / NULLIF(2.0 * p * n, 0.0), 6) AS auc,
+           ROUND(CAST(num2 AS DOUBLE) / NULLIF(1.0 * p * n, 0.0) - 1.0, 6)
+             AS gini
+    FROM agg
+    """,
+)
+def q275_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of a score column (document length) against a
+    binary label (lang = 'en'), with correct tie handling — the
+    rank-statistic eval every classifier gate needs, computed in its
+    HISTOGRAM form: group by distinct score (np, nn per value), one
+    cumulative window over that bounded value grain, and
+    AUC = Σ npᵢ·(cum_negᵢ + nnᵢ/2) / (P·N). Ties contribute the ½
+    term exactly (equivalent to average-rank Mann-Whitney U — no
+    per-row global ranking, which at 100 TB would be a full sort:
+    the histogram reduce shrinks the sort to |distinct scores|).
+    The ×2 integer trick keeps the numerator BIGINT-exact; only the
+    final division is float. Gini = 2·AUC − 1 rides along.
+    """
+    from pyspark.sql import Window as W
+
+    scored = t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    hist = scored.groupBy("score").agg(
+        F.sum("y").cast("bigint").alias("np"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("nn"),
+    )
+    wc = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    cum = hist.select(
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(wc), F.lit(0)).alias("cum_neg"),
+    )
+    agg = cum.agg(
+        F.sum("np").cast("bigint").alias("p"),
+        F.sum("nn").cast("bigint").alias("n"),
+        F.sum(F.col("np") * (2 * F.col("cum_neg") + F.col("nn")))
+        .cast("bigint")
+        .alias("num2"),
+    )
+    return agg.select(
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        F.round(
+            F.col("num2").cast("double")
+            / F.nullif(2.0 * F.col("p") * F.col("n"), F.lit(0.0)),
+            6,
+        ).alias("auc"),
+        F.round(
+            F.col("num2").cast("double")
+            / F.nullif(1.0 * F.col("p") * F.col("n"), F.lit(0.0))
+            - 1.0,
+            6,
+        ).alias("gini"),
+    )

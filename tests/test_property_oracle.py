@@ -63,6 +63,9 @@ EVENT_QUERIES = [
     "q266_wilson_interval",
     # tiny groups exercise the n<k exact-fallback branch of KMV
     "q271_bottomk_distinct",
+    # zero-positive / zero-negative corpora must NULL the WOE, not
+    # diverge (ANSI error vs inf)
+    "q272_woe_iv_binning",
 ]
 DOC_QUERIES = [
     "q60_dedup_exact",
@@ -105,6 +108,10 @@ DOC_QUERIES = [
     # heavy pair-count ties + repeated single-word corpora attack the
     # argmax tie-break and the two-pass merge rewrite
     "q268_bpe_merge_iterations",
+    # hash-dim collisions under tiny vocabularies
+    "q274_feature_hashing",
+    # single-class corpora must NULL the AUC on both engines
+    "q275_auc_rank",
 ]
 
 
