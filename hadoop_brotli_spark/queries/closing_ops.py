@@ -2439,3 +2439,272 @@ def q275_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ------------------------------------------- q276 EWMA smoothing
+
+EWMA_ALPHA = 0.3
+EWMA_K = 20  # truncation depth; tail weight (1-a)^20 ~ 8e-4
+EWMA_W = [EWMA_ALPHA * (1 - EWMA_ALPHA) ** k for k in range(EWMA_K)]
+
+
+@register(
+    "q276_ewma_smoothing",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT d, rev,
+             {", ".join(f"LAG(rev, {k}) OVER (ORDER BY d) AS x{k}"
+                        for k in range(EWMA_K))}
+      FROM daily
+    )
+    SELECT d, rev,
+           ROUND(({" + ".join(f"CAST({w!r} AS DOUBLE) * x{k}"
+                              for k, w in enumerate(EWMA_W))})
+             / ({" + ".join(f"CAST({w!r} AS DOUBLE)" for w in EWMA_W)}), 6)
+             AS ewma
+    FROM lagged
+    WHERE x{EWMA_K - 1} IS NOT NULL
+    ORDER BY d
+    """,
+)
+def q276_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily revenue —
+    the smoother behind every ops dashboard and the EWMA control
+    chart family. The textbook recursion s_t = αx_t + (1−α)s_{t−1}
+    is a sequential scan (hostile to both distribution and
+    cross-engine determinism), so this computes the TRUNCATED form:
+    Σ_{{k<{EWMA_K}}} α(1−α)^k·x_{{t−k}}, renormalized over the
+    included weights — tail weight (1−α)^{EWMA_K} ≈ 8e-4 bounds the
+    truncation error, the window is a fixed {EWMA_K}-lag frame over
+    the bounded daily grain, and the weights are shared double
+    literals, so the weighted sum is the same IEEE op sequence on
+    both engines (left-to-right `+` chain). Warm-up rows (fewer than
+    {EWMA_K} trailing days) are excluded rather than silently
+    under-weighted.
+    """
+    from pyspark.sql import Window as W
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    w = W.orderBy("d")
+    lagged = daily.select(
+        "d",
+        "rev",
+        *[F.lag("rev", k).over(w).alias(f"x{k}") for k in range(EWMA_K)],
+    )
+    num = F.lit(EWMA_W[0]) * F.col("x0")
+    for k in range(1, EWMA_K):
+        num = num + F.lit(EWMA_W[k]) * F.col(f"x{k}")
+    den = sum(EWMA_W[1:], EWMA_W[0])
+    # den is a Python float folded in the same left-to-right order as
+    # the SQL literal chain
+    return (
+        lagged.filter(F.col(f"x{EWMA_K - 1}").isNotNull())
+        .select("d", "rev", F.round(num / F.lit(den), 6).alias("ewma"))
+        .orderBy("d")
+    )
+
+
+# --------------------------------------------- q277 k-core peeling
+
+KCORE_K = 8  # degree threshold
+KCORE_ROUNDS = 3  # unrolled peels
+KCORE_CAP = 40  # per-part posting-list cap (q214's bound)
+
+
+@register(
+    "q277_kcore_peeling",
+    oracle=f"""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    capped AS (
+      SELECT l_partkey, l_suppkey FROM (
+        SELECT l_partkey, l_suppkey,
+               COUNT(*) OVER (PARTITION BY l_partkey) AS deg
+        FROM ps
+      ) WHERE deg <= {KCORE_CAP}
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM capped a JOIN capped b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey <> b.l_suppkey
+    ),
+    n0 AS (SELECT DISTINCT u FROM edges),
+    {", ".join(
+        f'''n{i} AS (
+      SELECT e.u FROM edges e
+      JOIN n{i - 1} su ON su.u = e.u
+      JOIN n{i - 1} sv ON sv.u = e.v
+      GROUP BY e.u HAVING COUNT(*) >= {KCORE_K}
+    )''' for i in range(1, KCORE_ROUNDS + 1))}
+    SELECT {" UNION ALL SELECT ".join(
+        f"{i} AS round, (SELECT COUNT(*) FROM n{i}) AS survivors"
+        for i in range(0, KCORE_ROUNDS + 1))}
+    """,
+)
+def q277_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition by iterative peeling over the co-supply
+    graph (suppliers adjacent when they serve a common part): each
+    round drops vertices whose degree WITHIN the surviving subgraph
+    is < {KCORE_K}, and the survivor counts per round are the
+    convergence trace — the community-density screen (spam-ring /
+    collusion detection, dense-subgraph mining) that plain degree
+    filtering (one round) gets wrong because removals cascade.
+
+    {KCORE_ROUNDS} rounds unrolled into one plan (q268's bounded-
+    iteration rule; a data-driven loop would checkpoint per round):
+    each peel is two semi-join-shaped reduces on the REDUCED edge
+    list — built from the distinct (part, supplier) projection with
+    q214's posting-list cap bounding pair fan-out — never on raw
+    lineitem.
+    """
+    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    from pyspark.sql import Window as W
+
+    deg_w = W.partitionBy("l_partkey")
+    capped = (
+        ps.withColumn("deg", F.count(F.lit(1)).over(deg_w))
+        .filter(F.col("deg") <= KCORE_CAP)
+        .drop("deg")
+    )
+    b = capped.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("v")
+    )
+    edges = (
+        capped.join(
+            b,
+            (F.col("l_partkey") == F.col("pk"))
+            & (F.col("l_suppkey") != F.col("v")),
+        )
+        .select(F.col("l_suppkey").alias("u"), "v")
+        .distinct()
+    )
+    survivors = edges.select("u").distinct()
+    counts = [survivors.agg(F.count(F.lit(1)).alias("survivors"))]
+    cur = survivors
+    for _ in range(KCORE_ROUNDS):
+        su = cur.select(F.col("u"))
+        sv = cur.select(F.col("u").alias("v"))
+        cur = (
+            edges.join(su, "u")
+            .join(sv, "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select("u")
+        )
+        counts.append(cur.agg(F.count(F.lit(1)).alias("survivors")))
+    out = None
+    for i, c in enumerate(counts):
+        row = c.select(F.lit(i).alias("round"), "survivors")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# -------------------------------- q278 price/volume decomposition
+
+
+@register(
+    "q278_price_volume_decomposition",
+    oracle="""
+    WITH py AS (
+      SELECT l_partkey, CAST(YEAR(l_shipdate) AS INTEGER) AS y,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS rev
+      FROM lineitem WHERE YEAR(l_shipdate) IN (1996, 1997)
+      GROUP BY l_partkey, YEAR(l_shipdate)
+    ),
+    both_years AS (
+      SELECT a.l_partkey,
+             a.qty AS q0, a.rev AS r0, a.rev / a.qty AS p0,
+             b.qty AS q1, b.rev AS r1, b.rev / b.qty AS p1
+      FROM py a JOIN py b
+        ON b.l_partkey = a.l_partkey AND a.y = 1996 AND b.y = 1997
+    )
+    SELECT COUNT(*) AS n_parts,
+           ROUND(CAST(SUM(CAST(r1 - r0 AS DECIMAL(28,6))) AS DOUBLE), 2)
+             AS revenue_delta,
+           ROUND(CAST(SUM(CAST((p1 - p0) * q0 AS DECIMAL(28,6))) AS DOUBLE),
+             2) AS price_effect,
+           ROUND(CAST(SUM(CAST(p1 * (q1 - q0) AS DECIMAL(28,6))) AS DOUBLE),
+             2) AS volume_effect,
+           ROUND(CAST(SUM(CAST(p1 * q0 AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(SUM(CAST(p0 * q0 AS DECIMAL(28,6))) AS DOUBLE), 6)
+             AS laspeyres_price_index
+    FROM both_years
+    """,
+)
+def q278_price_volume_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume decomposition of the 1996→1997 revenue change
+    over parts sold in BOTH years, plus the Laspeyres price index —
+    the finance-planning op that answers 'did revenue move because
+    prices moved or because volumes moved': Δrev = (Δp)·q0 +
+    p1·(Δq), with the index Σp1·q0 / Σp0·q0 weighting price change
+    by base-year volume.
+
+    One scan reduces to the (part, year) grain with exact-decimal
+    qty/revenue sums; unit prices are IEEE-deterministic ratios of
+    those exact sums; every cross-part aggregation passes through a
+    DECIMAL(28,6) roundtrip (q267's rule) so the totals are
+    partition-order-independent. The two-year align is a self-join
+    on the reduced grain.
+    """
+    py = (
+        t(spark, sf_dir, "lineitem")
+        .withColumn("y", F.year("l_shipdate"))
+        .filter(F.col("y").isin(1996, 1997))
+        .groupBy("l_partkey", "y")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev"),
+        )
+    )
+    a = py.filter(F.col("y") == 1996).select(
+        "l_partkey",
+        F.col("qty").alias("q0"),
+        F.col("rev").alias("r0"),
+        (F.col("rev") / F.col("qty")).alias("p0"),
+    )
+    b = py.filter(F.col("y") == 1997).select(
+        F.col("l_partkey").alias("pk1"),
+        F.col("qty").alias("q1"),
+        F.col("rev").alias("r1"),
+        (F.col("rev") / F.col("qty")).alias("p1"),
+    )
+    j = a.join(b, a["l_partkey"] == b["pk1"])
+
+    def dsum6(col):
+        return F.sum(col.cast("decimal(28,6)")).cast("double")
+
+    return j.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(dsum6(F.col("r1") - F.col("r0")), 2).alias("revenue_delta"),
+        F.round(dsum6((F.col("p1") - F.col("p0")) * F.col("q0")), 2).alias(
+            "price_effect"
+        ),
+        F.round(dsum6(F.col("p1") * (F.col("q1") - F.col("q0"))), 2).alias(
+            "volume_effect"
+        ),
+        F.round(
+            dsum6(F.col("p1") * F.col("q0")) / dsum6(F.col("p0") * F.col("q0")),
+            6,
+        ).alias("laspeyres_price_index"),
+    )
