@@ -259,3 +259,64 @@ def compact_parquet(
         df = df.sortWithinPartitions(*sort_within_by)
     df.write.mode("overwrite").parquet(dst)
     return n
+
+
+# ------------------------------------------------- fixed-width text
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    colspecs: list[tuple[str, int, int, str]],
+    *,
+    trim: bool = True,
+) -> DataFrame:
+    """Read fixed-width text records (mainframe/COBOL extracts, the
+    format enterprise feeds still arrive in) into typed columns.
+
+    ``colspecs`` is ``[(name, start, length, type)]`` with 1-based
+    ``start`` character offsets and Spark type names (``string``,
+    ``int``, ``bigint``, ``double``, ``date``, ...). Values are
+    sliced with ``substring`` and cast JVM-side — one codegen
+    projection over the text scan, no Python. ``trim`` strips the
+    space padding fixed-width encoders emit.
+
+    Scale: plain-text scans are splittable by line, so a 100 TB feed
+    parallelizes by ``maxPartitionBytes`` like CSV; the slice+cast
+    projection pushes column pruning down to nothing (text sources
+    always read whole lines — convert to parquet once, early,
+    which `write_parquet` does).
+    """
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path)
+    cols = []
+    for name, start, length, typ in colspecs:
+        c = F.substring("value", start, length)
+        if trim:
+            c = F.trim(c)
+        cols.append(c.cast(typ).alias(name))
+    return raw.select(*cols)
+
+
+def write_fixed_width(
+    df: DataFrame,
+    path: str,
+    widths: list[tuple[str, int]],
+    *,
+    mode: str = "overwrite",
+) -> None:
+    """Write a DataFrame as fixed-width text: each column is
+    stringified, right-padded (left-padded would turn numerics into
+    COBOL zoned style — keep it simple and symmetric with
+    ``read_fixed_width``'s trim) and truncated to its width, then
+    concatenated. Round-trips through ``read_fixed_width`` with the
+    matching colspecs."""
+    from pyspark.sql import functions as F
+
+    parts = [
+        F.rpad(F.coalesce(F.col(name).cast("string"), F.lit("")), width, " ").substr(
+            1, width
+        )
+        for name, width in widths
+    ]
+    df.select(F.concat(*parts).alias("value")).write.mode(mode).text(path)

@@ -142,3 +142,35 @@ def test_avro_gated(spark, sf_dir, tmp_path):
             write_avro(nation, out)
         with _pytest.raises(NotImplementedError, match="spark-avro"):
             read_avro(spark, out).collect()
+
+
+def test_fixed_width_roundtrip(spark, sf_dir, tmp_path):
+    """write_fixed_width → read_fixed_width round-trips typed rows."""
+    from hadoop_brotli_spark.catalog import load_table
+    from hadoop_brotli_spark.sources.formats import (
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    src = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    dst = str(tmp_path / "fw")
+    write_fixed_width(
+        src,
+        dst,
+        [("c_custkey", 10), ("c_name", 20), ("c_mktsegment", 12), ("c_acctbal", 12)],
+    )
+    back = read_fixed_width(
+        spark,
+        dst,
+        [
+            ("c_custkey", 1, 10, "bigint"),
+            ("c_name", 11, 20, "string"),
+            ("c_mktsegment", 31, 12, "string"),
+            ("c_acctbal", 43, 12, "double"),
+        ],
+    )
+    a = sorted(tuple(r) for r in src.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
