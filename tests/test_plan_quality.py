@@ -262,3 +262,35 @@ def test_q207_bitmap_two_level_agg(spark, sf_dir):
     """Bitmap distinct: per-(key, bucket) bitmaps then a per-key count
     reduction — two keyed exchanges, never a shuffle of raw ids."""
     assert plans.exchange_count(q(spark, sf_dir, "q207_bitmap_distinct")) <= 2
+
+
+def test_q254_semdedup_pairs_are_equi_join(spark, sf_dir):
+    # SemDeDup candidates must come from a HASH equi-join on the
+    # bucket key (the id inequality as post-filter) — never a
+    # nested-loop over all pairs
+    plan = plans.executed_plan(q(spark, sf_dir, "q254_semantic_dedup"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_q262_checksum_no_joins_no_wide_shuffle(spark, sf_dir):
+    # the migration checksum is per-table scan + 1-row reduce: no
+    # join of any kind, and only single-partition final-agg exchanges
+    plan = plans.executed_plan(q(spark, sf_dir, "q262_table_checksum"))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q253_window_hashing_precedes_shuffle(spark, sf_dir):
+    # the exact-substring exchange must carry window HASHES, not
+    # window text: no join may be nested-loop and the doc-frequency
+    # reduce is a hash aggregate
+    plan = plans.executed_plan(q(spark, sf_dir, "q253_exact_substring_dup"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
