@@ -173,3 +173,64 @@ def decode_audio(payload: bytes):
         "non-WAV audio decode requires soundfile/librosa; absent in this "
         "environment (PCM16 WAV decodes natively via parse_wav)"
     )
+
+
+# ------------------------------------------------------------- BMP
+
+BMP_HEADER_LEN = 54  # 14-byte BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER
+
+
+def build_bmp(width: int, height: int, pixels) -> bytes:
+    """Encode an uncompressed 24-bit bottom-up BMP (the Windows
+    default layout): ``pixels`` is an (h, w, 3) RGB uint8 array.
+    Rows are stored bottom-up, channels as BGR, each row padded to a
+    4-byte boundary — the three layout quirks every naive decoder
+    gets wrong."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[0], px.shape[1]
+    row_len = w * 3
+    pad = (4 - row_len % 4) % 4
+    img_size = (row_len + pad) * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", BMP_HEADER_LEN + img_size, 0, 0, BMP_HEADER_LEN
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    bgr = px[:, :, ::-1]  # RGB -> BGR
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        rows.append(bgr[y].tobytes() + b"\x00" * pad)
+    return header + b"".join(rows)
+
+
+def decode_bmp_pixels(payload: bytes):
+    """REAL BMP pixel decode with no image library: parse the file
+    and info headers, strip per-row padding, undo the bottom-up row
+    order and the BGR channel order. Returns (width, height,
+    (h, w, 3) RGB uint8 array). Raises ``ValueError`` on anything
+    that is not an uncompressed 24-bit BMP."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    (hdr_sz, w, h, planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    row_len = w * 3
+    stride = row_len + (4 - row_len % 4) % 4
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * abs(h), offset=data_off
+    ).reshape(abs(h), stride)[:, :row_len]
+    bgr = raw.reshape(abs(h), w, 3)
+    if h > 0:  # positive height = bottom-up storage
+        bgr = bgr[::-1]
+    return w, abs(h), bgr[:, :, ::-1]

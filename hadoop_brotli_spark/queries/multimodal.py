@@ -265,3 +265,104 @@ def q217_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         " rms double"
     )
     return blobs.mapInPandas(decode, schema=schema)
+
+
+# ----------------------------------------- q279 real BMP pixel decode
+
+
+@register(
+    "q279_bmp_pixel_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 16 + n_chars % 16 AS w, 8 + n_chars % 8 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             (3 * x + 5 * y + doc_id) % 256 AS r,
+             (7 * x + y + 2 * doc_id) % 256 AS g,
+             (x + 11 * y + 3 * doc_id) % 256 AS b
+      FROM m, UNNEST(range(w)) AS rx(x), UNNEST(range(h)) AS ry(y)
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(54 + h * (3 * w + (4 - (3 * w) % 4) % 4) AS BIGINT)
+             AS n_bytes,
+           ROUND(CAST(SUM(r) AS DOUBLE) / (w * h), 6) AS mean_r,
+           ROUND(CAST(SUM(g) AS DOUBLE) / (w * h), 6) AS mean_g,
+           ROUND(CAST(SUM(b) AS DOUBLE) / (w * h), 6) AS mean_b,
+           CAST(doc_id % 256 AS BIGINT) AS corner_r,
+           CAST(((w - 1) + 11 * (h - 1) + 3 * doc_id) % 256 AS BIGINT)
+             AS corner_b
+    FROM px
+    GROUP BY doc_id, w, h
+    """,
+)
+def q279_bmp_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image PIXEL decode with zero image libraries: stage 1
+    renders each document a deterministic RGB test card and encodes
+    it as a byte-exact uncompressed 24-bit BMP (bottom-up rows, BGR
+    channels, 4-byte row padding — the real Windows layout); stage 2
+    — the operator under test — decodes the pixels back OUT of the
+    bytes with ``decode_bmp_pixels`` (struct header parse + numpy
+    stride/pad/flip arithmetic, no shared code with the encoder) and
+    reports per-channel means, the file size, and two corner probes.
+
+    The oracle recomputes everything from the pixel FORMULA, never
+    touching bytes — so a decoder bug in row order (bottom-up flip),
+    channel order (BGR swap), or stride padding shifts a corner
+    probe or a channel mean and breaks the hash. This upgrades the
+    multimodal surface from header parsing (q90/q217) to full pixel
+    decode for one real format. Plumbing: Arrow-batched mapInPandas,
+    one image in flight per row, metadata-only readers never touch
+    the blob column.
+    """
+    import numpy as np
+
+    from ..functions.media import build_bmp, decode_bmp_pixels
+
+    meta = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    out_schema = (
+        "doc_id long, width long, height long, n_bytes long, "
+        "mean_r double, mean_g double, mean_b double, "
+        "corner_r long, corner_b long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = int(doc_id), int(n_chars)
+                w, h = 16 + n % 16, 8 + n % 8
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                px = np.stack(
+                    [
+                        (3 * xs + 5 * ys + d) % 256,
+                        (7 * xs + ys + 2 * d) % 256,
+                        (xs + 11 * ys + 3 * d) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                data = build_bmp(w, h, px)
+                # ---- operator under test: decode bytes -> pixels ----
+                dw, dh, rgb = decode_bmp_pixels(data)
+                npix = dw * dh
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "width": dw,
+                        "height": dh,
+                        "n_bytes": len(data),
+                        "mean_r": round(int(rgb[:, :, 0].sum()) / npix, 6),
+                        "mean_g": round(int(rgb[:, :, 1].sum()) / npix, 6),
+                        "mean_b": round(int(rgb[:, :, 2].sum()) / npix, 6),
+                        "corner_r": int(rgb[0, 0, 0]),
+                        "corner_b": int(rgb[dh - 1, dw - 1, 2]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return meta.mapInPandas(run, schema=out_schema)

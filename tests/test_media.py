@@ -107,3 +107,30 @@ def test_decode_audio_real_for_wav():
     rate, samples = decode_audio(build_wav([10, -10], 22050))
     assert rate == 22050
     assert list(samples) == [10, -10]
+
+
+def test_bmp_roundtrip_padding_and_orientation():
+    """build_bmp -> decode_bmp_pixels round-trips pixels exactly,
+    including 4-byte row padding (w=21) and the bottom-up row
+    order / BGR channel order."""
+    import numpy as np
+
+    from hadoop_brotli_spark.functions.media import (
+        BMP_HEADER_LEN,
+        build_bmp,
+        decode_bmp_pixels,
+    )
+
+    px = np.arange(21 * 13 * 3, dtype=np.uint8).reshape(13, 21, 3)
+    data = build_bmp(21, 13, px)
+    stride = 21 * 3 + (4 - (21 * 3) % 4) % 4
+    assert len(data) == BMP_HEADER_LEN + stride * 13
+    w, h, back = decode_bmp_pixels(data)
+    assert (w, h) == (21, 13)
+    assert (back == px).all()
+    # corrupting the magic must fail loudly
+    try:
+        decode_bmp_pixels(b"XX" + data[2:])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
