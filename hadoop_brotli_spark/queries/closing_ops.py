@@ -2708,3 +2708,165 @@ def q278_price_volume_decomposition(spark: SparkSession, sf_dir: str) -> DataFra
             6,
         ).alias("laspeyres_price_index"),
     )
+
+
+# --------------------------------- q280 k-anonymity generalization
+
+KANON_K = 10
+
+
+@register(
+    "q280_k_anon_generalization",
+    oracle=f"""
+    WITH l0 AS (
+      SELECT doc_id, lang, source,
+             COUNT(*) OVER (PARTITION BY lang, source) AS n0
+      FROM documents
+    ),
+    -- local recoding: the lang recount covers ONLY level-0 failures
+    failed AS (
+      SELECT lang, COUNT(*) OVER (PARTITION BY lang) AS n1
+      FROM l0 WHERE n0 < {KANON_K}
+    ),
+    assigned AS (
+      SELECT 0 AS level, lang AS lang_out, source AS source_out
+      FROM l0 WHERE n0 >= {KANON_K}
+      UNION ALL
+      SELECT CASE WHEN n1 >= {KANON_K} THEN 1 ELSE 2 END AS level,
+             CASE WHEN n1 >= {KANON_K} THEN lang ELSE '*' END AS lang_out,
+             '*' AS source_out
+      FROM failed
+    )
+    SELECT level, lang_out, source_out, COUNT(*) AS n_docs
+    FROM assigned GROUP BY level, lang_out, source_out
+    """,
+)
+def q280_k_anon_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity MITIGATION by generalization — the release
+    transform q247's audit calls for (the audit/mitigation pairing of
+    q193/q208): rows in (lang, source) classes of size ≥ {KANON_K}
+    release at level 0; smaller classes generalize source→'*'
+    (level 1, re-counted among the generalized rows per lang); still-
+    small classes fully suppress to ('*','*') (level 2). Output: the
+    released equivalence classes with chosen level and size.
+
+    The level-1 recount deliberately runs over ONLY the rows level 0
+    failed (local recoding): generalizing everyone would destroy
+    utility for classes that were already safe. Two windows over the
+    quasi-identifier grains, then one class-grain reduce — no row
+    ever leaves with a quasi-identifier rarer than k.
+    """
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    n0 = F.count(F.lit(1)).over(W.partitionBy("lang", "source"))
+    l0 = docs.withColumn("n0", n0)
+    # the lang recount must only cover rows that FAILED level 0
+    # (local recoding), so it windows over a pre-filtered frame:
+    failed = l0.filter(F.col("n0") < KANON_K).withColumn(
+        "n1", F.count(F.lit(1)).over(W.partitionBy("lang"))
+    )
+    safe = l0.filter(F.col("n0") >= KANON_K).select(
+        F.lit(0).alias("level"),
+        F.col("lang").alias("lang_out"),
+        F.col("source").alias("source_out"),
+    )
+    gen = failed.select(
+        F.when(F.col("n1") >= KANON_K, 1).otherwise(2).alias("level"),
+        F.when(F.col("n1") >= KANON_K, F.col("lang"))
+        .otherwise("*")
+        .alias("lang_out"),
+        F.lit("*").alias("source_out"),
+    )
+    return (
+        safe.unionByName(gen)
+        .groupBy("level", "lang_out", "source_out")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --------------------------------------- q281 salted join balance
+
+SALT_BUCKETS = 8
+
+
+@register(
+    "q281_salted_join_balance",
+    oracle=f"""
+    WITH fact AS (
+      SELECT event_id,
+             CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id END AS jkey,
+             CAST(('0x' || substr(md5('salt:' || CAST(event_id AS VARCHAR)),
+                   1, 7)) AS BIGINT) % {SALT_BUCKETS} AS salt
+      FROM events
+    ),
+    dim AS (
+      SELECT DISTINCT CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id END
+               AS jkey
+      FROM events
+    ),
+    joined AS (
+      SELECT f.jkey, f.salt FROM fact f JOIN dim d ON d.jkey = f.jkey
+    )
+    SELECT salt,
+           CAST(SUM(CASE WHEN jkey = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hot_key_rows,
+           COUNT(*) AS all_rows
+    FROM joined GROUP BY salt
+    """,
+)
+def q281_salted_join_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-join skew remediation, with its balance audit: half the
+    users collapse onto one hot key (the deterministic skew), the
+    dimension side replicates ×{SALT_BUCKETS} with a salt column,
+    the fact side salts by a pure row hash, and the join runs on
+    (key, salt) — so the hot key's rows spread across
+    {SALT_BUCKETS} reducers instead of melting one. Output per salt
+    bucket: hot-key rows (the balance evidence — near-uniform by the
+    hash) and total joined rows; the oracle states the UNSALTED join
+    semantics plus the same salt histogram, proving the rewrite
+    loses and duplicates nothing.
+
+    This is the JOIN twin of q18's salted aggregation — the manual
+    form of what AQE skew-join does adaptively, needed when the
+    skew is known ahead (the 100 TB hot-tenant case) or the join is
+    a build-side replicate that AQE won't split.
+    """
+    ev = t(spark, sf_dir, "events")
+    jkey = F.when(F.col("user_id") % 10 < 5, F.lit(0)).otherwise(
+        F.col("user_id")
+    )
+    salt = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("salt:"), F.col("event_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % SALT_BUCKETS
+    )
+    fact = ev.select(jkey.alias("jkey"), salt.alias("salt"))
+    dim = (
+        ev.select(jkey.alias("jkey"))
+        .distinct()
+        .select(
+            "jkey",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(SALT_BUCKETS - 1).cast("long"))
+            ).alias("salt"),
+        )
+    )
+    joined = fact.join(dim, ["jkey", "salt"])
+    return joined.groupBy("salt").agg(
+        F.sum(F.when(F.col("jkey") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hot_key_rows"),
+        F.count(F.lit(1)).alias("all_rows"),
+    )

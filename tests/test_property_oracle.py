@@ -66,6 +66,8 @@ EVENT_QUERIES = [
     # zero-positive / zero-negative corpora must NULL the WOE, not
     # diverge (ANSI error vs inf)
     "q272_woe_iv_binning",
+    # hot-key-free / single-user corpora: salt histogram still exact
+    "q281_salted_join_balance",
 ]
 DOC_QUERIES = [
     "q60_dedup_exact",
@@ -112,6 +114,9 @@ DOC_QUERIES = [
     "q274_feature_hashing",
     # single-class corpora must NULL the AUC on both engines
     "q275_auc_rank",
+    # MIXED safe/failed classes within one lang are the trap: the
+    # level-1 recount must cover failed rows only (local recoding)
+    "q280_k_anon_generalization",
 ]
 
 
