@@ -2870,3 +2870,232 @@ def q281_salted_join_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hot_key_rows"),
         F.count(F.lit(1)).alias("all_rows"),
     )
+
+
+# ----------------------------- q282 multivariate OLS, normal eqns
+
+
+@register(
+    "q282_ols_normal_equations",
+    oracle="""
+    WITH feat AS (
+      SELECT o.o_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS x1,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS x2,
+             CAST(MIN(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x1) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(x2 AS DECIMAL(28,2))) AS DOUBLE) AS s2,
+             CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+             CAST(SUM(CAST(x1 * x2 AS DECIMAL(28,2))) AS DOUBLE) AS s12,
+             CAST(SUM(CAST(x2 * x2 AS DECIMAL(28,4))) AS DOUBLE) AS s22,
+             CAST(SUM(CAST(y AS DECIMAL(28,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x1 * y AS DECIMAL(28,2))) AS DOUBLE) AS s1y,
+             CAST(SUM(CAST(x2 * y AS DECIMAL(28,4))) AS DOUBLE) AS s2y,
+             CAST(SUM(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy
+      FROM feat
+    ),
+    solved AS (
+      SELECT n, sy, syy,
+             (n * (s11 * s22 - s12 * s12)
+              - s1 * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s12 - s11 * s2)) AS det,
+             (sy * (s11 * s22 - s12 * s12)
+              - s1 * (s1y * s22 - s12 * s2y)
+              + s2 * (s1y * s12 - s11 * s2y)) AS det0,
+             (n * (s1y * s22 - s12 * s2y)
+              - sy * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s2y - s1y * s2)) AS det1,
+             (n * (s11 * s2y - s1y * s12)
+              - s1 * (s1 * s2y - s1y * s2)
+              + sy * (s1 * s12 - s11 * s2)) AS det2,
+             s1, s2, s11, s12, s22, s1y, s2y
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           ROUND(det0 / det, 6) AS beta0,
+           ROUND(det1 / det, 6) AS beta1,
+           ROUND(det2 / det, 6) AS beta2,
+           ROUND(1.0 - (syy - 2 * ((det0 / det) * sy + (det1 / det) * s1y
+                                   + (det2 / det) * s2y)
+                        + ((det0 / det) * ((det0 / det) * n
+                             + (det1 / det) * s1 + (det2 / det) * s2)
+                           + (det1 / det) * ((det0 / det) * s1
+                             + (det1 / det) * s11 + (det2 / det) * s12)
+                           + (det2 / det) * ((det0 / det) * s2
+                             + (det1 / det) * s12 + (det2 / det) * s22)))
+                 / (syy - sy * sy / n), 6) AS r_squared
+    FROM solved
+    """,
+)
+def q282_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate linear regression (order total ~ intercept +
+    line count + total quantity) solved in closed form via the
+    normal equations — THE distributed-ML pattern for small feature
+    counts: one pass reduces the data to the 3×3 Gram matrix and
+    X'y moments (ten sufficient statistics, every cross-product
+    DECIMAL-exact per q267's rule), then Cramer's rule and R² run
+    driver-side-free as a fixed IEEE expression sequence on a 1-row
+    frame. No iteration, no per-row residual pass — SSE comes from
+    the same moments (y'y − 2β'X'y + β'X'Xβ).
+
+    At 100 TB the reduce is identical (map-side partials into ten
+    numbers); a p-feature model only grows the moment vector to
+    O(p²) — switch to a vectorized pandas-UDF Gram accumulation
+    beyond a few dozen features.
+    """
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    feat = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x1"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("x2"),
+            F.min(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y"),
+        )
+    )
+
+    def d(col, scale):
+        return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
+
+    s = feat.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        d(F.col("x2"), 2).alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        d(F.col("x1") * F.col("x2"), 2).alias("s12"),
+        d(F.col("x2") * F.col("x2"), 4).alias("s22"),
+        d(F.col("y"), 2).alias("sy"),
+        d(F.col("x1") * F.col("y"), 2).alias("s1y"),
+        d(F.col("x2") * F.col("y"), 4).alias("s2y"),
+        d(F.col("y") * F.col("y"), 4).alias("syy"),
+    )
+    c = F.col
+    m11 = c("s11") * c("s22") - c("s12") * c("s12")
+    m12 = c("s1") * c("s22") - c("s12") * c("s2")
+    m13 = c("s1") * c("s12") - c("s11") * c("s2")
+    det = c("n") * m11 - c("s1") * m12 + c("s2") * m13
+    det0 = c("sy") * m11 - c("s1") * (
+        c("s1y") * c("s22") - c("s12") * c("s2y")
+    ) + c("s2") * (c("s1y") * c("s12") - c("s11") * c("s2y"))
+    det1 = (
+        c("n") * (c("s1y") * c("s22") - c("s12") * c("s2y"))
+        - c("sy") * m12
+        + c("s2") * (c("s1") * c("s2y") - c("s1y") * c("s2"))
+    )
+    det2 = (
+        c("n") * (c("s11") * c("s2y") - c("s1y") * c("s12"))
+        - c("s1") * (c("s1") * c("s2y") - c("s1y") * c("s2"))
+        + c("sy") * m13
+    )
+    solved = s.select(
+        "n", "sy", "syy", "s1", "s2", "s11", "s12", "s22", "s1y", "s2y",
+        det.alias("det"), det0.alias("det0"), det1.alias("det1"),
+        det2.alias("det2"),
+    )
+    b0, b1, b2 = (
+        c("det0") / c("det"),
+        c("det1") / c("det"),
+        c("det2") / c("det"),
+    )
+    sse = (
+        c("syy")
+        - 2 * (b0 * c("sy") + b1 * c("s1y") + b2 * c("s2y"))
+        + (
+            b0 * (b0 * c("n") + b1 * c("s1") + b2 * c("s2"))
+            + b1 * (b0 * c("s1") + b1 * c("s11") + b2 * c("s12"))
+            + b2 * (b0 * c("s2") + b1 * c("s12") + b2 * c("s22"))
+        )
+    )
+    sst = c("syy") - c("sy") * c("sy") / c("n")
+    return solved.select(
+        c("n").cast("bigint").alias("n_orders"),
+        F.round(b0, 6).alias("beta0"),
+        F.round(b1, 6).alias("beta1"),
+        F.round(b2, 6).alias("beta2"),
+        F.round(1.0 - sse / sst, 6).alias("r_squared"),
+    )
+
+
+# ------------------------------------- q283 time-weighted average
+
+
+@register(
+    "q283_time_weighted_average",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, ts, value,
+             LEAD(ts) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    weighted AS (
+      SELECT event_type, d, value,
+             date_diff('microseconds', ts,
+               COALESCE(nxt, CAST(d + 1 AS TIMESTAMP))) AS dt_us
+      FROM seq
+    )
+    SELECT event_type, d,
+           COUNT(*) AS n_events,
+           CAST(SUM(dt_us) AS BIGINT) AS covered_us,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)) * dt_us) AS DOUBLE)
+                 / SUM(dt_us), 6) AS twap,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS plain_avg
+    FROM weighted
+    GROUP BY event_type, d
+    """,
+)
+def q283_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) of event value per type and day:
+    each observation holds until the next one (last observation
+    carries to midnight), and the average weights value by its
+    holding duration in microseconds — the correct aggregate for
+    sampled state (sensor readings, position marks, gauge metrics),
+    where the plain mean (also emitted — the gap is the sampling
+    bias) over-weights bursts of closely-spaced points.
+
+    One LEAD window per (type, day) partition orders the
+    observations; value×duration products are DECIMAL-exact
+    (duration is an integer microsecond count), so the weighted sum
+    is partition-order-independent; the end-of-day boundary closes
+    the last interval deterministically.
+    """
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d"), "ts", "value", "event_id"
+    )
+    w = W.partitionBy("event_type", "d").orderBy("ts", "event_id")
+    seq = ev.withColumn("nxt", F.lead("ts").over(w))
+    end_of_day = F.date_add("d", 1).cast("timestamp")
+    dt_us = (
+        F.unix_micros(F.coalesce(F.col("nxt"), end_of_day))
+        - F.unix_micros("ts")
+    )
+    weighted = seq.select(
+        "event_type",
+        "d",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        dt_us.alias("dt_us"),
+    )
+    return weighted.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("dt_us").cast("bigint").alias("covered_us"),
+        F.round(
+            F.sum(F.col("v") * F.col("dt_us")).cast("double") / F.sum("dt_us"),
+            6,
+        ).alias("twap"),
+        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6).alias(
+            "plain_avg"
+        ),
+    )

@@ -68,6 +68,9 @@ EVENT_QUERIES = [
     "q272_woe_iv_binning",
     # hot-key-free / single-user corpora: salt histogram still exact
     "q281_salted_join_balance",
+    # duplicate timestamps (zero-length holds) and single-event days
+    # (carry to midnight) attack the TWAP interval arithmetic
+    "q283_time_weighted_average",
 ]
 DOC_QUERIES = [
     "q60_dedup_exact",
