@@ -3099,3 +3099,207 @@ def q283_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
             "plain_avg"
         ),
     )
+
+
+# ------------------------------- q284 time-decay attribution
+
+DECAY_HALFLIFE_MIN = 30  # credit halves every 30 minutes of gap
+ATTR_WINDOW = "1 hour"
+
+
+@register(
+    "q284_time_decay_attribution",
+    oracle=f"""
+    WITH pur AS (
+      SELECT user_id, event_id AS purchase_id, ts AS pts,
+             CAST(value AS DECIMAL(18,2)) AS amount
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clk AS (
+      SELECT user_id, event_id AS click_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    touches AS (
+      SELECT p.purchase_id, p.amount, c.click_id,
+             POWER(0.5, date_diff('microseconds', c.cts, p.pts)
+                        / (60000000.0 * {DECAY_HALFLIFE_MIN})) AS w
+      FROM pur p JOIN clk c
+        ON c.user_id = p.user_id
+       AND c.cts <= p.pts
+       AND c.cts >= p.pts - INTERVAL 1 HOUR
+    ),
+    normed AS (
+      SELECT purchase_id, click_id,
+             CAST(amount AS DOUBLE) * w
+               / SUM(w) OVER (PARTITION BY purchase_id) AS credit
+      FROM touches
+    )
+    SELECT click_id,
+           COUNT(*) AS n_conversions_touched,
+           ROUND(SUM(credit), 4) AS attributed_revenue
+    FROM normed GROUP BY click_id
+    """,
+)
+def q284_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch TIME-DECAY attribution: every click within the
+    hour before a purchase earns a share of that purchase's revenue,
+    weighted by 2^(−gap/half-life) and normalized per conversion —
+    the marketing-mix middle ground between last-touch (q171, 100%
+    to one click) and linear splits. Per click: conversions touched
+    and attributed revenue.
+
+    The touch join is the q16/q187 bounded time-band equi-join on
+    user (never unbounded); per-conversion normalization is one
+    window over the touch set of each purchase (bounded by clicks-
+    per-hour); POWER(0.5, gap/halflife) evaluates the same IEEE ops
+    both engines (integer microsecond gaps, shared constants). The
+    per-click float sum tolerates a 1e-4 rounding grain — exact-sum
+    discipline would need rational weights, which decay deliberately
+    isn't.
+    """
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        F.col("value").cast("decimal(18,2)").alias("amount"),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    gap_us = F.unix_micros("pts") - F.unix_micros("cts")
+    touches = pur.join(
+        clk,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr(f"INTERVAL {ATTR_WINDOW}")),
+    ).select(
+        "purchase_id",
+        "amount",
+        "click_id",
+        F.pow(
+            F.lit(0.5),
+            gap_us / F.lit(60000000.0 * DECAY_HALFLIFE_MIN),
+        ).alias("w"),
+    )
+    wsum = W.partitionBy("purchase_id")
+    normed = touches.select(
+        "click_id",
+        (
+            F.col("amount").cast("double")
+            * F.col("w")
+            / F.sum("w").over(wsum)
+        ).alias("credit"),
+    )
+    return normed.groupBy("click_id").agg(
+        F.count(F.lit(1)).alias("n_conversions_touched"),
+        F.round(F.sum("credit"), 4).alias("attributed_revenue"),
+    )
+
+
+# ------------------------------------ q285 IVM delta-join merge
+
+IVM_CUTOFF = "1997-01-01"
+
+
+@register(
+    "q285_ivm_delta_join",
+    oracle=f"""
+    WITH base AS (
+      SELECT c.c_mktsegment AS segment, COUNT(*) AS n,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS rev
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_orderdate < DATE '{IVM_CUTOFF}'
+      GROUP BY c.c_mktsegment
+    ),
+    delta AS (
+      SELECT c.c_mktsegment AS segment, COUNT(*) AS n,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS rev
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_orderdate >= DATE '{IVM_CUTOFF}'
+      GROUP BY c.c_mktsegment
+    ),
+    -- the oracle states the FULL recompute, so a broken merge
+    -- cannot hash-match
+    full_v AS (
+      SELECT c.c_mktsegment AS segment, COUNT(*) AS n,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS rev
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment
+    )
+    SELECT f.segment,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS base_orders,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS delta_orders,
+           CAST(f.n AS BIGINT) AS total_orders,
+           CAST(f.rev AS DOUBLE) AS total_rev
+    FROM full_v f
+    LEFT JOIN base b ON b.segment = f.segment
+    LEFT JOIN delta d ON d.segment = f.segment
+    """,
+)
+def q285_ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of an aggregate-JOIN view: the
+    materialized view (orders⋈customer rolled up per segment) is
+    maintained by joining ONLY the delta (orders past the cutoff)
+    against the immutable dimension and MERGING the partial
+    aggregates into the base state — count by +, revenue by
+    decimal +. The oracle states the full recompute, so the hash
+    match proves base ⊕ Δ ≡ full (the q248/q97 maintenance
+    guarantee, extended to a join view).
+
+    At 100 TB this is the nightly-ingest pattern: the delta join
+    touches a day of facts, never the history; the merge shuffles
+    |segments| rows. The view emits base/delta provenance columns so
+    drift between maintained and recomputed state is auditable
+    per key.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cutoff = F.lit(IVM_CUTOFF).cast("date")
+
+    def agg_view(side):
+        return (
+            side.join(F.broadcast(c), side["o_custkey"] == c["c_custkey"])
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(28,2)")
+                .alias("rev"),
+            )
+        )
+
+    base = agg_view(o.filter(F.col("o_orderdate") < cutoff)).select(
+        "segment", F.col("n").alias("bn"), F.col("rev").alias("brev")
+    )
+    delta = agg_view(o.filter(F.col("o_orderdate") >= cutoff)).select(
+        F.col("segment").alias("dseg"),
+        F.col("n").alias("dn"),
+        F.col("rev").alias("drev"),
+    )
+    merged = base.join(
+        delta, base["segment"] == delta["dseg"], "full_outer"
+    ).select(
+        F.coalesce("segment", "dseg").alias("segment"),
+        F.coalesce("bn", F.lit(0)).cast("bigint").alias("base_orders"),
+        F.coalesce("dn", F.lit(0)).cast("bigint").alias("delta_orders"),
+        (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+        .cast("bigint")
+        .alias("total_orders"),
+        (
+            F.coalesce("brev", F.lit(0).cast("decimal(28,2)"))
+            + F.coalesce("drev", F.lit(0).cast("decimal(28,2)"))
+        )
+        .cast("double")
+        .alias("total_rev"),
+    )
+    return merged
