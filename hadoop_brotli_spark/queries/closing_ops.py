@@ -3303,3 +3303,153 @@ def q285_ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_rev"),
     )
     return merged
+
+
+# ------------------------------ q286 Fellegi-Sunter link scoring
+
+# Agreement / disagreement log-weights ln(m/u), ln((1-m)/(1-u)) for
+# m=(.9,.85,.7), u=(.3,.2,.4) — "trained offline", shared literals so
+# the score is an identical float-constant sum on both engines.
+FS_W = {
+    "adj": (1.0986122886681098, -1.9459101490553135),
+    "price": (1.4469189829363254, -1.6739764335716714),
+    "entries": (0.5596157879354225, -0.6931471805599451),
+}
+FS_UPPER, FS_LOWER = 1.5, -0.5  # match / possible / non-match cuts
+
+
+@register(
+    "q286_fellegi_sunter_linkage",
+    oracle=f"""
+    WITH names AS (
+      SELECT p_name,
+             COUNT(*) AS n_entries,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_price,
+             string_split(p_name, ' ')[1] AS adjective,
+             string_split(p_name, ' ')[-1] AS block
+      FROM part GROUP BY p_name
+    ),
+    pairs AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             CASE WHEN levenshtein(a.adjective, b.adjective) <= 1
+                  THEN 1 ELSE 0 END AS agr_adj,
+             CASE WHEN ABS(a.avg_price - b.avg_price)
+                       <= 0.05 * GREATEST(a.avg_price, b.avg_price)
+                  THEN 1 ELSE 0 END AS agr_price,
+             CASE WHEN a.n_entries = b.n_entries THEN 1 ELSE 0 END
+               AS agr_entries
+      FROM names a JOIN names b
+        ON a.block = b.block AND a.p_name < b.p_name
+    ),
+    scored AS (
+      SELECT name_a, name_b, agr_adj, agr_price, agr_entries,
+             (CASE WHEN agr_adj = 1 THEN CAST({FS_W['adj'][0]!r} AS DOUBLE)
+                   ELSE CAST({FS_W['adj'][1]!r} AS DOUBLE) END
+              + CASE WHEN agr_price = 1
+                     THEN CAST({FS_W['price'][0]!r} AS DOUBLE)
+                     ELSE CAST({FS_W['price'][1]!r} AS DOUBLE) END
+              + CASE WHEN agr_entries = 1
+                     THEN CAST({FS_W['entries'][0]!r} AS DOUBLE)
+                     ELSE CAST({FS_W['entries'][1]!r} AS DOUBLE) END)
+               AS fs_weight
+      FROM pairs
+    )
+    SELECT name_a, name_b, agr_adj, agr_price, agr_entries,
+           ROUND(fs_weight, 6) AS fs_weight,
+           CASE WHEN fs_weight >= {FS_UPPER} THEN 'match'
+                WHEN fs_weight <= {FS_LOWER} THEN 'non_match'
+                ELSE 'possible' END AS decision
+    FROM scored
+    """,
+)
+def q286_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over the blocked
+    catalog candidates (q256's blocking): each field comparison
+    (adjective edit-distance, price proximity, entry-count equality)
+    contributes its trained log-likelihood-ratio weight —
+    ln(m/u) on agreement, ln((1−m)/(1−u)) on disagreement — and the
+    summed score classifies pairs into match / possible /
+    non-match against the decision cuts. This is the SCORING MODEL
+    the q256 hard threshold stops short of: field evidence is
+    weighed by how discriminating each field is, and the 'possible'
+    band is the clerical-review queue.
+
+    Same scale shape as q256 (distinct-name grain, block equi-join,
+    per-candidate arithmetic); the weights are shared double
+    literals summed in a fixed order, so scores hash-match exactly.
+    """
+    names = (
+        t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_entries"),
+            (
+                F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("avg_price"),
+        )
+        .select(
+            "p_name",
+            "n_entries",
+            "avg_price",
+            F.element_at(F.split("p_name", " "), 1).alias("adjective"),
+            F.element_at(F.split("p_name", " "), -1).alias("block"),
+        )
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_entries").alias("ea"),
+        F.col("avg_price").alias("pa"),
+        F.col("adjective").alias("aa"),
+        "block",
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_entries").alias("eb"),
+        F.col("avg_price").alias("pb"),
+        F.col("adjective").alias("ab"),
+        F.col("block").alias("block_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("block") == F.col("block_b"))
+        & (F.col("name_a") < F.col("name_b")),
+    ).select(
+        "name_a",
+        "name_b",
+        F.when(F.levenshtein("aa", "ab") <= 1, 1).otherwise(0).alias("agr_adj"),
+        F.when(
+            F.abs(F.col("pa") - F.col("pb"))
+            <= 0.05 * F.greatest("pa", "pb"),
+            1,
+        )
+        .otherwise(0)
+        .alias("agr_price"),
+        F.when(F.col("ea") == F.col("eb"), 1).otherwise(0).alias("agr_entries"),
+    )
+    w = (
+        F.when(F.col("agr_adj") == 1, F.lit(FS_W["adj"][0])).otherwise(
+            F.lit(FS_W["adj"][1])
+        )
+        + F.when(F.col("agr_price") == 1, F.lit(FS_W["price"][0])).otherwise(
+            F.lit(FS_W["price"][1])
+        )
+        + F.when(
+            F.col("agr_entries") == 1, F.lit(FS_W["entries"][0])
+        ).otherwise(F.lit(FS_W["entries"][1]))
+    )
+    return pairs.select(
+        "name_a",
+        "name_b",
+        "agr_adj",
+        "agr_price",
+        "agr_entries",
+        F.round(w, 6).alias("fs_weight"),
+        F.when(w >= FS_UPPER, "match")
+        .when(w <= FS_LOWER, "non_match")
+        .otherwise("possible")
+        .alias("decision"),
+    )
