@@ -3453,3 +3453,368 @@ def q286_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("possible")
         .alias("decision"),
     )
+
+
+# -------------------------- q287 group-sequential experiment looks
+
+OBF_LOOKS = [
+    ("2024-01-07", 4.333),
+    ("2024-01-14", 2.963),
+    ("2024-01-21", 2.359),
+    ("2024-01-28", 2.014),
+]
+
+
+def _look_sql(cutoff: str, bound: float) -> str:
+    return f"""
+    SELECT DATE '{cutoff}' AS look_date,
+           CAST({bound!r} AS DOUBLE) AS obf_bound,
+           n_c, n_t, x_c, x_t,
+           ROUND(z, 4) AS z_stat,
+           CASE WHEN ABS(z) >= {bound!r} THEN 1 ELSE 0 END AS crossed
+    FROM (
+      SELECT n_c, n_t, x_c, x_t,
+             (CAST(x_t AS DOUBLE) / NULLIF(n_t, 0)
+              - CAST(x_c AS DOUBLE) / NULLIF(n_c, 0))
+             / NULLIF(SQRT((CAST(x_c + x_t AS DOUBLE) / NULLIF(n_c + n_t, 0))
+                 * (1 - CAST(x_c + x_t AS DOUBLE) / NULLIF(n_c + n_t, 0))
+                 * (1.0 / NULLIF(n_c, 0) + 1.0 / NULLIF(n_t, 0))), 0.0) AS z
+      FROM (
+        SELECT
+          CAST(SUM(CASE WHEN v = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_c,
+          CAST(SUM(CASE WHEN v = 'treatment' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_t,
+          CAST(SUM(CASE WHEN v = 'control' THEN conv ELSE 0 END) AS BIGINT)
+            AS x_c,
+          CAST(SUM(CASE WHEN v = 'treatment' THEN conv ELSE 0 END) AS BIGINT)
+            AS x_t
+        FROM (
+          SELECT user_id,
+                 CASE WHEN CAST(('0x' || substr(md5('ab:' ||
+                        CAST(user_id AS VARCHAR)), 1, 7)) AS BIGINT) % 2 = 0
+                      THEN 'control' ELSE 'treatment' END AS v,
+                 MAX(CASE WHEN event_type = 'purchase'
+                          AND CAST(ts AS DATE) <= DATE '{cutoff}'
+                          THEN 1 ELSE 0 END) AS conv
+          FROM events
+          WHERE CAST(ts AS DATE) <= DATE '{cutoff}'
+          GROUP BY user_id
+        )
+      )
+    )"""
+
+
+@register(
+    "q287_group_sequential_looks",
+    oracle=" UNION ALL ".join(_look_sql(c, b) for c, b in OBF_LOOKS),
+)
+def q287_group_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential experiment monitoring: the two-proportion
+    z-statistic (q151's test) evaluated at four interim looks, each
+    judged against its O'Brien-Fleming spending boundary (4.333 /
+    2.963 / 2.359 / 2.014 — shared literals) — the peeking-safe way
+    to monitor a running A/B test, where q151's single fixed-horizon
+    cut would inflate false positives if checked daily.
+
+    Each look restricts BOTH enrollment and conversion to events at
+    or before its cutoff (as the experiment would have seen them —
+    q149's no-leakage rule applied to experimentation); variant
+    assignment is the pure user hash, all counts are exact, and the
+    z arithmetic is NULLIF-guarded identical IEEE on both engines.
+    """
+    ev = t(spark, sf_dir, "events")
+    variant = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("ab:"), F.col("user_id").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    out = None
+    for cutoff, bound in OBF_LOOKS:
+        cut = F.lit(cutoff).cast("date")
+        per_user = (
+            ev.filter(F.to_date("ts") <= cut)
+            .groupBy("user_id")
+            .agg(
+                F.max(
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & (F.to_date("ts") <= cut),
+                        1,
+                    ).otherwise(0)
+                ).alias("conv")
+            )
+            .select(variant.alias("v"), "conv")
+        )
+        agg = per_user.agg(
+            F.sum(F.when(F.col("v") == "control", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_c"),
+            F.sum(F.when(F.col("v") == "treatment", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_t"),
+            F.sum(F.when(F.col("v") == "control", F.col("conv")).otherwise(0))
+            .cast("bigint")
+            .alias("x_c"),
+            F.sum(
+                F.when(F.col("v") == "treatment", F.col("conv")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x_t"),
+        )
+        pc = F.col("x_c").cast("double") / F.nullif(F.col("n_c"), F.lit(0))
+        pt = F.col("x_t").cast("double") / F.nullif(F.col("n_t"), F.lit(0))
+        pp = (F.col("x_c") + F.col("x_t")).cast("double") / F.nullif(
+            F.col("n_c") + F.col("n_t"), F.lit(0)
+        )
+        z = (pt - pc) / F.nullif(
+            F.sqrt(
+                pp
+                * (1 - pp)
+                * (
+                    1.0 / F.nullif(F.col("n_c"), F.lit(0))
+                    + 1.0 / F.nullif(F.col("n_t"), F.lit(0))
+                )
+            ),
+            F.lit(0.0),
+        )
+        row = agg.select(
+            F.lit(cutoff).cast("date").alias("look_date"),
+            F.lit(bound).alias("obf_bound"),
+            "n_c",
+            "n_t",
+            "x_c",
+            "x_t",
+            F.round(z, 4).alias("z_stat"),
+            F.when(F.abs(z) >= bound, 1).otherwise(0).alias("crossed"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ------------------------------------ q288 Little's law validation
+
+
+@register(
+    "q288_littles_law",
+    oracle="""
+    WITH iv AS (
+      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS s,
+             MAX(CAST(l.l_shipdate AS DATE)) AS e
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    ),
+    span AS (
+      SELECT MIN(s) AS d0, MAX(e) AS d1,
+             COUNT(*) AS n_orders,
+             CAST(SUM(date_diff('day', s, e) + 1) AS BIGINT) AS total_days
+      FROM iv
+    ),
+    deltas AS (
+      SELECT s AS d, 1 AS delta FROM iv
+      UNION ALL SELECT e + 1, -1 FROM iv
+    ),
+    curve AS (
+      SELECT d, SUM(dd) OVER (ORDER BY d) AS conc,
+             LEAD(d) OVER (ORDER BY d) AS nxt
+      FROM (SELECT d, CAST(SUM(delta) AS BIGINT) AS dd
+            FROM deltas GROUP BY d)
+    ),
+    integral AS (
+      SELECT CAST(SUM(conc * date_diff('day', d, nxt)) AS BIGINT) AS area
+      FROM curve WHERE nxt IS NOT NULL
+    )
+    SELECT CAST(date_diff('day', sp.d0, sp.d1) + 1 AS BIGINT) AS span_days,
+           sp.n_orders,
+           ROUND(CAST(i.area AS DOUBLE)
+                 / (date_diff('day', sp.d0, sp.d1) + 1), 6) AS l_sweep,
+           ROUND(CAST(sp.n_orders AS DOUBLE)
+                 / (date_diff('day', sp.d0, sp.d1) + 1), 6) AS lambda_rate,
+           ROUND(CAST(sp.total_days AS DOUBLE) / sp.n_orders, 6) AS w_days,
+           ROUND((CAST(sp.n_orders AS DOUBLE)
+                  / (date_diff('day', sp.d0, sp.d1) + 1))
+                 * (CAST(sp.total_days AS DOUBLE) / sp.n_orders), 6)
+             AS littles_rhs,
+           CAST(i.area - sp.total_days AS BIGINT) AS integral_gap
+    FROM span sp, integral i
+    """,
+)
+def q288_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law (L = λ·W) validated across two INDEPENDENT
+    plans: L from the q270 sweep-line concurrency curve integrated
+    over the span (step-function area via LEAD gaps), λ·W from
+    per-order durations — the queueing-theory identity every
+    capacity model rests on. `integral_gap` must be exactly 0: the
+    sweep integral and Σ(duration) count the same order-days, so a
+    nonzero gap means one of the two plans mis-handles a boundary
+    (the q248-style cross-plan consistency audit, applied to
+    queueing math).
+
+    All areas and durations are exact BIGINT day counts; only the
+    final rates divide to doubles.
+    """
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    iv = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("s"))
+        .agg(F.max(F.to_date("l_shipdate")).alias("e"))
+        .select("s", "e")
+    )
+    span = iv.agg(
+        F.min("s").alias("d0"),
+        F.max("e").alias("d1"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.datediff("e", "s") + 1).cast("bigint").alias("total_days"),
+    )
+    deltas = iv.select(F.col("s").alias("d"), F.lit(1).alias("delta")).unionByName(
+        iv.select(F.date_add("e", 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").cast("bigint").alias("dd"))
+    wd = W.orderBy("d")
+    curve = daily.select(
+        "d",
+        F.sum("dd").over(wd).alias("conc"),
+        F.lead("d").over(wd).alias("nxt"),
+    )
+    integral = curve.filter(F.col("nxt").isNotNull()).agg(
+        F.sum(F.col("conc") * F.datediff("nxt", "d"))
+        .cast("bigint")
+        .alias("area")
+    )
+    j = span.crossJoin(F.broadcast(integral))
+    span_days = F.datediff("d1", "d0") + 1
+    lam = F.col("n_orders").cast("double") / span_days
+    w_days = F.col("total_days").cast("double") / F.col("n_orders")
+    return j.select(
+        span_days.cast("bigint").alias("span_days"),
+        "n_orders",
+        F.round(F.col("area").cast("double") / span_days, 6).alias("l_sweep"),
+        F.round(lam, 6).alias("lambda_rate"),
+        F.round(w_days, 6).alias("w_days"),
+        F.round(lam * w_days, 6).alias("littles_rhs"),
+        (F.col("area") - F.col("total_days")).cast("bigint").alias(
+            "integral_gap"
+        ),
+    )
+
+
+# -------------------------------- q289 gap-constrained funnel motif
+
+MOTIF_GAP = "1 hour"
+
+
+@register(
+    "q289_funnel_motif",
+    oracle="""
+    WITH pur AS (
+      SELECT user_id, event_id AS pid, ts AS pts, CAST(ts AS DATE) AS d
+      FROM events WHERE event_type = 'purchase'
+    ),
+    vw AS (
+      SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'
+    ),
+    ck AS (
+      SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+    ),
+    with_view AS (
+      SELECT p.pid, p.d, p.user_id, MAX(v.vts) AS best_view
+      FROM pur p LEFT JOIN vw v
+        ON v.user_id = p.user_id
+       AND v.vts <= p.pts AND v.vts >= p.pts - INTERVAL 1 HOUR
+      GROUP BY p.pid, p.d, p.user_id
+    ),
+    with_click AS (
+      SELECT w.pid, w.d, w.best_view, MAX(c.cts) AS best_click
+      FROM with_view w LEFT JOIN ck c
+        ON w.best_view IS NOT NULL
+       AND c.user_id = w.user_id
+       AND c.cts <= w.best_view AND c.cts >= w.best_view - INTERVAL 1 HOUR
+      GROUP BY w.pid, w.d, w.best_view
+    )
+    SELECT d,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CASE WHEN best_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS with_view,
+           CAST(SUM(CASE WHEN best_click IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS full_motif
+    FROM with_click GROUP BY d
+    """,
+)
+def q289_funnel_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-constrained sequence-motif counting: a FULL funnel is
+    click → view → purchase where EACH step happened within
+    {MOTIF_GAP} of the next — the sequential-pattern op that q148's
+    unconstrained first-3-events prefixes and q57's same-window
+    funnel both miss (a click yesterday must NOT credit a purchase
+    today). Per day: purchases, purchases with a qualifying view,
+    and complete motifs.
+
+    Each step resolves by conditional MAX over a bounded time-band
+    join (q149's strictly-preceding rule chained twice — the second
+    band anchors on the FIRST step's resolved timestamp, which a
+    single 3-way join cannot express without fan-out). Bands keep
+    state bounded at stream scale; LEFT joins preserve
+    partial-funnel purchases for the drop-off readout.
+    """
+    ev = t(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        F.to_date("ts").alias("d"),
+    )
+    vw = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    ck = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    gap = F.expr(f"INTERVAL {MOTIF_GAP}")
+    with_view = (
+        pur.join(
+            vw,
+            (F.col("vu") == F.col("pu"))
+            & (F.col("vts") <= F.col("pts"))
+            & (F.col("vts") >= F.col("pts") - gap),
+            "left",
+        )
+        .groupBy("pid", "d", "pu")
+        .agg(F.max("vts").alias("best_view"))
+    )
+    with_click = (
+        with_view.join(
+            ck,
+            F.col("best_view").isNotNull()
+            & (F.col("cu") == F.col("pu"))
+            & (F.col("cts") <= F.col("best_view"))
+            & (F.col("cts") >= F.col("best_view") - gap),
+            "left",
+        )
+        .groupBy("pid", "d", "best_view")
+        .agg(F.max("cts").alias("best_click"))
+    )
+    return with_click.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.when(F.col("best_view").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("with_view"),
+        F.sum(F.when(F.col("best_click").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("full_motif"),
+    )

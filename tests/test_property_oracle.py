@@ -71,6 +71,8 @@ EVENT_QUERIES = [
     # duplicate timestamps (zero-length holds) and single-event days
     # (carry to midnight) attack the TWAP interval arithmetic
     "q283_time_weighted_average",
+    # partial funnels everywhere; duplicate-ts step resolution
+    "q289_funnel_motif",
 ]
 DOC_QUERIES = [
     "q60_dedup_exact",
