@@ -3818,3 +3818,200 @@ def q289_funnel_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("full_motif"),
     )
+
+
+# ------------------------------------ q290 business-day SLA lag
+
+
+@register(
+    "q290_business_day_sla",
+    oracle="""
+    -- the oracle BRUTE-FORCES the weekday count by exploding every
+    -- calendar day of every interval (generate_series), while the
+    -- Spark side uses the O(1) closed form — the hash match proves
+    -- the closed form over every interval shape in the data
+    WITH iv AS (
+      SELECT o.o_orderpriority,
+             CAST(o.o_orderdate AS DATE) AS s,
+             CAST(l.l_shipdate AS DATE) AS e
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+    ),
+    counted AS (
+      SELECT o_orderpriority, s, e,
+             (SELECT COUNT(*) FROM UNNEST(generate_series(s, e,
+                      INTERVAL 1 DAY)) AS g(d)
+              WHERE (date_diff('day', DATE '1970-01-01', CAST(d AS DATE)) + 3)
+                    % 7 < 5) AS bus_days
+      FROM iv
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(bus_days) AS BIGINT) AS total_bus_days,
+           ROUND(CAST(SUM(bus_days) AS DOUBLE) / COUNT(*), 6)
+             AS avg_bus_days,
+           CAST(MAX(bus_days) AS BIGINT) AS max_bus_days
+    FROM counted GROUP BY o_orderpriority
+    """,
+)
+def q290_business_day_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day SLA lag (order date → line ship date, weekends
+    excluded) per order priority — the service-level arithmetic
+    every fulfillment contract is written in. The engine computes
+    weekday counts with an O(1) CLOSED FORM — full_weeks·5 plus a
+    two-term remainder expression over the start weekday — while
+    the DuckDB oracle brute-forces each interval by exploding its
+    calendar days; the hash match proves the closed form on every
+    interval shape present.
+
+    Weekday indexing avoids engine DOW conventions entirely:
+    wd = (days_since_epoch + 3) mod 7, 0=Monday, identical on both
+    sides. The closed form makes the op a pure map-side projection —
+    no per-row fan-out at 100 TB (the oracle's explode would be a
+    45× row multiplier there).
+    """
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("s")
+    )
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("e")
+    )
+    iv = o.join(l, o["o_orderkey"] == l["l_orderkey"]).filter(
+        F.col("e") >= F.col("s")
+    )
+    epoch = F.lit("1970-01-01").cast("date")
+    n = F.datediff("e", "s") + 1
+    w = (F.datediff(F.col("s"), epoch) + 3) % 7
+    fw = F.floor(n / 7)
+    rem = n % 7
+    bus = (
+        fw * 5
+        + F.greatest(F.lit(0), F.least(rem, 5 - w))
+        + F.greatest(F.lit(0), rem - (7 - w))
+    )
+    return iv.select("o_orderpriority", bus.alias("bus_days")).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("bus_days").cast("bigint").alias("total_bus_days"),
+        F.round(
+            F.sum("bus_days").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_bus_days"),
+        F.max("bus_days").cast("bigint").alias("max_bus_days"),
+    )
+
+
+# ---------------------------------- q291 Merkle 2-level drilldown
+
+SUB_BUCKETS = 16
+
+
+@register(
+    "q291_merkle_drilldown",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(('0x' || substr(md5('bkt:' || CAST(o_orderkey AS VARCHAR)),
+                   1, 7)) AS BIGINT) % {MERKLE_BUCKETS} AS bucket,
+             CAST(('0x' || substr(md5('sub:' || CAST(o_orderkey AS VARCHAR)),
+                   1, 7)) AS BIGINT) % {SUB_BUCKETS} AS sub,
+             CAST(('0x' || substr(md5('dmg:' || CAST(o_orderkey AS VARCHAR)),
+                   1, 7)) AS BIGINT) % 1000 AS dmg,
+             CAST(('0x' || substr(md5({_ORD_ROW}), 1, 8)) AS BIGINT) AS rh
+      FROM orders
+    ),
+    flagged AS (
+      SELECT bucket FROM (
+        SELECT bucket,
+               CAST(SUM(rh) AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN dmg >= {DAMAGE_PERMILLE} THEN rh
+                             ELSE 0 END) AS BIGINT) AS cb
+        FROM base GROUP BY bucket
+      ) WHERE ca <> cb
+    ),
+    drill AS (
+      SELECT b.bucket, b.sub,
+             COUNT(*) AS rows_a,
+             CAST(SUM(CASE WHEN dmg >= {DAMAGE_PERMILLE} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS rows_b,
+             CAST(SUM(rh) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN dmg >= {DAMAGE_PERMILLE} THEN rh ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM base b JOIN flagged f ON f.bucket = b.bucket
+      GROUP BY b.bucket, b.sub
+    )
+    SELECT bucket, sub, rows_a, rows_b,
+           rows_a - rows_b AS rows_missing
+    FROM drill WHERE ca <> cb
+    """,
+)
+def q291_merkle_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-2 Merkle drill-down — q264's 'production tree adds
+    levels' made real: the diff re-runs at sub-bucket granularity
+    ONLY inside the level-1 buckets whose checksums disagreed,
+    emitting the damaged sub-buckets with exact row losses. Re-sync
+    scope narrows {MERKLE_BUCKETS}×{SUB_BUCKETS}-fold while the
+    second pass scans only flagged-bucket rows (the semi-join
+    filter is the point: at 100 TB level 2 touches ~damage-rate of
+    the table, not all of it).
+
+    Same deterministic damage model and canonical row hash as q264,
+    so the two levels compose into one auditable narrative: which
+    256th of the table, then which 4096th.
+    """
+    o = t(spark, sf_dir, "orders")
+    kh = lambda tag: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat(F.lit(tag), F.col("o_orderkey").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("long")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.col("o_orderdate").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    base = o.select(
+        (kh("bkt:") % MERKLE_BUCKETS).alias("bucket"),
+        (kh("sub:") % SUB_BUCKETS).alias("sub"),
+        (kh("dmg:") % 1000).alias("dmg"),
+        F.conv(F.substring(F.md5(row_str.cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("rh"),
+    )
+    intact = F.when(F.col("dmg") >= DAMAGE_PERMILLE, F.col("rh")).otherwise(0)
+    l1 = base.groupBy("bucket").agg(
+        F.sum("rh").cast("bigint").alias("ca"),
+        F.sum(intact).cast("bigint").alias("cb"),
+    )
+    flagged = l1.filter(F.col("ca") != F.col("cb")).select("bucket")
+    drill = (
+        base.join(flagged, "bucket")
+        .groupBy("bucket", "sub")
+        .agg(
+            F.count(F.lit(1)).alias("rows_a"),
+            F.sum(F.when(F.col("dmg") >= DAMAGE_PERMILLE, 1).otherwise(0))
+            .cast("bigint")
+            .alias("rows_b"),
+            F.sum("rh").cast("bigint").alias("ca"),
+            F.sum(intact).cast("bigint").alias("cb"),
+        )
+    )
+    return drill.filter(F.col("ca") != F.col("cb")).select(
+        "bucket",
+        "sub",
+        "rows_a",
+        "rows_b",
+        (F.col("rows_a") - F.col("rows_b")).alias("rows_missing"),
+    )
