@@ -1864,6 +1864,10 @@ def q268_bpe_merge_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         syms = F.split("w", " ")
         pairs = (
             cur.select(syms.alias("s"), "freq")
+            # a fully-merged word is ONE symbol: sequence(1, 0) would
+            # DESCEND (the q260 lesson) and element_at(s, 2) errors —
+            # single-symbol words contribute no pairs on either engine
+            .filter(F.size("s") >= 2)
             .select(
                 F.explode(
                     F.expr(
@@ -4014,4 +4018,295 @@ def q291_merkle_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_a",
         "rows_b",
         (F.col("rows_a") - F.col("rows_b")).alias("rows_missing"),
+    )
+
+
+# ------------------------------------------ q292 QQ diagnostic
+
+QQ_PROBS = {
+    0.1: -1.2815515655446008,
+    0.2: -0.8416212335729142,
+    0.3: -0.5244005127080407,
+    0.4: -0.2533471031357998,
+    0.5: 0.0,
+    0.6: 0.2533471031357998,
+    0.7: 0.5244005127080407,
+    0.8: 0.8416212335729144,
+    0.9: 1.2815515655446008,
+}
+
+
+@register(
+    "q292_qq_normality",
+    oracle=f"""
+    WITH stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS q
+      FROM orders
+    ),
+    qs AS (
+      {" UNION ALL ".join(
+        f"SELECT CAST({p!r} AS DOUBLE) AS prob,"
+        f" CAST({z!r} AS DOUBLE) AS z_expected,"
+        f" (SELECT quantile_cont(o_totalprice, {p!r}) FROM orders) AS emp"
+        for p, z in QQ_PROBS.items())}
+    )
+    SELECT prob, ROUND(z_expected, 6) AS z_expected,
+           ROUND((emp - s / n) / SQRT((q - s * s / n) / (n - 1)), 6)
+             AS z_observed,
+           ROUND((emp - s / n) / SQRT((q - s * s / n) / (n - 1))
+                 - z_expected, 6) AS deviation
+    FROM qs, stats
+    """,
+)
+def q292_qq_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QQ normality diagnostic of order totals: the standardized
+    empirical quantile at nine probabilities against the standard-
+    normal quantile (shared literals — no engine inv_cdf
+    dependency), with per-point deviation. The table form of the
+    QQ plot every distributional assumption check starts with —
+    this fixture's near-uniform prices show the signature flat-
+    tails-fat-middle S-curve, exactly what the diagnostic exists to
+    reveal (q257's Benford screen for the continuous case).
+
+    Mean/variance come from DECIMAL-exact moments; quantiles use
+    the q28 shared-interpolation percentile; the standardization is
+    identical IEEE arithmetic on a 9-row frame.
+    """
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    o = t(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("q"),
+        *[
+            F.percentile("o_totalprice", F.lit(p)).alias(f"emp{i}")
+            for i, p in enumerate(QQ_PROBS)
+        ],
+    )
+    rows = None
+    for i, (p, z) in enumerate(QQ_PROBS.items()):
+        zobs = (F.col(f"emp{i}") - F.col("s") / F.col("n")) / F.sqrt(
+            (F.col("q") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+        )
+        row = stats.select(
+            F.lit(p).alias("prob"),
+            F.round(F.lit(z), 6).alias("z_expected"),
+            F.round(zobs, 6).alias("z_observed"),
+            F.round(zobs - F.lit(z), 6).alias("deviation"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
+# ------------------------------------ q293 label-shift (BBSE)
+
+
+@register(
+    "q293_label_shift_bbse",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN source IN ('src0','src1','src2','src3','src4',
+                                  'src5','src6','src7','src8','src9')
+                  THEN 'src' ELSE 'tgt' END AS split,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS pred
+      FROM documents
+    ),
+    conf AS (
+      SELECT
+        CAST(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / NULLIF(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END), 0) AS tpr,
+        CAST(SUM(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / NULLIF(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END), 0) AS fpr
+      FROM scored WHERE split = 'src'
+    ),
+    tgt AS (
+      SELECT CAST(SUM(pred) AS DOUBLE) / COUNT(*) AS mu,
+             CAST(SUM(y) AS DOUBLE) / COUNT(*) AS actual,
+             COUNT(*) AS n_tgt
+      FROM scored WHERE split = 'tgt'
+    )
+    SELECT CAST(t.n_tgt AS BIGINT) AS n_target,
+           ROUND(c.tpr, 6) AS clf_tpr,
+           ROUND(c.fpr, 6) AS clf_fpr,
+           ROUND(t.mu, 6) AS target_pred_rate,
+           ROUND((t.mu - c.fpr) / NULLIF(c.tpr - c.fpr, 0.0), 6)
+             AS bbse_estimate,
+           ROUND(t.actual, 6) AS actual_rate,
+           ROUND(ABS((t.mu - c.fpr) / NULLIF(c.tpr - c.fpr, 0.0)
+                 - t.actual), 6) AS abs_error
+    FROM conf c, tgt t
+    """,
+)
+def q293_label_shift_bbse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-shift estimation via black-box shift estimation (BBSE,
+    Lipton et al. 2018): the target split's TRUE positive-class rate
+    is recovered from only (a) a classifier's confusion rates on the
+    labeled SOURCE split and (b) its prediction rate on the target —
+    q = (μ − FPR)/(TPR − FPR) — the monitoring op for deployed
+    models when target labels don't exist yet. Here the 'classifier'
+    is a length threshold, source = the first ten sources, and the
+    recovered rate is compared against the actual (known in the
+    fixture, unknown in production).
+
+    Three class-count reduces, then scalar algebra on 1-row frames;
+    NULLIF guards the degenerate no-signal classifier (TPR = FPR).
+    The k-class generalization inverts the k×k confusion matrix —
+    q282's Cramer machinery.
+    """
+    src_set = [f"src{i}" for i in range(10)]
+    scored = t(spark, sf_dir, "documents").select(
+        F.when(F.col("source").isin(src_set), "src")
+        .otherwise("tgt")
+        .alias("split"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.when(F.col("n_chars") > 300, 1).otherwise(0).alias("pred"),
+    )
+    conf = scored.filter(F.col("split") == "src").agg(
+        (
+            F.sum(
+                F.when((F.col("y") == 1) & (F.col("pred") == 1), 1).otherwise(0)
+            ).cast("double")
+            / F.nullif(
+                F.sum(F.when(F.col("y") == 1, 1).otherwise(0)), F.lit(0)
+            )
+        ).alias("tpr"),
+        (
+            F.sum(
+                F.when((F.col("y") == 0) & (F.col("pred") == 1), 1).otherwise(0)
+            ).cast("double")
+            / F.nullif(
+                F.sum(F.when(F.col("y") == 0, 1).otherwise(0)), F.lit(0)
+            )
+        ).alias("fpr"),
+    )
+    tgt = scored.filter(F.col("split") == "tgt").agg(
+        (F.sum("pred").cast("double") / F.count(F.lit(1))).alias("mu"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("actual"),
+        F.count(F.lit(1)).alias("n_tgt"),
+    )
+    j = conf.crossJoin(F.broadcast(tgt))
+    est = (F.col("mu") - F.col("fpr")) / F.nullif(
+        F.col("tpr") - F.col("fpr"), F.lit(0.0)
+    )
+    return j.select(
+        F.col("n_tgt").cast("bigint").alias("n_target"),
+        F.round("tpr", 6).alias("clf_tpr"),
+        F.round("fpr", 6).alias("clf_fpr"),
+        F.round("mu", 6).alias("target_pred_rate"),
+        F.round(est, 6).alias("bbse_estimate"),
+        F.round("actual", 6).alias("actual_rate"),
+        F.round(F.abs(est - F.col("actual")), 6).alias("abs_error"),
+    )
+
+
+# ------------------------------------ q294 CDC net-effect compaction
+
+
+@register(
+    "q294_cdc_compaction",
+    oracle="""
+    WITH log AS (
+      SELECT user_id AS key, ts, event_id,
+             CASE WHEN CAST(('0x' || substr(md5('op:' ||
+                    CAST(event_id AS VARCHAR)), 1, 7)) AS BIGINT) % 10 < 5
+                  THEN 'U'
+                  WHEN CAST(('0x' || substr(md5('op:' ||
+                    CAST(event_id AS VARCHAR)), 1, 7)) AS BIGINT) % 10 < 8
+                  THEN 'I' ELSE 'D' END AS op
+      FROM events
+    ),
+    ends AS (
+      SELECT key,
+             MIN(CONCAT(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '|',
+                 lpad(CAST(event_id AS VARCHAR), 12, '0'), '|', op))[12:]
+               AS first_tag,
+             MAX(CONCAT(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '|',
+                 lpad(CAST(event_id AS VARCHAR), 12, '0'), '|', op))[12:]
+               AS last_tag,
+             COUNT(*) AS n_ops
+      FROM log GROUP BY key
+    ),
+    classified AS (
+      SELECT key, n_ops,
+             substr(first_tag, len(first_tag), 1) AS first_op,
+             substr(last_tag, len(last_tag), 1) AS last_op
+      FROM ends
+    )
+    SELECT CASE WHEN first_op = 'I' AND last_op = 'D' THEN 'noop'
+                WHEN first_op = 'I' THEN 'insert'
+                WHEN last_op = 'D' THEN 'delete'
+                ELSE 'upsert' END AS net_op,
+           COUNT(*) AS n_keys,
+           CAST(SUM(n_ops) AS BIGINT) AS ops_compacted
+    FROM classified GROUP BY 1
+    """,
+)
+def q294_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC net-effect compaction: a change log (ops synthesized
+    I/U/D per event by hash) collapses to ONE net operation per key
+    before hitting the warehouse MERGE — insert-then-delete is a
+    no-op, insert-then-anything is an insert, surviving-then-delete
+    a delete, else an upsert (first and last op decide; the middle
+    is irrelevant). Per net class: keys and raw ops absorbed — the
+    compaction ratio is why Debezium→warehouse pipelines batch this
+    way.
+
+    First/last ops resolve via MIN/MAX over an order-embedding tag
+    (timestamp‖id‖op string — the argmin/argmax-without-a-window
+    trick of q155/q197, so compaction is ONE hash aggregate, no
+    per-key sort window); the `[12:]`-style slicing differences
+    between engines are avoided by slicing AFTER the aggregate.
+    """
+    ev = t(spark, sf_dir, "events")
+    opv = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("op:"), F.col("event_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    op = (
+        F.when(opv < 5, "U").when(opv < 8, "I").otherwise("D")
+    )
+    tag = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        F.lit("|"),
+        op,
+    )
+    ends = ev.select(F.col("user_id").alias("key"), tag.alias("tag")).groupBy(
+        "key"
+    ).agg(
+        F.min("tag").alias("first_tag"),
+        F.max("tag").alias("last_tag"),
+        F.count(F.lit(1)).alias("n_ops"),
+    )
+    first_op = F.substring(F.col("first_tag"), -1, 1)
+    last_op = F.substring(F.col("last_tag"), -1, 1)
+    classified = ends.select(
+        "n_ops",
+        F.when((first_op == "I") & (last_op == "D"), "noop")
+        .when(first_op == "I", "insert")
+        .when(last_op == "D", "delete")
+        .otherwise("upsert")
+        .alias("net_op"),
+    )
+    return classified.groupBy("net_op").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_ops").cast("bigint").alias("ops_compacted"),
     )

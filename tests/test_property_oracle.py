@@ -73,6 +73,8 @@ EVENT_QUERIES = [
     "q283_time_weighted_average",
     # partial funnels everywhere; duplicate-ts step resolution
     "q289_funnel_motif",
+    # single-op keys and first=last ties stress the net-op classes
+    "q294_cdc_compaction",
 ]
 DOC_QUERIES = [
     "q60_dedup_exact",
@@ -122,6 +124,9 @@ DOC_QUERIES = [
     # MIXED safe/failed classes within one lang are the trap: the
     # level-1 recount must cover failed rows only (local recoding)
     "q280_k_anon_generalization",
+    # all-src0 corpora empty the target split; TPR=FPR classifiers
+    # must NULL the estimate on both engines
+    "q293_label_shift_bbse",
 ]
 
 
