@@ -4310,3 +4310,390 @@ def q294_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("n_ops").cast("bigint").alias("ops_compacted"),
     )
+
+
+# --------------------------------------- q295 file layout audit
+
+TARGET_FILE_MB = 128
+EST_ROW_BYTES = 120  # planning estimate for the orders row width
+TINY_FILE_MB = 16
+
+
+@register(
+    "q295_file_layout_audit",
+    oracle=f"""
+    WITH parts AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS part_month,
+             COUNT(*) AS n_rows,
+             CAST(COUNT(*) * {EST_ROW_BYTES} AS BIGINT) AS est_bytes
+      FROM orders GROUP BY 1
+    )
+    SELECT part_month, n_rows, est_bytes,
+           CAST(GREATEST(1, CEIL(CAST(est_bytes AS DOUBLE)
+                / ({TARGET_FILE_MB} * 1048576.0))) AS BIGINT) AS n_files,
+           CASE WHEN est_bytes < {TINY_FILE_MB} * 1048576 THEN 1 ELSE 0 END
+             AS tiny_file_flag,
+           ROUND(CAST(est_bytes AS DOUBLE) / GREATEST(1,
+                 CEIL(CAST(est_bytes AS DOUBLE)
+                      / ({TARGET_FILE_MB} * 1048576.0))) / 1048576.0, 6)
+             AS avg_file_mb
+    FROM parts
+    """,
+)
+def q295_file_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-write layout audit — the table-maintenance
+    pre-flight for 'the small-files problem': per month partition of
+    a date-partitioned orders table, the row count, planned bytes, 
+    files at a {TARGET_FILE_MB} MiB target, a tiny-partition flag
+    (< {TINY_FILE_MB} MiB — these should merge into neighbors or the
+    write should drop to a coarser partition key), and the resulting
+    average file size. This is the audit that decides `maxRecordsPer
+    File` / `repartition(n)` / compaction before a 100 TB write, the
+    1-D companion of q213's Z-order layout audit — read
+    amplification at scale is file-count-driven, and Spark lists
+    partitions in parallel but opens every file serially per task.
+
+    One partition-grain reduce; the file math is integer/IEEE
+    arithmetic on the bounded partition table.
+    """
+    parts = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("part_month")
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "part_month",
+            "n_rows",
+            (F.col("n_rows") * EST_ROW_BYTES).cast("bigint").alias("est_bytes"),
+        )
+    )
+    n_files = F.greatest(
+        F.lit(1),
+        F.ceil(
+            F.col("est_bytes").cast("double") / (TARGET_FILE_MB * 1048576.0)
+        ),
+    )
+    return parts.select(
+        "part_month",
+        "n_rows",
+        "est_bytes",
+        n_files.cast("bigint").alias("n_files"),
+        F.when(F.col("est_bytes") < TINY_FILE_MB * 1048576, 1)
+        .otherwise(0)
+        .alias("tiny_file_flag"),
+        F.round(
+            F.col("est_bytes").cast("double") / n_files / 1048576.0, 6
+        ).alias("avg_file_mb"),
+    )
+
+
+# ------------------------------------ q296 deletion blast radius
+
+ERASE_PERMILLE = 20  # ~2% of subjects request erasure
+
+
+def _erase_pred(col: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('erase:' || CAST({col} AS VARCHAR)), 1, 7))"
+        f" AS BIGINT) % 1000 < {ERASE_PERMILLE}"
+    )
+
+
+@register(
+    "q296_deletion_blast_radius",
+    oracle=f"""
+    SELECT 'customer' AS table_name,
+           COUNT(DISTINCT c_custkey) AS n_subjects,
+           COUNT(*) AS rows_affected
+    FROM customer WHERE {_erase_pred('c_custkey')}
+    UNION ALL
+    SELECT 'orders',
+           COUNT(DISTINCT o_custkey),
+           COUNT(*)
+    FROM orders WHERE {_erase_pred('o_custkey')}
+    UNION ALL
+    SELECT 'lineitem',
+           COUNT(DISTINCT o.o_custkey),
+           COUNT(*)
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE {_erase_pred('o.o_custkey')}
+    UNION ALL
+    SELECT 'events',
+           COUNT(DISTINCT user_id),
+           COUNT(*)
+    FROM events WHERE {_erase_pred('user_id')}
+    """,
+)
+def q296_deletion_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure blast-radius census: for a deterministic
+    ~2% sample of subjects (the pure-hash membership rule — in
+    production, the actual request list), count every row each
+    table would delete or anonymize — customers directly, orders by
+    foreign key, lineitems through the orders bridge, events by
+    user. The pre-flight every GDPR/CCPA deletion pipeline runs
+    before mutating 100 TB: the per-table counts size the rewrite
+    (delete-vector vs partition rewrite) and the bridge join is the
+    reminder that erasure propagates through REFERENCES, not just
+    key equality (q109's referential-integrity audit, weaponized).
+
+    Each branch is one scan + reduce; the lineitem branch reuses
+    the orders relation as a broadcast bridge keyed by the erasure
+    predicate.
+    """
+
+    def erase(col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("erase:"), col.cast("string")).cast(
+                            "binary"
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+            < ERASE_PERMILLE
+        )
+
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    ev = t(spark, sf_dir, "events")
+    rows = [
+        c.filter(erase(F.col("c_custkey"))).agg(
+            F.lit("customer").alias("table_name"),
+            F.count_distinct("c_custkey").alias("n_subjects"),
+            F.count(F.lit(1)).alias("rows_affected"),
+        ),
+        o.filter(erase(F.col("o_custkey"))).agg(
+            F.lit("orders").alias("table_name"),
+            F.count_distinct("o_custkey").alias("n_subjects"),
+            F.count(F.lit(1)).alias("rows_affected"),
+        ),
+        l.join(
+            F.broadcast(
+                o.filter(erase(F.col("o_custkey"))).select(
+                    "o_orderkey", "o_custkey"
+                )
+            ),
+            l["l_orderkey"] == F.col("o_orderkey"),
+        ).agg(
+            F.lit("lineitem").alias("table_name"),
+            F.count_distinct("o_custkey").alias("n_subjects"),
+            F.count(F.lit(1)).alias("rows_affected"),
+        ),
+        ev.filter(erase(F.col("user_id"))).agg(
+            F.lit("events").alias("table_name"),
+            F.count_distinct("user_id").alias("n_subjects"),
+            F.count(F.lit(1)).alias("rows_affected"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# --------------------------- q297 k-fold leave-fold-out OLS
+
+OLS_FOLDS = 5
+
+
+def _cramer_sql(p: str) -> dict[str, str]:
+    """Cramer's-rule expressions for the 3-feature normal equations
+    over moment columns named {p}n,{p}s1,…  (shared by the oracle)."""
+    n, s1, s2 = f"{p}n", f"{p}s1", f"{p}s2"
+    s11, s12, s22 = f"{p}s11", f"{p}s12", f"{p}s22"
+    sy, s1y, s2y = f"{p}sy", f"{p}s1y", f"{p}s2y"
+    det = (
+        f"({n} * ({s11} * {s22} - {s12} * {s12})"
+        f" - {s1} * ({s1} * {s22} - {s12} * {s2})"
+        f" + {s2} * ({s1} * {s12} - {s11} * {s2}))"
+    )
+    det0 = (
+        f"({sy} * ({s11} * {s22} - {s12} * {s12})"
+        f" - {s1} * ({s1y} * {s22} - {s12} * {s2y})"
+        f" + {s2} * ({s1y} * {s12} - {s11} * {s2y}))"
+    )
+    det1 = (
+        f"({n} * ({s1y} * {s22} - {s12} * {s2y})"
+        f" - {sy} * ({s1} * {s22} - {s12} * {s2})"
+        f" + {s2} * ({s1} * {s2y} - {s1y} * {s2}))"
+    )
+    det2 = (
+        f"({n} * ({s11} * {s2y} - {s1y} * {s12})"
+        f" - {s1} * ({s1} * {s2y} - {s1y} * {s2})"
+        f" + {sy} * ({s1} * {s12} - {s11} * {s2}))"
+    )
+    return {"det": det, "det0": det0, "det1": det1, "det2": det2}
+
+
+_C = _cramer_sql("t")
+
+
+@register(
+    "q297_kfold_ols_stability",
+    oracle=f"""
+    WITH feat AS (
+      SELECT o.o_orderkey,
+             CAST(('0x' || substr(md5('fold:' ||
+                   CAST(o.o_orderkey AS VARCHAR)), 1, 7)) AS BIGINT)
+               % {OLS_FOLDS} AS fold,
+             CAST(COUNT(*) AS BIGINT) AS x1,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS x2,
+             CAST(MIN(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey
+    ),
+    fm AS (
+      SELECT fold,
+             CAST(COUNT(*) AS DOUBLE) AS fn,
+             CAST(SUM(x1) AS DOUBLE) AS fs1,
+             CAST(SUM(CAST(x2 AS DECIMAL(28,2))) AS DOUBLE) AS fs2,
+             CAST(SUM(x1 * x1) AS DOUBLE) AS fs11,
+             CAST(SUM(CAST(x1 * x2 AS DECIMAL(28,2))) AS DOUBLE) AS fs12,
+             CAST(SUM(CAST(x2 * x2 AS DECIMAL(28,4))) AS DOUBLE) AS fs22,
+             CAST(SUM(CAST(y AS DECIMAL(28,2))) AS DOUBLE) AS fsy,
+             CAST(SUM(CAST(x1 * y AS DECIMAL(28,2))) AS DOUBLE) AS fs1y,
+             CAST(SUM(CAST(x2 * y AS DECIMAL(28,4))) AS DOUBLE) AS fs2y
+      FROM feat GROUP BY fold
+    ),
+    gm AS (
+      SELECT CAST(SUM(CAST(fn AS DECIMAL(28,0))) AS DOUBLE) AS gn,
+             CAST(SUM(CAST(fs1 AS DECIMAL(28,0))) AS DOUBLE) AS gs1,
+             CAST(SUM(CAST(fs2 AS DECIMAL(28,2))) AS DOUBLE) AS gs2,
+             CAST(SUM(CAST(fs11 AS DECIMAL(28,0))) AS DOUBLE) AS gs11,
+             CAST(SUM(CAST(fs12 AS DECIMAL(28,2))) AS DOUBLE) AS gs12,
+             CAST(SUM(CAST(fs22 AS DECIMAL(28,4))) AS DOUBLE) AS gs22,
+             CAST(SUM(CAST(fsy AS DECIMAL(28,2))) AS DOUBLE) AS gsy,
+             CAST(SUM(CAST(fs1y AS DECIMAL(28,2))) AS DOUBLE) AS gs1y,
+             CAST(SUM(CAST(fs2y AS DECIMAL(28,4))) AS DOUBLE) AS gs2y
+      FROM fm
+    ),
+    train AS (
+      SELECT fold,
+             gn - fn AS tn, gs1 - fs1 AS ts1, gs2 - fs2 AS ts2,
+             gs11 - fs11 AS ts11, gs12 - fs12 AS ts12, gs22 - fs22 AS ts22,
+             gsy - fsy AS tsy, gs1y - fs1y AS ts1y, gs2y - fs2y AS ts2y
+      FROM fm, gm
+    )
+    SELECT fold,
+           CAST(tn AS BIGINT) AS n_train,
+           ROUND({_C['det0']} / {_C['det']}, 6) AS beta0,
+           ROUND({_C['det1']} / {_C['det']}, 6) AS beta1,
+           ROUND({_C['det2']} / {_C['det']}, 6) AS beta2
+    FROM train
+    """,
+)
+def q297_kfold_ols_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold model-stability audit for the q282 regression, built
+    on SUBTRACTABLE sufficient statistics: each fold's training
+    moments are global − fold (one pass computes all {OLS_FOLDS}
+    leave-fold-out models — no per-fold re-scan, the property that
+    makes cross-validation affordable at 100 TB), and each row is
+    that fold's held-out-trained coefficients. Spread across folds
+    IS the stability readout: coefficients that swing with a 20%
+    data change are not trustworthy.
+
+    Folds assign by pure key hash (engine-reproducible, q88's
+    rule); moments stay DECIMAL-exact through both the per-fold
+    reduce and the global re-sum, so the subtraction is exact and
+    the Cramer solve identical IEEE on both engines.
+    """
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("fold:"), F.col("o_orderkey").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % OLS_FOLDS
+    )
+    feat = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x1"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("x2"),
+            F.min(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y"),
+        )
+        .select(fold.alias("fold"), "x1", "x2", "y")
+    )
+
+    def dsum(col, scale):
+        return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
+
+    fm = feat.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("double").alias("fn"),
+        F.sum("x1").cast("double").alias("fs1"),
+        dsum(F.col("x2"), 2).alias("fs2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("fs11"),
+        dsum(F.col("x1") * F.col("x2"), 2).alias("fs12"),
+        dsum(F.col("x2") * F.col("x2"), 4).alias("fs22"),
+        dsum(F.col("y"), 2).alias("fsy"),
+        dsum(F.col("x1") * F.col("y"), 2).alias("fs1y"),
+        dsum(F.col("x2") * F.col("y"), 4).alias("fs2y"),
+    )
+    gm = fm.agg(
+        *[
+            dsum(F.col(c), sc).alias("g" + c[1:])
+            for c, sc in [
+                ("fn", 0), ("fs1", 0), ("fs2", 2), ("fs11", 0),
+                ("fs12", 2), ("fs22", 4), ("fsy", 2), ("fs1y", 2),
+                ("fs2y", 4),
+            ]
+        ]
+    )
+    train = fm.crossJoin(F.broadcast(gm)).select(
+        "fold",
+        *[
+            (F.col("g" + c) - F.col("f" + c)).alias("t" + c)
+            for c in ["n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y"]
+        ],
+    )
+    c = F.col
+    m11 = c("ts11") * c("ts22") - c("ts12") * c("ts12")
+    m12 = c("ts1") * c("ts22") - c("ts12") * c("ts2")
+    m13 = c("ts1") * c("ts12") - c("ts11") * c("ts2")
+    det = c("tn") * m11 - c("ts1") * m12 + c("ts2") * m13
+    det0 = (
+        c("tsy") * m11
+        - c("ts1") * (c("ts1y") * c("ts22") - c("ts12") * c("ts2y"))
+        + c("ts2") * (c("ts1y") * c("ts12") - c("ts11") * c("ts2y"))
+    )
+    det1 = (
+        c("tn") * (c("ts1y") * c("ts22") - c("ts12") * c("ts2y"))
+        - c("tsy") * m12
+        + c("ts2") * (c("ts1") * c("ts2y") - c("ts1y") * c("ts2"))
+    )
+    det2 = (
+        c("tn") * (c("ts11") * c("ts2y") - c("ts1y") * c("ts12"))
+        - c("ts1") * (c("ts1") * c("ts2y") - c("ts1y") * c("ts2"))
+        + c("tsy") * m13
+    )
+    return train.select(
+        "fold",
+        c("tn").cast("bigint").alias("n_train"),
+        F.round(det0 / det, 6).alias("beta0"),
+        F.round(det1 / det, 6).alias("beta1"),
+        F.round(det2 / det, 6).alias("beta2"),
+    )
