@@ -4697,3 +4697,411 @@ def q297_kfold_ols_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(det1 / det, 6).alias("beta1"),
         F.round(det2 / det, 6).alias("beta2"),
     )
+
+
+# ----------------------------------------- q298 SPRT daily looks
+
+SPRT_LR_POS = 0.06899287148695142  # ln(0.75/0.70)
+SPRT_LR_NEG = -0.1823215567939547  # ln(0.25/0.30)
+SPRT_A = 2.9444389791664403  # ln((1-beta)/alpha), alpha=beta=0.05
+SPRT_B = -2.9444389791664407
+
+
+@register(
+    "q298_sprt_daily",
+    oracle=f"""
+    WITH subj AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE)) AS enroll_d,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events
+      WHERE CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+                 1, 7)) AS BIGINT) % 2 = 1  -- treatment arm only
+      GROUP BY user_id
+    ),
+    daily AS (
+      SELECT enroll_d AS d, COUNT(*) AS n_new,
+             CAST(SUM(conv) AS BIGINT) AS x_new
+      FROM subj GROUP BY enroll_d
+    ),
+    cum AS (
+      SELECT d,
+             CAST(SUM(n_new) OVER w AS BIGINT) AS n_cum,
+             CAST(SUM(x_new) OVER w AS BIGINT) AS x_cum
+      FROM daily WINDOW w AS (ORDER BY d)
+    )
+    SELECT d,
+           n_cum, x_cum,
+           ROUND(x_cum * CAST({SPRT_LR_POS!r} AS DOUBLE)
+                 + (n_cum - x_cum) * CAST({SPRT_LR_NEG!r} AS DOUBLE), 6)
+             AS llr,
+           CASE WHEN x_cum * CAST({SPRT_LR_POS!r} AS DOUBLE)
+                     + (n_cum - x_cum) * CAST({SPRT_LR_NEG!r} AS DOUBLE)
+                     >= {SPRT_A!r} THEN 'accept_h1'
+                WHEN x_cum * CAST({SPRT_LR_POS!r} AS DOUBLE)
+                     + (n_cum - x_cum) * CAST({SPRT_LR_NEG!r} AS DOUBLE)
+                     <= {SPRT_B!r} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM cum
+    """,
+)
+def q298_sprt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test, evaluated daily on
+    the treatment arm's conversion stream: cumulative log-likelihood
+    ratio for H1: p=0.75 vs H0: p=0.70, against the ±ln(19)
+    boundaries (α=β=0.05) — the always-valid alternative to q287's
+    scheduled looks: SPRT may stop ANY day the LLR escapes the
+    band, with error rates guaranteed by construction.
+
+    Subjects reduce to (enrollment day, converted) once; the daily
+    series is a bounded calendar cumsum; the LLR is exact counts ×
+    shared literals, so every day's statistic and decision
+    hash-match. Contrast with q287 (4 fixed looks) and q151 (one
+    fixed-horizon test) — the experimentation suite now carries all
+    three monitoring disciplines.
+    """
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    treat = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("ab:"), F.col("user_id").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 1
+    )
+    subj = (
+        ev.filter(treat)
+        .groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("d"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv"),
+        )
+    )
+    daily = subj.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum("conv").cast("bigint").alias("x_new"),
+    )
+    w = W.orderBy("d")
+    cum = daily.select(
+        "d",
+        F.sum("n_new").over(w).cast("bigint").alias("n_cum"),
+        F.sum("x_new").over(w).cast("bigint").alias("x_cum"),
+    )
+    llr = F.col("x_cum") * F.lit(SPRT_LR_POS) + (
+        F.col("n_cum") - F.col("x_cum")
+    ) * F.lit(SPRT_LR_NEG)
+    return cum.select(
+        "d",
+        "n_cum",
+        "x_cum",
+        F.round(llr, 6).alias("llr"),
+        F.when(llr >= SPRT_A, "accept_h1")
+        .when(llr <= SPRT_B, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
+
+
+# ------------------------------- q299 negative edge sampling
+
+NEG_PER_NODE = 3
+
+
+@register(
+    "q299_negative_edge_sampling",
+    oracle=f"""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    capped AS (
+      SELECT l_partkey, l_suppkey FROM (
+        SELECT l_partkey, l_suppkey,
+               COUNT(*) OVER (PARTITION BY l_partkey) AS deg
+        FROM ps
+      ) WHERE deg <= {KCORE_CAP}
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM capped a JOIN capped b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    ),
+    nodes AS (SELECT DISTINCT s_suppkey AS u FROM supplier),
+    nn AS (SELECT COUNT(*) AS n, MIN(u) AS base FROM nodes),
+    cand AS (
+      SELECT nodes.u,
+             base + CAST(('0x' || substr(md5('neg:' ||
+                    CAST(nodes.u AS VARCHAR) || ':' || CAST(k AS VARCHAR)),
+                    1, 7)) AS BIGINT) % n AS v
+      FROM nodes, nn, UNNEST(range({NEG_PER_NODE})) AS r(k)
+    ),
+    ordered AS (
+      SELECT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM cand WHERE u <> v
+    ),
+    negs AS (
+      SELECT DISTINCT o.u, o.v
+      FROM ordered o
+      WHERE NOT EXISTS (SELECT 1 FROM edges e
+                        WHERE e.u = o.u AND e.v = o.v)
+    )
+    SELECT u, COUNT(*) AS n_negatives, CAST(MIN(v) AS BIGINT) AS min_v
+    FROM negs GROUP BY u
+    """,
+)
+def q299_negative_edge_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-edge sampling for link-prediction
+    training over the co-supply graph: each supplier draws
+    {NEG_PER_NODE} hash-derived candidate partners, candidates
+    canonicalize to undirected pairs, and an anti-join against the
+    REAL edge set keeps only true non-edges — the contrastive
+    negatives a GNN/link-prediction loss consumes (q237's
+    hard-negative mining, for graphs; hash-based so resumable jobs
+    redraw the identical sample, q88's reproducibility rule).
+
+    Candidate generation is corpus-size-free fan-out (|nodes|×k);
+    the non-edge check is one anti-join (Spark plans left_anti)
+    against the reduced edge list — never a |V|² complement
+    materialization, which is the only wrong way to do this at
+    scale.
+    """
+    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    from pyspark.sql import Window as W
+
+    capped = (
+        ps.withColumn(
+            "deg", F.count(F.lit(1)).over(W.partitionBy("l_partkey"))
+        )
+        .filter(F.col("deg") <= KCORE_CAP)
+        .drop("deg")
+    )
+    b = capped.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sv")
+    )
+    edges = (
+        capped.join(
+            b,
+            (F.col("l_partkey") == F.col("pk"))
+            & (F.col("l_suppkey") < F.col("sv")),
+        )
+        .select(F.col("l_suppkey").alias("eu"), F.col("sv").alias("ev"))
+        .distinct()
+    )
+    nodes = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("u")
+    ).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"), F.min("u").alias("base"))
+    cand = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select(
+            "u",
+            "n",
+            "base",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(NEG_PER_NODE - 1).cast("long"))
+            ).alias("k"),
+        )
+        .select(
+            "u",
+            (
+                F.col("base")
+                + F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("neg:"),
+                                F.col("u").cast("string"),
+                                F.lit(":"),
+                                F.col("k").cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        7,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n")
+            ).alias("v"),
+        )
+    )
+    ordered = cand.filter(F.col("u") != F.col("v")).select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+    negs = ordered.join(
+        edges,
+        (ordered["u"] == edges["eu"]) & (ordered["v"] == edges["ev"]),
+        "left_anti",
+    )
+    return negs.groupBy("u").agg(
+        F.count(F.lit(1)).alias("n_negatives"),
+        F.min("v").cast("bigint").alias("min_v"),
+    )
+
+
+# -------------------------- q300 pipeline funnel v2 (round-2 ops)
+
+FUNNEL_DUP_FRAC = 0.5  # max cross-doc duplicated-window fraction
+FUNNEL_FERT = 3.0  # max BPE tokens per whitespace word
+FUNNEL_SEQ_LEN = 512
+
+
+@register(
+    "q300_pipeline_funnel_v2",
+    oracle=f"""
+    WITH ingest AS (
+      SELECT doc_id, text, lang,
+             len(regexp_extract_all(text, '{{BPE}}')) AS n_tok,
+             len(string_split(text, ' ')) AS n_words
+      FROM documents
+    ),
+    pii AS (
+      SELECT * FROM ingest
+      WHERE len(regexp_extract_all(text, '[0-9]{{6,}}')) = 0
+        AND len(regexp_extract_all(text, '[A-Za-z]+#[0-9]+')) = 0
+    ),
+    uniq AS (
+      SELECT * FROM pii
+      WHERE doc_id IN (
+        SELECT MIN(doc_id) FROM pii GROUP BY md5(text)
+      )
+    ),
+    wins AS (
+      SELECT u.doc_id,
+             md5(array_to_string(toks[i:i + 7], ' ')) AS wh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM uniq) u,
+           UNNEST(range(1, len(toks) - 6)) AS r(i)
+      WHERE len(toks) >= 8
+    ),
+    marks AS (SELECT wh, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY wh),
+    dupfrac AS (
+      SELECT w.doc_id,
+             CAST(SUM(CASE WHEN m.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS frac
+      FROM wins w JOIN marks m ON m.wh = w.wh GROUP BY w.doc_id
+    ),
+    substr_clean AS (
+      SELECT u.* FROM uniq u LEFT JOIN dupfrac d ON d.doc_id = u.doc_id
+      WHERE COALESCE(d.frac, 0) <= {FUNNEL_DUP_FRAC}
+    ),
+    fertile AS (
+      SELECT * FROM substr_clean
+      WHERE CAST(n_tok AS DOUBLE) / n_words <= {FUNNEL_FERT}
+    )
+    SELECT 1 AS stage_no, 'ingest' AS stage,
+           COUNT(*) AS docs, CAST(SUM(n_tok) AS BIGINT) AS tokens
+    FROM ingest
+    UNION ALL SELECT 2, 'pii_clean', COUNT(*),
+           CAST(SUM(n_tok) AS BIGINT) FROM pii
+    UNION ALL SELECT 3, 'exact_unique', COUNT(*),
+           CAST(SUM(n_tok) AS BIGINT) FROM uniq
+    UNION ALL SELECT 4, 'substr_clean', COUNT(*),
+           CAST(SUM(n_tok) AS BIGINT) FROM substr_clean
+    UNION ALL SELECT 5, 'fertility_ok', COUNT(*),
+           CAST(SUM(n_tok) AS BIGINT) FROM fertile
+    UNION ALL SELECT 6, 'packed_sequences',
+           CAST(CEIL(CAST(SUM(n_tok) AS DOUBLE) / {FUNNEL_SEQ_LEN}) AS BIGINT),
+           CAST(SUM(n_tok) AS BIGINT) FROM fertile
+    """.replace("{BPE}", BPE_RE),
+)
+def q300_pipeline_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 end-to-end training-data funnel — the composition
+    readout of this round's operators, per stage (docs and tokens
+    surviving): ingest → PII/identifier scrub (q252's patterns as a
+    GATE) → exact dedup (q60's min-id rule) → exact-substring
+    cross-doc gate (q253's duplicated-window fraction ≤
+    {FUNNEL_DUP_FRAC}) → tokenizer-fertility gate (q255's
+    tokens-per-word ≤ {FUNNEL_FERT}) → packed {FUNNEL_SEQ_LEN}-token
+    training sequences (q126's budget arithmetic). The funnel IS
+    the corpus datasheet a pretraining run signs off on: where
+    documents die, and how many sequences survive to train on.
+
+    Every stage reuses the proven single-op plan shapes (hash-grain
+    dedup reduces, window-hash marker join, codegen regex counters)
+    chained through successive semi-filters — one pass per stage
+    over ever-shrinking survivors, never a corpus re-scan of
+    dropped rows.
+    """
+    bpe = BPE_RE
+    docs = t(spark, sf_dir, "documents")
+    ingest = fan_out(docs).select(
+        "doc_id",
+        "text",
+        F.regexp_count("text", F.lit(bpe)).alias("n_tok"),
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
+    pii = ingest.filter(
+        (F.regexp_count("text", F.lit("[0-9]{6,}")) == 0)
+        & (F.regexp_count("text", F.lit("[A-Za-z]+#[0-9]+")) == 0)
+    )
+    keep = pii.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    uniq = pii.join(keep.select("doc_id"), "doc_id")
+    toks = F.split("text", " ")
+    wins = (
+        uniq.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= SUBSTR_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {SUBSTR_W - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(toks, i, {SUBSTR_W}))))"
+                )
+            ).alias("wh"),
+        )
+    )
+    marks = wins.groupBy("wh").agg(F.count_distinct("doc_id").alias("nd"))
+    dupfrac = (
+        wins.join(marks, "wh")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("frac")
+        )
+    )
+    substr_clean = uniq.join(dupfrac, "doc_id", "left").filter(
+        F.coalesce(F.col("frac"), F.lit(0.0)) <= FUNNEL_DUP_FRAC
+    )
+    fertile = substr_clean.filter(
+        F.col("n_tok").cast("double") / F.col("n_words") <= FUNNEL_FERT
+    )
+
+    def stage(no, name, df, packed=False):
+        docs_col = (
+            F.ceil(F.sum("n_tok").cast("double") / FUNNEL_SEQ_LEN).cast(
+                "bigint"
+            )
+            if packed
+            else F.count(F.lit(1)).cast("bigint")
+        )
+        return df.agg(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            docs_col.alias("docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens"),
+        )
+
+    out = stage(1, "ingest", ingest)
+    for no, name, df in [
+        (2, "pii_clean", pii),
+        (3, "exact_unique", uniq),
+        (4, "substr_clean", substr_clean),
+        (5, "fertility_ok", fertile),
+    ]:
+        out = out.unionByName(stage(no, name, df))
+    return out.unionByName(stage(6, "packed_sequences", fertile, packed=True))

@@ -127,6 +127,9 @@ DOC_QUERIES = [
     # all-src0 corpora empty the target split; TPR=FPR classifiers
     # must NULL the estimate on both engines
     "q293_label_shift_bbse",
+    # every stage can go empty (all-dup corpora, sub-8-token docs);
+    # stage counts must collapse identically on both engines
+    "q300_pipeline_funnel_v2",
 ]
 
 
