@@ -5105,3 +5105,287 @@ def q300_pipeline_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]:
         out = out.unionByName(stage(no, name, df))
     return out.unionByName(stage(6, "packed_sequences", fertile, packed=True))
+
+
+# ----------------------------- q301 consistent-hashing rebalance
+
+RING_VNODES = 64  # virtual nodes per physical node
+
+
+def _ring_assign_sql(n_nodes: int, alias: str) -> str:
+    """Nearest-clockwise-vnode assignment via the min over vnode
+    hashes >= key hash (wrapping to the global min)."""
+    return f"""
+    SELECT k.key, k.kh,
+           COALESCE(
+             MIN(CASE WHEN v.vh >= k.kh THEN v.vh END),
+             MIN(v.vh)
+           ) AS chosen_vh
+    FROM keys k, vnodes_{n_nodes} v
+    GROUP BY k.key, k.kh"""
+
+
+@register(
+    "q301_consistent_hashing",
+    oracle=f"""
+    WITH keys AS (
+      SELECT o_orderkey AS key,
+             CAST(('0x' || substr(md5('key:' || CAST(o_orderkey AS VARCHAR)),
+                   1, 12)) AS BIGINT) AS kh
+      FROM orders
+    ),
+    vnodes_4 AS (
+      SELECT node, CAST(('0x' || substr(md5('vn:' || CAST(node AS VARCHAR)
+                   || ':' || CAST(r AS VARCHAR)), 1, 12)) AS BIGINT) AS vh
+      FROM UNNEST(range(4)) AS n(node), UNNEST(range({RING_VNODES})) AS v(r)
+    ),
+    vnodes_5 AS (
+      SELECT node, CAST(('0x' || substr(md5('vn:' || CAST(node AS VARCHAR)
+                   || ':' || CAST(r AS VARCHAR)), 1, 12)) AS BIGINT) AS vh
+      FROM UNNEST(range(5)) AS n(node), UNNEST(range({RING_VNODES})) AS v(r)
+    ),
+    a4 AS ({_ring_assign_sql(4, 'a4')}),
+    a5 AS ({_ring_assign_sql(5, 'a5')}),
+    ring AS (
+      SELECT a4.key,
+             (SELECT v.node FROM vnodes_4 v WHERE v.vh = a4.chosen_vh) AS n4,
+             (SELECT v.node FROM vnodes_5 v WHERE v.vh = a5.chosen_vh) AS n5,
+             a4.kh
+      FROM a4 JOIN a5 ON a5.key = a4.key
+    )
+    SELECT 'ring' AS scheme,
+           COUNT(*) AS n_keys,
+           CAST(SUM(CASE WHEN n4 <> n5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS keys_moved,
+           ROUND(CAST(SUM(CASE WHEN n4 <> n5 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS moved_fraction
+    FROM ring
+    UNION ALL
+    SELECT 'modulo',
+           COUNT(*),
+           CAST(SUM(CASE WHEN kh % 4 <> kh % 5 THEN 1 ELSE 0 END) AS BIGINT),
+           ROUND(CAST(SUM(CASE WHEN kh % 4 <> kh % 5 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6)
+    FROM keys
+    """,
+)
+def q301_consistent_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hashing rebalance audit: assign every order key to
+    4 nodes and then 5 via (a) a {RING_VNODES}-vnode hash ring
+    (nearest clockwise vnode, wrapping) and (b) naive modulo — and
+    measure the moved-key fraction each scheme pays for the scale-
+    out. The ring moves ~1/5 of keys; modulo moves ~4/5 — THE
+    argument for ring/rendezvous hashing in every sharded store,
+    made measurable (and the partitioning-design intuition behind
+    this engine's bucketing layer: repartitioning cost is a design
+    input, not a constant).
+
+    Ring assignment is a broadcast min-over-vnodes aggregate (the
+    vnode table is nodes×{RING_VNODES} rows — tiny); the vnode→node
+    resolution joins back on the chosen hash. No window, no sort of
+    the key space.
+    """
+    keys = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("key:"), F.col("o_orderkey").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("kh"),
+    )
+
+    def vnodes(n):
+        return (
+            spark.range(n)
+            .select(F.col("id").alias("node"))
+            .select(
+                "node",
+                F.explode(
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        F.lit(RING_VNODES - 1).cast("long"),
+                    )
+                ).alias("r"),
+            )
+            .select(
+                "node",
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("vn:"),
+                                F.col("node").cast("string"),
+                                F.lit(":"),
+                                F.col("r").cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("vh"),
+            )
+        )
+
+    def assign(n):
+        v = vnodes(n)
+        chosen = (
+            keys.crossJoin(F.broadcast(v))
+            .groupBy("key", "kh")
+            .agg(
+                F.coalesce(
+                    F.min(F.when(F.col("vh") >= F.col("kh"), F.col("vh"))),
+                    F.min("vh"),
+                ).alias("chosen_vh")
+            )
+        )
+        return chosen.join(
+            F.broadcast(v), chosen["chosen_vh"] == v["vh"]
+        ).select("key", "kh", F.col("node").alias(f"n{n}"))
+
+    ring = assign(4).join(assign(5).select("key", "n5"), "key")
+    moved = F.sum(F.when(F.col("n4") != F.col("n5"), 1).otherwise(0))
+    ring_row = ring.agg(
+        F.lit("ring").alias("scheme"),
+        F.count(F.lit(1)).alias("n_keys"),
+        moved.cast("bigint").alias("keys_moved"),
+        F.round(moved.cast("double") / F.count(F.lit(1)), 6).alias(
+            "moved_fraction"
+        ),
+    )
+    mod_moved = F.sum(
+        F.when(F.col("kh") % 4 != F.col("kh") % 5, 1).otherwise(0)
+    )
+    mod_row = keys.agg(
+        F.lit("modulo").alias("scheme"),
+        F.count(F.lit(1)).alias("n_keys"),
+        mod_moved.cast("bigint").alias("keys_moved"),
+        F.round(mod_moved.cast("double") / F.count(F.lit(1)), 6).alias(
+            "moved_fraction"
+        ),
+    )
+    return ring_row.unionByName(mod_row)
+
+
+# ---------------------------------- q302 forecast backtest metrics
+
+BACKTEST_LAG = 7  # seasonal-naive horizon (weekly)
+
+
+@register(
+    "q302_forecast_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    aligned AS (
+      SELECT event_type, d, v,
+             LAG(v, {BACKTEST_LAG}) OVER w AS fc,
+             LAG(v, 1) OVER w AS naive1
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    scored AS (
+      SELECT event_type,
+             CAST(v AS DOUBLE) AS av, CAST(fc AS DOUBLE) AS fv,
+             CAST(ABS(v - fc) AS DOUBLE) AS ae,
+             CAST(ABS(v - naive1) AS DOUBLE) AS nae
+      FROM aligned WHERE fc IS NOT NULL AND naive1 IS NOT NULL
+    )
+    SELECT event_type,
+           COUNT(*) AS n_days,
+           ROUND(CAST(SUM(CAST(ae AS DECIMAL(28,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS mae,
+           ROUND(CAST(SUM(CAST(ae / NULLIF(av, 0.0) AS DECIMAL(28,8)))
+                 AS DOUBLE) / COUNT(*), 6) AS mape,
+           ROUND(CAST(SUM(CAST(2 * ae / NULLIF(av + fv, 0.0)
+                 AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6) AS smape,
+           ROUND(CAST(SUM(CAST(ae AS DECIMAL(28,2))) AS DOUBLE)
+                 / NULLIF(CAST(SUM(CAST(nae AS DECIMAL(28,2))) AS DOUBLE),
+                          0.0), 6) AS mase
+    FROM scored GROUP BY event_type
+    """,
+)
+def q302_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTESTING metrics for the seasonal-naive model
+    (forecast = value {BACKTEST_LAG} days ago) on daily value by
+    event type: MAE, MAPE, sMAPE, and MASE (error scaled by the
+    naive-1 benchmark — the scale-free metric that makes models
+    comparable across series; MASE < 1 beats naive). q06 ships a
+    forecast; this is the op that decides whether to TRUST one —
+    every forecasting pipeline runs its models through exactly this
+    harness before deployment.
+
+    One window pass aligns actuals with both the forecast lag and
+    the naive-1 denominator; absolute errors stay DECIMAL-exact,
+    ratio terms pass the q267 decimal roundtrip so cross-day sums
+    are order-independent, and NULLIF guards zero-denominator days.
+    """
+    from pyspark.sql import Window as W
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("v")
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("d")
+    aligned = daily.select(
+        "event_type",
+        "v",
+        F.lag("v", BACKTEST_LAG).over(w).alias("fc"),
+        F.lag("v", 1).over(w).alias("naive1"),
+    ).filter(F.col("fc").isNotNull() & F.col("naive1").isNotNull())
+    av = F.col("v").cast("double")
+    fv = F.col("fc").cast("double")
+    ae = F.abs(F.col("v") - F.col("fc")).cast("double")
+    nae = F.abs(F.col("v") - F.col("naive1")).cast("double")
+    scored = aligned.select(
+        "event_type",
+        av.alias("av"),
+        fv.alias("fv"),
+        ae.alias("ae"),
+        nae.alias("nae"),
+    )
+
+    def d28(col, scale):
+        return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
+
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(d28(F.col("ae"), 2) / F.count(F.lit(1)), 6).alias("mae"),
+        F.round(
+            d28(F.col("ae") / F.nullif(F.col("av"), F.lit(0.0)), 8)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mape"),
+        F.round(
+            d28(
+                2 * F.col("ae") / F.nullif(F.col("av") + F.col("fv"), F.lit(0.0)),
+                8,
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("smape"),
+        F.round(
+            d28(F.col("ae"), 2) / F.nullif(d28(F.col("nae"), 2), F.lit(0.0)),
+            6,
+        ).alias("mase"),
+    )

@@ -75,6 +75,9 @@ EVENT_QUERIES = [
     "q289_funnel_motif",
     # single-op keys and first=last ties stress the net-op classes
     "q294_cdc_compaction",
+    # short series (< lag days) empty the scored set; zero-value
+    # days exercise every NULLIF denominator
+    "q302_forecast_backtest",
 ]
 DOC_QUERIES = [
     "q60_dedup_exact",
