@@ -448,3 +448,80 @@ def enrich_events(events: DataFrame, dim: DataFrame) -> DataFrame:
     side never shuffles.
     """
     return events.join(F.broadcast(dim), "user_id", "left")
+
+
+def streaming_kmv_partials(
+    events: DataFrame, target_dir: str, checkpoint_dir: str, k: int = 64
+):
+    """Streaming bottom-k (KMV) distinct sketch maintenance via
+    ``foreachBatch`` — the second mergeable-sketch streaming state
+    beside ``streaming_cms_partials``: each micro-batch reduces to
+    its own k smallest distinct key hashes (≤ k rows regardless of
+    batch size), written to ``{target_dir}/batch=<id>/`` with
+    overwrite, and the queryable sketch is the k smallest of the
+    UNION of partials (``read_kmv``) — k-min union IS KMV merge.
+
+    Idempotent per-batch overwrite gives exactly-once (a replayed
+    batch rewrites its own partial); the estimate read off the
+    merged sketch matches q271's batch construction, which the
+    streaming test asserts. CMS answers 'how often did key x
+    appear'; KMV answers 'how many distinct keys' — together they
+    are the streaming analytics sketch kit.
+    """
+    hashed = events.select(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bk:"), F.col("user_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                14,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("v")
+    )
+
+    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        partial = (
+            batch_df.select("v")
+            .distinct()
+            .orderBy("v")
+            .limit(k)
+        )
+        partial.write.mode("overwrite").parquet(f"{target_dir}/batch={batch_id}")
+
+    return (
+        hashed.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_partial)
+    )
+
+
+def read_kmv(spark: SparkSession, target_dir: str, k: int = 64) -> DataFrame:
+    """Merge streaming KMV partials: the k smallest DISTINCT hashes
+    of the union (k-min union is the sketch merge), plus the point
+    estimate (k−1)·2^56/h_k (q271's estimator)."""
+    merged = (
+        spark.read.parquet(target_dir)
+        .select("v")
+        .distinct()
+        .orderBy("v")
+        .limit(k)
+    )
+    agg = merged.agg(
+        F.count(F.lit(1)).alias("n_mins"), F.max("v").alias("hk")
+    )
+    return agg.select(
+        "n_mins",
+        "hk",
+        F.when(
+            F.col("n_mins") < k, F.col("n_mins").cast("double")
+        )
+        .otherwise(F.lit(float(k - 1)) * F.lit(float(1 << 56)) / F.col("hk"))
+        .alias("estimate"),
+    )

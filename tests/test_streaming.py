@@ -522,3 +522,70 @@ def test_stream_stream_left_join_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert must_emit <= got_nulls
+
+
+def test_streaming_kmv_partials_match_batch_estimator(spark, sf_dir, tmp_path):
+    """Streaming KMV partials merged at read time == the batch
+    bottom-k construction over the same keys (k-min union is the
+    sketch merge), estimate included."""
+    import pandas as pd
+
+    from hadoop_brotli_spark.streaming.jobs import (
+        read_kmv,
+        streaming_kmv_partials,
+    )
+
+    # two half-files -> two micro-batches -> two partial sketches
+    ev_pdf = load_table(spark, sf_dir, "events").toPandas().sort_values("ts")
+    half = len(ev_pdf) // 2
+    d = tmp_path / "halves"
+    d.mkdir()
+    ev_pdf.iloc[:half].to_parquet(d / "events_a.parquet", index=False)
+    ev_pdf.iloc[half:].to_parquet(d / "events_b.parquet", index=False)
+
+    target = str(tmp_path / "kmv")
+    q = streaming_kmv_partials(
+        read_events_stream(spark, str(d), max_files_per_trigger=1),
+        target,
+        str(tmp_path / "ckpt"),
+        k=64,
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = read_kmv(spark, target, k=64).first()
+
+    # batch reference: same hash, same k over the whole table
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.select(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bk:"), F.col("user_id").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    14,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("v")
+        )
+        .distinct()
+        .orderBy("v")
+        .limit(64)
+        .collect()
+    )
+    hashes = sorted(r.v for r in batch)
+    assert got.n_mins == len(hashes)
+    assert got.hk == hashes[-1]
+    if len(hashes) == 64:
+        assert abs(got.estimate - 63 * float(1 << 56) / hashes[-1]) < 1e-6
+    else:
+        assert got.estimate == float(len(hashes))
