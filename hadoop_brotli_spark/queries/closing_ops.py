@@ -5389,3 +5389,367 @@ def q302_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mase"),
     )
+
+
+# --------------------------- q303 seasonal residual outliers
+
+RESID_TOPK = 5
+
+
+@register(
+    "q303_seasonal_residual_outliers",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             (date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              + 3) % 7 AS dow,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    grand AS (
+      SELECT CAST(SUM(CAST(rev AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS g
+      FROM daily
+    ),
+    dow_eff AS (
+      SELECT dow,
+             CAST(SUM(CAST(rev AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) - g
+               AS de
+      FROM daily, grand GROUP BY dow, g
+    ),
+    resid AS (
+      SELECT d.d, d.dow, d.rev,
+             d.rev - g - de AS r
+      FROM daily d JOIN dow_eff e ON e.dow = d.dow, grand
+    ),
+    ranked AS (
+      SELECT d, dow, ROUND(rev, 2) AS rev, ROUND(r, 4) AS residual,
+             ROW_NUMBER() OVER (ORDER BY ABS(r) DESC, d ASC) AS rk
+      FROM resid
+    )
+    SELECT d, CAST(dow AS BIGINT) AS dow, rev, residual,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {K}
+    """.replace("{K}", str(RESID_TOPK)),
+)
+def q303_seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-ADJUSTED anomaly detection: daily revenue is
+    decomposed additively (grand mean + day-of-week effect +
+    residual — STL-lite with mean effects), and the top-{K} days by
+    |residual| are flagged. A raw-value monitor (q139/q147) flags
+    every strong Saturday; subtracting the weekly shape first is
+    what makes an alert mean something on seasonal series.
+
+    Weekday indexing is the q290 epoch-mod rule (no engine DOW
+    conventions); effects come from DECIMAL-exact grouped means
+    broadcast back onto the bounded daily grain; the global rank
+    window runs over that bounded series with a total-order
+    tie-break.
+    """.replace("{K}", str(RESID_TOPK))
+    from pyspark.sql import Window as W
+
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.to_date("o_orderdate").alias("d"),
+            ((F.datediff(F.to_date("o_orderdate"), epoch) + 3) % 7).alias(
+                "dow"
+            ),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    grand = daily.agg(
+        (
+            F.sum(F.col("rev").cast("decimal(28,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("g")
+    )
+    dow_eff = (
+        daily.groupBy("dow")
+        .agg(
+            (
+                F.sum(F.col("rev").cast("decimal(28,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dow_mean")
+        )
+        .crossJoin(F.broadcast(grand))
+        .select("dow", (F.col("dow_mean") - F.col("g")).alias("de"), "g")
+    )
+    resid = daily.join(F.broadcast(dow_eff), "dow").select(
+        "d",
+        "dow",
+        "rev",
+        (F.col("rev") - F.col("g") - F.col("de")).alias("r"),
+    )
+    wr = W.orderBy(F.abs(F.col("r")).desc(), F.col("d").asc())
+    return (
+        resid.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= RESID_TOPK)
+        .select(
+            "d",
+            F.col("dow").cast("bigint").alias("dow"),
+            F.round("rev", 2).alias("rev"),
+            F.round("r", 4).alias("residual"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+# ------------------------------------------ q304 Cohen's kappa
+
+
+@register(
+    "q304_cohens_kappa",
+    oracle="""
+    WITH preds AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+             CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS b
+      FROM documents
+    ),
+    counts AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS DOUBLE) AS agree,
+             CAST(SUM(a) AS DOUBLE) AS pa, CAST(SUM(b) AS DOUBLE) AS pb
+      FROM preds
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           ROUND(agree / n, 6) AS percent_agreement,
+           ROUND((pa / n) * (pb / n) + (1 - pa / n) * (1 - pb / n), 6)
+             AS chance_agreement,
+           ROUND((agree / n - ((pa / n) * (pb / n)
+                  + (1 - pa / n) * (1 - pb / n)))
+                 / NULLIF(1 - ((pa / n) * (pb / n)
+                  + (1 - pa / n) * (1 - pb / n)), 0.0), 6) AS kappa
+    FROM counts
+    """,
+)
+def q304_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two binary annotators (the lang label
+    vs a length-threshold heuristic): observed agreement corrected
+    for CHANCE agreement — the inter-rater statistic every labeling
+    pipeline reports, because two raters who both say 'yes' 90% of
+    the time agree 82% by luck alone (percent agreement, also
+    emitted, is the naive number kappa exists to deflate).
+
+    One scan to four exact counts; the kappa algebra is identical
+    IEEE on a 1-row frame, NULLIF-guarded for the degenerate
+    all-one-class corpus.
+    """
+    preds = t(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("a"),
+        F.when(F.col("n_chars") > 300, 1).otherwise(0).alias("b"),
+    )
+    counts = preds.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))
+        .cast("double")
+        .alias("agree"),
+        F.sum("a").cast("double").alias("pa"),
+        F.sum("b").cast("double").alias("pb"),
+    )
+    po = F.col("agree") / F.col("n")
+    pe = (F.col("pa") / F.col("n")) * (F.col("pb") / F.col("n")) + (
+        1 - F.col("pa") / F.col("n")
+    ) * (1 - F.col("pb") / F.col("n"))
+    return counts.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(po, 6).alias("percent_agreement"),
+        F.round(pe, 6).alias("chance_agreement"),
+        F.round((po - pe) / F.nullif(1 - pe, F.lit(0.0)), 6).alias("kappa"),
+    )
+
+
+# ------------------------------------- q305 BFS frontier rounds
+
+BFS_ROUNDS = 3
+BFS_SEEDS = 3  # suppliers with s_suppkey < BFS_SEEDS
+
+
+@register(
+    "q305_bfs_frontier",
+    oracle=f"""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    capped AS (
+      SELECT l_partkey, l_suppkey FROM (
+        SELECT l_partkey, l_suppkey,
+               COUNT(*) OVER (PARTITION BY l_partkey) AS deg
+        FROM ps
+      ) WHERE deg <= {KCORE_CAP}
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM capped a JOIN capped b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey <> b.l_suppkey
+    ),
+    r0 AS (
+      SELECT DISTINCT s_suppkey AS u FROM supplier
+      WHERE s_suppkey < {BFS_SEEDS}
+    ),
+    {", ".join(
+        f'''r{i} AS (
+      SELECT u FROM r{i - 1}
+      UNION
+      SELECT DISTINCT e.v AS u FROM edges e
+      JOIN r{i - 1} f ON f.u = e.u
+    )''' for i in range(1, BFS_ROUNDS + 1))}
+    SELECT {" UNION ALL SELECT ".join(
+        f"{i} AS round, (SELECT COUNT(*) FROM r{i}) AS reached"
+        for i in range(0, BFS_ROUNDS + 1))}
+    """,
+)
+def q305_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first frontier expansion over the co-supply graph
+    from a seed supplier set: per round, the count of vertices
+    reachable within that many hops — the blast-radius primitive
+    (supply-chain contagion, fraud-ring expansion, influence reach)
+    underneath every graph traversal. {BFS_ROUNDS} rounds unrolled
+    (q268's bounded-iteration rule); each round is one semi-join of
+    the REDUCED edge list against the frontier, union-deduped —
+    vertex-set-sized state, never path enumeration (which explodes
+    combinatorially where this saturates monotonically).
+
+    Complements the graph suite's other primitives: q64 reaches
+    fixpoint components, q196 jumps log-depth ancestry, q277 peels
+    cores, q214 counts triangles — this one measures DISTANCE.
+    """
+    from pyspark.sql import Window as W
+
+    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    capped = (
+        ps.withColumn(
+            "deg", F.count(F.lit(1)).over(W.partitionBy("l_partkey"))
+        )
+        .filter(F.col("deg") <= KCORE_CAP)
+        .drop("deg")
+    )
+    b = capped.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("v")
+    )
+    edges = (
+        capped.join(
+            b,
+            (F.col("l_partkey") == F.col("pk"))
+            & (F.col("l_suppkey") != F.col("v")),
+        )
+        .select(F.col("l_suppkey").alias("u"), "v")
+        .distinct()
+    )
+    frontier = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < BFS_SEEDS)
+        .select(F.col("s_suppkey").alias("u"))
+        .distinct()
+    )
+    rows = [frontier.agg(F.lit(0).alias("round"), F.count(F.lit(1)).alias("reached"))]
+    cur = frontier
+    for i in range(1, BFS_ROUNDS + 1):
+        expanded = edges.join(cur, "u").select(F.col("v").alias("u"))
+        cur = cur.unionByName(expanded).distinct()
+        rows.append(
+            cur.agg(F.lit(i).alias("round"), F.count(F.lit(1)).alias("reached"))
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# --------------------------------- q306 interval union coverage
+
+BUSY_WINDOW_MIN = 5  # each event keeps its user "busy" for 5 minutes
+
+
+@register(
+    "q306_interval_union_coverage",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL {BUSY_WINDOW_MIN} MINUTE AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY user_id
+                    ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    TIMESTAMP '1900-01-01')
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e)
+               AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           COUNT(*) AS n_busy_spans,
+           CAST(SUM(date_diff('microseconds', ms, me)) AS BIGINT)
+             AS covered_us
+    FROM merged GROUP BY user_id
+    """,
+)
+def q306_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-UNION coverage per user: each event opens a
+    {BUSY_WINDOW_MIN}-minute busy window; overlapping windows merge
+    (gaps-and-islands: a window starting after the running MAX of
+    prior ends opens a new island), and the answer is merged spans
+    and total covered time — utilization/uptime/billing math where
+    SUMMING raw durations double-counts every overlap (the error
+    this op exists to avoid; q270 counts concurrency, q283 weights
+    by holding time — this measures the union).
+
+    One per-user sort window computes the island labels (running
+    MAX of ends, the q116 pattern over timestamps), one reduce
+    merges islands; microsecond arithmetic is exact integers.
+    """
+    from pyspark.sql import Window as W
+
+    iv = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr(f"INTERVAL {BUSY_WINDOW_MIN} MINUTES")).alias(
+            "e"
+        ),
+    )
+    wprev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s")
+            > F.coalesce(
+                F.max("e").over(wprev), F.lit("1900-01-01").cast("timestamp")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    wcum = W.partitionBy("user_id").orderBy("s", "e")
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(wcum)
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_busy_spans"),
+        F.sum(F.unix_micros("me") - F.unix_micros("ms"))
+        .cast("bigint")
+        .alias("covered_us"),
+    )

@@ -78,6 +78,9 @@ EVENT_QUERIES = [
     # short series (< lag days) empty the scored set; zero-value
     # days exercise every NULLIF denominator
     "q302_forecast_backtest",
+    # duplicate timestamps and back-to-back events attack the
+    # island-boundary running-MAX tie-breaks
+    "q306_interval_union_coverage",
 ]
 DOC_QUERIES = [
     "q60_dedup_exact",
@@ -124,6 +127,8 @@ DOC_QUERIES = [
     "q274_feature_hashing",
     # single-class corpora must NULL the AUC on both engines
     "q275_auc_rank",
+    # all-one-class corpora must NULL kappa (pe = 1) on both engines
+    "q304_cohens_kappa",
     # MIXED safe/failed classes within one lang are the trap: the
     # level-1 recount must cover failed rows only (local recoding)
     "q280_k_anon_generalization",
