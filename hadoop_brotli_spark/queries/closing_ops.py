@@ -5753,3 +5753,250 @@ def q306_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("covered_us"),
     )
+
+
+# ------------------------------- q307 Brier calibration bins
+
+CALIB_BINS = 5
+
+
+@register(
+    "q307_brier_calibration",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             -- deterministic "model": longer docs get higher
+             -- predicted P(en); clipped linear score on n_chars
+             LEAST(0.95, GREATEST(0.05,
+               CAST(n_chars AS DOUBLE) / 640.0)) AS p
+      FROM documents
+    ),
+    binned AS (
+      SELECT y, p,
+             LEAST({CALIB_BINS - 1},
+                   CAST(FLOOR(p * {CALIB_BINS}) AS INTEGER)) AS bin
+      FROM scored
+    )
+    SELECT bin,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(p AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_predicted,
+           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS observed_rate,
+           ROUND(ABS(CAST(SUM(CAST(p AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)
+                 - CAST(SUM(y) AS DOUBLE) / COUNT(*)), 6) AS calibration_gap,
+           ROUND(CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(28,10)))
+                 AS DOUBLE) / COUNT(*), 6) AS brier
+    FROM binned GROUP BY bin
+    """,
+)
+def q307_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-calibration audit (reliability diagram in table
+    form): a deterministic stand-in model predicts P(en) from
+    document length; per predicted-probability bin — mean predicted
+    vs observed rate, the calibration gap, and the per-bin Brier
+    score. A model can have great AUC (q275 ranks) and still lie
+    about its probabilities — this is the op that catches it, and
+    the readout that decides whether downstream thresholds can be
+    trusted as probabilities.
+
+    One scan to a {CALIB_BINS}-row bin reduce; predicted-prob and
+    squared-error sums pass the decimal roundtrip (q267's rule) so
+    cross-row float accumulation is order-independent.
+    """
+    scored = t(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.least(
+            F.lit(0.95),
+            F.greatest(F.lit(0.05), F.col("n_chars").cast("double") / 640.0),
+        ).alias("p"),
+    )
+    binned = scored.select(
+        "y",
+        "p",
+        F.least(
+            F.lit(CALIB_BINS - 1),
+            F.floor(F.col("p") * CALIB_BINS).cast("int"),
+        ).alias("bin"),
+    )
+    mean_p = (
+        F.sum(F.col("p").cast("decimal(28,8)")).cast("double")
+        / F.count(F.lit(1))
+    )
+    obs = F.sum("y").cast("double") / F.count(F.lit(1))
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(mean_p, 6).alias("mean_predicted"),
+        F.round(obs, 6).alias("observed_rate"),
+        F.round(F.abs(mean_p - obs), 6).alias("calibration_gap"),
+        F.round(
+            F.sum(
+                ((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).cast(
+                    "decimal(28,10)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("brier"),
+    )
+
+
+# ------------------------------- q308 dictionary-encoding advisor
+
+_ENC_COLS = [
+    ("orders", "o_orderpriority"),
+    ("orders", "o_orderstatus"),
+    ("customer", "c_mktsegment"),
+    ("customer", "c_name"),
+    ("part", "p_brand"),
+    ("part", "p_type"),
+    ("part", "p_name"),
+    ("documents", "source"),
+]
+DICT_NDV_FRACTION = 0.5  # dictionary pays off below this distinct ratio
+
+
+def _enc_sql(table: str, col: str) -> str:
+    return f"""
+    SELECT '{table}.{col}' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT {col}) AS n_distinct,
+           ROUND(CAST(COUNT(DISTINCT {col}) AS DOUBLE) / COUNT(*), 6)
+             AS distinct_ratio,
+           CAST(SUM(len({col})) AS BIGINT) AS plain_bytes,
+           CAST((SELECT SUM(len(x)) FROM
+                 (SELECT DISTINCT {col} AS x FROM {table}))
+                + COUNT(*) * 4 AS BIGINT) AS dict_bytes,
+           CASE WHEN CAST(COUNT(DISTINCT {col}) AS DOUBLE) / COUNT(*)
+                     < {DICT_NDV_FRACTION}
+                THEN 'dictionary' ELSE 'plain' END AS recommendation
+    FROM {table}"""
+
+
+@register(
+    "q308_encoding_advisor",
+    oracle=" UNION ALL ".join(_enc_sql(t_, c) for t_, c in _ENC_COLS),
+)
+def q308_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encoding advisor for string columns — the storage-
+    tuning census behind every columnar write: per column, the
+    distinct ratio, plain vs dictionary byte estimates (distinct
+    values once + 4-byte codes), and the encoding recommendation.
+    Low-cardinality columns (priorities, segments, brands) dictionary
+    ~10×; key-like strings (c_name) don't — and a parquet writer
+    falling back to plain on an assumed-categorical column is a
+    silent 5× file-size regression this audit catches before a
+    100 TB write (the q295 layout audit's per-column sibling).
+
+    Each column is one scan with a two-phase distinct reduce; the
+    byte model is integer arithmetic — no actual re-encoding pass.
+    """
+    out = None
+    for table, col in _ENC_COLS:
+        src = t(spark, sf_dir, table)
+        distinct_bytes = (
+            src.select(F.col(col).alias("x"))
+            .distinct()
+            .agg(F.sum(F.length("x")).alias("db"))
+        )
+        stats = src.agg(
+            F.lit(f"{table}.{col}").alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col(col)).alias("n_distinct"),
+            F.sum(F.length(col)).cast("bigint").alias("plain_bytes"),
+        ).crossJoin(F.broadcast(distinct_bytes))
+        row = stats.select(
+            "column_name",
+            "n_rows",
+            "n_distinct",
+            F.round(
+                F.col("n_distinct").cast("double") / F.col("n_rows"), 6
+            ).alias("distinct_ratio"),
+            "plain_bytes",
+            (F.col("db") + F.col("n_rows") * 4).cast("bigint").alias(
+                "dict_bytes"
+            ),
+            F.when(
+                F.col("n_distinct").cast("double") / F.col("n_rows")
+                < DICT_NDV_FRACTION,
+                "dictionary",
+            )
+            .otherwise("plain")
+            .alias("recommendation"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# --------------------------------------- q309 Heaps' law fit
+
+
+@register(
+    "q309_heaps_law",
+    oracle="""
+    WITH per_source AS (
+      SELECT source,
+             COUNT(*) AS n_tokens,
+             COUNT(DISTINCT w) AS vocab
+      FROM (
+        SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents
+      ) GROUP BY source
+    ),
+    logs AS (
+      SELECT LN(CAST(n_tokens AS DOUBLE)) AS x,
+             LN(CAST(vocab AS DOUBLE)) AS y
+      FROM per_source
+    ),
+    fit AS (
+      SELECT COUNT(*) AS n,
+             (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+               / NULLIF(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x), 0.0)
+               AS beta,
+             SUM(y) / COUNT(*)
+               - ((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                  / NULLIF(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x), 0.0))
+                 * SUM(x) / COUNT(*) AS lnk
+      FROM logs
+    )
+    SELECT CAST(n AS BIGINT) AS n_sources,
+           ROUND(beta, 6) AS heaps_beta,
+           ROUND(EXP(lnk), 6) AS heaps_k
+    FROM fit
+    """,
+)
+def q309_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V = k·N^β estimated by
+    OLS on ln V vs ln N across the per-source (tokens, vocabulary)
+    points — the corpus-linguistics health gauge beside q215's Zipf
+    slope (natural text runs β ≈ 0.4-0.6; duplicated or templated
+    corpora flatten it, synthetic closed-vocabulary corpora like
+    this fixture crush it toward 0, which IS the anomaly signal a
+    corpus auditor looks for).
+
+    Token and vocab counts reduce per source (two-phase distinct on
+    the word grain); the log-log OLS runs over the |sources|-row
+    frame with ln/exp on identical operands (q229's precedent) and
+    a NULLIF singular-fit guard.
+    """
+    words = fan_out(t(spark, sf_dir, "documents")).select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    per_source = words.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("w").alias("vocab"),
+    )
+    logs = per_source.select(
+        F.log(F.col("n_tokens").cast("double")).alias("x"),
+        F.log(F.col("vocab").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1))
+    den = F.nullif(
+        n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"),
+        F.lit(0.0),
+    )
+    beta = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / den
+    lnk = F.sum("y") / n - beta * F.sum("x") / n
+    return logs.agg(
+        n.cast("bigint").alias("n_sources"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.exp(lnk), 6).alias("heaps_k"),
+    )
