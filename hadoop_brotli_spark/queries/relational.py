@@ -388,19 +388,25 @@ def q21_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle of the distinct values, only fixed-size sketches
     merge; the exact column here is the verification harness.
     """
-    return (
-        t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("n_exact"),
-            (
-                F.abs(
-                    F.approx_count_distinct("l_partkey", 0.01)
-                    - F.countDistinct("l_partkey")
-                )
-                <= 0.05 * F.countDistinct("l_partkey")
-            ).alias("est_ok"),
-        )
+    li = t(spark, sf_dir, "lineitem")
+    # exact and approx run as SEPARATE aggregations joined on the
+    # 3-row result: mixing them in one agg makes Catalyst's
+    # distinct-aggregate rewrite carry the rsd=0.01 HLL++ buffer
+    # (1,640 longs) per (flag, partkey) group through the exchange —
+    # ~0.5 GB of sketch state at sf0.1, measured 20 s vs 0.15 s
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_exact")
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("n_approx")
+    )
+    return exact.join(F.broadcast(approx), "l_returnflag").select(
+        "l_returnflag",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("est_ok"),
     )
 
 
