@@ -6008,3 +6008,225 @@ def q309_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta, 6).alias("heaps_beta"),
         F.round(F.exp(lnk), 6).alias("heaps_k"),
     )
+
+
+# ------------------------------------- q310 Good-Turing smoothing
+
+
+@register(
+    "q310_good_turing",
+    oracle="""
+    WITH wc AS (
+      SELECT w, COUNT(*) AS r FROM (
+        SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+      ) GROUP BY w
+    ),
+    fof AS (
+      SELECT r, COUNT(*) AS nr FROM wc GROUP BY r
+    ),
+    tot AS (
+      SELECT CAST(SUM(r * nr) AS BIGINT) AS n_tokens FROM fof
+    ),
+    gt AS (
+      SELECT f.r, f.nr,
+             LEAD(f.nr) OVER (ORDER BY f.r) AS nr_next,
+             LEAD(f.r) OVER (ORDER BY f.r) AS r_next
+      FROM fof f
+    )
+    SELECT g.r AS freq,
+           CAST(g.nr AS BIGINT) AS n_types,
+           ROUND(CASE WHEN g.r_next = g.r + 1
+                 THEN (g.r + 1.0) * g.nr_next / g.nr
+                 ELSE CAST(g.r AS DOUBLE) END, 6) AS r_star,
+           ROUND(CASE WHEN g.r = 1
+                 THEN CAST(g.nr AS DOUBLE) / t.n_tokens END, 6)
+             AS unseen_mass
+    FROM gt g, tot t
+    WHERE g.r <= 10
+    """,
+)
+def q310_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency smoothing over the corpus vocabulary:
+    from the frequency-of-frequencies table, the adjusted count
+    r* = (r+1)·N_{r+1}/N_r for each observed frequency ≤ 10 (the
+    regime where raw counts lie), and the UNSEEN-probability mass
+    N_1/N attached to the r=1 row — the estimator (Gale & Sampson's
+    simple GT, minus their smoothing of gappy N_r, which falls back
+    to r) that answers the question every LM/coverage model must:
+    how much probability belongs to words never seen. Complements
+    q236 (add-one LM: crude unseen handling) and q215/q309 (Zipf/
+    Heaps shape diagnostics).
+
+    Two reduces (word counts → frequency-of-frequencies) shrink the
+    corpus to a ~dozens-row table; one LEAD window and exact-count
+    ratios finish the job.
+    """
+    from pyspark.sql import Window as W
+
+    words = fan_out(t(spark, sf_dir, "documents")).select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("r"))
+    fof = wc.groupBy("r").agg(F.count(F.lit(1)).alias("nr"))
+    tot = fof.agg(F.sum(F.col("r") * F.col("nr")).cast("bigint").alias("n_tokens"))
+    w = W.orderBy("r")
+    gt = fof.select(
+        "r",
+        "nr",
+        F.lead("nr").over(w).alias("nr_next"),
+        F.lead("r").over(w).alias("r_next"),
+    )
+    j = gt.crossJoin(F.broadcast(tot)).filter(F.col("r") <= 10)
+    r_star = F.when(
+        F.col("r_next") == F.col("r") + 1,
+        (F.col("r") + 1.0) * F.col("nr_next") / F.col("nr"),
+    ).otherwise(F.col("r").cast("double"))
+    return j.select(
+        F.col("r").alias("freq"),
+        F.col("nr").cast("bigint").alias("n_types"),
+        F.round(r_star, 6).alias("r_star"),
+        F.round(
+            F.when(
+                F.col("r") == 1,
+                F.col("nr").cast("double") / F.col("n_tokens"),
+            ),
+            6,
+        ).alias("unseen_mass"),
+    )
+
+
+# ---------------------------------------- q311 Hill tail index
+
+HILL_K = 50
+
+
+@register(
+    "q311_hill_tail_index",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS x,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS rk
+      FROM orders
+    ),
+    topk AS (SELECT x, rk FROM ranked WHERE rk <= {HILL_K + 1}),
+    xk AS (SELECT x AS x_k FROM topk WHERE rk = {HILL_K + 1})
+    SELECT {HILL_K} AS k,
+           ROUND(x_k, 2) AS threshold,
+           ROUND(SUM(LN(t.x / xk.x_k)) / {HILL_K}, 6) AS hill_estimate,
+           ROUND({HILL_K} / SUM(LN(t.x / xk.x_k)), 6) AS tail_index_alpha
+    FROM topk t, xk
+    WHERE t.rk <= {HILL_K}
+    GROUP BY x_k
+    """,
+)
+def q311_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the heavy-tail index over order totals:
+    mean of ln(x_i/x_(k+1)) across the top-{HILL_K} order statistics
+    — 1/α̂, with the tail index α̂ alongside. THE extreme-value
+    gauge for capacity/risk planning: α ≤ 2 means infinite
+    variance (averages lie), α ≤ 1 means even the mean diverges;
+    this fixture's bounded-uniform prices produce a large α̂ (thin
+    tail) — the readout that certifies 'no heavy tail' is as
+    operative as the one that warns.
+
+    Global top-(k+1) goes through TakeOrderedAndProject (never a
+    full sort); the k-row ln-ratio reduce and the threshold join
+    are bounded. Shared-operand ln per the q229 precedent.
+    """
+    from pyspark.sql import Window as W
+
+    ranked = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_totalprice").cast("double").alias("x"), "o_orderkey"
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(HILL_K + 1)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.orderBy(F.col("x").desc(), F.col("o_orderkey"))
+            ),
+        )
+    )
+    xk = ranked.filter(F.col("rk") == HILL_K + 1).select(
+        F.col("x").alias("x_k")
+    )
+    topk = ranked.filter(F.col("rk") <= HILL_K).crossJoin(F.broadcast(xk))
+    hill = F.sum(F.log(F.col("x") / F.col("x_k"))) / HILL_K
+    return topk.groupBy("x_k").agg(
+        F.lit(HILL_K).alias("k"),
+        F.round(F.col("x_k"), 2).alias("threshold"),
+        F.round(hill, 6).alias("hill_estimate"),
+        F.round(HILL_K / F.sum(F.log(F.col("x") / F.col("x_k"))), 6).alias(
+            "tail_index_alpha"
+        ),
+    ).drop("x_k").select("k", "threshold", "hill_estimate", "tail_index_alpha")
+
+
+# ------------------------------- q312 duplicate-payment audit
+
+DUP_PAY_WINDOW_DAYS = 7
+
+
+@register(
+    "q312_duplicate_payment_audit",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    )
+    SELECT a.o_custkey,
+           CAST(a.o_totalprice AS DOUBLE) AS amount,
+           a.o_orderkey AS first_order,
+           b.o_orderkey AS second_order,
+           CAST(date_diff('day', a.d, b.d) AS BIGINT) AS days_apart
+    FROM o a JOIN o b
+      ON b.o_custkey = a.o_custkey
+     AND b.o_totalprice = a.o_totalprice
+     AND a.o_orderkey < b.o_orderkey
+     AND b.d >= a.d AND b.d <= a.d + {DUP_PAY_WINDOW_DAYS}
+    """,
+)
+def q312_duplicate_payment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detection — the accounts-payable fraud/error
+    audit every controller runs: pairs of orders by the SAME
+    customer for the SAME exact amount within {DUP_PAY_WINDOW_DAYS}
+    days (double-submitted invoices, double-charged cards), with the
+    day gap. Exact-amount equality is deliberate: near-amount fuzz
+    belongs to a second pass (q174's tolerance bands) after this
+    high-precision screen.
+
+    The pair join is equi on (customer, amount) — a REAL composite
+    key that hash-partitions cleanly — with the time band and id
+    order as post-filters; per-key fan-out is bounded by orders per
+    customer per amount (q145's profiling would flag pathological
+    keys first). Never a time-only band join, which at 100 TB would
+    pair every same-week order.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.to_date("o_orderdate").alias("d")
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_custkey").alias("c2"),
+        F.col("o_totalprice").alias("p2"),
+        F.col("d").alias("d2"),
+    )
+    pairs = o.join(
+        b,
+        (F.col("c2") == F.col("o_custkey"))
+        & (F.col("p2") == F.col("o_totalprice"))
+        & (F.col("o_orderkey") < F.col("k2"))
+        & (F.col("d2") >= F.col("d"))
+        & (F.col("d2") <= F.date_add("d", DUP_PAY_WINDOW_DAYS)),
+    )
+    return pairs.select(
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("amount"),
+        F.col("o_orderkey").alias("first_order"),
+        F.col("k2").alias("second_order"),
+        F.datediff("d2", "d").cast("bigint").alias("days_apart"),
+    )

@@ -125,6 +125,9 @@ DOC_QUERIES = [
     "q268_bpe_merge_iterations",
     # hash-dim collisions under tiny vocabularies
     "q274_feature_hashing",
+    # gappy frequency-of-frequencies tables (missing r+1) must fall
+    # back to raw r identically on both engines
+    "q310_good_turing",
     # single-class corpora must NULL the AUC on both engines
     "q275_auc_rank",
     # all-one-class corpora must NULL kappa (pe = 1) on both engines
