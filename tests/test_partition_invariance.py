@@ -50,6 +50,16 @@ SAMPLE = [
     "q199_minhash_jaccard_estimate",
     "q201_pagerank_fixed_point",
     "q207_bitmap_distinct",
+    # round-2 session-3 additions: decimal-roundtrip cross-group
+    # sums (ANOVA, OLS moments), window-hash dedup reduce, ln-product
+    # survival, order-embedding first/last tags, EWMA literal chain
+    "q253_exact_substring_dup",
+    "q261_kaplan_meier",
+    "q267_anova_oneway",
+    "q276_ewma_smoothing",
+    "q282_ols_normal_equations",
+    "q294_cdc_compaction",
+    "q300_pipeline_funnel_v2",
 ]
 
 
