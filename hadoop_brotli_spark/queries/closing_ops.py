@@ -6230,3 +6230,188 @@ def q312_duplicate_payment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k2").alias("second_order"),
         F.datediff("d2", "d").cast("bigint").alias("days_apart"),
     )
+
+
+# --------------------------------- q313 grid-density clustering
+
+GRID_N = 16  # cells per axis over [-0.5, 0.5]
+GRID_MINPTS = 8  # density threshold per cell
+GRID_ROUNDS = 3  # unrolled label-propagation rounds
+
+
+@register(
+    "q313_grid_density_clusters",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id,
+             LEAST({GRID_N - 1}, GREATEST(0, CAST(FLOOR(
+               (CAST(embedding[1] AS DOUBLE) + 0.5) * {GRID_N}) AS INTEGER)))
+               AS cx,
+             LEAST({GRID_N - 1}, GREATEST(0, CAST(FLOOR(
+               (CAST(embedding[2] AS DOUBLE) + 0.5) * {GRID_N}) AS INTEGER)))
+               AS cy
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT cx, cy, cx * {GRID_N} + cy AS cell, COUNT(*) AS n
+      FROM pts GROUP BY cx, cy
+    ),
+    dense AS (
+      SELECT cx, cy, cell, n, cell AS lbl FROM cells
+      WHERE n >= {GRID_MINPTS}
+    ),
+    {", ".join(
+        f'''d{i} AS (
+      SELECT a.cx, a.cy, a.cell, a.n, MIN(b.lbl) AS lbl
+      FROM {"dense" if i == 1 else f"d{i - 1}"} a
+      JOIN {"dense" if i == 1 else f"d{i - 1}"} b
+        ON ABS(a.cx - b.cx) <= 1 AND ABS(a.cy - b.cy) <= 1
+      GROUP BY a.cx, a.cy, a.cell, a.n
+    )''' for i in range(1, GRID_ROUNDS + 1))}
+    SELECT lbl AS cluster_label,
+           COUNT(*) AS n_cells,
+           CAST(SUM(n) AS BIGINT) AS n_points
+    FROM d{GRID_ROUNDS} GROUP BY lbl
+    """,
+)
+def q313_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (DBSCAN-lite) on the embedding's
+    first two dimensions: points bin into a {GRID_N}×{GRID_N} grid,
+    cells below {GRID_MINPTS} points are noise, and DENSE cells
+    merge with their 8-neighbors by {GRID_ROUNDS} unrolled min-label
+    propagation rounds — the density-based family (clusters of any
+    shape, explicit noise) that the centroid ops (q74/q75 IVF)
+    cannot express. Per surviving label: cells and points.
+
+    The scale inversion is the point: clustering runs on the CELL
+    table (≤ {GRID_N}², corpus-size-free) after one binning reduce;
+    the neighbor join is a bounded theta join on that tiny grid,
+    and labels after the fixed rounds are deterministic on both
+    engines (diameter-converged for this fixture; a production run
+    iterates to fixpoint with q64's checkpoint rule).
+    """
+    emb = t(spark, sf_dir, "embeddings")
+
+    def axis(i):
+        return F.least(
+            F.lit(GRID_N - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.element_at("embedding", i).cast("double") + 0.5)
+                    * GRID_N
+                ).cast("int"),
+            ),
+        )
+
+    pts = emb.select(axis(1).alias("cx"), axis(2).alias("cy"))
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    dense = cells.filter(F.col("n") >= GRID_MINPTS).select(
+        "cx", "cy", "n", (F.col("cx") * GRID_N + F.col("cy")).alias("lbl")
+    )
+    cur = dense
+    for _ in range(GRID_ROUNDS):
+        b = cur.select(
+            F.col("cx").alias("bx"),
+            F.col("cy").alias("by"),
+            F.col("lbl").alias("blbl"),
+        )
+        cur = (
+            cur.join(
+                F.broadcast(b),
+                (F.abs(F.col("cx") - F.col("bx")) <= 1)
+                & (F.abs(F.col("cy") - F.col("by")) <= 1),
+            )
+            .groupBy("cx", "cy", "n")
+            .agg(F.min("blbl").alias("lbl"))
+        )
+    return cur.groupBy(F.col("lbl").alias("cluster_label")).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n").cast("bigint").alias("n_points"),
+    )
+
+
+# ------------------------------------ q314 broadcast advisor
+
+BROADCAST_THRESHOLD_MB = 10
+
+_ADV_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _adv_width_sql(table: str) -> str:
+    widths = {
+        "region": "len(r_name) + 8",
+        "nation": "len(n_name) + 16",
+        "customer": "len(c_name) + len(c_mktsegment) + 24",
+        "supplier": "len(s_name) + 24",
+        "part": "len(p_name) + len(p_brand) + len(p_type) + 24",
+        "orders": "len(o_orderstatus) + len(o_orderpriority) + 32",
+        "lineitem": "len(l_returnflag) + len(l_linestatus) + 72",
+        "events": "len(event_type) + len(props) + 32",
+        "documents": "len(text) + len(lang) + len(source) + 16",
+        "embeddings": "len(embedding) * 4 + 16",
+    }
+    return widths[table]
+
+
+@register(
+    "q314_broadcast_advisor",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{tbl}' AS table_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM({_adv_width_sql(tbl)}) AS BIGINT) AS est_bytes,
+           CASE WHEN SUM({_adv_width_sql(tbl)})
+                     < {BROADCAST_THRESHOLD_MB} * 1048576
+                THEN 'broadcast' ELSE 'shuffle' END AS join_strategy
+    FROM {tbl}"""
+        for tbl in _ADV_TABLES
+    ),
+)
+def q314_broadcast_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join advisor: per catalog table, an estimated
+    in-memory size from a per-row width model (string lengths +
+    fixed numeric widths; vectors at 4 bytes/element) against the
+    {BROADCAST_THRESHOLD_MB} MiB autoBroadcastJoinThreshold — the
+    table-statistics input a cost-based optimizer uses for the
+    single most consequential physical choice this engine's plans
+    rely on (every starred plan in PLANS.md hangs off dimensions
+    broadcasting). q150's ANALYZE snapshot feeds cardinalities;
+    this is the byte-model half, and the audit that catches a
+    'dimension' that silently grew past broadcastability.
+
+    One scan + reduce per table; the width model is codegen
+    arithmetic — no sampling pass, no serialization probe.
+    """
+    width_cols = {
+        "region": F.length("r_name") + 8,
+        "nation": F.length("n_name") + 16,
+        "customer": F.length("c_name") + F.length("c_mktsegment") + 24,
+        "supplier": F.length("s_name") + 24,
+        "part": F.length("p_name") + F.length("p_brand") + F.length("p_type")
+        + 24,
+        "orders": F.length("o_orderstatus") + F.length("o_orderpriority") + 32,
+        "lineitem": F.length("l_returnflag") + F.length("l_linestatus") + 72,
+        "events": F.length("event_type") + F.length("props") + 32,
+        "documents": F.length("text") + F.length("lang") + F.length("source")
+        + 16,
+        "embeddings": F.size("embedding") * 4 + 16,
+    }
+    out = None
+    for tbl in _ADV_TABLES:
+        w = width_cols[tbl]
+        row = t(spark, sf_dir, tbl).agg(
+            F.lit(tbl).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(w).cast("bigint").alias("est_bytes"),
+            F.when(
+                F.sum(w) < BROADCAST_THRESHOLD_MB * 1048576, "broadcast"
+            )
+            .otherwise("shuffle")
+            .alias("join_strategy"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
