@@ -37,9 +37,10 @@ Scale notes (100 TB):
   scale), so candidate pairs come from ONE equi-join on the bucket
   key — never all-pairs. The keep/drop decision is an EXISTS over
   pair rows (semi-join shape), and the readout is a |labels|-sized
-  aggregate. Bucket skew is bounded by the same cap argument as
-  q62/q212 (oversized buckets mean mass near-duplication that exact
-  dedup q60 removes first).
+  aggregate. Bucket skew is bounded by an ACTUAL bucket-size cap
+  (SEMDEDUP_MAX_BUCKET, the q62 rule): oversized buckets skip the
+  pairwise stage conservatively — mass near-duplication is exact
+  dedup q60's job first.
 - q255: fertility runs entirely in codegen string functions over
   one documents scan — three counters per row (chars, whitespace
   words, BPE-ish tokens) partial-aggregated per (lang, source).
@@ -261,15 +262,27 @@ def q253_exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the plan is threshold-independent.
 SEMDEDUP_TAU = 0.35
 SEMDEDUP_BITS = 4
+# bucket-size cap (the q62 LSH rule, round-1 VERDICT's one perf-weak
+# finding): a degenerate corpus that collapses into one sign bucket
+# would otherwise concentrate O(bucket²) pair work in one task's key
+# range. Oversized buckets skip the pairwise stage (conservative:
+# their vectors are KEPT) — mass near-duplication at that scale is
+# exact dedup's job (q60) before a cosine pass.
+SEMDEDUP_MAX_BUCKET = 5000
 
 
 @register(
     "q254_semantic_dedup",
     oracle=f"""
-    WITH b AS (
+    WITH b0 AS (
       SELECT vec_id, label, embedding,
              {_sql_sign_bucket('embedding', SEMDEDUP_BITS)} AS bucket
       FROM embeddings
+    ),
+    b AS (
+      SELECT * FROM b0
+      WHERE bucket IN (SELECT bucket FROM b0 GROUP BY bucket
+                       HAVING COUNT(*) <= {SEMDEDUP_MAX_BUCKET})
     ),
     pairs AS (
       SELECT a.vec_id AS keep_id, b2.vec_id AS drop_id,
@@ -286,7 +299,7 @@ SEMDEDUP_BITS = 4
       SELECT DISTINCT drop_id FROM dots
       WHERE ROUND(dot / (na * nb), 6) >= {SEMDEDUP_TAU}
     )
-    SELECT b.label,
+    SELECT b0.label,
            COUNT(*) AS n_vectors,
            CAST(SUM(CASE WHEN d.drop_id IS NOT NULL THEN 1 ELSE 0 END)
              AS BIGINT) AS n_dropped,
@@ -294,8 +307,8 @@ SEMDEDUP_BITS = 4
              AS BIGINT) AS n_kept,
            ROUND(CAST(SUM(CASE WHEN d.drop_id IS NOT NULL THEN 1 ELSE 0 END)
              AS DOUBLE) / COUNT(*), 6) AS drop_rate
-    FROM b LEFT JOIN dropped d ON d.drop_id = b.vec_id
-    GROUP BY b.label
+    FROM b0 LEFT JOIN dropped d ON d.drop_id = b0.vec_id
+    GROUP BY b0.label
     """,
 )
 def q254_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,12 +322,21 @@ def q254_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the DECISION op the q72 pair-emission stops short of:
     pairs -> distinct drop-set (semi-join shape) -> per-label
     retention accounting. Candidates come from one equi-join on the
-    bucket key, never all-pairs; the drop-set is vec_id-sized and
-    the readout |labels|-sized.
+    bucket key, never all-pairs; buckets above SEMDEDUP_MAX_BUCKET
+    skip pairing (kept conservatively — the degenerate-corpus guard
+    round 1's VERDICT required for this op class); the drop-set is
+    vec_id-sized and the readout |labels|-sized.
     """
-    emb = t(spark, sf_dir, "embeddings").select(
+    emb_all = t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding", sign_bucket("embedding", SEMDEDUP_BITS).alias("bucket")
     )
+    ok_buckets = (
+        emb_all.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= SEMDEDUP_MAX_BUCKET)
+        .select("bucket")
+    )
+    emb = emb_all.join(F.broadcast(ok_buckets), "bucket")
     a = emb.select(
         F.col("vec_id").alias("keep_id"), F.col("embedding").alias("ea"), "bucket"
     )
@@ -338,8 +360,10 @@ def q254_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_dropped", F.lit(1))
     )
-    flagged = emb.select("vec_id", "label").join(
-        dropped, emb["vec_id"] == dropped["drop_id"], "left"
+    # retention accounting runs over the UNCAPPED population —
+    # oversized-bucket vectors count as kept
+    flagged = emb_all.select("vec_id", "label").join(
+        dropped, emb_all["vec_id"] == dropped["drop_id"], "left"
     )
     dropped_flag = F.when(F.col("is_dropped").isNotNull(), 1).otherwise(0)
     return flagged.groupBy("label").agg(
