@@ -6439,3 +6439,187 @@ def q314_broadcast_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ----------------------------------- q315 newsvendor stocking
+
+NV_CU = 3.0  # underage cost (lost margin per unit short)
+NV_CO = 1.0  # overage cost (holding per unit over)
+NV_Q = NV_CU / (NV_CU + NV_CO)  # critical ratio -> 0.75
+
+
+@register(
+    "q315_newsvendor_stocking",
+    oracle=f"""
+    WITH demand AS (
+      SELECT p.p_brand, CAST(l.l_shipdate AS DATE) AS d,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand, CAST(l.l_shipdate AS DATE)
+    ),
+    lvl AS (
+      SELECT p_brand,
+             COUNT(*) AS n_days,
+             CAST(SUM(CAST(q AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+               AS mean_demand,
+             quantile_cont(q, {NV_Q!r}) AS order_up_to
+      FROM demand GROUP BY p_brand
+    )
+    SELECT l.p_brand,
+           l.n_days,
+           ROUND(l.mean_demand, 6) AS mean_demand,
+           CAST({NV_Q!r} AS DOUBLE) AS critical_ratio,
+           ROUND(l.order_up_to, 4) AS order_up_to,
+           ROUND(CAST((SELECT COUNT(*) FROM demand d
+                       WHERE d.p_brand = l.p_brand
+                         AND d.q > l.order_up_to) AS DOUBLE)
+                 / l.n_days, 6) AS stockout_day_share
+    FROM lvl l
+    """,
+)
+def q315_newsvendor_stocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking levels per brand: the profit-optimal
+    order-up-to point is the demand quantile at the critical ratio
+    cu/(cu+co) — with underage {NV_CU} and overage {NV_CO} that's
+    the {NV_Q:.0%} percentile of daily demand — the OR result every
+    inventory system implements, here with the realized
+    stockout-day share as the sanity readout (≈ 1 − {NV_Q:.0%} when
+    demand is i.i.d.; a drifting series breaks that, which is the
+    signal to re-fit).
+
+    Demand reduces to the (brand, day) grain (exact decimal), the
+    quantile is the q28 shared-interpolation percentile per brand,
+    and the stockout share is a threshold re-join of the bounded
+    demand grain against the |brands|-row level table.
+    """
+    demand = (
+        t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", F.to_date("l_shipdate").alias("d"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("q")
+        )
+    )
+    lvl = demand.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (
+            F.sum(F.col("q").cast("decimal(28,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_demand"),
+        F.percentile("q", F.lit(NV_Q)).alias("order_up_to"),
+    )
+    over = (
+        demand.join(
+            lvl.select(
+                F.col("p_brand").alias("pb"), F.col("order_up_to").alias("lv")
+            ),
+            F.col("p_brand") == F.col("pb"),
+        )
+        .filter(F.col("q") > F.col("lv"))
+        .groupBy("pb")
+        .agg(F.count(F.lit(1)).alias("n_over"))
+    )
+    return (
+        lvl.join(over, lvl["p_brand"] == over["pb"], "left")
+        .select(
+            "p_brand",
+            "n_days",
+            F.round("mean_demand", 6).alias("mean_demand"),
+            F.lit(NV_Q).alias("critical_ratio"),
+            F.round("order_up_to", 4).alias("order_up_to"),
+            F.round(
+                F.coalesce(F.col("n_over"), F.lit(0)).cast("double")
+                / F.col("n_days"),
+                6,
+            ).alias("stockout_day_share"),
+        )
+    )
+
+
+# ----------------------------------- q316 price elasticity
+
+
+@register(
+    "q316_price_elasticity",
+    oracle="""
+    WITH weekly AS (
+      SELECT p.p_brand,
+             CAST(date_trunc('week', l.l_shipdate) AS DATE) AS w,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand, date_trunc('week', l.l_shipdate)
+    ),
+    logs AS (
+      SELECT p_brand, LN(rev / qty) AS x, LN(qty) AS y FROM weekly
+      WHERE qty > 0
+    )
+    SELECT p_brand,
+           COUNT(*) AS n_weeks,
+           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / NULLIF(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x), 0.0), 6)
+             AS elasticity,
+           ROUND(EXP(SUM(y) / COUNT(*)
+                 - ((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                    / NULLIF(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x), 0.0))
+                   * SUM(x) / COUNT(*)), 4) AS demand_at_unit_price
+    FROM logs GROUP BY p_brand
+    """,
+)
+def q316_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Own-price demand elasticity per brand: OLS slope of ln(qty)
+    on ln(avg unit price) over the weekly grain — the log-log
+    regression whose coefficient IS the % demand change per 1% price
+    change, the econometrics number behind every pricing decision
+    (|e| > 1 elastic, price cuts grow revenue; < 1 inelastic). This
+    fixture's independently-generated prices/quantities produce
+    e ≈ 0 — the 'no detectable elasticity' readout, which is itself
+    the guard against pricing on noise.
+
+    Weekly (brand, price, qty) reduces from exact-decimal sums;
+    unit price is a deterministic ratio; the per-brand OLS is
+    q189's five-sufficient-statistics shape on ln values (q229's
+    shared-operand rule), NULLIF-guarded for single-week brands.
+    """
+    weekly = (
+        t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            "p_brand",
+            F.date_trunc("week", "l_shipdate").cast("date").alias("w"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev"),
+        )
+    )
+    logs = weekly.filter(F.col("qty") > 0).select(
+        "p_brand",
+        F.log(F.col("rev") / F.col("qty")).alias("x"),
+        F.log("qty").alias("y"),
+    )
+    n = F.count(F.lit(1))
+    den = F.nullif(
+        n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"),
+        F.lit(0.0),
+    )
+    slope = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / den
+    intercept = F.sum("y") / n - slope * F.sum("x") / n
+    return logs.groupBy("p_brand").agg(
+        n.alias("n_weeks"),
+        F.round(slope, 6).alias("elasticity"),
+        F.round(F.exp(intercept), 4).alias("demand_at_unit_price"),
+    )
