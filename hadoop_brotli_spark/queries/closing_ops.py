@@ -6623,3 +6623,277 @@ def q316_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("elasticity"),
         F.round(F.exp(intercept), 4).alias("demand_at_unit_price"),
     )
+
+
+# ------------------------------ q317 SAX time-series similarity
+
+SAX_SYMBOLS = ["a", "b", "c", "d"]  # 4-symbol alphabet via quartiles
+
+
+@register(
+    "q317_sax_similarity",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    cuts AS (
+      SELECT quantile_cont(CAST(n AS DOUBLE), 0.25) AS c1,
+             quantile_cont(CAST(n AS DOUBLE), 0.5) AS c2,
+             quantile_cont(CAST(n AS DOUBLE), 0.75) AS c3
+      FROM daily
+    ),
+    sym AS (
+      SELECT event_type, d,
+             CASE WHEN n <= c1 THEN 'a'
+                  WHEN n <= c2 THEN 'b'
+                  WHEN n <= c3 THEN 'c' ELSE 'd' END AS s
+      FROM daily, cuts
+    ),
+    words AS (
+      SELECT event_type,
+             string_agg(s, '' ORDER BY d) AS sax_word
+      FROM sym GROUP BY event_type
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(levenshtein(a.sax_word, b.sax_word) AS BIGINT)
+             AS sax_edit_distance,
+           CAST(len(a.sax_word) AS BIGINT) AS word_len_a,
+           CAST(len(b.sax_word) AS BIGINT) AS word_len_b
+    FROM words a JOIN words b ON a.event_type < b.event_type
+    """,
+)
+def q317_sax_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity via SAX (symbolic aggregate
+    approximation, Lin et al. 2003): each event type's daily-count
+    series quantizes into a 4-symbol word at corpus quartile
+    breakpoints, and series compare by EDIT DISTANCE between words —
+    the representation that turns time-series mining into string
+    algorithms (and the standard scale answer: the expensive
+    alignment runs on short symbol words, never raw series; here
+    levenshtein is the alignment, both engines' identical DP).
+
+    One day-grain reduce, quartile cuts broadcast map-side (q272's
+    pattern), one ordered string_agg per type (bounded series —
+    deterministic order by day), and a |types|² word join. The
+    symbol words also make the series human-auditable — 'dddd' IS
+    the burst.
+    """
+    from pyspark.sql import Window as W
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cuts = daily.agg(
+        F.percentile(F.col("n").cast("double"), F.lit(0.25)).alias("c1"),
+        F.percentile(F.col("n").cast("double"), F.lit(0.5)).alias("c2"),
+        F.percentile(F.col("n").cast("double"), F.lit(0.75)).alias("c3"),
+    )
+    sym = daily.crossJoin(F.broadcast(cuts)).select(
+        "event_type",
+        "d",
+        F.when(F.col("n") <= F.col("c1"), "a")
+        .when(F.col("n") <= F.col("c2"), "b")
+        .when(F.col("n") <= F.col("c3"), "c")
+        .otherwise("d")
+        .alias("s"),
+    )
+    words = (
+        sym.groupBy("event_type")
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("d", "s"))).getField("s")
+            ).alias("sax_word")
+        )
+    )
+    a = words.select(
+        F.col("event_type").alias("type_a"), F.col("sax_word").alias("wa")
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"), F.col("sax_word").alias("wb")
+    )
+    return a.join(b, F.col("type_a") < F.col("type_b")).select(
+        "type_a",
+        "type_b",
+        F.levenshtein("wa", "wb").cast("bigint").alias("sax_edit_distance"),
+        F.length("wa").cast("bigint").alias("word_len_a"),
+        F.length("wb").cast("bigint").alias("word_len_b"),
+    )
+
+
+# ------------------------------------ q318 DTW alignment distance
+
+DTW_DAYS = 30  # fixed analysis window: first 30 days of the stream
+
+
+def _dtw_sql() -> str:
+    """Unrolled anti-diagonal DTW dynamic program: stage k holds the
+    DP cells with i+j = k; cell (i,j) needs (i-1,j) and (i,j-1) from
+    stage k-1 and (i-1,j-1) from stage k-2 — no intra-stage
+    dependency, so each stage is a plain SELECT over the previous
+    two. 2·{N} stages cover any series length ≤ {N}."""
+    n = DTW_DAYS
+    stages = []
+    for k in range(3, 2 * n + 1):
+        prev, prev2 = f"s{k - 1}", f"s{k - 2}" if k > 3 else "s2"
+        stages.append(f"""s{k} AS MATERIALIZED (
+      SELECT c.ta, c.tb, c.i, c.j,
+             c.cost + LEAST(
+               COALESCE(up.acc, 1e18), COALESCE(lf.acc, 1e18),
+               COALESCE(dg.acc, 1e18)) AS acc
+      FROM cells c
+      LEFT JOIN {prev} up ON up.ta = c.ta AND up.tb = c.tb
+                         AND up.i = c.i - 1 AND up.j = c.j
+      LEFT JOIN {prev} lf ON lf.ta = c.ta AND lf.tb = c.tb
+                         AND lf.i = c.i AND lf.j = c.j - 1
+      LEFT JOIN {prev2} dg ON dg.ta = c.ta AND dg.tb = c.tb
+                          AND dg.i = c.i - 1 AND dg.j = c.j - 1
+      WHERE c.i + c.j = {k} AND NOT (c.i = 1 AND c.j = 1)
+    )""")
+    finals = " UNION ALL ".join(
+        f"SELECT s.ta, s.tb, s.acc FROM s{k} s JOIN pairs p"
+        f" ON p.ta = s.ta AND p.tb = s.tb AND s.i = p.n AND s.j = p.n"
+        for k in range(2, 2 * n + 1)
+    )
+    return (
+        f"""
+    WITH spine AS MATERIALIZED (
+      SELECT CAST(MIN(CAST(ts AS DATE)) AS DATE) AS d0 FROM events
+    ),
+    daily AS MATERIALIZED (
+      SELECT e.event_type,
+             date_diff('day', s.d0, CAST(e.ts AS DATE)) AS i,
+             COUNT(*) AS cnt
+      FROM events e, spine s
+      WHERE date_diff('day', s.d0, CAST(e.ts AS DATE)) < {n}
+      GROUP BY e.event_type, date_diff('day', s.d0, CAST(e.ts AS DATE))
+    ),
+    span AS MATERIALIZED (SELECT MAX(i) + 1 AS len FROM daily),
+    grid AS MATERIALIZED (
+      SELECT et.event_type, g.i
+      FROM (SELECT DISTINCT event_type FROM daily) et,
+           span, UNNEST(range(span.len)) AS g(i)
+    ),
+    filled AS MATERIALIZED (
+      SELECT grid.event_type, grid.i, COALESCE(d.cnt, 0) AS cnt
+      FROM grid LEFT JOIN daily d
+        ON d.event_type = grid.event_type AND d.i = grid.i
+    ),
+    series AS MATERIALIZED (
+      SELECT event_type, list(cnt ORDER BY i) AS v FROM filled
+      GROUP BY event_type
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             a.v AS va, b.v AS vb, len(a.v) AS n
+      FROM series a JOIN series b ON a.event_type < b.event_type
+    ),
+    cells AS MATERIALIZED (
+      SELECT p.ta, p.tb, gi.i, gj.j,
+             CAST(ABS(p.va[gi.i] - p.vb[gj.j]) AS DOUBLE) AS cost
+      FROM pairs p,
+           UNNEST(range(1, p.n + 1)) AS gi(i),
+           UNNEST(range(1, p.n + 1)) AS gj(j)
+    ),
+    s2 AS MATERIALIZED (
+      SELECT ta, tb, 1 AS i, 1 AS j,
+             CAST(ABS(va[1] - vb[1]) AS DOUBLE) AS acc
+      FROM pairs
+    ),
+    """
+        + ",\n    ".join(stages)
+        + f"""
+    SELECT ta AS type_a, tb AS type_b,
+           CAST(acc AS BIGINT) AS dtw_distance
+    FROM ({finals})
+    """
+    )
+
+
+@register("q318_dtw_alignment", oracle=_dtw_sql())
+def q318_dtw_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between event types' daily
+    activity series (first {DTW_DAYS} days, zero-filled) — the
+    alignment-based similarity that SAX edit distance (q317)
+    approximates: DTW matches shifted/stretched bursts that
+    lock-step L1 would punish. Integer L1 cell costs make the DP
+    exact, so the result hash-matches.
+
+    This is the showcase of the engine's custom-operator rule:
+    Spark-side the quadratic DP runs as numpy inside Arrow-batched
+    ``mapInPandas`` over the bounded pair rows (built-ins genuinely
+    can't express the recurrence; series live as arrays, one pair
+    per row, the Python surface stays candidates-only exactly like
+    q249's re-ranker), while the ORACLE unrolls the same DP into
+    {2 * DTW_DAYS - 2} anti-diagonal SQL stages (no intra-stage
+    dependency — the same trick q268 uses for merge rounds), proving
+    the Python path cell-for-cell. At scale the pair grain is
+    |types|² and each DP is O(w·n) with a Sakoe-Chiba band — the
+    corpus never enters the Python stage.
+    """
+    import numpy as np
+
+    ev = t(spark, sf_dir, "events")
+    spine = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    daily = (
+        ev.crossJoin(F.broadcast(spine))
+        .select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.col("d0")).alias("i"),
+        )
+        .filter(F.col("i") < DTW_DAYS)
+        .groupBy("event_type", "i")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    span = daily.agg((F.max("i") + 1).alias("len"))
+    et = daily.select("event_type").distinct()
+    grid = et.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.col("len") - 1)).alias("i"),
+    )
+    filled = grid.join(daily, ["event_type", "i"], "left").select(
+        "event_type", "i", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    series = filled.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("i", "cnt")))
+        .getField("cnt")
+        .alias("v")
+    )
+    a = series.select(F.col("event_type").alias("type_a"), F.col("v").alias("va"))
+    b = series.select(F.col("event_type").alias("type_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+
+    def dtw(batches):
+        for pdf in batches:
+            rows = []
+            for ta, tb, va, vb in zip(
+                pdf["type_a"], pdf["type_b"], pdf["va"], pdf["vb"]
+            ):
+                x = np.asarray(va, dtype=np.int64)
+                y = np.asarray(vb, dtype=np.int64)
+                n, m = len(x), len(y)
+                INF = np.int64(1 << 60)
+                D = np.full((n + 1, m + 1), INF, dtype=np.int64)
+                D[0, 0] = 0
+                for i in range(1, n + 1):
+                    cost = np.abs(x[i - 1] - y)  # row of |xi - yj|
+                    for j in range(1, m + 1):
+                        D[i, j] = cost[j - 1] + min(
+                            D[i - 1, j], D[i, j - 1], D[i - 1, j - 1]
+                        )
+                rows.append(
+                    {
+                        "type_a": ta,
+                        "type_b": tb,
+                        "dtw_distance": int(D[n, m]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    import pandas as pd  # noqa: F811
+
+    return pairs.mapInPandas(
+        dtw, schema="type_a string, type_b string, dtw_distance long"
+    )
