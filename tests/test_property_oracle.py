@@ -81,6 +81,11 @@ EVENT_QUERIES = [
     # duplicate timestamps and back-to-back events attack the
     # island-boundary running-MAX tie-breaks
     "q306_interval_union_coverage",
+    # quartile-cut ties and 1-day series stress the SAX words
+    "q317_sax_similarity",
+    # single-type corpora -> zero pairs; 1-2 day series -> tiny DPs
+    # on both the numpy and the unrolled-SQL side
+    "q318_dtw_alignment",
 ]
 DOC_QUERIES = [
     "q60_dedup_exact",
