@@ -6897,3 +6897,315 @@ def q318_dtw_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.mapInPandas(
         dtw, schema="type_a string, type_b string, dtw_distance long"
     )
+
+
+# ------------------------------------------ q319 HITS scores
+
+HITS_ITERS = 2
+HITS_TOPK = 10
+
+
+@register(
+    "q319_hits_scores",
+    oracle=f"""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    h0 AS (SELECT DISTINCT s, 1.0 AS hub FROM ps),
+    {", ".join(
+        f'''a{i} AS MATERIALIZED (
+      SELECT ps.p, SUM(h{i - 1}.hub) AS auth
+      FROM ps JOIN h{i - 1} ON h{i - 1}.s = ps.s GROUP BY ps.p
+    ),
+    an{i} AS MATERIALIZED (
+      SELECT p, auth / (SELECT SUM(auth) FROM a{i}) AS auth FROM a{i}
+    ),
+    h{i}_raw AS MATERIALIZED (
+      SELECT ps.s, SUM(an{i}.auth) AS hub
+      FROM ps JOIN an{i} ON an{i}.p = ps.p GROUP BY ps.s
+    ),
+    h{i} AS MATERIALIZED (
+      SELECT s, hub / (SELECT SUM(hub) FROM h{i}_raw) AS hub
+      FROM h{i}_raw
+    )''' for i in range(1, HITS_ITERS + 1))}
+    SELECT s AS supplier, ROUND(hub, 8) AS hub_score,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT s, hub, ROW_NUMBER() OVER (ORDER BY hub DESC, s) AS rk
+      FROM h{HITS_ITERS}
+    ) WHERE rk <= {HITS_TOPK}
+    """,
+)
+def q319_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities over the supplier→part bipartite
+    graph, {HITS_ITERS} unrolled mutual-reinforcement iterations
+    (hub = Σ authority of supplied parts, authority = Σ hub of
+    suppliers, L1-normalized each half-step): the top-{HITS_TOPK}
+    hub suppliers. Unlike PageRank (q201 — a single random-walk
+    score), HITS separates 'supplies many important parts' from
+    'supplied by many important suppliers' — the bipartite-influence
+    decomposition.
+
+    Each half-step is one equi-join + reduce on the DISTINCT
+    (part, supplier) projection; normalization divides by a 1-row
+    broadcast sum, so scores are identical IEEE ratios. Iteration
+    count is fixed and unrolled (q268's rule).
+    """
+    from pyspark.sql import Window as W
+
+    ps = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    hub = ps.select("s").distinct().withColumn("hub", F.lit(1.0))
+    for _ in range(HITS_ITERS):
+        auth = (
+            ps.join(hub, "s")
+            .groupBy("p")
+            .agg(F.sum("hub").alias("auth"))
+        )
+        asum = auth.agg(F.sum("auth").alias("t"))
+        auth = auth.crossJoin(F.broadcast(asum)).select(
+            "p", (F.col("auth") / F.col("t")).alias("auth")
+        )
+        hub_raw = (
+            ps.join(auth, "p").groupBy("s").agg(F.sum("auth").alias("hub"))
+        )
+        hsum = hub_raw.agg(F.sum("hub").alias("t"))
+        hub = hub_raw.crossJoin(F.broadcast(hsum)).select(
+            "s", (F.col("hub") / F.col("t")).alias("hub")
+        )
+    wr = W.orderBy(F.col("hub").desc(), F.col("s"))
+    return (
+        hub.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= HITS_TOPK)
+        .select(
+            F.col("s").alias("supplier"),
+            F.round("hub", 8).alias("hub_score"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+# --------------------------------- q320 degree assortativity
+
+
+@register(
+    "q320_degree_assortativity",
+    oracle=f"""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    capped AS (
+      SELECT l_partkey, l_suppkey FROM (
+        SELECT l_partkey, l_suppkey,
+               COUNT(*) OVER (PARTITION BY l_partkey) AS deg
+        FROM ps
+      ) WHERE deg <= {KCORE_CAP}
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM capped a JOIN capped b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey <> b.l_suppkey
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    de AS (
+      SELECT CAST(du.d AS DOUBLE) AS x, CAST(dv.d AS DOUBLE) AS y
+      FROM edges e
+      JOIN deg du ON du.u = e.u
+      JOIN deg dv ON dv.u = e.v
+    )
+    SELECT COUNT(*) AS n_directed_edges,
+           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+             / NULLIF(SQRT((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                  * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))), 0.0), 6)
+             AS assortativity
+    FROM de
+    """,
+)
+def q320_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-supply graph: the Pearson
+    correlation of endpoint degrees across edges — Newman's r, the
+    single number that says whether hubs attach to hubs (r > 0,
+    social-network style: failures cascade among the well-connected)
+    or hubs attach to leaves (r < 0, infrastructure style: hub loss
+    strands the periphery). The resilience prior for any
+    supply-chain risk model built on this graph (q305's blast radius
+    spreads very differently under the two regimes).
+
+    Degrees reduce from the capped edge list (q214's bound), each
+    edge picks up both endpoint degrees via two joins on the
+    vertex-sized degree table, and the correlation is five exact
+    sufficient statistics (both directions of each undirected edge
+    are counted, per Newman's definition).
+    """
+    from pyspark.sql import Window as W
+
+    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    capped = (
+        ps.withColumn(
+            "deg", F.count(F.lit(1)).over(W.partitionBy("l_partkey"))
+        )
+        .filter(F.col("deg") <= KCORE_CAP)
+        .drop("deg")
+    )
+    b = capped.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("v")
+    )
+    edges = (
+        capped.join(
+            b,
+            (F.col("l_partkey") == F.col("pk"))
+            & (F.col("l_suppkey") != F.col("v")),
+        )
+        .select(F.col("l_suppkey").alias("u"), "v")
+        .distinct()
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u").alias("ju"), F.col("d").alias("x"))
+    dv = deg.select(F.col("u").alias("jv"), F.col("d").alias("y"))
+    de = (
+        edges.join(du, edges["u"] == du["ju"])
+        .join(dv, edges["v"] == dv["jv"])
+        .select(F.col("x").cast("double").alias("x"), F.col("y").cast("double").alias("y"))
+    )
+    n = F.count(F.lit(1))
+    num = n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
+    den = F.nullif(
+        F.sqrt(
+            (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+            * (n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y"))
+        ),
+        F.lit(0.0),
+    )
+    return de.agg(
+        n.alias("n_directed_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
+# ------------------------------------------ q321 modularity
+
+
+@register(
+    "q321_modularity",
+    oracle=f"""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    capped AS (
+      SELECT l_partkey, l_suppkey FROM (
+        SELECT l_partkey, l_suppkey,
+               COUNT(*) OVER (PARTITION BY l_partkey) AS deg
+        FROM ps
+      ) WHERE deg <= {KCORE_CAP}
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM capped a JOIN capped b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey <> b.l_suppkey
+    ),
+    comm AS (SELECT s_suppkey AS u, s_nationkey AS c FROM supplier),
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    m2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m2 FROM edges),
+    intra AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS e_in
+      FROM edges e
+      JOIN comm cu ON cu.u = e.u
+      JOIN comm cv ON cv.u = e.v
+      WHERE cu.c = cv.c
+    ),
+    ktot AS (
+      SELECT CAST(SUM(CAST(dc AS DECIMAL(28,0)) * CAST(dc AS DECIMAL(28,0)))
+                  AS DOUBLE) AS sum_k2
+      FROM (
+        SELECT cm.c, SUM(d.d) AS dc
+        FROM deg d JOIN comm cm ON cm.u = d.u GROUP BY cm.c
+      )
+    )
+    SELECT CAST(m2.m2 AS BIGINT) AS n_directed_edges,
+           ROUND(i.e_in / m2.m2, 6) AS intra_community_share,
+           ROUND(k.sum_k2 / (m2.m2 * m2.m2), 6) AS expected_share,
+           ROUND(i.e_in / m2.m2 - k.sum_k2 / (m2.m2 * m2.m2), 6)
+             AS modularity
+    FROM m2, intra i, ktot k
+    """,
+)
+def q321_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the nation partition over the co-supply
+    graph: Q = (intra-community edge share) − (expected share under
+    the degree-preserving null model, Σ_c (Σ_{{i∈c}} k_i)² / (2m)²)
+    — the community-quality score every clustering-on-graphs result
+    is judged by. Q ≈ 0 means nations do NOT form supply
+    communities (this fixture's uniform generator — the null
+    readout); a real regionalized supply chain shows Q ≫ 0, and a
+    community detector (q64's components as candidate communities)
+    would be tuned to maximize exactly this.
+
+    Three bounded reductions off the capped edge list: intra-edge
+    count (two community-tag joins), per-community degree totals
+    (DECIMAL-exact squares), and the edge total — the formula
+    evaluates on a 1-row frame.
+    """
+    from pyspark.sql import Window as W
+
+    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    capped = (
+        ps.withColumn(
+            "deg", F.count(F.lit(1)).over(W.partitionBy("l_partkey"))
+        )
+        .filter(F.col("deg") <= KCORE_CAP)
+        .drop("deg")
+    )
+    b = capped.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("v")
+    )
+    edges = (
+        capped.join(
+            b,
+            (F.col("l_partkey") == F.col("pk"))
+            & (F.col("l_suppkey") != F.col("v")),
+        )
+        .select(F.col("l_suppkey").alias("u"), "v")
+        .distinct()
+    )
+    comm = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("cu"), F.col("s_nationkey").alias("c")
+    )
+    m2 = edges.agg(F.count(F.lit(1)).cast("double").alias("m2"))
+    intra = (
+        edges.join(F.broadcast(comm), edges["u"] == comm["cu"])
+        .select("v", F.col("c").alias("c_u"))
+        .join(
+            F.broadcast(comm.select(F.col("cu").alias("cv"), F.col("c").alias("c_v"))),
+            F.col("v") == F.col("cv"),
+        )
+        .filter(F.col("c_u") == F.col("c_v"))
+        .agg(F.count(F.lit(1)).cast("double").alias("e_in"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ktot = (
+        deg.join(F.broadcast(comm), deg["u"] == comm["cu"])
+        .groupBy("c")
+        .agg(F.sum("d").alias("dc"))
+        .agg(
+            F.sum(
+                F.col("dc").cast("decimal(28,0)")
+                * F.col("dc").cast("decimal(28,0)")
+            )
+            .cast("double")
+            .alias("sum_k2")
+        )
+    )
+    j = m2.crossJoin(F.broadcast(intra)).crossJoin(F.broadcast(ktot))
+    return j.select(
+        F.col("m2").cast("bigint").alias("n_directed_edges"),
+        F.round(F.col("e_in") / F.col("m2"), 6).alias("intra_community_share"),
+        F.round(F.col("sum_k2") / (F.col("m2") * F.col("m2")), 6).alias(
+            "expected_share"
+        ),
+        F.round(
+            F.col("e_in") / F.col("m2")
+            - F.col("sum_k2") / (F.col("m2") * F.col("m2")),
+            6,
+        ).alias("modularity"),
+    )
