@@ -1,8 +1,26 @@
-"""Round-2 coverage extensions, batch 3: PII/identifier pattern
-scrubbing, exact-substring (sliding-window) cross-document
-duplication, SemDeDup-style semantic dedup decisions, and tokenizer
-fertility — the remaining named stages of a production LLM
-training-data pipeline.
+"""Round-2 coverage extensions, session 3 (q252-q321): the named
+techniques a production data platform ships beyond the classic
+relational surface, each as a DataFrame plan with an exact DuckDB
+oracle —
+
+- LLM-pipeline stages: PII scrubbing, ExactSubstr sliding-window
+  dedup, SemDeDup, CDC chunking, tokenizer fertility, iterative BPE
+  training, feature hashing, Good-Turing, Heaps' law, the round-2
+  end-to-end corpus funnel (q300).
+- Statistics & experimentation: Benford, QQ, ANOVA, ACF, Theil-Sen,
+  EWMA, Kaplan-Meier, Wilson intervals, O'Brien-Fleming looks, SPRT,
+  CUPED-adjacent sequential suite, exact AUC, Brier calibration,
+  Cohen's kappa, BBSE label shift, Hill tail index, forecast
+  backtesting (MASE et al.), OLS via normal equations + k-fold via
+  subtractable moments, WOE/IV, LOO target encoding.
+- Systems & storage: table checksums, Merkle diff + drill-down,
+  consistent hashing, salted-join balance, CDC compaction, IVM
+  delta-join, file-layout and encoding advisors, broadcast advisor,
+  erasure blast radius, k-anonymity generalization.
+- Graph & time series: k-core, BFS frontier, HITS, assortativity,
+  modularity, negative-edge sampling, interval concurrency/union,
+  sweep-line Little's law, OHLC/TWAP, SAX, exact DTW (numpy DP
+  proven by an unrolled anti-diagonal SQL oracle).
 
 Like every relational op, these are absent from the reference codec
 (SURVEY.md §2b census — the reference is a Hadoop compression codec,
