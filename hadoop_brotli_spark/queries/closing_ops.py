@@ -7227,3 +7227,278 @@ def q321_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("modularity"),
     )
+
+
+# ------------------------------------ q322 decision stump (Gini)
+
+STUMP_FEATURES = ["n_chars", "n_tokens"]
+STUMP_CUT_PROBS = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+@register(
+    "q322_decision_stump",
+    oracle=f"""
+    WITH feat AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CAST(n_chars AS DOUBLE) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens
+      FROM documents
+    ),
+    cand AS (
+      {" UNION ALL ".join(
+        f"SELECT '{feat}' AS feature, quantile_cont({feat}, {p!r}) AS cut"
+        + " FROM feat"
+        for feat in STUMP_FEATURES for p in STUMP_CUT_PROBS)}
+    ),
+    split AS (
+      SELECT c.feature, c.cut,
+             SUM(CASE WHEN (CASE WHEN c.feature = 'n_chars'
+                            THEN f.n_chars ELSE f.n_tokens END) <= c.cut
+                      THEN 1 ELSE 0 END) AS nl,
+             SUM(CASE WHEN (CASE WHEN c.feature = 'n_chars'
+                            THEN f.n_chars ELSE f.n_tokens END) <= c.cut
+                      THEN f.y ELSE 0 END) AS pl,
+             COUNT(*) AS n, SUM(f.y) AS p
+      FROM cand c, feat f
+      GROUP BY c.feature, c.cut
+    ),
+    scored AS (
+      SELECT feature, cut, nl, n - nl AS nr,
+             -- weighted Gini after the split; 0.5-smoothed shares
+             -- keep empty sides defined on both engines
+             (nl * (2.0 * ((pl + 0.5) / (nl + 1.0))
+                    * (1 - (pl + 0.5) / (nl + 1.0)))
+              + (n - nl) * (2.0 * ((p - pl + 0.5) / (n - nl + 1.0))
+                    * (1 - (p - pl + 0.5) / (n - nl + 1.0)))) / n
+               AS gini_after,
+             2.0 * (CAST(p AS DOUBLE) / n) * (1 - CAST(p AS DOUBLE) / n)
+               AS gini_before
+      FROM split
+    )
+    SELECT feature, ROUND(cut, 4) AS cut,
+           CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           ROUND(gini_before - gini_after, 6) AS gini_gain,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY gini_before - gini_after DESC,
+                                   feature, cut) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def q322_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-STUMP training in-engine: for two features and nine
+    decile cut candidates each, the weighted Gini impurity of the
+    induced split against the lang='en' label — the top-3 splits by
+    Gini gain ARE one level of a decision tree, trained exactly the
+    way a distributed GBDT (XGBoost/LightGBM histogram mode) does
+    it: candidate thresholds from quantiles, one pass computing
+    every split's class counts, argmin impurity. The 0.5 smoothing
+    keeps degenerate (empty-side) splits defined identically on
+    both engines.
+
+    One broadcast of the 18-row candidate frame onto the feature
+    scan, one grouped reduce per (feature, cut) — never a per-
+    threshold re-scan; the tree level is a bounded argmax window.
+    """
+    from pyspark.sql import Window as W
+
+    feat = t(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("double").alias("n_tokens"),
+    )
+    cand = None
+    for fname in STUMP_FEATURES:
+        c = feat.agg(
+            *[
+                F.percentile(fname, F.lit(p)).alias(f"c{i}")
+                for i, p in enumerate(STUMP_CUT_PROBS)
+            ]
+        ).select(
+            F.lit(fname).alias("feature"),
+            F.explode(
+                F.array(*[F.col(f"c{i}") for i in range(len(STUMP_CUT_PROBS))])
+            ).alias("cut"),
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    fv = F.when(F.col("feature") == "n_chars", F.col("n_chars")).otherwise(
+        F.col("n_tokens")
+    )
+    left = fv <= F.col("cut")
+    split = (
+        feat.crossJoin(F.broadcast(cand))
+        .groupBy("feature", "cut")
+        .agg(
+            F.sum(F.when(left, 1).otherwise(0)).alias("nl"),
+            F.sum(F.when(left, F.col("y")).otherwise(0)).alias("pl"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("p"),
+        )
+    )
+    share_l = (F.col("pl") + 0.5) / (F.col("nl") + 1.0)
+    share_r = (F.col("p") - F.col("pl") + 0.5) / (F.col("n") - F.col("nl") + 1.0)
+    gini_after = (
+        F.col("nl") * (2.0 * share_l * (1 - share_l))
+        + (F.col("n") - F.col("nl")) * (2.0 * share_r * (1 - share_r))
+    ) / F.col("n")
+    p_all = F.col("p").cast("double") / F.col("n")
+    gini_before = 2.0 * p_all * (1 - p_all)
+    scored = split.select(
+        "feature",
+        "cut",
+        "nl",
+        (F.col("n") - F.col("nl")).alias("nr"),
+        (gini_before - gini_after).alias("gain"),
+    )
+    wr = W.orderBy(F.col("gain").desc(), F.col("feature"), F.col("cut"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "feature",
+            F.round("cut", 4).alias("cut"),
+            F.col("nl").cast("bigint").alias("n_left"),
+            F.col("nr").cast("bigint").alias("n_right"),
+            F.round("gain", 6).alias("gini_gain"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+# --------------------------------- q323 rank correlation suite
+
+
+@register(
+    "q323_rank_correlation",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand, CAST(YEAR(l.l_shipdate) AS INTEGER) AS y,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE YEAR(l.l_shipdate) IN (1996, 1997)
+      GROUP BY p.p_brand, YEAR(l.l_shipdate)
+    ),
+    ranks AS (
+      SELECT a.p_brand,
+             ROW_NUMBER() OVER (ORDER BY a.rev DESC, a.p_brand) AS r1,
+             ROW_NUMBER() OVER (ORDER BY b.rev DESC, a.p_brand) AS r2
+      FROM rev a JOIN rev b
+        ON b.p_brand = a.p_brand AND a.y = 1996 AND b.y = 1997
+    ),
+    pairs AS (
+      SELECT CASE WHEN (x.r1 - y.r1) * (x.r2 - y.r2) > 0 THEN 1 ELSE 0 END
+               AS conc,
+             CASE WHEN (x.r1 - y.r1) * (x.r2 - y.r2) < 0 THEN 1 ELSE 0 END
+               AS disc
+      FROM ranks x JOIN ranks y ON x.p_brand < y.p_brand
+    ),
+    kend AS (
+      SELECT CAST(SUM(conc) AS BIGINT) AS nc,
+             CAST(SUM(disc) AS BIGINT) AS nd,
+             COUNT(*) AS np
+      FROM pairs
+    ),
+    spear AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT) AS d2
+      FROM ranks
+    )
+    SELECT s.n AS n_brands,
+           k.nc AS concordant, k.nd AS discordant,
+           ROUND(CAST(k.nc - k.nd AS DOUBLE) / k.np, 6) AS kendall_tau,
+           ROUND(1.0 - 6.0 * s.d2 / (s.n * (CAST(s.n AS DOUBLE) * s.n - 1)),
+                 6) AS spearman_rho
+    FROM kend k, spear s
+    """,
+)
+def q323_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-correlation suite between the 1996 and 1997 brand-
+    revenue leaderboards: Kendall's τ (concordant-minus-discordant
+    pair share — how often any two brands keep their relative order)
+    and Spearman's ρ (1 − 6Σd²/n(n²−1)) — the nonparametric
+    stability metrics for RANKINGS, where Pearson (q258) would be
+    distorted by the revenue scale. The churn diff (q269) says WHO
+    moved; these say how much order survived, in one number each.
+
+    Revenue ranks come from exact-decimal reduces with total-order
+    tie-breaks; the Kendall pair stage is |brands|² over the
+    bounded leaderboard (25 brands → 300 pairs), and Spearman's d²
+    sum is exact integers. Both windows order a bounded grain.
+    """
+    from pyspark.sql import Window as W
+
+    rev = (
+        t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .withColumn("y", F.year("l_shipdate"))
+        .filter(F.col("y").isin(1996, 1997))
+        .groupBy("p_brand", "y")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("rev")
+        )
+    )
+    a = rev.filter(F.col("y") == 1996).select("p_brand", F.col("rev").alias("ra"))
+    b = rev.filter(F.col("y") == 1997).select(
+        F.col("p_brand").alias("pb"), F.col("rev").alias("rb")
+    )
+    joined = a.join(b, a["p_brand"] == b["pb"])
+    ranks = joined.select(
+        "p_brand",
+        F.row_number()
+        .over(W.orderBy(F.col("ra").desc(), F.col("p_brand")))
+        .alias("r1"),
+        F.row_number()
+        .over(W.orderBy(F.col("rb").desc(), F.col("p_brand")))
+        .alias("r2"),
+    )
+    x = ranks.select(
+        F.col("p_brand").alias("ba"), F.col("r1").alias("x1"), F.col("r2").alias("x2")
+    )
+    ypair = ranks.select(
+        F.col("p_brand").alias("bb"), F.col("r1").alias("y1"), F.col("r2").alias("y2")
+    )
+    pairs = x.join(ypair, F.col("ba") < F.col("bb")).select(
+        F.when(
+            (F.col("x1") - F.col("y1")) * (F.col("x2") - F.col("y2")) > 0, 1
+        )
+        .otherwise(0)
+        .alias("conc"),
+        F.when(
+            (F.col("x1") - F.col("y1")) * (F.col("x2") - F.col("y2")) < 0, 1
+        )
+        .otherwise(0)
+        .alias("disc"),
+    )
+    kend = pairs.agg(
+        F.sum("conc").cast("bigint").alias("nc"),
+        F.sum("disc").cast("bigint").alias("nd"),
+        F.count(F.lit(1)).alias("np"),
+    )
+    spear = ranks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2")))
+        .cast("bigint")
+        .alias("d2"),
+    )
+    j = kend.crossJoin(F.broadcast(spear))
+    return j.select(
+        F.col("n").alias("n_brands"),
+        F.col("nc").alias("concordant"),
+        F.col("nd").alias("discordant"),
+        F.round((F.col("nc") - F.col("nd")).cast("double") / F.col("np"), 6)
+        .alias("kendall_tau"),
+        F.round(
+            1.0
+            - 6.0
+            * F.col("d2")
+            / (F.col("n") * (F.col("n").cast("double") * F.col("n") - 1)),
+            6,
+        ).alias("spearman_rho"),
+    )
