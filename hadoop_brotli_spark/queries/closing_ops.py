@@ -7502,3 +7502,240 @@ def q323_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+# ------------------------------------ q324 Poisson bootstrap
+
+BOOT_B = 32  # bootstrap replicates
+# Poisson(1) CDF cutoffs for the inverse-CDF weight lookup
+POIS_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+]
+BOOT_Z = 1.959963984540054
+
+
+def _pois_w_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < CAST({c!r} AS DOUBLE) THEN {k}"
+        for k, c in enumerate(POIS_CDF)
+    )
+    return f"CASE {cases} ELSE 5 END"
+
+
+@register(
+    "q324_poisson_bootstrap",
+    oracle=f"""
+    WITH reps AS (
+      SELECT o.o_totalprice, g.b,
+             CAST(('0x' || substr(md5('boot:' ||
+                   CAST(o.o_orderkey AS VARCHAR) || ':' ||
+                   CAST(g.b AS VARCHAR)), 1, 13)) AS BIGINT)
+               / CAST({float(1 << 52)!r} AS DOUBLE) AS u
+      FROM orders o, UNNEST(range({BOOT_B})) AS g(b)
+    ),
+    weighted AS (
+      SELECT b, {_pois_w_sql('u')} AS w, o_totalprice FROM reps
+    ),
+    means AS (
+      SELECT b,
+             CAST(SUM(w * CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE)
+               / NULLIF(SUM(w), 0) AS m
+      FROM weighted GROUP BY b
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS nb,
+             CAST(SUM(CAST(m AS DECIMAL(28,8))) AS DOUBLE) AS sm,
+             CAST(SUM(CAST(m * m AS DECIMAL(38,10))) AS DOUBLE) AS sm2
+      FROM means
+    ),
+    pt AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS est
+      FROM orders
+    )
+    SELECT CAST({BOOT_B} AS BIGINT) AS n_replicates,
+           ROUND(pt.est, 6) AS point_estimate,
+           ROUND(SQRT((a.sm2 - a.sm * a.sm / a.nb) / (a.nb - 1)), 6)
+             AS bootstrap_se,
+           ROUND(pt.est - CAST({BOOT_Z!r} AS DOUBLE)
+                 * SQRT((a.sm2 - a.sm * a.sm / a.nb) / (a.nb - 1)), 6)
+             AS ci_lower,
+           ROUND(pt.est + CAST({BOOT_Z!r} AS DOUBLE)
+                 * SQRT((a.sm2 - a.sm * a.sm / a.nb) / (a.nb - 1)), 6)
+             AS ci_upper
+    FROM agg a, pt
+    """,
+)
+def q324_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap standard error of mean order value — THE
+    distributed bootstrap (Chamandy et al., Google 2012): instead of
+    resampling n rows with replacement (which needs global
+    coordination), every row draws an independent Poisson(1)
+    multiplicity per replicate — here DETERMINISTICALLY, by
+    inverse-CDF lookup on a per-(row, replicate) hash uniform, so
+    the whole resampling plan is reproducible across engines, runs,
+    and retries (the q88 rule applied to uncertainty
+    quantification). Output: point estimate, bootstrap SE across
+    {BOOT_B} replicate means, and the normal-approximation CI.
+
+    One fan-out of {BOOT_B} per row feeds {BOOT_B} weighted means in
+    a single grouped reduce (weights ≤ 5 keep products
+    DECIMAL-exact); the across-replicate variance runs on a
+    {BOOT_B}-row frame. At 100 TB the replicate dimension rides the
+    same scan — no per-replicate pass.
+    """
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    reps = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(BOOT_B - 1).cast("long"))
+        ).alias("b"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("boot:"),
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(1 << 52))
+    w = F.lit(5)
+    for k in range(len(POIS_CDF) - 1, -1, -1):
+        w = F.when(u < POIS_CDF[k], k).otherwise(w)
+    weighted = reps.select("b", w.alias("w"), "o_totalprice")
+    means = weighted.groupBy("b").agg(
+        (
+            F.sum(
+                F.col("w") * F.col("o_totalprice").cast("decimal(18,2)")
+            ).cast("double")
+            / F.nullif(F.sum("w"), F.lit(0))
+        ).alias("m")
+    )
+    agg = means.agg(
+        F.count(F.lit(1)).cast("double").alias("nb"),
+        F.sum(F.col("m").cast("decimal(28,8)")).cast("double").alias("sm"),
+        F.sum((F.col("m") * F.col("m")).cast("decimal(38,10)"))
+        .cast("double")
+        .alias("sm2"),
+    )
+    pt = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("est")
+    )
+    se = F.sqrt(
+        (F.col("sm2") - F.col("sm") * F.col("sm") / F.col("nb"))
+        / (F.col("nb") - 1)
+    )
+    return agg.crossJoin(F.broadcast(pt)).select(
+        F.lit(BOOT_B).cast("bigint").alias("n_replicates"),
+        F.round("est", 6).alias("point_estimate"),
+        F.round(se, 6).alias("bootstrap_se"),
+        F.round(F.col("est") - F.lit(BOOT_Z) * se, 6).alias("ci_lower"),
+        F.round(F.col("est") + F.lit(BOOT_Z) * se, 6).alias("ci_upper"),
+    )
+
+
+# --------------------------------------- q325 jackknife SE
+
+
+@register(
+    "q325_jackknife_se",
+    oracle="""
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS s
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS gn,
+             CAST(SUM(CAST(s AS DECIMAL(28,0))) AS DOUBLE) AS gs,
+             COUNT(*) AS g
+      FROM per_src
+    ),
+    loo AS (
+      SELECT p.source, (t.gs - p.s) / NULLIF(t.gn - p.n, 0.0) AS m, t.g,
+             t.gs / t.gn AS full_mean
+      FROM per_src p, tot t
+    ),
+    agg AS (
+      SELECT g, full_mean,
+             CAST(SUM(CAST(m AS DECIMAL(28,10))) AS DOUBLE) / g AS mbar,
+             CAST(SUM(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE) AS sm2
+      FROM loo GROUP BY g, full_mean
+    )
+    SELECT CAST(g AS BIGINT) AS n_groups,
+           ROUND(full_mean, 6) AS point_estimate,
+           ROUND(SQRT((g - 1.0) / g * (sm2 - g * mbar * mbar)), 6)
+             AS jackknife_se
+    FROM agg
+    """,
+)
+def q325_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error of mean document
+    length, leaving out one source at a time — the deterministic
+    classic beside the q324 bootstrap, and the correct uncertainty
+    under CLUSTERED sampling (documents within a source correlate;
+    a row-level SE would be falsely tight — the block-jackknife
+    point). Each leave-one-out mean is (global − group)/(n −
+    n_group): the q297 subtractable-moment trick, so all replicates
+    come from ONE pass.
+
+    Per-source exact sums, a 1-row global, |sources| LOO means with
+    decimal-roundtrip squares, and Tukey's (g−1)/g variance
+    formula on a bounded frame.
+    """
+    per_src = t(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double").alias("s"),
+    )
+    tot = per_src.agg(
+        F.sum("n").cast("double").alias("gn"),
+        F.sum(F.col("s").cast("decimal(28,0)")).cast("double").alias("gs"),
+        F.count(F.lit(1)).alias("g"),
+    )
+    loo = per_src.crossJoin(F.broadcast(tot)).select(
+        # NULLIF: a single-source corpus leaves an empty LOO sample
+        # (gn == n) — NULL on both engines, not ANSI error vs inf
+        (
+            (F.col("gs") - F.col("s"))
+            / F.nullif(F.col("gn") - F.col("n"), F.lit(0.0))
+        ).alias("m"),
+        "g",
+        (F.col("gs") / F.col("gn")).alias("full_mean"),
+    )
+    agg = loo.groupBy("g", "full_mean").agg(
+        (
+            F.sum(F.col("m").cast("decimal(28,10)")).cast("double") / F.col("g")
+        ).alias("mbar"),
+        F.sum((F.col("m") * F.col("m")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sm2"),
+    )
+    return agg.select(
+        F.col("g").cast("bigint").alias("n_groups"),
+        F.round("full_mean", 6).alias("point_estimate"),
+        F.round(
+            F.sqrt(
+                (F.col("g") - 1.0)
+                / F.col("g")
+                * (F.col("sm2") - F.col("g") * F.col("mbar") * F.col("mbar"))
+            ),
+            6,
+        ).alias("jackknife_se"),
+    )

@@ -133,6 +133,9 @@ DOC_QUERIES = [
     # gappy frequency-of-frequencies tables (missing r+1) must fall
     # back to raw r identically on both engines
     "q310_good_turing",
+    # single-source corpora: the LOO denominator (gn - n) hits 0 ->
+    # the replicate mean must NULL identically
+    "q325_jackknife_se",
     # single-class corpora must NULL the AUC on both engines
     "q275_auc_rank",
     # all-one-class corpora must NULL kappa (pe = 1) on both engines
