@@ -7739,3 +7739,316 @@ def q325_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jackknife_se"),
     )
+
+
+# ----------------------- q326 stratified / IPW treatment effect
+
+
+@register(
+    "q326_propensity_ate",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             COUNT(*) AS activity,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS treated,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE)
+               AS y
+      FROM events GROUP BY user_id
+    ),
+    cuts AS (
+      SELECT quantile_cont(CAST(activity AS DOUBLE), 0.5) AS c
+      FROM per_user
+    ),
+    strat AS (
+      SELECT CASE WHEN activity <= c THEN 'low' ELSE 'high' END AS stratum,
+             treated, y
+      FROM per_user, cuts
+    ),
+    per_stratum AS (
+      SELECT stratum,
+             COUNT(*) AS n,
+             SUM(treated) AS nt,
+             CAST(SUM(CASE WHEN treated = 1
+                  THEN CAST(y AS DECIMAL(28,6)) ELSE 0 END) AS DOUBLE)
+               AS sy_t,
+             CAST(SUM(CASE WHEN treated = 0
+                  THEN CAST(y AS DECIMAL(28,6)) ELSE 0 END) AS DOUBLE)
+               AS sy_c
+      FROM strat GROUP BY stratum
+    )
+    SELECT stratum,
+           CAST(n AS BIGINT) AS n_users,
+           CAST(nt AS BIGINT) AS n_treated,
+           ROUND(sy_t / NULLIF(nt, 0)
+                 - sy_c / NULLIF(n - nt, 0), 6) AS stratum_ate,
+           ROUND(sy_t / NULLIF(CAST(nt AS DOUBLE) / n, 0.0) / n
+                 - sy_c / NULLIF(1.0 - CAST(nt AS DOUBLE) / n, 0.0) / n, 6)
+             AS ipw_ate
+    FROM per_stratum
+    """,
+)
+def q326_propensity_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observational treatment-effect estimation per propensity
+    stratum: 'treated' = user ever clicked, outcome = purchase
+    value, confounder = activity level (median-split strata — the
+    propensity-score stratification design). Per stratum: the
+    within-stratum mean-difference ATE and the IPW (inverse-
+    propensity-weighted, Horvitz-Thompson) estimate using the
+    stratum propensity n_t/n — the two classic deconfounding
+    estimators, side by side (they agree under correct
+    stratification; divergence flags residual confounding). High-
+    activity users both click more AND buy more — the confounding a
+    naive treated-vs-control comparison (no strata) would absorb as
+    'effect'.
+
+    One user-grain reduce, a broadcast median cut, a 2-row stratum
+    aggregate with exact-decimal outcome sums and NULLIF-guarded
+    empty arms.
+    """
+    per_user = t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("activity"),
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("treated"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,2)"),
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("y"),
+    )
+    cuts = per_user.agg(
+        F.percentile(F.col("activity").cast("double"), F.lit(0.5)).alias("c")
+    )
+    strat = per_user.crossJoin(F.broadcast(cuts)).select(
+        F.when(F.col("activity") <= F.col("c"), "low")
+        .otherwise("high")
+        .alias("stratum"),
+        "treated",
+        "y",
+    )
+    per_stratum = strat.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("treated").alias("nt"),
+        F.sum(
+            F.when(F.col("treated") == 1, F.col("y").cast("decimal(28,6)"))
+            .otherwise(F.lit(0).cast("decimal(28,6)"))
+        )
+        .cast("double")
+        .alias("sy_t"),
+        F.sum(
+            F.when(F.col("treated") == 0, F.col("y").cast("decimal(28,6)"))
+            .otherwise(F.lit(0).cast("decimal(28,6)"))
+        )
+        .cast("double")
+        .alias("sy_c"),
+    )
+    p = F.col("nt").cast("double") / F.col("n")
+    return per_stratum.select(
+        "stratum",
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("nt").cast("bigint").alias("n_treated"),
+        F.round(
+            F.col("sy_t") / F.nullif(F.col("nt"), F.lit(0))
+            - F.col("sy_c") / F.nullif(F.col("n") - F.col("nt"), F.lit(0)),
+            6,
+        ).alias("stratum_ate"),
+        F.round(
+            F.col("sy_t") / F.nullif(p, F.lit(0.0)) / F.col("n")
+            - F.col("sy_c") / F.nullif(1.0 - p, F.lit(0.0)) / F.col("n"),
+            6,
+        ).alias("ipw_ate"),
+    )
+
+
+# --------------------------------- q327 difference-in-differences
+
+DID_POLICY_DATE = "2024-01-15"
+
+
+@register(
+    "q327_diff_in_diff",
+    oracle=f"""
+    WITH obs AS (
+      SELECT CASE WHEN CAST(('0x' || substr(md5('ab:' ||
+                    CAST(user_id AS VARCHAR)), 1, 7)) AS BIGINT) % 2 = 1
+                  THEN 1 ELSE 0 END AS treat,
+             CASE WHEN CAST(ts AS DATE) >= DATE '{DID_POLICY_DATE}'
+                  THEN 1 ELSE 0 END AS post,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cell AS (
+      SELECT treat, post, COUNT(*) AS n,
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m
+      FROM obs GROUP BY treat, post
+    )
+    SELECT
+      CAST((SELECT n FROM cell WHERE treat=1 AND post=1) AS BIGINT)
+        AS n_treat_post,
+      ROUND((SELECT m FROM cell WHERE treat=1 AND post=1), 6) AS m_treat_post,
+      ROUND((SELECT m FROM cell WHERE treat=1 AND post=0), 6) AS m_treat_pre,
+      ROUND((SELECT m FROM cell WHERE treat=0 AND post=1), 6) AS m_ctrl_post,
+      ROUND((SELECT m FROM cell WHERE treat=0 AND post=0), 6) AS m_ctrl_pre,
+      ROUND(((SELECT m FROM cell WHERE treat=1 AND post=1)
+             - (SELECT m FROM cell WHERE treat=1 AND post=0))
+            - ((SELECT m FROM cell WHERE treat=0 AND post=1)
+               - (SELECT m FROM cell WHERE treat=0 AND post=0)), 6)
+        AS did_estimate
+    """,
+)
+def q327_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the 2×2 (treatment × pre/post-
+    policy) mean-outcome table and the DiD estimate (Δtreated −
+    Δcontrol) for purchase value around a policy date — the
+    workhorse quasi-experimental design when randomized holdout
+    isn't possible: the control group's trend nets out seasonality
+    and shocks a naive before/after comparison (q156's MoM) would
+    attribute to the policy.
+
+    One fact scan to a 4-cell aggregate (exact-decimal sums); the
+    estimate is arithmetic over the 4-row frame pivoted by scalar
+    lookups. Parallel-trends diagnostics would reuse q302's
+    backtest grain per arm.
+    """
+    treat = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("ab:"), F.col("user_id").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 1
+    )
+    obs = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(treat, 1).otherwise(0).alias("treat"),
+            F.when(
+                F.to_date("ts") >= F.lit(DID_POLICY_DATE).cast("date"), 1
+            )
+            .otherwise(0)
+            .alias("post"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    cell = obs.groupBy("treat", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("m"),
+    )
+    wide = cell.groupBy().pivot("treat", [0, 1]).agg(
+        F.min(F.when(F.col("post") == 1, F.col("m"))).alias("post"),
+        F.min(F.when(F.col("post") == 0, F.col("m"))).alias("pre"),
+        F.min(F.when(F.col("post") == 1, F.col("n"))).alias("npost"),
+    )
+    return wide.select(
+        F.col("1_npost").cast("bigint").alias("n_treat_post"),
+        F.round(F.col("1_post"), 6).alias("m_treat_post"),
+        F.round(F.col("1_pre"), 6).alias("m_treat_pre"),
+        F.round(F.col("0_post"), 6).alias("m_ctrl_post"),
+        F.round(F.col("0_pre"), 6).alias("m_ctrl_pre"),
+        F.round(
+            (F.col("1_post") - F.col("1_pre"))
+            - (F.col("0_post") - F.col("0_pre")),
+            6,
+        ).alias("did_estimate"),
+    )
+
+
+# ------------------------------ q328 regression discontinuity
+
+RDD_CUTOFF = 300000.0
+RDD_BANDWIDTH = 50000.0
+
+
+@register(
+    "q328_regression_discontinuity",
+    oracle=f"""
+    WITH iv AS (
+      SELECT o.o_totalprice AS x,
+             CAST(AVG(date_diff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE))) AS DOUBLE) AS y
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_totalprice BETWEEN {RDD_CUTOFF - RDD_BANDWIDTH}
+                               AND {RDD_CUTOFF + RDD_BANDWIDTH}
+      GROUP BY o.o_orderkey, o.o_totalprice
+    ),
+    sides AS (
+      SELECT CASE WHEN x >= {RDD_CUTOFF} THEN 'above' ELSE 'below' END
+               AS side,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(y AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS m
+      FROM iv GROUP BY 1
+    )
+    SELECT
+      CAST((SELECT n FROM sides WHERE side = 'below') AS BIGINT) AS n_below,
+      CAST((SELECT n FROM sides WHERE side = 'above') AS BIGINT) AS n_above,
+      ROUND((SELECT m FROM sides WHERE side = 'below'), 6) AS mean_below,
+      ROUND((SELECT m FROM sides WHERE side = 'above'), 6) AS mean_above,
+      ROUND((SELECT m FROM sides WHERE side = 'above')
+            - (SELECT m FROM sides WHERE side = 'below'), 6)
+        AS discontinuity
+    """,
+)
+def q328_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression-discontinuity readout at the {RDD_CUTOFF:,.0f}
+    order-value threshold: mean fulfillment lag just below vs just
+    above the cutoff within a ±{RDD_BANDWIDTH:,.0f} bandwidth — the
+    local-comparison design for RULE-BASED treatments (priority
+    handling kicks in above a value threshold): units barely on
+    either side are comparable, so the jump at the cutoff IS the
+    rule's effect. This fixture's independent generator shows ≈ 0
+    discontinuity — the placebo test a real RDD analysis must also
+    pass at fake cutoffs.
+
+    The bandwidth filter pushes into the orders scan before the
+    join; per-order lag reduces exactly; the two local means are a
+    2-row aggregate with decimal-roundtrip sums.
+    """
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_totalprice") >= RDD_CUTOFF - RDD_BANDWIDTH)
+        & (F.col("o_totalprice") <= RDD_CUTOFF + RDD_BANDWIDTH)
+    )
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    iv = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.avg(
+                F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            ).alias("y")
+        )
+    )
+    sides = iv.groupBy(
+        F.when(F.col("o_totalprice") >= RDD_CUTOFF, "above")
+        .otherwise("below")
+        .alias("side")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("y").cast("decimal(28,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m"),
+    )
+    wide = sides.groupBy().pivot("side", ["below", "above"]).agg(
+        F.min("n").alias("n"), F.min("m").alias("m")
+    )
+    return wide.select(
+        F.col("below_n").cast("bigint").alias("n_below"),
+        F.col("above_n").cast("bigint").alias("n_above"),
+        F.round(F.col("below_m"), 6).alias("mean_below"),
+        F.round(F.col("above_m"), 6).alias("mean_above"),
+        F.round(F.col("above_m") - F.col("below_m"), 6).alias("discontinuity"),
+    )

@@ -66,6 +66,8 @@ EVENT_QUERIES = [
     # zero-positive / zero-negative corpora must NULL the WOE, not
     # diverge (ANSI error vs inf)
     "q272_woe_iv_binning",
+    # empty treatment/control arms within a stratum NULL both ATEs
+    "q326_propensity_ate",
     # hot-key-free / single-user corpora: salt histogram still exact
     "q281_salted_join_balance",
     # duplicate timestamps (zero-length holds) and single-event days
