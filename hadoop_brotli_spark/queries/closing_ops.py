@@ -8052,3 +8052,334 @@ def q328_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.col("above_m"), 6).alias("mean_above"),
         F.round(F.col("above_m") - F.col("below_m"), 6).alias("discontinuity"),
     )
+
+
+# ------------------------------ q329 Horvitz-Thompson estimator
+
+HT_BASE_RATE = 0.05  # inclusion prob for the smallest orders
+HT_MAX_RATE = 0.5  # capped inclusion prob for the largest
+
+
+@register(
+    "q329_horvitz_thompson",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS y,
+             -- size-proportional inclusion probability, capped
+             LEAST({HT_MAX_RATE!r},
+                   {HT_BASE_RATE!r} * o_totalprice / 50000.0) AS pi,
+             CAST(('0x' || substr(md5('ht:' || CAST(o_orderkey AS VARCHAR)),
+                   1, 13)) AS BIGINT) / CAST({float(1 << 52)!r} AS DOUBLE)
+               AS u
+      FROM orders
+    ),
+    sampled AS (SELECT * FROM o WHERE u < pi),
+    est AS (
+      SELECT COUNT(*) AS n_sampled,
+             CAST(SUM(CAST(CAST(y AS DOUBLE) / pi AS DECIMAL(28,6)))
+                  AS DOUBLE) AS ht_total
+      FROM sampled
+    ),
+    truth AS (
+      SELECT COUNT(*) AS n_pop, CAST(SUM(y) AS DOUBLE) AS true_total
+      FROM o
+    )
+    SELECT t.n_pop, e.n_sampled,
+           ROUND(t.true_total, 2) AS true_total,
+           ROUND(e.ht_total, 2) AS ht_estimate,
+           ROUND(ABS(e.ht_total - t.true_total) / t.true_total, 6)
+             AS rel_error
+    FROM est e, truth t
+    """,
+)
+def q329_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson total estimation under size-proportional
+    (πps) sampling: large orders are sampled at up to {HT_MAX_RATE:.0%},
+    small ones at {HT_BASE_RATE:.0%}, and the population revenue total is
+    recovered as Σ y/π over the sample alone — the unequal-
+    probability survey estimator that lets a 100 TB pipeline audit
+    totals from a few percent of rows WITHOUT the bias uniform
+    sampling has against heavy rows (which carry most of the
+    total). Inclusion is the deterministic hash-uniform (q88's
+    reproducibility rule), so the same 'random' sample re-draws
+    identically on both engines and across retries.
+
+    One scan computes π and membership map-side; the estimate is a
+    decimal-roundtrip weighted sum over the sample; truth rides
+    along for the rel-error readout.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+        F.least(
+            F.lit(HT_MAX_RATE),
+            F.lit(HT_BASE_RATE) * F.col("o_totalprice") / 50000.0,
+        ).alias("pi"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ht:"), F.col("o_orderkey").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(1 << 52))
+        ).alias("u"),
+    )
+    sampled = o.filter(F.col("u") < F.col("pi"))
+    est = sampled.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(
+            (F.col("y").cast("double") / F.col("pi")).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("ht_total"),
+    )
+    truth = o.agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        F.sum("y").cast("double").alias("true_total"),
+    )
+    return est.crossJoin(F.broadcast(truth)).select(
+        "n_pop",
+        "n_sampled",
+        F.round("true_total", 2).alias("true_total"),
+        F.round("ht_total", 2).alias("ht_estimate"),
+        F.round(
+            F.abs(F.col("ht_total") - F.col("true_total"))
+            / F.col("true_total"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+# ------------------------------ q330 capture-recapture estimate
+
+CR_RATE1 = 300  # permille: first survey captures ~30%
+CR_RATE2 = 300  # second survey
+
+
+@register(
+    "q330_capture_recapture",
+    oracle=f"""
+    WITH users AS (
+      SELECT DISTINCT user_id FROM events
+    ),
+    marked AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5('cap1:' ||
+                    CAST(user_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000
+                  < {CR_RATE1} THEN 1 ELSE 0 END AS s1,
+             CASE WHEN CAST(('0x' || substr(md5('cap2:' ||
+                    CAST(user_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000
+                  < {CR_RATE2} THEN 1 ELSE 0 END AS s2
+      FROM users
+    )
+    SELECT CAST(SUM(s1) AS BIGINT) AS n_capture1,
+           CAST(SUM(s2) AS BIGINT) AS n_capture2,
+           CAST(SUM(s1 * s2) AS BIGINT) AS n_recaptured,
+           COUNT(*) AS true_population,
+           ROUND(CAST(SUM(s1) AS DOUBLE) * SUM(s2)
+                 / NULLIF(SUM(s1 * s2), 0), 4) AS lincoln_petersen,
+           ROUND(ABS(CAST(SUM(s1) AS DOUBLE) * SUM(s2)
+                 / NULLIF(SUM(s1 * s2), 0) - COUNT(*)) / COUNT(*), 6)
+             AS rel_error
+    FROM marked
+    """,
+)
+def q330_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Lincoln-Petersen) population estimation:
+    two independent ~30% 'surveys' of the user base (deterministic
+    hash membership standing in for two overlapping data sources),
+    and N̂ = n₁·n₂ / overlap — the estimator for the size of a
+    population NEITHER source covers fully: dark-traffic users,
+    entities behind two incomplete registries, dedup undercount
+    estimation (how many duplicates did the matcher MISS, from two
+    matchers' overlap). Truth rides along since the fixture knows
+    it.
+
+    One distinct-user reduce carries both membership flags; the
+    estimate is exact-count arithmetic on a 1-row frame, NULLIF-
+    guarded for a zero overlap.
+    """
+    users = t(spark, sf_dir, "events").select("user_id").distinct()
+
+    def mark(tag, rate):
+        return F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(tag), F.col("user_id").cast("string")).cast(
+                            "binary"
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+            < rate,
+            1,
+        ).otherwise(0)
+
+    marked = users.select(
+        mark("cap1:", CR_RATE1).alias("s1"), mark("cap2:", CR_RATE2).alias("s2")
+    )
+    lp = F.sum("s1").cast("double") * F.sum("s2") / F.nullif(
+        F.sum(F.col("s1") * F.col("s2")), F.lit(0)
+    )
+    return marked.agg(
+        F.sum("s1").cast("bigint").alias("n_capture1"),
+        F.sum("s2").cast("bigint").alias("n_capture2"),
+        F.sum(F.col("s1") * F.col("s2")).cast("bigint").alias("n_recaptured"),
+        F.count(F.lit(1)).alias("true_population"),
+        F.round(lp, 4).alias("lincoln_petersen"),
+        F.round(F.abs(lp - F.count(F.lit(1))) / F.count(F.lit(1)), 6).alias(
+            "rel_error"
+        ),
+    )
+
+
+# ------------------------------------- q331 Chao1 richness
+
+
+@register(
+    "q331_chao1_richness",
+    oracle="""
+    WITH wc AS (
+      SELECT source, w, COUNT(*) AS r FROM (
+        SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents
+      ) GROUP BY source, w
+    ),
+    fof AS (
+      SELECT source,
+             COUNT(*) AS s_obs,
+             CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS f1,
+             CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS f2
+      FROM wc GROUP BY source
+    )
+    SELECT source,
+           CAST(s_obs AS BIGINT) AS observed_vocab,
+           CAST(f1 AS BIGINT) AS singletons,
+           CAST(f2 AS BIGINT) AS doubletons,
+           ROUND(s_obs + f1 * (f1 - 1) / (2 * (f2 + 1)), 4)
+             AS chao1_estimate
+    FROM fof
+    """,
+)
+def q331_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 richness estimation per source: the TRUE vocabulary
+    size (including never-observed words) estimated from singleton
+    and doubleton counts — S_obs + F₁(F₁−1)/2(F₂+1), the bias-
+    corrected form that stays defined at F₂ = 0. The coverage
+    question Good-Turing (q310) answers in probability mass, Chao1
+    answers in SPECIES COUNT — 'how much vocabulary has this source
+    not shown us yet', the acquisition-planning number for corpus
+    collection (diminishing-returns detection per source).
+
+    Per-(source, word) counts reduce to per-source frequency-of-
+    frequencies scalars; the estimator is exact-count arithmetic on
+    the |sources|-row frame.
+    """
+    wc = (
+        fan_out(t(spark, sf_dir, "documents"))
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    fof = wc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("s_obs"),
+        F.sum(F.when(F.col("r") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("f1"),
+        F.sum(F.when(F.col("r") == 2, 1).otherwise(0))
+        .cast("double")
+        .alias("f2"),
+    )
+    return fof.select(
+        "source",
+        F.col("s_obs").cast("bigint").alias("observed_vocab"),
+        F.col("f1").cast("bigint").alias("singletons"),
+        F.col("f2").cast("bigint").alias("doubletons"),
+        F.round(
+            F.col("s_obs")
+            + F.col("f1") * (F.col("f1") - 1) / (2 * (F.col("f2") + 1)),
+            4,
+        ).alias("chao1_estimate"),
+    )
+
+
+# ------------------------------------ q332 mutual information
+
+
+@register(
+    "q332_mutual_information",
+    oracle="""
+    WITH joint AS (
+      SELECT event_type AS x,
+             CAST(EXTRACT(hour FROM ts) AS INTEGER) // 6 AS y,
+             COUNT(*) AS nxy
+      FROM events GROUP BY event_type, CAST(EXTRACT(hour FROM ts)
+        AS INTEGER) // 6
+    ),
+    tot AS (SELECT CAST(SUM(nxy) AS DOUBLE) AS n FROM joint),
+    mx AS (SELECT x, CAST(SUM(nxy) AS DOUBLE) AS nx FROM joint GROUP BY x),
+    my AS (SELECT y, CAST(SUM(nxy) AS DOUBLE) AS ny FROM joint GROUP BY y)
+    SELECT j.x AS event_type, CAST(j.y AS BIGINT) AS hour_bucket,
+           CAST(j.nxy AS BIGINT) AS n,
+           ROUND((j.nxy / t.n)
+                 * LN((j.nxy * t.n) / (mx.nx * my.ny)), 8)
+             AS mi_contribution
+    FROM joint j
+    JOIN mx ON mx.x = j.x
+    JOIN my ON my.y = j.y
+    CROSS JOIN tot t
+    """,
+)
+def q332_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and 6-hour time bucket,
+    emitted as per-cell contributions p(x,y)·ln(p(x,y)/p(x)p(y)) —
+    the information-theoretic dependence measure beside q142's
+    chi-square (MI sums to the KL divergence from independence;
+    chi-square is its second-order approximation) and the feature-
+    relevance score (MI(feature, label)) behind information-gain
+    feature selection. Per-cell contributions (q142's rule) keep
+    the output order-independent — the total is one exact-decimal
+    fold away for whoever needs the scalar.
+
+    One joint-count reduce plus two broadcast marginals; ln on
+    identical operands (q229's precedent) over the bounded
+    |types|×|buckets| grid.
+    """
+    joint = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("x"),
+            (F.hour("ts").cast("int") / 6).cast("int").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("nxy"))
+    )
+    tot = joint.agg(F.sum("nxy").cast("double").alias("n"))
+    mx = joint.groupBy("x").agg(F.sum("nxy").cast("double").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("nxy").cast("double").alias("ny"))
+    j = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi = (F.col("nxy") / F.col("n")) * F.log(
+        (F.col("nxy") * F.col("n")) / (F.col("nx") * F.col("ny"))
+    )
+    return j.select(
+        F.col("x").alias("event_type"),
+        F.col("y").cast("bigint").alias("hour_bucket"),
+        F.col("nxy").cast("bigint").alias("n"),
+        F.round(mi, 8).alias("mi_contribution"),
+    )
