@@ -8383,3 +8383,265 @@ def q332_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nxy").cast("bigint").alias("n"),
         F.round(mi, 8).alias("mi_contribution"),
     )
+
+
+# --------------------------- q333 TF-IDF cosine pairs (sparse dot)
+
+TFIDF_DF_CAP = 120  # drop terms present in more docs (stop-terms)
+TFIDF_TOPK = 15
+
+
+@register(
+    "q333_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+      ) GROUP BY doc_id, w
+    ),
+    stats AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tf),
+    df AS (
+      SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+      HAVING COUNT(*) <= {TFIDF_DF_CAP}
+    ),
+    wts AS (
+      SELECT t.doc_id, t.w,
+             t.tf * LN(CAST(s.nd AS DOUBLE) / d.df) AS wt
+      FROM tf t JOIN df d ON d.w = t.w CROSS JOIN stats s
+    ),
+    norms AS (
+      SELECT doc_id, SQRT(SUM(wt * wt)) AS nrm FROM wts GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(a.wt * b.wt) AS dot
+      FROM wts a JOIN wts b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_a, d.doc_b,
+             d.dot / (na.nrm * nb.nrm) AS cosine
+      FROM dots d
+      JOIN norms na ON na.doc_id = d.doc_a
+      JOIN norms nb ON nb.doc_id = d.doc_b
+    )
+    SELECT doc_a, doc_b, ROUND(cosine, 6) AS cosine,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_a, doc_b)
+               AS rk
+      FROM scored
+    ) WHERE rk <= {TFIDF_TOPK}
+    """,
+)
+def q333_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine similarity between documents computed as a
+    SPARSE dot product over the inverted index — the IR-native
+    near-duplicate scorer beside the lexical (q61 Jaccard) and
+    dense (q72 embedding) families: pairs meet ONLY through shared
+    informative terms (document-frequency cap {TFIDF_DF_CAP} drops
+    corpus-wide stop-terms, which both kills the quadratic hot-term
+    blowup — q61's DF rule — and is correct IR: those terms carry
+    no signal). Top-{TFIDF_TOPK} pairs by cosine.
+
+    The plan IS the sparse-vector join: term-grain weights, a
+    self-join on the term key (posting lists), partial dot products
+    reduced per pair, norms broadcast back. No dense vectors, no
+    all-pairs stage anywhere.
+    """
+    from pyspark.sql import Window as W
+
+    tf = (
+        fan_out(t(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.agg(F.count_distinct("doc_id").alias("nd"))
+    df = (
+        tf.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= TFIDF_DF_CAP)
+    )
+    wts = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "w",
+            (
+                F.col("tf")
+                * F.log(F.col("nd").cast("double") / F.col("df"))
+            ).alias("wt"),
+        )
+    )
+    norms = wts.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    b = wts.select(
+        F.col("doc_id").alias("doc_b"), F.col("w").alias("wb"), F.col("wt").alias("wtb")
+    )
+    dots = (
+        wts.join(
+            b, (F.col("w") == F.col("wb")) & (F.col("doc_id") < F.col("doc_b"))
+        )
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.sum(F.col("wt") * F.col("wtb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    scored = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+    )
+    wr = W.orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= TFIDF_TOPK)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+# --------------------------------------------- q334 BM25 ranking
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ["spark", "join", "window"]
+BM25_TOPK = 10
+
+
+@register(
+    "q334_bm25_ranking",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+      ) GROUP BY doc_id, w
+    ),
+    dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(SUM(CAST(dl AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+               AS avgdl
+      FROM dl
+    ),
+    qterms AS (
+      SELECT UNNEST(['{"','".join(BM25_QUERY)}']) AS w
+    ),
+    idf AS (
+      SELECT q.w,
+             LN(1 + (s.nd - d.df + 0.5) / (d.df + 0.5)) AS idf
+      FROM qterms q
+      JOIN (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY w) d
+        ON d.w = q.w
+      CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             SUM(i.idf * t.tf * ({BM25_K1!r} + 1)
+                 / (t.tf + {BM25_K1!r}
+                    * (1 - {BM25_B!r} + {BM25_B!r} * l.dl / s.avgdl)))
+               AS bm25
+      FROM tf t
+      JOIN idf i ON i.w = t.w
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, ROUND(bm25, 6) AS bm25, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= {BM25_TOPK}
+    """,
+)
+def q334_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for the query {BM25_QUERY} — the
+    lexical retrieval scoring function (Robertson-Spärck Jones)
+    every search engine and RAG retriever defaults to, with its two
+    signature corrections over raw TF-IDF: term-frequency
+    SATURATION (k₁ = {BM25_K1}: the 10th occurrence adds almost
+    nothing) and document-LENGTH normalization (b = {BM25_B}: long
+    documents stop winning by volume). Top-{BM25_TOPK} documents —
+    the first-stage retriever whose candidates q249's re-ranker and
+    q233's RRF fusion consume.
+
+    Query terms are a 3-row broadcast; scoring touches only the
+    posting lists of those terms (the inverted-index win: corpus
+    scan for TF build, then query-term-sized joins); idf/saturation
+    arithmetic is shared-literal IEEE.
+    """
+    from pyspark.sql import Window as W
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        (
+            F.sum(F.col("dl").cast("decimal(28,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    qterms = None
+    for term in BM25_QUERY:
+        row = docs.sparkSession.range(1).select(F.lit(term).alias("w"))
+        qterms = row if qterms is None else qterms.unionByName(row)
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = (
+        qterms.join(dfreq, "w")
+        .crossJoin(F.broadcast(stats.select("nd")))
+        .select(
+            "w",
+            F.log(
+                1 + (F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("idf")
+                * F.col("tf")
+                * (BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("bm25")
+        )
+    )
+    wr = W.orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= BM25_TOPK)
+        .select(
+            "doc_id",
+            F.round("bm25", 6).alias("bm25"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
