@@ -7464,7 +7464,9 @@ def q323_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ypair = ranks.select(
         F.col("p_brand").alias("bb"), F.col("r1").alias("y1"), F.col("r2").alias("y2")
     )
-    pairs = x.join(ypair, F.col("ba") < F.col("bb")).select(
+    # broadcast the bounded leaderboard so the inequality pair join
+    # plans BroadcastNestedLoop, never CartesianProduct
+    pairs = x.join(F.broadcast(ypair), F.col("ba") < F.col("bb")).select(
         F.when(
             (F.col("x1") - F.col("y1")) * (F.col("x2") - F.col("y2")) > 0, 1
         )
