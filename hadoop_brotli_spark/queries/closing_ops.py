@@ -8389,7 +8389,8 @@ def q332_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------- q333 TF-IDF cosine pairs (sparse dot)
 
-TFIDF_DF_CAP = 120  # drop terms present in more docs (stop-terms)
+TFIDF_DF_FRAC = 0.02  # keep terms in at most 2% of docs (rare = informative)
+TFIDF_DF_MIN = 5  # floor so tiny corpora keep their tail
 TFIDF_TOPK = 15
 
 
@@ -8398,13 +8399,18 @@ TFIDF_TOPK = 15
     oracle=f"""
     WITH tf AS (
       SELECT doc_id, w, COUNT(*) AS tf FROM (
-        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+        SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             UNNEST(range(1, len(tk))) AS r(i)
       ) GROUP BY doc_id, w
     ),
     stats AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tf),
     df AS (
-      SELECT w, COUNT(*) AS df FROM tf GROUP BY w
-      HAVING COUNT(*) <= {TFIDF_DF_CAP}
+      SELECT d.w, d.df FROM (
+        SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+      ) d, stats s
+      WHERE d.df <= GREATEST({TFIDF_DF_MIN},
+                             CAST({TFIDF_DF_FRAC!r} * s.nd AS BIGINT))
     ),
     wts AS (
       SELECT t.doc_id, t.w,
@@ -8440,11 +8446,15 @@ def q333_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF cosine similarity between documents computed as a
     SPARSE dot product over the inverted index — the IR-native
     near-duplicate scorer beside the lexical (q61 Jaccard) and
-    dense (q72 embedding) families: pairs meet ONLY through shared
-    informative terms (document-frequency cap {TFIDF_DF_CAP} drops
-    corpus-wide stop-terms, which both kills the quadratic hot-term
-    blowup — q61's DF rule — and is correct IR: those terms carry
-    no signal). Top-{TFIDF_TOPK} pairs by cosine.
+    dense (q72 embedding) families. Terms are BIGRAMS (this
+    fixture's ~40-word unigram vocabulary is all stop-words — every
+    unigram fails any sane DF cut; bigrams discriminate), and the
+    document-frequency cut is RELATIVE (≤ {TFIDF_DF_FRAC:.0%} of
+    docs, floor {TFIDF_DF_MIN}) so it keeps the same informative
+    tail at every scale factor — an absolute cap either drops
+    nothing or everything as the corpus grows. The cut kills the
+    quadratic hot-term blowup (q61's DF rule) AND is correct IR.
+    Top-{TFIDF_TOPK} pairs by cosine.
 
     The plan IS the sparse-vector join: term-grain weights, a
     self-join on the term key (posting lists), partial dot products
@@ -8455,7 +8465,16 @@ def q333_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tf = (
         fan_out(t(spark, sf_dir, "documents"))
-        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1),"
+                    " i -> concat(element_at(split(text, ' '), i), ' ',"
+                    " element_at(split(text, ' '), i + 1)))"
+                )
+            ).alias("w"),
+        )
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -8463,7 +8482,15 @@ def q333_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (
         tf.groupBy("w")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= TFIDF_DF_CAP)
+        .crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("df")
+            <= F.greatest(
+                F.lit(TFIDF_DF_MIN),
+                (F.lit(TFIDF_DF_FRAC) * F.col("nd")).cast("bigint"),
+            )
+        )
+        .select("w", "df")
     )
     wts = (
         tf.join(df, "w")
