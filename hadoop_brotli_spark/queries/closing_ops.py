@@ -7531,13 +7531,19 @@ def _pois_w_sql(u: str) -> str:
 @register(
     "q324_poisson_bootstrap",
     oracle=f"""
-    WITH reps AS (
-      SELECT o.o_totalprice, g.b,
-             CAST(('0x' || substr(md5('boot:' ||
-                   CAST(o.o_orderkey AS VARCHAR) || ':' ||
-                   CAST(g.b AS VARCHAR)), 1, 13)) AS BIGINT)
-               / CAST({float(1 << 52)!r} AS DOUBLE) AS u
-      FROM orders o, UNNEST(range({BOOT_B})) AS g(b)
+    WITH hashed AS (
+      -- one md5 per (row, tag) yields EIGHT 16-bit replicate
+      -- uniforms via hex slices: B/8 digests per row, not B
+      SELECT o.o_totalprice, g.tag,
+             md5('boot:' || CAST(o.o_orderkey AS VARCHAR) || ':'
+                 || CAST(g.tag AS VARCHAR)) AS h
+      FROM orders o, UNNEST(range({BOOT_B // 8})) AS g(tag)
+    ),
+    reps AS (
+      SELECT o_totalprice, tag * 8 + sl AS b,
+             CAST(('0x' || substr(h, CAST(sl * 4 + 1 AS INTEGER), 4))
+                  AS BIGINT) / 65536.0 AS u
+      FROM hashed, UNNEST(range(8)) AS r(sl)
     ),
     weighted AS (
       SELECT b, {_pois_w_sql('u')} AS w, o_totalprice FROM reps
@@ -7592,29 +7598,48 @@ def q324_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     same scan — no per-replicate pass.
     """
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    reps = o.select(
+    hashed = o.select(
         "o_orderkey",
         "o_totalprice",
         F.explode(
-            F.sequence(F.lit(0).cast("long"), F.lit(BOOT_B - 1).cast("long"))
-        ).alias("b"),
+            F.sequence(
+                F.lit(0).cast("long"), F.lit(BOOT_B // 8 - 1).cast("long")
+            )
+        ).alias("tag"),
+    ).select(
+        "o_totalprice",
+        "tag",
+        F.md5(
+            F.concat(
+                F.lit("boot:"),
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("tag").cast("string"),
+            ).cast("binary")
+        ).alias("h"),
     )
-    u = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("boot:"),
-                    F.col("o_orderkey").cast("string"),
-                    F.lit(":"),
-                    F.col("b").cast("string"),
-                ).cast("binary")
-            ),
-            1,
-            13,
-        ),
-        16,
-        10,
-    ).cast("double") / F.lit(float(1 << 52))
+    reps = hashed.select(
+        "o_totalprice",
+        "tag",
+        "h",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(7).cast("long"))
+        ).alias("sl"),
+    ).select(
+        "o_totalprice",
+        (F.col("tag") * 8 + F.col("sl")).alias("b"),
+        (
+            F.conv(
+                F.substring(
+                    F.col("h"), (F.col("sl") * 4 + 1).cast("int"), 4
+                ),
+                16,
+                10,
+            ).cast("double")
+            / 65536.0
+        ).alias("u")
+    )
+    u = F.col("u")
     w = F.lit(5)
     for k in range(len(POIS_CDF) - 1, -1, -1):
         w = F.when(u < POIS_CDF[k], k).otherwise(w)
