@@ -1668,7 +1668,8 @@ def q266_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(qg AS DECIMAL(28,4))) AS DOUBLE) AS q,
              -- per-group (Σv)²/n in double, decimal-summed so the
              -- cross-group addition is order-independent
-             CAST(SUM(CAST(sg * sg / ng AS DECIMAL(28,8))) AS DOUBLE) AS sb
+             CAST(SUM(CAST(ROUND(sg * sg / ng, 6) AS DECIMAL(28,8)))
+               AS DOUBLE) AS sb
       FROM g
     )
     SELECT k AS k_groups, n AS n_total,
@@ -1705,7 +1706,13 @@ def q267_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("sg").cast("decimal(28,2)")).cast("double").alias("s"),
         F.sum(F.col("qg").cast("decimal(28,4)")).cast("double").alias("q"),
         F.sum(
-            (F.col("sg") * F.col("sg") / F.col("ng")).cast("decimal(28,8)")
+            # round BEFORE the decimal cast: Spark casts doubles via
+            # their shortest string repr, DuckDB via the binary value
+            # — off-grid doubles can round differently at the cast
+            # scale; a 6-dp-rounded double is on-grid for scale 8
+            F.round(F.col("sg") * F.col("sg") / F.col("ng"), 6).cast(
+                "decimal(28,8)"
+            )
         )
         .cast("double")
         .alias("sb"),
@@ -2682,15 +2689,16 @@ def q277_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON b.l_partkey = a.l_partkey AND a.y = 1996 AND b.y = 1997
     )
     SELECT COUNT(*) AS n_parts,
-           ROUND(CAST(SUM(CAST(r1 - r0 AS DECIMAL(28,6))) AS DOUBLE), 2)
-             AS revenue_delta,
-           ROUND(CAST(SUM(CAST((p1 - p0) * q0 AS DECIMAL(28,6))) AS DOUBLE),
-             2) AS price_effect,
-           ROUND(CAST(SUM(CAST(p1 * (q1 - q0) AS DECIMAL(28,6))) AS DOUBLE),
-             2) AS volume_effect,
-           ROUND(CAST(SUM(CAST(p1 * q0 AS DECIMAL(28,6))) AS DOUBLE)
-             / CAST(SUM(CAST(p0 * q0 AS DECIMAL(28,6))) AS DOUBLE), 6)
-             AS laspeyres_price_index
+           ROUND(CAST(SUM(CAST(ROUND(r1 - r0, 4) AS DECIMAL(28,6)))
+             AS DOUBLE), 2) AS revenue_delta,
+           ROUND(CAST(SUM(CAST(ROUND((p1 - p0) * q0, 4) AS DECIMAL(28,6)))
+             AS DOUBLE), 2) AS price_effect,
+           ROUND(CAST(SUM(CAST(ROUND(p1 * (q1 - q0), 4) AS DECIMAL(28,6)))
+             AS DOUBLE), 2) AS volume_effect,
+           ROUND(CAST(SUM(CAST(ROUND(p1 * q0, 4) AS DECIMAL(28,6)))
+             AS DOUBLE)
+             / CAST(SUM(CAST(ROUND(p0 * q0, 4) AS DECIMAL(28,6)))
+                    AS DOUBLE), 6) AS laspeyres_price_index
     FROM both_years
     """,
 )
@@ -2738,7 +2746,9 @@ def q278_price_volume_decomposition(spark: SparkSession, sf_dir: str) -> DataFra
     j = a.join(b, a["l_partkey"] == b["pk1"])
 
     def dsum6(col):
-        return F.sum(col.cast("decimal(28,6)")).cast("double")
+        # round-to-grid before the decimal cast (cross-engine
+        # double->decimal rounding divergence on off-grid values)
+        return F.sum(F.round(col, 4).cast("decimal(28,6)")).cast("double")
 
     return j.agg(
         F.count(F.lit(1)).alias("n_parts"),
@@ -5360,10 +5370,10 @@ BACKTEST_LAG = 7  # seasonal-naive horizon (weekly)
            COUNT(*) AS n_days,
            ROUND(CAST(SUM(CAST(ae AS DECIMAL(28,2))) AS DOUBLE)
                  / COUNT(*), 6) AS mae,
-           ROUND(CAST(SUM(CAST(ae / NULLIF(av, 0.0) AS DECIMAL(28,8)))
-                 AS DOUBLE) / COUNT(*), 6) AS mape,
-           ROUND(CAST(SUM(CAST(2 * ae / NULLIF(av + fv, 0.0)
-                 AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6) AS smape,
+           ROUND(CAST(SUM(CAST(ROUND(ae / NULLIF(av, 0.0), 8)
+                 AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS mape,
+           ROUND(CAST(SUM(CAST(ROUND(2 * ae / NULLIF(av + fv, 0.0), 8)
+                 AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS smape,
            ROUND(CAST(SUM(CAST(ae AS DECIMAL(28,2))) AS DOUBLE)
                  / NULLIF(CAST(SUM(CAST(nae AS DECIMAL(28,2))) AS DOUBLE),
                           0.0), 6) AS mase
@@ -5422,14 +5432,19 @@ def q302_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
         F.round(d28(F.col("ae"), 2) / F.count(F.lit(1)), 6).alias("mae"),
         F.round(
-            d28(F.col("ae") / F.nullif(F.col("av"), F.lit(0.0)), 8)
+            d28(F.round(F.col("ae") / F.nullif(F.col("av"), F.lit(0.0)), 8), 10)
             / F.count(F.lit(1)),
             6,
         ).alias("mape"),
         F.round(
             d28(
-                2 * F.col("ae") / F.nullif(F.col("av") + F.col("fv"), F.lit(0.0)),
-                8,
+                F.round(
+                    2
+                    * F.col("ae")
+                    / F.nullif(F.col("av") + F.col("fv"), F.lit(0.0)),
+                    8,
+                ),
+                10,
             )
             / F.count(F.lit(1)),
             6,
@@ -5817,8 +5832,8 @@ CALIB_BINS = 5
       SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
              -- deterministic "model": longer docs get higher
              -- predicted P(en); clipped linear score on n_chars
-             LEAST(0.95, GREATEST(0.05,
-               CAST(n_chars AS DOUBLE) / 640.0)) AS p
+             ROUND(LEAST(0.95, GREATEST(0.05,
+               CAST(n_chars AS DOUBLE) / 640.0)), 8) AS p
       FROM documents
     ),
     binned AS (
@@ -5834,8 +5849,8 @@ CALIB_BINS = 5
            ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS observed_rate,
            ROUND(ABS(CAST(SUM(CAST(p AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)
                  - CAST(SUM(y) AS DOUBLE) / COUNT(*)), 6) AS calibration_gap,
-           ROUND(CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(28,10)))
-                 AS DOUBLE) / COUNT(*), 6) AS brier
+           ROUND(CAST(SUM(CAST(ROUND((p - y) * (p - y), 10)
+                 AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS brier
     FROM binned GROUP BY bin
     """,
 )
@@ -5855,9 +5870,14 @@ def q307_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     scored = t(spark, sf_dir, "documents").select(
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
-        F.least(
-            F.lit(0.95),
-            F.greatest(F.lit(0.05), F.col("n_chars").cast("double") / 640.0),
+        F.round(
+            F.least(
+                F.lit(0.95),
+                F.greatest(
+                    F.lit(0.05), F.col("n_chars").cast("double") / 640.0
+                ),
+            ),
+            8,
         ).alias("p"),
     )
     binned = scored.select(
@@ -5880,9 +5900,9 @@ def q307_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(mean_p - obs), 6).alias("calibration_gap"),
         F.round(
             F.sum(
-                ((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).cast(
-                    "decimal(28,10)"
-                )
+                F.round(
+                    (F.col("p") - F.col("y")) * (F.col("p") - F.col("y")), 10
+                ).cast("decimal(28,12)")
             ).cast("double")
             / F.count(F.lit(1)),
             6,
@@ -7550,15 +7570,15 @@ def _pois_w_sql(u: str) -> str:
     ),
     means AS (
       SELECT b,
-             CAST(SUM(w * CAST(o_totalprice AS DECIMAL(18,2)))
+             ROUND(CAST(SUM(w * CAST(o_totalprice AS DECIMAL(18,2)))
                   AS DOUBLE)
-               / NULLIF(SUM(w), 0) AS m
+               / NULLIF(SUM(w), 0), 6) AS m
       FROM weighted GROUP BY b
     ),
     agg AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS nb,
              CAST(SUM(CAST(m AS DECIMAL(28,8))) AS DOUBLE) AS sm,
-             CAST(SUM(CAST(m * m AS DECIMAL(38,10))) AS DOUBLE) AS sm2
+             CAST(SUM(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE) AS sm2
       FROM means
     ),
     pt AS (
@@ -7645,17 +7665,18 @@ def q324_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = F.when(u < POIS_CDF[k], k).otherwise(w)
     weighted = reps.select("b", w.alias("w"), "o_totalprice")
     means = weighted.groupBy("b").agg(
-        (
+        F.round(
             F.sum(
                 F.col("w") * F.col("o_totalprice").cast("decimal(18,2)")
             ).cast("double")
-            / F.nullif(F.sum("w"), F.lit(0))
+            / F.nullif(F.sum("w"), F.lit(0)),
+            6,
         ).alias("m")
     )
     agg = means.agg(
         F.count(F.lit(1)).cast("double").alias("nb"),
         F.sum(F.col("m").cast("decimal(28,8)")).cast("double").alias("sm"),
-        F.sum((F.col("m") * F.col("m")).cast("decimal(38,10)"))
+        F.sum((F.col("m") * F.col("m")).cast("decimal(38,12)"))
         .cast("double")
         .alias("sm2"),
     )
@@ -7696,14 +7717,15 @@ def q324_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_src
     ),
     loo AS (
-      SELECT p.source, (t.gs - p.s) / NULLIF(t.gn - p.n, 0.0) AS m, t.g,
+      SELECT p.source,
+             ROUND((t.gs - p.s) / NULLIF(t.gn - p.n, 0.0), 6) AS m, t.g,
              t.gs / t.gn AS full_mean
       FROM per_src p, tot t
     ),
     agg AS (
       SELECT g, full_mean,
-             CAST(SUM(CAST(m AS DECIMAL(28,10))) AS DOUBLE) / g AS mbar,
-             CAST(SUM(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE) AS sm2
+             CAST(SUM(CAST(m AS DECIMAL(28,8))) AS DOUBLE) / g AS mbar,
+             CAST(SUM(CAST(m * m AS DECIMAL(38,14))) AS DOUBLE) AS sm2
       FROM loo GROUP BY g, full_mean
     )
     SELECT CAST(g AS BIGINT) AS n_groups,
@@ -7739,18 +7761,19 @@ def q325_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     loo = per_src.crossJoin(F.broadcast(tot)).select(
         # NULLIF: a single-source corpus leaves an empty LOO sample
         # (gn == n) — NULL on both engines, not ANSI error vs inf
-        (
+        F.round(
             (F.col("gs") - F.col("s"))
-            / F.nullif(F.col("gn") - F.col("n"), F.lit(0.0))
+            / F.nullif(F.col("gn") - F.col("n"), F.lit(0.0)),
+            6,
         ).alias("m"),
         "g",
         (F.col("gs") / F.col("gn")).alias("full_mean"),
     )
     agg = loo.groupBy("g", "full_mean").agg(
         (
-            F.sum(F.col("m").cast("decimal(28,10)")).cast("double") / F.col("g")
+            F.sum(F.col("m").cast("decimal(28,8)")).cast("double") / F.col("g")
         ).alias("mbar"),
-        F.sum((F.col("m") * F.col("m")).cast("decimal(38,12)"))
+        F.sum((F.col("m") * F.col("m")).cast("decimal(38,14)"))
         .cast("double")
         .alias("sm2"),
     )
@@ -8005,8 +8028,8 @@ RDD_BANDWIDTH = 50000.0
     oracle=f"""
     WITH iv AS (
       SELECT o.o_totalprice AS x,
-             CAST(AVG(date_diff('day', CAST(o.o_orderdate AS DATE),
-                  CAST(l.l_shipdate AS DATE))) AS DOUBLE) AS y
+             ROUND(CAST(AVG(date_diff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE))) AS DOUBLE), 6) AS y
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       WHERE o.o_totalprice BETWEEN {RDD_CUTOFF - RDD_BANDWIDTH}
                                AND {RDD_CUTOFF + RDD_BANDWIDTH}
@@ -8053,8 +8076,13 @@ def q328_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame
         o.join(l, o["o_orderkey"] == l["l_orderkey"])
         .groupBy("o_orderkey", "o_totalprice")
         .agg(
-            F.avg(
-                F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            F.round(
+                F.avg(
+                    F.datediff(
+                        F.to_date("l_shipdate"), F.to_date("o_orderdate")
+                    )
+                ),
+                6,
             ).alias("y")
         )
     )
