@@ -8727,3 +8727,251 @@ def q334_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+# ------------------------------------ q335 ALS half-step (2-dim)
+
+ALS_REG = 0.1
+ALS_PROBE_USERS = 10
+
+
+def _item_factor_sql(i: int) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5('if{i}:' || CAST(l_partkey AS VARCHAR)),"
+        f" 1, 7)) AS BIGINT) % 1000) / 1000.0"
+    )
+
+
+@register(
+    "q335_als_halfstep",
+    oracle=f"""
+    WITH ratings AS (
+      SELECT o.o_custkey AS u, l.l_partkey,
+             CAST(COUNT(*) AS DOUBLE) AS r
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey, l.l_partkey
+    ),
+    factored AS (
+      SELECT u, r,
+             {_item_factor_sql(1)} AS f1,
+             {_item_factor_sql(2)} AS f2
+      FROM ratings
+    ),
+    normal AS (
+      SELECT u,
+             SUM(f1 * f1) + {ALS_REG!r} AS a11,
+             SUM(f1 * f2) AS a12,
+             SUM(f2 * f2) + {ALS_REG!r} AS a22,
+             SUM(f1 * r) AS b1,
+             SUM(f2 * r) AS b2,
+             COUNT(*) AS n_items
+      FROM factored GROUP BY u
+    )
+    SELECT u AS custkey,
+           CAST(n_items AS BIGINT) AS n_items,
+           ROUND((b1 * a22 - b2 * a12)
+                 / NULLIF(a11 * a22 - a12 * a12, 0.0), 6) AS user_f1,
+           ROUND((a11 * b2 - a12 * b1)
+                 / NULLIF(a11 * a22 - a12 * a12, 0.0), 6) AS user_f2
+    FROM normal WHERE u < {ALS_PROBE_USERS}
+    """,
+)
+def q335_als_halfstep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ALS half-step of matrix factorization: with 2-dim item
+    factors held fixed (hash-derived here; the previous iteration's
+    output in a real run), each user's factors solve the ridge-
+    regularized 2×2 normal equations (AᵀA + λI)x = Aᵀr in closed
+    form — exactly how distributed ALS (the Netflix-era recommender
+    workhorse, Spark MLlib's own implementation) alternates: the
+    per-user solves are independent, so the 'iteration' is one
+    grouped aggregation of factor outer-products plus map-side
+    linear algebra. Probe slice (custkey < {ALS_PROBE_USERS})
+    keeps the driver output bounded; ratings are order counts.
+
+    Per-user sufficient statistics are sums of on-grid 3-decimal
+    factor products (exact); the 2×2 solve is q282's Cramer shape,
+    NULLIF-guarded for singular systems.
+    """
+    ratings = (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("u"), "l_partkey")
+        .agg(F.count(F.lit(1)).cast("double").alias("r"))
+    )
+
+    def item_factor(i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"if{i}:"), F.col("l_partkey").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+        ) / 1000.0
+
+    factored = ratings.select(
+        "u", "r", item_factor(1).alias("f1"), item_factor(2).alias("f2")
+    )
+    normal = factored.groupBy("u").agg(
+        (F.sum(F.col("f1") * F.col("f1")) + ALS_REG).alias("a11"),
+        F.sum(F.col("f1") * F.col("f2")).alias("a12"),
+        (F.sum(F.col("f2") * F.col("f2")) + ALS_REG).alias("a22"),
+        F.sum(F.col("f1") * F.col("r")).alias("b1"),
+        F.sum(F.col("f2") * F.col("r")).alias("b2"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    det = F.nullif(
+        F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12"), F.lit(0.0)
+    )
+    return normal.filter(F.col("u") < ALS_PROBE_USERS).select(
+        F.col("u").alias("custkey"),
+        F.col("n_items").cast("bigint").alias("n_items"),
+        F.round(
+            (F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")) / det, 6
+        ).alias("user_f1"),
+        F.round(
+            (F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1")) / det, 6
+        ).alias("user_f2"),
+    )
+
+
+# ------------------------------- q336 item-item collaborative filter
+
+CF_MIN_CO = 3
+CF_TOPK_PER_ITEM = 2
+CF_USER_CAP = 60  # per-user basket cap bounds pair fan-out
+
+
+@register(
+    "q336_item_item_cf",
+    oracle=f"""
+    WITH ui AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    capped AS (
+      SELECT u, i FROM (
+        SELECT u, i, COUNT(*) OVER (PARTITION BY u) AS basket
+        FROM ui
+      ) WHERE basket <= {CF_USER_CAP}
+    ),
+    pop AS (SELECT i, COUNT(*) AS n FROM capped GROUP BY i),
+    co AS (
+      SELECT a.i AS ia, b.i AS ib, COUNT(*) AS nco
+      FROM capped a JOIN capped b ON a.u = b.u AND a.i < b.i
+      GROUP BY a.i, b.i
+      HAVING COUNT(*) >= {CF_MIN_CO}
+    ),
+    scored AS (
+      SELECT c.ia, c.ib, c.nco,
+             c.nco / SQRT(CAST(pa.n AS DOUBLE) * pb.n) AS cosine
+      FROM co c
+      JOIN pop pa ON pa.i = c.ia
+      JOIN pop pb ON pb.i = c.ib
+    ),
+    sym AS (
+      SELECT ia AS i, ib AS j, nco, cosine FROM scored
+      UNION ALL
+      SELECT ib, ia, nco, cosine FROM scored
+    )
+    SELECT i AS item, j AS neighbor, CAST(nco AS BIGINT) AS co_users,
+           ROUND(cosine, 6) AS cosine, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY i
+               ORDER BY cosine DESC, j) AS rk
+      FROM sym
+    ) WHERE rk <= {CF_TOPK_PER_ITEM}
+    """,
+)
+def q336_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: each part's top-
+    {CF_TOPK_PER_ITEM} neighbors by co-purchase cosine
+    n(i,j)/√(n(i)·n(j)) — the 'customers who bought X also bought'
+    model (Amazon's 2003 item-item paper), which scales where
+    user-user CF cannot: the item co-occurrence matrix is
+    catalog-sized, not user-sized. The support floor ({CF_MIN_CO}
+    co-users) kills noise pairs; the per-user basket cap
+    ({CF_USER_CAP}) bounds the quadratic pair fan-out (q137's
+    basket rule — a crawler buying everything would otherwise emit
+    |catalog|² pairs).
+
+    Pairs generate through the user equi-join on the capped
+    distinct (user, item) projection; popularity normalizers join
+    from the item-grain reduce; per-item top-k is a partitioned
+    rank window, never global.
+    """
+    from pyspark.sql import Window as W
+
+    ui = (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    capped = (
+        ui.withColumn("basket", F.count(F.lit(1)).over(W.partitionBy("u")))
+        .filter(F.col("basket") <= CF_USER_CAP)
+        .drop("basket")
+    )
+    pop = capped.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
+    b = capped.select(F.col("u").alias("ub"), F.col("i").alias("j"))
+    co = (
+        capped.join(b, (F.col("u") == F.col("ub")) & (F.col("i") < F.col("j")))
+        .groupBy(F.col("i").alias("ia"), F.col("j").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("nco"))
+        .filter(F.col("nco") >= CF_MIN_CO)
+    )
+    pa = pop.select(F.col("i").alias("ia"), F.col("n").alias("na"))
+    pb = pop.select(F.col("i").alias("ib"), F.col("n").alias("nb"))
+    scored = (
+        co.join(pa, "ia")
+        .join(pb, "ib")
+        .select(
+            "ia",
+            "ib",
+            "nco",
+            (
+                F.col("nco")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb"))
+            ).alias("cosine"),
+        )
+    )
+    sym = scored.select(
+        F.col("ia").alias("item"),
+        F.col("ib").alias("neighbor"),
+        "nco",
+        "cosine",
+    ).unionByName(
+        scored.select(
+            F.col("ib").alias("item"),
+            F.col("ia").alias("neighbor"),
+            "nco",
+            "cosine",
+        )
+    )
+    wr = W.partitionBy("item").orderBy(F.col("cosine").desc(), "neighbor")
+    return (
+        sym.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= CF_TOPK_PER_ITEM)
+        .select(
+            "item",
+            "neighbor",
+            F.col("nco").cast("bigint").alias("co_users"),
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
