@@ -8975,3 +8975,223 @@ def q336_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+# ------------------------------------------ q337 cohort LTV curve
+
+LTV_MAX_AGE = 6  # months tracked per cohort
+
+
+@register(
+    "q337_cohort_ltv",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(CAST(date_trunc('month', o_orderdate) AS DATE)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    aged AS (
+      SELECT f.cohort,
+             date_diff('month', f.cohort,
+               CAST(date_trunc('month', o.o_orderdate) AS DATE)) AS age,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS v
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    ),
+    sizes AS (
+      SELECT cohort, COUNT(DISTINCT o.o_custkey) AS n_users
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+        AND f.cohort = CAST(date_trunc('month', o.o_orderdate) AS DATE)
+      GROUP BY cohort
+    ),
+    cells AS (
+      SELECT cohort, age, CAST(SUM(v) AS DECIMAL(28,2)) AS rev
+      FROM aged WHERE age <= {LTV_MAX_AGE}
+      GROUP BY cohort, age
+    ),
+    cum AS (
+      SELECT cohort, age,
+             SUM(rev) OVER (PARTITION BY cohort ORDER BY age) AS cum_rev
+      FROM cells
+    )
+    SELECT c.cohort, CAST(c.age AS BIGINT) AS age_months,
+           s.n_users,
+           ROUND(CAST(c.cum_rev AS DOUBLE) / s.n_users, 6)
+             AS cum_ltv_per_user
+    FROM cum c JOIN sizes s ON s.cohort = c.cohort
+    WHERE c.cohort <= DATE '1997-06-01'
+    """,
+)
+def q337_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: cumulative revenue per user by months
+    since the cohort's first order, for cohorts old enough to have
+    {LTV_MAX_AGE} months of runway — the curve that payback-period
+    and acquisition-spend decisions read off (the REVENUE companion
+    of q118's retention counts: retention says who came back, LTV
+    says what they were worth). Younger cohorts are excluded rather
+    than shown artificially flat — the classic LTV-triangle
+    truncation bias.
+
+    First-order months reduce per customer; ages are month diffs
+    against the broadcast cohort map; cumulative revenue windows
+    per cohort over the bounded age grain with DECIMAL-exact sums.
+    """
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate").cast("date")).alias(
+            "cohort"
+        )
+    )
+    aged = o.join(F.broadcast(firsts), "o_custkey").select(
+        "cohort",
+        (
+            F.months_between(
+                F.date_trunc("month", "o_orderdate").cast("date"), F.col("cohort")
+            )
+        )
+        .cast("int")
+        .alias("age"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("om"),
+    )
+    sizes = (
+        aged.filter(F.col("om") == F.col("cohort"))
+        .groupBy("cohort")
+        .agg(F.count_distinct("o_custkey").alias("n_users"))
+    )
+    cells = (
+        aged.filter(F.col("age") <= LTV_MAX_AGE)
+        .groupBy("cohort", "age")
+        .agg(F.sum("v").cast("decimal(28,2)").alias("rev"))
+    )
+    wc = W.partitionBy("cohort").orderBy("age")
+    cum = cells.withColumn("cum_rev", F.sum("rev").over(wc))
+    return (
+        cum.join(F.broadcast(sizes), "cohort")
+        .filter(F.col("cohort") <= F.lit("1997-06-01").cast("date"))
+        .select(
+            "cohort",
+            F.col("age").cast("bigint").alias("age_months"),
+            "n_users",
+            F.round(
+                F.col("cum_rev").cast("double") / F.col("n_users"), 6
+            ).alias("cum_ltv_per_user"),
+        )
+    )
+
+
+# --------------------------------------- q338 Ljung-Box statistic
+
+LB_LAGS = 7
+
+
+@register(
+    "q338_ljung_box",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    acf AS (
+      {" UNION ALL ".join(f'''
+      SELECT {k} AS lag, n_pairs,
+             (n * sxy - sx * sy)
+               / NULLIF(SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                        0.0) AS rho
+      FROM (
+        SELECT COUNT(*) AS n_pairs, CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM (SELECT rev AS x, LAG(rev, {k}) OVER (ORDER BY d) AS y
+              FROM daily) WHERE y IS NOT NULL
+      )''' for k in range(1, LB_LAGS + 1))}
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM daily)
+    SELECT CAST(nn.n AS BIGINT) AS n_days,
+           {LB_LAGS} AS n_lags,
+           ROUND(nn.n * (nn.n + 2)
+                 * SUM(a.rho * a.rho / (nn.n - a.lag)), 6) AS ljung_box_q,
+           CAST(14.067 AS DOUBLE) AS chi2_crit_95
+    FROM acf a, nn
+    GROUP BY nn.n
+    """,
+)
+def q338_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on daily revenue: Q = n(n+2)·
+    Σ ρ²ₖ/(n−k) over the first {LB_LAGS} autocorrelations — the
+    white-noise test that turns q258's per-lag ACF into ONE
+    decision number against the χ²({LB_LAGS}) 95% critical value
+    (14.067, shared literal): Q above it means structure remains —
+    the residual check every fitted forecast model (q302's
+    backtests) must pass before its errors can be trusted as noise.
+
+    Reuses q258's DECIMAL-exact sufficient-statistics shape per
+    lag; the weighted ρ² fold runs over the {LB_LAGS}-row frame
+    (bounded — no float-order hazard at this size per the group-
+    local convention).
+    """
+    from pyspark.sql import Window as W
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    w = W.orderBy("d")
+    lagged = daily.select(
+        F.col("rev").alias("x"),
+        *[F.lag("rev", k).over(w).alias(f"y{k}") for k in range(1, LB_LAGS + 1)],
+    )
+    stacked = lagged.select(
+        "x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("lag"), F.col(f"y{k}").alias("y"))
+                    for k in range(1, LB_LAGS + 1)
+                ]
+            )
+        ).alias("s"),
+    ).select("x", F.col("s.lag").alias("lag"), F.col("s.y").alias("y"))
+    pairs = stacked.filter(F.col("y").isNotNull())
+    stats = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    rho = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / F.nullif(
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        ),
+        F.lit(0.0),
+    )
+    acf = stats.select("lag", rho.alias("rho"))
+    nn = daily.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    j = acf.crossJoin(F.broadcast(nn))
+    return j.groupBy("n").agg(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.lit(LB_LAGS).alias("n_lags"),
+        F.round(
+            F.col("n")
+            * (F.col("n") + 2)
+            * F.sum(F.col("rho") * F.col("rho") / (F.col("n") - F.col("lag"))),
+            6,
+        ).alias("ljung_box_q"),
+        F.lit(14.067).alias("chi2_crit_95"),
+    ).drop("n").select("n_days", "n_lags", "ljung_box_q", "chi2_crit_95")
