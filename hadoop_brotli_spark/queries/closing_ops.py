@@ -1,4 +1,4 @@
-"""Round-2 coverage extensions, session 3 (q252-q321): the named
+"""Round-2 coverage extensions, session 3 (q252-q338): the named
 techniques a production data platform ships beyond the classic
 relational surface, each as a DataFrame plan with an exact DuckDB
 oracle —
@@ -20,7 +20,9 @@ oracle —
 - Graph & time series: k-core, BFS frontier, HITS, assortativity,
   modularity, negative-edge sampling, interval concurrency/union,
   sweep-line Little's law, OHLC/TWAP, SAX, exact DTW (numpy DP
-  proven by an unrolled anti-diagonal SQL oracle).
+  proven by an unrolled anti-diagonal SQL oracle), Ljung-Box.
+- IR & recommenders: TF-IDF sparse-cosine pairs, BM25 retrieval,
+  ALS half-step, item-item CF, cohort LTV.
 
 Like every relational op, these are absent from the reference codec
 (SURVEY.md §2b census — the reference is a Hadoop compression codec,
