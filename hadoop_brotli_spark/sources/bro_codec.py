@@ -42,6 +42,7 @@ DEFAULT_QUALITY = 6  # BroCodec.java:22
 DEFAULT_BUFFER_SIZE = 2 * 1024 * 1024  # BroCodec.java:23 (2 MiB)
 BRO_EXTENSION = ".bro"  # BroCodec.java:56-59
 LGWIN = 22  # BroCompressor.java:49 (4 MiB window)
+_DEFAULT_BLOCK_SIZE = 4 * 1024 * 1024  # BRO2 uncompressed bytes per block
 
 try:
     import brotli  # type: ignore
@@ -64,6 +65,8 @@ class BroConfig:
     quality: int = DEFAULT_QUALITY  # "bro.quality", 1..11
     buffer_size: int = DEFAULT_BUFFER_SIZE  # "bro.buffer-size"
     dictionary: bytes | None = None  # the reference's declared TODO
+    framed: bool = True  # "bro.framed": write splittable BRO2 container
+    block_size: int = _DEFAULT_BLOCK_SIZE  # "bro.block-size" (uncompressed)
 
     @classmethod
     def from_options(cls, options: dict[str, Any] | None) -> "BroConfig":
@@ -75,10 +78,15 @@ class BroConfig:
         elif "bro.dictionary-file" in options:
             with open(options["bro.dictionary-file"], "rb") as f:
                 dictionary = f.read()
+        framed = str(options.get("bro.framed", "true")).lower() not in (
+            "false", "0", "no",
+        )
         return cls(
             quality=int(options.get("bro.quality", DEFAULT_QUALITY)),
             buffer_size=int(options.get("bro.buffer-size", DEFAULT_BUFFER_SIZE)),
             dictionary=dictionary,
+            framed=framed,
+            block_size=int(options.get("bro.block-size", _DEFAULT_BLOCK_SIZE)),
         )
 
 
@@ -315,8 +323,15 @@ def write_bro_bytes(
 def read_bro_bytes(
     path: str, config: BroConfig | None = None
 ) -> Iterator[bytes]:
-    """Stream-decompress a ``.bro`` file in bounded memory."""
+    """Stream-decompress a ``.bro`` file in bounded memory.
+
+    Transparently handles both layouts: framed BRO2 files (sniffed by
+    magic) decode block-by-block; legacy unframed v1 streams decode as
+    before."""
     config = config or BroConfig()
+    if is_bro2_file(path):
+        yield from read_bro2_bytes(path, config)
+        return
 
     def file_chunks() -> Iterator[bytes]:
         with open(path, "rb") as f:
@@ -332,3 +347,249 @@ def read_bro_bytes(
 def is_bro_path(path: str) -> bool:
     """Extension dispatch (BroCodec.getDefaultExtension)."""
     return os.path.splitext(path)[1] == BRO_EXTENSION
+
+
+# ---------------------------------------------------------------------------
+# BRO2 — splittable framed container (exceeds the reference)
+#
+# The reference codec is non-splittable BY DESIGN (`BroCodec.java:18`
+# implements `CompressionCodec` only, never `SplittableCompressionCodec`),
+# so one 10 GB `.bro` file is one map task — the codec layer's only real
+# 100 TB ceiling (SURVEY.md §4). BRO2 removes it the same way Hadoop's
+# own splittable codecs (bzip2's block markers, Parquet's row groups) do:
+# the file is a sequence of INDEPENDENTLY compressed blocks plus a footer
+# index, so a reader can hand each block to a different task.
+#
+# Layout (all integers little-endian):
+#   header   8 B   b"BRO2" | version u8=1 | flags u8 | quality u8 | pad u8
+#                  flags bit0 = backend (0 zlib, 1 brotli)
+#                  flags bit1 = compressed with a preset dictionary
+#   blocks   N independent compressed streams, back to back
+#   index    block_count * 28 B: offset u64 | clen u64 | ulen u64 | crc32 u32
+#                  (crc32 of the UNCOMPRESSED block bytes)
+#   trailer  24 B  index_offset u64 | block_count u64 | index_crc u32 | b"2ORB"
+#
+# Corruption detection is end-to-end: a flipped byte in block k fails
+# either the backend decode or the uncompressed-crc check for block k
+# alone; every other block remains independently readable. Legacy
+# unframed v1 files are sniffed by magic and still read transparently.
+# ---------------------------------------------------------------------------
+
+import struct
+import zlib as _zlib_mod
+
+BRO2_MAGIC = b"BRO2"
+BRO2_TRAILER_MAGIC = b"2ORB"
+BRO2_VERSION = 1
+BRO2_HEADER_LEN = 8
+BRO2_TRAILER_LEN = 24
+BRO2_INDEX_ENTRY = struct.Struct("<QQQI")  # offset, clen, ulen, crc32
+BRO2_TRAILER = struct.Struct("<QQI4s")  # index_offset, count, index_crc, magic
+DEFAULT_BLOCK_SIZE = _DEFAULT_BLOCK_SIZE  # uncompressed bytes per block
+
+
+@dataclass(frozen=True)
+class Bro2Block:
+    """One index entry: where a block lives and how to verify it."""
+
+    offset: int
+    clen: int
+    ulen: int
+    crc: int
+
+
+@dataclass(frozen=True)
+class Bro2Header:
+    version: int
+    backend: str  # "zlib" | "brotli"
+    has_dictionary: bool
+    quality: int
+
+
+class Bro2Writer:
+    """Append-blocks-then-index writer. Each ``write_block`` call
+    compresses its payload with a FRESH compressor (no shared window),
+    which is exactly what makes blocks independently decodable and the
+    file splittable. Bounded memory: one block in flight."""
+
+    def __init__(self, path: str, config: BroConfig | None = None,
+                 stats: CodecStats | None = None) -> None:
+        self.config = config or BroConfig()
+        self.stats = stats
+        self._blocks: list[Bro2Block] = []
+        self._f = open(path, "wb")
+        flags = (1 if HAS_BROTLI else 0) | (2 if self.config.dictionary else 0)
+        self._f.write(
+            BRO2_MAGIC
+            + bytes([BRO2_VERSION, flags, self.config.quality & 0xFF, 0])
+        )
+        self._pos = BRO2_HEADER_LEN
+        self._closed = False
+
+    def write_block(self, data: bytes) -> Bro2Block:
+        comp = _compressor(self.config)
+        payload = comp.compress(bytes(data)) + comp.finish()
+        block = Bro2Block(
+            offset=self._pos,
+            clen=len(payload),
+            ulen=len(data),
+            crc=_zlib_mod.crc32(data) & 0xFFFFFFFF,
+        )
+        self._f.write(payload)
+        self._pos += len(payload)
+        self._blocks.append(block)
+        if self.stats is not None:
+            self.stats.bytes_read += len(data)
+            self.stats.bytes_written += len(payload)
+        return block
+
+    def close(self) -> list[Bro2Block]:
+        if self._closed:
+            return self._blocks
+        self._closed = True
+        index = b"".join(
+            BRO2_INDEX_ENTRY.pack(b.offset, b.clen, b.ulen, b.crc)
+            for b in self._blocks
+        )
+        self._f.write(index)
+        self._f.write(
+            BRO2_TRAILER.pack(
+                self._pos,
+                len(self._blocks),
+                _zlib_mod.crc32(index) & 0xFFFFFFFF,
+                BRO2_TRAILER_MAGIC,
+            )
+        )
+        self._f.close()
+        return self._blocks
+
+    def __enter__(self) -> "Bro2Writer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def is_bro2_file(path: str) -> bool:
+    """Sniff the v2 container: header magic AND trailer magic must both
+    match (a truncated v2 file fails here and falls back to a loud v1
+    decode error rather than a silent partial read)."""
+    try:
+        size = os.path.getsize(path)
+        if size < BRO2_HEADER_LEN + BRO2_TRAILER_LEN:
+            return False
+        with open(path, "rb") as f:
+            if f.read(4) != BRO2_MAGIC:
+                return False
+            f.seek(size - 4)
+            return f.read(4) == BRO2_TRAILER_MAGIC
+    except OSError:
+        return False
+
+
+def read_bro2_index(path: str) -> tuple[Bro2Header, list[Bro2Block]]:
+    """One footer read on the driver — the same O(metadata) cost as a
+    Parquet footer; blocks themselves are never touched here."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        head = f.read(BRO2_HEADER_LEN)
+        if head[:4] != BRO2_MAGIC:
+            raise BroCorruptError("not a BRO2 file (bad header magic)")
+        version, flags, quality = head[4], head[5], head[6]
+        if version != BRO2_VERSION:
+            raise BroCorruptError(f"unsupported BRO2 version {version}")
+        f.seek(size - BRO2_TRAILER_LEN)
+        index_offset, count, index_crc, magic = BRO2_TRAILER.unpack(
+            f.read(BRO2_TRAILER_LEN)
+        )
+        if magic != BRO2_TRAILER_MAGIC:
+            raise BroCorruptError("not a BRO2 file (bad trailer magic)")
+        index_len = count * BRO2_INDEX_ENTRY.size
+        if index_offset + index_len + BRO2_TRAILER_LEN != size:
+            raise BroCorruptError("BRO2 index does not span to the trailer")
+        f.seek(index_offset)
+        index = f.read(index_len)
+        if _zlib_mod.crc32(index) & 0xFFFFFFFF != index_crc:
+            raise BroCorruptError("BRO2 index crc mismatch")
+    blocks = [
+        Bro2Block(*BRO2_INDEX_ENTRY.unpack_from(index, i * BRO2_INDEX_ENTRY.size))
+        for i in range(count)
+    ]
+    header = Bro2Header(
+        version=version,
+        backend="brotli" if flags & 1 else "zlib",
+        has_dictionary=bool(flags & 2),
+        quality=quality,
+    )
+    return header, blocks
+
+
+def read_bro2_block(
+    path: str,
+    block: Bro2Block,
+    header: Bro2Header,
+    config: BroConfig | None = None,
+) -> bytes:
+    """Decode ONE block — the unit of parallel work. Verifies both the
+    backend stream and the uncompressed crc32, so corruption anywhere
+    in the block surfaces as BroCorruptError for this block only."""
+    config = config or BroConfig()
+    if header.backend == "brotli" and not HAS_BROTLI:
+        raise BroCorruptError(
+            "BRO2 file was written by the brotli backend; install the "
+            "'brotli' package to read it"
+        )
+    if header.has_dictionary and config.dictionary is None:
+        raise BroCorruptError(
+            "BRO2 file was written with a preset dictionary; supply "
+            "bro.dictionary / bro.dictionary-file to read it"
+        )
+    with open(path, "rb") as f:
+        f.seek(block.offset)
+        payload = f.read(block.clen)
+    if len(payload) != block.clen:
+        raise BroCorruptError("BRO2 block truncated")
+    if header.backend == "zlib":
+        dec = _ZlibDecompressor(config.dictionary)
+    else:  # pragma: no cover - needs brotli wheel
+        dec = _BrotliDecompressor(config.dictionary)
+    out = dec.decompress(payload) + dec.finish()
+    if len(out) != block.ulen:
+        raise BroCorruptError(
+            f"BRO2 block length mismatch: got {len(out)}, want {block.ulen}"
+        )
+    if _zlib_mod.crc32(out) & 0xFFFFFFFF != block.crc:
+        raise BroCorruptError("BRO2 block crc mismatch (corrupted data)")
+    return out
+
+
+def write_bro2_bytes(
+    data: bytes | Iterable[bytes],
+    path: str,
+    config: BroConfig | None = None,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+) -> list[Bro2Block]:
+    """Compress ``data`` into a framed BRO2 file, one block per
+    ``block_size`` uncompressed bytes; returns the block index."""
+    config = config or BroConfig()
+    if isinstance(data, (bytes, bytearray)):
+        data = [bytes(data)]
+    with Bro2Writer(path, config) as w:
+        buf = bytearray()
+        for chunk in data:
+            buf += chunk
+            while len(buf) >= block_size:
+                w.write_block(bytes(buf[:block_size]))
+                del buf[:block_size]
+        if buf or not w._blocks:
+            w.write_block(bytes(buf))
+    return w.close()
+
+
+def read_bro2_bytes(
+    path: str, config: BroConfig | None = None
+) -> Iterator[bytes]:
+    """Sequentially stream-decode a framed file block by block."""
+    header, blocks = read_bro2_index(path)
+    for block in blocks:
+        yield read_bro2_block(path, block, header, config)

@@ -12,18 +12,25 @@ through Hadoop conf.
 
 Reference-semantics notes:
 - extension dispatch: only ``*.bro`` files are listed (§2a #4)
-- non-splittable: one file ⇒ one InputPartition ⇒ one task (§4) —
-  the planner sees the real per-file parallelism, exactly like the
-  reference's one-map-task-per-file deployment
+- legacy v1 files are non-splittable: one file ⇒ one InputPartition ⇒
+  one task (§4), exactly like the reference's one-map-task-per-file
+  deployment (`BroCodec.java:18` never implements
+  SplittableCompressionCodec)
+- framed BRO2 files (the default write path, ``bro.framed``) ARE
+  splittable: independently compressed line-aligned blocks + a footer
+  index ⇒ one InputPartition PER BLOCK — this removes the codec
+  layer's only real 100 TB ceiling
 - streaming bounded-memory decode/encode inside each task
 - the writer emits one file per task and commits via task messages
   (atomic rename publish), so failed tasks never leave partial files
   visible
 
-Scale notes (100 TB): parallelism = file count; the writer inherits
-upstream partitioning (``df.repartition(n)`` sizes the files). File
-listing happens once on the driver — a glob over the directory, the
-same metadata cost every file source pays.
+Scale notes (100 TB): read parallelism = block count for framed files
+(``bro.block-size`` uncompressed bytes per block, default 4 MiB) and
+file count for legacy files; the writer inherits upstream partitioning
+(``df.repartition(n)`` sizes the files). Driver-side listing cost is
+one glob + one footer read per file — the same metadata cost Parquet
+pays.
 """
 
 from __future__ import annotations
@@ -44,15 +51,36 @@ from pyspark.sql.datasource import (
 
 from .bro_codec import (
     BRO_EXTENSION,
+    Bro2Block,
+    Bro2Header,
+    Bro2Writer,
     BroConfig,
     compress_stream,
     decompress_stream,
+    is_bro2_file,
+    read_bro2_block,
+    read_bro2_index,
 )
 
 
 class BroFilePartition(InputPartition):
+    """Legacy unframed v1 file: non-splittable, whole file = one task
+    (mirrors the reference's `CompressionCodec`-only semantics)."""
+
     def __init__(self, path: str) -> None:
         self.path = path
+
+
+class BroBlockPartition(InputPartition):
+    """One independently-compressed BRO2 block = one task. This is the
+    splittability the reference lacks (`BroCodec.java:18` never
+    implements SplittableCompressionCodec): a single multi-block file
+    fans out to as many tasks as it has blocks."""
+
+    def __init__(self, path: str, header: Bro2Header, block: Bro2Block) -> None:
+        self.path = path
+        self.header = header
+        self.block = block
 
 
 class BroCommit(WriterCommitMessage):
@@ -77,12 +105,36 @@ class BroReader(DataSourceReader):
         self.config = BroConfig.from_options(dict(options))
 
     def partitions(self) -> Sequence[InputPartition]:
-        # non-splittable codec: one file = one partition = one task
-        return [BroFilePartition(p) for p in _list_bro_files(self.path)]
+        # Framed BRO2 files split into one partition PER BLOCK (the
+        # footer index read here is the only driver-side I/O — same
+        # O(metadata) cost as a Parquet footer). Legacy v1 files keep
+        # the reference's non-splittable 1-file-1-task semantics.
+        parts: list[InputPartition] = []
+        for p in _list_bro_files(self.path):
+            if is_bro2_file(p):
+                header, blocks = read_bro2_index(p)
+                parts.extend(BroBlockPartition(p, header, b) for b in blocks)
+            else:
+                parts.append(BroFilePartition(p))
+        return parts
 
-    def read(self, partition: BroFilePartition) -> Iterator[tuple]:
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
         config = self.config
         path = partition.path
+
+        if isinstance(partition, BroBlockPartition):
+            # One block, decoded and crc-verified independently of
+            # every other task. Blocks are line-aligned by the writer,
+            # so no cross-partition record stitching is needed.
+            data = read_bro2_block(
+                path, partition.block, partition.header, config
+            )
+            lines = data.split(b"\n")
+            if lines and lines[-1] == b"":
+                lines.pop()  # writer terminates blocks with "\n"
+            for line in lines:
+                yield (line.decode("utf-8"), path)
+            return
 
         def chunks() -> Iterator[bytes]:
             with open(path, "rb") as f:
@@ -122,6 +174,11 @@ class BroWriter(DataSourceWriter):
         final = os.path.join(self.path, f"part-{pid:05d}{BRO_EXTENSION}")
         tmp = f"{final}.{uuid.uuid4().hex}.tmp"
 
+        batch_size = (
+            self.config.block_size if self.config.framed
+            else self.config.buffer_size
+        )
+
         def line_chunks() -> Iterator[bytes]:
             batch: list[str] = []
             size = 0
@@ -129,15 +186,27 @@ class BroWriter(DataSourceWriter):
                 v = row[0]
                 batch.append("" if v is None else str(v))
                 size += len(batch[-1]) + 1
-                if size >= self.config.buffer_size:
+                if size >= batch_size:
                     yield ("\n".join(batch) + "\n").encode("utf-8")
                     batch, size = [], 0
             if batch:
                 yield ("\n".join(batch) + "\n").encode("utf-8")
 
-        with open(tmp, "wb") as f:
-            for block in compress_stream(line_chunks(), self.config):
-                f.write(block)
+        if self.config.framed:
+            # Splittable BRO2: each line-aligned chunk becomes one
+            # independently compressed block; the footer index makes a
+            # big task output fan back out to N read tasks.
+            with Bro2Writer(tmp, self.config) as w:
+                wrote = False
+                for chunk in line_chunks():
+                    w.write_block(chunk)
+                    wrote = True
+                if not wrote:
+                    w.write_block(b"")
+        else:
+            with open(tmp, "wb") as f:
+                for block in compress_stream(line_chunks(), self.config):
+                    f.write(block)
         return BroCommit(tmp=tmp, final=final)
 
     def commit(self, messages: list[BroCommit]) -> None:
@@ -195,10 +264,12 @@ class BroStreamReader(SimpleDataSourceStreamReader):
         # pickles prefetched rows into the micro-batch plan
         out: list[tuple] = []
         for path in files:
-            part = BroFilePartition(path)
             reader = BroReader({"path": path})
             reader.config = self.config
-            out.extend(reader.read(part))
+            # partitions() sniffs framed-vs-legacy per file, so the
+            # stream source reads both layouts transparently
+            for part in reader.partitions():
+                out.extend(reader.read(part))
         return out
 
     def read(self, start: dict) -> tuple:
@@ -263,6 +334,10 @@ class BroStreamWriter(DataSourceStreamWriter):
         # input, so "did the compressor emit" is always true and
         # would publish junk zero-line files for empty partitions.
         consumed = [False]
+        batch_size = (
+            self.config.block_size if self.config.framed
+            else self.config.buffer_size
+        )
 
         def line_chunks() -> Iterator[bytes]:
             batch: list[str] = []
@@ -272,15 +347,22 @@ class BroStreamWriter(DataSourceStreamWriter):
                 v = row[0]
                 batch.append("" if v is None else str(v))
                 size += len(batch[-1]) + 1
-                if size >= self.config.buffer_size:
+                if size >= batch_size:
                     yield ("\n".join(batch) + "\n").encode("utf-8")
                     batch, size = [], 0
             if batch:
                 yield ("\n".join(batch) + "\n").encode("utf-8")
 
-        with open(tmp, "wb") as f:
-            for block in compress_stream(line_chunks(), self.config):
-                f.write(block)
+        if self.config.framed:
+            with Bro2Writer(tmp, self.config) as w:
+                for chunk in line_chunks():
+                    w.write_block(chunk)
+                if not w._blocks:
+                    w.write_block(b"")
+        else:
+            with open(tmp, "wb") as f:
+                for block in compress_stream(line_chunks(), self.config):
+                    f.write(block)
         if not consumed[0]:  # empty partition: publish nothing
             os.remove(tmp)
             return BroCommit(tmp="", final="")

@@ -210,7 +210,8 @@ def test_bro_python_datasource_roundtrip(spark, sf_dir, tmp_path):
     assert len(files) == 3
     back = spark.read.format("bro").load(out)
     assert back.columns == ["value", "path"]
-    # non-splittable: one partition per file
+    # framed default: these small files are one block each, so one
+    # partition per file (multi-block splitting covered in TestBro2Framed)
     assert back.rdd.getNumPartitions() == 3
     assert sorted(r.value for r in back.collect()) == sorted(
         r.value for r in docs.collect()
@@ -445,3 +446,187 @@ def test_reference_bitstream_fails_loudly(tmp_path):
     p.write_bytes(bytes.fromhex("8b028068656c6c6f03"))
     with pytest.raises(BroCorruptError, match="brotli bitstream"):
         b"".join(read_bro_bytes(str(p)))
+
+
+# ---------------------------------------------------------------------------
+# BRO2 splittable framed container (exceeds the reference — the
+# reference is non-splittable by design, BroCodec.java:18)
+# ---------------------------------------------------------------------------
+
+
+class TestBro2Framed:
+    def test_roundtrip_multiblock(self, tmp_path):
+        from hadoop_brotli_spark.sources.bro_codec import (
+            read_bro2_bytes,
+            read_bro2_index,
+            write_bro2_bytes,
+        )
+
+        payload = b"".join(
+            f"line-{i:06d} {'x' * (i % 37)}\n".encode() for i in range(4000)
+        )
+        p = str(tmp_path / "multi.bro")
+        blocks = write_bro2_bytes(payload, p, block_size=8192)
+        assert len(blocks) > 4  # genuinely multi-block
+        header, idx = read_bro2_index(p)
+        assert header.backend in ("zlib", "brotli")
+        assert [(b.offset, b.clen) for b in idx] == [
+            (b.offset, b.clen) for b in blocks
+        ]
+        assert sum(b.ulen for b in idx) == len(payload)
+        assert b"".join(read_bro2_bytes(p)) == payload
+
+    def test_read_bro_bytes_sniffs_both_layouts(self, tmp_path):
+        """read_bro_bytes transparently reads v2 AND legacy v1."""
+        from hadoop_brotli_spark.sources.bro_codec import (
+            read_bro_bytes,
+            write_bro2_bytes,
+            write_bro_bytes,
+        )
+
+        payload = b"alpha\nbeta\ngamma\n" * 500
+        v1 = str(tmp_path / "v1.bro")
+        v2 = str(tmp_path / "v2.bro")
+        write_bro_bytes(payload, v1)
+        write_bro2_bytes(payload, v2, block_size=1024)
+        assert b"".join(read_bro_bytes(v1)) == payload
+        assert b"".join(read_bro_bytes(v2)) == payload
+
+    def test_block_corruption_is_isolated(self, tmp_path):
+        """Flip a byte mid-file: only that block fails; every other
+        block decodes (the failure unit is the block, not the file —
+        exactly what makes the format safe to split)."""
+        from hadoop_brotli_spark.sources.bro_codec import (
+            read_bro2_block,
+            read_bro2_index,
+            write_bro2_bytes,
+        )
+
+        payload = b"".join(
+            f"row-{i:05d} payload {'y' * 50}\n".encode() for i in range(2000)
+        )
+        p = str(tmp_path / "corrupt.bro")
+        blocks = write_bro2_bytes(payload, p, block_size=4096)
+        assert len(blocks) >= 3
+        victim = blocks[len(blocks) // 2]
+        raw = bytearray(open(p, "rb").read())
+        raw[victim.offset + victim.clen // 2] ^= 0xFF
+        open(p, "wb").write(bytes(raw))
+
+        header, idx = read_bro2_index(p)  # index itself untouched
+        ok, failed = 0, 0
+        for b in idx:
+            try:
+                read_bro2_block(p, b, header)
+                ok += 1
+            except BroCorruptError:
+                failed += 1
+        assert failed == 1
+        assert ok == len(idx) - 1
+
+    def test_trailer_and_index_corruption_fail_loudly(self, tmp_path):
+        from hadoop_brotli_spark.sources.bro_codec import (
+            BRO2_TRAILER_LEN,
+            is_bro2_file,
+            read_bro2_index,
+            write_bro2_bytes,
+        )
+
+        p = str(tmp_path / "t.bro")
+        write_bro2_bytes(b"abc\n" * 1000, p, block_size=512)
+        raw = bytearray(open(p, "rb").read())
+        # corrupt one index byte (not the trailer): crc must catch it
+        raw[-BRO2_TRAILER_LEN - 3] ^= 0x01
+        open(p, "wb").write(bytes(raw))
+        assert is_bro2_file(p)  # magic intact
+        with pytest.raises(BroCorruptError, match="index crc"):
+            read_bro2_index(p)
+        # truncate the trailer: file no longer sniffs as v2
+        open(p, "wb").write(bytes(raw[:-8]))
+        assert not is_bro2_file(p)
+
+    def test_empty_and_dictionary_blocks(self, tmp_path):
+        from hadoop_brotli_spark.sources.bro_codec import (
+            read_bro2_block,
+            read_bro2_bytes,
+            read_bro2_index,
+            write_bro2_bytes,
+        )
+
+        # empty payload → one empty block, valid file
+        p = str(tmp_path / "empty.bro")
+        blocks = write_bro2_bytes(b"", p)
+        assert len(blocks) == 1 and blocks[0].ulen == 0
+        assert b"".join(read_bro2_bytes(p)) == b""
+
+        # dictionary round-trip + loud failure without the dict
+        d = str(tmp_path / "dict.bro")
+        cfg = BroConfig(dictionary=b"the quick brown fox jumps")
+        payload = b"the quick brown fox jumps over the lazy dog\n" * 200
+        write_bro2_bytes(payload, d, cfg, block_size=2048)
+        assert b"".join(read_bro2_bytes(d, cfg)) == payload
+        header, idx = read_bro2_index(d)
+        assert header.has_dictionary
+        with pytest.raises(BroCorruptError, match="dictionary"):
+            read_bro2_block(d, idx[0], header, BroConfig())
+
+    def test_datasource_one_file_many_partitions(self, spark, sf_dir, tmp_path):
+        """THE splittability proof: a single framed .bro file fans out
+        to one Spark partition per block (the reference: always 1)."""
+        from pyspark.sql import functions as F
+
+        from hadoop_brotli_spark.catalog import load_table
+        from hadoop_brotli_spark.sources.bro_datasource import (
+            register_bro_source,
+        )
+
+        register_bro_source(spark)
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.concat_ws("\t", "doc_id", "text").alias("value")
+        )
+        out = str(tmp_path / "split_bro")
+        # ONE task writes ONE file with tiny blocks
+        docs.coalesce(1).write.format("bro").option(
+            "bro.block-size", "4096"
+        ).mode("append").save(out)
+        import glob
+
+        files = glob.glob(f"{out}/*.bro")
+        assert len(files) == 1
+        from hadoop_brotli_spark.sources.bro_codec import read_bro2_index
+
+        _, blocks = read_bro2_index(files[0])
+        assert len(blocks) > 1
+
+        back = spark.read.format("bro").load(out)
+        assert back.rdd.getNumPartitions() == len(blocks)
+        assert sorted(r.value for r in back.collect()) == sorted(
+            r.value for r in docs.collect()
+        )
+
+    def test_datasource_legacy_unframed_option(self, spark, sf_dir, tmp_path):
+        """bro.framed=false keeps the reference's exact non-splittable
+        v1 stream layout; reads still work (sniff falls through)."""
+        from pyspark.sql import functions as F
+
+        from hadoop_brotli_spark.catalog import load_table
+        from hadoop_brotli_spark.sources.bro_codec import is_bro2_file
+        from hadoop_brotli_spark.sources.bro_datasource import (
+            register_bro_source,
+        )
+
+        register_bro_source(spark)
+        nation = load_table(spark, sf_dir, "nation").select(
+            F.col("n_name").alias("value")
+        )
+        out = str(tmp_path / "legacy_bro")
+        nation.coalesce(1).write.format("bro").option(
+            "bro.framed", "false"
+        ).mode("append").save(out)
+        import glob
+
+        files = glob.glob(f"{out}/*.bro")
+        assert len(files) == 1 and not is_bro2_file(files[0])
+        back = spark.read.format("bro").load(out)
+        assert back.rdd.getNumPartitions() == 1
+        assert back.count() == nation.count()
