@@ -8520,6 +8520,12 @@ def q333_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tf = (
         fan_out(t(spark, sf_dir, "documents"))
+        # 1-word docs first (property-hunt find, r3): Spark's
+        # sequence(1, 0) DESCENDS (the q260 trap), so a single-word
+        # doc generated [1, 0] and element_at(words, 2) crashed under
+        # ANSI. DuckDB's range(1, 1) is empty — no bigrams — so the
+        # correct twin is to contribute nothing.
+        .filter(F.size(F.split("text", " ")) >= 2)
         .select(
             "doc_id",
             F.explode(
@@ -9183,7 +9189,17 @@ def q338_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0.0),
     )
-    acf = stats.select("lag", rho.alias("rho"))
+    # Lag SPINE left-join (property-hunt find, r3): with a series
+    # shorter than a lag (1-day corpora: shorter than EVERY lag) that
+    # lag has zero pairs, so the groupBy drops it — and with all lags
+    # empty the whole result vanished, while the oracle's scalar
+    # aggregates keep one NULL-rho row per lag and emit n_days with a
+    # NULL Q. The spine restores the missing lags as NULL-rho rows;
+    # SUM skips NULLs, so populated corpora are unchanged.
+    lag_spine = spark.range(1, LB_LAGS + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    acf = lag_spine.join(stats, "lag", "left").select("lag", rho.alias("rho"))
     nn = daily.agg(F.count(F.lit(1)).cast("double").alias("n"))
     j = acf.crossJoin(F.broadcast(nn))
     return j.groupBy("n").agg(

@@ -134,3 +134,132 @@ def test_bmp_roundtrip_padding_and_orientation():
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+# --------------------------------------------------------------- PNG pixels
+
+
+class TestPngPixels:
+    def test_roundtrip_every_filter_type(self):
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            build_png_pixels,
+            decode_png_pixels,
+            parse_image_header,
+        )
+
+        rng = np.random.default_rng(7)
+        for h, w in [(1, 1), (5, 3), (9, 16), (23, 31)]:
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for filt in [None, 0, 1, 2, 3, 4]:
+                data = build_png_pixels(px, filt)
+                assert parse_image_header(data) == ("png", w, h)
+                dw, dh, rgb = decode_png_pixels(data)
+                assert (dw, dh) == (w, h)
+                assert (rgb == px).all()
+
+    def test_filter_bytes_match_spec_formulas(self):
+        """Guard against symmetric encoder/decoder bugs: recompute the
+        filtered scanlines with INDEPENDENT scalar spec formulas
+        (PNG spec §9.2) and compare against the encoder's IDAT."""
+        import zlib
+
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import build_png_pixels
+
+        rng = np.random.default_rng(3)
+        h, w, bpp = 6, 5, 3
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+        for ftype in [0, 1, 2, 3, 4]:
+            data = build_png_pixels(px, ftype)
+            # IDAT = chunk 2 (after IHDR); offset: 8 sig + 25 IHDR + 8
+            (ilen,) = __import__("struct").unpack_from(">I", data, 33)
+            scan = zlib.decompress(data[41 : 41 + ilen])
+            expect = bytearray()
+            prior = bytes(w * bpp)
+            for y in range(h):
+                raw = px[y].tobytes()
+                expect.append(ftype)
+                for i in range(len(raw)):
+                    a = raw[i - bpp] if i >= bpp else 0
+                    b = prior[i]
+                    c = prior[i - bpp] if i >= bpp else 0
+                    pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2,
+                            4: paeth(a, b, c)}[ftype]
+                    expect.append((raw[i] - pred) & 0xFF)
+                prior = raw
+            assert bytes(scan) == bytes(expect), f"filter {ftype}"
+
+    def test_gray_and_rgba_color_types(self):
+        """Decoder handles color types 0 and 6 (hand-built streams)."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            PNG_SIG,
+            _png_chunk,
+            decode_png_pixels,
+        )
+
+        # gray 2x2, filter 0 rows
+        gray = np.array([[10, 200], [55, 99]], dtype=np.uint8)
+        ihdr = struct.pack(">II", 2, 2) + bytes([8, 0, 0, 0, 0])
+        scan = b"\x00" + gray[0].tobytes() + b"\x00" + gray[1].tobytes()
+        data = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(scan))
+                + _png_chunk(b"IEND", b""))
+        w, h, rgb = decode_png_pixels(data)
+        assert (w, h) == (2, 2)
+        assert (rgb[:, :, 0] == gray).all() and (rgb[:, :, 2] == gray).all()
+
+        # RGBA 1x2: alpha dropped
+        ihdr = struct.pack(">II", 2, 1) + bytes([8, 6, 0, 0, 0])
+        scan = b"\x00" + bytes([1, 2, 3, 255, 4, 5, 6, 128])
+        data = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(scan))
+                + _png_chunk(b"IEND", b""))
+        w, h, rgb = decode_png_pixels(data)
+        assert rgb.tolist() == [[[1, 2, 3], [4, 5, 6]]]
+
+    def test_corruption_and_unsupported_fail_loudly(self):
+        import numpy as np
+        import pytest
+
+        from hadoop_brotli_spark.functions.media import (
+            build_png_pixels,
+            decode_png_pixels,
+        )
+
+        px = np.zeros((4, 4, 3), dtype=np.uint8)
+        data = bytearray(build_png_pixels(px))
+        data[50] ^= 0xFF  # inside IDAT → chunk crc mismatch
+        with pytest.raises(ValueError, match="crc"):
+            decode_png_pixels(bytes(data))
+        with pytest.raises(ValueError, match="not a PNG"):
+            decode_png_pixels(b"JFIF....")
+
+    def test_decode_image_dispatch(self):
+        """decode_image natively handles PNG and BMP without PIL."""
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            build_bmp,
+            build_png_pixels,
+            decode_image,
+        )
+
+        px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+        for blob in (build_png_pixels(px), build_bmp(3, 2, px)):
+            w, h, rgb = decode_image(blob)
+            assert (w, h) == (3, 2)
+            assert (rgb == px).all()

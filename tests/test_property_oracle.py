@@ -151,6 +151,32 @@ DOC_QUERIES = [
     # every stage can go empty (all-dup corpora, sub-8-token docs);
     # stage counts must collapse identically on both engines
     "q300_pipeline_funnel_v2",
+    # mass-duplicated corpora collapse DF to n_docs (idf -> ln(1) = 0
+    # vectors) and tie every cosine; 1-word docs shrink the prefix
+    "q333_tfidf_cosine_pairs",
+    # repeated single-word corpora pin tf saturation; query terms
+    # absent from the corpus must zero identically
+    "q334_bm25_ranking",
+    # PNG decode: tiny/1-word docs hit minimum dims (8x5) where the
+    # filter cycle still covers all five types
+    "q339_png_pixel_decode",
+]
+
+# orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get
+# the same hostile data as events/docs)
+ORDER_QUERIES = [
+    # single-customer / single-order corpora: the 2x2 ridge solve
+    # must stay non-singular (lambda floor) on both engines
+    "q335_als_halfstep",
+    # one-order customers produce zero co-pairs; support floor and
+    # basket cap must drop identically
+    "q336_item_item_cf",
+    # every order in one month -> single-cohort triangle; truncation
+    # exclusion can empty the result on both sides
+    "q337_cohort_ltv",
+    # 1-2 day revenue series (< max lag) must shrink/NULL the
+    # portmanteau identically; constant series zero the ACF denom
+    "q338_ljung_box",
 ]
 
 
@@ -236,4 +262,79 @@ def test_event_queries_match_oracle_on_generated_data(spark, scratch_sf, rows):
 def test_doc_queries_match_oracle_on_generated_data(spark, scratch_sf, rows):
     _write_docs(scratch_sf, rows)
     for name in DOC_QUERIES:
+        compare(SPECS[name], spark, str(scratch_sf))
+
+
+# ------------------------------------------------------- orders-shaped hunt
+
+orders_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # custkey
+        st.integers(0, 120),  # day offset from 2024-01-01
+        st.integers(0, 9_999_999),  # cents -> totalprice
+        st.integers(1, 4),  # lineitem count for this order
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _write_orders(base: Path, rows) -> None:
+    import numpy as np
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(len(rows)),
+            "o_custkey": [c for c, _, _, _ in rows],
+            "o_orderstatus": ["F"] * len(rows),
+            "o_totalprice": [cents / 100.0 for _, _, cents, _ in rows],
+            "o_orderdate": [
+                pd.Timestamp("2024-01-01") + pd.Timedelta(days=d)
+                for _, d, _, _ in rows
+            ],
+            "o_orderpriority": ["3-MEDIUM"] * len(rows),
+        }
+    )
+    lk, lp, ln_ = [], [], []
+    for ok, (_, d, cents, nli) in enumerate(rows):
+        for j in range(nli):
+            lk.append(ok)
+            # tiny part pool (0..5) forces heavy co-purchase overlap
+            # AND duplicate (order, part) pairs when nli > pool slice
+            lp.append((ok * 7 + j * 3 + d) % 6)
+            ln_.append(j + 1)
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": pd.array(lk, dtype="int64"),
+            "l_partkey": pd.array(lp, dtype="int64"),
+            "l_suppkey": pd.array([p % 3 for p in lp], dtype="int64"),
+            "l_linenumber": pd.array(ln_, dtype="int64"),
+            "l_quantity": np.asarray([1.0 + (p % 5) for p in lp]),
+            "l_extendedprice": np.asarray([100.0 + 10.0 * p for p in lp]),
+            "l_discount": np.asarray([0.05] * len(lk)),
+            "l_tax": np.asarray([0.02] * len(lk)),
+            "l_returnflag": ["N"] * len(lk),
+            "l_linestatus": ["O"] * len(lk),
+            "l_shipdate": [
+                pd.Timestamp("2024-01-05") + pd.Timedelta(days=k % 30)
+                for k in lk
+            ],
+        }
+    )
+    # Spark reads TIMESTAMP(NANOS) only through the events-specific
+    # legacy path; match the driver fixtures' microsecond physical type
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    lineitem["l_shipdate"] = lineitem["l_shipdate"].astype("datetime64[us]")
+    orders.to_parquet(base / "orders.parquet", index=False)
+    lineitem.to_parquet(base / "lineitem.parquet", index=False)
+
+
+@settings(
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=orders_rows)
+def test_order_queries_match_oracle_on_generated_data(spark, scratch_sf, rows):
+    _write_orders(scratch_sf, rows)
+    for name in ORDER_QUERIES:
         compare(SPECS[name], spark, str(scratch_sf))
