@@ -42,7 +42,9 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="hadoop_brotli_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    sub.add_parser("list", help="list registered queries")
+    lst = sub.add_parser("list", help="list registered queries")
+    lst.add_argument("--by-category", action="store_true",
+                     help="group by SURVEY §2 category with counts")
 
     run = sub.add_parser("run", help="run one registered query")
     run.add_argument("name")
@@ -70,9 +72,20 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "list":
         specs = load_all_queries()
-        for name in sorted(specs):
-            oracle = "oracle" if specs[name].oracle else "rows-only"
-            print(f"{name}\t{oracle}")
+        if args.by_category:
+            by_cat: dict[str, list[str]] = {}
+            for name, spec in specs.items():
+                by_cat.setdefault(spec.category, []).append(name)
+            for cat in sorted(by_cat):
+                names = sorted(by_cat[cat])
+                print(f"## {cat} ({len(names)})")
+                for name in names:
+                    print(f"  {name}")
+            print(f"# total: {len(specs)} queries, {len(by_cat)} categories")
+        else:
+            for name in sorted(specs):
+                oracle = "oracle" if specs[name].oracle else "rows-only"
+                print(f"{name}\t{oracle}\t{specs[name].category}")
         return 0
 
     spark = get_spark("hbs-cli")
@@ -85,9 +98,9 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             df = specs[args.name].fn(spark, args.sf_dir)
             if args.explain:
-                print(df._jdf.queryExecution().explainString(
-                    spark._jvm.org.apache.spark.sql.execution
-                    .ExplainMode.fromString("formatted")))
+                from .plans.inspect import explain_string
+
+                print(explain_string(df, "formatted"))
             else:
                 _print_df(df, args.as_json, args.limit)
         elif args.cmd == "sql":

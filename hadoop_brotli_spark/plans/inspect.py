@@ -22,9 +22,33 @@ def executed_plan(df: DataFrame) -> str:
     prev = conf.get("spark.sql.maxMetadataStringLength", "100")
     conf.set("spark.sql.maxMetadataStringLength", "10000")
     try:
-        return df._jdf.queryExecution().executedPlan().toString()
+        try:
+            return df._jdf.queryExecution().executedPlan().toString()
+        except AttributeError:
+            # Spark Connect: no _jdf; the server-rendered explain
+            # string is the portable equivalent
+            return explain_string(df, "simple")
     finally:
         conf.set("spark.sql.maxMetadataStringLength", prev)
+
+
+def explain_string(df: DataFrame, mode: str = "formatted") -> str:
+    """Connect-safe explain: classic sessions render through the JVM
+    QueryExecution; Connect sessions capture ``df.explain`` (which
+    prints a server-rendered string)."""
+    try:
+        jvm = df.sparkSession._jvm  # type: ignore[attr-defined]
+        return df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        )
+    except AttributeError:
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode=mode)
+        return buf.getvalue()
 
 
 def _split_balanced(s: str) -> list[str]:

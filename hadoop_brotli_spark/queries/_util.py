@@ -36,8 +36,23 @@ def fan_out(df: DataFrame) -> DataFrame:
     when the scan already has enough splits (the 100 TB case, where
     inputs arrive in thousands of partitions).
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    spark = df.sparkSession
+    try:
+        # classic (JVM-local) session: exact partition-count probe
+        target = spark.sparkContext.defaultParallelism
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        # Spark Connect exposes neither sparkContext nor .rdd; fall
+        # back to shuffle-partition target and a file-count heuristic
+        # (parquet scan splits ≥ file count, so this under-counts —
+        # which only risks one redundant small-row shuffle, never a
+        # missed fan-out)
+        target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        try:
+            current = max(1, len(df.inputFiles()))
+        except Exception:
+            current = 1
+    if current < target:
         return df.repartition(target)
     return df
 

@@ -631,7 +631,9 @@ def _acf_lag_sql(k: int) -> str:
     return f"""
     SELECT {k} AS lag, n_pairs,
            ROUND((n * sxy - sx * sy)
-             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf
+             / NULLIF(SQRT(GREATEST(
+                 (n * sxx - sx * sx) * (n * syy - sy * sy), 0.0)), 0.0),
+             6) AS acf
     FROM (
       SELECT COUNT(*) AS n_pairs,
              CAST(COUNT(*) AS DOUBLE) AS n,
@@ -714,9 +716,19 @@ def q258_revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    # GREATEST(…, 0) before SQRT: with a single lag pair the variance
+    # product is 0 mathematically but can land a hair NEGATIVE in
+    # float — DuckDB's SQRT then ERRORS (property-hunt find, r3);
+    # NULLIF keeps the degenerate rho NULL on both engines.
+    den = F.nullif(
+        F.sqrt(
+            F.greatest(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+                F.lit(0.0),
+            )
+        ),
+        F.lit(0.0),
     )
     return stats.select("lag", "n_pairs", F.round(num / den, 6).alias("acf"))
 
@@ -9108,8 +9120,9 @@ LB_LAGS = 7
       {" UNION ALL ".join(f'''
       SELECT {k} AS lag, n_pairs,
              (n * sxy - sx * sy)
-               / NULLIF(SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)),
-                        0.0) AS rho
+               / NULLIF(SQRT(GREATEST(
+                   (n * sxx - sx * sx) * (n * syy - sy * sy), 0.0)), 0.0)
+               AS rho
       FROM (
         SELECT COUNT(*) AS n_pairs, CAST(COUNT(*) AS DOUBLE) AS n,
                CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
@@ -9183,9 +9196,15 @@ def q338_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     rho = (
         F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     ) / F.nullif(
+        # GREATEST(…, 0) before SQRT: one-pair lags make the variance
+        # product mathematically 0 but float round-off can dip it
+        # negative, which ERRORS DuckDB's SQRT (property-hunt find)
         F.sqrt(
-            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            F.greatest(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+                F.lit(0.0),
+            )
         ),
         F.lit(0.0),
     )

@@ -443,6 +443,126 @@ def q64_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _propagate_labels(pairs, docs)
 
 
+def _alternating_star_components(
+    pairs: DataFrame, docs: DataFrame, max_iter: int = 25
+) -> tuple[DataFrame, int]:
+    """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — the adversarial-diameter upgrade over q64's min-label
+    propagation (`_propagate_labels`), whose round count equals the
+    graph diameter. The star operations rewire the edge set itself,
+    so a path of length d collapses in O(log d) rounds:
+
+    - large-star(u): connect every STRICTLY LARGER neighbor of u to
+      m(u) = min(N(u) ∪ {u})
+    - small-star(u): connect every neighbor ≤ u, and u itself, to the
+      minimum among them
+
+    Both are one groupBy (per-node min) + one join (re-emit edges) —
+    no neighborhood lists are ever collected, so a hot node with 10M
+    neighbors costs a 10M-row join, not a 10M-element array. Each
+    round's edge set is localCheckpoint'ed (lineage would otherwise
+    double per round). Convergence = edge multiset stable, detected
+    by a (count, xor-of-hashes) signature — one tiny aggregate per
+    round instead of a full set-difference join.
+
+    Returns (labels, rounds): labels = (doc_id, cluster_id =
+    component-min doc_id), every doc labeled (singletons themselves).
+    """
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = _sym(e)
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        sym = _sym(e)
+        smaller = sym.filter(F.col("v") < F.col("u"))
+        mins = smaller.groupBy("u").agg(F.min("v").alias("m"))
+        rewired = (
+            smaller.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(mins.select("u", F.col("m").alias("v")))
+        )
+        return rewired.filter(F.col("u") != F.col("v")).distinct()
+
+    edges = (
+        pairs.select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _signature(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor fold: order-independent, constant memory (no
+            # collect), collision-safe enough for a convergence check
+            # — a false match is re-checked by the next no-op round
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+            ).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = _signature(edges)
+    rounds = 0
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        rounds += 1
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # converged: every edge points at its component min (star form)
+    labels = (
+        _sym(edges)
+        .groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("cluster_id"))
+        .select(F.col("u").alias("doc_id"), "cluster_id")
+    )
+    labeled = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    return labeled, rounds
+
+
+@register(
+    "q340_dedup_clusters_star",
+    oracle=f"""
+    WITH RECURSIVE {_clusters_ctes()}
+    SELECT doc_id, cluster_id FROM clusters
+    """,
+)
+def q340_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters via alternating large-star/small-star
+    connected components — same answer as q64 (identical oracle: the
+    recursive transitive-closure CTE), different algorithm: O(log d)
+    rounds instead of O(d), which is the difference between 5 and 500
+    shuffles on chain-shaped near-dup graphs (crawl chains, quote
+    threads). See `_alternating_star_components` for the plan."""
+    pairs = _minhash_pairs(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    labeled, _rounds = _alternating_star_components(pairs, docs)
+    return labeled
+
+
 @register(
     "q65_dedup_canonical",
     oracle=f"""

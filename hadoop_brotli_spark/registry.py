@@ -29,19 +29,53 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None
     doc: str
+    category: str = ""
+
+
+# SURVEY.md §2 category strata, keyed by defining module — lets the
+# driver's sampler and the judge stratify the 340-query surface
+# without per-query annotation churn; individual queries can override
+# via ``register(..., category=...)``.
+MODULE_CATEGORY = {
+    "relational": "relational-core (scan/filter/join/set-ops/scalar)",
+    "tpch_more": "relational-core (scan/filter/join/set-ops/scalar)",
+    "advanced": "aggregation-advanced (rollup/percentile/sketch/pivot)",
+    "windows": "windows-sort-topk",
+    "events": "events-temporal",
+    "analytics": "analytics-stats (regression/tests/causal)",
+    "dedup": "llm-dedup",
+    "similarity": "llm-similarity-ann",
+    "textstats": "llm-text-analysis",
+    "multimodal": "llm-multimodal",
+    "udf_surface": "udf-udaf-udtf",
+    "pipeline_more": "llm-pipeline-ops",
+    "corpus_ops": "llm-corpus-pipeline",
+    "extras": "mixed-extensions",
+    "closing_ops": "llm-pipeline-extended",
+}
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str, oracle: str | None = None, category: str | None = None
+) -> Callable[[QueryFn], QueryFn]:
     """Decorator: add a (spark, sf_dir) -> DataFrame builder to the
-    registry, with its DuckDB oracle SQL."""
+    registry, with its DuckDB oracle SQL and SURVEY §2 category
+    (defaulted from the defining module via ``MODULE_CATEGORY``)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        mod = fn.__module__.rsplit(".", 1)[-1]
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            doc=fn.__doc__ or "",
+            category=category or MODULE_CATEGORY.get(mod, mod),
+        )
         return fn
 
     return deco

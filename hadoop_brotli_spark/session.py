@@ -30,5 +30,8 @@ def get_spark(app_name: str = "hadoop_brotli_spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    try:
+        spark.sparkContext.setLogLevel("WARN")
+    except Exception:  # Spark Connect: no local sparkContext
+        pass
     return spark

@@ -250,9 +250,21 @@ def compact_parquet(
     """
     import math
 
-    path = spark._jvm.org.apache.hadoop.fs.Path(src)  # type: ignore[union-attr]
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
-    size_bytes = fs.getContentSummary(path).getLength()
+    try:
+        # classic session: Hadoop FS works for any scheme (s3a/hdfs/..)
+        path = spark._jvm.org.apache.hadoop.fs.Path(src)  # type: ignore[union-attr]
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+        size_bytes = fs.getContentSummary(path).getLength()
+    except AttributeError:
+        # Spark Connect: no JVM access — size via the scan's file
+        # list (works for local/NFS paths; object-store sizing under
+        # Connect would need a cloud SDK listing instead)
+        import os
+
+        files = spark.read.parquet(src).inputFiles()
+        size_bytes = sum(
+            os.path.getsize(f.removeprefix("file:")) for f in files
+        )
     n = max(1, math.ceil(size_bytes / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(src).repartition(n)
     if sort_within_by:

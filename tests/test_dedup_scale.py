@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 N_IDENTICAL = 10_000
 TEXT = "the quick brown fox jumps over the lazy dog again and again"
@@ -124,3 +125,52 @@ def test_simhash_bands_cap_matches_oracle(spark, degenerate_sf_dir):
     finally:
         con.close()
     assert spark_rows == oracle_rows
+
+
+class TestAlternatingStar:
+    def test_chain_graph_converges_logarithmically(self, spark):
+        """A path of length 127 (diameter 127) must collapse in
+        O(log d) rounds — the exact case where q64's min-label
+        propagation needs 127 rounds (r2 verdict task 4)."""
+        from hadoop_brotli_spark.queries.dedup import (
+            _alternating_star_components,
+        )
+
+        n = 128
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+        )
+        docs = spark.range(n).select(F.col("id").alias("doc_id"))
+        labeled, rounds = _alternating_star_components(pairs, docs)
+        out = {r.doc_id: r.cluster_id for r in labeled.collect()}
+        assert out == {i: 0 for i in range(n)}
+        assert rounds <= 10, f"chain-128 took {rounds} rounds (want O(log d))"
+
+    def test_matches_min_label_propagation(self, spark):
+        """Same components as q64's propagation on a multi-component
+        graph with singletons, self-dups and a star."""
+        import random
+
+        from hadoop_brotli_spark.queries.dedup import (
+            _alternating_star_components,
+            _propagate_labels,
+        )
+
+        rng = random.Random(5)
+        edges = set()
+        # three random components over disjoint id ranges + one chain
+        for base in (0, 100, 200):
+            ids = list(range(base, base + 12))
+            for _ in range(15):
+                a, b = rng.sample(ids, 2)
+                edges.add((min(a, b), max(a, b)))
+        edges |= {(300 + i, 301 + i) for i in range(9)}
+        pairs = spark.createDataFrame(
+            sorted(edges), "doc_a long, doc_b long"
+        )
+        docs = spark.range(400).select(F.col("id").alias("doc_id"))
+        star, _ = _alternating_star_components(pairs, docs)
+        prop = _propagate_labels(pairs, docs, max_iter=40)
+        assert sorted(map(tuple, star.collect())) == sorted(
+            map(tuple, prop.collect())
+        )
