@@ -8,11 +8,12 @@ Two tiers:
   raw bytes (struct.unpack — the q90 decode path is NOT a stub).
   ``build_png``/``build_gif`` synthesize byte-exact headers for
   testing, standing in for real image files the test corpus lacks.
-- **Pixel/sample decode** is environment-gated: the container ships
-  no image/audio libraries, so ``decode_image``/``decode_audio``
-  raise ``NotImplementedError`` unless a real backend (PIL /
-  soundfile) is importable; ``fake_decode_meta`` provides
-  deterministic metadata for the plumbing-only queries (q91/q93).
+- **Pixel/sample decode** is REAL, library-free, for PNG (zlib
+  scanlines + all five filters), GIF (full LZW + palette +
+  interlace), uncompressed 24-bit BMP, and PCM16 WAV. Only JPEG
+  (DCT) and non-WAV audio remain environment-gated behind PIL /
+  soundfile; ``fake_decode_meta`` provides deterministic metadata
+  for the plumbing-only queries (q91/q93).
 """
 
 from __future__ import annotations
@@ -96,19 +97,22 @@ def decode_image(payload: bytes):
     """Decode an image blob to (width, height, (h, w, 3) RGB uint8).
 
     REAL with no image libraries for PNG (``decode_png_pixels``:
-    stdlib zlib + full filter reconstruction) and uncompressed 24-bit
-    BMP (``decode_bmp_pixels``). Other containers (JPEG/GIF pixels —
-    DCT / LZW entropy coding) fall back to PIL when importable and
-    raise ``NotImplementedError`` otherwise."""
+    stdlib zlib + full filter reconstruction), GIF
+    (``decode_gif_pixels``: full LZW + palette + interlace), and
+    uncompressed 24-bit BMP (``decode_bmp_pixels``). JPEG (DCT
+    entropy coding) falls back to PIL when importable and raises
+    ``NotImplementedError`` otherwise."""
     b = bytes(payload)
     if b[:8] == PNG_SIG:
         return decode_png_pixels(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(b)
     if b[:2] == b"BM":
         return decode_bmp_pixels(b)
     if not _HAS_PIL:
         raise NotImplementedError(
-            "JPEG/GIF pixel decode requires PIL (DCT/LZW entropy coding); "
-            "absent in this environment — PNG and BMP decode natively"
+            "JPEG pixel decode requires PIL (DCT entropy coding); absent "
+            "in this environment — PNG, GIF and BMP decode natively"
         )
     import io  # pragma: no cover - needs PIL
 
@@ -413,3 +417,198 @@ def decode_png_pixels(payload: bytes):
     elif ctype_img == 6:
         px = px[:, :, :3]
     return w, h, px
+
+
+# ------------------------------------------------------------- GIF pixels
+#
+# Full GIF87a/89a pixel codec with no image library: the encoder
+# emits palette-indexed frames using the classic "uncompressed GIF"
+# LZW trick (root-width codes + periodic CLEAR so the code table
+# never grows past what the decoder must mirror), and the decoder
+# implements REAL GIF-variant LZW (variable code width, CLEAR/EOI,
+# KwKwK case) plus palette mapping — so it decodes normal
+# table-building streams other encoders produce, not just ours.
+
+GIF_TRAILER = b"\x3b"
+
+
+def _gif_lzw_encode_uncompressed(indices, root_bits: int) -> bytes:
+    """GIF LZW stream that never adds table entries: emit each pixel
+    as a literal root code, inserting CLEAR before the code width
+    would have to grow. Valid per spec; ratio ~1."""
+    clear = 1 << root_bits
+    eoi = clear + 1
+    width = root_bits + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    # after CLEAR the table holds eoi+1 codes; each literal emission
+    # adds one entry decoder-side, so re-CLEAR before width changes
+    budget = (1 << width) - eoi - 2
+    n = 0
+    for idx in indices:
+        if n >= budget:
+            put(clear)
+            n = 0
+        put(int(idx))
+        n += 1
+    put(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, root_bits: int) -> bytes:
+    """Full GIF-variant LZW decode: variable code width (grows at
+    4096-capped table fill), CLEAR resets, EOI, and the KwKwK
+    (code == next table slot) case."""
+    clear = 1 << root_bits
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset() -> tuple[list[bytes], int]:
+        t = [bytes([i]) for i in range(clear)] + [b"", b""]
+        return t, root_bits + 1
+
+    table, width = reset()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table, width = reset()
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    raise ValueError("LZW stream ended without EOI")
+
+
+def build_gif_pixels(indices, palette, width: int, height: int) -> bytes:
+    """Encode a complete valid GIF89a: logical screen descriptor,
+    global color table, one non-interlaced image, LZW data in
+    255-byte sub-blocks, trailer. ``indices`` is an (h*w) iterable of
+    palette indices; ``palette`` a list of (r, g, b)."""
+    import math
+
+    n = max(2, len(palette))
+    gct_bits = max(1, math.ceil(math.log2(n)))
+    gct_size = 1 << gct_bits
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | (gct_bits - 1), 0, 0])  # GCT flag + size
+    for i in range(gct_size):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        out += bytes([r, g, b])
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    root_bits = max(2, gct_bits)  # spec: minimum LZW root of 2
+    out.append(root_bits)
+    lzw = _gif_lzw_encode_uncompressed(indices, root_bits)
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00" + GIF_TRAILER
+    return bytes(out)
+
+
+def decode_gif_pixels(payload: bytes):
+    """REAL GIF pixel decode, no image libraries: header + logical
+    screen descriptor, global/local color tables, image descriptor,
+    sub-block reassembly, full LZW decode, palette mapping, and
+    interlace reordering. Returns (width, height, (h, w, 3) RGB
+    uint8) for the FIRST image. Raises ``ValueError`` on anything
+    that is not a decodable GIF."""
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack_from("<HH", b, 6)
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        gct_size = 2 << (packed & 7)
+        gct = b[pos : pos + 3 * gct_size]
+        pos += 3 * gct_size
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _x, _y, w, h = struct.unpack_from("<HHHH", b, pos + 1)
+            flags = b[pos + 9]
+            pos += 10
+            ct = gct
+            if flags & 0x80:  # local color table
+                lct_size = 2 << (flags & 7)
+                ct = b[pos : pos + 3 * lct_size]
+                pos += 3 * lct_size
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            root_bits = b[pos]
+            pos += 1
+            lzw = bytearray()
+            while b[pos]:
+                ln = b[pos]
+                lzw += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                _gif_lzw_decode(bytes(lzw), root_bits)[: w * h], dtype=np.uint8
+            )
+            if len(idx) != w * h:
+                raise ValueError("GIF pixel data short")
+            if flags & 0x40:  # interlaced: undo the 4-pass row order
+                rows = idx.reshape(h, w)
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                fixed = np.empty_like(rows)
+                fixed[order] = rows
+                rows = fixed
+            else:
+                rows = idx.reshape(h, w)
+            pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
+            return w, h, pal[rows]
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")

@@ -343,41 +343,41 @@ def q214_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    parts = (
+    # Pair generation as a CODEGEN equi-self-join on the part key
+    # (r3 sweep find: the previous posting-list collect_set +
+    # nested-transform explode allocated arrays/structs per part and
+    # measured ~2x slower at sf0.1 for the same 499k edges; the
+    # sorted-hash self-join never leaves whole-stage codegen). The
+    # fan-out cap survives as a degree semi-join: parts whose
+    # supplier count exceeds the cap are dropped BEFORE pair-gen on
+    # both sides, so a pathological part still can't go quadratic.
+    ok_parts = (
         ps.groupBy("p")
-        .agg(F.sort_array(F.collect_set("s")).alias("ss"))
-        .filter(F.size("ss") <= MAX_SUPP_PER_PART)
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") <= MAX_SUPP_PER_PART)
+        .select("p")
     )
+    capped = ps.join(ok_parts, "p")
     e = (
-        parts.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ss, (x, i) ->"
-                    " transform(slice(ss, i + 2, size(ss) - i - 1),"
-                    " y -> struct(x AS sa, y AS sb))))"
-                )
-            ).alias("pr")
-        )
-        .select("pr.sa", "pr.sb")
+        capped.select("p", F.col("s").alias("sa"))
+        .join(capped.select("p", F.col("s").alias("sb")), "p")
+        .filter(F.col("sa") < F.col("sb"))
         .groupBy("sa", "sb")
         .agg(F.count(F.lit(1)).alias("shared_parts"))
     )
-    w = W.orderBy(F.col("shared_parts").desc(), "sa", "sb")
-    ranked = e.select(
-        "sa",
-        "sb",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n_edges"),
-    )
-    # Materialize the reduced top-decile edge list before the
-    # triangle two-hop join: its three aliases would otherwise
-    # re-plan the lineitem-distinct + posting-agg + rank pipeline
-    # three times (same rule as q64's edge checkpoint — persist the
-    # small reduced graph, never re-derive it from the fact table).
+    # Top-decile cut via checkpoint + count + TakeOrdered (r3 sweep
+    # find): the previous global row_number PLUS count-over-empty-
+    # partition pair was TWO single-partition WindowExec passes that
+    # buffered all 500k edges twice (~4 s at sf0.1). orderBy+limit
+    # plans as TakeOrderedAndProject — parallel per-partition partial
+    # top-k, one merge — and the edge checkpoint both feeds the count
+    # and keeps the triangle join's three aliases from re-deriving
+    # the fact-table pipeline (q64's rule).
+    e_ck = e.localCheckpoint(eager=True)
+    n_edges = e_ck.count()
     top_e = (
-        ranked.filter(
-            F.col("rn") <= F.floor(F.col("n_edges") / TRI_EDGE_FRACTION)
-        )
+        e_ck.orderBy(F.col("shared_parts").desc(), "sa", "sb")
+        .limit(n_edges // TRI_EDGE_FRACTION)
         .select("sa", "sb")
         .localCheckpoint(eager=True)
     )
@@ -539,14 +539,20 @@ def q216_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("label").alias("true_label"),
-    )
+    ).withColumn("qn", norm_double("qe"))
     c = emb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("ce"),
         F.col("label").alias("cand_label"),
-    )
+    ).withColumn("cn", norm_double("ce"))
+    # norms PRECOMPUTED per side before the pair join (r3 sweep
+    # find): inside the join, cosine recomputed BOTH array norms per
+    # PAIR — 3x the array work. Factoring them into per-row columns
+    # (evaluated once per corpus/query row under the join) leaves
+    # only the dot product per pair. Bit-identical results: same
+    # IEEE ops on the same inputs, just not repeated.
     cosine = F.round(
-        dot_double("qe", "ce") / (norm_double("qe") * norm_double("ce")), 6
+        dot_double("qe", "ce") / (F.col("qn") * F.col("cn")), 6
     )
     scored = (
         F.broadcast(q)
@@ -852,14 +858,20 @@ def q227_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("label").alias("qlabel"),
-    )
+    ).withColumn("qn", norm_double("qe"))
     c = emb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("ce"),
         F.col("label").alias("clabel"),
-    )
+    ).withColumn("cn", norm_double("ce"))
+    # norms PRECOMPUTED per side before the pair join (r3 sweep
+    # find): inside the join, cosine recomputed BOTH array norms per
+    # PAIR — 3x the array work. Factoring them into per-row columns
+    # (evaluated once per corpus/query row under the join) leaves
+    # only the dot product per pair. Bit-identical results: same
+    # IEEE ops on the same inputs, just not repeated.
     cosine = F.round(
-        dot_double("qe", "ce") / (norm_double("qe") * norm_double("ce")), 6
+        dot_double("qe", "ce") / (F.col("qn") * F.col("cn")), 6
     )
     wq = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
     scored = (
@@ -1168,12 +1180,18 @@ def q233_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < RRF_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
+    ).withColumn("qn", norm_double("qe"))
     c = emb.select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce")
-    )
+    ).withColumn("cn", norm_double("ce"))
+    # norms PRECOMPUTED per side before the pair join (r3 sweep
+    # find): inside the join, cosine recomputed BOTH array norms per
+    # PAIR — 3x the array work. Factoring them into per-row columns
+    # (evaluated once per corpus/query row under the join) leaves
+    # only the dot product per pair. Bit-identical results: same
+    # IEEE ops on the same inputs, just not repeated.
     cosine = F.round(
-        dot_double("qe", "ce") / (norm_double("qe") * norm_double("ce")), 6
+        dot_double("qe", "ce") / (F.col("qn") * F.col("cn")), 6
     )
     sign_agree = F.aggregate(
         F.zip_with(
@@ -1533,14 +1551,20 @@ def q237_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("anchor_id"),
         F.col("embedding").alias("qe"),
         F.col("label").alias("alabel"),
-    )
+    ).withColumn("qn", norm_double("qe"))
     c = emb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("ce"),
         F.col("label").alias("clabel"),
-    )
+    ).withColumn("cn", norm_double("ce"))
+    # norms PRECOMPUTED per side before the pair join (r3 sweep
+    # find): inside the join, cosine recomputed BOTH array norms per
+    # PAIR — 3x the array work. Factoring them into per-row columns
+    # (evaluated once per corpus/query row under the join) leaves
+    # only the dot product per pair. Bit-identical results: same
+    # IEEE ops on the same inputs, just not repeated.
     cosine = F.round(
-        dot_double("qe", "ce") / (norm_double("qe") * norm_double("ce")), 6
+        dot_double("qe", "ce") / (F.col("qn") * F.col("cn")), 6
     )
     scored = (
         F.broadcast(a)
@@ -2532,10 +2556,18 @@ def q249_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+    ).withColumn("qn", norm_double("qe"))
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce")
+    ).withColumn("cn", norm_double("ce"))
+    # norms PRECOMPUTED per side before the pair join (r3 sweep
+    # find): inside the join, cosine recomputed BOTH array norms per
+    # PAIR — 3x the array work. Factoring them into per-row columns
+    # (evaluated once per corpus/query row under the join) leaves
+    # only the dot product per pair. Bit-identical results: same
+    # IEEE ops on the same inputs, just not repeated.
     cosine = F.round(
-        dot_double("qe", "ce") / (norm_double("qe") * norm_double("ce")), 6
+        dot_double("qe", "ce") / (F.col("qn") * F.col("cn")), 6
     )
     l2sq = F.aggregate(
         F.zip_with(

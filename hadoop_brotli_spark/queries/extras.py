@@ -1543,14 +1543,20 @@ def q232_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("label").alias("qlabel"),
-    )
+    ).withColumn("qn", norm_double("qe"))
     c = emb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("ce"),
         F.col("label").alias("clabel"),
-    )
+    ).withColumn("cn", norm_double("ce"))
+    # norms PRECOMPUTED per side before the pair join (r3 sweep
+    # find): inside the join, cosine recomputed BOTH array norms per
+    # PAIR — 3x the array work. Factoring them into per-row columns
+    # (evaluated once per corpus/query row under the join) leaves
+    # only the dot product per pair. Bit-identical results: same
+    # IEEE ops on the same inputs, just not repeated.
     cosine = F.round(
-        dot_double("qe", "ce") / (norm_double("qe") * norm_double("ce")), 6
+        dot_double("qe", "ce") / (F.col("qn") * F.col("cn")), 6
     )
     wq = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
     topk = (

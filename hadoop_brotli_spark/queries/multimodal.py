@@ -471,3 +471,110 @@ def q339_png_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return meta.mapInPandas(run, schema=out_schema)
+
+
+# ----------------------------------------- q341 real GIF pixel decode
+
+
+@register(
+    "q341_gif_pixel_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 6 + n_chars % 10 AS w, 4 + n_chars % 7 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, x, y,
+             (x + 2 * y + doc_id) % 32 AS i
+      FROM m, UNNEST(range(w)) AS rx(x), UNNEST(range(h)) AS ry(y)
+    ),
+    rgb AS (
+      SELECT doc_id, w, h, x, y,
+             (7 * i + doc_id) % 256 AS r,
+             (5 * i + 3 * doc_id) % 256 AS g,
+             (11 * i + 2 * doc_id) % 256 AS b
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           ROUND(CAST(SUM(r) AS DOUBLE) / (w * h), 6) AS mean_r,
+           ROUND(CAST(SUM(g) AS DOUBLE) / (w * h), 6) AS mean_g,
+           ROUND(CAST(SUM(b) AS DOUBLE) / (w * h), 6) AS mean_b,
+           CAST((7 * (doc_id % 32) + doc_id) % 256 AS BIGINT)
+             AS corner_tl_r,
+           CAST((5 * (((w - 1) + 2 * (h - 1) + doc_id) % 32)
+                 + 3 * doc_id) % 256 AS BIGINT) AS corner_br_g
+    FROM rgb
+    GROUP BY doc_id, w, h
+    """,
+)
+def q341_gif_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF pixel decode with zero image libraries — the LAST
+    image-format PIL gate removed (after BMP q279 and PNG q339):
+    stage 1 renders each document a palette-indexed test card and
+    encodes a complete valid GIF89a (global color table, image
+    descriptor, LZW-compressed index stream in 255-byte sub-blocks);
+    stage 2 — the operator under test — decodes it back with
+    ``decode_gif_pixels``: sub-block reassembly, FULL GIF-variant
+    LZW (variable code width, CLEAR/EOI, KwKwK case), palette
+    mapping, interlace handling.
+
+    The oracle recomputes channel means and two diagonal corner
+    probes from the composed palette∘index FORMULA without touching
+    bytes: an LZW table bug, palette offset error, or row-order slip
+    shifts the means/corners and fails the hash. The encoder uses
+    the spec's CLEAR-code "uncompressed GIF" profile while the
+    decoder implements the general table-building algorithm — so the
+    pair does not share the code path that would let a symmetric bug
+    cancel (and the decoder is additionally exercised against
+    table-building streams in tests/test_media.py).
+
+    Scale: per-row independent mapInPandas decode over Arrow
+    batches; no shuffle; blob bytes never leave the task.
+    """
+    import numpy as np
+
+    from ..functions.media import build_gif_pixels, decode_gif_pixels
+
+    meta = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    out_schema = (
+        "doc_id long, width long, height long, "
+        "mean_r double, mean_g double, mean_b double, "
+        "corner_tl_r long, corner_br_g long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = int(doc_id), int(n_chars)
+                w, h = 6 + n % 10, 4 + n % 7
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                idx = ((xs + 2 * ys + d) % 32).astype(np.uint8)
+                palette = [
+                    ((7 * i + d) % 256, (5 * i + 3 * d) % 256,
+                     (11 * i + 2 * d) % 256)
+                    for i in range(32)
+                ]
+                data = build_gif_pixels(idx.ravel(), palette, w, h)
+                # ---- operator under test: decode bytes -> pixels ----
+                dw, dh, rgb = decode_gif_pixels(data)
+                npix = dw * dh
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "width": dw,
+                        "height": dh,
+                        "mean_r": round(int(rgb[:, :, 0].sum()) / npix, 6),
+                        "mean_g": round(int(rgb[:, :, 1].sum()) / npix, 6),
+                        "mean_b": round(int(rgb[:, :, 2].sum()) / npix, 6),
+                        "corner_tl_r": int(rgb[0, 0, 0]),
+                        "corner_br_g": int(rgb[dh - 1, dw - 1, 1]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return meta.mapInPandas(run, schema=out_schema)

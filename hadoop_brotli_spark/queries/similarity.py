@@ -99,14 +99,21 @@ def q70_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
+    ).withColumn("qn", norm_double("qe"))
     pairs = (
         emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+        .withColumn("cn", norm_double("ce"))
         .crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
     )
+    # norms PRECOMPUTED per side before the pair join (r3 sweep
+    # find): inside the join, cosine recomputed BOTH array norms per
+    # PAIR — 3x the array work. Factoring them into per-row columns
+    # (evaluated once per corpus/query row under the join) leaves
+    # only the dot product per pair. Bit-identical results: same
+    # IEEE ops on the same inputs, just not repeated.
     cosine = F.round(
-        dot_double("qe", "ce") / (norm_double("qe") * norm_double("ce")), 6
+        dot_double("qe", "ce") / (F.col("qn") * F.col("cn")), 6
     )
     from pyspark.sql import Window as W
 
@@ -326,13 +333,21 @@ def q98_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("bucket").alias("qb"),
-    )
+    ).withColumn("qn", norm_double("qe"))
     cand = emb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("ce"),
         F.col("bucket").alias("cb"),
+    ).withColumn("cn", norm_double("ce"))
+    # norms PRECOMPUTED per side before the pair join (r3 sweep
+    # find): inside the join, cosine recomputed BOTH array norms per
+    # PAIR — 3x the array work. Factoring them into per-row columns
+    # (evaluated once per corpus/query row under the join) leaves
+    # only the dot product per pair. Bit-identical results: same
+    # IEEE ops on the same inputs, just not repeated.
+    cosine = F.round(
+        dot_double("qe", "ce") / (F.col("qn") * F.col("cn")), 6
     )
-    cosine = F.round(dot_double("qe", "ce") / (norm_double("qe") * norm_double("ce")), 6)
     scored = (
         cand.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))

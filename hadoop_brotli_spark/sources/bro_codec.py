@@ -67,6 +67,11 @@ class BroConfig:
     dictionary: bytes | None = None  # the reference's declared TODO
     framed: bool = True  # "bro.framed": write splittable BRO2 container
     block_size: int = _DEFAULT_BLOCK_SIZE  # "bro.block-size" (uncompressed)
+    # "bro.backend": auto (brotli if importable else zlib) | zlib |
+    # brotli | stored-brotli (pure-Python RFC 7932 stored metablocks —
+    # a VALID brotli bitstream any conformant decoder reads, incl. the
+    # reference codec; ratio ~1, interop not compression)
+    backend: str = "auto"
 
     @classmethod
     def from_options(cls, options: dict[str, Any] | None) -> "BroConfig":
@@ -81,12 +86,20 @@ class BroConfig:
         framed = str(options.get("bro.framed", "true")).lower() not in (
             "false", "0", "no",
         )
+        backend = str(options.get("bro.backend", "auto"))
+        if backend not in ("auto", "zlib", "brotli", "stored-brotli"):
+            raise ValueError(f"unknown bro.backend {backend!r}")
+        if backend == "stored-brotli" and dictionary:
+            raise ValueError(
+                "stored-brotli has no dictionary support (raw metablocks)"
+            )
         return cls(
             quality=int(options.get("bro.quality", DEFAULT_QUALITY)),
             buffer_size=int(options.get("bro.buffer-size", DEFAULT_BUFFER_SIZE)),
             dictionary=dictionary,
             framed=framed,
             block_size=int(options.get("bro.block-size", _DEFAULT_BLOCK_SIZE)),
+            backend=backend,
         )
 
 
@@ -219,13 +232,31 @@ def get_backend() -> str:
     return "brotli" if HAS_BROTLI else "zlib"
 
 
+def resolve_backend(config: "BroConfig") -> str:
+    if config.backend == "auto":
+        return get_backend()
+    if config.backend == "brotli" and not HAS_BROTLI:
+        raise BroCorruptError(
+            "bro.backend=brotli requested but no brotli package is "
+            "importable (stored-brotli writes valid brotli bitstreams "
+            "without it)"
+        )
+    return config.backend
+
+
 def _compressor(config: BroConfig):
-    cls = _BrotliCompressor if HAS_BROTLI else _ZlibCompressor
+    backend = resolve_backend(config)
+    if backend == "stored-brotli":
+        return _StoredBrotliCompressor()
+    cls = _BrotliCompressor if backend == "brotli" else _ZlibCompressor
     return cls(config.quality, config.dictionary)
 
 
 def _decompressor(config: BroConfig):
-    cls = _BrotliDecompressor if HAS_BROTLI else _ZlibDecompressor
+    backend = resolve_backend(config)
+    if backend == "stored-brotli":
+        return _StoredBrotliDecompressor()
+    cls = _BrotliDecompressor if backend == "brotli" else _ZlibDecompressor
     return cls(config.dictionary)
 
 
@@ -327,11 +358,21 @@ def read_bro_bytes(
 
     Transparently handles both layouts: framed BRO2 files (sniffed by
     magic) decode block-by-block; legacy unframed v1 streams decode as
-    before."""
+    before. For unframed streams under backend=auto the first bytes
+    pick the decoder: RFC1950 header → zlib; else stored-brotli sniff
+    → pure-Python stored decode; else the loud brotli-bitstream error
+    (or the real brotli decoder when the wheel is importable)."""
     config = config or BroConfig()
     if is_bro2_file(path):
         yield from read_bro2_bytes(path, config)
         return
+    if config.backend == "auto" and not HAS_BROTLI:
+        with open(path, "rb") as f:
+            head = f.read(2)
+        if not looks_like_zlib(head) and looks_like_brotli_stored(head):
+            from dataclasses import replace
+
+            config = replace(config, backend="stored-brotli")
 
     def file_chunks() -> Iterator[bytes]:
         with open(path, "rb") as f:
@@ -418,7 +459,10 @@ class Bro2Writer:
         self.stats = stats
         self._blocks: list[Bro2Block] = []
         self._f = open(path, "wb")
-        flags = (1 if HAS_BROTLI else 0) | (2 if self.config.dictionary else 0)
+        code = {"zlib": 0, "brotli": 1, "stored-brotli": 2}[
+            resolve_backend(self.config)
+        ]
+        flags = code | (4 if self.config.dictionary else 0)
         self._f.write(
             BRO2_MAGIC
             + bytes([BRO2_VERSION, flags, self.config.quality & 0xFF, 0])
@@ -517,8 +561,10 @@ def read_bro2_index(path: str) -> tuple[Bro2Header, list[Bro2Block]]:
     ]
     header = Bro2Header(
         version=version,
-        backend="brotli" if flags & 1 else "zlib",
-        has_dictionary=bool(flags & 2),
+        backend={0: "zlib", 1: "brotli", 2: "stored-brotli"}.get(
+            flags & 3, "unknown"
+        ),
+        has_dictionary=bool(flags & 4),
         quality=quality,
     )
     return header, blocks
@@ -539,6 +585,8 @@ def read_bro2_block(
             "BRO2 file was written by the brotli backend; install the "
             "'brotli' package to read it"
         )
+    if header.backend == "unknown":
+        raise BroCorruptError("BRO2 header carries an unknown backend code")
     if header.has_dictionary and config.dictionary is None:
         raise BroCorruptError(
             "BRO2 file was written with a preset dictionary; supply "
@@ -551,6 +599,8 @@ def read_bro2_block(
         raise BroCorruptError("BRO2 block truncated")
     if header.backend == "zlib":
         dec = _ZlibDecompressor(config.dictionary)
+    elif header.backend == "stored-brotli":
+        dec = _StoredBrotliDecompressor()
     else:  # pragma: no cover - needs brotli wheel
         dec = _BrotliDecompressor(config.dictionary)
     out = dec.decompress(payload) + dec.finish()
@@ -593,3 +643,213 @@ def read_bro2_bytes(
     header, blocks = read_bro2_index(path)
     for block in blocks:
         yield read_bro2_block(path, block, header, config)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python brotli STORED-mode bitstream (RFC 7932 interop without
+# a brotli wheel — r2 verdict task 6, taken past golden vectors)
+#
+# The brotli format allows metablocks with ISUNCOMPRESSED=1: raw
+# byte-aligned payload inside a fully valid brotli stream (RFC 7932
+# §9.2). Encoding stored-mode needs NO entropy coder, so this repo
+# can WRITE genuine brotli bitstreams that the reference codec (or
+# any brotli decoder) reads — true cross-implementation interop on
+# the write side, verifiable offline at the bit level and online by
+# the self-activating wheel test. Reading arbitrary reference-written
+# files still requires the real decoder (Huffman + ring buffer), but
+# streams produced by THIS encoder round-trip without it.
+#
+# Layout emitted (LSB-first bit order, per spec):
+#   WBITS        '0'                  → window = 16 bits (64 KiB)
+#   per chunk    ISLAST=0 | MNIBBLES=00 | (MLEN-1) as 16 bits |
+#                ISUNCOMPRESSED=1 | pad-to-byte | MLEN raw bytes
+#   terminator   ISLAST=1 | ISLASTEMPTY=1 | pad-to-byte
+# ---------------------------------------------------------------------------
+
+_STORED_CHUNK = 1 << 16  # 4 MLEN nibbles address exactly 2^16 bytes
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self._acc |= (value & ((1 << bits) - 1)) << self._n
+        self._n += bits
+        while self._n >= 8:
+            self.out.append(self._acc & 0xFF)
+            self._acc >>= 8
+            self._n -= 8
+
+    def align(self) -> None:
+        if self._n:
+            self.out.append(self._acc & 0xFF)
+            self._acc = 0
+            self._n = 0
+
+    def raw(self, data: bytes) -> None:
+        assert self._n == 0, "raw bytes must be byte-aligned"
+        self.out += data
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, bits: int) -> int:
+        v = 0
+        for i in range(bits):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise BroCorruptError("truncated brotli stream")
+            v |= ((self.data[byte] >> (self.pos & 7)) & 1) << i
+            self.pos += 1
+        return v
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def raw(self, n: int) -> bytes:
+        assert self.pos & 7 == 0
+        start = self.pos >> 3
+        if start + n > len(self.data):
+            raise BroCorruptError("truncated brotli stored block")
+        self.pos += n * 8
+        return self.data[start : start + n]
+
+
+def encode_brotli_stored(data: bytes) -> bytes:
+    """Encode ``data`` as a VALID brotli stream of uncompressed
+    metablocks (ratio ~1.0 — interop, not compression). Any conformant
+    brotli decoder, including the reference codec's JNI library,
+    decodes it back to ``data``."""
+    w = _BitWriter()
+    w.write(0, 1)  # WBITS '0' → 16
+    data = bytes(data)
+    for off in range(0, len(data), _STORED_CHUNK):
+        chunk = data[off : off + _STORED_CHUNK]
+        w.write(0, 1)  # ISLAST = 0
+        w.write(0, 2)  # MNIBBLES code 00 → 4 nibbles
+        w.write(len(chunk) - 1, 16)  # MLEN - 1
+        w.write(1, 1)  # ISUNCOMPRESSED
+        w.align()
+        w.raw(chunk)
+    w.write(1, 1)  # ISLAST
+    w.write(1, 1)  # ISLASTEMPTY
+    w.align()
+    return bytes(w.out)
+
+
+def decode_brotli_stored(data: bytes) -> bytes:
+    """Decode a brotli stream consisting of stored metablocks (as
+    produced by :func:`encode_brotli_stored`). Raises
+    ``BroCorruptError`` on compressed metablocks — those need the real
+    decoder (install the ``brotli`` package)."""
+    r = _BitReader(bytes(data))
+    if r.read(1) != 0:
+        # WBITS other than the 1-bit '0'→16 form: real brotli encoders
+        # use the 7-bit forms; decoding their payload needs the wheel
+        raise BroCorruptError(
+            "brotli stream uses a non-stored encoding profile; install "
+            "the 'brotli' package to decode it"
+        )
+    out = bytearray()
+    while True:
+        islast = r.read(1)
+        if islast:
+            if r.read(1):  # ISLASTEMPTY
+                return bytes(out)
+            raise BroCorruptError(
+                "compressed final brotli metablock; install the 'brotli' "
+                "package to decode it"
+            )
+        mnibbles_code = r.read(2)
+        if mnibbles_code == 3:
+            raise BroCorruptError("brotli metadata block unsupported")
+        nibbles = 4 + mnibbles_code
+        mlen = r.read(4 * nibbles) + 1
+        if not r.read(1):  # ISUNCOMPRESSED
+            raise BroCorruptError(
+                "compressed brotli metablock; install the 'brotli' "
+                "package to decode it"
+            )
+        r.align()
+        out += r.raw(mlen)
+
+
+def looks_like_brotli_stored(header: bytes) -> bool:
+    """Sniff for streams our stored-mode encoder produced: first bit
+    0 (WBITS 16) and the first metablock either stored or the empty
+    terminator. Real brotli encoders emit 7-bit WBITS forms, so this
+    accepts (approximately only) our own output."""
+    if not header:
+        return False
+    b0 = header[0]
+    if b0 & 1:  # WBITS != '0'
+        return False
+    islast = (b0 >> 1) & 1
+    if islast:
+        return bool((b0 >> 2) & 1)  # empty stream terminator
+    if (b0 >> 2) & 3 == 3:  # metadata block — not ours
+        return False
+    return True
+
+
+class _StoredBrotliCompressor:
+    """Streaming stored-mode brotli: each ``compress`` call appends
+    byte-aligned uncompressed metablocks (so output can be flushed
+    incrementally); ``finish`` writes the empty-last-metablock
+    terminator. The concatenation is ONE valid brotli stream."""
+
+    def __init__(self) -> None:
+        self._w = _BitWriter()
+        self._w.write(0, 1)  # WBITS '0' -> 16
+
+    def compress(self, data: bytes) -> bytes:
+        data = bytes(data)
+        for off in range(0, len(data), _STORED_CHUNK):
+            chunk = data[off : off + _STORED_CHUNK]
+            self._w.write(0, 1)  # ISLAST = 0
+            self._w.write(0, 2)  # MNIBBLES 00 -> 4 nibbles
+            self._w.write(len(chunk) - 1, 16)
+            self._w.write(1, 1)  # ISUNCOMPRESSED
+            self._w.align()
+            self._w.raw(chunk)
+        out = bytes(self._w.out)
+        self._w.out.clear()
+        return out
+
+    def finish(self) -> bytes:
+        self._w.write(1, 1)  # ISLAST
+        self._w.write(1, 1)  # ISLASTEMPTY
+        self._w.align()
+        out = bytes(self._w.out)
+        self._w.out.clear()
+        return out
+
+
+class _StoredBrotliDecompressor:
+    """Buffering decoder for stored-mode streams (bit positions can
+    straddle chunk boundaries, so decode happens at ``finish``; the
+    BRO2 block path hands in one whole block at a time, keeping
+    memory bounded by the block size)."""
+
+    def __init__(self) -> None:
+        self._buf = bytearray()
+        self._eof = False
+
+    def decompress(self, data: bytes) -> bytes:
+        self._buf += data
+        return b""
+
+    def finish(self) -> bytes:
+        out = decode_brotli_stored(bytes(self._buf))
+        self._eof = True
+        return out
+
+    @property
+    def eof(self) -> bool:
+        return self._eof

@@ -630,3 +630,117 @@ class TestBro2Framed:
         back = spark.read.format("bro").load(out)
         assert back.rdd.getNumPartitions() == 1
         assert back.count() == nation.count()
+
+
+# ---------------------------------------------------------------------------
+# Stored-mode brotli bitstream (RFC 7932 §9.2 interop without a wheel)
+# ---------------------------------------------------------------------------
+
+
+class TestStoredBrotli:
+    def test_roundtrip(self):
+        import os as _os
+
+        from hadoop_brotli_spark.sources.bro_codec import (
+            decode_brotli_stored,
+            encode_brotli_stored,
+            looks_like_brotli_stored,
+            looks_like_zlib,
+        )
+
+        for payload in (b"", b"a", b"hello world\n" * 100, _os.urandom(200_000)):
+            enc = encode_brotli_stored(payload)
+            assert decode_brotli_stored(enc) == payload
+            assert looks_like_brotli_stored(enc[:2])
+            assert not looks_like_zlib(enc[:2])
+
+    def test_bit_layout_matches_spec(self):
+        """Independent bit-level check of the emitted stream against
+        RFC 7932 hand-computed values (guards symmetric bugs the
+        roundtrip can't see): for payload b'hi' —
+        bit 0:   WBITS '0' (window 16)
+        bit 1:   ISLAST 0
+        bits 2-3: MNIBBLES '00' (4 nibbles)
+        bits 4-19: MLEN-1 = 1
+        bit 20:  ISUNCOMPRESSED 1
+        pad to byte 3, then raw 'hi', then terminator byte '11' = 0x03.
+        """
+        from hadoop_brotli_spark.sources.bro_codec import encode_brotli_stored
+
+        enc = encode_brotli_stored(b"hi")
+        bits = [(enc[i >> 3] >> (i & 7)) & 1 for i in range(24)]
+        assert bits[0] == 0  # WBITS -> 16
+        assert bits[1] == 0  # ISLAST
+        assert bits[2:4] == [0, 0]  # MNIBBLES code 0 -> 4 nibbles
+        mlen_minus_1 = sum(b << i for i, b in enumerate(bits[4:20]))
+        assert mlen_minus_1 == 1
+        assert bits[20] == 1  # ISUNCOMPRESSED
+        assert bits[21:24] == [0, 0, 0]  # pad to byte boundary
+        assert enc[3:5] == b"hi"
+        assert enc[5] == 0b00000011  # ISLAST=1, ISLASTEMPTY=1
+        assert len(enc) == 6
+
+    def test_empty_stream_is_one_byte(self):
+        from hadoop_brotli_spark.sources.bro_codec import encode_brotli_stored
+
+        # WBITS '0' + ISLAST 1 + ISLASTEMPTY 1 -> 0b110
+        assert encode_brotli_stored(b"") == b"\x06"
+
+    @pytest.mark.skipif(not HAS_BROTLI, reason="needs real brotli wheel")
+    def test_real_brotli_decodes_our_streams(self):  # pragma: no cover
+        """THE interop proof (self-activating): a conformant decoder
+        (the same library the reference codec binds) must read our
+        stored-mode streams byte-for-byte."""
+        import brotli as _b
+
+        from hadoop_brotli_spark.sources.bro_codec import encode_brotli_stored
+
+        for payload in (b"", b"hello", b"payload " * 50_000):
+            assert _b.decompress(encode_brotli_stored(payload)) == payload
+
+    @pytest.mark.skipif(not HAS_BROTLI, reason="needs real brotli wheel")
+    def test_golden_vector_decode(self):  # pragma: no cover
+        """Checked-in golden brotli stream (compressed profile) — the
+        cross-implementation decode check for the real backend."""
+        import brotli as _b
+
+        golden = bytes.fromhex("8b028068656c6c6f03")
+        assert _b.decompress(golden) == b"hello"
+
+    def test_datasource_stored_backend(self, spark, sf_dir, tmp_path):
+        """format('bro') with bro.backend=stored-brotli writes framed
+        files whose blocks are genuine brotli bitstreams; reads
+        round-trip through the stored decoder."""
+        from pyspark.sql import functions as F
+
+        from hadoop_brotli_spark.catalog import load_table
+        from hadoop_brotli_spark.sources.bro_codec import (
+            decode_brotli_stored,
+            read_bro2_index,
+        )
+        from hadoop_brotli_spark.sources.bro_datasource import (
+            register_bro_source,
+        )
+
+        register_bro_source(spark)
+        nation = load_table(spark, sf_dir, "nation").select(
+            F.col("n_name").alias("value")
+        )
+        out = str(tmp_path / "stored_bro")
+        nation.coalesce(1).write.format("bro").option(
+            "bro.backend", "stored-brotli"
+        ).mode("append").save(out)
+        import glob
+
+        files = glob.glob(f"{out}/*.bro")
+        header, blocks = read_bro2_index(files[0])
+        assert header.backend == "stored-brotli"
+        # every block is a standalone valid brotli stream
+        with open(files[0], "rb") as f:
+            f.seek(blocks[0].offset)
+            raw = f.read(blocks[0].clen)
+        assert decode_brotli_stored(raw)  # decodes, non-empty
+        back = spark.read.format("bro").load(out)
+        assert sorted(r.value for r in back.collect()) == sorted(
+            r.n_name for r in load_table(spark, sf_dir, "nation").collect()
+        )

@@ -263,3 +263,172 @@ class TestPngPixels:
             w, h, rgb = decode_image(blob)
             assert (w, h) == (3, 2)
             assert (rgb == px).all()
+
+
+# --------------------------------------------------------------- GIF pixels
+
+
+class TestGifPixels:
+    def test_roundtrip_palette_sizes(self):
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            build_gif_pixels,
+            decode_gif_pixels,
+            parse_image_header,
+        )
+
+        rng = np.random.default_rng(11)
+        for h, w, ncol in [(1, 1, 2), (6, 9, 4), (17, 13, 256)]:
+            pal = [tuple(int(v) for v in rng.integers(0, 256, 3))
+                   for _ in range(ncol)]
+            idx = rng.integers(0, ncol, h * w, dtype=np.uint8)
+            data = build_gif_pixels(idx, pal, w, h)
+            assert parse_image_header(data) == ("gif", w, h)
+            dw, dh, rgb = decode_gif_pixels(data)
+            assert (dw, dh) == (w, h)
+            expect = np.array(pal, dtype=np.uint8)[idx.reshape(h, w)]
+            assert (rgb == expect).all()
+
+    def test_decodes_table_building_lzw(self):
+        """The decoder must handle REAL compressing LZW streams (our
+        encoder only emits the CLEAR-code stored profile) — encode
+        here with an independent table-BUILDING LZW implementation
+        and decode with the product code. Covers code-width growth
+        and the KwKwK case (aaaa... patterns)."""
+        import struct
+
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            _gif_lzw_decode,
+            decode_gif_pixels,
+        )
+
+        def lzw_encode_building(indices, root_bits):
+            clear, eoi = 1 << root_bits, (1 << root_bits) + 1
+            out = bytearray()
+            acc = [0, 0]  # acc, nbits
+
+            def put(code, width):
+                acc[0] |= code << acc[1]
+                acc[1] += width
+                while acc[1] >= 8:
+                    out.append(acc[0] & 0xFF)
+                    acc[0] >>= 8
+                    acc[1] -= 8
+
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = root_bits + 1
+            put(clear, width)
+            buf = ()
+            for sym in indices:
+                cand = buf + (sym,)
+                if cand in table:
+                    buf = cand
+                    continue
+                put(table[buf], width)
+                if next_code < 4096:
+                    table[cand] = next_code
+                    if next_code == (1 << width) and width < 12:
+                        width += 1
+                    next_code += 1
+                buf = (sym,)
+            if buf:
+                put(table[buf], width)
+            put(eoi, width)
+            if acc[1]:
+                out.append(acc[0] & 0xFF)
+            return bytes(out)
+
+        rng = np.random.default_rng(3)
+        # runs + repeats force table growth and KwKwK
+        seq = []
+        for _ in range(300):
+            v = int(rng.integers(0, 8))
+            seq.extend([v] * int(rng.integers(1, 9)))
+        enc = lzw_encode_building(seq, root_bits=3)
+        assert list(_gif_lzw_decode(enc, 3)) == seq
+
+        # full-file path: splice the compressed stream into a GIF
+        w, h = 25, len(seq) // 25
+        seq = seq[: w * h]
+        enc = lzw_encode_building(seq, root_bits=3)
+        pal = [(i * 31 % 256, i * 7 % 256, i * 3 % 256) for i in range(8)]
+        gif = bytearray()
+        gif += b"GIF89a" + struct.pack("<HH", w, h)
+        gif += bytes([0x80 | 2, 0, 0])  # GCT 8 entries (2^(2+1))
+        for r, g, b in pal:
+            gif += bytes([r, g, b])
+        gif += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        gif.append(3)  # LZW root bits
+        for off in range(0, len(enc), 255):
+            chunk = enc[off : off + 255]
+            gif.append(len(chunk))
+            gif += chunk
+        gif += b"\x00\x3b"
+        dw, dh, rgb = decode_gif_pixels(bytes(gif))
+        expect = np.array(pal, dtype=np.uint8)[
+            np.array(seq, dtype=np.uint8).reshape(h, w)
+        ]
+        assert (dw, dh) == (w, h)
+        assert (rgb == expect).all()
+
+    def test_interlaced_rows_reordered(self):
+        """Hand-build an interlaced GIF (flag 0x40): decoder must
+        undo the 4-pass row order."""
+        import struct
+
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            _gif_lzw_encode_uncompressed,
+            decode_gif_pixels,
+        )
+
+        h, w = 10, 3
+        rows = np.arange(h, dtype=np.uint8).repeat(w).reshape(h, w)
+        order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                 + list(range(2, h, 4)) + list(range(1, h, 2)))
+        transmitted = rows[order]  # rows as stored in the file
+        pal = [(i, i, i) for i in range(16)]
+        gif = bytearray()
+        gif += b"GIF89a" + struct.pack("<HH", w, h)
+        gif += bytes([0x80 | 3, 0, 0])
+        for r, g, b in pal:
+            gif += bytes([r, g, b])
+        gif += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([0x40])
+        gif.append(4)
+        enc = _gif_lzw_encode_uncompressed(transmitted.ravel(), 4)
+        for off in range(0, len(enc), 255):
+            chunk = enc[off : off + 255]
+            gif.append(len(chunk))
+            gif += chunk
+        gif += b"\x00\x3b"
+        _, _, rgb = decode_gif_pixels(bytes(gif))
+        assert (rgb[:, :, 0] == rows).all()
+
+    def test_malformed_fails_loudly(self):
+        import pytest
+
+        from hadoop_brotli_spark.functions.media import decode_gif_pixels
+
+        with pytest.raises(ValueError, match="not a GIF"):
+            decode_gif_pixels(b"PNG?")
+        with pytest.raises(ValueError):
+            decode_gif_pixels(b"GIF89a" + b"\x00" * 20)
+
+    def test_decode_image_dispatches_gif(self):
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            build_gif_pixels,
+            decode_image,
+        )
+
+        idx = np.zeros(6, dtype=np.uint8)
+        blob = build_gif_pixels(idx, [(9, 8, 7), (1, 2, 3)], 3, 2)
+        w, h, rgb = decode_image(blob)
+        assert (w, h) == (3, 2)
+        assert rgb.tolist()[0][0] == [9, 8, 7]

@@ -160,6 +160,8 @@ DOC_QUERIES = [
     # PNG decode: tiny/1-word docs hit minimum dims (8x5) where the
     # filter cycle still covers all five types
     "q339_png_pixel_decode",
+    # GIF decode: minimum dims (6x4), 32-color palette wraps
+    "q341_gif_pixel_decode",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get
