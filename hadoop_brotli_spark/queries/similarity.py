@@ -440,3 +440,298 @@ def q177_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+# ------------------------------------------- q343 product quantization
+
+PQ_M = 4  # subspaces (64-dim embeddings -> 16 dims each)
+PQ_SUB = 16  # dims per subspace
+PQ_K = 16  # centroids per subspace (sampled codebook, vec_id < 16)
+PQ_QUERIES_LO = 16
+PQ_QUERIES_HI = 19
+PQ_TOPK = 5
+
+
+def _pq_dist_and_codes(spark: SparkSession, sf_dir: str):
+    """Shared PQ stages: per-(vector, subspace, centroid) exact
+    distances ``d`` and the per-vector code table ``codes`` (argmin
+    with (dist2, cid) total order). Used by flat PQ-ADC (q343) and
+    IVF-PQ (q344)."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("vec"),
+    )
+    subs = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("vec", m * PQ_SUB + 1, PQ_SUB).alias("sub"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+    train = subs.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), "m", F.col("sub").alias("csub")
+    )
+    dist2 = F.round(
+        F.aggregate(
+            F.zip_with("sub", "csub", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    d = (
+        subs.join(F.broadcast(train), "m")
+        .select("vec_id", "m", "cid", dist2.alias("dist2"))
+    )
+    codes = d.groupBy("vec_id", "m").agg(
+        F.min(F.struct("dist2", "cid"))["cid"].alias("code")
+    )
+    return d, codes
+
+
+@register(
+    "q343_pq_adc_topk",
+    oracle=f"""
+    WITH subs AS (
+      SELECT vec_id, m,
+             embedding[(m * {PQ_SUB} + 1):((m + 1) * {PQ_SUB})] AS sub
+      FROM embeddings, UNNEST(range({PQ_M})) r(m)
+    ),
+    train AS (
+      SELECT vec_id AS cid, m, sub FROM subs WHERE vec_id < {PQ_K}
+    ),
+    dpairs AS (
+      SELECT s.vec_id, s.m, t.cid,
+             CAST(UNNEST(s.sub) AS DOUBLE) AS x,
+             CAST(UNNEST(t.sub) AS DOUBLE) AS y
+      FROM subs s JOIN train t ON t.m = s.m
+    ),
+    d AS (
+      SELECT vec_id, m, cid, ROUND(SUM((x - y) * (x - y)), 6) AS dist2
+      FROM dpairs GROUP BY vec_id, m, cid
+    ),
+    codes AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist2, cid) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT vec_id AS query_id, m, cid, dist2 FROM d
+      WHERE vec_id >= {PQ_QUERIES_LO} AND vec_id < {PQ_QUERIES_HI}
+    ),
+    adc AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+             ROUND(SUM(q.dist2), 6) AS adist
+      FROM codes c JOIN qtab q ON q.m = c.m AND q.cid = c.code
+      GROUP BY q.query_id, c.vec_id
+    )
+    SELECT query_id, cand_id, adist, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adist, cand_id) AS rn
+      FROM adc
+    ) WHERE rn <= {PQ_TOPK}
+    """,
+)
+def q343_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) — the
+    memory-bound scale path beside LSH buckets (q71) and IVF cells
+    (q74): each vector is split into {PQ_M} subspaces of {PQ_SUB}
+    dims, quantized per subspace to the nearest of {PQ_K} sampled
+    codebook centroids (deterministic codebook: the first {PQ_K}
+    vectors — one assignment step, no iterative training, so both
+    engines derive identical codes), and queries score candidates by
+    ASYMMETRIC DISTANCE (ADC): the exact query-to-centroid distance
+    table, {PQ_M}×{PQ_K} entries per query, summed by table LOOKUP
+    over each candidate's {PQ_M} codes.
+
+    Why this is the 100 TB shape: the corpus is represented by
+    {PQ_M} small ints per vector ({PQ_M} bytes vs {PQ_SUB}×{PQ_M}×4
+    — a 64× memory cut), scoring never touches raw candidate
+    vectors (one broadcast-able distance table per query), and code
+    assignment is an equi-join on the broadcast codebook — no
+    all-pairs stage anywhere. Argmin and top-k carry (dist, cid)
+    total orders; ROUND(…, 6) before every compare absorbs
+    sum-order ulps (q70's precedent).
+    """
+    from pyspark.sql import Window as W
+
+    d, codes = _pq_dist_and_codes(spark, sf_dir)
+    qtab = d.filter(
+        (F.col("vec_id") >= PQ_QUERIES_LO) & (F.col("vec_id") < PQ_QUERIES_HI)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("m").alias("qm"),
+        F.col("cid").alias("qcid"),
+        "dist2",
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qtab),
+            (F.col("m") == F.col("qm")) & (F.col("code") == F.col("qcid")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.round(F.sum("dist2"), 6).alias("adist"))
+    )
+    w = W.partitionBy("query_id").orderBy("adist", "cand_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select("query_id", "cand_id", "adist", "rn")
+    )
+
+
+# ------------------------------------------------ q344 IVF-PQ probe
+
+IVFPQ_CELLS = 8  # coarse cells (centroids = first 8 vectors, L2)
+
+
+@register(
+    "q344_ivf_pq_probe",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding FROM embeddings
+    ),
+    cpairs AS (
+      SELECT a.vec_id, c.vec_id AS cell_cid,
+             CAST(UNNEST(a.embedding) AS DOUBLE) AS x,
+             CAST(UNNEST(c.embedding) AS DOUBLE) AS y
+      FROM v a JOIN v c ON c.vec_id < {IVFPQ_CELLS}
+    ),
+    cdist AS (
+      SELECT vec_id, cell_cid, ROUND(SUM((x - y) * (x - y)), 6) AS d2
+      FROM cpairs GROUP BY vec_id, cell_cid
+    ),
+    cells AS (
+      SELECT vec_id, cell_cid AS cell FROM (
+        SELECT vec_id, cell_cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cell_cid) AS rn
+        FROM cdist
+      ) WHERE rn = 1
+    ),
+    subs AS (
+      SELECT vec_id, m,
+             embedding[(m * {PQ_SUB} + 1):((m + 1) * {PQ_SUB})] AS sub
+      FROM embeddings, UNNEST(range({PQ_M})) r(m)
+    ),
+    train AS (
+      SELECT vec_id AS cid, m, sub FROM subs WHERE vec_id < {PQ_K}
+    ),
+    dpairs AS (
+      SELECT s.vec_id, s.m, t.cid,
+             CAST(UNNEST(s.sub) AS DOUBLE) AS x,
+             CAST(UNNEST(t.sub) AS DOUBLE) AS y
+      FROM subs s JOIN train t ON t.m = s.m
+    ),
+    d AS (
+      SELECT vec_id, m, cid, ROUND(SUM((x - y) * (x - y)), 6) AS dist2
+      FROM dpairs GROUP BY vec_id, m, cid
+    ),
+    codes AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist2, cid) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT vec_id AS query_id, m, cid, dist2 FROM d
+      WHERE vec_id >= {PQ_QUERIES_LO} AND vec_id < {PQ_QUERIES_HI}
+    ),
+    adc AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+             ROUND(SUM(q.dist2), 6) AS adist
+      FROM codes c
+      JOIN cells cc ON cc.vec_id = c.vec_id
+      JOIN qtab q ON q.m = c.m AND q.cid = c.code
+      JOIN cells qc ON qc.vec_id = q.query_id AND qc.cell = cc.cell
+      GROUP BY q.query_id, c.vec_id
+    )
+    SELECT query_id, cand_id, adist, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adist, cand_id) AS rn
+      FROM adc
+    ) WHERE rn <= {PQ_TOPK}
+    """,
+)
+def q344_ivf_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the two quantizers COMPOSED, which is the actual
+    billion-vector production index (FAISS IVFxPQy): a coarse
+    quantizer routes each vector to one of {IVFPQ_CELLS} inverted
+    cells (argmin L2 to the sampled coarse centroids), and within a
+    cell candidates are scored by the PQ ADC table (q343's stage).
+    A query probes ONLY its own cell: scoring cost drops from
+    |corpus| to |cell| lookups — the recall/cost dial is the probe
+    count (nprobe=1 here; the operator shape is identical for more).
+
+    Plan: both codebooks broadcast; cell assignment and code
+    assignment are map-side argmins; the probe is an equi-join on
+    the cell key (no all-pairs anywhere); ADC re-uses the shared
+    `_pq_dist_and_codes` stages, so flat-PQ and IVF-PQ stay
+    plan-consistent. All compares run on ROUND(…, 6) values with id
+    tie-breaks — cross-engine deterministic.
+    """
+    from pyspark.sql import Window as W
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("vec"),
+    )
+    coarse = emb.filter(F.col("vec_id") < IVFPQ_CELLS).select(
+        F.col("vec_id").alias("cell_cid"), F.col("vec").alias("cvec")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("vec", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    cells = (
+        emb.crossJoin(F.broadcast(coarse))
+        .select("vec_id", "cell_cid", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cell_cid"))["cell_cid"].alias("cell"))
+    )
+    d, codes = _pq_dist_and_codes(spark, sf_dir)
+    qtab = d.filter(
+        (F.col("vec_id") >= PQ_QUERIES_LO) & (F.col("vec_id") < PQ_QUERIES_HI)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("m").alias("qm"),
+        F.col("cid").alias("qcid"),
+        "dist2",
+    )
+    qcells = cells.select(
+        F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell")
+    )
+    probed = (
+        codes.join(cells, "vec_id")
+        .join(
+            F.broadcast(qtab.join(qcells, "query_id")),
+            (F.col("m") == F.col("qm"))
+            & (F.col("code") == F.col("qcid"))
+            & (F.col("cell") == F.col("qcell")),
+        )
+    )
+    adc = probed.groupBy(
+        "query_id", F.col("vec_id").alias("cand_id")
+    ).agg(F.round(F.sum("dist2"), 6).alias("adist"))
+    w = W.partitionBy("query_id").orderBy("adist", "cand_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select("query_id", "cand_id", "adist", "rn")
+    )

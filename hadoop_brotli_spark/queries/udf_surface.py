@@ -118,3 +118,54 @@ def q95_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         wavg_disc("l_extendedprice", "l_discount").alias("wavg_disc")
     )
+
+
+# ------------------------------------------ q342 Arrow-optimized UDF
+
+
+@register(
+    "q342_arrow_scalar_udf",
+    oracle="""
+    SELECT doc_id,
+           TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', '-', 'g'), '-')
+             AS slug,
+           CAST(LENGTH(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', '-',
+                                           'g'), '-')) AS BIGINT)
+             AS slug_len
+    FROM documents
+    """,
+)
+def q342_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (``udf(useArrow=True)``) —
+    the third member of the UDF family beside the UDTF (q94) and the
+    grouped-agg pandas UDAF (q95): URL-slug normalization
+    (lowercase, non-alphanumeric runs → single hyphen, trimmed).
+
+    Arrow batching moves rows JVM↔Python in columnar batches instead
+    of pickled rows — the ~10× serialization win that makes scalar
+    Python UDFs survivable when a built-in truly can't express the
+    logic. The oracle states the equivalent pure-SQL regexp chain,
+    proving (as with q94/q95) that THIS one could have stayed in
+    Catalyst — it's the template, not the recommendation.
+
+    Scale: per-row independent, no shuffle; batch size bounds Python
+    memory; the UDF sees only the projected text column.
+    """
+    import re
+
+    from pyspark.sql.functions import udf
+
+    pat = re.compile(r"[^a-z0-9]+")
+
+    @udf(returnType="string", useArrow=True)
+    def slugify(text: str) -> str:
+        if text is None:
+            return None
+        return pat.sub("-", text.lower()).strip("-")
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        slugify(F.col("text")).alias("slug"),
+        F.length(slugify(F.col("text"))).cast("bigint").alias("slug_len"),
+    )

@@ -340,3 +340,68 @@ def test_order_queries_match_oracle_on_generated_data(spark, scratch_sf, rows):
     _write_orders(scratch_sf, rows)
     for name in ORDER_QUERIES:
         compare(SPECS[name], spark, str(scratch_sf))
+
+
+# --------------------------------------------------- embeddings-shaped hunt
+
+EMB_QUERIES = [
+    # duplicate vectors tie every cosine; tiny corpora shrink top-k
+    "q70_knn_bruteforce",
+    # identical sign-buckets collapse all pairs into one bucket
+    "q71_ann_lsh_bucketed",
+    "q72_embedding_neardup",
+    # norm stats over duplicated / tiny-magnitude vectors
+    "q73_embedding_norm_stats",
+    # single-label corpora and k>n queries stress the vote windows
+    "q216_knn_label_eval",
+    # PQ: duplicate vectors map to one code; sub-k training sets
+    "q343_pq_adc_topk",
+    "q344_ivf_pq_probe",
+]
+
+emb_params = st.tuples(
+    st.integers(20, 45),  # n vectors
+    st.integers(0, 2**31 - 1),  # value seed
+    st.integers(1, 5),  # duplication factor (dup blocks)
+    st.booleans(),  # include near-zero-magnitude vectors
+)
+
+
+def _write_embeddings(base: Path, params) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n, seed, dup, tiny = params
+    rng = np.random.default_rng(seed)
+    base_vecs = rng.integers(-50, 51, size=(n, 64)).astype("float32") / 16.0
+    # duplicate blocks: every dup-th vector repeats vector 0's values
+    for i in range(0, n, max(1, dup)):
+        base_vecs[i] = base_vecs[0]
+    if tiny:
+        # near-zero magnitude (NOT exactly zero: cosine of the zero
+        # vector is 0/0 — undefined in both engines and excluded from
+        # the fixtures' contract)
+        base_vecs[n // 2] = np.full(64, 2**-10, dtype="float32")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in base_vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([i % 4 for i in range(n)], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, base / "embeddings.parquet")
+
+
+@settings(
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(params=emb_params)
+def test_emb_queries_match_oracle_on_generated_data(spark, scratch_sf, params):
+    _write_embeddings(scratch_sf, params)
+    for name in EMB_QUERIES:
+        compare(SPECS[name], spark, str(scratch_sf))
