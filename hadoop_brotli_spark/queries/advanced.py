@@ -560,11 +560,17 @@ def q74_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator shape — broadcast codebook, map-side argmax assignment,
     equi-join probe on cell id — is the production IVF plan.
     """
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    # norms hoisted to per-row frames (the q70 r3 rule)
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm_double("embedding").alias("nrm")
     )
-    sim = F.round(dot_double("embedding", "ce") / (norm_double("embedding") * norm_double("ce")), 6)
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+    sim = F.round(
+        dot_double("embedding", "ce") / (F.col("nrm") * F.col("cnrm")), 6
+    )
     rn_w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid").asc())
     assign = (
         emb.crossJoin(F.broadcast(cent))
@@ -580,6 +586,7 @@ def q74_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
             "cell",
+            F.col("nrm").alias("qn"),
         )
     )
     cands = (
@@ -588,13 +595,14 @@ def q74_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("cand_id"),
             F.col("embedding").alias("ve"),
             F.col("cell").alias("cell_v"),
+            F.col("nrm").alias("vn"),
         )
     )
     pairs = q.join(
         cands,
         (F.col("cell") == F.col("cell_v")) & (F.col("cand_id") != F.col("query_id")),
     )
-    cosine = F.round(dot_double("qe", "ve") / (norm_double("qe") * norm_double("ve")), 6)
+    cosine = F.round(dot_double("qe", "ve") / (F.col("qn") * F.col("vn")), 6)
     topk_w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id").asc()
     )

@@ -356,17 +356,22 @@ def q254_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bn") <= SEMDEDUP_MAX_BUCKET)
         .select("bucket")
     )
-    emb = emb_all.join(F.broadcast(ok_buckets), "bucket")
+    # norms hoisted to the per-row frame (the q70 r3 rule)
+    emb = emb_all.join(F.broadcast(ok_buckets), "bucket").withColumn(
+        "nrm", norm_double("embedding")
+    )
     a = emb.select(
-        F.col("vec_id").alias("keep_id"), F.col("embedding").alias("ea"), "bucket"
+        F.col("vec_id").alias("keep_id"), F.col("embedding").alias("ea"), "bucket",
+        F.col("nrm").alias("na"),
     )
     b = emb.select(
         F.col("vec_id").alias("drop_id"),
         F.col("embedding").alias("eb"),
         F.col("bucket").alias("bucket_b"),
+        F.col("nrm").alias("nb"),
     )
     cosine = F.round(
-        dot_double("ea", "eb") / (norm_double("ea") * norm_double("eb")), 6
+        dot_double("ea", "eb") / (F.col("na") * F.col("nb")), 6
     )
     dropped = (
         a.join(

@@ -258,13 +258,16 @@ def q200_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged); only the query fan-out grows, so cost scales with
     queries × nprobe, never with corpus size.
     """
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # norms hoisted to per-row frames (the q70 r3 rule)
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm_double("embedding").alias("nrm")
+    )
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cnrm"),
     )
     sim = F.round(
-        dot_double("embedding", "ce") / (norm_double("embedding") * norm_double("ce")),
-        6,
+        dot_double("embedding", "ce") / (F.col("nrm") * F.col("cnrm")), 6
     )
     rn_w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid").asc())
     ranked = (
@@ -286,19 +289,21 @@ def q200_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("qe"),
             "cell",
             "probe",
+            F.col("nrm").alias("qn"),
         )
     )
     cands = emb.join(assign, "vec_id").select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("ve"),
         F.col("cell").alias("cell_v"),
+        F.col("nrm").alias("vn"),
     )
     pairs = q.join(
         cands,
         (F.col("cell") == F.col("cell_v")) & (F.col("cand_id") != F.col("query_id")),
     )
     cosine = F.round(
-        dot_double("qe", "ve") / (norm_double("qe") * norm_double("ve")), 6
+        dot_double("qe", "ve") / (F.col("qn") * F.col("vn")), 6
     )
     topk_w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id").asc()

@@ -162,24 +162,29 @@ def q71_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate all-pairs NN: sign-bit LSH bucket join, cosine
     within bucket, top-3 per vector. Same recall/cost trade as a
     single-table random-hyperplane LSH index."""
+    # norm hoisted to the per-row frame (one eval per vector, not
+    # per bucket pair — the q70 r3 rule)
     emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", sign_bucket("embedding").alias("bucket")
+        "vec_id", "embedding", sign_bucket("embedding").alias("bucket"),
+        norm_double("embedding").alias("nrm"),
     )
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
         F.col("bucket"),
+        F.col("nrm").alias("na"),
     )
     b = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
         F.col("bucket").alias("bucket_b"),
+        F.col("nrm").alias("nb"),
     )
     pairs = a.join(
         b,
         (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")),
     )
-    cosine = F.round(dot_double("ea", "eb") / (norm_double("ea") * norm_double("eb")), 6)
+    cosine = F.round(dot_double("ea", "eb") / (F.col("na") * F.col("nb")), 6)
     from pyspark.sql import Window as W
 
     scored = pairs.select("vec_a", "vec_b", "bucket", cosine.alias("cosine"))
@@ -220,20 +225,23 @@ def q72_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse 4-bit LSH prefilter — the embedding twin of MinHash
     dedup for semantically-duplicated training data."""
     emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", sign_bucket("embedding", 4).alias("bucket")
+        "vec_id", "embedding", sign_bucket("embedding", 4).alias("bucket"),
+        norm_double("embedding").alias("nrm"),
     )
     a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket",
+        F.col("nrm").alias("na"),
     )
     b = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
         F.col("bucket").alias("bucket_b"),
+        F.col("nrm").alias("nb"),
     )
     pairs = a.join(
         b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b"))
     )
-    cosine = F.round(dot_double("ea", "eb") / (norm_double("ea") * norm_double("eb")), 6)
+    cosine = F.round(dot_double("ea", "eb") / (F.col("na") * F.col("nb")), 6)
     return (
         pairs.select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= 0.92)
