@@ -1063,3 +1063,170 @@ def q196_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("depth").cast("bigint").alias("depth"),
         F.col("anc").cast("bigint").alias("root"),
     )
+
+
+# --------------------------------- q347 mergeable quantile sketch
+
+QSK_BINS = 128
+QSK_QS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "q347_quantile_sketch_merge",
+    oracle=f"""
+    WITH rng AS (
+      SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+             COUNT(*) AS n
+      FROM orders
+    ),
+    binned AS (
+      -- mx = mn (constant column / single row) collapses the grid to
+      -- bin 0 on both engines instead of dividing by zero
+      SELECT CASE WHEN r.mx = r.mn THEN 0
+                  ELSE LEAST({QSK_BINS} - 1,
+                             CAST(FLOOR((o.o_totalprice - r.mn)
+                                        / (r.mx - r.mn)
+                                        * {QSK_BINS}) AS BIGINT)) END AS bin,
+             o.o_orderpriority AS shard
+      FROM orders o CROSS JOIN rng r
+    ),
+    partials AS (
+      -- per-shard partial sketches: the mergeable state a
+      -- 1000-executor cluster would emit
+      SELECT shard, bin, COUNT(*) AS c FROM binned GROUP BY shard, bin
+    ),
+    merged AS (
+      -- sketch MERGE = bin-wise SUM (associative/commutative)
+      SELECT bin, SUM(c) AS c FROM partials GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum FROM merged
+    ),
+    est AS (
+      SELECT {", ".join(
+        f"r.mn + (r.mx - r.mn) * ((SELECT MIN(bin) FROM cum, rng r2 "
+        f"WHERE cum >= {q} * r2.n) + 1.0) / {QSK_BINS} AS est_p{int(q * 100)}"
+        for q in QSK_QS)}
+      FROM rng r
+    ),
+    exact AS (
+      SELECT {", ".join(
+        f"quantile_cont(o_totalprice, {q}) AS exact_p{int(q * 100)}"
+        for q in QSK_QS)}
+      FROM orders
+    )
+    SELECT CAST(r.n AS BIGINT) AS n,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM partials)
+             AS n_partial_bins,
+           {", ".join(
+             f"ROUND(e.est_p{int(q * 100)}, 4) AS est_p{int(q * 100)}, "
+             f"ROUND(x.exact_p{int(q * 100)}, 4) AS exact_p{int(q * 100)}, "
+             f"ROUND(ABS(e.est_p{int(q * 100)} - x.exact_p{int(q * 100)})"
+             f" / NULLIF(x.exact_p{int(q * 100)}, 0.0), 6)"
+             f" AS relerr_p{int(q * 100)}"
+             for q in QSK_QS)}
+    FROM rng r CROSS JOIN est e CROSS JOIN exact x
+    """,
+)
+def q347_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-grid quantile sketch — the distributed-
+    percentile design beside CMS (q219), HLL (q246) and KMV (q271):
+    each shard (order priority stands in for an executor) emits a
+    {QSK_BINS}-bin histogram over the global [min, max] range; the
+    global sketch is the BIN-WISE SUM of partials (associative and
+    commutative, so any merge tree gives the same answer — the
+    property that replaces a full sort with {QSK_BINS} integers per
+    shard at 100 TB); quantiles read off the cumulative histogram as
+    upper bin edges, compared against the exact sorted percentiles
+    with per-quantile relative error.
+
+    Everything is integer counts until the final edge arithmetic, so
+    the estimate is bit-identical across engines and partitionings.
+    """
+    orders = t(spark, sf_dir, "orders")
+    rng = orders.agg(
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # mx = mn (constant column / single row) collapses the grid to
+    # bin 0 on both engines instead of dividing by zero (ANSI error
+    # on Spark, inf on DuckDB — property-hunt find, r3)
+    binned = orders.crossJoin(F.broadcast(rng)).select(
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.lit(QSK_BINS - 1),
+                F.floor(
+                    (F.col("o_totalprice") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * QSK_BINS
+                ).cast("bigint"),
+            )
+        )
+        .alias("bin"),
+        F.col("o_orderpriority").alias("shard"),
+    )
+    partials = binned.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    partials_ck = partials.localCheckpoint(eager=True)
+    merged = partials_ck.groupBy("bin").agg(F.sum("c").alias("c"))
+    cum = merged.select(
+        "bin",
+        F.sum("c").over(W.orderBy("bin")).alias("cum"),
+    )
+    est_cols = []
+    for q in QSK_QS:
+        p = int(q * 100)
+        sel = (
+            cum.crossJoin(F.broadcast(rng.select("n")))
+            .filter(F.col("cum") >= F.lit(q) * F.col("n"))
+            .agg(F.min("bin").alias(f"bin_p{p}"))
+        )
+        est_cols.append(sel)
+    est = est_cols[0]
+    for extra in est_cols[1:]:
+        est = est.crossJoin(F.broadcast(extra))
+    exact = orders.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {q})").alias(f"exact_raw_p{int(q*100)}")
+            for q in QSK_QS
+        ]
+    )
+    out = (
+        rng.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(
+            F.broadcast(
+                partials_ck.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_partial_bins")
+                )
+            )
+        )
+    )
+    sel = [
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_partial_bins"),
+    ]
+    for q in QSK_QS:
+        p = int(q * 100)
+        est_v = (
+            F.col("mn")
+            + (F.col("mx") - F.col("mn"))
+            * (F.col(f"bin_p{p}") + F.lit(1.0))
+            / QSK_BINS
+        )
+        sel += [
+            F.round(est_v, 4).alias(f"est_p{p}"),
+            F.round(F.col(f"exact_raw_p{p}"), 4).alias(f"exact_p{p}"),
+            # NULLIF: an all-zero price column zeroes the exact
+            # percentile — ANSI Spark would error on /0 while DuckDB
+            # returns inf (property-hunt find, r3)
+            F.round(
+                F.abs(est_v - F.col(f"exact_raw_p{p}"))
+                / F.nullif(F.col(f"exact_raw_p{p}"), F.lit(0.0)),
+                6,
+            ).alias(f"relerr_p{p}"),
+        ]
+    return out.select(*sel)

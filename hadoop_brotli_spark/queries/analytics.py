@@ -2830,3 +2830,163 @@ def q193_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+# ------------------------------- q348 Neyman stratified sampling
+
+NEYMAN_BUDGET = 500
+
+
+@register(
+    "q348_neyman_stratified_sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderpriority AS stratum,
+             COUNT(*) AS nh,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sxx
+      FROM orders GROUP BY o_orderpriority
+    ),
+    sd AS (
+      SELECT stratum, nh, sx / nh AS mean_h,
+             SQRT(GREATEST((sxx - sx * sx / nh) / nh, 0.0)) AS sd_h
+      FROM s
+    ),
+    tot AS (SELECT SUM(nh * sd_h) AS w FROM sd),
+    nn AS (SELECT SUM(nh) AS n_total FROM sd),
+    alloc AS (
+      -- all-constant strata zero every sd_h and hence w: fall back
+      -- to PROPORTIONAL allocation (nh / N) instead of dividing by 0
+      SELECT d.stratum, d.nh, d.mean_h, d.sd_h,
+             GREATEST(1, CAST(FLOOR(CASE WHEN t.w = 0
+                  THEN {NEYMAN_BUDGET} * d.nh / CAST(nn.n_total AS DOUBLE)
+                  ELSE {NEYMAN_BUDGET} * d.nh * d.sd_h / t.w END)
+                              AS BIGINT)) AS n_alloc
+      FROM sd d CROSS JOIN tot t CROSS JOIN nn
+    ),
+    ranked AS (
+      SELECT o.o_orderpriority AS stratum, o.o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o.o_orderpriority
+               ORDER BY md5(CAST(o.o_orderkey AS VARCHAR)), o.o_orderkey
+             ) AS rn
+      FROM orders o
+    ),
+    sampled AS (
+      SELECT r.stratum,
+             COUNT(*) AS n_sampled,
+             CAST(SUM(CAST(r.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS sample_mean
+      FROM ranked r JOIN alloc a ON a.stratum = r.stratum
+      WHERE r.rn <= a.n_alloc
+      GROUP BY r.stratum
+    )
+    SELECT a.stratum,
+           CAST(a.nh AS BIGINT) AS pop_size,
+           ROUND(a.mean_h, 6) AS pop_mean,
+           ROUND(a.sd_h, 6) AS pop_sd,
+           a.n_alloc,
+           CAST(p.n_sampled AS BIGINT) AS n_sampled,
+           ROUND(p.sample_mean, 6) AS sample_mean
+    FROM alloc a JOIN sampled p ON p.stratum = a.stratum
+    """,
+)
+def q348_neyman_stratified_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Neyman-allocation stratified sampling — the audit/eval-set
+    construction rule that beats proportional sampling when strata
+    have unequal variance: budget {NEYMAN_BUDGET} rows are allocated
+    nh ∝ Nh·Sh (stratum size × stratum standard deviation), and
+    membership is HASH-RANKED per stratum (md5 of the key, id
+    tie-break) — deterministic across engines, retries and
+    partitionings, the same draw-free idiom as q144/q324.
+
+    One pass of DECIMAL-exact sufficient statistics gives every
+    stratum's mean/sd (no second scan); the allocation table is
+    |strata| rows broadcast back to rank-filter the sample. Output:
+    per stratum, population size/mean/sd, allocated and realized
+    sample sizes, and the realized sample mean.
+    """
+    from pyspark.sql import Window as W
+
+    orders = t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    s = orders.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(dec).cast("double").alias("sx"),
+        F.sum(dec * dec).cast("double").alias("sxx"),
+    )
+    sd = s.select(
+        "stratum",
+        "nh",
+        (F.col("sx") / F.col("nh")).alias("mean_h"),
+        F.sqrt(
+            F.greatest(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("nh"))
+                / F.col("nh"),
+                F.lit(0.0),
+            )
+        ).alias("sd_h"),
+    )
+    tot = sd.agg(
+        F.sum(F.col("nh") * F.col("sd_h")).alias("w"),
+        F.sum("nh").alias("n_total"),
+    )
+    # all-constant strata zero every sd_h and hence w: fall back to
+    # PROPORTIONAL allocation instead of dividing by zero (ANSI
+    # error on Spark, inf on DuckDB — property-hunt find, r3)
+    alloc = sd.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "nh",
+        "mean_h",
+        "sd_h",
+        F.greatest(
+            F.lit(1),
+            F.floor(
+                F.when(
+                    F.col("w") == 0,
+                    F.lit(NEYMAN_BUDGET)
+                    * F.col("nh")
+                    / F.col("n_total").cast("double"),
+                ).otherwise(
+                    F.lit(NEYMAN_BUDGET)
+                    * F.col("nh")
+                    * F.col("sd_h")
+                    / F.col("w")
+                )
+            ).cast("bigint"),
+        ).alias("n_alloc"),
+    )
+    rw = W.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+    )
+    ranked = orders.select(
+        F.col("o_orderpriority").alias("stratum"),
+        "o_totalprice",
+        F.row_number().over(rw).alias("rn"),
+    )
+    sampled = (
+        ranked.join(F.broadcast(alloc.select("stratum", "n_alloc")), "stratum")
+        .filter(F.col("rn") <= F.col("n_alloc"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("sample_mean"),
+        )
+    )
+    return alloc.join(sampled, "stratum").select(
+        "stratum",
+        F.col("nh").cast("bigint").alias("pop_size"),
+        F.round("mean_h", 6).alias("pop_mean"),
+        F.round("sd_h", 6).alias("pop_sd"),
+        "n_alloc",
+        F.col("n_sampled").cast("bigint").alias("n_sampled"),
+        F.round("sample_mean", 6).alias("sample_mean"),
+    )

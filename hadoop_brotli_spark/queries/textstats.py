@@ -1091,3 +1091,224 @@ def q236_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(-F.sum("lp") / F.count(F.lit(1)), 4).alias("avg_neg_logprob"),
     )
+
+
+# ------------------------------------------- q345 text health audit
+
+# Planted artifact strings (by doc_id % 5) — the corpus fixture is
+# clean ASCII, so the audit is exercised against KNOWN dirt planted
+# identically on both engines; class 4 stays clean.
+_REPL = "\ufffd"
+_NBSP = "\u00a0"
+_ZWSP = "\u200b"
+_MOJI = "\u00c3\u00a9"  # 'A-tilde + copyright-e' pair: UTF-8 e-acute read as latin-1
+_CTRL = "\x07"
+
+_HEALTH_PLANT = {
+    0: _REPL * 2,        # replacement chars (decode loss)
+    1: _NBSP + _ZWSP,    # invisible characters
+    2: _MOJI,            # mojibake signature
+    3: _CTRL,            # stray C0 control char
+}
+
+
+def _sql_chr(s: str) -> str:
+    """DuckDB expression producing the exact marker string."""
+    return " || ".join(f"chr({ord(c)})" for c in s)
+
+
+def _health_plant_sql() -> str:
+    cases = " ".join(
+        f"WHEN doc_id % 5 = {k} THEN text || {_sql_chr(v)}"
+        for k, v in _HEALTH_PLANT.items()
+    )
+    return f"CASE {cases} ELSE text END"
+
+
+def _sql_has(col: str, marker: str) -> str:
+    return (
+        f"CASE WHEN contains({col}, {_sql_chr(marker)}) THEN 1 ELSE 0 END"
+    )
+
+
+@register(
+    "q345_text_health_audit",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, source, {_health_plant_sql()} AS t
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM({_sql_has('t', _REPL)}) AS BIGINT) AS n_replacement,
+           CAST(SUM({_sql_has('t', _NBSP)}) AS BIGINT) AS n_nbsp,
+           CAST(SUM({_sql_has('t', _ZWSP)}) AS BIGINT) AS n_zero_width,
+           CAST(SUM({_sql_has('t', _MOJI)}) AS BIGINT) AS n_mojibake,
+           CAST(SUM({_sql_has('t', _CTRL)}) AS BIGINT) AS n_control,
+           ROUND(CAST(SUM(CASE WHEN {_sql_has('t', _REPL)} = 0
+                            AND {_sql_has('t', _NBSP)} = 0
+                            AND {_sql_has('t', _ZWSP)} = 0
+                            AND {_sql_has('t', _MOJI)} = 0
+                            AND {_sql_has('t', _CTRL)} = 0
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS clean_rate
+    FROM planted GROUP BY source
+    """,
+)
+def q345_text_health_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health audit — the byte-level text QA gate a crawl
+    pipeline runs before tokenization: per source, how many documents
+    carry decode-loss replacement chars (U+FFFD), invisible
+    characters (NBSP, zero-width space), mojibake signatures (UTF-8
+    e-acute re-decoded as latin-1), or stray C0 control characters —
+    and the clean rate.
+
+    The fixture corpus is clean ASCII, so stage 1 PLANTS each
+    artifact class deterministically by doc_id % 5 with the identical
+    expression on both engines; the audit stage — the operator under
+    test — must then recover exactly the planted per-source counts.
+    Detection is plain substring containment, which whole-stage-
+    codegens; no regex needed for fixed markers.
+
+    Scale: one pass over the corpus, |sources|-group aggregate;
+    marker checks are per-row codegen string ops — no shuffle beyond
+    the final tiny groupBy.
+    """
+    plant = F.col("text")
+    for k, v in _HEALTH_PLANT.items():
+        plant = F.when(
+            F.col("doc_id") % 5 == k, F.concat(F.col("text"), F.lit(v))
+        ).otherwise(plant)
+    docs = t(spark, sf_dir, "documents").select("source", plant.alias("t"))
+
+    def has(marker: str):
+        return F.when(F.contains("t", F.lit(marker)), 1).otherwise(0)
+
+    dirty = (
+        has(_REPL) + has(_NBSP) + has(_ZWSP) + has(_MOJI) + has(_CTRL)
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(has(_REPL)).cast("bigint").alias("n_replacement"),
+        F.sum(has(_NBSP)).cast("bigint").alias("n_nbsp"),
+        F.sum(has(_ZWSP)).cast("bigint").alias("n_zero_width"),
+        F.sum(has(_MOJI)).cast("bigint").alias("n_mojibake"),
+        F.sum(has(_CTRL)).cast("bigint").alias("n_control"),
+        F.round(
+            F.sum(F.when(dirty == 0, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("clean_rate"),
+    )
+
+
+# -------------------------------------- q346 padding-waste advisor
+
+PAD_BUCKETS = 4
+
+
+@register(
+    "q346_padding_waste_advisor",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    g AS (SELECT MAX(n_tok) AS gmax FROM lens),
+    bucketed AS (
+      SELECT l.doc_id, l.n_tok,
+             LEAST({PAD_BUCKETS} - 1,
+                   CAST(FLOOR((l.n_tok - 1) /
+                        CEIL(CAST(g.gmax AS DOUBLE) / {PAD_BUCKETS}))
+                        AS BIGINT)) AS bucket
+      FROM lens l CROSS JOIN g
+    ),
+    per_bucket AS (
+      SELECT 'bucketed' AS strategy, bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MAX(n_tok) AS BIGINT) AS pad_to,
+             CAST(SUM(n_tok) AS BIGINT) AS useful_tokens,
+             CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT)
+               AS padded_tokens
+      FROM bucketed GROUP BY bucket
+    ),
+    global_strat AS (
+      SELECT 'global' AS strategy, CAST(-1 AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MAX(n_tok) AS BIGINT) AS pad_to,
+             CAST(SUM(n_tok) AS BIGINT) AS useful_tokens,
+             CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT)
+               AS padded_tokens
+      FROM lens
+    ),
+    both_s AS (
+      SELECT * FROM per_bucket UNION ALL SELECT * FROM global_strat
+    )
+    SELECT strategy, bucket, n_docs, pad_to, useful_tokens, padded_tokens,
+           ROUND(CAST(padded_tokens AS DOUBLE)
+                 / (useful_tokens + padded_tokens), 6) AS waste_rate
+    FROM both_s
+    """,
+)
+def q346_padding_waste_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-batching advisor: how much compute fixed-length
+    padding burns, and what {PAD_BUCKETS}-way length bucketing
+    recovers — the measurement behind bucketed batching / packed
+    sequences in every training dataloader. Strategy 'global' pads
+    every document to the corpus max length; 'bucketed' pads only to
+    the max within each equal-width length bucket. Output: per-bucket
+    doc counts, pad targets, useful vs padded tokens, waste rate.
+
+    Plan: one token-length pass; the global max is a 1-row broadcast
+    (no window); bucket assignment is map-side arithmetic; both
+    strategies aggregate from the same tiny reduced frame. At 100 TB
+    the length histogram is corpus-sized but the aggregate state is
+    {PAD_BUCKETS}+1 rows.
+    """
+    lens = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    g = lens.agg(F.max("n_tok").alias("gmax"))
+    bucketed = lens.crossJoin(F.broadcast(g)).select(
+        "n_tok",
+        F.least(
+            F.lit(PAD_BUCKETS - 1),
+            F.floor(
+                (F.col("n_tok") - 1)
+                / F.ceil(F.col("gmax").cast("double") / PAD_BUCKETS)
+            ),
+        )
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max("n_tok").cast("bigint").alias("pad_to"),
+        F.sum("n_tok").cast("bigint").alias("useful_tokens"),
+        (F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok"))
+        .cast("bigint")
+        .alias("padded_tokens"),
+    ).select(F.lit("bucketed").alias("strategy"), "*")
+    global_strat = lens.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max("n_tok").cast("bigint").alias("pad_to"),
+        F.sum("n_tok").cast("bigint").alias("useful_tokens"),
+        (F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok"))
+        .cast("bigint")
+        .alias("padded_tokens"),
+    ).select(
+        F.lit("global").alias("strategy"),
+        F.lit(-1).cast("bigint").alias("bucket"),
+        "n_docs", "pad_to", "useful_tokens", "padded_tokens",
+    )
+    both_s = per_bucket.unionByName(global_strat)
+    return both_s.select(
+        "strategy", "bucket", "n_docs", "pad_to", "useful_tokens",
+        "padded_tokens",
+        F.round(
+            F.col("padded_tokens").cast("double")
+            / (F.col("useful_tokens") + F.col("padded_tokens")),
+            6,
+        ).alias("waste_rate"),
+    )

@@ -162,6 +162,10 @@ DOC_QUERIES = [
     "q339_png_pixel_decode",
     # GIF decode: minimum dims (6x4), 32-color palette wraps
     "q341_gif_pixel_decode",
+    # planted-artifact recovery must be exact on 1-doc corpora
+    "q345_text_health_audit",
+    # single-doc corpora make every bucket empty except one; gmax=1
+    "q346_padding_waste_advisor",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get
@@ -179,6 +183,10 @@ ORDER_QUERIES = [
     # 1-2 day revenue series (< max lag) must shrink/NULL the
     # portmanteau identically; constant series zero the ACF denom
     "q338_ljung_box",
+    # constant prices make mx = mn (zero-width grid) and sd_h = 0
+    # everywhere: bin division and Neyman weights must not diverge
+    "q347_quantile_sketch_merge",
+    "q348_neyman_stratified_sample",
 ]
 
 
