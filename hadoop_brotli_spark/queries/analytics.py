@@ -2990,3 +2990,502 @@ def q348_neyman_stratified_sample(
         F.col("n_sampled").cast("bigint").alias("n_sampled"),
         F.round("sample_mean", 6).alias("sample_mean"),
     )
+
+
+# ------------------------------------ q349 correlation matrix
+
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "q349_corr_matrix",
+    oracle=f"""
+    WITH pairs AS (
+      {" UNION ALL ".join(
+        f'''SELECT '{a}~{b}' AS pair,
+               CAST({a} AS DECIMAL(18,2)) AS x,
+               CAST({b} AS DECIMAL(18,2)) AS y
+        FROM lineitem'''
+        for i, a in enumerate(CORR_COLS)
+        for b in CORR_COLS[i + 1:])}
+    ),
+    s AS (
+      SELECT pair, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, CAST(n AS BIGINT) AS n_rows,
+           ROUND((n * sxy - sx * sy)
+                 / NULLIF(SQRT(GREATEST(
+                     (n * sxx - sx * sx) * (n * syy - sy * sy), 0.0)), 0.0),
+                 6) AS pearson_r
+    FROM s ORDER BY pair
+    """,
+)
+def q349_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the fact table's
+    numeric columns in ONE corpus pass — the feature-screening /
+    multicollinearity readout before any modeling op (q282's OLS,
+    q322's stumps): each row fans out to its {len(CORR_COLS)}C2
+    column pairs (map-side, bounded ×6), sufficient statistics
+    reduce per pair in DECIMAL (price² sums pass 2^53 — a float sum
+    would be partition-order-dependent), and r comes from the
+    closed form with the r3 zero-variance guards (GREATEST before
+    SQRT, NULLIF for constant columns).
+
+    At 100 TB: one shuffle of 6 groups × 7 numbers — the aggregate
+    state is O(columns²), never O(rows); adding columns changes the
+    fan-out constant, not the plan.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    pair_structs = [
+        F.struct(
+            F.lit(f"{a}~{b}").alias("pair"),
+            F.col(a).cast("decimal(18,2)").alias("x"),
+            F.col(b).cast("decimal(18,2)").alias("y"),
+        )
+        for i, a in enumerate(CORR_COLS)
+        for b in CORR_COLS[i + 1:]
+    ]
+    pairs = li.select(
+        F.explode(F.array(*pair_structs)).alias("p")
+    ).select("p.pair", "p.x", "p.y")
+    s = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.sqrt(
+            F.greatest(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+                F.lit(0.0),
+            )
+        ),
+        F.lit(0.0),
+    )
+    return s.select(
+        "pair",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(r, 6).alias("pearson_r"),
+    ).orderBy("pair")
+
+
+# ------------------------------------ q350 Fleiss' kappa
+
+FLEISS_RATERS = 3
+FLEISS_K = 3  # label categories
+# agreement dial: hash % 5 < 3 -> rater reports the base label
+_FLEISS_SPARK_H = (
+    "conv(substring(md5(concat(cast(doc_id as string), ':', "
+    "cast(r as string))), 1, 7), 16, 10)"
+)
+
+
+@register(
+    "q350_fleiss_kappa",
+    oracle=f"""
+    WITH rated AS (
+      SELECT d.doc_id,
+             CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7)
+                  AS BIGINT) % {FLEISS_K} AS BIGINT) AS base,
+             CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                     || CAST(r.r AS VARCHAR)), 1, 7)
+                  AS BIGINT) AS h,
+             r.r
+      FROM documents d, UNNEST(range({FLEISS_RATERS})) r(r)
+    ),
+    labels AS (
+      SELECT doc_id,
+             CASE WHEN h % 5 < 3 THEN base
+                  ELSE (base + 1 + h % 2) % {FLEISS_K} END AS label
+      FROM rated
+    ),
+    nij AS (
+      SELECT doc_id, label, COUNT(*) AS c FROM labels
+      GROUP BY doc_id, label
+    ),
+    per_subject AS (
+      SELECT doc_id,
+             (SUM(c * c) - {FLEISS_RATERS})
+               / CAST({FLEISS_RATERS} * ({FLEISS_RATERS} - 1) AS DOUBLE)
+               AS p_i
+      FROM nij GROUP BY doc_id
+    ),
+    pbar AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+             SUM(p_i) / COUNT(*) AS p_bar
+      FROM per_subject
+    ),
+    pj AS (
+      SELECT SUM(POW(CAST(c2 AS DOUBLE), 2)) AS pe FROM (
+        SELECT CAST(SUM(c) AS DOUBLE)
+               / (SELECT CAST(COUNT(*) AS DOUBLE) * {FLEISS_RATERS}
+                  FROM per_subject) AS c2
+        FROM nij GROUP BY label
+      )
+    )
+    SELECT b.n_subjects,
+           {FLEISS_RATERS} AS n_raters,
+           ROUND(b.p_bar, 6) AS p_bar,
+           ROUND(j.pe, 6) AS p_e,
+           ROUND((b.p_bar - j.pe) / NULLIF(1.0 - j.pe, 0.0), 6)
+             AS fleiss_kappa
+    FROM pbar b CROSS JOIN pj j
+    """,
+)
+def q350_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement for MORE THAN TWO
+    raters, completing the labeling-QA family (q304 Cohen's kappa is
+    the 2-rater case): {FLEISS_RATERS} deterministic hash-derived
+    raters label every document into {FLEISS_K} classes (each rater
+    reports the doc's base class with probability 3/5, else a
+    deterministic alternative — so agreement is well above chance
+    but imperfect), and κ = (P̄ − Pe)/(1 − Pe) from the per-subject
+    agreement and squared marginal shares.
+
+    All counts are exact integers until the final ratios; the hash
+    idiom (md5 hex → BIGINT, 7 nibbles) is the engine-portable
+    randomness used across the sampling ops. Scale: the rater
+    fan-out is ×{FLEISS_RATERS} map-side; state is |docs| n_ij
+    rows reduced twice into O(1) aggregates.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    raters = spark.range(FLEISS_RATERS).select(F.col("id").alias("r"))
+    rated = docs.crossJoin(F.broadcast(raters)).select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7),
+                16,
+                10,
+            ).cast("bigint")
+            % FLEISS_K
+        ).alias("base"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("doc_id").cast("string"),
+                                F.col("r").cast("string"))
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    labels = rated.select(
+        "doc_id",
+        F.when(F.col("h") % 5 < 3, F.col("base"))
+        .otherwise((F.col("base") + 1 + F.col("h") % 2) % FLEISS_K)
+        .alias("label"),
+    )
+    nij = labels.groupBy("doc_id", "label").agg(F.count(F.lit(1)).alias("c"))
+    per_subject = nij.groupBy("doc_id").agg(
+        (
+            (F.sum(F.col("c") * F.col("c")) - F.lit(FLEISS_RATERS))
+            / F.lit(float(FLEISS_RATERS * (FLEISS_RATERS - 1)))
+        ).alias("p_i")
+    )
+    pbar = per_subject.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subjects"),
+        (F.sum("p_i") / F.count(F.lit(1))).alias("p_bar"),
+    )
+    total = per_subject.agg(
+        (F.count(F.lit(1)).cast("double") * FLEISS_RATERS).alias("tot")
+    )
+    pj = (
+        nij.groupBy("label")
+        .agg(F.sum("c").cast("double").alias("cj"))
+        .crossJoin(F.broadcast(total))
+        .select((F.col("cj") / F.col("tot")).alias("c2"))
+        .agg(F.sum(F.col("c2") * F.col("c2")).alias("pe"))
+    )
+    return pbar.crossJoin(F.broadcast(pj)).select(
+        "n_subjects",
+        F.lit(FLEISS_RATERS).alias("n_raters"),
+        F.round("p_bar", 6).alias("p_bar"),
+        F.round("pe", 6).alias("p_e"),
+        F.round(
+            (F.col("p_bar") - F.col("pe"))
+            / F.nullif(F.lit(1.0) - F.col("pe"), F.lit(0.0)),
+            6,
+        ).alias("fleiss_kappa"),
+    )
+
+
+# ----------------------------- q352 two-sample Kolmogorov-Smirnov
+
+KS_SRC_A = "src0"
+KS_SRC_B = "src1"
+
+
+@register(
+    "q352_ks_two_sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT n_chars AS v,
+             CASE WHEN source = '{KS_SRC_A}' THEN 1 ELSE 0 END AS a,
+             CASE WHEN source = '{KS_SRC_B}' THEN 1 ELSE 0 END AS b
+      FROM documents WHERE source IN ('{KS_SRC_A}', '{KS_SRC_B}')
+    ),
+    tot AS (
+      SELECT CAST(SUM(a) AS DOUBLE) AS na, CAST(SUM(b) AS DOUBLE) AS nb
+      FROM s
+    ),
+    steps AS (
+      SELECT v, SUM(a) AS ca, SUM(b) AS cb FROM s GROUP BY v
+    ),
+    cdf AS (
+      SELECT v,
+             SUM(ca) OVER (ORDER BY v) AS cum_a,
+             SUM(cb) OVER (ORDER BY v) AS cum_b
+      FROM steps
+    )
+    SELECT CAST(t.na AS BIGINT) AS n_a,
+           CAST(t.nb AS BIGINT) AS n_b,
+           -- NULLIF: a one-source corpus empties a side; D is then
+           -- undefined (NULL) on both engines, not inf/error
+           ROUND(MAX(ABS(c.cum_a / NULLIF(t.na, 0.0)
+                         - c.cum_b / NULLIF(t.nb, 0.0))), 6) AS ks_d,
+           ROUND(MAX(ABS(c.cum_a / NULLIF(t.na, 0.0)
+                         - c.cum_b / NULLIF(t.nb, 0.0)))
+                 / (1.36 * SQRT((t.na + t.nb)
+                                / NULLIF(t.na * t.nb, 0.0))), 6)
+             AS d_over_crit_95
+    FROM cdf c CROSS JOIN tot t
+    GROUP BY t.na, t.nb
+    """,
+)
+def q352_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between two
+    sources' document-length distributions — the distribution-drift
+    test that needs NO binning choice (unlike q141's fixed-bin drift
+    and q292's fixed-quantile QQ): D = max |F̂_A(x) − F̂_B(x)| over
+    the merged support, compared to the 95% critical value
+    1.36·√((n_A+n_B)/(n_A·n_B)).
+
+    Plan: one conditional-count pass to per-value step counts (the
+    DISTINCT-VALUE grain, not the row grain), one ordered running
+    sum over that reduced support, one max — counts are exact
+    integers so the D statistic is bit-identical cross-engine. At
+    100 TB the support-grain window is the only sort, sized by
+    distinct lengths, not documents.
+    """
+    from pyspark.sql import Window as W
+
+    s = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("source").isin(KS_SRC_A, KS_SRC_B))
+        .select(
+            F.col("n_chars").alias("v"),
+            F.when(F.col("source") == KS_SRC_A, 1).otherwise(0).alias("a"),
+            F.when(F.col("source") == KS_SRC_B, 1).otherwise(0).alias("b"),
+        )
+    )
+    tot = s.agg(
+        F.sum("a").cast("double").alias("na"),
+        F.sum("b").cast("double").alias("nb"),
+    )
+    steps = s.groupBy("v").agg(
+        F.sum("a").alias("ca"), F.sum("b").alias("cb")
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cdf = steps.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    # NULLIF: a one-source corpus empties a side; D is then
+    # undefined (NULL) on both engines, not an ANSI error / inf
+    gap = F.abs(
+        F.col("cum_a") / F.nullif(F.col("na"), F.lit(0.0))
+        - F.col("cum_b") / F.nullif(F.col("nb"), F.lit(0.0))
+    )
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(F.max(gap).alias("d"))
+        .select(
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.round("d", 6).alias("ks_d"),
+            F.round(
+                F.col("d")
+                / (
+                    F.lit(1.36)
+                    * F.sqrt(
+                        (F.col("na") + F.col("nb"))
+                        / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
+                    )
+                ),
+                6,
+            ).alias("d_over_crit_95"),
+        )
+    )
+
+
+# --------------------------- q353 Benjamini-Hochberg FDR control
+
+BH_ALPHA = 0.1
+
+
+@register(
+    "q353_bh_fdr_control",
+    oracle=f"""
+    WITH span AS (
+      SELECT MIN(ts) AS t0, MAX(ts) AS t1 FROM events
+    ),
+    halves AS (
+      -- midpoint in INTEGER epoch microseconds on both engines:
+      -- interval/2 arithmetic rounds differently across engines
+      SELECT e.event_type,
+             CASE WHEN epoch_us(e.ts) < epoch_us(s.t0)
+                       + (epoch_us(s.t1) - epoch_us(s.t0)) // 2
+                  THEN 1 ELSE 0 END AS h1,
+             CAST(e.value AS DECIMAL(18,2)) AS v
+      FROM events e CROSS JOIN span s
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(SUM(h1) AS DOUBLE) AS n1,
+             CAST(SUM(1 - h1) AS DOUBLE) AS n2,
+             CAST(SUM(CASE WHEN h1 = 1 THEN v END) AS DOUBLE) AS s1,
+             CAST(SUM(CASE WHEN h1 = 0 THEN v END) AS DOUBLE) AS s2,
+             CAST(SUM(CASE WHEN h1 = 1 THEN v * v END) AS DOUBLE) AS q1,
+             CAST(SUM(CASE WHEN h1 = 0 THEN v * v END) AS DOUBLE) AS q2
+      FROM halves GROUP BY event_type
+    ),
+    ztab AS (
+      SELECT event_type, n1, n2,
+             (s1 / NULLIF(n1, 0.0) - s2 / NULLIF(n2, 0.0))
+               / NULLIF(SQRT(GREATEST(
+                   (q1 - s1 * s1 / NULLIF(n1, 0.0))
+                     / NULLIF(n1 * GREATEST(n1 - 1, 1.0), 0.0)
+                   + (q2 - s2 * s2 / NULLIF(n2, 0.0))
+                     / NULLIF(n2 * GREATEST(n2 - 1, 1.0), 0.0), 0.0)), 0.0)
+               AS z
+      FROM stats
+    ),
+    ptab AS (
+      -- logistic approximation of the two-sided normal p-value:
+      -- identical op order on both engines, so hash-stable
+      SELECT event_type,
+             ROUND(2.0 / (1.0 + exp(1.702 * ABS(z))), 6) AS p
+      FROM ztab
+    ),
+    ranked AS (
+      SELECT event_type, p,
+             ROW_NUMBER() OVER (ORDER BY p, event_type) AS r,
+             COUNT(*) OVER () AS m
+      FROM ptab WHERE p IS NOT NULL
+    ),
+    cutoff AS (
+      SELECT COALESCE(MAX(CASE WHEN p <= {BH_ALPHA} * r / m
+                               THEN p END), -1.0) AS p_star
+      FROM ranked
+    )
+    SELECT rk.event_type, rk.p AS p_value,
+           CAST(rk.r AS BIGINT) AS rank_asc,
+           ROUND({BH_ALPHA} * rk.r / rk.m, 6) AS bh_line,
+           CASE WHEN rk.p <= c.p_star THEN 1 ELSE 0 END AS rejected
+    FROM ranked rk CROSS JOIN cutoff c
+    """,
+)
+def q353_bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control — the multiple-testing
+    correction every metrics platform needs once it tests MANY
+    hypotheses at once (here: one Welch z-test per event type,
+    first-half vs second-half mean value): rank p ascending, find
+    the largest r with p_r ≤ α·r/m, reject everything at or below
+    that p. Running q151-style tests per type WITHOUT this inflates
+    false positives linearly in m.
+
+    p-values use a logistic approximation of the two-sided normal
+    tail (identical arithmetic both engines, rounded before every
+    compare); sufficient statistics are DECIMAL-exact; all the r3
+    zero-variance guards apply (single-row halves, constant values).
+    Plan: one fact pass, |types| sufficient-stat rows, the BH walk
+    runs on the m-row frame.
+    """
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    span = ev.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    dec = F.col("value").cast("decimal(18,2)")
+    halves = ev.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.when(
+            F.unix_micros("ts")
+            < F.unix_micros("t0")
+            + F.expr("(unix_micros(t1) - unix_micros(t0)) div 2"),
+            1,
+        )
+        .otherwise(0)
+        .alias("h1"),
+        dec.alias("v"),
+    )
+    stats = halves.groupBy("event_type").agg(
+        F.sum("h1").cast("double").alias("n1"),
+        F.sum(1 - F.col("h1")).cast("double").alias("n2"),
+        F.sum(F.when(F.col("h1") == 1, F.col("v"))).cast("double").alias("s1"),
+        F.sum(F.when(F.col("h1") == 0, F.col("v"))).cast("double").alias("s2"),
+        F.sum(F.when(F.col("h1") == 1, F.col("v") * F.col("v")))
+        .cast("double")
+        .alias("q1"),
+        F.sum(F.when(F.col("h1") == 0, F.col("v") * F.col("v")))
+        .cast("double")
+        .alias("q2"),
+    )
+    var1 = (
+        F.col("q1") - F.col("s1") * F.col("s1") / F.nullif(F.col("n1"), F.lit(0.0))
+    ) / F.nullif(
+        F.col("n1") * F.greatest(F.col("n1") - 1, F.lit(1.0)), F.lit(0.0)
+    )
+    var2 = (
+        F.col("q2") - F.col("s2") * F.col("s2") / F.nullif(F.col("n2"), F.lit(0.0))
+    ) / F.nullif(
+        F.col("n2") * F.greatest(F.col("n2") - 1, F.lit(1.0)), F.lit(0.0)
+    )
+    z = (
+        F.col("s1") / F.nullif(F.col("n1"), F.lit(0.0))
+        - F.col("s2") / F.nullif(F.col("n2"), F.lit(0.0))
+    ) / F.nullif(F.sqrt(F.greatest(var1 + var2, F.lit(0.0))), F.lit(0.0))
+    ptab = stats.select(
+        "event_type",
+        F.round(2.0 / (1.0 + F.exp(1.702 * F.abs(z))), 6).alias("p"),
+    ).filter(F.col("p").isNotNull())
+    wr = W.orderBy("p", "event_type")
+    ranked = ptab.select(
+        "event_type",
+        "p",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("m"),
+    )
+    cutoff = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p") <= F.lit(BH_ALPHA) * F.col("r") / F.col("m"),
+                    F.col("p"),
+                )
+            ),
+            F.lit(-1.0),
+        ).alias("p_star")
+    )
+    return ranked.crossJoin(F.broadcast(cutoff)).select(
+        "event_type",
+        F.col("p").alias("p_value"),
+        F.col("r").cast("bigint").alias("rank_asc"),
+        F.round(F.lit(BH_ALPHA) * F.col("r") / F.col("m"), 6).alias("bh_line"),
+        F.when(F.col("p") <= F.col("p_star"), 1).otherwise(0).alias("rejected"),
+    )

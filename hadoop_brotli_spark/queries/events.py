@@ -824,3 +824,67 @@ def q195_resettable_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_events_per_segment"
         ),
     )
+
+
+# --------------------------------------- q351 VARIANT JSON surface
+
+
+@register(
+    "q351_variant_json_ops",
+    oracle="""
+    WITH parsed AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+             CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                  THEN 1 ELSE 0 END AS has_k,
+             CASE WHEN json_extract(props, '$.missing') IS NULL
+                  THEN 1 ELSE 0 END AS missing_is_null
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           CAST(SUM(has_k) AS BIGINT) AS n_with_k,
+           CAST(SUM(missing_is_null) AS BIGINT) AS n_missing_null
+    FROM parsed GROUP BY event_type
+    """,
+)
+def q351_variant_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: semi-structured ``props`` parsed ONCE
+    into the binary VARIANT encoding (``parse_json``) and then read
+    with typed ``variant_get`` paths — the shredded-JSON access
+    pattern that replaces per-access string re-parsing (every
+    ``get_json_object`` call re-tokenizes the string; variant_get
+    reads the pre-parsed tree). Missing paths are NULL, not errors —
+    asserted via the `n_missing_null` probe.
+
+    The oracle reads the SAME fields with DuckDB's JSON extraction,
+    proving the VARIANT path is a representation change, not a
+    semantics change. Scale: parse cost is paid once per row
+    map-side; aggregate state is |event_type| rows. At 100 TB the
+    production upgrade is VARIANT-typed parquet columns with
+    shredding — the query shape is already this one.
+    """
+    ev = t(spark, sf_dir, "events").select("event_type", "props")
+    parsed = ev.select(
+        "event_type",
+        F.parse_json(F.col("props")).alias("v"),
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+        F.expr("variant_get(v, '$.missing', 'bigint')").alias("missing"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+        F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_k"),
+        F.sum(F.when(F.col("missing").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missing_null"),
+    )

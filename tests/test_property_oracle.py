@@ -80,6 +80,11 @@ EVENT_QUERIES = [
     # short series (< lag days) empty the scored set; zero-value
     # days exercise every NULLIF denominator
     "q302_forecast_backtest",
+    # VARIANT path extraction on generated props (constant k)
+    "q351_variant_json_ops",
+    # single-event halves / constant values zero the Welch variance;
+    # the BH walk must behave on m=|types| down to 1
+    "q353_bh_fdr_control",
     # duplicate timestamps and back-to-back events attack the
     # island-boundary running-MAX tie-breaks
     "q306_interval_union_coverage",
@@ -166,6 +171,10 @@ DOC_QUERIES = [
     "q345_text_health_audit",
     # single-doc corpora make every bucket empty except one; gmax=1
     "q346_padding_waste_advisor",
+    # 1-doc corpora: per-subject agreement and Pe from one subject
+    "q350_fleiss_kappa",
+    # one-source corpora empty a KS side -> guards must agree
+    "q352_ks_two_sample",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get
