@@ -8505,11 +8505,11 @@ TFIDF_TOPK = 15
       JOIN norms na ON na.doc_id = d.doc_a
       JOIN norms nb ON nb.doc_id = d.doc_b
     )
-    SELECT doc_a, doc_b, ROUND(cosine, 6) AS cosine,
-           CAST(rk AS BIGINT) AS rk
+    SELECT doc_a, doc_b, cosine, CAST(rk AS BIGINT) AS rk
     FROM (
-      SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_a, doc_b)
-               AS rk
+      SELECT doc_a, doc_b, ROUND(cosine, 6) AS cosine,
+             ROW_NUMBER() OVER (ORDER BY ROUND(cosine, 6) DESC,
+                                doc_a, doc_b) AS rk
       FROM scored
     ) WHERE rk <= {TFIDF_TOPK}
     """,
@@ -8543,13 +8543,16 @@ def q333_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ANSI. DuckDB's range(1, 1) is empty — no bigrams — so the
         # correct twin is to contribute nothing.
         .filter(F.size(F.split("text", " ")) >= 2)
+        # tokenize ONCE per row: referencing split() inside the
+        # transform lambda re-splits the string per element access
+        .select("doc_id", F.split("text", " ").alias("tk"))
         .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 1),"
-                    " i -> concat(element_at(split(text, ' '), i), ' ',"
-                    " element_at(split(text, ' '), i + 1)))"
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> concat(element_at(tk, i), ' ',"
+                    " element_at(tk, i + 1)))"
                 )
             ).alias("w"),
         )
@@ -8603,7 +8606,15 @@ def q333_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+            # round BEFORE ranking: two pairs whose true cosines
+            # differ only in the 1e-16 summation-order noise must
+            # TIE (and fall through to the doc-pair tie-break)
+            # identically on both engines — ranking the raw double
+            # let Spark and DuckDB order a displayed-equal pair
+            # differently (property-hunt find, r3)
+            F.round(
+                F.col("dot") / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
         )
     )
     wr = W.orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
@@ -8613,7 +8624,7 @@ def q333_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round("cosine", 6).alias("cosine"),
+            "cosine",
             F.col("rk").cast("bigint").alias("rk"),
         )
     )

@@ -2843,3 +2843,208 @@ def q251_source_quality_league(spark: SparkSession, sf_dir: str) -> DataFrame:
     return league.withColumn(
         "league_rank", F.row_number().over(wr).cast("bigint")
     )
+
+
+# ---------------------------------------- q354 RAG chunking
+
+RAG_CHUNK = 120  # chars per chunk
+RAG_STRIDE = 90  # start-to-start distance (30-char overlap)
+
+
+@register(
+    "q354_rag_chunking",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, n_chars,
+             CAST(FLOOR((GREATEST(n_chars, 1) - 1) / {RAG_STRIDE})
+                  AS BIGINT) AS k
+      FROM documents
+    ),
+    chunks AS (
+      SELECT d.doc_id,
+             CAST(r.i AS BIGINT) AS chunk_idx,
+             substr(d.text, CAST(r.i * {RAG_STRIDE} + 1 AS BIGINT),
+                    {RAG_CHUNK}) AS chunk
+      FROM d, UNNEST(range(0, d.k + 1)) r(i)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(LENGTH(chunk) AS BIGINT) AS chunk_len,
+           substr(md5(chunk), 1, 16) AS chunk_id
+    FROM chunks
+    """,
+)
+def q354_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-ingest chunking: every document split into overlapping
+    {RAG_CHUNK}-char windows on a {RAG_STRIDE}-char stride (the
+    retrieval-corpus preparation upstream of embedding + indexing —
+    q343/q344 consume exactly this grain), each chunk carrying a
+    content-derived stable id (md5 prefix) so re-ingest dedups and
+    incremental updates are hash-joins, not positional diffs.
+
+    Chunk-start generation clamps the sequence stop to ≥0 BEFORE
+    `sequence()` (the q260/q333 descending-sequence trap — Spark's
+    sequence(0, -1) DESCENDS where DuckDB's range is empty); chunks
+    are emitted via a bounded per-row explode, so the fan-out is
+    len/stride, map-side, with no shuffle at all — at 100 TB this is
+    a pure narrow transform feeding the embedding stage.
+    """
+    d = fan_out(t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "text",
+        F.floor(
+            (F.greatest(F.col("n_chars"), F.lit(1)) - 1) / RAG_STRIDE
+        )
+        .cast("bigint")
+        .alias("k"),
+    )
+    chunks = d.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0L, k)")).alias("chunk_idx"),
+        "text",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.expr(
+            f"substring(text, cast(chunk_idx * {RAG_STRIDE} + 1 as int),"
+            f" {RAG_CHUNK})"
+        ).alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.length("chunk").cast("bigint").alias("chunk_len"),
+        F.substring(F.md5(F.col("chunk").cast("binary")), 1, 16).alias(
+            "chunk_id"
+        ),
+    )
+
+
+# ---------------------------------------- q355 PMI collocations
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+
+
+@register(
+    "q355_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    uni AS (
+      SELECT u.w, COUNT(*) AS c FROM (
+        SELECT UNNEST(tk) AS w FROM toks
+      ) u GROUP BY u.w
+    ),
+    tot_u AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+    big AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2, COUNT(*) AS c
+      FROM toks, UNNEST(range(1, len(tk))) r(i)
+      GROUP BY tk[i], tk[i + 1]
+    ),
+    tot_b AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM big),
+    scored AS (
+      SELECT b.w1, b.w2, b.c,
+             ROUND(LN((b.c / tb.n)
+                      / ((u1.c / tu.n) * (u2.c / tu.n))), 6) AS pmi
+      FROM big b
+      JOIN uni u1 ON u1.w = b.w1
+      JOIN uni u2 ON u2.w = b.w2
+      CROSS JOIN tot_b tb CROSS JOIN tot_u tu
+      WHERE b.c >= {PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, CAST(c AS BIGINT) AS n_pair, pmi,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rk
+      FROM scored
+    ) WHERE rk <= {PMI_TOPK}
+    """,
+)
+def q355_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation extraction — the
+    association-strength upgrade over raw bigram counts (q184 ranks
+    by frequency, which surfaces stopword pairs; PMI = ln(p(xy) /
+    p(x)p(y)) surfaces pairs that co-occur MORE than their unigram
+    frequencies predict — the classic phrase-mining signal, with a
+    min-count floor of {PMI_MIN_COUNT} to kill the low-count PMI
+    explosion). Top-{PMI_TOPK} by (pmi DESC, pair).
+
+    Plan: two parquet scans (one per count grain — a scan is cheaper
+    than materializing corpus-sized token arrays to share one), each
+    reducing immediately to vocabulary-sized aggregates;
+    the PMI join runs bigram-table × two broadcast-able unigram
+    lookups; all probabilities derive from integer counts so ln() on
+    identical ratios is cross-engine stable (ROUND 6, q229
+    precedent). 1-word docs contribute no bigrams on either engine
+    (q333's clamp rule).
+    """
+    from pyspark.sql import Window as W
+
+    toks = fan_out(t(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot_u = uni.agg(F.sum("c").cast("double").alias("nu"))
+    big = (
+        toks.filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> struct(element_at(tk, i) AS w1,"
+                    " element_at(tk, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot_b = big.agg(F.sum("c").cast("double").alias("nb"))
+    scored = (
+        big.filter(F.col("c") >= PMI_MIN_COUNT)
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w1"),
+                                   F.col("c").alias("c1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"),
+                                   F.col("c").alias("c2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot_b))
+        .crossJoin(F.broadcast(tot_u))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.round(
+                F.log(
+                    (F.col("c") / F.col("nb"))
+                    / (
+                        (F.col("c1") / F.col("nu"))
+                        * (F.col("c2") / F.col("nu"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    # Top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-
+    # partition heaps, no single-task global sort over the pair
+    # table), THEN rank the k-row survivor set — the window's
+    # single-partition shuffle only ever sees PMI_TOPK rows.
+    topk = scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(PMI_TOPK)
+    w = W.orderBy(F.col("pmi").desc(), "w1", "w2")
+    return topk.withColumn(
+        "rk", F.row_number().over(w).cast("bigint")
+    ).select(
+        "w1", "w2", F.col("c").cast("bigint").alias("n_pair"), "pmi", "rk"
+    )

@@ -794,3 +794,67 @@ def q150_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             stats("documents", t(spark, sf_dir, "documents"), "doc_id", "source")
         )
     )
+
+
+# ------------------------------ q356 recursive CTE hierarchy
+
+
+@register(
+    "q356_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE h AS (
+      SELECT c_custkey AS k, c_custkey AS root, 0 AS depth,
+             CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer WHERE c_custkey < 10
+      UNION ALL
+      SELECT c.c_custkey, h.root, h.depth + 1,
+             CAST(c.c_acctbal AS DECIMAL(18,2))
+      FROM customer c JOIN h ON h.k = c.c_custkey // 10
+      WHERE c.c_custkey >= 10
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots,
+           CAST(SUM(bal) AS DOUBLE) AS total_bal,
+           CAST(MIN(k) AS BIGINT) AS min_key,
+           CAST(MAX(k) AS BIGINT) AS max_key
+    FROM h GROUP BY depth ORDER BY depth
+    """,
+)
+def q356_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE hierarchy traversal — new in Spark 4 (finally
+    closing the classic org-chart/BOM gap that previously forced
+    driver-side iteration): customers form a synthetic decimal tree
+    (parent = custkey div 10, roots are custkey < 10), and the
+    recursion flattens every node to (root, depth), aggregated per
+    level with DECIMAL-exact balance sums.
+
+    The oracle is the SAME recursive SQL in DuckDB (integer division
+    spelled `//` there, `div` here — the one dialect difference).
+    Scale note: Spark executes each recursion step as a join against
+    the previous frontier — the same iterate-and-union plan the
+    manual loops (q64's propagation, q305's BFS) build by hand, but
+    optimizer-managed; depth here is ≤ log10(max key).
+    """
+    t(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_hier_src"
+    )
+    return spark.sql("""
+      WITH RECURSIVE h AS (
+        SELECT c_custkey AS k, c_custkey AS root, 0 AS depth,
+               CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        FROM customer_hier_src WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey, h.root, h.depth + 1,
+               CAST(c.c_acctbal AS DECIMAL(18,2))
+        FROM customer_hier_src c JOIN h ON h.k = c.c_custkey div 10
+        WHERE c.c_custkey >= 10
+      )
+      SELECT CAST(depth AS BIGINT) AS depth,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots,
+             CAST(SUM(bal) AS DOUBLE) AS total_bal,
+             CAST(MIN(k) AS BIGINT) AS min_key,
+             CAST(MAX(k) AS BIGINT) AS max_key
+      FROM h GROUP BY depth ORDER BY depth
+    """)

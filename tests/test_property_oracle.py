@@ -175,6 +175,12 @@ DOC_QUERIES = [
     "q350_fleiss_kappa",
     # one-source corpora empty a KS side -> guards must agree
     "q352_ks_two_sample",
+    # 1-word docs: chunk k=0 must yield exactly one chunk; the
+    # descending-sequence clamp is load-bearing here
+    "q354_rag_chunking",
+    # tiny corpora rarely reach the min-count floor -> empty top-k
+    # on both engines
+    "q355_pmi_collocations",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get
