@@ -743,3 +743,547 @@ def q344_ivf_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PQ_TOPK)
         .select("query_id", "cand_id", "adist", "rn")
     )
+
+
+# ----------------------------------- q357 PCA top component (power iteration)
+
+PCA_ITERS = 3
+
+
+def _dsum(col: Column, scale: int) -> Column:
+    """Order-independent exact sum: grid-round each term (identical
+    doubles on both engines -> identical grid values), accumulate in
+    DECIMAL (int128-exact, partition-order-free), read back as
+    DOUBLE. The memory-bank roundtrip idiom (q282/q324 precedent)."""
+    return (
+        F.sum(F.round(col, scale).cast(f"decimal(38,{scale})")).cast("double")
+    )
+
+
+def _pca_oracle() -> str:
+    """Unrolled power-iteration oracle (3 map-reduce passes)."""
+    it = ""
+    prev = "v0"
+    for k in (1, 2, 3):
+        it += f"""
+    s{k} AS (
+      SELECT c.vec_id,
+             CAST(SUM(CAST(ROUND(c.c * {prev}.v, 12) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS s
+      FROM c JOIN {prev} USING (j) GROUP BY c.vec_id
+    ),
+    u{k} AS (
+      SELECT c.j,
+             CAST(SUM(CAST(ROUND(c.c * s{k}.s, 9) AS DECIMAL(38,9)))
+                  AS DOUBLE) AS u
+      FROM c JOIN s{k} USING (vec_id) GROUP BY c.j
+    ),
+    n{k} AS (
+      SELECT SQRT(CAST(SUM(CAST(ROUND(u * u, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE)) AS nrm
+      FROM u{k}
+    ),
+    v{k} AS (
+      SELECT j, u / NULLIF((SELECT nrm FROM n{k}), 0.0) AS v FROM u{k}
+    ),"""
+        prev = f"v{k}"
+    return f"""
+    WITH x AS (
+      SELECT vec_id, CAST(i AS BIGINT) AS j,
+             CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(len(embedding))) AS r(i)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+    mu AS (
+      SELECT j,
+             CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               / COUNT(*) AS mu
+      FROM x GROUP BY j
+    ),
+    c AS (
+      SELECT x.vec_id, x.j, x.x - mu.mu AS c FROM x JOIN mu USING (j)
+    ),
+    v0 AS (SELECT CAST(r.i AS BIGINT) AS j, 0.125 AS v
+           FROM range(64) AS r(i)),{it}
+    sf AS (
+      SELECT c.vec_id,
+             CAST(SUM(CAST(ROUND(c.c * v3.v, 12) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS s
+      FROM c JOIN v3 USING (j) GROUP BY c.vec_id
+    ),
+    lam AS (
+      SELECT CAST(SUM(CAST(ROUND(s * s, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               / NULLIF((SELECT n FROM nn) - 1, 0.0) AS lam
+      FROM sf
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(ROUND(c * c, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               / NULLIF((SELECT n FROM nn) - 1, 0.0) AS tv
+      FROM c
+    )
+    SELECT v3.j AS dim_idx, ROUND(v3.v, 6) AS loading,
+           ROUND(lam.lam, 6) AS lambda1,
+           ROUND(lam.lam / NULLIF(tot.tv, 0.0), 6) AS explained_share
+    FROM v3, lam, tot
+    """
+
+
+@register("q357_pca_power_iteration", oracle=_pca_oracle())
+def q357_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by {PCA_ITERS}
+    power-iteration passes — the distributed PCA shape (each
+    iteration is one map-reduce over the corpus: score every vector
+    against the current direction, then re-accumulate the direction
+    from the scores; the d x d covariance matrix is NEVER formed).
+    Start vector is the deterministic uniform direction 1/sqrt(64) =
+    0.125 (exact in binary). Emits the 64 loadings plus the Rayleigh
+    quotient lambda-1 and its explained-variance share — the "is one
+    direction dominating my embedding space" collapse diagnostic
+    (anisotropy is the classic symptom of degenerate embeddings).
+
+    Cross-engine determinism: EVERY corpus-sized reduction goes
+    through the grid-round -> DECIMAL -> DOUBLE roundtrip (_dsum), so
+    each iteration's direction vector is bit-identical on both
+    engines and rounding at display never sits on a noisy boundary;
+    iteration amplification of summation-order ulps is eliminated at
+    the source rather than absorbed at the end.
+
+    Scale notes (100 TB): the long table is n x 64 narrow rows,
+    checkpointed once (q64's iterate-from-stable-input lesson); the
+    per-vector score groupBy carries map-side partial sums; the
+    per-dimension re-accumulation has only 64 groups (partial
+    aggregation reduces every task to <=64 rows before the
+    exchange); the direction state is 64 rows, always broadcast —
+    the driver never holds corpus data. A production loop would
+    bucket-write the centered table by vec_id so the per-iteration
+    score join reuses one partitioning.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("jp", "xf")
+    ).select(
+        "vec_id",
+        F.col("jp").cast("bigint").alias("j"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    mu = x.groupBy("j").agg(
+        (_dsum(F.col("x"), 9) / F.count(F.lit(1))).alias("mu")
+    )
+    c = (
+        x.join(F.broadcast(mu), "j")
+        .select("vec_id", "j", (F.col("x") - F.col("mu")).alias("c"))
+        .localCheckpoint()
+    )
+    nn = emb.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    v = spark.range(64).select(
+        F.col("id").alias("j"), F.lit(0.125).alias("v")
+    )
+    for _ in range(PCA_ITERS):
+        s = (
+            c.join(F.broadcast(v), "j")
+            .groupBy("vec_id")
+            .agg(_dsum(F.col("c") * F.col("v"), 12).alias("s"))
+        )
+        u = (
+            c.join(s, "vec_id")
+            .groupBy("j")
+            .agg(_dsum(F.col("c") * F.col("s"), 9).alias("u"))
+        )
+        nrm = u.agg(
+            F.sqrt(_dsum(F.col("u") * F.col("u"), 12)).alias("nrm")
+        )
+        # NULLIF: an all-identical corpus centers to zero -> nrm=0;
+        # the direction is undefined and must go NULL on BOTH
+        # engines, not error (ANSI /0) or NaN (property-hunt find)
+        v = u.crossJoin(F.broadcast(nrm)).select(
+            "j",
+            (F.col("u") / F.nullif(F.col("nrm"), F.lit(0.0))).alias("v"),
+        )
+    sf_ = (
+        c.join(F.broadcast(v), "j")
+        .groupBy("vec_id")
+        .agg(_dsum(F.col("c") * F.col("v"), 12).alias("s"))
+    )
+    lam = (
+        sf_.agg(_dsum(F.col("s") * F.col("s"), 9).alias("ss"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            (
+                F.col("ss") / F.nullif(F.col("n") - 1, F.lit(0.0))
+            ).alias("lam")
+        )
+    )
+    tot = (
+        c.agg(_dsum(F.col("c") * F.col("c"), 12).alias("cc"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            (
+                F.col("cc") / F.nullif(F.col("n") - 1, F.lit(0.0))
+            ).alias("tv")
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("j").alias("dim_idx"),
+            F.round("v", 6).alias("loading"),
+            F.round("lam", 6).alias("lambda1"),
+            F.round(
+                F.col("lam") / F.nullif(F.col("tv"), F.lit(0.0)), 6
+            ).alias("explained_share"),
+        )
+    )
+
+
+# ------------------------- q358 Johnson-Lindenstrauss projection distortion
+
+JL_K = 8          # projected dimensions
+JL_SAMPLE = 30    # audit pair sample: vec_id < 30 -> 435 pairs
+
+
+@register(
+    "q358_jl_projection_distortion",
+    oracle=f"""
+    WITH xl AS (
+      SELECT vec_id, CAST(i AS BIGINT) AS j,
+             CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(len(embedding))) AS r(i)
+      WHERE vec_id < {JL_SAMPLE}
+    ),
+    sgn AS (
+      SELECT CAST(j.i AS BIGINT) AS j, CAST(k.i AS BIGINT) AS k,
+             CASE WHEN CAST('0x' || substr(md5(j.i || '_' || k.i), 1, 1)
+                       AS BIGINT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS sgn
+      FROM range(64) AS j(i), range({JL_K}) AS k(i)
+    ),
+    y AS (
+      SELECT xl.vec_id, sgn.k,
+             CAST(SUM(CAST(ROUND(xl.x * sgn.sgn, 9) AS DECIMAL(38,9)))
+                  AS DOUBLE) / SQRT(CAST({JL_K} AS DOUBLE)) AS y
+      FROM xl JOIN sgn USING (j)
+      GROUP BY xl.vec_id, sgn.k
+    ),
+    d2 AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(SUM(CAST(ROUND((a.x - b.x) * (a.x - b.x), 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS d2
+      FROM xl a JOIN xl b ON a.j = b.j AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    d2p AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(SUM(CAST(ROUND((a.y - b.y) * (a.y - b.y), 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS d2p
+      FROM y a JOIN y b ON a.k = b.k AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    r AS (
+      SELECT d2.va, d2.vb,
+             ROUND(d2p.d2p / NULLIF(d2.d2, 0.0), 9) AS ratio
+      FROM d2 JOIN d2p ON d2.va = d2p.va AND d2.vb = d2p.vb
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) - COUNT(ratio) AS BIGINT) AS n_degenerate,
+           ROUND(CAST(SUM(CAST(ratio AS DECIMAL(38,9))) AS DOUBLE)
+                 / NULLIF(COUNT(ratio), 0), 6) AS mean_ratio,
+           ROUND(MIN(ratio), 6) AS min_ratio,
+           ROUND(MAX(ratio), 6) AS max_ratio,
+           ROUND(CAST(COUNT(CASE WHEN ratio BETWEEN 0.9 AND 1.1
+                                 THEN 1 END) AS DOUBLE)
+                 / NULLIF(COUNT(ratio), 0), 6) AS share_within_10pct,
+           ROUND(CAST(COUNT(CASE WHEN ratio BETWEEN 0.75 AND 1.25
+                                 THEN 1 END) AS DOUBLE)
+                 / NULLIF(COUNT(ratio), 0), 6) AS share_within_25pct
+    FROM r
+    """,
+)
+def q358_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection (the database-friendly Johnson-
+    Lindenstrauss transform, Achlioptas 2003: R_jk = +-1 drawn from a
+    hash, y = Rx/sqrt(k)) from 64 to {JL_K} dims, audited by the
+    pairwise-distance distortion ratio ||ya-yb||^2 / ||xa-xb||^2 over
+    a bounded {JL_SAMPLE}-vector pair sample — the measured "how much
+    geometry does my cheap sketch keep" readout that decides whether
+    downstream dedup/ANN can run on the projection.
+
+    The projection matrix is never materialized from randomness: the
+    sign at (j,k) is a pure md5 parity, so both engines — and every
+    retry, partition, and engine version — derive the identical
+    matrix (the q88 reproducibility rule applied to linear algebra).
+    All reductions use the grid-round -> DECIMAL -> DOUBLE roundtrip
+    (bit-identical projections cross-engine); identical vectors in
+    hostile data make d2 = 0 -> NULLIF keeps the ratio NULL on both
+    engines (ANSI-safe), counted in n_degenerate.
+
+    Scale notes (100 TB): the projection is a narrow fan-out join
+    against a broadcast 64x{JL_K} sign table followed by a partial-
+    aggregated (vec_id, k) sum — one shuffle keyed by vector; the
+    distortion AUDIT (quadratic pairs) is intentionally bounded to a
+    fixed sample, never the corpus.
+    """
+    xl = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < JL_SAMPLE)
+        .select("vec_id", F.posexplode("embedding").alias("jp", "xf"))
+        .select(
+            "vec_id",
+            F.col("jp").cast("bigint").alias("j"),
+            F.col("xf").cast("double").alias("x"),
+        )
+    )
+    sgn = (
+        spark.range(64)
+        .select(F.col("id").alias("j"))
+        .crossJoin(spark.range(JL_K).select(F.col("id").alias("k")))
+        .select(
+            "j",
+            "k",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("j").cast("string"),
+                                F.lit("_"),
+                                F.col("k").cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+                == 0,
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("sgn"),
+        )
+    )
+    y = (
+        xl.join(F.broadcast(sgn), "j")
+        .groupBy("vec_id", "k")
+        .agg(
+            (
+                _dsum(F.col("x") * F.col("sgn"), 9)
+                / F.sqrt(F.lit(float(JL_K)))
+            ).alias("y")
+        )
+    )
+    xa = xl.select(
+        F.col("vec_id").alias("va"), "j", F.col("x").alias("ax")
+    )
+    xb = xl.select(
+        F.col("vec_id").alias("vb"), "j", F.col("x").alias("bx")
+    )
+    d2 = (
+        xa.join(F.broadcast(xb), "j")
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(
+            _dsum(
+                (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")),
+                12,
+            ).alias("d2")
+        )
+    )
+    ya = y.select(F.col("vec_id").alias("va"), "k", F.col("y").alias("ay"))
+    yb = y.select(F.col("vec_id").alias("vb"), "k", F.col("y").alias("by"))
+    d2p = (
+        ya.join(F.broadcast(yb), "k")
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(
+            _dsum(
+                (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")),
+                12,
+            ).alias("d2p")
+        )
+    )
+    r = d2.join(d2p, ["va", "vb"]).select(
+        F.round(
+            F.col("d2p") / F.nullif(F.col("d2"), F.lit(0.0)), 9
+        ).alias("ratio")
+    )
+    nr = F.count("ratio")
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        (F.count(F.lit(1)) - F.count("ratio")).cast("bigint").alias(
+            "n_degenerate"
+        ),
+        F.round(
+            F.sum(F.col("ratio").cast("decimal(38,9)")).cast("double")
+            / F.nullif(nr, F.lit(0)),
+            6,
+        ).alias("mean_ratio"),
+        F.round(F.min("ratio"), 6).alias("min_ratio"),
+        F.round(F.max("ratio"), 6).alias("max_ratio"),
+        F.round(
+            F.count(
+                F.when(F.col("ratio").between(0.9, 1.1), F.lit(1))
+            ).cast("double")
+            / F.nullif(nr, F.lit(0)),
+            6,
+        ).alias("share_within_10pct"),
+        F.round(
+            F.count(
+                F.when(F.col("ratio").between(0.75, 1.25), F.lit(1))
+            ).cast("double")
+            / F.nullif(nr, F.lit(0)),
+            6,
+        ).alias("share_within_25pct"),
+    )
+
+
+# ------------------------------------ q359 k-means single Lloyd iteration
+
+KM_K = 8  # seed centroids: vec_id 0..7
+
+
+@register(
+    "q359_kmeans_lloyd_step",
+    oracle=f"""
+    WITH xl AS (
+      SELECT vec_id, CAST(i AS BIGINT) AS j,
+             CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(len(embedding))) AS r(i)
+    ),
+    seeds AS (
+      SELECT vec_id AS cid, j, x AS sx FROM xl WHERE vec_id < {KM_K}
+    ),
+    dist AS (
+      SELECT xl.vec_id, seeds.cid,
+             ROUND(CAST(SUM(CAST(ROUND((xl.x - seeds.sx)
+                                       * (xl.x - seeds.sx), 12)
+                                 AS DECIMAL(38,12))) AS DOUBLE), 6) AS d2
+      FROM xl JOIN seeds USING (j)
+      GROUP BY xl.vec_id, seeds.cid
+    ),
+    assign AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    newc AS (
+      SELECT a.cid, xl.j,
+             CAST(SUM(CAST(ROUND(xl.x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               / COUNT(*) AS cx
+      FROM assign a JOIN xl ON a.vec_id = xl.vec_id
+      GROUP BY a.cid, xl.j
+    ),
+    shift AS (
+      SELECT n.cid,
+             SQRT(CAST(SUM(CAST(ROUND((n.cx - s.sx) * (n.cx - s.sx), 12)
+                                AS DECIMAL(38,12))) AS DOUBLE)) AS sh
+      FROM newc n JOIN seeds s ON n.cid = s.cid AND n.j = s.j
+      GROUP BY n.cid
+    ),
+    stats AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE) AS inertia
+      FROM assign GROUP BY cid
+    )
+    SELECT s.cid AS cluster_id, s.n_members,
+           ROUND(s.inertia, 4) AS inertia,
+           ROUND(sh.sh, 6) AS centroid_shift
+    FROM stats s JOIN shift sh ON s.cid = sh.cid
+    """,
+)
+def q359_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration of k-means over the embedding corpus
+    ({KM_K} deterministic seed centroids = vectors 0..{KM_K - 1}):
+    assign every vector to its nearest seed by squared L2 (total
+    order (d2, cid) so ties are engine-independent), recompute the
+    per-cluster per-dimension mean, and report cluster size, inertia
+    (the quantity k-means descends), and centroid SHIFT — the
+    convergence signal a k-means driver loop watches. This is the
+    vector-quantization training step behind the IVF coarse router
+    (q74/q344) and SemDeDup's cluster stage (q254).
+
+    Cross-engine determinism: distances, means, and shifts all use
+    the grid-round -> DECIMAL -> DOUBLE roundtrip; the argmin runs on
+    the ROUNDED distance with a cid tie-break on both engines.
+    Clusters that capture no members (possible on adversarial data)
+    vanish identically on both engines — no NULL centroid rows.
+
+    Scale notes (100 TB): the assignment is a fan-out join against a
+    broadcast seed table (k x 64 rows) with partial aggregation on
+    (vec_id, cid) — corpus x k narrow rows, map-side-combined; the
+    centroid update groups on (cid, j) — at most k x 64 final groups,
+    so every task pre-reduces to a bounded row set; nothing quadratic
+    in the corpus anywhere. A full k-means would run this plan in a
+    driver loop on a checkpointed long table (q64's pattern),
+    broadcasting the k x 64 centroid state each round.
+    """
+    from pyspark.sql import Window as W
+
+    xl = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("jp", "xf"))
+        .select(
+            "vec_id",
+            F.col("jp").cast("bigint").alias("j"),
+            F.col("xf").cast("double").alias("x"),
+        )
+    )
+    seeds = xl.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"), "j", F.col("x").alias("sx")
+    )
+    dist = (
+        xl.join(F.broadcast(seeds), "j")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.round(
+                _dsum(
+                    (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")),
+                    12,
+                ),
+                6,
+            ).alias("d2")
+        )
+    )
+    wa = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    assign = (
+        dist.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "d2")
+    )
+    newc = (
+        assign.select("vec_id", "cid")
+        .join(xl, "vec_id")
+        .groupBy("cid", "j")
+        .agg((_dsum(F.col("x"), 9) / F.count(F.lit(1))).alias("cx"))
+    )
+    shift = (
+        newc.join(
+            F.broadcast(seeds), ["cid", "j"]
+        )
+        .groupBy("cid")
+        .agg(
+            F.sqrt(
+                _dsum(
+                    (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx")),
+                    12,
+                )
+            ).alias("sh")
+        )
+    )
+    stats = assign.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum(F.col("d2").cast("decimal(38,6)")).cast("double").alias(
+            "inertia"
+        ),
+    )
+    return stats.join(shift, "cid").select(
+        F.col("cid").alias("cluster_id"),
+        "n_members",
+        F.round("inertia", 4).alias("inertia"),
+        F.round("sh", 6).alias("centroid_shift"),
+    )

@@ -380,6 +380,13 @@ EMB_QUERIES = [
     # PQ: duplicate vectors map to one code; sub-k training sets
     "q343_pq_adc_topk",
     "q344_ivf_pq_probe",
+    # iterated decimal-roundtrip sums must stay bit-identical even
+    # when duplicated vectors make the spectrum degenerate
+    "q357_pca_power_iteration",
+    # identical vectors give d2=0 pairs -> NULLIF guards must agree
+    "q358_jl_projection_distortion",
+    # duplicate blocks empty some seed clusters on both engines
+    "q359_kmeans_lloyd_step",
 ]
 
 emb_params = st.tuples(
