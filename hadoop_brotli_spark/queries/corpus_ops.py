@@ -3048,3 +3048,86 @@ def q355_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "w1", "w2", F.col("c").cast("bigint").alias("n_pair"), "pmi", "rk"
     )
+
+
+# ------------------------- q362 temperature-scaled data-mixing weights
+
+MIX_ALPHA = 0.3        # sampling temperature (UnifiedQA/mT5-style)
+MIX_TOKEN_BUDGET = 1_000_000  # training-token budget B
+
+
+@register(
+    "q362_mixing_weights",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    powered AS (
+      SELECT *, ROUND(exp({MIX_ALPHA!r} * ln(CAST(n_tokens AS DOUBLE))), 9)
+               AS pw
+      FROM per_source
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(pw AS DECIMAL(38,9))) AS DOUBLE) AS spw,
+             CAST(SUM(n_tokens) AS DOUBLE) AS stok
+      FROM powered
+    )
+    SELECT p.source, p.n_docs, p.n_tokens,
+           ROUND(p.n_tokens / t.stok, 6) AS raw_share,
+           ROUND(p.pw / t.spw, 6) AS weight,
+           ROUND({MIX_TOKEN_BUDGET} * (p.pw / t.spw) / p.n_tokens, 6)
+             AS effective_epochs
+    FROM powered p, tot t
+    """,
+)
+def q362_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixing weights — the pretraining
+    mixture design step (mT5 / multilingual-LM sampling, alpha =
+    {MIX_ALPHA}): source i is sampled proportional to tokens_i^alpha,
+    flattening the head so low-resource sources are not drowned out,
+    and the resulting weight is converted to EFFECTIVE EPOCHS at a
+    {MIX_TOKEN_BUDGET}-token budget (B*w_i/tokens_i) — the "how many
+    times will this source repeat" overfitting-risk readout that
+    decides whether the temperature is too aggressive. raw_share
+    (alpha=1) sits beside it for contrast.
+
+    tokens^alpha is exp(alpha*ln(x)) with identical op order on both
+    engines and ROUND 9 before the source-count-sized normalization
+    sum (decimal roundtrip, q357 idiom); token counts are exact
+    BIGINTs. One corpus pass, source-sized output, every division
+    guarded by construction (n_tokens >= n_docs >= 1).
+
+    Scale: a single partial-aggregated groupBy on the source key;
+    the mixture table is dimension-sized and broadcast-joined back
+    only if a sampler materializes it — here it IS the output.
+    """
+    per_source = fan_out(t(spark, sf_dir, "documents")).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    powered = per_source.withColumn(
+        "pw",
+        F.round(
+            F.exp(F.lit(MIX_ALPHA) * F.log(F.col("n_tokens").cast("double"))),
+            9,
+        ),
+    )
+    tot = powered.agg(
+        F.sum(F.col("pw").cast("decimal(38,9)")).cast("double").alias("spw"),
+        F.sum("n_tokens").cast("double").alias("stok"),
+    )
+    return powered.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("stok"), 6).alias("raw_share"),
+        F.round(F.col("pw") / F.col("spw"), 6).alias("weight"),
+        F.round(
+            F.lit(MIX_TOKEN_BUDGET)
+            * (F.col("pw") / F.col("spw"))
+            / F.col("n_tokens"),
+            6,
+        ).alias("effective_epochs"),
+    )

@@ -1312,3 +1312,510 @@ def q346_padding_waste_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("waste_rate"),
     )
+
+
+# ----------------------------------------- q360 RAKE keyword extraction
+
+RAKE_STOP = ("a", "the", "data", "value", "key", "row")
+RAKE_MAX_LEN = 3
+RAKE_TOPK = 15
+
+
+def _dsum9(col):
+    """Order-independent sum of grid-rounded doubles (q357 idiom)."""
+    return F.sum(F.round(col, 9).cast("decimal(38,9)")).cast("double")
+
+
+@register(
+    "q360_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(r.i AS BIGINT) AS idx,
+             string_split(text, ' ')[CAST(r.i + 1 AS INTEGER)] AS w
+      FROM documents,
+           UNNEST(range(len(string_split(text, ' ')))) AS r(i)
+    ),
+    ns AS (
+      SELECT doc_id, idx, w,
+             idx - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY idx) AS grp
+      FROM toks WHERE w NOT IN {RAKE_STOP!r}
+    ),
+    runs AS (
+      SELECT doc_id, grp, COUNT(*) AS plen,
+             string_agg(w, ' ' ORDER BY idx) AS phrase
+      FROM ns GROUP BY doc_id, grp
+    ),
+    kept AS (SELECT * FROM runs WHERE plen <= {RAKE_MAX_LEN}),
+    members AS (
+      SELECT ns.w, kept.plen
+      FROM ns JOIN kept ON ns.doc_id = kept.doc_id AND ns.grp = kept.grp
+    ),
+    wstats AS (
+      SELECT w, COUNT(*) AS freq, SUM(plen) AS deg FROM members GROUP BY w
+    ),
+    distinct_phrases AS (
+      SELECT phrase, COUNT(*) AS n_occurrences FROM kept GROUP BY phrase
+    ),
+    pscore AS (
+      SELECT dp.phrase, dp.n_occurrences,
+             ROUND(CAST(SUM(CAST(ROUND(CAST(ws.deg AS DOUBLE) / ws.freq, 9)
+                                 AS DECIMAL(38,9))) AS DOUBLE), 6) AS score
+      FROM distinct_phrases dp,
+           UNNEST(string_split(dp.phrase, ' ')) AS u(pw)
+      JOIN wstats ws ON ws.w = u.pw
+      GROUP BY dp.phrase, dp.n_occurrences
+    )
+    SELECT phrase, CAST(n_occurrences AS BIGINT) AS n_occurrences, score,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, phrase) AS rk
+      FROM pscore
+    ) WHERE rk <= {RAKE_TOPK}
+    """,
+)
+def q360_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — the unsupervised
+    keyphrase miner: candidate phrases are maximal stopword-delimited
+    token runs (gaps-and-islands on the token index; runs longer than
+    {RAKE_MAX_LEN} dropped on both engines), each word is scored
+    degree/frequency over the candidate set (degree = summed lengths
+    of the phrases containing it — co-occurrence-weighted), and a
+    phrase scores the sum of its word scores. Complements q184's raw
+    frequency (which surfaces common pairs) and q355's PMI (pair
+    association): RAKE surfaces multi-word CONTENT phrases.
+
+    Shape: token stream -> per-doc island windows (partitioned by
+    doc_id, no global sort) -> phrase-instance aggregate -> DISTINCT-
+    phrase grain (phrase-vocabulary-sized, not corpus-sized) whose
+    member explode re-joins the broadcastable word-score table;
+    per-phrase word-score sums use the decimal roundtrip, and the
+    global top-{RAKE_TOPK} goes orderBy+limit -> TakeOrderedAndProject
+    before the {RAKE_TOPK}-row rank window.
+    """
+    toks = fan_out(t(spark, sf_dir, "documents")).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("ip", "w")
+    ).select("doc_id", F.col("ip").cast("bigint").alias("idx"), "w")
+    wn = W.partitionBy("doc_id").orderBy("idx")
+    ns = (
+        toks.filter(~F.col("w").isin(*RAKE_STOP))
+        .withColumn("grp", F.col("idx") - F.row_number().over(wn))
+    )
+    runs = ns.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("plen"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("idx").alias("i"),
+                                            F.col("w").alias("w")))
+                ),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    kept = runs.filter(F.col("plen") <= RAKE_MAX_LEN)
+    members = ns.join(
+        kept.select("doc_id", "grp", "plen"), ["doc_id", "grp"]
+    ).select("w", "plen")
+    wstats = members.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    distinct_phrases = kept.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    pscore = (
+        distinct_phrases.select(
+            "phrase",
+            "n_occurrences",
+            F.explode(F.split("phrase", " ")).alias("pw"),
+        )
+        .join(
+            F.broadcast(wstats.select(F.col("w").alias("pw"), "freq", "deg")),
+            "pw",
+        )
+        .groupBy("phrase", "n_occurrences")
+        .agg(
+            F.round(
+                _dsum9(F.col("deg").cast("double") / F.col("freq")), 6
+            ).alias("score")
+        )
+    )
+    topk = pscore.orderBy(F.col("score").desc(), F.col("phrase").asc()).limit(
+        RAKE_TOPK
+    )
+    wr = W.orderBy(F.col("score").desc(), "phrase")
+    return topk.withColumn(
+        "rk", F.row_number().over(wr).cast("bigint")
+    ).select(
+        "phrase",
+        F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+        "score",
+        "rk",
+    )
+
+
+# --------------------------- q361 Kneser-Ney interpolated bigram LM scoring
+
+KN_D = 0.75  # absolute discount (exact in binary)
+
+
+@register(
+    "q361_kneser_ney_lm_score",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                  AS BIGINT) % {LM_TRAIN_MOD} AS bucket
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, bucket, CAST(r.i AS BIGINT) AS i,
+             string_split(text, ' ')[CAST(r.i + 1 AS INTEGER)] AS w
+      FROM split, UNNEST(range(len(string_split(text, ' ')))) AS r(i)
+    ),
+    train_bi AS (
+      SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c12
+      FROM words a
+      JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      WHERE a.bucket < {LM_TRAIN_LT}
+      GROUP BY a.w, b.w
+    ),
+    ctx AS (
+      SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1p_fwd
+      FROM train_bi GROUP BY w1
+    ),
+    cont AS (SELECT w2, COUNT(*) AS n1p_rev FROM train_bi GROUP BY w2),
+    tt AS (SELECT COUNT(*) AS t FROM train_bi),
+    vv AS (SELECT COUNT(DISTINCT w) AS v FROM words
+           WHERE bucket < {LM_TRAIN_LT}),
+    test_bi AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM words a
+      JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      WHERE a.bucket >= {LM_TRAIN_LT}
+    ),
+    probs AS (
+      SELECT s.doc_id,
+             CASE WHEN tb.c12 IS NULL THEN 1 ELSE 0 END AS oov,
+             CASE
+               WHEN ctx.c1 IS NOT NULL THEN
+                 GREATEST(COALESCE(tb.c12, 0) - {KN_D!r}, 0.0) / ctx.c1
+                 + ({KN_D!r} * ctx.n1p_fwd / ctx.c1)
+                   * (COALESCE(cont.n1p_rev, 0)
+                      / NULLIF(CAST((SELECT t FROM tt) AS DOUBLE), 0.0))
+               ELSE COALESCE(cont.n1p_rev, 0)
+                    / NULLIF(CAST((SELECT t FROM tt) AS DOUBLE), 0.0)
+             END AS p
+      FROM test_bi s
+      LEFT JOIN train_bi tb ON tb.w1 = s.w1 AND tb.w2 = s.w2
+      LEFT JOIN ctx ON ctx.w1 = s.w1
+      LEFT JOIN cont ON cont.w2 = s.w2
+    ),
+    lps AS (
+      SELECT doc_id, oov,
+             ROUND(ln(CASE WHEN p > 0 THEN p
+                           ELSE 1.0 / ((SELECT t FROM tt)
+                                       + (SELECT v FROM vv) + 1) END),
+                   9) AS lp
+      FROM probs
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-CAST(SUM(CAST(lp AS DECIMAL(38,9))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_neg_logprob,
+           ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_share
+    FROM lps GROUP BY doc_id
+    """,
+)
+def q361_kneser_ney_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring — the D={KN_D}
+    absolute-discount upgrade of q236's add-one model (the smoothing
+    every production n-gram LM actually uses): discounted bigram mass
+    is redistributed via the CONTINUATION probability N1+(.w2)/T
+    (how many contexts a word follows — "Francisco" is frequent but
+    follows only "San", so its continuation weight is tiny), with the
+    context's escape weight D*N1+(w1.)/c(w1). Unseen contexts back
+    off to pure continuation; a zero-probability floor 1/(T+V+1)
+    keeps ln() finite identically on both engines. Held-out docs
+    (q88 hash split) get avg negative log-prob + OOV-bigram share.
+
+    Shape: the model is three vocabulary-bounded aggregates (bigram
+    counts, per-context totals+fan-outs, per-word continuation
+    counts), all broadcast onto the held-out bigram stream — no
+    corpus-sized shuffle after the count phase; per-doc sums use the
+    decimal roundtrip so engine summation order never moves the
+    1e-4-rounded score.
+    """
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 7
+            ),
+            16,
+            10,
+        ).cast("long")
+        % LM_TRAIN_MOD
+    )
+    words = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.posexplode(F.split("text", " ")).alias("i", "w"),
+    )
+    bigrams = (
+        words.alias("a")
+        .join(
+            words.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.i") == F.col("a.i") + 1),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.bucket").alias("bucket"),
+            F.col("a.w").alias("w1"),
+            F.col("b.w").alias("w2"),
+        )
+    )
+    train_bi = (
+        bigrams.filter(F.col("bucket") < LM_TRAIN_LT)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    ctx = train_bi.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cont = train_bi.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_rev"))
+    tt = train_bi.agg(F.count(F.lit(1)).alias("t"))
+    vv = (
+        words.filter(F.col("bucket") < LM_TRAIN_LT)
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    pcont = F.coalesce(F.col("n1p_rev"), F.lit(0)) / F.nullif(
+        F.col("t").cast("double"), F.lit(0.0)
+    )
+    p = F.when(
+        F.col("c1").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("c12"), F.lit(0)) - F.lit(KN_D), F.lit(0.0)
+        )
+        / F.col("c1")
+        + (F.lit(KN_D) * F.col("n1p_fwd") / F.col("c1")) * pcont,
+    ).otherwise(pcont)
+    lp = F.round(
+        F.log(
+            F.when(p > 0, p).otherwise(
+                F.lit(1.0) / (F.col("t") + F.col("v") + 1)
+            )
+        ),
+        9,
+    )
+    scored = (
+        bigrams.filter(F.col("bucket") >= LM_TRAIN_LT)
+        .join(F.broadcast(train_bi), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .join(F.broadcast(cont), "w2", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "doc_id",
+            F.when(F.col("c12").isNull(), 1).otherwise(0).alias("oov"),
+            lp.alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(
+            -F.sum(F.col("lp").cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_neg_logprob"),
+        F.round(
+            F.sum("oov").cast("double") / F.count(F.lit(1)), 6
+        ).alias("oov_share"),
+    )
+
+
+# ------------------------------- q363 Gopher repetition-filter suite
+
+GOPHER_TOP2_MAX = 0.20  # Rae et al. 2021 thresholds (2-gram variant)
+GOPHER_DUP3_MAX = 0.15
+
+
+@register(
+    "q363_gopher_repetition",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(r.i AS BIGINT) AS i,
+             string_split(text, ' ')[CAST(r.i + 1 AS INTEGER)] AS w
+      FROM documents,
+           UNNEST(range(len(string_split(text, ' ')))) AS r(i)
+    ),
+    base AS (
+      SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_char,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    uni AS (
+      SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT w) AS n_distinct
+      FROM toks GROUP BY doc_id
+    ),
+    bi AS (
+      SELECT a.doc_id, a.w || ' ' || b.w AS g, COUNT(*) AS c
+      FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      GROUP BY a.doc_id, a.w || ' ' || b.w
+    ),
+    top2 AS (
+      SELECT doc_id, c * CAST(LENGTH(g) AS BIGINT) AS top2_chars
+      FROM (
+        SELECT doc_id, g, c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, g ASC) AS rn
+        FROM bi
+      ) WHERE rn = 1
+    ),
+    tri AS (
+      SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c3.w AS g, COUNT(*) AS c
+      FROM toks a
+      JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      JOIN toks c3 ON c3.doc_id = a.doc_id AND c3.i = a.i + 2
+      GROUP BY a.doc_id, a.w || ' ' || b.w || ' ' || c3.w
+    ),
+    dup3 AS (
+      SELECT doc_id,
+             SUM(CASE WHEN c >= 2
+                      THEN c * CAST(LENGTH(g) AS BIGINT) ELSE 0 END)
+               AS dup3_chars
+      FROM tri GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tok AS n_tokens,
+           ROUND(1.0 - CAST(u.n_distinct AS DOUBLE) / u.n, 6)
+             AS dup_word_frac,
+           ROUND(COALESCE(t2.top2_chars, 0) / CAST(b.n_char AS DOUBLE), 6)
+             AS top2gram_char_frac,
+           ROUND(COALESCE(d3.dup3_chars, 0) / CAST(b.n_char AS DOUBLE), 6)
+             AS dup3gram_char_frac,
+           CAST(CASE WHEN COALESCE(t2.top2_chars, 0)
+                          / CAST(b.n_char AS DOUBLE) > {GOPHER_TOP2_MAX!r}
+                       OR COALESCE(d3.dup3_chars, 0)
+                          / CAST(b.n_char AS DOUBLE) > {GOPHER_DUP3_MAX!r}
+                     THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM base b
+    JOIN uni u ON u.doc_id = b.doc_id
+    LEFT JOIN top2 t2 ON t2.doc_id = b.doc_id
+    LEFT JOIN dup3 d3 ON d3.doc_id = b.doc_id
+    """,
+)
+def q363_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filters (Rae et al.
+    2021, Table A1): duplicate-word fraction (1 - type/token), the
+    character fraction covered by the single most frequent 2-gram,
+    and the character fraction covered by duplicated 3-grams —
+    the degenerate-text gates (loops, boilerplate stutter, keyword
+    stuffing) that length/stopword quality scores (q81) miss, and
+    the per-doc WITHIN-document complement of q228's cross-document
+    boilerplate detection and q96's repeat score.
+
+    Top-2-gram selection carries a (count DESC, gram ASC) total
+    order; all fractions are ratios of exact integers (counts x
+    char lengths over the document's char count), so no float-sum
+    divergence exists anywhere. Docs flagged by the {GOPHER_TOP2_MAX}
+    / {GOPHER_DUP3_MAX} thresholds get flagged=1.
+
+    Shape: token stream self-joins on (doc_id, i+1)/(doc_id, i+2)
+    are co-partitioned narrow joins on the doc key (one exchange
+    each, reused); every aggregate is per-doc (natural key, no
+    skew beyond document length itself); the n-gram tables reduce
+    before the per-doc argmax window. At 100 TB every stage keys on
+    doc_id — embarrassingly parallel by document.
+    """
+    toks = fan_out(t(spark, sf_dir, "documents")).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("ip", "w")
+    ).select("doc_id", F.col("ip").cast("bigint").alias("i"), "w")
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_char"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    uni = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("w").alias("n_distinct")
+    )
+    bi = (
+        toks.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.i") == F.col("a.i") + 1),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.concat_ws(" ", F.col("a.w"), F.col("b.w")).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w2 = W.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("g").asc())
+    top2 = (
+        bi.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            (F.col("c") * F.length("g").cast("bigint")).alias("top2_chars"),
+        )
+    )
+    tri = (
+        toks.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.i") == F.col("a.i") + 1),
+        )
+        .join(
+            toks.alias("c3"),
+            (F.col("c3.doc_id") == F.col("a.doc_id"))
+            & (F.col("c3.i") == F.col("a.i") + 2),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.concat_ws(
+                " ", F.col("a.w"), F.col("b.w"), F.col("c3.w")
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dup3 = tri.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("c") >= 2, F.col("c") * F.length("g").cast("bigint")
+            ).otherwise(F.lit(0))
+        ).alias("dup3_chars")
+    )
+    t2c = F.coalesce(F.col("top2_chars"), F.lit(0))
+    d3c = F.coalesce(F.col("dup3_chars"), F.lit(0))
+    return (
+        base.join(uni, "doc_id")
+        .join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tok").alias("n_tokens"),
+            F.round(
+                1.0 - F.col("n_distinct").cast("double") / F.col("n"), 6
+            ).alias("dup_word_frac"),
+            F.round(t2c / F.col("n_char").cast("double"), 6).alias(
+                "top2gram_char_frac"
+            ),
+            F.round(d3c / F.col("n_char").cast("double"), 6).alias(
+                "dup3gram_char_frac"
+            ),
+            F.when(
+                (t2c / F.col("n_char").cast("double") > GOPHER_TOP2_MAX)
+                | (d3c / F.col("n_char").cast("double") > GOPHER_DUP3_MAX),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("flagged"),
+        )
+    )
