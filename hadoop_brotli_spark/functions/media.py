@@ -12,10 +12,11 @@ Two tiers:
   scanlines + all five filters), GIF (full LZW + palette +
   interlace), uncompressed 24-bit BMP, baseline 4:4:4 JPEG (full
   huffman entropy decode + dequant + 2D IDCT — ``build_jpeg_ycbcr``
-  / ``decode_jpeg_pixels``), and PCM16 WAV. Only progressive /
-  subsampled JPEG and non-WAV audio remain environment-gated behind
-  PIL / soundfile; ``fake_decode_meta`` provides deterministic
-  metadata for the plumbing-only queries (q91/q93).
+  / ``decode_jpeg_pixels``), PCM16 WAV, and G.711 mu-law WAV
+  (``mulaw_expand``). Only progressive/subsampled JPEG and
+  compressed audio codecs (mp3/flac/ogg) remain environment-gated
+  behind PIL / soundfile; ``fake_decode_meta`` provides
+  deterministic metadata for the plumbing-only queries (q91/q93).
 """
 
 from __future__ import annotations
@@ -100,10 +101,11 @@ def decode_image(payload: bytes):
 
     REAL with no image libraries for PNG (``decode_png_pixels``:
     stdlib zlib + full filter reconstruction), GIF
-    (``decode_gif_pixels``: full LZW + palette + interlace), and
-    uncompressed 24-bit BMP (``decode_bmp_pixels``). JPEG (DCT
-    entropy coding) falls back to PIL when importable and raises
-    ``NotImplementedError`` otherwise."""
+    (``decode_gif_pixels``: full LZW + palette + interlace),
+    uncompressed 24-bit BMP (``decode_bmp_pixels``), and baseline
+    4:4:4 JPEG (``decode_jpeg_pixels``: full huffman entropy decode
+    + 2D IDCT). Progressive/subsampled JPEG falls back to PIL when
+    importable and raises ``NotImplementedError`` otherwise."""
     b = bytes(payload)
     if b[:8] == PNG_SIG:
         return decode_png_pixels(b)
@@ -174,12 +176,17 @@ def parse_wav(payload: bytes):
             tag, channels, rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if tag != 1 or bits != 16:
+            if not ((tag == 1 and bits == 16) or (tag == 7 and bits == 8)):
                 return (None, None, None, None)
-            fmt = (rate, channels)
+            fmt = (rate, channels, tag)
         elif cid == b"data" and fmt is not None:
-            samples = np.frombuffer(body[: len(body) // 2 * 2], dtype="<i2")
-            rate, channels = fmt
+            rate, channels, tag = fmt
+            if tag == 7:  # G.711 mu-law: expand to int16 (REAL codec)
+                samples = mulaw_expand(np.frombuffer(body, dtype=np.uint8))
+            else:
+                samples = np.frombuffer(
+                    body[: len(body) // 2 * 2], dtype="<i2"
+                )
             return (rate, channels, len(samples) // max(channels, 1), samples)
         pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
     return (None, None, None, None)
@@ -188,9 +195,11 @@ def parse_wav(payload: bytes):
 def decode_audio(payload: bytes):
     """Decode an audio blob to (sample_rate, samples).
 
-    REAL for canonical PCM16 WAV (RIFF parse + numpy int16 view — no
-    external libraries needed; see ``parse_wav``). Other codecs
-    (mp3/flac/ogg) need soundfile/librosa, absent in this container.
+    REAL for canonical PCM16 WAV (RIFF parse + numpy int16 view) and
+    G.711 mu-law WAV (format tag 7 — ``mulaw_expand`` companding
+    arithmetic), no external libraries needed; see ``parse_wav``.
+    Other codecs (mp3/flac/ogg) need soundfile/librosa, absent in
+    this container.
     """
     rate, _channels, _n, samples = parse_wav(payload)
     if rate is not None:
@@ -1069,3 +1078,39 @@ def decode_jpeg_pixels(payload: bytes):
     )
     bb = np.clip(np.floor(yy + 1.772 * (cbp - 128.0) + 0.5), 0, 255)
     return w, h, np.stack([r, g, bb], axis=-1).astype(np.uint8)
+
+
+# ------------------------------------------------------- G.711 mu-law
+
+def mulaw_expand(codes):
+    """REAL G.711 mu-law expansion (ITU-T G.711 / CCITT reference
+    arithmetic): 8-bit companded codes -> int16 PCM. Pure integer
+    numpy; the q366 oracle restates the identical formula in SQL."""
+    import numpy as np
+
+    u = (~np.asarray(codes, dtype=np.uint8)).astype(np.int64) & 0xFF
+    man = u & 0x0F
+    exp = (u >> 4) & 0x07
+    mag = ((man << 3) + 0x84) << exp
+    pcm = np.where(u & 0x80, 0x84 - mag, mag - 0x84)
+    return pcm.astype(np.int16)
+
+
+def build_mulaw_wav(codes, sample_rate: int, channels: int = 1) -> bytes:
+    """Canonical mu-law WAV: RIFF/WAVE container with format tag 7
+    (ITU G.711 mu-law), 8 bits per sample, one data chunk of raw
+    companded bytes."""
+    import numpy as np
+
+    data = np.asarray(codes, dtype=np.uint8).tobytes()
+    byte_rate = sample_rate * channels
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 7, channels, sample_rate, byte_rate,
+        channels, 8,
+    )
+    data_hdr = struct.pack("<4sI", b"data", len(data))
+    riff_len = 4 + len(fmt) + len(data_hdr) + len(data)
+    return (
+        struct.pack("<4sI4s", b"RIFF", riff_len, b"WAVE")
+        + fmt + data_hdr + data
+    )

@@ -3489,3 +3489,63 @@ def q353_bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(BH_ALPHA) * F.col("r") / F.col("m"), 6).alias("bh_line"),
         F.when(F.col("p") <= F.col("p_star"), 1).otherwise(0).alias("rejected"),
     )
+
+
+# --------------------- q365 Holt linear-trend smoothing (recursive CTE)
+
+_HOLT_SQL = """    WITH RECURSIVE m AS (
+      SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+               AS mi,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS y
+      FROM __ORDERS__
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1
+    ),
+    h AS (
+      SELECT mi, y, y AS l, CAST(0.0 AS DOUBLE) AS b,
+             CAST(NULL AS DOUBLE) AS fitted
+      FROM m WHERE mi = 0
+      UNION ALL
+      SELECT m.mi, m.y,
+             0.2 * m.y + 0.8 * (h.l + h.b),
+             0.1 * ((0.2 * m.y + 0.8 * (h.l + h.b)) - h.l) + 0.9 * h.b,
+             h.l + h.b
+      FROM m JOIN h ON m.mi = h.mi + 1
+    )
+    SELECT CAST(mi AS BIGINT) AS month_idx,
+           ROUND(y, 2) AS revenue,
+           ROUND(l, 4) AS level,
+           ROUND(b, 4) AS trend,
+           ROUND(fitted, 4) AS fitted,
+           ROUND(y - fitted, 4) AS residual
+    FROM h"""
+
+
+@register(
+    "q365_holt_linear_trend",
+    oracle=_HOLT_SQL.replace("__ORDERS__", "orders"),
+)
+def q365_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (double smoothing,
+    alpha=0.2, beta=0.1) over the 1995-1996 monthly revenue series,
+    executed as a RECURSIVE CTE — the same optimizer-managed
+    iterate-and-join plan on BOTH engines (the one dialect difference
+    is none at all here: the SQL text is shared verbatim). Extends
+    the forecasting shelf: q06 regression trend, q302 seasonal-naive
+    backtest, q276 truncated EWMA (which approximates only the level
+    term); Holt adds the trend state the EWMA cannot carry, and the
+    one-step-ahead fitted values + residuals are the backtest
+    readout.
+
+    Determinism: monthly revenue reduces through DECIMAL(18,2) (the
+    order-independent exact sum), and each recursion step applies
+    the identical double arithmetic to identical inputs — engines
+    cannot diverge; display rounds at 1e-4. Recursion depth is the
+    24-month window, far under Spark's 100-level CTE limit (q356
+    precedent). At 100 TB the monthly pre-aggregate is the only
+    corpus-sized stage; the recursion runs on 24 rows.
+    """
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_holt_src")
+    return spark.sql(_HOLT_SQL.replace("__ORDERS__", "orders_holt_src"))

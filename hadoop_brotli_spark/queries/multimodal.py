@@ -720,3 +720,105 @@ def q364_jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return meta.mapInPandas(run, schema=out_schema)
+
+
+# ----------------------------------------- q366 G.711 mu-law audio decode
+
+
+@register(
+    "q366_mulaw_audio_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 32 + n_chars % 64 AS n FROM documents
+    ),
+    codes AS (
+      SELECT doc_id, n, CAST(r.i AS BIGINT) AS i,
+             (7 * r.i + 13 * doc_id) % 256 AS code
+      FROM m, UNNEST(range(n)) AS r(i)
+    ),
+    expanded AS (
+      -- G.711 mu-law expansion, restated in integer SQL: complement,
+      -- split sign/exponent/mantissa, magnitude ((man<<3)+0x84)<<exp,
+      -- re-center by 0x84
+      SELECT doc_id, n, i,
+             CASE WHEN u >= 128 THEN 132 - mag ELSE mag - 132 END AS s
+      FROM (
+        SELECT doc_id, n, i, u,
+               ((u % 16) * 8 + 132)
+               * (CASE ((u // 16) % 8)
+                    WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+                    WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32
+                    WHEN 6 THEN 64 ELSE 128 END) AS mag
+        FROM (SELECT doc_id, n, i, 255 - code AS u FROM codes)
+      )
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(SUM(s) AS BIGINT) AS sum_samples,
+           CAST(MIN(s) AS BIGINT) AS min_sample,
+           CAST(MAX(s) AS BIGINT) AS max_sample,
+           CAST(MAX(CASE WHEN i = 0 THEN s END) AS BIGINT) AS first_sample,
+           CAST(MAX(CASE WHEN i = n - 1 THEN s END) AS BIGINT)
+             AS last_sample
+    FROM expanded GROUP BY doc_id
+    """,
+)
+def q366_mulaw_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 mu-law audio decode — the telephony companding
+    codec, extending the audio surface beyond linear PCM16 (q92/
+    q217): stage 1 synthesizes a canonical mu-law WAV per document
+    (RIFF container, format tag 7, 8-bit companded codes from a
+    deterministic formula); stage 2 — the operator under test —
+    parses the container (``parse_wav`` now dispatches on the format
+    tag) and expands every code through the CCITT reference
+    arithmetic (complement, sign/exponent/mantissa split, magnitude
+    ((man<<3)+0x84)<<exp, re-center) to int16 PCM.
+
+    The oracle restates the expansion formula in pure integer SQL
+    over the same code stream and checks sum/min/max plus first/last
+    probes — a sign flip, exponent shift, bias slip, or endianness
+    bug in the expander breaks the hash. All arithmetic is integer-
+    exact; no float anywhere.
+
+    Scale: per-row independent mapInPandas decode, no shuffle; blob
+    bytes never leave the task (q92's shape).
+    """
+    import numpy as np
+
+    from ..functions.media import build_mulaw_wav, parse_wav
+
+    meta = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    out_schema = (
+        "doc_id long, sample_rate long, n_samples long, sum_samples long, "
+        "min_sample long, max_sample long, first_sample long, "
+        "last_sample long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(doc_id), int(n_chars)
+                n = 32 + nc % 64
+                codes = (7 * np.arange(n, dtype=np.int64) + 13 * d) % 256
+                blob = build_mulaw_wav(codes.astype(np.uint8), 8000)
+                # ---- operator under test: container + companding ----
+                rate, _ch, n_frames, samples = parse_wav(blob)
+                s = samples.astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "sample_rate": int(rate),
+                        "n_samples": int(n_frames),
+                        "sum_samples": int(s.sum()),
+                        "min_sample": int(s.min()),
+                        "max_sample": int(s.max()),
+                        "first_sample": int(s[0]),
+                        "last_sample": int(s[-1]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return meta.mapInPandas(run, schema=out_schema)

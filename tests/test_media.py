@@ -592,3 +592,49 @@ class TestJpegPixels:
         ours = media.decode_jpeg_pixels(blob)[2]
         theirs = np.asarray(img)
         assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 1
+
+
+class TestMulaw:
+    def test_expansion_landmarks_and_symmetry(self):
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import mulaw_expand
+
+        codes = np.arange(256, dtype=np.uint8)
+        pcm = mulaw_expand(codes)
+        # spec landmarks: 0xFF/0x7F are the two zero codes; 0x00/0x80
+        # are the extremes
+        assert pcm[0xFF] == 0 and pcm[0x7F] == 0
+        assert pcm[0x00] == -32124 and pcm[0x80] == 32124
+        # sign symmetry: code and code|0x80 mirror around zero
+        assert (pcm[:128] == -pcm[128:]).all()
+        # monotone decreasing magnitude within the negative half
+        mags = -pcm[:128]
+        assert (np.diff(mags) <= 0).all()
+
+    def test_wav_container_roundtrip_and_dispatch(self):
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            build_mulaw_wav,
+            decode_audio,
+            mulaw_expand,
+            parse_wav,
+        )
+
+        codes = np.array([0, 0x55, 0x7F, 0x80, 0xAA, 0xFF], dtype=np.uint8)
+        blob = build_mulaw_wav(codes, 8000)
+        rate, ch, n, samples = parse_wav(blob)
+        assert (rate, ch, n) == (8000, 1, 6)
+        assert (samples == mulaw_expand(codes)).all()
+        rate2, samples2 = decode_audio(blob)
+        assert rate2 == 8000 and (samples2 == samples).all()
+
+    def test_pcm16_still_refuses_8bit(self):
+        import struct
+
+        from hadoop_brotli_spark.functions.media import build_wav, parse_wav
+
+        b = bytearray(build_wav([1, 2], 8000))
+        struct.pack_into("<H", b, 34, 8)  # tag stays 1, bits -> 8
+        assert parse_wav(bytes(b)) == (None, None, None, None)
