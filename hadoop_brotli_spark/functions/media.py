@@ -1114,3 +1114,80 @@ def build_mulaw_wav(codes, sample_rate: int, channels: int = 1) -> bytes:
         struct.pack("<4sI4s", b"RIFF", riff_len, b"WAVE")
         + fmt + data_hdr + data
     )
+
+
+# ------------------------------------------------- AVI (MJPEG) container
+
+def build_avi_mjpeg(frames, width: int, height: int, fps: int = 10) -> bytes:
+    """Minimal-but-spec-shaped AVI container around MJPEG frames:
+    RIFF 'AVI ' -> LIST hdrl (avih + LIST strl (strh 'vids'/'MJPG' +
+    strf BITMAPINFOHEADER)) -> LIST movi with one '00dc' chunk per
+    encoded JPEG frame. Every chunk is word-aligned per RIFF."""
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    n = len(frames)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        0, 0, 0x10,        # rate, padding, flags (AVIF_HASINDEX off)
+        n, 0, 1, 0,        # totalframes, initial, streams, bufsize
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n, 0, 0, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3,
+        0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi_mjpeg(payload: bytes):
+    """REAL AVI walk: validate RIFF/'AVI ', read (width, height,
+    n_frames) from avih, then iterate the movi LIST's '00dc' chunks
+    and return the raw JPEG frame payloads. Raises ValueError on
+    malformed containers."""
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI (missing RIFF/'AVI ')")
+    pos = 12
+    meta = None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal meta
+        p = start
+        while p + 8 <= end:
+            cid, clen = struct.unpack("<4sI", b[p : p + 8])
+            body_start, body_end = p + 8, p + 8 + clen
+            if cid == b"LIST":
+                kind = b[body_start : body_start + 4]
+                walk(body_start + 4, body_end)
+                del kind
+            elif cid == b"avih" and clen >= 40:
+                vals = struct.unpack("<10I", b[body_start : body_start + 40])
+                meta = (vals[8], vals[9], vals[4])  # width, height, frames
+            elif cid == b"00dc":
+                frames.append(b[body_start:body_end])
+            p = body_end + (clen & 1)
+
+    walk(pos, len(b))
+    if meta is None:
+        raise ValueError("AVI missing avih header")
+    w, h, n = meta
+    if len(frames) != n:
+        raise ValueError(f"AVI frame count mismatch: avih {n} vs {len(frames)}")
+    return w, h, frames

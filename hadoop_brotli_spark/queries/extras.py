@@ -1807,3 +1807,158 @@ def q250_psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nc").cast("bigint").alias("n_cur"),
         F.round(F.sum(term), 4).alias("psi"),
     )
+
+
+# --------------------------- q368 Z-order vs row-major layout advisor
+
+ZO_BITS = 4        # 16x16 cell grid
+ZO_CELLS_PER_FILE = 16
+# audit rectangle: customer bins 2..5 x date bins 8..11
+ZO_BX0, ZO_BX1, ZO_BY0, ZO_BY1 = 2, 5, 8, 11
+
+_ZO_INTERLEAVE = " + ".join(
+    f"(((bx // {1 << k}) % 2) * {1 << (2 * k)})"
+    f" + (((by // {1 << k}) % 2) * {1 << (2 * k + 1)})"
+    for k in range(ZO_BITS)
+)
+
+
+@register(
+    "q368_zorder_layout_advisor",
+    oracle=f"""
+    WITH binned AS (
+      SELECT ((o_custkey % 16) + 16) % 16 AS bx,
+             ((date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) % 16)
+              + 16) % 16 AS by
+      FROM orders
+    ),
+    cells AS (
+      SELECT bx, by, COUNT(*) AS n,
+             {_ZO_INTERLEAVE} AS z,
+             by * 16 + bx AS rm,
+             CASE WHEN bx BETWEEN {ZO_BX0} AND {ZO_BX1}
+                   AND by BETWEEN {ZO_BY0} AND {ZO_BY1}
+                  THEN 1 ELSE 0 END AS hit
+      FROM binned GROUP BY bx, by
+    ),
+    filed AS (
+      SELECT *, z // {ZO_CELLS_PER_FILE} AS fz,
+             rm // {ZO_CELLS_PER_FILE} AS frm
+      FROM cells
+    ),
+    touched AS (
+      SELECT
+        (SELECT COUNT(DISTINCT fz) FROM filed WHERE hit = 1) AS files_z,
+        (SELECT COUNT(DISTINCT frm) FROM filed WHERE hit = 1) AS files_rm,
+        (SELECT COALESCE(SUM(n), 0) FROM filed WHERE fz IN
+          (SELECT fz FROM filed WHERE hit = 1)) AS read_z,
+        (SELECT COALESCE(SUM(n), 0) FROM filed WHERE frm IN
+          (SELECT frm FROM filed WHERE hit = 1)) AS read_rm,
+        (SELECT COALESCE(SUM(n), 0) FROM filed WHERE hit = 1) AS matching,
+        (SELECT COALESCE(SUM(n), 0) FROM filed) AS total
+    )
+    SELECT CAST(total AS BIGINT) AS rows_total,
+           CAST(matching AS BIGINT) AS rows_matching,
+           CAST(files_rm AS BIGINT) AS files_rowmajor,
+           CAST(files_z AS BIGINT) AS files_zorder,
+           CAST(read_rm AS BIGINT) AS read_rows_rowmajor,
+           CAST(read_z AS BIGINT) AS read_rows_zorder,
+           ROUND(read_rm / CAST(NULLIF(matching, 0) AS DOUBLE), 4)
+             AS amp_rowmajor,
+           ROUND(read_z / CAST(NULLIF(matching, 0) AS DOUBLE), 4)
+             AS amp_zorder
+    FROM touched
+    """,
+)
+def q368_zorder_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) vs row-major data-layout advisor — the
+    measured argument behind OPTIMIZE ZORDER-style clustering: bin
+    orders on two independently-queried dimensions (customer, order
+    day) into a 16x16 grid, interleave the bin bits into a Morton
+    key (pure arithmetic — no dialect bit operators), model files as
+    runs of {ZO_CELLS_PER_FILE} consecutive cells under each sort
+    order, and replay a rectangle predicate: files touched and READ
+    AMPLIFICATION (rows read / rows matching) under both layouts.
+    Row-major keeps one dimension contiguous and shreds the other
+    (a 4-wide by-range touches ~every file); Z-order keeps 2D
+    locality, so rectangle queries touch a bounded file set —
+    the min/max-zone-pruning win quantified, completing the layout
+    shelf beside q295 (file sizing), q308 (encoding) and q314
+    (broadcast thresholds).
+
+    All counts are integers off ONE cell-grain aggregate (256 cells,
+    corpus-size-free after the first reduce); the rectangle's
+    touched-file sets are subselects over that tiny frame. Empty
+    rectangles NULL the amplification on both engines (NULLIF).
+
+    Scale: one partial-aggregated groupBy on (bx, by); everything
+    downstream is constant-size. The advisor's verdict transfers
+    directly: write the table sorted by z (a repartitionByRange on
+    the Morton key) and data skipping does the rest.
+    """
+    o = t(spark, sf_dir, "orders")
+    bx = F.pmod(F.col("o_custkey") % 16, F.lit(16))
+    by = F.pmod(
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")) % 16,
+        F.lit(16),
+    )
+    cells = (
+        o.select(bx.alias("bx"), by.alias("by"))
+        .groupBy("bx", "by")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("z", F.expr(_ZO_INTERLEAVE.replace("//", "div")))
+        .withColumn("rm", F.col("by") * 16 + F.col("bx"))
+        .withColumn(
+            "hit",
+            F.when(
+                F.col("bx").between(ZO_BX0, ZO_BX1)
+                & F.col("by").between(ZO_BY0, ZO_BY1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("fz", F.expr(f"z div {ZO_CELLS_PER_FILE}"))
+        .withColumn("frm", F.expr(f"rm div {ZO_CELLS_PER_FILE}"))
+    )
+    hits = cells.filter(F.col("hit") == 1)
+    tz = hits.select("fz").distinct()
+    trm = hits.select("frm").distinct()
+    read_z = (
+        cells.join(F.broadcast(tz), "fz")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("read_z"))
+    )
+    read_rm = (
+        cells.join(F.broadcast(trm), "frm")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("read_rm"))
+    )
+    base = cells.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("total"),
+        F.coalesce(F.sum(F.when(F.col("hit") == 1, F.col("n"))), F.lit(0))
+        .alias("matching"),
+    )
+    nf = hits.agg(
+        F.countDistinct("fz").alias("files_z"),
+        F.countDistinct("frm").alias("files_rm"),
+    )
+    return (
+        base.crossJoin(F.broadcast(nf))
+        .crossJoin(F.broadcast(read_z))
+        .crossJoin(F.broadcast(read_rm))
+        .select(
+            F.col("total").cast("bigint").alias("rows_total"),
+            F.col("matching").cast("bigint").alias("rows_matching"),
+            F.col("files_rm").cast("bigint").alias("files_rowmajor"),
+            F.col("files_z").cast("bigint").alias("files_zorder"),
+            F.col("read_rm").cast("bigint").alias("read_rows_rowmajor"),
+            F.col("read_z").cast("bigint").alias("read_rows_zorder"),
+            F.round(
+                F.col("read_rm")
+                / F.nullif(F.col("matching"), F.lit(0)).cast("double"),
+                4,
+            ).alias("amp_rowmajor"),
+            F.round(
+                F.col("read_z")
+                / F.nullif(F.col("matching"), F.lit(0)).cast("double"),
+                4,
+            ).alias("amp_zorder"),
+        )
+    )

@@ -822,3 +822,142 @@ def q366_mulaw_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return meta.mapInPandas(run, schema=out_schema)
+
+
+# ------------------------------ q367 MJPEG-in-AVI video frame sampling
+
+
+@register(
+    "q367_mjpeg_frame_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 1 + n_chars % 3 AS wb, 1 + n_chars % 2 AS hb,
+             2 + n_chars % 3 AS n_frames,
+             (2 + n_chars % 3) // 2 AS f
+      FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id, wb, hb, n_frames, f, bx.i AS bx, by.i AS by,
+             (37 * bx.i + 17 * by.i + doc_id + 19 * f) % 256 AS yv,
+             (11 * bx.i + 29 * by.i + 3 * doc_id + 19 * f) % 256 AS cbv,
+             (23 * bx.i + 7 * by.i + 5 * doc_id + 19 * f) % 256 AS crv
+      FROM m, UNNEST(range(wb)) AS bx(i), UNNEST(range(hb)) AS by(i)
+    ),
+    dc AS (
+      SELECT doc_id, wb, hb, n_frames, f, bx, by,
+             LEAST(GREATEST(FLOOR(FLOOR(8.0 * (yv - 128.0) / 16.0 + 0.5)
+                   * 16.0 / 8.0 + 128.0 + 0.5), 0), 255) AS y2,
+             LEAST(GREATEST(FLOOR(FLOOR(8.0 * (cbv - 128.0) / 17.0 + 0.5)
+                   * 17.0 / 8.0 + 128.0 + 0.5), 0), 255) AS cb2,
+             LEAST(GREATEST(FLOOR(FLOOR(8.0 * (crv - 128.0) / 17.0 + 0.5)
+                   * 17.0 / 8.0 + 128.0 + 0.5), 0), 255) AS cr2
+      FROM blocks
+    ),
+    rgb AS (
+      SELECT doc_id, wb, hb, n_frames, f, bx, by,
+             LEAST(GREATEST(FLOOR(y2 + 1.402 * (cr2 - 128.0) + 0.5),
+                            0), 255) AS r,
+             LEAST(GREATEST(FLOOR(y2 + 1.772 * (cb2 - 128.0) + 0.5),
+                            0), 255) AS b
+      FROM dc
+    )
+    SELECT doc_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(wb * 8 AS BIGINT) AS width,
+           CAST(hb * 8 AS BIGINT) AS height,
+           ROUND(SUM(r) / (wb * hb), 6) AS mean_r,
+           ROUND(SUM(b) / (wb * hb), 6) AS mean_b,
+           CAST(MAX(CASE WHEN bx = 0 AND by = 0 THEN r END)
+                AS BIGINT) AS corner_tl_r,
+           CAST(MAX(CASE WHEN bx = wb - 1 AND by = hb - 1 THEN b END)
+                AS BIGINT) AS corner_br_b
+    FROM rgb
+    GROUP BY doc_id, wb, hb, n_frames, f
+    """,
+)
+def q367_mjpeg_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling — MJPEG-in-AVI, end to end: stage 1
+    wraps per-frame baseline JPEGs (block-constant cards whose
+    formula advances with the frame index) in a spec-shaped AVI
+    container (RIFF hdrl/avih/strl/strf + movi '00dc' chunks via
+    ``build_avi_mjpeg``); stage 2 — the operator under test — walks
+    the RIFF tree (``parse_avi_mjpeg``: avih dims/frame-count,
+    recursive LIST descent, frame-count cross-check), selects the
+    MIDDLE frame, and decodes it through the full JPEG pipeline
+    (``decode_jpeg_pixels``). This replaces q91's metadata-only
+    frame-sampling stub with a real container + real codec — the
+    video analog of what q364 did for images.
+
+    The oracle recomputes the SELECTED frame's pixels from the DC
+    arithmetic (q364's contract) with the frame index baked into the
+    formula — decoding the wrong frame, mis-walking the container,
+    or dropping a chunk alignment byte breaks the hash.
+
+    Scale: per-row independent mapInPandas; one frame decoded per
+    blob (frame SEEK, not full-video decode — the sampling pattern a
+    training pipeline uses); blob bytes never leave the task.
+    """
+    import numpy as np
+
+    from ..functions.media import (
+        build_avi_mjpeg,
+        build_jpeg_ycbcr,
+        decode_jpeg_pixels,
+        parse_avi_mjpeg,
+    )
+
+    meta = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    out_schema = (
+        "doc_id long, n_frames long, frame_idx long, width long, "
+        "height long, mean_r double, mean_b double, corner_tl_r long, "
+        "corner_br_b long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(doc_id), int(n_chars)
+                wb, hb = 1 + nc % 3, 1 + nc % 2
+                nf = 2 + nc % 3
+                up = lambda a: np.kron(
+                    a, np.ones((8, 8), dtype=np.int64)
+                ).astype(np.uint8)
+                bxs = np.arange(wb, dtype=np.int64)[None, :]
+                bys = np.arange(hb, dtype=np.int64)[:, None]
+                frames = []
+                for f in range(nf):
+                    yv = (37 * bxs + 17 * bys + d + 19 * f) % 256
+                    cbv = (11 * bxs + 29 * bys + 3 * d + 19 * f) % 256
+                    crv = (23 * bxs + 7 * bys + 5 * d + 19 * f) % 256
+                    frames.append(
+                        build_jpeg_ycbcr(up(yv), up(cbv), up(crv))
+                    )
+                blob = build_avi_mjpeg(frames, wb * 8, hb * 8)
+                # ---- operator under test: container walk + decode ----
+                aw, ah, out_frames = parse_avi_mjpeg(blob)
+                fidx = len(out_frames) // 2
+                dw, dh, rgb = decode_jpeg_pixels(out_frames[fidx])
+                if (dw, dh) != (aw, ah):
+                    raise ValueError("frame dims disagree with avih")
+                rgb = rgb.astype(np.int64)
+                blk = rgb[::8, ::8, :]
+                nb = wb * hb
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "n_frames": len(out_frames),
+                        "frame_idx": fidx,
+                        "width": dw,
+                        "height": dh,
+                        "mean_r": round(int(blk[:, :, 0].sum()) / nb, 6),
+                        "mean_b": round(int(blk[:, :, 2].sum()) / nb, 6),
+                        "corner_tl_r": int(rgb[0, 0, 0]),
+                        "corner_br_b": int(rgb[dh - 1, dw - 1, 2]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return meta.mapInPandas(run, schema=out_schema)

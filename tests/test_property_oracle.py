@@ -191,6 +191,11 @@ DOC_QUERIES = [
     "q362_mixing_weights",
     # 1-word docs have no 2/3-grams -> LEFT-JOIN zero fractions
     "q363_gopher_repetition",
+    # lossy-codec DC arithmetic must agree for every n_chars-derived
+    # card shape (incl. n_chars = 0 minima)
+    "q364_jpeg_pixel_decode",
+    "q366_mulaw_audio_decode",
+    "q367_mjpeg_frame_decode",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get
@@ -216,6 +221,9 @@ ORDER_QUERIES = [
     # both engines must truncate identically; empty anchor month
     # empties the whole series
     "q365_holt_linear_trend",
+    # empty audit rectangles NULL both amplifications; negative
+    # pre-1995 dates exercise the pmod bin wraparound
+    "q368_zorder_layout_advisor",
 ]
 
 
