@@ -1191,3 +1191,102 @@ def parse_avi_mjpeg(payload: bytes):
     if len(frames) != n:
         raise ValueError(f"AVI frame count mismatch: avih {n} vs {len(frames)}")
     return w, h, frames
+
+
+# ------------------------------------------------- IMA ADPCM (DVI4)
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def ima_adpcm_decode(codes, pred0: int, index0: int):
+    """REAL IMA ADPCM expansion (the IMA/DVI reference algorithm):
+    4-bit codes -> int16 PCM, carrying (predictor, step-index) state
+    sample to sample. Integer-exact; the q369 oracle re-implements
+    the identical recurrence as a recursive CTE."""
+    import numpy as np
+
+    pred, idx = int(pred0), int(index0)
+    out = [pred]
+    for code in np.asarray(codes, dtype=np.int64) & 0xF:
+        step = _IMA_STEPS[idx]
+        diff = (step >> 3)
+        if code & 1:
+            diff += step >> 2
+        if code & 2:
+            diff += step >> 1
+        if code & 4:
+            diff += step
+        if code & 8:
+            diff = -diff
+        pred = max(-32768, min(32767, pred + diff))
+        idx = max(0, min(88, idx + _IMA_INDEX[int(code) & 7]))
+        out.append(pred)
+    return np.array(out, dtype=np.int16)
+
+
+def build_adpcm_wav(codes, pred0: int, index0: int,
+                    sample_rate: int = 8000) -> bytes:
+    """Canonical single-block mono IMA-ADPCM WAV (format tag 0x11,
+    4 bits/sample): block header (initial predictor int16 LE, step
+    index byte, reserved 0) followed by packed nibbles (low nibble
+    first, per the IMA-in-RIFF convention)."""
+    import numpy as np
+
+    c = np.asarray(codes, dtype=np.int64) & 0xF
+    if len(c) % 2:
+        c = np.concatenate([c, [0]])  # pad to whole bytes
+    packed = (c[0::2] | (c[1::2] << 4)).astype(np.uint8).tobytes()
+    block = struct.pack("<hBB", pred0, index0, 0) + packed
+    fmt = struct.pack(
+        "<4sIHHIIHHH", b"fmt ", 18, 0x11, 1, sample_rate,
+        sample_rate // 2, len(block), 4, 0,
+    )
+    data_hdr = struct.pack("<4sI", b"data", len(block))
+    riff_len = 4 + len(fmt) + len(data_hdr) + len(block)
+    return (
+        struct.pack("<4sI4s", b"RIFF", riff_len, b"WAVE")
+        + fmt + data_hdr + block
+    )
+
+
+def parse_adpcm_wav(payload: bytes, n_codes: int | None = None):
+    """REAL IMA-ADPCM WAV decode: validate RIFF/WAVE + format tag
+    0x11, read the block header state, unpack nibbles, run
+    ``ima_adpcm_decode``. ``n_codes`` trims the nibble padding byte
+    when the true code count is odd. Returns
+    ``(sample_rate, samples int16)`` or raises ValueError."""
+    import numpy as np
+
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV (missing RIFF/WAVE)")
+    pos = 12
+    rate = None
+    while pos + 8 <= len(b):
+        cid, clen = struct.unpack("<4sI", b[pos : pos + 8])
+        body = b[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt " and clen >= 16:
+            tag, channels, rate = struct.unpack("<HHI", body[:8])
+            if tag != 0x11 or channels != 1:
+                raise ValueError("not mono IMA-ADPCM (tag 0x11)")
+        elif cid == b"data" and rate is not None:
+            pred0, index0, _res = struct.unpack("<hBB", body[:4])
+            nib = np.frombuffer(body[4:], dtype=np.uint8)
+            codes = np.empty(len(nib) * 2, dtype=np.int64)
+            codes[0::2] = nib & 0xF
+            codes[1::2] = nib >> 4
+            if n_codes is not None:
+                codes = codes[:n_codes]
+            return rate, ima_adpcm_decode(codes, pred0, index0)
+        pos += 8 + clen + (clen & 1)
+    raise ValueError("ADPCM WAV missing fmt/data")

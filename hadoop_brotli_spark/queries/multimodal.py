@@ -961,3 +961,114 @@ def q367_mjpeg_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return meta.mapInPandas(run, schema=out_schema)
+
+
+# --------------------------------- q369 IMA ADPCM stateful audio decode
+
+
+@register(
+    "q369_adpcm_audio_decode",
+    oracle="""
+    WITH RECURSIVE m AS (
+      SELECT doc_id, 24 + n_chars % 24 AS n,
+             ((doc_id * 37) % 256 - 128) * 16 AS pred0,
+             (doc_id * 7) % 89 AS idx0
+      FROM documents
+    ),
+    codes AS (
+      SELECT doc_id, CAST(r.i AS BIGINT) AS j,
+             (5 * r.i + 11 * doc_id) % 16 AS code
+      FROM m, UNNEST(range(n)) AS r(i)
+    ),
+    h AS (
+      SELECT doc_id, CAST(0 AS BIGINT) AS j, pred0 AS s, idx0 AS idx FROM m
+      UNION ALL
+      SELECT h.doc_id, h.j + 1,
+             GREATEST(-32768, LEAST(32767,
+               h.s + (CASE WHEN c.code >= 8 THEN -1 ELSE 1 END)
+                   * ((([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767])[h.idx + 1] // 8)
+                      + (c.code % 2) * (([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767])[h.idx + 1] // 4)
+                      + ((c.code // 2) % 2) * (([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767])[h.idx + 1] // 2)
+                      + ((c.code // 4) % 2) * ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767])[h.idx + 1]))),
+             GREATEST(0, LEAST(88,
+               h.idx + (CASE c.code % 8 WHEN 4 THEN 2 WHEN 5 THEN 4
+                        WHEN 6 THEN 6 WHEN 7 THEN 8 ELSE -1 END)))
+      FROM h JOIN codes c ON c.doc_id = h.doc_id AND c.j = h.j
+    )
+    SELECT h.doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(h.s) AS BIGINT) AS sum_samples,
+           CAST(MIN(h.s) AS BIGINT) AS min_sample,
+           CAST(MAX(h.s) AS BIGINT) AS max_sample,
+           CAST(MAX(CASE WHEN h.j = 0 THEN h.s END) AS BIGINT)
+             AS first_sample,
+           CAST(MAX(CASE WHEN h.j = m.n THEN h.s END) AS BIGINT)
+             AS last_sample
+    FROM h JOIN m ON m.doc_id = h.doc_id
+    GROUP BY h.doc_id
+""",
+)
+def q369_adpcm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL IMA ADPCM audio decode — the STATEFUL companding codec
+    (4-bit differential codes; each sample depends on the running
+    (predictor, step-index) state, unlike mu-law's stateless
+    per-byte expansion in q366): stage 1 packs a deterministic code
+    stream into a canonical format-tag-0x11 WAV block (header
+    carries the initial predictor/step-index, nibbles low-first per
+    the IMA-in-RIFF convention); stage 2 — the operator under test —
+    parses the container and runs the IMA reference recurrence
+    (``parse_adpcm_wav`` / ``ima_adpcm_decode``).
+
+    The oracle is a SECOND implementation of the whole recurrence as
+    a RECURSIVE CTE: per-document state rows advance one code per
+    recursion level, the 89-entry step table rides as an array
+    literal, and every clamp/bit-term is integer SQL — a predictor
+    clamp slip, step-index drift, nibble-order swap, or sign-bit bug
+    desynchronizes the recursion from the decoder and breaks the
+    hash. The q356/q365 recursion surface doing real codec work.
+
+    Scale: per-row independent mapInPandas decode, no shuffle; the
+    recursion lives only on the oracle side (DuckDB), bounded at 48
+    levels.
+    """
+    import numpy as np
+
+    from ..functions.media import build_adpcm_wav, parse_adpcm_wav
+
+    meta = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    out_schema = (
+        "doc_id long, sample_rate long, n_samples long, sum_samples long, "
+        "min_sample long, max_sample long, first_sample long, "
+        "last_sample long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(doc_id), int(n_chars)
+                n = 24 + nc % 24
+                codes = (5 * np.arange(n, dtype=np.int64) + 11 * d) % 16
+                pred0 = ((d * 37) % 256 - 128) * 16
+                idx0 = (d * 7) % 89
+                blob = build_adpcm_wav(codes, pred0, idx0, 8000)
+                # ---- operator under test: container + recurrence ----
+                rate, samples = parse_adpcm_wav(blob, n_codes=n)
+                s = samples.astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "sample_rate": int(rate),
+                        "n_samples": len(s),
+                        "sum_samples": int(s.sum()),
+                        "min_sample": int(s.min()),
+                        "max_sample": int(s.max()),
+                        "first_sample": int(s[0]),
+                        "last_sample": int(s[-1]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return meta.mapInPandas(run, schema=out_schema)

@@ -638,3 +638,60 @@ class TestMulaw:
         b = bytearray(build_wav([1, 2], 8000))
         struct.pack_into("<H", b, 34, 8)  # tag stays 1, bits -> 8
         assert parse_wav(bytes(b)) == (None, None, None, None)
+
+
+class TestAdpcm:
+    def test_decode_matches_reference_recurrence(self):
+        """Spot-check known IMA behavior: code 0 decays toward the
+        predictor (diff = step>>3), code 8+ moves negative, the
+        step index walks the table and clamps at both ends."""
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            _IMA_INDEX,
+            _IMA_STEPS,
+            ima_adpcm_decode,
+        )
+
+        out = ima_adpcm_decode([0], 100, 0)
+        assert list(out) == [100, 100 + (_IMA_STEPS[0] >> 3)]
+        out = ima_adpcm_decode([8], 100, 0)
+        assert list(out) == [100, 100 - (_IMA_STEPS[0] >> 3)]
+        # index clamps at 0 (codes 0-3 decrement) and at 88
+        out = ima_adpcm_decode([0] * 5, 0, 0)
+        assert len(out) == 6
+        out = ima_adpcm_decode([7] * 30, 0, 80)  # +8 per step, clamp 88
+        assert out[-1] <= 32767
+        # predictor clamps into int16
+        out = ima_adpcm_decode([7] * 60, 32000, 88)
+        assert out.max() == 32767
+
+    def test_wav_container_roundtrip(self):
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            build_adpcm_wav,
+            ima_adpcm_decode,
+            parse_adpcm_wav,
+        )
+
+        codes = np.array([1, 14, 7, 8, 0, 15, 3], dtype=np.int64)
+        blob = build_adpcm_wav(codes, -512, 12, 16000)
+        rate, samples = parse_adpcm_wav(blob, n_codes=len(codes))
+        assert rate == 16000
+        assert (samples == ima_adpcm_decode(codes, -512, 12)).all()
+        # odd code count: padding nibble must be trimmed, not decoded
+        assert len(samples) == len(codes) + 1
+
+    def test_rejects_wrong_containers(self):
+        import pytest
+
+        from hadoop_brotli_spark.functions.media import (
+            build_wav,
+            parse_adpcm_wav,
+        )
+
+        with pytest.raises(ValueError):
+            parse_adpcm_wav(b"junk")
+        with pytest.raises(ValueError):
+            parse_adpcm_wav(build_wav([1, 2], 8000))  # PCM16, tag 1

@@ -196,6 +196,9 @@ DOC_QUERIES = [
     "q364_jpeg_pixel_decode",
     "q366_mulaw_audio_decode",
     "q367_mjpeg_frame_decode",
+    # stateful recurrence: oracle recursion and decoder must stay in
+    # lockstep for every n_chars-derived code stream
+    "q369_adpcm_audio_decode",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get
