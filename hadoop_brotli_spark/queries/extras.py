@@ -40,7 +40,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import dsum, sql_dsum, t
+from ._util import dsum, fan_out, sql_dsum, t
 from .dedup import N_HASHES, _minhash_pairs, _minhash_pairs_ctes, _signatures
 from .similarity import dot_double, norm_double
 
@@ -1961,4 +1961,334 @@ def q368_zorder_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("amp_zorder"),
         )
+    )
+
+
+# ------------------- q370 spatial grid-bucketed nearest-neighbor join
+
+GEO_CELL_DEG = 5.0      # grid cell size (deg) — sized to the radius
+GEO_RADIUS_KM = 500.0   # match radius
+GEO_EARTH_KM = 6371.0
+
+
+def _geo_hash_coord_sql(key: str, salt: str, span: int, offset: int) -> str:
+    """Deterministic coordinate from a key hash: integer-derived
+    (span/1000-degree resolution), bit-identical on both engines."""
+    return (
+        f"(CAST(('0x' || substr(md5(CAST({key} AS VARCHAR) || '_{salt}'),"
+        f" 1, 7)) AS BIGINT) % {span}) / 1000.0 - {offset}"
+    )
+
+
+@register(
+    "q370_spatial_bin_join",
+    oracle=f"""
+    WITH cust AS (
+      SELECT c_custkey,
+             {_geo_hash_coord_sql('c_custkey', 'lat', 120000, 60)} AS lat,
+             {_geo_hash_coord_sql('c_custkey', 'lon', 360000, 180)} AS lon
+      FROM customer
+    ),
+    supp AS (
+      SELECT s_suppkey,
+             {_geo_hash_coord_sql('s_suppkey', 'lat', 120000, 60)} AS lat,
+             {_geo_hash_coord_sql('s_suppkey', 'lon', 360000, 180)} AS lon
+      FROM supplier
+    ),
+    cc AS (
+      SELECT *, CAST(FLOOR((lat + 90) / {GEO_CELL_DEG!r}) AS BIGINT) AS cy,
+             CAST(FLOOR((lon + 180) / {GEO_CELL_DEG!r}) AS BIGINT) AS cx
+      FROM cust
+    ),
+    sc AS (
+      -- supplier fan-out to its 3x3 cell neighborhood (small side)
+      SELECT s.*, CAST(FLOOR((s.lat + 90) / {GEO_CELL_DEG!r}) AS BIGINT)
+               + dy.d AS cy,
+             CAST(FLOOR((s.lon + 180) / {GEO_CELL_DEG!r}) AS BIGINT)
+               + dx.d AS cx
+      FROM supp s, UNNEST([-1, 0, 1]) AS dy(d), UNNEST([-1, 0, 1]) AS dx(d)
+    ),
+    cand AS (
+      SELECT cc.c_custkey, sc.s_suppkey,
+             ROUND(2 * {GEO_EARTH_KM!r} * asin(sqrt(
+               sin(radians(sc.lat - cc.lat) / 2)
+                 * sin(radians(sc.lat - cc.lat) / 2)
+               + cos(radians(cc.lat)) * cos(radians(sc.lat))
+                 * sin(radians(sc.lon - cc.lon) / 2)
+                 * sin(radians(sc.lon - cc.lon) / 2))), 3) AS dist_km
+      FROM cc JOIN sc ON cc.cy = sc.cy AND cc.cx = sc.cx
+    ),
+    nearest AS (
+      SELECT c_custkey, s_suppkey, dist_km,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY dist_km ASC, s_suppkey ASC) AS rn
+      FROM cand WHERE dist_km <= {GEO_RADIUS_KM!r}
+    )
+    SELECT c_custkey, s_suppkey AS nearest_suppkey, dist_km
+    FROM nearest WHERE rn = 1
+    """,
+)
+def q370_spatial_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial nearest-neighbor join — the geo operator family
+    (Sedona/GeoSpark's bread and butter) on plain DataFrames:
+    customers and suppliers get deterministic hash-derived
+    coordinates (integer-derived 1/1000-degree grid — reproducible
+    across engines/retries, q88's rule applied to geometry), the
+    supplier (small) side fans out to its 3x3 neighborhood of
+    {GEO_CELL_DEG}-degree grid cells, candidates join on the CELL
+    KEY (equi-join — never a cross join), and exact haversine
+    verifies the {GEO_RADIUS_KM} km radius before a (dist, suppkey)
+    total-order argmin picks the nearest store per customer.
+
+    The cell size is chosen so the radius never spans beyond the
+    3x3 neighborhood at this latitude band ({GEO_CELL_DEG} deg >=
+    500 km / 111 km); the equi-join + verify two-phase is the same
+    candidate/verify shape as LSH dedup (q62) and interval binning
+    (q220). Trig runs on identical doubles with identical op order;
+    distances round at 1 m before compare and argmin (q333's
+    round-before-rank rule).
+
+    Scale: fan-out rides the SMALL side (9x suppliers, broadcast);
+    the big side maps each customer to ONE cell — one equi-join, no
+    shuffle of the fan-out, no quadratic stage anywhere. Skewed
+    cells (urban density) would AQE-split or salt like any hot key.
+    """
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+
+    def coord(key: str, salt: str, span: int, offset: int):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(key).cast("string"), F.lit("_" + salt)
+                    ).cast("binary")
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (h % span) / 1000.0 - offset
+
+    cust = c.select(
+        "c_custkey",
+        coord("c_custkey", "lat", 120000, 60).alias("lat"),
+        coord("c_custkey", "lon", 360000, 180).alias("lon"),
+    )
+    supp = s.select(
+        "s_suppkey",
+        coord("s_suppkey", "lat", 120000, 60).alias("slat"),
+        coord("s_suppkey", "lon", 360000, 180).alias("slon"),
+    )
+    cc = cust.select(
+        "*",
+        F.floor((F.col("lat") + 90) / GEO_CELL_DEG).alias("cy"),
+        F.floor((F.col("lon") + 180) / GEO_CELL_DEG).alias("cx"),
+    )
+    deltas = spark.range(3).select((F.col("id") - 1).alias("d"))
+    sc = (
+        supp.crossJoin(F.broadcast(deltas.select(F.col("d").alias("dy"))))
+        .crossJoin(F.broadcast(deltas.select(F.col("d").alias("dx"))))
+        .select(
+            "s_suppkey",
+            "slat",
+            "slon",
+            (F.floor((F.col("slat") + 90) / GEO_CELL_DEG) + F.col("dy"))
+            .alias("cy"),
+            (F.floor((F.col("slon") + 180) / GEO_CELL_DEG) + F.col("dx"))
+            .alias("cx"),
+        )
+    )
+    dlat = F.radians(F.col("slat") - F.col("lat")) / 2
+    dlon = F.radians(F.col("slon") - F.col("lon")) / 2
+    hav = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians("lat")) * F.cos(F.radians("slat"))
+        * F.sin(dlon) * F.sin(dlon)
+    )
+    cand = cc.join(F.broadcast(sc), ["cy", "cx"]).select(
+        "c_custkey",
+        "s_suppkey",
+        F.round(2 * GEO_EARTH_KM * F.asin(F.sqrt(hav)), 3).alias("dist_km"),
+    )
+    wn = W.partitionBy("c_custkey").orderBy(
+        F.col("dist_km").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        cand.filter(F.col("dist_km") <= GEO_RADIUS_KM)
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            F.col("s_suppkey").alias("nearest_suppkey"),
+            "dist_km",
+        )
+    )
+
+
+# --------------------------- q371 Luhn checksum PII validation audit
+
+
+@register(
+    "q371_luhn_checksum_audit",
+    oracle="""
+    WITH d15 AS (
+      -- 15 account digits from the order-key hash (hex digit % 10)
+      SELECT o_orderkey, o_orderpriority, CAST(r.i AS BIGINT) AS i,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                  CAST(r.i AS INTEGER), 1)) AS BIGINT)
+               % 10 AS d
+      FROM orders, UNNEST(range(1, 16)) AS r(i)
+    ),
+    synth AS (
+      -- Luhn check digit from the 15-digit partial sum (odd LEFT
+      -- positions double when the string is 16 long); every third
+      -- order key gets the digit corrupted by +1
+      SELECT o_orderkey, o_orderpriority,
+             string_agg(CAST(d AS VARCHAR), '' ORDER BY i)
+               || CAST(
+                 ((10 - SUM(CASE WHEN i % 2 = 1
+                       THEN (CASE WHEN d * 2 > 9 THEN d * 2 - 9
+                                  ELSE d * 2 END)
+                       ELSE d END) % 10) % 10
+                  + CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) % 10
+                 AS VARCHAR) AS card
+      FROM d15 GROUP BY o_orderkey, o_orderpriority
+    ),
+    walked AS (
+      -- the VALIDATOR: independent right-to-left walk of the final
+      -- string (doubling every second digit from the right)
+      SELECT s.o_orderkey, s.o_orderpriority,
+             SUM(CASE WHEN (16 - r.i) % 2 = 1
+                   THEN (CASE WHEN CAST(substr(s.card,
+                            CAST(r.i AS INTEGER), 1) AS BIGINT) * 2 > 9
+                         THEN CAST(substr(s.card,
+                            CAST(r.i AS INTEGER), 1) AS BIGINT) * 2 - 9
+                         ELSE CAST(substr(s.card,
+                            CAST(r.i AS INTEGER), 1) AS BIGINT) * 2 END)
+                   ELSE CAST(substr(s.card,
+                            CAST(r.i AS INTEGER), 1) AS BIGINT) END)
+               AS luhn_sum
+      FROM synth s, UNNEST(range(1, 17)) AS r(i)
+      GROUP BY s.o_orderkey, s.o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_cards,
+           CAST(SUM(CASE WHEN luhn_sum % 10 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_valid,
+           CAST(SUM(CASE WHEN luhn_sum % 10 = 0 THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_invalid,
+           ROUND(SUM(CASE WHEN luhn_sum % 10 = 0 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS valid_share
+    FROM walked GROUP BY o_orderpriority
+    """,
+)
+def q371_luhn_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn (mod-10) checksum validation — the verification stage a
+    PII scrubber runs AFTER q252's regex candidates (a 16-digit run
+    is only a credit-card leak if its check digit verifies; Luhn
+    kills the regex's false positives): stage 1 synthesizes one
+    16-digit number per order (15 hash digits + a COMPUTED Luhn
+    check digit, deliberately corrupted for every third key); stage
+    2 — the operator under test — re-walks the final STRING right to
+    left, doubling alternate digits with the 2d>9 -> 2d-9 fold, and
+    classifies valid/invalid. The synthesis computes the check digit
+    from partial sums while the validator walks the assembled
+    string, so they share no code path; the expected valid share is
+    exactly the un-corrupted 2/3.
+
+    Pure integer arithmetic throughout (no float anywhere but the
+    final share). Per-priority aggregate output.
+
+    Scale: one narrow per-row digit expansion (bounded 16x) and a
+    5-group aggregate — embarrassingly parallel, no joins.
+    """
+    o = fan_out(t(spark, sf_dir, "orders"))
+    d15 = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode(F.sequence(F.lit(1), F.lit(15))).alias("i"),
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "i",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("o_orderkey").cast("string").cast("binary")),
+                    F.col("i").cast("int"),
+                    1,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10
+        ).alias("d"),
+    )
+    fold = F.when(
+        F.col("d") * 2 > 9, F.col("d") * 2 - 9
+    ).otherwise(F.col("d") * 2)
+    synth = d15.groupBy("o_orderkey", "o_orderpriority").agg(
+        F.concat(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("i").alias("i"),
+                                     F.col("d").cast("string").alias("c"))
+                        )
+                    ),
+                    lambda s: s["c"],
+                ),
+                "",
+            ),
+            (
+                (
+                    (
+                        10
+                        - F.sum(
+                            F.when(F.col("i") % 2 == 1, fold).otherwise(
+                                F.col("d")
+                            )
+                        )
+                        % 10
+                    )
+                    % 10
+                    + F.when(F.col("o_orderkey") % 3 == 0, 1).otherwise(0)
+                )
+                % 10
+            ).cast("string"),
+        ).alias("card")
+    )
+    walked = synth.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("i"),
+        "card",
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.substring(F.col("card"), F.col("i").cast("int"), 1)
+        .cast("long")
+        .alias("cd"),
+        F.col("i"),
+    )
+    cfold = F.when(
+        F.col("cd") * 2 > 9, F.col("cd") * 2 - 9
+    ).otherwise(F.col("cd") * 2)
+    sums = walked.groupBy("o_orderkey", "o_orderpriority").agg(
+        F.sum(
+            F.when((16 - F.col("i")) % 2 == 1, cfold).otherwise(F.col("cd"))
+        ).alias("luhn_sum")
+    )
+    ok = F.when(F.col("luhn_sum") % 10 == 0, 1).otherwise(0)
+    return sums.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cards"),
+        F.sum(ok).cast("bigint").alias("n_valid"),
+        F.sum(1 - ok).cast("bigint").alias("n_invalid"),
+        F.round(
+            F.sum(ok) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("valid_share"),
     )

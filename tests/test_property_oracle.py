@@ -227,6 +227,9 @@ ORDER_QUERIES = [
     # empty audit rectangles NULL both amplifications; negative
     # pre-1995 dates exercise the pmod bin wraparound
     "q368_zorder_layout_advisor",
+    # digit/fold arithmetic over any key range; the 2/3 valid share
+    # only holds when the corrupt rule agrees exactly
+    "q371_luhn_checksum_audit",
 ]
 
 
