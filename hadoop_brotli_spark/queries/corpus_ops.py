@@ -3131,3 +3131,294 @@ def q362_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("effective_epochs"),
     )
+
+
+# -------------------- q372 PPMI distributional word similarity
+
+PPMI_WIN = 2       # symmetric context window
+PPMI_TOPK = 10
+PPMI_CTX_CAP = 1000  # scale rule: drop contexts shared by > CAP words
+
+
+@register(
+    "q372_ppmi_word_similarity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(r.i AS BIGINT) AS i,
+             string_split(text, ' ')[CAST(r.i + 1 AS INTEGER)] AS w
+      FROM documents,
+           UNNEST(range(len(string_split(text, ' ')))) AS r(i)
+    ),
+    pairs AS (
+      SELECT a.w AS w, b.w AS c
+      FROM toks a
+      JOIN toks b ON b.doc_id = a.doc_id
+        AND b.i BETWEEN a.i - {PPMI_WIN} AND a.i + {PPMI_WIN}
+        AND b.i <> a.i
+    ),
+    nwc AS (SELECT w, c, COUNT(*) AS n FROM pairs GROUP BY w, c),
+    nw AS (SELECT w, SUM(n) AS nw FROM nwc GROUP BY w),
+    nc AS (SELECT c, SUM(n) AS nc FROM nwc GROUP BY c),
+    nn AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM nwc),
+    ctx_df AS (SELECT c, COUNT(*) AS df FROM nwc GROUP BY c),
+    ppmi AS (
+      SELECT x.w, x.c,
+             ROUND(GREATEST(ln((x.n * t.nn) / (w1.nw * c1.nc)), 0.0), 6)
+               AS v
+      FROM nwc x
+      JOIN nw w1 ON w1.w = x.w
+      JOIN nc c1 ON c1.c = x.c
+      JOIN ctx_df d ON d.c = x.c
+      CROSS JOIN nn t
+      WHERE d.df <= {PPMI_CTX_CAP}
+    ),
+    norms AS (
+      SELECT w, SQRT(CAST(SUM(CAST(ROUND(v * v, 9) AS DECIMAL(38,9)))
+                          AS DOUBLE)) AS nrm
+      FROM ppmi GROUP BY w
+    ),
+    dots AS (
+      SELECT a.w AS w1, b.w AS w2,
+             CAST(SUM(CAST(ROUND(a.v * b.v, 9) AS DECIMAL(38,9)))
+                  AS DOUBLE) AS dot
+      FROM ppmi a JOIN ppmi b ON a.c = b.c AND a.w < b.w
+      GROUP BY a.w, b.w
+    ),
+    scored AS (
+      SELECT d.w1, d.w2,
+             ROUND(d.dot / NULLIF(na.nrm * nb.nrm, 0.0), 6) AS cosine
+      FROM dots d
+      JOIN norms na ON na.w = d.w1
+      JOIN norms nb ON nb.w = d.w2
+    )
+    SELECT w1, w2, cosine, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, w1, w2) AS rk
+      FROM scored WHERE cosine IS NOT NULL
+    ) WHERE rk <= {PPMI_TOPK}
+    """,
+)
+def q372_ppmi_word_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional word similarity from PPMI context vectors —
+    count-based word embeddings (Levy & Goldberg 2014 showed
+    skip-gram factorizes exactly this matrix): every word's vector
+    is its positive-PMI weighting over +-{PPMI_WIN}-window contexts,
+    and word-pair cosine runs as an INVERTED-INDEX join on the
+    shared context key (the q333 posting-list shape — never a vocab
+    x vocab product). Contexts shared by more than {PPMI_CTX_CAP}
+    words are dropped before the pair join (the q62 bucket-cap rule:
+    stop-word-like contexts contribute ~zero PPMI but quadratic
+    pairs).
+
+    Cross-engine: counts are integers; ln() on identical ratios
+    rounds at 1e-6 BEFORE use (PPMI values are themselves rounded,
+    so dot/norm inputs are grid-identical); dot/norm sums use the
+    decimal roundtrip; the final rank orders the ROUNDED cosine with
+    a pair tie-break, and zero-norm words NULL out identically.
+
+    Scale: token stream -> (w,c) count reduce (vocab^2-bounded with
+    the window constant), then everything is vocabulary-grain. The
+    top-{PPMI_TOPK} goes TakeOrdered before the tiny rank window.
+    """
+    from pyspark.sql import Window as W
+
+    toks = fan_out(t(spark, sf_dir, "documents")).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("ip", "w")
+    ).select("doc_id", F.col("ip").cast("bigint").alias("i"), "w")
+    a = toks.select("doc_id", F.col("i").alias("ai"), F.col("w").alias("w"))
+    b = toks.select("doc_id", F.col("i").alias("bi"), F.col("w").alias("c"))
+    pairs = a.join(b, "doc_id").filter(
+        (F.col("bi") >= F.col("ai") - PPMI_WIN)
+        & (F.col("bi") <= F.col("ai") + PPMI_WIN)
+        & (F.col("bi") != F.col("ai"))
+    )
+    nwc = pairs.groupBy("w", "c").agg(F.count(F.lit(1)).alias("n"))
+    nw = nwc.groupBy("w").agg(F.sum("n").alias("nw_"))
+    nc = nwc.groupBy("c").agg(F.sum("n").alias("nc_"))
+    nn = nwc.agg(F.sum("n").cast("double").alias("nn_"))
+    ctx_df = nwc.groupBy("c").agg(F.count(F.lit(1)).alias("df"))
+    ppmi = (
+        nwc.join(F.broadcast(nw), "w")
+        .join(F.broadcast(nc), "c")
+        .join(F.broadcast(ctx_df.filter(F.col("df") <= PPMI_CTX_CAP)), "c")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "w",
+            "c",
+            F.round(
+                F.greatest(
+                    F.log(
+                        (F.col("n") * F.col("nn_"))
+                        / (F.col("nw_") * F.col("nc_"))
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("v"),
+        )
+    )
+    norms = ppmi.groupBy("w").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("v") * F.col("v"), 9).cast("decimal(38,9)"))
+            .cast("double")
+        ).alias("nrm")
+    )
+    pa = ppmi.select(F.col("w").alias("w1"), "c", F.col("v").alias("va"))
+    pb = ppmi.select(F.col("w").alias("w2"), "c", F.col("v").alias("vb"))
+    dots = (
+        pa.join(pb, "c")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(
+            F.sum(
+                F.round(F.col("va") * F.col("vb"), 9).cast("decimal(38,9)")
+            )
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("w").alias("w1"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("w").alias("w2"), F.col("nrm").alias("nb"))
+    scored = (
+        dots.join(F.broadcast(na), "w1")
+        .join(F.broadcast(nb), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.col("dot")
+                / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    topk = scored.orderBy(
+        F.col("cosine").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(PPMI_TOPK)
+    wr = W.orderBy(F.col("cosine").desc(), "w1", "w2")
+    return topk.withColumn(
+        "rk", F.row_number().over(wr).cast("bigint")
+    ).select("w1", "w2", "cosine", "rk")
+
+
+# ------------------- q373 cross-document duplication length profile
+
+DUPLEN_SIZES = (4, 8, 16, 32)
+
+
+def _duplen_size_sql(s: int) -> str:
+    return f"""
+    SELECT {s} AS win_tokens, w.h
+    FROM (
+      SELECT t.doc_id,
+             md5(string_agg(t2.w, ' ' ORDER BY t2.i)) AS h
+      FROM (
+        SELECT doc_id, CAST(r.i AS BIGINT) AS i,
+               string_split(text, ' ')[CAST(r.i + 1 AS INTEGER)] AS w,
+               len(string_split(text, ' ')) AS nt
+        FROM documents,
+             UNNEST(range(len(string_split(text, ' ')))) AS r(i)
+      ) t
+      JOIN (
+        SELECT doc_id, CAST(r.i AS BIGINT) AS i,
+               string_split(text, ' ')[CAST(r.i + 1 AS INTEGER)] AS w
+        FROM documents,
+             UNNEST(range(len(string_split(text, ' ')))) AS r(i)
+      ) t2 ON t2.doc_id = t.doc_id
+          AND t2.i BETWEEN t.i AND t.i + {s} - 1
+      WHERE t.i + {s} <= t.nt
+      GROUP BY t.doc_id, t.i
+    ) w
+    """
+
+
+@register(
+    "q373_duplication_length_profile",
+    oracle=f"""
+    WITH all_windows AS (
+      {" UNION ALL ".join(_duplen_size_sql(s) for s in DUPLEN_SIZES)}
+    ),
+    per_hash AS (
+      SELECT win_tokens, h, COUNT(*) AS occurrences
+      FROM all_windows GROUP BY win_tokens, h
+    )
+    SELECT win_tokens AS window_tokens,
+           CAST(SUM(occurrences) AS BIGINT) AS n_windows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN occurrences >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_hashes,
+           CAST(SUM(CASE WHEN occurrences >= 2 THEN occurrences ELSE 0 END)
+                AS BIGINT) AS n_dup_windows,
+           ROUND(SUM(CASE WHEN occurrences >= 2 THEN occurrences
+                          ELSE 0 END)
+                 / CAST(NULLIF(SUM(occurrences), 0) AS DOUBLE), 6)
+             AS dup_share
+    FROM per_hash
+    GROUP BY win_tokens
+    """,
+)
+def q373_duplication_length_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplication LENGTH profile — how duplication decays with match
+    length: q253's ExactSubstr machinery swept across a ladder of
+    window sizes {DUPLEN_SIZES}, reporting per size the share of
+    sliding token windows whose hash occurs more than once anywhere
+    in the corpus. Short windows duplicate by chance (common
+    phrases); long duplicated windows are true copies — the knee of
+    this curve is how ExactSubstr's 50-token threshold (Lee et al.
+    2021) gets CHOSEN, where q253 merely applies one point of it.
+
+    Windows are md5-hashed BEFORE any shuffle (the q253 rule: the
+    exchange carries 32-hex keys, never text); each ladder rung is a
+    hash-grain aggregate; dup share is a ratio of exact integers.
+    One token stream feeds all four rungs.
+
+    Scale: per rung, windows ~= corpus tokens; the reduce keys are
+    uniform hashes (no skew) and the per-hash aggregate is
+    map-side-combinable. The ladder multiplies cost by
+    |{DUPLEN_SIZES}| — production would binary-search the knee
+    instead of materializing every rung.
+    """
+    docs = fan_out(t(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    rungs = []
+    for s in DUPLEN_SIZES:
+        # in-row sliding windows: one hash per start position, no
+        # join, no token-stream blow-up — the exchange carries only
+        # (size, hash); clamp the sequence stop (q354 rule)
+        wins = docs.filter(F.size("tk") >= s).select(
+            F.lit(s).alias("win_tokens"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(tk) - {s} + 1),"
+                    f" i -> md5(cast(concat_ws(' ', slice(tk, i, {s}))"
+                    f" as binary)))"
+                )
+            ).alias("h"),
+        )
+        rungs.append(wins)
+    all_windows = rungs[0]
+    for r in rungs[1:]:
+        all_windows = all_windows.unionByName(r)
+    per_hash = all_windows.groupBy("win_tokens", "h").agg(
+        F.count(F.lit(1)).alias("occurrences")
+    )
+    dup = F.when(F.col("occurrences") >= 2, F.col("occurrences")).otherwise(0)
+    return per_hash.groupBy(
+        F.col("win_tokens").alias("window_tokens")
+    ).agg(
+        F.sum("occurrences").cast("bigint").alias("n_windows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.when(F.col("occurrences") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_hashes"),
+        F.sum(dup).cast("bigint").alias("n_dup_windows"),
+        F.round(
+            F.sum(dup)
+            / F.nullif(F.sum("occurrences"), F.lit(0)).cast("double"),
+            6,
+        ).alias("dup_share"),
+    )

@@ -199,6 +199,10 @@ DOC_QUERIES = [
     # stateful recurrence: oracle recursion and decoder must stay in
     # lockstep for every n_chars-derived code stream
     "q369_adpcm_audio_decode",
+    # mass-duplicated corpora tie every cosine; sub-window docs
+    # vanish from every ladder rung identically
+    "q372_ppmi_word_similarity",
+    "q373_duplication_length_profile",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get
