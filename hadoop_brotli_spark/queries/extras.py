@@ -2292,3 +2292,237 @@ def q371_luhn_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(ok) / F.count(F.lit(1)).cast("double"), 6
         ).alias("valid_share"),
     )
+
+
+# ---------------------- q374 two-phase skyline (Pareto frontier)
+
+SKY_BIN = 20.0  # price bin width for the pruning grid
+
+
+@register(
+    "q374_skyline_frontier",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, CAST(p.p_size AS BIGINT) AS p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def q374_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query (Borzsony et al. 2001) — the
+    classic multi-criteria operator relational engines lack: parts
+    that are not DOMINATED (no other part is both cheaper and
+    larger). SQL states it as a quadratic NOT EXISTS — the oracle
+    does exactly that, certifying the pruned plan lossless (q230's
+    unpruned-oracle pattern).
+
+    Two-phase scale-safe plan: (1) bin prices on a fixed value grid
+    and reduce to per-bin max size; the running max over STRICTLY
+    cheaper bins (a bins-sized window, broadcast back) prunes every
+    point whose size falls below it — provably dominated by some
+    point in a cheaper bin. (2) the surviving candidate set (frontier-
+    sized, not corpus-sized) resolves exact dominance via a broadcast
+    self-anti-join with the strict-inequality predicate. Equal
+    (price, size) twins dominate neither way and both survive, on
+    both engines.
+
+    Scale: phase 1 is one partial-aggregated groupBy on the bin key
+    + a bins-sized window; the quadratic stage only ever sees
+    candidates (O(frontier) of them), never the corpus.
+    """
+    p = t(spark, sf_dir, "part")
+    binned = p.select(
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        F.floor(F.col("p_retailprice") / SKY_BIN).alias("bin"),
+    )
+    per_bin = binned.groupBy("bin").agg(F.max("p_size").alias("mx"))
+    wb = W.orderBy("bin").rowsBetween(W.unboundedPreceding, -1)
+    cmax = per_bin.select(
+        "bin", F.coalesce(F.max("mx").over(wb), F.lit(-1)).alias("cmax")
+    )
+    cand = binned.join(F.broadcast(cmax), "bin").filter(
+        F.col("p_size") >= F.col("cmax")
+    )
+    dom = cand.select(
+        F.col("p_retailprice").alias("q_price"),
+        F.col("p_size").alias("q_size"),
+    )
+    sky = cand.alias("p").join(
+        F.broadcast(dom).alias("q"),
+        (F.col("q.q_price") <= F.col("p.p_retailprice"))
+        & (F.col("q.q_size") >= F.col("p.p_size"))
+        & (
+            (F.col("q.q_price") < F.col("p.p_retailprice"))
+            | (F.col("q.q_size") > F.col("p.p_size"))
+        ),
+        "left_anti",
+    )
+    return sky.select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("bigint").alias("p_size")
+    )
+
+
+# ------------------- q375 DDSketch relative-error quantile sketch
+
+DD_ALPHA = 0.01
+DD_GAMMA = (1 + DD_ALPHA) / (1 - DD_ALPHA)
+DD_QS = (0.5, 0.95, 0.99)
+
+
+@register(
+    "q375_ddsketch_quantiles",
+    oracle=f"""
+    WITH buckets AS (
+      -- DDSketch bucket: ceil(ln(x)/ln(gamma)); merge = bucket-wise
+      -- SUM of per-priority partials (associative by construction,
+      -- asserted by the mismatch count)
+      SELECT o_orderpriority,
+             CAST(ceil(ln(o_totalprice) / ln({DD_GAMMA!r})) AS BIGINT)
+               AS b,
+             COUNT(*) AS c
+      FROM orders WHERE o_totalprice > 0
+      GROUP BY 1, 2
+    ),
+    merged AS (SELECT b, SUM(c) AS c FROM buckets GROUP BY b),
+    direct AS (
+      SELECT CAST(ceil(ln(o_totalprice) / ln({DD_GAMMA!r})) AS BIGINT)
+               AS b, COUNT(*) AS c
+      FROM orders WHERE o_totalprice > 0 GROUP BY 1
+    ),
+    mismatch AS (
+      SELECT COUNT(*) AS mm FROM merged m
+      FULL JOIN direct d ON d.b = m.b
+      WHERE m.c IS DISTINCT FROM d.c
+    ),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM merged),
+    cum AS (
+      SELECT b, c, SUM(c) OVER (ORDER BY b) AS cum FROM merged
+    ),
+    qs AS (SELECT UNNEST([{", ".join(map(repr, DD_QS))}]) AS q),
+    est AS (
+      SELECT qs.q,
+             MIN(cum.b) AS qb
+      FROM qs JOIN cum ON cum.cum >= CAST(ceil(qs.q * (SELECT n FROM n))
+                                          AS BIGINT)
+      GROUP BY qs.q
+    ),
+    vals AS (
+      SELECT o_totalprice AS v FROM orders WHERE o_totalprice > 0
+    ),
+    ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM vals
+    ),
+    exact AS (
+      SELECT qs.q, MIN(r.v) AS xv
+      FROM qs JOIN ranked r
+        ON r.rn >= CAST(ceil(qs.q * (SELECT n FROM n)) AS BIGINT)
+      GROUP BY qs.q
+    )
+    SELECT e.q AS quantile,
+           ROUND(2 * exp(e.qb * ln({DD_GAMMA!r}))
+                 / ({DD_GAMMA!r} + 1), 4) AS estimate,
+           x.xv AS exact_value,
+           ROUND(ABS(2 * exp(e.qb * ln({DD_GAMMA!r})) / ({DD_GAMMA!r} + 1)
+                     - x.xv) / x.xv, 6) AS rel_err,
+           CAST(CASE WHEN ABS(2 * exp(e.qb * ln({DD_GAMMA!r}))
+                              / ({DD_GAMMA!r} + 1) - x.xv) / x.xv
+                          <= {DD_ALPHA!r} THEN 1 ELSE 0 END AS BIGINT)
+             AS within_alpha,
+           (SELECT CAST(mm AS BIGINT) FROM mismatch)
+             AS merge_mismatch_buckets
+    FROM est e JOIN exact x ON x.q = e.q
+    """,
+)
+def q375_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch (Masson et al. 2019) — the RELATIVE-error quantile
+    sketch: log-spaced buckets b = ceil(ln(x)/ln(gamma)) with gamma
+    = (1+a)/(1-a), a = {DD_ALPHA}, guarantee every quantile within
+    a relative (not rank) error — what latency/price tails actually
+    need, and the design gap of q347's fixed LINEAR grid (whose
+    error blows up in the tail). Built as per-priority PARTIAL
+    sketches merged by bucket-wise SUM (the mergeability that makes
+    it a distributed-aggregation primitive; merged-vs-direct
+    mismatch asserted 0 in-query), read off at p50/p95/p99 with the
+    bucket-midpoint estimator 2*gamma^b/(gamma+1), and audited
+    against the exact order statistic — within_alpha must be 1.
+
+    gamma^b runs as exp(b*ln(gamma)) with identical op order (the
+    POWER-avoidance rule); bucket assignment applies ceil to the
+    identical double ratio on both engines; counts are integers.
+
+    Scale: the sketch IS a tiny (bucket, count) aggregate — one
+    partial-aggregated groupBy, mergeable across partitions,
+    executors, days; the exact-percentile audit is the only
+    corpus-sort stage and exists only to certify the guarantee.
+    """
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    lg = float(DD_GAMMA)
+    b = F.ceil(F.log(F.col("o_totalprice")) / F.log(F.lit(lg))).cast(
+        "bigint"
+    )
+    buckets = o.groupBy(
+        "o_orderpriority", b.alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    merged = buckets.groupBy("b").agg(F.sum("c").alias("c"))
+    direct = o.groupBy(b.alias("b")).agg(F.count(F.lit(1)).alias("c"))
+    mismatch = (
+        merged.alias("m")
+        .join(direct.alias("d"), F.col("m.b") == F.col("d.b"), "full")
+        .filter(~F.col("m.c").eqNullSafe(F.col("d.c")))
+        .agg(F.count(F.lit(1)).alias("mm"))
+    )
+    n = merged.agg(F.sum("c").cast("bigint").alias("n"))
+    cum = merged.select(
+        "b", F.sum("c").over(W.orderBy("b")).alias("cum")
+    )
+    qs = spark.createDataFrame([(q,) for q in DD_QS], "q double")
+    est = (
+        qs.crossJoin(F.broadcast(n))
+        .join(
+            F.broadcast(cum),
+            F.col("cum") >= F.ceil(F.col("q") * F.col("n")).cast("bigint"),
+        )
+        .groupBy("q")
+        .agg(F.min("b").alias("qb"))
+    )
+    wr = W.orderBy("v")
+    ranked = o.select(F.col("o_totalprice").alias("v")).withColumn(
+        "rn", F.row_number().over(wr)
+    )
+    exact = (
+        qs.crossJoin(F.broadcast(n))
+        .join(
+            ranked,
+            F.col("rn") >= F.ceil(F.col("q") * F.col("n")).cast("bigint"),
+        )
+        .groupBy("q")
+        .agg(F.min("v").alias("xv"))
+    )
+    est_v = 2 * F.exp(F.col("qb") * F.log(F.lit(lg))) / (lg + 1)
+    return (
+        est.join(exact, "q")
+        .crossJoin(F.broadcast(mismatch))
+        .select(
+            F.col("q").alias("quantile"),
+            F.round(est_v, 4).alias("estimate"),
+            F.col("xv").alias("exact_value"),
+            F.round(F.abs(est_v - F.col("xv")) / F.col("xv"), 6).alias(
+                "rel_err"
+            ),
+            F.when(
+                F.abs(est_v - F.col("xv")) / F.col("xv") <= DD_ALPHA, 1
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("within_alpha"),
+            F.col("mm").cast("bigint").alias("merge_mismatch_buckets"),
+        )
+    )

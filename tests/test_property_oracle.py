@@ -234,6 +234,9 @@ ORDER_QUERIES = [
     # digit/fold arithmetic over any key range; the 2/3 valid share
     # only holds when the corrupt rule agrees exactly
     "q371_luhn_checksum_audit",
+    # constant prices collapse to one bucket; zero totals filter out
+    # and can empty the sketch on both engines
+    "q375_ddsketch_quantiles",
 ]
 
 
