@@ -3549,3 +3549,144 @@ def q365_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders_holt_src")
     return spark.sql(_HOLT_SQL.replace("__ORDERS__", "orders_holt_src"))
+
+
+# ---------------- q376 Mann-Whitney U rank-sum test (two groups)
+
+MWU_GRP_A = "1-URGENT"
+MWU_GRP_B = "5-LOW"
+
+
+@register(
+    "q376_mann_whitney_u",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderpriority = '{MWU_GRP_A}' THEN 1 ELSE 0 END AS a,
+             CASE WHEN o_orderpriority = '{MWU_GRP_B}' THEN 1 ELSE 0 END AS b
+      FROM orders
+      WHERE o_orderpriority IN ('{MWU_GRP_A}', '{MWU_GRP_B}')
+    ),
+    tot AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+      FROM s
+    ),
+    steps AS (
+      SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+             CAST(SUM(a) + SUM(b) AS BIGINT) AS tc
+      FROM s GROUP BY v
+    ),
+    ranked AS (
+      -- midrank of a tied value block, doubled to stay integer:
+      -- 2*avgrank = 2*cum_count - block_size + 1
+      SELECT ca, tc, SUM(tc) OVER (ORDER BY v) AS cum FROM steps
+    ),
+    agg AS (
+      SELECT CAST(SUM(CAST(ca * (2 * cum - tc + 1) AS DECIMAL(38,0)))
+                  AS DOUBLE) AS two_ra,
+             CAST(SUM(CAST(tc * tc * tc - tc AS DECIMAL(38,0)))
+                  AS DOUBLE) AS ties
+      FROM ranked
+    )
+    SELECT t.na AS n_a, t.nb AS n_b,
+           (g.two_ra - CAST(t.na AS DOUBLE) * (t.na + 1)) / 2 AS u_a,
+           ROUND(
+             (g.two_ra - CAST(t.na AS DOUBLE) * (t.na + 1)
+              - CAST(t.na AS DOUBLE) * t.nb)
+             / NULLIF(2 * SQRT(GREATEST(
+                 CAST(t.na AS DOUBLE) * t.nb / 12
+                 * ((t.na + t.nb + 1)
+                    - g.ties / NULLIF(CAST(t.na + t.nb AS DOUBLE)
+                                      * (t.na + t.nb - 1), 0.0)),
+                 0.0)), 0.0),
+             6) AS z,
+           CAST(CASE WHEN ABS(
+             (g.two_ra - CAST(t.na AS DOUBLE) * (t.na + 1)
+              - CAST(t.na AS DOUBLE) * t.nb)
+             / NULLIF(2 * SQRT(GREATEST(
+                 CAST(t.na AS DOUBLE) * t.nb / 12
+                 * ((t.na + t.nb + 1)
+                    - g.ties / NULLIF(CAST(t.na + t.nb AS DOUBLE)
+                                      * (t.na + t.nb - 1), 0.0)),
+                 0.0)), 0.0)) > CAST(1.959964 AS DOUBLE)
+             THEN 1 ELSE 0 END AS BIGINT) AS significant_95
+    FROM tot t CROSS JOIN agg g
+    """,
+)
+def q376_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947) between two
+    order-priority groups' price distributions — the NON-parametric
+    two-sample location test beside q151's parametric A/B z-test and
+    q352's KS distribution test: no normality assumption, robust to
+    the heavy right tail order totals actually have.
+
+    Rank arithmetic is EXACT: tied values get the midrank, carried
+    DOUBLED (2*avgrank = 2*cum - block + 1) so every rank sum is
+    integer; the tie-corrected normal approximation
+    sigma^2 = na*nb/12 * ((n+1) - T/(n(n-1))), T = sum(t^3 - t)
+    divides/roots identically ordered operands on both engines. No
+    continuity correction (documented choice, same both sides).
+    Degenerate guards: one-sided corpora (na or nb = 0) and the
+    all-tied corpus (sigma = 0) NULL the z on both engines.
+
+    Scale: ranks come from the DISTINCT-VALUE grain (q352's trick) —
+    one conditional-count groupBy, one running sum over the reduced
+    support, DECIMAL(38,0) rank sums so 10^12-row corpora cannot
+    overflow the n^2-scale rank total. No row-grain sort anywhere.
+    """
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(MWU_GRP_A, MWU_GRP_B)
+    )
+    s = o.select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == MWU_GRP_A, 1).otherwise(0).alias("a"),
+        F.when(F.col("o_orderpriority") == MWU_GRP_B, 1).otherwise(0).alias("b"),
+    )
+    tot = s.agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("b").cast("bigint").alias("nb"),
+    )
+    steps = s.groupBy("v").agg(
+        F.sum("a").cast("bigint").alias("ca"),
+        (F.sum("a") + F.sum("b")).cast("bigint").alias("tc"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = steps.select("ca", "tc", F.sum("tc").over(w).alias("cum"))
+    agg = ranked.agg(
+        F.sum(
+            (F.col("ca") * (2 * F.col("cum") - F.col("tc") + 1)).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("double")
+        .alias("two_ra"),
+        F.sum(
+            (F.col("tc") * F.col("tc") * F.col("tc") - F.col("tc")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("double")
+        .alias("ties"),
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    n = F.col("na") + F.col("nb")
+    sigma2 = (
+        na * F.col("nb") / 12
+        * ((n + 1) - F.col("ties") / F.nullif(n.cast("double") * (n - 1), F.lit(0.0)))
+    )
+    num = F.col("two_ra") - na * (F.col("na") + 1) - na * F.col("nb")
+    z = num / F.nullif(2 * F.sqrt(F.greatest(sigma2, F.lit(0.0))), F.lit(0.0))
+    return (
+        tot.crossJoin(F.broadcast(agg))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            ((F.col("two_ra") - na * (F.col("na") + 1)) / 2).alias("u_a"),
+            F.round(z, 6).alias("z"),
+            F.when(F.abs(z) > F.lit(1.959964).cast("double"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("significant_95"),
+        )
+    )

@@ -1819,3 +1819,174 @@ def q363_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("flagged"),
         )
     )
+
+
+# ------- q377 multinomial Naive Bayes language classifier
+
+NB_TEST_MOD = 5  # doc_id % 5 == 0 -> held-out test set
+NB_TOPV = 1000  # per-lang vocabulary cap (broadcastable model)
+NB_LOG_SCALE = 1_000_000  # log-prob integer grid (FLOOR(ln*1e6))
+
+
+@register(
+    "q377_naive_bayes_langid",
+    oracle=f"""
+    WITH train AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE doc_id % {NB_TEST_MOD} <> 0
+    ),
+    test AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE doc_id % {NB_TEST_MOD} = 0
+    ),
+    tr_tok AS (
+      SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM train
+    ),
+    counts AS (
+      SELECT lang, w, COUNT(*) AS c FROM tr_tok GROUP BY 1, 2
+    ),
+    model AS (
+      SELECT lang, w, c FROM (
+        SELECT lang, w, c,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY c DESC, w) AS rk
+        FROM counts
+      ) WHERE rk <= {NB_TOPV}
+    ),
+    vocab AS (SELECT COUNT(DISTINCT w) AS v FROM model),
+    lang_tot AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM model GROUP BY 1
+    ),
+    priors AS (
+      SELECT lang, COUNT(*) AS nd,
+             (SELECT COUNT(*) FROM train) AS ntr
+      FROM train GROUP BY 1
+    ),
+    te_tok AS (
+      SELECT doc_id, w, COUNT(*) AS cnt
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM test)
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT tk.doc_id, lt.lang,
+             CAST(SUM(tk.cnt * CAST(FLOOR(ln(
+               CAST(COALESCE(m.c, 0) + 1 AS DOUBLE)
+               / CAST(lt.tot + v.v AS DOUBLE)) * {NB_LOG_SCALE})
+               AS BIGINT)) AS BIGINT) AS tok_score
+      FROM te_tok tk
+      CROSS JOIN lang_tot lt
+      CROSS JOIN vocab v
+      LEFT JOIN model m ON m.lang = lt.lang AND m.w = tk.w
+      GROUP BY 1, 2
+    ),
+    total AS (
+      SELECT s.doc_id, s.lang,
+             s.tok_score + CAST(FLOOR(ln(
+               CAST(p.nd AS DOUBLE) / CAST(p.ntr AS DOUBLE))
+               * {NB_LOG_SCALE}) AS BIGINT) AS score
+      FROM scored s JOIN priors p ON p.lang = s.lang
+    ),
+    pred AS (
+      SELECT doc_id, lang AS lang_pred FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang) AS rk
+        FROM total
+      ) WHERE rk = 1
+    )
+    SELECT te.lang AS lang_true, p.lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM test te JOIN pred p ON p.doc_id = te.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q377_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier — train on a
+    hash-held-out split, score the test split, emit the confusion
+    matrix. The WORD-grain generative twin of q82's character-trigram
+    profile scorer, and the classic first-baseline text classifier a
+    corpus pipeline runs before anything neural.
+
+    Laplace-smoothed log-probs ln((c+1)/(tot_l+V)) and priors
+    ln(n_l/n_train) are snapped to an integer grid
+    (FLOOR(ln(rational)*1e6)) so per-doc scores are BIGINT sums —
+    order-independent across partitions and bit-identical cross-
+    engine (the float-to-grid rule; ln of identical rationals is
+    same-op-order IEEE). Argmax ties break on lang ascending.
+
+    Scale: the model is a (lang x top-{NB_TOPV}) aggregate — the
+    per-lang row_number cap bounds it regardless of corpus vocab, so
+    it BROADCASTS; scoring is explode -> broadcast-join -> integer
+    sum, no shuffle wider than the test corpus' token stream. Langs
+    is a bounded dimension (x|langs| fan-out documented).
+    """
+    docs = t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % NB_TEST_MOD != 0)
+    test = docs.filter(F.col("doc_id") % NB_TEST_MOD == 0)
+    tr_tok = fan_out(train).select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    counts = tr_tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.col("c").desc(), "w")
+    )
+    model = counts.withColumn("rk", rk).filter(F.col("rk") <= NB_TOPV).drop("rk")
+    vocab = model.agg(F.count_distinct("w").alias("v"))
+    lang_tot = model.groupBy("lang").agg(F.sum("c").cast("bigint").alias("tot"))
+    ntr = train.agg(F.count(F.lit(1)).alias("ntr"))
+    priors = (
+        train.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .crossJoin(F.broadcast(ntr))
+    )
+    te_tok = (
+        fan_out(test)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ilog = lambda col: F.floor(F.log(col) * NB_LOG_SCALE).cast("bigint")
+    scored = (
+        te_tok.crossJoin(F.broadcast(lang_tot))
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            F.broadcast(model.withColumnRenamed("lang", "m_lang")),
+            (F.col("m_lang") == F.col("lang")) & (model.w == te_tok.w),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.col("cnt")
+                * ilog(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tot") + F.col("v")).cast("double")
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("term").cast("bigint").alias("tok_score"))
+    )
+    total = scored.join(F.broadcast(priors), "lang").select(
+        "doc_id",
+        "lang",
+        (
+            F.col("tok_score")
+            + ilog(F.col("nd").cast("double") / F.col("ntr").cast("double"))
+        ).alias("score"),
+    )
+    prk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
+    )
+    pred = (
+        total.withColumn("rk", prk)
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("lang").alias("lang_pred"))
+    )
+    return (
+        test.select("doc_id", F.col("lang").alias("lang_true"))
+        .join(pred, "doc_id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

@@ -203,6 +203,10 @@ DOC_QUERIES = [
     # vanish from every ladder rung identically
     "q372_ppmi_word_similarity",
     "q373_duplication_length_profile",
+    # degenerate splits (all-train / all-test doc_id ranges) must
+    # empty the model or the confusion matrix identically; 1-word
+    # and empty-string docs still produce one ''-token both engines
+    "q377_naive_bayes_langid",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get
@@ -237,6 +241,9 @@ ORDER_QUERIES = [
     # constant prices collapse to one bucket; zero totals filter out
     # and can empty the sketch on both engines
     "q375_ddsketch_quantiles",
+    # all-tied prices zero sigma (NULL z both engines); one-group
+    # corpora empty a side; midrank doubling must stay integer
+    "q376_mann_whitney_u",
 ]
 
 
