@@ -3690,3 +3690,129 @@ def q376_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("significant_95"),
         )
     )
+
+
+# ------- q378 Markov removal-effect channel attribution
+
+MRE_CONV = "purchase"
+MRE_ITERS = 6  # absorption-probability truncation depth (documented spec)
+
+
+def _mre_transitions_sql(events: str) -> str:
+    """Journey transition counts: START -> c1 -> ... -> cn -> CONV|DROP,
+    where the journey is each user's pre-first-purchase channel
+    sequence (total order (ts, event_id))."""
+    return f"""
+    first_conv AS (
+      SELECT user_id, MIN_BY(event_id, (ts, event_id)) AS conv_eid,
+             MIN(ts) AS conv_ts
+      FROM {events} WHERE event_type = '{MRE_CONV}' GROUP BY user_id
+    ),
+    journey AS (
+      SELECT e.user_id, e.ts, e.event_id, e.event_type,
+             f.user_id IS NOT NULL AS conv
+      FROM {events} e LEFT JOIN first_conv f ON f.user_id = e.user_id
+      WHERE e.event_type <> '{MRE_CONV}'
+        AND (f.user_id IS NULL OR e.ts < f.conv_ts
+             OR (e.ts = f.conv_ts AND e.event_id < f.conv_eid))
+    ),
+    hops AS (
+      SELECT user_id, event_type AS src, conv,
+             LEAD(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+             ROW_NUMBER() OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM journey
+    ),
+    trans_raw AS (
+      SELECT 'START' AS src, src AS dst FROM hops WHERE rn = 1
+      UNION ALL
+      SELECT src, COALESCE(nxt, CASE WHEN conv THEN 'CONV' ELSE 'DROP' END)
+      FROM hops
+      UNION ALL
+      SELECT 'START', CASE WHEN conv THEN 'CONV' ELSE 'DROP' END
+      FROM (SELECT f.user_id, TRUE AS conv FROM first_conv f
+            WHERE NOT EXISTS (SELECT 1 FROM journey j
+                              WHERE j.user_id = f.user_id))
+    ),
+    trans AS (
+      SELECT src, dst, COUNT(*) AS c FROM trans_raw GROUP BY 1, 2
+    ),
+    prob AS (
+      SELECT src, dst,
+             CAST(c AS DOUBLE)
+             / CAST(SUM(c) OVER (PARTITION BY src) AS DOUBLE) AS p
+      FROM trans
+    ),
+    removed AS (
+      SELECT DISTINCT src AS r FROM trans
+      WHERE src NOT IN ('START') UNION ALL SELECT '(none)'
+    ),
+    rprob AS (
+      -- removal: every hop into/out of the removed channel is lost
+      -- (NOT renormalized - the standard removal-effect definition)
+      SELECT rm.r, p.src, p.dst, p.p
+      FROM removed rm JOIN prob p
+        ON p.src <> rm.r AND p.dst <> rm.r
+    ),
+    states AS (SELECT DISTINCT r, src AS s FROM rprob)
+    """
+
+
+def _mre_iter_sql() -> str:
+    """Unrolled K-step absorption iteration p_k(s) = P(s->CONV) +
+    sum_t P(s->t) p_{k-1}(t) (DuckDB forbids aggregates over
+    recursive refs, so both engines run the same unrolled plan)."""
+    steps = [
+        """p0 AS (
+      SELECT st.r, st.s,
+             CAST(COALESCE(SUM(CASE WHEN rp.dst = 'CONV' THEN rp.p END), 0.0)
+                  AS DOUBLE) AS p
+      FROM states st
+      LEFT JOIN rprob rp ON rp.r = st.r AND rp.src = st.s
+      GROUP BY st.r, st.s
+    )"""
+    ]
+    for k in range(1, MRE_ITERS + 1):
+        steps.append(
+            f"""p{k} AS (
+      SELECT st.r, st.s,
+             CAST(COALESCE(SUM(CASE WHEN rp.dst = 'CONV' THEN rp.p END), 0.0)
+                  AS DOUBLE)
+             + COALESCE(SUM(rp.p * pr.p), 0.0) AS p
+      FROM states st
+      LEFT JOIN rprob rp ON rp.r = st.r AND rp.src = st.s
+      LEFT JOIN p{k - 1} pr ON pr.r = st.r AND pr.s = rp.dst
+      GROUP BY st.r, st.s
+    )"""
+        )
+    return ",\n    ".join(steps)
+
+
+_MRE_SQL = (
+    "WITH "
+    + "__TRANS__"
+    + ",\n    "
+    + "__ITER__"
+    + f""",
+    conv_probs AS (
+      SELECT r, p FROM p{MRE_ITERS} WHERE s = 'START'
+    ),
+    base AS (SELECT p AS pb FROM conv_probs WHERE r = '(none)')
+    SELECT c.r AS channel,
+           ROUND(b.pb, 6) AS p_conv_base,
+           ROUND(c.p, 6) AS p_conv_removed,
+           ROUND((b.pb - c.p) / NULLIF(b.pb, 0.0), 6) AS removal_effect,
+           ROUND((b.pb - c.p) / NULLIF(b.pb, 0.0)
+                 / NULLIF(SUM((b.pb - cc.p) / NULLIF(b.pb, 0.0))
+                          OVER (), 0.0), 6) AS attribution_share
+    FROM conv_probs c CROSS JOIN base b
+    LEFT JOIN conv_probs cc ON TRUE
+    WHERE c.r <> '(none)'
+    """
+)
+
+
+def _mre_sql(events: str) -> str:
+    sql = _MRE_SQL.replace("__TRANS__", _mre_transitions_sql(events))
+    return sql.replace("__ITER__", _mre_iter_sql())
