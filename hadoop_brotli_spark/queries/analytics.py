@@ -3704,9 +3704,12 @@ def _mre_transitions_sql(events: str) -> str:
     sequence (total order (ts, event_id))."""
     return f"""
     first_conv AS (
-      SELECT user_id, MIN_BY(event_id, (ts, event_id)) AS conv_eid,
-             MIN(ts) AS conv_ts
-      FROM {events} WHERE event_type = '{MRE_CONV}' GROUP BY user_id
+      SELECT user_id, event_id AS conv_eid, ts AS conv_ts FROM (
+        SELECT user_id, event_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rk
+        FROM {events} WHERE event_type = '{MRE_CONV}'
+      ) WHERE rk = 1
     ),
     journey AS (
       SELECT e.user_id, e.ts, e.event_id, e.event_type,
@@ -3798,17 +3801,20 @@ _MRE_SQL = (
     conv_probs AS (
       SELECT r, p FROM p{MRE_ITERS} WHERE s = 'START'
     ),
-    base AS (SELECT p AS pb FROM conv_probs WHERE r = '(none)')
-    SELECT c.r AS channel,
-           ROUND(b.pb, 6) AS p_conv_base,
-           ROUND(c.p, 6) AS p_conv_removed,
-           ROUND((b.pb - c.p) / NULLIF(b.pb, 0.0), 6) AS removal_effect,
-           ROUND((b.pb - c.p) / NULLIF(b.pb, 0.0)
-                 / NULLIF(SUM((b.pb - cc.p) / NULLIF(b.pb, 0.0))
-                          OVER (), 0.0), 6) AS attribution_share
-    FROM conv_probs c CROSS JOIN base b
-    LEFT JOIN conv_probs cc ON TRUE
-    WHERE c.r <> '(none)'
+    base AS (SELECT p AS pb FROM conv_probs WHERE r = '(none)'),
+    eff AS (
+      SELECT c.r, c.p, b.pb,
+             (b.pb - c.p) / NULLIF(b.pb, 0.0) AS re
+      FROM conv_probs c CROSS JOIN base b
+      WHERE c.r <> '(none)'
+    ),
+    tot AS (SELECT SUM(re) AS te FROM eff)
+    SELECT e.r AS channel,
+           ROUND(e.pb, 6) AS p_conv_base,
+           ROUND(e.p, 6) AS p_conv_removed,
+           ROUND(e.re, 6) AS removal_effect,
+           ROUND(e.re / NULLIF(t.te, 0.0), 6) AS attribution_share
+    FROM eff e CROSS JOIN tot t
     """
 )
 
@@ -3816,3 +3822,181 @@ _MRE_SQL = (
 def _mre_sql(events: str) -> str:
     sql = _MRE_SQL.replace("__TRANS__", _mre_transitions_sql(events))
     return sql.replace("__ITER__", _mre_iter_sql())
+
+
+@register(
+    "q378_markov_attribution",
+    oracle=_mre_sql("events"),
+)
+def q378_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect multi-touch attribution — the
+    graph-model capstone over q171 (last-touch) and q284
+    (time-decay): build the first-order channel transition graph from
+    each user's pre-first-purchase journey, then for every channel
+    compute the K-step absorption probability P(START -> CONV) with
+    that channel's node removed (hops touching it are simply lost,
+    not renormalized — the standard removal-effect definition), and
+    attribute conversions proportionally to each channel's relative
+    drop.  K is truncated at MRE_ITERS=6 and both engines run the
+    same unrolled iteration (DuckDB forbids aggregates over recursive
+    CTE refs, so recursion is not portable here).
+
+    Scale: the events table is touched exactly twice — one grouped
+    reduce for first purchases and one user_id-partitioned window for
+    journey hops (single shuffle each).  Everything downstream lives
+    on the channel-transition edge list (at most (channels+2)^2 rows
+    ~ 50), so the removal grid, the 7 absorption iterations, and the
+    final shares are all broadcast-sized regardless of input volume;
+    a 100 TB events table costs the same two shuffles.
+    """
+    ev = t(spark, sf_dir, "events")
+    first_conv = (
+        ev.filter(F.col("event_type") == MRE_CONV)
+        .groupBy("user_id")
+        .agg(
+            F.min_by("event_id", F.struct("ts", "event_id")).alias("conv_eid"),
+            F.min("ts").alias("conv_ts"),
+        )
+    )
+    journey = (
+        ev.filter(F.col("event_type") != MRE_CONV)
+        .join(first_conv, "user_id", "left")
+        .filter(
+            F.col("conv_ts").isNull()
+            | (F.col("ts") < F.col("conv_ts"))
+            | (
+                (F.col("ts") == F.col("conv_ts"))
+                & (F.col("event_id") < F.col("conv_eid"))
+            )
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.col("conv_ts").isNotNull().alias("conv"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = journey.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        "conv",
+        F.lead("event_type").over(w).alias("nxt"),
+        F.row_number().over(w).alias("rn"),
+    )
+    starts = hops.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("src"), F.col("src").alias("dst")
+    )
+    mids = hops.select(
+        "src",
+        F.coalesce(
+            "nxt",
+            F.when(F.col("conv"), F.lit("CONV")).otherwise(F.lit("DROP")),
+        ).alias("dst"),
+    )
+    # converted users with an EMPTY journey (first event was the
+    # purchase itself) still contribute a START -> CONV edge
+    empty_conv = first_conv.join(
+        journey.select("user_id"), "user_id", "left_anti"
+    ).select(F.lit("START").alias("src"), F.lit("CONV").alias("dst"))
+    trans = (
+        starts.unionByName(mids)
+        .unionByName(empty_conv)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wsrc = Window.partitionBy("src")
+    prob = trans.select(
+        "src",
+        "dst",
+        (
+            F.col("c").cast("double")
+            / F.sum("c").over(wsrc).cast("double")
+        ).alias("p"),
+    )
+    removed = (
+        trans.filter(F.col("src") != "START")
+        .select(F.col("src").alias("r"))
+        .distinct()
+        .unionByName(spark.range(1).select(F.lit("(none)").alias("r")))
+    )
+    # removal grid: channels x edges, both broadcast-sized (<= ~50
+    # edges x ~6 removals) — BroadcastNestedLoopJoin, never cartesian
+    rp = removed.join(
+        F.broadcast(prob),
+        (F.col("src") != F.col("r")) & (F.col("dst") != F.col("r")),
+    ).select(
+        F.col("r").alias("rp_r"),
+        F.col("src").alias("rp_src"),
+        F.col("dst").alias("rp_dst"),
+        F.col("p").alias("rp_p"),
+    )
+    states = rp.select(
+        F.col("rp_r").alias("r"), F.col("rp_src").alias("s")
+    ).distinct()
+    # unrolled absorption iteration p_k(s) = P(s->CONV) +
+    # sum_t P(s->t) p_{k-1}(t), identical to the oracle's p0..pK CTEs
+    cur: DataFrame | None = None
+    for _ in range(MRE_ITERS + 1):
+        base = states.join(
+            F.broadcast(rp),
+            (F.col("rp_r") == F.col("r")) & (F.col("rp_src") == F.col("s")),
+            "left",
+        )
+        direct = F.coalesce(
+            F.sum(F.when(F.col("rp_dst") == "CONV", F.col("rp_p"))),
+            F.lit(0.0),
+        ).cast("double")
+        if cur is None:
+            cur = base.groupBy("r", "s").agg(direct.alias("p"))
+        else:
+            prev = cur.select(
+                F.col("r").alias("pr_r"),
+                F.col("s").alias("pr_s"),
+                F.col("p").alias("pr_p"),
+            )
+            cur = (
+                base.join(
+                    F.broadcast(prev),
+                    (F.col("pr_r") == F.col("r"))
+                    & (F.col("pr_s") == F.col("rp_dst")),
+                    "left",
+                )
+                .groupBy("r", "s")
+                .agg(
+                    (
+                        direct
+                        + F.coalesce(
+                            F.sum(F.col("rp_p") * F.col("pr_p")), F.lit(0.0)
+                        )
+                    ).alias("p")
+                )
+            )
+    conv_probs = cur.filter(F.col("s") == "START").select("r", "p")
+    base_p = conv_probs.filter(F.col("r") == "(none)").select(
+        F.col("p").alias("pb")
+    )
+    eff = (
+        conv_probs.filter(F.col("r") != "(none)")
+        .crossJoin(F.broadcast(base_p))
+        .select(
+            "r",
+            "p",
+            "pb",
+            (
+                (F.col("pb") - F.col("p"))
+                / F.nullif(F.col("pb"), F.lit(0.0))
+            ).alias("re"),
+        )
+    )
+    tot = eff.agg(F.sum("re").alias("te"))
+    return eff.crossJoin(F.broadcast(tot)).select(
+        F.col("r").alias("channel"),
+        F.round("pb", 6).alias("p_conv_base"),
+        F.round("p", 6).alias("p_conv_removed"),
+        F.round("re", 6).alias("removal_effect"),
+        F.round(F.col("re") / F.nullif(F.col("te"), F.lit(0.0)), 6).alias(
+            "attribution_share"
+        ),
+    )

@@ -93,6 +93,10 @@ EVENT_QUERIES = [
     # single-type corpora -> zero pairs; 1-2 day series -> tiny DPs
     # on both the numpy and the unrolled-SQL side
     "q318_dtw_alignment",
+    # no-purchase corpora zero the base conversion (NULL effects);
+    # purchase-first users exercise the empty-journey START->CONV
+    # branch; duplicate timestamps attack the journey tie-breaks
+    "q378_markov_attribution",
 ]
 DOC_QUERIES = [
     "q60_dedup_exact",
