@@ -512,8 +512,9 @@ def _alternating_star_components(
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
             # bit_xor fold: order-independent, constant memory (no
-            # collect), collision-safe enough for a convergence check
-            # — a false match is re-checked by the next no-op round
+            # collect). A (count, xor) collision on CHANGED edges
+            # would end iteration early, so a signature match is
+            # confirmed below with one exact set-diff before breaking
             F.coalesce(
                 F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
             ).alias("h"),
@@ -523,11 +524,17 @@ def _alternating_star_components(
     sig = _signature(edges)
     rounds = 0
     for _ in range(max_iter):
+        prev = edges
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         rounds += 1
         new_sig = _signature(edges)
         if new_sig == sig:
-            break
+            # exact confirm (signature-collision guard): both sides
+            # are distinct checkpointed sets with equal counts, so
+            # one empty one-directional diff proves set equality.
+            # Runs ONCE, at convergence, on the reduced edge list.
+            if edges.exceptAll(prev).isEmpty():
+                break
         sig = new_sig
     # converged: every edge points at its component min (star form)
     labels = (

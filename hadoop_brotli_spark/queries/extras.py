@@ -2040,9 +2040,14 @@ def q370_spatial_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies the {GEO_RADIUS_KM} km radius before a (dist, suppkey)
     total-order argmin picks the nearest store per customer.
 
-    The cell size is chosen so the radius never spans beyond the
-    3x3 neighborhood at this latitude band ({GEO_CELL_DEG} deg >=
-    500 km / 111 km); the equi-join + verify two-phase is the same
+    The cell size makes the 3x3 neighborhood exhaustive in LATITUDE
+    ({GEO_CELL_DEG} deg >= 500 km / 111 km) and in longitude near the
+    equator; at high |lat| a 5-degree longitude cell shrinks (~278 km
+    at 60 deg), so a neighbor 279-500 km away purely in longitude can
+    fall outside the fan-out — the operator is a bounded-recall
+    grid join (the Sedona trade-off), and BOTH engines share the
+    identical 3x3 spec, so results still match exactly. The
+    equi-join + verify two-phase is the same
     candidate/verify shape as LSH dedup (q62) and interval binning
     (q220). Trig runs on identical doubles with identical op order;
     distances round at 1 m before compare and argmin (q333's

@@ -17,6 +17,7 @@ batch of blobs per core, not one partition.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from math import floor
 
 import pandas as pd
 
@@ -26,6 +27,16 @@ from pyspark.sql import functions as F
 from ..functions.media import fake_decode_meta
 from ..registry import register
 from ._util import t
+
+
+def _grid_mean(total: int, n: int) -> float:
+    """Half-up 1e-6 grid mean (the repo's FLOOR(x+0.5) rule): mirrors
+    the oracle's FLOOR(SUM * 1000000.0 / n + 0.5) / 1000000.0 exactly
+    — int*int stays exact, the single double division is correctly
+    rounded in both engines, and the grid snap never hits banker's-
+    rounding ties the way Python round()/SQL ROUND can disagree."""
+    return floor(total * 1000000 / n + 0.5) / 1e6
+
 
 
 @register(
@@ -289,9 +300,12 @@ def q217_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(h AS BIGINT) AS height,
            CAST(54 + h * (3 * w + (4 - (3 * w) % 4) % 4) AS BIGINT)
              AS n_bytes,
-           ROUND(CAST(SUM(r) AS DOUBLE) / (w * h), 6) AS mean_r,
-           ROUND(CAST(SUM(g) AS DOUBLE) / (w * h), 6) AS mean_g,
-           ROUND(CAST(SUM(b) AS DOUBLE) / (w * h), 6) AS mean_b,
+           FLOOR(CAST(SUM(r) AS DOUBLE) * 1000000.0 / (w * h) + 0.5)
+             / 1000000.0 AS mean_r,
+           FLOOR(CAST(SUM(g) AS DOUBLE) * 1000000.0 / (w * h) + 0.5)
+             / 1000000.0 AS mean_g,
+           FLOOR(CAST(SUM(b) AS DOUBLE) * 1000000.0 / (w * h) + 0.5)
+             / 1000000.0 AS mean_b,
            CAST(doc_id % 256 AS BIGINT) AS corner_r,
            CAST(((w - 1) + 11 * (h - 1) + 3 * doc_id) % 256 AS BIGINT)
              AS corner_b
@@ -356,9 +370,9 @@ def q279_bmp_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "width": dw,
                         "height": dh,
                         "n_bytes": len(data),
-                        "mean_r": round(int(rgb[:, :, 0].sum()) / npix, 6),
-                        "mean_g": round(int(rgb[:, :, 1].sum()) / npix, 6),
-                        "mean_b": round(int(rgb[:, :, 2].sum()) / npix, 6),
+                        "mean_r": _grid_mean(int(rgb[:, :, 0].sum()), npix),
+                        "mean_g": _grid_mean(int(rgb[:, :, 1].sum()), npix),
+                        "mean_b": _grid_mean(int(rgb[:, :, 2].sum()), npix),
                         "corner_r": int(rgb[0, 0, 0]),
                         "corner_b": int(rgb[dh - 1, dw - 1, 2]),
                     }
@@ -388,9 +402,12 @@ def q279_bmp_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(w AS BIGINT) AS width,
            CAST(h AS BIGINT) AS height,
-           ROUND(CAST(SUM(r) AS DOUBLE) / (w * h), 6) AS mean_r,
-           ROUND(CAST(SUM(g) AS DOUBLE) / (w * h), 6) AS mean_g,
-           ROUND(CAST(SUM(b) AS DOUBLE) / (w * h), 6) AS mean_b,
+           FLOOR(CAST(SUM(r) AS DOUBLE) * 1000000.0 / (w * h) + 0.5)
+             / 1000000.0 AS mean_r,
+           FLOOR(CAST(SUM(g) AS DOUBLE) * 1000000.0 / (w * h) + 0.5)
+             / 1000000.0 AS mean_g,
+           FLOOR(CAST(SUM(b) AS DOUBLE) * 1000000.0 / (w * h) + 0.5)
+             / 1000000.0 AS mean_b,
            CAST(doc_id % 256 AS BIGINT) AS corner_tl_r,
            CAST((5 * (w - 1) + doc_id) % 256 AS BIGINT) AS corner_tr_r,
            CAST((9 * (h - 1) + 4 * doc_id) % 256 AS BIGINT) AS corner_bl_g,
@@ -459,9 +476,9 @@ def q339_png_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "doc_id": d,
                         "width": dw,
                         "height": dh,
-                        "mean_r": round(int(rgb[:, :, 0].sum()) / npix, 6),
-                        "mean_g": round(int(rgb[:, :, 1].sum()) / npix, 6),
-                        "mean_b": round(int(rgb[:, :, 2].sum()) / npix, 6),
+                        "mean_r": _grid_mean(int(rgb[:, :, 0].sum()), npix),
+                        "mean_g": _grid_mean(int(rgb[:, :, 1].sum()), npix),
+                        "mean_b": _grid_mean(int(rgb[:, :, 2].sum()), npix),
                         "corner_tl_r": int(rgb[0, 0, 0]),
                         "corner_tr_r": int(rgb[0, dw - 1, 0]),
                         "corner_bl_g": int(rgb[dh - 1, 0, 1]),
@@ -498,9 +515,12 @@ def q339_png_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(w AS BIGINT) AS width,
            CAST(h AS BIGINT) AS height,
-           ROUND(CAST(SUM(r) AS DOUBLE) / (w * h), 6) AS mean_r,
-           ROUND(CAST(SUM(g) AS DOUBLE) / (w * h), 6) AS mean_g,
-           ROUND(CAST(SUM(b) AS DOUBLE) / (w * h), 6) AS mean_b,
+           FLOOR(CAST(SUM(r) AS DOUBLE) * 1000000.0 / (w * h) + 0.5)
+             / 1000000.0 AS mean_r,
+           FLOOR(CAST(SUM(g) AS DOUBLE) * 1000000.0 / (w * h) + 0.5)
+             / 1000000.0 AS mean_g,
+           FLOOR(CAST(SUM(b) AS DOUBLE) * 1000000.0 / (w * h) + 0.5)
+             / 1000000.0 AS mean_b,
            CAST((7 * (doc_id % 32) + doc_id) % 256 AS BIGINT)
              AS corner_tl_r,
            CAST((5 * (((w - 1) + 2 * (h - 1) + doc_id) % 32)
@@ -568,9 +588,9 @@ def q341_gif_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "doc_id": d,
                         "width": dw,
                         "height": dh,
-                        "mean_r": round(int(rgb[:, :, 0].sum()) / npix, 6),
-                        "mean_g": round(int(rgb[:, :, 1].sum()) / npix, 6),
-                        "mean_b": round(int(rgb[:, :, 2].sum()) / npix, 6),
+                        "mean_r": _grid_mean(int(rgb[:, :, 0].sum()), npix),
+                        "mean_g": _grid_mean(int(rgb[:, :, 1].sum()), npix),
+                        "mean_b": _grid_mean(int(rgb[:, :, 2].sum()), npix),
                         "corner_tl_r": int(rgb[0, 0, 0]),
                         "corner_br_g": int(rgb[dh - 1, dw - 1, 1]),
                     }
@@ -624,9 +644,12 @@ def q341_gif_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(wb * 8 AS BIGINT) AS width,
            CAST(hb * 8 AS BIGINT) AS height,
-           ROUND(SUM(r) / (wb * hb), 6) AS mean_r,
-           ROUND(SUM(g) / (wb * hb), 6) AS mean_g,
-           ROUND(SUM(b) / (wb * hb), 6) AS mean_b,
+           FLOOR(SUM(r) * 1000000.0 / (wb * hb) + 0.5)
+             / 1000000.0 AS mean_r,
+           FLOOR(SUM(g) * 1000000.0 / (wb * hb) + 0.5)
+             / 1000000.0 AS mean_g,
+           FLOOR(SUM(b) * 1000000.0 / (wb * hb) + 0.5)
+             / 1000000.0 AS mean_b,
            CAST(MAX(CASE WHEN bx = 0 AND by = 0 THEN r END)
                 AS BIGINT) AS corner_tl_r,
            CAST(MAX(CASE WHEN bx = wb - 1 AND by = 0 THEN g END)
@@ -708,9 +731,9 @@ def q364_jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "doc_id": d,
                         "width": dw,
                         "height": dh,
-                        "mean_r": round(int(blk[:, :, 0].sum()) / nb, 6),
-                        "mean_g": round(int(blk[:, :, 1].sum()) / nb, 6),
-                        "mean_b": round(int(blk[:, :, 2].sum()) / nb, 6),
+                        "mean_r": _grid_mean(int(blk[:, :, 0].sum()), nb),
+                        "mean_g": _grid_mean(int(blk[:, :, 1].sum()), nb),
+                        "mean_b": _grid_mean(int(blk[:, :, 2].sum()), nb),
                         "corner_tl_r": int(rgb[0, 0, 0]),
                         "corner_tr_g": int(rgb[0, dw - 1, 1]),
                         "corner_bl_b": int(rgb[dh - 1, 0, 2]),
@@ -866,8 +889,10 @@ def q366_mulaw_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(f AS BIGINT) AS frame_idx,
            CAST(wb * 8 AS BIGINT) AS width,
            CAST(hb * 8 AS BIGINT) AS height,
-           ROUND(SUM(r) / (wb * hb), 6) AS mean_r,
-           ROUND(SUM(b) / (wb * hb), 6) AS mean_b,
+           FLOOR(SUM(r) * 1000000.0 / (wb * hb) + 0.5)
+             / 1000000.0 AS mean_r,
+           FLOOR(SUM(b) * 1000000.0 / (wb * hb) + 0.5)
+             / 1000000.0 AS mean_b,
            CAST(MAX(CASE WHEN bx = 0 AND by = 0 THEN r END)
                 AS BIGINT) AS corner_tl_r,
            CAST(MAX(CASE WHEN bx = wb - 1 AND by = hb - 1 THEN b END)
@@ -952,8 +977,8 @@ def q367_mjpeg_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "frame_idx": fidx,
                         "width": dw,
                         "height": dh,
-                        "mean_r": round(int(blk[:, :, 0].sum()) / nb, 6),
-                        "mean_b": round(int(blk[:, :, 2].sum()) / nb, 6),
+                        "mean_r": _grid_mean(int(blk[:, :, 0].sum()), nb),
+                        "mean_b": _grid_mean(int(blk[:, :, 2].sum()), nb),
                         "corner_tl_r": int(rgb[0, 0, 0]),
                         "corner_br_b": int(rgb[dh - 1, dw - 1, 2]),
                     }

@@ -65,7 +65,14 @@ class BroConfig:
     quality: int = DEFAULT_QUALITY  # "bro.quality", 1..11
     buffer_size: int = DEFAULT_BUFFER_SIZE  # "bro.buffer-size"
     dictionary: bytes | None = None  # the reference's declared TODO
-    framed: bool = True  # "bro.framed": write splittable BRO2 container
+    # "bro.framed": write the splittable BRO2 container (default).
+    # INTEROP NOTE: BRO2 files keep the `.bro` extension but are NOT
+    # readable by the upstream reference codec (raw single-stream
+    # format) — this reader sniffs and reads BOTH. Set framed=False
+    # (conf "bro.framed" = "false") to write reference-compatible raw
+    # streams; the scale default favors splittability (one input
+    # partition per block) over write-side back-compat.
+    framed: bool = True
     block_size: int = _DEFAULT_BLOCK_SIZE  # "bro.block-size" (uncompressed)
     # "bro.backend": auto (brotli if importable else zlib) | zlib |
     # brotli | stored-brotli (pure-Python RFC 7932 stored metablocks —
@@ -403,8 +410,9 @@ def is_bro_path(path: str) -> bool:
 #
 # Layout (all integers little-endian):
 #   header   8 B   b"BRO2" | version u8=1 | flags u8 | quality u8 | pad u8
-#                  flags bit0 = backend (0 zlib, 1 brotli)
-#                  flags bit1 = compressed with a preset dictionary
+#                  flags bits 0-1 = backend code {0 zlib, 1 brotli,
+#                  2 stored-brotli}; flags bit 2 (value 4) = compressed
+#                  with a preset dictionary
 #   blocks   N independent compressed streams, back to back
 #   index    block_count * 28 B: offset u64 | clen u64 | ulen u64 | crc32 u32
 #                  (crc32 of the UNCOMPRESSED block bytes)
