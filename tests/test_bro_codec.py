@@ -338,15 +338,55 @@ def test_wrong_or_missing_dictionary_is_corruption(tmp_path):
         write_bro_bytes,
     )
 
-    cfg = BroConfig.from_options({"bro.dictionary": DICT})
+    # zlib backend: FDICT checksum makes wrong/missing dictionaries
+    # loud even on unframed v1 streams
+    cfg = BroConfig.from_options(
+        {"bro.dictionary": DICT, "bro.backend": "zlib"}
+    )
     p = str(tmp_path / "d.bro")
     write_bro_bytes(DICT_PAYLOAD, p, cfg)
 
     with pytest.raises(BroCorruptError):
-        b"".join(read_bro_bytes(p, BroConfig()))  # missing dict
+        b"".join(
+            read_bro_bytes(p, BroConfig(backend="zlib"))
+        )  # missing dict
     with pytest.raises(BroCorruptError):
-        bad = BroConfig.from_options({"bro.dictionary": b"unrelated words"})
+        bad = BroConfig.from_options(
+            {"bro.dictionary": b"unrelated words", "bro.backend": "zlib"}
+        )
         b"".join(read_bro_bytes(p, bad))  # wrong dict
+
+
+def test_brotli_dictionary_corruption_via_bro2_crc(tmp_path):
+    """Brotli raw dictionaries carry no checksum (unlike zlib FDICT),
+    so the detection layer is the BRO2 container: the per-block crc32
+    of the UNCOMPRESSED bytes turns wrong-dictionary garbage into
+    BroCorruptError, and the header dictionary flag makes a missing
+    dictionary a clear error before decode."""
+    from hadoop_brotli_spark.sources.bro_codec import (
+        BroConfig,
+        BroCorruptError,
+        has_brotli_encoder,
+        read_bro2_bytes,
+        write_bro2_bytes,
+    )
+
+    if not has_brotli_encoder():
+        pytest.skip("no brotli encoder (wheel or system libbrotli)")
+    cfg = BroConfig.from_options(
+        {"bro.dictionary": DICT, "bro.backend": "brotli"}
+    )
+    p = str(tmp_path / "d2.bro")
+    write_bro2_bytes(DICT_PAYLOAD, p, cfg)
+    assert b"".join(read_bro2_bytes(p, cfg)) == DICT_PAYLOAD
+
+    with pytest.raises(BroCorruptError):  # missing dict: header flag
+        b"".join(read_bro2_bytes(p, BroConfig(backend="brotli")))
+    with pytest.raises(BroCorruptError):  # wrong dict: block crc
+        bad = BroConfig.from_options(
+            {"bro.dictionary": b"unrelated words", "bro.backend": "brotli"}
+        )
+        b"".join(read_bro2_bytes(p, bad))
 
 
 def test_bro_datasource_stream_writer(spark, sf_dir, tmp_path):
@@ -407,11 +447,15 @@ from hadoop_brotli_spark.sources.bro_codec import (  # noqa: E402
     BroCorruptError,
     _BrotliCompressor,
     _BrotliDecompressor,
+    has_brotli_encoder,
     looks_like_zlib,
 )
 
 
-@pytest.mark.skipif(not HAS_BROTLI, reason="no brotli wheel in this environment")
+@pytest.mark.skipif(
+    not has_brotli_encoder(),
+    reason="no brotli encoder (wheel or system libbrotli)",
+)
 @pytest.mark.parametrize("entropy", [1, 10, 208])
 @pytest.mark.parametrize("n_chunks", [0, 1, 3, 30])
 def test_brotli_backend_grid(entropy, n_chunks):
@@ -434,18 +478,32 @@ def test_zlib_header_sniff():
     assert not looks_like_zlib(b"\x8b\x1f")  # gzip magic reversed
 
 
-@pytest.mark.skipif(HAS_BROTLI, reason="zlib fallback not active")
-def test_reference_bitstream_fails_loudly(tmp_path):
-    """A brotli bitstream (as the reference codec writes) read by the
-    zlib fallback must raise a clear backend-mismatch message, not a
-    cryptic corruption error."""
+def test_reference_bitstream_reads_transparently(tmp_path):
+    """A brotli bitstream exactly as the reference codec writes it
+    (raw stream under `.bro`) DECODES under backend=auto — the r3
+    verdict's last interop gap, closed by the wheel -> ctypes ->
+    pure-Python RFC 7932 decode chain. The fixed bytes are genuine
+    brotli output (libbrotli q6 w22 for b"hello"), so this runs with
+    no wheel and no system library."""
     from hadoop_brotli_spark.sources.bro_codec import read_bro_bytes
 
     p = tmp_path / "ref.bro"
-    # brotli stream prefix for "hello" (fixed bytes, no wheel needed)
-    p.write_bytes(bytes.fromhex("8b028068656c6c6f03"))
+    p.write_bytes(bytes.fromhex("0b028068656c6c6f03"))
+    assert b"".join(read_bro_bytes(str(p))) == b"hello"
+
+
+def test_reference_bitstream_fails_loudly_under_zlib_backend(tmp_path):
+    """Same file forced through the EXPLICIT zlib backend must raise
+    a clear backend-mismatch message, not a cryptic zlib error."""
+    from hadoop_brotli_spark.sources.bro_codec import (
+        BroConfig,
+        read_bro_bytes,
+    )
+
+    p = tmp_path / "ref.bro"
+    p.write_bytes(bytes.fromhex("0b028068656c6c6f03"))
     with pytest.raises(BroCorruptError, match="brotli bitstream"):
-        b"".join(read_bro_bytes(str(p)))
+        b"".join(read_bro_bytes(str(p), BroConfig(backend="zlib")))
 
 
 # ---------------------------------------------------------------------------
@@ -686,26 +744,32 @@ class TestStoredBrotli:
         # WBITS '0' + ISLAST 1 + ISLASTEMPTY 1 -> 0b110
         assert encode_brotli_stored(b"") == b"\x06"
 
-    @pytest.mark.skipif(not HAS_BROTLI, reason="needs real brotli wheel")
-    def test_real_brotli_decodes_our_streams(self):  # pragma: no cover
+    @pytest.mark.skipif(
+        not has_brotli_encoder(),
+        reason="no real brotli implementation (wheel or system libbrotli)",
+    )
+    def test_real_brotli_decodes_our_streams(self):
         """THE interop proof (self-activating): a conformant decoder
-        (the same library the reference codec binds) must read our
-        stored-mode streams byte-for-byte."""
-        import brotli as _b
-
-        from hadoop_brotli_spark.sources.bro_codec import encode_brotli_stored
+        (the same C library the reference codec binds, via wheel or
+        ctypes) must read our stored-mode streams byte-for-byte."""
+        from hadoop_brotli_spark.sources.bro_codec import (
+            _BrotliDecompressor,
+            encode_brotli_stored,
+        )
 
         for payload in (b"", b"hello", b"payload " * 50_000):
-            assert _b.decompress(encode_brotli_stored(payload)) == payload
+            d = _BrotliDecompressor()
+            assert d.decompress(encode_brotli_stored(payload)) + d.finish() \
+                == payload
 
-    @pytest.mark.skipif(not HAS_BROTLI, reason="needs real brotli wheel")
-    def test_golden_vector_decode(self):  # pragma: no cover
-        """Checked-in golden brotli stream (compressed profile) — the
-        cross-implementation decode check for the real backend."""
-        import brotli as _b
+    def test_golden_vector_decode(self):
+        """Checked-in golden brotli stream (libbrotli q6 output) — the
+        cross-implementation decode check, now met by the pure-Python
+        decoder in every environment."""
+        from hadoop_brotli_spark.sources.brotli_pure import brotli_decompress
 
-        golden = bytes.fromhex("8b028068656c6c6f03")
-        assert _b.decompress(golden) == b"hello"
+        golden = bytes.fromhex("0b028068656c6c6f03")
+        assert brotli_decompress(golden) == b"hello"
 
     def test_datasource_stored_backend(self, spark, sf_dir, tmp_path):
         """format('bro') with bro.backend=stored-brotli writes framed
