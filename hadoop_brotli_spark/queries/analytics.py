@@ -3539,16 +3539,81 @@ def q365_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-step-ahead fitted values + residuals are the backtest
     readout.
 
+    r4 plan change (r3 verdict task 5): the oracle KEEPS the
+    recursive CTE, but the Spark side no longer pays 24 recursion
+    stages for a 24-row series (8.2 s warm at sf0.1 — pure
+    per-iteration stage overhead). The monthly pre-aggregate (the
+    only corpus-sized stage) feeds ONE applyInPandas group whose
+    Python loop evaluates the recurrence with the IDENTICAL IEEE
+    double expressions and op order as the CTE — so the result is
+    bit-exact against the oracle, not merely close: sequential
+    ``0.2*y + 0.8*(l+b)`` in CPython and in DuckDB's executor round
+    identically at every step. Missing-month semantics mirror the
+    CTE's ``m.mi = h.mi + 1`` join: the walk stops at the first gap.
+
     Determinism: monthly revenue reduces through DECIMAL(18,2) (the
-    order-independent exact sum), and each recursion step applies
-    the identical double arithmetic to identical inputs — engines
-    cannot diverge; display rounds at 1e-4. Recursion depth is the
-    24-month window, far under Spark's 100-level CTE limit (q356
-    precedent). At 100 TB the monthly pre-aggregate is the only
-    corpus-sized stage; the recursion runs on 24 rows.
+    order-independent exact sum) before the double cast; display
+    rounds at 1e-4 via F.round/ROUND (both half-away-from-zero on
+    doubles). At 100 TB the monthly pre-aggregate is the only
+    corpus-sized stage; the smoothing state walk is 24 rows in one
+    tiny task.
     """
-    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_holt_src")
-    return spark.sql(_HOLT_SQL.replace("__ORDERS__", "orders_holt_src"))
+    import pandas as pd
+
+    orders = t(spark, sf_dir, "orders")
+    monthly = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            (
+                (F.year("o_orderdate") - 1995) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).alias("mi")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_mi = dict(zip(pdf["mi"], pdf["y"]))
+        rows: list[tuple] = []
+        if 0 in by_mi:
+            y = by_mi[0]
+            lvl, trd = y, 0.0
+            rows.append((0, y, lvl, trd, None))
+            mi = 1
+            while mi in by_mi:
+                y = by_mi[mi]
+                fitted = lvl + trd
+                # EXACT op order of the oracle's recursive step
+                new_l = 0.2 * y + 0.8 * (lvl + trd)
+                new_b = 0.1 * ((0.2 * y + 0.8 * (lvl + trd)) - lvl) + 0.9 * trd
+                lvl, trd = new_l, new_b
+                rows.append((mi, y, lvl, trd, fitted))
+                mi += 1
+        out = pd.DataFrame(
+            rows, columns=["mi", "y", "l", "b", "fitted"]
+        )
+        out["fitted"] = pd.array(out["fitted"], dtype="Float64")
+        return out
+
+    h = monthly.groupBy(F.lit(1).alias("g")).applyInPandas(
+        holt, schema="mi long, y double, l double, b double, fitted double"
+    )
+    return h.select(
+        F.col("mi").alias("month_idx"),
+        F.round("y", 2).alias("revenue"),
+        F.round("l", 4).alias("level"),
+        F.round("b", 4).alias("trend"),
+        F.round("fitted", 4).alias("fitted"),
+        F.round(F.col("y") - F.col("fitted"), 4).alias("residual"),
+    )
 
 
 # ---------------- q376 Mann-Whitney U rank-sum test (two groups)
