@@ -13,7 +13,9 @@ Two tiers:
   interlace), uncompressed 24-bit BMP, baseline 4:4:4 JPEG (full
   huffman entropy decode + dequant + 2D IDCT — ``build_jpeg_ycbcr``
   / ``decode_jpeg_pixels``), PCM16 WAV, and G.711 mu-law WAV
-  (``mulaw_expand``). Only progressive/subsampled JPEG and
+  (``mulaw_expand``); 4:2:0/4:2:2 subsampled baseline JPEG decodes
+  natively (interleaved MCUs + nearest chroma upsampling). Only
+  progressive JPEG and
   compressed audio codecs (mp3/flac/ogg) remain environment-gated
   behind PIL / soundfile; ``fake_decode_meta`` provides
   deterministic metadata for the plumbing-only queries (q91/q93).
@@ -104,7 +106,7 @@ def decode_image(payload: bytes):
     (``decode_gif_pixels``: full LZW + palette + interlace),
     uncompressed 24-bit BMP (``decode_bmp_pixels``), and baseline
     4:4:4 JPEG (``decode_jpeg_pixels``: full huffman entropy decode
-    + 2D IDCT). Progressive/subsampled JPEG falls back to PIL when
+    + 2D IDCT; sampling factors to 2x2). Progressive JPEG falls back to PIL when
     importable and raises ``NotImplementedError`` otherwise."""
     b = bytes(payload)
     if b[:8] == PNG_SIG:
@@ -870,49 +872,134 @@ def build_jpeg_ycbcr(y, cb, cr) -> bytes:
             for ci, (plane, q, dct_t, act) in enumerate(
                 ((y, ql, dc_l, ac_l), (cb, qc, dc_c, ac_c), (cr, qc, dc_c, ac_c))
             ):
-                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128
-                f = d @ blk.astype(np.float64) @ d.T
-                # snap matmul residue (~1e-12) back onto the exact
-                # integers the DCT of an integer block can land on —
-                # otherwise FLOOR(F/Q + 0.5) flips at exact-half
-                # boundaries and the DC-only arithmetic stops being
-                # SQL-restatable (q364's oracle contract)
-                fr = np.rint(f)
-                f = np.where(np.abs(f - fr) < 1e-6, fr, f)
-                # quantize: FLOOR(F/Q + 0.5) — the exact rule the
-                # q364 oracle re-states in SQL for DC-only blocks
-                zq = np.floor(f / q + 0.5).astype(np.int64)
-                coeffs = [int(zq.flat[_ZIGZAG[i]]) for i in range(64)]
-                diff = coeffs[0] - pred[ci]
-                pred[ci] = coeffs[0]
-                s, bits_v = _magnitude(diff)
-                code, ln = dct_t[s]
-                bw.write(code, ln)
-                if s:
-                    bw.write(bits_v, s)
-                run = 0
-                last_nz = 0
-                for i in range(63, 0, -1):
-                    if coeffs[i]:
-                        last_nz = i
-                        break
-                for i in range(1, last_nz + 1):
-                    v = coeffs[i]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = act[0xF0]  # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    s, bits_v = _magnitude(v)
-                    code, ln = act[(run << 4) | s]
-                    bw.write(code, ln)
-                    bw.write(bits_v, s)
-                    run = 0
-                if last_nz != 63:
-                    code, ln = act[0x00]  # EOB
-                    bw.write(code, ln)
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                pred[ci] = _encode_jpeg_block(
+                    bw, blk, d, q, dct_t, act, pred[ci]
+                )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _encode_jpeg_block(bw, blk, d, q, dct_t, act, pred_dc: int) -> int:
+    """FDCT + quantize + huffman-encode one 8x8 block; returns the
+    new DC predictor."""
+    import numpy as np
+
+    f = d @ (blk - 128).astype(np.float64) @ d.T
+    # snap matmul residue (~1e-12) back onto the exact integers the
+    # DCT of an integer block can land on — otherwise
+    # FLOOR(F/Q + 0.5) flips at exact-half boundaries and the
+    # DC-only arithmetic stops being SQL-restatable (the q364/q379
+    # oracle contract)
+    fr = np.rint(f)
+    f = np.where(np.abs(f - fr) < 1e-6, fr, f)
+    # quantize: FLOOR(F/Q + 0.5) — the exact rule the oracles
+    # re-state in SQL for DC-only blocks
+    zq = np.floor(f / q + 0.5).astype(np.int64)
+    coeffs = [int(zq.flat[_ZIGZAG[i]]) for i in range(64)]
+    diff = coeffs[0] - pred_dc
+    s, bits_v = _magnitude(diff)
+    code, ln = dct_t[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(bits_v, s)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if coeffs[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = coeffs[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = act[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s, bits_v = _magnitude(v)
+        code, ln = act[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(bits_v, s)
+        run = 0
+    if last_nz != 63:
+        code, ln = act[0x00]  # EOB
+        bw.write(code, ln)
+    return coeffs[0]
+
+
+def build_jpeg_ycbcr_420(y, cb, cr) -> bytes:
+    """Encode a 4:2:0 baseline JFIF JPEG — the most common real-world
+    JPEG shape (r3 verdict task 6): full-resolution Y (dims multiples
+    of 16) with quarter-resolution Cb/Cr (dims H/2 x W/2), Y sampling
+    2x2, chroma 1x1, interleaved MCUs of 4 Y blocks (row-major within
+    the MCU) + 1 Cb + 1 Cr, Annex K tables embedded via DQT/DHT."""
+    import struct
+
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.int64)
+    cb = np.asarray(cb, dtype=np.int64)
+    cr = np.asarray(cr, dtype=np.int64)
+    h, w = y.shape
+    if h % 16 or w % 16:
+        raise ValueError("4:2:0 luma dims must be multiples of 16")
+    if cb.shape != (h // 2, w // 2) or cr.shape != (h // 2, w // 2):
+        raise ValueError("chroma planes must be half-resolution")
+    d = _dct_matrix()
+    ql = np.array(_JPEG_QL, dtype=np.int64).reshape(8, 8)
+    qc = np.array(_JPEG_QC, dtype=np.int64).reshape(8, 8)
+    dc_l = _huff_codes(*_HUFF_DC_L)
+    dc_c = _huff_codes(*_HUFF_DC_C)
+    ac_l = _huff_codes(*_HUFF_AC_L)
+    ac_c = _huff_codes(*_HUFF_AC_C)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    for tid, q in ((0, _JPEG_QL), (1, _JPEG_QC)):
+        zz = bytes(q[_ZIGZAG[i]] for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += struct.pack(">BBB", 1, 0x22, 0)  # Y: h2v2, qtable 0
+    out += struct.pack(">BBB", 2, 0x11, 1)  # Cb: h1v1
+    out += struct.pack(">BBB", 3, 0x11, 1)  # Cr
+    for tc_th, (bits, vals) in (
+        ((0, 0), _HUFF_DC_L), ((1, 0), _HUFF_AC_L),
+        ((0, 1), _HUFF_DC_C), ((1, 1), _HUFF_AC_C),
+    ):
+        tc, th = tc_th
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (tc << 4) | th)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += struct.pack(">BB", 1, 0x00)
+    out += struct.pack(">BB", 2, 0x11)
+    out += struct.pack(">BB", 3, 0x11)
+    out += struct.pack(">BBB", 0, 63, 0)
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for byi in range(2):  # 4 Y blocks, row-major in the MCU
+                for bxi in range(2):
+                    py, px = my * 16 + byi * 8, mx * 16 + bxi * 8
+                    pred[0] = _encode_jpeg_block(
+                        bw, y[py : py + 8, px : px + 8], d, ql, dc_l,
+                        ac_l, pred[0],
+                    )
+            cy, cx = my * 8, mx * 8
+            pred[1] = _encode_jpeg_block(
+                bw, cb[cy : cy + 8, cx : cx + 8], d, qc, dc_c, ac_c, pred[1]
+            )
+            pred[2] = _encode_jpeg_block(
+                bw, cr[cy : cy + 8, cx : cx + 8], d, qc, dc_c, ac_c, pred[2]
+            )
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -925,14 +1012,15 @@ def _huff_decode_table(bits, vals):
 
 
 def decode_jpeg_pixels(payload: bytes):
-    """Decode a baseline JPEG (SOF0, 8-bit, 1..3 components, 4:4:4
-    i.e. all sampling factors 1x1, no restart markers) to
-    ``(width, height, rgb uint8 array)`` with numpy only — full
-    huffman entropy decode, dequantization, 2D IDCT, level shift,
-    and BT.601 YCbCr->RGB. Raises ValueError on corrupt streams and
-    NotImplementedError for progressive/subsampled variants (the
-    honest gate; baseline 4:4:4 is what ``build_jpeg_ycbcr``
-    emits and what the q364 operator exercises)."""
+    """Decode a baseline JPEG (SOF0, 8-bit, 1..3 components, any
+    sampling factors up to 2x2 — 4:4:4, 4:2:0, 4:2:2, 4:4:0 — no
+    restart markers) to ``(width, height, rgb uint8 array)`` with
+    numpy only: full huffman entropy decode over interleaved MCUs,
+    dequantization, 2D IDCT, nearest-neighbor chroma upsampling
+    (sample replication — deterministic integer work, r3 verdict
+    task 6), level shift, and BT.601 YCbCr->RGB. Raises ValueError
+    on corrupt streams and NotImplementedError for the remaining
+    honest gates (progressive SOF2, 12-bit, restart markers)."""
     import struct
 
     import numpy as np
@@ -976,9 +1064,12 @@ def decode_jpeg_pixels(payload: bytes):
                 raise NotImplementedError("only 8-bit precision")
             for i in range(nc):
                 cid, hv, qid = seg[6 + 3 * i : 9 + 3 * i]
-                if hv != 0x11:
-                    raise NotImplementedError("only 4:4:4 (1x1) sampling")
-                comps.append((cid, qid))
+                hi, vi = hv >> 4, hv & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise NotImplementedError(
+                        "sampling factors beyond 2x2 unsupported"
+                    )
+                comps.append((cid, qid, hi, vi))
         elif marker == 0xC4:  # DHT
             sp = 0
             while sp < len(seg):
@@ -1021,49 +1112,80 @@ def decode_jpeg_pixels(payload: bytes):
 
     d = _dct_matrix()
     br = _BitReader(b[data_start:data_end])
-    nbx, nby = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((nby * 8, nbx * 8), dtype=np.float64) for _ in comps]
-    qids = dict(comps)
-    pred = {cid: 0 for cid, _, _ in scan}
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci, (cid, dc_id, ac_id) in enumerate(scan):
-                dct = htables[(0, dc_id)]
-                act = htables[(1, ac_id)]
-                zz = np.zeros(64, dtype=np.int64)
-                s = read_sym(br, dct)
-                diff = _extend(br.read(s), s) if s else 0
-                pred[cid] += diff
-                zz[0] = pred[cid]
-                i = 1
-                while i < 64:
-                    rs = read_sym(br, act)
-                    r, s = rs >> 4, rs & 0xF
-                    if s == 0:
-                        if r == 15:  # ZRL
-                            i += 16
-                            continue
-                        break  # EOB
-                    i += r
-                    if i > 63:
-                        raise ValueError("AC run overflows block")
-                    zz[i] = _extend(br.read(s), s)
-                    i += 1
-                blk = np.zeros(64, dtype=np.int64)
-                for k in range(64):
-                    blk[_ZIGZAG[k]] = zz[k]
-                fq = blk.reshape(8, 8) * qtables[qids[cid]]
-                pix = d.T @ fq.astype(np.float64) @ d
-                # snap to the exact eighths a DC-only block lands on
-                # (true IDCT of a lone DC term is Fq/8 everywhere);
-                # keeps FLOOR(x + 0.5) off float-residue boundaries
-                p8 = np.rint(pix * 8.0)
-                pix = np.where(np.abs(pix * 8.0 - p8) < 1e-6, p8 / 8.0, pix)
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
-    # level shift + round (FLOOR(x+0.5): engine-portable, no banker's)
+    cinfo = {cid: (qid, hi, vi) for cid, qid, hi, vi in comps}
+    sc = []  # (cid, dc_id, ac_id, qid, hi, vi) in scan order
+    for cid, dc_id, ac_id in scan:
+        qid, hi, vi = cinfo[cid]
+        sc.append((cid, dc_id, ac_id, qid, hi, vi))
+    if len(sc) == 1:
+        # non-interleaved single-component scan: sampling factors do
+        # not shape the traversal (one block per MCU, JPEG A.2)
+        cid, dc_id, ac_id, qid, _, _ = sc[0]
+        sc = [(cid, dc_id, ac_id, qid, 1, 1)]
+    hmax = max(s[4] for s in sc)
+    vmax = max(s[5] for s in sc)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     planes = [
-        np.clip(np.floor(p + 128.0 + 0.5), 0, 255)[:h, :w] for p in planes
+        np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+        for (_, _, _, _, hi, vi) in sc
     ]
+    pred = {s[0]: 0 for s in sc}
+
+    def decode_block(dc_id: int, ac_id: int, cid: int, qid: int):
+        dct = htables[(0, dc_id)]
+        act = htables[(1, ac_id)]
+        zz = np.zeros(64, dtype=np.int64)
+        s = read_sym(br, dct)
+        diff = _extend(br.read(s), s) if s else 0
+        pred[cid] += diff
+        zz[0] = pred[cid]
+        i = 1
+        while i < 64:
+            rs = read_sym(br, act)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    i += 16
+                    continue
+                break  # EOB
+            i += r
+            if i > 63:
+                raise ValueError("AC run overflows block")
+            zz[i] = _extend(br.read(s), s)
+            i += 1
+        blk = np.zeros(64, dtype=np.int64)
+        for k in range(64):
+            blk[_ZIGZAG[k]] = zz[k]
+        fq = blk.reshape(8, 8) * qtables[qid]
+        pix = d.T @ fq.astype(np.float64) @ d
+        # snap to the exact eighths a DC-only block lands on
+        # (true IDCT of a lone DC term is Fq/8 everywhere);
+        # keeps FLOOR(x + 0.5) off float-residue boundaries
+        p8 = np.rint(pix * 8.0)
+        return np.where(np.abs(pix * 8.0 - p8) < 1e-6, p8 / 8.0, pix)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, dc_id, ac_id, qid, hi, vi) in enumerate(sc):
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        pix = decode_block(dc_id, ac_id, cid, qid)
+                        py = (my * vi + byi) * 8
+                        px = (mx * hi + bxi) * 8
+                        planes[ci][py : py + 8, px : px + 8] = pix
+    # level shift + round (FLOOR(x+0.5): engine-portable, no
+    # banker's), then nearest-neighbor upsample (sample replication)
+    # of subsampled planes to full resolution, then crop
+    rounded = []
+    for (_, _, _, _, hi, vi), p in zip(sc, planes):
+        p = np.clip(np.floor(p + 128.0 + 0.5), 0, 255)
+        if hi != hmax or vi != vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        rounded.append(p[:h, :w])
+    planes = rounded
     if len(planes) == 1:
         g = planes[0].astype(np.uint8)
         return w, h, np.stack([g, g, g], axis=-1)

@@ -1097,3 +1097,145 @@ def q369_adpcm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return meta.mapInPandas(run, schema=out_schema)
+
+
+# ------------------------------ q379 real 4:2:0 JPEG pixel decode
+
+
+@register(
+    "q379_jpeg420_pixel_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 1 + n_chars % 3 AS wm, 1 + n_chars % 2 AS hm
+      FROM documents
+    ),
+    tiles AS (
+      SELECT doc_id, wm, hm, mx.i AS mx, my.i AS my,
+             (41 * mx.i + 13 * my.i + doc_id) % 256 AS yv,
+             (19 * mx.i + 31 * my.i + 3 * doc_id) % 256 AS cbv,
+             (29 * mx.i + 11 * my.i + 5 * doc_id) % 256 AS crv
+      FROM m, UNNEST(range(wm)) AS mx(i), UNNEST(range(hm)) AS my(i)
+    ),
+    dc AS (
+      -- constant 16x16 MCU: 4 identical DC-only Y blocks + 1 Cb +
+      -- 1 Cr at quarter res; same DC chain as q364, chroma then
+      -- replicated 2x2 by the decoder's nearest upsampling (exact)
+      SELECT doc_id, wm, hm, mx, my,
+             LEAST(GREATEST(FLOOR(FLOOR(8.0 * (yv - 128.0) / 16.0 + 0.5)
+                   * 16.0 / 8.0 + 128.0 + 0.5), 0), 255) AS y2,
+             LEAST(GREATEST(FLOOR(FLOOR(8.0 * (cbv - 128.0) / 17.0 + 0.5)
+                   * 17.0 / 8.0 + 128.0 + 0.5), 0), 255) AS cb2,
+             LEAST(GREATEST(FLOOR(FLOOR(8.0 * (crv - 128.0) / 17.0 + 0.5)
+                   * 17.0 / 8.0 + 128.0 + 0.5), 0), 255) AS cr2
+      FROM tiles
+    ),
+    rgb AS (
+      SELECT doc_id, wm, hm, mx, my,
+             LEAST(GREATEST(FLOOR(y2 + 1.402 * (cr2 - 128.0) + 0.5),
+                            0), 255) AS r,
+             LEAST(GREATEST(FLOOR(y2 - 0.344136 * (cb2 - 128.0)
+                                  - 0.714136 * (cr2 - 128.0) + 0.5),
+                            0), 255) AS g,
+             LEAST(GREATEST(FLOOR(y2 + 1.772 * (cb2 - 128.0) + 0.5),
+                            0), 255) AS b
+      FROM dc
+    )
+    SELECT doc_id,
+           CAST(wm * 16 AS BIGINT) AS width,
+           CAST(hm * 16 AS BIGINT) AS height,
+           FLOOR(SUM(r) * 1000000.0 / (wm * hm) + 0.5)
+             / 1000000.0 AS mean_r,
+           FLOOR(SUM(g) * 1000000.0 / (wm * hm) + 0.5)
+             / 1000000.0 AS mean_g,
+           FLOOR(SUM(b) * 1000000.0 / (wm * hm) + 0.5)
+             / 1000000.0 AS mean_b,
+           CAST(MAX(CASE WHEN mx = 0 AND my = 0 THEN r END)
+                AS BIGINT) AS corner_tl_r,
+           CAST(MAX(CASE WHEN mx = wm - 1 AND my = 0 THEN g END)
+                AS BIGINT) AS corner_tr_g,
+           CAST(MAX(CASE WHEN mx = 0 AND my = hm - 1 THEN b END)
+                AS BIGINT) AS corner_bl_b,
+           CAST(MAX(CASE WHEN mx = wm - 1 AND my = hm - 1 THEN r END)
+                AS BIGINT) AS corner_br_r
+    FROM rgb
+    GROUP BY doc_id, wm, hm
+    """,
+)
+def q379_jpeg420_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4:2:0 (2x2-subsampled) baseline JPEG pixel decode — the
+    most common real-world JPEG shape, previously the codec's honest
+    gate (r3 verdict task 6). Stage 1 renders an MCU-constant
+    (16x16-tile) YCbCr card per document and encodes it via
+    ``build_jpeg_ycbcr_420``: full-res Y at sampling 2x2, QUARTER-res
+    chroma, interleaved MCUs of 4 Y + Cb + Cr blocks. Stage 2 — the
+    operator under test — runs the generalized ``decode_jpeg_pixels``:
+    interleaved-MCU traversal with per-component sampling factors,
+    huffman entropy decode with per-component DC prediction across
+    the 4-1-1 block pattern, dequant + IDCT, nearest-neighbor chroma
+    upsampling (sample replication — deterministic integer work),
+    BT.601 conversion.
+
+    The oracle predicts the decoded pixels exactly: a constant 16x16
+    MCU yields four identical DC-only Y blocks and one DC-only block
+    per chroma plane, so the quantize->dequantize->IDCT chain is the
+    same exact FLOOR(x+0.5) integer arithmetic as q364's 4:4:4 card,
+    and replication-upsampling keeps every pixel of the tile equal —
+    a wrong MCU block order, broken per-component predictor, or
+    misaligned upsample shifts corners/means and breaks the hash.
+
+    Scale: mapInPandas over Arrow batches, per-row independent, no
+    shuffle; blob bytes never leave the task.
+    """
+    import numpy as np
+
+    from ..functions.media import build_jpeg_ycbcr_420, decode_jpeg_pixels
+
+    meta = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    out_schema = (
+        "doc_id long, width long, height long, "
+        "mean_r double, mean_g double, mean_b double, "
+        "corner_tl_r long, corner_tr_g long, corner_bl_b long, "
+        "corner_br_r long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = int(doc_id), int(n_chars)
+                wm, hm = 1 + n % 3, 1 + n % 2
+                mxs = np.arange(wm, dtype=np.int64)[None, :]
+                mys = np.arange(hm, dtype=np.int64)[:, None]
+                yv = (41 * mxs + 13 * mys + d) % 256
+                cbv = (19 * mxs + 31 * mys + 3 * d) % 256
+                crv = (29 * mxs + 11 * mys + 5 * d) % 256
+                up16 = lambda a: np.kron(
+                    a, np.ones((16, 16), dtype=np.int64)
+                ).astype(np.uint8)
+                up8 = lambda a: np.kron(
+                    a, np.ones((8, 8), dtype=np.int64)
+                ).astype(np.uint8)
+                blob = build_jpeg_ycbcr_420(up16(yv), up8(cbv), up8(crv))
+                # ---- operator under test: decode bytes -> pixels ----
+                dw, dh, rgb = decode_jpeg_pixels(blob)
+                rgb = rgb.astype(np.int64)
+                tile = rgb[::16, ::16, :]  # MCU grain (uniform tiles)
+                nt = wm * hm
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "width": dw,
+                        "height": dh,
+                        "mean_r": _grid_mean(int(tile[:, :, 0].sum()), nt),
+                        "mean_g": _grid_mean(int(tile[:, :, 1].sum()), nt),
+                        "mean_b": _grid_mean(int(tile[:, :, 2].sum()), nt),
+                        "corner_tl_r": int(rgb[0, 0, 0]),
+                        "corner_tr_g": int(rgb[0, dw - 1, 1]),
+                        "corner_bl_b": int(rgb[dh - 1, 0, 2]),
+                        "corner_br_r": int(rgb[dh - 1, dw - 1, 0]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return meta.mapInPandas(run, schema=out_schema)

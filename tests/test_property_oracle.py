@@ -198,6 +198,9 @@ DOC_QUERIES = [
     # lossy-codec DC arithmetic must agree for every n_chars-derived
     # card shape (incl. n_chars = 0 minima)
     "q364_jpeg_pixel_decode",
+    # 4:2:0 MCU interleave + per-component predictors + upsample
+    # must agree on the same card-shape sweep
+    "q379_jpeg420_pixel_decode",
     "q366_mulaw_audio_decode",
     "q367_mjpeg_frame_decode",
     # stateful recurrence: oracle recursion and decoder must stay in
