@@ -484,3 +484,97 @@ def test_emb_queries_match_oracle_on_generated_data(spark, scratch_sf, params):
     _write_embeddings(scratch_sf, params)
     for name in EMB_QUERIES:
         compare(SPECS[name], spark, str(scratch_sf))
+
+
+# ------------------------------------------------- part/geo-shaped hunt
+# (r3 verdict task 7: the newest part-table ops get adversarial data —
+# all-equal prices, single-bin degeneracy, duplicate (price,size)
+# twins are exactly where skyline pruning bugs live)
+
+PART_QUERIES = [
+    # all-equal prices collapse the grid to ONE bin (running max over
+    # strictly-cheaper bins sees nothing); duplicate (price,size)
+    # twins must BOTH survive (dominance is strict); bin-boundary
+    # prices (exact SKY_BIN multiples) attack the floor() binning
+    "q374_skyline_frontier",
+]
+GEO_QUERIES = [
+    # hash-derived coords: tiny/overlapping key pools collapse
+    # customers onto identical cells; empty-ish supplier sets leave
+    # customers with no in-radius candidate (left-join NULL rows)
+    "q370_spatial_bin_join",
+]
+
+# price pool deliberately includes exact bin boundaries (20.00, 40.00)
+# and one shared value to mass-produce twins; sizes from a tiny pool
+part_rows = st.lists(
+    st.tuples(
+        st.sampled_from([1999, 2000, 2001, 4000, 4001, 500, 500, 99999]),
+        st.integers(1, 4),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _write_part(base: Path, rows) -> None:
+    df = pd.DataFrame(
+        {
+            "p_partkey": pd.array(range(len(rows)), dtype="int64"),
+            "p_name": [f"part#{i}" for i in range(len(rows))],
+            "p_brand": [f"Brand#{i % 3}" for i in range(len(rows))],
+            "p_type": ["STANDARD"] * len(rows),
+            "p_size": pd.array([s for _, s in rows], dtype="int32"),
+            "p_retailprice": [c / 100.0 for c, _ in rows],
+        }
+    )
+    df.to_parquet(base / "part.parquet", index=False)
+
+
+@settings(
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=part_rows)
+def test_part_queries_match_oracle_on_generated_data(spark, scratch_sf, rows):
+    _write_part(scratch_sf, rows)
+    for name in PART_QUERIES:
+        compare(SPECS[name], spark, str(scratch_sf))
+
+
+geo_params = st.tuples(
+    st.lists(st.integers(0, 60), min_size=1, max_size=20, unique=True),
+    st.lists(st.integers(0, 60), min_size=1, max_size=5, unique=True),
+)
+
+
+def _write_geo(base: Path, params) -> None:
+    ckeys, skeys = params
+    pd.DataFrame(
+        {
+            "c_custkey": pd.array(ckeys, dtype="int64"),
+            "c_name": [f"c{k}" for k in ckeys],
+            "c_nationkey": pd.array([k % 5 for k in ckeys], dtype="int32"),
+            "c_acctbal": [100.0 + k for k in ckeys],
+            "c_mktsegment": ["BUILDING"] * len(ckeys),
+        }
+    ).to_parquet(base / "customer.parquet", index=False)
+    pd.DataFrame(
+        {
+            "s_suppkey": pd.array(skeys, dtype="int64"),
+            "s_name": [f"s{k}" for k in skeys],
+            "s_nationkey": pd.array([k % 5 for k in skeys], dtype="int32"),
+            "s_acctbal": [50.0 + k for k in skeys],
+        }
+    ).to_parquet(base / "supplier.parquet", index=False)
+
+
+@settings(
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(params=geo_params)
+def test_geo_queries_match_oracle_on_generated_data(spark, scratch_sf, params):
+    _write_geo(scratch_sf, params)
+    for name in GEO_QUERIES:
+        compare(SPECS[name], spark, str(scratch_sf))
