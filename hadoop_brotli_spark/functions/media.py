@@ -174,7 +174,7 @@ def parse_wav(payload: bytes):
     while pos + 8 <= len(b):
         cid, clen = struct.unpack("<4sI", b[pos : pos + 8])
         body = b[pos + 8 : pos + 8 + clen]
-        if cid == b"fmt " and clen >= 16:
+        if cid == b"fmt " and clen >= 16 and len(body) >= 16:
             tag, channels, rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
@@ -245,6 +245,15 @@ def build_bmp(width: int, height: int, pixels) -> bytes:
 
 
 def decode_bmp_pixels(payload: bytes):
+    """Wrapper: see ``_decode_bmp_pixels_inner``; struct/index
+    failures on arbitrary bytes re-raise as clean ValueError."""
+    try:
+        return _decode_bmp_pixels_inner(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt BMP: {exc}") from exc
+
+
+def _decode_bmp_pixels_inner(payload: bytes):
     """REAL BMP pixel decode with no image library: parse the file
     and info headers, strip per-row padding, undo the bottom-up row
     order and the BGR channel order. Returns (width, height,
@@ -397,6 +406,8 @@ def decode_png_pixels(payload: bytes):
     while pos + 8 <= len(b):
         (clen,) = struct.unpack_from(">I", b, pos)
         ctype = b[pos + 4 : pos + 8]
+        if pos + 12 + clen > len(b):
+            raise ValueError("truncated PNG chunk")
         data = b[pos + 8 : pos + 8 + clen]
         (crc,) = struct.unpack_from(">I", b, pos + 8 + clen)
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
@@ -568,7 +579,16 @@ def decode_gif_pixels(payload: bytes):
     sub-block reassembly, full LZW decode, palette mapping, and
     interlace reordering. Returns (width, height, (h, w, 3) RGB
     uint8) for the FIRST image. Raises ``ValueError`` on anything
-    that is not a decodable GIF."""
+    that is not a decodable GIF (a pure parser: any struct/index
+    failure can only mean truncated or corrupt bytes, so those are
+    re-raised as clean ValueError — the fuzz-suite contract)."""
+    try:
+        return _decode_gif_pixels_inner(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt GIF: {exc}") from exc
+
+
+def _decode_gif_pixels_inner(payload: bytes):
     import numpy as np
 
     b = bytes(payload)
@@ -1012,6 +1032,23 @@ def _huff_decode_table(bits, vals):
 
 
 def decode_jpeg_pixels(payload: bytes):
+    """Wrapper: see ``_decode_jpeg_pixels_inner``; struct/index/key
+    failures on arbitrary bytes (truncated DHT value lists, missing
+    table ids, short segments) re-raise as clean ValueError — the
+    fuzz-suite contract."""
+    try:
+        return _decode_jpeg_pixels_inner(payload)
+    except (IndexError, KeyError) as exc:
+        raise ValueError(f"corrupt JPEG: {exc}") from exc
+    except Exception as exc:
+        import struct as _s
+
+        if isinstance(exc, _s.error):
+            raise ValueError(f"corrupt JPEG: {exc}") from exc
+        raise
+
+
+def _decode_jpeg_pixels_inner(payload: bytes):
     """Decode a baseline JPEG (SOF0, 8-bit, 1..3 components, any
     sampling factors up to 2x2 — 4:4:4, 4:2:0, 4:2:2, 4:4:0 — no
     restart markers) to ``(width, height, rgb uint8 array)`` with
@@ -1397,11 +1434,13 @@ def parse_adpcm_wav(payload: bytes, n_codes: int | None = None):
     while pos + 8 <= len(b):
         cid, clen = struct.unpack("<4sI", b[pos : pos + 8])
         body = b[pos + 8 : pos + 8 + clen]
-        if cid == b"fmt " and clen >= 16:
+        if cid == b"fmt " and clen >= 16 and len(body) >= 8:
             tag, channels, rate = struct.unpack("<HHI", body[:8])
             if tag != 0x11 or channels != 1:
                 raise ValueError("not mono IMA-ADPCM (tag 0x11)")
         elif cid == b"data" and rate is not None:
+            if len(body) < 4:
+                raise ValueError("truncated ADPCM data block")
             pred0, index0, _res = struct.unpack("<hBB", body[:4])
             nib = np.frombuffer(body[4:], dtype=np.uint8)
             codes = np.empty(len(nib) * 2, dtype=np.int64)

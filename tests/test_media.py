@@ -836,3 +836,118 @@ class TestAdpcm:
             parse_adpcm_wav(b"junk")
         with pytest.raises(ValueError):
             parse_adpcm_wav(build_wav([1, 2], 8000))  # PCM16, tag 1
+
+
+class TestDecoderFuzz:
+    """Adversarial-input fuzz for the real media decoders (r3 verdict
+    task 8): the decode paths are now genuine parsers over untrusted
+    bytes, so hypothesis-generated truncations and bit flips must
+    yield a CLEAN error (ValueError family / NotImplementedError for
+    honestly-gated variants) or a still-valid decode — never a hang,
+    an unbounded loop, or a non-decode exception class. Each decoder
+    fuzzes a REAL valid stream produced by its own builder, which
+    puts the corruption past the magic checks and into the parsing
+    machinery (filters, LZW, huffman, chunk walks, recurrences)."""
+
+    N_CASES = 60  # truncations + bit flips per decoder (seeded RNG)
+
+    def _fuzz(self, blob: bytes, decode, seed: int) -> None:
+        import random
+
+        rng = random.Random(seed)
+        cases = []
+        for _ in range(self.N_CASES // 2):
+            cases.append(blob[: rng.randrange(len(blob))])
+        for _ in range(self.N_CASES // 2):
+            pos = rng.randrange(len(blob))
+            bad = bytearray(blob)
+            bad[pos] ^= 1 << rng.randrange(8)
+            cases.append(bytes(bad))
+        for payload in cases:
+            try:
+                decode(payload)  # valid-but-different decodes are OK
+            except (ValueError, NotImplementedError):
+                continue  # the clean-failure contract
+
+    def test_png_fuzz(self):
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            build_png_pixels,
+            decode_png_pixels,
+        )
+
+        rng = np.random.default_rng(5)
+        blob = build_png_pixels(rng.integers(0, 256, (9, 7, 3)).astype("uint8"))
+        self._fuzz(blob, decode_png_pixels, 101)
+
+    def test_gif_fuzz(self):
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            build_gif_pixels,
+            decode_gif_pixels,
+        )
+
+        rng = np.random.default_rng(6)
+        idx = rng.integers(0, 8, 48).astype("uint8")
+        pal = [(i * 31 % 256, i * 17 % 256, i * 7 % 256) for i in range(8)]
+        blob = build_gif_pixels(idx, pal, 8, 6)
+        self._fuzz(blob, decode_gif_pixels, 102)
+
+    def test_jpeg_fuzz_444_and_420(self):
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            build_jpeg_ycbcr,
+            build_jpeg_ycbcr_420,
+            decode_jpeg_pixels,
+        )
+
+        rng = np.random.default_rng(7)
+        planes = [
+            rng.integers(0, 256, (16, 16)).astype("uint8") for _ in range(3)
+        ]
+        self._fuzz(build_jpeg_ycbcr(*planes), decode_jpeg_pixels, 103)
+        y = rng.integers(0, 256, (16, 32)).astype("uint8")
+        cbcr = [
+            rng.integers(0, 256, (8, 16)).astype("uint8") for _ in range(2)
+        ]
+        self._fuzz(
+            build_jpeg_ycbcr_420(y, *cbcr), decode_jpeg_pixels, 104
+        )
+
+    def test_adpcm_fuzz(self):
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            build_adpcm_wav,
+            parse_adpcm_wav,
+        )
+
+        rng = np.random.default_rng(8)
+        codes = rng.integers(0, 16, 48)
+        blob = build_adpcm_wav(codes, 100, 30, 8000)
+        self._fuzz(blob, parse_adpcm_wav, 105)
+
+    def test_wav_and_bmp_fuzz(self):
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            build_bmp,
+            build_wav,
+            decode_bmp_pixels,
+            parse_wav,
+        )
+
+        rng = np.random.default_rng(9)
+        self._fuzz(
+            build_wav(rng.integers(-3000, 3000, 64).astype("int16"), 8000),
+            parse_wav,
+            106,
+        )
+        self._fuzz(
+            build_bmp(7, 5, rng.integers(0, 256, (5, 7, 3)).astype("uint8")),
+            decode_bmp_pixels,
+            107,
+        )
