@@ -294,3 +294,57 @@ def test_q253_window_hashing_precedes_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
+
+
+# --------------------------------------------------------------------------
+# r3 verdict task 9: pinned exchange budgets for the bench surface.
+# A future edit that adds a shuffle to a headline/depth query should
+# fail THIS test at commit time instead of waiting for a judge bench.
+# Counts are the executed-plan audit's post-reuse exchange totals
+# (tools/plan_audit.py semantics) with AQE off so plans are static.
+
+PINNED_EXCHANGES = {
+    "q01_pricing_summary": 2,
+    "q03_shipping_priority": 3,
+    "q05_local_supplier_volume": 6,
+    "q06_revenue_forecast": 1,
+    "q20_agg_distinct": 2,
+    "q40_window_topk_per_group": 1,
+    "q56_sessionization": 1,
+    "q60_dedup_exact": 1,
+    "q62_dedup_minhash_lsh": 4,
+    "q70_knn_bruteforce": 2,
+    "q80_token_stats": 2,
+    "q107_pipeline_funnel": 3,
+    "q124_source_vocab_overlap": 6,
+    "q137_basket_lift": 9,
+    "q141_distribution_drift": 9,
+    "q82_lang_id_ngram": 8,
+    "q253_exact_substring_dup": 7,
+    "q260_cdc_chunk_dedup": 4,
+}
+
+
+@pytest.mark.parametrize("name", sorted(PINNED_EXCHANGES))
+def test_bench_query_exchange_budget(spark, sf_dir, name):
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plans.executed_plan(q(spark, sf_dir, name))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    got = plan.count("Exchange ") - plan.count("ReusedExchange ")
+    want = PINNED_EXCHANGES[name]
+    assert got <= want, (
+        f"{name}: {got} exchanges > pinned budget {want} — a shuffle "
+        f"was added to a bench query; either remove it or update "
+        f"PINNED_EXCHANGES deliberately"
+    )
+    # a DROP below budget is also worth noticing (ratchet down)
+    if got < want:
+        import warnings
+
+        warnings.warn(
+            f"{name}: exchanges improved to {got} (< pinned {want}); "
+            f"ratchet PINNED_EXCHANGES down",
+            stacklevel=1,
+        )
