@@ -4065,3 +4065,182 @@ def q378_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attribution_share"
         ),
     )
+
+
+# ------- q380 isotonic calibration (PAVA via minimax characterization)
+
+ISO_B = 50  # score buckets (bounded calibration grain)
+
+
+def _iso_hash(col: str, salt: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST({col} AS VARCHAR) || '_{salt}'), 1, 7)"
+        " AS BIGINT)"
+    )
+
+
+@register(
+    "q380_isotonic_calibration",
+    oracle=f"""
+    WITH scored AS (
+      SELECT ({_iso_hash('o_orderkey', 'score')}) % 1000 AS ms,
+             CASE WHEN ({_iso_hash('o_orderkey', 'label')}) % 1000
+                  < 200 + (({_iso_hash('o_orderkey', 'score')}) % 1000)
+                        * 600 // 1000
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    buckets AS (
+      SELECT ms * {ISO_B} // 1000 AS b,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(ms) AS BIGINT) AS sms
+      FROM scored GROUP BY 1
+    ),
+    cum AS (
+      SELECT b, n, sy, sms,
+             SUM(n) OVER (ORDER BY b) AS cn,
+             SUM(sy) OVER (ORDER BY b) AS cy,
+             ROW_NUMBER() OVER (ORDER BY b) AS pos
+      FROM buckets
+    ),
+    pairs AS (
+      -- weighted mean of the bucket interval [i..j] (present buckets)
+      SELECT i.pos AS ip, j.pos AS jp,
+             CAST(j.cy - (i.cy - i.sy) AS DOUBLE)
+             / CAST(j.cn - (i.cn - i.n) AS DOUBLE) AS a
+      FROM cum i JOIN cum j ON j.pos >= i.pos
+    ),
+    suffmin AS (
+      -- m(i,k) = min over j>=k of A(i,j): suffix-min within i
+      SELECT ip, jp,
+             MIN(a) OVER (PARTITION BY ip ORDER BY jp
+                          ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING) AS m
+      FROM pairs
+    ),
+    fit AS (
+      -- fit(k) = max over i<=k of m(i,k); rows with jp=k exist
+      -- exactly for ip<=k
+      SELECT jp AS pos, MAX(m) AS iso FROM suffmin GROUP BY jp
+    )
+    SELECT CAST(c.b AS BIGINT) AS bucket,
+           c.n,
+           CAST(c.sms AS DOUBLE) / (1000.0 * c.n) AS pred_rate,
+           CAST(c.sy AS DOUBLE) / c.n AS emp_rate,
+           ROUND(f.iso, 6) AS iso_rate
+    FROM cum c JOIN fit f ON f.pos = c.pos
+    """,
+)
+def q380_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic-regression probability calibration (the PAV fit every
+    production classifier ships behind) computed WITHOUT the
+    sequential pool-adjacent-violators loop: the weighted isotonic
+    fit at bucket k equals max_{{i<=k}} min_{{j>=k}} wmean(y, i..j)
+    (the classic minimax characterization), which at the bounded
+    calibration grain (<= ISO_B present buckets) is one pairs
+    self-join + a suffix-min window + a grouped max — fully
+    declarative, no iteration, identical on both engines. Completes
+    the model-eval shelf beside q307 (Brier reliability bins), q275
+    (exact AUC) and q266 (Wilson intervals): q307 MEASURES
+    miscalibration, q380 produces the monotone correction map.
+
+    Scores/labels are hash-derived with a planted monotone lift (the
+    label threshold rises with the score), so the fit has real shape;
+    interval means are exact integer ratios (BIGINT cumulative sums),
+    and min/max over identical doubles cannot diverge cross-engine.
+
+    Scale: one corpus shuffle (bucket groupBy with partial
+    aggregation); the minimax stage touches only the B^2/2 interval
+    frame (~1.3k rows at B=50) regardless of input size.
+    """
+    o = t(spark, sf_dir, "orders")
+
+    def h(salt: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("_" + salt),
+                    ).cast("binary")
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    ms = h("score") % 1000
+    scored = o.select(
+        ms.alias("ms"),
+        F.when(
+            (h("label") % 1000)
+            < 200 + F.floor((ms * 600) / F.lit(1000.0)).cast("long"),
+            1,
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    buckets = (
+        scored.groupBy(
+            F.floor((F.col("ms") * ISO_B) / F.lit(1000.0))
+            .cast("long")
+            .alias("b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum("ms").cast("bigint").alias("sms"),
+        )
+    )
+    wcum = Window.orderBy("b")
+    cum = buckets.select(
+        "b",
+        "n",
+        "sy",
+        "sms",
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("sy").over(wcum).alias("cy"),
+        F.row_number().over(wcum).alias("pos"),
+    )
+    ci = cum.select(
+        F.col("pos").alias("ip"),
+        (F.col("cy") - F.col("sy")).alias("cy0"),
+        (F.col("cn") - F.col("n")).alias("cn0"),
+    )
+    cj = cum.select(
+        F.col("pos").alias("jp"), F.col("cy").alias("cyj"),
+        F.col("cn").alias("cnj"),
+    )
+    pairs = ci.join(
+        F.broadcast(cj), F.col("jp") >= F.col("ip")
+    ).select(
+        "ip",
+        "jp",
+        (
+            (F.col("cyj") - F.col("cy0")).cast("double")
+            / (F.col("cnj") - F.col("cn0")).cast("double")
+        ).alias("a"),
+    )
+    wsuff = (
+        Window.partitionBy("ip")
+        .orderBy("jp")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    suffmin = pairs.select(
+        "ip", "jp", F.min("a").over(wsuff).alias("m")
+    )
+    fit = suffmin.groupBy(F.col("jp").alias("pos")).agg(
+        F.max("m").alias("iso")
+    )
+    return cum.join(F.broadcast(fit), "pos").select(
+        F.col("b").cast("bigint").alias("bucket"),
+        "n",
+        (F.col("sms").cast("double") / (1000.0 * F.col("n"))).alias(
+            "pred_rate"
+        ),
+        (F.col("sy").cast("double") / F.col("n")).alias("emp_rate"),
+        F.round("iso", 6).alias("iso_rate"),
+    )

@@ -1,0 +1,731 @@
+"""ML-evaluation / calibration operators (round-4 widening): the
+measurement layer a training-data pipeline runs between data curation
+and model rollout — conformal intervals, graded-relevance retrieval
+quality, importance-resampled data selection, domain-mixture
+reweighting, and sampled-evaluation pass@k.
+
+Shares the repo's determinism contract (FIXTURES.md): hash-derived
+synthetic model outputs, integer-grid log-probabilities for
+order-independent sums, rounded ranking keys with total-order
+tie-breaks, NULLIF on every data-dependent denominator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+# ---------------------------------------------------------------------------
+# q381 split-conformal prediction intervals
+
+CONF_ALPHA = 0.1  # target miscoverage: 90% intervals
+CONF_SPLIT_MOD = 2  # orderkey % 2 == 0 -> calibration set
+
+
+def _h7(col: str, salt: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST({col} AS VARCHAR) || '_{salt}'), 1, 7)"
+        " AS BIGINT)"
+    )
+
+
+@register(
+    "q381_split_conformal",
+    oracle=f"""
+    WITH split AS (
+      SELECT o_orderkey, o_orderpriority AS grp,
+             CAST(o_totalprice AS DOUBLE) AS y,
+             o_orderkey % {CONF_SPLIT_MOD} = 0 AS calib
+      FROM orders
+    ),
+    model AS (
+      -- the "regressor": per-priority mean fitted on the calibration
+      -- half only (DECIMAL-exact sum -> one exact double division)
+      SELECT grp,
+             CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS pred
+      FROM split WHERE calib GROUP BY grp
+    ),
+    scores AS (
+      SELECT s.o_orderkey, ABS(s.y - m.pred) AS s
+      FROM split s JOIN model m ON m.grp = s.grp
+      WHERE s.calib
+    ),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scores),
+    qhat AS (
+      -- conformal quantile: the ceil((n+1)(1-alpha))-th smallest
+      -- score (order statistic by VALUE; ties cannot change it)
+      SELECT s AS q FROM (
+        SELECT s, ROW_NUMBER() OVER (ORDER BY s, o_orderkey) AS rk
+        FROM scores
+      )
+      WHERE rk = LEAST(
+        (SELECT n FROM nc),
+        CAST(ceil((1.0 - {CONF_ALPHA!r})
+                  * ((SELECT n FROM nc) + 1)) AS BIGINT))
+    ),
+    test AS (
+      SELECT s.y, m.pred FROM split s JOIN model m ON m.grp = s.grp
+      WHERE NOT s.calib
+    )
+    SELECT (SELECT n FROM nc) AS n_calib,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND((SELECT q FROM qhat), 4) AS q_hat,
+           ROUND(CAST(SUM(CASE WHEN ABS(y - pred) <= (SELECT q FROM qhat)
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / NULLIF(COUNT(*), 0), 6) AS coverage,
+           CAST({1.0 - CONF_ALPHA!r} AS DOUBLE) AS target
+    FROM test
+    """,
+)
+def q381_split_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; Lei et al.) — the
+    distribution-free uncertainty wrapper every deployed regressor
+    needs: fit on one half, take the ceil((n+1)(1-alpha))-th smallest
+    absolute residual on the calibration half as the interval
+    half-width q_hat, then AUDIT the finite-sample coverage guarantee
+    (>= 1-alpha in expectation) on the held-out half. Completes the
+    uncertainty shelf beside q266 (Wilson), q324 (bootstrap), q325
+    (jackknife): those quantify estimator error, conformal wraps
+    PREDICTIONS.
+
+    Determinism: the "model" is the per-priority calibration mean
+    (DECIMAL-exact), residuals are identical doubles, and the
+    conformal quantile is an order STATISTIC — selected by
+    (value, orderkey) rank but defined by value alone, so ties cannot
+    diverge engines. Coverage is an exact integer ratio.
+
+    Scale: two grouped reduces over the fact table + one global
+    TakeOrdered-style rank for the order statistic (single skinny
+    column); test scoring is a broadcast join of the 5-row model.
+    """
+    o = t(spark, sf_dir, "orders")
+    split = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").cast("double").alias("y"),
+        (F.col("o_orderkey") % CONF_SPLIT_MOD == 0).alias("calib"),
+    )
+    model = (
+        split.filter("calib")
+        .groupBy("grp")
+        .agg(
+            (
+                F.sum(F.col("y").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("pred")
+        )
+    )
+    scores = (
+        split.filter("calib")
+        .join(F.broadcast(model), "grp")
+        .select("o_orderkey", F.abs(F.col("y") - F.col("pred")).alias("s"))
+    )
+    nc = scores.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = scores.select(
+        "s",
+        F.row_number()
+        .over(Window.orderBy("s", "o_orderkey"))
+        .alias("rk"),
+    )
+    qhat = (
+        ranked.crossJoin(F.broadcast(nc))
+        .filter(
+            F.col("rk")
+            == F.least(
+                F.col("n"),
+                F.ceil((1.0 - CONF_ALPHA) * (F.col("n") + 1)).cast(
+                    "bigint"
+                ),
+            )
+        )
+        .select(F.col("s").alias("q"), "n")
+    )
+    test = split.filter(~F.col("calib")).join(F.broadcast(model), "grp")
+    # aggregate the test half FIRST (a no-groupBy agg always yields
+    # one row, even on an empty test half — the property hunt's
+    # 1-row-corpus find), then attach n_calib / q_hat from the
+    # calibration-side frames (qhat can only be empty when the test
+    # half is too, so the left cross-join never drops coverage rows)
+    stats = test.crossJoin(F.broadcast(qhat.select("q"))).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.abs(F.col("y") - F.col("pred")) <= F.col("q"), 1
+                ).otherwise(0)
+            ).cast("double")
+            / F.nullif(F.count(F.lit(1)), F.lit(0)),
+            6,
+        ).alias("coverage"),
+    )
+    meta = nc.join(F.broadcast(qhat.select("q")), F.lit(True), "left")
+    return stats.crossJoin(F.broadcast(meta)).select(
+        F.col("n").alias("n_calib"),
+        "n_test",
+        F.round("q", 4).alias("q_hat"),
+        "coverage",
+        F.lit(1.0 - CONF_ALPHA).alias("target"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q382 nDCG@k graded-relevance retrieval quality
+
+NDCG_K = 10
+NDCG_NQ = 5  # query vectors
+
+
+@register(
+    "q382_ndcg_at_k",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe, label AS ql
+      FROM embeddings WHERE vec_id < {NDCG_NQ}
+    ),
+    pairs AS (
+      SELECT q.query_id, c.vec_id AS cand_id, q.ql, c.label AS cl,
+             CAST(UNNEST(q.qe) AS DOUBLE) AS x,
+             CAST(UNNEST(c.embedding) AS DOUBLE) AS y
+      FROM q, embeddings c
+      WHERE c.vec_id <> q.query_id
+    ),
+    dots AS (
+      SELECT query_id, cand_id, ql, cl,
+             SUM(x * y) AS dot,
+             SQRT(SUM(x * x)) AS nq, SQRT(SUM(y * y)) AS nc
+      FROM pairs GROUP BY 1, 2, 3, 4
+    ),
+    graded AS (
+      SELECT query_id, cand_id,
+             CASE WHEN cl = ql THEN 3
+                  WHEN cl % 2 = ql % 2 THEN 1 ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY ROUND(dot / (nq * nc), 6) DESC, cand_id ASC
+             ) AS rk
+      FROM dots
+    ),
+    ideal AS (
+      SELECT query_id, rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY rel DESC, cand_id ASC
+             ) AS rk
+      FROM graded
+    ),
+    dcg AS (
+      SELECT query_id,
+             SUM(rel / (ln(rk + 1.0) / ln(2.0))) AS dcg
+      FROM graded WHERE rk <= {NDCG_K} GROUP BY 1
+    ),
+    idcg AS (
+      SELECT query_id,
+             SUM(rel / (ln(rk + 1.0) / ln(2.0))) AS idcg
+      FROM ideal WHERE rk <= {NDCG_K} GROUP BY 1
+    )
+    SELECT d.query_id,
+           ROUND(d.dcg, 6) AS dcg_at_k,
+           ROUND(i.idcg, 6) AS idcg_at_k,
+           ROUND(d.dcg / NULLIF(i.idcg, 0.0), 6) AS ndcg_at_k
+    FROM dcg d JOIN idcg i ON i.query_id = d.query_id
+    """,
+)
+def q382_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@k with GRADED relevance — the ranking-quality metric
+    recall@k (q98) and MRR (q233) cannot express: position-discounted
+    gain over 0/1/3-graded labels, normalized by the ideal ordering.
+    Grades derive from the label column (exact match = 3, parity
+    match = 1), ranking uses the repo's rounded-cosine + cand_id
+    total order, and the ideal ranking sorts by grade (ties
+    contribute identically regardless of order, so IDCG is
+    tie-safe by construction).
+
+    Scale: the scored pair frame is queries x corpus with the query
+    side broadcast (q70's shape); both DCG reductions are
+    k-bounded per query. The discount ladder ln(rk+1)/ln(2) runs the
+    same libm ops on identical inputs on both engines (q229/q261
+    precedent), rounded at 1e-6.
+    """
+    from .similarity import dot_double, norm_double
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") < NDCG_NQ)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("label").alias("ql"),
+        )
+        .withColumn("qn", norm_double("qe"))
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("cl"),
+    ).withColumn("cn", norm_double("ce"))
+    cosine = F.round(
+        dot_double("qe", "ce") / (F.col("qn") * F.col("cn")), 6
+    )
+    graded = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.when(F.col("cl") == F.col("ql"), 3)
+            .when(F.col("cl") % 2 == F.col("ql") % 2, 1)
+            .otherwise(0)
+            .alias("rel"),
+            cosine.alias("cosine"),
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            "rel",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("cand_id").asc()
+                )
+            )
+            .alias("rk"),
+        )
+    )
+    discount = F.col("rel") / (F.log(F.col("rk") + 1.0) / F.log(F.lit(2.0)))
+    dcg = (
+        graded.filter(F.col("rk") <= NDCG_K)
+        .groupBy("query_id")
+        .agg(F.sum(discount).alias("dcg"))
+    )
+    ideal = graded.select(
+        "query_id",
+        "rel",
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("rel").desc(), F.col("cand_id").asc()
+            )
+        )
+        .alias("rk"),
+    )
+    idcg = (
+        ideal.filter(F.col("rk") <= NDCG_K)
+        .groupBy("query_id")
+        .agg(F.sum(discount).alias("idcg"))
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        F.round("dcg", 6).alias("dcg_at_k"),
+        F.round("idcg", 6).alias("idcg_at_k"),
+        F.round(
+            F.col("dcg") / F.nullif(F.col("idcg"), F.lit(0.0)), 6
+        ).alias("ndcg_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q383 DSIR-style hashed-n-gram importance selection
+
+DSIR_B = 256  # hashed unigram feature buckets
+DSIR_K = 20  # selected documents
+DSIR_SCALE = 1_000_000  # integer log-prob grid
+DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "q383_dsir_importance_selection",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             ({_h7('w', 'dsir')}) % {DSIR_B} AS b
+      FROM (
+        SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w
+        FROM documents
+      )
+    ),
+    tc AS (
+      SELECT b, COUNT(*) AS c FROM tok
+      WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1
+    ),
+    tt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM tok
+      WHERE lang = '{DSIR_TARGET_LANG}'
+    ),
+    rc AS (
+      SELECT b, COUNT(*) AS c FROM tok
+      WHERE lang <> '{DSIR_TARGET_LANG}' GROUP BY 1
+    ),
+    rt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM tok
+      WHERE lang <> '{DSIR_TARGET_LANG}'
+    ),
+    model AS (
+      -- per-bucket grid log-ratio ln p_target(b) - ln p_raw(b),
+      -- +1 smoothing, each ln snapped to the 1e-6 integer grid
+      SELECT COALESCE(tc.b, rc.b) AS b,
+             CAST(FLOOR(ln(CAST(COALESCE(tc.c, 0) + 1 AS DOUBLE)
+                  / CAST((SELECT tot FROM tt) + {DSIR_B} AS DOUBLE))
+                  * {DSIR_SCALE}) AS BIGINT)
+             - CAST(FLOOR(ln(CAST(COALESCE(rc.c, 0) + 1 AS DOUBLE)
+                  / CAST((SELECT tot FROM rt) + {DSIR_B} AS DOUBLE))
+                  * {DSIR_SCALE}) AS BIGINT) AS g
+      FROM tc FULL JOIN rc ON rc.b = tc.b
+    ),
+    scored AS (
+      SELECT tok.doc_id,
+             CAST(SUM(COALESCE(m.g,
+               CAST(FLOOR(ln(1.0 / CAST((SELECT tot FROM tt) + {DSIR_B}
+                     AS DOUBLE)) * {DSIR_SCALE}) AS BIGINT)
+               - CAST(FLOOR(ln(1.0 / CAST((SELECT tot FROM rt) + {DSIR_B}
+                     AS DOUBLE)) * {DSIR_SCALE}) AS BIGINT)))
+               AS BIGINT) AS score
+      FROM tok LEFT JOIN model m ON m.b = tok.b
+      WHERE tok.lang <> '{DSIR_TARGET_LANG}'
+      GROUP BY tok.doc_id
+    )
+    SELECT doc_id, score,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+      FROM scored
+    )
+    WHERE rk <= {DSIR_K}
+    """,
+)
+def q383_dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023: Data Selection
+    via Importance Resampling) — score every RAW-pool document by the
+    log importance ratio of two hashed-unigram bag-of-words models
+    (target distribution over the '{DSIR_TARGET_LANG}' slice vs the
+    raw pool), and keep the top-K. The hashed feature space
+    (DSIR_B buckets) is what makes the estimator corpus-scale: both
+    "models" are DSIR_B-row broadcastable aggregates, never
+    vocabulary-sized.
+
+    Determinism: per-bucket log-probabilities snap to the 1e-6
+    integer grid BEFORE the per-document sum (q377's rule), so doc
+    scores are exact BIGINTs — order-independent across partitions
+    and bit-identical cross-engine; top-K carries the (score,
+    doc_id) total order. Buckets unseen in either model take the
+    smoothed 1/(tot+B) floor on that side.
+
+    Scale: one token-bucket shuffle for the two model aggregates
+    (256-row frames, broadcast back), one grouped sum per raw doc,
+    one TakeOrdered top-K. A 100 TB pool costs two token-grain
+    reduces.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    words = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    tok = words.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("w"), F.lit("_dsir")).cast("binary")),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % DSIR_B
+        ).alias("b"),
+    )
+    is_target = F.col("lang") == DSIR_TARGET_LANG
+    tc = tok.filter(is_target).groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
+    rc = tok.filter(~is_target).groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tt = tok.filter(is_target).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ttot")
+    )
+    rt = tok.filter(~is_target).agg(
+        F.count(F.lit(1)).cast("bigint").alias("rtot")
+    )
+
+    def grid_ln(num, den):
+        return F.floor(
+            F.log(num.cast("double") / den.cast("double")) * DSIR_SCALE
+        ).cast("bigint")
+
+    model = (
+        tc.join(rc, "b", "full")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "b",
+            (
+                grid_ln(
+                    F.coalesce(F.col("tc"), F.lit(0)) + 1,
+                    F.col("ttot") + DSIR_B,
+                )
+                - grid_ln(
+                    F.coalesce(F.col("rc"), F.lit(0)) + 1,
+                    F.col("rtot") + DSIR_B,
+                )
+            ).alias("g"),
+        )
+    )
+    floor_g = (
+        grid_ln(F.lit(1), F.col("ttot") + DSIR_B)
+        - grid_ln(F.lit(1), F.col("rtot") + DSIR_B)
+    )
+    scored = (
+        tok.filter(~is_target)
+        .join(F.broadcast(model), "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("g"), floor_g)).cast("bigint").alias(
+                "score"
+            )
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "score",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= DSIR_K)
+        .select("doc_id", "score", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q384 DoReMi-style domain mixture reweighting step
+
+DOREMI_ETA = 1.0
+DOREMI_SMOOTH = 0.1
+DOREMI_SCALE = 1_000_000
+
+
+@register(
+    "q384_doremi_reweight",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, w FROM (
+        SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS w
+        FROM documents
+      )
+    ),
+    uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM tok),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+    nll AS (
+      -- per-token grid NLL under the global add-one unigram model
+      SELECT tok.source,
+             CAST(FLOOR(-ln(CAST(u.c + 1 AS DOUBLE)
+               / CAST((SELECT tot FROM n) + (SELECT v FROM v) AS DOUBLE))
+               * {DOREMI_SCALE}) AS BIGINT) AS g
+      FROM tok JOIN uni u ON u.w = tok.w
+    ),
+    dom AS (
+      SELECT source, CAST(SUM(g) AS BIGINT) AS sg,
+             CAST(COUNT(*) AS BIGINT) AS nt
+      FROM nll GROUP BY 1
+    ),
+    loss AS (
+      SELECT source, nt,
+             CAST(sg AS DOUBLE) / ({DOREMI_SCALE}.0 * nt) AS l
+      FROM dom
+    ),
+    base AS (SELECT MIN(l) AS l0 FROM loss),
+    ew AS (
+      SELECT source, nt, l,
+             exp({DOREMI_ETA!r} * (l - (SELECT l0 FROM base))) AS e
+      FROM loss
+    ),
+    z AS (SELECT SUM(e) AS z, COUNT(*) AS k FROM ew)
+    SELECT source,
+           nt AS n_tokens,
+           ROUND(l, 6) AS avg_nll,
+           ROUND(l - (SELECT l0 FROM base), 6) AS excess_loss,
+           ROUND(e / (SELECT z FROM z), 6) AS weight,
+           ROUND((1.0 - {DOREMI_SMOOTH!r}) * e / (SELECT z FROM z)
+                 + {DOREMI_SMOOTH!r} / (SELECT k FROM z), 6)
+             AS smoothed_weight
+    FROM ew
+    """,
+)
+def q384_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain-mixture reweighting (Xie et al. 2023,
+    Domain Reweighting with Minimax Optimization) — one
+    exponentiated-gradient step: per-domain proxy loss (average
+    token NLL under the global add-one unigram model), excess loss
+    over the best domain, weights ∝ exp(eta * excess), then the
+    uniform smoothing mix. The operator a pretraining pipeline runs
+    between corpus stats and sampling (its output feeds q362's
+    temperature-mixing shelf-mate).
+
+    Determinism: per-token NLL snaps to the 1e-6 integer grid before
+    the domain sum (exact BIGINT, order-independent); the exp/sum
+    stage touches one row per domain (<= 3 here) and rounds at 1e-6
+    (q229/q261 libm precedent).
+
+    Scale: one vocabulary aggregate (broadcastable), one token-grain
+    grouped sum per domain; everything after is domain-cardinality.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n = tok.agg(F.count(F.lit(1)).cast("bigint").alias("tot"))
+    v = uni.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    nll = (
+        tok.join(uni, "w")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "source",
+            F.floor(
+                -F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("tot") + F.col("v")).cast("double")
+                )
+                * DOREMI_SCALE
+            )
+            .cast("bigint")
+            .alias("g"),
+        )
+    )
+    dom = nll.groupBy("source").agg(
+        F.sum("g").cast("bigint").alias("sg"),
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+    )
+    loss = dom.select(
+        "source",
+        "nt",
+        (F.col("sg").cast("double") / (float(DOREMI_SCALE) * F.col("nt"))).alias(
+            "l"
+        ),
+    )
+    base = loss.agg(F.min("l").alias("l0"))
+    ew = loss.crossJoin(F.broadcast(base)).select(
+        "source",
+        "nt",
+        "l",
+        "l0",
+        F.exp(DOREMI_ETA * (F.col("l") - F.col("l0"))).alias("e"),
+    )
+    z = ew.agg(F.sum("e").alias("z"), F.count(F.lit(1)).alias("k"))
+    return ew.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.col("nt").alias("n_tokens"),
+        F.round("l", 6).alias("avg_nll"),
+        F.round(F.col("l") - F.col("l0"), 6).alias("excess_loss"),
+        F.round(F.col("e") / F.col("z"), 6).alias("weight"),
+        F.round(
+            (1.0 - DOREMI_SMOOTH) * F.col("e") / F.col("z")
+            + DOREMI_SMOOTH / F.col("k"),
+            6,
+        ).alias("smoothed_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q385 unbiased pass@k over sampled evaluations
+
+PASS_KS = (1, 5)
+PASS_GRID = 1_000_000_000  # per-task grid for the order-independent mean
+
+
+@register(
+    "q385_pass_at_k",
+    oracle=f"""
+    WITH tasks AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    p1 AS (
+      SELECT 1 AS k, user_id,
+             CAST(FLOOR(CAST(c AS DOUBLE) / n * {PASS_GRID}) AS BIGINT) AS pg
+      FROM tasks WHERE n >= 1
+    ),
+    p5 AS (
+      SELECT 5 AS k, user_id,
+             CAST(FLOOR((CASE WHEN n - c < 5 THEN 1.0
+               ELSE 1.0 - (CAST(n - c AS DOUBLE) / n)
+                        * (CAST(n - c - 1 AS DOUBLE) / (n - 1))
+                        * (CAST(n - c - 2 AS DOUBLE) / (n - 2))
+                        * (CAST(n - c - 3 AS DOUBLE) / (n - 3))
+                        * (CAST(n - c - 4 AS DOUBLE) / (n - 4))
+               END) * {PASS_GRID}) AS BIGINT) AS pg
+      FROM tasks WHERE n >= 5
+    ),
+    allk AS (SELECT * FROM p1 UNION ALL SELECT * FROM p5)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_tasks,
+           ROUND(CAST(SUM(pg) AS DOUBLE)
+                 / ({PASS_GRID}.0 * COUNT(*)), 6) AS mean_pass_at_k
+    FROM allk GROUP BY k
+    """,
+)
+def q385_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k (Chen et al. 2021, Codex appendix): for a task
+    with n samples and c successes, pass@k = 1 - C(n-c,k)/C(n,k),
+    computed as the exact product of k ratios (never the
+    numerically-explosive factorials), averaged over tasks — THE
+    sampled-evaluation metric for generative models. Tasks here are
+    users (samples = events, success = purchase), tasks with n < k
+    are excluded per the standard estimator.
+
+    Determinism: each task's pass@k is a fixed-length product of
+    identical doubles (shared literal order both engines); per-task
+    values snap to a 1e-9 grid so the cross-task MEAN is an exact
+    integer ratio — order-independent at any partition count.
+
+    Scale: one grouped reduce over events; everything after is
+    task-cardinality with no joins.
+    """
+    ev = t(spark, sf_dir, "events")
+    tasks = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+    )
+    nn, cc = F.col("n"), F.col("c")
+    p1 = tasks.filter(nn >= 1).select(
+        F.lit(1).alias("k"),
+        F.floor(cc.cast("double") / nn * PASS_GRID).cast("bigint").alias(
+            "pg"
+        ),
+    )
+    miss5 = (
+        ((nn - cc).cast("double") / nn)
+        * ((nn - cc - 1).cast("double") / (nn - 1))
+        * ((nn - cc - 2).cast("double") / (nn - 2))
+        * ((nn - cc - 3).cast("double") / (nn - 3))
+        * ((nn - cc - 4).cast("double") / (nn - 4))
+    )
+    p5 = tasks.filter(nn >= 5).select(
+        F.lit(5).alias("k"),
+        F.floor(
+            F.when(nn - cc < 5, F.lit(1.0)).otherwise(1.0 - miss5)
+            * PASS_GRID
+        )
+        .cast("bigint")
+        .alias("pg"),
+    )
+    allk = p1.unionByName(p5)
+    return allk.groupBy(F.col("k").cast("bigint").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tasks"),
+        F.round(
+            F.sum("pg").cast("double")
+            / (float(PASS_GRID) * F.count(F.lit(1))),
+            6,
+        ).alias("mean_pass_at_k"),
+    )

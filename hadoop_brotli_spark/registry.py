@@ -51,6 +51,7 @@ MODULE_CATEGORY = {
     "pipeline_more": "llm-pipeline-ops",
     "corpus_ops": "llm-corpus-pipeline",
     "extras": "mixed-extensions",
+    "mleval": "ml-eval-calibration",
     "closing_ops": "llm-pipeline-extended",
 }
 
@@ -91,6 +92,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         dedup,
         events,
         extras,
+        mleval,
         multimodal,
         pipeline_more,
         relational,

@@ -97,6 +97,9 @@ EVENT_QUERIES = [
     # purchase-first users exercise the empty-journey START->CONV
     # branch; duplicate timestamps attack the journey tie-breaks
     "q378_markov_attribution",
+    # n<k users drop out of pass@5; all-purchase / no-purchase users
+    # pin pass@k at the 0/1 boundary on both engines
+    "q385_pass_at_k",
 ]
 DOC_QUERIES = [
     "q60_dedup_exact",
@@ -201,6 +204,12 @@ DOC_QUERIES = [
     # 4:2:0 MCU interleave + per-component predictors + upsample
     # must agree on the same card-shape sweep
     "q379_jpeg420_pixel_decode",
+    # single-lang corpora empty one DSIR model side (+1 smoothing
+    # floor everywhere); mass-duplicated docs tie every score
+    "q383_dsir_importance_selection",
+    # single-source corpora make excess 0 / weight 1; 1-word docs
+    # stress the per-domain token grain
+    "q384_doremi_reweight",
     "q366_mulaw_audio_decode",
     "q367_mjpeg_frame_decode",
     # stateful recurrence: oracle recursion and decoder must stay in
@@ -251,6 +260,12 @@ ORDER_QUERIES = [
     # all-tied prices zero sigma (NULL z both engines); one-group
     # corpora empty a side; midrank doubling must stay integer
     "q376_mann_whitney_u",
+    # planted-lift calibration: tiny corpora empty buckets (sparse
+    # isotonic spine); single-bucket corpora make fit == emp rate
+    "q380_isotonic_calibration",
+    # 1-order calibration sets pin the conformal rank at n; empty
+    # test halves NULL the coverage on both engines
+    "q381_split_conformal",
 ]
 
 
@@ -436,6 +451,9 @@ EMB_QUERIES = [
     "q358_jl_projection_distortion",
     # duplicate blocks empty some seed clusters on both engines
     "q359_kmeans_lloyd_step",
+    # duplicate vectors tie every cosine at the graded ranking; all-
+    # rel-0 queries NULL the nDCG (IDCG = 0) on both engines
+    "q382_ndcg_at_k",
 ]
 
 emb_params = st.tuples(
