@@ -916,3 +916,126 @@ def q179_incremental_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("hh").isNotNull()).alias("already_seen"),
         )
     )
+
+
+# ----------------- q387 partition conductance of the near-dup graph
+
+
+@register(
+    "q387_dedup_partition_conductance",
+    oracle=f"""
+    WITH {_minhash_pairs_ctes()},
+    src AS (SELECT doc_id, source FROM documents),
+    edges AS (
+      SELECT p.doc_a, p.doc_b, sa.source AS src_a, sb.source AS src_b
+      FROM pairs p
+      JOIN src sa ON sa.doc_id = p.doc_a
+      JOIN src sb ON sb.doc_id = p.doc_b
+    ),
+    tot AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS vol_all FROM edges),
+    per AS (
+      SELECT source,
+             CAST(SUM(deg) AS BIGINT) AS vol,
+             CAST(SUM(cut) AS BIGINT) AS cut
+      FROM (
+        SELECT src_a AS source,
+               CASE WHEN src_a = src_b THEN 2 ELSE 1 END AS deg,
+               CASE WHEN src_a = src_b THEN 0 ELSE 1 END AS cut
+        FROM edges WHERE src_a = src_b
+        UNION ALL
+        SELECT src_a, 1, 1 FROM edges WHERE src_a <> src_b
+        UNION ALL
+        SELECT src_b, 1, 1 FROM edges WHERE src_a <> src_b
+      ) GROUP BY source
+    )
+    SELECT p.source,
+           p.vol AS volume,
+           p.cut AS cut_edges,
+           ROUND(CAST(p.cut AS DOUBLE)
+                 / NULLIF(CAST(LEAST(p.vol, t.vol_all - p.vol) AS DOUBLE),
+                          0.0), 6) AS conductance
+    FROM per p CROSS JOIN tot t
+    """,
+)
+def q387_dedup_partition_conductance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conductance of the SOURCE partition over the verified near-dup
+    graph — the graph-cut score for "do my corpus shards respect
+    duplicate structure": phi(S) = cut(S) / min(vol(S), vol(V\\S))
+    per source block, where the graph is q62's MinHash+LSH pair set.
+    Low conductance means duplicates stay within a source (dedup can
+    run shard-local, the 100 TB win); high conductance means
+    cross-source duplication forces the global join. Complements
+    q321 (modularity scores a COMMUNITY assignment) and q124 (vocab
+    overlap measures CONTENT similarity, not duplicate edges).
+
+    All counts are integers off the reduced edge list (degree = 2
+    per intra edge, 1 per endpoint of a cut edge; vol(V) = 2|E|);
+    the division is one exact ratio per source, NULLIF-guarded for
+    isolated blocks.
+
+    Scale: rides the bucketed pair generation (capped buckets, no
+    quadratic stage); the conductance arithmetic is
+    source-cardinality.
+    """
+    pairs = _minhash_pairs(spark, sf_dir)
+    src = t(spark, sf_dir, "documents").select("doc_id", "source")
+    edges = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("src_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("src_b"),
+            ),
+            "doc_b",
+        )
+    )
+    tot = edges.agg(
+        (2 * F.count(F.lit(1))).cast("bigint").alias("vol_all")
+    )
+    intra = edges.filter(F.col("src_a") == F.col("src_b")).select(
+        F.col("src_a").alias("source"),
+        F.lit(2).alias("deg"),
+        F.lit(0).alias("cut"),
+    )
+    cut_a = edges.filter(F.col("src_a") != F.col("src_b")).select(
+        F.col("src_a").alias("source"),
+        F.lit(1).alias("deg"),
+        F.lit(1).alias("cut"),
+    )
+    cut_b = edges.filter(F.col("src_a") != F.col("src_b")).select(
+        F.col("src_b").alias("source"),
+        F.lit(1).alias("deg"),
+        F.lit(1).alias("cut"),
+    )
+    per = (
+        intra.unionByName(cut_a)
+        .unionByName(cut_b)
+        .groupBy("source")
+        .agg(
+            F.sum("deg").cast("bigint").alias("volume"),
+            F.sum("cut").cast("bigint").alias("cut_edges"),
+        )
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "volume",
+        "cut_edges",
+        F.round(
+            F.col("cut_edges").cast("double")
+            / F.nullif(
+                F.least(
+                    F.col("volume"), F.col("vol_all") - F.col("volume")
+                ).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("conductance"),
+    )

@@ -729,3 +729,148 @@ def q385_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_pass_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q386 ROUGE-L summary-overlap scoring (unrolled LCS DP oracle)
+
+ROUGE_N = 8  # token prefix per side (bounded DP grain)
+
+
+def _rouge_cell(i: int, j: int) -> str:
+    """LCS cell c{i}_{j} from the previous diagonals (0-cells are
+    literal 0)."""
+    up = f"c{i - 1}_{j}" if i > 1 else "0"
+    left = f"c{i}_{j - 1}" if j > 1 else "0"
+    diag = f"c{i - 1}_{j - 1}" if i > 1 and j > 1 else "0"
+    return (
+        f"CASE WHEN ta{i} = tb{j} THEN {diag} + 1 "
+        f"ELSE GREATEST({up}, {left}) END AS c{i}_{j}"
+    )
+
+
+def _rouge_sql() -> str:
+    n = ROUGE_N
+    toks_a = ", ".join(
+        f"COALESCE(wa[{i}], '\\01A{i}') AS ta{i}" for i in range(1, n + 1)
+    )
+    toks_b = ", ".join(
+        f"COALESCE(wb[{i}], '\\01B{i}') AS tb{i}" for i in range(1, n + 1)
+    )
+    stages = []
+    prev = "base"
+    for d in range(2, 2 * n + 1):
+        cells = ", ".join(
+            _rouge_cell(i, d - i)
+            for i in range(max(1, d - n), min(n, d - 1) + 1)
+        )
+        stages.append(f"d{d} AS (SELECT *, {cells} FROM {prev})")
+        prev = f"d{d}"
+    return f"""
+    WITH pairs AS (
+      SELECT doc_id AS doc_a, nxt AS doc_b, wa, wb,
+             LEAST(len(wa), {n}) AS la, LEAST(len(wb), {n}) AS lb
+      FROM (
+        SELECT doc_id, source, string_split(text, ' ') AS wa,
+               LEAD(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+                 AS nxt,
+               LEAD(string_split(text, ' '))
+                 OVER (PARTITION BY source ORDER BY doc_id) AS wb
+        FROM documents
+      ) WHERE nxt IS NOT NULL
+    ),
+    base AS (
+      SELECT doc_a, doc_b, la, lb, {toks_a}, {toks_b} FROM pairs
+    ),
+    {", ".join(stages)}
+    SELECT doc_a, doc_b,
+           CAST(c{n}_{n} AS BIGINT) AS lcs_len,
+           CAST(la AS BIGINT) AS len_a,
+           CAST(lb AS BIGINT) AS len_b,
+           ROUND(2.0 * c{n}_{n}
+                 / NULLIF(CAST(la + lb AS DOUBLE), 0.0), 6) AS rouge_l_f1
+    FROM d{2 * n}
+    """
+
+
+@register("q386_rouge_l_pairs", oracle=_rouge_sql())
+def q386_rouge_l_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L overlap scoring between adjacent same-source document
+    pairs — the summarization/eval metric built on LONGEST COMMON
+    SUBSEQUENCE, which order-free n-gram overlap (q124) and TF-IDF
+    cosine (q333) cannot express: word order matters, gaps are
+    allowed. F1 = 2*LCS/(|a|+|b|) over the first ROUGE_N tokens per
+    side (the bounded DP grain; the q318 DTW pattern).
+
+    Spark-side the quadratic LCS DP runs as numpy inside
+    Arrow-batched mapInPandas over the bounded pair rows; the ORACLE
+    unrolls the identical DP into {2N-1} anti-diagonal CTE stages
+    over never-matching padding sentinels (cells past a sequence's
+    true length cannot extend the LCS), proving the Python path
+    cell-for-cell. All-integer DP -> the F1 is an exact ratio.
+
+    Scale: pairing is one LEAD window per source (single shuffle);
+    the Python stage sees one bounded row per pair, corpus text
+    never re-shuffles.
+    """
+    import numpy as np
+    import pandas as pd
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        docs.select(
+            "doc_id",
+            F.split("text", " ").alias("wa"),
+            F.lead("doc_id").over(w).alias("doc_b"),
+            F.lead(F.split("text", " ")).over(w).alias("wb"),
+        )
+        .filter(F.col("doc_b").isNotNull())
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            F.slice("wa", 1, ROUGE_N).alias("wa"),
+            F.slice("wb", 1, ROUGE_N).alias("wb"),
+        )
+    )
+
+    def rouge(batches):
+        for pdf in batches:
+            rows = []
+            for da, db, wa, wb in zip(
+                pdf["doc_a"], pdf["doc_b"], pdf["wa"], pdf["wb"]
+            ):
+                a, b = list(wa), list(wb)
+                la, lb = len(a), len(b)
+                dp = np.zeros((la + 1, lb + 1), dtype=np.int64)
+                for i in range(1, la + 1):
+                    for j in range(1, lb + 1):
+                        if a[i - 1] == b[j - 1]:
+                            dp[i, j] = dp[i - 1, j - 1] + 1
+                        else:
+                            dp[i, j] = max(dp[i - 1, j], dp[i, j - 1])
+                lcs = int(dp[la, lb])
+                f1 = (
+                    round(2.0 * lcs / float(la + lb), 6)
+                    if la + lb
+                    else None
+                )
+                rows.append(
+                    {
+                        "doc_a": int(da),
+                        "doc_b": int(db),
+                        "lcs_len": lcs,
+                        "len_a": la,
+                        "len_b": lb,
+                        "rouge_l_f1": f1,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return pairs.mapInPandas(
+        rouge,
+        schema=(
+            "doc_a long, doc_b long, lcs_len long, len_a long, "
+            "len_b long, rouge_l_f1 double"
+        ),
+    )

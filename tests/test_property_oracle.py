@@ -210,6 +210,12 @@ DOC_QUERIES = [
     # single-source corpora make excess 0 / weight 1; 1-word docs
     # stress the per-domain token grain
     "q384_doremi_reweight",
+    # 1-doc sources produce zero pairs; identical adjacent docs pin
+    # LCS at the full prefix; empty-string docs still pair
+    "q386_rouge_l_pairs",
+    # mass-duplicated corpora push every doc into one bucket (capped)
+    # and single-source corpora zero every cut on both engines
+    "q387_dedup_partition_conductance",
     "q366_mulaw_audio_decode",
     "q367_mjpeg_frame_decode",
     # stateful recurrence: oracle recursion and decoder must stay in
