@@ -874,3 +874,92 @@ def q386_rouge_l_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "len_b long, rouge_l_f1 double"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q389 KV-cache prefix-sharing analysis
+
+PFX_MAX_DEPTH = 4
+
+
+@register(
+    "q389_prefix_cache_sharing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    depths AS (SELECT UNNEST(range(1, {PFX_MAX_DEPTH + 1})) AS d),
+    pfx AS (
+      SELECT d.d, t.doc_id,
+             array_to_string(t.w[1:d.d], ' ') AS prefix
+      FROM toks t JOIN depths d ON len(t.w) >= d.d
+    ),
+    groups AS (
+      SELECT d, prefix, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pfx GROUP BY d, prefix
+    )
+    SELECT CAST(d AS BIGINT) AS depth,
+           CAST(SUM(n) AS BIGINT) AS n_prompts,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_groups,
+           CAST(SUM((n - 1) * d) AS BIGINT) AS saved_tokens,
+           ROUND(CAST(SUM((n - 1) * d) AS DOUBLE)
+                 / NULLIF(CAST(SUM(n) * d AS DOUBLE), 0.0), 6)
+             AS save_rate
+    FROM groups GROUP BY d
+    """,
+)
+def q389_prefix_cache_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV-cache prefix-sharing planner — the inference-serving
+    measurement behind vLLM-style automatic prefix caching: at each
+    prefix depth d, prompts whose first d tokens match can reuse one
+    cached KV segment, so a group of n prompts computes the prefix
+    once and saves (n-1)*d token-forward passes. Reports, per depth:
+    group counts, shared-group counts, absolute token savings, and
+    the savings RATE against recomputing every prompt's d-prefix —
+    the number that decides whether prefix caching pays for a given
+    serving corpus (templated prompts -> high; diverse corpora ->
+    ~0). Sits beside q346 (padding waste) on the serving-efficiency
+    shelf.
+
+    Per-depth accounting is independent by design (the cache can be
+    configured at one depth); all quantities are exact integers off
+    one (depth, prefix)-grain reduce.
+
+    Scale: the only corpus-sized stage is the grouped count on the
+    (d, prefix) key — {PFX_MAX_DEPTH} bounded-size keys per prompt,
+    partial-aggregated map-side; no joins, no windows.
+    """
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    depths = spark.range(1, PFX_MAX_DEPTH + 1).select(
+        F.col("id").cast("int").alias("d")
+    )
+    pfx = docs.crossJoin(F.broadcast(depths)).filter(
+        F.size("w") >= F.col("d")
+    ).select(
+        "d",
+        F.concat_ws(" ", F.slice("w", 1, F.col("d"))).alias("prefix"),
+    )
+    groups = pfx.groupBy("d", "prefix").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return groups.groupBy(F.col("d").cast("bigint").alias("depth")).agg(
+        F.sum("n").cast("bigint").alias("n_prompts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_shared_groups"),
+        F.sum((F.col("n") - 1) * F.col("d")).cast("bigint").alias(
+            "saved_tokens"
+        ),
+        F.round(
+            F.sum((F.col("n") - 1) * F.col("d")).cast("double")
+            / F.nullif(
+                (F.sum("n") * F.first("d")).cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("save_rate"),
+    )

@@ -1990,3 +1990,229 @@ def q377_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_true", "lang_pred")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+# ------- q388 unigram-LM (SentencePiece-style) Viterbi tokenizer scoring
+
+VIT_MAXW = 12   # word-length cap for the DP (chars)
+VIT_MAXP = 4    # max piece length (chars)
+VIT_TOPW = 50   # words reported (by corpus frequency)
+VIT_MIN_PIECE_N = 3  # substring frequency floor for multi-char pieces
+VIT_SCALE = 1_000_000  # integer log-prob grid
+VIT_NEG = -(1 << 40)   # "-inf" for unreachable DP states (BIGINT-safe)
+
+
+def _vit_best_cells(n: int) -> str:
+    """Unrolled Viterbi DP: best{i} = max over piece lengths l=1..4
+    of best{i-l} + g(piece ending at i); missing pieces contribute
+    VIT_NEG. All-BIGINT GREATEST chains — no struct compare, no
+    float."""
+    stages = []
+    for i in range(1, n + 1):
+        cands = []
+        for ln in range(1, min(VIT_MAXP, i) + 1):
+            prev = f"best{i - ln}" if i - ln > 0 else "0"
+            cands.append(
+                f"CASE WHEN wl >= {i} THEN COALESCE(g_{i - ln}_{ln},"
+                f" {VIT_NEG}) + {prev} ELSE {VIT_NEG} END"
+            )
+        expr = cands[0] if len(cands) == 1 else f"GREATEST({', '.join(cands)})"
+        stages.append(f"d{i} AS (SELECT *, {expr} AS best{i} FROM d{i - 1})")
+    return ",\n    ".join(stages)
+
+
+def _vit_sql() -> str:
+    piece_cols = ",\n             ".join(
+        f"MAX(CASE WHEN po = {po} AND pl = {pl} THEN g END) AS g_{po}_{pl}"
+        for po in range(VIT_MAXW)
+        for pl in range(1, VIT_MAXP + 1)
+        if po + pl <= VIT_MAXW
+    )
+    final_best = " ".join(
+        f"WHEN wl = {i} THEN best{i}" for i in range(1, VIT_MAXW + 1)
+    )
+    return f"""
+    WITH words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) BETWEEN 1 AND {VIT_MAXW}
+      GROUP BY w
+    ),
+    spans AS (
+      SELECT substr(w, po + 1, pl) AS piece, n, po, pl, w
+      FROM words,
+           UNNEST(range({VIT_MAXW})) AS a(po),
+           UNNEST(range(1, {VIT_MAXP + 1})) AS b(pl)
+      WHERE po + pl <= len(w)
+    ),
+    piece_counts AS (
+      -- frequency-weighted substring counts over the word table
+      SELECT piece, CAST(SUM(n) AS BIGINT) AS c
+      FROM spans GROUP BY piece
+    ),
+    vocab AS (
+      SELECT piece, c FROM piece_counts
+      WHERE len(piece) = 1 OR c >= {VIT_MIN_PIECE_N}
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS z FROM vocab),
+    model AS (
+      SELECT piece,
+             CAST(FLOOR(ln(CAST(c AS DOUBLE)
+               / CAST((SELECT z FROM tot) AS DOUBLE)) * {VIT_SCALE})
+               AS BIGINT) AS g
+      FROM vocab
+    ),
+    top_words AS (
+      SELECT w, n, len(w) AS wl FROM (
+        SELECT w, n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rk
+        FROM words
+      ) WHERE rk <= {VIT_TOPW}
+    ),
+    looked AS (
+      SELECT tw.w, tw.n, tw.wl, sp.po, sp.pl, m.g
+      FROM top_words tw
+      JOIN spans sp ON sp.w = tw.w
+      LEFT JOIN model m ON m.piece = substr(tw.w, sp.po + 1, sp.pl)
+    ),
+    d0 AS (
+      SELECT w, n, wl,
+             {piece_cols}
+      FROM looked GROUP BY w, n, wl
+    ),
+    {_vit_best_cells(VIT_MAXW)}
+    SELECT w AS word, n AS freq,
+           CAST(wl AS BIGINT) AS n_chars,
+           CAST(-(CASE {final_best} END) AS BIGINT) AS viterbi_nll_grid
+    FROM d{VIT_MAXW}
+    """
+
+
+@register("q388_unigram_viterbi_tokenizer", oracle=_vit_sql())
+def q388_unigram_viterbi_tokenizer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM tokenizer scoring (the SentencePiece/Kudo 2018
+    model family): build a substring piece vocabulary (all 1-chars +
+    frequency-floored pieces up to {VIT_MAXP} chars, probabilities
+    from frequency-weighted span counts), then Viterbi-score the
+    top-{VIT_TOPW} corpus words — the max-probability segmentation's
+    negative log-likelihood, i.e. the quantity the unigram trainer's
+    E-step maximizes per word. Complements the BPE shelf (q226 pair
+    counts, q268 merge training): BPE is bottom-up greedy, unigram is
+    top-down probabilistic, and this op is its inner loop.
+
+    Determinism: piece log-probs snap to the 1e-6 integer grid, so
+    the DP is pure BIGINT max-plus algebra — the Spark side runs the
+    recurrence as a per-row loop over in-row piece-score maps, the
+    ORACLE unrolls the identical {VIT_MAXW}-stage GREATEST chain
+    (missing pieces = a -2^40 floor that cannot win), and max of
+    identical integers cannot diverge cross-engine.
+
+    Scale: span generation is bounded fan-out (<= {VIT_MAXW}x
+    {VIT_MAXP} per DISTINCT word, after the word-grain reduce); the
+    model is a piece-grain aggregate; the DP itself touches only
+    {VIT_TOPW} rows.
+    """
+    words = (
+        fan_out(
+            t(spark, sf_dir, "documents").select(
+                F.explode(F.split("text", " ")).alias("w")
+            )
+        )
+        .filter(F.length("w").between(1, VIT_MAXW))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    spans = words.select(
+        "w",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.length("w") - 1)).alias("po"),
+    ).select(
+        "w",
+        "n",
+        "po",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.least(F.lit(VIT_MAXP), F.length("w") - F.col("po")),
+            )
+        ).alias("pl"),
+    ).select(
+        "w",
+        "n",
+        "po",
+        "pl",
+        F.substring(F.col("w"), F.col("po") + 1, F.col("pl")).alias(
+            "piece"
+        ),
+    )
+    piece_counts = spans.groupBy("piece").agg(
+        F.sum("n").cast("bigint").alias("c")
+    )
+    vocab = piece_counts.filter(
+        (F.length("piece") == 1) | (F.col("c") >= VIT_MIN_PIECE_N)
+    )
+    tot = vocab.agg(F.sum("c").cast("bigint").alias("z"))
+    model = vocab.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.floor(
+            F.log(F.col("c").cast("double") / F.col("z").cast("double"))
+            * VIT_SCALE
+        )
+        .cast("bigint")
+        .alias("g"),
+    )
+    top_words = (
+        words.select(
+            "w",
+            "n",
+            F.row_number()
+            .over(W.orderBy(F.col("n").desc(), F.col("w")))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= VIT_TOPW)
+        .select("w", "n", F.length("w").alias("wl"))
+    )
+    looked = (
+        top_words.join(spans.select("w", "po", "pl", "piece"), "w")
+        .join(F.broadcast(model), "piece", "left")
+        .groupBy("w", "n", "wl")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("po") * 10 + F.col("pl")).alias("k"),
+                        F.coalesce(F.col("g"), F.lit(VIT_NEG)).alias("v"),
+                    )
+                )
+            ).alias("gm")
+        )
+    )
+    # in-row Viterbi over the piece-score map: best[i] as a fold of
+    # GREATEST chains, mirrored exactly by the oracle's unrolled CTEs
+    best = {0: F.lit(0).cast("bigint")}
+    for i in range(1, VIT_MAXW + 1):
+        cands = []
+        for ln in range(1, min(VIT_MAXP, i) + 1):
+            g = F.coalesce(
+                F.element_at("gm", F.lit((i - ln) * 10 + ln)),
+                F.lit(VIT_NEG),
+            )
+            cands.append(
+                F.when(
+                    F.col("wl") >= i, g + best[i - ln]
+                ).otherwise(F.lit(VIT_NEG))
+            )
+        best[i] = cands[0] if len(cands) == 1 else F.greatest(*cands)
+    final = None
+    for i in range(1, VIT_MAXW + 1):
+        cond = F.when(F.col("wl") == i, best[i])
+        final = cond if final is None else final.when(
+            F.col("wl") == i, best[i]
+        )
+    return looked.select(
+        F.col("w").alias("word"),
+        F.col("n").alias("freq"),
+        F.col("wl").cast("bigint").alias("n_chars"),
+        (-final).cast("bigint").alias("viterbi_nll_grid"),
+    )

@@ -216,6 +216,12 @@ DOC_QUERIES = [
     # mass-duplicated corpora push every doc into one bucket (capped)
     # and single-source corpora zero every cut on both engines
     "q387_dedup_partition_conductance",
+    # 1-char words are all-vocab by construction; repeated single-word
+    # corpora collapse the piece model to one column of the DP
+    "q388_unigram_viterbi_tokenizer",
+    # docs shorter than the depth drop out per depth; all-identical
+    # corpora collapse every depth to one fully-shared group
+    "q389_prefix_cache_sharing",
     "q366_mulaw_audio_decode",
     "q367_mjpeg_frame_decode",
     # stateful recurrence: oracle recursion and decoder must stay in
