@@ -4244,3 +4244,195 @@ def q380_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sy").cast("double") / F.col("n")).alias("emp_rate"),
         F.round("iso", 6).alias("iso_rate"),
     )
+
+
+# ------- q390 exact Shapley-value channel attribution
+
+SHAP_CONV = "purchase"
+
+
+@register(
+    "q390_shapley_attribution",
+    oracle=f"""
+    WITH exposure AS (
+      SELECT user_id,
+             COALESCE(string_agg(DISTINCT event_type, ','
+                                 ORDER BY event_type)
+                      FILTER (WHERE event_type <> '{SHAP_CONV}'),
+                      '') AS s,
+             MAX(CASE WHEN event_type = '{SHAP_CONV}' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT s, CAST(SUM(conv) AS DOUBLE) / COUNT(*) AS rate
+      FROM exposure GROUP BY s
+    ),
+    chans AS (
+      SELECT event_type AS ch,
+             ROW_NUMBER() OVER (ORDER BY event_type) AS r
+      FROM (SELECT DISTINCT event_type FROM events
+            WHERE event_type <> '{SHAP_CONV}')
+    ),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM chans),
+    masks AS (
+      SELECT m.m,
+             COALESCE(string_agg(c.ch, ',' ORDER BY c.ch), '') AS s,
+             CAST(COUNT(c.ch) AS BIGINT) AS sz
+      FROM (SELECT UNNEST(range(CAST(2 ** (SELECT k FROM k) AS BIGINT)))
+              AS m) m
+      LEFT JOIN chans c
+        ON (m.m // CAST(2 ** (c.r - 1) AS BIGINT)) % 2 = 1
+      GROUP BY m.m
+    ),
+    mv AS (
+      SELECT ms.m, ms.sz, COALESCE(v.rate, 0.0) AS rate
+      FROM masks ms LEFT JOIN v ON v.s = ms.s
+    ),
+    fact AS (  -- factorials 0..6 as a closed form over sz
+      SELECT m, sz, rate FROM mv
+    ),
+    contrib AS (
+      -- for each channel i and each coalition S without i:
+      -- w(|S|) * (v(S u i) - v(S)),
+      -- w(s) = s! * (k - s - 1)! / k!
+      SELECT c.ch,
+             (CASE s.sz WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2
+                        WHEN 3 THEN 6 WHEN 4 THEN 24 ELSE 120 END)
+             * (CASE (SELECT k FROM k) - s.sz - 1
+                  WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2
+                  WHEN 3 THEN 6 WHEN 4 THEN 24 ELSE 120 END)
+             / CAST((CASE (SELECT k FROM k)
+                       WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2
+                       WHEN 3 THEN 6 WHEN 4 THEN 24 WHEN 5 THEN 120
+                       ELSE 720 END) AS DOUBLE)
+             * (su.rate - s.rate) AS w_delta
+      FROM chans c
+      JOIN fact s
+        ON (s.m // CAST(2 ** (c.r - 1) AS BIGINT)) % 2 = 0
+      JOIN fact su
+        ON su.m = s.m + CAST(2 ** (c.r - 1) AS BIGINT)
+    )
+    SELECT ch AS channel,
+           ROUND(SUM(w_delta), 6) AS shapley_value
+    FROM contrib GROUP BY ch
+    """,
+)
+def q390_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution (Zhao et al. 2018's
+    data-driven formulation) — the game-theoretic capstone of the
+    attribution trio: q171 last-touch (heuristic), q284 time-decay
+    (positional), q378 Markov removal-effect (path model), and now
+    the axiomatic one. Coalition value v(S) = conversion rate of
+    users exposed to EXACTLY channel set S; each channel's Shapley
+    value sums w(|S|)·(v(S∪i)−v(S)) over all coalitions without it,
+    with the exact factorial weights — tractable because the channel
+    universe is small (2^k coalitions, k = distinct non-conversion
+    event types), which is the realistic marketing shape.
+
+    Determinism: v rates are exact integer ratios; factorial weights
+    are integer CASE ladders divided once; the per-channel sum spans
+    at most 2^(k-1) identical doubles rounded at 1e-6.
+
+    Scale: ONE user-grain reduce builds exposure sets (shuffle on
+    user_id), one tiny group builds v; the coalition lattice and the
+    Shapley sum live on 2^k <= 32 broadcast rows regardless of
+    corpus size.
+    """
+    ev = t(spark, sf_dir, "events")
+    exposure = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.collect_set(
+                    F.when(
+                        F.col("event_type") != SHAP_CONV,
+                        F.col("event_type"),
+                    )
+                )
+            ),
+        ).alias("s"),
+        F.max(
+            F.when(F.col("event_type") == SHAP_CONV, 1).otherwise(0)
+        ).alias("conv"),
+    )
+    v = exposure.groupBy("s").agg(
+        (F.sum("conv").cast("double") / F.count(F.lit(1))).alias("rate")
+    )
+    chans = (
+        ev.filter(F.col("event_type") != SHAP_CONV)
+        .select(F.col("event_type").alias("ch"))
+        .distinct()
+        .select(
+            "ch", F.row_number().over(Window.orderBy("ch")).alias("r")
+        )
+    )
+    k = chans.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    masks = (
+        spark.range(0, 1 << 6)
+        .select(F.col("id").alias("m"))
+        .crossJoin(F.broadcast(k))
+        .filter(F.col("m") < F.pow(F.lit(2.0), F.col("k")).cast("bigint"))
+        .join(
+            F.broadcast(chans),
+            (F.col("m") / F.pow(F.lit(2.0), F.col("r") - 1))
+            .cast("bigint")
+            % 2
+            == 1,
+            "left",
+        )
+        .groupBy("m")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list("ch"))
+            ).alias("s"),
+            F.count("ch").cast("bigint").alias("sz"),
+        )
+    )
+    mv = masks.join(F.broadcast(v), "s", "left").select(
+        "m", "sz", F.coalesce("rate", F.lit(0.0)).alias("rate")
+    )
+
+    def factorial(col):
+        return (
+            F.when(col <= 1, 1)
+            .when(col == 2, 2)
+            .when(col == 3, 6)
+            .when(col == 4, 24)
+            .when(col == 5, 120)
+            .otherwise(720)
+        )
+
+    s_side = mv.select(
+        F.col("m").alias("sm"),
+        F.col("sz").alias("ssz"),
+        F.col("rate").alias("srate"),
+    )
+    su_side = mv.select(
+        F.col("m").alias("sum_m"), F.col("rate").alias("surate")
+    )
+    bit = (
+        (F.col("sm") / F.pow(F.lit(2.0), F.col("r") - 1)).cast("bigint") % 2
+    )
+    contrib = (
+        chans.crossJoin(F.broadcast(k))
+        .join(F.broadcast(s_side), bit == 0)
+        .join(
+            F.broadcast(su_side),
+            F.col("sum_m")
+            == F.col("sm")
+            + F.pow(F.lit(2.0), F.col("r") - 1).cast("bigint"),
+        )
+        .select(
+            "ch",
+            (
+                factorial(F.col("ssz"))
+                * factorial(F.col("k") - F.col("ssz") - 1)
+                / factorial(F.col("k")).cast("double")
+                * (F.col("surate") - F.col("srate"))
+            ).alias("w_delta"),
+        )
+    )
+    return contrib.groupBy(F.col("ch").alias("channel")).agg(
+        F.round(F.sum("w_delta"), 6).alias("shapley_value")
+    )

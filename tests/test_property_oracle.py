@@ -100,6 +100,10 @@ EVENT_QUERIES = [
     # n<k users drop out of pass@5; all-purchase / no-purchase users
     # pin pass@k at the 0/1 boundary on both engines
     "q385_pass_at_k",
+    # missing event types shrink the coalition lattice (data-driven
+    # k); purchase-only corpora make every exposure set empty and
+    # efficiency puts all mass on v('') — both engines must agree
+    "q390_shapley_attribution",
 ]
 DOC_QUERIES = [
     "q60_dedup_exact",
