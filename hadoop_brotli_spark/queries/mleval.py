@@ -963,3 +963,361 @@ def q389_prefix_cache_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("save_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q391 IPS / SNIPS off-policy evaluation
+
+IPS_CLIP = 10.0  # importance-weight clip
+IPS_GRID = 1_000_000_000
+
+
+@register(
+    "q391_ips_offpolicy_eval",
+    oracle=f"""
+    WITH logged AS (
+      -- logged bandit feedback: context = order, action = the
+      -- priority chosen by the LOGGING policy (hash-mixed between
+      -- the actual priority and a uniform exploration arm), reward =
+      -- 1 if the order shipped fast (o_orderstatus = 'F'), logging
+      -- propensity p0 from the mix, target-policy propensity p1
+      SELECT o_orderkey,
+             CASE WHEN ({_h7('o_orderkey', 'explore')}) % 10 = 0
+                  THEN (CASE WHEN ({_h7('o_orderkey', 'arm')}) % 2 = 0
+                             THEN '1-URGENT' ELSE '5-LOW' END)
+                  ELSE o_orderpriority END AS action,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS r
+      FROM orders
+    ),
+    probs AS (
+      -- logging propensity: 0.9 on the organic arm + 0.05 per
+      -- exploration arm when they coincide; target policy prefers
+      -- URGENT deterministically with 0.8 / uniform 0.2 over 5 arms
+      SELECT o_orderkey, action, r,
+             0.9 * (CASE WHEN action = o2.o_orderpriority
+                         THEN 1 ELSE 0 END)
+             + 0.05 * (CASE WHEN action IN ('1-URGENT', '5-LOW')
+                            THEN 1 ELSE 0 END) AS p0,
+             0.8 * (CASE WHEN action = '1-URGENT' THEN 1 ELSE 0 END)
+             + 0.04 AS p1
+      FROM logged JOIN orders o2 USING (o_orderkey)
+    ),
+    w AS (
+      SELECT r,
+             CAST(FLOOR(LEAST(p1 / p0, {IPS_CLIP!r}) * r * {IPS_GRID})
+                  AS BIGINT) AS wr_g,
+             CAST(FLOOR(LEAST(p1 / p0, {IPS_CLIP!r}) * {IPS_GRID})
+                  AS BIGINT) AS w_g
+      FROM probs WHERE p0 > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_logged,
+           ROUND(CAST(SUM(r) AS DOUBLE) / COUNT(*), 6) AS logging_ctr,
+           ROUND(CAST(SUM(wr_g) AS DOUBLE) / ({IPS_GRID}.0 * COUNT(*)),
+                 6) AS ips_estimate,
+           ROUND(CAST(SUM(wr_g) AS DOUBLE)
+                 / NULLIF(CAST(SUM(w_g) AS DOUBLE), 0.0), 6)
+             AS snips_estimate
+    FROM w
+    """,
+)
+def q391_ips_offpolicy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy (counterfactual) evaluation of a new decision
+    policy from logged bandit feedback — clipped Inverse Propensity
+    Scoring and its Self-Normalized variant (SNIPS): estimate the
+    reward a TARGET policy would earn from data collected by the
+    LOGGING policy, reweighting each logged (context, action, reward)
+    by p_target/p_logging, clipped at {IPS_CLIP} (the standard
+    variance-bias knob). The experimentation shelf (q151 A/B, q287
+    sequential, q298 SPRT) measures policies you RAN; IPS evaluates
+    one you didn't — the production counterfactual tool.
+
+    Determinism: propensities are closed-form doubles from hash
+    arithmetic (identical both engines); per-row clipped weights snap
+    to a 1e-9 grid so both estimator sums are exact BIGINTs, making
+    IPS and SNIPS order-independent exact ratios.
+
+    Scale: one pass over the fact table, no joins (the oracle's
+    self-join is notational), two grid sums + counts.
+    """
+    o = t(spark, sf_dir, "orders")
+
+    def h(salt: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("_" + salt),
+                    ).cast("binary")
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    action = F.when(
+        h("explore") % 10 == 0,
+        F.when(h("arm") % 2 == 0, F.lit("1-URGENT")).otherwise(
+            F.lit("5-LOW")
+        ),
+    ).otherwise(F.col("o_orderpriority"))
+    logged = o.select(
+        action.alias("action"),
+        F.col("o_orderpriority").alias("organic"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("r"),
+    )
+    p0 = 0.9 * F.when(F.col("action") == F.col("organic"), 1).otherwise(
+        0
+    ) + 0.05 * F.when(
+        F.col("action").isin("1-URGENT", "5-LOW"), 1
+    ).otherwise(0)
+    p1 = 0.8 * F.when(F.col("action") == "1-URGENT", 1).otherwise(0) + 0.04
+    w = logged.select(
+        "r",
+        F.floor(F.least(p1 / p0, F.lit(IPS_CLIP)) * F.col("r") * IPS_GRID)
+        .cast("bigint")
+        .alias("wr_g"),
+        F.floor(F.least(p1 / p0, F.lit(IPS_CLIP)) * IPS_GRID)
+        .cast("bigint")
+        .alias("w_g"),
+    ).filter(p0 > 0)
+    return w.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_logged"),
+        F.round(F.sum("r").cast("double") / F.count(F.lit(1)), 6).alias(
+            "logging_ctr"
+        ),
+        F.round(
+            F.sum("wr_g").cast("double")
+            / (float(IPS_GRID) * F.count(F.lit(1))),
+            6,
+        ).alias("ips_estimate"),
+        F.round(
+            F.sum("wr_g").cast("double")
+            / F.nullif(F.sum("w_g").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("snips_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q393 Bradley-Terry pairwise-preference strength fit
+
+BT_ITERS = 6  # unrolled minorization-maximization rounds
+BT_GRID = 1_000_000_000  # 1e-9 snapping grid for order-free sums
+
+
+def _bt_sql() -> str:
+    """Unrolled MM iterations over the arm^2 duel matrix; every sum
+    that crosses rows is snapped to a BIGINT 1e-9 grid first so both
+    engines add exact integers (order-independent), and every
+    division is BIGINT/BIGINT -> identical IEEE doubles."""
+    its = []
+    for r in range(1, BT_ITERS + 1):
+        its.append(f"""
+    den{r} AS MATERIALIZED (
+      SELECT s.i,
+             SUM(CAST(FLOOR((CAST(s.sg AS DOUBLE) / {BT_GRID})
+                            / (pi.p + pj.p) * {BT_GRID} + 0.5)
+                 AS BIGINT)) AS den
+      FROM sh s
+      JOIN p{r - 1} pi ON pi.i = s.i
+      JOIN p{r - 1} pj ON pj.i = s.j
+      GROUP BY s.i
+    ),
+    raw{r} AS MATERIALIZED (
+      SELECT w.i,
+             GREATEST(CAST(FLOOR(CAST(w.wg AS DOUBLE)
+                                 / GREATEST(d.den, 1) * {BT_GRID} + 0.5)
+                      AS BIGINT), 1) AS pg
+      FROM wg w JOIN den{r} d ON d.i = w.i
+    ),
+    p{r} AS MATERIALIZED (
+      SELECT i,
+             CAST(pg * (SELECT k FROM kf) AS DOUBLE)
+               / (SELECT SUM(pg) FROM raw{r}) AS p
+      FROM raw{r}
+    )""")
+    return f"""
+    WITH lagged AS (
+      SELECT event_type AS b, value AS v,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY event_id) AS a,
+             LAG(value) OVER (PARTITION BY user_id
+                              ORDER BY event_id) AS pv
+      FROM events
+    ),
+    duels AS MATERIALIZED (
+      SELECT a, b,
+             CASE WHEN v > pv THEN 1 WHEN v < pv THEN 0
+                  WHEN b < a THEN 1 ELSE 0 END AS win_b
+      FROM lagged WHERE a IS NOT NULL AND a <> b
+    ),
+    m AS MATERIALIZED (
+      SELECT i, j, COUNT(*) AS n, SUM(wn) AS w
+      FROM (
+        SELECT a AS i, b AS j, 1 - win_b AS wn FROM duels
+        UNION ALL
+        SELECT b AS i, a AS j, win_b AS wn FROM duels
+      ) GROUP BY i, j
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM m),
+    sh AS MATERIALIZED (
+      SELECT i, j,
+             CAST(FLOOR(n * {BT_GRID} / nn + 0.5) AS BIGINT) AS sg
+      FROM m, tot
+    ),
+    wg AS MATERIALIZED (
+      SELECT i, CAST(SUM(n) AS BIGINT) AS games,
+             CAST(SUM(w) AS BIGINT) AS wins,
+             GREATEST(CAST(FLOOR(SUM(w) * {BT_GRID} / MIN(nn) + 0.5)
+                      AS BIGINT), 1) AS wg
+      FROM m, tot GROUP BY i
+    ),
+    kf AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM wg),
+    p0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS p FROM wg),
+    {",".join(its)}
+    SELECT w.i AS arm, w.games, w.wins,
+           ROUND(p.p, 6) AS strength,
+           CAST(ROW_NUMBER() OVER (ORDER BY p.p DESC, w.i)
+                AS BIGINT) AS rk
+    FROM wg w JOIN p{BT_ITERS} p ON p.i = w.i
+    """
+
+
+@register("q393_bradley_terry", oracle=_bt_sql())
+def q393_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry pairwise-preference strength fit — the model
+    behind RLHF preference learning and LLM arena leaderboards
+    (Elo's batch form): arms duel whenever a user emits two
+    different event types back-to-back (event_id order), the higher
+    value wins (value ties go to the lexicographically smaller
+    type), and {BT_ITERS} unrolled minorization-maximization rounds
+    fit strengths p_i with p_i' = wins_i / sum_j n_ij/(p_i+p_j)
+    (Hunter 2004), L1-normalized to k each round. Complements the
+    experimentation shelf (q151 A/B, q391 off-policy IPS) with the
+    PAIRWISE-feedback estimator those absolute-metric ops can't
+    express.
+
+    Determinism: the duel matrix is exact integers; shares, the MM
+    denominator terms, and the normalizer are all snapped to a
+    {BT_GRID} BIGINT grid BEFORE summation (order-independent exact
+    adds), and every strength is a BIGINT/BIGINT IEEE division —
+    bit-identical across engines, so the final rank needs no
+    rounded-key crutch.
+
+    Scale: one window pass over the fact table + one arm^2 reduce;
+    everything after is a broadcast-sized <= k^2 lattice (k = 5
+    event types), iterated {BT_ITERS}x on checkpointed tiny frames.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    lagged = e.select(
+        F.col("event_type").alias("b"),
+        F.col("value").alias("v"),
+        F.lag("event_type").over(w).alias("a"),
+        F.lag("value").over(w).alias("pv"),
+    )
+    duels = lagged.filter(
+        F.col("a").isNotNull() & (F.col("a") != F.col("b"))
+    ).select(
+        "a",
+        "b",
+        F.when(F.col("v") > F.col("pv"), 1)
+        .when(F.col("v") < F.col("pv"), 0)
+        .otherwise(F.when(F.col("b") < F.col("a"), 1).otherwise(0))
+        .alias("win_b"),
+    )
+    directed = duels.select(
+        F.col("a").alias("i"), F.col("b").alias("j"), (1 - F.col("win_b")).alias("wn")
+    ).unionByName(
+        duels.select(
+            F.col("b").alias("i"), F.col("a").alias("j"), F.col("win_b").alias("wn")
+        )
+    )
+    # the arm^2 lattice: one fact-table reduce, then checkpoint so
+    # the unrolled iterations below reference a ~k^2-row cached
+    # frame instead of re-scanning events 2^ITERS times
+    m = (
+        directed.groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("wn").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    tot = m.agg(F.sum("n").cast("double").alias("nn"))
+    sh = m.crossJoin(F.broadcast(tot)).select(
+        "i",
+        "j",
+        F.floor(F.col("n") * BT_GRID / F.col("nn") + F.lit(0.5))
+        .cast("bigint")
+        .alias("sg"),
+    )
+    wg = (
+        m.crossJoin(F.broadcast(tot))
+        .groupBy("i")
+        .agg(
+            F.sum("n").cast("bigint").alias("games"),
+            F.sum("w").cast("bigint").alias("wins"),
+            F.greatest(
+                F.floor(F.sum("w") * BT_GRID / F.min("nn") + F.lit(0.5)),
+                F.lit(1),
+            )
+            .cast("bigint")
+            .alias("wg"),
+        )
+    )
+    kf = wg.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    p = wg.select("i", F.lit(1.0).alias("p"))
+    for _ in range(BT_ITERS):
+        pi = p.select(F.col("i").alias("ii"), F.col("p").alias("p_i"))
+        pj = p.select(F.col("i").alias("jj"), F.col("p").alias("p_j"))
+        den = (
+            sh.join(F.broadcast(pi), F.col("i") == F.col("ii"))
+            .join(F.broadcast(pj), F.col("j") == F.col("jj"))
+            .select(
+                "i",
+                F.floor(
+                    (F.col("sg").cast("double") / F.lit(float(BT_GRID)))
+                    / (F.col("p_i") + F.col("p_j"))
+                    * BT_GRID
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("tg"),
+            )
+            .groupBy("i")
+            .agg(F.sum("tg").alias("den"))
+        )
+        raw = wg.join(den, "i").select(
+            "i",
+            F.greatest(
+                F.floor(
+                    F.col("wg").cast("double")
+                    / F.greatest(F.col("den"), F.lit(1))
+                    * BT_GRID
+                    + F.lit(0.5)
+                ).cast("bigint"),
+                F.lit(1),
+            ).alias("pg"),
+        )
+        s = raw.agg(F.sum("pg").alias("s"))
+        p = (
+            raw.crossJoin(F.broadcast(s))
+            .crossJoin(F.broadcast(kf))
+            .select(
+                "i",
+                ((F.col("pg") * F.col("k")).cast("double") / F.col("s")).alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    wr = Window.orderBy(F.col("p").desc(), F.col("i"))
+    return (
+        wg.join(p, "i")
+        .select(
+            F.col("i").alias("arm"),
+            "games",
+            "wins",
+            F.round("p", 6).alias("strength"),
+            F.row_number().over(wr).cast("bigint").alias("rk"),
+        )
+    )

@@ -1287,3 +1287,176 @@ def q359_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("inertia", 4).alias("inertia"),
         F.round("sh", 6).alias("centroid_shift"),
     )
+
+
+# -------- q392 k-center greedy coreset selection (2-approximation)
+
+KC_K = 8  # centers
+
+
+def _kc_sql() -> str:
+    """Unrolled greedy rounds: center 0 = MIN(vec_id); each round
+    picks argmax over points of min ROUND(d2, 6) to the chosen set,
+    tie-broken by vec_id. d2 = |a|^2 + |b|^2 - 2<a,b> with
+    precomputed norms; dots come from one element-grain hash join
+    per round (the q98 pattern), every stage MATERIALIZED so the
+    center chain evaluates once (the q319 lesson)."""
+    rounds = []
+    for r in range(1, KC_K):
+        rounds.append(f"""
+    dots{r} AS MATERIALIZED (
+      SELECT e.vec_id, ce.c_id, SUM(e.x * ce.x) AS dot
+      FROM elems e
+      JOIN (SELECT c.vec_id AS c_id, el.i, el.x
+            FROM centers{r - 1} c
+            JOIN elems el ON el.vec_id = c.vec_id) ce ON ce.i = e.i
+      WHERE e.vec_id NOT IN (SELECT vec_id FROM centers{r - 1})
+      GROUP BY e.vec_id, ce.c_id
+    ),
+    mind{r} AS MATERIALIZED (
+      SELECT d.vec_id,
+             MIN(ROUND(ne.n2 + nc.n2 - 2 * d.dot, 6)) AS md
+      FROM dots{r} d
+      JOIN n2s ne ON ne.vec_id = d.vec_id
+      JOIN n2s nc ON nc.vec_id = d.c_id
+      GROUP BY d.vec_id
+    ),
+    pick{r} AS MATERIALIZED (
+      SELECT vec_id, md FROM (
+        SELECT vec_id, md,
+               ROW_NUMBER() OVER (ORDER BY md DESC, vec_id) AS rk
+        FROM mind{r}
+      ) WHERE rk = 1
+    ),
+    centers{r} AS MATERIALIZED (
+      SELECT vec_id FROM centers{r - 1}
+      UNION ALL
+      SELECT vec_id FROM pick{r}
+    )""")
+    picks = "\n      UNION ALL ".join(
+        f"SELECT {r} AS round_idx, vec_id, md FROM pick{r}"
+        for r in range(1, KC_K)
+    )
+    return f"""
+    WITH elems AS MATERIALIZED (
+      SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS i,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    n2s AS MATERIALIZED (
+      SELECT vec_id, SUM(x * x) AS n2 FROM elems GROUP BY vec_id
+    ),
+    centers0 AS MATERIALIZED (
+      SELECT MIN(vec_id) AS vec_id FROM embeddings
+    ),
+    {",".join(rounds)}
+    SELECT CAST(round_idx AS BIGINT) AS round_idx,
+           vec_id AS center_id,
+           ROUND(md, 6) AS sel_min_d2
+    FROM (
+      SELECT 0 AS round_idx, vec_id, CAST(NULL AS DOUBLE) AS md
+      FROM centers0
+      UNION ALL
+      {picks}
+    )
+    """
+
+
+@register("q392_kcenter_coreset", oracle=_kc_sql())
+def q392_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy coreset selection (Gonzalez 1985 farthest-
+    first traversal — the 2-approximation behind coreset-based data
+    pruning a la Sener & Savarese): seed with the lowest vec_id,
+    then {KC_K - 1} rounds of "add the point farthest from the
+    chosen set" (max over points of min over centers of squared L2).
+    Emits each selected center with its selection radius — the
+    coverage guarantee readout (every point is within sel_min_d2 of
+    some center at that round). Complements the similarity shelf's
+    density ops (q313 clustering, q359 k-means): k-center optimizes
+    COVERAGE, which is what dataset-pruning wants.
+
+    Determinism: d2 uses the hoisted-norm identity on both engines
+    and rounds at 1e-6 BEFORE min/argmax with a vec_id tie-break
+    (the q70 rounded-ranking rule); each round's pick is then an
+    exact comparison over identical doubles.
+
+    Scale: the classic running-min state makes this O(k·n)
+    distance work, not O(k²·n) — each round broadcasts ONE new
+    center onto the corpus, folds the new squared distance into a
+    per-point min-so-far state frame (LEAST of rounded values ==
+    the oracle's MIN over all centers of rounded values, since min
+    is associative), and takes the global top-1 via TakeOrdered
+    (orderBy+limit, never a single-partition row_number window).
+    The state frame ((vec_id, md), corpus-row-count but 2 columns)
+    is localCheckpoint'ed per round: uncheckpointed, round r's
+    lineage references round r-1 several times and re-evaluates
+    exponentially (the q64 connected-components rule). At 100 TB
+    the standard move is k-center over a uniform pre-sample, which
+    this plan applies unchanged.
+    """
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", dot_double("embedding", "embedding").alias("n2")
+    )
+    seed = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select("vec_id", "embedding", "n2")
+        .localCheckpoint(eager=True)
+    )
+    picks = [
+        seed.select(
+            F.lit(0).cast("bigint").alias("round_idx"),
+            F.col("vec_id").alias("center_id"),
+            F.lit(None).cast("double").alias("sel_min_d2"),
+        )
+    ]
+    chosen = seed.select("vec_id")  # union of checkpointed 1-row picks
+    cur = seed  # newest center: (vec_id, embedding, n2)
+    state = None  # (vec_id, md): min rounded d2 to the chosen set
+    for r in range(1, KC_K):
+        c = cur.select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("ce"),
+            F.col("n2").alias("cn2"),
+        )
+        d2 = F.round(
+            F.col("n2") + F.col("cn2") - 2 * dot_double("embedding", "ce"),
+            6,
+        )
+        new_d = emb.join(F.broadcast(c), F.col("vec_id") != F.col("c_id")).select(
+            "vec_id", d2.alias("nd")
+        )
+        if state is None:
+            state = new_d.select("vec_id", F.col("nd").alias("md"))
+        else:
+            state = (
+                state.join(new_d, "vec_id", "left")
+                .select(
+                    "vec_id",
+                    F.least(F.col("md"), F.coalesce("nd", "md")).alias("md"),
+                )
+            )
+        # lazy: the pick job below materializes it (q64's rule —
+        # an eager checkpoint here would double the per-round jobs)
+        state = state.localCheckpoint(eager=False)
+        pick = (
+            state.join(F.broadcast(chosen), "vec_id", "left_anti")
+            .orderBy(F.col("md").desc(), F.col("vec_id"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        picks.append(
+            pick.select(
+                F.lit(r).cast("bigint").alias("round_idx"),
+                F.col("vec_id").alias("center_id"),
+                F.round("md", 6).alias("sel_min_d2"),
+            )
+        )
+        chosen = chosen.unionByName(pick.select("vec_id"))
+        cur = emb.join(F.broadcast(pick.select("vec_id")), "vec_id").select(
+            "vec_id", "embedding", "n2"
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
