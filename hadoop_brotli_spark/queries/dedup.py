@@ -1039,3 +1039,161 @@ def q387_dedup_partition_conductance(
             6,
         ).alias("conductance"),
     )
+
+
+# ------------------- q394 train/held-out near-dup leakage audit
+
+
+@register(
+    "q394_split_leakage_audit",
+    oracle=f"""
+    WITH {{pairs_ctes}},
+    hsets AS (
+      SELECT doc_id, md5(shingle) AS h FROM sh
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM hsets GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+      FROM pairs p
+      JOIN hsets a ON a.doc_id = p.doc_a
+      JOIN hsets b ON b.doc_id = p.doc_b AND b.h = a.h
+      GROUP BY p.doc_a, p.doc_b
+    ),
+    verified AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common)
+            >= 0.5
+    ),
+    assigned AS (
+      SELECT doc_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 7) AS BIGINT) % 10 < 8
+                  THEN 'train' ELSE 'heldout' END AS split
+      FROM documents
+    ),
+    flagged AS (
+      SELECT v.doc_a, v.doc_b, aa.split AS sa, ab.split AS sb,
+             CASE WHEN aa.split <> ab.split THEN 1 ELSE 0 END AS leaked,
+             CASE WHEN aa.split <> ab.split THEN
+               (CASE WHEN aa.split = 'heldout' THEN v.doc_a
+                     ELSE v.doc_b END) END AS tainted_doc
+      FROM verified v
+      JOIN assigned aa ON aa.doc_id = v.doc_a
+      JOIN assigned ab ON ab.doc_id = v.doc_b
+    ),
+    pair_stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+             CAST(COALESCE(SUM(leaked), 0) AS BIGINT) AS n_leaked_pairs,
+             CAST(COUNT(DISTINCT tainted_doc) AS BIGINT)
+               AS n_tainted_heldout_docs
+      FROM flagged
+    ),
+    doc_stats AS (
+      SELECT CAST(SUM(CASE WHEN split = 'heldout' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_heldout_docs
+      FROM assigned
+    )
+    SELECT p.n_dup_pairs, p.n_leaked_pairs,
+           ROUND(CAST(p.n_leaked_pairs AS DOUBLE)
+                 / NULLIF(p.n_dup_pairs, 0), 6) AS leak_rate,
+           d.n_heldout_docs, p.n_tainted_heldout_docs,
+           ROUND(CAST(p.n_tainted_heldout_docs AS DOUBLE)
+                 / NULLIF(d.n_heldout_docs, 0), 6) AS taint_rate
+    FROM pair_stats p, doc_stats d
+    """.format(pairs_ctes=_minhash_pairs_ctes()),
+)
+def q394_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/held-out near-duplicate LEAKAGE audit — the eval-
+    integrity gate run before any benchmark number is trusted: hash
+    every document into q88's deterministic 80/20 split, then count
+    verified near-dup pairs (q140's LSH-candidates -> exact-Jaccard
+    >= 0.5 stage) that CROSS the split boundary. A held-out document
+    with a training-set near-twin inflates eval scores without any
+    exact-match contamination check firing; this op measures exactly
+    that blind spot (leak_rate over dup pairs, taint_rate over the
+    held-out set). The remediation — cluster-aware splitting (q64's
+    components assigned as units) — is certified by re-running this
+    audit and expecting 0.
+
+    Determinism: split membership is the q88 pure key hash; the pair
+    set is q62/q140's hash-derived candidates with exact integer
+    Jaccard; all outputs are exact counts plus two NULLIF-guarded
+    grid-rounded ratios.
+
+    Scale: everything is the q140 plan (signatures once, banded
+    bucket join, candidate-only verification) plus one broadcast-
+    sized two-column split join and a global reduce — no new shuffle
+    wider than the pair set itself.
+    """
+    pairs = q140_lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    split_col = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 7
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(10),
+        )
+        < 8,
+        F.lit("train"),
+    ).otherwise(F.lit("heldout"))
+    assigned = t(spark, sf_dir, "documents").select(
+        "doc_id", split_col.alias("split")
+    )
+    aa = assigned.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+    )
+    ab = assigned.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+    )
+    flagged = (
+        pairs.join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .select(
+            F.when(F.col("sa") != F.col("sb"), 1).otherwise(0).alias("leaked"),
+            F.when(
+                F.col("sa") != F.col("sb"),
+                F.when(F.col("sa") == "heldout", F.col("doc_a")).otherwise(
+                    F.col("doc_b")
+                ),
+            ).alias("tainted_doc"),
+        )
+    )
+    pair_stats = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"),
+        F.coalesce(F.sum("leaked"), F.lit(0)).cast("bigint").alias(
+            "n_leaked_pairs"
+        ),
+        F.countDistinct("tainted_doc").cast("bigint").alias(
+            "n_tainted_heldout_docs"
+        ),
+    )
+    doc_stats = assigned.agg(
+        F.sum(F.when(F.col("split") == "heldout", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_heldout_docs")
+    )
+    return pair_stats.crossJoin(F.broadcast(doc_stats)).select(
+        "n_dup_pairs",
+        "n_leaked_pairs",
+        F.round(
+            F.col("n_leaked_pairs").cast("double")
+            / F.nullif(F.col("n_dup_pairs"), F.lit(0)),
+            6,
+        ).alias("leak_rate"),
+        "n_heldout_docs",
+        "n_tainted_heldout_docs",
+        F.round(
+            F.col("n_tainted_heldout_docs").cast("double")
+            / F.nullif(F.col("n_heldout_docs"), F.lit(0)),
+            6,
+        ).alias("taint_rate"),
+    )

@@ -888,3 +888,131 @@ def q351_variant_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_missing_null"),
     )
+
+
+# ---------------- q395 discounted episode returns (offline RL prep)
+
+RET_HORIZON = 20  # discount horizon: steps beyond this contribute 0
+RET_DENOM = 100 * (1 << RET_HORIZON)  # cents grid * 2^horizon
+
+
+@register(
+    "q395_discounted_returns",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sessions AS (
+      SELECT user_id, ts, event_id, value,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sid
+      FROM flagged
+    ), steps AS (
+      SELECT user_id, sid, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, sid ORDER BY ts ASC, event_id ASC
+             ) - 1 AS t
+      FROM sessions
+    ), episodes AS (
+      SELECT user_id, sid,
+             SUM(CASE WHEN t < {RET_HORIZON}
+                      THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                           * CAST(POW(2, {RET_HORIZON} - t) AS BIGINT)
+                      ELSE 0 END) AS gg,
+             COUNT(*) AS n_steps
+      FROM steps GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_episodes,
+           CAST(SUM(n_steps) AS BIGINT) AS n_steps,
+           ROUND(CAST(SUM(gg) AS DOUBLE)
+                 / (COUNT(*) * {RET_DENOM}.0), 6) AS mean_return,
+           ROUND(CAST(MAX(gg) AS DOUBLE) / {RET_DENOM}.0, 6)
+             AS best_return
+    FROM episodes GROUP BY user_id
+    """,
+)
+def q395_discounted_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted episode returns over logged interaction sessions —
+    the offline-RL / decision-transformer data-prep op: episodes are
+    q56's 30-minute-gap sessions, the reward stream is `value` in
+    step order, and each episode's return is G = sum_t r_t *
+    gamma^t with gamma = 1/2 truncated at t < {RET_HORIZON}. Emits
+    the per-user dataset card (episode count, total steps, mean and
+    best return) that return-conditioned training filters on.
+    Complements q391 (off-policy value of a TARGET policy) with the
+    BEHAVIOR policy's realized returns.
+
+    Determinism: gamma = 1/2 is dyadic, so r_t * gamma^t scaled by
+    2^{RET_HORIZON} and a 1-cent reward grid is an exact BIGINT per
+    step; episode and user sums are integer-exact and order-free,
+    then one IEEE division at the end (identical both engines).
+
+    Scale: one shuffle on user_id shared by both window passes
+    (q56's plan), then per-(user, session) and per-user reduces —
+    no joins at all.
+    """
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ev = t(spark, sf_dir, "events")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
+                > 1800 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    steps = flagged.select(
+        "user_id",
+        "value",
+        F.sum("is_new").over(wsum).alias("sid"),
+        "ts",
+        "event_id",
+    ).select(
+        "user_id",
+        "sid",
+        "value",
+        (
+            F.row_number().over(
+                W.partitionBy("user_id", "sid").orderBy(
+                    F.col("ts").asc(), F.col("event_id").asc()
+                )
+            )
+            - 1
+        ).alias("t"),
+    )
+    gg_term = F.when(
+        F.col("t") < RET_HORIZON,
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        * F.pow(F.lit(2.0), F.lit(RET_HORIZON) - F.col("t")).cast("bigint"),
+    ).otherwise(F.lit(0))
+    episodes = steps.groupBy("user_id", "sid").agg(
+        F.sum(gg_term).alias("gg"), F.count(F.lit(1)).alias("n_steps")
+    )
+    return episodes.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_episodes"),
+        F.sum("n_steps").cast("bigint").alias("n_steps"),
+        F.round(
+            F.sum("gg").cast("double")
+            / (F.count(F.lit(1)) * F.lit(float(RET_DENOM))),
+            6,
+        ).alias("mean_return"),
+        F.round(F.max("gg").cast("double") / F.lit(float(RET_DENOM)), 6).alias(
+            "best_return"
+        ),
+    )

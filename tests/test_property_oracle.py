@@ -104,6 +104,15 @@ EVENT_QUERIES = [
     # k); purchase-only corpora make every exposure set empty and
     # efficiency puts all mass on v('') — both engines must agree
     "q390_shapley_attribution",
+    # single-event users / all-same-type streaks can empty the duel
+    # matrix (both engines emit zero rows); never-winning arms hit
+    # the 1-grid-unit strength floor; tied values exercise the
+    # lexicographic winner rule; tiny arm pools shrink k
+    "q393_bradley_terry",
+    # duplicate timestamps attack the step-order tie-break (event_id
+    # total order must agree); single-event episodes pin t=0 (return
+    # == reward/2^... grid); >horizon-length sessions zero the tail
+    "q395_discounted_returns",
 ]
 DOC_QUERIES = [
     "q60_dedup_exact",
@@ -220,6 +229,10 @@ DOC_QUERIES = [
     # mass-duplicated corpora push every doc into one bucket (capped)
     # and single-source corpora zero every cut on both engines
     "q387_dedup_partition_conductance",
+    # no-dup corpora zero n_dup_pairs (NULL leak_rate); mass-dup
+    # corpora exercise the LSH bucket cap upstream of the leak join;
+    # all-train hash draws zero the taint denominator on both engines
+    "q394_split_leakage_audit",
     # 1-char words are all-vocab by construction; repeated single-word
     # corpora collapse the piece model to one column of the DP
     "q388_unigram_viterbi_tokenizer",
@@ -282,6 +295,10 @@ ORDER_QUERIES = [
     # 1-order calibration sets pin the conformal rank at n; empty
     # test halves NULL the coverage on both engines
     "q381_split_conformal",
+    # constant-status corpora pin every reward at 1 (logging_ctr = 1,
+    # IPS = clipped mean weight); tiny key pools exercise the
+    # explore-arm hash mix and the p0 > 0 filter must drop nothing
+    "q391_ips_offpolicy_eval",
 ]
 
 
@@ -470,6 +487,11 @@ EMB_QUERIES = [
     # duplicate vectors tie every cosine at the graded ranking; all-
     # rel-0 queries NULL the nDCG (IDCG = 0) on both engines
     "q382_ndcg_at_k",
+    # all-duplicate corpora (dup=1) zero every distance: the greedy
+    # argmax degenerates to pure vec_id tie-breaks for 7 straight
+    # rounds on both engines; near-zero vectors shrink md toward the
+    # 1e-6 rounding grid where min/LEAST associativity must hold
+    "q392_kcenter_coreset",
 ]
 
 emb_params = st.tuples(
