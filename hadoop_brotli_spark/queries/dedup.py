@@ -1197,3 +1197,134 @@ def q394_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("taint_rate"),
     )
+
+
+# ---------- q396 sketch-space source-overlap matrix + exact audit
+
+
+@register(
+    "q396_source_overlap_matrix",
+    oracle=f"""
+    WITH {{shingle_ctes}},
+    srcsh AS (
+      SELECT DISTINCT d.source, md5(s.shingle) AS h
+      FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    sizes AS (
+      SELECT source, COUNT(*) AS n FROM srcsh GROUP BY source
+    ),
+    sigs AS (
+      SELECT source,
+        {", ".join(
+            f"MIN(CAST('0x' || substr(h, {i * 4 + 1}, 4) AS BIGINT))"
+            f" AS m{i}" for i in range(8))}
+      FROM srcsh GROUP BY source
+    ),
+    common AS (
+      SELECT a.source AS sa, b.source AS sb, COUNT(*) AS c
+      FROM srcsh a JOIN srcsh b
+        ON a.h = b.h AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           ROUND(({" + ".join(
+               f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)"
+               for i in range(8))}) / 8.0, 6) AS est_jaccard,
+           ROUND(CAST(COALESCE(c.c, 0) AS DOUBLE)
+                 / (na.n + nb.n - COALESCE(c.c, 0)), 6) AS exact_jaccard,
+           CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+           CAST(COALESCE(c.c, 0) AS BIGINT) AS n_common
+    FROM sigs a
+    JOIN sigs b ON a.source < b.source
+    JOIN sizes na ON na.source = a.source
+    JOIN sizes nb ON nb.source = b.source
+    LEFT JOIN common c ON c.sa = a.source AND c.sb = b.source
+    """.format(shingle_ctes=_sql_shingles(3)),
+)
+def q396_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-to-source shingle-overlap matrix, SKETCH estimate and
+    exact certification side by side — the corpus-composition
+    question ('which feeds duplicate each other?') answered at the
+    source grain before any doc-level dedup runs: per source, an
+    8-component MinHash signature over the distinct 3-shingle set
+    (64 bytes per source, mergeable — at 100 TB each ingest shard
+    MINs its own partial signature and a k-row reduce finishes);
+    est_jaccard = matching-component share, certified against the
+    exact source-grain Jaccard from the inverted-index join. The
+    source-grain complement of q387 (conductance of the doc-level
+    near-dup graph) and q124 (vocab overlap): shingle-set overlap
+    catches shared PASSAGES, not just shared words.
+
+    Determinism: signatures are MINs of md5-chunk integers (exact,
+    order-free); both Jaccards are exact integer ratios on the 1e-6
+    grid.
+
+    Scale: the sketch side is one map-side MIN reduce to |sources|
+    rows then a broadcast-sized |sources|^2 join; the exact side's
+    shingle-hash equi-join fans out at most C(|sources|, 2) rows per
+    distinct hash (srcsh is DISTINCT per source), so it is bounded
+    by source count, never corpus size — and at petabyte scale the
+    exact stage is the audit you run on a sample while the sketch
+    runs on everything.
+    """
+    sh = _shingle_df(spark, sf_dir, 3)
+    src = t(spark, sf_dir, "documents").select("doc_id", "source")
+    srcsh = (
+        sh.join(src, "doc_id")
+        .select("source", F.md5(F.col("shingle").cast("binary")).alias("h"))
+        .distinct()
+    )
+    sizes = srcsh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    sigs = srcsh.groupBy("source").agg(
+        *[
+            F.min(
+                F.conv(F.substring("h", i * 4 + 1, 4), 16, 10).cast("long")
+            ).alias(f"m{i}")
+            for i in range(8)
+        ]
+    )
+    a = sigs.select(
+        F.col("source").alias("source_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(8)],
+    )
+    b = sigs.select(
+        F.col("source").alias("source_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(8)],
+    )
+    common = (
+        srcsh.alias("x")
+        .join(
+            srcsh.alias("y"),
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    na = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    cc = F.coalesce(F.col("c"), F.lit(0))
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .join(F.broadcast(common), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(matches / F.lit(8.0), 6).alias("est_jaccard"),
+            F.round(
+                cc.cast("double") / (F.col("n_a") + F.col("n_b") - cc), 6
+            ).alias("exact_jaccard"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            cc.cast("bigint").alias("n_common"),
+        )
+    )

@@ -233,6 +233,10 @@ DOC_QUERIES = [
     # corpora exercise the LSH bucket cap upstream of the leak join;
     # all-train hash draws zero the taint denominator on both engines
     "q394_split_leakage_audit",
+    # single-source corpora empty the pair matrix; all-short docs
+    # (<3 words) empty srcsh entirely; identical-corpus sources must
+    # read est=1.0 AND exact=1.0 on both engines
+    "q396_source_overlap_matrix",
     # 1-char words are all-vocab by construction; repeated single-word
     # corpora collapse the piece model to one column of the DP
     "q388_unigram_viterbi_tokenizer",
