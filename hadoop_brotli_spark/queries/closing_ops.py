@@ -8499,11 +8499,15 @@ TFIDF_TOPK = 15
       GROUP BY a.doc_id, b.doc_id
     ),
     scored AS (
+      -- zero-norm docs (every term at df == nd -> all weights 0)
+      -- have UNDEFINED cosine (0/0): dropped on BOTH engines, else
+      -- Spark's ANSI mode throws and DuckDB ranks the NaN first
       SELECT d.doc_a, d.doc_b,
              d.dot / (na.nrm * nb.nrm) AS cosine
       FROM dots d
       JOIN norms na ON na.doc_id = d.doc_a
       JOIN norms nb ON nb.doc_id = d.doc_b
+      WHERE na.nrm > 0 AND nb.nrm > 0
     )
     SELECT doc_a, doc_b, cosine, CAST(rk AS BIGINT) AS rk
     FROM (
@@ -8603,6 +8607,10 @@ def q333_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         dots.join(na, "doc_a")
         .join(nb, "doc_b")
+        # zero-norm docs have undefined cosine (0/0): drop BEFORE
+        # the division (ANSI mode throws DIVIDE_BY_ZERO otherwise —
+        # property-hunt find, r4 degenerate all-stopword corpus)
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
         .select(
             "doc_a",
             "doc_b",

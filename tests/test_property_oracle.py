@@ -177,7 +177,9 @@ DOC_QUERIES = [
     # stage counts must collapse identically on both engines
     "q300_pipeline_funnel_v2",
     # mass-duplicated corpora collapse DF to n_docs (idf -> ln(1) = 0
-    # vectors) and tie every cosine; 1-word docs shrink the prefix
+    # vectors) and tie every cosine; 1-word docs shrink the prefix;
+    # all-weights-zero docs (every term at df == nd) make cosine 0/0
+    # — dropped on both engines (r4 hunt find: ANSI DIVIDE_BY_ZERO)
     "q333_tfidf_cosine_pairs",
     # repeated single-word corpora pin tf saturation; query terms
     # absent from the corpus must zero identically
