@@ -1,0 +1,931 @@
+"""Round-4 expansion operators: generation-quality scoring (BLEU),
+graph link prediction, privacy audits beyond k-anonymity, frequency-
+moment sketches, survival hazards, quantile-forecast evaluation,
+speculative-decoding analytics, diversity-aware retrieval, embedding
+moment drift, and semi-supervised label propagation.
+
+Shares the repo's determinism contract (FIXTURES.md): exact integer /
+DECIMAL reductions wherever cross-row sums occur, common-denominator
+integer arithmetic for distribution distances, ROUND(…, 6) on final
+float columns, and total-order tie-breakers on every ranked output.
+
+Reference parity note: the reference (tesseract2048/hadoop-brotli) is
+a compression codec (`BroCodec.java`) with no query surface; these
+operators extend the engine's LLM-data-pipeline layer per SURVEY.md
+§2b, all DataFrame-first with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+# ---------------------------------------------------------------------------
+# q397 BLEU-2 pair scoring (linear brevity penalty)
+#
+# Complements q386 ROUGE-L (LCS recall): BLEU is the PRECISION-side
+# generation metric — clipped n-gram precision with a brevity
+# penalty. Pairing rule (shared spec): within each lang, docs ordered
+# by doc_id; each doc is the "candidate" scored against the NEXT doc
+# as "reference" (a deterministic stand-in for model-output vs
+# gold-reference pairs, which the fixture corpus lacks).
+#
+# Determinism: clipped counts and token lengths are exact integers;
+# p1/p2 are single exact-operand divisions; the brevity penalty is
+# the LINEAR variant min(1, n_cand/n_ref) (shared spec — avoids
+# cross-engine exp()); bleu2 = bp * sqrt(p1*p2) uses only IEEE
+# correctly-rounded ops (divide, multiply, sqrt) on identical
+# operands, then ROUND 6.
+
+
+@register(
+    "q397_bleu_pair_scoring",
+    category="ml-eval-calibration",
+    oracle="""
+    WITH pairs AS (
+      SELECT doc_id AS cand_id,
+             LEAD(doc_id) OVER (PARTITION BY lang ORDER BY doc_id)
+               AS ref_id
+      FROM documents
+    ),
+    p AS (SELECT cand_id, ref_id FROM pairs WHERE ref_id IS NOT NULL),
+    toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+      FROM documents
+    ),
+    uni AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w),
+    ulen AS (SELECT doc_id, SUM(c) AS n FROM uni GROUP BY doc_id),
+    big AS (
+      SELECT doc_id, b[1] || ' ' || b[2] AS w, COUNT(*) AS c
+      FROM (
+        SELECT doc_id,
+               UNNEST(LIST_ZIP(ws[:LEN(ws)-1], ws[2:])) AS b
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws
+              FROM documents)
+      ) GROUP BY doc_id, w
+    ),
+    blen AS (SELECT doc_id, SUM(c) AS n FROM big GROUP BY doc_id),
+    clip1 AS (
+      SELECT p.cand_id, SUM(LEAST(a.c, r.c)) AS m
+      FROM p
+      JOIN uni a ON a.doc_id = p.cand_id
+      JOIN uni r ON r.doc_id = p.ref_id AND r.w = a.w
+      GROUP BY p.cand_id
+    ),
+    clip2 AS (
+      SELECT p.cand_id, SUM(LEAST(a.c, r.c)) AS m
+      FROM p
+      JOIN big a ON a.doc_id = p.cand_id
+      JOIN big r ON r.doc_id = p.ref_id AND r.w = a.w
+      GROUP BY p.cand_id
+    ),
+    scored AS (
+      SELECT p.cand_id, p.ref_id,
+             CAST(lc.n AS BIGINT) AS n_cand,
+             CAST(lr.n AS BIGINT) AS n_ref,
+             CAST(COALESCE(c1.m, 0) AS DOUBLE) / lc.n AS p1,
+             CAST(COALESCE(c2.m, 0) AS DOUBLE) / NULLIF(bc.n, 0) AS p2,
+             LEAST(1.0, CAST(lc.n AS DOUBLE) / lr.n) AS bp
+      FROM p
+      JOIN ulen lc ON lc.doc_id = p.cand_id
+      JOIN ulen lr ON lr.doc_id = p.ref_id
+      LEFT JOIN blen bc ON bc.doc_id = p.cand_id
+      LEFT JOIN clip1 c1 ON c1.cand_id = p.cand_id
+      LEFT JOIN clip2 c2 ON c2.cand_id = p.cand_id
+    )
+    SELECT cand_id, ref_id, n_cand, n_ref,
+           ROUND(p1, 6) AS p1,
+           ROUND(COALESCE(p2, 0.0), 6) AS p2,
+           ROUND(bp, 6) AS bp,
+           ROUND(bp * SQRT(p1 * COALESCE(p2, 0.0)), 6) AS bleu2
+    FROM scored
+    """,
+)
+def q397_bleu_pair_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 with clipped n-gram precision and a linear brevity
+    penalty over same-lang (doc, next-doc) pairs — the precision-side
+    generation-quality metric completing q386's ROUGE-L (recall
+    side): p1/p2 are unigram/bigram counts clipped by the reference's
+    counts, so copying one reference word 50 times scores 1/50th of
+    the naive precision.
+
+    Plan: per-doc n-gram count tables (one explode each), pair frame
+    from a LEAD window over the lang grain, then two (doc, ngram)
+    equi-joins per pair — hash joins on doc_id + token, no pair
+    blow-up beyond shared-ngram matches. At 100 TB the count tables
+    are the shuffled grain (bounded by corpus token count) and the
+    pair frame is corpus-row-sized; nothing is quadratic.
+
+    Determinism: integer clip sums; bp = min(1, n_c/n_r) (linear
+    variant, shared spec — avoids cross-engine exp); bleu2 uses only
+    correctly-rounded IEEE ops; ROUND 6 everywhere; p2 of a 1-token
+    candidate is defined 0 via NULLIF/COALESCE on both engines.
+    """
+    d = t(spark, sf_dir, "documents")
+    pairs = (
+        d.select(
+            F.col("doc_id").alias("cand_id"),
+            F.lead("doc_id")
+            .over(Window.partitionBy("lang").orderBy("doc_id"))
+            .alias("ref_id"),
+        )
+        .filter(F.col("ref_id").isNotNull())
+    )
+    ws = F.split("text", " ")
+    uni = (
+        d.select("doc_id", F.explode(ws).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ulen = uni.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))).alias("a"),
+                F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))).alias("b"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.concat_ws(" ", "p.a", "p.b").alias("w"))
+    big = bigrams.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    blen = big.groupBy("doc_id").agg(F.sum("c").alias("n"))
+
+    def clip(counts: DataFrame) -> DataFrame:
+        a = counts.select(
+            F.col("doc_id").alias("cand_id"), "w", F.col("c").alias("ca")
+        )
+        r = counts.select(
+            F.col("doc_id").alias("ref_id"), "w", F.col("c").alias("cr")
+        )
+        return (
+            pairs.join(a, "cand_id")
+            .join(r, ["ref_id", "w"])
+            .groupBy("cand_id")
+            .agg(F.sum(F.least("ca", "cr")).alias("m"))
+        )
+
+    c1 = clip(uni).withColumnRenamed("m", "m1")
+    c2 = clip(big).withColumnRenamed("m", "m2")
+    p1 = F.coalesce(F.col("m1"), F.lit(0)).cast("double") / F.col("nc")
+    p2 = F.coalesce(
+        F.coalesce(F.col("m2"), F.lit(0)).cast("double")
+        / F.nullif(F.col("nb"), F.lit(0)),
+        F.lit(0.0),
+    )
+    bp = F.least(F.lit(1.0), F.col("nc").cast("double") / F.col("nr"))
+    return (
+        pairs.join(ulen.select(F.col("doc_id").alias("cand_id"), F.col("n").alias("nc")), "cand_id")
+        .join(ulen.select(F.col("doc_id").alias("ref_id"), F.col("n").alias("nr")), "ref_id")
+        .join(blen.select(F.col("doc_id").alias("cand_id"), F.col("n").alias("nb")), "cand_id", "left")
+        .join(c1, "cand_id", "left")
+        .join(c2, "cand_id", "left")
+        .select(
+            "cand_id",
+            "ref_id",
+            F.col("nc").cast("bigint").alias("n_cand"),
+            F.col("nr").cast("bigint").alias("n_ref"),
+            F.round(p1, 6).alias("p1"),
+            F.round(p2, 6).alias("p2"),
+            F.round(bp, 6).alias("bp"),
+            F.round(bp * F.sqrt(p1 * p2), 6).alias("bleu2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q398 link prediction: resource-allocation index + Jaccard
+#
+# Bipartite supplier–part graph from lineitem. For supplier pairs
+# sharing ≥1 part, the resource-allocation index (Zhou/Lü/Zhang 2009)
+# Σ_{z ∈ common} 1/deg(z) — the exact-rational cousin of Adamic-Adar
+# (whose 1/ln(deg) terms are not portably summable cross-engine).
+
+RA_DEG_CAP = 64  # parts supplied by more suppliers than this are
+# hub noise for link prediction AND the pair-join fan-out hazard;
+# excluded by shared spec (certified: the oracle applies the same cap)
+RA_TOPK = 30
+
+
+@register(
+    "q398_link_prediction_ra",
+    oracle=f"""
+    WITH bip AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    deg AS (
+      SELECT p, COUNT(*) AS d FROM bip GROUP BY p
+      HAVING COUNT(*) <= {RA_DEG_CAP}
+    ),
+    sdeg AS (SELECT s, COUNT(*) AS ds FROM bip GROUP BY s),
+    pairs AS (
+      SELECT a.s AS supp_a, b.s AS supp_b,
+             COUNT(*) AS common_parts,
+             SUM(CAST(ROUND(1.0 / deg.d, 9) AS DECIMAL(18,9))) AS ra
+      FROM bip a
+      JOIN bip b ON b.p = a.p AND a.s < b.s
+      JOIN deg ON deg.p = a.p
+      GROUP BY a.s, b.s
+    ),
+    scored AS (
+      SELECT p.supp_a, p.supp_b,
+             CAST(p.common_parts AS BIGINT) AS common_parts,
+             CAST(p.ra AS DOUBLE) AS ra_score,
+             ROUND(CAST(p.common_parts AS DOUBLE)
+                   / (da.ds + db.ds - p.common_parts), 6) AS jaccard
+      FROM pairs p
+      JOIN sdeg da ON da.s = p.supp_a
+      JOIN sdeg db ON db.s = p.supp_b
+    )
+    SELECT supp_a, supp_b, common_parts, ra_score, jaccard,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY ra_score DESC, supp_a ASC, supp_b ASC
+           ) AS BIGINT) AS rn
+    FROM scored
+    QUALIFY rn <= {RA_TOPK}
+    """,
+)
+def q398_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the supplier co-supply bipartite graph:
+    resource-allocation index Σ 1/deg(part) over shared parts, plus
+    neighborhood Jaccard — "which supplier pairs that never co-occur
+    are most likely to" is the same inverted-index pair computation
+    every entity-graph enrichment pipeline runs, and RA is the
+    strongest of the local (common-neighbor-family) predictors.
+
+    Scale: the pair stage is the classic inverted-index self-join on
+    the part key — per-part fan-out is C(deg,2), so the shared
+    {RA_DEG_CAP}-degree cap (certified: the oracle applies the SAME
+    cap, so correctness proves the cap's semantics, and hub parts
+    carry ~zero RA weight anyway) bounds the worst key at
+    ~{RA_DEG_CAP}²/2 rows; top-k goes through one TakeOrdered.
+
+    Determinism: RA terms are ROUND(1/d, 9) summed as DECIMAL(18,9)
+    — exact, order-free; Jaccard is a single division of integers.
+    """
+    bip = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = (
+        bip.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") <= RA_DEG_CAP)
+    )
+    sdeg = bip.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
+    a = bip.select(F.col("s").alias("supp_a"), "p")
+    b = bip.select(F.col("s").alias("supp_b"), "p")
+    pairs = (
+        a.join(b, "p")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .join(deg, "p")
+        .groupBy("supp_a", "supp_b")
+        .agg(
+            F.count(F.lit(1)).alias("common_parts"),
+            F.sum(
+                F.round(F.lit(1.0) / F.col("d"), 9).cast("decimal(18,9)")
+            ).alias("ra"),
+        )
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(sdeg.select(F.col("s").alias("supp_a"), F.col("ds").alias("da"))),
+            "supp_a",
+        )
+        .join(
+            F.broadcast(sdeg.select(F.col("s").alias("supp_b"), F.col("ds").alias("db"))),
+            "supp_b",
+        )
+        .select(
+            "supp_a",
+            "supp_b",
+            F.col("common_parts").cast("bigint").alias("common_parts"),
+            F.col("ra").cast("double").alias("ra_score"),
+            F.round(
+                F.col("common_parts").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common_parts")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("ra_score").desc(), F.col("supp_a").asc(), F.col("supp_b").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= RA_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q399 l-diversity + t-closeness privacy audit
+#
+# Extends q247 (k-anonymity census) and q280 (generalization ladder):
+# k-anonymity alone is famously insufficient — a class can be large
+# yet reveal everyone's sensitive value (homogeneity attack), which
+# l-diversity catches; skewed-but-diverse classes leak via
+# distribution distance, which t-closeness catches.
+
+TC_K_MIN = 10
+TC_L_MIN = 2
+TC_T_MAX = 0.2
+_TC_SENS = (
+    "CASE WHEN c_acctbal < 0 THEN 'debt' "
+    "WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END"
+)
+
+
+@register(
+    "q399_ldiversity_tcloseness",
+    category="llm-corpus-pipeline",
+    oracle=f"""
+    WITH base AS (
+      SELECT c.c_mktsegment AS segment, n.n_regionkey AS region,
+             {_TC_SENS} AS sens
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    gl AS (SELECT sens, COUNT(*) AS cg FROM base GROUP BY sens),
+    cls AS (
+      SELECT segment, region, COUNT(*) AS k,
+             COUNT(DISTINCT sens) AS l
+      FROM base GROUP BY segment, region
+    ),
+    cell AS (
+      SELECT segment, region, sens, COUNT(*) AS cc
+      FROM base GROUP BY segment, region, sens
+    ),
+    grid AS (
+      SELECT c.segment, c.region, c.k, c.l, g.sens, g.cg,
+             COALESCE(ce.cc, 0) AS cc
+      FROM cls c
+      CROSS JOIN gl g
+      LEFT JOIN cell ce ON ce.segment = c.segment
+        AND ce.region = c.region AND ce.sens = g.sens
+    ),
+    tvd AS (
+      SELECT segment, region, k, l,
+             SUM(ABS(cc * t.n - cg * k)) AS num
+      FROM grid, tot t
+      GROUP BY segment, region, k, l, t.n
+    )
+    SELECT segment, region,
+           CAST(k AS BIGINT) AS k,
+           CAST(l AS BIGINT) AS l_distinct,
+           ROUND(0.5 * num / (k * (SELECT n FROM tot)), 6) AS tvd,
+           k >= {TC_K_MIN} AS k_anon_pass,
+           l >= {TC_L_MIN} AS l_div_pass,
+           0.5 * num / (k * (SELECT n FROM tot)) <= {TC_T_MAX}
+             AS t_close_pass
+    FROM tvd
+    """,
+)
+def q399_ldiversity_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity and t-closeness audit over quasi-identifier
+    classes (market segment × region) with account-balance band as
+    the sensitive attribute: per class, size k, distinct sensitive
+    values l, and the total-variation distance between the class's
+    sensitive distribution and the global one — the three release
+    gates (k ≥ {TC_K_MIN}, l ≥ {TC_L_MIN}, t ≤ {TC_T_MAX}) evaluated
+    together, because each catches an attack the previous one misses.
+
+    Determinism: TVD is computed over a common denominator —
+    0.5·Σ|cc·N − cg·k| / (k·N) — so the sum is exact integer
+    arithmetic and only the final division touches floats.
+
+    Scale: two grouped reduces to the class/cell grain plus a
+    broadcast of the |sens|-row global distribution; the class grid
+    is |classes|×|bands|, never row-scale.
+    """
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    base = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n_regionkey").alias("region"),
+        F.expr(_TC_SENS).alias("sens"),
+    )
+    gl = base.groupBy("sens").agg(F.count(F.lit(1)).alias("cg"))
+    cls = base.groupBy("segment", "region").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct("sens").alias("l"),
+    )
+    cell = base.groupBy("segment", "region", "sens").agg(
+        F.count(F.lit(1)).alias("cc")
+    )
+    total = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    grid = (
+        cls.crossJoin(F.broadcast(gl))
+        .join(F.broadcast(cell), ["segment", "region", "sens"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "segment",
+            "region",
+            "k",
+            "l",
+            "n",
+            (
+                F.abs(
+                    F.coalesce(F.col("cc"), F.lit(0)) * F.col("n")
+                    - F.col("cg") * F.col("k")
+                )
+            ).alias("term"),
+        )
+    )
+    tvd_num = grid.groupBy("segment", "region", "k", "l", "n").agg(
+        F.sum("term").alias("num")
+    )
+    tvd = F.lit(0.5) * F.col("num") / (F.col("k") * F.col("n"))
+    return tvd_num.select(
+        "segment",
+        "region",
+        F.col("k").cast("bigint").alias("k"),
+        F.col("l").cast("bigint").alias("l_distinct"),
+        F.round(tvd, 6).alias("tvd"),
+        (F.col("k") >= TC_K_MIN).alias("k_anon_pass"),
+        (F.col("l") >= TC_L_MIN).alias("l_div_pass"),
+        (tvd <= TC_T_MAX).alias("t_close_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q400 AMS F2 sketch: self-join-size estimation
+#
+# The second frequency moment F2 = Σ_k c(k)² IS the self-join size of
+# lineitem on l_partkey — the number the optimizer needs before
+# picking a join strategy. The AMS sketch (Alon-Matias-Szegedy 1996)
+# estimates it from 32 ±1-sign counters: estimator e keeps
+# S_e = Σ_k sign_e(k)·c(k); E[S_e²] = F2. Median of 4 group-means of
+# 8 boosts confidence. All-integer arithmetic end to end.
+
+AMS_EST = 32  # estimators = one md5 nibble each
+AMS_GROUPS = 4  # median-of-means groups (8 estimators each)
+
+
+def _ams_sign_sql(e: int) -> str:
+    # high bit of hex nibble e of md5(key): 8..f -> +1, 0..7 -> -1
+    return (
+        f"CASE WHEN strpos('89abcdef', substr(md5(CAST(l_partkey AS VARCHAR)"
+        f" || '_ams'), {e + 1}, 1)) > 0 THEN 1 ELSE -1 END"
+    )
+
+
+@register(
+    "q400_ams_f2_sketch",
+    category="mixed-extensions",
+    oracle=f"""
+    WITH counts AS (
+      SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY l_partkey
+    ),
+    sums AS (
+      SELECT
+        {", ".join(f"SUM(({_ams_sign_sql(e)}) * c) AS s{e}" for e in range(AMS_EST))},
+        SUM(c * c) AS f2_exact,
+        COUNT(*) AS n_keys,
+        SUM(c) AS n_rows
+      FROM counts
+    ),
+    means AS (
+      SELECT f2_exact, n_keys, n_rows,
+        {", ".join(
+            "(" + " + ".join(f"s{g * 8 + i} * s{g * 8 + i}" for i in range(8))
+            + f") / 8.0 AS g{g}" for g in range(AMS_GROUPS))}
+      FROM sums
+    ),
+    med AS (
+      SELECT f2_exact, n_keys, n_rows,
+             LIST_SORT([g0, g1, g2, g3]) AS gs
+      FROM means
+    )
+    SELECT CAST(f2_exact AS BIGINT) AS f2_exact,
+           ROUND((gs[2] + gs[3]) / 2.0, 4) AS f2_est,
+           ROUND(((gs[2] + gs[3]) / 2.0 - f2_exact) / f2_exact, 6)
+             AS rel_err,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(n_rows AS BIGINT) AS n_rows
+    FROM med
+    """,
+)
+def q400_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch vs exact: estimates the
+    l_partkey self-join size from {AMS_EST} ±1-sign counters
+    (median of {AMS_GROUPS} means of 8), certified against the exact
+    F2 = Σc² in the same row — the join-size estimator a cost-based
+    planner consults before choosing shuffle vs broadcast.
+
+    Scale/mergeability: each sign counter is a plain SUM, so every
+    ingest shard can reduce its own 32 partial counters and a k-row
+    merge finishes — the sketch is 256 bytes regardless of key
+    cardinality. Signs come from md5 nibbles of the key (shared
+    spec), so S_e, S_e², group means, and the even-count median
+    ((2nd+3rd)/2 of 4 sorted values) are all exact arithmetic.
+    """
+    counts = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    h = F.md5(F.concat(F.col("l_partkey").cast("string"), F.lit("_ams")))
+    signs = [
+        F.when(
+            F.substring(h, e + 1, 1).isin(*list("89abcdef")), F.lit(1)
+        ).otherwise(F.lit(-1))
+        for e in range(AMS_EST)
+    ]
+    sums = counts.agg(
+        *[F.sum(signs[e] * F.col("c")).alias(f"s{e}") for e in range(AMS_EST)],
+        F.sum(F.col("c") * F.col("c")).alias("f2_exact"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+    )
+    gmeans = [
+        (
+            sum(F.col(f"s{g * 8 + i}") * F.col(f"s{g * 8 + i}") for i in range(8))
+            / F.lit(8.0)
+        ).alias(f"g{g}")
+        for g in range(AMS_GROUPS)
+    ]
+    med = sums.select("f2_exact", "n_keys", "n_rows", *gmeans).select(
+        "f2_exact",
+        "n_keys",
+        "n_rows",
+        F.array_sort(F.array(*[F.col(f"g{g}") for g in range(AMS_GROUPS)])).alias(
+            "gs"
+        ),
+    )
+    est = (F.col("gs")[1] + F.col("gs")[2]) / F.lit(2.0)
+    return med.select(
+        F.col("f2_exact").cast("bigint").alias("f2_exact"),
+        F.round(est, 4).alias("f2_est"),
+        F.round((est - F.col("f2_exact")) / F.col("f2_exact"), 6).alias("rel_err"),
+        F.col("n_keys").cast("bigint").alias("n_keys"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q401 Nelson-Aalen cumulative hazard
+#
+# The estimator dual to q261's Kaplan-Meier: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ
+# with variance Σ dᵢ/nᵢ² — sums of exact-operand rationals instead of
+# KM's Π(1−d/n) product, so it needs no exp/ln at all.
+
+NA_WINDOW_DAYS = 7  # same administrative censoring horizon as q261
+
+
+@register(
+    "q401_nelson_aalen",
+    category="analytics-stats (regression/tests/causal)",
+    oracle=f"""
+    WITH su AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    pu AS (
+      SELECT e.user_id, MIN(e.ts) AS t1
+      FROM events e JOIN su ON su.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= su.t0
+      GROUP BY e.user_id
+    ),
+    obs AS (
+      SELECT su.user_id,
+             CASE WHEN p.t1 IS NULL
+                    OR date_diff('day', CAST(su.t0 AS DATE), CAST(p.t1 AS DATE))
+                       > {NA_WINDOW_DAYS}
+                  THEN {NA_WINDOW_DAYS}
+                  ELSE date_diff('day', CAST(su.t0 AS DATE), CAST(p.t1 AS DATE))
+             END AS tday,
+             CASE WHEN p.t1 IS NOT NULL
+                    AND date_diff('day', CAST(su.t0 AS DATE), CAST(p.t1 AS DATE))
+                        <= {NA_WINDOW_DAYS}
+                  THEN 1 ELSE 0 END AS ev
+      FROM su LEFT JOIN pu p ON p.user_id = su.user_id
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM obs),
+    steps AS (SELECT tday, SUM(ev) AS d, SUM(1 - ev) AS c
+              FROM obs GROUP BY tday),
+    na AS (
+      SELECT tday, d, c,
+             n - COALESCE(SUM(d + c) OVER (ORDER BY tday
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM steps, tot
+    )
+    SELECT tday AS t_day,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d_events,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(d AS DOUBLE) / n_risk, 9)
+                          AS DECIMAL(18,9))) OVER (ORDER BY tday)
+                 AS DOUBLE), 6) AS cum_hazard,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(d AS DOUBLE) / (n_risk * n_risk), 9)
+                          AS DECIMAL(18,9))) OVER (ORDER BY tday)
+                 AS DOUBLE), 6) AS hazard_var
+    FROM na
+    """,
+)
+def q401_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard for signup→first-purchase with
+    {NA_WINDOW_DAYS}-day administrative censoring — the estimator
+    paired with q261's Kaplan-Meier: H(t) = Σ dᵢ/nᵢ plus its variance
+    Σ dᵢ/nᵢ², the additive form survival tooling prefers because
+    hazard DIFFERENCES between cohorts are directly comparable.
+
+    Determinism: hazard terms are ROUND(d/n, 9) accumulated as
+    DECIMAL over the cumulative window — exact, order-free — so this
+    query needs none of q261's exp/ln machinery.
+
+    Plan: identical scale shape to q261 — two per-user conditional
+    MIN reduces, then all windows over the bounded
+    {NA_WINDOW_DAYS + 1}-row step table.
+    """
+    ev = t(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    dd = F.datediff(F.col("t1").cast("date"), F.col("t0").cast("date"))
+    obs = su.join(pu, "user_id", "left").select(
+        F.when(
+            F.col("t1").isNull() | (dd > NA_WINDOW_DAYS), F.lit(NA_WINDOW_DAYS)
+        )
+        .otherwise(dd)
+        .alias("tday"),
+        F.when(
+            F.col("t1").isNotNull() & (dd <= NA_WINDOW_DAYS), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("ev"),
+    )
+    steps = obs.groupBy("tday").agg(
+        F.sum("ev").alias("d"), F.sum(F.lit(1) - F.col("ev")).alias("c")
+    )
+    total = obs.agg(F.count(F.lit(1)).alias("n"))
+    w_prev = (
+        Window.orderBy("tday").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    na = steps.crossJoin(F.broadcast(total)).withColumn(
+        "n_risk",
+        F.col("n")
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+    )
+    w_cum = Window.orderBy("tday").rowsBetween(Window.unboundedPreceding, 0)
+    hterm = F.round(F.col("d").cast("double") / F.col("n_risk"), 9).cast(
+        "decimal(18,9)"
+    )
+    vterm = F.round(
+        F.col("d").cast("double") / (F.col("n_risk") * F.col("n_risk")), 9
+    ).cast("decimal(18,9)")
+    return na.select(
+        F.col("tday").alias("t_day"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("d_events"),
+        F.round(F.sum(hterm).over(w_cum).cast("double"), 6).alias("cum_hazard"),
+        F.round(F.sum(vterm).over(w_cum).cast("double"), 6).alias("hazard_var"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q402 pinball-loss quantile-forecast evaluation
+#
+# Point forecasts get MAE/MAPE (q302); QUANTILE forecasts get the
+# pinball loss — the strictly proper scoring rule that q381's
+# conformal intervals and every demand-forecasting pipeline are
+# ultimately judged by.
+
+PINBALL_TAUS = (1, 5, 9)  # tau/10: 0.1, 0.5, 0.9
+PINBALL_SPLIT = "1999-01-01"
+
+
+@register(
+    "q402_pinball_loss",
+    category="ml-eval-calibration",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    train AS (SELECT y FROM daily WHERE day < DATE '{PINBALL_SPLIT}'),
+    ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM train),
+    ranked AS (
+      SELECT y, ROW_NUMBER() OVER (ORDER BY y ASC) AS r FROM train
+    ),
+    taus AS (SELECT UNNEST([{", ".join(str(x) for x in PINBALL_TAUS)}]) AS t10),
+    qs AS (
+      SELECT t.t10, r.y AS q
+      FROM taus t, ntr
+      JOIN ranked r
+        ON r.r = CAST(CEIL(t.t10 * ntr.n / 10.0) AS BIGINT)
+    ),
+    test AS (SELECT y FROM daily WHERE day >= DATE '{PINBALL_SPLIT}'),
+    losses AS (
+      -- integer "cent-tenths": |y-q| in cents x tau-tenths, so the
+      -- test-day sum is exact BIGINT and only one division remains
+      SELECT q.t10, q.q,
+             COUNT(*) AS n_test,
+             SUM(CASE WHEN te.y >= q.q
+                 THEN CAST((te.y - q.q) * 100 AS BIGINT) * q.t10
+                 ELSE CAST((q.q - te.y) * 100 AS BIGINT) * (10 - q.t10)
+                 END) AS loss_num,
+             SUM(CASE WHEN te.y <= q.q THEN 1 ELSE 0 END) AS covered
+      FROM qs q CROSS JOIN test te
+      GROUP BY q.t10, q.q
+    )
+    SELECT ROUND(t10 / 10.0, 1) AS tau,
+           CAST(q AS DOUBLE) AS q_value,
+           CAST(loss_num AS DOUBLE) / (n_test * 1000.0) AS mean_pinball,
+           CAST(n_test AS BIGINT) AS n_test_days,
+           ROUND(CAST(covered AS DOUBLE) / n_test, 6) AS coverage
+    FROM losses
+    """,
+)
+def q402_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss backtest: fit τ ∈ {{0.1, 0.5, 0.9}}
+    daily-revenue quantiles on the pre-{PINBALL_SPLIT} training days
+    (exact order statistics), then score each on the held-out days
+    with the asymmetric pinball loss and report empirical coverage —
+    the strictly proper scoring rule for quantile forecasts, which
+    MAE-style point metrics (q302) cannot rank.
+
+    Determinism: daily revenue is a DECIMAL-exact sum; the τ-quantile
+    is the ⌈τ·n⌉-th order statistic (a value pick — duplicate values
+    cannot change it); pinball terms are integer "cent-tenths"
+    (|y−q| in cents × τ in tenths) so the test-day sum is exact
+    BIGINT, and the single final division is reproducible IEEE.
+
+    Scale: one day-grain reduce, a 3-row quantile frame broadcast
+    onto the test days, one grouped reduce per τ.
+    """
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("y")
+        )
+    )
+    split = F.lit(PINBALL_SPLIT).cast("date")
+    train = daily.filter(F.col("day") < split).select("y")
+    ntr = train.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = train.select(
+        "y", F.row_number().over(Window.orderBy(F.col("y").asc())).alias("r")
+    )
+    taus = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in PINBALL_TAUS])).alias("t10")
+    )
+    qs = (
+        taus.crossJoin(F.broadcast(ntr))
+        .join(
+            ranked,
+            F.col("r")
+            == F.ceil(F.col("t10") * F.col("n") / F.lit(10.0)).cast("bigint"),
+        )
+        .select("t10", F.col("y").alias("q"))
+    )
+    test = daily.filter(F.col("day") >= split).select("y")
+    loss = F.when(
+        F.col("y") >= F.col("q"),
+        ((F.col("y") - F.col("q")) * 100).cast("bigint") * F.col("t10"),
+    ).otherwise(
+        ((F.col("q") - F.col("y")) * 100).cast("bigint")
+        * (F.lit(10) - F.col("t10"))
+    )
+    losses = (
+        F.broadcast(qs)
+        .crossJoin(test)
+        .groupBy("t10", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(loss).alias("loss_num"),
+            F.sum(
+                F.when(F.col("y") <= F.col("q"), 1).otherwise(0)
+            ).alias("covered"),
+        )
+    )
+    return losses.select(
+        F.round(F.col("t10") / F.lit(10.0), 1).alias("tau"),
+        F.col("q").cast("double").alias("q_value"),
+        (F.col("loss_num").cast("double") / (F.col("n_test") * F.lit(1000.0)))
+        .alias("mean_pinball"),
+        F.col("n_test").cast("bigint").alias("n_test_days"),
+        F.round(F.col("covered").cast("double") / F.col("n_test"), 6).alias(
+            "coverage"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q403 speculative-decoding draft acceptance
+#
+# Inference-side analytics (complements q389's KV-cache prefix
+# sharing): a greedy bigram "draft model" proposes the corpus-argmax
+# continuation of each token; the acceptance rate — how often the
+# actual next token matches — is the number that decides whether
+# speculative decoding pays off on this corpus.
+
+
+@register(
+    "q403_draft_acceptance",
+    category="llm-text-analysis",
+    oracle="""
+    WITH toks AS (
+      SELECT d.doc_id, d.source, p.w, p.pos
+      FROM documents d,
+      LATERAL (
+        SELECT UNNEST(STRING_SPLIT(d.text, ' ')) AS w,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(d.text, ' '), 1) AS pos
+      ) p
+    ),
+    steps AS (
+      SELECT a.source, a.w AS w1, b.w AS w2
+      FROM toks a JOIN toks b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ),
+    lm AS (
+      SELECT w1, w2, COUNT(*) AS n FROM steps GROUP BY w1, w2
+    ),
+    draft AS (
+      SELECT w1, w2 AS pred
+      FROM (
+        SELECT w1, w2,
+               ROW_NUMBER() OVER (PARTITION BY w1
+                 ORDER BY n DESC, w2 ASC) AS rn
+        FROM lm
+      ) WHERE rn = 1
+    )
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_steps,
+           CAST(SUM(CASE WHEN s.w2 = d.pred THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_accepted,
+           ROUND(CAST(SUM(CASE WHEN s.w2 = d.pred THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS acceptance_rate
+    FROM steps s JOIN draft d ON d.w1 = s.w1
+    GROUP BY s.source
+    """,
+)
+def q403_draft_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speculative-decoding acceptance-rate audit: a greedy bigram
+    draft model (corpus-argmax continuation per token, ties broken
+    lexicographically) is scored against every actual next-token
+    step, per source — the go/no-go number for speculative decoding,
+    and a corpus-predictability readout in its own right (high
+    acceptance ⇒ templated/boilerplate-heavy source).
+
+    Plan: token positions from one explode; adjacent steps via a
+    self-join on (doc, pos+1) — at 100 TB this is the same
+    shuffle-on-doc_id grain as every n-gram op here (the repo's
+    arrays_zip alternative avoids even that, but the oracle's
+    LATERAL UNNEST pairing keeps both engines on one shared spec);
+    the draft table is |vocab| rows, broadcast onto the steps.
+
+    Determinism: argmax via (count DESC, token ASC) row_number;
+    acceptance is exact integer counting.
+    """
+    d = t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    steps = d.select(
+        "source",
+        F.explode(
+            F.arrays_zip(
+                F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))).alias("a"),
+                F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))).alias("b"),
+            )
+        ).alias("p"),
+    ).select("source", F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
+    lm = steps.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    draft = (
+        lm.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("w1").orderBy(
+                    F.col("n").desc(), F.col("w2").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("w1", F.col("w2").alias("pred"))
+    )
+    acc = F.sum(F.when(F.col("w2") == F.col("pred"), 1).otherwise(0))
+    return (
+        steps.join(F.broadcast(draft), "w1")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_steps"),
+            acc.cast("bigint").alias("n_accepted"),
+            F.round(
+                acc.cast("double") / F.count(F.lit(1)), 6
+            ).alias("acceptance_rate"),
+        )
+    )

@@ -53,6 +53,7 @@ MODULE_CATEGORY = {
     "extras": "mixed-extensions",
     "mleval": "ml-eval-calibration",
     "closing_ops": "llm-pipeline-extended",
+    "expansion": "llm-pipeline-extended",
 }
 
 
@@ -91,6 +92,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         corpus_ops,
         dedup,
         events,
+        expansion,
         extras,
         mleval,
         multimodal,
