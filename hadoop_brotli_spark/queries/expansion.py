@@ -929,3 +929,623 @@ def q403_draft_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acceptance_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q404 maximal-marginal-relevance diverse top-k
+#
+# The retrieval-diversity operator RAG stacks run after ANN: greedy
+# MMR (Carbonell/Goldstein 1998) re-ranks a candidate pool so each
+# pick trades relevance against similarity to what's already picked.
+
+MMR_POOL = 20  # candidate pool: exact top-20 by relevance
+MMR_K = 5  # picks
+# lambda = 0.7 expressed as integer tenths: score = (7*rel - 3*ms)/10
+
+
+def _mmr_oracle() -> str:
+    steps = []
+    for i in range(2, MMR_K + 1):
+        steps.append(f"""
+    ms{i} AS (
+      SELECT s.a AS vec_id, MAX(s.sim) AS m
+      FROM sims s JOIN sel{i - 1} t ON t.vec_id = s.b
+      GROUP BY s.a
+    ),
+    pick{i} AS (
+      SELECT vec_id, rel, m FROM (
+        SELECT c.vec_id, c.rel, ms.m,
+               ROW_NUMBER() OVER (
+                 ORDER BY ROUND((7 * c.rel - 3 * ms.m) / 10, 6) DESC,
+                          c.vec_id ASC) AS rk
+        FROM pool c JOIN ms{i} ms ON ms.vec_id = c.vec_id
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+      ) WHERE rk = 1
+    ),
+    sel{i} AS (
+      SELECT * FROM sel{i - 1}
+      UNION ALL
+      SELECT {i} AS step, vec_id, rel, m AS max_sim_selected,
+             ROUND((7 * rel - 3 * m) / 10, 6) AS mmr_score
+      FROM pick{i}
+    )""")
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT c.vec_id,
+             ROUND(SUM(x.x * y.y)
+                   / (SQRT(SUM(x.x * x.x)) * SQRT(SUM(y.y * y.y))), 6)
+               AS rel
+      FROM embeddings c, q,
+           LATERAL (SELECT UNNEST(c.embedding) AS x,
+                           GENERATE_SUBSCRIPTS(c.embedding, 1) AS i) x,
+           LATERAL (SELECT UNNEST(q.qe) AS y,
+                           GENERATE_SUBSCRIPTS(q.qe, 1) AS i) y
+      WHERE c.vec_id <> 0 AND x.i = y.i
+      GROUP BY c.vec_id
+    ),
+    pool AS (
+      SELECT vec_id, rel FROM (
+        SELECT vec_id, rel,
+               ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= {MMR_POOL}
+    ),
+    sims AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             ROUND(SUM(CAST(ea.embedding[d.d] AS DOUBLE)
+                       * CAST(eb.embedding[d.d] AS DOUBLE))
+                   / (SQRT(SUM(CAST(ea.embedding[d.d] AS DOUBLE)
+                               * CAST(ea.embedding[d.d] AS DOUBLE)))
+                      * SQRT(SUM(CAST(eb.embedding[d.d] AS DOUBLE)
+                                 * CAST(eb.embedding[d.d] AS DOUBLE)))), 6)
+               AS sim
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      CROSS JOIN generate_series(1, 64) AS d(d)
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    sel1 AS (
+      SELECT 1 AS step, vec_id, rel, 0.0 AS max_sim_selected,
+             ROUND(7 * rel / 10, 6) AS mmr_score
+      FROM pool QUALIFY ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id ASC) = 1
+    ),
+    {",".join(steps)}
+    SELECT CAST(step AS BIGINT) AS step, vec_id, rel AS relevance,
+           ROUND(max_sim_selected, 6) AS max_sim_selected, mmr_score
+    FROM sel{MMR_K}
+    """
+
+
+@register("q404_mmr_diverse_topk", category="llm-similarity-ann",
+          oracle=_mmr_oracle())
+def q404_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-{MMR_K}: greedy
+    re-ranking of the exact top-{MMR_POOL} cosine candidates for
+    query vec_id=0, each step maximizing (7·relevance −
+    3·max-sim-to-selected)/10 — the operator that stops a RAG
+    retriever from returning five near-identical passages, run AFTER
+    the ANN stage (q70/q71/q344) on its bounded candidate pool.
+
+    Plan: relevance is one broadcast-query scan (q70's shape); the
+    pool is {MMR_POOL} rows, so the pairwise-sim table and the
+    {MMR_K}-step greedy loop are driver-planned joins over broadcast
+    frames — no collect, no cartesian beyond the pool's own
+    {MMR_POOL}² sims. At 100 TB only the relevance scan grows; the
+    greedy stage is O(pool²) regardless of corpus size.
+
+    Determinism: cosines ROUND 6 (q70 precedent); the MMR score uses
+    integer-weighted arithmetic on identical operands, ROUND 6, with
+    vec_id tie-breaks at every argmax.
+    """
+    from ..functions.columns import dot_product, l2_norm
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                dot_product("embedding", "qe")
+                / (l2_norm("embedding") * l2_norm("qe")),
+                6,
+            ).alias("rel"),
+        )
+    )
+    pool = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+            ),
+        )
+        .filter(F.col("rn") <= MMR_POOL)
+        .drop("rn")
+    )
+    pe = pool.join(emb, "vec_id").select("vec_id", "rel", "embedding")
+    a = pe.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = pe.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("eb"),
+    )
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                dot_product("ea", "eb") / (l2_norm("ea") * l2_norm("eb")), 6
+            ).alias("sim"),
+        )
+    )
+    first = (
+        pool.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            F.lit(1).alias("step"),
+            "vec_id",
+            "rel",
+            F.lit(0.0).alias("max_sim_selected"),
+            F.round(F.lit(7) * F.col("rel") / 10, 6).alias("mmr_score"),
+        )
+    )
+    sel = first
+    for i in range(2, MMR_K + 1):
+        ms = (
+            sims.join(
+                sel.select(F.col("vec_id").alias("b")), "b"
+            )
+            .groupBy("a")
+            .agg(F.max("sim").alias("m"))
+            .withColumnRenamed("a", "vec_id")
+        )
+        cand = (
+            pool.join(ms, "vec_id")
+            .join(sel.select("vec_id"), "vec_id", "left_anti")
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.orderBy(
+                        F.round(
+                            (F.lit(7) * F.col("rel") - F.lit(3) * F.col("m"))
+                            / 10,
+                            6,
+                        ).desc(),
+                        F.col("vec_id").asc(),
+                    )
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select(
+                F.lit(i).alias("step"),
+                "vec_id",
+                "rel",
+                F.col("m").alias("max_sim_selected"),
+                F.round(
+                    (F.lit(7) * F.col("rel") - F.lit(3) * F.col("m")) / 10, 6
+                ).alias("mmr_score"),
+            )
+        )
+        sel = sel.unionAll(cand)
+    return sel.select(
+        F.col("step").cast("bigint").alias("step"),
+        "vec_id",
+        F.col("rel").alias("relevance"),
+        F.round("max_sim_selected", 6).alias("max_sim_selected"),
+        "mmr_score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q405 embedding second-moment drift (quadratic-kernel MMD²)
+#
+# Distribution drift BETWEEN embedding label groups that centroid
+# distance (q177, linear-kernel MMD) cannot see: MMD² under the
+# quadratic kernel k(x,y) = (x·y)² equals ||Ma − Mb||²_F of the
+# uncentred second-moment matrices — covariance-structure drift from
+# three moment reduces, no pairwise vector joins at all.
+
+MD_DIMS = 8  # leading dims audited: 36 upper-triangle moments
+
+
+@register(
+    "q405_embedding_moment_drift",
+    category="llm-similarity-ann",
+    oracle=f"""
+    WITH terms AS (
+      SELECT e.label, gi.i AS i, gj.j AS j,
+             ROUND(CAST(e.embedding[gi.i] AS DOUBLE)
+                   * CAST(e.embedding[gj.j] AS DOUBLE), 7) AS xx
+      FROM embeddings e,
+           generate_series(1, {MD_DIMS}) AS gi(i),
+           generate_series(1, {MD_DIMS}) AS gj(j)
+      WHERE gj.j >= gi.i
+    ),
+    mom AS (
+      SELECT label, i, j,
+             CAST(SUM(CAST(xx AS DECIMAL(28,7))) AS DOUBLE) / COUNT(*) AS m,
+             COUNT(*) AS n
+      FROM terms GROUP BY label, i, j
+    ),
+    drift AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             MAX(a.n) AS n_a, MAX(b.n) AS n_b,
+             SUM(CAST(ROUND(
+               (a.m - b.m) * (a.m - b.m)
+               * (CASE WHEN a.i = a.j THEN 1 ELSE 2 END), 12)
+               AS DECIMAL(28,12))) AS mmd2
+      FROM mom a
+      JOIN mom b ON b.i = a.i AND b.j = a.j AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(CAST(mmd2 AS DOUBLE), 9) AS mmd2_quad,
+           ROUND(SQRT(CAST(mmd2 AS DOUBLE)), 6) AS frobenius_dist
+    FROM drift
+    """,
+)
+def q405_embedding_moment_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-kernel MMD² between embedding label groups over the
+    leading {MD_DIMS} dims: ||E[xxᵀ]_a − E[xxᵀ]_b||²_F — the
+    covariance-structure drift detector that catches a rotated or
+    re-scaled embedding space even when the centroids (q177) barely
+    move, because MMD² under k(x,y)=(x·y)² is EXACTLY this Frobenius
+    distance of second-moment matrices.
+
+    Scale: the kernel trick here is algebraic — no pairwise vector
+    joins; per group one {MD_DIMS}·({MD_DIMS}+1)/2-slot moment reduce
+    (map-side combinable, mergeable across shards), then a
+    |labels|²-row broadcast-sized matrix diff.
+
+    Determinism: xᵢxⱼ products of float32-exact doubles are exact;
+    ROUND 7 + DECIMAL sums make moments order-free; off-diagonal
+    terms carry weight 2 (symmetry), squared diffs ROUND 12 into a
+    DECIMAL sum.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    gi = spark.range(1, MD_DIMS + 1).select(F.col("id").cast("int").alias("i"))
+    gj = spark.range(1, MD_DIMS + 1).select(F.col("id").cast("int").alias("j"))
+    grid = gi.crossJoin(gj).filter(F.col("j") >= F.col("i"))
+    terms = emb.crossJoin(F.broadcast(grid)).select(
+        "label",
+        "i",
+        "j",
+        F.round(
+            F.element_at("embedding", F.col("i")).cast("double")
+            * F.element_at("embedding", F.col("j")).cast("double"),
+            7,
+        ).alias("xx"),
+    )
+    mom = terms.groupBy("label", "i", "j").agg(
+        (
+            F.sum(F.col("xx").cast("decimal(28,7)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = mom.select(
+        F.col("label").alias("label_a"), "i", "j",
+        F.col("m").alias("ma"), F.col("n").alias("na"),
+    )
+    b = mom.select(
+        F.col("label").alias("label_b"), "i", "j",
+        F.col("m").alias("mb"), F.col("n").alias("nb"),
+    )
+    w = F.when(F.col("i") == F.col("j"), F.lit(1)).otherwise(F.lit(2))
+    drift = (
+        a.join(b, ["i", "j"])
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.sum(
+                F.round(
+                    (F.col("ma") - F.col("mb"))
+                    * (F.col("ma") - F.col("mb"))
+                    * w,
+                    12,
+                ).cast("decimal(28,12)")
+            ).alias("mmd2"),
+        )
+    )
+    return drift.select(
+        "label_a",
+        "label_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(F.col("mmd2").cast("double"), 9).alias("mmd2_quad"),
+        F.round(F.sqrt(F.col("mmd2").cast("double")), 6).alias(
+            "frobenius_dist"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q406 semi-supervised label propagation (synchronous, 3 rounds)
+#
+# Distinct from q64/q340 (connected components: labels MERGE to a
+# fixed point) — here labels COMPETE: each round every node adopts
+# the majority label of its neighbors (ties -> min label), the
+# community-detection primitive (Raghavan 2007) and the
+# semi-supervised "spread the curated labels" operator.
+
+LP_ROUNDS = 3
+LP_DEG_CAP = 64  # same inverted-index fan-out cap as q398
+
+
+def _lp_round_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT v.s, COALESCE(m.lbl, v.lbl) AS lbl
+      FROM {prev} v LEFT JOIN (
+        SELECT s, lbl FROM (
+          SELECT e.b AS s, p.lbl, COUNT(*) AS c,
+                 ROW_NUMBER() OVER (PARTITION BY e.b
+                   ORDER BY COUNT(*) DESC, p.lbl ASC) AS rk
+          FROM sym e JOIN {prev} p ON p.s = e.a
+          GROUP BY e.b, p.lbl
+        ) WHERE rk = 1
+      ) m ON m.s = v.s
+    )"""
+
+
+@register(
+    "q406_label_propagation",
+    oracle=f"""
+    WITH bip AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    okp AS (
+      SELECT p FROM bip GROUP BY p HAVING COUNT(*) <= {LP_DEG_CAP}
+    ),
+    edges AS (
+      SELECT DISTINCT a.s AS a, b.s AS b
+      FROM bip a JOIN bip b ON b.p = a.p AND a.s < b.s
+      JOIN okp ON okp.p = a.p
+    ),
+    sym AS (
+      SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+    ),
+    l0 AS (
+      SELECT s_suppkey AS s, CAST(s_nationkey AS INTEGER) AS lbl
+      FROM supplier
+    ),
+    {",".join(_lp_round_sql(f"l{k}", f"l{k + 1}") for k in range(LP_ROUNDS))}
+    SELECT f.s AS s_suppkey,
+           CAST(i.lbl AS INTEGER) AS label_seed,
+           CAST(f.lbl AS INTEGER) AS label_final,
+           f.lbl <> i.lbl AS changed
+    FROM l{LP_ROUNDS} f JOIN l0 i ON i.s = f.s
+    """,
+)
+def q406_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous majority label propagation ({LP_ROUNDS} rounds)
+    over the supplier co-supply graph, seeded with nation labels:
+    each round a node adopts its neighbors' most common label (ties
+    to the smallest) — community detection / semi-supervised label
+    spreading, the COMPETING-labels complement of the MERGING-labels
+    connected components (q64/q340).
+
+    Scale: edges come from the capped inverted-index self-join
+    (q398's {LP_DEG_CAP}-degree cap, shared with the oracle); each
+    round is one edge join + one (node,label)-grain count + one
+    argmax window partitioned by node — all key-bounded shuffles, no
+    global ordering anywhere; the production loop checkpoints the
+    label frame every few rounds exactly like q64.
+
+    Determinism: synchronous updates (round r+1 reads only round r),
+    integer counts, (count DESC, label ASC) argmax.
+    """
+    bip = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    okp = (
+        bip.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") <= LP_DEG_CAP)
+        .select("p")
+    )
+    a = bip.select(F.col("s").alias("a"), "p")
+    b = bip.select(F.col("s").alias("b"), "p")
+    edges = (
+        a.join(b, "p")
+        .filter(F.col("a") < F.col("b"))
+        .join(okp, "p")
+        .select("a", "b")
+        .distinct()
+    )
+    sym = edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    l0 = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("s"),
+        F.col("s_nationkey").cast("int").alias("lbl"),
+    )
+    cur = l0
+    for _ in range(LP_ROUNDS):
+        maj = (
+            sym.join(cur.withColumnRenamed("s", "a"), "a")
+            .groupBy(F.col("b").alias("s"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("s").orderBy(
+                        F.col("c").desc(), F.col("lbl").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("s", F.col("lbl").alias("mlbl"))
+        )
+        cur = (
+            cur.join(maj, "s", "left")
+            .select(
+                "s", F.coalesce(F.col("mlbl"), F.col("lbl")).alias("lbl")
+            )
+        )
+    return (
+        cur.join(l0.withColumnRenamed("lbl", "seed"), "s")
+        .select(
+            F.col("s").alias("s_suppkey"),
+            F.col("seed").cast("int").alias("label_seed"),
+            F.col("lbl").cast("int").alias("label_final"),
+            (F.col("lbl") != F.col("seed")).alias("changed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q407 personalized PageRank (integer fixed point, restart to seed)
+#
+# q201's global PageRank says which nodes are central OVERALL;
+# personalized PageRank (teleport mass concentrated on one seed)
+# says which nodes are central RELATIVE TO the seed — the
+# random-walk-with-restart relevance score behind graph-based
+# recommendation and local community scoring.
+
+PPR_SCALE = 1_000_000_000_000
+PPR_ITERS = 4
+
+
+def _ppr_round_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT n.s,
+             (CASE WHEN n.s = (SELECT s FROM seed)
+                   THEN {PPR_SCALE} * 15 // 100 ELSE 0 END)
+             + (85 * COALESCE(CAST(SUM(p.r // dg.d) AS BIGINT), 0)) // 100
+               AS r
+      FROM nodes n
+      LEFT JOIN sym e ON e.b = n.s
+      LEFT JOIN {prev} p ON p.s = e.a
+      LEFT JOIN deg dg ON dg.a = e.a
+      GROUP BY n.s
+    )"""
+
+
+@register(
+    "q407_personalized_pagerank",
+    oracle=f"""
+    WITH bip AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    okp AS (
+      SELECT p FROM bip GROUP BY p HAVING COUNT(*) <= {LP_DEG_CAP}
+    ),
+    edges AS (
+      SELECT DISTINCT a.s AS a, b.s AS b
+      FROM bip a JOIN bip b ON b.p = a.p AND a.s < b.s
+      JOIN okp ON okp.p = a.p
+    ),
+    sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+    nodes AS (SELECT DISTINCT s FROM bip),
+    seed AS (SELECT MIN(s) AS s FROM nodes),
+    deg AS (SELECT a, COUNT(*) AS d FROM sym GROUP BY a),
+    r0 AS (
+      SELECT s, CASE WHEN s = (SELECT s FROM seed)
+                     THEN {PPR_SCALE} ELSE 0 END AS r
+      FROM nodes
+    ),
+    {",".join(_ppr_round_sql(f"r{k}" if k else "r0", f"r{k + 1}")
+              for k in range(PPR_ITERS))}
+    SELECT s AS s_suppkey, r AS ppr_fp,
+           CAST(ROW_NUMBER() OVER (ORDER BY r DESC, s ASC) AS BIGINT) AS rn
+    FROM r{PPR_ITERS}
+    QUALIFY rn <= 25
+    """,
+)
+def q407_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart) on the
+    supplier co-supply graph: all teleport mass returns to the
+    minimum-key seed supplier, {PPR_ITERS} synchronous iterations in
+    the same scaled-integer fixed point as q201 — the seed-relative
+    relevance ranking behind "suppliers most entangled with THIS
+    one", graph recommendations, and local community extraction.
+
+    Determinism: integer mass conservation — rank DIV degree flows,
+    85/100 damping in integer arithmetic, so results are
+    bit-identical across engines and partitionings; top-25 with
+    (rank DESC, key ASC) tie-break.
+
+    Scale: per iteration one edge join + node-grain sum (q64's CC
+    loop shape); the seed CASE is a broadcast scalar. Unrolled here;
+    the production loop localCheckpoints between rounds.
+    """
+    bip = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    okp = (
+        bip.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") <= LP_DEG_CAP)
+        .select("p")
+    )
+    a = bip.select(F.col("s").alias("a"), "p")
+    b = bip.select(F.col("s").alias("b"), "p")
+    edges = (
+        a.join(b, "p")
+        .filter(F.col("a") < F.col("b"))
+        .join(okp, "p")
+        .select("a", "b")
+        .distinct()
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    nodes = bip.select("s").distinct()
+    seed = nodes.agg(F.min("s").alias("seed_s"))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    r = nodes.crossJoin(F.broadcast(seed)).select(
+        "s",
+        F.when(F.col("s") == F.col("seed_s"), F.lit(PPR_SCALE))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    )
+    contrib_src = sym.join(deg, "a")
+    for _ in range(PPR_ITERS):
+        contribs = (
+            contrib_src.join(r.withColumnRenamed("s", "a"), "a")
+            .select("b", F.expr("r DIV d").alias("c"))
+            .groupBy("b")
+            .agg(F.sum("c").alias("m"))
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(seed))
+            .join(contribs, F.col("s") == F.col("b"), "left")
+            .select(
+                "s",
+                (
+                    F.when(
+                        F.col("s") == F.col("seed_s"),
+                        F.lit(PPR_SCALE * 15 // 100),
+                    ).otherwise(F.lit(0))
+                    + F.expr("85 * coalesce(m, 0L) DIV 100")
+                ).cast("long").alias("r"),
+            )
+        )
+    w = Window.orderBy(F.col("r").desc(), F.col("s").asc())
+    return (
+        r.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 25)
+        .select(F.col("s").alias("s_suppkey"), F.col("r").alias("ppr_fp"), "rn")
+    )
