@@ -1549,3 +1549,235 @@ def q407_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 25)
         .select(F.col("s").alias("s_suppkey"), F.col("r").alias("ppr_fp"), "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# q408 WordPiece greedy longest-match tokenization
+#
+# Completes the tokenizer-training family — BPE pair counts /
+# merge iterations (q226/q268), unigram-LM Viterbi (q388), fertility
+# (q255) — with the third major algorithm: WordPiece's greedy
+# longest-match-first segmentation against a data-derived subword
+# vocabulary.
+
+WP_MAXLEN = 24  # words longer than this are excluded (shared spec)
+WP_TOP2, WP_TOP3, WP_TOP4 = 100, 50, 25  # vocab: per-length top-k
+WP_TOPWORDS = 100  # output grain
+WP_DOUBLING = 5  # pointer-doubling rounds: covers 2^5 = 32 pieces
+
+
+def _wp_pos_ctes() -> str:
+    """CTEs shared by vocab building + position table (oracle side)."""
+    return f"""
+    words AS (
+      SELECT w, COUNT(*) AS n_occ
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+      WHERE LENGTH(w) BETWEEN 1 AND {WP_MAXLEN}
+      GROUP BY w
+    ),
+    grams AS (
+      SELECT L, substr(w, p, L) AS g, COUNT(*) AS c
+      FROM (
+        SELECT w, ls.L,
+               UNNEST(generate_series(1, LENGTH(w) - ls.L + 1)) AS p
+        FROM words, (SELECT UNNEST([2, 3, 4]) AS L) ls
+        WHERE LENGTH(w) >= ls.L
+      )
+      GROUP BY L, substr(w, p, L)
+    ),
+    vocab AS (
+      SELECT g, L FROM (
+        SELECT g, L,
+               ROW_NUMBER() OVER (PARTITION BY L
+                 ORDER BY c DESC, g ASC) AS rk
+        FROM grams
+      ) WHERE (L = 2 AND rk <= {WP_TOP2})
+           OR (L = 3 AND rk <= {WP_TOP3})
+           OR (L = 4 AND rk <= {WP_TOP4})
+    ),
+    pos AS (
+      SELECT w, UNNEST(generate_series(1, LENGTH(w))) AS pos FROM words
+    ),
+    best AS (
+      SELECT p.w, p.pos, COALESCE(MAX(v.L), 1) AS bl
+      FROM pos p LEFT JOIN vocab v ON v.g = substr(p.w, p.pos, v.L)
+      GROUP BY p.w, p.pos
+    ),
+    jump AS (
+      SELECT w, pos, bl, substr(w, pos, bl) AS piece FROM best
+    )"""
+
+
+@register(
+    "q408_wordpiece_tokenize",
+    category="llm-text-analysis",
+    oracle=f"""
+    WITH RECURSIVE {_wp_pos_ctes()},
+    walk(w, pos, pieces, np) AS (
+      SELECT w, 1, CAST('' AS VARCHAR), 0 FROM words
+      UNION ALL
+      SELECT r.w, r.pos + j.bl,
+             r.pieces || (CASE WHEN r.np = 0 THEN '' ELSE '|' END)
+               || j.piece,
+             r.np + 1
+      FROM walk r JOIN jump j ON j.w = r.w AND j.pos = r.pos
+    ),
+    toked AS (
+      SELECT t.w, t.pieces, t.np
+      FROM walk t JOIN words wd ON wd.w = t.w
+      WHERE t.pos = LENGTH(t.w) + 1
+    )
+    SELECT wd.w AS word,
+           CAST(wd.n_occ AS BIGINT) AS n_occ,
+           CAST(t.np AS BIGINT) AS n_pieces,
+           t.pieces AS pieces,
+           CAST(ROW_NUMBER() OVER (ORDER BY wd.n_occ DESC, wd.w ASC)
+                AS BIGINT) AS rn
+    FROM toked t JOIN words wd ON wd.w = t.w
+    QUALIFY rn <= {WP_TOPWORDS}
+    """,
+)
+def q408_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match tokenization against a
+    data-derived subword vocabulary (all single chars + top-{WP_TOP2}
+    bigrams / top-{WP_TOP3} trigrams / top-{WP_TOP4} 4-grams over the
+    distinct-word set): the {WP_TOPWORDS} most frequent words with
+    their piece count and segmentation — the third tokenizer
+    algorithm alongside BPE (q226/q268) and unigram-LM Viterbi
+    (q388).
+
+    Scale design: greedy matching is a per-position LONGEST-MATCH
+    table (4 broadcast vocab probes per position — no iteration) and
+    the left-to-right walk is POINTER DOUBLING — {WP_DOUBLING}
+    self-joins on the position grain cover 2^{WP_DOUBLING} pieces —
+    so a corpus-sized vocabulary application runs in O(chars ·
+    log max_word_len) shuffles instead of a sequential per-word scan
+    or a driver-side vocab collect. The oracle walks the same jump
+    table one piece at a time with a recursive CTE, certifying the
+    doubling.
+
+    Determinism: vocab cut by (count DESC, gram ASC); matching and
+    concatenation are pure string/integer ops.
+    """
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(
+            (F.length("w") >= 1) & (F.length("w") <= WP_MAXLEN)
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    ls = spark.range(2, 5).select(F.col("id").cast("int").alias("L"))
+    # substring grid: (word, L, p) for p in 1..len-L+1
+    wl = words.select("w", F.length("w").alias("len"))
+    grams = (
+        wl.crossJoin(F.broadcast(ls))
+        .filter(F.col("len") >= F.col("L"))
+        .select(
+            "w",
+            "L",
+            F.explode(
+                F.sequence(F.lit(1), F.col("len") - F.col("L") + 1)
+            ).alias("p"),
+        )
+        .select("L", F.expr("substr(w, p, L)").alias("g"))
+        .groupBy("L", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    caps = {2: WP_TOP2, 3: WP_TOP3, 4: WP_TOP4}
+    vocab = (
+        grams.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("L").orderBy(
+                    F.col("c").desc(), F.col("g").asc()
+                )
+            ),
+        )
+        .filter(
+            ((F.col("L") == 2) & (F.col("rk") <= caps[2]))
+            | ((F.col("L") == 3) & (F.col("rk") <= caps[3]))
+            | ((F.col("L") == 4) & (F.col("rk") <= caps[4]))
+        )
+        .select("g", "L")
+    )
+    # position table with longest-match length: 3 broadcast probes
+    # (single chars always match -> floor of 1)
+    pos = wl.select(
+        "w", F.explode(F.sequence(F.lit(1), F.col("len"))).alias("pos")
+    )
+    for L in (4, 3, 2):
+        vk = vocab.filter(F.col("L") == L).select(
+            F.col("g").alias(f"g{L}"), F.lit(True).alias(f"hit{L}")
+        )
+        pos = pos.join(
+            F.broadcast(vk),
+            F.expr(f"substr(w, pos, {L})") == F.col(f"g{L}"),
+            "left",
+        ).drop(f"g{L}")
+    bl = (
+        F.when(F.col("hit4"), 4)
+        .when(F.col("hit3"), 3)
+        .when(F.col("hit2"), 2)
+        .otherwise(1)
+    )
+    jump = pos.select(
+        "w",
+        "pos",
+        bl.alias("bl"),
+        F.expr(
+            "substr(w, pos, (CASE WHEN hit4 THEN 4 WHEN hit3 THEN 3 "
+            "WHEN hit2 THEN 2 ELSE 1 END))"
+        ).alias("piece"),
+    )
+    # pointer doubling: state(p) = (next position, pieces so far, count)
+    state = jump.select(
+        "w",
+        "pos",
+        (F.col("pos") + F.col("bl")).alias("nxt"),
+        F.col("piece").alias("pieces"),
+        F.lit(1).alias("np"),
+    )
+    for _ in range(WP_DOUBLING):
+        y = state.select(
+            F.col("w").alias("w2"),
+            F.col("pos").alias("pos2"),
+            F.col("nxt").alias("nxt2"),
+            F.col("pieces").alias("pieces2"),
+            F.col("np").alias("np2"),
+        )
+        state = (
+            state.join(
+                y,
+                (F.col("w") == F.col("w2")) & (F.col("nxt") == F.col("pos2")),
+                "left",
+            )
+            .select(
+                "w",
+                "pos",
+                F.coalesce(F.col("nxt2"), F.col("nxt")).alias("nxt"),
+                F.when(
+                    F.col("pieces2").isNull(), F.col("pieces")
+                )
+                .otherwise(
+                    F.concat(F.col("pieces"), F.lit("|"), F.col("pieces2"))
+                )
+                .alias("pieces"),
+                (
+                    F.col("np") + F.coalesce(F.col("np2"), F.lit(0))
+                ).alias("np"),
+            )
+        )
+    toked = state.filter(F.col("pos") == 1).select("w", "pieces", "np")
+    out = words.join(toked, "w").select(
+        F.col("w").alias("word"),
+        F.col("n_occ").cast("bigint").alias("n_occ"),
+        F.col("np").cast("bigint").alias("n_pieces"),
+        "pieces",
+    )
+    w = Window.orderBy(F.col("n_occ").desc(), F.col("word").asc())
+    return (
+        out.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= WP_TOPWORDS)
+    )

@@ -104,6 +104,10 @@ EVENT_QUERIES = [
     # k); purchase-only corpora make every exposure set empty and
     # efficiency puts all mass on v('') — both engines must agree
     "q390_shapley_attribution",
+    # no-signup corpora empty the risk table; duplicate timestamps
+    # collapse steps; the DECIMAL hazard accumulation must stay
+    # order-free on any step layout
+    "q401_nelson_aalen",
     # single-event users / all-same-type streaks can empty the duel
     # matrix (both engines emit zero rows); never-winning arms hit
     # the 1-grid-unit strength floor; tied values exercise the
@@ -258,6 +262,17 @@ DOC_QUERIES = [
     # empty the model or the confusion matrix identically; 1-word
     # and empty-string docs still produce one ''-token both engines
     "q377_naive_bayes_langid",
+    # single-doc langs produce no (cand, ref) pair; 1-token docs
+    # make p2 undefined (defined 0 on both engines); identical texts
+    # pin bleu2 = 1 exactly
+    "q397_bleu_pair_scoring",
+    # 1-token docs yield no steps; all-identical corpora drive the
+    # acceptance rate to 1 with heavy argmax count ties
+    "q403_draft_acceptance",
+    # tiny-pool vocab mass-ties the n-gram cut (count DESC, gram ASC
+    # must agree); repeated words stress the distinct-word grain and
+    # the pointer-doubling absorbing state on short words
+    "q408_wordpiece_tokenize",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get
@@ -305,6 +320,25 @@ ORDER_QUERIES = [
     # IPS = clipped mean weight); tiny key pools exercise the
     # explore-arm hash mix and the p0 > 0 filter must drop nothing
     "q391_ips_offpolicy_eval",
+    # all-2024 order dates empty the pre-split train side (empty
+    # quantile frame -> zero rows on both engines); constant prices
+    # tie every order statistic
+    "q402_pinball_loss",
+    # tiny part pools (0..5) make every supplier pair share parts;
+    # duplicate (supp, part) rows must collapse via DISTINCT before
+    # degree counting on both engines
+    "q398_link_prediction_ra",
+    # 6-key pools stress the sign-counter cancellation; single-row
+    # tables pin F2 = est exactly (one key, all signs aligned)
+    "q400_ams_f2_sketch",
+    # fixture suppliers absent from generated lineitem keep their
+    # seed labels; hostile co-supply graphs are near-complete ->
+    # majority ties everywhere (count DESC, label ASC must agree)
+    "q406_label_propagation",
+    # near-complete tiny graphs concentrate PPR mass fast; suppliers
+    # outside the supplier table still rank (nodes come from
+    # lineitem); integer mass must conserve on any topology
+    "q407_personalized_pagerank",
 ]
 
 
@@ -498,6 +532,14 @@ EMB_QUERIES = [
     # rounds on both engines; near-zero vectors shrink md toward the
     # 1e-6 rounding grid where min/LEAST associativity must hold
     "q392_kcenter_coreset",
+    # duplicate blocks tie relevance at 1.0 (pure vec_id tie-breaks)
+    # and tie the diversity penalty; pools smaller than k must stop
+    # the greedy loop identically on both engines
+    "q404_mmr_diverse_topk",
+    # dup blocks shrink label diversity (fewer than 2 labels -> zero
+    # pair rows); tiny-magnitude vectors push moments onto the 1e-7
+    # grid where the DECIMAL roundtrip must hold
+    "q405_embedding_moment_drift",
 ]
 
 emb_params = st.tuples(
