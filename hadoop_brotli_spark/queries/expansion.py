@@ -1781,3 +1781,539 @@ def q408_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= WP_TOPWORDS)
     )
+
+
+# ---------------------------------------------------------------------------
+# q409 1-D Wasserstein (earth-mover) distance between source
+# length distributions
+#
+# The drift metric that completes the suite: KS (q352) takes the max
+# CDF gap, PSI (q250) needs a binning choice, TVD (q399) ignores
+# geometry — W1 = ∫|CDF_a − CDF_b| dv integrates the gap OVER the
+# value axis, so it knows that being 100 chars off is worse than 1.
+
+
+@register(
+    "q409_wasserstein_source_drift",
+    category="analytics-stats (regression/tests/causal)",
+    oracle="""
+    WITH counts AS (
+      SELECT source, n_chars AS v, COUNT(*) AS c
+      FROM documents GROUP BY source, n_chars
+    ),
+    totals AS (SELECT source, SUM(c) AS n FROM counts GROUP BY source),
+    grid AS (SELECT DISTINCT v FROM counts),
+    srcgrid AS (
+      SELECT t.source, g.v, t.n,
+             COALESCE(SUM(c.c) OVER (PARTITION BY t.source
+               ORDER BY g.v ROWS UNBOUNDED PRECEDING), 0) AS cum
+      FROM totals t CROSS JOIN grid g
+      LEFT JOIN counts c ON c.source = t.source AND c.v = g.v
+    ),
+    gaps AS (
+      SELECT source, v, n, cum,
+             LEAD(v) OVER (PARTITION BY source ORDER BY v) - v AS gap
+      FROM srcgrid
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             MAX(a.n) AS n_a, MAX(b.n) AS n_b,
+             SUM(ABS(a.cum * b.n - b.cum * a.n) * a.gap) AS num
+      FROM gaps a
+      JOIN gaps b ON b.v = a.v AND a.source < b.source
+      WHERE a.gap IS NOT NULL
+      GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(CAST(num AS DOUBLE) / (n_a * n_b), 6) AS w1_distance
+    FROM pairs
+    """,
+)
+def q409_wasserstein_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth-mover) distance between per-source
+    document-length distributions: W1 = Σ_v |CDF_a(v) − CDF_b(v)|·Δv
+    over the distinct-value grid — the drift metric with GEOMETRY
+    (KS q352 only sees the worst point; PSI q250 depends on a binning
+    choice), and the 1-D special case where optimal transport is just
+    a CDF integral.
+
+    Determinism: common-denominator integers — |cum_a·n_b −
+    cum_b·n_a|·gap sums exactly as BIGINT, one final division.
+
+    Scale: distinct-value-grain like q352 — counts reduce to
+    (source × distinct length) rows, the CDF windows run per source
+    over the bounded grid, and the pair stage is |sources|² over that
+    grid, never corpus-row-sized.
+    """
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy(
+        "source", F.col("n_chars").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    grid = counts.select("v").distinct()
+    srcgrid = (
+        totals.crossJoin(F.broadcast(grid))
+        .join(counts, ["source", "v"], "left")
+        .withColumn(
+            "cum",
+            F.coalesce(
+                F.sum("c").over(
+                    Window.partitionBy("source")
+                    .orderBy("v")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    gaps = srcgrid.withColumn(
+        "gap",
+        F.lead("v").over(Window.partitionBy("source").orderBy("v"))
+        - F.col("v"),
+    ).filter(F.col("gap").isNotNull())
+    a = gaps.select(
+        F.col("source").alias("source_a"), "v",
+        F.col("n").alias("na"), F.col("cum").alias("cuma"),
+        F.col("gap").alias("gap"),
+    )
+    b = gaps.select(
+        F.col("source").alias("source_b"), "v",
+        F.col("n").alias("nb"), F.col("cum").alias("cumb"),
+    )
+    pairs = (
+        a.join(b, "v")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.sum(
+                F.abs(
+                    F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")
+                )
+                * F.col("gap")
+            ).alias("num"),
+        )
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(
+            F.col("num").cast("double") / (F.col("n_a") * F.col("n_b")), 6
+        ).alias("w1_distance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q410 quantile normalization across sources
+#
+# The batch-effect remover: map each source's length distribution
+# onto the GLOBAL distribution by matching quantiles — after this,
+# every source has (approximately) the same marginal distribution,
+# the preprocessing step that stops per-source length artifacts from
+# masquerading as quality signal.
+
+
+@register(
+    "q410_quantile_normalization",
+    category="llm-corpus-pipeline",
+    oracle="""
+    WITH counts AS (
+      SELECT source, n_chars AS v, COUNT(*) AS c
+      FROM documents GROUP BY source, n_chars
+    ),
+    totals AS (SELECT source, SUM(c) AS n FROM counts GROUP BY source),
+    srccdf AS (
+      SELECT source, v, c,
+             SUM(c) OVER (PARTITION BY source ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS r
+      FROM counts
+    ),
+    gtot AS (SELECT CAST(SUM(c) AS BIGINT) AS gn FROM counts),
+    gcdf AS (
+      SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS gcum
+      FROM (SELECT v, SUM(c) AS c FROM counts GROUP BY v)
+    )
+    SELECT s.source, s.v AS n_chars,
+           CAST(s.c AS BIGINT) AS n_docs,
+           ROUND(CAST(s.r AS DOUBLE) / t.n, 6) AS source_quantile,
+           MIN(g.v) AS normalized_value
+    FROM srccdf s
+    JOIN totals t ON t.source = s.source
+    CROSS JOIN gtot
+    JOIN gcdf g ON g.gcum * t.n >= s.r * gtot.gn
+    GROUP BY s.source, s.v, s.c, s.r, t.n, gtot.gn
+    """,
+)
+def q410_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-source length distributions onto
+    the global distribution: each (source, value) row maps to the
+    smallest global value whose CDF reaches the row's within-source
+    quantile — integer cross-multiplied (gcum·n_s ≥ r·N), so the
+    matching needs no float comparison at all. The batch-effect
+    remover that makes source marginals comparable before quality
+    scoring.
+
+    Scale: everything runs at the (source × distinct value) grain —
+    corpus rows reduce once, the global CDF is a distinct-value
+    frame, and the quantile-matching inequality join is
+    (src-value rows) × (grid rows), both bounded by value
+    cardinality, never row count. Per-doc application is one final
+    broadcast join on (source, value).
+    """
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy(
+        "source", F.col("n_chars").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    srccdf = counts.withColumn(
+        "r",
+        F.sum("c").over(
+            Window.partitionBy("source")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    gtot = counts.agg(F.sum("c").cast("bigint").alias("gn"))
+    gcdf = (
+        counts.groupBy("v")
+        .agg(F.sum("c").alias("cg"))
+        .withColumn(
+            "gcum",
+            F.sum("cg").over(
+                Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select(F.col("v").alias("gv"), "gcum")
+    )
+    return (
+        srccdf.join(totals, "source")
+        .crossJoin(F.broadcast(gtot))
+        .join(
+            F.broadcast(gcdf),
+            F.col("gcum") * F.col("n") >= F.col("r") * F.col("gn"),
+        )
+        .groupBy("source", "v", "c", "r", "n")
+        .agg(F.min("gv").alias("normalized_value"))
+        .select(
+            "source",
+            F.col("v").alias("n_chars"),
+            F.col("c").cast("bigint").alias("n_docs"),
+            F.round(F.col("r").cast("double") / F.col("n"), 6).alias(
+                "source_quantile"
+            ),
+            "normalized_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q411 Matryoshka truncation recall audit
+#
+# Modern embedding models train nested ("Matryoshka") prefixes so a
+# 64-dim vector can be served at 16 dims for 4x memory/compute
+# savings; the operational question is what that truncation does to
+# retrieval. This measures recall@k of prefix-dim cosine against
+# full-dim cosine ground truth, per query.
+
+MAT_DIMS = 16
+MAT_K = 10
+MAT_QUERIES = 8  # vec_id < 8
+
+
+@register(
+    "q411_matryoshka_recall",
+    category="llm-similarity-ann",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id < {MAT_QUERIES}),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             SUM(CAST(q.embedding[d.d] AS DOUBLE)
+                 * CAST(c.embedding[d.d] AS DOUBLE)) AS dot,
+             SQRT(SUM(CAST(q.embedding[d.d] AS DOUBLE)
+                      * CAST(q.embedding[d.d] AS DOUBLE))) AS nq,
+             SQRT(SUM(CAST(c.embedding[d.d] AS DOUBLE)
+                      * CAST(c.embedding[d.d] AS DOUBLE))) AS nc,
+             SUM(CASE WHEN d.d <= {MAT_DIMS}
+                 THEN CAST(q.embedding[d.d] AS DOUBLE)
+                      * CAST(c.embedding[d.d] AS DOUBLE) ELSE 0 END) AS pdot,
+             SQRT(SUM(CASE WHEN d.d <= {MAT_DIMS}
+                 THEN CAST(q.embedding[d.d] AS DOUBLE)
+                      * CAST(q.embedding[d.d] AS DOUBLE) ELSE 0 END)) AS pnq,
+             SQRT(SUM(CASE WHEN d.d <= {MAT_DIMS}
+                 THEN CAST(c.embedding[d.d] AS DOUBLE)
+                      * CAST(c.embedding[d.d] AS DOUBLE) ELSE 0 END)) AS pnc
+      FROM q, embeddings c, generate_series(1, 64) AS d(d)
+      WHERE c.vec_id <> q.vec_id
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY ROUND(dot / (nq * nc), 6) DESC, cand_id ASC)
+               AS full_rn,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY ROUND(pdot / NULLIF(pnq * pnc, 0), 6) DESC,
+                        cand_id ASC) AS pfx_rn
+      FROM pairs
+    )
+    SELECT query_id,
+           CAST(SUM(CASE WHEN full_rn <= {MAT_K} AND pfx_rn <= {MAT_K}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN full_rn <= {MAT_K} AND pfx_rn <= {MAT_K}
+                     THEN 1.0 ELSE 0 END) / {MAT_K}, 6)
+             AS recall_at_k
+    FROM ranked GROUP BY query_id
+    """,
+)
+def q411_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval audit: recall@{MAT_K} of
+    {MAT_DIMS}-dim PREFIX cosine against full 64-dim cosine ground
+    truth for {MAT_QUERIES} queries — the number that tells you
+    whether serving embeddings at a quarter of the dimensions (4×
+    memory and ADC speedup) is free or catastrophic on THIS corpus,
+    the same audit shape as q98 (ANN recall) but for dimension
+    truncation instead of index approximation.
+
+    Plan: one broadcast-queries × corpus scan computes BOTH scores
+    (full and prefix) from the same pair row — the prefix dot is a
+    slice, not a second pass; two rank windows per query grain.
+
+    Determinism: ROUND-6 cosines with cand_id tie-breaks; zero-norm
+    prefixes NULL their cosine identically via NULLIF (ranked last on
+    both engines by the DESC NULLS LAST default shared by Spark and
+    DuckDB window ORDER BY).
+    """
+    from ..functions.columns import dot_product, l2_norm
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pfx = F.slice("embedding", 1, MAT_DIMS)
+    q = (
+        emb.filter(F.col("vec_id") < MAT_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            pfx.alias("qp"),
+        )
+        .withColumn("nq", l2_norm("qe"))
+        .withColumn("pnq", l2_norm("qp"))
+    )
+    c = (
+        emb.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("ce"),
+            pfx.alias("cp"),
+        )
+        .withColumn("nc", l2_norm("ce"))
+        .withColumn("pnc", l2_norm("cp"))
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("cand_id") != F.col("query_id")
+    )
+    full_cos = F.round(
+        dot_product("qe", "ce") / (F.col("nq") * F.col("nc")), 6
+    )
+    pfx_cos = F.round(
+        dot_product("qp", "cp")
+        / F.nullif(F.col("pnq") * F.col("pnc"), F.lit(0.0)),
+        6,
+    )
+    ranked = pairs.select(
+        "query_id",
+        "cand_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(
+                full_cos.desc(), F.col("cand_id").asc()
+            )
+        )
+        .alias("full_rn"),
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(
+                pfx_cos.desc_nulls_last(), F.col("cand_id").asc()
+            )
+        )
+        .alias("pfx_rn"),
+    )
+    kept = F.sum(
+        F.when((F.col("full_rn") <= MAT_K) & (F.col("pfx_rn") <= MAT_K), 1)
+        .otherwise(0)
+    )
+    return ranked.groupBy("query_id").agg(
+        kept.cast("bigint").alias("n_kept"),
+        F.round(kept.cast("double") / MAT_K, 6).alias("recall_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q412 RANSAC robust line fit (integer-exact consensus)
+#
+# The robust-regression member beside Theil-Sen (q265, median of
+# slopes) and OLS (q282): hypothesize lines from deterministic
+# 2-point samples, count inliers, keep the best consensus set —
+# the estimator of choice when a MINORITY of days are wild.
+
+RANSAC_MODELS = 8
+RANSAC_TH_CENTS = 3_000_000  # inlier band: |residual| <= $30k
+
+
+@register(
+    "q412_ransac_line_fit",
+    category="analytics-stats (regression/tests/causal)",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1995-01-01',
+                  CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    idx AS (
+      SELECT x, y, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM daily
+    ),
+    models AS (
+      SELECT k.k,
+             1 + CAST('0x' || substr(md5('ransac_a_' || k.k), 1, 7)
+                 AS BIGINT) % nd.n AS i,
+             1 + CAST('0x' || substr(md5('ransac_b_' || k.k), 1, 7)
+                 AS BIGINT) % nd.n AS j
+      FROM (SELECT UNNEST(generate_series(0, {RANSAC_MODELS - 1})) AS k) k,
+           nd
+    ),
+    lines AS (
+      SELECT m.k, p1.x AS x1, p1.y AS y1, p2.x AS x2, p2.y AS y2
+      FROM models m
+      JOIN idx p1 ON p1.rn = m.i
+      JOIN idx p2 ON p2.rn = m.j
+      WHERE p1.x <> p2.x
+    ),
+    votes AS (
+      SELECT l.k, MAX(l.x1) AS x1, MAX(l.y1) AS y1,
+             MAX(l.x2) AS x2, MAX(l.y2) AS y2,
+             SUM(CASE WHEN ABS((d.y - l.y1) * (l.x2 - l.x1)
+                              - (l.y2 - l.y1) * (d.x - l.x1))
+                      <= {RANSAC_TH_CENTS} * ABS(l.x2 - l.x1)
+                 THEN 1 ELSE 0 END) AS n_inliers,
+             COUNT(*) AS n_days
+      FROM lines l CROSS JOIN daily d
+      GROUP BY l.k
+    )
+    SELECT CAST(k AS BIGINT) AS model_id,
+           CAST(n_inliers AS BIGINT) AS n_inliers,
+           CAST(n_days AS BIGINT) AS n_days,
+           ROUND(CAST(n_inliers AS DOUBLE) / n_days, 6) AS inlier_share,
+           -- FLOOR(x*1e4 + 0.5)/1e4: the repo's half-up grid rule --
+           -- ROUND would be half-even in DuckDB vs half-up in Spark
+           FLOOR(CAST(y2 - y1 AS DOUBLE) / (100.0 * (x2 - x1)) * 10000
+                 + 0.5) / 10000 AS slope_per_day,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_inliers DESC, k ASC)
+                AS BIGINT) AS rn
+    FROM votes
+    QUALIFY rn <= 3
+    """,
+)
+def q412_ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC line fit of the daily-revenue trend with an
+    INTEGER-EXACT consensus test: {RANSAC_MODELS} candidate lines
+    from md5-drawn 2-point samples, inliers counted by the
+    cross-multiplied band |Δy·(x2−x1) − slope_num·(x−x1)| ≤
+    th·|x2−x1| (cents × days — no float residual anywhere), top
+    consensus models reported. The robust-fit member beside Theil-Sen
+    (q265) and OLS (q282) for when a minority of days are wild.
+
+    Scale: candidate models are a broadcast {RANSAC_MODELS}-row
+    frame; voting is one pass over the day grain per model (a
+    models×days broadcast product of bounded width); hypothesis
+    sampling is hash-deterministic, so retries/engines draw the SAME
+    models.
+    """
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("x")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y")
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    idx = daily.withColumn(
+        "rn", F.row_number().over(Window.orderBy("x")).cast("bigint")
+    )
+    ks = spark.range(RANSAC_MODELS).select(F.col("id").alias("k"))
+    h = lambda salt: (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("k").cast("string"))), 1, 7),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    models = ks.crossJoin(F.broadcast(nd)).select(
+        "k",
+        (F.lit(1) + h("ransac_a_") % F.col("n")).alias("i"),
+        (F.lit(1) + h("ransac_b_") % F.col("n")).alias("j"),
+    )
+    p1 = idx.select(
+        F.col("rn").alias("i"), F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    p2 = idx.select(
+        F.col("rn").alias("j"), F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    lines = (
+        models.join(F.broadcast(p1), "i")
+        .join(F.broadcast(p2), "j")
+        .filter(F.col("x1") != F.col("x2"))
+        .select("k", "x1", "y1", "x2", "y2")
+    )
+    inlier = F.when(
+        F.abs(
+            (F.col("y") - F.col("y1")) * (F.col("x2") - F.col("x1"))
+            - (F.col("y2") - F.col("y1")) * (F.col("x") - F.col("x1"))
+        )
+        <= F.lit(RANSAC_TH_CENTS) * F.abs(F.col("x2") - F.col("x1")),
+        1,
+    ).otherwise(0)
+    votes = (
+        F.broadcast(lines)
+        .crossJoin(daily)
+        .groupBy("k")
+        .agg(
+            F.max("x1").alias("x1"),
+            F.max("y1").alias("y1"),
+            F.max("x2").alias("x2"),
+            F.max("y2").alias("y2"),
+            F.sum(inlier).alias("n_inliers"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+    w = Window.orderBy(F.col("n_inliers").desc(), F.col("model_id").asc())
+    return (
+        votes.select(
+            F.col("k").cast("bigint").alias("model_id"),
+            F.col("n_inliers").cast("bigint").alias("n_inliers"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.round(
+                F.col("n_inliers").cast("double") / F.col("n_days"), 6
+            ).alias("inlier_share"),
+            (
+                F.floor(
+                    (F.col("y2") - F.col("y1")).cast("double")
+                    / (F.lit(100.0) * (F.col("x2") - F.col("x1")))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("slope_per_day"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+    )
