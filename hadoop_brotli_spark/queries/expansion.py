@@ -2317,3 +2317,598 @@ def q412_ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# q413 precision/recall threshold sweep
+#
+# The eval family has ranking quality (q275 AUC, q382 nDCG) and
+# probability quality (q307 Brier/reliability) — this adds the
+# DECISION layer: the precision/recall/F1 operating curve over a
+# threshold grid, i.e. the table you pick the production cutoff from.
+
+PR_THRESHOLDS = [x / 20.0 for x in range(1, 20)]  # 0.05 .. 0.95
+
+
+@register(
+    "q413_pr_threshold_sweep",
+    category="ml-eval-calibration",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             ROUND(LEAST(0.95, GREATEST(0.05,
+               CAST(n_chars AS DOUBLE) / 640.0)), 8) AS p
+      FROM documents
+    ),
+    th AS (SELECT UNNEST([{", ".join(str(x) for x in PR_THRESHOLDS)}]) AS t),
+    cm AS (
+      SELECT th.t,
+             SUM(CASE WHEN s.p >= th.t AND s.y = 1 THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN s.p >= th.t AND s.y = 0 THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN s.p < th.t AND s.y = 1 THEN 1 ELSE 0 END) AS fn
+      FROM th CROSS JOIN scored s
+      GROUP BY th.t
+    ),
+    curve AS (
+      SELECT t, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+             CAST(fn AS BIGINT) AS fn,
+             ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS precision,
+             ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS recall,
+             ROUND(CAST(2 * tp AS DOUBLE)
+                   / NULLIF(2 * tp + fp + fn, 0), 6) AS f1
+      FROM cm
+    )
+    SELECT ROUND(t, 2) AS threshold, tp, fp, fn, precision, recall, f1,
+           CAST(ROW_NUMBER() OVER (ORDER BY f1 DESC, t ASC) AS BIGINT) = 1
+             AS is_f1_argmax
+    FROM curve
+    """,
+)
+def q413_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 operating curve over a {len(PR_THRESHOLDS)}-point
+    threshold grid for the deterministic length-based P(en) classifier
+    (q307's model), with the F1-argmax row flagged — the decision-layer
+    eval that turns a calibrated score (q307) and a good ranking
+    (q275) into an actual production cutoff.
+
+    Scale: thresholds are a broadcast literal frame; the sweep is ONE
+    pass over the scored rows per threshold (a grid × corpus
+    broadcast product), and every cell is exact integer counting —
+    F1 = 2tp/(2tp+fp+fn) avoids the precision×recall float product.
+    NULLIF keeps empty-prediction thresholds NULL identically.
+    """
+    scored = t(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.round(
+            F.least(
+                F.lit(0.95),
+                F.greatest(F.lit(0.05), F.col("n_chars").cast("double") / 640.0),
+            ),
+            8,
+        ).alias("p"),
+    )
+    th = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in PR_THRESHOLDS])).alias("t")
+    )
+    cm = (
+        F.broadcast(th)
+        .crossJoin(scored)
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when((F.col("p") >= F.col("t")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when((F.col("p") >= F.col("t")) & (F.col("y") == 0), 1)
+                .otherwise(0)
+            ).alias("fp"),
+            F.sum(
+                F.when((F.col("p") < F.col("t")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            ).alias("fn"),
+        )
+    )
+    curve = cm.select(
+        "t",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.round(
+            F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)),
+            6,
+        ).alias("recall"),
+        F.round(
+            (2 * F.col("tp")).cast("double")
+            / F.nullif(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0)),
+            6,
+        ).alias("f1"),
+    )
+    w = Window.orderBy(F.col("f1").desc(), F.col("t").asc())
+    return curve.select(
+        F.round("t", 2).alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        "precision",
+        "recall",
+        "f1",
+        (F.row_number().over(w) == 1).alias("is_f1_argmax"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q414 two-hop reach: exact vs neighbor-merged HLL sketches
+#
+# Sketch COMPOSITION over a graph: a node's 2-hop reach sketch is the
+# register-wise MAX of its neighbors' 1-hop sketches — the merge that
+# makes friend-of-friend audience estimation feasible at graph scale
+# (exact 2-hop neighborhoods explode quadratically; 64-register
+# sketches merge in O(degree)). Certified against the exact 2-hop
+# distinct count. Reuses q229's portable-HLL spec (md5 bits, rho
+# cascade), with the register sum scaled to exact integers.
+
+R2_M = 64  # registers
+R2_W = 50  # rho window bits
+R2_ALPHA = 0.709  # alpha_64
+R2_TOPK = 20
+# the raw co-supply graph is DENSE (avg degree ~ |V| at sf0.1, so the
+# exact 2-hop side would touch sum(deg^2) ~ 1e9 pairs); both engines
+# audit the same hash-sparsified subgraph: keep edge (a,b) iff
+# md5(a_b) % R2_EDGE_MOD == 0 — deterministic, spec-shared, and the
+# sketch-vs-exact comparison is unaffected by WHICH subgraph is used
+R2_EDGE_MOD = 37
+
+
+def _r2_rho_sql(w: str) -> str:
+    cases = " ".join(
+        f"WHEN {w} >= {1 << (R2_W - r)} THEN {r}" for r in range(1, R2_W + 1)
+    )
+    return f"CASE {cases} ELSE {R2_W + 1} END"
+
+
+def _r2_rho_col(w):
+    expr = F.lit(R2_W + 1)
+    for r in range(R2_W, 0, -1):
+        expr = F.when(w >= F.lit(1 << (R2_W - r)), F.lit(r)).otherwise(expr)
+    return expr
+
+
+@register(
+    "q414_twohop_reach_sketch",
+    oracle=f"""
+    WITH bip AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    okp AS (
+      SELECT p FROM bip GROUP BY p HAVING COUNT(*) <= {LP_DEG_CAP}
+    ),
+    alledges AS (
+      SELECT DISTINCT a.s AS a, b.s AS b
+      FROM bip a JOIN bip b ON b.p = a.p AND a.s < b.s
+      JOIN okp ON okp.p = a.p
+    ),
+    edges AS (
+      SELECT a, b FROM alledges
+      WHERE CAST(('0x' || substr(md5(CAST(a AS VARCHAR) || '_'
+                  || CAST(b AS VARCHAR)), 1, 7)) AS BIGINT)
+            % {R2_EDGE_MOD} = 0
+    ),
+    sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+    -- hop-1 "frontier incl. self": u in N(v) plus v itself
+    front AS (
+      SELECT a AS v, b AS u FROM sym
+      UNION ALL
+      SELECT DISTINCT a AS v, a AS u FROM sym
+    ),
+    -- exact 2-hop reach = distinct targets of the frontier's edges
+    reach AS (
+      SELECT DISTINCT f.v, e.b AS w
+      FROM front f JOIN sym e ON e.a = f.u
+    ),
+    exact AS (SELECT v, COUNT(*) AS exact_reach FROM reach GROUP BY v),
+    -- per-node 1-hop neighbor sketches (registers over N(u))
+    h AS (
+      SELECT a AS u,
+             CAST(('0x' || substr(md5('r2:' || CAST(b AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS hv
+      FROM sym
+    ),
+    parts AS (
+      SELECT u, (hv >> {R2_W}) & {R2_M - 1} AS bucket,
+             {_r2_rho_sql(f"hv & {(1 << R2_W) - 1}")} AS rho
+      FROM h
+    ),
+    regs1 AS (
+      SELECT u, bucket, MAX(rho) AS m FROM parts GROUP BY u, bucket
+    ),
+    -- 2-hop sketch: register-wise MAX over the frontier's sketches
+    regs2 AS (
+      SELECT f.v, r.bucket, MAX(r.m) AS m
+      FROM front f JOIN regs1 r ON r.u = f.u
+      GROUP BY f.v, r.bucket
+    ),
+    est AS (
+      SELECT v,
+             SUM(CAST(1 AS BIGINT) << ({R2_W + 1} - m)) AS sum_scaled,
+             COUNT(*) AS v_nonzero
+      FROM regs2 GROUP BY v
+    ),
+    raw AS (
+      SELECT v, v_nonzero,
+             {R2_ALPHA} * {R2_M} * {R2_M}
+               / (CAST(sum_scaled AS DOUBLE) / {1 << R2_W}
+                  + ({R2_M} - v_nonzero) * 2.0) AS raw_est
+      FROM est
+    ),
+    corrected AS (
+      SELECT v,
+             CASE WHEN raw_est <= 2.5 * {R2_M} AND v_nonzero < {R2_M}
+                  THEN {R2_M} * ln({R2_M}
+                         / CAST({R2_M} - v_nonzero AS DOUBLE))
+                  ELSE raw_est END AS hll_est
+      FROM raw
+    )
+    SELECT x.v AS s_suppkey,
+           CAST(x.exact_reach AS BIGINT) AS exact_reach,
+           ROUND(c.hll_est, 4) AS hll_estimate,
+           ROUND(ABS(c.hll_est - x.exact_reach) / x.exact_reach, 6)
+             AS rel_error,
+           CAST(ROW_NUMBER() OVER (ORDER BY x.exact_reach DESC, x.v ASC)
+                AS BIGINT) AS rn
+    FROM exact x JOIN corrected c ON c.v = x.v
+    QUALIFY rn <= {R2_TOPK}
+    """,
+)
+def q414_twohop_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reach (friend-of-friend audience size) on the supplier
+    co-supply graph, exact vs SKETCH-COMPOSED: each node's 2-hop HLL
+    is the register-wise MAX of its frontier's 1-hop sketches — the
+    O(degree · 64) merge that replaces the quadratic exact
+    neighborhood expansion at graph scale, certified here against
+    the exact distinct 2-hop count, top-{R2_TOPK} nodes by reach.
+
+    Determinism: q229's portable-HLL spec (md5-derived buckets, rho
+    as an integer CASE cascade) with the register sum held in EXACT
+    integers — Σ2^(W+1−M) as BIGINT shifts (missing registers add
+    2·2^W ≡ 2^(W+1−1) via the (m−V)·2 term) — so the estimate is one
+    reproducible division; linear-counting correction below 2.5m.
+
+    Scale: regs1 is |V|×64 integers; the 2-hop merge joins the edge
+    list to it once — no |V|² pair materialization anywhere; the
+    exact side exists to certify and is itself degree-capped.
+    """
+    bip = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    okp = (
+        bip.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") <= LP_DEG_CAP)
+        .select("p")
+    )
+    a = bip.select(F.col("s").alias("a"), "p")
+    b = bip.select(F.col("s").alias("b"), "p")
+    edge_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("a").cast("string"),
+                    F.lit("_"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    edges = (
+        a.join(b, "p")
+        .filter(F.col("a") < F.col("b"))
+        .join(okp, "p")
+        .select("a", "b")
+        .distinct()
+        .filter(edge_hash % R2_EDGE_MOD == 0)
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    front = sym.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
+        sym.select(F.col("a").alias("v"), F.col("a").alias("u")).distinct()
+    )
+    reach = (
+        front.join(sym.select(F.col("a").alias("u"), F.col("b").alias("w")), "u")
+        .select("v", "w")
+        .distinct()
+    )
+    exact = reach.groupBy("v").agg(F.count(F.lit(1)).alias("exact_reach"))
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("r2:"), F.col("b").cast("string"))), 1, 14
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    parts = sym.select(
+        F.col("a").alias("u"),
+        (F.shiftright(hv, R2_W) % F.lit(R2_M)).alias("bucket"),
+        _r2_rho_col(hv % F.lit(1 << R2_W)).alias("rho"),
+    )
+    regs1 = parts.groupBy("u", "bucket").agg(F.max("rho").alias("m"))
+    regs2 = (
+        front.join(regs1, "u")
+        .groupBy("v", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    est = regs2.groupBy("v").agg(
+        F.sum(F.expr(f"shiftleft(1L, {R2_W + 1} - m)")).alias("sum_scaled"),
+        F.count(F.lit(1)).alias("v_nonzero"),
+    )
+    raw_est = (
+        F.lit(R2_ALPHA)
+        * R2_M
+        * R2_M
+        / (
+            F.col("sum_scaled").cast("double") / F.lit(float(1 << R2_W))
+            + (F.lit(R2_M) - F.col("v_nonzero")) * F.lit(2.0)
+        )
+    )
+    corrected = est.select(
+        "v",
+        F.when(
+            (raw_est <= 2.5 * R2_M) & (F.col("v_nonzero") < R2_M),
+            F.lit(R2_M)
+            * F.log(
+                F.lit(float(R2_M))
+                / (F.lit(R2_M) - F.col("v_nonzero")).cast("double")
+            ),
+        )
+        .otherwise(raw_est)
+        .alias("hll_est"),
+    )
+    w = Window.orderBy(F.col("exact_reach").desc(), F.col("s_suppkey").asc())
+    return (
+        exact.join(corrected, "v")
+        .select(
+            F.col("v").alias("s_suppkey"),
+            F.col("exact_reach").cast("bigint").alias("exact_reach"),
+            F.round("hll_est", 4).alias("hll_estimate"),
+            F.round(
+                F.abs(F.col("hll_est") - F.col("exact_reach"))
+                / F.col("exact_reach"),
+                6,
+            ).alias("rel_error"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= R2_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q415 segmented-regression changepoint (broken-stick fit)
+#
+# CUSUM (q231) finds LEVEL shifts; this finds SLOPE changes: fit two
+# OLS lines split at every candidate month, pick the breakpoint that
+# minimizes total SSE — from ONE pass of prefix sufficient statistics
+# (the subtractable-moments trick of q297), never a per-candidate
+# rescan.
+
+SEG_MIN_PTS = 3  # each segment must have >= 3 months
+
+
+@register(
+    "q415_segmented_regression",
+    category="analytics-stats (regression/tests/causal)",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT CAST(date_diff('month', DATE '1995-01-01',
+                  CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / 1000000 AS y
+      FROM orders GROUP BY 1
+    ),
+    pre AS (
+      SELECT x, y,
+             ROW_NUMBER() OVER (ORDER BY x) AS i,
+             SUM(x) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS sx,
+             SUM(CAST(ROUND(y, 6) AS DECIMAL(28,6)))
+               OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS sy,
+             SUM(x * x) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS sxx,
+             SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6)))
+               OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS sxy,
+             SUM(CAST(ROUND(y * y, 6) AS DECIMAL(28,6)))
+               OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS syy
+      FROM monthly
+    ),
+    tot AS (
+      SELECT MAX(i) AS n, MAX(sx) AS tsx, MAX(sy) AS tsy,
+             MAX(sxx) AS tsxx, MAX(sxy) AS tsxy, MAX(syy) AS tsyy
+      FROM pre
+    ),
+    cand AS (
+      SELECT p.x AS bp, p.i,
+             p.i AS nl, CAST(p.sx AS DOUBLE) AS lsx,
+             CAST(p.sy AS DOUBLE) AS lsy, CAST(p.sxx AS DOUBLE) AS lsxx,
+             CAST(p.sxy AS DOUBLE) AS lsxy, CAST(p.syy AS DOUBLE) AS lsyy,
+             t.n - p.i AS nr, CAST(t.tsx - p.sx AS DOUBLE) AS rsx,
+             CAST(t.tsy - p.sy AS DOUBLE) AS rsy,
+             CAST(t.tsxx - p.sxx AS DOUBLE) AS rsxx,
+             CAST(t.tsxy - p.sxy AS DOUBLE) AS rsxy,
+             CAST(t.tsyy - p.syy AS DOUBLE) AS rsyy
+      FROM pre p, tot t
+      WHERE p.i >= {SEG_MIN_PTS} AND t.n - p.i >= {SEG_MIN_PTS}
+    ),
+    scored AS (
+      SELECT bp, nl, nr,
+             (lsyy - lsy * lsy / nl)
+               - (lsxy - lsx * lsy / nl) * (lsxy - lsx * lsy / nl)
+                 / NULLIF(lsxx - lsx * lsx / nl, 0) AS sse_l,
+             (rsyy - rsy * rsy / nr)
+               - (rsxy - rsx * rsy / nr) * (rsxy - rsx * rsy / nr)
+                 / NULLIF(rsxx - rsx * rsx / nr, 0) AS sse_r,
+             (lsxy - lsx * lsy / nl)
+               / NULLIF(lsxx - lsx * lsx / nl, 0) AS slope_l,
+             (rsxy - rsx * rsy / nr)
+               / NULLIF(rsxx - rsx * rsx / nr, 0) AS slope_r
+      FROM cand
+    ),
+    single AS (
+      SELECT (tsyy - tsy * tsy / n)
+               - (tsxy - tsx * tsy / n) * (tsxy - tsx * tsy / n)
+                 / NULLIF(tsxx - tsx * tsx / n, 0) AS sse_1
+      FROM (SELECT n, CAST(tsx AS DOUBLE) AS tsx, CAST(tsy AS DOUBLE) AS tsy,
+                   CAST(tsxx AS DOUBLE) AS tsxx, CAST(tsxy AS DOUBLE) AS tsxy,
+                   CAST(tsyy AS DOUBLE) AS tsyy FROM tot)
+    )
+    SELECT bp AS breakpoint_month,
+           CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           ROUND(slope_l, 6) AS slope_left,
+           ROUND(slope_r, 6) AS slope_right,
+           ROUND(sse_l + sse_r, 6) AS sse_split,
+           ROUND((SELECT sse_1 FROM single), 6) AS sse_single,
+           ROUND(1.0 - (sse_l + sse_r)
+                 / NULLIF((SELECT sse_1 FROM single), 0), 6)
+             AS sse_reduction
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+      ORDER BY ROUND(sse_l + sse_r, 6) ASC, bp ASC) = 1
+    """,
+)
+def q415_segmented_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broken-stick (segmented) regression changepoint on the monthly
+    revenue series: every admissible month is a candidate breakpoint,
+    each evaluated from PREFIX sufficient statistics (one window pass
+    — left moments are the prefix, right moments are total minus
+    prefix, the q297 subtractable trick), pick the split minimizing
+    total SSE. Finds SLOPE changes that CUSUM's level-shift detector
+    (q231) and the global trend tests (q189/q265) cannot localize.
+
+    Determinism: moments accumulate as ROUND-6 DECIMAL windows (exact
+    order-free sums at the month grain); the SSE algebra runs on
+    identical doubles on both engines; argmin on the ROUND-6 SSE with
+    breakpoint tie-break.
+
+    Scale: the month grain bounds everything — one grouped reduce,
+    two windows, a candidate frame of |months| rows; no rescan per
+    candidate.
+    """
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.months_between(
+            F.date_trunc("month", F.col("o_orderdate").cast("date")),
+            F.lit("1995-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("x")
+    ).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / 1000000
+        ).alias("y")
+    )
+    wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    pre = monthly.select(
+        "x",
+        "y",
+        F.row_number().over(Window.orderBy("x")).alias("i"),
+        F.sum("x").over(wcum).alias("sx"),
+        F.sum(F.round("y", 6).cast("decimal(28,6)")).over(wcum).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(wcum).alias("sxx"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast("decimal(28,6)"))
+        .over(wcum)
+        .alias("sxy"),
+        F.sum(F.round(F.col("y") * F.col("y"), 6).cast("decimal(28,6)"))
+        .over(wcum)
+        .alias("syy"),
+    )
+    tot = pre.agg(
+        F.max("i").alias("n"),
+        F.max("sx").alias("tsx"),
+        F.max("sy").alias("tsy"),
+        F.max("sxx").alias("tsxx"),
+        F.max("sxy").alias("tsxy"),
+        F.max("syy").alias("tsyy"),
+    )
+    cand = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("i") >= SEG_MIN_PTS)
+            & (F.col("n") - F.col("i") >= SEG_MIN_PTS)
+        )
+        .select(
+            F.col("x").alias("bp"),
+            F.col("i").alias("nl"),
+            F.col("sx").cast("double").alias("lsx"),
+            F.col("sy").cast("double").alias("lsy"),
+            F.col("sxx").cast("double").alias("lsxx"),
+            F.col("sxy").cast("double").alias("lsxy"),
+            F.col("syy").cast("double").alias("lsyy"),
+            (F.col("n") - F.col("i")).alias("nr"),
+            (F.col("tsx") - F.col("sx")).cast("double").alias("rsx"),
+            (F.col("tsy") - F.col("sy")).cast("double").alias("rsy"),
+            (F.col("tsxx") - F.col("sxx")).cast("double").alias("rsxx"),
+            (F.col("tsxy") - F.col("sxy")).cast("double").alias("rsxy"),
+            (F.col("tsyy") - F.col("syy")).cast("double").alias("rsyy"),
+        )
+    )
+
+    def _sse(sy, sxy, sx, sxx, syy, n):
+        sxy_c = F.col(sxy) - F.col(sx) * F.col(sy) / F.col(n)
+        sxx_c = F.nullif(
+            F.col(sxx) - F.col(sx) * F.col(sx) / F.col(n), F.lit(0.0)
+        )
+        syy_c = F.col(syy) - F.col(sy) * F.col(sy) / F.col(n)
+        return syy_c - sxy_c * sxy_c / sxx_c, sxy_c / sxx_c
+
+    sse_l, slope_l = _sse("lsy", "lsxy", "lsx", "lsxx", "lsyy", "nl")
+    sse_r, slope_r = _sse("rsy", "rsxy", "rsx", "rsxx", "rsyy", "nr")
+    scored = cand.select(
+        "bp",
+        "nl",
+        "nr",
+        sse_l.alias("sse_l"),
+        sse_r.alias("sse_r"),
+        slope_l.alias("slope_l"),
+        slope_r.alias("slope_r"),
+    )
+    single = tot.select(
+        F.col("n").alias("sn"),
+        F.col("tsx").cast("double").alias("ssx"),
+        F.col("tsy").cast("double").alias("ssy"),
+        F.col("tsxx").cast("double").alias("ssxx"),
+        F.col("tsxy").cast("double").alias("ssxy"),
+        F.col("tsyy").cast("double").alias("ssyy"),
+    )
+    sse_1, _ = _sse("ssy", "ssxy", "ssx", "ssxx", "ssyy", "sn")
+    single = single.select(sse_1.alias("sse_1"))
+    w = Window.orderBy(
+        F.round(F.col("sse_l") + F.col("sse_r"), 6).asc(), F.col("bp").asc()
+    )
+    return (
+        scored.crossJoin(F.broadcast(single))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("bp").alias("breakpoint_month"),
+            F.col("nl").cast("bigint").alias("n_left"),
+            F.col("nr").cast("bigint").alias("n_right"),
+            F.round("slope_l", 6).alias("slope_left"),
+            F.round("slope_r", 6).alias("slope_right"),
+            F.round(F.col("sse_l") + F.col("sse_r"), 6).alias("sse_split"),
+            F.round("sse_1", 6).alias("sse_single"),
+            F.round(
+                F.lit(1.0)
+                - (F.col("sse_l") + F.col("sse_r"))
+                / F.nullif(F.col("sse_1"), F.lit(0.0)),
+                6,
+            ).alias("sse_reduction"),
+        )
+    )
