@@ -2912,3 +2912,515 @@ def q415_segmented_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sse_reduction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q416 v-optimal histogram construction
+#
+# The histogram a cost-based optimizer actually wants: bucket
+# boundaries chosen to minimize total within-bucket variance
+# (V-Optimal, Jagadish et al. 1998), not equal widths (q131) or equal
+# depths (q186). Candidates come from equi-depth quantile positions,
+# so the search space is fixed-size regardless of data volume, and
+# every segment's SSE reads off ONE prefix-sum pass.
+
+VOPT_CANDS = 11  # interior candidate boundaries (equi-depth ranks)
+VOPT_B = 4  # buckets (choose 3 cuts from the candidates)
+
+
+@register(
+    "q416_voptimal_histogram",
+    category="aggregation-advanced (rollup/percentile/sketch/pivot)",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1995-01-01',
+                  CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    pre AS (
+      SELECT x, y, ROW_NUMBER() OVER (ORDER BY x) AS i,
+             SUM(CAST(y AS DECIMAL(38,0)))
+               OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS s,
+             SUM(CAST(y AS DECIMAL(38,0)) * y)
+               OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS s2
+      FROM daily
+    ),
+    nn AS (SELECT MAX(i) AS n FROM pre),
+    -- candidate cut positions: equi-depth ranks + both sentinels
+    cand AS (
+      SELECT DISTINCT CAST(CEIL(k * n / {VOPT_CANDS + 1}.0) AS BIGINT) AS i
+      FROM (SELECT UNNEST(generate_series(1, {VOPT_CANDS})) AS k), nn
+      UNION SELECT 0 AS i
+      UNION SELECT n AS i FROM nn
+    ),
+    cstat AS (
+      SELECT c.i,
+             COALESCE(p.s, 0) AS s, COALESCE(p.s2, 0) AS s2
+      FROM cand c LEFT JOIN pre p ON p.i = c.i
+    ),
+    seg AS (
+      SELECT l.i AS lo, r.i AS hi, r.i - l.i AS cnt,
+             r.s - l.s AS ds,
+             r.s2 - l.s2 AS ds2
+      FROM cstat l JOIN cstat r ON r.i > l.i
+    ),
+    sse AS (
+      -- SSE = (n*Sum(y^2) - Sum(y)^2)/n with the numerator EXACT in
+      -- DECIMAL(38): separately-cast doubles cancel catastrophically
+      SELECT lo, hi, cnt,
+             CAST(cnt * ds2 - ds * ds AS DOUBLE) / cnt AS e,
+             CAST(ds AS DOUBLE) / cnt AS mean
+      FROM seg
+    ),
+    triples AS (
+      SELECT a.hi AS c1, b.hi AS c2, c.hi AS c3,
+             CAST(FLOOR((a.e + b.e + c.e + d.e) / 10000 + 0.5) AS BIGINT)
+               AS total_sse
+      FROM sse a
+      JOIN sse b ON b.lo = a.hi
+      JOIN sse c ON c.lo = b.hi
+      JOIN sse d ON d.lo = c.hi
+      CROSS JOIN nn
+      WHERE a.lo = 0 AND d.hi = nn.n
+    ),
+    best AS (
+      SELECT c1, c2, c3, total_sse FROM triples
+      QUALIFY ROW_NUMBER() OVER (
+        ORDER BY total_sse ASC, c1 ASC, c2 ASC, c3 ASC) = 1
+    ),
+    buckets AS (
+      SELECT 1 AS bucket_id, 0 AS lo, c1 AS hi, total_sse FROM best
+      UNION ALL SELECT 2, c1, c2, total_sse FROM best
+      UNION ALL SELECT 3, c2, c3, total_sse FROM best
+      UNION ALL SELECT 4, c3, nn.n, total_sse FROM best, nn
+    )
+    SELECT b.bucket_id,
+           CAST(b.lo AS BIGINT) AS lo_rank, CAST(b.hi AS BIGINT) AS hi_rank,
+           CAST(s.cnt AS BIGINT) AS n_days,
+           ROUND(s.mean / 100, 2) AS mean_revenue,
+           -- integer dollars^2: 1e14-scale SSE has no representable
+           -- 2-decimal rounding in double; FLOOR half-up grid
+           CAST(FLOOR(s.e / 10000 + 0.5) AS BIGINT) AS bucket_sse,
+           b.total_sse
+    FROM buckets b JOIN sse s ON s.lo = b.lo AND s.hi = b.hi
+    """,
+)
+def q416_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-Optimal histogram of daily revenue: choose {VOPT_B - 1} cut
+    points from {VOPT_CANDS} equi-depth candidate ranks to minimize
+    total within-bucket SSE — the variance-optimal bucketing a
+    cost-based optimizer wants for selectivity estimation, vs the
+    equal-width (q131) and equal-depth (q186) heuristics.
+
+    Scale design: one prefix-sum window pass gives every candidate
+    segment's (count, Σy, Σy²) by subtraction, so the whole search
+    is a C({VOPT_CANDS}, {VOPT_B - 1})-row join over a fixed-size
+    candidate frame — data volume only touches the day-grain reduce.
+    Declarative brute force beats an iterative DP here because the
+    candidate set is bounded by construction.
+
+    Determinism: prefix sums in DECIMAL(38) (y² of cent-scale
+    revenue exceeds 2^53); SSE algebra on identical doubles; argmin
+    on ROUND-4 total with full cut-tuple tie-break.
+    """
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("x")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y")
+    )
+    wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "x",
+        "y",
+        F.row_number().over(Window.orderBy("x")).cast("bigint").alias("i"),
+        F.sum(F.col("y").cast("decimal(38,0)")).over(wcum).alias("s"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .over(wcum)
+        .alias("s2"),
+    )
+    nn = pre.agg(F.max("i").alias("n"))
+    ks = spark.range(1, VOPT_CANDS + 1).select(F.col("id").alias("k"))
+    cand = (
+        ks.crossJoin(F.broadcast(nn))
+        .select(
+            F.ceil(F.col("k") * F.col("n") / F.lit(float(VOPT_CANDS + 1)))
+            .cast("bigint")
+            .alias("i")
+        )
+        .unionAll(spark.range(1).select(F.lit(0).cast("bigint").alias("i")))
+        .unionAll(nn.select(F.col("n").cast("bigint").alias("i")))
+        .distinct()
+    )
+    cstat = cand.join(F.broadcast(pre.select("i", "s", "s2")), "i", "left").select(
+        "i",
+        F.coalesce(F.col("s"), F.lit(0).cast("decimal(38,0)")).alias("s"),
+        F.coalesce(F.col("s2"), F.lit(0).cast("decimal(38,0)")).alias("s2"),
+    )
+    lo = cstat.select(
+        F.col("i").alias("lo"), F.col("s").alias("ls"), F.col("s2").alias("ls2")
+    )
+    hi = cstat.select(
+        F.col("i").alias("hi"), F.col("s").alias("hs"), F.col("s2").alias("hs2")
+    )
+    seg = (
+        lo.join(F.broadcast(hi), F.col("hi") > F.col("lo"))
+        .select(
+            "lo",
+            "hi",
+            (F.col("hi") - F.col("lo")).alias("cnt"),
+            (F.col("hs") - F.col("ls")).alias("ds"),
+            (F.col("hs2") - F.col("ls2")).alias("ds2"),
+        )
+    )
+    # exact DECIMAL numerator (see oracle comment): n*Sum(y^2) - Sum(y)^2
+    sse = seg.select(
+        "lo",
+        "hi",
+        "cnt",
+        (
+            (F.col("cnt") * F.col("ds2") - F.col("ds") * F.col("ds"))
+            .cast("double")
+            / F.col("cnt")
+        ).alias("e"),
+        (F.col("ds").cast("double") / F.col("cnt")).alias("mean"),
+    )
+    a = sse.select(F.col("lo").alias("alo"), F.col("hi").alias("c1"), F.col("e").alias("ea"))
+    b = sse.select(F.col("lo").alias("c1"), F.col("hi").alias("c2"), F.col("e").alias("eb"))
+    c = sse.select(F.col("lo").alias("c2"), F.col("hi").alias("c3"), F.col("e").alias("ec"))
+    d = sse.select(F.col("lo").alias("c3"), F.col("hi").alias("dhi"), F.col("e").alias("ed"))
+    triples = (
+        a.filter(F.col("alo") == 0)
+        .join(F.broadcast(b), "c1")
+        .join(F.broadcast(c), "c2")
+        .join(F.broadcast(d), "c3")
+        .crossJoin(F.broadcast(nn))
+        .filter(F.col("dhi") == F.col("n"))
+        .select(
+            "c1",
+            "c2",
+            "c3",
+            F.floor(
+                (F.col("ea") + F.col("eb") + F.col("ec") + F.col("ed"))
+                / 10000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("total_sse"),
+        )
+    )
+    best = (
+        triples.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("total_sse").asc(),
+                    F.col("c1").asc(),
+                    F.col("c2").asc(),
+                    F.col("c3").asc(),
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("c1", "c2", "c3", "total_sse")
+    )
+    buckets = (
+        best.select(F.lit(1).alias("bucket_id"), F.lit(0).cast("bigint").alias("lo"), F.col("c1").alias("hi"), "total_sse")
+        .unionAll(best.select(F.lit(2), F.col("c1"), F.col("c2"), "total_sse"))
+        .unionAll(best.select(F.lit(3), F.col("c2"), F.col("c3"), "total_sse"))
+        .unionAll(
+            best.crossJoin(F.broadcast(nn)).select(
+                F.lit(4), F.col("c3"), F.col("n").cast("bigint"), "total_sse"
+            )
+        )
+    )
+    return buckets.join(sse, ["lo", "hi"]).select(
+        "bucket_id",
+        F.col("lo").cast("bigint").alias("lo_rank"),
+        F.col("hi").cast("bigint").alias("hi_rank"),
+        F.col("cnt").cast("bigint").alias("n_days"),
+        F.round(F.col("mean") / 100, 2).alias("mean_revenue"),
+        F.floor(F.col("e") / 10000 + F.lit(0.5)).cast("bigint").alias("bucket_sse"),
+        F.col("total_sse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q417 A-Priori frequent itemsets (pairs + candidate-pruned triples)
+#
+# Market-basket mining one level up from q137's pair lift: the
+# A-Priori candidate-generation step — triples are only COUNTED if
+# all three constituent pairs pass the support floor, the pruning
+# that makes itemset mining feasible on wide catalogs.
+
+AP_MINSUP = 2
+AP_TOPK = 15
+
+
+@register(
+    "q417_apriori_itemsets",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS it FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.it AS ia, b.it AS ib, COUNT(*) AS sup
+      FROM baskets a JOIN baskets b ON b.o = a.o AND a.it < b.it
+      GROUP BY a.it, b.it
+      HAVING COUNT(*) >= {AP_MINSUP}
+    ),
+    -- candidate triples: join frequent pairs sharing the first item,
+    -- then A-Priori-prune on the third sub-pair
+    cand3 AS (
+      SELECT p1.ia, p1.ib, p2.ib AS ic
+      FROM pairs p1 JOIN pairs p2
+        ON p2.ia = p1.ia AND p2.ib > p1.ib
+      JOIN pairs p3 ON p3.ia = p1.ib AND p3.ib = p2.ib
+    ),
+    triples AS (
+      SELECT c.ia, c.ib, c.ic, COUNT(*) AS sup
+      FROM cand3 c
+      JOIN baskets x ON x.it = c.ia
+      JOIN baskets y ON y.o = x.o AND y.it = c.ib
+      JOIN baskets z ON z.o = x.o AND z.it = c.ic
+      GROUP BY c.ia, c.ib, c.ic
+      HAVING COUNT(*) >= {AP_MINSUP}
+    ),
+    unioned AS (
+      SELECT 2 AS set_size, ia AS item_a, ib AS item_b,
+             CAST(NULL AS BIGINT) AS item_c, sup FROM pairs
+      UNION ALL
+      SELECT 3, ia, ib, ic, sup FROM triples
+    )
+    SELECT CAST(set_size AS INTEGER) AS set_size,
+           item_a, item_b, item_c,
+           CAST(sup AS BIGINT) AS support,
+           CAST(ROW_NUMBER() OVER (PARTITION BY set_size
+             ORDER BY sup DESC, item_a ASC, item_b ASC,
+                      COALESCE(item_c, -1) ASC) AS BIGINT) AS rn
+    FROM unioned
+    QUALIFY rn <= {AP_TOPK}
+    """,
+)
+def q417_apriori_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-Priori frequent itemset mining over order baskets: frequent
+    pairs (support ≥ {AP_MINSUP}), then triples generated ONLY from
+    frequent-pair joins and pruned by the third sub-pair before any
+    counting — the anti-monotonicity step that keeps level-3
+    candidate counting proportional to the frequent-pair table, not
+    the catalog cube. Top-{AP_TOPK} per itemset size.
+
+    Scale: pair counting is the in-basket self-join (q137's shape,
+    bounded by per-basket width); triple SUPPORT counting joins the
+    pruned candidate list back to three posting lists on the order
+    key — each join is an equi-join on (order, item), and the
+    candidate list is the small side.
+
+    Determinism: exact integer supports; ranking tie-breaks on the
+    full item tuple (NULL item_c ordered via COALESCE sentinel).
+    """
+    baskets = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("it"))
+        .distinct()
+    )
+    a = baskets.select("o", F.col("it").alias("ia"))
+    b = baskets.select("o", F.col("it").alias("ib"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= AP_MINSUP)
+    )
+    p1 = pairs.select("ia", "ib", F.col("sup").alias("s1"))
+    p2 = pairs.select(F.col("ia").alias("ia2"), F.col("ib").alias("ic"), F.col("sup").alias("s2"))
+    p3 = pairs.select(F.col("ia").alias("ib3"), F.col("ib").alias("ic3"))
+    cand3 = (
+        p1.join(p2, (F.col("ia2") == F.col("ia")) & (F.col("ic") > F.col("ib")))
+        .join(
+            p3,
+            (F.col("ib3") == F.col("ib")) & (F.col("ic3") == F.col("ic")),
+        )
+        .select("ia", "ib", "ic")
+    )
+    x = baskets.select("o", F.col("it").alias("ia"))
+    y = baskets.select("o", F.col("it").alias("ib"))
+    z = baskets.select("o", F.col("it").alias("ic"))
+    triples = (
+        F.broadcast(cand3)
+        .join(x, "ia")
+        .join(y, ["o", "ib"])
+        .join(z, ["o", "ic"])
+        .groupBy("ia", "ib", "ic")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= AP_MINSUP)
+    )
+    unioned = pairs.select(
+        F.lit(2).alias("set_size"),
+        F.col("ia").alias("item_a"),
+        F.col("ib").alias("item_b"),
+        F.lit(None).cast("bigint").alias("item_c"),
+        "sup",
+    ).unionAll(
+        triples.select(
+            F.lit(3).alias("set_size"),
+            F.col("ia").alias("item_a"),
+            F.col("ib").alias("item_b"),
+            F.col("ic").alias("item_c"),
+            "sup",
+        )
+    )
+    w = Window.partitionBy("set_size").orderBy(
+        F.col("sup").desc(),
+        F.col("item_a").asc(),
+        F.col("item_b").asc(),
+        F.coalesce(F.col("item_c"), F.lit(-1)).asc(),
+    )
+    return (
+        unioned.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= AP_TOPK)
+        .select(
+            F.col("set_size").cast("int").alias("set_size"),
+            "item_a",
+            "item_b",
+            "item_c",
+            F.col("sup").cast("bigint").alias("support"),
+            "rn",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q418 exponentially-decayed heavy hitters
+#
+# The leaderboard with a memory: recent revenue counts more, decayed
+# by 2^-(age/half-life). Dyadic decay on the cent grid keeps every
+# decayed contribution an exact BIGINT (the q395 discounted-returns
+# trick applied to the heavy-hitters problem), so the "streaming"
+# leaderboard is bit-reproducible.
+
+DH_HALFLIFE_DAYS = 180
+DH_MAX_PERIODS = 14  # contributions older than 14 half-lives round to 0
+DH_TOPK = 15
+
+
+@register(
+    "q418_decayed_heavy_hitters",
+    oracle=f"""
+    WITH anchor AS (
+      SELECT MAX(CAST(l_shipdate AS DATE)) AS a FROM lineitem
+    ),
+    contrib AS (
+      SELECT p.p_brand,
+             CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS cents,
+             LEAST({DH_MAX_PERIODS},
+               date_diff('day', CAST(l.l_shipdate AS DATE), an.a)
+                 // {DH_HALFLIFE_DAYS}) AS period
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      CROSS JOIN anchor an
+    ),
+    scored AS (
+      SELECT p_brand,
+             SUM(CAST(cents AS BIGINT)
+                 * (CAST(1 AS BIGINT) << ({DH_MAX_PERIODS} - period)))
+               AS decayed_scaled,
+             SUM(CAST(cents AS BIGINT)) AS raw_cents
+      FROM contrib GROUP BY p_brand
+    ),
+    ranked AS (
+      SELECT p_brand,
+             ROUND(CAST(decayed_scaled AS DOUBLE)
+                   / {(1 << DH_MAX_PERIODS) * 100}, 2) AS decayed_revenue,
+             ROUND(CAST(raw_cents AS DOUBLE) / 100, 2) AS raw_revenue,
+             CAST(ROW_NUMBER() OVER (ORDER BY decayed_scaled DESC,
+                  p_brand ASC) AS BIGINT) AS decayed_rank,
+             CAST(ROW_NUMBER() OVER (ORDER BY raw_cents DESC,
+                  p_brand ASC) AS BIGINT) AS raw_rank
+      FROM scored
+    )
+    SELECT p_brand, decayed_revenue, raw_revenue, decayed_rank, raw_rank,
+           raw_rank - decayed_rank AS rank_shift
+    FROM ranked
+    WHERE decayed_rank <= {DH_TOPK}
+    """,
+)
+def q418_decayed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed brand leaderboard: every lineitem's
+    revenue is decayed by 2^-(age / {DH_HALFLIFE_DAYS}d half-lives,
+    floored, capped at {DH_MAX_PERIODS}) before summing — the
+    recency-weighted heavy hitters behind trending dashboards, shown
+    against the undecayed ranks so momentum (rank_shift) is explicit.
+
+    Determinism: DYADIC decay on the cent grid (the q395 trick) —
+    every contribution is cents · 2^(cap − period), an exact BIGINT,
+    so the leaderboard is bit-reproducible across engines and
+    partitionings; ties break on brand.
+
+    Scale: one fact-table pass with a broadcast anchor scalar; state
+    is one BIGINT per brand (mergeable — shard partials just SUM),
+    the same accumulator a streaming foreachBatch sink would keep.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    anchor = li.agg(F.max(F.col("l_shipdate").cast("date")).alias("a"))
+    period = F.least(
+        F.lit(DH_MAX_PERIODS),
+        F.floor(
+            F.datediff(F.col("a"), F.col("l_shipdate").cast("date"))
+            / DH_HALFLIFE_DAYS
+        ),
+    )
+    contrib = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "p_brand",
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            period.alias("period"),
+        )
+    )
+    scored = contrib.groupBy("p_brand").agg(
+        F.sum(
+            F.col("cents")
+            * F.expr(f"shiftleft(1L, {DH_MAX_PERIODS} - period)")
+        ).alias("decayed_scaled"),
+        F.sum("cents").alias("raw_cents"),
+    )
+    ranked = scored.select(
+        "p_brand",
+        F.round(
+            F.col("decayed_scaled").cast("double")
+            / F.lit(float((1 << DH_MAX_PERIODS) * 100)),
+            2,
+        ).alias("decayed_revenue"),
+        F.round(F.col("raw_cents").cast("double") / 100, 2).alias(
+            "raw_revenue"
+        ),
+        F.row_number()
+        .over(Window.orderBy(F.col("decayed_scaled").desc(), F.col("p_brand").asc()))
+        .cast("bigint")
+        .alias("decayed_rank"),
+        F.row_number()
+        .over(Window.orderBy(F.col("raw_cents").desc(), F.col("p_brand").asc()))
+        .cast("bigint")
+        .alias("raw_rank"),
+    )
+    return ranked.filter(F.col("decayed_rank") <= DH_TOPK).select(
+        "p_brand",
+        "decayed_revenue",
+        "raw_revenue",
+        "decayed_rank",
+        "raw_rank",
+        (F.col("raw_rank") - F.col("decayed_rank")).alias("rank_shift"),
+    )

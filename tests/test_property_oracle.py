@@ -273,6 +273,18 @@ DOC_QUERIES = [
     # must agree); repeated words stress the distinct-word grain and
     # the pointer-doubling absorbing state on short words
     "q408_wordpiece_tokenize",
+    # single-source corpora emit zero pairs; identical length
+    # distributions pin W1 = 0 exactly; single-distinct-length grids
+    # have no gap rows on either engine
+    "q409_wasserstein_source_drift",
+    # constant lengths collapse the global CDF to one value; the
+    # integer cross-multiplied quantile match must pick it for every
+    # source rank on both engines
+    "q410_quantile_normalization",
+    # all-identical corpora tie every precision/recall cell; extreme
+    # thresholds empty the predicted-positive set (NULL precision on
+    # both engines)
+    "q413_pr_threshold_sweep",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get
@@ -339,6 +351,29 @@ ORDER_QUERIES = [
     # outside the supplier table still rank (nodes come from
     # lineitem); integer mass must conserve on any topology
     "q407_personalized_pagerank",
+    # tiny day pools make the 2-point hash draws collide (i = j ->
+    # degenerate lines dropped identically); single-day tables empty
+    # the model set on both engines; constant revenue pins every
+    # residual at 0
+    "q412_ransac_line_fit",
+    # hash-sparsified tiny graphs can drop EVERY edge (empty reach on
+    # both engines); single-node components pin exact = sketch via
+    # the linear-counting branch
+    "q414_twohop_reach_sketch",
+    # short series (< 2*SEG_MIN_PTS months) admit no breakpoint ->
+    # zero rows on both engines; constant revenue zeroes every SSE
+    # (reduction NULLs via NULLIF)
+    "q415_segmented_regression",
+    # tiny day pools collapse equi-depth candidate ranks onto each
+    # other (DISTINCT dedup must agree); constant revenue zeroes all
+    # SSEs -> pure cut-tuple tie-breaks pick the same triple
+    "q416_voptimal_histogram",
+    # tiny part pools mass-produce frequent pairs AND support ties;
+    # single-item baskets yield zero pairs on both engines
+    "q417_apriori_itemsets",
+    # all-same-day shipdates pin period 0 (decayed == raw modulo the
+    # 2^cap scale); ties on decayed revenue fall to the brand order
+    "q418_decayed_heavy_hitters",
 ]
 
 
@@ -540,6 +575,10 @@ EMB_QUERIES = [
     # pair rows); tiny-magnitude vectors push moments onto the 1e-7
     # grid where the DECIMAL roundtrip must hold
     "q405_embedding_moment_drift",
+    # duplicate vectors tie both rankings (recall pinned by vec_id
+    # tie-breaks agreeing); near-zero vectors exercise the NULLed
+    # zero-norm prefix cosine ranking last on both engines
+    "q411_matryoshka_recall",
 ]
 
 emb_params = st.tuples(
