@@ -3424,3 +3424,414 @@ def q418_decayed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw_rank",
         (F.col("raw_rank") - F.col("decayed_rank")).alias("rank_shift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q419 log-rank test between survival cohorts
+#
+# Completes the survival suite: q261 estimates S(t), q401 estimates
+# H(t) — the log-rank test answers "are these two cohorts' conversion
+# hazards DIFFERENT?", the standard A/B readout for time-to-event
+# outcomes where a plain conversion-rate z-test (q151) throws away
+# the censoring structure.
+
+
+@register(
+    "q419_logrank_test",
+    category="analytics-stats (regression/tests/causal)",
+    oracle=f"""
+    WITH su AS (
+      SELECT user_id, user_id % 2 AS grp, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    pu AS (
+      SELECT e.user_id, MIN(e.ts) AS t1
+      FROM events e JOIN su ON su.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= su.t0
+      GROUP BY e.user_id
+    ),
+    obs AS (
+      SELECT su.user_id, su.grp,
+             CASE WHEN p.t1 IS NULL
+                    OR date_diff('day', CAST(su.t0 AS DATE), CAST(p.t1 AS DATE))
+                       > {NA_WINDOW_DAYS}
+                  THEN {NA_WINDOW_DAYS}
+                  ELSE date_diff('day', CAST(su.t0 AS DATE), CAST(p.t1 AS DATE))
+             END AS tday,
+             CASE WHEN p.t1 IS NOT NULL
+                    AND date_diff('day', CAST(su.t0 AS DATE), CAST(p.t1 AS DATE))
+                        <= {NA_WINDOW_DAYS}
+                  THEN 1 ELSE 0 END AS ev
+      FROM su LEFT JOIN pu p ON p.user_id = su.user_id
+    ),
+    steps AS (
+      SELECT tday,
+             SUM(CASE WHEN grp = 0 THEN ev ELSE 0 END) AS d0,
+             SUM(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS d1,
+             SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS a0,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS a1
+      FROM obs GROUP BY tday
+    ),
+    risk AS (
+      SELECT tday, d0, d1,
+             SUM(a0) OVER (ORDER BY tday
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n0,
+             SUM(a1) OVER (ORDER BY tday
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n1
+      FROM steps
+    ),
+    terms AS (
+      SELECT tday, d0, d1, n0, n1, d0 + d1 AS d, n0 + n1 AS n,
+             -- expected group-0 events and hypergeometric variance,
+             -- each a single division of exact integers
+             CAST(n0 * (d0 + d1) AS DOUBLE) / (n0 + n1) AS e0,
+             CAST(n0 AS DOUBLE) * n1 * (d0 + d1)
+               * (n0 + n1 - d0 - d1)
+               / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1) * (n0 + n1 - 1))
+               AS v0
+      FROM risk WHERE n0 > 0 AND n1 > 0 AND n0 + n1 > 1
+    ),
+    agg AS (
+      SELECT CAST(SUM(d0) AS BIGINT) AS obs0,
+             ROUND(CAST(SUM(CAST(ROUND(e0, 9) AS DECIMAL(28,9)))
+                   AS DOUBLE), 6) AS exp0,
+             CAST(SUM(CAST(ROUND(e0, 9) AS DECIMAL(28,9))) AS DOUBLE)
+               AS exp0_raw,
+             CAST(SUM(CAST(ROUND(v0, 9) AS DECIMAL(28,9))) AS DOUBLE)
+               AS var0,
+             CAST(SUM(d1) AS BIGINT) AS obs1
+      FROM terms
+    )
+    SELECT obs0, exp0, obs1,
+           ROUND(var0, 6) AS var0,
+           ROUND((obs0 - exp0_raw) * (obs0 - exp0_raw)
+                 / NULLIF(var0, 0), 6) AS chi2_logrank
+    FROM agg
+    """,
+)
+def q419_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between two hash-assigned signup cohorts on
+    signup→purchase survival ({NA_WINDOW_DAYS}-day censoring, q261's
+    framing): per event day, observed group-0 events vs the
+    hypergeometric expectation n0·d/n and variance, summed into the
+    one-degree chi-square statistic — the censoring-aware A/B readout
+    that a plain conversion z-test (q151) gets wrong whenever the
+    observation windows differ.
+
+    Determinism: risk sets are reverse-cumulative integer windows;
+    per-step e0/v0 are single divisions of exact integers, ROUND-9
+    DECIMAL-summed (order-free); one NULLIF-guarded final ratio.
+
+    Plan: two conditional-MIN user reduces, then everything runs on
+    the bounded {NA_WINDOW_DAYS + 1}-row step table.
+    """
+    ev = t(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+        .withColumn("grp", (F.col("user_id") % 2).cast("int"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su.select("user_id", "t0"), "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    dd = F.datediff(F.col("t1").cast("date"), F.col("t0").cast("date"))
+    obs = su.join(pu, "user_id", "left").select(
+        "grp",
+        F.when(
+            F.col("t1").isNull() | (dd > NA_WINDOW_DAYS), F.lit(NA_WINDOW_DAYS)
+        )
+        .otherwise(dd)
+        .alias("tday"),
+        F.when(F.col("t1").isNotNull() & (dd <= NA_WINDOW_DAYS), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("ev"),
+    )
+    steps = obs.groupBy("tday").agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("ev")).otherwise(0)).alias("d0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("ev")).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("a0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("a1"),
+    )
+    wrev = Window.orderBy("tday").rowsBetween(0, Window.unboundedFollowing)
+    risk = steps.select(
+        "tday",
+        "d0",
+        "d1",
+        F.sum("a0").over(wrev).alias("n0"),
+        F.sum("a1").over(wrev).alias("n1"),
+    )
+    d = F.col("d0") + F.col("d1")
+    n = F.col("n0") + F.col("n1")
+    terms = risk.filter(
+        (F.col("n0") > 0) & (F.col("n1") > 0) & (n > 1)
+    ).select(
+        F.col("d0"),
+        F.col("d1"),
+        ((F.col("n0") * d).cast("double") / n).alias("e0"),
+        (
+            F.col("n0").cast("double")
+            * F.col("n1")
+            * d
+            * (n - d)
+            / (n.cast("double") * n * (n - 1))
+        ).alias("v0"),
+    )
+    agg = terms.agg(
+        F.sum("d0").cast("bigint").alias("obs0"),
+        F.sum(F.round("e0", 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("exp0_raw"),
+        F.sum(F.round("v0", 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("var0_raw"),
+        F.sum("d1").cast("bigint").alias("obs1"),
+    )
+    return agg.select(
+        "obs0",
+        F.round("exp0_raw", 6).alias("exp0"),
+        "obs1",
+        F.round("var0_raw", 6).alias("var0"),
+        F.round(
+            (F.col("obs0") - F.col("exp0_raw"))
+            * (F.col("obs0") - F.col("exp0_raw"))
+            / F.nullif(F.col("var0_raw"), F.lit(0.0)),
+            6,
+        ).alias("chi2_logrank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q420 bandit replay evaluation (Li et al. 2011)
+#
+# The OTHER offline policy evaluator beside q391's IPS: replay keeps
+# only the logged rounds where the target policy would have chosen
+# the SAME action, and averages their rewards — unbiased under
+# uniform logging, no propensity weights, and the effective sample
+# size it reports is the number the IPS variance story hides.
+
+
+@register(
+    "q420_bandit_replay",
+    category="ml-eval-calibration",
+    oracle="""
+    WITH rounds AS (
+      -- logged bandit rounds: arm = event_type, reward = purchase
+      -- indicator proxy (value above its event-type median would
+      -- require a second pass; the deterministic reward is value>=50)
+      SELECT event_id, user_id, event_type AS logged_arm,
+             CASE WHEN value >= 50 THEN 1 ELSE 0 END AS reward
+      FROM events
+    ),
+    -- target policy: per user, play the arm with the most PRIOR
+    -- occurrences overall (corpus argmax, ties lexicographic) -- a
+    -- deterministic greedy policy both engines derive identically
+    pop AS (
+      SELECT logged_arm AS arm, COUNT(*) AS n FROM rounds GROUP BY 1
+    ),
+    target AS (
+      SELECT arm FROM pop
+      QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, arm ASC) = 1
+    ),
+    matched AS (
+      SELECT r.reward FROM rounds r JOIN target t
+        ON t.arm = r.logged_arm
+    ),
+    alln AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_logged,
+                    SUM(reward) AS r_logged FROM rounds)
+    SELECT (SELECT arm FROM target) AS target_arm,
+           a.n_logged,
+           CAST(COUNT(m.reward) AS BIGINT) AS n_matched,
+           ROUND(CAST(COUNT(m.reward) AS DOUBLE) / a.n_logged, 6)
+             AS match_rate,
+           ROUND(CAST(SUM(m.reward) AS DOUBLE)
+                 / NULLIF(COUNT(m.reward), 0), 6) AS replay_value,
+           ROUND(CAST(a.r_logged AS DOUBLE) / a.n_logged, 6)
+             AS logged_value
+    FROM alln a LEFT JOIN matched m ON TRUE
+    GROUP BY a.n_logged, a.r_logged
+    """,
+)
+def q420_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay (rejection-sampling) offline evaluation of a greedy
+    target policy on logged bandit rounds: keep only rounds where the
+    target would have played the logged arm, average their rewards —
+    the propensity-free counterfactual estimator beside q391's IPS,
+    with the effective-sample-size (n_matched / match_rate) made
+    explicit because that is what replay trades for its variance
+    safety.
+
+    Determinism: the target policy is a corpus-argmax with a
+    lexicographic tie-break; rewards are exact integers; two guarded
+    divisions.
+
+    Scale: one arm-popularity reduce (broadcast scalar), one
+    broadcast-filtered pass over the log; no per-round state.
+    """
+    rounds = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("logged_arm"),
+        F.when(F.col("value") >= 50, 1).otherwise(0).alias("reward"),
+    )
+    pop = rounds.groupBy(F.col("logged_arm").alias("arm")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    target = (
+        pop.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("arm").asc())
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(F.col("arm").alias("target_arm"))
+    )
+    alln = rounds.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_logged"),
+        F.sum("reward").alias("r_logged"),
+    )
+    matched = rounds.join(
+        F.broadcast(target), F.col("logged_arm") == F.col("target_arm")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        F.sum("reward").alias("r_matched"),
+    )
+    return (
+        alln.crossJoin(F.broadcast(matched))
+        .crossJoin(F.broadcast(target))
+        .select(
+            "target_arm",
+            "n_logged",
+            "n_matched",
+            F.round(
+                F.col("n_matched").cast("double") / F.col("n_logged"), 6
+            ).alias("match_rate"),
+            F.round(
+                F.col("r_matched").cast("double")
+                / F.nullif(F.col("n_matched"), F.lit(0)),
+                6,
+            ).alias("replay_value"),
+            F.round(
+                F.col("r_logged").cast("double") / F.col("n_logged"), 6
+            ).alias("logged_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q421 differentially-private noisy counts with budget accounting
+#
+# Completes the privacy shelf (k-anon q247, generalization q280,
+# l-diversity/t-closeness q399) with the RELEASE mechanism: Laplace
+# noise at sensitivity 1, epsilon split across the released cells by
+# basic composition, utility audited in-query. Noise is drawn by
+# inverse-CDF over md5-uniforms — reproducible across engines and
+# retries, which is exactly what a replayable release pipeline needs
+# (true randomness lives OUTSIDE the query, in the salt).
+
+DP_EPS_TOTAL = 1.0  # total privacy budget for the release
+DP_SALT = "dp_r4"
+
+
+@register(
+    "q421_dp_noisy_counts",
+    category="llm-corpus-pipeline",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS true_count
+      FROM documents GROUP BY lang, source
+    ),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells),
+    noised AS (
+      SELECT c.lang, c.source, c.true_count, k.n_cells,
+             {DP_EPS_TOTAL} / k.n_cells AS eps_cell,
+             -- uniform in (0,1): 13 md5 hex chars (52 bits), +1 to
+             -- dodge the u=0 pole of the inverse CDF
+             (CAST(('0x' || substr(md5(c.lang || '|' || c.source
+                    || '|{DP_SALT}'), 1, 13)) AS BIGINT) + 1.0)
+               / {(1 << 52) + 2} AS u
+      FROM cells c, k
+    ),
+    released AS (
+      SELECT lang, source, true_count, n_cells,
+             ROUND(eps_cell, 6) AS eps_cell,
+             -- inverse-CDF Laplace(b = 1/eps): -b*sign(u-.5)*ln(1-2|u-.5|)
+             ROUND(true_count
+               - (1.0 / eps_cell)
+                 * (CASE WHEN u >= 0.5 THEN 1 ELSE -1 END)
+                 * ln(1 - 2 * ABS(u - 0.5)), 4) AS noisy_count
+      FROM noised
+    )
+    SELECT lang, source,
+           CAST(true_count AS BIGINT) AS true_count,
+           noisy_count, eps_cell,
+           ROUND(ABS(noisy_count - true_count), 4) AS abs_error,
+           CAST(n_cells AS BIGINT) AS n_cells
+    FROM released
+    """,
+)
+def q421_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of the (lang × source) count
+    table: Laplace noise at sensitivity 1 with the ε={DP_EPS_TOTAL}
+    budget split uniformly across cells (basic composition), noise
+    drawn by inverse-CDF over md5-derived uniforms so the release is
+    REPLAYABLE — rerun the query, get the same certified release;
+    rotate the salt to re-randomize. Per-cell ε and realized absolute
+    error are released alongside (the error column is public: it
+    depends only on the noise draw). The mechanism stage completing
+    the audit stages (q247 → q280 → q399).
+
+    Determinism: the uniform is (h52 + 1)/(2^52 + 2) ∈ (0,1) exactly
+    on both engines; ln on identical doubles, ROUND-4 absorbing the
+    last-ulp libm divergence (q261's ln precedent).
+
+    Scale: one grouped reduce; the noise is per-CELL (bounded), not
+    per-row.
+    """
+    d = t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    k = cells.agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("lang"),
+                        F.lit("|"),
+                        F.col("source"),
+                        F.lit(f"|{DP_SALT}"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / float((1 << 52) + 2)
+    eps_cell = F.lit(DP_EPS_TOTAL) / F.col("n_cells")
+    noisy = F.round(
+        F.col("true_count")
+        - (F.lit(1.0) / eps_cell)
+        * F.when(u >= 0.5, F.lit(1)).otherwise(F.lit(-1))
+        * F.log(F.lit(1.0) - 2 * F.abs(u - F.lit(0.5))),
+        4,
+    )
+    return (
+        cells.crossJoin(F.broadcast(k))
+        .select(
+            "lang",
+            "source",
+            F.col("true_count").cast("bigint").alias("true_count"),
+            noisy.alias("noisy_count"),
+            F.round(eps_cell, 6).alias("eps_cell"),
+            F.round(F.abs(noisy - F.col("true_count")), 4).alias("abs_error"),
+            "n_cells",
+        )
+    )

@@ -108,6 +108,13 @@ EVENT_QUERIES = [
     # collapse steps; the DECIMAL hazard accumulation must stay
     # order-free on any step layout
     "q401_nelson_aalen",
+    # single-cohort corpora (all-even user ids) drop every step via
+    # the n0>0 AND n1>0 guard -> zero-variance NULL chi2 identically;
+    # one-user risk sets hit the n>1 hypergeometric guard
+    "q419_logrank_test",
+    # single-arm corpora pin match_rate = 1 (replay == logged value);
+    # popularity ties between arms must break lexicographically
+    "q420_bandit_replay",
     # single-event users / all-same-type streaks can empty the duel
     # matrix (both engines emit zero rows); never-winning arms hit
     # the 1-grid-unit strength floor; tied values exercise the
@@ -285,6 +292,10 @@ DOC_QUERIES = [
     # thresholds empty the predicted-positive set (NULL precision on
     # both engines)
     "q413_pr_threshold_sweep",
+    # single-cell corpora put the whole budget on one cell; the
+    # md5-uniform inverse-CDF noise must reproduce exactly (u near
+    # 0.5 flips the Laplace sign branch on the shared grid)
+    "q421_dp_noisy_counts",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get
