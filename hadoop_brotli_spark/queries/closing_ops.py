@@ -7736,8 +7736,12 @@ def q324_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_src
     ),
     loo AS (
+      -- FLOOR half-up grid, not ROUND: a LOO mean landing on a .5
+      -- boundary at 1e-6 rounds half-up in Spark but half-even in
+      -- DuckDB (hypothesis-found falsifying example, r4)
       SELECT p.source,
-             ROUND((t.gs - p.s) / NULLIF(t.gn - p.n, 0.0), 6) AS m, t.g,
+             FLOOR((t.gs - p.s) / NULLIF(t.gn - p.n, 0.0) * 1000000
+                   + 0.5) / 1000000 AS m, t.g,
              t.gs / t.gn AS full_mean
       FROM per_src p, tot t
     ),
@@ -7748,9 +7752,9 @@ def q324_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM loo GROUP BY g, full_mean
     )
     SELECT CAST(g AS BIGINT) AS n_groups,
-           ROUND(full_mean, 6) AS point_estimate,
-           ROUND(SQRT((g - 1.0) / g * (sm2 - g * mbar * mbar)), 6)
-             AS jackknife_se
+           FLOOR(full_mean * 1000000 + 0.5) / 1000000 AS point_estimate,
+           FLOOR(SQRT((g - 1.0) / g * (sm2 - g * mbar * mbar)) * 1000000
+                 + 0.5) / 1000000 AS jackknife_se
     FROM agg
     """,
 )
@@ -7780,10 +7784,14 @@ def q325_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     loo = per_src.crossJoin(F.broadcast(tot)).select(
         # NULLIF: a single-source corpus leaves an empty LOO sample
         # (gn == n) — NULL on both engines, not ANSI error vs inf
-        F.round(
-            (F.col("gs") - F.col("s"))
-            / F.nullif(F.col("gn") - F.col("n"), F.lit(0.0)),
-            6,
+        (
+            F.floor(
+                (F.col("gs") - F.col("s"))
+                / F.nullif(F.col("gn") - F.col("n"), F.lit(0.0))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
         ).alias("m"),
         "g",
         (F.col("gs") / F.col("gn")).alias("full_mean"),
@@ -7798,14 +7806,23 @@ def q325_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         F.col("g").cast("bigint").alias("n_groups"),
-        F.round("full_mean", 6).alias("point_estimate"),
-        F.round(
-            F.sqrt(
-                (F.col("g") - 1.0)
-                / F.col("g")
-                * (F.col("sm2") - F.col("g") * F.col("mbar") * F.col("mbar"))
-            ),
-            6,
+        (F.floor(F.col("full_mean") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "point_estimate"
+        ),
+        (
+            F.floor(
+                F.sqrt(
+                    (F.col("g") - 1.0)
+                    / F.col("g")
+                    * (
+                        F.col("sm2")
+                        - F.col("g") * F.col("mbar") * F.col("mbar")
+                    )
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
         ).alias("jackknife_se"),
     )
 
