@@ -104,10 +104,11 @@ def decode_image(payload: bytes):
     REAL with no image libraries for PNG (``decode_png_pixels``:
     stdlib zlib + full filter reconstruction), GIF
     (``decode_gif_pixels``: full LZW + palette + interlace),
-    uncompressed 24-bit BMP (``decode_bmp_pixels``), and baseline
-    4:4:4 JPEG (``decode_jpeg_pixels``: full huffman entropy decode
-    + 2D IDCT; sampling factors to 2x2). Progressive JPEG falls back to PIL when
-    importable and raises ``NotImplementedError`` otherwise."""
+    uncompressed 24-bit BMP (``decode_bmp_pixels``), and JPEG
+    (``decode_jpeg_pixels``: full huffman entropy decode + 2D IDCT;
+    baseline AND progressive SOF2, sampling factors to 2x2). The
+    remaining honest JPEG gates (12-bit precision, restart markers)
+    fall back to PIL when importable."""
     b = bytes(payload)
     if b[:8] == PNG_SIG:
         return decode_png_pixels(b)
@@ -119,12 +120,12 @@ def decode_image(payload: bytes):
         try:
             return decode_jpeg_pixels(b)
         except NotImplementedError:
-            if not _HAS_PIL:  # progressive / subsampled variants
+            if not _HAS_PIL:  # 12-bit / restart-marker variants
                 raise
     if not _HAS_PIL:
         raise NotImplementedError(
             "unrecognized image payload and PIL is absent — PNG, GIF, "
-            "BMP and baseline 4:4:4 JPEG decode natively"
+            "BMP, and baseline/progressive JPEG decode natively"
         )
     import io  # pragma: no cover - needs PIL
 
@@ -1026,6 +1027,212 @@ def build_jpeg_ycbcr_420(y, cb, cr) -> bytes:
     return bytes(out)
 
 
+def _quantize_plane_blocks(plane, q, d):
+    """FDCT + quantize every 8x8 block of a plane; returns an
+    (by, bx, 64) int64 array in ZIGZAG order (the order progressive
+    scans address coefficients in)."""
+    import numpy as np
+
+    h, w = plane.shape
+    out = np.zeros((h // 8, w // 8, 64), dtype=np.int64)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            f = d @ (blk - 128).astype(np.float64) @ d.T
+            fr = np.rint(f)
+            f = np.where(np.abs(f - fr) < 1e-6, fr, f)
+            zq = np.floor(f / q + 0.5).astype(np.int64)
+            for i in range(64):
+                out[by, bx, i] = zq.flat[_ZIGZAG[i]]
+    return out
+
+
+def _sa_shift(v: int, al: int) -> int:
+    """Successive-approximation point transform: |v| >> al with the
+    sign preserved (T.81 G.1.2.2 divides magnitudes, not two's
+    complement words)."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _emit_ac_first(bw, coefs, act, al: int) -> None:
+    """Encode one block's AC band (1..63) for a first successive-
+    approximation scan (Ah=0): run/size symbols over the point-
+    transformed magnitudes, EOB0 flushed per block (EOBRUN kept at
+    <=1 -- legal, and keeps the encoder simple; the decoder handles
+    general EOBn)."""
+    vals = [_sa_shift(int(coefs[k]), al) for k in range(64)]
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if vals[k]:
+            last_nz = k
+            break
+    run = 0
+    for k in range(1, last_nz + 1):
+        v = vals[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = act[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s, bits_v = _magnitude(v)
+        code, ln = act[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(bits_v, s)
+        run = 0
+    if last_nz != 63:
+        code, ln = act[0x00]  # EOB (EOBRUN = 1)
+        bw.write(code, ln)
+
+
+def _emit_ac_refine(bw, coefs, act, al: int) -> None:
+    """Encode one block's AC band for a refinement scan (Ah=Al+1):
+    newly-significant coefficients as (run, 1) symbols with a sign
+    bit, correction bits for already-significant ones buffered and
+    appended after the next symbol (T.81 G.1.2.3 / libjpeg
+    encode_mcu_AC_refine), EOB0 flushed per block."""
+    t = [_sa_shift(int(coefs[k]), al) for k in range(64)]
+    eob = 0
+    for k in range(1, 64):
+        if abs(t[k]) == 1:
+            eob = k
+    run = 0
+    pending = []  # correction bits awaiting the next emitted symbol
+    for k in range(1, 64):
+        a = abs(t[k])
+        if a == 0:
+            run += 1
+            continue
+        # ZRL check BEFORE the correction branch (libjpeg jcphuff.c):
+        # keeps every buffered bit within the span the decoder's
+        # next advance pass covers (runs past EOB fold into EOB)
+        while run > 15 and k <= eob:
+            code, ln = act[0xF0]
+            bw.write(code, ln)
+            for bit in pending:
+                bw.write(bit, 1)
+            pending = []
+            run -= 16
+        if a > 1:  # already significant at the previous precision
+            pending.append(a & 1)
+            continue
+        # a == 1: newly significant at this precision
+        code, ln = act[(run << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if t[k] > 0 else 0, 1)
+        for bit in pending:
+            bw.write(bit, 1)
+        pending = []
+        run = 0
+    if run > 0 or pending:
+        code, ln = act[0x00]  # EOB: remaining positions -> bits only
+        bw.write(code, ln)
+        for bit in pending:
+            bw.write(bit, 1)
+
+
+def build_jpeg_ycbcr_progressive(y, cb, cr) -> bytes:
+    """Encode three uint8 planes (equal dims, multiples of 8) as a
+    PROGRESSIVE (SOF2) JFIF JPEG with a 4-phase successive-
+    approximation scan script that exercises every progressive scan
+    type: interleaved DC first (Al=1), interleaved DC refinement,
+    then per-component AC first (Ss=1..63, Al=1) and AC refinement
+    scans. Coefficients and tables are identical to
+    ``build_jpeg_ycbcr`` -- a correct progressive decode is
+    bit-identical to the baseline decode of the same planes."""
+    import struct
+
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.int64)
+    cb = np.asarray(cb, dtype=np.int64)
+    cr = np.asarray(cr, dtype=np.int64)
+    h, w = y.shape
+    if h % 8 or w % 8 or cb.shape != (h, w) or cr.shape != (h, w):
+        raise ValueError("planes must share dims that are multiples of 8")
+    d = _dct_matrix()
+    ql = np.array(_JPEG_QL, dtype=np.int64).reshape(8, 8)
+    qc = np.array(_JPEG_QC, dtype=np.int64).reshape(8, 8)
+    dc_tabs = [_huff_codes(*_HUFF_DC_L), _huff_codes(*_HUFF_DC_C)]
+    ac_tabs = [_huff_codes(*_HUFF_AC_L), _huff_codes(*_HUFF_AC_C)]
+    coefs = [
+        _quantize_plane_blocks(y, ql, d),
+        _quantize_plane_blocks(cb, qc, d),
+        _quantize_plane_blocks(cr, qc, d),
+    ]
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    for tid, q in ((0, _JPEG_QL), (1, _JPEG_QC)):
+        zz = bytes(q[_ZIGZAG[i]] for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF2
+    out += struct.pack(">BBB", 1, 0x11, 0)
+    out += struct.pack(">BBB", 2, 0x11, 1)
+    out += struct.pack(">BBB", 3, 0x11, 1)
+    for tc_th, (bits, vals) in (
+        ((0, 0), _HUFF_DC_L), ((1, 0), _HUFF_AC_L),
+        ((0, 1), _HUFF_DC_C), ((1, 1), _HUFF_AC_C),
+    ):
+        tc, th = tc_th
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (tc << 4) | th)
+        out += bytes(bits) + bytes(vals)
+
+    def sos(comps, ss, se, ah, al):
+        seg = bytearray()
+        seg += struct.pack(">B", len(comps))
+        for cid, tsel in comps:
+            seg += struct.pack(">BB", cid, tsel)
+        seg += struct.pack(">BBB", ss, se, (ah << 4) | al)
+        return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + bytes(seg)
+
+    nby, nbx = h // 8, w // 8
+    # scan 1: interleaved DC first, Al=1
+    out += sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 1)
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(3):
+                tdc = dc_tabs[0 if ci == 0 else 1]
+                v = int(coefs[ci][by, bx, 0]) >> 1  # arithmetic: floor
+                diff = v - pred[ci]
+                pred[ci] = v
+                s, bits_v = _magnitude(diff)
+                code, ln = tdc[s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(bits_v, s)
+    bw.flush()
+    out += bw.out
+    # scan 2: interleaved DC refinement, Al=0 (raw bits, no huffman)
+    out += sos([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0)
+    bw = _BitWriter()
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(3):
+                bw.write(int(coefs[ci][by, bx, 0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+    # scans 3-5: per-component AC first (Al=1); 6-8: AC refinement
+    for al, emit in ((1, _emit_ac_first), (0, _emit_ac_refine)):
+        for ci, cid in ((0, 1), (1, 2), (2, 3)):
+            tac = ac_tabs[0 if ci == 0 else 1]
+            out += sos([(cid, 0x00 if ci == 0 else 0x11)], 1, 63,
+                       1 if emit is _emit_ac_refine else 0, al)
+            bw = _BitWriter()
+            for by in range(nby):
+                for bx in range(nbx):
+                    emit(bw, coefs[ci][by, bx], tac, al)
+            bw.flush()
+            out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _huff_decode_table(bits, vals):
     """(code, length) -> value lookup dict for the bit reader."""
     return {cl: sym for sym, cl in _huff_codes(bits, vals).items()}
@@ -1057,7 +1264,8 @@ def _decode_jpeg_pixels_inner(payload: bytes):
     (sample replication — deterministic integer work, r3 verdict
     task 6), level shift, and BT.601 YCbCr->RGB. Raises ValueError
     on corrupt streams and NotImplementedError for the remaining
-    honest gates (progressive SOF2, 12-bit, restart markers)."""
+    honest gates (12-bit precision, restart markers). Progressive
+    SOF2 streams dispatch to ``_decode_jpeg_progressive`` (r4)."""
     import struct
 
     import numpy as np
@@ -1080,6 +1288,8 @@ def _decode_jpeg_pixels_inner(payload: bytes):
         if marker == 0xD9:  # EOI
             break
         seg_len = struct.unpack(">H", b[pos : pos + 2])[0]
+        if seg_len < 2:  # length includes itself; 0/1 would loop forever
+            raise ValueError("corrupt JPEG segment length")
         seg = b[pos + 2 : pos + seg_len]
         if marker == 0xDB:  # DQT
             sp = 0
@@ -1093,8 +1303,12 @@ def _decode_jpeg_pixels_inner(payload: bytes):
                     tbl[_ZIGZAG[i]] = zz[i]
                 qtables[tq] = tbl.reshape(8, 8)
                 sp += 65
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise NotImplementedError("only baseline SOF0 supported")
+        elif marker == 0xC2:  # progressive: hand the whole stream over
+            return _decode_jpeg_progressive(b)
+        elif marker in (0xC1, 0xC3):
+            raise NotImplementedError(
+                "extended-sequential/lossless SOF unsupported"
+            )
         elif marker == 0xC0:  # SOF0
             prec, h, w, nc = struct.unpack(">BHHB", seg[0:6])
             if prec != 8:
@@ -1223,6 +1437,288 @@ def _decode_jpeg_pixels_inner(payload: bytes):
             )
         rounded.append(p[:h, :w])
     planes = rounded
+    if len(planes) == 1:
+        g = planes[0].astype(np.uint8)
+        return w, h, np.stack([g, g, g], axis=-1)
+    yy, cbp, crp = planes[0], planes[1], planes[2]
+    r = np.clip(np.floor(yy + 1.402 * (crp - 128.0) + 0.5), 0, 255)
+    g = np.clip(
+        np.floor(
+            yy - 0.344136 * (cbp - 128.0) - 0.714136 * (crp - 128.0) + 0.5
+        ),
+        0,
+        255,
+    )
+    bb = np.clip(np.floor(yy + 1.772 * (cbp - 128.0) + 0.5), 0, 255)
+    return w, h, np.stack([r, g, bb], axis=-1).astype(np.uint8)
+
+
+
+def _decode_jpeg_progressive(b: bytes):
+    """Decode a progressive (SOF2) JPEG: multi-scan coefficient
+    accumulation -- interleaved/non-interleaved DC first and
+    refinement scans, AC spectral-selection first scans with general
+    EOBn runs, and AC successive-approximation refinement scans with
+    correction bits (T.81 G.2 / libjpeg decode_mcu_AC_refine
+    semantics) -- followed by the same dequant + IDCT + upsample +
+    BT.601 tail as the baseline path. 8-bit, 1..3 components,
+    sampling factors to 2x2, no restart markers (honest gate)."""
+    import struct
+
+    import numpy as np
+
+    pos = 2
+    qtables: dict[int, "np.ndarray"] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    comps = []  # (cid, qid, hi, vi)
+    scans = []  # (scomps, ss, se, ah, al, tables snapshot, data)
+    w = h = 0
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", b[pos : pos + 2])[0]
+        if seg_len < 2:  # length includes itself; 0/1 would loop forever
+            raise ValueError("corrupt JPEG segment length")
+        seg = b[pos + 2 : pos + seg_len]
+        if marker == 0xDB:
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = seg[sp + 1 : sp + 65]
+                tbl = np.zeros(64, dtype=np.int64)
+                for i in range(64):
+                    tbl[_ZIGZAG[i]] = zz[i]
+                qtables[tq] = tbl.reshape(8, 8)
+                sp += 65
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack(">BHHB", seg[0:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            for i in range(nc):
+                cid, hv, qid = seg[6 + 3 * i : 9 + 3 * i]
+                hi, vi = hv >> 4, hv & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise NotImplementedError(
+                        "sampling factors beyond 2x2 unsupported"
+                    )
+                comps.append((cid, qid, hi, vi))
+        elif marker == 0xC4:
+            sp = 0
+            while sp < len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 0xF
+                bits = list(seg[sp + 1 : sp + 17])
+                n = sum(bits)
+                vals = list(seg[sp + 17 : sp + 17 + n])
+                htables[(tc, th)] = _huff_decode_table(bits, vals)
+                sp += 17 + n
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDA:
+            ns = seg[0]
+            scomps = []
+            for i in range(ns):
+                cid = seg[1 + 2 * i]
+                tbl = seg[2 + 2 * i]
+                scomps.append((cid, tbl >> 4, tbl & 0xF))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            data_start = pos + seg_len
+            j = data_start
+            while j + 1 < len(b):
+                if b[j] == 0xFF and b[j + 1] != 0x00:
+                    break
+                j += 1 if b[j] != 0xFF else 2
+            scans.append(
+                (scomps, ss, se, ahal >> 4, ahal & 0xF,
+                 dict(htables), b[data_start:j])
+            )
+            pos = j
+            continue
+        pos += seg_len
+    if not comps or not scans or w == 0:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    cindex = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+    # padded coefficient grids (zigzag order), plus the true
+    # (non-interleaved) block dims per component
+    coefs, bdims = [], []
+    for cid, qid, hi, vi in comps:
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        bdims.append(((ch + 7) // 8, (cw + 7) // 8))
+        coefs.append(
+            np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+        )
+
+    def read_sym(br: _BitReader, table: dict) -> int:
+        code, ln = 0, 0
+        while ln <= 16:
+            code = (code << 1) | br.read_bit()
+            ln += 1
+            if (code, ln) in table:
+                return table[(code, ln)]
+        raise ValueError("invalid huffman code")
+
+    for scomps, ss, se, ah, al, tabs, data in scans:
+        br = _BitReader(data)
+        if ss == 0:  # DC scan (se must be 0)
+            if se != 0:
+                raise ValueError("DC scan with Se != 0")
+            pred = {cid: 0 for cid, _, _ in scomps}
+            if len(scomps) > 1:  # interleaved MCU traversal
+                order = []
+                for cid, td, _ in scomps:
+                    ci = cindex[cid]
+                    _, _, hi, vi = comps[ci]
+                    order.append((cid, td, ci, hi, vi))
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for cid, td, ci, hi, vi in order:
+                            for byi in range(vi):
+                                for bxi in range(hi):
+                                    blk = coefs[ci][
+                                        my * vi + byi, mx * hi + bxi
+                                    ]
+                                    if ah == 0:
+                                        s = read_sym(br, tabs[(0, td)])
+                                        diff = _extend(br.read(s), s) if s else 0
+                                        pred[cid] += diff
+                                        blk[0] = pred[cid] << al
+                                    else:
+                                        if br.read_bit():
+                                            blk[0] |= 1 << al
+            else:
+                cid, td, _ = scomps[0]
+                ci = cindex[cid]
+                bh, bwid = bdims[ci]
+                for by in range(bh):
+                    for bx in range(bwid):
+                        blk = coefs[ci][by, bx]
+                        if ah == 0:
+                            s = read_sym(br, tabs[(0, td)])
+                            diff = _extend(br.read(s), s) if s else 0
+                            pred[cid] += diff
+                            blk[0] = pred[cid] << al
+                        else:
+                            if br.read_bit():
+                                blk[0] |= 1 << al
+            continue
+        # AC scan: single component only (T.81 B.2.3)
+        if len(scomps) != 1:
+            raise ValueError("interleaved AC scan is illegal")
+        cid, _, ta = scomps[0]
+        ci = cindex[cid]
+        act = tabs[(1, ta)]
+        bh, bwid = bdims[ci]
+        eobrun = 0
+        p1, m1 = 1 << al, -(1 << al)
+
+        def correct(blk, k: int) -> None:
+            if br.read_bit() and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+
+        for by in range(bh):
+            for bx in range(bwid):
+                blk = coefs[ci][by, bx]
+                if ah == 0:  # first scan for this band/precision
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = read_sym(br, act)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC run overflows band")
+                        blk[k] = _extend(br.read(s), s) * p1
+                        k += 1
+                else:  # refinement scan
+                    if eobrun > 0:
+                        for k in range(ss, se + 1):
+                            if blk[k] != 0:
+                                correct(blk, k)
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = read_sym(br, act)
+                        r, s = rs >> 4, rs & 0xF
+                        newval = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.read(r)
+                                break
+                            # ZRL: skip 16 zero-history positions
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "refinement symbol with s > 1"
+                                )
+                            newval = p1 if br.read_bit() else m1
+                        while k <= se:
+                            if blk[k] != 0:
+                                correct(blk, k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            blk[k] = newval
+                        k += 1
+                    else:
+                        continue
+                    # EOBn reached mid-block: correction bits for the
+                    # rest of THIS block's band (eobrun, as stored,
+                    # already counts only subsequent blocks)
+                    for kk in range(k, se + 1):
+                        if blk[kk] != 0:
+                            correct(blk, kk)
+
+    # dequant + IDCT + level shift, then upsample / crop / convert
+    d = _dct_matrix()
+    planes = []
+    for (cid, qid, hi, vi), cf in zip(comps, coefs):
+        nby, nbx = cf.shape[0], cf.shape[1]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        q = qtables[qid]
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = cf[by, bx]
+                blk = np.zeros(64, dtype=np.int64)
+                for k in range(64):
+                    blk[_ZIGZAG[k]] = zz[k]
+                fq = blk.reshape(8, 8) * q
+                pix = d.T @ fq.astype(np.float64) @ d
+                p8 = np.rint(pix * 8.0)
+                pix = np.where(np.abs(pix * 8.0 - p8) < 1e-6, p8 / 8.0, pix)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+        plane = np.clip(np.floor(plane + 128.0 + 0.5), 0, 255)
+        if hi != hmax or vi != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        planes.append(plane[:h, :w])
     if len(planes) == 1:
         g = planes[0].astype(np.uint8)
         return w, h, np.stack([g, g, g], axis=-1)

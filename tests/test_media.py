@@ -548,11 +548,13 @@ class TestJpegPixels:
         blob = bytearray(build_jpeg_ycbcr(*(np.full((8, 8), 99, np.uint8),) * 3))
         with pytest.raises(ValueError):
             decode_jpeg_pixels(b"\x00\x01" + bytes(blob[2:]))
-        # flip SOF0 -> SOF2 (progressive): honest NotImplementedError
+        # flip SOF0 -> SOF2: progressive decode is now REAL (r4), and
+        # a baseline full-band scan is ILLEGAL under SOF2 (a DC scan
+        # must have Se=0, T.81 B.2.3) -> clean ValueError, not a gate
         sof = bytes(blob).find(b"\xff\xc0")
         blob2 = bytearray(blob)
         blob2[sof + 1] = 0xC2
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             decode_jpeg_pixels(bytes(blob2))
 
     def test_decode_image_dispatches_jpeg(self):
@@ -917,6 +919,22 @@ class TestDecoderFuzz:
             build_jpeg_ycbcr_420(y, *cbcr), decode_jpeg_pixels, 104
         )
 
+    def test_jpeg_progressive_fuzz(self):
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            build_jpeg_ycbcr_progressive,
+            decode_jpeg_pixels,
+        )
+
+        rng = np.random.default_rng(17)
+        planes = [
+            rng.integers(0, 256, (16, 16)).astype("uint8") for _ in range(3)
+        ]
+        self._fuzz(
+            build_jpeg_ycbcr_progressive(*planes), decode_jpeg_pixels, 106
+        )
+
     def test_adpcm_fuzz(self):
         import numpy as np
 
@@ -951,3 +969,121 @@ class TestDecoderFuzz:
             decode_bmp_pixels,
             107,
         )
+
+
+class TestJpegProgressive:
+    """Progressive (SOF2) JPEG codec (r4): 4-phase successive-
+    approximation scan script — interleaved DC first/refine, per-
+    component AC first/refine. The load-bearing invariant: the
+    progressive encoder emits the SAME quantized coefficients as the
+    baseline encoder, so a correct multi-scan decode is BIT-IDENTICAL
+    to the baseline decode of the same planes — every scan type
+    (EOB runs, ZRL-in-refinement, correction bits) is certified by
+    pixel equality, not tolerance."""
+
+    def test_progressive_equals_baseline_pixelwise(self):
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            build_jpeg_ycbcr,
+            build_jpeg_ycbcr_progressive,
+            decode_jpeg_pixels,
+        )
+
+        rng = np.random.default_rng(42)
+        for trial in range(8):
+            h = 8 * int(rng.integers(1, 4))
+            w = 8 * int(rng.integers(1, 4))
+            y = rng.integers(0, 256, (h, w))
+            cb = rng.integers(0, 256, (h, w))
+            cr = rng.integers(0, 256, (h, w))
+            wb, hb, base = decode_jpeg_pixels(build_jpeg_ycbcr(y, cb, cr))
+            wp, hp, prog = decode_jpeg_pixels(
+                build_jpeg_ycbcr_progressive(y, cb, cr)
+            )
+            assert (wb, hb) == (wp, hp) == (w, h)
+            assert np.array_equal(base, prog), f"trial {trial} diverged"
+
+    def test_flat_and_extreme_planes(self):
+        """Flat planes exercise the all-EOB path; extreme values the
+        clipping and the widest DC successive-approximation split."""
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            build_jpeg_ycbcr,
+            build_jpeg_ycbcr_progressive,
+            decode_jpeg_pixels,
+        )
+
+        for fill in (0, 128, 255):
+            planes = [np.full((16, 24), fill)] * 3
+            base = decode_jpeg_pixels(build_jpeg_ycbcr(*planes))[2]
+            prog = decode_jpeg_pixels(
+                build_jpeg_ycbcr_progressive(*planes)
+            )[2]
+            assert np.array_equal(base, prog)
+
+    def test_scan_script_shape(self):
+        """The progressive stream carries SOF2 and the 8-scan script
+        (2 DC + 3 AC first + 3 AC refine)."""
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            build_jpeg_ycbcr_progressive,
+        )
+
+        blob = build_jpeg_ycbcr_progressive(
+            *(np.full((8, 8), 128),) * 3
+        )
+        assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob
+        # count SOS markers outside entropy data is fiddly; the
+        # encoder never emits a bare FF DA inside entropy (stuffing),
+        # so a raw count is exact
+        assert blob.count(b"\xff\xda") == 8
+
+    def test_refinement_correction_bits_exercised(self):
+        """A plane with one strong and one weak AC coefficient per
+        block forces both newly-significant AND correction-bit paths
+        in the AC refinement scan."""
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            build_jpeg_ycbcr,
+            build_jpeg_ycbcr_progressive,
+            decode_jpeg_pixels,
+        )
+
+        xs = np.arange(32)[None, :]
+        ys = np.arange(24)[:, None]
+        # smooth gradient + high-frequency checker: odd/even quantized
+        # AC magnitudes -> refinement emits 0 and 1 correction bits
+        y = (4 * xs + 3 * ys + 37 * ((xs + ys) % 2)) % 256
+        cb = ((255 - 5 * xs) + 0 * ys) % 256
+        cr = (7 * ys + 19 * ((xs // 2 + ys // 3) % 2) + 0 * xs) % 256
+        base = decode_jpeg_pixels(build_jpeg_ycbcr(y, cb, cr))[2]
+        prog = decode_jpeg_pixels(build_jpeg_ycbcr_progressive(y, cb, cr))[2]
+        assert np.array_equal(base, prog)
+
+    def test_pil_cross_decode_if_available(self):
+        """Self-activating: when PIL exists, its progressive decoder
+        must read our SOF2 stream and agree on block-constant pixels."""
+        import numpy as np
+        import pytest
+
+        from hadoop_brotli_spark.functions import media
+
+        if not media._HAS_PIL:
+            pytest.skip("PIL absent (self-activating interop check)")
+        import io
+
+        from PIL import Image
+
+        up = lambda a: np.kron(a, np.ones((8, 8), int)).astype(np.uint8)
+        yb = np.array([[40, 200], [128, 90]])
+        blob = media.build_jpeg_ycbcr_progressive(
+            up(yb), up(np.full((2, 2), 128)), up(np.full((2, 2), 128))
+        )
+        img = Image.open(io.BytesIO(blob)).convert("RGB")
+        ours = media.decode_jpeg_pixels(blob)[2]
+        theirs = np.asarray(img)
+        assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 1
