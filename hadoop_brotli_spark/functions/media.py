@@ -823,6 +823,19 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def sync_restart(self) -> None:
+        """Byte-align and consume an RSTn marker (T.81 F.2.1.3.1:
+        restart markers are raw, never stuffed)."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """DC/AC magnitude category + appended bits (T.81 F.1.2.1)."""
@@ -1233,6 +1246,90 @@ def build_jpeg_ycbcr_progressive(y, cb, cr) -> bytes:
     return bytes(out)
 
 
+def build_jpeg_ycbcr_restart(y, cb, cr, interval: int = 2) -> bytes:
+    """Encode a baseline 4:4:4 JFIF JPEG WITH RESTART MARKERS: a DRI
+    segment sets the interval, and every ``interval`` MCUs the
+    entropy stream is byte-aligned (1-fill), an RSTm marker (m
+    cycling 0..7) is emitted RAW (restart markers are never
+    byte-stuffed), and the DC predictors reset — the error-resilience
+    / parallel-decode feature of T.81 F.1.2.3. Coefficients are
+    identical to ``build_jpeg_ycbcr``, so a correct restart-aware
+    decode is bit-identical to the baseline decode."""
+    import struct
+
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.int64)
+    cb = np.asarray(cb, dtype=np.int64)
+    cr = np.asarray(cr, dtype=np.int64)
+    h, w = y.shape
+    if h % 8 or w % 8 or cb.shape != (h, w) or cr.shape != (h, w):
+        raise ValueError("planes must share dims that are multiples of 8")
+    if interval < 1:
+        raise ValueError("restart interval must be >= 1")
+    d = _dct_matrix()
+    ql = np.array(_JPEG_QL, dtype=np.int64).reshape(8, 8)
+    qc = np.array(_JPEG_QC, dtype=np.int64).reshape(8, 8)
+    dc_l = _huff_codes(*_HUFF_DC_L)
+    dc_c = _huff_codes(*_HUFF_DC_C)
+    ac_l = _huff_codes(*_HUFF_AC_L)
+    ac_c = _huff_codes(*_HUFF_AC_C)
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    for tid, q in ((0, _JPEG_QL), (1, _JPEG_QC)):
+        zz = bytes(q[_ZIGZAG[i]] for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
+    out += b"\xff\xdd" + struct.pack(">HH", 4, interval)  # DRI
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += struct.pack(">BBB", 1, 0x11, 0)
+    out += struct.pack(">BBB", 2, 0x11, 1)
+    out += struct.pack(">BBB", 3, 0x11, 1)
+    for tc_th, (bits, vals) in (
+        ((0, 0), _HUFF_DC_L), ((1, 0), _HUFF_AC_L),
+        ((0, 1), _HUFF_DC_C), ((1, 1), _HUFF_AC_C),
+    ):
+        tc, th = tc_th
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (tc << 4) | th)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += struct.pack(">BB", 1, 0x00)
+    out += struct.pack(">BB", 2, 0x11)
+    out += struct.pack(">BB", 3, 0x11)
+    out += struct.pack(">BBB", 0, 63, 0)
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    mcu = 0
+    rst = 0
+    nmcu = (h // 8) * (w // 8)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            if mcu and mcu % interval == 0:
+                bw.flush()
+                out += bw.out
+                bw = _BitWriter()
+                out += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) & 7
+                pred = [0, 0, 0]
+            for ci, (plane, q, dct_t, act) in enumerate(
+                ((y, ql, dc_l, ac_l), (cb, qc, dc_c, ac_c),
+                 (cr, qc, dc_c, ac_c))
+            ):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                pred[ci] = _encode_jpeg_block(
+                    bw, blk, d, q, dct_t, act, pred[ci]
+                )
+            mcu += 1
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _huff_decode_table(bits, vals):
     """(code, length) -> value lookup dict for the bit reader."""
     return {cl: sym for sym, cl in _huff_codes(bits, vals).items()}
@@ -1280,6 +1377,7 @@ def _decode_jpeg_pixels_inner(payload: bytes):
     scan = []   # (cid, dc_id, ac_id)
     w = h = 0
     data_start = data_end = 0
+    restart_interval = 0
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("marker sync lost")
@@ -1330,8 +1428,8 @@ def _decode_jpeg_pixels_inner(payload: bytes):
                 vals = list(seg[sp + 17 : sp + 17 + n])
                 htables[(tc, th)] = _huff_decode_table(bits, vals)
                 sp += 17 + n
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDD:  # DRI: restart interval (r4)
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             for i in range(ns):
@@ -1339,10 +1437,15 @@ def _decode_jpeg_pixels_inner(payload: bytes):
                 tbl = seg[2 + 2 * i]
                 scan.append((cid, tbl >> 4, tbl & 0xF))
             data_start = pos + seg_len
-            # entropy data runs to the next real marker (EOI)
+            # entropy data runs to the next real marker (EOI);
+            # RSTn markers are part of the entropy stream
             j = data_start
             while j + 1 < len(b):
-                if b[j] == 0xFF and b[j + 1] not in (0x00,):
+                if (
+                    b[j] == 0xFF
+                    and b[j + 1] != 0x00
+                    and not (0xD0 <= b[j + 1] <= 0xD7)
+                ):
                     break
                 j += 1 if b[j] != 0xFF else 2
             data_end = j
@@ -1416,8 +1519,14 @@ def _decode_jpeg_pixels_inner(payload: bytes):
         p8 = np.rint(pix * 8.0)
         return np.where(np.abs(pix * 8.0 - p8) < 1e-6, p8 / 8.0, pix)
 
+    mcu_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                br.sync_restart()
+                for key in pred:
+                    pred[key] = 0
+            mcu_n += 1
             for ci, (cid, dc_id, ac_id, qid, hi, vi) in enumerate(sc):
                 for byi in range(vi):
                     for bxi in range(hi):

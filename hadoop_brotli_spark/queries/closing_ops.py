@@ -7736,25 +7736,31 @@ def q324_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_src
     ),
     loo AS (
-      -- FLOOR half-up grid, not ROUND: a LOO mean landing on a .5
-      -- boundary at 1e-6 rounds half-up in Spark but half-even in
-      -- DuckDB (hypothesis-found falsifying example, r4)
+      -- LOO means snapped to BIGINT micro-units: hunting (r4) found
+      -- TWO cross-engine traps here — ROUND half-even vs half-up on
+      -- .5 boundaries, and CAST(double AS DECIMAL(38,14)) going
+      -- through the shortest string repr in Spark but the exact
+      -- binary expansion in DuckDB. Integer micro-units dodge both.
       SELECT p.source,
-             FLOOR((t.gs - p.s) / NULLIF(t.gn - p.n, 0.0) * 1000000
-                   + 0.5) / 1000000 AS m, t.g,
+             CAST(FLOOR((t.gs - p.s) / NULLIF(t.gn - p.n, 0.0)
+                        * 1000000 + 0.5) AS BIGINT) AS mi, t.g,
              t.gs / t.gn AS full_mean
       FROM per_src p, tot t
     ),
     agg AS (
+      -- micro-unit sums in DECIMAL(38,0) (a could pass 2^63 on
+      -- max-length corpora); b fits a double exactly, so b*b as a
+      -- double product is correctly rounded and identical
       SELECT g, full_mean,
-             CAST(SUM(CAST(m AS DECIMAL(28,8))) AS DOUBLE) / g AS mbar,
-             CAST(SUM(CAST(m * m AS DECIMAL(38,14))) AS DOUBLE) AS sm2
+             CAST(SUM(CAST(mi AS DECIMAL(38,0))) AS DOUBLE) AS b,
+             CAST(SUM(CAST(mi AS DECIMAL(38,0)) * mi) AS DOUBLE) AS a
       FROM loo GROUP BY g, full_mean
     )
     SELECT CAST(g AS BIGINT) AS n_groups,
            FLOOR(full_mean * 1000000 + 0.5) / 1000000 AS point_estimate,
-           FLOOR(SQRT((g - 1.0) / g * (sm2 - g * mbar * mbar)) * 1000000
-                 + 0.5) / 1000000 AS jackknife_se
+           FLOOR(SQRT(GREATEST((g - 1.0) / g * (a - b * b / g)
+                 / 1000000000000.0, 0.0)) * 1000000 + 0.5) / 1000000
+             AS jackknife_se
     FROM agg
     """,
 )
@@ -7783,26 +7789,24 @@ def q325_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     loo = per_src.crossJoin(F.broadcast(tot)).select(
         # NULLIF: a single-source corpus leaves an empty LOO sample
-        # (gn == n) — NULL on both engines, not ANSI error vs inf
-        (
-            F.floor(
-                (F.col("gs") - F.col("s"))
-                / F.nullif(F.col("gn") - F.col("n"), F.lit(0.0))
-                * 1000000
-                + F.lit(0.5)
-            )
-            / 1000000
-        ).alias("m"),
+        # (gn == n) — NULL on both engines, not ANSI error vs inf.
+        # BIGINT micro-units: see the oracle comment (r4 hunt finds)
+        F.floor(
+            (F.col("gs") - F.col("s"))
+            / F.nullif(F.col("gn") - F.col("n"), F.lit(0.0))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("mi"),
         "g",
         (F.col("gs") / F.col("gn")).alias("full_mean"),
     )
     agg = loo.groupBy("g", "full_mean").agg(
-        (
-            F.sum(F.col("m").cast("decimal(28,8)")).cast("double") / F.col("g")
-        ).alias("mbar"),
-        F.sum((F.col("m") * F.col("m")).cast("decimal(38,14)"))
+        F.sum(F.col("mi").cast("decimal(38,0)")).cast("double").alias("b"),
+        F.sum(F.col("mi").cast("decimal(38,0)") * F.col("mi"))
         .cast("double")
-        .alias("sm2"),
+        .alias("a"),
     )
     return agg.select(
         F.col("g").cast("bigint").alias("n_groups"),
@@ -7812,11 +7816,15 @@ def q325_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.floor(
                 F.sqrt(
-                    (F.col("g") - 1.0)
-                    / F.col("g")
-                    * (
-                        F.col("sm2")
-                        - F.col("g") * F.col("mbar") * F.col("mbar")
+                    F.greatest(
+                        (F.col("g") - 1.0)
+                        / F.col("g")
+                        * (
+                            F.col("a")
+                            - F.col("b") * F.col("b") / F.col("g")
+                        )
+                        / F.lit(1_000_000_000_000.0),
+                        F.lit(0.0),
                     )
                 )
                 * 1000000

@@ -1382,3 +1382,141 @@ def q422_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return meta.mapInPandas(run, schema=out_schema)
+
+
+# ------------------------- q423 baseline JPEG decode across RESTART intervals
+
+
+@register(
+    "q423_jpeg_restart_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 1 + n_chars % 3 AS wb, 1 + n_chars % 2 AS hb
+      FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id, wb, hb, bx.i AS bx, by.i AS by,
+             (31 * bx.i + 3 * by.i + doc_id) % 256 AS yv,
+             (13 * bx.i + 9 * by.i + 7 * doc_id) % 256 AS cbv,
+             (17 * bx.i + 27 * by.i + 11 * doc_id) % 256 AS crv
+      FROM m, UNNEST(range(wb)) AS bx(i), UNNEST(range(hb)) AS by(i)
+    ),
+    dc AS (
+      -- progressive scans reconstruct the SAME quantized
+      -- coefficients as baseline (successive approximation restores
+      -- every bit), so the q364 DC chain applies verbatim
+      SELECT doc_id, wb, hb, bx, by,
+             LEAST(GREATEST(FLOOR(FLOOR(8.0 * (yv - 128.0) / 16.0 + 0.5)
+                   * 16.0 / 8.0 + 128.0 + 0.5), 0), 255) AS y2,
+             LEAST(GREATEST(FLOOR(FLOOR(8.0 * (cbv - 128.0) / 17.0 + 0.5)
+                   * 17.0 / 8.0 + 128.0 + 0.5), 0), 255) AS cb2,
+             LEAST(GREATEST(FLOOR(FLOOR(8.0 * (crv - 128.0) / 17.0 + 0.5)
+                   * 17.0 / 8.0 + 128.0 + 0.5), 0), 255) AS cr2
+      FROM blocks
+    ),
+    rgb AS (
+      SELECT doc_id, wb, hb, bx, by,
+             LEAST(GREATEST(FLOOR(y2 + 1.402 * (cr2 - 128.0) + 0.5),
+                            0), 255) AS r,
+             LEAST(GREATEST(FLOOR(y2 - 0.344136 * (cb2 - 128.0)
+                                  - 0.714136 * (cr2 - 128.0) + 0.5),
+                            0), 255) AS g,
+             LEAST(GREATEST(FLOOR(y2 + 1.772 * (cb2 - 128.0) + 0.5),
+                            0), 255) AS b
+      FROM dc
+    )
+    SELECT doc_id,
+           CAST(wb * 8 AS BIGINT) AS width,
+           CAST(hb * 8 AS BIGINT) AS height,
+           FLOOR(SUM(r) * 1000000.0 / (wb * hb) + 0.5)
+             / 1000000.0 AS mean_r,
+           FLOOR(SUM(g) * 1000000.0 / (wb * hb) + 0.5)
+             / 1000000.0 AS mean_g,
+           FLOOR(SUM(b) * 1000000.0 / (wb * hb) + 0.5)
+             / 1000000.0 AS mean_b,
+           CAST(MAX(CASE WHEN bx = 0 AND by = 0 THEN r END)
+                AS BIGINT) AS corner_tl_r,
+           CAST(MAX(CASE WHEN bx = wb - 1 AND by = 0 THEN g END)
+                AS BIGINT) AS corner_tr_g,
+           CAST(MAX(CASE WHEN bx = 0 AND by = hb - 1 THEN b END)
+                AS BIGINT) AS corner_bl_b,
+           CAST(MAX(CASE WHEN bx = wb - 1 AND by = hb - 1 THEN r END)
+                AS BIGINT) AS corner_br_r
+    FROM rgb
+    GROUP BY doc_id, wb, hb
+    """,
+)
+def q423_jpeg_restart_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG pixel decode THROUGH RESTART MARKERS (DRI +
+    RSTn) — the error-resilience / parallel-decode feature that was
+    the decoder's last baseline gate: every 2 MCUs the entropy
+    stream byte-aligns, carries a raw RST marker (never stuffed),
+    and resets the DC predictors; the decoder must re-sync and
+    re-predict or every block after the first restart shifts.
+    Stage 1 renders a block-constant YCbCr card per document and
+    encodes it with ``build_jpeg_ycbcr_restart`` (interval 2, so
+    multi-block cards cross at least one restart); stage 2 decodes.
+
+    The oracle is exact because restarts change the ENTROPY layout,
+    not the coefficients: q364's DC-chain SQL applies verbatim with
+    this card's constants. A missed predictor reset or marker
+    mis-sync breaks corners and means immediately.
+
+    Scale: mapInPandas over Arrow batches, per-row independent, no
+    shuffle; blob bytes never leave the task.
+    """
+    import numpy as np
+
+    from ..functions.media import (
+        build_jpeg_ycbcr_restart,
+        decode_jpeg_pixels,
+    )
+
+    meta = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    out_schema = (
+        "doc_id long, width long, height long, "
+        "mean_r double, mean_g double, mean_b double, "
+        "corner_tl_r long, corner_tr_g long, corner_bl_b long, "
+        "corner_br_r long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = int(doc_id), int(n_chars)
+                wb, hb = 1 + n % 3, 1 + n % 2
+                bxs = np.arange(wb, dtype=np.int64)[None, :]
+                bys = np.arange(hb, dtype=np.int64)[:, None]
+                up = lambda a: np.kron(
+                    a, np.ones((8, 8), dtype=np.int64)
+                ).astype(np.uint8)
+                yv = (31 * bxs + 3 * bys + d) % 256
+                cbv = (13 * bxs + 9 * bys + 7 * d) % 256
+                crv = (17 * bxs + 27 * bys + 11 * d) % 256
+                blob = build_jpeg_ycbcr_restart(
+                    up(yv), up(cbv), up(crv), interval=2
+                )
+                # ---- operator under test: multi-scan decode ----
+                dw, dh, rgb = decode_jpeg_pixels(blob)
+                rgb = rgb.astype(np.int64)
+                blk = rgb[::8, ::8, :]
+                nb = wb * hb
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "width": dw,
+                        "height": dh,
+                        "mean_r": _grid_mean(int(blk[:, :, 0].sum()), nb),
+                        "mean_g": _grid_mean(int(blk[:, :, 1].sum()), nb),
+                        "mean_b": _grid_mean(int(blk[:, :, 2].sum()), nb),
+                        "corner_tl_r": int(rgb[0, 0, 0]),
+                        "corner_tr_g": int(rgb[0, dw - 1, 1]),
+                        "corner_bl_b": int(rgb[dh - 1, 0, 2]),
+                        "corner_br_r": int(rgb[dh - 1, dw - 1, 0]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return meta.mapInPandas(run, schema=out_schema)

@@ -935,6 +935,24 @@ class TestDecoderFuzz:
             build_jpeg_ycbcr_progressive(*planes), decode_jpeg_pixels, 106
         )
 
+    def test_jpeg_restart_fuzz(self):
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            build_jpeg_ycbcr_restart,
+            decode_jpeg_pixels,
+        )
+
+        rng = np.random.default_rng(19)
+        planes = [
+            rng.integers(0, 256, (16, 24)).astype("uint8") for _ in range(3)
+        ]
+        self._fuzz(
+            build_jpeg_ycbcr_restart(*planes, interval=2),
+            decode_jpeg_pixels,
+            107,
+        )
+
     def test_adpcm_fuzz(self):
         import numpy as np
 
@@ -1087,3 +1105,85 @@ class TestJpegProgressive:
         ours = media.decode_jpeg_pixels(blob)[2]
         theirs = np.asarray(img)
         assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 1
+
+
+class TestJpegRestart:
+    """Restart markers (DRI + RSTn, r4): byte-aligned raw markers
+    every N MCUs with DC-predictor resets — the error-resilience /
+    parallel-decode feature. Coefficients match the plain baseline
+    encoder, so restart-aware decode must be pixel-equal."""
+
+    def test_restart_equals_baseline_across_intervals(self):
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            build_jpeg_ycbcr,
+            build_jpeg_ycbcr_restart,
+            decode_jpeg_pixels,
+        )
+
+        rng = np.random.default_rng(11)
+        for interval in (1, 2, 3, 7):
+            h = 8 * int(rng.integers(2, 5))
+            w = 8 * int(rng.integers(2, 5))
+            y, cb, cr = (rng.integers(0, 256, (h, w)) for _ in range(3))
+            base = decode_jpeg_pixels(build_jpeg_ycbcr(y, cb, cr))[2]
+            rst = decode_jpeg_pixels(
+                build_jpeg_ycbcr_restart(y, cb, cr, interval)
+            )[2]
+            assert np.array_equal(base, rst), f"interval {interval}"
+
+    def test_stream_carries_dri_and_cycling_rst_markers(self):
+        import struct
+
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            build_jpeg_ycbcr_restart,
+        )
+
+        planes = [np.full((8, 80), 99)] * 3  # 10 MCUs, interval 1
+        blob = build_jpeg_ycbcr_restart(*planes, interval=1)
+        i = blob.find(b"\xff\xdd")
+        assert i > 0 and struct.unpack(">H", blob[i + 4 : i + 6])[0] == 1
+        # 9 restarts for 10 MCUs, m cycling 0..7 then wrapping
+        seen = [blob.count(bytes((0xFF, 0xD0 + m))) for m in range(8)]
+        assert sum(seen) == 9 and seen[0] == 2 and seen[7] == 1
+
+    def test_corrupt_restart_fails_loudly(self):
+        import numpy as np
+        import pytest
+
+        from hadoop_brotli_spark.functions.media import (
+            build_jpeg_ycbcr_restart,
+            decode_jpeg_pixels,
+        )
+
+        planes = [np.full((8, 32), 70)] * 3
+        blob = bytearray(build_jpeg_ycbcr_restart(*planes, interval=1))
+        i = bytes(blob).find(bytes((0xFF, 0xD0)))
+        assert i > 0
+        blob[i + 1] = 0xD9  # RST0 -> EOI mid-stream
+        with pytest.raises(ValueError):
+            decode_jpeg_pixels(bytes(blob))
+
+    def test_progressive_restart_stays_gated(self):
+        """Progressive + DRI remains the honest gate."""
+        import numpy as np
+        import pytest
+
+        from hadoop_brotli_spark.functions.media import (
+            build_jpeg_ycbcr_progressive,
+            decode_jpeg_pixels,
+        )
+
+        blob = bytearray(
+            build_jpeg_ycbcr_progressive(*(np.full((8, 8), 128),) * 3)
+        )
+        # inject a DRI segment right after SOI
+        import struct
+
+        dri = b"\xff\xdd" + struct.pack(">HH", 4, 2)
+        blob2 = bytes(blob[:2]) + dri + bytes(blob[2:])
+        with pytest.raises(NotImplementedError):
+            decode_jpeg_pixels(blob2)
