@@ -107,8 +107,9 @@ def decode_image(payload: bytes):
     uncompressed 24-bit BMP (``decode_bmp_pixels``), and JPEG
     (``decode_jpeg_pixels``: full huffman entropy decode + 2D IDCT;
     baseline AND progressive SOF2, sampling factors to 2x2). The
-    remaining honest JPEG gates (12-bit precision, restart markers)
-    fall back to PIL when importable."""
+    remaining honest JPEG gate (12-bit precision) falls back to PIL
+    when importable; restart markers decode natively in both baseline
+    and progressive streams."""
     b = bytes(payload)
     if b[:8] == PNG_SIG:
         return decode_png_pixels(b)
@@ -120,7 +121,7 @@ def decode_image(payload: bytes):
         try:
             return decode_jpeg_pixels(b)
         except NotImplementedError:
-            if not _HAS_PIL:  # 12-bit / restart-marker variants
+            if not _HAS_PIL:  # 12-bit precision variants
                 raise
     if not _HAS_PIL:
         raise NotImplementedError(
@@ -1145,15 +1146,19 @@ def _emit_ac_refine(bw, coefs, act, al: int) -> None:
             bw.write(bit, 1)
 
 
-def build_jpeg_ycbcr_progressive(y, cb, cr) -> bytes:
+def build_jpeg_ycbcr_progressive(y, cb, cr, interval: int = 0) -> bytes:
     """Encode three uint8 planes (equal dims, multiples of 8) as a
     PROGRESSIVE (SOF2) JFIF JPEG with a 4-phase successive-
     approximation scan script that exercises every progressive scan
     type: interleaved DC first (Al=1), interleaved DC refinement,
     then per-component AC first (Ss=1..63, Al=1) and AC refinement
-    scans. Coefficients and tables are identical to
-    ``build_jpeg_ycbcr`` -- a correct progressive decode is
-    bit-identical to the baseline decode of the same planes."""
+    scans. ``interval`` > 0 adds DRI restart markers: every
+    ``interval`` MCUs each scan byte-aligns, emits a raw RSTm
+    (cycling per scan, T.81 F.1.4), and resets DC predictors (EOBRUN
+    never crosses blocks in this encoder). Coefficients and tables
+    are identical to ``build_jpeg_ycbcr`` -- a correct progressive
+    decode is bit-identical to the baseline decode of the same
+    planes."""
     import struct
 
     import numpy as np
@@ -1182,6 +1187,8 @@ def build_jpeg_ycbcr_progressive(y, cb, cr) -> bytes:
     for tid, q in ((0, _JPEG_QL), (1, _JPEG_QC)):
         zz = bytes(q[_ZIGZAG[i]] for i in range(64))
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
+    if interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, interval)  # DRI
     out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF2
     out += struct.pack(">BBB", 1, 0x11, 0)
     out += struct.pack(">BBB", 2, 0x11, 1)
@@ -1203,12 +1210,37 @@ def build_jpeg_ycbcr_progressive(y, cb, cr) -> bytes:
         return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + bytes(seg)
 
     nby, nbx = h // 8, w // 8
+
+    class _Rst:
+        """Per-scan restart bookkeeping: byte-align, raw RSTm, cycle."""
+
+        def __init__(self):
+            self.cnt = 0
+            self.m = 0
+
+        def step(self, bw):
+            if interval and self.cnt and self.cnt % interval == 0:
+                bw.flush()
+                out.extend(bw.out)
+                bw.out = bytearray()
+                bw.acc = 0
+                bw.nbits = 0
+                out.extend((0xFF, 0xD0 + self.m))
+                self.m = (self.m + 1) & 7
+                self.cnt += 1
+                return True
+            self.cnt += 1
+            return False
+
     # scan 1: interleaved DC first, Al=1
     out += sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 1)
     bw = _BitWriter()
     pred = [0, 0, 0]
+    rst = _Rst()
     for by in range(nby):
         for bx in range(nbx):
+            if rst.step(bw):
+                pred = [0, 0, 0]
             for ci in range(3):
                 tdc = dc_tabs[0 if ci == 0 else 1]
                 v = int(coefs[ci][by, bx, 0]) >> 1  # arithmetic: floor
@@ -1224,8 +1256,10 @@ def build_jpeg_ycbcr_progressive(y, cb, cr) -> bytes:
     # scan 2: interleaved DC refinement, Al=0 (raw bits, no huffman)
     out += sos([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0)
     bw = _BitWriter()
+    rst = _Rst()
     for by in range(nby):
         for bx in range(nbx):
+            rst.step(bw)
             for ci in range(3):
                 bw.write(int(coefs[ci][by, bx, 0]) & 1, 1)
     bw.flush()
@@ -1237,8 +1271,10 @@ def build_jpeg_ycbcr_progressive(y, cb, cr) -> bytes:
             out += sos([(cid, 0x00 if ci == 0 else 0x11)], 1, 63,
                        1 if emit is _emit_ac_refine else 0, al)
             bw = _BitWriter()
+            rst = _Rst()
             for by in range(nby):
                 for bx in range(nbx):
+                    rst.step(bw)
                     emit(bw, coefs[ci][by, bx], tac, al)
             bw.flush()
             out += bw.out
@@ -1571,7 +1607,8 @@ def _decode_jpeg_progressive(b: bytes):
     correction bits (T.81 G.2 / libjpeg decode_mcu_AC_refine
     semantics) -- followed by the same dequant + IDCT + upsample +
     BT.601 tail as the baseline path. 8-bit, 1..3 components,
-    sampling factors to 2x2, no restart markers (honest gate)."""
+    sampling factors to 2x2, restart intervals with per-scan RSTm
+    re-sync (DC predictors and EOB runs reset at each marker)."""
     import struct
 
     import numpy as np
@@ -1582,6 +1619,7 @@ def _decode_jpeg_progressive(b: bytes):
     comps = []  # (cid, qid, hi, vi)
     scans = []  # (scomps, ss, se, ah, al, tables snapshot, data)
     w = h = 0
+    restart_interval = 0
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("marker sync lost")
@@ -1626,8 +1664,8 @@ def _decode_jpeg_progressive(b: bytes):
                 vals = list(seg[sp + 17 : sp + 17 + n])
                 htables[(tc, th)] = _huff_decode_table(bits, vals)
                 sp += 17 + n
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDD:  # DRI inside a progressive stream (r4)
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xDA:
             ns = seg[0]
             scomps = []
@@ -1639,7 +1677,11 @@ def _decode_jpeg_progressive(b: bytes):
             data_start = pos + seg_len
             j = data_start
             while j + 1 < len(b):
-                if b[j] == 0xFF and b[j + 1] != 0x00:
+                if (
+                    b[j] == 0xFF
+                    and b[j + 1] != 0x00
+                    and not (0xD0 <= b[j + 1] <= 0xD7)
+                ):
                     break
                 j += 1 if b[j] != 0xFF else 2
             scans.append(
@@ -1689,8 +1731,18 @@ def _decode_jpeg_progressive(b: bytes):
                     ci = cindex[cid]
                     _, _, hi, vi = comps[ci]
                     order.append((cid, td, ci, hi, vi))
+                unit = 0
                 for my in range(mcuy):
                     for mx in range(mcux):
+                        if (
+                            restart_interval
+                            and unit
+                            and unit % restart_interval == 0
+                        ):
+                            br.sync_restart()
+                            for key in pred:
+                                pred[key] = 0
+                        unit += 1
                         for cid, td, ci, hi, vi in order:
                             for byi in range(vi):
                                 for bxi in range(hi):
@@ -1709,8 +1761,18 @@ def _decode_jpeg_progressive(b: bytes):
                 cid, td, _ = scomps[0]
                 ci = cindex[cid]
                 bh, bwid = bdims[ci]
+                unit = 0
                 for by in range(bh):
                     for bx in range(bwid):
+                        if (
+                            restart_interval
+                            and unit
+                            and unit % restart_interval == 0
+                        ):
+                            br.sync_restart()
+                            for key in pred:
+                                pred[key] = 0
+                        unit += 1
                         blk = coefs[ci][by, bx]
                         if ah == 0:
                             s = read_sym(br, tabs[(0, td)])
@@ -1735,8 +1797,13 @@ def _decode_jpeg_progressive(b: bytes):
             if br.read_bit() and (blk[k] & p1) == 0:
                 blk[k] += p1 if blk[k] >= 0 else m1
 
+        unit = 0
         for by in range(bh):
             for bx in range(bwid):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    br.sync_restart()
+                    eobrun = 0  # EOB runs never cross a restart
+                unit += 1
                 blk = coefs[ci][by, bx]
                 if ah == 0:  # first scan for this band/precision
                     if eobrun > 0:

@@ -1167,23 +1167,25 @@ class TestJpegRestart:
         with pytest.raises(ValueError):
             decode_jpeg_pixels(bytes(blob))
 
-    def test_progressive_restart_stays_gated(self):
-        """Progressive + DRI remains the honest gate."""
+    def test_progressive_with_restarts_equals_baseline(self):
+        """Progressive + DRI (r4, gate removed): restart markers
+        inside every scan type — DC predictor resets, EOBRUN cleared,
+        per-scan RSTm cycling — still pixel-equal to baseline."""
         import numpy as np
-        import pytest
 
         from hadoop_brotli_spark.functions.media import (
+            build_jpeg_ycbcr,
             build_jpeg_ycbcr_progressive,
             decode_jpeg_pixels,
         )
 
-        blob = bytearray(
-            build_jpeg_ycbcr_progressive(*(np.full((8, 8), 128),) * 3)
-        )
-        # inject a DRI segment right after SOI
-        import struct
-
-        dri = b"\xff\xdd" + struct.pack(">HH", 4, 2)
-        blob2 = bytes(blob[:2]) + dri + bytes(blob[2:])
-        with pytest.raises(NotImplementedError):
-            decode_jpeg_pixels(blob2)
+        rng = np.random.default_rng(23)
+        for interval in (1, 2, 5):
+            h = 8 * int(rng.integers(2, 5))
+            w = 8 * int(rng.integers(2, 5))
+            y, cb, cr = (rng.integers(0, 256, (h, w)) for _ in range(3))
+            base = decode_jpeg_pixels(build_jpeg_ycbcr(y, cb, cr))[2]
+            prog = decode_jpeg_pixels(
+                build_jpeg_ycbcr_progressive(y, cb, cr, interval=interval)
+            )[2]
+            assert np.array_equal(base, prog), f"interval {interval}"
