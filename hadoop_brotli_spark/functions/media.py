@@ -917,12 +917,14 @@ def build_jpeg_ycbcr(y, cb, cr) -> bytes:
     return bytes(out)
 
 
-def _encode_jpeg_block(bw, blk, d, q, dct_t, act, pred_dc: int) -> int:
+def _encode_jpeg_block(bw, blk, d, q, dct_t, act, pred_dc: int,
+                       lvl: int = 128) -> int:
     """FDCT + quantize + huffman-encode one 8x8 block; returns the
-    new DC predictor."""
+    new DC predictor. ``lvl`` is the level shift (128 for 8-bit
+    precision, 2048 for 12-bit)."""
     import numpy as np
 
-    f = d @ (blk - 128).astype(np.float64) @ d.T
+    f = d @ (blk - lvl).astype(np.float64) @ d.T
     # snap matmul residue (~1e-12) back onto the exact integers the
     # DCT of an integer block can land on — otherwise
     # FLOOR(F/Q + 0.5) flips at exact-half boundaries and the
@@ -1282,6 +1284,88 @@ def build_jpeg_ycbcr_progressive(y, cb, cr, interval: int = 0) -> bytes:
     return bytes(out)
 
 
+# 12-bit-precision huffman tables (r4): the Annex K tables only cover
+# 8-bit-sample magnitude categories, so 12-bit streams embed these
+# Kraft-complete canonical tables via DHT — DC categories 0..15 all at
+# code length 5 (16 of 32 slots; the all-ones code stays unused per
+# T.81 C.2), AC = EOB + ZRL + (run 0..15 x size 1..14) = 226 symbols
+# all at code length 8.
+_HUFF_DC_12 = (
+    [0, 0, 0, 0, 16] + [0] * 11,
+    list(range(16)),
+)
+_HUFF_AC_12 = (
+    [0, 0, 0, 0, 0, 0, 0, 226] + [0] * 8,
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 15)],
+)
+
+
+def build_jpeg_ycbcr_12bit(y, cb, cr) -> bytes:
+    """Encode three 12-bit planes (values 0..4095, equal dims,
+    multiples of 8) as a baseline JFIF JPEG with sample precision 12
+    (T.81 allows 8 or 12 for DCT processes): level shift 2048,
+    Annex K quant values (8-bit DQT entries remain legal at 12-bit),
+    and the wider-category huffman tables above embedded via DHT."""
+    import struct
+
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.int64)
+    cb = np.asarray(cb, dtype=np.int64)
+    cr = np.asarray(cr, dtype=np.int64)
+    h, w = y.shape
+    if h % 8 or w % 8 or cb.shape != (h, w) or cr.shape != (h, w):
+        raise ValueError("planes must share dims that are multiples of 8")
+    if int(y.max()) > 4095 or int(cb.max()) > 4095 or int(cr.max()) > 4095:
+        raise ValueError("12-bit samples must be in 0..4095")
+    d = _dct_matrix()
+    ql = np.array(_JPEG_QL, dtype=np.int64).reshape(8, 8)
+    qc = np.array(_JPEG_QC, dtype=np.int64).reshape(8, 8)
+    dc12 = _huff_codes(*_HUFF_DC_12)
+    ac12 = _huff_codes(*_HUFF_AC_12)
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    for tid, q in ((0, _JPEG_QL), (1, _JPEG_QC)):
+        zz = bytes(q[_ZIGZAG[i]] for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 12, h, w, 3)
+    out += struct.pack(">BBB", 1, 0x11, 0)
+    out += struct.pack(">BBB", 2, 0x11, 1)
+    out += struct.pack(">BBB", 3, 0x11, 1)
+    for tc_th, (bits, vals) in (
+        ((0, 0), _HUFF_DC_12), ((1, 0), _HUFF_AC_12),
+        ((0, 1), _HUFF_DC_12), ((1, 1), _HUFF_AC_12),
+    ):
+        tc, th = tc_th
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (tc << 4) | th)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += struct.pack(">BB", 1, 0x00)
+    out += struct.pack(">BB", 2, 0x11)
+    out += struct.pack(">BB", 3, 0x11)
+    out += struct.pack(">BBB", 0, 63, 0)
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            for ci, (plane, q) in enumerate(
+                ((y, ql), (cb, qc), (cr, qc))
+            ):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                pred[ci] = _encode_jpeg_block(
+                    bw, blk, d, q, dc12, ac12, pred[ci], lvl=2048
+                )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def build_jpeg_ycbcr_restart(y, cb, cr, interval: int = 2) -> bytes:
     """Encode a baseline 4:4:4 JFIF JPEG WITH RESTART MARKERS: a DRI
     segment sets the interval, and every ``interval`` MCUs the
@@ -1414,6 +1498,7 @@ def _decode_jpeg_pixels_inner(payload: bytes):
     w = h = 0
     data_start = data_end = 0
     restart_interval = 0
+    precision = 8
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("marker sync lost")
@@ -1445,8 +1530,9 @@ def _decode_jpeg_pixels_inner(payload: bytes):
             )
         elif marker == 0xC0:  # SOF0
             prec, h, w, nc = struct.unpack(">BHHB", seg[0:6])
-            if prec != 8:
-                raise NotImplementedError("only 8-bit precision")
+            if prec not in (8, 12):
+                raise NotImplementedError("only 8/12-bit precision")
+            precision = prec
             for i in range(nc):
                 cid, hv, qid = seg[6 + 3 * i : 9 + 3 * i]
                 hi, vi = hv >> 4, hv & 0xF
@@ -1573,9 +1659,14 @@ def _decode_jpeg_pixels_inner(payload: bytes):
     # level shift + round (FLOOR(x+0.5): engine-portable, no
     # banker's), then nearest-neighbor upsample (sample replication)
     # of subsampled planes to full resolution, then crop
+    lvl = 1 << (precision - 1)
+    maxv = (1 << precision) - 1
     rounded = []
     for (_, _, _, _, hi, vi), p in zip(sc, planes):
-        p = np.clip(np.floor(p + 128.0 + 0.5), 0, 255)
+        p = np.clip(np.floor(p + float(lvl) + 0.5), 0, maxv)
+        if precision > 8:
+            # scale to the 8-bit output domain (floor of /2^(p-8))
+            p = np.floor(p / float(1 << (precision - 8)))
         if hi != hmax or vi != vmax:
             p = np.repeat(
                 np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1

@@ -1520,3 +1520,140 @@ def q423_jpeg_restart_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return meta.mapInPandas(run, schema=out_schema)
+
+
+# ------------------------- q424 12-bit-precision JPEG pixel decode
+
+
+@register(
+    "q424_jpeg_12bit_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 1 + n_chars % 3 AS wb, 1 + n_chars % 2 AS hb
+      FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id, wb, hb, bx.i AS bx, by.i AS by,
+             (511 * bx.i + 257 * by.i + 16 * doc_id) % 4096 AS yv,
+             (383 * bx.i + 129 * by.i + 48 * doc_id) % 4096 AS cbv,
+             (191 * bx.i + 321 * by.i + 80 * doc_id) % 4096 AS crv
+      FROM m, UNNEST(range(wb)) AS bx(i), UNNEST(range(hb)) AS by(i)
+    ),
+    dc AS (
+      -- 12-bit DC chain: quantize FLOOR(8*(v-2048)/Q00 + 0.5),
+      -- dequantize, IDCT /8 + 2048, pixel round, clamp 0..4095,
+      -- then FLOOR(x/16) down to the 8-bit output domain
+      SELECT doc_id, wb, hb, bx, by,
+             FLOOR(LEAST(GREATEST(
+               FLOOR(FLOOR(8.0 * (yv - 2048.0) / 16.0 + 0.5)
+                     * 16.0 / 8.0 + 2048.0 + 0.5), 0), 4095) / 16.0)
+               AS y2,
+             FLOOR(LEAST(GREATEST(
+               FLOOR(FLOOR(8.0 * (cbv - 2048.0) / 17.0 + 0.5)
+                     * 17.0 / 8.0 + 2048.0 + 0.5), 0), 4095) / 16.0)
+               AS cb2,
+             FLOOR(LEAST(GREATEST(
+               FLOOR(FLOOR(8.0 * (crv - 2048.0) / 17.0 + 0.5)
+                     * 17.0 / 8.0 + 2048.0 + 0.5), 0), 4095) / 16.0)
+               AS cr2
+      FROM blocks
+    ),
+    rgb AS (
+      SELECT doc_id, wb, hb, bx, by,
+             LEAST(GREATEST(FLOOR(y2 + 1.402 * (cr2 - 128.0) + 0.5),
+                            0), 255) AS r,
+             LEAST(GREATEST(FLOOR(y2 - 0.344136 * (cb2 - 128.0)
+                                  - 0.714136 * (cr2 - 128.0) + 0.5),
+                            0), 255) AS g,
+             LEAST(GREATEST(FLOOR(y2 + 1.772 * (cb2 - 128.0) + 0.5),
+                            0), 255) AS b
+      FROM dc
+    )
+    SELECT doc_id,
+           CAST(wb * 8 AS BIGINT) AS width,
+           CAST(hb * 8 AS BIGINT) AS height,
+           FLOOR(SUM(r) * 1000000.0 / (wb * hb) + 0.5)
+             / 1000000.0 AS mean_r,
+           FLOOR(SUM(g) * 1000000.0 / (wb * hb) + 0.5)
+             / 1000000.0 AS mean_g,
+           FLOOR(SUM(b) * 1000000.0 / (wb * hb) + 0.5)
+             / 1000000.0 AS mean_b,
+           CAST(MAX(CASE WHEN bx = 0 AND by = 0 THEN r END)
+                AS BIGINT) AS corner_tl_r,
+           CAST(MAX(CASE WHEN bx = wb - 1 AND by = 0 THEN g END)
+                AS BIGINT) AS corner_tr_g,
+           CAST(MAX(CASE WHEN bx = 0 AND by = hb - 1 THEN b END)
+                AS BIGINT) AS corner_bl_b,
+           CAST(MAX(CASE WHEN bx = wb - 1 AND by = hb - 1 THEN r END)
+                AS BIGINT) AS corner_br_r
+    FROM rgb
+    GROUP BY doc_id, wb, hb
+    """,
+)
+def q424_jpeg_12bit_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-BIT-precision baseline JPEG pixel decode — the final JPEG
+    variant gate removed (after baseline q364, 4:2:0 q379,
+    progressive q422, restart q423): sample precision 12 in SOF0,
+    level shift 2048, clamp 0..4095, wider-magnitude huffman
+    categories (custom Kraft-complete DHT tables — Annex K only
+    covers 8-bit), output floor-scaled to the 8-bit domain. Stage 1
+    renders block-constant 12-bit cards (values to 4095) via
+    ``build_jpeg_ycbcr_12bit``; stage 2 decodes with the shared
+    ``decode_jpeg_pixels``.
+
+    Oracle: the exact 12-bit DC chain restated in SQL — quantize,
+    dequantize, IDCT, 2048 shift, 0..4095 clamp, FLOOR(x/16)
+    downscale, BT.601. A wrong level shift or a missing clamp moves
+    every card off its expected constants.
+
+    Scale: mapInPandas over Arrow batches, per-row independent, no
+    shuffle; blob bytes never leave the task.
+    """
+    import numpy as np
+
+    from ..functions.media import build_jpeg_ycbcr_12bit, decode_jpeg_pixels
+
+    meta = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    out_schema = (
+        "doc_id long, width long, height long, "
+        "mean_r double, mean_g double, mean_b double, "
+        "corner_tl_r long, corner_tr_g long, corner_bl_b long, "
+        "corner_br_r long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = int(doc_id), int(n_chars)
+                wb, hb = 1 + n % 3, 1 + n % 2
+                bxs = np.arange(wb, dtype=np.int64)[None, :]
+                bys = np.arange(hb, dtype=np.int64)[:, None]
+                up = lambda a: np.kron(a, np.ones((8, 8), dtype=np.int64))
+                yv = (511 * bxs + 257 * bys + 16 * d) % 4096
+                cbv = (383 * bxs + 129 * bys + 48 * d) % 4096
+                crv = (191 * bxs + 321 * bys + 80 * d) % 4096
+                blob = build_jpeg_ycbcr_12bit(up(yv), up(cbv), up(crv))
+                # ---- operator under test: 12-bit decode ----
+                dw, dh, rgb = decode_jpeg_pixels(blob)
+                rgb = rgb.astype(np.int64)
+                blk = rgb[::8, ::8, :]
+                nb = wb * hb
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "width": dw,
+                        "height": dh,
+                        "mean_r": _grid_mean(int(blk[:, :, 0].sum()), nb),
+                        "mean_g": _grid_mean(int(blk[:, :, 1].sum()), nb),
+                        "mean_b": _grid_mean(int(blk[:, :, 2].sum()), nb),
+                        "corner_tl_r": int(rgb[0, 0, 0]),
+                        "corner_tr_g": int(rgb[0, dw - 1, 1]),
+                        "corner_bl_b": int(rgb[dh - 1, 0, 2]),
+                        "corner_br_r": int(rgb[dh - 1, dw - 1, 0]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return meta.mapInPandas(run, schema=out_schema)

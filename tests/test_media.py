@@ -1189,3 +1189,99 @@ class TestJpegRestart:
                 build_jpeg_ycbcr_progressive(y, cb, cr, interval=interval)
             )[2]
             assert np.array_equal(base, prog), f"interval {interval}"
+
+
+class TestJpeg12Bit:
+    """12-bit sample precision (r4 — the LAST JPEG gate): level shift
+    2048, 0..4095 clamp, floor-scaled to the 8-bit output domain;
+    wider-category Kraft-complete huffman tables embedded via DHT."""
+
+    def test_flat_card_exact_dc_arithmetic(self):
+        import math
+
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            build_jpeg_ycbcr_12bit,
+            decode_jpeg_pixels,
+        )
+
+        for v in (0, 777, 2048, 3000, 4095):
+            blob = build_jpeg_ycbcr_12bit(*(np.full((8, 8), v),) * 3)
+            _, _, rgb = decode_jpeg_pixels(blob)
+
+            def chain(q):
+                dc = math.floor(8 * (v - 2048) / q + 0.5)
+                px = math.floor(dc * q / 8 + 2048 + 0.5)
+                return min(max(px, 0), 4095) // 16
+
+            y2, c2 = chain(16), chain(17)
+            r = min(max(math.floor(y2 + 1.402 * (c2 - 128) + 0.5), 0), 255)
+            g = min(
+                max(
+                    math.floor(
+                        y2
+                        - 0.344136 * (c2 - 128)
+                        - 0.714136 * (c2 - 128)
+                        + 0.5
+                    ),
+                    0,
+                ),
+                255,
+            )
+            b = min(max(math.floor(y2 + 1.772 * (c2 - 128) + 0.5), 0), 255)
+            assert tuple(rgb[0, 0]) == (r, g, b), f"v={v}"
+            assert (rgb == rgb[0, 0]).all()
+
+    def test_large_magnitudes_roundtrip(self):
+        """Extreme-contrast 12-bit blocks force DC categories beyond
+        the 8-bit Annex K range — the reason the custom tables exist."""
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            build_jpeg_ycbcr_12bit,
+            decode_jpeg_pixels,
+        )
+
+        y = np.zeros((8, 16), dtype=np.int64)
+        y[:, 8:] = 4095  # max-swing step edge
+        flat = np.full((8, 16), 2048)
+        w, h, rgb = decode_jpeg_pixels(build_jpeg_ycbcr_12bit(y, flat, flat))
+        assert (w, h) == (16, 8)
+        # left half dark, right half bright (ringing aside, means differ)
+        assert rgb[:, :4, 0].mean() < 80 and rgb[:, 12:, 0].mean() > 175
+
+    def test_rejects_out_of_range_and_odd_precision(self):
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from hadoop_brotli_spark.functions.media import (
+            build_jpeg_ycbcr,
+            build_jpeg_ycbcr_12bit,
+            decode_jpeg_pixels,
+        )
+
+        with pytest.raises(ValueError):
+            build_jpeg_ycbcr_12bit(*(np.full((8, 8), 5000),) * 3)
+        # precision 10 stays honestly gated
+        blob = bytearray(build_jpeg_ycbcr(*(np.full((8, 8), 50),) * 3))
+        sof = bytes(blob).find(b"\xff\xc0")
+        struct.pack_into(">B", blob, sof + 4, 10)
+        with pytest.raises(NotImplementedError):
+            decode_jpeg_pixels(bytes(blob))
+
+    def test_12bit_fuzz(self):
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            build_jpeg_ycbcr_12bit,
+            decode_jpeg_pixels,
+        )
+
+        rng = np.random.default_rng(31)
+        planes = [rng.integers(0, 4096, (16, 16)) for _ in range(3)]
+        TestDecoderFuzz()._fuzz(
+            build_jpeg_ycbcr_12bit(*planes), decode_jpeg_pixels, 108
+        )
