@@ -21,7 +21,7 @@ from math import floor
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.media import fake_decode_meta
@@ -1657,3 +1657,139 @@ def q424_jpeg_12bit_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return meta.mapInPandas(run, schema=out_schema)
+
+
+# ------------------ q425 perceptual-hash image dedup (dHash)
+
+
+@register(
+    "q425_image_dhash_dedup",
+    oracle="""
+    WITH cards AS (
+      -- 8x8 block-mean grid of each doc's BMP card: block (i,j)
+      -- holds a constant; the tile modulus groups docs into
+      -- near-duplicate families on purpose
+      SELECT doc_id, gi.i AS i, gj.j AS j,
+             (61 * gj.j + 47 * gi.i + 13 * (doc_id % 5)) % 256 AS v
+      FROM documents,
+           generate_series(0, 7) AS gi(i),
+           generate_series(0, 7) AS gj(j)
+    ),
+    bits AS (
+      -- dHash: sign of the horizontal gradient, row-wrapped — bit
+      -- (i,j) = 1 iff block(i,j) > block(i,(j+1)%8)
+      SELECT a.doc_id, a.i, a.j,
+             CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+      FROM cards a JOIN cards b
+        ON b.doc_id = a.doc_id AND b.i = a.i AND b.j = (a.j + 1) % 8
+    ),
+    hashes AS (
+      -- two 32-bit halves: bit 63 would overflow signed BIGINT
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN i < 4
+                  THEN bit * (CAST(1 AS BIGINT) << (8 * i + j))
+                  ELSE 0 END) AS BIGINT) AS dhash_hi,
+             CAST(SUM(CASE WHEN i >= 4
+                  THEN bit * (CAST(1 AS BIGINT) << (8 * (i - 4) + j))
+                  ELSE 0 END) AS BIGINT) AS dhash_lo
+      FROM bits GROUP BY doc_id
+    ),
+    fams AS (
+      SELECT dhash_hi, dhash_lo, COUNT(*) AS n_docs,
+             MIN(doc_id) AS canonical_doc
+      FROM hashes GROUP BY dhash_hi, dhash_lo
+    )
+    SELECT dhash_hi, dhash_lo,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           canonical_doc,
+           CAST(n_docs - 1 AS BIGINT) AS n_duplicates,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, dhash_hi ASC,
+                dhash_lo ASC) AS BIGINT) AS rn
+    FROM fams
+    QUALIFY rn <= 20
+    """,
+)
+def q425_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE dedup — the multimodal x dedup bridge:
+    stage 1 renders and encodes a 64x64 BMP card per document
+    (block-constant 8x8 tiles; the doc_id%5 tile modulus plants
+    near-duplicate families); stage 2 — the pipeline under test —
+    DECODES the bytes back to pixels (``decode_bmp_pixels``), computes
+    the 64-bit dHash (sign of the row-wrapped horizontal gradient of
+    the 8x8 block-mean grid — the standard difference-hash), and
+    groups by the hash into duplicate FAMILIES (count, canonical
+    min-id member) — the group-by-fingerprint shape production image
+    dedup uses, because materializing intra-family pairs is O(family²)
+    and a 10k-strong family would emit 5·10^7 rows for no decision
+    value.
+
+    The oracle never touches bytes: it recomputes the block means
+    from the card formula and replays the same bit-packing — so a
+    decoder off by one pixel row, a wrong block-mean reduction, or a
+    bit-order flip in the hash breaks the family table.
+
+    Scale: the hash is 8 bytes per image computed task-locally in
+    mapInPandas (no pixel shuffle — the petabyte-image-dedup shape);
+    downstream is one group-by on the 64-bit key. A Hamming-banded
+    variant for near-misses is q212's SimHash machinery applied to
+    this hash.
+    """
+    import numpy as np
+
+    from ..functions.media import build_bmp, decode_bmp_pixels
+
+    meta = t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                gi = np.arange(8)[:, None]
+                gj = np.arange(8)[None, :]
+                tile = (61 * gj + 47 * gi + 13 * (d % 5)) % 256
+                px = np.repeat(
+                    np.repeat(tile, 8, axis=0), 8, axis=1
+                ).astype(np.uint8)
+                rgb = np.stack([px, px, px], axis=-1)
+                blob = build_bmp(64, 64, rgb)
+                # ---- pipeline under test: decode -> block means ->
+                # dHash bits ----
+                w, h, back = decode_bmp_pixels(blob)
+                gray = back[:, :, 0].astype(np.int64)
+                blocks = gray.reshape(8, 8, 8, 8).mean(axis=(1, 3))
+                nxt = np.roll(blocks, -1, axis=1)
+                bits = (blocks > nxt).astype(np.int64)
+                w32 = 1 << (
+                    8 * np.arange(4)[:, None] + np.arange(8)[None, :]
+                ).astype(np.int64)
+                hi = int((bits[:4] * w32).sum())
+                lo = int((bits[4:] * w32).sum())
+                rows.append(
+                    {"doc_id": d, "dhash_hi": hi, "dhash_lo": lo}
+                )
+            yield pd.DataFrame(rows)
+
+    hashes = meta.mapInPandas(
+        run, schema="doc_id long, dhash_hi long, dhash_lo long"
+    )
+    fams = hashes.groupBy("dhash_hi", "dhash_lo").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
+    w = Window.orderBy(
+        F.col("n_docs").desc(),
+        F.col("dhash_hi").asc(),
+        F.col("dhash_lo").asc(),
+    )
+    return (
+        fams.select(
+            "dhash_hi",
+            "dhash_lo",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "canonical_doc",
+            (F.col("n_docs") - 1).cast("bigint").alias("n_duplicates"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 20)
+    )
