@@ -1066,6 +1066,9 @@ def q404_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= MMR_POOL)
         .drop("rn")
+        # q64 rule: the greedy loop references the pool 5x — without a
+        # checkpoint each iteration re-runs the full relevance scan
+        .localCheckpoint(eager=True)
     )
     pe = pool.join(emb, "vec_id").select("vec_id", "rel", "embedding")
     a = pe.select(
@@ -1086,6 +1089,7 @@ def q404_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dot_product("ea", "eb") / (l2_norm("ea") * l2_norm("eb")), 6
             ).alias("sim"),
         )
+        .localCheckpoint(eager=True)
     )
     first = (
         pool.withColumn(
@@ -1372,7 +1376,9 @@ def q406_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
         .distinct()
     )
-    sym = edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)  # q64 rule: reused every round
     l0 = t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("s"),
         F.col("s_nationkey").cast("int").alias("lbl"),
@@ -1510,8 +1516,8 @@ def q407_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sym = edges.unionAll(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
-    nodes = bip.select("s").distinct()
+    ).localCheckpoint(eager=True)  # q64 rule: reused every iteration
+    nodes = bip.select("s").distinct().localCheckpoint(eager=True)
     seed = nodes.agg(F.min("s").alias("seed_s"))
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
     r = nodes.crossJoin(F.broadcast(seed)).select(
