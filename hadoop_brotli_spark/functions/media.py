@@ -1043,10 +1043,10 @@ def build_jpeg_ycbcr_420(y, cb, cr) -> bytes:
     return bytes(out)
 
 
-def _quantize_plane_blocks(plane, q, d):
+def _quantize_plane_blocks(plane, q, d, lvl: int = 128):
     """FDCT + quantize every 8x8 block of a plane; returns an
     (by, bx, 64) int64 array in ZIGZAG order (the order progressive
-    scans address coefficients in)."""
+    scans address coefficients in). ``lvl`` = level shift."""
     import numpy as np
 
     h, w = plane.shape
@@ -1054,7 +1054,7 @@ def _quantize_plane_blocks(plane, q, d):
     for by in range(h // 8):
         for bx in range(w // 8):
             blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            f = d @ (blk - 128).astype(np.float64) @ d.T
+            f = d @ (blk - lvl).astype(np.float64) @ d.T
             fr = np.rint(f)
             f = np.where(np.abs(f - fr) < 1e-6, fr, f)
             zq = np.floor(f / q + 0.5).astype(np.int64)
@@ -1148,7 +1148,9 @@ def _emit_ac_refine(bw, coefs, act, al: int) -> None:
             bw.write(bit, 1)
 
 
-def build_jpeg_ycbcr_progressive(y, cb, cr, interval: int = 0) -> bytes:
+def build_jpeg_ycbcr_progressive(
+    y, cb, cr, interval: int = 0, precision: int = 8
+) -> bytes:
     """Encode three uint8 planes (equal dims, multiples of 8) as a
     PROGRESSIVE (SOF2) JFIF JPEG with a 4-phase successive-
     approximation scan script that exercises every progressive scan
@@ -1160,7 +1162,8 @@ def build_jpeg_ycbcr_progressive(y, cb, cr, interval: int = 0) -> bytes:
     never crosses blocks in this encoder). Coefficients and tables
     are identical to ``build_jpeg_ycbcr`` -- a correct progressive
     decode is bit-identical to the baseline decode of the same
-    planes."""
+    planes. ``precision`` 12 uses level shift 2048 and the
+    wide-category 12-bit huffman tables (see ``_HUFF_DC_12``)."""
     import struct
 
     import numpy as np
@@ -1171,15 +1174,33 @@ def build_jpeg_ycbcr_progressive(y, cb, cr, interval: int = 0) -> bytes:
     h, w = y.shape
     if h % 8 or w % 8 or cb.shape != (h, w) or cr.shape != (h, w):
         raise ValueError("planes must share dims that are multiples of 8")
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    lvl = 1 << (precision - 1)
+    if int(max(y.max(), cb.max(), cr.max())) > 2 * lvl - 1:
+        raise ValueError("samples exceed the declared precision")
     d = _dct_matrix()
     ql = np.array(_JPEG_QL, dtype=np.int64).reshape(8, 8)
     qc = np.array(_JPEG_QC, dtype=np.int64).reshape(8, 8)
-    dc_tabs = [_huff_codes(*_HUFF_DC_L), _huff_codes(*_HUFF_DC_C)]
-    ac_tabs = [_huff_codes(*_HUFF_AC_L), _huff_codes(*_HUFF_AC_C)]
+    if precision == 8:
+        dc_tabs = [_huff_codes(*_HUFF_DC_L), _huff_codes(*_HUFF_DC_C)]
+        ac_tabs = [_huff_codes(*_HUFF_AC_L), _huff_codes(*_HUFF_AC_C)]
+        dht = (
+            ((0, 0), _HUFF_DC_L), ((1, 0), _HUFF_AC_L),
+            ((0, 1), _HUFF_DC_C), ((1, 1), _HUFF_AC_C),
+        )
+    else:
+        t12dc, t12ac = _huff_codes(*_HUFF_DC_12), _huff_codes(*_HUFF_AC_12)
+        dc_tabs = [t12dc, t12dc]
+        ac_tabs = [t12ac, t12ac]
+        dht = (
+            ((0, 0), _HUFF_DC_12), ((1, 0), _HUFF_AC_12),
+            ((0, 1), _HUFF_DC_12), ((1, 1), _HUFF_AC_12),
+        )
     coefs = [
-        _quantize_plane_blocks(y, ql, d),
-        _quantize_plane_blocks(cb, qc, d),
-        _quantize_plane_blocks(cr, qc, d),
+        _quantize_plane_blocks(y, ql, d, lvl=lvl),
+        _quantize_plane_blocks(cb, qc, d, lvl=lvl),
+        _quantize_plane_blocks(cr, qc, d, lvl=lvl),
     ]
     out = bytearray(b"\xff\xd8")
     out += (
@@ -1191,14 +1212,11 @@ def build_jpeg_ycbcr_progressive(y, cb, cr, interval: int = 0) -> bytes:
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
     if interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, interval)  # DRI
-    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF2
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, precision, h, w, 3)
     out += struct.pack(">BBB", 1, 0x11, 0)
     out += struct.pack(">BBB", 2, 0x11, 1)
     out += struct.pack(">BBB", 3, 0x11, 1)
-    for tc_th, (bits, vals) in (
-        ((0, 0), _HUFF_DC_L), ((1, 0), _HUFF_AC_L),
-        ((0, 1), _HUFF_DC_C), ((1, 1), _HUFF_AC_C),
-    ):
+    for tc_th, (bits, vals) in dht:
         tc, th = tc_th
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (tc << 4) | th)
         out += bytes(bits) + bytes(vals)
@@ -1711,6 +1729,7 @@ def _decode_jpeg_progressive(b: bytes):
     scans = []  # (scomps, ss, se, ah, al, tables snapshot, data)
     w = h = 0
     restart_interval = 0
+    precision = 8
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("marker sync lost")
@@ -1736,8 +1755,9 @@ def _decode_jpeg_progressive(b: bytes):
                 sp += 65
         elif marker == 0xC2:
             prec, h, w, nc = struct.unpack(">BHHB", seg[0:6])
-            if prec != 8:
-                raise NotImplementedError("only 8-bit precision")
+            if prec not in (8, 12):
+                raise NotImplementedError("only 8/12-bit precision")
+            precision = prec
             for i in range(nc):
                 cid, hv, qid = seg[6 + 3 * i : 9 + 3 * i]
                 hi, vi = hv >> 4, hv & 0xF
@@ -1980,7 +2000,11 @@ def _decode_jpeg_progressive(b: bytes):
                 p8 = np.rint(pix * 8.0)
                 pix = np.where(np.abs(pix * 8.0 - p8) < 1e-6, p8 / 8.0, pix)
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
-        plane = np.clip(np.floor(plane + 128.0 + 0.5), 0, 255)
+        lvl = 1 << (precision - 1)
+        maxv = (1 << precision) - 1
+        plane = np.clip(np.floor(plane + float(lvl) + 0.5), 0, maxv)
+        if precision > 8:
+            plane = np.floor(plane / float(1 << (precision - 8)))
         if hi != hmax or vi != vmax:
             plane = np.repeat(
                 np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1

@@ -1285,3 +1285,26 @@ class TestJpeg12Bit:
         TestDecoderFuzz()._fuzz(
             build_jpeg_ycbcr_12bit(*planes), decode_jpeg_pixels, 108
         )
+
+    def test_12bit_progressive_equals_12bit_baseline(self):
+        """12-bit x progressive (r4 — the FINAL JPEG gate): SOF2 at
+        precision 12 with the wide-category tables, optionally with
+        restart markers, pixel-equal to the 12-bit baseline decode."""
+        import numpy as np
+
+        from hadoop_brotli_spark.functions.media import (
+            build_jpeg_ycbcr_12bit,
+            build_jpeg_ycbcr_progressive,
+            decode_jpeg_pixels,
+        )
+
+        rng = np.random.default_rng(41)
+        for interval in (0, 2):
+            y, cb, cr = (rng.integers(0, 4096, (16, 24)) for _ in range(3))
+            base = decode_jpeg_pixels(build_jpeg_ycbcr_12bit(y, cb, cr))[2]
+            prog = decode_jpeg_pixels(
+                build_jpeg_ycbcr_progressive(
+                    y, cb, cr, interval=interval, precision=12
+                )
+            )[2]
+            assert np.array_equal(base, prog), f"interval {interval}"
