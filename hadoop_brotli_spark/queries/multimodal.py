@@ -1793,3 +1793,115 @@ def q425_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 20)
     )
+
+
+# ------------- q426 audio energy-envelope fingerprint dedup
+
+AF_WINDOWS = 8
+AF_WIN_LEN = 16  # samples per window -> 128-sample clips
+
+
+@register(
+    "q426_audio_fingerprint_dedup",
+    oracle=f"""
+    WITH samples AS (
+      -- integer sawtooth clip per doc; the doc_id%4 pitch plants
+      -- duplicate families
+      SELECT doc_id, s.i AS i,
+             (((s.i * (7 + doc_id % 4)) % 200) - 100) * 100 AS v
+      FROM documents,
+           (SELECT UNNEST(generate_series(0,
+               {AF_WINDOWS * AF_WIN_LEN - 1})) AS i) s
+    ),
+    env AS (
+      SELECT doc_id, i // {AF_WIN_LEN} AS w, SUM(ABS(v)) AS e
+      FROM samples GROUP BY doc_id, i // {AF_WIN_LEN}
+    ),
+    bits AS (
+      SELECT a.doc_id, a.w,
+             CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+      FROM env a JOIN env b
+        ON b.doc_id = a.doc_id AND b.w = (a.w + 1) % {AF_WINDOWS}
+    ),
+    fps AS (
+      SELECT doc_id,
+             CAST(SUM(bit * (CAST(1 AS BIGINT) << w)) AS BIGINT) AS fp
+      FROM bits GROUP BY doc_id
+    ),
+    fams AS (
+      SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
+      FROM fps GROUP BY fp
+    )
+    SELECT fp,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           canonical_doc,
+           CAST(n_docs - 1 AS BIGINT) AS n_duplicates,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, fp ASC)
+                AS BIGINT) AS rn
+    FROM fams
+    QUALIFY rn <= 20
+    """,
+)
+def q426_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint dedup — the AUDIO sibling of q425's image
+    dHash, completing the multimodal-dedup bridge: stage 1 renders a
+    128-sample PCM16 sawtooth clip per document (the doc_id%4 pitch
+    plants duplicate families) and containerizes it as WAV; stage 2
+    — the pipeline under test — PARSES the container back
+    (``parse_wav``), computes the {AF_WINDOWS}-window energy
+    envelope, and packs the envelope's circular gradient signs into
+    an {AF_WINDOWS}-bit fingerprint, grouped into duplicate families
+    with a canonical min-id member.
+
+    The oracle replays the envelope from the sample formula — a WAV
+    header mis-parse, a signedness bug in the PCM16 round-trip, or a
+    window misalignment all scramble the fingerprint families.
+
+    Scale: fingerprints are computed task-locally in mapInPandas
+    (audio bytes never shuffle); downstream is one group-by on the
+    fingerprint key — the shape audio-dedup runs at petabyte scale
+    (real systems swap the envelope for chromaprint; the plumbing is
+    identical).
+    """
+    import numpy as np
+
+    from ..functions.media import build_wav, parse_wav
+
+    meta = t(spark, sf_dir, "documents").select("doc_id")
+    n = AF_WINDOWS * AF_WIN_LEN
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                i = np.arange(n, dtype=np.int64)
+                v = (((i * (7 + d % 4)) % 200) - 100) * 100
+                blob = build_wav([int(x) for x in v], 8000)
+                # ---- pipeline under test: parse container ->
+                # envelope -> fingerprint ----
+                _rate, _ch, _nf, samples = parse_wav(blob)
+                s = np.asarray(samples, dtype=np.int64)
+                env = np.abs(s).reshape(AF_WINDOWS, AF_WIN_LEN).sum(axis=1)
+                nxt = np.roll(env, -1)
+                bits = (env > nxt).astype(np.int64)
+                fp = int((bits << np.arange(AF_WINDOWS)).sum())
+                rows.append({"doc_id": d, "fp": fp})
+            yield pd.DataFrame(rows)
+
+    fps = meta.mapInPandas(run, schema="doc_id long, fp long")
+    fams = fps.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("fp").asc())
+    return (
+        fams.select(
+            "fp",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "canonical_doc",
+            (F.col("n_docs") - 1).cast("bigint").alias("n_duplicates"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 20)
+    )
