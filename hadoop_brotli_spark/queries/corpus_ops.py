@@ -1052,7 +1052,10 @@ def q230_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df").asc(), F.col("tok").asc()
     )
     ranked = (
-        toks.join(F.broadcast(freq), "tok")
+        # No broadcast hint: freq is vocabulary-grain (grows ~N^0.8 by
+        # Heaps' law), so a hint would force an OOM at 100x. Plain
+        # shuffle join; AQE picks broadcast when it actually fits.
+        toks.join(freq, "tok")
         .select(
             "doc_id",
             "tok",
@@ -3007,14 +3010,14 @@ def q355_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot_b = big.agg(F.sum("c").cast("double").alias("nb"))
     scored = (
         big.filter(F.col("c") >= PMI_MIN_COUNT)
+        # uni is unigram-type-grain (unbounded under Heaps' law) — no
+        # broadcast hint; AQE decides. The 1-row totals stay hinted.
         .join(
-            F.broadcast(uni.select(F.col("w").alias("w1"),
-                                   F.col("c").alias("c1"))),
+            uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")),
             "w1",
         )
         .join(
-            F.broadcast(uni.select(F.col("w").alias("w2"),
-                                   F.col("c").alias("c2"))),
+            uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")),
             "w2",
         )
         .crossJoin(F.broadcast(tot_b))
@@ -3238,9 +3241,13 @@ def q372_ppmi_word_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = nwc.agg(F.sum("n").cast("double").alias("nn_"))
     ctx_df = nwc.groupBy("c").agg(F.count(F.lit(1)).alias("df"))
     ppmi = (
-        nwc.join(F.broadcast(nw), "w")
-        .join(F.broadcast(nc), "c")
-        .join(F.broadcast(ctx_df.filter(F.col("df") <= PPMI_CTX_CAP)), "c")
+        # nw/nc/ctx_df are word/context-TYPE-grain (unbounded under
+        # Heaps' law — the df<=cap filter bounds per-context fanout,
+        # not the number of context types) — no broadcast hint; AQE
+        # decides. The 1-row nn total stays hinted.
+        nwc.join(nw, "w")
+        .join(nc, "c")
+        .join(ctx_df.filter(F.col("df") <= PPMI_CTX_CAP), "c")
         .crossJoin(F.broadcast(nn))
         .select(
             "w",
@@ -3280,8 +3287,9 @@ def q372_ppmi_word_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = norms.select(F.col("w").alias("w1"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("w").alias("w2"), F.col("nrm").alias("nb"))
     scored = (
-        dots.join(F.broadcast(na), "w1")
-        .join(F.broadcast(nb), "w2")
+        # na/nb are word-grain norm tables — no broadcast hint.
+        dots.join(na, "w1")
+        .join(nb, "w2")
         .select(
             "w1",
             "w2",

@@ -1072,8 +1072,11 @@ def q236_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = train_uni.agg(F.count(F.lit(1)).alias("v"))
     scored = (
         bigrams.filter(F.col("bucket") >= LM_TRAIN_LT)
-        .join(F.broadcast(train_bi), ["w1", "w2"], "left")
-        .join(F.broadcast(train_uni), "w1", "left")
+        # train_bi / train_uni are vocabulary-grain (unbounded under
+        # Heaps' law) — no broadcast hint; AQE decides. The 1-row
+        # `vocab` aggregate stays hinted (always broadcastable).
+        .join(train_bi, ["w1", "w2"], "left")
+        .join(train_uni, "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
@@ -1430,8 +1433,10 @@ def q360_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_occurrences",
             F.explode(F.split("phrase", " ")).alias("pw"),
         )
+        # wstats is word-grain (unbounded under Heaps' law) — no
+        # broadcast hint; AQE decides.
         .join(
-            F.broadcast(wstats.select(F.col("w").alias("pw"), "freq", "deg")),
+            wstats.select(F.col("w").alias("pw"), "freq", "deg"),
             "pw",
         )
         .groupBy("phrase", "n_occurrences")
@@ -1612,9 +1617,12 @@ def q361_kneser_ney_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         bigrams.filter(F.col("bucket") >= LM_TRAIN_LT)
-        .join(F.broadcast(train_bi), ["w1", "w2"], "left")
-        .join(F.broadcast(ctx), "w1", "left")
-        .join(F.broadcast(cont), "w2", "left")
+        # train_bi/ctx/cont are bigram/unigram-type-grain (unbounded
+        # under Heaps' law) — no broadcast hint; AQE decides. The
+        # 1-row tt/vv aggregates stay hinted.
+        .join(train_bi, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
         .crossJoin(F.broadcast(tt))
         .crossJoin(F.broadcast(vv))
         .select(

@@ -1,0 +1,408 @@
+"""Broadcast-hint audit (round-5 verdict task 1).
+
+A ``F.broadcast()`` hint DISABLES Spark's size check: the hinted side
+is shipped to every executor no matter how big it is.  That is right
+for provably bounded relations (literal top-K caps, scalar/1-row
+aggregates, fixed query sets, codebooks, channel lattices) and an OOM
+time-bomb for anything whose size grows with the corpus — vocabulary-
+grain tables grow ~N^0.8 under Heaps' law, so a hint that is fine at
+sf0.1 kills the job at 100 TB.  Round 4's verdict flagged exactly this
+class (q230 shingle freq, q236/q361 bigram LM counts, q355 unigrams);
+the round-5 fix also caught q360 word stats and q372 PPMI norm/count
+tables.  All are now unhinted (AQE decides at runtime).
+
+This test makes the audit durable: every ``F.broadcast(`` call site in
+the package is fingerprinted as ``(module, enclosing function, root
+name of the broadcast argument)`` and must appear in AUDITED_SITES
+below.  Adding a new hint — or re-hinting a fixed one — fails the
+suite until the site is consciously audited for boundedness and added
+here.  The fingerprint is line-number-free so ordinary edits do not
+churn it.
+
+Audit rule of thumb for new entries:
+  BOUNDED  — 1-row/scalar aggregates, literal top-K (orderBy+limit or
+             row_number < K), fixed query/centroid/codebook tables,
+             calendar/grid spines, band/bucket id lists.
+  UNBOUNDED (never hint) — anything word/shingle/bigram/context-TYPE
+             grain without a literal top-K upstream, per-doc or
+             per-key tables, posting lists.  A frequency FILTER
+             (df <= cap) does NOT bound the number of types.
+"""
+
+import ast
+import pathlib
+
+import pytest
+
+PKG = pathlib.Path(__file__).resolve().parent.parent / "hadoop_brotli_spark"
+
+AUDITED_SITES = {
+    ("queries/advanced.py", "q17_join_range_bands", "bands"),
+    ("queries/advanced.py", "q347_quantile_sketch_merge", "est"),
+    ("queries/advanced.py", "q347_quantile_sketch_merge", "exact"),
+    ("queries/advanced.py", "q347_quantile_sketch_merge", "extra"),
+    ("queries/advanced.py", "q347_quantile_sketch_merge", "partials_ck"),
+    ("queries/advanced.py", "q347_quantile_sketch_merge", "rng"),
+    ("queries/advanced.py", "q37_merge_upsert", "max_key"),
+    ("queries/advanced.py", "q74_ann_ivf", "cent"),
+    ("queries/analytics.py", "q118_cohort_retention", "sizes"),
+    ("queries/analytics.py", "q119_rfm_segments", "stats"),
+    ("queries/analytics.py", "q124_source_vocab_overlap", "sizes"),
+    ("queries/analytics.py", "q137_basket_lift", "n_baskets"),
+    ("queries/analytics.py", "q137_basket_lift", "singles"),
+    ("queries/analytics.py", "q139_outlier_audit", "stats"),
+    ("queries/analytics.py", "q141_distribution_drift", "bins"),
+    ("queries/analytics.py", "q142_chi_square_cells", "col_t"),
+    ("queries/analytics.py", "q142_chi_square_cells", "row_t"),
+    ("queries/analytics.py", "q142_chi_square_cells", "tot"),
+    ("queries/analytics.py", "q151_ab_test", "avg_spend"),
+    ("queries/analytics.py", "q151_ab_test", "b"),
+    ("queries/analytics.py", "q153_user_concentration", "top10"),
+    ("queries/analytics.py", "q157_contribution_analysis", "n"),
+    ("queries/analytics.py", "q157_contribution_analysis", "total"),
+    ("queries/analytics.py", "q170_dau_mau_stickiness", "m"),
+    ("queries/analytics.py", "q186_equidepth_histogram", "b"),
+    ("queries/analytics.py", "q190_topn_with_other", "p"),
+    ("queries/analytics.py", "q193_mad_outliers", "mad"),
+    ("queries/analytics.py", "q193_mad_outliers", "med"),
+    ("queries/analytics.py", "q348_neyman_stratified_sample", "alloc"),
+    ("queries/analytics.py", "q348_neyman_stratified_sample", "tot"),
+    ("queries/analytics.py", "q350_fleiss_kappa", "pj"),
+    ("queries/analytics.py", "q350_fleiss_kappa", "raters"),
+    ("queries/analytics.py", "q350_fleiss_kappa", "total"),
+    ("queries/analytics.py", "q352_ks_two_sample", "tot"),
+    ("queries/analytics.py", "q353_bh_fdr_control", "cutoff"),
+    ("queries/analytics.py", "q353_bh_fdr_control", "span"),
+    ("queries/analytics.py", "q376_mann_whitney_u", "agg"),
+    ("queries/analytics.py", "q378_markov_attribution", "base_p"),
+    ("queries/analytics.py", "q378_markov_attribution", "prev"),
+    ("queries/analytics.py", "q378_markov_attribution", "prob"),
+    ("queries/analytics.py", "q378_markov_attribution", "rp"),
+    ("queries/analytics.py", "q378_markov_attribution", "tot"),
+    ("queries/analytics.py", "q380_isotonic_calibration", "cj"),
+    ("queries/analytics.py", "q380_isotonic_calibration", "fit"),
+    ("queries/analytics.py", "q390_shapley_attribution", "chans"),
+    ("queries/analytics.py", "q390_shapley_attribution", "k"),
+    ("queries/analytics.py", "q390_shapley_attribution", "s_side"),
+    ("queries/analytics.py", "q390_shapley_attribution", "su_side"),
+    ("queries/analytics.py", "q390_shapley_attribution", "v"),
+    ("queries/closing_ops.py", "agg_view", "c"),
+    ("queries/closing_ops.py", "q254_semantic_dedup", "ok_buckets"),
+    ("queries/closing_ops.py", "q257_benford_audit", "tot"),
+    ("queries/closing_ops.py", "q259_hll_intersection", "ea"),
+    ("queries/closing_ops.py", "q259_hll_intersection", "eb"),
+    ("queries/closing_ops.py", "q259_hll_intersection", "uest"),
+    ("queries/closing_ops.py", "q261_kaplan_meier", "tot"),
+    ("queries/closing_ops.py", "q265_theil_sen_trend", "ts_df"),
+    ("queries/closing_ops.py", "q268_bpe_merge_iterations", "best"),
+    ("queries/closing_ops.py", "q268_bpe_merge_iterations", "nsyms"),
+    ("queries/closing_ops.py", "q272_woe_iv_binning", "cuts"),
+    ("queries/closing_ops.py", "q272_woe_iv_binning", "tot"),
+    ("queries/closing_ops.py", "q273_target_encoding_loo", "seg"),
+    ("queries/closing_ops.py", "q288_littles_law", "integral"),
+    ("queries/closing_ops.py", "q293_label_shift_bbse", "tgt"),
+    ("queries/closing_ops.py", "q296_deletion_blast_radius", "o"),
+    ("queries/closing_ops.py", "q297_kfold_ols_stability", "gm"),
+    ("queries/closing_ops.py", "q299_negative_edge_sampling", "nn"),
+    ("queries/closing_ops.py", "q301_consistent_hashing", "ring_arr"),
+    ("queries/closing_ops.py", "q303_seasonal_residual_outliers", "dow_eff"),
+    ("queries/closing_ops.py", "q303_seasonal_residual_outliers", "grand"),
+    ("queries/closing_ops.py", "q308_encoding_advisor", "distinct_bytes"),
+    ("queries/closing_ops.py", "q310_good_turing", "tot"),
+    ("queries/closing_ops.py", "q311_hill_tail_index", "xk"),
+    ("queries/closing_ops.py", "q313_grid_density_clusters", "b"),
+    ("queries/closing_ops.py", "q315_newsvendor_stocking", "t"),
+    ("queries/closing_ops.py", "q316_price_elasticity", "t"),
+    ("queries/closing_ops.py", "q317_sax_similarity", "cuts"),
+    ("queries/closing_ops.py", "q318_dtw_alignment", "span"),
+    ("queries/closing_ops.py", "q318_dtw_alignment", "spine"),
+    ("queries/closing_ops.py", "q319_hits_scores", "asum"),
+    ("queries/closing_ops.py", "q319_hits_scores", "hsum"),
+    ("queries/closing_ops.py", "q321_modularity", "comm"),
+    ("queries/closing_ops.py", "q321_modularity", "intra"),
+    ("queries/closing_ops.py", "q321_modularity", "ktot"),
+    ("queries/closing_ops.py", "q322_decision_stump", "cand"),
+    ("queries/closing_ops.py", "q323_rank_correlation", "spear"),
+    ("queries/closing_ops.py", "q323_rank_correlation", "t"),
+    ("queries/closing_ops.py", "q323_rank_correlation", "ypair"),
+    ("queries/closing_ops.py", "q324_poisson_bootstrap", "pt"),
+    ("queries/closing_ops.py", "q325_jackknife_se", "tot"),
+    ("queries/closing_ops.py", "q326_propensity_ate", "cuts"),
+    ("queries/closing_ops.py", "q329_horvitz_thompson", "truth"),
+    ("queries/closing_ops.py", "q332_mutual_information", "mx"),
+    ("queries/closing_ops.py", "q332_mutual_information", "my"),
+    ("queries/closing_ops.py", "q332_mutual_information", "tot"),
+    ("queries/closing_ops.py", "q333_tfidf_cosine_pairs", "stats"),
+    ("queries/closing_ops.py", "q334_bm25_ranking", "idf"),
+    ("queries/closing_ops.py", "q334_bm25_ranking", "stats"),
+    ("queries/closing_ops.py", "q337_cohort_ltv", "firsts"),
+    ("queries/closing_ops.py", "q337_cohort_ltv", "sizes"),
+    ("queries/closing_ops.py", "q338_ljung_box", "nn"),
+    ("queries/corpus_ops.py", "epoch_pos", "offsets"),
+    ("queries/corpus_ops.py", "q216_knn_label_eval", "q"),
+    ("queries/corpus_ops.py", "q218_vocab_oov_rate", "vocab"),
+    ("queries/corpus_ops.py", "q227_retrieval_mrr", "q"),
+    ("queries/corpus_ops.py", "q233_rrf_hybrid_retrieval", "q"),
+    ("queries/corpus_ops.py", "q234_cuped_ab_readout", "theta"),
+    ("queries/corpus_ops.py", "q237_hard_negative_mining", "a"),
+    ("queries/corpus_ops.py", "q243_token_budget_plan", "tot"),
+    ("queries/corpus_ops.py", "q249_two_stage_rerank", "q"),
+    ("queries/corpus_ops.py", "q251_source_quality_league", "vocab"),
+    ("queries/corpus_ops.py", "q355_pmi_collocations", "tot_b"),
+    ("queries/corpus_ops.py", "q355_pmi_collocations", "tot_u"),
+    ("queries/corpus_ops.py", "q362_mixing_weights", "tot"),
+    ("queries/corpus_ops.py", "q372_ppmi_word_similarity", "nn"),
+    ("queries/dedup.py", "q387_dedup_partition_conductance", "tot"),
+    ("queries/dedup.py", "q394_split_leakage_audit", "doc_stats"),
+    ("queries/dedup.py", "q396_source_overlap_matrix", "b"),
+    ("queries/dedup.py", "q396_source_overlap_matrix", "common"),
+    ("queries/dedup.py", "q396_source_overlap_matrix", "na"),
+    ("queries/dedup.py", "q396_source_overlap_matrix", "nb"),
+    ("queries/expansion.py", "q398_link_prediction_ra", "sdeg"),
+    ("queries/expansion.py", "q399_ldiversity_tcloseness", "cell"),
+    ("queries/expansion.py", "q399_ldiversity_tcloseness", "gl"),
+    ("queries/expansion.py", "q399_ldiversity_tcloseness", "n"),
+    ("queries/expansion.py", "q399_ldiversity_tcloseness", "total"),
+    ("queries/expansion.py", "q401_nelson_aalen", "total"),
+    ("queries/expansion.py", "q402_pinball_loss", "ntr"),
+    ("queries/expansion.py", "q402_pinball_loss", "qs"),
+    ("queries/expansion.py", "q403_draft_acceptance", "draft"),
+    ("queries/expansion.py", "q404_mmr_diverse_topk", "b"),
+    ("queries/expansion.py", "q404_mmr_diverse_topk", "q"),
+    ("queries/expansion.py", "q405_embedding_moment_drift", "grid"),
+    ("queries/expansion.py", "q407_personalized_pagerank", "seed"),
+    ("queries/expansion.py", "q408_wordpiece_tokenize", "ls"),
+    ("queries/expansion.py", "q408_wordpiece_tokenize", "vk"),
+    ("queries/expansion.py", "q409_wasserstein_source_drift", "grid"),
+    ("queries/expansion.py", "q410_quantile_normalization", "gcdf"),
+    ("queries/expansion.py", "q410_quantile_normalization", "gtot"),
+    ("queries/expansion.py", "q411_matryoshka_recall", "q"),
+    ("queries/expansion.py", "q412_ransac_line_fit", "lines"),
+    ("queries/expansion.py", "q412_ransac_line_fit", "nd"),
+    ("queries/expansion.py", "q412_ransac_line_fit", "p1"),
+    ("queries/expansion.py", "q412_ransac_line_fit", "p2"),
+    ("queries/expansion.py", "q413_pr_threshold_sweep", "th"),
+    ("queries/expansion.py", "q415_segmented_regression", "single"),
+    ("queries/expansion.py", "q415_segmented_regression", "tot"),
+    ("queries/expansion.py", "q416_voptimal_histogram", "b"),
+    ("queries/expansion.py", "q416_voptimal_histogram", "c"),
+    ("queries/expansion.py", "q416_voptimal_histogram", "d"),
+    ("queries/expansion.py", "q416_voptimal_histogram", "hi"),
+    ("queries/expansion.py", "q416_voptimal_histogram", "nn"),
+    ("queries/expansion.py", "q416_voptimal_histogram", "pre"),
+    ("queries/expansion.py", "q417_apriori_itemsets", "cand3"),
+    ("queries/expansion.py", "q418_decayed_heavy_hitters", "anchor"),
+    ("queries/expansion.py", "q418_decayed_heavy_hitters", "p"),
+    ("queries/expansion.py", "q420_bandit_replay", "matched"),
+    ("queries/expansion.py", "q420_bandit_replay", "target"),
+    ("queries/expansion.py", "q421_dp_noisy_counts", "k"),
+    ("queries/extras.py", "q200_ann_ivf_multiprobe", "cent"),
+    ("queries/extras.py", "q201_pagerank_fixed_point", "n"),
+    ("queries/extras.py", "q208_winsorized_stats", "b"),
+    ("queries/extras.py", "q219_count_min_sketch", "sketch"),
+    ("queries/extras.py", "q220_interval_bin_join", "incidents"),
+    ("queries/extras.py", "q221_bloom_join_prune", "bits"),
+    ("queries/extras.py", "q221_bloom_join_prune", "build"),
+    ("queries/extras.py", "q231_cusum_changepoint", "tot"),
+    ("queries/extras.py", "q232_label_noise_audit", "q"),
+    ("queries/extras.py", "q246_hll_register_merge", "docs"),
+    ("queries/extras.py", "q246_hll_register_merge", "est"),
+    ("queries/extras.py", "q246_hll_register_merge", "exact"),
+    ("queries/extras.py", "q368_zorder_layout_advisor", "nf"),
+    ("queries/extras.py", "q368_zorder_layout_advisor", "read_rm"),
+    ("queries/extras.py", "q368_zorder_layout_advisor", "read_z"),
+    ("queries/extras.py", "q368_zorder_layout_advisor", "trm"),
+    ("queries/extras.py", "q368_zorder_layout_advisor", "tz"),
+    ("queries/extras.py", "q370_spatial_bin_join", "deltas"),
+    ("queries/extras.py", "q370_spatial_bin_join", "sc"),
+    ("queries/extras.py", "q374_skyline_frontier", "cmax"),
+    ("queries/extras.py", "q374_skyline_frontier", "dom"),
+    ("queries/extras.py", "q375_ddsketch_quantiles", "cum"),
+    ("queries/extras.py", "q375_ddsketch_quantiles", "mismatch"),
+    ("queries/extras.py", "q375_ddsketch_quantiles", "n"),
+    ("queries/mleval.py", "q381_split_conformal", "meta"),
+    ("queries/mleval.py", "q381_split_conformal", "model"),
+    ("queries/mleval.py", "q381_split_conformal", "nc"),
+    ("queries/mleval.py", "q381_split_conformal", "qhat"),
+    ("queries/mleval.py", "q382_ndcg_at_k", "q"),
+    ("queries/mleval.py", "q383_dsir_importance_selection", "model"),
+    ("queries/mleval.py", "q383_dsir_importance_selection", "rt"),
+    ("queries/mleval.py", "q383_dsir_importance_selection", "tt"),
+    ("queries/mleval.py", "q384_doremi_reweight", "base"),
+    ("queries/mleval.py", "q384_doremi_reweight", "n"),
+    ("queries/mleval.py", "q384_doremi_reweight", "v"),
+    ("queries/mleval.py", "q384_doremi_reweight", "z"),
+    ("queries/mleval.py", "q389_prefix_cache_sharing", "depths"),
+    ("queries/mleval.py", "q393_bradley_terry", "kf"),
+    ("queries/mleval.py", "q393_bradley_terry", "pi"),
+    ("queries/mleval.py", "q393_bradley_terry", "pj"),
+    ("queries/mleval.py", "q393_bradley_terry", "s"),
+    ("queries/mleval.py", "q393_bradley_terry", "tot"),
+    ("queries/pipeline_more.py", "orphans", "parent"),
+    ("queries/pipeline_more.py", "q106_calendar_fill", "counts"),
+    ("queries/pipeline_more.py", "q108_hll_sketch_merge", "exact"),
+    ("queries/pipeline_more.py", "q77_term_salience", "n"),
+    ("queries/pipeline_more.py", "q79_heavy_hitters", "tot"),
+    ("queries/relational.py", "q03_shipping_priority", "c"),
+    ("queries/relational.py", "q05_local_supplier_volume", "c"),
+    ("queries/relational.py", "q05_local_supplier_volume", "n"),
+    ("queries/relational.py", "q05_local_supplier_volume", "r"),
+    ("queries/relational.py", "q05_local_supplier_volume", "s"),
+    ("queries/relational.py", "q21_agg_approx_distinct", "approx"),
+    ("queries/relational.py", "q34_scalar_subquery", "threshold"),
+    ("queries/similarity.py", "_pq_dist_and_codes", "train"),
+    ("queries/similarity.py", "q343_pq_adc_topk", "qtab"),
+    ("queries/similarity.py", "q344_ivf_pq_probe", "coarse"),
+    ("queries/similarity.py", "q344_ivf_pq_probe", "qtab"),
+    ("queries/similarity.py", "q357_pca_power_iteration", "lam"),
+    ("queries/similarity.py", "q357_pca_power_iteration", "mu"),
+    ("queries/similarity.py", "q357_pca_power_iteration", "nn"),
+    ("queries/similarity.py", "q357_pca_power_iteration", "nrm"),
+    ("queries/similarity.py", "q357_pca_power_iteration", "tot"),
+    ("queries/similarity.py", "q357_pca_power_iteration", "v"),
+    ("queries/similarity.py", "q358_jl_projection_distortion", "sgn"),
+    ("queries/similarity.py", "q358_jl_projection_distortion", "xb"),
+    ("queries/similarity.py", "q358_jl_projection_distortion", "yb"),
+    ("queries/similarity.py", "q359_kmeans_lloyd_step", "seeds"),
+    ("queries/similarity.py", "q392_kcenter_coreset", "c"),
+    ("queries/similarity.py", "q392_kcenter_coreset", "chosen"),
+    ("queries/similarity.py", "q392_kcenter_coreset", "pick"),
+    ("queries/similarity.py", "q70_knn_bruteforce", "q"),
+    ("queries/similarity.py", "q98_ann_recall", "q"),
+    ("queries/textstats.py", "q225_vocab_indexing", "vocab"),
+    ("queries/textstats.py", "q236_bigram_lm_score", "vocab"),
+    ("queries/textstats.py", "q346_padding_waste_advisor", "g"),
+    ("queries/textstats.py", "q361_kneser_ney_lm_score", "tt"),
+    ("queries/textstats.py", "q361_kneser_ney_lm_score", "vv"),
+    ("queries/textstats.py", "q377_naive_bayes_langid", "lang_tot"),
+    ("queries/textstats.py", "q377_naive_bayes_langid", "model"),
+    ("queries/textstats.py", "q377_naive_bayes_langid", "ntr"),
+    ("queries/textstats.py", "q377_naive_bayes_langid", "priors"),
+    ("queries/textstats.py", "q377_naive_bayes_langid", "vocab"),
+    ("queries/textstats.py", "q388_unigram_viterbi_tokenizer", "model"),
+    ("queries/textstats.py", "q388_unigram_viterbi_tokenizer", "tot"),
+    ("queries/textstats.py", "q82_lang_id_ngram", "profile"),
+    ("queries/tpch_more.py", "q07_volume_shipping", "c"),
+    ("queries/tpch_more.py", "q07_volume_shipping", "n1"),
+    ("queries/tpch_more.py", "q07_volume_shipping", "n2"),
+    ("queries/tpch_more.py", "q07_volume_shipping", "s"),
+    ("queries/tpch_more.py", "q08_market_share", "c"),
+    ("queries/tpch_more.py", "q08_market_share", "n1"),
+    ("queries/tpch_more.py", "q08_market_share", "n2"),
+    ("queries/tpch_more.py", "q08_market_share", "p"),
+    ("queries/tpch_more.py", "q08_market_share", "r"),
+    ("queries/tpch_more.py", "q08_market_share", "s"),
+    ("queries/tpch_more.py", "q09_product_profit", "n"),
+    ("queries/tpch_more.py", "q09_product_profit", "p"),
+    ("queries/tpch_more.py", "q09_product_profit", "s"),
+    ("queries/tpch_more.py", "q112_waiting_suppliers", "s"),
+    ("queries/tpch_more.py", "q113_dormant_high_balance", "avg_bal"),
+    ("queries/tpch_more.py", "q114_small_qty_revenue", "p"),
+    ("queries/tpch_more.py", "q165_pipeline_value_share", "total"),
+    ("queries/tpch_more.py", "q166_promo_revenue_share", "p"),
+    ("queries/tpch_more.py", "q167_top_supplier_revenue", "mx"),
+    ("queries/tpch_more.py", "q167_top_supplier_revenue", "s"),
+    ("queries/tpch_more.py", "q168_supplier_variety", "p"),
+    ("queries/tpch_more.py", "q169_dominant_supplier", "s"),
+    ("queries/tpch_more.py", "q19_discount_revenue", "p"),
+    ("queries/tpch_more.py", "q222_returned_item_ranking", "n"),
+    ("queries/windows.py", "q135_percent_of_parent", "n"),
+    ("queries/windows.py", "q135_percent_of_parent", "r"),
+    ("streaming/jobs.py", "enrich_events", "dim"),
+    ("streaming/jobs.py", "upsert", "new"),
+}
+
+
+def _root_name(node):
+    while isinstance(node, ast.Attribute):
+        node = node.value
+    if isinstance(node, ast.Call):
+        return _root_name(node.func)
+    if isinstance(node, ast.Name):
+        return node.id
+    if isinstance(node, ast.Subscript):
+        return _root_name(node.value)
+    return "<expr>"
+
+
+def _broadcast_sites():
+    sites = set()
+    for path in sorted(PKG.rglob("*.py")):
+        tree = ast.parse(path.read_text())
+        rel = str(path.relative_to(PKG))
+
+        class _V(ast.NodeVisitor):
+            def __init__(self):
+                self.stack = ["<module>"]
+
+            def visit_FunctionDef(self, node):
+                self.stack.append(node.name)
+                self.generic_visit(node)
+                self.stack.pop()
+
+            visit_AsyncFunctionDef = visit_FunctionDef
+
+            def visit_Call(self, node):
+                f = node.func
+                if (
+                    isinstance(f, ast.Attribute)
+                    and f.attr == "broadcast"
+                    and isinstance(f.value, ast.Name)
+                    and f.value.id == "F"
+                ):
+                    arg = _root_name(node.args[0]) if node.args else "<none>"
+                    sites.add((rel, self.stack[-1], arg))
+                self.generic_visit(node)
+
+        _V().visit(tree)
+    return sites
+
+
+def test_every_broadcast_hint_is_audited():
+    live = _broadcast_sites()
+    new = live - AUDITED_SITES
+    assert not new, (
+        "Un-audited F.broadcast() hint(s) added:\n  "
+        + "\n  ".join(map(str, sorted(new)))
+        + "\nA hint disables Spark's size check.  Audit each site for "
+        "boundedness (see module docstring) and add it to "
+        "AUDITED_SITES, or drop the hint and let AQE decide."
+    )
+
+
+def test_audited_sites_not_stale():
+    live = _broadcast_sites()
+    gone = AUDITED_SITES - live
+    assert not gone, (
+        "Stale AUDITED_SITES entries (hint no longer in source):\n  "
+        + "\n  ".join(map(str, sorted(gone)))
+        + "\nRemove them so the allowlist stays exact."
+    )
+
+
+# The six vocabulary-grain relations the r4 verdict + r5 audit fixed.
+# Their functions may only hint scalar/1-row aggregates from now on.
+_FORBIDDEN = {
+    ("queries/corpus_ops.py", "q230_prefix_filter_join", "freq"),
+    ("queries/textstats.py", "q236_bigram_lm_score", "train_bi"),
+    ("queries/textstats.py", "q236_bigram_lm_score", "train_uni"),
+    ("queries/textstats.py", "q361_kneser_ney_lm_score", "train_bi"),
+    ("queries/textstats.py", "q361_kneser_ney_lm_score", "ctx"),
+    ("queries/textstats.py", "q361_kneser_ney_lm_score", "cont"),
+    ("queries/corpus_ops.py", "q355_pmi_collocations", "uni"),
+    ("queries/textstats.py", "q360_rake_keywords", "wstats"),
+    ("queries/corpus_ops.py", "q372_ppmi_word_similarity", "nw"),
+    ("queries/corpus_ops.py", "q372_ppmi_word_similarity", "nc"),
+    ("queries/corpus_ops.py", "q372_ppmi_word_similarity", "ctx_df"),
+    ("queries/corpus_ops.py", "q372_ppmi_word_similarity", "na"),
+    ("queries/corpus_ops.py", "q372_ppmi_word_similarity", "nb"),
+}
+
+
+def test_vocabulary_grain_relations_stay_unhinted():
+    live = _broadcast_sites()
+    rehinted = live & _FORBIDDEN
+    assert not rehinted, (
+        "Vocabulary-grain relation re-hinted (OOM at 100x):\n  "
+        + "\n  ".join(map(str, sorted(rehinted)))
+    )
