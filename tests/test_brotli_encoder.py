@@ -1,0 +1,187 @@
+"""Pure-Python brotli ENCODER tests (r4 verdict task 2 — the last
+encoder asymmetry: wheel-less hosts previously wrote only stored-mode
+brotli at ratio 1.0).
+
+Evidence layers, mirroring test_brotli_pure.py:
+
+1. ROUND-TRIP with the repo's own strict pure decoder (padding and
+   trailing-byte checks) across payload shapes, qualities, and
+   metablock-boundary sizes.
+2. GOLDEN CROSS-CHECK (self-activating): when a REAL brotli decoder
+   exists (system libbrotli via ctypes), every pure-encoder output
+   must decode byte-exact there too — spec conformance proven
+   against an independent implementation.
+3. RATIO: compressible payloads (TestBro's entropy-1/10 class) must
+   land well under 1.0; incompressible payloads must stay ~1.0 via
+   the uncompressed-metablock fallback (never blow up the output).
+4. CODEC INTEGRATION: with the wheel and ctypes paths masked,
+   backend="brotli" writes compressed .bro through the pure encoder
+   and round-trips through compress_stream/decompress_stream.
+5. MEMORY GUARD (r4 verdict wrong #2): the pure DECODER fallback
+   rejects over-ceiling unframed streams loudly instead of OOM-ing.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from hadoop_brotli_spark.sources import bro_codec, brotli_ctypes
+from hadoop_brotli_spark.sources.bro_codec import (
+    BroConfig,
+    CodecStats,
+    compress_stream,
+    decompress_stream,
+)
+from hadoop_brotli_spark.sources.brotli_encoder import (
+    PureBrotliCompressor,
+    _bij_digits,
+    _limited_lengths,
+    brotli_compress,
+)
+from hadoop_brotli_spark.sources.brotli_pure import brotli_decompress
+
+
+def _payloads() -> list[bytes]:
+    rng = random.Random(42)
+    return [
+        b"",
+        b"a",
+        b"ab",
+        b"aaaa",
+        b"abcabcabcabc" * 10,
+        b"The quick brown fox jumps over the lazy dog. " * 200,
+        bytes(rng.randrange(256) for _ in range(5000)),
+        bytes(range(256)) * 40,
+        b"x" * 100_000,
+        "héllo wörld üñîçødé ".encode() * 500,
+    ]
+
+
+@pytest.mark.parametrize("quality", [0, 1, 6])
+def test_roundtrip_pure_decoder(quality):
+    for data in _payloads():
+        assert brotli_decompress(brotli_compress(data, quality)) == data
+
+
+def test_metablock_boundary_sizes():
+    block = 1 << 20
+    rng = random.Random(3)
+    base = bytes(rng.randrange(64) for _ in range(block + 17))
+    for n in (block - 1, block, block + 1, 2 * block, 2 * block + 5):
+        data = (base * ((n // len(base)) + 1))[:n]
+        assert brotli_decompress(brotli_compress(data, 1)) == data
+
+
+def test_streaming_equals_oneshot():
+    rng = random.Random(9)
+    data = bytes(rng.randrange(32) for _ in range(3 * (1 << 20) + 1234))
+    c = PureBrotliCompressor(1)
+    chunks = []
+    for i in range(0, len(data), 70_001):
+        chunks.append(c.compress(data[i : i + 70_001]))
+    chunks.append(c.finish())
+    streamed = b"".join(chunks)
+    assert streamed == brotli_compress(data, 1)
+    assert brotli_decompress(streamed) == data
+
+
+@pytest.mark.skipif(
+    not brotli_ctypes.available(), reason="no system libbrotli"
+)
+@pytest.mark.parametrize("quality", [0, 1])
+def test_golden_crosscheck_real_decoder(quality):
+    """Pure-encoder output decodes byte-exact with REAL libbrotli —
+    the independent-implementation conformance proof."""
+    for data in _payloads():
+        d = brotli_ctypes.CtypesBrotliDecompressor()
+        out = d.decompress(brotli_compress(data, quality)) + d.finish()
+        assert out == data
+
+
+def test_ratio_compressible_and_incompressible():
+    # entropy-1-class payload: must compress hard
+    low = (b"the same phrase over and over. " * 4000)
+    comp = brotli_compress(low, 1)
+    assert len(comp) < len(low) * 0.1
+    # quality 0 (Huffman only) still beats 1.0 on skewed bytes
+    comp0 = brotli_compress(low, 0)
+    assert len(comp0) < len(low)
+    # random bytes: uncompressed-metablock fallback, tiny overhead
+    rnd = random.Random(5).randbytes(300_000)
+    comp_r = brotli_compress(rnd, 1)
+    assert len(comp_r) <= len(rnd) + 64
+    assert brotli_decompress(comp_r) == rnd
+
+
+def test_dictionary_rejected():
+    with pytest.raises(NotImplementedError):
+        PureBrotliCompressor(1, dictionary=b"seed")
+
+
+def test_helper_invariants():
+    # bijective numeration reproduces the decoder's repeat recurrence
+    for total in range(3, 400):
+        digits = _bij_digits(total - 2, 8)
+        t = 0
+        for d in digits:
+            e = d - 1
+            t = ((t - 2) << 3) + e + 3 if t else e + 3
+        assert t == total, total
+    # package-merge yields complete codes within the limit
+    rng = random.Random(1)
+    for _ in range(50):
+        n = rng.randrange(2, 300)
+        freqs = {s: rng.randrange(1, 10_000) for s in range(n)}
+        lengths = _limited_lengths(freqs, 15)
+        assert max(lengths.values()) <= 15
+        assert sum(2 ** -ln for ln in lengths.values() if ln) == 1.0
+
+
+def test_codec_integration_pure_encoder(monkeypatch):
+    """backend=brotli on a host with no wheel and no libbrotli: the
+    pure encoder takes over; streams stay brotli and round-trip."""
+    monkeypatch.setattr(bro_codec, "HAS_BROTLI", False)
+    monkeypatch.setattr(brotli_ctypes, "available", lambda: False)
+    payload = b"entropy-one payloads compress well. " * 2000
+    cfg = BroConfig(backend="brotli", framed=False, quality=1)
+    stats = CodecStats()
+    comp = b"".join(compress_stream([payload], cfg, stats))
+    assert stats.ratio < 0.2
+    # still a valid brotli stream for ANY decoder (pure one here)
+    assert brotli_decompress(comp) == payload
+    out = b"".join(decompress_stream([comp], cfg))
+    assert out == payload
+
+
+def test_pure_decoder_ceiling_guard(monkeypatch):
+    monkeypatch.setattr(bro_codec, "PURE_DECODE_CEILING", 1024)
+    d = bro_codec._PureBrotliDecompressor()
+    with pytest.raises(IOError, match="ceiling"):
+        d.decompress(b"\0" * 2048)
+    # under the ceiling still works end-to-end
+    d2 = bro_codec._PureBrotliDecompressor()
+    comp = brotli_compress(b"hello world", 1)
+    assert len(comp) < 1024
+    d2.decompress(comp)
+    assert d2.finish() == b"hello world"
+
+
+def test_hypothesis_style_random_roundtrip():
+    rng = random.Random(123)
+    for _ in range(30):
+        n = rng.randrange(0, 5000)
+        # mixed-entropy payload: random runs + repeated motifs
+        parts = []
+        while sum(map(len, parts)) < n:
+            if rng.random() < 0.5:
+                parts.append(rng.randbytes(rng.randrange(1, 200)))
+            else:
+                parts.append(
+                    rng.randbytes(rng.randrange(1, 20))
+                    * rng.randrange(1, 30)
+                )
+        data = b"".join(parts)[:n]
+        q = rng.choice((0, 1))
+        assert brotli_decompress(brotli_compress(data, q)) == data
