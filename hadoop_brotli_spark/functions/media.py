@@ -106,10 +106,11 @@ def decode_image(payload: bytes):
     (``decode_gif_pixels``: full LZW + palette + interlace),
     uncompressed 24-bit BMP (``decode_bmp_pixels``), and JPEG
     (``decode_jpeg_pixels``: full huffman entropy decode + 2D IDCT;
-    baseline AND progressive SOF2, sampling factors to 2x2). The
-    remaining honest JPEG gate (12-bit precision) falls back to PIL
-    when importable; restart markers decode natively in both baseline
-    and progressive streams."""
+    baseline AND progressive SOF2, 8- and 12-bit precision, DRI/RSTn
+    restart markers, sampling factors to 2x2 — all decode natively).
+    The remaining honest JPEG gates (extended-sequential SOF1,
+    lossless SOF3, >2x2 sampling, 16-bit quant tables) fall back to
+    PIL when importable."""
     b = bytes(payload)
     if b[:8] == PNG_SIG:
         return decode_png_pixels(b)
@@ -121,7 +122,8 @@ def decode_image(payload: bytes):
         try:
             return decode_jpeg_pixels(b)
         except NotImplementedError:
-            if not _HAS_PIL:  # 12-bit precision variants
+            # SOF1/SOF3, >2x2 sampling, 16-bit quant tables
+            if not _HAS_PIL:
                 raise
     if not _HAS_PIL:
         raise NotImplementedError(
@@ -1491,16 +1493,18 @@ def decode_jpeg_pixels(payload: bytes):
 
 
 def _decode_jpeg_pixels_inner(payload: bytes):
-    """Decode a baseline JPEG (SOF0, 8-bit, 1..3 components, any
-    sampling factors up to 2x2 — 4:4:4, 4:2:0, 4:2:2, 4:4:0 — no
-    restart markers) to ``(width, height, rgb uint8 array)`` with
-    numpy only: full huffman entropy decode over interleaved MCUs,
-    dequantization, 2D IDCT, nearest-neighbor chroma upsampling
-    (sample replication — deterministic integer work, r3 verdict
-    task 6), level shift, and BT.601 YCbCr->RGB. Raises ValueError
-    on corrupt streams and NotImplementedError for the remaining
-    honest gates (12-bit precision, restart markers). Progressive
-    SOF2 streams dispatch to ``_decode_jpeg_progressive`` (r4)."""
+    """Decode a baseline JPEG (SOF0, 8- or 12-bit precision, 1..3
+    components, any sampling factors up to 2x2 — 4:4:4, 4:2:0,
+    4:2:2, 4:4:0 — with or without DRI/RSTn restart markers) to
+    ``(width, height, rgb uint8 array)`` with numpy only: full
+    huffman entropy decode over interleaved MCUs, dequantization,
+    2D IDCT, nearest-neighbor chroma upsampling (sample replication
+    — deterministic integer work, r3 verdict task 6), precision-aware
+    level shift, and BT.601 YCbCr->RGB. Raises ValueError on corrupt
+    streams and NotImplementedError for the remaining honest gates
+    (extended-sequential SOF1, lossless SOF3, >2x2 sampling, 16-bit
+    quant tables). Progressive SOF2 streams dispatch to
+    ``_decode_jpeg_progressive`` (r4)."""
     import struct
 
     import numpy as np
@@ -1520,10 +1524,15 @@ def _decode_jpeg_pixels_inner(payload: bytes):
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("marker sync lost")
+        # 0xFF fill bytes between segments (T.81 B.1.1.2)
+        while pos + 2 <= len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers (TEM, stray RSTn): no segment
         seg_len = struct.unpack(">H", b[pos : pos + 2])[0]
         if seg_len < 2:  # length includes itself; 0/1 would loop forever
             raise ValueError("corrupt JPEG segment length")
@@ -1592,7 +1601,7 @@ def _decode_jpeg_pixels_inner(payload: bytes):
             pos = data_end
             continue
         pos += seg_len
-    if not comps or not scan or w == 0:
+    if not comps or not scan or w == 0 or h == 0:
         raise ValueError("JPEG missing SOF/SOS")
 
     def read_sym(br: _BitReader, table: dict) -> int:
@@ -1733,10 +1742,15 @@ def _decode_jpeg_progressive(b: bytes):
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("marker sync lost")
+        # 0xFF fill bytes between segments (T.81 B.1.1.2)
+        while pos + 2 <= len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1]
         pos += 2
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers (TEM, stray RSTn): no segment
         seg_len = struct.unpack(">H", b[pos : pos + 2])[0]
         if seg_len < 2:  # length includes itself; 0/1 would loop forever
             raise ValueError("corrupt JPEG segment length")
@@ -1802,7 +1816,7 @@ def _decode_jpeg_progressive(b: bytes):
             pos = j
             continue
         pos += seg_len
-    if not comps or not scans or w == 0:
+    if not comps or not scans or w == 0 or h == 0:
         raise ValueError("JPEG missing SOF/SOS")
 
     hmax = max(c[2] for c in comps)

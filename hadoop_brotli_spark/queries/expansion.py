@@ -3499,8 +3499,8 @@ def q418_decayed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
       SELECT CAST(SUM(d0) AS BIGINT) AS obs0,
-             ROUND(CAST(SUM(CAST(ROUND(e0, 9) AS DECIMAL(28,9)))
-                   AS DOUBLE), 6) AS exp0,
+             FLOOR(CAST(SUM(CAST(ROUND(e0, 9) AS DECIMAL(28,9)))
+                   AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS exp0,
              CAST(SUM(CAST(ROUND(e0, 9) AS DECIMAL(28,9))) AS DOUBLE)
                AS exp0_raw,
              CAST(SUM(CAST(ROUND(v0, 9) AS DECIMAL(28,9))) AS DOUBLE)
@@ -3509,9 +3509,13 @@ def q418_decayed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM terms
     )
     SELECT obs0, exp0, obs1,
-           ROUND(var0, 6) AS var0,
-           ROUND((obs0 - exp0_raw) * (obs0 - exp0_raw)
-                 / NULLIF(var0, 0), 6) AS chi2_logrank
+           -- FLOOR half-up grid (q325 convention): integer-ratio
+           -- doubles can land exactly on a .5 boundary at 1e-6,
+           -- where Spark (half-up) and DuckDB (half-even) diverge
+           FLOOR(var0 * 1000000.0 + 0.5) / 1000000.0 AS var0,
+           FLOOR((obs0 - exp0_raw) * (obs0 - exp0_raw)
+                 / NULLIF(var0, 0) * 1000000.0 + 0.5) / 1000000.0
+             AS chi2_logrank
     FROM agg
     """,
 )
@@ -3597,16 +3601,19 @@ def q419_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("var0_raw"),
         F.sum("d1").cast("bigint").alias("obs1"),
     )
+    def grid6(c):
+        # FLOOR half-up grid (q325 convention) — see oracle comment
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
     return agg.select(
         "obs0",
-        F.round("exp0_raw", 6).alias("exp0"),
+        grid6(F.col("exp0_raw")).alias("exp0"),
         "obs1",
-        F.round("var0_raw", 6).alias("var0"),
-        F.round(
+        grid6(F.col("var0_raw")).alias("var0"),
+        grid6(
             (F.col("obs0") - F.col("exp0_raw"))
             * (F.col("obs0") - F.col("exp0_raw"))
-            / F.nullif(F.col("var0_raw"), F.lit(0.0)),
-            6,
+            / F.nullif(F.col("var0_raw"), F.lit(0.0))
         ).alias("chi2_logrank"),
     )
 
@@ -3652,12 +3659,15 @@ def q419_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (SELECT arm FROM target) AS target_arm,
            a.n_logged,
            CAST(COUNT(m.reward) AS BIGINT) AS n_matched,
-           ROUND(CAST(COUNT(m.reward) AS DOUBLE) / a.n_logged, 6)
-             AS match_rate,
-           ROUND(CAST(SUM(m.reward) AS DOUBLE)
-                 / NULLIF(COUNT(m.reward), 0), 6) AS replay_value,
-           ROUND(CAST(a.r_logged AS DOUBLE) / a.n_logged, 6)
-             AS logged_value
+           -- FLOOR half-up grid (q325 convention): these are exact
+           -- integer ratios; 1/128-class values land on .5 at 1e-6
+           FLOOR(CAST(COUNT(m.reward) AS DOUBLE) / a.n_logged
+                 * 1000000.0 + 0.5) / 1000000.0 AS match_rate,
+           FLOOR(CAST(SUM(m.reward) AS DOUBLE)
+                 / NULLIF(COUNT(m.reward), 0) * 1000000.0 + 0.5)
+             / 1000000.0 AS replay_value,
+           FLOOR(CAST(a.r_logged AS DOUBLE) / a.n_logged
+                 * 1000000.0 + 0.5) / 1000000.0 AS logged_value
     FROM alln a LEFT JOIN matched m ON TRUE
     GROUP BY a.n_logged, a.r_logged
     """,
@@ -3712,17 +3722,20 @@ def q420_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "target_arm",
             "n_logged",
             "n_matched",
-            F.round(
-                F.col("n_matched").cast("double") / F.col("n_logged"), 6
-            ).alias("match_rate"),
-            F.round(
+            # FLOOR half-up grid (q325 convention) — see oracle
+            (F.floor(
+                F.col("n_matched").cast("double") / F.col("n_logged")
+                * 1e6 + F.lit(0.5)
+            ) / 1e6).alias("match_rate"),
+            (F.floor(
                 F.col("r_matched").cast("double")
-                / F.nullif(F.col("n_matched"), F.lit(0)),
-                6,
-            ).alias("replay_value"),
-            F.round(
-                F.col("r_logged").cast("double") / F.col("n_logged"), 6
-            ).alias("logged_value"),
+                / F.nullif(F.col("n_matched"), F.lit(0))
+                * 1e6 + F.lit(0.5)
+            ) / 1e6).alias("replay_value"),
+            (F.floor(
+                F.col("r_logged").cast("double") / F.col("n_logged")
+                * 1e6 + F.lit(0.5)
+            ) / 1e6).alias("logged_value"),
         )
     )
 

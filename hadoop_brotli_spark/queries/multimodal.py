@@ -1402,9 +1402,10 @@ def q422_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m, UNNEST(range(wb)) AS bx(i), UNNEST(range(hb)) AS by(i)
     ),
     dc AS (
-      -- progressive scans reconstruct the SAME quantized
-      -- coefficients as baseline (successive approximation restores
-      -- every bit), so the q364 DC chain applies verbatim
+      -- restart markers change the ENTROPY LAYOUT only (DC
+      -- predictors and the bit reader re-sync at each RSTn) — the
+      -- quantized coefficients are untouched, so the q364 DC chain
+      -- applies verbatim
       SELECT doc_id, wb, hb, bx, by,
              LEAST(GREATEST(FLOOR(FLOOR(8.0 * (yv - 128.0) / 16.0 + 0.5)
                    * 16.0 / 8.0 + 128.0 + 0.5), 0), 255) AS y2,
