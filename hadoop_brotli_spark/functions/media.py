@@ -2252,3 +2252,57 @@ def parse_adpcm_wav(payload: bytes, n_codes: int | None = None):
             return rate, ima_adpcm_decode(codes, pred0, index0)
         pos += 8 + clen + (clen & 1)
     raise ValueError("ADPCM WAV missing fmt/data")
+
+
+# ---------------- perceptual fingerprints (q425/q426 dedup bridges)
+
+
+def dhash64(gray) -> tuple[int, int]:
+    """64-bit difference hash of a 64x64 grayscale image: 8x8 block
+    means, row-wrapped horizontal gradient signs, packed row-major
+    LSB-first into two 32-bit halves ``(hi = rows 0-3, lo = rows
+    4-7)`` — the exact math q425's image-dedup families group on
+    (kept here so adversarial property tests hit the same code).
+
+    Invariants the tests pin: constant images hash to (0, 0); a
+    uniform brightness shift never changes the hash (the gradient is
+    shift-invariant); the wrap comparison is column 7 vs column 0 of
+    the SAME row."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.int64)
+    if g.shape != (64, 64):
+        raise ValueError(f"dhash64 expects 64x64 gray, got {g.shape}")
+    blocks = g.reshape(8, 8, 8, 8).mean(axis=(1, 3))
+    nxt = np.roll(blocks, -1, axis=1)
+    bits = (blocks > nxt).astype(np.int64)
+    w32 = 1 << (
+        8 * np.arange(4)[:, None] + np.arange(8)[None, :]
+    ).astype(np.int64)
+    hi = int((bits[:4] * w32).sum())
+    lo = int((bits[4:] * w32).sum())
+    return hi, lo
+
+
+def envelope_fingerprint(samples, n_windows: int = 8,
+                         win_len: int = 16) -> int:
+    """Energy-envelope audio fingerprint: |samples| summed per
+    window, circular gradient signs (window w vs (w+1) mod n) packed
+    LSB-first — q426's audio-dedup family key.
+
+    Invariants the tests pin: amplitude scaling never changes the
+    fingerprint; a positive DC shift of an all-nonnegative signal
+    never changes it (every window gains the same energy); an
+    all-equal envelope (incl. silence) fingerprints to 0 (strict >);
+    bit n-1 is the wrap comparison e[n-1] > e[0]."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    if s.size != n_windows * win_len:
+        raise ValueError(
+            f"expected {n_windows * win_len} samples, got {s.size}"
+        )
+    env = np.abs(s).reshape(n_windows, win_len).sum(axis=1)
+    nxt = np.roll(env, -1)
+    bits = (env > nxt).astype(np.int64)
+    return int((bits << np.arange(n_windows)).sum())

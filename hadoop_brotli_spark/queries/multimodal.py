@@ -1737,7 +1737,7 @@ def q425_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    from ..functions.media import build_bmp, decode_bmp_pixels
+    from ..functions.media import build_bmp, decode_bmp_pixels, dhash64
 
     meta = t(spark, sf_dir, "documents").select("doc_id")
 
@@ -1755,17 +1755,10 @@ def q425_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rgb = np.stack([px, px, px], axis=-1)
                 blob = build_bmp(64, 64, rgb)
                 # ---- pipeline under test: decode -> block means ->
-                # dHash bits ----
+                # dHash bits (shared helper; property-tested in
+                # tests/test_fingerprint_adversarial.py) ----
                 w, h, back = decode_bmp_pixels(blob)
-                gray = back[:, :, 0].astype(np.int64)
-                blocks = gray.reshape(8, 8, 8, 8).mean(axis=(1, 3))
-                nxt = np.roll(blocks, -1, axis=1)
-                bits = (blocks > nxt).astype(np.int64)
-                w32 = 1 << (
-                    8 * np.arange(4)[:, None] + np.arange(8)[None, :]
-                ).astype(np.int64)
-                hi = int((bits[:4] * w32).sum())
-                lo = int((bits[4:] * w32).sum())
+                hi, lo = dhash64(back[:, :, 0])
                 rows.append(
                     {"doc_id": d, "dhash_hi": hi, "dhash_lo": lo}
                 )
@@ -1866,7 +1859,7 @@ def q426_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    from ..functions.media import build_wav, parse_wav
+    from ..functions.media import build_wav, envelope_fingerprint, parse_wav
 
     meta = t(spark, sf_dir, "documents").select("doc_id")
     n = AF_WINDOWS * AF_WIN_LEN
@@ -1880,13 +1873,12 @@ def q426_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 v = (((i * (7 + d % 4)) % 200) - 100) * 100
                 blob = build_wav([int(x) for x in v], 8000)
                 # ---- pipeline under test: parse container ->
-                # envelope -> fingerprint ----
+                # envelope -> fingerprint (shared helper; property-
+                # tested in tests/test_fingerprint_adversarial.py) ----
                 _rate, _ch, _nf, samples = parse_wav(blob)
-                s = np.asarray(samples, dtype=np.int64)
-                env = np.abs(s).reshape(AF_WINDOWS, AF_WIN_LEN).sum(axis=1)
-                nxt = np.roll(env, -1)
-                bits = (env > nxt).astype(np.int64)
-                fp = int((bits << np.arange(AF_WINDOWS)).sum())
+                fp = envelope_fingerprint(
+                    samples, AF_WINDOWS, AF_WIN_LEN
+                )
                 rows.append({"doc_id": d, "fp": fp})
             yield pd.DataFrame(rows)
 

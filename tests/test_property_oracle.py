@@ -296,6 +296,13 @@ DOC_QUERIES = [
     # md5-uniform inverse-CDF noise must reproduce exactly (u near
     # 0.5 flips the Laplace sign branch on the shared grid)
     "q421_dp_noisy_counts",
+    # fingerprint-dedup bridges (r4 verdict task 4): random doc_id
+    # sets vary family sizes down to singletons and force n_docs
+    # ties in the top-20 rank (broken on the hash key); the
+    # fingerprint MATH is separately attacked in
+    # test_fingerprint_adversarial.py (wrap-column flips, DC twins)
+    "q425_image_dhash_dedup",
+    "q426_audio_fingerprint_dedup",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get
