@@ -55,6 +55,12 @@ DEPTH = [
     # and per-position CDC hashing (q260)
     "q253_exact_substring_dup",
     "q260_cdc_chunk_dedup",
+    # round-5 depth rotation (r4 verdict task 8): representatives of
+    # the two heaviest new families — pure-Python progressive-JPEG
+    # entropy decode inside mapInPandas (q422) and unrolled-iteration
+    # graph propagation with localCheckpoint lineage control (q406)
+    "q422_jpeg_progressive_decode",
+    "q406_label_propagation",
 ]
 
 

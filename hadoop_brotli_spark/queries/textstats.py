@@ -151,45 +151,46 @@ def q82_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exploded corpus (map-side join at scale). Integer scores
     keep the argmax exact.
 
-    Plan shape: the exploded trigram stream feeds BOTH the per-lang
-    profile and the per-doc distinct-trigram set, so both branches
-    are derived from ONE shared (doc, lang, tri) pre-aggregate —
-    its exchange is identical in both branches and Catalyst's
-    ReuseExchange scans + explodes + shuffles the corpus once
-    instead of twice (measured ~35% off the q82 bench time).
+    Plan shape (r5 restructure — the old shared (doc, lang, tri)
+    pre-aggregate exchanged at DOCUMENT grain, the biggest relation
+    in the query): the profile branch now partial-aggregates the
+    exploded trigram stream straight to (lang, tri) VOCABULARY grain
+    before its exchange (map-side combine eats the fan-out), and the
+    scores branch explodes per-document ``array_distinct`` trigrams
+    (in-row dedup, no shuffle) into the broadcast profile join, so
+    its exchange is doc x cand_lang after partial agg. No doc-grain
+    trigram relation ever crosses the wire — the property that
+    survives a 100x corpus.
     """
     docs = fan_out(
         t(spark, sf_dir, "documents").filter(F.length("text") >= 3)
     )
-    grams = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
-        ).alias("tri"),
+    tri_expr = (
+        "transform(sequence(1, length(text) - 2),"
+        " i -> substring(text, i, 3))"
     )
-    # shared base: per-document trigram multiplicities (keys are the
-    # distinct (doc, tri) pairs; c preserves the profile's raw
-    # counts). The isNotNull filter mirrors the one the broadcast
-    # join infers on its probe side, so both branches' exchange
-    # subtrees canonicalize identically.
-    tris = (
-        grams.filter(F.col("tri").isNotNull())
-        .groupBy("doc_id", "lang", "tri")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # profile branch: full trigram stream -> (lang, tri) counts.
+    # Partial aggregation reduces to vocabulary grain pre-shuffle.
+    profile_counts = (
+        docs.select(
+            "lang", F.explode(F.expr(tri_expr)).alias("tri")
+        )
+        .groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    profile_counts = tris.groupBy("lang", "tri").agg(F.sum("c").alias("cnt"))
     wprof = W.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("tri").asc())
     profile = (
         profile_counts.withColumn("rk", F.row_number().over(wprof))
         .filter(F.col("rk") <= PROFILE_K)
         .select(F.col("lang").alias("cand_lang"), "tri", "cnt")
     )
-    # keep c referenced so column pruning doesn't diverge this
-    # branch's partial aggregate from the profile branch's — the
-    # exchange subtrees must stay byte-identical for ReuseExchange
-    doc_tris = tris.filter(F.col("c") >= 1).select(
-        "doc_id", F.col("lang").alias("true_lang"), "tri"
+    # scores branch: per-doc DISTINCT trigrams dedup in-row (array
+    # codegen, zero shuffle), then probe the broadcast profile
+    # (bounded: PROFILE_K x #langs rows).
+    doc_tris = docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(F.array_distinct(F.expr(tri_expr))).alias("tri"),
     )
     scores = (
         doc_tris.join(F.broadcast(profile), "tri")

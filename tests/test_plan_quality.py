@@ -319,9 +319,17 @@ PINNED_EXCHANGES = {
     "q124_source_vocab_overlap": 6,
     "q137_basket_lift": 9,
     "q141_distribution_drift": 9,
-    "q82_lang_id_ngram": 8,
+    # r5 restructure: profile branch exchanges at vocabulary grain,
+    # scores branch at doc x cand_lang — no doc-grain trigram shuffle
+    "q82_lang_id_ngram": 7,
     "q253_exact_substring_dup": 7,
     "q260_cdc_chunk_dedup": 4,
+    # r5 depth rotation: JPEG decode is pure mapInPandas (0 — any
+    # exchange appearing here means pixels started shuffling);
+    # q406's 16 are the unrolled propagation rounds over the
+    # localCheckpointed edge list
+    "q422_jpeg_progressive_decode": 0,
+    "q406_label_propagation": 16,
 }
 
 
