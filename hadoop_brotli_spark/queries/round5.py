@@ -1,0 +1,495 @@
+"""Round-5 expansion operators: deterministic weighted reservoir
+sampling, corpus n-gram novelty, balanced shard packing, and the
+asymmetric (containment) similarity join — four classic large-scale
+training-data-pipeline ops the registry did not yet cover.
+
+Shares the repo's determinism contract (FIXTURES.md): md5-derived
+uniforms for anything random (replayable releases), exact integer /
+DECIMAL reductions for cross-row sums, the FLOOR(x*1eN + 0.5)/1eN
+half-up grid for integer-ratio finals (q325 convention), ln() only
+under ROUND-6 (q261 precedent), and total-order tie-breakers on
+every ranked output.
+
+Reference parity note: the reference (tesseract2048/hadoop-brotli)
+is a compression codec (`BroCodec.java`) with no query surface;
+these extend the engine's LLM-data-pipeline layer per SURVEY.md §2b.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import fan_out, t
+
+# ---------------------------------------------------------------------------
+# q427 weighted reservoir sample (Efraimidis-Spirakis A-Res)
+#
+# THE one-pass distributed sampling primitive: weighted sampling
+# without replacement as a top-K over per-item keys u^(1/w) — each
+# executor keeps a local top-K, the merge is a K-row reduce, no
+# second pass. We rank by the monotone-equivalent ln(u)/w (larger =
+# closer to 0 wins), which avoids cross-engine pow() entirely; ln on
+# identical md5-uniform doubles is accepted under ROUND-6 (q261
+# precedent), with doc_id breaking grid ties.
+
+RES_K = 20
+RES_SALT = "res_r5"
+
+
+@register(
+    "q427_weighted_reservoir_sample",
+    category="llm-corpus-pipeline",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             CAST(GREATEST(n_chars, 1) AS BIGINT) AS weight,
+             ROUND(
+               LN((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                     || '|{RES_SALT}'), 1, 13)) AS BIGINT) + 1.0)
+                  / {float((1 << 52) + 2)!r})
+               / GREATEST(n_chars, 1), 6) AS sample_key
+      FROM documents
+    )
+    SELECT doc_id, source, weight, sample_key,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               ORDER BY sample_key DESC, doc_id ASC) AS rk
+      FROM keyed
+    ) WHERE rk <= {RES_K}
+    """,
+)
+def q427_weighted_reservoir_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted reservoir sample of {RES_K} documents with weight =
+    document length (Efraimidis-Spirakis A-Res): key_i = u_i^(1/w_i),
+    keep the top-K keys — the standard one-pass, merge-friendly way
+    to draw a length-weighted sample from a stream or a 100 TB
+    corpus (each task keeps K rows; the final reduce is K x tasks).
+
+    Ranking uses ln(u)/w (monotone in u^(1/w)) so no cross-engine
+    pow(); the uniform is the replayable md5 52-bit draw (q421's
+    mechanism) — rerun the query, get the same sample; rotate
+    {RES_SALT!r} to re-randomize.
+
+    Scale: TakeOrderedAndProject over a scan — no shuffle of the
+    corpus, no window; the only exchange is the K-row top-K merge.
+    """
+    docs = t(spark, sf_dir, "documents")
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("bigint")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(f"|{RES_SALT}"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / float((1 << 52) + 2)
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        w.alias("weight"),
+        F.round(F.log(u) / w, 6).alias("sample_key"),
+    )
+    topk = keyed.orderBy(
+        F.col("sample_key").desc(), F.col("doc_id").asc()
+    ).limit(RES_K)
+    wr = Window.orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# q428 n-gram novelty (within-corpus self-overlap)
+#
+# The diversity-side complement of q394's train/test leakage audit:
+# what share of each document's distinct word-trigram TYPES appears
+# in no other document? Low novelty = templated/boilerplate-heavy
+# sources (the thing repeated-ngram filters and Self-BLEU measure on
+# generations). Everything reduces to trigram-TYPE grain — and per
+# the r5 broadcast audit, the vocabulary-grain df table is joined
+# WITHOUT a broadcast hint.
+
+NOV_MIN_WORDS = 3
+
+
+@register(
+    "q428_ngram_novelty",
+    category="llm-corpus-pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    tris AS (
+      SELECT DISTINCT doc_id, source,
+             w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tri
+      FROM (
+        SELECT doc_id, source, w,
+               UNNEST(generate_series(1, len(w) - 2)) AS i
+        FROM base
+      )
+    ),
+    df AS (SELECT tri, COUNT(*) AS d FROM tris GROUP BY tri),
+    per_doc AS (
+      SELECT t.doc_id, t.source,
+             COUNT(*) AS n_tris,
+             SUM(CASE WHEN f.d = 1 THEN 1 ELSE 0 END) AS n_novel,
+             FLOOR(CAST(SUM(CASE WHEN f.d = 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*) * 1e9 + 0.5) / 1e9
+               AS novelty
+      FROM tris t JOIN df f ON f.tri = t.tri
+      GROUP BY t.doc_id, t.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tris) AS BIGINT) AS n_tris,
+           CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+           FLOOR(CAST(SUM(CAST(novelty AS DECIMAL(28,9))) AS DOUBLE)
+                 / COUNT(*) * 1e6 + 0.5) / 1e6 AS mean_novelty
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q428_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty: the share of each document's
+    distinct word trigrams that occur in NO other document, averaged
+    per source — the templated-content detector (a source whose docs
+    share most trigrams scores near 0) and the within-corpus
+    Self-BLEU analogue.
+
+    Determinism: counts are exact integers; the per-doc ratio and
+    the per-source mean both land on the FLOOR half-up grid (q325
+    convention) with a DECIMAL(28,9) order-free sum between them.
+
+    Scale: distinct (doc, trigram) pairs reduce map-side; the df
+    table is trigram-TYPE grain and therefore joined with NO
+    broadcast hint (r5 audit rule) — AQE picks the strategy; the
+    final rollup is source-grain.
+    """
+    base = fan_out(
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= NOV_MIN_WORDS)
+    )
+    tris = base.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> concat_ws(' ', element_at(w, i),"
+                    " element_at(w, i + 1), element_at(w, i + 2)))"
+                )
+            )
+        ).alias("tri"),
+    )
+    df = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("d"))
+    per_doc = (
+        # trigram-TYPE-grain df: no broadcast hint (r5 audit rule)
+        tris.join(df, "tri")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tris"),
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.floor(
+                F.col("n_novel").cast("double") / F.col("n_tris") * 1e9
+                + F.lit(0.5)
+            )
+            / 1e9,
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tris").cast("bigint").alias("n_tris"),
+            F.sum("n_novel").cast("bigint").alias("n_novel"),
+            (
+                F.floor(
+                    F.sum(F.col("novelty").cast("decimal(28,9)"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("mean_novelty"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q429 balanced shard packing (serpentine LPT)
+#
+# The "write N balanced output files" operator every corpus
+# materialization step needs: order documents by token count within
+# each source, deal them serpentine (0..N-1, N-1..0, ...) across N
+# shards — the deterministic, shuffle-light approximation of
+# longest-processing-time bin packing (serpentine dealing bounds the
+# max-min spread by one document per round) — and report the
+# realized per-shard load plus the spread the skew would cost.
+
+PACK_SHARDS = 8
+
+
+@register(
+    "q429_balanced_shard_packing",
+    category="llm-corpus-pipeline",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY len(string_split(text, ' ')) DESC, doc_id ASC
+             ) - 1 AS pos
+      FROM documents
+    ),
+    dealt AS (
+      SELECT *,
+             CASE WHEN pos % {2 * PACK_SHARDS} < {PACK_SHARDS}
+                  THEN pos % {2 * PACK_SHARDS}
+                  ELSE {2 * PACK_SHARDS - 1} - pos % {2 * PACK_SHARDS}
+             END AS shard
+      FROM sized
+    ),
+    loads AS (
+      SELECT source, shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS tokens
+      FROM dealt GROUP BY source, shard
+    )
+    SELECT source, CAST(shard AS BIGINT) AS shard, n_docs, tokens,
+           CAST(MAX(tokens) OVER (PARTITION BY source)
+                - MIN(tokens) OVER (PARTITION BY source) AS BIGINT)
+             AS spread
+    FROM loads
+    ORDER BY source, shard
+    """,
+)
+def q429_balanced_shard_packing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Serpentine token-balanced sharding: within each source, rank
+    documents by token count (ties on doc_id) and deal them
+    boustrophedon across {PACK_SHARDS} shards, reporting per-shard
+    document counts, token loads, and the per-source max-min token
+    spread — the deterministic planner for "write N equal training
+    files per source" (straggler shards = wasted accelerator time).
+
+    All-integer outputs: rank, modulo dealing, and integer sums —
+    nothing to round.
+
+    Scale: the only wide op is a per-source sort window (sources
+    partition the corpus; within-source ranking is the operator's
+    semantics). The final spread is a {PACK_SHARDS}-row-per-source
+    window.
+    """
+    sized = fan_out(
+        t(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        )
+    )
+    wrank = Window.partitionBy("source").orderBy(
+        F.col("n_tok").desc(), F.col("doc_id").asc()
+    )
+    dealt = sized.withColumn(
+        "pos", F.row_number().over(wrank) - 1
+    ).withColumn(
+        "shard",
+        F.when(
+            F.col("pos") % (2 * PACK_SHARDS) < PACK_SHARDS,
+            F.col("pos") % (2 * PACK_SHARDS),
+        ).otherwise(
+            (2 * PACK_SHARDS - 1) - F.col("pos") % (2 * PACK_SHARDS)
+        ),
+    )
+    loads = dealt.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tokens"),
+    )
+    wsrc = Window.partitionBy("source")
+    return (
+        loads.select(
+            "source",
+            F.col("shard").cast("bigint").alias("shard"),
+            "n_docs",
+            "tokens",
+            (F.max("tokens").over(wsrc) - F.min("tokens").over(wsrc))
+            .cast("bigint")
+            .alias("spread"),
+        )
+        .orderBy("source", "shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q430 shingle containment join (asymmetric near-duplicate detection)
+#
+# Jaccard (q230) misses the QUOTE/SUBSET case: a short document
+# wholly contained in a long one has tiny Jaccard but containment
+# C(A->B) = |S(A) ∩ S(B)| / |S(A)| ≈ 1. The prefix filter adapts
+# asymmetrically: if C(A->B) >= T = 4/5, B must contain one of A's
+# floor(|A|/5) + 1 RAREST shingles (EXACT-integer bound; the float
+# form floor((1-T)*|A|)+1 under-counts exactly when C sits on the
+# 4/5 boundary, because double 0.8 < 4/5) — so only A's rare prefix
+# probes the posting lists, and the exact verify runs on candidates
+# only. The oracle computes the UNPRUNED pair set, certifying the
+# pruning lossless.
+
+CONT_NUM, CONT_DEN = 4, 5  # containment threshold 4/5, EXACT integers
+CONT_T = CONT_NUM / CONT_DEN  # display only
+
+
+@register(
+    "q430_containment_join",
+    category="dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tri
+      FROM (
+        SELECT doc_id, w, UNNEST(generate_series(1, len(w) - 2)) AS i
+        FROM base
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS isz
+      FROM sh a JOIN sh b ON b.tri = a.tri AND b.doc_id <> a.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.isz AS BIGINT) AS n_shared,
+           CAST(sa.n AS BIGINT) AS n_a,
+           FLOOR(CAST(i.isz AS DOUBLE) / sa.n * 1e6 + 0.5) / 1e6
+             AS containment
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+    -- EXACT integer threshold: isz/n >= {CONT_NUM}/{CONT_DEN}
+    WHERE i.isz * {CONT_DEN} >= sa.n * {CONT_NUM}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q430_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment self-join on word-trigram shingles:
+    emit every ORDERED pair (A, B) with |S(A) ∩ S(B)| / |S(A)| >=
+    {CONT_T} — the quote/subset detector that catches a document
+    embedded inside a longer one, which symmetric Jaccard (q230)
+    structurally under-scores.
+
+    Pruning (exact, certified by the unpruned oracle): rank each
+    A's shingles rarest-first by global document frequency (ties on
+    the shingle); if the containment bound holds, B shares one of
+    A's first floor(|A|/{CONT_DEN}) + 1 shingles (exact-integer
+    bound — see the module comment), so only that prefix probes the
+    posting lists. Candidates then verify with an
+    exact intersection count.
+
+    Determinism: intersection and set sizes are exact integers; the
+    threshold is the EXACT integer comparison isz*{CONT_DEN} >=
+    n*{CONT_NUM}; containment lands on the FLOOR half-up grid for
+    display only.
+
+    Scale: the df ranking join and posting-list probes are
+    shingle-TYPE grain — no broadcast hints (r5 audit rule); prefix
+    shingles are globally rare, so their posting lists are the short
+    ones (q230's rare-first argument, made one-sided). Output is
+    legitimately quadratic only inside true duplicate families —
+    compose after exact dedup (q60), as q230 documents.
+    """
+    base = fan_out(
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 3)
+    )
+    sh = base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> concat_ws(' ', element_at(w, i),"
+                    " element_at(w, i + 1), element_at(w, i + 2)))"
+                )
+            )
+        ).alias("tri"),
+    )
+    dfreq = sh.groupBy("tri").agg(F.count(F.lit(1)).alias("df"))
+    wtok = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("tri").asc()
+    )
+    ranked = (
+        # shingle-TYPE-grain df: no broadcast hint (r5 audit rule)
+        sh.join(dfreq, "tri").select(
+            "doc_id",
+            "tri",
+            F.row_number().over(wtok).alias("pos"),
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n"),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.floor(F.col("n") / F.lit(CONT_DEN)) + 1
+    ).select(F.col("doc_id").alias("doc_a"), "tri", F.col("n").alias("n_a"))
+    cand = (
+        prefix.join(
+            sh.select(F.col("doc_id").alias("doc_b"), "tri"), "tri"
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "tri")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "tri")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "tri"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("isz"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), "n"), "doc_a"
+        )
+        .filter(F.col("isz") * CONT_DEN >= F.col("n") * CONT_NUM)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("isz").cast("bigint").alias("n_shared"),
+            F.col("n").cast("bigint").alias("n_a"),
+            (
+                F.floor(
+                    F.col("isz").cast("double") / F.col("n") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -98,6 +98,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         multimodal,
         pipeline_more,
         relational,
+        round5,
         similarity,
         textstats,
         tpch_more,

@@ -303,6 +303,16 @@ DOC_QUERIES = [
     # test_fingerprint_adversarial.py (wrap-column flips, DC twins)
     "q425_image_dhash_dedup",
     "q426_audio_fingerprint_dedup",
+    # r5 additions: md5-keyed sampling must replay identically on
+    # any corpus (q427); tiny/templated corpora drive novelty to the
+    # 0 and 1 poles and tie trigram dfs (q428); single-doc sources
+    # and all-equal lengths stress the serpentine dealing ties
+    # (q429); mass-duplicate corpora put containment exactly ON the
+    # 4/5 boundary — the exact-integer threshold's home turf (q430)
+    "q427_weighted_reservoir_sample",
+    "q428_ngram_novelty",
+    "q429_balanced_shard_packing",
+    "q430_containment_join",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get
