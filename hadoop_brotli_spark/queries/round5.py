@@ -493,3 +493,465 @@ def q430_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q431 join-order advisor (CBO statistics op)
+#
+# The ANALYZE TABLE + cost-model step every catalyst-style optimizer
+# runs: exact row counts and join-key NDVs for the lineitem ⋈ orders
+# ⋈ customer star, textbook intermediate-cardinality estimates
+# |R ⋈ S| = |R|·|S| / max(ndv_R(k), ndv_S(k)) for both bushy-free
+# orders, and the recommended order = argmin estimated intermediate.
+# All-integer arithmetic (BIGINT products, FLOOR division) — nothing
+# to round, nothing engine-defined.
+
+
+@register(
+    "q431_join_order_advisor",
+    category="relational",
+    oracle="""
+    WITH s AS (
+      SELECT
+        (SELECT COUNT(*) FROM lineitem) AS n_l,
+        (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS ndv_l_ok,
+        (SELECT COUNT(*) FROM orders) AS n_o,
+        (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS ndv_o_ok,
+        (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS ndv_o_ck,
+        (SELECT COUNT(*) FROM customer) AS n_c,
+        (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS ndv_c_ck
+    ),
+    est AS (
+      SELECT *,
+        CAST(FLOOR(CAST(n_l AS DOUBLE) * n_o
+             / GREATEST(ndv_l_ok, ndv_o_ok)) AS BIGINT) AS est_lo,
+        CAST(FLOOR(CAST(n_o AS DOUBLE) * n_c
+             / GREATEST(ndv_o_ck, ndv_c_ck)) AS BIGINT) AS est_oc
+      FROM s
+    )
+    SELECT n_l, ndv_l_ok, n_o, ndv_o_ok, ndv_o_ck, n_c, ndv_c_ck,
+           est_lo, est_oc,
+           CASE WHEN est_lo <= est_oc THEN '(lineitem*orders)*customer'
+                ELSE 'lineitem*(orders*customer)' END AS recommended
+    FROM est
+    """,
+)
+def q431_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join-order advisor over the L ⋈ O ⋈ C star: exact
+    table cardinalities + join-key NDVs (the statistics ANALYZE
+    TABLE collects), textbook first-join cardinality estimates for
+    both left-deep orders, and the recommended order — the
+    explainable core of what Catalyst's CBO does with the same
+    numbers at plan time.
+
+    Determinism: counts and NDVs are exact integers; estimates are
+    one FLOOR'd division each; the tie prefers the (L*O) order.
+
+    Scale: three scans with partial countDistinct aggregates (no
+    joins executed — the advisor costs them without running them);
+    output is one row.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    sl = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_l"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("ndv_l_ok"),
+    )
+    so = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_o"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("ndv_o_ok"),
+        F.countDistinct("o_custkey").cast("bigint").alias("ndv_o_ck"),
+    )
+    sc = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c"),
+        F.countDistinct("c_custkey").cast("bigint").alias("ndv_c_ck"),
+    )
+    est_lo = F.floor(
+        F.col("n_l").cast("double")
+        * F.col("n_o")
+        / F.greatest("ndv_l_ok", "ndv_o_ok")
+    ).cast("bigint")
+    est_oc = F.floor(
+        F.col("n_o").cast("double")
+        * F.col("n_c")
+        / F.greatest("ndv_o_ck", "ndv_c_ck")
+    ).cast("bigint")
+    return (
+        sl.crossJoin(F.broadcast(so))
+        .crossJoin(F.broadcast(sc))
+        .select(
+            "n_l", "ndv_l_ok", "n_o", "ndv_o_ok", "ndv_o_ck",
+            "n_c", "ndv_c_ck",
+            est_lo.alias("est_lo"),
+            est_oc.alias("est_oc"),
+            F.when(
+                est_lo <= est_oc, F.lit("(lineitem*orders)*customer")
+            )
+            .otherwise(F.lit("lineitem*(orders*customer)"))
+            .alias("recommended"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q432 incremental view maintenance (delta merge == full recompute)
+#
+# The correctness contract of every materialized-view / streaming-agg
+# engine: maintaining an aggregate from (base, delta) partitions must
+# equal recomputing from scratch. Split events at a date boundary,
+# maintain per-type (count, DECIMAL sum, min, max) both ways, emit
+# both plus the equality flag — a row with ivm_ok = false is an IVM
+# bug by construction (insert-only deltas keep min/max mergeable).
+
+IVM_SPLIT = "2024-02-15"
+
+
+@register(
+    "q432_ivm_delta_merge",
+    category="relational",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, COUNT(*) AS c,
+             CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DECIMAL(28,2))
+               AS s,
+             MIN(value) AS mn, MAX(value) AS mx
+      FROM events WHERE ts < TIMESTAMP '{IVM_SPLIT}'
+      GROUP BY event_type
+    ),
+    delta AS (
+      SELECT event_type, COUNT(*) AS c,
+             CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DECIMAL(28,2))
+               AS s,
+             MIN(value) AS mn, MAX(value) AS mx
+      FROM events WHERE ts >= TIMESTAMP '{IVM_SPLIT}'
+      GROUP BY event_type
+    ),
+    merged AS (
+      SELECT COALESCE(b.event_type, d.event_type) AS event_type,
+             COALESCE(b.c, 0) + COALESCE(d.c, 0) AS m_count,
+             CAST(COALESCE(b.s, 0) + COALESCE(d.s, 0)
+                  AS DECIMAL(28,2)) AS m_sum,
+             LEAST(COALESCE(b.mn, d.mn), COALESCE(d.mn, b.mn)) AS m_min,
+             GREATEST(COALESCE(b.mx, d.mx), COALESCE(d.mx, b.mx)) AS m_max
+      FROM base b FULL OUTER JOIN delta d ON d.event_type = b.event_type
+    ),
+    full_v AS (
+      SELECT event_type, COUNT(*) AS f_count,
+             CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DECIMAL(28,2))
+               AS f_sum,
+             MIN(value) AS f_min, MAX(value) AS f_max
+      FROM events GROUP BY event_type
+    )
+    SELECT m.event_type,
+           CAST(m.m_count AS BIGINT) AS m_count,
+           CAST(m.m_sum AS DOUBLE) AS m_sum, m.m_min, m.m_max,
+           CAST(f.f_count AS BIGINT) AS f_count,
+           CAST(f.f_sum AS DOUBLE) AS f_sum, f.f_min, f.f_max,
+           (m.m_count = f.f_count AND m.m_sum = f.f_sum
+            AND m.m_min = f.f_min AND m.m_max = f.f_max) AS ivm_ok
+    FROM merged m JOIN full_v f ON f.event_type = m.event_type
+    ORDER BY m.event_type
+    """,
+)
+def q432_ivm_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance check: the per-event-type
+    (count, sum, min, max) aggregate maintained by merging a BASE
+    partition (ts < {IVM_SPLIT}) with an insert-only DELTA
+    (ts >= {IVM_SPLIT}) must equal the full recompute — emitted side
+    by side with an ivm_ok flag, the invariant a materialized-view
+    engine (or this repo's foreachBatch upsert sink) must keep.
+
+    Determinism: counts are integers; sums go through DECIMAL(28,2)
+    (order-free) and cast to double only for display; min/max are
+    exact.
+
+    Scale: two filtered partial aggregates + a type-grain merge join
+    — the delta side is what a streaming micro-batch would be; the
+    full recompute exists only to certify the merge.
+    """
+    ev = t(spark, sf_dir, "events")
+    split = F.lit(IVM_SPLIT).cast("timestamp")
+
+    def agg(df, pre):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias(f"{pre}c"),
+            F.sum(F.col("value").cast("decimal(28,2)"))
+            .cast("decimal(28,2)")
+            .alias(f"{pre}s"),
+            F.min("value").alias(f"{pre}mn"),
+            F.max("value").alias(f"{pre}mx"),
+        )
+
+    base = agg(ev.filter(F.col("ts") < split), "b")
+    delta = agg(ev.filter(F.col("ts") >= split), "d")
+    merged = (
+        base.join(delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (F.coalesce("bc", F.lit(0)) + F.coalesce("dc", F.lit(0)))
+            .cast("bigint")
+            .alias("m_count"),
+            (
+                F.coalesce(F.col("bs"), F.lit(0).cast("decimal(28,2)"))
+                + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(28,2)"))
+            )
+            .cast("decimal(28,2)")
+            .alias("m_sum_dec"),
+            F.least(
+                F.coalesce("bmn", F.col("dmn")),
+                F.coalesce("dmn", F.col("bmn")),
+            ).alias("m_min"),
+            F.greatest(
+                F.coalesce("bmx", F.col("dmx")),
+                F.coalesce("dmx", F.col("bmx")),
+            ).alias("m_max"),
+        )
+    )
+    full_v = agg(ev, "f").select(
+        "event_type",
+        F.col("fc").cast("bigint").alias("f_count"),
+        F.col("fs").alias("f_sum_dec"),
+        F.col("fmn").alias("f_min"),
+        F.col("fmx").alias("f_max"),
+    )
+    return (
+        merged.join(full_v, "event_type")
+        .select(
+            "event_type",
+            "m_count",
+            F.col("m_sum_dec").cast("double").alias("m_sum"),
+            "m_min",
+            "m_max",
+            "f_count",
+            F.col("f_sum_dec").cast("double").alias("f_sum"),
+            "f_min",
+            "f_max",
+            (
+                (F.col("m_count") == F.col("f_count"))
+                & (F.col("m_sum_dec") == F.col("f_sum_dec"))
+                & (F.col("m_min") == F.col("f_min"))
+                & (F.col("m_max") == F.col("f_max"))
+            ).alias("ivm_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q433 compaction planner (small-file OPTIMIZE scheduling)
+#
+# The table-maintenance op behind Delta/Iceberg OPTIMIZE: given a
+# directory of files (simulated here as (source, doc_id % 16)
+# byte-size groups), plan sequential compaction jobs that fill to a
+# byte target, and report the realized job sizes — the planner whose
+# output decides how many tasks a compaction run schedules.
+
+COMPACT_TARGET = 120_000  # bytes per compaction job
+COMPACT_BUCKETS = 16
+
+
+@register(
+    "q433_compaction_planner",
+    category="sources-sinks",
+    oracle=f"""
+    WITH files AS (
+      SELECT source, doc_id % {COMPACT_BUCKETS} AS file_id,
+             CAST(SUM(n_chars) AS BIGINT) AS bytes
+      FROM documents GROUP BY source, doc_id % {COMPACT_BUCKETS}
+    ),
+    planned AS (
+      SELECT source, file_id, bytes,
+             CAST(FLOOR(
+               (SUM(bytes) OVER (PARTITION BY source ORDER BY file_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                IS NULL)::INT * 0
+               + COALESCE(SUM(bytes) OVER (PARTITION BY source
+                   ORDER BY file_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) / {COMPACT_TARGET}) AS BIGINT) AS job
+      FROM files
+    )
+    SELECT source, CAST(job AS BIGINT) AS job,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS job_bytes
+    FROM planned
+    GROUP BY source, job
+    ORDER BY source, job
+    """,
+)
+def q433_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: files (simulated as
+    (source, doc_id % {COMPACT_BUCKETS}) byte-size groups) are
+    assigned to sequential compaction jobs by the running-sum rule
+    job = floor(bytes_before / {COMPACT_TARGET}) within each source
+    — the deterministic schedule a Delta-style OPTIMIZE run executes,
+    with per-job file counts and realized bytes (over-target jobs =
+    one oversized file; under-target tail = the remainder).
+
+    Determinism: byte sizes, running sums, and job ids are exact
+    integers end to end.
+
+    Scale: one file-grain aggregate, one per-source running-sum
+    window (files per source are bounded by the layout, not the
+    corpus), one job-grain rollup.
+    """
+    files = (
+        fan_out(t(spark, sf_dir, "documents"))
+        .groupBy(
+            "source",
+            (F.col("doc_id") % COMPACT_BUCKETS).alias("file_id"),
+        )
+        .agg(F.sum("n_chars").cast("bigint").alias("bytes"))
+    )
+    wrun = (
+        Window.partitionBy("source")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.withColumn(
+        "job",
+        F.floor(
+            F.coalesce(F.sum("bytes").over(wrun), F.lit(0))
+            / COMPACT_TARGET
+        ).cast("bigint"),
+    )
+    return (
+        planned.groupBy("source", "job")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("job_bytes"),
+        )
+        .orderBy("source", "job")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q434 grouped train/val/test split (leakage-free by construction)
+#
+# q394 AUDITS split leakage; this op CREATES the split the way a
+# leakage-safe pipeline must: assign whole GROUPS (users), never
+# rows, by hashing the group key into 80/10/10 — then certify
+# in-query that zero groups span splits and report the realized row
+# shares (which drift from 80/10/10 exactly as much as group-size
+# skew dictates — the number a naive row-wise splitter hides).
+
+SPLIT_SALT = "split_r5"
+
+
+@register(
+    "q434_grouped_split",
+    category="llm-corpus-pipeline",
+    oracle=f"""
+    WITH assign AS (
+      SELECT user_id,
+             CASE
+               WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                    || '|{SPLIT_SALT}'), 1, 13)) AS BIGINT) % 10 < 8
+                 THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                    || '|{SPLIT_SALT}'), 1, 13)) AS BIGINT) % 10 = 8
+                 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    rows_ AS (
+      SELECT a.split, e.user_id, COUNT(*) AS n
+      FROM events e JOIN assign a ON a.user_id = e.user_id
+      GROUP BY a.split, e.user_id
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM rows_)
+    SELECT r.split,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(r.n) AS BIGINT) AS n_rows,
+           FLOOR(CAST(SUM(r.n) AS DOUBLE) / t.n_total * 1e6 + 0.5)
+             / 1e6 AS row_share,
+           CAST(0 AS BIGINT) AS n_leaky_groups
+    FROM rows_ r CROSS JOIN tot t
+    GROUP BY r.split, t.n_total
+    ORDER BY r.split
+    """,
+)
+def q434_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped 80/10/10 train/val/test split over events: whole
+    users are hashed (replayable md5, salt {SPLIT_SALT!r}) into a
+    split, so no user's rows can leak across the boundary — with
+    the leakage count certified in-query (a user keyed by a
+    non-deterministic assignment would show up here as
+    n_leaky_groups > 0) and realized ROW shares reported, since
+    group-size skew is exactly why row shares drift off 80/10/10.
+
+    Determinism: md5 bucket arithmetic is integer; row shares land
+    on the FLOOR half-up grid.
+
+    Scale: one distinct-user reduce, one user-grain join (no
+    broadcast hint — user-grain grows with the corpus), split-grain
+    rollup.
+    """
+    ev = t(spark, sf_dir, "events")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit(f"|{SPLIT_SALT}"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    assign = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(h < 8, F.lit("train"))
+            .when(h == 8, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+    per_user = (
+        # user-grain assignment table: no broadcast hint (r5 audit)
+        ev.join(assign, "user_id")
+        .groupBy("split", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = per_user.agg(F.sum("n").cast("bigint").alias("n_total"))
+    leaky = (
+        per_user.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaky"))
+    )
+    return (
+        per_user.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(leaky))
+        .select(
+            "split",
+            "n_groups",
+            "n_rows",
+            (
+                F.floor(
+                    F.col("n_rows").cast("double") / F.col("n_total")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("row_share"),
+            F.col("n_leaky").alias("n_leaky_groups"),
+        )
+        .orderBy("split")
+    )

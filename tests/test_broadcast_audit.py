@@ -250,6 +250,11 @@ AUDITED_SITES = {
     ("queries/relational.py", "q05_local_supplier_volume", "s"),
     ("queries/relational.py", "q21_agg_approx_distinct", "approx"),
     ("queries/relational.py", "q34_scalar_subquery", "threshold"),
+    # r5: all four are 1-row scalar aggregates
+    ("queries/round5.py", "q431_join_order_advisor", "sc"),
+    ("queries/round5.py", "q431_join_order_advisor", "so"),
+    ("queries/round5.py", "q434_grouped_split", "leaky"),
+    ("queries/round5.py", "q434_grouped_split", "tot"),
     ("queries/similarity.py", "_pq_dist_and_codes", "train"),
     ("queries/similarity.py", "q343_pq_adc_topk", "qtab"),
     ("queries/similarity.py", "q344_ivf_pq_probe", "coarse"),

@@ -115,6 +115,14 @@ EVENT_QUERIES = [
     # single-arm corpora pin match_rate = 1 (replay == logged value);
     # popularity ties between arms must break lexicographically
     "q420_bandit_replay",
+    # r5: empty base or empty delta sides (all events one side of
+    # the split date) exercise every COALESCE in the IVM merge; the
+    # equality flag must hold on ANY layout
+    "q432_ivm_delta_merge",
+    # r5: tiny user pools can empty val/test splits entirely (zero
+    # rows for a split on both engines); single-user corpora put
+    # 100% of rows in one split
+    "q434_grouped_split",
     # single-event users / all-same-type streaks can empty the duel
     # matrix (both engines emit zero rows); never-winning arms hit
     # the 1-grid-unit strength floor; tied values exercise the
@@ -313,6 +321,9 @@ DOC_QUERIES = [
     "q428_ngram_novelty",
     "q429_balanced_shard_packing",
     "q430_containment_join",
+    # r5: single-source corpora make one serpentine per file pool;
+    # sub-target byte totals collapse every file into job 0
+    "q433_compaction_planner",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get
@@ -388,6 +399,10 @@ ORDER_QUERIES = [
     # both engines); single-node components pin exact = sketch via
     # the linear-counting branch
     "q414_twohop_reach_sketch",
+    # r5: NDV estimates on 4-customer pools tie est_lo == est_oc
+    # (the <= tie must recommend identically); generated custkeys
+    # 0..3 join the sf0.001 customer fixture partially
+    "q431_join_order_advisor",
     # short series (< 2*SEG_MIN_PTS months) admit no breakpoint ->
     # zero rows on both engines; constant revenue zeroes every SSE
     # (reduction NULLs via NULLIF)
