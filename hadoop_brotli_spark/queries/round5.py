@@ -955,3 +955,494 @@ def q434_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# q435 calendar gap-fill with linear interpolation
+#
+# q106 fills missing days with zeros; real time-series prep
+# INTERPOLATES. The cross-engine trap is IGNORE NULLS window support,
+# so both engines use the same engine-neutral construction: a running
+# count of PRESENT days indexes each gap day to its previous present
+# neighbor, and neighbor+1 is the next one — two equi-joins after one
+# window, no IGNORE NULLS anywhere.
+
+
+@register(
+    "q435_gap_fill_interpolate",
+    category="relational",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1995-03-01'
+      GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    present AS (
+      SELECT day, revenue,
+             ROW_NUMBER() OVER (ORDER BY day) AS idx
+      FROM daily
+    ),
+    spine AS (
+      SELECT UNNEST(generate_series(DATE '1995-01-01',
+                                    DATE '1995-02-28',
+                                    INTERVAL 1 DAY))::DATE AS day
+    ),
+    runs AS (
+      SELECT s.day, p.revenue,
+             SUM(CASE WHEN p.day IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (ORDER BY s.day) AS run
+      FROM spine s LEFT JOIN present p ON p.day = s.day
+    )
+    SELECT r.day,
+           CASE
+             WHEN r.revenue IS NOT NULL THEN r.revenue
+             WHEN p1.day IS NULL OR p2.day IS NULL THEN NULL
+             ELSE FLOOR((p1.revenue
+                  + (p2.revenue - p1.revenue)
+                    * (r.day - p1.day) / (p2.day - p1.day))
+                  * 1e6 + 0.5) / 1e6
+           END AS revenue,
+           (r.revenue IS NULL) AS interpolated
+    FROM runs r
+    LEFT JOIN present p1 ON p1.idx = r.run
+    LEFT JOIN present p2 ON p2.idx = r.run + 1
+    ORDER BY r.day
+    """,
+)
+def q435_gap_fill_interpolate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily-revenue calendar fill with LINEAR interpolation over
+    Jan-Feb 1995: missing days get the straight line between their
+    nearest present neighbors (NULL outside the observed range) —
+    the resampling step time-series models need where q106's
+    zero-fill would fabricate collapses.
+
+    Engine-neutral neighbor lookup: a running count of present days
+    gives every gap day the INDEX of its previous present day; the
+    previous/next values arrive by two equi-joins on that index —
+    no IGNORE NULLS window forms (which the two engines support
+    differently).
+
+    Determinism: daily revenue is a DECIMAL sum; the interpolation
+    is one expression over identical doubles with integer day
+    deltas, landed on the FLOOR half-up grid.
+
+    Scale: one date-bounded aggregate, one running-count window over
+    a calendar-sized spine, two spine-grain equi-joins.
+    """
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-03-01").cast("timestamp"))
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    present = daily.withColumn(
+        "idx", F.row_number().over(Window.orderBy("day"))
+    )
+    spine = o.sparkSession.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-02-28").cast("date"),
+            )
+        ).alias("day")
+    )
+    runs = (
+        spine.join(present.select("day", "revenue"), "day", "left")
+        .withColumn(
+            "run",
+            F.sum(
+                F.when(F.col("revenue").isNotNull(), 1).otherwise(0)
+            ).over(Window.orderBy("day")),
+        )
+    )
+    p1 = present.select(
+        F.col("idx").alias("run"),
+        F.col("day").alias("d1"),
+        F.col("revenue").alias("v1"),
+    )
+    p2 = present.select(
+        (F.col("idx") - 1).alias("run"),
+        F.col("day").alias("d2"),
+        F.col("revenue").alias("v2"),
+    )
+    interp = F.floor(
+        (
+            F.col("v1")
+            + (F.col("v2") - F.col("v1"))
+            * F.datediff("day", "d1")
+            / F.datediff("d2", "d1")
+        )
+        * 1e6
+        + F.lit(0.5)
+    ) / 1e6
+    return (
+        runs.join(p1, "run", "left")
+        .join(p2, "run", "left")
+        .select(
+            "day",
+            F.when(F.col("revenue").isNotNull(), F.col("revenue"))
+            .when(F.col("d1").isNull() | F.col("d2").isNull(), F.lit(None))
+            .otherwise(interp)
+            .alias("revenue"),
+            F.col("revenue").isNull().alias("interpolated"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q436 SCD Type-2 dimension build
+#
+# The warehouse-classic slowly-changing-dimension op q294's CDC
+# compaction does NOT cover: turn an event stream into versioned
+# dimension rows with validity intervals. The tracked attribute is
+# the user's spend tier (value // 25); consecutive same-tier events
+# collapse, each change opens a new version row.
+
+SCD_TIER = 25
+
+
+@register(
+    "q436_scd2_dimension",
+    category="relational",
+    oracle=f"""
+    WITH tiers AS (
+      SELECT user_id, event_id, ts,
+             CAST(FLOOR(value / {SCD_TIER}) AS BIGINT) AS tier,
+             LAG(CAST(FLOOR(value / {SCD_TIER}) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_tier
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_id, ts, tier,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS version
+      FROM tiers
+      WHERE prev_tier IS NULL OR tier <> prev_tier
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version, tier,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) IS NULL) AS is_current
+    FROM changes
+    ORDER BY user_id, version
+    """,
+)
+def q436_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from the event stream: per user,
+    version rows for every spend-tier (value // {SCD_TIER}) change,
+    with [valid_from, valid_to) intervals and an is_current flag —
+    the versioned-dimension shape every warehouse join-as-of relies
+    on, and the missing sibling of q294 (which compacts ops) and
+    q16 (which consumes such intervals as-of).
+
+    Determinism: tiers are integer divisions; (ts, event_id) is a
+    total order, so duplicate timestamps version identically.
+
+    Scale: two user-partitioned windows over the stream, second one
+    over change rows only — no joins, no self-products.
+    """
+    ev = t(spark, sf_dir, "events")
+    tier = F.floor(F.col("value") / SCD_TIER).cast("bigint")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tiers = ev.select(
+        "user_id", "event_id", "ts", tier.alias("tier")
+    ).withColumn("prev_tier", F.lag("tier").over(wu))
+    changes = (
+        tiers.filter(
+            F.col("prev_tier").isNull()
+            | (F.col("tier") != F.col("prev_tier"))
+        )
+        .withColumn("version", F.row_number().over(wu))
+    )
+    return (
+        changes.select(
+            "user_id",
+            F.col("version").cast("bigint").alias("version"),
+            "tier",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(wu).alias("valid_to"),
+            F.lead("ts").over(wu).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q437 blocking-quality audit (reduction ratio / pair completeness)
+#
+# Entity-resolution meta-op: BEFORE running an expensive matcher,
+# audit the blocking scheme. Truth pairs = same (lang, source);
+# blocking key = n_chars // 50. Both metrics come from GROUP SIZES
+# via C(g,2) integer sums — no pair is ever materialized, which is
+# the whole point of auditing blocking at 100 TB.
+
+BLOCK_WIDTH = 50
+
+
+@register(
+    "q437_blocking_quality",
+    category="dedup",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang, source,
+             -- FLOOR, not bare CAST: DuckDB / is float division
+             -- and CAST(double AS BIGINT) ROUNDS (cookbook trap)
+             CAST(FLOOR(n_chars / {BLOCK_WIDTH}.0) AS BIGINT) AS blk
+      FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM sized),
+    truth AS (
+      SELECT CAST(SUM((g * (g - 1)) // 2) AS BIGINT) AS true_pairs
+      FROM (SELECT COUNT(*) AS g FROM sized GROUP BY lang, source)
+    ),
+    cand AS (
+      SELECT CAST(SUM((g * (g - 1)) // 2) AS BIGINT) AS cand_pairs
+      FROM (SELECT COUNT(*) AS g FROM sized GROUP BY blk)
+    ),
+    hit AS (
+      SELECT CAST(SUM((g * (g - 1)) // 2) AS BIGINT) AS hit_pairs
+      FROM (SELECT COUNT(*) AS g FROM sized
+            GROUP BY lang, source, blk)
+    )
+    SELECT n.n_docs,
+           CAST((n.n_docs * (n.n_docs - 1)) // 2 AS BIGINT) AS all_pairs,
+           t.true_pairs, c.cand_pairs, h.hit_pairs,
+           FLOOR((1.0 - CAST(c.cand_pairs AS DOUBLE)
+                  / ((n.n_docs * (n.n_docs - 1)) // 2)) * 1e6 + 0.5)
+             / 1e6 AS reduction_ratio,
+           FLOOR(CAST(h.hit_pairs AS DOUBLE)
+                 / NULLIF(t.true_pairs, 0) * 1e6 + 0.5) / 1e6
+             AS pair_completeness
+    FROM n, truth t, cand c, hit h
+    """,
+)
+def q437_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit for entity resolution: REDUCTION RATIO
+    (share of the all-pairs space the {BLOCK_WIDTH}-char-bucket
+    blocking scheme prunes) and PAIR COMPLETENESS (share of truth
+    pairs — same (lang, source) — the blocks retain). The
+    pre-flight check that decides whether a matcher is affordable,
+    computed entirely from group sizes via sum-of-C(g,2) — NO pair
+    is ever materialized, so the audit itself runs at any scale.
+
+    Determinism: every count is an exact integer; the two ratios
+    land on the FLOOR half-up grid; zero truth pairs NULL the
+    completeness on both engines.
+
+    Scale: three group-size aggregates and a four-scalar join.
+    """
+    sized = t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / BLOCK_WIDTH).cast("bigint").alias("blk"),
+    )
+
+    def pair_sum(df, cols, name):
+        return (
+            df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("g"))
+            .agg(
+                # g*(g-1) is even; shiftright halves it in LONG
+                # arithmetic — exact past 2^53 where double / 2 isn't
+                F.sum(F.shiftright(F.col("g") * (F.col("g") - 1), 1))
+                .cast("bigint")
+                .alias(name)
+            )
+        )
+
+    n = sized.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    truth = pair_sum(sized, ["lang", "source"], "true_pairs")
+    cand = pair_sum(sized, ["blk"], "cand_pairs")
+    hit = pair_sum(sized, ["lang", "source", "blk"], "hit_pairs")
+    all_pairs = F.shiftright(
+        F.col("n_docs") * (F.col("n_docs") - 1), 1
+    ).cast("bigint")
+    return (
+        n.crossJoin(F.broadcast(truth))
+        .crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(hit))
+        .select(
+            "n_docs",
+            all_pairs.alias("all_pairs"),
+            "true_pairs",
+            "cand_pairs",
+            "hit_pairs",
+            (
+                F.floor(
+                    (
+                        1.0
+                        - F.col("cand_pairs").cast("double")
+                        / F.shiftright(
+                            F.col("n_docs") * (F.col("n_docs") - 1), 1
+                        )
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("reduction_ratio"),
+            (
+                F.floor(
+                    F.col("hit_pairs").cast("double")
+                    / F.nullif(F.col("true_pairs"), F.lit(0))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("pair_completeness"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q438 decile gains / lift table
+#
+# The model-eval table every targeting campaign reads: rank users by
+# a score (here: click count, a deterministic behavioral proxy),
+# split into explicit deciles (FLOOR((rank-1)*10/n) — NOT ntile, so
+# the remainder rule is pinned), report per-decile positives,
+# cumulative capture, and lift over the base rate.
+
+
+@register(
+    "q438_decile_gains",
+    category="ml-eval-calibration",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS score,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS label
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY score DESC, user_id ASC)
+               AS rk,
+             (SELECT COUNT(*) FROM users) AS n,
+             (SELECT SUM(label) FROM users) AS n_pos
+      FROM users
+    ),
+    deciled AS (
+      -- FLOOR, not bare CAST: DuckDB / is float division and
+      -- CAST(double AS BIGINT) ROUNDS (cookbook trap)
+      SELECT CAST(FLOOR((rk - 1) * 10.0 / n) AS BIGINT) AS decile,
+             label, n, n_pos
+      FROM ranked
+    ),
+    per AS (
+      SELECT decile, n, n_pos,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(label) AS BIGINT) AS pos
+      FROM deciled GROUP BY decile, n, n_pos
+    )
+    SELECT decile, n_users, pos,
+           CAST(SUM(pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+           FLOOR(CAST(SUM(pos) OVER (ORDER BY decile) AS DOUBLE)
+                 / NULLIF(n_pos, 0) * 1e6 + 0.5) / 1e6 AS cum_capture,
+           FLOOR((CAST(pos AS DOUBLE) / n_users)
+                 / NULLIF(CAST(n_pos AS DOUBLE) / n, 0) * 1e6 + 0.5)
+             / 1e6 AS lift
+    FROM per
+    ORDER BY decile
+    """,
+)
+def q438_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table: users ranked by click count
+    (deterministic score proxy; ties on user_id), cut into EXPLICIT
+    deciles via FLOOR((rank-1)*10/n) — ntile's remainder placement
+    is engine folklore, this rule is arithmetic — with per-decile
+    purchase counts, cumulative capture rate, and lift over the base
+    rate. Decile 0 of a good model captures far more than 10% of
+    positives; flat lift ≈ 1 everywhere means the score is noise.
+
+    Determinism: counts and the decile rule are integers; capture
+    and lift land on the FLOOR half-up grid; a zero-positive corpus
+    NULLs both ratios identically.
+
+    Scale: one user-grain reduce, one global rank (decile cuts are
+    the operator's semantics — production uses approx quantiles),
+    then 10-row windows.
+    """
+    ev = t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("label"),
+    )
+    tot = users.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").alias("n_pos"),
+    )
+    ranked = users.crossJoin(F.broadcast(tot)).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("user_id").asc())
+        ),
+    )
+    per = (
+        ranked.select(
+            F.floor((F.col("rk") - 1) * 10 / F.col("n"))
+            .cast("bigint")
+            .alias("decile"),
+            "label",
+            "n",
+            "n_pos",
+        )
+        .groupBy("decile", "n", "n_pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("label").cast("bigint").alias("pos"),
+        )
+    )
+    wcum = Window.orderBy("decile")
+    return (
+        per.select(
+            "decile",
+            "n_users",
+            "pos",
+            F.sum("pos").over(wcum).cast("bigint").alias("cum_pos"),
+            (
+                F.floor(
+                    F.sum("pos").over(wcum).cast("double")
+                    / F.nullif(F.col("n_pos").cast("double"), F.lit(0.0))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("cum_capture"),
+            (
+                F.floor(
+                    (F.col("pos").cast("double") / F.col("n_users"))
+                    / F.nullif(
+                        F.col("n_pos").cast("double") / F.col("n"),
+                        F.lit(0.0),
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )

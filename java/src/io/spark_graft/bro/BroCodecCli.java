@@ -1,0 +1,36 @@
+/* Tiny stdin->stdout driver so tests/test_jvm_codec.py can prove
+ * JVM<->Python interop without a Spark session: `compress` wraps
+ * stdin in the codec's CompressionOutputStream, `decompress` in its
+ * CompressionInputStream. */
+package io.spark_graft.bro;
+
+import java.io.IOException;
+import java.io.InputStream;
+import java.io.OutputStream;
+
+import org.apache.hadoop.io.compress.CompressionInputStream;
+import org.apache.hadoop.io.compress.CompressionOutputStream;
+
+public final class BroCodecCli {
+  public static void main(String[] args) throws IOException {
+    BroStoredCodec codec = new BroStoredCodec();
+    InputStream in = System.in;
+    OutputStream out = System.out;
+    byte[] buf = new byte[8192];
+    if (args.length == 1 && args[0].equals("compress")) {
+      CompressionOutputStream cos = codec.createOutputStream(out);
+      int n;
+      while ((n = in.read(buf)) > 0) cos.write(buf, 0, n);
+      cos.finish();
+      out.flush();
+    } else if (args.length == 1 && args[0].equals("decompress")) {
+      CompressionInputStream cis = codec.createInputStream(in);
+      int n;
+      while ((n = cis.read(buf, 0, buf.length)) > 0) out.write(buf, 0, n);
+      out.flush();
+    } else {
+      System.err.println("usage: BroCodecCli compress|decompress");
+      System.exit(2);
+    }
+  }
+}

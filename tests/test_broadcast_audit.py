@@ -255,6 +255,10 @@ AUDITED_SITES = {
     ("queries/round5.py", "q431_join_order_advisor", "so"),
     ("queries/round5.py", "q434_grouped_split", "leaky"),
     ("queries/round5.py", "q434_grouped_split", "tot"),
+    ("queries/round5.py", "q437_blocking_quality", "cand"),
+    ("queries/round5.py", "q437_blocking_quality", "hit"),
+    ("queries/round5.py", "q437_blocking_quality", "truth"),
+    ("queries/round5.py", "q438_decile_gains", "tot"),
     ("queries/similarity.py", "_pq_dist_and_codes", "train"),
     ("queries/similarity.py", "q343_pq_adc_topk", "qtab"),
     ("queries/similarity.py", "q344_ivf_pq_probe", "coarse"),

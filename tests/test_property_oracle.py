@@ -119,6 +119,13 @@ EVENT_QUERIES = [
     # the split date) exercise every COALESCE in the IVM merge; the
     # equality flag must hold on ANY layout
     "q432_ivm_delta_merge",
+    # r5: duplicate timestamps attack the (ts, event_id) version
+    # tie-break; single-event users pin version=1 is_current=true
+    "q436_scd2_dimension",
+    # r5: zero-click corpora tie every score at 0 (pure user_id
+    # ranking); zero-purchase corpora NULL capture and lift on both
+    # engines; n<10 users leave decile gaps
+    "q438_decile_gains",
     # r5: tiny user pools can empty val/test splits entirely (zero
     # rows for a split on both engines); single-user corpora put
     # 100% of rows in one split
@@ -324,6 +331,10 @@ DOC_QUERIES = [
     # r5: single-source corpora make one serpentine per file pool;
     # sub-target byte totals collapse every file into job 0
     "q433_compaction_planner",
+    # r5: single-doc corpora zero all_pairs (NULL-safe ratios);
+    # all-same-(lang,source) corpora pin completeness denominator;
+    # tiny length spreads collapse every doc into one block
+    "q437_blocking_quality",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get
@@ -399,6 +410,10 @@ ORDER_QUERIES = [
     # both engines); single-node components pin exact = sketch via
     # the linear-counting branch
     "q414_twohop_reach_sketch",
+    # r5: generated 2024 orders leave the 1995 interpolation window
+    # EMPTY — all-NULL revenue spine, interpolated=true everywhere,
+    # both engines must agree on the fully-absent-neighbors branch
+    "q435_gap_fill_interpolate",
     # r5: NDV estimates on 4-customer pools tie est_lo == est_oc
     # (the <= tie must recommend identically); generated custkeys
     # 0..3 join the sf0.001 customer fixture partially
