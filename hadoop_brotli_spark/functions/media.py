@@ -2306,3 +2306,241 @@ def envelope_fingerprint(samples, n_windows: int = 8,
     nxt = np.roll(env, -1)
     bits = (env > nxt).astype(np.int64)
     return int((bits << np.arange(n_windows)).sum())
+
+
+# --------------------------- TIFF 6.0 baseline RGB codec (q439)
+#
+# Another REAL training-data container, built from the public TIFF 6.0
+# specification (Adobe, 1992) with zero image libraries: little- or
+# big-endian byte-order mark, IFD tag directory, one strip per row,
+# Compression 1 (none) or 32773 (PackBits, TIFF §9 / Apple TN1023).
+# Encoder and decoder share NO code: build_tiff writes a fixed layout;
+# decode_tiff_pixels walks the IFD like a foreign reader would
+# (inline-vs-offset values by size, either endianness, tags in any
+# order), so a layout bug in one side breaks the round-trip tests.
+# Reference parity note: the reference repo (a Hadoop brotli codec)
+# has no image surface; this extends SURVEY.md §2b multimodal.
+
+
+def packbits_encode(row: bytes) -> bytes:
+    """TIFF PackBits (Apple RLE): runs of >= 3 identical bytes become
+    (257-n, byte) pairs, everything else literal groups; both group
+    kinds cap at 128. Never emits the -128 noop flag (but the decoder
+    accepts it)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(row[i])
+            i += run
+            continue
+        # literal group: scan forward until a >=3 run starts or cap
+        j = i + run
+        while j < n and (j - i) < 128:
+            r2 = 1
+            while j + r2 < n and r2 < 3 and row[j + r2] == row[j]:
+                r2 += 1
+            if r2 >= 3:
+                break
+            j += 1
+        j = min(j, i + 128)
+        out.append(j - i - 1)
+        out += row[i:j]
+        i = j
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    """Decode PackBits to exactly ``expected`` bytes; raises on
+    truncation or overrun (a corrupt strip must fail loudly, not
+    produce a short row)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while len(out) < expected:
+        if i >= n:
+            raise ValueError("truncated PackBits strip")
+        c = data[i]
+        i += 1
+        if c == 128:  # noop flag byte, legal padding
+            continue
+        if c < 128:  # literal: c+1 bytes follow
+            if i + c + 1 > n:
+                raise ValueError("truncated PackBits literal group")
+            out += data[i : i + c + 1]
+            i += c + 1
+        else:  # run: next byte repeats 257-c times
+            if i >= n:
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+    if len(out) != expected:
+        raise ValueError(
+            f"PackBits strip overruns row: {len(out)} > {expected}"
+        )
+    return bytes(out)
+
+
+_TIFF_COMP_NONE = 1
+_TIFF_COMP_PACKBITS = 32773
+
+
+def build_tiff(pixels, compression: int = _TIFF_COMP_NONE) -> bytes:
+    """Byte-exact little-endian TIFF 6.0 baseline RGB file: 8-byte
+    header, strip data (ONE STRIP PER ROW, RowsPerStrip=1 — the
+    layout that lets a distributed reader fetch row ranges), then the
+    out-of-line BitsPerSample/StripOffsets/StripByteCounts arrays and
+    the IFD. ``compression`` is 1 (none) or 32773 (PackBits)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    if compression not in (_TIFF_COMP_NONE, _TIFF_COMP_PACKBITS):
+        raise ValueError(f"unsupported TIFF compression {compression}")
+
+    strips = []
+    for y in range(h):
+        raw = px[y].tobytes()
+        strips.append(
+            raw if compression == _TIFF_COMP_NONE else packbits_encode(raw)
+        )
+
+    off = 8
+    strip_offsets, strip_counts = [], []
+    for s in strips:
+        strip_offsets.append(off)
+        strip_counts.append(len(s))
+        off += len(s)
+
+    bits_off = off
+    off += 6  # three SHORTs
+    so_off = off
+    off += 4 * h
+    sc_off = off
+    off += 4 * h
+    ifd_off = off
+
+    def entry(tag, typ, count, value):
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    SHORT, LONG = 3, 4
+    # TIFF §2: a value whose total size fits in 4 bytes is stored
+    # INLINE in the entry, not behind an offset — so a 1-row image's
+    # StripOffsets/ByteCounts carry the value itself
+    so_val = strip_offsets[0] if h == 1 else so_off
+    sc_val = strip_counts[0] if h == 1 else sc_off
+    entries = [
+        entry(256, LONG, 1, w),  # ImageWidth
+        entry(257, LONG, 1, h),  # ImageLength
+        entry(258, SHORT, 3, bits_off),  # BitsPerSample -> offset
+        entry(259, SHORT, 1, compression),
+        entry(262, SHORT, 1, 2),  # Photometric = RGB
+        entry(273, LONG, h, so_val),  # StripOffsets
+        entry(277, SHORT, 1, 3),  # SamplesPerPixel
+        entry(278, LONG, 1, 1),  # RowsPerStrip
+        entry(279, LONG, h, sc_val),  # StripByteCounts
+    ]
+
+    out = bytearray()
+    out += b"II" + struct.pack("<H", 42) + struct.pack("<I", ifd_off)
+    for s in strips:
+        out += s
+    out += struct.pack("<HHH", 8, 8, 8)
+    out += struct.pack(f"<{h}I", *strip_offsets)
+    out += struct.pack(f"<{h}I", *strip_counts)
+    out += struct.pack("<H", len(entries))
+    for e in entries:
+        out += e
+    out += struct.pack("<I", 0)  # no next IFD
+    return bytes(out)
+
+
+def decode_tiff_pixels(payload: bytes):
+    """Parse a baseline RGB TIFF the way a FOREIGN reader must: honor
+    the byte-order mark (II or MM), walk the first IFD wherever its
+    offset points, read each tag's value inline or out-of-line by
+    size, accept any RowsPerStrip, and decompress strips per the
+    Compression tag (1 = none, 32773 = PackBits). Returns
+    ``(width, height, ndarray[h,w,3] uint8)``. Shares no code with
+    :func:`build_tiff`."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF header")
+    bom = payload[:2]
+    if bom == b"II":
+        e = "<"
+    elif bom == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    (magic,) = struct.unpack_from(e + "H", payload, 2)
+    if magic != 42:
+        raise ValueError("not a TIFF: bad magic")
+    (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
+
+    type_size = {1: 1, 3: 2, 4: 4}
+    tags: dict[int, list[int]] = {}
+    try:
+        (n_entries,) = struct.unpack_from(e + "H", payload, ifd_off)
+        for k in range(n_entries):
+            base = ifd_off + 2 + 12 * k
+            tag, typ, count = struct.unpack_from(e + "HHI", payload, base)
+            if typ not in type_size:  # RATIONAL etc.: not needed here
+                continue
+            sz = type_size[typ] * count
+            if sz <= 4:
+                voff = base + 8  # inline, LEFT-justified per TIFF §2
+            else:
+                (voff,) = struct.unpack_from(e + "I", payload, base + 8)
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            tags[tag] = list(
+                struct.unpack_from(e + f"{count}{fmt}", payload, voff)
+            )
+    except struct.error as exc:  # IFD points past the payload
+        raise ValueError(f"truncated TIFF IFD: {exc}") from None
+
+    def one(tag, default=None):
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"TIFF missing required tag {tag}")
+        return default
+
+    w, h = one(256), one(257)
+    comp = one(259, default=1)
+    if one(262) != 2:
+        raise ValueError("only Photometric=RGB TIFF supported")
+    if one(277, default=1) != 3 or tags.get(258, [8, 8, 8]) != [8, 8, 8]:
+        raise ValueError("only 8-bit 3-sample TIFF supported")
+    rps = one(278, default=h)
+    offsets, counts = tags[273], tags[279]
+
+    rows = bytearray()
+    y = 0
+    for off, cnt in zip(offsets, counts):
+        n_rows = min(rps, h - y)
+        expected = n_rows * w * 3
+        chunk = payload[off : off + cnt]
+        if len(chunk) != cnt:
+            raise ValueError("truncated TIFF strip")
+        if comp == _TIFF_COMP_NONE:
+            if len(chunk) != expected:
+                raise ValueError("strip byte count mismatch")
+            rows += chunk
+        elif comp == _TIFF_COMP_PACKBITS:
+            rows += packbits_decode(chunk, expected)
+        else:
+            raise ValueError(f"unsupported TIFF compression {comp}")
+        y += n_rows
+    if y != h:
+        raise ValueError("TIFF strips cover fewer rows than ImageLength")
+    px = np.frombuffer(bytes(rows), dtype=np.uint8).reshape(h, w, 3)
+    return w, h, px

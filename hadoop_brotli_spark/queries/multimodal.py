@@ -1898,3 +1898,115 @@ def q426_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 20)
     )
+
+
+# ----------------------- q439 real TIFF pixel decode (none/PackBits)
+
+
+@register(
+    "q439_tiff_pixel_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 24 + n_chars % 17 AS w, 6 + n_chars % 7 AS h,
+             CASE WHEN doc_id % 2 = 1 THEN 32773 ELSE 1 END AS comp
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, comp,
+             CASE WHEN x < 8 THEN (y + doc_id) % 256
+                  ELSE (3 * x + 5 * y + doc_id) % 256 END AS r,
+             CASE WHEN x < 8 THEN (y + doc_id) % 256
+                  ELSE (7 * x + y + 2 * doc_id) % 256 END AS g,
+             CASE WHEN x < 8 THEN (y + doc_id) % 256
+                  ELSE (x + 11 * y + 3 * doc_id) % 256 END AS b
+      FROM m, UNNEST(range(w)) AS rx(x), UNNEST(range(h)) AS ry(y)
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(comp AS BIGINT) AS compression,
+           FLOOR(CAST(SUM(r) AS DOUBLE) * 1000000.0 / (w * h) + 0.5)
+             / 1000000.0 AS mean_r,
+           FLOOR(CAST(SUM(g) AS DOUBLE) * 1000000.0 / (w * h) + 0.5)
+             / 1000000.0 AS mean_g,
+           FLOOR(CAST(SUM(b) AS DOUBLE) * 1000000.0 / (w * h) + 0.5)
+             / 1000000.0 AS mean_b,
+           CAST(doc_id % 256 AS BIGINT) AS corner_tl_r,
+           CAST(((w - 1) + 11 * (h - 1) + 3 * doc_id) % 256 AS BIGINT)
+             AS corner_br_b
+    FROM px
+    GROUP BY doc_id, w, h, comp
+    """,
+)
+def q439_tiff_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF 6.0 pixel decode with zero image libraries — the
+    container scientific / scanned training corpora actually ship.
+    Stage 1 renders each document a deterministic RGB card (an 8-px
+    grayscale left band creates genuine byte RUNS; the color region
+    exercises literal groups) and encodes it as a byte-exact
+    little-endian TIFF via ``build_tiff`` — odd doc_ids use PackBits
+    (Compression 32773), even stay uncompressed — one strip per row,
+    out-of-line IFD arrays. Stage 2, the operator under test,
+    re-parses the bytes with ``decode_tiff_pixels`` (independent IFD
+    walker: byte-order mark, inline-vs-offset tag values, per-strip
+    PackBits RLE) and reports channel means + corner probes.
+
+    The oracle recomputes everything from the pixel FORMULA, never
+    touching bytes — an IFD offset bug, a PackBits run/literal flip,
+    or a strip-order mistake shifts a mean or corner and breaks the
+    hash. Both compression branches are pinned per doc parity.
+
+    Scale: embarrassingly parallel Arrow-batched mapInPandas, zero
+    shuffle, one image in flight per row — the petabyte image-decode
+    shape (SURVEY.md §2b multimodal).
+    """
+    import numpy as np
+
+    from ..functions.media import build_tiff, decode_tiff_pixels
+
+    meta = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    out_schema = (
+        "doc_id long, width long, height long, compression long, "
+        "mean_r double, mean_g double, mean_b double, "
+        "corner_tl_r long, corner_br_b long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = int(doc_id), int(n_chars)
+                w, h = 24 + n % 17, 6 + n % 7
+                comp = 32773 if d % 2 == 1 else 1
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                gray = np.broadcast_to((ys + d) % 256, (h, w))
+                card = np.stack(
+                    [
+                        np.where(xs < 8, gray, (3 * xs + 5 * ys + d) % 256),
+                        np.where(xs < 8, gray, (7 * xs + ys + 2 * d) % 256),
+                        np.where(xs < 8, gray, (xs + 11 * ys + 3 * d) % 256),
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                blob = build_tiff(card, comp)
+                # ---- operator under test: bytes -> pixels ----
+                dw, dh, rgb = decode_tiff_pixels(blob)
+                npix = dw * dh
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "width": dw,
+                        "height": dh,
+                        "compression": comp,
+                        "mean_r": _grid_mean(int(rgb[:, :, 0].sum()), npix),
+                        "mean_g": _grid_mean(int(rgb[:, :, 1].sum()), npix),
+                        "mean_b": _grid_mean(int(rgb[:, :, 2].sum()), npix),
+                        "corner_tl_r": int(rgb[0, 0, 0]),
+                        "corner_br_b": int(rgb[dh - 1, dw - 1, 2]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return meta.mapInPandas(run, schema=out_schema)

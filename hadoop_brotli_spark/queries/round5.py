@@ -1288,8 +1288,13 @@ def q437_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (
                         1.0
                         - F.col("cand_pairs").cast("double")
-                        / F.shiftright(
-                            F.col("n_docs") * (F.col("n_docs") - 1), 1
+                        # NULLIF: a 1-doc corpus has 0 possible pairs;
+                        # ANSI Spark throws on /0 where DuckDB NULLs
+                        / F.nullif(
+                            F.shiftright(
+                                F.col("n_docs") * (F.col("n_docs") - 1), 1
+                            ),
+                            F.lit(0),
                         )
                     )
                     * 1e6
@@ -1445,4 +1450,1797 @@ def q438_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
         .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q440 skew-join advisor
+#
+# The operational sibling of q431's join-order advisor and q314's
+# broadcast advisor: BEFORE running a big shuffle join, profile the
+# join key's frequency distribution and emit the salting plan for its
+# heavy hitters. recommended_salt is the number of sub-keys that
+# splits a hot key into average-sized chunks — CEIL(key_rows * n_keys
+# / n_rows) in exact integer arithmetic (DIV, no doubles) — i.e. the
+# S in the classic key||hash(row)%S salting rewrite, and the same
+# split factor AQE's skew-join picks at runtime from shuffle stats.
+
+
+@register(
+    "q440_skew_join_advisor",
+    category="relational",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(COUNT(*) AS BIGINT) AS key_rows
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (
+      SELECT CAST(SUM(key_rows) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM per_key
+    ),
+    top AS (
+      SELECT suppkey, key_rows,
+             ROW_NUMBER() OVER (
+               ORDER BY key_rows DESC, suppkey ASC) AS rk
+      FROM per_key
+    )
+    SELECT CAST(rk AS BIGINT) AS rk, suppkey, key_rows,
+           t.n_rows, t.n_keys,
+           FLOOR(CAST(key_rows AS DOUBLE) * 1e6 / t.n_rows + 0.5)
+             / 1e6 AS row_share,
+           FLOOR(CAST(key_rows AS DOUBLE) * t.n_keys * 1e6
+                 / t.n_rows + 0.5) / 1e6 AS skew_ratio,
+           CAST((key_rows * t.n_keys + t.n_rows - 1) // t.n_rows
+                AS BIGINT) AS recommended_salt
+    FROM top, tot t
+    WHERE rk <= 5
+    ORDER BY rk
+    """,
+)
+def q440_skew_join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-join advisor: key-frequency profile of ``lineitem.
+    l_suppkey`` (the fact side of the supplier join) — top-5 heaviest
+    keys with their row share, skew ratio vs a perfectly uniform key
+    (key_rows x n_keys / n_rows), and the integer salt factor
+    CEIL(key_rows x n_keys / n_rows) that splits each hot key into
+    average-sized sub-keys. skew_ratio ~ 1 everywhere means the key
+    is uniform and salting is wasted work; ratio >> 1 is the key you
+    pre-split (or let AQE skew-split) before the 100 TB join.
+
+    Determinism: counts and the salt are exact integers (DIV
+    arithmetic, never a double); shares/ratios land on the FLOOR
+    half-up grid; ties rank by suppkey.
+
+    Scale: one key-grain reduce (map-side partial), a 2-scalar
+    global, and a top-5 TakeOrdered — no global window over the key
+    relation, no corpus shuffle.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("key_rows")
+    )
+    tot = per_key.agg(
+        F.sum("key_rows").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    # top-5 without a key-grain global window: TakeOrdered, then rank
+    # the 5 survivors (the window runs on a 5-row relation)
+    top5 = per_key.orderBy(
+        F.col("key_rows").desc(), F.col("suppkey").asc()
+    ).limit(5)
+    ranked = top5.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy(F.col("key_rows").desc(), F.col("suppkey").asc()))
+        .cast("bigint"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "rk",
+            "suppkey",
+            "key_rows",
+            "n_rows",
+            "n_keys",
+            (
+                F.floor(
+                    F.col("key_rows").cast("double") * 1e6 / F.col("n_rows")
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("row_share"),
+            (
+                F.floor(
+                    F.col("key_rows").cast("double")
+                    * F.col("n_keys")
+                    * 1e6
+                    / F.col("n_rows")
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("skew_ratio"),
+            F.expr(
+                "CAST((key_rows * n_keys + n_rows - 1) DIV n_rows AS BIGINT)"
+            ).alias("recommended_salt"),
+        )
+        .orderBy("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q441 bottom-k sample quantile CERTIFICATION
+#
+# The mergeable-quantile primitive production uses at 100 TB
+# (percentile_approx / KLL / t-digest) is a sample-or-sketch whose
+# error you must TRUST. This op makes the error auditable in-query:
+# draw a replayable K-row uniform sample per group (bottom-K by
+# md5(event_id) — the KMV mechanism, a one-pass mergeable top-K),
+# compute p50/p90 from the sample with the same explicit
+# order-statistic rule as the exact side, and report the absolute
+# error in exact DECIMAL cents. The exact side is the certification
+# (affordable at audit time); the sample side is the scale path.
+
+SQ_K = 64
+SQ_SALT = "sq_r5"
+
+
+@register(
+    "q441_sample_quantile_certification",
+    category="aggregation-advanced (rollup/percentile/sketch/pivot)",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT event_type, event_id,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                   || '|{SQ_SALT}'), 1, 13)) AS BIGINT) AS u
+      FROM events
+    ),
+    full_rk AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY v ASC, event_id ASC) AS frk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_rows
+      FROM keyed
+    ),
+    samp AS (
+      SELECT event_type, v, event_id
+      FROM (
+        SELECT event_type, v, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY u ASC, event_id ASC) AS srk
+        FROM keyed
+      ) WHERE srk <= {SQ_K}
+    ),
+    samp_rk AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY v ASC, event_id ASC) AS srk,
+             COUNT(*) OVER (PARTITION BY event_type) AS k_eff
+      FROM samp
+    ),
+    exact AS (
+      SELECT event_type,
+             CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+             MAX(CASE WHEN frk = (n_rows - 1) // 2 + 1 THEN v END)
+               AS p50_exact,
+             MAX(CASE WHEN frk = ((n_rows - 1) * 9) // 10 + 1 THEN v END)
+               AS p90_exact
+      FROM full_rk GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type,
+             CAST(MAX(k_eff) AS BIGINT) AS k_eff,
+             MAX(CASE WHEN srk = (k_eff - 1) // 2 + 1 THEN v END)
+               AS p50_sample,
+             MAX(CASE WHEN srk = ((k_eff - 1) * 9) // 10 + 1 THEN v END)
+               AS p90_sample
+      FROM samp_rk GROUP BY event_type
+    )
+    SELECT e.event_type, e.n_rows, s.k_eff,
+           CAST(e.p50_exact AS DOUBLE) AS p50_exact,
+           CAST(s.p50_sample AS DOUBLE) AS p50_sample,
+           CAST(e.p90_exact AS DOUBLE) AS p90_exact,
+           CAST(s.p90_sample AS DOUBLE) AS p90_sample,
+           CAST(ABS(e.p50_exact - s.p50_sample) AS DOUBLE) AS err_p50,
+           CAST(ABS(e.p90_exact - s.p90_sample) AS DOUBLE) AS err_p90
+    FROM exact e JOIN est s USING (event_type)
+    ORDER BY e.event_type
+    """,
+)
+def q441_sample_quantile_certification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bottom-K sample quantiles with in-query error certification:
+    per event type, a replayable {SQ_K}-row uniform sample (smallest
+    md5-uniforms — one pass, mergeable: each task keeps K rows, the
+    reduce keeps the K smallest of K x tasks), p50/p90 from the
+    sample via the explicit order-statistic rule value[FLOOR((n-1)p)]
+    (rank arithmetic, not engine percentile builtins), the same rule
+    over the full group as ground truth, and |exact - sample| in
+    exact DECIMAL(18,2) cents. This is the audit that tells you
+    whether K is big enough BEFORE you trust the sketch on 100 TB.
+
+    Determinism: the sample is md5-replayable ({SQ_SALT!r} rotates
+    it); order statistics use integer rank rules with event_id
+    tie-breaks; errors are DECIMAL-exact differences cast to double.
+
+    Scale: the sample side is the production path (bottom-K per
+    group, no full sort needed at scale — Spark plans the rank +
+    filter as a windowed top-K); the exact side exists to certify and
+    runs at audit scale. Output is group-grain (|event types| rows).
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_id").cast("string"),
+                               F.lit("|" + SQ_SALT))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("u"),
+    )
+    w_full = Window.partitionBy("event_type").orderBy(
+        F.col("v").asc(), F.col("event_id").asc()
+    )
+    w_u = Window.partitionBy("event_type").orderBy(
+        F.col("u").asc(), F.col("event_id").asc()
+    )
+    full_rk = ev.select(
+        "event_type",
+        "v",
+        F.row_number().over(w_full).alias("frk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias(
+            "n_rows"
+        ),
+    )
+    exact = full_rk.groupBy("event_type").agg(
+        F.max("n_rows").cast("bigint").alias("n_rows"),
+        F.max(
+            F.when(
+                F.col("frk")
+                == F.expr("(n_rows - 1) DIV 2 + 1"),
+                F.col("v"),
+            )
+        ).alias("p50_exact"),
+        F.max(
+            F.when(
+                F.col("frk")
+                == F.expr("((n_rows - 1) * 9) DIV 10 + 1"),
+                F.col("v"),
+            )
+        ).alias("p90_exact"),
+    )
+    samp = (
+        ev.withColumn("srk0", F.row_number().over(w_u))
+        .filter(F.col("srk0") <= SQ_K)
+        .select("event_type", "v", "event_id")
+    )
+    samp_rk = samp.select(
+        "event_type",
+        "v",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("v").asc(), F.col("event_id").asc()
+            )
+        )
+        .alias("srk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("k_eff"),
+    )
+    est = samp_rk.groupBy("event_type").agg(
+        F.max("k_eff").cast("bigint").alias("k_eff"),
+        F.max(
+            F.when(
+                F.col("srk") == F.expr("(k_eff - 1) DIV 2 + 1"),
+                F.col("v"),
+            )
+        ).alias("p50_sample"),
+        F.max(
+            F.when(
+                F.col("srk") == F.expr("((k_eff - 1) * 9) DIV 10 + 1"),
+                F.col("v"),
+            )
+        ).alias("p90_sample"),
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "k_eff",
+            F.col("p50_exact").cast("double").alias("p50_exact"),
+            F.col("p50_sample").cast("double").alias("p50_sample"),
+            F.col("p90_exact").cast("double").alias("p90_exact"),
+            F.col("p90_sample").cast("double").alias("p90_sample"),
+            F.abs(F.col("p50_exact") - F.col("p50_sample"))
+            .cast("double")
+            .alias("err_p50"),
+            F.abs(F.col("p90_exact") - F.col("p90_sample"))
+            .cast("double")
+            .alias("err_p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q442 sorted-neighborhood candidate pairs
+#
+# The OTHER classic entity-resolution blocking scheme beside q437's
+# equi-blocking: sort on a cheap key, compare each record only to the
+# next w neighbors in sort order. Window size bounds candidates at
+# w x n (vs blocking's unbounded hot buckets) — the trade is recall.
+# This op measures both sides of that trade on a real corpus.
+
+SN_W = 3
+
+
+@register(
+    "q442_sorted_neighborhood_pairs",
+    category="dedup",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT lang, source, n_chars, doc_id
+      FROM documents
+    ),
+    leads AS (
+      SELECT lang, source,
+             LEAD(source, 1) OVER w AS s1,
+             LEAD(source, 2) OVER w AS s2,
+             LEAD(source, 3) OVER w AS s3
+      FROM ordered
+      WINDOW w AS (PARTITION BY lang
+                   ORDER BY n_chars ASC, doc_id ASC)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END)
+              + SUM(CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END)
+              + SUM(CASE WHEN s3 IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS cand_pairs,
+           CAST(SUM(CASE WHEN s1 = source THEN 1 ELSE 0 END)
+              + SUM(CASE WHEN s2 = source THEN 1 ELSE 0 END)
+              + SUM(CASE WHEN s3 = source THEN 1 ELSE 0 END)
+                AS BIGINT) AS matched_pairs,
+           FLOOR((SUM(CASE WHEN s1 = source THEN 1 ELSE 0 END)
+                + SUM(CASE WHEN s2 = source THEN 1 ELSE 0 END)
+                + SUM(CASE WHEN s3 = source THEN 1 ELSE 0 END))
+                 * 1e6
+                 / NULLIF(SUM(CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END)
+                        + SUM(CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END)
+                        + SUM(CASE WHEN s3 IS NOT NULL THEN 1 ELSE 0 END),
+                          0) + 0.5) / 1e6 AS match_rate
+    FROM leads
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q442_sorted_neighborhood_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernandez-Stolfo
+    merge/purge): per language, documents sorted by (n_chars,
+    doc_id); each doc pairs with its next {SN_W} neighbors via LEAD —
+    so candidates are bounded at {SN_W} x n per partition no matter
+    how skewed the key (the failure mode q437's equi-blocking audit
+    exists to catch). matched_pairs counts same-source neighbors —
+    the recall proxy — and match_rate is the precision of the
+    neighborhood.
+
+    Determinism: LEAD over the total order (n_chars, doc_id); counts
+    integer; the rate on the FLOOR half-up grid, NULL when a
+    partition is a single doc.
+
+    Scale: ONE shuffle on lang + an in-partition sort — the whole
+    point of sorted-neighborhood is that it needs exactly a
+    repartition-and-sort, never a self-join; {SN_W} LEADs share one
+    window frame.
+    """
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    leads = docs.select(
+        "lang",
+        "source",
+        F.lead("source", 1).over(w).alias("s1"),
+        F.lead("source", 2).over(w).alias("s2"),
+        F.lead("source", 3).over(w).alias("s3"),
+    )
+
+    def cnt(c):
+        return F.sum(F.when(c, 1).otherwise(0))
+
+    cand = (
+        cnt(F.col("s1").isNotNull())
+        + cnt(F.col("s2").isNotNull())
+        + cnt(F.col("s3").isNotNull())
+    )
+    hit = (
+        cnt(F.col("s1") == F.col("source"))
+        + cnt(F.col("s2") == F.col("source"))
+        + cnt(F.col("s3") == F.col("source"))
+    )
+    return (
+        leads.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            cand.cast("bigint").alias("cand_pairs"),
+            hit.cast("bigint").alias("matched_pairs"),
+            (
+                F.floor(
+                    hit * F.lit(1e6) / F.nullif(cand, F.lit(0)) + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("match_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q443 Gopher-style repetition filters
+#
+# The repetition family of quality gates from the Gopher corpus
+# pipeline (Rae et al. 2021, Table A1) that q81's surface-statistics
+# gate doesn't cover: documents dominated by a repeated n-gram or by
+# duplicated words are templated/boilerplate and poison training. All
+# three signals are exact word/character arithmetic, so the oracle
+# replays them bit-for-bit.
+
+REP_TOP2_MAX = 0.20  # Gopher's top-2-gram character-share gate
+REP_DUPW_MAX = 0.50  # duplicate-word-fraction gate
+
+
+@register(
+    "q443_repetition_filters",
+    category="llm-text-analysis",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, n_chars, w, pos
+      FROM (
+        SELECT doc_id, n_chars,
+               UNNEST(string_split(text, ' ')) AS w,
+               UNNEST(generate_series(
+                 1, LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1))
+                 AS pos
+        FROM documents
+      )
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct
+      FROM words GROUP BY doc_id
+    ),
+    bigrams AS (
+      SELECT doc_id, n_chars, w, nxt,
+             LENGTH(w) + LENGTH(nxt) + 1 AS blen
+      FROM (
+        SELECT doc_id, n_chars, w,
+               LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM words
+      ) WHERE nxt IS NOT NULL
+    ),
+    bg_counts AS (
+      SELECT doc_id, w, nxt, blen,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             MAX(n_chars) AS n_chars
+      FROM bigrams GROUP BY doc_id, w, nxt, blen
+    ),
+    top2 AS (
+      SELECT doc_id, c AS top2_count, c * blen AS top2_chars, n_chars
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY doc_id
+                 ORDER BY c DESC, w ASC, nxt ASC) AS rn
+        FROM bg_counts
+      ) WHERE rn = 1
+    )
+    SELECT b.doc_id, b.n_words, b.n_distinct,
+           FLOOR((b.n_words - b.n_distinct) * 1e6
+                 / b.n_words + 0.5) / 1e6 AS dup_word_frac,
+           COALESCE(t.top2_count, CAST(0 AS BIGINT)) AS top2_count,
+           FLOOR(COALESCE(t.top2_chars, 0) * 1e6
+                 / NULLIF(t.n_chars, 0) + 0.5) / 1e6 AS top2_share,
+           (COALESCE(t.top2_chars, 0) * 1.0
+              <= {REP_TOP2_MAX} * COALESCE(t.n_chars, 1)
+            AND (b.n_words - b.n_distinct) * 1.0
+              <= {REP_DUPW_MAX} * b.n_words) AS keep
+    FROM base b LEFT JOIN top2 t USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def q443_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality gates (the Gopher pipeline's n-gram family,
+    Rae et al. 2021): per document, the duplicate-word fraction
+    (1 - distinct/total) and the character share of the single most
+    frequent word 2-gram (count x bigram char length / doc chars) —
+    a doc whose top bigram covers >{REP_TOP2_MAX:.0%} of its
+    characters or whose words are >{REP_DUPW_MAX:.0%} duplicates is
+    dropped. The keep flag compares in EXACT integer cross-products
+    (a*1.0 <= t*b), never on the rounded grid, so the gate itself has
+    no float boundary.
+
+    Determinism: counts are integers; shares land on the FLOOR
+    half-up grid; the top bigram tie-breaks (count DESC, w, nxt).
+
+    Scale: one fan-out explode to word grain, a LEAD window at doc
+    grain, then doc x bigram-type partial aggregates — vocabulary
+    math, no self-joins; single-bigram docs COALESCE cleanly.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    words = fan_out(docs).select(
+        "doc_id",
+        "n_chars",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
+    )
+    base = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.countDistinct("w").cast("bigint").alias("n_distinct"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        words.withColumn("nxt", F.lead("w").over(wd))
+        .filter(F.col("nxt").isNotNull())
+        .withColumn(
+            "blen", F.length("w") + F.length("nxt") + F.lit(1)
+        )
+    )
+    bg_counts = bigrams.groupBy("doc_id", "w", "nxt", "blen").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.max("n_chars").alias("n_chars"),
+    )
+    top2 = (
+        bg_counts.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("c").desc(), F.col("w").asc(), F.col("nxt").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("c").alias("top2_count"),
+            (F.col("c") * F.col("blen")).alias("top2_chars"),
+            "n_chars",
+        )
+    )
+    return (
+        base.join(top2, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            (
+                F.floor(
+                    (F.col("n_words") - F.col("n_distinct"))
+                    * F.lit(1e6)
+                    / F.col("n_words")
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("dup_word_frac"),
+            F.coalesce(F.col("top2_count"), F.lit(0).cast("bigint")).alias(
+                "top2_count"
+            ),
+            (
+                F.floor(
+                    F.coalesce(F.col("top2_chars"), F.lit(0))
+                    * F.lit(1e6)
+                    / F.nullif(F.col("n_chars"), F.lit(0))
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("top2_share"),
+            (
+                (
+                    F.coalesce(F.col("top2_chars"), F.lit(0)) * F.lit(1.0)
+                    <= F.lit(REP_TOP2_MAX)
+                    * F.coalesce(F.col("n_chars"), F.lit(1))
+                )
+                & (
+                    (F.col("n_words") - F.col("n_distinct")) * F.lit(1.0)
+                    <= F.lit(REP_DUPW_MAX) * F.col("n_words")
+                )
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q444 distributed exact median (bucket refinement, no global sort)
+#
+# The selection-algorithm answer to "exact p50 over 100 TB": a global
+# sort is O(n log n) ALL-shuffle; two bucketed passes find the k-th
+# element exactly — pass 1 histograms values into 256 range buckets
+# (map-side combinable), the cumulative walk (256 rows) locates the
+# bucket holding rank k, pass 2 ranks ONLY that bucket's rows. The
+# oracle computes the same order statistic by brute ROW_NUMBER, so
+# the refinement must be exactly right, including the off-by-ones.
+
+MED_BUCKETS = 256
+
+
+@register(
+    "q444_distributed_median",
+    category="aggregation-advanced (rollup/percentile/sketch/pivot)",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM lineitem
+    ),
+    bounds AS (
+      SELECT CAST(MIN(cents) AS BIGINT) AS lo,
+             CAST(MAX(cents) AS BIGINT) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM c
+    ),
+    ranked AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rk
+      FROM c
+    ),
+    med AS (
+      SELECT r.cents AS median_cents
+      FROM ranked r, bounds b
+      WHERE r.rk = (b.n_rows + 1) // 2
+    ),
+    -- replay the ENGINE's bucket arithmetic so the audit columns
+    -- (bucket id + bucket population) certify the refinement path
+    bucketed AS (
+      SELECT CAST((cents - b.lo) * {MED_BUCKETS}
+                  // (b.hi - b.lo + 1) AS BIGINT) AS bkt
+      FROM c, bounds b
+    ),
+    target AS (
+      SELECT CAST(m.median_cents AS BIGINT) AS median_cents,
+             CAST((SELECT (median_cents - b2.lo) * {MED_BUCKETS}
+                          // (b2.hi - b2.lo + 1)
+                   FROM bounds b2) AS BIGINT) AS bucket_id
+      FROM med m
+    )
+    SELECT b.n_rows,
+           CAST((b.n_rows + 1) // 2 AS BIGINT) AS k,
+           t.median_cents,
+           CAST(t.median_cents AS DOUBLE) / 100 AS median,
+           t.bucket_id,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bucketed
+            WHERE bkt = t.bucket_id) AS bucket_rows
+    FROM bounds b, target t
+    """,
+)
+def q444_distributed_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median of ``l_extendedprice`` WITHOUT a global
+    sort: (1) one scalar pass for min/max/count, (2) a 256-bucket
+    range histogram (map-side combinable aggregate), (3) a cumulative
+    walk over the 256-row histogram to find the bucket containing
+    rank k = (n+1)//2 and the residual rank r inside it, (4) a rank
+    over ONLY that bucket's rows (a ~n/256 slice). This is the
+    classic distributed selection algorithm — the exact-answer
+    sibling of the q441 sample sketch; one more refinement round
+    would handle pathological single-bucket skew.
+
+    Determinism: prices become exact BIGINT cents via DECIMAL; every
+    bucket boundary is integer DIV arithmetic; the median is a value
+    (rank ties collapse), so no tie-break is even needed.
+
+    Scale: two scans + one tiny-bucket rank instead of a full
+    shuffle sort. The only windows run over 256 histogram rows and
+    one bucket's slice.
+    """
+    c = t(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    bounds = c.agg(
+        F.min("cents").cast("bigint").alias("lo"),
+        F.max("cents").cast("bigint").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    bucketed = c.crossJoin(F.broadcast(bounds)).withColumn(
+        "bkt",
+        F.expr(
+            f"CAST((cents - lo) * {MED_BUCKETS} DIV (hi - lo + 1) AS BIGINT)"
+        ),
+    )
+    hist = bucketed.groupBy("bkt", "lo", "hi", "n_rows").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bucket_rows")
+    )
+    cum = hist.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("bucket_rows").over(
+                Window.orderBy("bkt").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).withColumn("k", F.expr("CAST((n_rows + 1) DIV 2 AS BIGINT)"))
+    target = cum.filter(
+        (F.col("cum_before") < F.col("k"))
+        & (F.col("k") <= F.col("cum_before") + F.col("bucket_rows"))
+    ).select(
+        "bkt", "lo", "hi", "n_rows", "k", "bucket_rows", "cum_before"
+    )
+    # pass 2: rank only inside the winning bucket
+    in_bucket = bucketed.join(
+        F.broadcast(target.select("bkt", "k", "cum_before")), "bkt"
+    )
+    picked = (
+        in_bucket.withColumn(
+            "r", F.row_number().over(Window.partitionBy("bkt").orderBy("cents"))
+        )
+        .filter(F.col("r") == F.col("k") - F.col("cum_before"))
+        .select("bkt", F.col("cents").alias("median_cents"))
+    )
+    return target.join(F.broadcast(picked), "bkt").select(
+        "n_rows",
+        "k",
+        "median_cents",
+        (F.col("median_cents").cast("double") / 100).alias("median"),
+        F.col("bkt").alias("bucket_id"),
+        "bucket_rows",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q445 WOE / Information-Value binning
+#
+# The credit-scoring / feature-selection standard: quintile-bin a
+# score, per bin compute Weight of Evidence ln(pos_share/neg_share)
+# with 0.5 smoothing, and the feature's Information Value
+# IV = SUM((pos_share - neg_share) * WOE). IV < 0.02 means the
+# feature is useless; > 0.5 suspicious. ln() rides the ROUND-6
+# convention (q261); the IV cross-row sum is exact BIGINT micro-grid
+# arithmetic so partition order can't move the float.
+
+
+@register(
+    "q445_woe_iv_binning",
+    category="ml-eval-calibration",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS score,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS label
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, user_id ASC)
+               AS rk,
+             (SELECT COUNT(*) FROM users) AS n
+      FROM users
+    ),
+    binned AS (
+      SELECT CAST(FLOOR((rk - 1) * 5.0 / n) AS BIGINT) AS bin, label
+      FROM ranked
+    ),
+    per AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(label) AS BIGINT) AS pos,
+             CAST(COUNT(*) - SUM(label) AS BIGINT) AS neg
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS tot_pos,
+             CAST(SUM(neg) AS BIGINT) AS tot_neg,
+             CAST(COUNT(*) AS BIGINT) AS n_bins
+      FROM per
+    ),
+    woe AS (
+      SELECT p.bin, p.n_users, p.pos, p.neg,
+             ROUND(LN(((p.pos + 0.5) / (t.tot_pos + 0.5 * t.n_bins))
+                      / ((p.neg + 0.5) / (t.tot_neg + 0.5 * t.n_bins))),
+                   6) AS woe,
+             FLOOR(((p.pos + 0.5) / (t.tot_pos + 0.5 * t.n_bins)
+                    - (p.neg + 0.5) / (t.tot_neg + 0.5 * t.n_bins))
+                   * 1e9 + 0.5) AS dshare_nano
+      FROM per p, tot t
+    )
+    SELECT bin, n_users, pos, neg, woe,
+           CAST(SUM(CAST(FLOOR(woe * 1e6 + 0.5) AS BIGINT)
+                    * CAST(dshare_nano AS BIGINT)) OVER ()
+                AS DOUBLE) / 1e15 AS iv
+    FROM woe
+    ORDER BY bin
+    """,
+)
+def q445_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value feature audit: users
+    quintile-binned by click count (the explicit FLOOR((rk-1)*5/n)
+    rule, same as q438's deciles), per-bin WOE =
+    ln(smoothed pos share / smoothed neg share) with the standard
+    0.5-count smoothing (never a log of zero), and the feature-level
+    IV as the cross-bin sum of (pos_share - neg_share) x WOE.
+
+    Determinism: smoothed shares are exact-integer-ratio doubles
+    (identical IEEE division on both engines); WOE rides the ROUND-6
+    ln convention (q261); IV is summed in BIGINT micro x nano grid
+    units (exact, order-independent) and divided once at the end.
+
+    Scale: user-grain reduce, a global rank (the binning semantics),
+    5-row aggregates after that. The IV window runs over 5 rows.
+    """
+    ev = t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("label"),
+    )
+    n = users.agg(F.count(F.lit(1)).alias("n"))
+    ranked = users.crossJoin(F.broadcast(n)).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("user_id").asc())
+        ),
+    )
+    per = (
+        ranked.select(
+            F.floor((F.col("rk") - 1) * 5 / F.col("n"))
+            .cast("bigint")
+            .alias("bin"),
+            "label",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("label").cast("bigint").alias("pos"),
+            (F.count(F.lit(1)) - F.sum("label"))
+            .cast("bigint")
+            .alias("neg"),
+        )
+    )
+    tot = per.agg(
+        F.sum("pos").cast("bigint").alias("tot_pos"),
+        F.sum("neg").cast("bigint").alias("tot_neg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+    )
+    ps = (F.col("pos") + 0.5) / (F.col("tot_pos") + 0.5 * F.col("n_bins"))
+    ns_ = (F.col("neg") + 0.5) / (F.col("tot_neg") + 0.5 * F.col("n_bins"))
+    woe = per.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_users",
+        "pos",
+        "neg",
+        F.round(F.log(ps / ns_), 6).alias("woe"),
+        F.floor((ps - ns_) * F.lit(1e9) + F.lit(0.5)).alias("dshare_nano"),
+    )
+    iv_win = Window.partitionBy()
+    return (
+        woe.select(
+            "bin",
+            "n_users",
+            "pos",
+            "neg",
+            "woe",
+            (
+                F.sum(
+                    F.floor(F.col("woe") * 1e6 + F.lit(0.5)).cast("bigint")
+                    * F.col("dshare_nano").cast("bigint")
+                )
+                .over(iv_win)
+                .cast("double")
+                / 1e15
+            ).alias("iv"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q446 rendezvous (HRW) sharding audit
+#
+# Consistent placement for a 100 TB corpus: rendezvous hashing sends
+# each doc to argmax_s md5(doc, s). The property that makes it THE
+# resharding strategy — growing 8 -> 9 shards moves ~1/9 of docs and
+# EVERY mover lands on the new shard — is certified in-query: any
+# doc that changes shard without landing on shard 8 breaks stable_ok.
+
+HRW_N = 8
+HRW_SALT = "hrw_r5"
+
+
+def _hrw_hash_sql(s: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) "
+        f"|| '|{HRW_SALT}|' || '{s}'), 1, 13)) AS BIGINT)"
+    )
+
+
+@register(
+    "q446_rendezvous_sharding",
+    category="llm-corpus-pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, s, h
+      FROM documents,
+           UNNEST([{", ".join(
+             "STRUCT_PACK(s := CAST(%d AS BIGINT), h := %s)"
+             % (s, _hrw_hash_sql(s)) for s in range(HRW_N + 1)
+           )}]) AS u(x),
+           LATERAL (SELECT x.s AS s, x.h AS h)
+    ),
+    pick8 AS (
+      SELECT doc_id, s AS shard8
+      FROM (
+        SELECT doc_id, s, ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY h DESC, s ASC) AS rn
+        FROM scored WHERE s < {HRW_N}
+      ) WHERE rn = 1
+    ),
+    pick9 AS (
+      SELECT doc_id, s AS shard9
+      FROM (
+        SELECT doc_id, s, ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY h DESC, s ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    joined AS (
+      SELECT p8.doc_id, p8.shard8, p9.shard9
+      FROM pick8 p8 JOIN pick9 p9 USING (doc_id)
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM joined)
+    SELECT j.shard8 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           FLOOR(COUNT(*) * 1e6 / t.n_docs + 0.5) / 1e6 AS share,
+           CAST(SUM(CASE WHEN j.shard9 <> j.shard8 THEN 1 ELSE 0 END)
+                AS BIGINT) AS moved_out,
+           CAST(SUM(CASE WHEN j.shard9 = {HRW_N} THEN 1 ELSE 0 END)
+                AS BIGINT) AS moved_to_new,
+           (SUM(CASE WHEN j.shard9 <> j.shard8 THEN 1 ELSE 0 END)
+            = SUM(CASE WHEN j.shard9 = {HRW_N} THEN 1 ELSE 0 END))
+             AS stable_ok
+    FROM joined j, tot t
+    GROUP BY j.shard8, t.n_docs
+    ORDER BY shard
+    """,
+)
+def q446_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding audit: every doc
+    hashes against each candidate shard (md5(doc|s)) and lands on the
+    argmax — per-shard balance for {HRW_N} shards, then the
+    {HRW_N}->{HRW_N + 1} reshard simulated in the same query. HRW's
+    minimal-disruption guarantee — movers ONLY move to the new shard,
+    ~1/(N+1) of docs — is CERTIFIED per shard: stable_ok fails if any
+    doc changed shard without landing on shard {HRW_N}. This is the
+    shard map a 100 TB corpus store wants (vs mod-N hashing, where a
+    reshard moves ~8/9 of all data).
+
+    Determinism: md5-derived 52-bit weights ({HRW_SALT!r} rotates the
+    map), argmax tie-broken by shard id; counts integer, shares on
+    the FLOOR grid.
+
+    Scale: the argmax is a map-side MAX(struct) partial aggregate
+    over a 9x in-row fan-out — one doc-grain reduce, one shard-grain
+    reduce; no window over the corpus, no joins except the in-query
+    before/after comparison (doc-grain equi-join).
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(s) for s in range(HRW_N + 1)])
+        ).alias("s"),
+    ).withColumn(
+        "h",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("|" + HRW_SALT + "|"),
+                        F.col("s").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    # argmax via MAX(struct(h, -s)): lexicographic max = highest h,
+    # ties to the SMALLEST shard id — a partial-aggregable reduce,
+    # not a doc-grain window
+    pick8 = (
+        pairs.filter(F.col("s") < HRW_N)
+        .groupBy("doc_id")
+        .agg(F.max(F.struct(F.col("h"), (-F.col("s")).alias("ns"))).alias("m"))
+        .select("doc_id", (-F.col("m.ns")).cast("bigint").alias("shard8"))
+    )
+    pick9 = (
+        pairs.groupBy("doc_id")
+        .agg(F.max(F.struct(F.col("h"), (-F.col("s")).alias("ns"))).alias("m"))
+        .select("doc_id", (-F.col("m.ns")).cast("bigint").alias("shard9"))
+    )
+    joined = pick8.join(pick9, "doc_id")
+    tot = joined.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("shard8").alias("shard"), "n_docs")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(
+                F.when(F.col("shard9") != F.col("shard8"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("moved_out"),
+            F.sum(
+                F.when(F.col("shard9") == HRW_N, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("moved_to_new"),
+        )
+        .select(
+            "shard",
+            F.col("cnt").alias("n_docs"),
+            (
+                F.floor(
+                    F.col("cnt") * F.lit(1e6) / F.col("n_docs") + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("share"),
+            "moved_out",
+            "moved_to_new",
+            (F.col("moved_out") == F.col("moved_to_new")).alias("stable_ok"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q447 CDC MERGE-apply certification
+#
+# The lakehouse MERGE INTO contract, certified the q432 way (two
+# independent computations must agree in-query): events are a CDC
+# stream per user — 'signup' INSERTS (or re-inserts, resetting the
+# row), 'error' DELETES, click/view/purchase UPDATE-accumulate value
+# into the live row (ignored when no row exists, per WHEN MATCHED).
+# Path A replays the WHOLE stream; path B folds a checkpointed
+# first-half state forward with only second-half events — exactly an
+# incremental MERGE of a micro-batch onto a snapshot. Any divergence
+# (a tombstone leaking spend across a delete, a resurrect missing its
+# reset, an update landing on a dead row) breaks merge_ok.
+
+CDC_SPLIT = IVM_SPLIT  # share q432's snapshot boundary
+
+
+@register(
+    "q447_cdc_merge_certification",
+    category="relational",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             CAST(value AS DECIMAL(28,2)) AS v,
+             ts < TIMESTAMP '{CDC_SPLIT}' AS in_h1,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    -- path A: full replay. Only the FINAL signup segment survives:
+    -- a row exists iff last signup outlives last error; its spend is
+    -- the updates strictly after that signup.
+    full_mark AS (
+      SELECT *,
+             MAX(CASE WHEN event_type = 'signup' THEN rn END)
+               OVER (PARTITION BY user_id) AS ls,
+             MAX(CASE WHEN event_type = 'error' THEN rn END)
+               OVER (PARTITION BY user_id) AS le
+      FROM ordered
+    ),
+    full_state AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN event_type NOT IN
+                     ('signup', 'error') AND rn > ls THEN v END), 0)
+                  AS DECIMAL(28,2)) AS spend,
+             CAST(COALESCE(SUM(CASE WHEN event_type NOT IN
+                     ('signup', 'error') AND rn > ls
+                     THEN 1 END), 0) AS BIGINT) AS n_updates
+      FROM full_mark
+      GROUP BY user_id
+      HAVING MAX(ls) IS NOT NULL
+         AND (MAX(le) IS NULL OR MAX(ls) > MAX(le))
+    ),
+    -- path B: checkpoint H1 with the same rule...
+    h1_mark AS (
+      SELECT * FROM full_mark WHERE in_h1
+    ),
+    h1_state AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'signup' THEN rn END) AS ls1,
+             MAX(CASE WHEN event_type = 'error' THEN rn END) AS le1
+      FROM h1_mark GROUP BY user_id
+    ),
+    h1_rows AS (
+      SELECT m.user_id,
+             CAST(COALESCE(SUM(CASE WHEN m.event_type NOT IN
+                     ('signup', 'error') AND m.rn > s.ls1
+                     THEN m.v END), 0) AS DECIMAL(28,2)) AS spend1,
+             CAST(COALESCE(SUM(CASE WHEN m.event_type NOT IN
+                     ('signup', 'error') AND m.rn > s.ls1
+                     THEN 1 END), 0) AS BIGINT) AS n1
+      FROM h1_mark m JOIN h1_state s USING (user_id)
+      WHERE s.ls1 IS NOT NULL AND (s.le1 IS NULL OR s.ls1 > s.le1)
+      GROUP BY m.user_id
+    ),
+    -- ...then fold ONLY H2 events onto the checkpoint
+    h2 AS (
+      SELECT * FROM ordered WHERE NOT in_h1
+    ),
+    h2_state AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'signup' THEN rn END) AS ls2,
+             MAX(CASE WHEN event_type = 'error' THEN rn END) AS le2,
+             CAST(COALESCE(SUM(CASE WHEN event_type NOT IN
+                     ('signup', 'error') THEN v END), 0)
+                  AS DECIMAL(28,2)) AS upd_all
+      FROM h2 GROUP BY user_id
+    ),
+    h2_seg AS (
+      SELECT h.user_id, s.ls2, s.le2, s.upd_all,
+             CAST(COALESCE(SUM(CASE WHEN h.event_type NOT IN
+                     ('signup', 'error') AND h.rn > s.ls2
+                     THEN h.v END), 0) AS DECIMAL(28,2)) AS spend2,
+             CAST(COALESCE(SUM(CASE WHEN h.event_type NOT IN
+                     ('signup', 'error') AND h.rn > s.ls2
+                     THEN 1 END), 0) AS BIGINT) AS n2,
+             CAST(COALESCE(SUM(CASE WHEN h.event_type NOT IN
+                     ('signup', 'error') THEN 1 END), 0)
+                  AS BIGINT) AS n_all
+      FROM h2 h JOIN h2_state s USING (user_id)
+      GROUP BY h.user_id, s.ls2, s.le2, s.upd_all
+    ),
+    inc_state AS (
+      SELECT COALESCE(b.user_id, d.user_id) AS user_id,
+             CASE
+               -- H2 started a fresh row: only its final segment
+               WHEN d.ls2 IS NOT NULL
+                    AND (d.le2 IS NULL OR d.ls2 > d.le2)
+                 THEN d.spend2
+               -- H2 deleted (and never resurrected): no row
+               WHEN d.le2 IS NOT NULL THEN NULL
+               -- no lifecycle in H2: carry the checkpoint + updates
+               WHEN b.user_id IS NOT NULL
+                 THEN CAST(b.spend1 + COALESCE(d.upd_all, 0)
+                           AS DECIMAL(28,2))
+               ELSE NULL
+             END AS spend,
+             CASE
+               WHEN d.ls2 IS NOT NULL
+                    AND (d.le2 IS NULL OR d.ls2 > d.le2) THEN d.n2
+               WHEN d.le2 IS NOT NULL THEN NULL
+               WHEN b.user_id IS NOT NULL
+                 THEN b.n1 + COALESCE(d.n_all, 0)
+               ELSE NULL
+             END AS n_updates
+      FROM h1_rows b FULL OUTER JOIN h2_seg d ON d.user_id = b.user_id
+    ),
+    inc_rows AS (
+      SELECT user_id, spend, n_updates FROM inc_state
+      WHERE spend IS NOT NULL
+    )
+    SELECT COALESCE(f.user_id, i.user_id) AS user_id,
+           CAST(f.spend AS DOUBLE) AS spend_full,
+           f.n_updates AS n_full,
+           CAST(i.spend AS DOUBLE) AS spend_inc,
+           i.n_updates AS n_inc,
+           (f.user_id IS NOT NULL AND i.user_id IS NOT NULL
+            AND f.spend = i.spend
+            AND f.n_updates = i.n_updates) AS merge_ok
+    FROM full_state f FULL OUTER JOIN inc_rows i
+      ON i.user_id = f.user_id
+    ORDER BY user_id
+    """,
+)
+def q447_cdc_merge_certification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CDC MERGE-apply certification: the event stream is change
+    data per user — signup INSERTS (a re-signup resets the row),
+    error DELETES, click/view/purchase UPDATE-accumulate value when
+    (and only when) a live row exists. The final table is computed
+    two independent ways and must agree row-for-row: (A) full-stream
+    replay (a row survives iff the last signup outlives the last
+    error; spend is the value accumulated strictly after that final
+    signup), and (B) a checkpoint of the first half folded forward
+    with ONLY second-half events — the incremental MERGE a streaming
+    micro-batch performs against a snapshot, with all the tombstone /
+    resurrect / carry cases handled by explicit CASE arms. merge_ok
+    certifies A == B per user; a FULL OUTER JOIN surfaces rows either
+    path produces alone.
+
+    Determinism: the stream order is the (ts, event_id) total order;
+    spend accumulates in DECIMAL(28,2); counts are integers.
+
+    Scale: user-grain windows and reduces only — no corpus-wide
+    window, no self-join; the checkpoint fold touches H2 events plus
+    a user-grain state table, exactly the micro-batch shape.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("value").cast("decimal(28,2)").alias("v"),
+        (F.col("ts") < F.lit(CDC_SPLIT).cast("timestamp")).alias("in_h1"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("ts").asc(), F.col("event_id").asc()
+            )
+        )
+        .alias("rn"),
+    )
+    is_upd = ~F.col("event_type").isin("signup", "error")
+    wu = Window.partitionBy("user_id")
+    marked = ev.select(
+        "*",
+        F.max(
+            F.when(F.col("event_type") == "signup", F.col("rn"))
+        )
+        .over(wu)
+        .alias("ls"),
+        F.max(F.when(F.col("event_type") == "error", F.col("rn")))
+        .over(wu)
+        .alias("le"),
+    )
+
+    def seg_rows(df, ls_col):
+        return (
+            F.coalesce(
+                F.sum(
+                    F.when(is_upd & (F.col("rn") > F.col(ls_col)), F.col("v"))
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(28,2)"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        is_upd & (F.col("rn") > F.col(ls_col)), F.lit(1)
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+
+    spend_e, n_e = seg_rows(marked, "ls")
+    full_state = (
+        marked.groupBy("user_id")
+        .agg(
+            spend_e.alias("spend"),
+            n_e.alias("n_updates"),
+            F.max("ls").alias("ls"),
+            F.max("le").alias("le"),
+        )
+        .filter(
+            F.col("ls").isNotNull()
+            & (F.col("le").isNull() | (F.col("ls") > F.col("le")))
+        )
+        .select("user_id", "spend", "n_updates")
+    )
+
+    h1 = marked.filter(F.col("in_h1"))
+    h1_state = h1.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "signup", F.col("rn"))
+        ).alias("ls1"),
+        F.max(
+            F.when(F.col("event_type") == "error", F.col("rn"))
+        ).alias("le1"),
+    )
+    h1_rows = (
+        h1.join(h1_state, "user_id")
+        .filter(
+            F.col("ls1").isNotNull()
+            & (F.col("le1").isNull() | (F.col("ls1") > F.col("le1")))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(is_upd & (F.col("rn") > F.col("ls1")), F.col("v"))
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(28,2)")
+            .alias("spend1"),
+            F.coalesce(
+                F.sum(
+                    F.when(is_upd & (F.col("rn") > F.col("ls1")), F.lit(1))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n1"),
+        )
+    )
+
+    h2 = ev.filter(~F.col("in_h1"))
+    h2_state = h2.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "signup", F.col("rn"))
+        ).alias("ls2"),
+        F.max(
+            F.when(F.col("event_type") == "error", F.col("rn"))
+        ).alias("le2"),
+        F.coalesce(F.sum(F.when(is_upd, F.col("v"))), F.lit(0))
+        .cast("decimal(28,2)")
+        .alias("upd_all"),
+    )
+    h2_seg = (
+        h2.join(h2_state, "user_id")
+        .groupBy("user_id", "ls2", "le2", "upd_all")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(is_upd & (F.col("rn") > F.col("ls2")), F.col("v"))
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(28,2)")
+            .alias("spend2"),
+            F.coalesce(
+                F.sum(
+                    F.when(is_upd & (F.col("rn") > F.col("ls2")), F.lit(1))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n2"),
+            F.coalesce(F.sum(F.when(is_upd, F.lit(1))), F.lit(0))
+            .cast("bigint")
+            .alias("n_all"),
+        )
+    )
+    joined = h1_rows.alias("b").join(
+        h2_seg.alias("d"), "user_id", "full_outer"
+    )
+    fresh = F.col("d.ls2").isNotNull() & (
+        F.col("d.le2").isNull() | (F.col("d.ls2") > F.col("d.le2"))
+    )
+    inc_rows = joined.select(
+        "user_id",
+        F.when(fresh, F.col("d.spend2"))
+        .when(F.col("d.le2").isNotNull(), F.lit(None))
+        .when(
+            F.col("b.spend1").isNotNull(),
+            (F.col("b.spend1") + F.coalesce(F.col("d.upd_all"), F.lit(0)))
+            .cast("decimal(28,2)"),
+        )
+        .alias("spend"),
+        F.when(fresh, F.col("d.n2"))
+        .when(F.col("d.le2").isNotNull(), F.lit(None))
+        .when(
+            F.col("b.n1").isNotNull(),
+            F.col("b.n1") + F.coalesce(F.col("d.n_all"), F.lit(0)),
+        )
+        .alias("n_updates"),
+    ).filter(F.col("spend").isNotNull())
+
+    return (
+        full_state.alias("f")
+        .join(inc_rows.alias("i"), "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.col("f.spend").cast("double").alias("spend_full"),
+            F.col("f.n_updates").alias("n_full"),
+            F.col("i.spend").cast("double").alias("spend_inc"),
+            F.col("i.n_updates").alias("n_inc"),
+            (
+                F.col("f.spend").isNotNull()
+                & F.col("i.spend").isNotNull()
+                & (F.col("f.spend") == F.col("i.spend"))
+                & (F.col("f.n_updates") == F.col("i.n_updates"))
+            ).alias("merge_ok"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q448 UniMax budget allocation (waterfilling with epoch caps)
+#
+# The THIRD mixture policy beside q181/q243's temperature sampling:
+# UniMax (Chung et al. 2023) splits a token budget as evenly as
+# possible across sources but never takes more than C epochs of any
+# one source — i.e. exact waterfilling over caps c_i = C x s_i. The
+# closed form: sort caps ascending; a source is CAPPED iff granting
+# every not-yet-capped source at least its cap fits the budget
+# (prefix + cap x remaining <= B, a monotone prefix); the rest split
+# the leftover in integer division with largest-remainder
+# distribution. Everything is exact BIGINT token arithmetic — the
+# in-query feasibility flag certifies the allocation spends
+# min(B, sum caps) to the token.
+
+UNIMAX_EPOCH_CAP = 2
+UNIMAX_BUDGET_NUM, UNIMAX_BUDGET_DEN = 3, 5  # B = 3/5 of corpus tokens
+
+
+@register(
+    "q448_unimax_allocation",
+    category="llm-corpus-pipeline",
+    oracle=f"""
+    WITH src AS (
+      SELECT source,
+             CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+                  AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(tokens) * {UNIMAX_BUDGET_NUM}
+                  // {UNIMAX_BUDGET_DEN} AS BIGINT) AS budget,
+             CAST(COUNT(*) AS BIGINT) AS n_src
+      FROM src
+    ),
+    ranked AS (
+      SELECT s.source, s.tokens,
+             CAST(s.tokens * {UNIMAX_EPOCH_CAP} AS BIGINT) AS cap_tokens,
+             t.budget, t.n_src,
+             ROW_NUMBER() OVER (
+               ORDER BY s.tokens * {UNIMAX_EPOCH_CAP} ASC,
+                        s.source ASC) AS rk,
+             SUM(s.tokens * {UNIMAX_EPOCH_CAP}) OVER (
+               ORDER BY s.tokens * {UNIMAX_EPOCH_CAP} ASC, s.source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pre
+      FROM src s, tot t
+    ),
+    marked AS (
+      SELECT *,
+             (COALESCE(pre, 0) + cap_tokens * (n_src - rk + 1)
+              <= budget) AS capped
+      FROM ranked
+    ),
+    sums AS (
+      SELECT *,
+             CAST(SUM(CASE WHEN capped THEN cap_tokens ELSE 0 END)
+                  OVER () AS BIGINT) AS capped_tokens,
+             CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()
+                  AS BIGINT) AS n_capped,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY capped ORDER BY source ASC) AS BIGINT)
+               AS urk
+      FROM marked
+    ),
+    alloc AS (
+      SELECT source, tokens, cap_tokens, capped, budget,
+             CASE WHEN capped THEN cap_tokens
+                  WHEN n_src = n_capped THEN 0
+                  ELSE LEAST(cap_tokens,
+                    (budget - capped_tokens) // (n_src - n_capped)
+                    + CASE WHEN urk <=
+                        (budget - capped_tokens) % (n_src - n_capped)
+                      THEN 1 ELSE 0 END)
+             END AS alloc_tokens
+      FROM sums
+    )
+    SELECT source, tokens, cap_tokens, capped,
+           CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+           FLOOR(alloc_tokens * 1e6 / tokens + 0.5) / 1e6 AS epochs,
+           budget,
+           (CAST(SUM(alloc_tokens) OVER () AS BIGINT)
+            = LEAST(budget,
+                    CAST(SUM(cap_tokens) OVER () AS BIGINT)))
+             AS feasible_ok
+    FROM alloc
+    ORDER BY source
+    """,
+)
+def q448_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture allocation (Chung et al. 2023): split a token
+    budget (here {UNIMAX_BUDGET_NUM}/{UNIMAX_BUDGET_DEN} of the
+    corpus) across sources as uniformly as possible subject to a
+    {UNIMAX_EPOCH_CAP}-epoch repetition cap per source — the
+    waterfilling solution, computed in closed form: caps sorted
+    ascending, the capped prefix identified by the monotone test
+    prefix + cap x remaining <= budget, the leftover split by exact
+    integer division with largest-remainder top-up (deterministic by
+    source name). The low-resource sources hit their epoch cap; the
+    rest share evenly — the anti-memorization dial temperature
+    mixtures can't express. feasible_ok certifies the allocation
+    spends exactly min(budget, sum of caps) tokens.
+
+    Determinism: all token arithmetic is BIGINT (DIV/%); only the
+    epochs diagnostic touches the FLOOR grid.
+
+    Scale: one doc-grain token count, then every window runs over
+    the SOURCE-grain relation (a handful of rows at any corpus
+    size) — the planner's cost lives in the scan, as it should.
+    """
+    docs = t(spark, sf_dir, "documents").select("source", "text")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("tokens")
+    )
+    tot = src.agg(
+        F.sum("tokens").cast("bigint").alias("total_tokens"),
+        F.expr(
+            f"CAST(SUM(tokens) * {UNIMAX_BUDGET_NUM} "
+            f"DIV {UNIMAX_BUDGET_DEN} AS BIGINT)"
+        ).alias("budget"),
+        F.count(F.lit(1)).cast("bigint").alias("n_src"),
+    )
+    ranked = (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cap_tokens",
+            (F.col("tokens") * UNIMAX_EPOCH_CAP).cast("bigint"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("cap_tokens").asc(), F.col("source").asc()
+                )
+            ),
+        )
+        .withColumn(
+            "pre",
+            F.sum("cap_tokens").over(
+                Window.orderBy(
+                    F.col("cap_tokens").asc(), F.col("source").asc()
+                ).rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+    )
+    marked = ranked.withColumn(
+        "capped",
+        (
+            F.coalesce(F.col("pre"), F.lit(0))
+            + F.col("cap_tokens") * (F.col("n_src") - F.col("rk") + 1)
+        )
+        <= F.col("budget"),
+    )
+    wall = Window.partitionBy()
+    sums = (
+        marked.withColumn(
+            "capped_tokens",
+            F.sum(F.when(F.col("capped"), F.col("cap_tokens")).otherwise(0))
+            .over(wall)
+            .cast("bigint"),
+        )
+        .withColumn(
+            "n_capped",
+            F.sum(F.when(F.col("capped"), 1).otherwise(0))
+            .over(wall)
+            .cast("bigint"),
+        )
+        .withColumn(
+            "urk",
+            F.row_number()
+            .over(
+                Window.partitionBy("capped").orderBy(F.col("source").asc())
+            )
+            .cast("bigint"),
+        )
+    )
+    alloc = sums.withColumn(
+        "alloc_tokens",
+        F.when(F.col("capped"), F.col("cap_tokens"))
+        .when(F.col("n_src") == F.col("n_capped"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.col("cap_tokens"),
+                F.expr(
+                    "(budget - capped_tokens) DIV (n_src - n_capped)"
+                    " + CASE WHEN urk <="
+                    " (budget - capped_tokens) % (n_src - n_capped)"
+                    " THEN 1 ELSE 0 END"
+                ),
+            )
+        )
+        .cast("bigint"),
+    )
+    return (
+        alloc.select(
+            "source",
+            "tokens",
+            "cap_tokens",
+            "capped",
+            "alloc_tokens",
+            (
+                F.floor(
+                    F.col("alloc_tokens") * F.lit(1e6) / F.col("tokens")
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("epochs"),
+            "budget",
+            (
+                F.sum("alloc_tokens").over(wall).cast("bigint")
+                == F.least(
+                    F.col("budget"),
+                    F.sum("cap_tokens").over(wall).cast("bigint"),
+                )
+            ).alias("feasible_ok"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q449 Selinger left-deep join enumeration (4-relation star)
+#
+# q431 costed the two orders of a 3-relation chain; this is the real
+# System R exercise over the 4-relation star L-O-C / L-S: enumerate
+# every CONNECTED left-deep order (cross products pruned — 8 of the
+# 24 permutations survive), cost each as the classic C_out sum of
+# estimated intermediate cardinalities under the independence model
+# |prefix| = PROD(n_i) / PROD(max NDV per joined edge), and rank.
+# The per-order cost EXPRESSIONS are generated once in Python and
+# fed verbatim to both engines, so the floating product/division
+# sequence is bit-identical by construction.
+
+_SELINGER_REL = {"L": "n_l", "O": "n_o", "C": "n_c", "S": "n_s"}
+_SELINGER_EDGES = {
+    frozenset("LO"): "GREATEST(ndv_l_ok, ndv_o_ok)",
+    frozenset("OC"): "GREATEST(ndv_o_ck, ndv_c_ck)",
+    frozenset("LS"): "GREATEST(ndv_l_sk, ndv_s_sk)",
+}
+
+
+def _selinger_orders() -> list[str]:
+    """All connected left-deep orders of L,O,C,S (a new relation must
+    share an edge with the prefix)."""
+    from itertools import permutations
+
+    orders = []
+    for perm in permutations("LOCS"):
+        have = {perm[0]}
+        ok = True
+        for r in perm[1:]:
+            if not any(frozenset((r, h)) in _SELINGER_EDGES for h in have):
+                ok = False
+                break
+            have.add(r)
+        if ok:
+            orders.append("".join(perm))
+    return orders
+
+
+def _selinger_card_sql(prefix: str) -> str:
+    """Estimated cardinality of the join of ``prefix``'s relations:
+    PROD sizes / PROD per-edge max-NDVs, FLOOR'd to BIGINT. The
+    multiplication order is fixed (relation order, then edge order)
+    so both engines run the identical IEEE sequence."""
+    rels = list(prefix)
+    num = " * ".join(
+        [f"CAST({_SELINGER_REL[rels[0]]} AS DOUBLE)"]
+        + [_SELINGER_REL[r] for r in rels[1:]]
+    )
+    edges = [
+        sql
+        for pair, sql in sorted(
+            _SELINGER_EDGES.items(), key=lambda kv: sorted(kv[0])
+        )
+        if pair <= frozenset(rels)
+    ]
+    if not edges:
+        return f"CAST(FLOOR({num}) AS BIGINT)"
+    den = " * ".join([f"CAST({edges[0]} AS DOUBLE)"] + edges[1:])
+    return f"CAST(FLOOR({num} / ({den})) AS BIGINT)"
+
+
+def _selinger_cost_sql(order: str) -> str:
+    """C_out: sum of the estimated sizes of every join prefix."""
+    return " + ".join(
+        _selinger_card_sql(order[: k + 1]) for k in range(1, len(order))
+    )
+
+
+_SELINGER_STATS_SQL = """
+      SELECT
+        (SELECT COUNT(*) FROM lineitem) AS n_l,
+        (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS ndv_l_ok,
+        (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem) AS ndv_l_sk,
+        (SELECT COUNT(*) FROM orders) AS n_o,
+        (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS ndv_o_ok,
+        (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS ndv_o_ck,
+        (SELECT COUNT(*) FROM customer) AS n_c,
+        (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS ndv_c_ck,
+        (SELECT COUNT(*) FROM supplier) AS n_s,
+        (SELECT COUNT(DISTINCT s_suppkey) FROM supplier) AS ndv_s_sk
+"""
+
+
+@register(
+    "q449_selinger_enumeration",
+    category="relational",
+    oracle=f"""
+    WITH s AS ({_SELINGER_STATS_SQL}),
+    costed AS (
+      {" UNION ALL ".join(
+        f"SELECT '{o}' AS join_order, {_selinger_cost_sql(o)} AS est_cost "
+        f"FROM s"
+        for o in _selinger_orders()
+      )}
+    )
+    SELECT join_order, est_cost,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY est_cost ASC, join_order ASC) AS BIGINT) AS rk,
+           (ROW_NUMBER() OVER (ORDER BY est_cost ASC, join_order ASC)
+            = 1) AS recommended
+    FROM costed
+    ORDER BY rk
+    """,
+)
+def q449_selinger_enumeration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """System R (Selinger) left-deep join enumeration over the
+    4-relation star lineitem-orders-customer + lineitem-supplier:
+    the 8 connected left-deep orders (cross products pruned at
+    enumeration time, the same rule every CBO applies), each costed
+    as C_out = sum of estimated intermediate-result sizes under the
+    textbook independence model |prefix| = PROD(sizes) / PROD(max
+    join-key NDV per in-prefix edge), from exact in-query statistics
+    (the ANALYZE TABLE numbers). Ranked ascending; rank 1 is the
+    order a cost-based optimizer would pick. Completes the engine-
+    maintenance advisor suite: q431 (pairwise order), q314
+    (broadcast), q440 (skew salt).
+
+    Determinism: statistics are exact integers; every per-prefix
+    estimate FLOORs one double product/division chain whose
+    expression text is GENERATED ONCE and handed verbatim to both
+    engines; cost sums are BIGINT; ties rank by order name.
+
+    Scale: four scans with partial count-distinct aggregates — the
+    advisor costs 8 plans without executing any join; the
+    enumeration itself is O(1) rows.
+    """
+    # register the four tables as temp views so the SAME scalar-
+    # subquery stats SQL runs on Spark (keeps the two engines'
+    # arithmetic textually identical end-to-end)
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("q449_lineitem")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("q449_orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("q449_customer")
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("q449_supplier")
+    stats_sql = (
+        _SELINGER_STATS_SQL.replace("FROM lineitem", "FROM q449_lineitem")
+        .replace("FROM orders", "FROM q449_orders")
+        .replace("FROM customer", "FROM q449_customer")
+        .replace("FROM supplier", "FROM q449_supplier")
+    )
+    union = " UNION ALL ".join(
+        f"SELECT '{o}' AS join_order, {_selinger_cost_sql(o)} AS est_cost "
+        f"FROM s"
+        for o in _selinger_orders()
+    )
+    return spark.sql(
+        f"""
+        WITH s AS ({stats_sql}),
+        costed AS ({union})
+        SELECT join_order, est_cost,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY est_cost ASC, join_order ASC) AS BIGINT) AS rk,
+               (ROW_NUMBER() OVER (ORDER BY est_cost ASC, join_order ASC)
+                = 1) AS recommended
+        FROM costed
+        ORDER BY rk
+        """
     )

@@ -259,6 +259,16 @@ AUDITED_SITES = {
     ("queries/round5.py", "q437_blocking_quality", "hit"),
     ("queries/round5.py", "q437_blocking_quality", "truth"),
     ("queries/round5.py", "q438_decile_gains", "tot"),
+    ("queries/round5.py", "q440_skew_join_advisor", "tot"),
+    # q444: bounds/target/picked are 1-row scalar relations (global
+    # min/max/count, the winning histogram bucket, the picked median)
+    ("queries/round5.py", "q444_distributed_median", "bounds"),
+    ("queries/round5.py", "q444_distributed_median", "picked"),
+    ("queries/round5.py", "q444_distributed_median", "target"),
+    ("queries/round5.py", "q445_woe_iv_binning", "n"),
+    ("queries/round5.py", "q445_woe_iv_binning", "tot"),
+    ("queries/round5.py", "q446_rendezvous_sharding", "tot"),
+    ("queries/round5.py", "q448_unimax_allocation", "tot"),
     ("queries/similarity.py", "_pq_dist_and_codes", "train"),
     ("queries/similarity.py", "q343_pq_adc_topk", "qtab"),
     ("queries/similarity.py", "q344_ivf_pq_probe", "coarse"),

@@ -126,6 +126,21 @@ EVENT_QUERIES = [
     # ranking); zero-purchase corpora NULL capture and lift on both
     # engines; n<10 users leave decile gaps
     "q438_decile_gains",
+    # r5: groups smaller than the sample K make k_eff == n_rows
+    # (sample must EQUAL exact, zero error); 1-row groups pin every
+    # order statistic to the same value on both engines
+    "q441_sample_quantile_certification",
+    # r5: zero-purchase corpora make every bin all-neg (the 0.5
+    # smoothing is the only thing keeping ln finite — both engines
+    # must agree on the smoothed ratio); n<5 users leave bin gaps
+    # and shrink the IV sum width
+    "q445_woe_iv_binning",
+    # r5: generated 2024 streams fall entirely into H2 (empty
+    # checkpoint — every user takes the fresh/delete arms);
+    # signup/error orderings attack the tombstone-resurrect CASE
+    # lattice and the (ts, event_id) duplicate-ts tie-break; users
+    # with updates only must vanish from BOTH paths
+    "q447_cdc_merge_certification",
     # r5: tiny user pools can empty val/test splits entirely (zero
     # rows for a split on both engines); single-user corpora put
     # 100% of rows in one split
@@ -335,6 +350,28 @@ DOC_QUERIES = [
     # all-same-(lang,source) corpora pin completeness denominator;
     # tiny length spreads collapse every doc into one block
     "q437_blocking_quality",
+    # r5: generated doc lengths vary the TIFF card dims AND the
+    # compression parity mix; 1-doc corpora exercise the
+    # inline-vs-offset IFD branch (h=1 strips fit inline)
+    "q439_tiff_pixel_decode",
+    # r5: single-doc languages NULL match_rate (zero candidates);
+    # duplicate n_chars attack the (n_chars, doc_id) sort tie-break;
+    # 2-3 doc partitions truncate the LEAD-3 neighborhood
+    "q442_sorted_neighborhood_pairs",
+    # r5: 1-word docs have NO bigram (the COALESCE/LEFT-JOIN branch
+    # on both engines); repeated-word docs force top-2-gram count
+    # ties onto the (c, w, nxt) tie-break; tiny WORD pool makes
+    # dup_word_frac land on exact grid boundaries
+    "q443_repetition_filters",
+    # r5: tiny doc sets concentrate every doc into few shards (empty
+    # shards must be ABSENT rows, not zero rows, on both engines);
+    # the stable_ok certification must hold on any corpus
+    "q446_rendezvous_sharding",
+    # r5: single-source corpora make the waterfill trivial (one cap
+    # vs the whole budget); equal-size sources tie the ascending
+    # sort onto the source-name tie-break; tiny corpora hit the
+    # all-capped branch (budget under-spent, feasible_ok still true)
+    "q448_unimax_allocation",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get
@@ -414,6 +451,21 @@ ORDER_QUERIES = [
     # EMPTY — all-NULL revenue spine, interpolated=true everywhere,
     # both engines must agree on the fully-absent-neighbors branch
     "q435_gap_fill_interpolate",
+    # r5: the 3-supplier pool keeps every run under the top-5 cap
+    # (short output) and often ties key_rows (pure suppkey ranking,
+    # skew_ratio ~1); zero-lineitem corpora empty both engines; salt
+    # CEIL must agree on exact-division boundaries
+    "q440_skew_join_advisor",
+    # r5: generated prices collapse the min==max case (hi-lo+1 = 1,
+    # every row in bucket 0 — the refinement must still find rank k);
+    # heavy duplicate cents put k on a tie plateau; 1-row lineitem
+    # pins median == the row on both engines
+    "q444_distributed_median",
+    # r5: tiny generated tables tie several join-order costs (rank
+    # by order name must agree); empty lineitem zeroes the L-side
+    # stats while the static customer/supplier fixtures keep every
+    # GREATEST denominator positive
+    "q449_selinger_enumeration",
     # r5: NDV estimates on 4-customer pools tie est_lo == est_oc
     # (the <= tie must recommend identically); generated custkeys
     # 0..3 join the sf0.001 customer fixture partially
