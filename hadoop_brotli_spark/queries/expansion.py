@@ -3005,7 +3005,10 @@ VOPT_B = 4  # buckets (choose 3 cuts from the candidates)
     SELECT b.bucket_id,
            CAST(b.lo AS BIGINT) AS lo_rank, CAST(b.hi AS BIGINT) AS hi_rank,
            CAST(s.cnt AS BIGINT) AS n_days,
-           ROUND(s.mean / 100, 2) AS mean_revenue,
+           -- FLOOR half-up, not ROUND: mean cents / 100 can land
+           -- exactly on a .005 tie where Spark rounds half-up and
+           -- DuckDB half-even (hunt-found, r5)
+           FLOOR(s.mean + 0.5) / 100 AS mean_revenue,
            -- integer dollars^2: 1e14-scale SSE has no representable
            -- 2-decimal rounding in double; FLOOR half-up grid
            CAST(FLOOR(s.e / 10000 + 0.5) AS BIGINT) AS bucket_sse,
@@ -3153,7 +3156,7 @@ def q416_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lo").cast("bigint").alias("lo_rank"),
         F.col("hi").cast("bigint").alias("hi_rank"),
         F.col("cnt").cast("bigint").alias("n_days"),
-        F.round(F.col("mean") / 100, 2).alias("mean_revenue"),
+        (F.floor(F.col("mean") + F.lit(0.5)) / 100).alias("mean_revenue"),
         F.floor(F.col("e") / 10000 + F.lit(0.5)).cast("bigint").alias("bucket_sse"),
         F.col("total_sse"),
     )

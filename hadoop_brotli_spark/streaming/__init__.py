@@ -5,6 +5,7 @@ from .jobs import (  # noqa: F401
     click_purchase_join,
     purchase_click_left_join,
     dedup_events,
+    dedup_events_within_watermark,
     read_events_stream,
     session_aggregate,
     sliding_counts,

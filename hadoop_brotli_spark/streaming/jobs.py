@@ -525,3 +525,29 @@ def read_kmv(spark: SparkSession, target_dir: str, k: int = 64) -> DataFrame:
         .otherwise(F.lit(float(k - 1)) * F.lit(float(1 << 56)) / F.col("hk"))
         .alias("estimate"),
     )
+
+
+def dedup_events_within_watermark(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming dedup via ``dropDuplicatesWithinWatermark`` — the
+    Spark 3.5+/4 sibling of :func:`dedup_events` with a materially
+    different state contract: instead of "remember every id until
+    its OWN event time ages out", a duplicate is dropped only if it
+    arrives within the watermark delay of the first-seen row, and the
+    state row's timer is set from the FIRST event's time. Two
+    consequences at 100 TB: (1) late duplicates beyond the delay are
+    admitted (at-least-once across long replays — pair with an
+    idempotent sink), and (2) state is evicted on the first-seen
+    clock, so a hot id never pins a state row forever the way a
+    stream of always-fresh duplicates can with plain
+    ``dropDuplicates``. Downstream aggregation still works because
+    the watermark column survives.
+
+    Reference parity note: the reference repo (a Hadoop compression
+    codec) has no streaming surface; this extends SURVEY.md §2b
+    streaming.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -220,6 +220,32 @@ def test_streaming_dedup(spark, sf_dir, tmp_path):
     assert got.n == want == got.d
 
 
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates arriving inside the
+    watermark delay (same micro-batch replayed twice) collapse to one
+    row per event_id, matching both the batch distinct count and the
+    dropDuplicates variant — while exercising the first-seen-clock
+    state contract (Spark 3.5+/4 API surface)."""
+    import shutil
+    from hadoop_brotli_spark.streaming import dedup_events_within_watermark
+
+    src = f"{sf_dir}/events.parquet"
+    d = tmp_path / "dup_events_wm"
+    d.mkdir()
+    shutil.copy(src, d / "events_a.parquet")
+    shutil.copy(src, d / "events_b.parquet")
+
+    stream = dedup_events_within_watermark(
+        read_events_stream(spark, str(d))
+    ).select("event_id", "event_type")
+    run_to_completion(stream, "t_dedup_wm", "append")
+    got = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM t_dedup_wm"
+    ).first()
+    want = load_table(spark, sf_dir, "events").count()
+    assert got.n == want == got.d
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir):
     """Stream-stream time-interval join == the same join in batch."""
     from hadoop_brotli_spark.streaming import click_purchase_join
