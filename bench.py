@@ -61,6 +61,11 @@ DEPTH = [
     # graph propagation with localCheckpoint lineage control (q406)
     "q422_jpeg_progressive_decode",
     "q406_label_propagation",
+    # round-5 addition: the 2-pass bucket-refinement median — tracks
+    # the "exact global order statistic without a global sort" plan
+    # shape (scalar bounds broadcast + combinable histogram + one
+    # bucket-slice rank) round-over-round
+    "q444_distributed_median",
 ]
 
 

@@ -2010,3 +2010,205 @@ def q439_tiff_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return meta.mapInPandas(run, schema=out_schema)
+
+
+# --------------------- q450 REAL box-filter image downsample (3x)
+
+
+@register(
+    "q450_image_box_resize",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 3 * (8 + n_chars % 8) AS w, 3 * (4 + n_chars % 4) AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, x // 3 AS ox, y // 3 AS oy,
+             (2 * x + 7 * y + doc_id) % 256 AS r,
+             (5 * x + 3 * y + 2 * doc_id) % 256 AS g,
+             (x + y + 5 * doc_id) % 256 AS b
+      FROM m, UNNEST(range(w)) AS rx(x), UNNEST(range(h)) AS ry(y)
+    ),
+    outpx AS (
+      -- the box filter: each 3x3 source block averages (floor) into
+      -- one output pixel — exact integer SUM // 9
+      SELECT doc_id, w, h, ox, oy,
+             SUM(r) // 9 AS orr, SUM(g) // 9 AS og, SUM(b) // 9 AS ob
+      FROM px GROUP BY doc_id, w, h, ox, oy
+    )
+    SELECT doc_id,
+           CAST(w // 3 AS BIGINT) AS out_w,
+           CAST(h // 3 AS BIGINT) AS out_h,
+           FLOOR(CAST(SUM(orr) AS DOUBLE) * 1000000.0
+                 / ((w // 3) * (h // 3)) + 0.5) / 1000000.0 AS mean_r,
+           FLOOR(CAST(SUM(ob) AS DOUBLE) * 1000000.0
+                 / ((w // 3) * (h // 3)) + 0.5) / 1000000.0 AS mean_b,
+           CAST(MAX(CASE WHEN ox = 0 AND oy = 0 THEN orr END)
+                AS BIGINT) AS tl_r,
+           CAST(MAX(CASE WHEN ox = w // 3 - 1 AND oy = h // 3 - 1
+                    THEN ob END) AS BIGINT) AS br_b,
+           CAST(MAX(CASE WHEN ox = (w // 3) // 2 AND oy = (h // 3) // 2
+                    THEN og END) AS BIGINT) AS center_g
+    FROM outpx
+    GROUP BY doc_id, w, h
+    """,
+)
+def q450_image_box_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel resample (the missing half of q93's resize
+    PLANNING): decode a BMP test card and downsample it 3x with an
+    exact box filter — every 3x3 source block floor-averages into one
+    output pixel, the anti-aliased integer-factor resize production
+    thumbnail/vision pipelines use (PIL ``reduce``, OpenCV
+    INTER_AREA). All arithmetic is integer (SUM // 9), so the oracle
+    replays the ENTIRE resized image from the card formula and pins
+    corner/center probes plus channel means — a flipped block
+    boundary, a truncation-vs-round slip, or a channel swap in the
+    resampler breaks the hash.
+
+    Scale: decode + resample run task-locally in Arrow-batched
+    mapInPandas (one image in flight per row, zero pixel shuffle);
+    the probes are the only columns that leave the task.
+    """
+    import numpy as np
+
+    from ..functions.media import build_bmp, decode_bmp_pixels
+
+    meta = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out_schema = (
+        "doc_id long, out_w long, out_h long, mean_r double, "
+        "mean_b double, tl_r long, br_b long, center_g long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = int(doc_id), int(n_chars)
+                w, h = 3 * (8 + n % 8), 3 * (4 + n % 4)
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                card = np.stack(
+                    [
+                        (2 * xs + 7 * ys + d) % 256,
+                        (5 * xs + 3 * ys + 2 * d) % 256,
+                        (xs + ys + 5 * d) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                blob = build_bmp(w, h, card)
+                dw, dh, rgb = decode_bmp_pixels(blob)
+                # ---- operator under test: 3x box-filter resample ----
+                ow, oh = dw // 3, dh // 3
+                blocks = (
+                    rgb.astype(np.int64)
+                    .reshape(oh, 3, ow, 3, 3)
+                    .sum(axis=(1, 3))
+                    // 9
+                )
+                npx = ow * oh
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "out_w": ow,
+                        "out_h": oh,
+                        "mean_r": _grid_mean(int(blocks[:, :, 0].sum()), npx),
+                        "mean_b": _grid_mean(int(blocks[:, :, 2].sum()), npx),
+                        "tl_r": int(blocks[0, 0, 0]),
+                        "br_b": int(blocks[oh - 1, ow - 1, 2]),
+                        "center_g": int(blocks[oh // 2, ow // 2, 1]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return meta.mapInPandas(run, schema=out_schema)
+
+
+# ------------------ q451 REAL FIR audio decimation (2x downsample)
+
+
+@register(
+    "q451_audio_decimation",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 64 + 2 * (n_chars % 32) AS n_in
+      FROM documents
+    ),
+    src AS (
+      SELECT doc_id, n_in, i,
+             ((doc_id * 37 + i * i) % 4001) - 2000 AS s
+      FROM m, UNNEST(range(n_in)) AS ri(i)
+    ),
+    -- decimate by 2 through the [1,2,1]/4 FIR: out[k] uses
+    -- in[2k-1], in[2k], in[2k+1] with edge clamp; integer
+    -- floor-division like the int16 DSP kernel it models
+    outs AS (
+      SELECT c.doc_id, c.n_in, c.i // 2 AS k,
+             CAST(FLOOR((l.s + 2 * c.s + r.s) / 4.0) AS BIGINT) AS y
+      FROM src c
+      JOIN src l ON l.doc_id = c.doc_id
+                AND l.i = GREATEST(c.i - 1, 0)
+      JOIN src r ON r.doc_id = c.doc_id
+                AND r.i = LEAST(c.i + 1, c.n_in - 1)
+      WHERE c.i % 2 = 0
+    )
+    SELECT doc_id,
+           CAST(MAX(n_in) AS BIGINT) AS n_in,
+           CAST(COUNT(*) AS BIGINT) AS n_out,
+           CAST(SUM(ABS(y)) AS BIGINT) AS abs_sum,
+           CAST(MAX(CASE WHEN k = 0 THEN y END) AS BIGINT) AS first_y
+    FROM outs
+    GROUP BY doc_id
+    """,
+)
+def q451_audio_decimation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio downsample: each document carries a deterministic
+    PCM16 signal written through ``build_wav``; the operator decodes
+    the RIFF bytes back (``parse_wav``) and decimates 2x through the
+    [1, 2, 1]/4 anti-aliasing FIR with edge clamp and integer floor
+    division — the 16 kHz -> 8 kHz resample an audio training
+    pipeline runs before feature extraction, in exact int16-style
+    arithmetic so the oracle replays every output sample from the
+    signal formula.
+
+    Scale: WAV decode + FIR run task-locally in mapInPandas; only
+    per-doc aggregates (output length, total energy, first sample)
+    leave the task. The FIR is O(n) with a 1-sample neighborhood —
+    embarrassingly parallel at any corpus size.
+    """
+    import numpy as np
+
+    from ..functions.media import build_wav, parse_wav
+
+    meta = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out_schema = (
+        "doc_id long, n_in long, n_out long, abs_sum long, first_y long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = int(doc_id), int(n_chars)
+                n_in = 64 + 2 * (n % 32)
+                i = np.arange(n_in, dtype=np.int64)
+                sig = ((d * 37 + i * i) % 4001) - 2000
+                blob = build_wav(sig.astype("<i2"), 16000)
+                # ---- operator under test: decode + decimate ----
+                _, _, _, samples = parse_wav(blob)
+                s = np.asarray(samples, dtype=np.int64)
+                left = s[np.maximum(i - 1, 0)][::2]
+                mid = s[::2]
+                right = s[np.minimum(i + 1, n_in - 1)][::2]
+                y = np.floor_divide(left + 2 * mid + right, 4)
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "n_in": n_in,
+                        "n_out": int(y.size),
+                        "abs_sum": int(np.abs(y).sum()),
+                        "first_y": int(y[0]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return meta.mapInPandas(run, schema=out_schema)

@@ -330,6 +330,10 @@ PINNED_EXCHANGES = {
     # localCheckpointed edge list
     "q422_jpeg_progressive_decode": 0,
     "q406_label_propagation": 16,
+    # r5 depth addition: 10 = the 2-pass refinement's honest budget
+    # (scalar bounds, 256-bucket histogram + cumulative walk, the
+    # winning-bucket rank, final scalar joins; 1 scan reused)
+    "q444_distributed_median": 10,
 }
 
 

@@ -372,6 +372,14 @@ DOC_QUERIES = [
     # sort onto the source-name tie-break; tiny corpora hit the
     # all-capped branch (budget under-spent, feasible_ok still true)
     "q448_unimax_allocation",
+    # r5: generated doc lengths sweep every (24..45 x 12..21) card
+    # through the BMP decode + 3x box filter; odd out_w pins the
+    # center probe off-by-one on both engines
+    "q450_image_box_resize",
+    # r5: minimum-length docs hit the 64-sample floor; the edge
+    # clamp (first/last FIR taps) must floor-divide negatives
+    # identically on both engines
+    "q451_audio_decimation",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get
