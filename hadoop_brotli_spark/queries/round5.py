@@ -1963,10 +1963,13 @@ REP_DUPW_MAX = 0.50  # duplicate-word-fraction gate
     """,
 )
 def q443_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Repetition quality gates (the Gopher pipeline's n-gram family,
-    Rae et al. 2021): per document, the duplicate-word fraction
-    (1 - distinct/total) and the character share of the single most
-    frequent word 2-gram (count x bigram char length / doc chars) —
+    """Repetition quality GATES (the Gopher pipeline's n-gram family,
+    Rae et al. 2021) — distinct from q96's trigram token-share
+    score: Gopher's thresholds are defined on CHARACTER shares and
+    the decision is a boolean keep/drop, not a score. Per document,
+    the duplicate-word fraction (1 - distinct/total) and the
+    character share of the single most frequent word 2-gram
+    (count x bigram char length / doc chars) —
     a doc whose top bigram covers >{REP_TOP2_MAX:.0%} of its
     characters or whose words are >{REP_DUPW_MAX:.0%} duplicates is
     dropped. The keep flag compares in EXACT integer cross-products
@@ -2266,12 +2269,17 @@ def q444_distributed_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q445_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weight-of-Evidence / Information-Value feature audit: users
-    quintile-binned by click count (the explicit FLOOR((rk-1)*5/n)
-    rule, same as q438's deciles), per-bin WOE =
-    ln(smoothed pos share / smoothed neg share) with the standard
-    0.5-count smoothing (never a log of zero), and the feature-level
-    IV as the cross-bin sum of (pos_share - neg_share) x WOE.
+    """Weight-of-Evidence with the TOTAL Information Value q272
+    deliberately avoided: q272 bins by value thresholds and reports
+    per-bin IV *contributions* only, because a naive cross-bin float
+    sum is partition-order-dependent. This op closes that gap — users
+    are RANK-binned into exact quintiles (the explicit
+    FLOOR((rk-1)*5/n) rule, q438's convention, so bin populations are
+    equal by construction rather than threshold-dependent), per-bin
+    WOE = ln(smoothed pos share / smoothed neg share) with 0.5-count
+    smoothing, and the single feature-level IV = SUM((pos_share -
+    neg_share) x WOE) every scorecard actually thresholds on
+    (IV < 0.02 useless, > 0.5 suspicious).
 
     Determinism: smoothed shares are exact-integer-ratio doubles
     (identical IEEE division on both engines); WOE rides the ROUND-6
