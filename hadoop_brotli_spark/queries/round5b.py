@@ -1,0 +1,1876 @@
+"""Round-5 continuation operators: columnar-encoding advisor,
+Krippendorff's alpha, AR(1) Yule-Walker fit, and Page-Hinkley drift
+detection — four classic engine/stats/stream-monitoring ops the
+451-query registry did not yet cover.
+
+Shares the repo's determinism contract (FIXTURES.md): md5-derived
+uniforms for anything random, exact integer / DECIMAL reductions for
+cross-row sums, integer half-up DIV grids instead of float ROUND on
+tie-prone ratios, and total-order tie-breakers on every ranked
+output.
+
+Reference parity note: the reference (tesseract2048/hadoop-brotli)
+is a compression codec (`BroCodec.java`) with no query surface;
+these extend the engine's analytics layer per SURVEY.md §2b. q452
+is a direct cousin of the reference's raison d'être — choosing a
+physical encoding by measured byte cost (`BroCompressor.java`'s
+quality/ratio trade) — lifted to the columnar-layout layer.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+# ---------------------------------------------------------------------------
+# q452 columnar encoding advisor (plain vs dictionary vs RLE)
+#
+# The Parquet/ORC writer decision (Abadi, Madden & Ferreira, SIGMOD
+# 2006: "Integrating Compression and Execution in Column-Oriented
+# Database Systems"): per column, estimate the encoded size under
+# PLAIN (raw bytes), DICTIONARY (distinct-value dictionary + fixed-
+# width indexes), and RLE (runs × (value + 32-bit length)), and
+# recommend the cheapest. Run boundaries are physical-order-
+# dependent, so the advisor pins the order to the table's natural
+# key (l_orderkey, l_linenumber) and counts runs WITHIN each order —
+# a partitioned window, never a global sort. Index bit-width is
+# LENGTH(BIN(ndv-1)) — pure integer, no log2 float boundary.
+
+ENC_COLS_SQL = """
+      SELECT 'l_returnflag' AS col_name,
+             CAST(l_returnflag AS VARCHAR) AS v,
+             l_orderkey, l_linenumber FROM lineitem
+      UNION ALL
+      SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR),
+             l_orderkey, l_linenumber FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity',
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR),
+             l_orderkey, l_linenumber FROM lineitem
+      UNION ALL
+      SELECT 'l_discount',
+             CAST(CAST(l_discount AS DECIMAL(12,2)) AS VARCHAR),
+             l_orderkey, l_linenumber FROM lineitem
+      UNION ALL
+      SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR),
+             l_orderkey, l_linenumber FROM lineitem
+      UNION ALL
+      SELECT 'l_shipdate',
+             CAST(CAST(l_shipdate AS DATE) AS VARCHAR),
+             l_orderkey, l_linenumber FROM lineitem
+"""
+
+
+@register(
+    "q452_encoding_advisor",
+    category="mixed-extensions",
+    oracle=f"""
+    WITH long AS (
+      {ENC_COLS_SQL}
+    ),
+    vals AS (
+      SELECT col_name, v, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(LENGTH(v) AS BIGINT) AS len
+      FROM long GROUP BY col_name, v
+    ),
+    colstats AS (
+      SELECT col_name,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS ndv,
+             CAST(SUM(n * len) AS BIGINT) AS data_bytes,
+             CAST(SUM(len) AS BIGINT) AS dict_bytes,
+             CAST(MAX(len) AS BIGINT) AS max_len
+      FROM vals GROUP BY col_name
+    ),
+    runs AS (
+      SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_runs
+      FROM (
+        SELECT col_name,
+               CASE WHEN LAG(v) OVER (
+                      PARTITION BY col_name, l_orderkey
+                      ORDER BY l_linenumber, v)
+                    IS DISTINCT FROM v
+                    THEN 1 ELSE 0 END AS run_start
+        FROM long
+      )
+      WHERE run_start = 1
+      GROUP BY col_name
+    ),
+    sized AS (
+      SELECT c.col_name, c.n_rows, c.ndv, r.n_runs,
+             CAST(8 * c.data_bytes AS BIGINT) AS plain_bits,
+             CAST(8 * c.dict_bytes
+                  + c.n_rows * LENGTH(BIN(c.ndv - 1)) AS BIGINT)
+               AS dict_bits,
+             CAST(r.n_runs * (8 * c.max_len + 32) AS BIGINT)
+               AS rle_bits
+      FROM colstats c JOIN runs r USING (col_name)
+    )
+    SELECT col_name, n_rows, ndv, n_runs,
+           plain_bits, dict_bits, rle_bits,
+           CASE WHEN dict_bits <= plain_bits AND dict_bits <= rle_bits
+                  THEN 'dict'
+                WHEN rle_bits <= plain_bits THEN 'rle'
+                ELSE 'plain' END AS encoding
+    FROM sized
+    ORDER BY col_name
+    """,
+)
+def q452_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar encoding advisor — the Parquet/ORC writer's
+    plain-vs-dictionary-vs-RLE decision (Abadi et al., SIGMOD 2006)
+    as a query: melt six lineitem columns to (col_name, value) long
+    form in ONE scan (``stack``), size each encoding from exact
+    integer stats, and recommend the cheapest.
+
+    * PLAIN = 8 × total value bytes.
+    * DICT  = 8 × distinct-value bytes + n_rows × ceil(log2(ndv))
+      index bits, where the bit-width is ``LENGTH(BIN(ndv-1))`` —
+      pure integer on both engines, no log2 float boundary.
+    * RLE   = runs × (8 × max value bytes + 32-bit run length),
+      runs counted WITHIN each (col, orderkey) group ordered by
+      (l_linenumber, v) — the table's natural clustering, with the
+      value itself breaking the fixture's duplicate line numbers —
+      so the metric is deterministic and needs no global sort.
+
+    Determinism: numeric columns are stringified through
+    DECIMAL(12,2) (exact 2-decimal fixtures) so both engines render
+    identical text; every byte/bit count is BIGINT; the recommend
+    CASE has a fixed dict > rle > plain tie preference.
+
+    Scale: one scan + one (col,value)-grain exchange that partial
+    aggregation collapses, one partitioned window at the table's
+    natural key (no global sort), and a 6-row join. At 100 TB the
+    value-grain pre-aggregate is the standard two-level NDV plan;
+    run counting stays co-partitioned with the scan order.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    long_df = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(6, "
+            "'l_returnflag', CAST(l_returnflag AS STRING), "
+            "'l_linestatus', CAST(l_linestatus AS STRING), "
+            "'l_quantity', CAST(CAST(l_quantity AS DECIMAL(12,2)) AS STRING), "
+            "'l_discount', CAST(CAST(l_discount AS DECIMAL(12,2)) AS STRING), "
+            "'l_suppkey', CAST(l_suppkey AS STRING), "
+            "'l_shipdate', CAST(CAST(l_shipdate AS DATE) AS STRING)"
+            ") AS (col_name, v)"
+        ),
+    )
+    vals = long_df.groupBy("col_name", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    colstats = vals.select(
+        "col_name", "n", F.length("v").cast("bigint").alias("len")
+    ).groupBy("col_name").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("ndv"),
+        F.sum(F.col("n") * F.col("len")).cast("bigint").alias("data_bytes"),
+        F.sum("len").cast("bigint").alias("dict_bytes"),
+        F.max("len").cast("bigint").alias("max_len"),
+    )
+    w = Window.partitionBy("col_name", "l_orderkey").orderBy(
+        "l_linenumber", "v"
+    )
+    runs = (
+        long_df.withColumn("prev", F.lag("v").over(w))
+        .filter(~F.col("v").eqNullSafe(F.col("prev")))
+        .groupBy("col_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_runs"))
+    )
+    sized = colstats.join(F.broadcast(runs), "col_name").select(
+        "col_name",
+        "n_rows",
+        "ndv",
+        "n_runs",
+        (8 * F.col("data_bytes")).cast("bigint").alias("plain_bits"),
+        (
+            8 * F.col("dict_bytes")
+            + F.col("n_rows") * F.length(F.bin(F.col("ndv") - 1))
+        ).cast("bigint").alias("dict_bits"),
+        (F.col("n_runs") * (8 * F.col("max_len") + 32))
+        .cast("bigint")
+        .alias("rle_bits"),
+    )
+    return sized.select(
+        "col_name",
+        "n_rows",
+        "ndv",
+        "n_runs",
+        "plain_bits",
+        "dict_bits",
+        "rle_bits",
+        F.when(
+            (F.col("dict_bits") <= F.col("plain_bits"))
+            & (F.col("dict_bits") <= F.col("rle_bits")),
+            F.lit("dict"),
+        )
+        .when(F.col("rle_bits") <= F.col("plain_bits"), F.lit("rle"))
+        .otherwise(F.lit("plain"))
+        .alias("encoding"),
+    ).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# q453 Krippendorff's alpha (nominal, with missing ratings)
+#
+# The content-analysis reliability standard (Krippendorff 2004) —
+# the generalization Fleiss' kappa (q350) cannot make: arbitrary
+# missingness and any number of raters. Three deterministic
+# md5-raters label each document with one of 4 categories; each
+# rater skips ~20% of docs. Units with <2 ratings drop out. The
+# whole statistic reduces to integers: with m_u ∈ {2,3}, doubling
+# the per-unit pair terms clears the (m_u - 1) denominators, so
+# alpha = 1 - O2·(n-1) / (2·(n² - Σ n_c²)) is one final division
+# of exact BIGINTs.
+
+KRA_SALT = "kra_r5"
+KRA_RATERS = 3
+KRA_CATS = 4
+KRA_MISS_MOD = 5  # rater r skips doc when md5 % 5 == 0 (~20%)
+
+
+def _kra_hash_sql(field: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|{KRA_SALT}|'"
+        f" || CAST(r AS VARCHAR) || '|{field}'), 1, 13)) AS BIGINT)"
+    )
+
+
+@register(
+    "q453_krippendorff_alpha",
+    category="ml-eval-calibration",
+    oracle=f"""
+    WITH ratings AS (
+      SELECT doc_id, r, {_kra_hash_sql("c")} % {KRA_CATS} AS cat
+      FROM documents
+      CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS r) AS raters
+      WHERE {_kra_hash_sql("m")} % {KRA_MISS_MOD} <> 0
+    ),
+    unit AS (
+      SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS n_uc
+      FROM ratings GROUP BY doc_id, cat
+    ),
+    mu AS (
+      SELECT doc_id, CAST(SUM(n_uc) AS BIGINT) AS m_u,
+             CAST(SUM(n_uc * n_uc) AS BIGINT) AS ss
+      FROM unit GROUP BY doc_id
+      HAVING SUM(n_uc) >= 2
+    ),
+    oterm AS (
+      SELECT CAST(SUM(((m_u * m_u - ss) * 2) // (m_u - 1)) AS BIGINT)
+               AS o2
+      FROM mu
+    ),
+    margins AS (
+      SELECT u.cat, CAST(SUM(u.n_uc) AS BIGINT) AS n_c
+      FROM unit u JOIN mu USING (doc_id)
+      GROUP BY u.cat
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_c) AS BIGINT) AS n,
+             CAST(SUM(n_c * n_c) AS BIGINT) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS n_categories
+      FROM margins
+    ),
+    units AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_units FROM mu
+    )
+    SELECT u.n_units, tt.n AS n_values, tt.n_categories,
+           CAST(o.o2 AS DOUBLE) / (2 * tt.n) AS d_o,
+           CAST(tt.n * tt.n - tt.sq AS DOUBLE)
+             / (tt.n * (tt.n - 1)) AS d_e,
+           1 - CAST(o.o2 * (tt.n - 1) AS DOUBLE)
+             / NULLIF(2 * (tt.n * tt.n - tt.sq), 0) AS alpha
+    FROM tot tt, oterm o, units u
+    """,
+)
+def q453_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) — the chance-corrected
+    inter-annotator agreement that, unlike Fleiss' kappa (q350),
+    tolerates MISSING ratings and any rater count; the reliability
+    gate every labeling pipeline runs before trusting its gold set.
+    Three md5-derived raters each label ~80% of documents with one
+    of {KRA_CATS} categories.
+
+    Math: for pairable units (m_u >= 2), total observed disagreement
+    Sum_(c!=k) o_ck = Sum_u (m_u^2 - Sum_c n_uc^2)/(m_u - 1); with
+    m_u in {{2,3}} the doubled terms are exact integers (the *2 //
+    (m_u-1) trick), the coincidence margins are plain category
+    counts over pairable units, and
+    alpha = 1 - O2*(n-1) / (2*(n^2 - Sum n_c^2)) — one double
+    division of identical BIGINTs on both engines, so no rounding
+    grid is needed anywhere.
+
+    Scale: two group-bys at (doc, cat) then doc grain — partial-agg
+    collapsible — and three 1-row scalar aggregates combined with
+    broadcast joins. No window, no sort; linear in ratings.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    raters = docs.select(
+        "doc_id", F.explode(F.array(*[F.lit(i) for i in range(1, KRA_RATERS + 1)])).alias("r")
+    )
+
+    def _h(field: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(f"|{KRA_SALT}|"),
+                        F.col("r").cast("string"),
+                        F.lit(f"|{field}"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    ratings = raters.filter(_h("m") % KRA_MISS_MOD != 0).select(
+        "doc_id", "r", (_h("c") % KRA_CATS).alias("cat")
+    )
+    unit = ratings.groupBy("doc_id", "cat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_uc")
+    )
+    mu = (
+        unit.groupBy("doc_id")
+        .agg(
+            F.sum("n_uc").cast("bigint").alias("m_u"),
+            F.sum(F.col("n_uc") * F.col("n_uc")).cast("bigint").alias("ss"),
+        )
+        .filter(F.col("m_u") >= 2)
+    )
+    oterm = mu.agg(
+        F.sum(
+            F.expr("((m_u * m_u - ss) * 2) DIV (m_u - 1)")
+        ).cast("bigint").alias("o2")
+    )
+    margins = unit.join(mu.select("doc_id"), "doc_id").groupBy("cat").agg(
+        F.sum("n_uc").cast("bigint").alias("n_c")
+    )
+    tot = margins.agg(
+        F.sum("n_c").cast("bigint").alias("n"),
+        F.sum(F.col("n_c") * F.col("n_c")).cast("bigint").alias("sq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+    )
+    units = mu.agg(F.count(F.lit(1)).cast("bigint").alias("n_units"))
+    joined = tot.crossJoin(F.broadcast(oterm)).crossJoin(F.broadcast(units))
+    return joined.select(
+        "n_units",
+        F.col("n").alias("n_values"),
+        "n_categories",
+        (F.col("o2").cast("double") / (2 * F.col("n"))).alias("d_o"),
+        (
+            (F.col("n") * F.col("n") - F.col("sq")).cast("double")
+            / (F.col("n") * (F.col("n") - 1))
+        ).alias("d_e"),
+        (
+            F.lit(1)
+            - (F.col("o2") * (F.col("n") - 1)).cast("double")
+            / F.nullif(
+                2 * (F.col("n") * F.col("n") - F.col("sq")), F.lit(0)
+            )
+        ).alias("alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q454 AR(1) fit by Yule-Walker (lag-1 autocorrelation)
+#
+# The first rung of the Box-Jenkins ladder the registry's smoothers
+# (q365 Holt) skip: fit y_t = mu + phi*(y_{t-1} - mu) + eps on the
+# daily-revenue series. phi is the lag-1 sample autocorrelation;
+# demeaning happens on the integer CENT grid (half-up DIV) so both
+# numerator and denominator are exact DECIMAL sums of BIGINT
+# products — phi is one double division.
+
+
+@register(
+    "q454_ar1_yule_walker",
+    category="analytics-stats (regression/tests/causal)",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    m AS (
+      SELECT CAST((2 * SUM(cents) + COUNT(*)) // (2 * COUNT(*))
+                  AS BIGINT) AS mean_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily
+    ),
+    d AS (
+      SELECT day, cents - m.mean_cents AS dev,
+             LAG(cents - m.mean_cents) OVER (ORDER BY day) AS dev_prev,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS tk,
+             m.mean_cents, m.n_days
+      FROM daily, m
+    ),
+    acc AS (
+      SELECT MAX(mean_cents) AS mean_cents,
+             MAX(n_days) AS n_days,
+             CAST(SUM(CAST(dev AS DECIMAL(18,0))
+                      * CAST(dev AS DECIMAL(18,0)))
+                  AS DECIMAL(38,0)) AS c0,
+             CAST(SUM(CASE WHEN dev_prev IS NULL THEN
+                        CAST(0 AS DECIMAL(18,0))
+                      ELSE CAST(dev AS DECIMAL(18,0))
+                           * CAST(dev_prev AS DECIMAL(18,0)) END)
+                  AS DECIMAL(38,0)) AS c1,
+             CAST(MAX(CASE WHEN tk = n_days THEN dev END) AS BIGINT)
+               AS dev_last
+      FROM d
+    )
+    SELECT n_days, mean_cents,
+           CAST(mean_cents AS DOUBLE) / 100 AS mean_revenue,
+           CAST(c1 AS DOUBLE) / NULLIF(CAST(c0 AS DOUBLE), 0) AS phi,
+           (CAST(mean_cents AS DOUBLE)
+            + (CAST(c1 AS DOUBLE) / NULLIF(CAST(c0 AS DOUBLE), 0))
+              * CAST(dev_last AS DOUBLE)) / 100 AS forecast_next,
+           1 - (CAST(c1 AS DOUBLE) / NULLIF(CAST(c0 AS DOUBLE), 0))
+             * (CAST(c1 AS DOUBLE) / NULLIF(CAST(c0 AS DOUBLE), 0)) AS noise_ratio
+    FROM acc
+    """,
+)
+def q454_ar1_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) fit of the daily-revenue series by Yule-Walker: phi is
+    the lag-1 sample autocorrelation Sum d_t*d_{t-1} / Sum d_t^2
+    with deviations taken from the half-up integer-CENT mean — the
+    autoregressive first rung of Box-Jenkins that the registry's
+    exponential smoothers (q365 Holt) skip. Emits the one-step-ahead
+    forecast mu + phi*d_n and the innovation-variance ratio
+    (1 - phi^2).
+
+    Determinism: revenue becomes exact BIGINT cents via DECIMAL; the
+    mean is half-up integer DIV (no float mean); c0/c1 are exact
+    DECIMAL(38) sums of DECIMAL(18)xDECIMAL(18) products (sf0.1
+    deviations ~1e9 cents, squares 1e18, x2500 days = 2.5e21; even
+    at 1000x scale 3e29 — inside DECIMAL(38)); phi and the forecast
+    are the same double ops on identical operands in both engines,
+    so no rounding grid is needed.
+
+    Scale: one date-grain aggregate (map-side combinable), one
+    scalar pass, then windows over the ~2.4k-row daily series — the
+    heavy table never sorts.
+    """
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    m = daily.agg(
+        F.expr(
+            "CAST((2 * SUM(cents) + COUNT(*)) DIV (2 * COUNT(*)) AS BIGINT)"
+        ).alias("mean_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    w = Window.orderBy("day")
+    d = (
+        daily.crossJoin(F.broadcast(m))
+        .withColumn("dev", F.col("cents") - F.col("mean_cents"))
+        .withColumn("dev_prev", F.lag("dev").over(w))
+        .withColumn("tk", F.row_number().over(w).cast("bigint"))
+    )
+    acc = d.agg(
+        F.max("mean_cents").alias("mean_cents"),
+        F.max("n_days").alias("n_days"),
+        F.sum(
+            F.col("dev").cast("decimal(18,0)")
+            * F.col("dev").cast("decimal(18,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("c0"),
+        F.sum(
+            F.when(
+                F.col("dev_prev").isNull(), F.lit(0).cast("decimal(18,0)")
+            ).otherwise(
+                F.col("dev").cast("decimal(18,0)")
+                * F.col("dev_prev").cast("decimal(18,0)")
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("c1"),
+        F.max(F.when(F.col("tk") == F.col("n_days"), F.col("dev")))
+        .cast("bigint")
+        .alias("dev_last"),
+    )
+    phi = F.col("c1").cast("double") / F.nullif(
+        F.col("c0").cast("double"), F.lit(0.0)
+    )
+    return acc.select(
+        "n_days",
+        "mean_cents",
+        (F.col("mean_cents").cast("double") / 100).alias("mean_revenue"),
+        phi.alias("phi"),
+        (
+            (F.col("mean_cents").cast("double") + phi * F.col("dev_last").cast("double"))
+            / 100
+        ).alias("forecast_next"),
+        (F.lit(1) - phi * phi).alias("noise_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q455 Page-Hinkley drift detection
+#
+# The classic sequential mean-shift monitor (Page 1954; the standard
+# concept-drift detector in the stream-mining literature): per day t,
+# U_t = Sum_{i<=t} (x_i - mean_i - delta) with mean_i the RUNNING
+# mean, PH_t = U_t - min_{i<=t} U_i, drift when PH_t > lambda. The
+# running mean lands on a half-up 1e-6 integer grid so U is an exact
+# BIGINT cumulative sum — no float accumulation-order hazard (DuckDB
+# windows sum via segment trees, Spark left-to-right; integers make
+# the tree shape irrelevant).
+
+PH_DELTA_MICRO = 500_000  # delta = 0.5 events/day drift allowance
+PH_LAMBDA_MICRO = 40_000_000  # lambda = 40 events of accumulated drift
+
+
+@register(
+    "q455_page_hinkley",
+    category="events-temporal",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    seq AS (
+      SELECT day, x,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS tk,
+             CAST(SUM(x) OVER (ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+      FROM daily
+    ),
+    stepped AS (
+      SELECT day, tk, x,
+             (2000000 * s + tk) // (2 * tk) AS mean_micro,
+             x * 1000000 - ((2000000 * s + tk) // (2 * tk))
+               - {PH_DELTA_MICRO} AS step_micro
+      FROM seq
+    ),
+    walk AS (
+      SELECT day, tk, x, mean_micro,
+             CAST(SUM(step_micro) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS u_micro
+      FROM stepped
+    )
+    SELECT day, tk, x, mean_micro, u_micro,
+           CAST(u_micro - MIN(u_micro) OVER (ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ph_micro,
+           u_micro - MIN(u_micro) OVER (ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) > {PH_LAMBDA_MICRO} AS drift
+    FROM walk
+    ORDER BY day
+    """,
+)
+def q455_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-shift drift detector over the daily event
+    count series (Page 1954, Biometrika; the standard streaming
+    concept-drift monitor): cumulative U_t = Sum (x_i - mean_i -
+    delta) against its running minimum, flagging drift when the gap
+    exceeds lambda. The distinctive piece vs the CUSUM family the
+    registry already has is the RUNNING mean m_i — each day's
+    reference level adapts.
+
+    Determinism: m_i lands on an exact half-up 1e-6 grid via pure
+    integer DIV ((2e6*S_i + i) DIV (2i)), so U and PH are exact
+    BIGINT cumulative sums/minima — immune to the float
+    window-accumulation-order difference between DuckDB's segment
+    trees and Spark's running frames.
+
+    Scale: the heavy table collapses to date grain map-side; all
+    windows run over the tiny daily series. The drift monitor
+    itself is O(1) state per step — the streaming sibling would be
+    a trivial applyInPandasWithState.
+    """
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    w = Window.orderBy("day")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = daily.withColumn(
+        "tk", F.row_number().over(w).cast("bigint")
+    ).withColumn("s", F.sum("x").over(wrun).cast("bigint"))
+    stepped = seq.withColumn(
+        "mean_micro", F.expr("(2000000 * s + tk) DIV (2 * tk)")
+    ).withColumn(
+        "step_micro",
+        F.col("x") * 1000000 - F.col("mean_micro") - PH_DELTA_MICRO,
+    )
+    walk = stepped.withColumn(
+        "u_micro", F.sum("step_micro").over(wrun).cast("bigint")
+    )
+    return walk.select(
+        "day",
+        "tk",
+        "x",
+        "mean_micro",
+        "u_micro",
+        (F.col("u_micro") - F.min("u_micro").over(wrun))
+        .cast("bigint")
+        .alias("ph_micro"),
+        (
+            F.col("u_micro") - F.min("u_micro").over(wrun)
+            > PH_LAMBDA_MICRO
+        ).alias("drift"),
+    ).orderBy("day")
+
+
+def _gsum(col, scale: int):
+    """Order-independent exact sum: grid-round each term, accumulate
+    in DECIMAL (int128-exact, partition-order-free), read back as
+    DOUBLE — the q282/q324 memory-bank roundtrip idiom."""
+    return (
+        F.sum(F.round(col, scale).cast(f"decimal(38,{scale})")).cast("double")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q456 k-selection: simplified silhouette + inertia elbow
+#
+# The model-selection companion the registry's clustering ops (q359
+# Lloyd step, q74/q344 IVF routers) never answer: WHICH k? For each
+# k in 2..8, assign every vector to its nearest of the first k seed
+# vectors and score the partition two classic ways — the inertia
+# elbow (SSE the Lloyd loop descends) and the SIMPLIFIED silhouette
+# (Hruschka et al. 2004: a = distance to own centroid, b = distance
+# to the nearest OTHER centroid, s = (b-a)/max(a,b)) — the O(n*k)
+# surrogate for the O(n^2) full silhouette, which is the version
+# that survives 100 TB. One distance table (n x 8) is computed once
+# and shared by all seven k values.
+
+SIL_KMAX = 8
+SIL_KS = list(range(2, SIL_KMAX + 1))
+
+
+@register(
+    "q456_silhouette_elbow",
+    category="llm-similarity-ann",
+    oracle=f"""
+    WITH xl AS (
+      SELECT vec_id, CAST(i AS BIGINT) AS j,
+             CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(len(embedding))) AS r(i)
+    ),
+    seeds AS (
+      SELECT vec_id AS cid, j, x AS sx FROM xl WHERE vec_id < {SIL_KMAX}
+    ),
+    dist AS (
+      SELECT xl.vec_id, seeds.cid,
+             ROUND(CAST(SUM(CAST(ROUND((xl.x - seeds.sx)
+                                       * (xl.x - seeds.sx), 12)
+                                 AS DECIMAL(38,12))) AS DOUBLE), 6) AS d2
+      FROM xl JOIN seeds USING (j)
+      GROUP BY xl.vec_id, seeds.cid
+    ),
+    fanned AS (
+      SELECT k, vec_id, cid, d2,
+             ROW_NUMBER() OVER (PARTITION BY k, vec_id
+                                ORDER BY d2 ASC, cid ASC) AS rn
+      FROM dist
+      CROSS JOIN (SELECT UNNEST([{",".join(str(k) for k in SIL_KS)}])
+                  AS k) AS ks
+      WHERE cid < k
+    ),
+    scored AS (
+      SELECT a.k, a.vec_id, a.d2 AS d2own,
+             (SQRT(b.d2) - SQRT(a.d2))
+               / NULLIF(GREATEST(SQRT(a.d2), SQRT(b.d2)), 0) AS s
+      FROM (SELECT * FROM fanned WHERE rn = 1) a
+      LEFT JOIN (SELECT * FROM fanned WHERE rn = 2) b
+        ON a.k = b.k AND a.vec_id = b.vec_id
+    ),
+    per_k AS (
+      SELECT CAST(k AS BIGINT) AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(SUM(CAST(d2own AS DECIMAL(38,6))) AS DOUBLE)
+               AS inertia,
+             ROUND(CAST(SUM(CAST(ROUND(s, 9) AS DECIMAL(38,9)))
+                        AS DOUBLE)
+                   / NULLIF(COUNT(s), 0), 6) AS mean_silhouette
+      FROM scored GROUP BY k
+    )
+    SELECT k, n_vectors, inertia, mean_silhouette,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY mean_silhouette DESC NULLS LAST, k ASC)
+             AS BIGINT) AS sil_rank
+    FROM per_k
+    ORDER BY k
+    """,
+)
+def q456_silhouette_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-selection scan for the embedding corpus: for every k in
+    2..{SIL_KMAX}, nearest-seed assignment (seeds = vectors
+    0..k-1, ties to the lower cid) scored by the inertia ELBOW and
+    the SIMPLIFIED silhouette (Hruschka et al. 2004) — a = distance
+    to own centroid, b = distance to nearest other centroid,
+    s = (b-a)/max(a,b) — the O(n*k) silhouette surrogate that
+    scales where the classic O(n^2) form cannot. ``sil_rank``
+    orders the k values by mean silhouette; the elbow reads off the
+    inertia column.
+
+    Determinism: squared distances ride the grid-round -> DECIMAL ->
+    DOUBLE roundtrip (q359's idiom) and land on a 1e-6 grid, so the
+    (d2, cid) argmin/arg-second tie-breaks agree engine-for-engine;
+    sqrt is IEEE-correctly-rounded and safe unrounded; per-vector s
+    values grid-round at 1e-9 before the exact DECIMAL mean.
+
+    Scale: ONE n x {SIL_KMAX} distance table (fan-out join against a
+    broadcast 8 x 64 seed table, partial-aggregated) shared by all
+    seven k values; the k fan-out multiplies a 2-column slice, and
+    every window partitions by (k, vec_id) — nothing quadratic in
+    the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    xl = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("jp", "xf"))
+        .select(
+            "vec_id",
+            F.col("jp").cast("bigint").alias("j"),
+            F.col("xf").cast("double").alias("x"),
+        )
+    )
+    seeds = xl.filter(F.col("vec_id") < SIL_KMAX).select(
+        F.col("vec_id").alias("cid"), "j", F.col("x").alias("sx")
+    )
+    dist = (
+        xl.join(F.broadcast(seeds), "j")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.round(
+                _gsum(
+                    (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")),
+                    12,
+                ),
+                6,
+            ).alias("d2")
+        )
+    )
+    ks = spark.createDataFrame([(k,) for k in SIL_KS], "k int")
+    fanned = (
+        dist.crossJoin(F.broadcast(ks))
+        .filter(F.col("cid") < F.col("k"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("k", "vec_id").orderBy(
+                    F.col("d2").asc(), F.col("cid").asc()
+                )
+            ),
+        )
+    )
+    a = fanned.filter(F.col("rn") == 1).select(
+        "k", "vec_id", F.col("d2").alias("d2own")
+    )
+    b = fanned.filter(F.col("rn") == 2).select(
+        "k", "vec_id", F.col("d2").alias("d2alt")
+    )
+    scored = a.join(b, ["k", "vec_id"], "left").withColumn(
+        "s",
+        (F.sqrt("d2alt") - F.sqrt("d2own"))
+        / F.nullif(
+            F.greatest(F.sqrt("d2own"), F.sqrt("d2alt")), F.lit(0.0)
+        ),
+    )
+    per_k = scored.groupBy(F.col("k").cast("bigint").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(F.col("d2own").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("inertia"),
+        F.round(
+            _gsum(F.col("s"), 9) / F.nullif(F.count("s"), F.lit(0)), 6
+        ).alias("mean_silhouette"),
+    )
+    return per_k.select(
+        "k",
+        "n_vectors",
+        "inertia",
+        "mean_silhouette",
+        F.row_number()
+        .over(
+            W.orderBy(
+                F.col("mean_silhouette").desc_nulls_last(), F.col("k").asc()
+            )
+        )
+        .cast("bigint")
+        .alias("sil_rank"),
+    ).orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# q457 Jaro-Winkler string-similarity linkage
+#
+# The record-linkage similarity the Fellegi-Sunter scorer (q286)
+# treats as a black box, computed for real: Jaro's match-window /
+# transposition similarity plus Winkler's common-prefix boost
+# (Winkler 1990, the Census Bureau linkage standard). Spark has no
+# builtin; the matcher is a vectorized pandas UDF (the honest
+# "genuinely not expressible in DataFrame ops" case — the match
+# window is a stateful greedy scan). DuckDB HAS builtins — so the
+# oracle certifies the UDF against an independent C++
+# implementation, bit-for-bit (a 40k-pair fuzz matched exactly; the
+# one convention pinned here: empty-vs-empty scores 0.0, DuckDB's
+# choice).
+
+JW_THRESHOLD = 0.85
+
+
+@register(
+    "q457_jaro_winkler_linkage",
+    category="llm-dedup",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.p_partkey AS pair_id,
+             a.p_name AS name_a, b.p_name AS name_b
+      FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+    )
+    SELECT pair_id, name_a, name_b,
+           jaro_similarity(name_a, name_b) AS jaro,
+           jaro_winkler_similarity(name_a, name_b) AS jw,
+           jaro_winkler_similarity(name_a, name_b)
+             >= {JW_THRESHOLD} AS close_match
+    FROM pairs
+    ORDER BY pair_id
+    """,
+)
+def q457_jaro_winkler_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler similarity over consecutive part-name pairs —
+    the fuzzy-match kernel of record linkage (Winkler 1990; the
+    Census Bureau standard behind q286's Fellegi-Sunter weights,
+    here computed rather than assumed). Jaro = (m/l1 + m/l2 +
+    (m-t)/m)/3 with the floor(max_len/2)-1 match window and
+    half-transposition count; Winkler adds p=0.1 per common prefix
+    char (<=4) when jaro > 0.7.
+
+    Cross-engine proof: the Spark side is a vectorized pandas UDF
+    (the match window is a stateful greedy scan — genuinely outside
+    DataFrame algebra); the DuckDB oracle calls its independent
+    native ``jaro_winkler_similarity``. A 40k-random-pair fuzz
+    matched BIT-FOR-BIT (same double op order), so the values ship
+    unrounded; the one convention pinned: any empty side scores 0.0.
+
+    Scale: the pair generator is a co-partitionable equi-join on
+    partkey+1 (no sort, no window); the UDF is Arrow-batched and
+    embarrassingly parallel, linear in pairs.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def jaro_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_jaro(a, b) for a, b in zip(s1, s2)], dtype="float64"
+        )
+
+    @pandas_udf("double")
+    def jw_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_jaro_winkler(a, b) for a, b in zip(s1, s2)], dtype="float64"
+        )
+
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = part.alias("a").join(
+        part.alias("b"),
+        F.col("b.p_partkey") == F.col("a.p_partkey") + 1,
+    ).select(
+        F.col("a.p_partkey").alias("pair_id"),
+        F.col("a.p_name").alias("name_a"),
+        F.col("b.p_name").alias("name_b"),
+    )
+    return pairs.select(
+        "pair_id",
+        "name_a",
+        "name_b",
+        jaro_udf("name_a", "name_b").alias("jaro"),
+        jw_udf("name_a", "name_b").alias("jw"),
+        (jw_udf("name_a", "name_b") >= JW_THRESHOLD).alias("close_match"),
+    ).orderBy("pair_id")
+
+
+def _jaro(s1: str, s2: str) -> float:
+    """Classic Jaro similarity; empty-side convention 0.0 (matches
+    DuckDB's native implementation bit-for-bit — see q457)."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(max(l1, l2) // 2 - 1, 0)
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i in range(l1):
+        lo = max(0, i - window)
+        hi = min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s1[i] == s2[j]:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    tr = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                tr += 1
+            k += 1
+    tr //= 2
+    return (m / l1 + m / l2 + (m - tr) / m) / 3.0
+
+
+def _jaro_winkler(s1: str, s2: str, boost_threshold: float = 0.7) -> float:
+    j = _jaro(s1, s2)
+    if j > boost_threshold:
+        p = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            p += 1
+        j = j + p * 0.1 * (1 - j)
+    return j
+
+
+# ---------------------------------------------------------------------------
+# q458 Gorilla delta-of-delta timestamp compression audit
+#
+# Facebook Gorilla (Pelkonen et al., VLDB 2015) §4.1: time-series
+# stores compress timestamps as delta-of-deltas bucketed into
+# variable-width codes — the reason monitoring systems store 16x
+# more data than raw 64-bit stamps would allow. This advisor replays
+# the exact bit schedule over each user's event stream and reports
+# the per-bucket population and achieved bits/stamp — the
+# time-series sibling of q452's columnar-encoding advisor and the
+# reference codec's ratio question asked of timestamps.
+
+GOR_BUCKETS = """
+  CASE WHEN rn = 1 THEN 64
+       WHEN dod = 0 THEN 1
+       WHEN dod BETWEEN -63 AND 64 THEN 9
+       WHEN dod BETWEEN -255 AND 256 THEN 12
+       WHEN dod BETWEEN -2047 AND 2048 THEN 16
+       ELSE 36 END
+"""
+
+
+@register(
+    "q458_gorilla_timestamp_cost",
+    category="events-temporal",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, sec,
+             LAG(sec) OVER w AS prev,
+             LAG(sec, 2) OVER w AS prev2,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    classed AS (
+      SELECT CAST({GOR_BUCKETS.replace("dod", '''
+               (CASE WHEN rn = 2 THEN sec - prev
+                     ELSE (sec - prev) - (prev - prev2) END)''')}
+             AS BIGINT) AS bits
+      FROM seq
+    ),
+    per_bucket AS (
+      SELECT bits AS bucket_bits,
+             CAST(COUNT(*) AS BIGINT) AS n_stamps,
+             CAST(bits * COUNT(*) AS BIGINT) AS total_bits
+      FROM classed GROUP BY bits
+    )
+    SELECT bucket_bits, n_stamps, total_bits,
+           CAST(FLOOR(n_stamps * 2000000.0
+                      / SUM(n_stamps) OVER () + 0.5) AS BIGINT)
+             // 2 AS stamp_share_micro,
+           CAST(FLOOR(SUM(total_bits) OVER () * 1000000.0
+                      / SUM(n_stamps) OVER () + 0.5) AS BIGINT)
+             AS bits_per_stamp_micro
+    FROM per_bucket
+    ORDER BY bucket_bits
+    """,
+)
+def q458_gorilla_timestamp_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla delta-of-delta timestamp compression audit (Pelkonen
+    et al., VLDB 2015 §4.1): per user stream (ordered by epoch
+    second, event_id tie-break), the first stamp costs a 64-bit
+    header, the second buckets its raw delta, and every later stamp
+    buckets delta-of-delta into the paper's code widths — 1 bit for
+    dod=0, 9 for [-63,64], 12 for [-255,256], 16 for [-2047,2048],
+    36 otherwise. Emits the bucket census, total bits, and the
+    achieved bits/stamp — the number that makes time-series stores
+    16x denser than raw 64-bit stamps.
+
+    Determinism: seconds via the proven ``unix_timestamp`` <->
+    ``floor(epoch(ts))`` pairing; every delta, bucket bound, and bit
+    count is BIGINT; the shares land on half-up integer micro
+    grids (the x*2e6 DIV 2 form keeps the .5 tie exact).
+
+    Scale: one partitioned window per user stream (co-partitioned
+    with the groupBy), then a <=6-row bucket table; the unpartitioned
+    share window runs over those 6 rows only.
+    """
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("bigint").alias("sec"),
+    )
+    w = W.partitionBy("user_id").orderBy("sec", "event_id")
+    seq = e.select(
+        "user_id",
+        "sec",
+        F.lag("sec").over(w).alias("prev"),
+        F.lag("sec", 2).over(w).alias("prev2"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )
+    dod = F.when(
+        F.col("rn") == 2, F.col("sec") - F.col("prev")
+    ).otherwise(
+        (F.col("sec") - F.col("prev")) - (F.col("prev") - F.col("prev2"))
+    )
+    bits = (
+        F.when(F.col("rn") == 1, F.lit(64))
+        .when(dod == 0, F.lit(1))
+        .when(dod.between(-63, 64), F.lit(9))
+        .when(dod.between(-255, 256), F.lit(12))
+        .when(dod.between(-2047, 2048), F.lit(16))
+        .otherwise(F.lit(36))
+        .cast("bigint")
+    )
+    per_bucket = (
+        seq.select(bits.alias("bits"))
+        .groupBy(F.col("bits").alias("bucket_bits"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_stamps"),
+            (F.col("bucket_bits") * F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("total_bits"),
+        )
+    )
+    return per_bucket.select(
+        "bucket_bits",
+        "n_stamps",
+        "total_bits",
+        F.expr(
+            "CAST(FLOOR(n_stamps * 2000000.0 / "
+            "SUM(n_stamps) OVER () + 0.5) AS BIGINT) DIV 2"
+        ).alias("stamp_share_micro"),
+        F.expr(
+            "CAST(FLOOR(SUM(total_bits) OVER () * 1000000.0 / "
+            "SUM(n_stamps) OVER () + 0.5) AS BIGINT)"
+        ).alias("bits_per_stamp_micro"),
+    ).orderBy("bucket_bits")
+
+
+# ---------------------------------------------------------------------------
+# q459 facility-location greedy selection (submodular coverage)
+#
+# The data-selection objective behind coverage-based coreset pickers
+# (Nemhauser-Wolsey-Fisher 1978 gives the greedy a (1-1/e)
+# guarantee): choose K centers maximizing Sum_u max_{s in S}
+# sim(u, s). Complements q392 (k-center = worst-case radius) and
+# q404 (MMR = relevance-diversity): facility location optimizes
+# AVERAGE coverage, the pretraining-subset objective. Greedy = K
+# unrolled rounds of "argmax marginal gain", each a single pass over
+# a precomputed n x CAND similarity table.
+
+FL_CAND = 16  # candidate pool: vec_id < 16
+FL_K = 6  # greedy picks
+
+
+def _fl_oracle() -> str:
+    head = f"""
+    WITH xl AS (
+      SELECT vec_id, CAST(i AS BIGINT) AS j,
+             CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(len(embedding))) AS r(i)
+    ),
+    cand AS (
+      SELECT vec_id AS c, j, x AS cx FROM xl WHERE vec_id < {FL_CAND}
+    ),
+    sims AS MATERIALIZED (
+      SELECT xl.vec_id AS u, cand.c,
+             GREATEST(ROUND(CAST(SUM(CAST(ROUND(xl.x * cand.cx, 12)
+                        AS DECIMAL(38,12))) AS DOUBLE), 6), 0) AS sim
+      FROM xl JOIN cand USING (j)
+      GROUP BY xl.vec_id, cand.c
+    ),
+    cov0 AS MATERIALIZED (
+      SELECT DISTINCT u, CAST(0 AS DOUBLE) AS cov FROM sims
+    )"""
+    stages = []
+    chosen: list[str] = []
+    for r in range(1, FL_K + 1):
+        not_in = (
+            f"WHERE s.c NOT IN ({' UNION ALL '.join(chosen)})"
+            if chosen
+            else ""
+        )
+        stages.append(f""",
+    g{r} AS MATERIALIZED (
+      SELECT s.c,
+             CAST(SUM(CAST(ROUND(GREATEST(s.sim - v.cov, 0), 9)
+                  AS DECIMAL(38,9))) AS DOUBLE) AS gain
+      FROM sims s JOIN cov{r - 1} v USING (u)
+      {not_in}
+      GROUP BY s.c
+    ),
+    p{r} AS MATERIALIZED (
+      SELECT c, gain FROM g{r} ORDER BY gain DESC, c ASC LIMIT 1
+    ),
+    cov{r} AS MATERIALIZED (
+      SELECT v.u, GREATEST(v.cov, COALESCE(s.sim, 0)) AS cov
+      FROM cov{r - 1} v
+      LEFT JOIN (SELECT u, sim FROM sims
+                 WHERE c = (SELECT c FROM p{r})) s USING (u)
+    )""")
+        chosen.append(f"SELECT c FROM p{r}")
+    finals = [
+        f"""
+      SELECT CAST({r} AS BIGINT) AS round_idx,
+             c AS center_id, ROUND(gain, 6) AS gain,
+             (SELECT ROUND(CAST(SUM(CAST(ROUND(cov, 9)
+                AS DECIMAL(38,9))) AS DOUBLE), 6) FROM cov{r})
+               AS total_coverage
+      FROM p{r}"""
+        for r in range(1, FL_K + 1)
+    ]
+    return (
+        head
+        + "".join(stages)
+        + "\n    SELECT * FROM ("
+        + "\n      UNION ALL".join(finals)
+        + "\n    ) ORDER BY round_idx"
+    )
+
+
+@register(
+    "q459_facility_location_greedy",
+    category="llm-similarity-ann",
+    oracle=_fl_oracle(),
+)
+def q459_facility_location_greedy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Facility-location greedy data selection: {FL_K} rounds of
+    argmax-marginal-gain over the submodular coverage objective
+    Sum_u max_{{s in S}} sim(u, s) — the (1-1/e)-approximate picker
+    (Nemhauser et al. 1978) behind coverage-based pretraining-subset
+    selection; the AVERAGE-coverage sibling of q392's k-center
+    (worst-case radius) and q404's MMR (relevance-diversity).
+    Similarity = clamped dot product GREATEST(<u,c>, 0), candidates
+    = vectors 0..{FL_CAND - 1}. Emits each round's pick, marginal
+    gain, and the total coverage after the pick.
+
+    Determinism: sims ride the grid-round -> DECIMAL -> DOUBLE
+    roundtrip at 1e-6; marginal gains grid at 1e-9 before the exact
+    DECIMAL sum, so the argmax compares identical doubles with a
+    candidate-id tie-break; coverage updates are GREATEST over
+    identical grid values.
+
+    Scale: the n x {FL_CAND} similarity table is computed ONCE
+    (fan-out join against a broadcast candidate table, partial-
+    aggregated) and checkpointed; each greedy round is one
+    aggregate over it plus a 1-row TakeOrdered pick — O(K * n *
+    CAND) total work, no quadratic blowup, lineage cut per round
+    (the q64 rule).
+    """
+    from pyspark.sql import Window as W  # noqa: F401
+
+    xl = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("jp", "xf"))
+        .select(
+            "vec_id",
+            F.col("jp").cast("bigint").alias("j"),
+            F.col("xf").cast("double").alias("x"),
+        )
+    )
+    cand = xl.filter(F.col("vec_id") < FL_CAND).select(
+        F.col("vec_id").alias("c"), "j", F.col("x").alias("cx")
+    )
+    sims = (
+        xl.join(F.broadcast(cand), "j")
+        .groupBy(F.col("vec_id").alias("u"), "c")
+        .agg(
+            F.greatest(
+                F.round(_gsum(F.col("x") * F.col("cx"), 12), 6),
+                F.lit(0.0),
+            ).alias("sim")
+        )
+        .localCheckpoint(eager=True)
+    )
+    cov = sims.select("u").distinct().withColumn("cov", F.lit(0.0))
+    picks = []
+    chosen = None
+    for r in range(1, FL_K + 1):
+        pool = sims if chosen is None else sims.join(
+            F.broadcast(chosen), "c", "left_anti"
+        )
+        g = pool.join(cov, "u").groupBy("c").agg(
+            _gsum(
+                F.greatest(F.col("sim") - F.col("cov"), F.lit(0.0)), 9
+            ).alias("gain")
+        )
+        p = (
+            g.orderBy(F.col("gain").desc(), F.col("c").asc())
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        new = sims.join(F.broadcast(p.select("c")), "c").select(
+            "u", F.col("sim").alias("nsim")
+        )
+        cov = (
+            cov.join(new, "u", "left")
+            .select(
+                "u",
+                F.greatest(
+                    F.col("cov"), F.coalesce("nsim", F.lit(0.0))
+                ).alias("cov"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        coverage = cov.agg(
+            F.round(_gsum(F.col("cov"), 9), 6).alias("total_coverage")
+        )
+        picks.append(
+            p.crossJoin(F.broadcast(coverage)).select(
+                F.lit(r).cast("bigint").alias("round_idx"),
+                F.col("c").alias("center_id"),
+                F.round("gain", 6).alias("gain"),
+                "total_coverage",
+            )
+        )
+        chosen = (
+            p.select("c")
+            if chosen is None
+            else chosen.unionByName(p.select("c"))
+        )
+    out = picks[0]
+    for pk in picks[1:]:
+        out = out.unionByName(pk)
+    return out.orderBy("round_idx")
+
+
+# ---------------------------------------------------------------------------
+# q460 Cochran-Mantel-Haenszel stratified association test
+#
+# THE stratified 2x2 test (Mantel & Haenszel 1959) — association
+# between exposure and outcome controlling for a confounder, the
+# epidemiology/AB-testing guard against Simpson's paradox that the
+# registry's diff-in-diff (q327) and propensity (q326) ops
+# approximate from other angles. Strata = day-of-month mod 7,
+# exposure = even user_id, outcome = purchase event.
+
+
+@register(
+    "q460_cmh_test",
+    category="analytics-stats (regression/tests/causal)",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(EXTRACT(day FROM ts) AS BIGINT) % 7 AS stratum,
+             CAST(SUM(CASE WHEN user_id % 2 = 0
+                       AND event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN user_id % 2 = 0
+                       AND event_type <> 'purchase'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN user_id % 2 = 1
+                       AND event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN user_id % 2 = 1
+                       AND event_type <> 'purchase'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM events
+      GROUP BY CAST(EXTRACT(day FROM ts) AS BIGINT) % 7
+    ),
+    terms AS (
+      SELECT stratum, a, b, c, d, a + b + c + d AS n
+      FROM cells WHERE a + b + c + d >= 2
+    ),
+    acc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+             CAST(SUM(a) AS BIGINT) AS sum_a,
+             CAST(SUM(CAST(ROUND(CAST((a + b) AS DOUBLE) * (a + c) / n,
+                  9) AS DECIMAL(38,9))) AS DOUBLE) AS sum_e,
+             CAST(SUM(CAST(ROUND(
+                  (CAST((a + b) * (c + d) AS DOUBLE) / n)
+                  * (CAST((a + c) * (b + d) AS DOUBLE) / n)
+                  / (n - 1), 9) AS DECIMAL(38,9))) AS DOUBLE) AS sum_v,
+             CAST(SUM(CAST(ROUND(CAST(a * d AS DOUBLE) / n, 9)
+                  AS DECIMAL(38,9))) AS DOUBLE) AS sum_ad,
+             CAST(SUM(CAST(ROUND(CAST(b * c AS DOUBLE) / n, 9)
+                  AS DECIMAL(38,9))) AS DOUBLE) AS sum_bc
+      FROM terms
+    )
+    SELECT n_strata, sum_a,
+           ROUND(sum_e, 6) AS sum_expected,
+           ROUND(sum_v, 6) AS sum_variance,
+           ROUND(GREATEST(ABS(sum_a - sum_e) - 0.5, 0)
+                 * GREATEST(ABS(sum_a - sum_e) - 0.5, 0)
+                 / NULLIF(sum_v, 0), 6) AS cmh_statistic,
+           ROUND(sum_ad / NULLIF(sum_bc, 0), 6) AS mh_odds_ratio
+    FROM acc
+    """,
+)
+def q460_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2x2 association test
+    (Mantel & Haenszel 1959): does exposure (even user_id) associate
+    with outcome (purchase) after controlling for the stratum
+    (day-of-month mod 7)? Emits the continuity-corrected CMH
+    chi-square and the MH common odds ratio — the Simpson's-paradox
+    guard the registry's causal ops (q326/q327) approximate from
+    other angles.
+
+    Determinism: every cell count is BIGINT from one map-side-
+    combinable aggregate; per-stratum E = (a+b)(a+c)/n, the variance
+    V (computed as ((a+b)(c+d)/n) * ((a+c)(b+d)/n) / (n-1) so no
+    int64 product ever exceeds n^2 — safe to ~3e9 rows/stratum), and
+    the odds-ratio terms are int-ratio doubles grid-rounded at 1e-9
+    before the exact DECIMAL sum; singleton strata (n < 2) drop on
+    both engines; zero denominators NULL via NULLIF.
+
+    Scale: one pass over events to a 7-row stratum table; everything
+    after is scalar.
+    """
+    ev = t(spark, sf_dir, "events")
+    exposed = F.col("user_id") % 2 == 0
+    outcome = F.col("event_type") == "purchase"
+    cells = ev.groupBy(
+        (F.dayofmonth("ts").cast("bigint") % 7).alias("stratum")
+    ).agg(
+        F.sum(F.when(exposed & outcome, 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(exposed & ~outcome, 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when(~exposed & outcome, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when(~exposed & ~outcome, 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    terms = cells.withColumn(
+        "n", F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    ).filter(F.col("n") >= 2)
+
+    def grid9(col):
+        return F.round(col, 9).cast("decimal(38,9)")
+
+    acc = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("a").cast("bigint").alias("sum_a"),
+        F.sum(
+            grid9(
+                (F.col("a") + F.col("b")).cast("double")
+                * (F.col("a") + F.col("c"))
+                / F.col("n")
+            )
+        )
+        .cast("double")
+        .alias("sum_e"),
+        F.sum(
+            grid9(
+                (
+                    ((F.col("a") + F.col("b")) * (F.col("c") + F.col("d")))
+                    .cast("double")
+                    / F.col("n")
+                )
+                * (
+                    ((F.col("a") + F.col("c")) * (F.col("b") + F.col("d")))
+                    .cast("double")
+                    / F.col("n")
+                )
+                / (F.col("n") - 1)
+            )
+        )
+        .cast("double")
+        .alias("sum_v"),
+        F.sum(grid9((F.col("a") * F.col("d")).cast("double") / F.col("n")))
+        .cast("double")
+        .alias("sum_ad"),
+        F.sum(grid9((F.col("b") * F.col("c")).cast("double") / F.col("n")))
+        .cast("double")
+        .alias("sum_bc"),
+    )
+    corrected = F.greatest(
+        F.abs(F.col("sum_a") - F.col("sum_e")) - 0.5, F.lit(0.0)
+    )
+    return acc.select(
+        "n_strata",
+        "sum_a",
+        F.round("sum_e", 6).alias("sum_expected"),
+        F.round("sum_v", 6).alias("sum_variance"),
+        F.round(
+            corrected * corrected / F.nullif(F.col("sum_v"), F.lit(0.0)), 6
+        ).alias("cmh_statistic"),
+        F.round(
+            F.col("sum_ad") / F.nullif(F.col("sum_bc"), F.lit(0.0)), 6
+        ).alias("mh_odds_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q461 Brown-Forsythe (median-based Levene) equal-variance test
+#
+# The variance-equality family the registry lacked: one-way ANOVA on
+# absolute deviations from the GROUP MEDIAN (Brown & Forsythe 1974
+# — the robust Levene variant every stats package defaults to).
+# Groups = o_orderpriority over order totals.
+
+
+@register(
+    "q461_brown_forsythe",
+    category="analytics-stats (regression/tests/causal)",
+    oracle="""
+    WITH vals AS (
+      SELECT o_orderpriority AS grp,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    ranked AS (
+      SELECT grp, cents,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents) AS rk,
+             COUNT(*) OVER (PARTITION BY grp) AS n_g
+      FROM vals
+    ),
+    med AS (
+      SELECT grp, CAST(cents AS BIGINT) AS med_cents
+      FROM ranked WHERE rk = (n_g + 1) // 2
+    ),
+    z AS (
+      SELECT v.grp, ABS(v.cents - m.med_cents) AS z_cents
+      FROM vals v JOIN med m USING (grp)
+    ),
+    gstats AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(z_cents) AS BIGINT) AS s_g,
+             CAST((2 * SUM(z_cents) + COUNT(*))
+                  // (2 * COUNT(*)) AS BIGINT) AS zbar_g
+      FROM z GROUP BY grp
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST((2 * SUM(s_g) + SUM(n_g))
+                  // (2 * SUM(n_g)) AS BIGINT) AS zbar
+      FROM gstats
+    ),
+    ssb AS (
+      SELECT CAST(SUM(CAST(n_g AS DECIMAL(19,0))
+                      * CAST((zbar_g - t.zbar) * (zbar_g - t.zbar)
+                             AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS ssb
+      FROM gstats, tot t
+    ),
+    ssw AS (
+      SELECT CAST(SUM(CAST((z.z_cents - g.zbar_g)
+                           * (z.z_cents - g.zbar_g)
+                           AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS ssw
+      FROM z JOIN gstats g USING (grp)
+    )
+    SELECT t.n, t.k,
+           CAST(b.ssb AS DOUBLE) / 1e4 AS ss_between,
+           CAST(w.ssw AS DOUBLE) / 1e4 AS ss_within,
+           ROUND(CAST((t.n - t.k) AS DOUBLE) / (t.k - 1)
+                 * CAST(b.ssb AS DOUBLE)
+                 / NULLIF(CAST(w.ssw AS DOUBLE), 0), 6) AS bf_statistic
+    FROM tot t, ssb b, ssw w
+    """,
+)
+def q461_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe equal-variance test (the median-based Levene,
+    Brown & Forsythe 1974): one-way ANOVA on absolute deviations
+    from each group's MEDIAN order total, groups =
+    ``o_orderpriority``. W = ((N-k)/(k-1)) * SSB/SSW over
+    z = |x - med_g| — the robust variance-homogeneity gate every
+    stats package defaults to, new territory for the registry's
+    test shelf (MWU q376, KS q352, log-rank q419 are location/shape
+    tests).
+
+    Determinism: order totals become exact BIGINT cents; the group
+    median is the exact lower order statistic (rank (n+1)//2);
+    group/global means of z land on half-up integer CENT grids, so
+    SSB and SSW are exact DECIMAL(38) sums of int64 squares —
+    deviations are bounded by the max order price (~5e7 cents,
+    SCALE-INDEPENDENT), so dev^2 <= 2.5e15 never overflows int64
+    and the DECIMAL sums stay exact at any corpus size — W is one
+    double expression over identical operands.
+
+    Scale: the median needs one per-group sort (partitioned window,
+    5 groups) — at 100 TB swap in q444's bucket-refinement selection
+    per group; everything else is two map-side-combinable
+    aggregates.
+    """
+    vals = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    wg = Window.partitionBy("grp").orderBy("cents")
+    ranked = vals.withColumn("rk", F.row_number().over(wg)).withColumn(
+        "n_g", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+    )
+    med = ranked.filter(
+        F.col("rk") == F.expr("(n_g + 1) DIV 2")
+    ).select("grp", F.col("cents").alias("med_cents"))
+    z = vals.join(med, "grp").select(
+        "grp",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("z_cents"),
+    )
+    gstats = z.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("z_cents").cast("bigint").alias("s_g"),
+        F.expr(
+            "CAST((2 * SUM(z_cents) + COUNT(*)) DIV (2 * COUNT(*)) "
+            "AS BIGINT)"
+        ).alias("zbar_g"),
+    )
+    tot = gstats.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.expr(
+            "CAST((2 * SUM(s_g) + SUM(n_g)) DIV (2 * SUM(n_g)) AS BIGINT)"
+        ).alias("zbar"),
+    )
+    ssb = (
+        gstats.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("n_g").cast("decimal(19,0)")
+                * (
+                    (F.col("zbar_g") - F.col("zbar"))
+                    * (F.col("zbar_g") - F.col("zbar"))
+                ).cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("ssb")
+        )
+    )
+    ssw = (
+        z.join(F.broadcast(gstats.select("grp", "zbar_g")), "grp")
+        .agg(
+            F.sum(
+                (
+                    (F.col("z_cents") - F.col("zbar_g"))
+                    * (F.col("z_cents") - F.col("zbar_g"))
+                ).cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("ssw")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(ssb))
+        .crossJoin(F.broadcast(ssw))
+        .select(
+            "n",
+            "k",
+            (F.col("ssb").cast("double") / 1e4).alias("ss_between"),
+            (F.col("ssw").cast("double") / 1e4).alias("ss_within"),
+            F.round(
+                (F.col("n") - F.col("k")).cast("double")
+                / (F.col("k") - 1)
+                * F.col("ssb").cast("double")
+                / F.nullif(F.col("ssw").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("bf_statistic"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q462 McNemar's paired test
+#
+# The PAIRED categorical test (McNemar 1947): did user behavior
+# change between the first and second half of the window? Only the
+# discordant pairs matter — b = clicked in H1 but not H2, c = the
+# reverse; chi2 = (|b-c|-1)^2/(b+c). Pure integer arithmetic end to
+# end — the cheapest test in the book and the registry lacked it.
+
+MCN_SPLIT = "2024-01-16"
+
+
+@register(
+    "q462_mcnemar_test",
+    category="analytics-stats (regression/tests/causal)",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'click'
+                  AND ts < TIMESTAMP '{MCN_SPLIT}'
+                 THEN 1 ELSE 0 END) AS h1,
+             MAX(CASE WHEN event_type = 'click'
+                  AND ts >= TIMESTAMP '{MCN_SPLIT}'
+                 THEN 1 ELSE 0 END) AS h2
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN h1 = 1 AND h2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS both_halves,
+           CAST(SUM(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS only_h1,
+           CAST(SUM(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS only_h2,
+           CAST(SUM(CASE WHEN h1 = 0 AND h2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS neither,
+           CAST(GREATEST(ABS(SUM(CASE WHEN h1 = 1 AND h2 = 0
+                                 THEN 1 ELSE 0 END)
+                             - SUM(CASE WHEN h1 = 0 AND h2 = 1
+                                   THEN 1 ELSE 0 END)) - 1, 0) AS DOUBLE)
+           * GREATEST(ABS(SUM(CASE WHEN h1 = 1 AND h2 = 0
+                              THEN 1 ELSE 0 END)
+                          - SUM(CASE WHEN h1 = 0 AND h2 = 1
+                                THEN 1 ELSE 0 END)) - 1, 0)
+           / NULLIF(SUM(CASE WHEN h1 <> h2 THEN 1 ELSE 0 END), 0)
+             AS mcnemar_statistic
+    FROM users
+    """,
+)
+def q462_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for paired binary outcomes (McNemar 1947): per
+    user, did-click in the window's first half (before {MCN_SPLIT})
+    vs the second half; only the DISCORDANT users enter the
+    statistic chi2 = (|b - c| - 1)^2 / (b + c) (continuity-
+    corrected, floored at 0). The paired sibling of the 2x2 tests
+    (q460 CMH, q266 Wilson) the registry now spans.
+
+    Determinism: the entire statistic is integer counts from one
+    user-grain aggregate; the single division runs on identical
+    BIGINTs (NULLIF for the no-discordant-users corner) — no
+    rounding grid anywhere.
+
+    Scale: one map-side-combinable user aggregate, one scalar
+    reduce.
+    """
+    ev = t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") < F.lit(MCN_SPLIT).cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("h1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.lit(MCN_SPLIT).cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("h2"),
+    )
+    b = F.sum(
+        F.when((F.col("h1") == 1) & (F.col("h2") == 0), 1).otherwise(0)
+    )
+    c = F.sum(
+        F.when((F.col("h1") == 0) & (F.col("h2") == 1), 1).otherwise(0)
+    )
+    corrected = F.greatest(F.abs(b - c) - 1, F.lit(0))
+    return users.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(
+            F.when((F.col("h1") == 1) & (F.col("h2") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("both_halves"),
+        b.cast("bigint").alias("only_h1"),
+        c.cast("bigint").alias("only_h2"),
+        F.sum(
+            F.when((F.col("h1") == 0) & (F.col("h2") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("neither"),
+        (
+            corrected.cast("double")
+            * corrected
+            / F.nullif(
+                F.sum(F.when(F.col("h1") != F.col("h2"), 1).otherwise(0)),
+                F.lit(0),
+            )
+        ).alias("mcnemar_statistic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q463 market concentration & diversity indices
+#
+# The concentration readouts (Herfindahl-Hirschman, Simpson,
+# Shannon, effective-category count) every marketplace/antitrust/
+# ecology dashboard computes — here per ship-year over brand revenue
+# shares. HHI and Simpson reduce to exact integer ratios; Shannon
+# rides the ln-under-ROUND-6 convention (q261 precedent).
+
+
+@register(
+    "q463_concentration_indices",
+    category="aggregation-advanced (rollup/percentile/sketch/pivot)",
+    oracle="""
+    WITH brand_rev AS (
+      SELECT CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS year,
+             p.p_brand AS brand,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT),
+               p.p_brand
+    ),
+    shared AS (
+      SELECT year, cents, n,
+             CAST(cents AS DOUBLE)
+               / SUM(cents) OVER (PARTITION BY year) AS share
+      FROM brand_rev
+    ),
+    peryear AS (
+      SELECT year,
+             CAST(COUNT(*) AS BIGINT) AS n_brands,
+             CAST(SUM(cents) AS BIGINT) AS tot_cents,
+             CAST(SUM(n) AS BIGINT) AS tot_n,
+             CAST(SUM(CAST(cents AS DECIMAL(19,0)) * cents)
+                  AS DECIMAL(38,0)) AS sq_cents,
+             CAST(SUM(CAST(n AS DECIMAL(19,0)) * (n - 1))
+                  AS DECIMAL(38,0)) AS pair_n,
+             CAST(SUM(CAST(ROUND(-1.0 * share * LN(share), 9)
+               AS DECIMAL(38,9))) AS DOUBLE) AS shannon_raw
+      FROM shared
+      GROUP BY year
+    )
+    SELECT year, n_brands,
+           CAST(tot_cents AS DOUBLE) / 100 AS total_revenue,
+           ROUND(CAST(sq_cents AS DOUBLE)
+                 / (CAST(tot_cents AS DOUBLE)
+                    * CAST(tot_cents AS DOUBLE)), 6) AS hhi,
+           ROUND(CAST(pair_n AS DOUBLE)
+                 / NULLIF(CAST(tot_n AS DOUBLE)
+                          * (tot_n - 1), 0), 6) AS simpson,
+           ROUND(shannon_raw, 6) AS shannon,
+           ROUND(CAST(tot_cents AS DOUBLE)
+                 * CAST(tot_cents AS DOUBLE)
+                 / NULLIF(CAST(sq_cents AS DOUBLE), 0), 6)
+             AS effective_brands
+    FROM peryear
+    ORDER BY year
+    """,
+)
+def q463_concentration_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration & diversity indices per ship-year over brand
+    revenue: Herfindahl-Hirschman (sum of squared shares — the
+    antitrust standard), Simpson's lambda on line counts (the
+    probability two random lines share a brand), Shannon entropy of
+    revenue shares, and the effective brand count 1/HHI. The
+    marketplace-concentration dashboard the registry's Gini/zipf
+    ops circle without computing.
+
+    Determinism: revenue is exact BIGINT cents; HHI = sum(s_b^2) /
+    S^2 and Simpson = sum(n(n-1)) / (N(N-1)) are ratios of exact
+    DECIMAL/BIGINT reductions (one double division each, NULLIF
+    guards); Shannon's ln rides the ROUND-6 convention with 1e-9
+    term grids (q261 precedent).
+
+    Scale: the lineitem-part join shuffles on partkey (or
+    broadcasts part when small); the rest is a two-level aggregate
+    ending at year x brand then year grain — map-side combinable
+    throughout. The Shannon share window runs over <=30 brand rows
+    per year.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.year("l_shipdate").cast("bigint").alias("year"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100).alias(
+            "cents_d"
+        ),
+    )
+    pt = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    brand_rev = (
+        li.join(pt, "l_partkey")
+        .groupBy("year", "brand")
+        .agg(
+            F.sum("cents_d").cast("bigint").alias("cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    wyear = Window.partitionBy("year")
+    shares = brand_rev.withColumn(
+        "share",
+        F.col("cents").cast("double") / F.sum("cents").over(wyear),
+    )
+    peryear = shares.groupBy("year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_brands"),
+        F.sum("cents").cast("bigint").alias("tot_cents"),
+        F.sum("n").cast("bigint").alias("tot_n"),
+        F.sum(F.col("cents").cast("decimal(19,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("sq_cents"),
+        F.sum(F.col("n").cast("decimal(19,0)") * (F.col("n") - 1))
+        .cast("decimal(38,0)")
+        .alias("pair_n"),
+        F.sum(
+            F.round(
+                F.lit(-1.0) * F.col("share") * F.log(F.col("share")), 9
+            ).cast("decimal(38,9)")
+        )
+        .cast("double")
+        .alias("shannon_raw"),
+    )
+    return peryear.select(
+        "year",
+        "n_brands",
+        (F.col("tot_cents").cast("double") / 100).alias("total_revenue"),
+        F.round(
+            F.col("sq_cents").cast("double")
+            / (
+                F.col("tot_cents").cast("double")
+                * F.col("tot_cents").cast("double")
+            ),
+            6,
+        ).alias("hhi"),
+        F.round(
+            F.col("pair_n").cast("double")
+            / F.nullif(
+                F.col("tot_n").cast("double") * (F.col("tot_n") - 1),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("simpson"),
+        F.round("shannon_raw", 6).alias("shannon"),
+        F.round(
+            F.col("tot_cents").cast("double")
+            * F.col("tot_cents").cast("double")
+            / F.nullif(F.col("sq_cents").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("effective_brands"),
+    ).orderBy("year")

@@ -99,6 +99,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         pipeline_more,
         relational,
         round5,
+        round5b,
         similarity,
         textstats,
         tpch_more,

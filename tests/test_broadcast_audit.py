@@ -269,6 +269,30 @@ AUDITED_SITES = {
     ("queries/round5.py", "q445_woe_iv_binning", "tot"),
     ("queries/round5.py", "q446_rendezvous_sharding", "tot"),
     ("queries/round5.py", "q448_unimax_allocation", "tot"),
+    # q452: runs is a 6-row per-profiled-column aggregate (bounded by
+    # the literal column list in the stack())
+    ("queries/round5b.py", "q452_encoding_advisor", "runs"),
+    # q453/q454: 1-row scalar aggregates (coincidence total, unit
+    # count, series mean/length)
+    ("queries/round5b.py", "q453_krippendorff_alpha", "oterm"),
+    ("queries/round5b.py", "q453_krippendorff_alpha", "units"),
+    ("queries/round5b.py", "q454_ar1_yule_walker", "m"),
+    # q456: seeds is a fixed 8 x 64 centroid table, ks a 7-row
+    # literal k list
+    ("queries/round5b.py", "q456_silhouette_elbow", "seeds"),
+    ("queries/round5b.py", "q456_silhouette_elbow", "ks"),
+    # q459: cand is a fixed 16 x 64 candidate table; p/coverage are
+    # 1-row picks/scalars; chosen is bounded by the literal FL_K
+    ("queries/round5b.py", "q459_facility_location_greedy", "cand"),
+    ("queries/round5b.py", "q459_facility_location_greedy", "p"),
+    ("queries/round5b.py", "q459_facility_location_greedy", "coverage"),
+    ("queries/round5b.py", "q459_facility_location_greedy", "chosen"),
+    # q461: tot/ssb/ssw are 1-row scalars, gstats is a 5-row
+    # per-priority aggregate (bounded by the priority domain)
+    ("queries/round5b.py", "q461_brown_forsythe", "tot"),
+    ("queries/round5b.py", "q461_brown_forsythe", "ssb"),
+    ("queries/round5b.py", "q461_brown_forsythe", "ssw"),
+    ("queries/round5b.py", "q461_brown_forsythe", "gstats"),
     ("queries/similarity.py", "_pq_dist_and_codes", "train"),
     ("queries/similarity.py", "q343_pq_adc_topk", "qtab"),
     ("queries/similarity.py", "q344_ivf_pq_probe", "coarse"),

@@ -154,6 +154,10 @@ EVENT_QUERIES = [
     # total order must agree); single-event episodes pin t=0 (return
     # == reward/2^... grid); >horizon-length sessions zero the tail
     "q395_discounted_returns",
+    # 1-day series pins t=1 (running mean = x, U = -delta); constant
+    # series keep PH near 0; duplicate timestamps only move counts —
+    # the integer micro-grid must agree on every series shape
+    "q455_page_hinkley",
 ]
 DOC_QUERIES = [
     "q60_dedup_exact",
@@ -380,6 +384,10 @@ DOC_QUERIES = [
     # clamp (first/last FIR taps) must floor-divide negatives
     # identically on both engines
     "q451_audio_decimation",
+    # tiny corpora can leave zero pairable units (NULL alpha) or a
+    # single coincidence category (zero D_e -> NULLIF, not ANSI /0);
+    # the integer doubled-pair-term grid must agree on every shape
+    "q453_krippendorff_alpha",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get
@@ -492,6 +500,14 @@ ORDER_QUERIES = [
     # all-same-day shipdates pin period 0 (decayed == raw modulo the
     # 2^cap scale); ties on decayed revenue fall to the brand order
     "q418_decayed_heavy_hitters",
+    # duplicate (orderkey, linenumber) keys attack the run-count
+    # window tie-break (v must order); constant columns pin ndv=1
+    # (bin(0) -> 1-bit indexes) and runs=groups on both engines
+    "q452_encoding_advisor",
+    # 1-day / constant-revenue series zero c0 -> phi must NULL via
+    # NULLIF (ANSI /0 guard), not diverge NaN-vs-NULL; 2-day series
+    # pin the lag product to a single term
+    "q454_ar1_yule_walker",
 ]
 
 
@@ -697,6 +713,10 @@ EMB_QUERIES = [
     # tie-breaks agreeing); near-zero vectors exercise the NULLed
     # zero-norm prefix cosine ranking last on both engines
     "q411_matryoshka_recall",
+    # duplicate vectors tie d2 at 0 for several seeds (pure cid
+    # tie-breaks pick own vs alt); n < 8 shrinks the seed pool so
+    # high k values coincide; a=b=0 NULLs s via the GREATEST guard
+    "q456_silhouette_elbow",
 ]
 
 emb_params = st.tuples(
@@ -758,6 +778,31 @@ PART_QUERIES = [
     # twins must BOTH survive (dominance is strict); bin-boundary
     # prices (exact SKY_BIN multiples) attack the floor() binning
     "q374_skyline_frontier",
+    # adversarial name pool attacks the Jaro match-window edges
+    # (1-char names -> window 0), transposition parity, the 4-char
+    # Winkler prefix cap, and the empty-string 0.0 convention; the
+    # pandas-UDF doubles must match DuckDB's native C++ bit-for-bit
+    "q457_jaro_winkler_linkage",
+]
+
+# names chosen to sit on Jaro/Winkler edges: empty, 1-char (match
+# window 0), pure transpositions, shared 4+ prefixes, repeats
+JW_NAME_POOL = [
+    "",
+    "a",
+    "b",
+    "ab",
+    "ba",
+    "abcd",
+    "abdc",
+    "dcba",
+    "aaaa",
+    "aaab",
+    "abcdefgh",
+    "abcdhgfe",
+    "part#1",
+    "part#2",
+    "a b",
 ]
 GEO_QUERIES = [
     # hash-derived coords: tiny/overlapping key pools collapse
@@ -772,6 +817,7 @@ part_rows = st.lists(
     st.tuples(
         st.sampled_from([1999, 2000, 2001, 4000, 4001, 500, 500, 99999]),
         st.integers(1, 4),
+        st.sampled_from(JW_NAME_POOL),
     ),
     min_size=1,
     max_size=30,
@@ -782,11 +828,11 @@ def _write_part(base: Path, rows) -> None:
     df = pd.DataFrame(
         {
             "p_partkey": pd.array(range(len(rows)), dtype="int64"),
-            "p_name": [f"part#{i}" for i in range(len(rows))],
+            "p_name": [nm for _, _, nm in rows],
             "p_brand": [f"Brand#{i % 3}" for i in range(len(rows))],
             "p_type": ["STANDARD"] * len(rows),
-            "p_size": pd.array([s for _, s in rows], dtype="int32"),
-            "p_retailprice": [c / 100.0 for c, _ in rows],
+            "p_size": pd.array([s for _, s, _ in rows], dtype="int32"),
+            "p_retailprice": [c / 100.0 for c, _, _ in rows],
         }
     )
     df.to_parquet(base / "part.parquet", index=False)
