@@ -1502,7 +1502,7 @@ def q460_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.n, t.k,
            CAST(b.ssb AS DOUBLE) / 1e4 AS ss_between,
            CAST(w.ssw AS DOUBLE) / 1e4 AS ss_within,
-           ROUND(CAST((t.n - t.k) AS DOUBLE) / (t.k - 1)
+           ROUND(CAST((t.n - t.k) AS DOUBLE) / NULLIF(t.k - 1, 0)
                  * CAST(b.ssb AS DOUBLE)
                  / NULLIF(CAST(w.ssw AS DOUBLE), 0), 6) AS bf_statistic
     FROM tot t, ssb b, ssw w
@@ -1601,7 +1601,7 @@ def q461_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ssw").cast("double") / 1e4).alias("ss_within"),
             F.round(
                 (F.col("n") - F.col("k")).cast("double")
-                / (F.col("k") - 1)
+                / F.nullif(F.col("k") - 1, F.lit(0))
                 * F.col("ssb").cast("double")
                 / F.nullif(F.col("ssw").cast("double"), F.lit(0.0)),
                 6,
@@ -1874,3 +1874,1151 @@ def q463_concentration_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("effective_brands"),
     ).orderBy("year")
+
+
+# ---------------------------------------------------------------------------
+# q464 Granger causality (does clicking "Granger-cause" purchasing?)
+#
+# The bivariate lag test (Granger 1969): regress purchases_t on its
+# own lag with and without the click lag; the F-ratio of the SSE
+# drop is the causality readout. Distinct from q454 (univariate AR)
+# and q327 (DiD): this is the PREDICTIVE-causality family. All
+# regression moments are exact integer sums; betas/SSEs are double
+# expressions over identical operands on both engines.
+
+
+@register(
+    "q464_granger_causality",
+    category="analytics-stats (regression/tests/causal)",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS y,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    lagged AS (
+      SELECT day, y,
+             LAG(y) OVER (ORDER BY day) AS y1,
+             LAG(x) OVER (ORDER BY day) AS x1
+      FROM daily
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(y1) AS DECIMAL(38,0)) AS s1,
+             CAST(SUM(x1) AS DECIMAL(38,0)) AS s2,
+             CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0))
+               AS syy,
+             CAST(SUM(CAST(y1 AS DECIMAL(19,0)) * y1) AS DECIMAL(38,0))
+               AS s11,
+             CAST(SUM(CAST(x1 AS DECIMAL(19,0)) * x1) AS DECIMAL(38,0))
+               AS s22,
+             CAST(SUM(CAST(y1 AS DECIMAL(19,0)) * x1) AS DECIMAL(38,0))
+               AS s12,
+             CAST(SUM(CAST(y AS DECIMAL(19,0)) * y1) AS DECIMAL(38,0))
+               AS s1y,
+             CAST(SUM(CAST(y AS DECIMAL(19,0)) * x1) AS DECIMAL(38,0))
+               AS s2y
+      FROM lagged WHERE y1 IS NOT NULL
+    ),
+    m AS (
+      SELECT n,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS myy,
+             CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS m11,
+             CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+               - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS m22,
+             CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS m12,
+             CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS m1y,
+             CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE)
+               - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS m2y
+      FROM s
+    ),
+    fit AS (
+      SELECT n, myy, m11, m22, m12, m1y, m2y,
+             (m1y * m22 - m2y * m12)
+               / NULLIF(m11 * m22 - m12 * m12, 0) AS b1,
+             (m2y * m11 - m1y * m12)
+               / NULLIF(m11 * m22 - m12 * m12, 0) AS b2,
+             m1y / NULLIF(m11, 0) AS a1
+      FROM m
+    )
+    SELECT n AS n_samples,
+           ROUND(a1, 6) AS ar_coef,
+           ROUND(b1, 6) AS y_lag_coef,
+           ROUND(b2, 6) AS x_lag_coef,
+           ROUND((myy - a1 * m1y) / n, 6) AS sse_restricted,
+           ROUND((myy - b1 * m1y - b2 * m2y) / n, 6) AS sse_unrestricted,
+           ROUND(((myy - a1 * m1y) - (myy - b1 * m1y - b2 * m2y))
+                 * (n - 3)
+                 / NULLIF(myy - b1 * m1y - b2 * m2y, 0), 6)
+             AS f_statistic
+    FROM fit
+    """,
+)
+def q464_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality from daily clicks to daily purchases
+    (Granger 1969): fit purchases_t ~ purchases_{t-1} with and
+    without clicks_{t-1}; F = (SSE_r - SSE_u)(n-3)/SSE_u tests
+    whether the click lag adds predictive power — the PREDICTIVE-
+    causality family next to the registry's AR(1) (q454) and DiD
+    (q327). Betas come from the centered normal equations.
+
+    Determinism: all ten regression moments are exact
+    DECIMAL(38) sums of integer daily-count products (counts <=
+    ~3e7/day even at 1000x — products < 1e15, int64-safe before the
+    DECIMAL cast); the centered moments, betas, SSEs, and F are the
+    same double expressions over identical operands on both
+    engines, with NULLIF guarding singular designs (constant series)
+    and everything ROUND-6 at the boundary.
+
+    Scale: one map-side-combinable date-grain aggregate; windows run
+    over the tiny daily series; the rest is scalar.
+    """
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "y",
+        F.lag("y").over(w).alias("y1"),
+        F.lag("x").over(w).alias("x1"),
+    ).filter(F.col("y1").isNotNull())
+
+    def dprod(a, b):
+        return F.sum(
+            F.col(a).cast("decimal(19,0)") * F.col(b)
+        ).cast("decimal(38,0)")
+
+    s = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum("y1").cast("decimal(38,0)").alias("s1"),
+        F.sum("x1").cast("decimal(38,0)").alias("s2"),
+        dprod("y", "y").alias("syy"),
+        dprod("y1", "y1").alias("s11"),
+        dprod("x1", "x1").alias("s22"),
+        dprod("y1", "x1").alias("s12"),
+        dprod("y", "y1").alias("s1y"),
+        dprod("y", "x1").alias("s2y"),
+    )
+
+    def ctr(ab, a, b):
+        return (
+            F.col("n").cast("double") * F.col(ab).cast("double")
+            - F.col(a).cast("double") * F.col(b).cast("double")
+        )
+
+    m = s.select(
+        "n",
+        ctr("syy", "sy", "sy").alias("myy"),
+        ctr("s11", "s1", "s1").alias("m11"),
+        ctr("s22", "s2", "s2").alias("m22"),
+        ctr("s12", "s1", "s2").alias("m12"),
+        ctr("s1y", "s1", "sy").alias("m1y"),
+        ctr("s2y", "s2", "sy").alias("m2y"),
+    )
+    det = F.col("m11") * F.col("m22") - F.col("m12") * F.col("m12")
+    b1 = (
+        F.col("m1y") * F.col("m22") - F.col("m2y") * F.col("m12")
+    ) / F.nullif(det, F.lit(0.0))
+    b2 = (
+        F.col("m2y") * F.col("m11") - F.col("m1y") * F.col("m12")
+    ) / F.nullif(det, F.lit(0.0))
+    a1 = F.col("m1y") / F.nullif(F.col("m11"), F.lit(0.0))
+    sse_r = (F.col("myy") - a1 * F.col("m1y")) / F.col("n")
+    sse_u = (
+        F.col("myy") - b1 * F.col("m1y") - b2 * F.col("m2y")
+    ) / F.col("n")
+    return m.select(
+        F.col("n").alias("n_samples"),
+        F.round(a1, 6).alias("ar_coef"),
+        F.round(b1, 6).alias("y_lag_coef"),
+        F.round(b2, 6).alias("x_lag_coef"),
+        F.round(sse_r, 6).alias("sse_restricted"),
+        F.round(sse_u, 6).alias("sse_unrestricted"),
+        F.round(
+            (
+                (F.col("myy") - a1 * F.col("m1y"))
+                - (
+                    F.col("myy")
+                    - b1 * F.col("m1y")
+                    - b2 * F.col("m2y")
+                )
+            )
+            * (F.col("n") - 3)
+            / F.nullif(
+                F.col("myy") - b1 * F.col("m1y") - b2 * F.col("m2y"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("f_statistic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q465 consistent-hash RING audit (vs q446's rendezvous)
+#
+# The OTHER classic sharding scheme (Karger et al. 1997): shards
+# project VNODES onto a hash ring; a key belongs to the first vnode
+# clockwise. Adding a shard must move ONLY keys that land on the new
+# shard (minimal disruption) — certified in-query, per shard, like
+# q446 does for rendezvous. Ownership is a packed-integer MIN over a
+# broadcast 128-row vnode table — no per-doc window, no sort.
+
+RING_SHARDS = 8
+RING_VNODES = 16
+RING_SALT = "ring_r5"
+
+
+def _ring_vnode_sql(n_shards: int) -> str:
+    return f"""
+      SELECT s.sidx, v.vidx,
+             CAST(('0x' || substr(md5('{RING_SALT}|' ||
+                    CAST(s.sidx AS VARCHAR) || '|' ||
+                    CAST(v.vidx AS VARCHAR)), 1, 12)) AS BIGINT)
+               AS vp
+      FROM (SELECT UNNEST(range({n_shards})) AS sidx) s
+      CROSS JOIN (SELECT UNNEST(range({RING_VNODES})) AS vidx) v
+    """
+
+
+@register(
+    "q465_consistent_hash_ring",
+    category="llm-pipeline-ops",
+    oracle=f"""
+    WITH v1 AS ({_ring_vnode_sql(RING_SHARDS)}),
+    v2 AS ({_ring_vnode_sql(RING_SHARDS + 1)}),
+    keys AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                    || '|{RING_SALT}'), 1, 12)) AS BIGINT) AS h
+      FROM documents
+    ),
+    own1 AS (
+      SELECT k.doc_id,
+             CAST(COALESCE(MIN(CASE WHEN v.vp >= k.h
+                                THEN v.vp * 32 + v.sidx END),
+                           MIN(v.vp * 32 + v.sidx)) % 32 AS BIGINT)
+               AS shard1
+      FROM keys k CROSS JOIN v1 v
+      GROUP BY k.doc_id
+    ),
+    own2 AS (
+      SELECT k.doc_id,
+             CAST(COALESCE(MIN(CASE WHEN v.vp >= k.h
+                                THEN v.vp * 32 + v.sidx END),
+                           MIN(v.vp * 32 + v.sidx)) % 32 AS BIGINT)
+               AS shard2
+      FROM keys k CROSS JOIN v2 v
+      GROUP BY k.doc_id
+    ),
+    joined AS (
+      SELECT o1.doc_id, o1.shard1, o2.shard2,
+             CASE WHEN o1.shard1 <> o2.shard2 THEN 1 ELSE 0 END
+               AS moved
+      FROM own1 o1 JOIN own2 o2 USING (doc_id)
+    )
+    SELECT shard1 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_before,
+           CAST(SUM(moved) AS BIGINT) AS moved_out,
+           CAST(SUM(CASE WHEN moved = 1
+                     AND shard2 = {RING_SHARDS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS moved_to_new,
+           BOOL_AND(moved = 0 OR shard2 = {RING_SHARDS})
+             AS minimal_disruption_ok
+    FROM joined
+    GROUP BY shard1
+    ORDER BY shard1
+    """,
+)
+def q465_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash RING sharding audit (Karger et al. 1997), the
+    ring-with-virtual-nodes counterpart of q446's rendezvous
+    hashing: {RING_SHARDS} shards x {RING_VNODES} md5 vnodes; each
+    document belongs to the first vnode clockwise from its hash
+    point (wrap to the ring minimum). Adding shard {RING_SHARDS}
+    re-routes documents; the ring's minimal-disruption property —
+    every mover must land on the NEW shard — is CERTIFIED per
+    source shard in-row.
+
+    Determinism: every hash point is a 48-bit md5 integer;
+    ownership is COALESCE(MIN(point*32 + shard | point >= h),
+    MIN(point*32 + shard)) — a packed-integer aggregate with the
+    shard index as the (never-needed in practice) collision
+    tie-break; no floats anywhere.
+
+    Scale: ownership is a fan-out join against a broadcast 128-row
+    vnode table collapsed by partial aggregation (doc x 128 narrow
+    rows, map-side combined) — no per-doc window, no sort, no
+    shuffle beyond the doc-grain combine. The moved/landed
+    certification is one equi-join on doc_id.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    keys = docs.select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(f"|{RING_SALT}"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+
+    def vnodes(n_shards: int) -> DataFrame:
+        rows = [
+            (s, v)
+            for s in range(n_shards)
+            for v in range(RING_VNODES)
+        ]
+        vdf = spark.createDataFrame(rows, "sidx int, vidx int")
+        return vdf.select(
+            "sidx",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{RING_SALT}|"),
+                            F.col("sidx").cast("string"),
+                            F.lit("|"),
+                            F.col("vidx").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("vp"),
+        )
+
+    def owners(vn: DataFrame, out: str) -> DataFrame:
+        packed = F.col("vp") * 32 + F.col("sidx")
+        return (
+            keys.crossJoin(F.broadcast(vn))
+            .groupBy("doc_id")
+            .agg(
+                (
+                    F.coalesce(
+                        F.min(F.when(F.col("vp") >= F.col("h"), packed)),
+                        F.min(packed),
+                    )
+                    % 32
+                )
+                .cast("bigint")
+                .alias(out)
+            )
+        )
+
+    own1 = owners(vnodes(RING_SHARDS), "shard1")
+    own2 = owners(vnodes(RING_SHARDS + 1), "shard2")
+    joined = own1.join(own2, "doc_id").withColumn(
+        "moved", F.when(F.col("shard1") != F.col("shard2"), 1).otherwise(0)
+    )
+    return (
+        joined.groupBy(F.col("shard1").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_before"),
+            F.sum("moved").cast("bigint").alias("moved_out"),
+            F.sum(
+                F.when(
+                    (F.col("moved") == 1)
+                    & (F.col("shard2") == RING_SHARDS),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("moved_to_new"),
+            F.bool_and(
+                (F.col("moved") == 0)
+                | (F.col("shard2") == RING_SHARDS)
+            ).alias("minimal_disruption_ok"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q466 EWMA control chart (Roberts 1959)
+#
+# The exponentially-weighted control chart every SPC/monitoring
+# stack runs: z_t = lambda*x_t + (1-lambda)*z_{t-1} against
+# +-L*sigma*sqrt(lambda/(2-lambda)) limits. lambda = 1/2 makes every
+# weight a dyadic rational: with a {EWMA_W}-step truncated kernel
+# the weighted sum is an EXACT BIGINT in units of 2^-{EWMA_W}, and
+# the early-step normalization divides by the exact used-weight
+# total — no float recursion anywhere.
+
+EWMA_W = 20  # truncated kernel horizon (2^-20 tail mass ~1e-6)
+EWMA_L = 3.0
+
+
+@register(
+    "q466_ewma_control_chart",
+    category="events-temporal",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    seq AS (
+      SELECT day, x,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS tk
+      FROM daily
+    ),
+    kernel AS (
+      SELECT a.tk, a.day, a.x AS x_t,
+             CAST(SUM(b.x * (CAST(1 AS BIGINT)
+                  << CAST({EWMA_W} - 1 - (a.tk - b.tk) AS INTEGER)))
+                  AS BIGINT) AS z_num,
+             CAST(SUM(CAST(1 AS BIGINT)
+                  << CAST({EWMA_W} - 1 - (a.tk - b.tk) AS INTEGER))
+                  AS BIGINT) AS z_den
+      FROM seq a JOIN seq b
+        ON b.tk <= a.tk AND b.tk > a.tk - {EWMA_W}
+      GROUP BY a.tk, a.day, a.x
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0))
+               AS q
+      FROM daily
+    )
+    SELECT k.day, k.tk, k.x_t,
+           CAST(k.z_num AS DOUBLE) / k.z_den AS ewma,
+           CAST(s.s AS DOUBLE) / s.n AS center,
+           {EWMA_L} * SQRT((CAST(s.n AS DOUBLE) * CAST(s.q AS DOUBLE)
+                 - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE))
+                / (CAST(s.n AS DOUBLE) * s.n * GREATEST(s.n - 1, 1)))
+             * SQRT(1.0 / 3.0) AS limit_width,
+           ABS(CAST(k.z_num AS DOUBLE) / k.z_den
+               - CAST(s.s AS DOUBLE) / s.n)
+             > {EWMA_L} * SQRT((CAST(s.n AS DOUBLE) * CAST(s.q AS DOUBLE)
+                 - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE))
+                / (CAST(s.n AS DOUBLE) * s.n * GREATEST(s.n - 1, 1)))
+             * SQRT(1.0 / 3.0) AS out_of_control
+    FROM kernel k, stats s
+    ORDER BY k.day
+    """,
+)
+def q466_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over daily event counts (Roberts 1959,
+    the SPC standard): z_t = lambda x_t + (1-lambda) z_{{t-1}} with
+    lambda = 1/2, flagged when |z - xbar| exceeds
+    L*sigma*sqrt(lambda/(2-lambda)) = {EWMA_L}*sigma*sqrt(1/3). The
+    recursion is unrolled into a {EWMA_W}-step truncated kernel
+    (tail mass 2^-{EWMA_W} ~ 1e-6, documented): every weight is a
+    power of two, so the weighted numerator and the used-weight
+    denominator are EXACT BIGINTs (the q395 dyadic-grid trick) and
+    z is one division of identical integers — no float recursion,
+    no window-summation-order hazard.
+
+    Determinism: counts, kernel weights, and both z terms are
+    BIGINT; sigma comes from exact DECIMAL moments (n*q - s^2);
+    sqrt is IEEE-correctly-rounded; every comparison runs on
+    identical doubles.
+
+    Scale: the heavy table collapses to date grain map-side; the
+    kernel self-join fans the tiny daily series x{EWMA_W} (a
+    banded range join at series grain, never at event grain).
+    """
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    w = Window.orderBy("day")
+    seq = daily.withColumn(
+        "tk", F.row_number().over(w).cast("bigint")
+    )
+    a = seq.select(
+        F.col("tk").alias("tk"), "day", F.col("x").alias("x_t")
+    )
+    b = seq.select(F.col("tk").alias("btk"), F.col("x").alias("bx"))
+    shift = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({EWMA_W} - 1 - (tk - btk) AS INT))"
+    )
+    kernel = (
+        a.join(
+            b,
+            (F.col("btk") <= F.col("tk"))
+            & (F.col("btk") > F.col("tk") - EWMA_W),
+        )
+        .groupBy("tk", "day", "x_t")
+        .agg(
+            F.sum(F.col("bx") * shift).cast("bigint").alias("z_num"),
+            F.sum(shift).cast("bigint").alias("z_den"),
+        )
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    joined = kernel.crossJoin(F.broadcast(stats))
+    ewma = F.col("z_num").cast("double") / F.col("z_den")
+    center = F.col("s").cast("double") / F.col("n")
+    sigma = F.sqrt(
+        (
+            F.col("n").cast("double") * F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+        )
+        / (
+            F.col("n").cast("double")
+            * F.col("n")
+            * F.greatest(F.col("n") - 1, F.lit(1))
+        )
+    )
+    width = F.lit(EWMA_L) * sigma * F.sqrt(F.lit(1.0) / 3.0)
+    return joined.select(
+        "day",
+        "tk",
+        "x_t",
+        ewma.alias("ewma"),
+        center.alias("center"),
+        width.alias("limit_width"),
+        (F.abs(ewma - center) > width).alias("out_of_control"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# q467 edit-distance suite (Levenshtein builtin parity + TRUE
+# Damerau-Levenshtein)
+#
+# String-distance kernels for record linkage: Levenshtein runs as
+# the BUILTIN on both engines (Spark's JVM DP vs DuckDB's C++ DP —
+# a genuine cross-engine builtin-parity certification), and
+# Damerau-Levenshtein (the transposition-aware variant) as a pandas
+# UDF implementing the TRUE DL algorithm (alphabet-indexed
+# Lowrance-Wagner), pinned against DuckDB's native
+# ``damerau_levenshtein`` — an 8k-pair fuzz proved DuckDB implements
+# true DL, NOT the restricted OSA variant (45/8000 differ).
+
+
+@register(
+    "q467_edit_distance_suite",
+    category="llm-dedup",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.p_partkey AS pair_id,
+             a.p_name AS name_a, b.p_name AS name_b
+      FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+    )
+    SELECT pair_id, name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev,
+           CAST(damerau_levenshtein(name_a, name_b) AS BIGINT) AS dl,
+           CAST(levenshtein(name_a, name_b)
+                - damerau_levenshtein(name_a, name_b) AS BIGINT)
+             AS transposition_savings,
+           levenshtein(name_a, name_b)
+             <= CAST(GREATEST(LENGTH(name_a), LENGTH(name_b))
+                     AS BIGINT) // 4 AS close_match
+    FROM pairs
+    ORDER BY pair_id
+    """,
+)
+def q467_edit_distance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance suite over consecutive part-name pairs: plain
+    Levenshtein via the BUILTIN on both engines (Spark JVM vs DuckDB
+    C++ — a genuine independent-implementation parity check on
+    integer outputs), plus TRUE Damerau-Levenshtein (Lowrance-Wagner
+    1975 with alphabet tracking, where a transposition costs 1 even
+    across intervening edits) as a pandas UDF — an 8k-pair fuzz
+    showed DuckDB's native ``damerau_levenshtein`` is true DL, not
+    the restricted OSA variant (they differ on 45/8000 random
+    triples like 'ab'->'bca'). ``transposition_savings`` = lev - dl
+    isolates the transposition credit; ``close_match`` gates at
+    distance <= max_len/4.
+
+    Determinism: every output is an integer — no rounding grid
+    anywhere; the pair generator is the q457 partkey+1 equi-join.
+
+    Scale: co-partitionable equi-join, Arrow-batched UDF, linear in
+    pairs; the builtin Levenshtein stays whole-stage-codegen'd
+    JVM-side.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def dl_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_damerau_levenshtein(a, b) for a, b in zip(s1, s2)],
+            dtype="int64",
+        )
+
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = part.alias("a").join(
+        part.alias("b"),
+        F.col("b.p_partkey") == F.col("a.p_partkey") + 1,
+    ).select(
+        F.col("a.p_partkey").alias("pair_id"),
+        F.col("a.p_name").alias("name_a"),
+        F.col("b.p_name").alias("name_b"),
+    )
+    lev = F.levenshtein("name_a", "name_b").cast("bigint")
+    return pairs.select(
+        "pair_id",
+        "name_a",
+        "name_b",
+        lev.alias("lev"),
+        dl_udf("name_a", "name_b").cast("bigint").alias("dl"),
+        (lev - dl_udf("name_a", "name_b")).cast("bigint").alias(
+            "transposition_savings"
+        ),
+        (
+            lev
+            <= F.expr(
+                "CAST(GREATEST(LENGTH(name_a), LENGTH(name_b)) AS BIGINT) "
+                "DIV 4"
+            )
+        ).alias("close_match"),
+    ).orderBy("pair_id")
+
+
+def _damerau_levenshtein(s1: str, s2: str) -> int:
+    """TRUE Damerau-Levenshtein (Lowrance-Wagner with alphabet
+    tracking) — matches DuckDB's native implementation exactly on an
+    8k-pair fuzz (see q467); distinct from restricted OSA."""
+    da: dict[str, int] = {}
+    l1, l2 = len(s1), len(s2)
+    inf = l1 + l2
+    d = [[inf] * (l2 + 2) for _ in range(l1 + 2)]
+    for i in range(l1 + 1):
+        d[i + 1][1] = i
+        d[i + 1][0] = inf
+    for j in range(l2 + 1):
+        d[1][j + 1] = j
+        d[0][j + 1] = inf
+    for i in range(1, l1 + 1):
+        db = 0
+        for j in range(1, l2 + 1):
+            k = da.get(s2[j - 1], 0)
+            ll = db
+            if s1[i - 1] == s2[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][ll] + (i - k - 1) + 1 + (j - ll - 1),
+            )
+        da[s1[i - 1]] = i
+    return d[l1 + 1][l2 + 1]
+
+
+# ---------------------------------------------------------------------------
+# q468 Mondrian k-anonymity partitioner
+#
+# The greedy multidimensional generalization algorithm (LeFevre,
+# DeWitt & Ramakrishnan, ICDE 2006) behind k-anonymous data
+# releases — the PARTITIONER whose output q399's l-diversity audit
+# assumes: recursively cut the quasi-identifier space on the
+# widest dimension at its median. Three unrolled rounds -> up to 8
+# boxes; each box reports its generalization rectangle and whether
+# it satisfies k-anonymity.
+
+MON_ROUNDS = 3
+MON_K = 50
+
+
+def _mondrian_stage_sql(r: int) -> str:
+    """One Mondrian round: per box, widest-dim median cut."""
+    return f""",
+    stats{r} AS MATERIALIZED (
+      SELECT box, CAST(MAX(cents) - MIN(cents) AS BIGINT) AS range1,
+             CAST(MAX(dom) - MIN(dom) AS BIGINT) AS range2
+      FROM m{r - 1} GROUP BY box
+    ),
+    val{r} AS MATERIALIZED (
+      SELECT m.*, CASE WHEN s.range1 >= s.range2
+                       THEN m.cents ELSE m.dom END AS cutval
+      FROM m{r - 1} m JOIN stats{r} s USING (box)
+    ),
+    med{r} AS MATERIALIZED (
+      SELECT box, CAST(cutval AS BIGINT) AS med FROM (
+        SELECT box, cutval,
+               ROW_NUMBER() OVER (PARTITION BY box ORDER BY cutval)
+                 AS rk,
+               COUNT(*) OVER (PARTITION BY box) AS nb
+        FROM val{r}
+      ) WHERE rk = (nb + 1) // 2
+    ),
+    m{r} AS MATERIALIZED (
+      SELECT v.o_orderkey, v.cents, v.dom,
+             v.box * 2 + CASE WHEN v.cutval <= d.med
+                              THEN 0 ELSE 1 END AS box
+      FROM val{r} v JOIN med{r} d USING (box)
+    )"""
+
+
+@register(
+    "q468_mondrian_kanonymity",
+    category="llm-pipeline-extended",
+    oracle="""
+    WITH m0 AS MATERIALIZED (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS dom,
+             CAST(0 AS BIGINT) AS box
+      FROM orders
+    )"""
+    + "".join(_mondrian_stage_sql(r) for r in range(1, MON_ROUNDS + 1))
+    + f"""
+    SELECT box, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(cents) AS BIGINT) AS cents_lo,
+           CAST(MAX(cents) AS BIGINT) AS cents_hi,
+           CAST(MIN(dom) AS BIGINT) AS dom_lo,
+           CAST(MAX(dom) AS BIGINT) AS dom_hi,
+           COUNT(*) >= {MON_K} AS k_anonymous
+    FROM m{MON_ROUNDS}
+    GROUP BY box
+    ORDER BY box
+    """,
+)
+def q468_mondrian_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian k-anonymity partitioning (LeFevre et al., ICDE
+    2006): {MON_ROUNDS} rounds of "cut the widest quasi-identifier
+    dimension at its median" over (order total cents, day-of-month),
+    then report each box's generalization rectangle and whether it
+    holds k >= {MON_K} — the PARTITIONER that produces the
+    anonymized release q399's l-diversity audit then grades.
+
+    Determinism: both QIs are exact integers; the cut dimension is
+    a (range1 >= range2) integer comparison; the cut point is the
+    exact lower-median order statistic of the chosen dimension
+    (value grain — ties collapse, no row tie-break needed); box ids
+    are binary path integers. Degenerate boxes (all values equal)
+    send every row left identically on both engines.
+
+    Scale: each round is one per-box window sort + a 2-8-row stats
+    join — at 100 TB the exact median swaps for q444's bucket
+    refinement per box (the cut only needs the median VALUE). The
+    oracle CTEs are MATERIALIZED to stop exponential inlining of
+    the recursive box lineage (the q459 lesson).
+    """
+    cur = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
+        F.lit(0).cast("bigint").alias("box"),
+    )
+    for _ in range(MON_ROUNDS):
+        stats = cur.groupBy("box").agg(
+            (F.max("cents") - F.min("cents")).cast("bigint").alias("range1"),
+            (F.max("dom") - F.min("dom")).cast("bigint").alias("range2"),
+        )
+        val = cur.join(F.broadcast(stats), "box").withColumn(
+            "cutval",
+            F.when(
+                F.col("range1") >= F.col("range2"), F.col("cents")
+            ).otherwise(F.col("dom")),
+        )
+        wb = Window.partitionBy("box").orderBy("cutval")
+        med = (
+            val.withColumn("rk", F.row_number().over(wb))
+            .withColumn(
+                "nb", F.count(F.lit(1)).over(Window.partitionBy("box"))
+            )
+            .filter(F.col("rk") == F.expr("(nb + 1) DIV 2"))
+            .select("box", F.col("cutval").cast("bigint").alias("med"))
+        )
+        cur = val.join(F.broadcast(med), "box").select(
+            "o_orderkey",
+            "cents",
+            "dom",
+            (
+                F.col("box") * 2
+                + F.when(F.col("cutval") <= F.col("med"), 0).otherwise(1)
+            ).alias("box"),
+        )
+    return (
+        cur.groupBy("box")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("cents").cast("bigint").alias("cents_lo"),
+            F.max("cents").cast("bigint").alias("cents_hi"),
+            F.min("dom").cast("bigint").alias("dom_lo"),
+            F.max("dom").cast("bigint").alias("dom_hi"),
+            (F.count(F.lit(1)) >= MON_K).alias("k_anonymous"),
+        )
+        .orderBy("box")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q469 Hurst exponent via rescaled-range (R/S) analysis
+#
+# The long-memory diagnostic (Hurst 1951; Mandelbrot's R/S): slope
+# of ln(R/S) against ln(block size) over the daily-revenue series.
+# H ~ 0.5 = random walk increments; H > 0.5 = persistent trends.
+# The range R of cumulative deviations is computed on an EXACT
+# m-scaled integer grid (m*prefix - j*block_sum), so only S (the
+# block sigma) and the final lns touch floats.
+
+HURST_SIZES = [8, 16, 32, 64]
+
+
+@register(
+    "q469_hurst_exponent",
+    category="analytics-stats (regression/tests/causal)",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    seq AS (
+      SELECT cents,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS tk
+      FROM daily
+    ),
+    fanned AS (
+      SELECT s.m, (q.tk - 1) // s.m AS blk, q.tk, q.cents,
+             ROW_NUMBER() OVER (PARTITION BY s.m, (q.tk - 1) // s.m
+                                ORDER BY q.tk) AS j,
+             SUM(q.cents) OVER (PARTITION BY s.m, (q.tk - 1) // s.m
+                                ORDER BY q.tk
+                                ROWS UNBOUNDED PRECEDING) AS pref,
+             SUM(q.cents) OVER (PARTITION BY s.m, (q.tk - 1) // s.m)
+               AS bs_w
+      FROM seq q
+      CROSS JOIN (SELECT UNNEST([{",".join(map(str, HURST_SIZES))}])
+                  AS m) s
+    ),
+    blocks AS (
+      SELECT m, blk,
+             CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(cents) AS BIGINT) AS bs,
+             CAST(SUM(CAST(cents AS DECIMAL(19,0)) * cents)
+                  AS DECIMAL(38,0)) AS bq,
+             CAST(MAX(m * pref - j * bs_w) AS BIGINT) AS dev_max,
+             CAST(MIN(m * pref - j * bs_w) AS BIGINT) AS dev_min
+      FROM fanned
+      GROUP BY m, blk
+    ),
+    rs AS (
+      SELECT m,
+             ROUND(LN(
+               (CAST(dev_max - LEAST(dev_min, 0) AS DOUBLE) / m)
+               / NULLIF(SQRT((CAST(nb AS DOUBLE) * CAST(bq AS DOUBLE)
+                    - CAST(bs AS DOUBLE) * CAST(bs AS DOUBLE))
+                   / (CAST(nb AS DOUBLE) * nb)), 0)), 9) AS ln_rs
+      FROM blocks WHERE nb = m
+    ),
+    pts AS (
+      SELECT CAST(m AS BIGINT) AS m, LN(CAST(m AS DOUBLE)) AS lx,
+             CAST(COUNT(ln_rs) AS BIGINT) AS n_blocks,
+             CAST(SUM(CAST(ln_rs AS DECIMAL(38,9))) AS DOUBLE)
+               / NULLIF(COUNT(ln_rs), 0) AS mean_ln_rs
+      FROM rs GROUP BY m
+    ),
+    fit AS (
+      SELECT (COUNT(*) * SUM(lx * mean_ln_rs) - SUM(lx) * SUM(mean_ln_rs))
+             / NULLIF(COUNT(*) * SUM(lx * lx) - SUM(lx) * SUM(lx), 0)
+               AS hurst
+      FROM pts WHERE mean_ln_rs IS NOT NULL
+    )
+    SELECT p.m, p.n_blocks, ROUND(p.mean_ln_rs, 6) AS mean_ln_rs,
+           ROUND(f.hurst, 6) AS hurst
+    FROM pts p, fit f
+    ORDER BY p.m
+    """,
+)
+def q469_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily revenue by rescaled-range analysis
+    (Hurst 1951; the Mandelbrot R/S long-memory diagnostic): chop
+    the series into blocks of m in {HURST_SIZES}, per FULL block
+    compute R = range of cumulative mean-deviations and S = the
+    population sigma, then H = the OLS slope of mean ln(R/S) on
+    ln m. H ~ 0.5 marks independent increments; persistent trends
+    push H above it.
+
+    Determinism: the cumulative deviation rides an EXACT m-scaled
+    integer grid (m*prefix_j - j*block_sum — no rational means), so
+    R is integer arithmetic; S comes from exact DECIMAL moments;
+    ln(R/S) grids at 1e-9 before the exact DECIMAL mean (q261 ln
+    convention); the 4-point OLS slope is the same double
+    expression on both engines. R uses max(dev) - min(dev, 0)
+    with the 0 anchor so single-row blocks give R = 0, not NULL
+    asymmetries.
+
+    Scale: the heavy table collapses to date grain first; the x4
+    block fan-out, windows, and fits all run on the tiny daily
+    series.
+    """
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    seq = daily.select(
+        "cents",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("tk"),
+    )
+    sizes = spark.createDataFrame([(m,) for m in HURST_SIZES], "m int")
+    fanned = seq.crossJoin(F.broadcast(sizes)).withColumn(
+        "blk", F.expr("(tk - 1) DIV m")
+    )
+    wb = Window.partitionBy("m", "blk").orderBy("tk")
+    wball = Window.partitionBy("m", "blk")
+    fanned = (
+        fanned.withColumn("j", F.row_number().over(wb).cast("bigint"))
+        .withColumn(
+            "pref",
+            F.sum("cents")
+            .over(wb.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+        .withColumn("bs_w", F.sum("cents").over(wball).cast("bigint"))
+        .withColumn(
+            "dev", F.col("m") * F.col("pref") - F.col("j") * F.col("bs_w")
+        )
+    )
+    blocks = fanned.groupBy("m", "blk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("cents").cast("bigint").alias("bs"),
+        F.sum(F.col("cents").cast("decimal(19,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("bq"),
+        F.max("dev").cast("bigint").alias("dev_max"),
+        F.min("dev").cast("bigint").alias("dev_min"),
+    ).filter(F.col("nb") == F.col("m"))
+    sigma = F.sqrt(
+        (
+            F.col("nb").cast("double") * F.col("bq").cast("double")
+            - F.col("bs").cast("double") * F.col("bs").cast("double")
+        )
+        / (F.col("nb").cast("double") * F.col("nb"))
+    )
+    rs = blocks.select(
+        "m",
+        F.round(
+            F.log(
+                (
+                    (
+                        F.col("dev_max")
+                        - F.least(F.col("dev_min"), F.lit(0))
+                    ).cast("double")
+                    / F.col("m")
+                )
+                / F.nullif(sigma, F.lit(0.0))
+            ),
+            9,
+        ).alias("ln_rs"),
+    )
+    pts = (
+        rs.groupBy(F.col("m").cast("bigint").alias("m"))
+        .agg(
+            F.count("ln_rs").cast("bigint").alias("n_blocks"),
+            (
+                F.sum(F.col("ln_rs").cast("decimal(38,9)")).cast("double")
+                / F.nullif(F.count("ln_rs"), F.lit(0))
+            ).alias("mean_ln_rs"),
+        )
+        .withColumn("lx", F.log(F.col("m").cast("double")))
+    )
+    fitted = pts.filter(F.col("mean_ln_rs").isNotNull()).agg(
+        (
+            (
+                F.count(F.lit(1)) * F.sum(F.col("lx") * F.col("mean_ln_rs"))
+                - F.sum("lx") * F.sum("mean_ln_rs")
+            )
+            / F.nullif(
+                F.count(F.lit(1)) * F.sum(F.col("lx") * F.col("lx"))
+                - F.sum("lx") * F.sum("lx"),
+                F.lit(0.0),
+            )
+        ).alias("hurst")
+    )
+    return (
+        pts.crossJoin(F.broadcast(fitted))
+        .select(
+            "m",
+            "n_blocks",
+            F.round("mean_ln_rs", 6).alias("mean_ln_rs"),
+            F.round("hurst", 6).alias("hurst"),
+        )
+        .orderBy("m")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q470 empirical-Bayes beta-binomial shrinkage
+#
+# The James-Stein move every ranking dashboard needs: per-user CTR
+# estimates shrunk toward a beta prior fit by METHOD OF MOMENTS on
+# the user-level rate distribution (Morris 1983 parametric EB). A
+# user with 1/1 clicks must rank below a user with 45/50 — raw
+# rates can't do that; shrunk posteriors can.
+
+EB_TOP = 15
+
+
+@register(
+    "q470_beta_binomial_shrinkage",
+    category="ml-eval-calibration",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ),
+    rates AS (
+      SELECT user_id, n, x, CAST(x AS DOUBLE) / n AS p FROM users
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+             CAST(SUM(CAST(ROUND(p, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               / COUNT(*) AS pbar,
+             (CAST(SUM(CAST(ROUND(p * p, 9) AS DECIMAL(38,9)))
+                   AS DOUBLE)
+              - CAST(COUNT(*) AS DOUBLE)
+                * (CAST(SUM(CAST(ROUND(p, 9) AS DECIMAL(38,9)))
+                        AS DOUBLE) / COUNT(*))
+                * (CAST(SUM(CAST(ROUND(p, 9) AS DECIMAL(38,9)))
+                        AS DOUBLE) / COUNT(*)))
+               / NULLIF(COUNT(*) - 1, 0) AS pvar
+      FROM rates
+    ),
+    prior AS (
+      SELECT nu, pbar, pvar,
+             pbar * (pbar * (1 - pbar) / NULLIF(pvar, 0) - 1) AS alpha,
+             (1 - pbar) * (pbar * (1 - pbar) / NULLIF(pvar, 0) - 1)
+               AS beta
+      FROM mom
+    )
+    SELECT r.user_id, r.n, r.x,
+           ROUND(r.p, 6) AS raw_rate,
+           ROUND(pr.alpha, 6) AS alpha,
+           ROUND(pr.beta, 6) AS beta,
+           ROUND((r.x + pr.alpha) / NULLIF(r.n + pr.alpha + pr.beta, 0),
+                 6) AS shrunk_rate
+    FROM rates r, prior pr
+    ORDER BY r.n DESC, r.user_id ASC
+    LIMIT {EB_TOP}
+    """,
+)
+def q470_beta_binomial_shrinkage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-user click
+    rates (Morris 1983 parametric EB; the James-Stein fix for
+    small-sample leaderboards): fit Beta(alpha, beta) by METHOD OF
+    MOMENTS on the user-level rate distribution, then report each
+    top-{EB_TOP} user's raw vs posterior-mean rate
+    (x + alpha)/(n + alpha + beta) — 1/1 click users shrink hard
+    toward the prior, 45/50 users barely move.
+
+    Determinism: per-user rates are exact-operand divisions
+    (identical doubles); the moment sums grid at 1e-9 before exact
+    DECIMAL accumulation; alpha/beta/shrunk are the same double
+    expressions on both engines with NULLIF guarding zero variance
+    (all-equal rates) and the n-1 Bessel corner; the top-{EB_TOP}
+    carries the (n DESC, user_id) total order.
+
+    Scale: one map-side-combinable user aggregate, one scalar
+    moment pass, a broadcast of two prior scalars, TakeOrdered for
+    the display slice.
+    """
+    users = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    rates = users.withColumn("p", F.col("x").cast("double") / F.col("n"))
+    sp = F.sum(F.round(F.col("p"), 9).cast("decimal(38,9)")).cast("double")
+    spp = F.sum(
+        F.round(F.col("p") * F.col("p"), 9).cast("decimal(38,9)")
+    ).cast("double")
+    cnt = F.count(F.lit(1))
+    mom = rates.agg(
+        cnt.cast("bigint").alias("nu"),
+        (sp / cnt).alias("pbar"),
+        (
+            (spp - cnt.cast("double") * (sp / cnt) * (sp / cnt))
+            / F.nullif(cnt - 1, F.lit(0))
+        ).alias("pvar"),
+    )
+    m = (
+        F.col("pbar")
+        * (F.lit(1) - F.col("pbar"))
+        / F.nullif(F.col("pvar"), F.lit(0.0))
+        - 1
+    )
+    prior = mom.select(
+        "nu",
+        "pbar",
+        "pvar",
+        (F.col("pbar") * m).alias("alpha"),
+        ((F.lit(1) - F.col("pbar")) * m).alias("beta"),
+    )
+    return (
+        rates.crossJoin(F.broadcast(prior))
+        .select(
+            "user_id",
+            "n",
+            "x",
+            F.round("p", 6).alias("raw_rate"),
+            F.round("alpha", 6).alias("alpha"),
+            F.round("beta", 6).alias("beta"),
+            F.round(
+                (F.col("x") + F.col("alpha"))
+                / F.nullif(
+                    F.col("n") + F.col("alpha") + F.col("beta"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("shrunk_rate"),
+        )
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(EB_TOP)
+    )

@@ -293,6 +293,20 @@ AUDITED_SITES = {
     ("queries/round5b.py", "q461_brown_forsythe", "ssb"),
     ("queries/round5b.py", "q461_brown_forsythe", "ssw"),
     ("queries/round5b.py", "q461_brown_forsythe", "gstats"),
+    # q465 (owners helper): vn is a fixed <=17x16-row vnode table;
+    # q466: stats is a 1-row scalar aggregate
+    ("queries/round5b.py", "owners", "vn"),
+    ("queries/round5b.py", "q466_ewma_control_chart", "stats"),
+    # q468: stats/med are <=8-row per-box aggregates (bounded by the
+    # literal 2^MON_ROUNDS box count)
+    ("queries/round5b.py", "q468_mondrian_kanonymity", "stats"),
+    ("queries/round5b.py", "q468_mondrian_kanonymity", "med"),
+    # q469: sizes is a 4-row literal block-size list; fitted is a
+    # 1-row scalar slope
+    ("queries/round5b.py", "q469_hurst_exponent", "sizes"),
+    ("queries/round5b.py", "q469_hurst_exponent", "fitted"),
+    # q470: prior is a 1-row scalar (alpha, beta)
+    ("queries/round5b.py", "q470_beta_binomial_shrinkage", "prior"),
     ("queries/similarity.py", "_pq_dist_and_codes", "train"),
     ("queries/similarity.py", "q343_pq_adc_topk", "qtab"),
     ("queries/similarity.py", "q344_ivf_pq_probe", "coarse"),

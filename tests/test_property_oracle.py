@@ -158,6 +158,24 @@ EVENT_QUERIES = [
     # series keep PH near 0; duplicate timestamps only move counts —
     # the integer micro-grid must agree on every series shape
     "q455_page_hinkley",
+    # all-concordant corpora zero sum_v (NULLIF, not ANSI /0);
+    # singleton strata (n<2) must drop identically on both engines
+    "q460_cmh_test",
+    # all-H1 / all-H2 splits zero b or c; zero discordant users must
+    # NULL the statistic via NULLIF on both engines
+    "q462_mcnemar_test",
+    # 1-2 day series empty the lagged sample (NULL moments row on
+    # both engines); constant series zero the design determinant
+    # (NULLIF) — betas/F must NULL identically
+    "q464_granger_causality",
+    # 1-day series pin z = x and sigma = 0 (width 0, strict > keeps
+    # out_of_control false); short series exercise the truncated
+    # kernel's early-step exact normalization
+    "q466_ewma_control_chart",
+    # all-click corpora zero the rate variance (NULL prior via
+    # NULLIF); single-user corpora hit the Bessel n-1 NULLIF; ties
+    # on n fall to the user_id total order
+    "q470_beta_binomial_shrinkage",
 ]
 DOC_QUERIES = [
     "q60_dedup_exact",
@@ -388,6 +406,10 @@ DOC_QUERIES = [
     # single coincidence category (zero D_e -> NULLIF, not ANSI /0);
     # the integer doubled-pair-term grid must agree on every shape
     "q453_krippendorff_alpha",
+    # tiny doc pools concentrate all keys on few vnodes (some shards
+    # own zero docs and vanish identically); every mover must still
+    # land on the new shard on ANY doc_id set
+    "q465_consistent_hash_ring",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get
@@ -508,6 +530,21 @@ ORDER_QUERIES = [
     # NULLIF (ANSI /0 guard), not diverge NaN-vs-NULL; 2-day series
     # pin the lag product to a single term
     "q454_ar1_yule_walker",
+    # constant-priority corpora pin k=1 ((k-1)=0 -> NULLIF, not ANSI
+    # /0); single-order groups zero every deviation (SSW=0 -> NULL)
+    "q461_brown_forsythe",
+    # constant-price corpora pin HHI=1/n_brands-ish ties; single-
+    # brand years pin simpson=1, shannon=0, effective=1 exactly on
+    # both engines; single-line years hit the N(N-1)=0 NULLIF
+    "q463_concentration_indices",
+    # constant-price corpora zero both QI ranges (dim1 wins the >=
+    # tie, median swallows every row left, boxes collapse) — the
+    # recursive box lineage must agree on ANY degenerate layout
+    "q468_mondrian_kanonymity",
+    # series shorter than the smallest block size empty every rs row
+    # (zero output rows on both engines); constant revenue zeroes
+    # sigma -> ln(R/S) NULLs out via NULLIF identically
+    "q469_hurst_exponent",
 ]
 
 
@@ -783,6 +820,10 @@ PART_QUERIES = [
     # Winkler prefix cap, and the empty-string 0.0 convention; the
     # pandas-UDF doubles must match DuckDB's native C++ bit-for-bit
     "q457_jaro_winkler_linkage",
+    # integer outputs: builtin-vs-builtin Levenshtein parity (Spark
+    # JVM vs DuckDB C++) and true-DL-vs-OSA divergence cases from
+    # the name pool ('abdc', 'dcba' transposition traps)
+    "q467_edit_distance_suite",
 ]
 
 # names chosen to sit on Jaro/Winkler edges: empty, 1-char (match
