@@ -3022,3 +3022,649 @@ def q470_beta_binomial_shrinkage(
         .orderBy(F.col("n").desc(), F.col("user_id").asc())
         .limit(EB_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q471 OLS influence diagnostics (leverage / studentized / Cook's D)
+#
+# The regression-diagnostics family the registry's fitters (q316
+# elasticity, q412 RANSAC, q415 segmented) never emit: per-point
+# leverage h_i, internally studentized residual, and Cook's distance
+# over the daily-revenue-vs-time OLS — the influence audit run
+# before trusting any fitted trend.
+
+COOK_TOP = 10
+
+
+@register(
+    "q471_regression_influence",
+    category="analytics-stats (regression/tests/causal)",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS y
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    seq AS (
+      SELECT day, y,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS tk
+      FROM daily
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(tk) AS DECIMAL(38,0)) AS st,
+             CAST(SUM(CAST(tk AS DECIMAL(19,0)) * tk) AS DECIMAL(38,0))
+               AS stt,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(tk AS DECIMAL(19,0)) * y) AS DECIMAL(38,0))
+               AS sty
+      FROM seq
+    ),
+    fit AS (
+      SELECT n,
+             (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+              - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+             / NULLIF(CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE), 0) AS slope,
+             CAST(st AS DOUBLE) / n AS tbar,
+             CAST(sy AS DOUBLE) / n AS ybar,
+             (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+               / CAST(n AS DOUBLE) AS s_tt
+      FROM s
+    ),
+    resid AS (
+      SELECT q.day, q.tk, q.y, f.n,
+             q.y - (f.ybar + f.slope * (q.tk - f.tbar)) AS e,
+             1.0 / f.n + (q.tk - f.tbar) * (q.tk - f.tbar)
+               / NULLIF(f.s_tt, 0) AS h
+      FROM seq q, fit f
+    ),
+    sse AS (
+      SELECT CAST(SUM(CAST(ROUND(e * e, 6) AS DECIMAL(38,6)))
+                  AS DOUBLE) AS sse
+      FROM resid
+    ),
+    scored AS (
+      SELECT r.day, r.tk, r.y, r.h, r.e,
+             r.e / NULLIF(SQRT(s.sse / NULLIF(r.n - 2, 0))
+                          * SQRT(1 - r.h), 0) AS rstud
+      FROM resid r, sse s
+    )
+    SELECT day, tk,
+           CAST(y AS DOUBLE) / 100 AS revenue,
+           ROUND(h, 6) AS leverage,
+           ROUND(rstud, 6) AS studentized,
+           ROUND(rstud * rstud * h / NULLIF(2 * (1 - h), 0), 6)
+             AS cooks_d
+    FROM scored
+    ORDER BY ROUND(rstud * rstud * h / NULLIF(2 * (1 - h), 0), 6)
+      DESC NULLS LAST, day ASC
+    LIMIT {COOK_TOP}
+    """,
+)
+def q471_regression_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS influence diagnostics for the daily-revenue-vs-time fit:
+    leverage h_i = 1/n + (t-tbar)^2/S_tt, internally studentized
+    residual e_i/(s*sqrt(1-h_i)), and Cook's distance
+    r^2 h/(p(1-h)) with p=2 — the top-{COOK_TOP} most influential
+    days. The diagnostics audit every regression consumer should
+    run and the registry's fitters (q316/q412/q415) skip.
+
+    Determinism: all five OLS moments are exact DECIMAL sums of
+    integer products; slope/means/leverage are identical double
+    expressions; SSE grid-rounds each squared residual at 1e-6
+    before the exact DECIMAL sum; NULLIF guards n<=2, zero-spread,
+    and h=1 corners; the top-{COOK_TOP} orders by the ROUNDED
+    Cook's D with a day tie-break.
+
+    Scale: one date-grain aggregate, one scalar moment pass, then
+    per-row doubles on the tiny daily series with a TakeOrdered
+    final.
+    """
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    seq = daily.select(
+        "day",
+        "y",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("tk"),
+    )
+    s = seq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("tk").cast("decimal(38,0)").alias("st"),
+        F.sum(F.col("tk").cast("decimal(19,0)") * F.col("tk"))
+        .cast("decimal(38,0)")
+        .alias("stt"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("tk").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sty"),
+    )
+    nd = F.col("n").cast("double")
+    fit = s.select(
+        "n",
+        (
+            (nd * F.col("sty").cast("double")
+             - F.col("st").cast("double") * F.col("sy").cast("double"))
+            / F.nullif(
+                nd * F.col("stt").cast("double")
+                - F.col("st").cast("double") * F.col("st").cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("slope"),
+        (F.col("st").cast("double") / F.col("n")).alias("tbar"),
+        (F.col("sy").cast("double") / F.col("n")).alias("ybar"),
+        (
+            (nd * F.col("stt").cast("double")
+             - F.col("st").cast("double") * F.col("st").cast("double"))
+            / nd
+        ).alias("s_tt"),
+    )
+    resid = seq.crossJoin(F.broadcast(fit)).select(
+        "day",
+        "tk",
+        "y",
+        "n",
+        (
+            F.col("y")
+            - (
+                F.col("ybar")
+                + F.col("slope") * (F.col("tk") - F.col("tbar"))
+            )
+        ).alias("e"),
+        (
+            F.lit(1.0) / F.col("n")
+            + (F.col("tk") - F.col("tbar"))
+            * (F.col("tk") - F.col("tbar"))
+            / F.nullif(F.col("s_tt"), F.lit(0.0))
+        ).alias("h"),
+    )
+    sse = resid.agg(
+        F.sum(F.round(F.col("e") * F.col("e"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sse")
+    )
+    rstud = F.col("e") / F.nullif(
+        F.sqrt(F.col("sse") / F.nullif(F.col("n") - 2, F.lit(0)))
+        * F.sqrt(1 - F.col("h")),
+        F.lit(0.0),
+    )
+    cooks = F.round(
+        rstud * rstud * F.col("h")
+        / F.nullif(2 * (1 - F.col("h")), F.lit(0.0)),
+        6,
+    )
+    return (
+        resid.crossJoin(F.broadcast(sse))
+        .select(
+            "day",
+            "tk",
+            (F.col("y").cast("double") / 100).alias("revenue"),
+            F.round("h", 6).alias("leverage"),
+            F.round(rstud, 6).alias("studentized"),
+            cooks.alias("cooks_d"),
+        )
+        .orderBy(F.col("cooks_d").desc_nulls_last(), F.col("day").asc())
+        .limit(COOK_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q472 mean average precision @ k (MAP@k)
+#
+# The third classic ranking metric, completing recall@k (q98), MRR
+# (q233), and nDCG (q382): AP@k averages precision at each relevant
+# hit (normalized by min(R, k)), MAP averages over queries. Binary
+# relevance = label match; ranking = the repo's rounded-cosine +
+# cand_id total order (the q382 shape). Every P@i lands on an exact
+# half-up integer NANO grid ((2*cum*1e9 + i) DIV (2i)), so the AP
+# numerator is a pure BIGINT sum.
+
+MAP_K = 10
+MAP_NQ = 5
+
+
+@register(
+    "q472_map_at_k",
+    category="ml-eval-calibration",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe, label AS ql
+      FROM embeddings WHERE vec_id < {MAP_NQ}
+    ),
+    pairs AS (
+      SELECT q.query_id, c.vec_id AS cand_id, q.ql, c.label AS cl,
+             CAST(UNNEST(q.qe) AS DOUBLE) AS x,
+             CAST(UNNEST(c.embedding) AS DOUBLE) AS y
+      FROM q, embeddings c
+      WHERE c.vec_id <> q.query_id
+    ),
+    dots AS (
+      SELECT query_id, cand_id, ql, cl,
+             SUM(x * y) AS dot,
+             SQRT(SUM(x * x)) AS nq, SQRT(SUM(y * y)) AS nc
+      FROM pairs GROUP BY 1, 2, 3, 4
+    ),
+    ranked AS (
+      SELECT query_id, cand_id,
+             CASE WHEN cl = ql THEN 1 ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY ROUND(dot / (nq * nc), 6) DESC, cand_id ASC
+             ) AS rk
+      FROM dots
+    ),
+    relq AS (
+      SELECT query_id, CAST(SUM(rel) AS BIGINT) AS n_relevant
+      FROM ranked GROUP BY query_id
+    ),
+    hits AS (
+      SELECT query_id, rk, rel,
+             CAST(SUM(rel) OVER (PARTITION BY query_id ORDER BY rk
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rel
+      FROM ranked WHERE rk <= {MAP_K}
+    ),
+    perq AS (
+      SELECT query_id,
+             CAST(SUM(rel) AS BIGINT) AS hits_at_k,
+             CAST(SUM(CASE WHEN rel = 1
+                  THEN (2 * cum_rel * 1000000000 + rk) // (2 * rk)
+                  ELSE 0 END) AS BIGINT) AS ap_nano
+      FROM hits GROUP BY query_id
+    ),
+    ap AS (
+      SELECT r.query_id, r.n_relevant, p.hits_at_k,
+             CAST(p.ap_nano AS DOUBLE) / 1000000000
+               / NULLIF(LEAST(r.n_relevant, {MAP_K}), 0) AS ap_at_k
+      FROM relq r JOIN perq p USING (query_id)
+    )
+    SELECT query_id, n_relevant, hits_at_k,
+           ROUND(ap_at_k, 6) AS ap_at_k,
+           ROUND(CAST(SUM(CAST(ROUND(ap_at_k, 9) AS DECIMAL(38,9)))
+                      OVER () AS DOUBLE)
+                 / COUNT(*) OVER (), 6) AS map_at_k
+    FROM ap
+    ORDER BY query_id
+    """,
+)
+def q472_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean average precision at k={MAP_K} over {MAP_NQ} query
+    vectors — the third classic ranking metric beside recall@k
+    (q98), MRR (q233), and nDCG (q382): AP@k = sum of precision at
+    each relevant hit / min(R, k), MAP = the mean over queries.
+    Relevance is binary label match; the ranking is the repo's
+    rounded-cosine + cand_id total order.
+
+    Determinism: each precision-at-hit lands on an exact half-up
+    integer NANO grid ((2*cum*1e9 + rk) DIV (2*rk) — pure integer,
+    no float division), so AP numerators are BIGINT sums; the only
+    doubles are the final normalizations (identical operands both
+    engines), and MAP grid-rounds per-query APs at 1e-9 before the
+    exact DECIMAL mean. NULLIF guards zero-relevant queries.
+
+    Scale: queries x corpus with the 5-query side broadcast (q70's
+    shape), partial-aggregated dot products, k-bounded windows per
+    query.
+    """
+    from .similarity import dot_double, norm_double  # noqa: F401
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < MAP_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("ql"),
+    )
+    xl = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cl"),
+        F.posexplode("embedding").alias("j", "yf"),
+    ).select(
+        "cand_id", "cl", "j", F.col("yf").cast("double").alias("y")
+    )
+    ql = q.select(
+        "query_id",
+        "ql",
+        F.posexplode("qe").alias("j", "xf"),
+    ).select(
+        "query_id", "ql", "j", F.col("xf").cast("double").alias("x")
+    )
+    dots = (
+        xl.join(F.broadcast(ql), "j")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id", "ql", "cl")
+        .agg(
+            F.sum(F.col("x") * F.col("y")).alias("dot"),
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nq"),
+            F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nc"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("dot") / (F.col("nq") * F.col("nc")), 6).desc(),
+        F.col("cand_id").asc(),
+    )
+    ranked = dots.select(
+        "query_id",
+        "cand_id",
+        F.when(F.col("cl") == F.col("ql"), 1).otherwise(0).alias("rel"),
+        F.row_number().over(wr).alias("rk"),
+    )
+    relq = ranked.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("n_relevant")
+    )
+    wcum = (
+        Window.partitionBy("query_id")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hits = ranked.filter(F.col("rk") <= MAP_K).withColumn(
+        "cum_rel", F.sum("rel").over(wcum).cast("bigint")
+    )
+    perq = hits.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("hits_at_k"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.expr("(2 * cum_rel * 1000000000 + rk) DIV (2 * rk)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("ap_nano"),
+    )
+    ap = relq.join(perq, "query_id").select(
+        "query_id",
+        "n_relevant",
+        "hits_at_k",
+        (
+            F.col("ap_nano").cast("double")
+            / 1000000000
+            / F.nullif(
+                F.least(F.col("n_relevant"), F.lit(MAP_K)), F.lit(0)
+            )
+        ).alias("ap_at_k"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return ap.select(
+        "query_id",
+        "n_relevant",
+        "hits_at_k",
+        F.round("ap_at_k", 6).alias("ap_at_k"),
+        F.round(
+            F.sum(F.round(F.col("ap_at_k"), 9).cast("decimal(38,9)"))
+            .over(wall)
+            .cast("double")
+            / F.count(F.lit(1)).over(wall),
+            6,
+        ).alias("map_at_k"),
+    ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# q473 Kish design effect + intraclass correlation
+#
+# The survey-sampling readout (Kish 1965) every cluster-sampled
+# experiment needs: how much variance does sampling whole USERS
+# (clusters) instead of independent events cost? ICC rho from the
+# one-way ANOVA components with the unequal-size m0 correction;
+# DEFF = 1 + (m0 - 1) * rho.
+
+
+@register(
+    "q473_design_effect",
+    category="analytics-stats (regression/tests/causal)",
+    oracle="""
+    WITH vals AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(cents) AS BIGINT) AS sg
+      FROM vals GROUP BY user_id
+    ),
+    tots AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(m) AS BIGINT) AS n,
+             CAST(SUM(sg) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(m AS DECIMAL(19,0)) * m) AS DECIMAL(38,0))
+               AS sum_m2,
+             CAST(SUM(CAST(ROUND(CAST(sg AS DOUBLE)
+                    * CAST(sg AS DOUBLE) / m, 6) AS DECIMAL(38,6)))
+                  AS DOUBLE) AS sum_sg2_over_m
+      FROM grp
+    ),
+    ss AS (
+      SELECT t.k, t.n,
+             (SELECT CAST(SUM(CAST(cents AS DECIMAL(19,0)) * cents)
+                          AS DECIMAL(38,0)) FROM vals) AS sq,
+             t.s, t.sum_m2, t.sum_sg2_over_m
+      FROM tots t
+    ),
+    comp AS (
+      SELECT k, n,
+             CAST(sq AS DOUBLE) - sum_sg2_over_m AS ssw,
+             sum_sg2_over_m
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS ssb,
+             (CAST(n AS DOUBLE) - CAST(sum_m2 AS DOUBLE) / n)
+               / NULLIF(k - 1, 0) AS m0
+      FROM ss
+    ),
+    ms AS (
+      SELECT k, n, m0,
+             ssb / NULLIF(k - 1, 0) AS msb,
+             ssw / NULLIF(n - k, 0) AS msw
+      FROM comp
+    )
+    SELECT k AS n_clusters, n AS n_events,
+           ROUND(m0, 6) AS m0,
+           ROUND(msb / 10000, 6) AS msb,
+           ROUND(msw / 10000, 6) AS msw,
+           ROUND((msb - msw) / NULLIF(msb + (m0 - 1) * msw, 0), 6)
+             AS icc,
+           ROUND(1 + (m0 - 1)
+                 * ((msb - msw) / NULLIF(msb + (m0 - 1) * msw, 0)), 6)
+             AS design_effect
+    FROM ms
+    """,
+)
+def q473_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish design effect for user-clustered sampling of event
+    values (Kish 1965): one-way ANOVA components over users as
+    clusters give the intraclass correlation rho = (MSB - MSW) /
+    (MSB + (m0-1) MSW) with the unequal-size correction
+    m0 = (N - sum m^2 / N)/(k-1), and DEFF = 1 + (m0 - 1) rho — the
+    variance penalty an A/B test pays for randomizing whole users
+    instead of events. Complements q461's Brown-Forsythe (same
+    ANOVA machinery, different question).
+
+    Determinism: values become exact BIGINT cents; sum of squares
+    and cluster sums are exact DECIMAL reductions; the per-cluster
+    sg^2/m terms grid-round at 1e-6 before the exact DECIMAL sum
+    (sg^2 can pass int64 at scale, so the division runs in doubles
+    over exact-cast operands); every later step is the same double
+    expression with NULLIF on the k=1 / n=k corners. MSB/MSW report
+    in dollars^2 (cents^2 / 1e4).
+
+    Scale: two map-side-combinable aggregates (user grain, then
+    scalar) — nothing else.
+    """
+    vals = t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    grp = vals.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("cents").cast("bigint").alias("sg"),
+    )
+    tots = grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("m").cast("bigint").alias("n"),
+        F.sum("sg").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("m").cast("decimal(19,0)") * F.col("m"))
+        .cast("decimal(38,0)")
+        .alias("sum_m2"),
+        F.sum(
+            F.round(
+                F.col("sg").cast("double")
+                * F.col("sg").cast("double")
+                / F.col("m"),
+                6,
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("sum_sg2_over_m"),
+    )
+    sq = vals.agg(
+        F.sum(F.col("cents").cast("decimal(19,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("sq")
+    )
+    comp = tots.crossJoin(F.broadcast(sq)).select(
+        "k",
+        "n",
+        (F.col("sq").cast("double") - F.col("sum_sg2_over_m")).alias("ssw"),
+        (
+            F.col("sum_sg2_over_m")
+            - F.col("s").cast("double")
+            * F.col("s").cast("double")
+            / F.col("n")
+        ).alias("ssb"),
+        (
+            (F.col("n").cast("double") - F.col("sum_m2").cast("double") / F.col("n"))
+            / F.nullif(F.col("k") - 1, F.lit(0))
+        ).alias("m0"),
+    )
+    msb = F.col("ssb") / F.nullif(F.col("k") - 1, F.lit(0))
+    msw = F.col("ssw") / F.nullif(F.col("n") - F.col("k"), F.lit(0))
+    icc = (msb - msw) / F.nullif(msb + (F.col("m0") - 1) * msw, F.lit(0.0))
+    return comp.select(
+        F.col("k").alias("n_clusters"),
+        F.col("n").alias("n_events"),
+        F.round("m0", 6).alias("m0"),
+        F.round(msb / 10000, 6).alias("msb"),
+        F.round(msw / 10000, 6).alias("msw"),
+        F.round(icc, 6).alias("icc"),
+        F.round(1 + (F.col("m0") - 1) * icc, 6).alias("design_effect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q474 Cramer's V association strength
+#
+# The normalized effect size for categorical association (Cramer
+# 1946) — the chi-square tests elsewhere in the registry say
+# "dependent or not"; V says HOW MUCH, on [0,1], comparably across
+# tables of different shape. chi2 = N * (sum o^2/(r c) - 1), the
+# contingency identity, so only one grid-rounded term family floats.
+
+
+@register(
+    "q474_cramers_v",
+    category="analytics-stats (regression/tests/causal)",
+    oracle="""
+    WITH cells AS (
+      SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    rows_ AS (
+      SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY a
+    ),
+    cols_ AS (
+      SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM cells GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+             CAST(COUNT(DISTINCT b) AS BIGINT) AS c
+      FROM cells
+    ),
+    terms AS (
+      SELECT CAST(SUM(CAST(ROUND(CAST(e.o AS DOUBLE) * e.o
+                  / (r1.ra * CAST(c1.cb AS DOUBLE)), 9)
+                AS DECIMAL(38,9))) AS DOUBLE) AS sum_t
+      FROM cells e JOIN rows_ r1 USING (a) JOIN cols_ c1 USING (b)
+    )
+    SELECT t.n, t.r, t.c,
+           ROUND(t.n * (x.sum_t - 1), 6) AS chi2,
+           ROUND(SQRT(GREATEST(x.sum_t - 1, 0)
+                 / NULLIF(LEAST(t.r - 1, t.c - 1), 0)), 6)
+             AS cramers_v
+    FROM tot t, terms x
+    """,
+)
+def q474_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V between document language and source (Cramer
+    1946): the [0,1]-normalized categorical association strength —
+    chi2 via the contingency identity N*(sum o^2/(r_a c_b) - 1) and
+    V = sqrt(chi2 / (N min(r-1, c-1))) = sqrt((sum_t - 1) /
+    min(r-1, c-1)). The effect-SIZE companion to the registry's
+    chi-square-style dependence tests (q332 mutual information
+    measures the same thing in bits; V is the bounded comparable
+    form).
+
+    Determinism: all marginals are exact BIGINTs; the only float
+    family is o^2/(ra*cb), grid-rounded at 1e-9 before the exact
+    DECIMAL sum; GREATEST(.,0) clamps the tiny negative the grid
+    can leave on perfectly independent tables; NULLIF guards 1xC /
+    Rx1 tables.
+
+    Scale: one (a,b)-grain aggregate plus two marginal reductions —
+    all map-side combinable; the term join runs at cell grain
+    (r x c rows).
+    """
+    cells = (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.col("lang").alias("a"), F.col("source").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    rows_ = cells.groupBy("a").agg(F.sum("o").cast("bigint").alias("ra"))
+    cols_ = cells.groupBy("b").agg(F.sum("o").cast("bigint").alias("cb"))
+    tot = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("a").cast("bigint").alias("r"),
+        F.countDistinct("b").cast("bigint").alias("c"),
+    )
+    terms = (
+        cells.join(F.broadcast(rows_), "a")
+        .join(F.broadcast(cols_), "b")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("o").cast("double")
+                    * F.col("o")
+                    / (F.col("ra") * F.col("cb").cast("double")),
+                    9,
+                ).cast("decimal(38,9)")
+            )
+            .cast("double")
+            .alias("sum_t")
+        )
+    )
+    return tot.crossJoin(F.broadcast(terms)).select(
+        "n",
+        "r",
+        "c",
+        F.round(F.col("n") * (F.col("sum_t") - 1), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.greatest(F.col("sum_t") - 1, F.lit(0.0))
+                / F.nullif(
+                    F.least(F.col("r") - 1, F.col("c") - 1), F.lit(0)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -307,6 +307,18 @@ AUDITED_SITES = {
     ("queries/round5b.py", "q469_hurst_exponent", "fitted"),
     # q470: prior is a 1-row scalar (alpha, beta)
     ("queries/round5b.py", "q470_beta_binomial_shrinkage", "prior"),
+    # q471: fit/sse are 1-row scalar OLS summaries
+    ("queries/round5b.py", "q471_regression_influence", "fit"),
+    ("queries/round5b.py", "q471_regression_influence", "sse"),
+    # q472: ql is the exploded MAP_NQ=5 query-vector table (5 x 64)
+    ("queries/round5b.py", "q472_map_at_k", "ql"),
+    # q473: sq is a 1-row scalar sum of squares
+    ("queries/round5b.py", "q473_design_effect", "sq"),
+    # q474: rows_/cols_ are lang/source marginal tables (bounded by
+    # the categorical domains, not corpus size); terms is 1-row
+    ("queries/round5b.py", "q474_cramers_v", "rows_"),
+    ("queries/round5b.py", "q474_cramers_v", "cols_"),
+    ("queries/round5b.py", "q474_cramers_v", "terms"),
     ("queries/similarity.py", "_pq_dist_and_codes", "train"),
     ("queries/similarity.py", "q343_pq_adc_topk", "qtab"),
     ("queries/similarity.py", "q344_ivf_pq_probe", "coarse"),

@@ -176,6 +176,10 @@ EVENT_QUERIES = [
     # NULLIF); single-user corpora hit the Bessel n-1 NULLIF; ties
     # on n fall to the user_id total order
     "q470_beta_binomial_shrinkage",
+    # single-user corpora hit every k-1 / n-k NULLIF in the ANOVA
+    # components; equal-size clusters pin m0 = m exactly; constant
+    # values zero both SS components identically
+    "q473_design_effect",
 ]
 DOC_QUERIES = [
     "q60_dedup_exact",
@@ -406,6 +410,10 @@ DOC_QUERIES = [
     # single coincidence category (zero D_e -> NULLIF, not ANSI /0);
     # the integer doubled-pair-term grid must agree on every shape
     "q453_krippendorff_alpha",
+    # single-lang or single-source corpora pin min(r-1,c-1)=0
+    # (NULLIF, not ANSI /0); independent-ish tables leave a tiny
+    # negative sum_t-1 that GREATEST must clamp on both engines
+    "q474_cramers_v",
     # tiny doc pools concentrate all keys on few vnodes (some shards
     # own zero docs and vanish identically); every mover must still
     # land on the new shard on ANY doc_id set
@@ -545,6 +553,10 @@ ORDER_QUERIES = [
     # (zero output rows on both engines); constant revenue zeroes
     # sigma -> ln(R/S) NULLs out via NULLIF identically
     "q469_hurst_exponent",
+    # 1-2 day series hit the n-2 SSE NULLIF and the h=1 leverage
+    # guard (a 2-point fit has zero residual, rstud NULL); ties on
+    # rounded Cook's D fall to the day total order
+    "q471_regression_influence",
 ]
 
 
@@ -742,6 +754,10 @@ EMB_QUERIES = [
     # and tie the diversity penalty; pools smaller than k must stop
     # the greedy loop identically on both engines
     "q404_mmr_diverse_topk",
+    # duplicate vectors tie cosines (cand_id rank breaks); all-same-
+    # label corpora pin AP=1; zero-relevant queries NULL AP via the
+    # min(R,k) NULLIF; the half-up nano P@i grid must agree
+    "q472_map_at_k",
     # dup blocks shrink label diversity (fewer than 2 labels -> zero
     # pair rows); tiny-magnitude vectors push moments onto the 1e-7
     # grid where the DECIMAL roundtrip must hold
