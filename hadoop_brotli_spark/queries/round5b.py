@@ -3668,3 +3668,636 @@ def q474_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q475 one-sample Kolmogorov-Smirnov: are inter-arrival gaps
+# exponential?
+#
+# The one-sample sibling of q352's two-sample KS: fit lambda =
+# 1/mean to the event inter-arrival gaps and test the empirical CDF
+# against Exponential(lambda) — the Poisson-process sanity check
+# every traffic model starts with. D uses both one-sided gaps at
+# each order statistic (the correct discrete-vs-continuous form).
+
+
+@register(
+    "q475_ks_exponential_arrivals",
+    category="events-temporal",
+    oracle="""
+    WITH seq AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+      FROM events
+    ),
+    gaps AS (
+      SELECT sec - LAG(sec) OVER (ORDER BY sec, event_id) AS gap
+      FROM seq
+    ),
+    g AS (SELECT gap FROM gaps WHERE gap IS NOT NULL),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(gap) AS BIGINT) AS s
+      FROM g
+    ),
+    ranked AS (
+      SELECT gap, CAST(ROW_NUMBER() OVER (ORDER BY gap) AS BIGINT)
+               AS rk
+      FROM g
+    ),
+    scored AS (
+      SELECT r.rk, r.gap, m.n,
+             1 - EXP(-CAST(r.gap AS DOUBLE) * m.n / NULLIF(m.s, 0)) AS fx
+      FROM ranked r, m
+    ),
+    d AS (
+      SELECT MAX(ROUND(GREATEST(
+               ABS(CAST(rk AS DOUBLE) / n - fx),
+               ABS((CAST(rk AS DOUBLE) - 1) / n - fx)), 9)) AS d_stat
+      FROM scored
+    )
+    SELECT m.n AS n_gaps,
+           CAST(m.s AS DOUBLE) / NULLIF(m.n, 0) AS mean_gap_sec,
+           ROUND(d.d_stat, 6) AS d_stat,
+           ROUND(SQRT(CAST(m.n AS DOUBLE)) * d.d_stat, 6)
+             AS sqrt_n_d,
+           SQRT(CAST(m.n AS DOUBLE)) * d.d_stat > 1.358
+             AS reject_exponential_05
+    FROM m, d
+    """,
+)
+def q475_ks_exponential_arrivals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-sample Kolmogorov-Smirnov test of event inter-arrival
+    gaps against Exponential(1/mean) — the Poisson-process check
+    every traffic/queueing model starts with, and the one-sample
+    sibling of q352's two-sample KS. D takes the max of BOTH
+    one-sided gaps at each order statistic (the correct
+    discrete-vs-continuous form); sqrt(n)*D > 1.358 rejects at 5%.
+
+    Determinism: gaps are exact integer seconds over the proven
+    (sec, event_id) total order; the fitted CDF uses
+    exp(-gap*n/s) on identical integer-ratio operands (exp rides
+    the q261 ROUND convention — each per-row deviation rounds at
+    1e-9 before the MAX, which is order-free); ties in gap values
+    contribute the same {i} rank set regardless of tie order, so D
+    is tie-safe.
+
+    Scale: one global-order window over the event stream (at 100 TB:
+    per-partition gaps with boundary stitching, or per-user gaps);
+    everything after is one rank window + scalar reductions.
+    """
+    seq = t(spark, sf_dir, "events").select(
+        F.unix_timestamp("ts").cast("bigint").alias("sec"), "event_id"
+    )
+    w = Window.orderBy("sec", "event_id")
+    g = (
+        seq.select((F.col("sec") - F.lag("sec").over(w)).alias("gap"))
+        .filter(F.col("gap").isNotNull())
+    )
+    m = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("gap").cast("bigint").alias("s"),
+    )
+    ranked = g.select(
+        "gap",
+        F.row_number().over(Window.orderBy("gap")).cast("bigint").alias("rk"),
+    )
+    scored = ranked.crossJoin(F.broadcast(m)).withColumn(
+        "fx",
+        F.lit(1)
+        - F.exp(
+            -F.col("gap").cast("double") * F.col("n")
+            / F.nullif(F.col("s"), F.lit(0))
+        ),
+    )
+    d = scored.agg(
+        F.max(
+            F.round(
+                F.greatest(
+                    F.abs(F.col("rk").cast("double") / F.col("n") - F.col("fx")),
+                    F.abs(
+                        (F.col("rk").cast("double") - 1) / F.col("n")
+                        - F.col("fx")
+                    ),
+                ),
+                9,
+            )
+        ).alias("d_stat")
+    )
+    return m.crossJoin(F.broadcast(d)).select(
+        F.col("n").alias("n_gaps"),
+        (F.col("s").cast("double") / F.nullif(F.col("n"), F.lit(0))).alias(
+            "mean_gap_sec"
+        ),
+        F.round("d_stat", 6).alias("d_stat"),
+        F.round(
+            F.sqrt(F.col("n").cast("double")) * F.col("d_stat"), 6
+        ).alias("sqrt_n_d"),
+        (
+            F.sqrt(F.col("n").cast("double")) * F.col("d_stat") > 1.358
+        ).alias("reject_exponential_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q476 MinHash-LSH parameter planner (the S-curve, data-weighted)
+#
+# THE dedup tuning table (Leskovec/Rajaraman/Ullman, MMDS ch.3):
+# for each (rows r, bands b), collision probability p(s) =
+# 1 - (1 - s^r)^b. Rather than the textbook's uniform similarity
+# axis, the expected FP/FN mass is weighted by the CORPUS's OWN
+# pair-similarity histogram, measured exactly on a hash-sampled doc
+# subset. All powers are computed by repeated-squaring chains
+# (generated once, handed verbatim to both engines) — no libm pow.
+
+LSH_TAU = 0.5  # dedup threshold the plan must serve
+LSH_BINS = 20
+LSH_SAMPLE_MOD = 12  # ~8% of docs measured exactly
+LSH_GRID = [(2, 4), (2, 8), (2, 16), (4, 4), (4, 8), (4, 16), (4, 32),
+            (8, 8), (8, 16)]  # (rows r, bands b)
+
+
+def _sq_chain(expr: str, e: int) -> str:
+    """x^e for power-of-two e via repeated squaring — identical
+    float op sequence on both engines, no libm pow()."""
+    while e > 1:
+        expr = f"({expr} * {expr})"
+        e //= 2
+    return expr
+
+
+def _lsh_p_case() -> str:
+    """CASE expression for p = 1 - (1 - s_mid^r)^b over the grid."""
+    branches = []
+    for r, b in LSH_GRID:
+        sr = _sq_chain("s_mid", r)
+        p = f"1.0 - {_sq_chain(f'(1.0 - {sr})', b)}"
+        branches.append(f"WHEN r = {r} AND b = {b} THEN {p}")
+    return "CASE " + " ".join(branches) + " END"
+
+
+@register(
+    "q476_lsh_parameter_planner",
+    category="llm-dedup",
+    oracle=f"""
+    WITH sample AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+              || '|lshp'), 1, 13)) AS BIGINT) % {LSH_SAMPLE_MOD} = 0
+        AND len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tri
+      FROM (
+        SELECT doc_id, w, UNNEST(generate_series(1, len(w) - 2)) AS i
+        FROM sample
+      )
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh
+      FROM sh GROUP BY doc_id
+    ),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM sizes),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST(COUNT(*) AS BIGINT) AS isz
+      FROM sh a JOIN sh b ON b.tri = a.tri AND b.doc_id > a.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    binned AS (
+      SELECT LEAST((i.isz * {LSH_BINS})
+                   // (sa.nsh + sb.nsh - i.isz),
+                   {LSH_BINS - 1}) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.da
+      JOIN sizes sb ON sb.doc_id = i.db
+      GROUP BY 1
+    ),
+    spine AS (
+      SELECT UNNEST(generate_series(0, {LSH_BINS - 1})) AS bin
+    ),
+    weights AS (
+      SELECT s.bin,
+             COALESCE(b.w, 0)
+               + CASE WHEN s.bin = 0 THEN
+                   (SELECT n_docs * (n_docs - 1) // 2 FROM ns)
+                   - (SELECT COALESCE(SUM(w), 0) FROM binned)
+                 ELSE 0 END AS w,
+             (s.bin + 0.5) / {LSH_BINS} AS s_mid
+      FROM spine s LEFT JOIN binned b ON b.bin = s.bin
+    ),
+    grid AS (
+      SELECT UNNEST([{", ".join(f"{r}" for r, b in LSH_GRID)}]) AS r,
+             UNNEST([{", ".join(f"{b}" for r, b in LSH_GRID)}]) AS b
+    ),
+    curve AS (
+      SELECT g.r, g.b, w.bin, w.w, w.s_mid,
+             {_lsh_p_case()} AS p
+      FROM grid g CROSS JOIN weights w
+    ),
+    masses AS (
+      SELECT r, b,
+             CAST(SUM(CAST(ROUND(CASE WHEN s_mid < {LSH_TAU}
+                  THEN w * p ELSE 0 END, 9) AS DECIMAL(38,9)))
+                  AS DOUBLE) AS exp_fp,
+             CAST(SUM(CAST(ROUND(CASE WHEN s_mid >= {LSH_TAU}
+                  THEN w * (1 - p) ELSE 0 END, 9) AS DECIMAL(38,9)))
+                  AS DOUBLE) AS exp_fn
+      FROM curve GROUP BY r, b
+    )
+    SELECT CAST(r AS BIGINT) AS rows_per_band,
+           CAST(b AS BIGINT) AS bands,
+           CAST(r * b AS BIGINT) AS signature_len,
+           ROUND(exp_fp, 6) AS exp_fp,
+           ROUND(exp_fn, 6) AS exp_fn,
+           ROUND(exp_fp + exp_fn, 6) AS exp_cost,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY ROUND(exp_fp + exp_fn, 6) ASC, r * b ASC, b ASC)
+             AS BIGINT) AS plan_rank
+    FROM masses
+    ORDER BY rows_per_band, bands
+    """,
+)
+def q476_lsh_parameter_planner(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash-LSH (bands, rows) planner — the MMDS ch.3 S-curve
+    p(s) = 1 - (1 - s^r)^b evaluated for nine (r, b) designs, with
+    the FP/FN mass weighted by the CORPUS'S OWN pair-similarity
+    histogram (exact trigram-shingle Jaccard over an ~8% md5 doc
+    sample, {LSH_BINS} bins, zero-overlap pairs folded into bin 0
+    by total-pair accounting) against the tau = {LSH_TAU} dedup
+    threshold. The tuning table that sizes q62/q71's parameters
+    instead of folklore.
+
+    Determinism: the histogram is pure integer arithmetic (bin =
+    isz*{LSH_BINS} DIV union, exact C(n,2) bin-0 fold); every power
+    in the S-curve is a repeated-squaring chain GENERATED ONCE and
+    handed verbatim to both engines (no libm pow), so p values are
+    bit-identical; mass terms grid at 1e-9 before exact DECIMAL
+    sums; the plan rank orders by rounded cost with signature-length
+    and band tie-breaks.
+
+    Scale: the exact-Jaccard measurement runs only on the hash
+    sample (pairs sharing >=1 shingle via a shingle-grain join —
+    never an all-pairs product); the curve math is 180 rows.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|lshp"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sample = docs.filter(h % LSH_SAMPLE_MOD == 0).select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= 3)
+    sh = (
+        sample.select(
+            "doc_id",
+            F.posexplode(F.expr("slice(w, 1, size(w) - 2)")).alias(
+                "i0", "w1"
+            ),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.col("w1"),
+                F.expr("w[i0 + 1]"),
+                F.expr("w[i0 + 2]"),
+            ).alias("tri"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nsh")
+    )
+    ns = sizes.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    a = sh.select(F.col("doc_id").alias("da"), "tri")
+    b_ = sh.select(F.col("doc_id").alias("db"), "tri")
+    inter = (
+        a.join(b_, "tri")
+        .filter(F.col("db") > F.col("da"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("isz"))
+    )
+    # sizes is doc-grain over the SAMPLE — a fraction of the corpus,
+    # not a bounded cap, so NO broadcast hint (the r5 audit rule);
+    # AQE picks the strategy at runtime
+    binned = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("da"),
+                         F.col("nsh").alias("na")), "da"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("db"),
+                         F.col("nsh").alias("nb")), "db"
+        )
+        .select(
+            F.least(
+                F.expr(f"(isz * {LSH_BINS}) DIV (na + nb - isz)"),
+                F.lit(LSH_BINS - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    covered = binned.agg(
+        F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("wsum")
+    )
+    spine = spark.createDataFrame(
+        [(i,) for i in range(LSH_BINS)], "bin int"
+    )
+    weights = (
+        spine.join(F.broadcast(binned), "bin", "left")
+        .crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(covered))
+        .select(
+            "bin",
+            (
+                F.coalesce(F.col("w"), F.lit(0))
+                + F.when(
+                    F.col("bin") == 0,
+                    F.expr("n_docs * (n_docs - 1) DIV 2") - F.col("wsum"),
+                ).otherwise(0)
+            ).alias("w"),
+            ((F.col("bin") + 0.5) / LSH_BINS).alias("s_mid"),
+        )
+    )
+    grid = spark.createDataFrame(LSH_GRID, "r int, b int")
+    curve = (
+        grid.crossJoin(F.broadcast(weights))
+        .withColumn("p", F.expr(_lsh_p_case()))
+    )
+    masses = curve.groupBy("r", "b").agg(
+        F.sum(
+            F.round(
+                F.when(
+                    F.col("s_mid") < LSH_TAU, F.col("w") * F.col("p")
+                ).otherwise(0.0),
+                9,
+            ).cast("decimal(38,9)")
+        )
+        .cast("double")
+        .alias("exp_fp"),
+        F.sum(
+            F.round(
+                F.when(
+                    F.col("s_mid") >= LSH_TAU,
+                    F.col("w") * (1 - F.col("p")),
+                ).otherwise(0.0),
+                9,
+            ).cast("decimal(38,9)")
+        )
+        .cast("double")
+        .alias("exp_fn"),
+    )
+    return masses.select(
+        F.col("r").cast("bigint").alias("rows_per_band"),
+        F.col("b").cast("bigint").alias("bands"),
+        (F.col("r") * F.col("b")).cast("bigint").alias("signature_len"),
+        F.round("exp_fp", 6).alias("exp_fp"),
+        F.round("exp_fn", 6).alias("exp_fn"),
+        F.round(F.col("exp_fp") + F.col("exp_fn"), 6).alias("exp_cost"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.round(F.col("exp_fp") + F.col("exp_fn"), 6).asc(),
+                (F.col("r") * F.col("b")).asc(),
+                F.col("b").asc(),
+            )
+        )
+        .cast("bigint")
+        .alias("plan_rank"),
+    ).orderBy("rows_per_band", "bands")
+
+
+# ---------------------------------------------------------------------------
+# q477 A/B sample-size & minimum-detectable-effect calculator
+#
+# The pre-experiment arithmetic (two-proportion z approximation)
+# every experimentation platform runs before launch, parameterized
+# by the CORPUS's observed conversion rate: what lift can the
+# current traffic detect at alpha=.05 / power=.8, and how many
+# users per arm would a 10% relative lift need? Complements the
+# registry's post-hoc shelf (q234 CUPED, q298 SPRT, q266 Wilson).
+
+PWR_Z_A = 1.959963984540054  # z_{0.975}
+PWR_Z_B = 0.8416212335729143  # z_{0.80}
+PWR_REL_LIFT = 0.10
+
+
+@register(
+    "q477_power_mde_calculator",
+    category="analytics-stats (regression/tests/causal)",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_conv
+      FROM users
+    ),
+    calc AS (
+      SELECT n_users, n_conv,
+             CAST(n_conv AS DOUBLE) / n_users AS p,
+             CAST(n_users AS BIGINT) // 2 AS n_arm
+      FROM base
+    )
+    SELECT n_users, n_conv,
+           ROUND(p, 6) AS conversion_rate,
+           n_arm,
+           ROUND(({PWR_Z_A} + {PWR_Z_B})
+                 * SQRT(2 * p * (1 - p) / NULLIF(n_arm, 0)), 6)
+             AS mde_abs,
+           ROUND(({PWR_Z_A} + {PWR_Z_B})
+                 * SQRT(2 * p * (1 - p) / NULLIF(n_arm, 0))
+                 / NULLIF(p, 0), 6) AS mde_rel,
+           CAST(CEIL(({PWR_Z_A} + {PWR_Z_B}) * ({PWR_Z_A} + {PWR_Z_B})
+                 * (p * (1 - p)
+                    + (p * {1 + PWR_REL_LIFT})
+                      * (1 - p * {1 + PWR_REL_LIFT}))
+                 / NULLIF((p * {PWR_REL_LIFT}) * (p * {PWR_REL_LIFT}),
+                          0)) AS BIGINT)
+             AS n_per_arm_for_10pct_lift
+    FROM calc
+    """,
+)
+def q477_power_mde_calculator(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-proportion power arithmetic on the corpus's OWN
+    conversion rate (user-grain purchase conversion): the minimum
+    detectable effect at alpha=.05/power=.8 for the current traffic
+    split into two arms, and the users-per-arm a {PWR_REL_LIFT:.0%}
+    relative lift would need — the pre-experiment calculator beside
+    the registry's in-flight (q298 SPRT) and post-hoc (q234 CUPED,
+    q266 Wilson) experimentation ops.
+
+    Determinism: conversion counts are exact integers; z quantiles
+    are shared literals; every float is the same expression over
+    identical operands (sqrt is IEEE-exact), ROUND-6 at the
+    boundary; CEIL runs on identical doubles; NULLIF guards the
+    empty/zero-rate corners.
+
+    Scale: one map-side-combinable user aggregate and one scalar
+    row.
+    """
+    users = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    base = users.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+    )
+    p = F.col("n_conv").cast("double") / F.col("n_users")
+    n_arm = F.expr("n_users DIV 2")
+    z = PWR_Z_A + PWR_Z_B
+    mde = F.lit(z) * F.sqrt(
+        2 * p * (1 - p) / F.nullif(n_arm, F.lit(0))
+    )
+    p2 = p * (1 + PWR_REL_LIFT)
+    return base.select(
+        "n_users",
+        "n_conv",
+        F.round(p, 6).alias("conversion_rate"),
+        n_arm.cast("bigint").alias("n_arm"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / F.nullif(p, F.lit(0.0)), 6).alias("mde_rel"),
+        F.ceil(
+            F.lit(z * z)
+            * (p * (1 - p) + p2 * (1 - p2))
+            / F.nullif(
+                (p * PWR_REL_LIFT) * (p * PWR_REL_LIFT), F.lit(0.0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_per_arm_for_10pct_lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q478 quantile treatment effects
+#
+# The distributional readout the average treatment effect (q326)
+# flattens: at each decile, the difference between the treatment
+# and control groups' EXACT order statistics — where in the outcome
+# distribution the effect lives (Doksum 1974). Hash-assigned arms;
+# the repo's explicit value[FLOOR((n-1)p)] order-statistic rule.
+
+
+@register(
+    "q478_quantile_treatment_effects",
+    category="analytics-stats (regression/tests/causal)",
+    oracle="""
+    WITH outcomes AS (
+      SELECT user_id, user_id % 2 = 0 AS treated,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS cents
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT treated, cents,
+             ROW_NUMBER() OVER (PARTITION BY treated
+                                ORDER BY cents) AS rk,
+             COUNT(*) OVER (PARTITION BY treated) AS n
+      FROM outcomes
+    ),
+    deciles AS (
+      SELECT UNNEST(generate_series(1, 9)) AS decile
+    ),
+    qs AS (
+      SELECT d.decile, r.treated, r.cents
+      FROM deciles d
+      JOIN ranked r
+        ON r.rk = ((r.n - 1) * d.decile) // 10 + 1
+    )
+    SELECT t.decile,
+           CAST(t.cents AS DOUBLE) / 100 AS q_treated,
+           CAST(c.cents AS DOUBLE) / 100 AS q_control,
+           CAST(t.cents - c.cents AS DOUBLE) / 100 AS qte
+    FROM (SELECT decile, cents FROM qs WHERE treated) t
+    JOIN (SELECT decile, cents FROM qs WHERE NOT treated) c
+      USING (decile)
+    ORDER BY t.decile
+    """,
+)
+def q478_quantile_treatment_effects(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile treatment effects (Doksum 1974): per decile, the
+    difference between the treatment (even user_id) and control
+    arms' EXACT order statistics of per-user spend — the
+    distributional effect profile that q326's single ATE number
+    flattens (an effect concentrated in the top decile looks
+    identical to a uniform shift on average).
+
+    Determinism: outcomes are exact BIGINT cents; each quantile is
+    the explicit value[FLOOR((n-1)p)] order statistic via pure
+    integer rank arithmetic (((n-1)*k) DIV 10 + 1) — the q441
+    convention — so every output is an exact integer ratio; rank
+    ties collapse on equal values.
+
+    Scale: one user-grain aggregate, one per-arm sort window (two
+    partitions — at 100 TB swap in q444's bucket refinement per
+    arm), a 9-row decile join.
+    """
+    outcomes = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .select(
+            (F.col("user_id") % 2 == 0).alias("treated"), "cents"
+        )
+    )
+    wt = Window.partitionBy("treated").orderBy("cents")
+    ranked = outcomes.select(
+        "treated",
+        "cents",
+        F.row_number().over(wt).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("treated")).alias("n"),
+    )
+    deciles = spark.createDataFrame([(i,) for i in range(1, 10)], "decile int")
+    qs = ranked.join(
+        F.broadcast(deciles),
+        F.col("rk") == F.expr("((n - 1) * decile) DIV 10 + 1"),
+    ).select("decile", "treated", "cents")
+    tr = qs.filter(F.col("treated")).select(
+        "decile", F.col("cents").alias("tc")
+    )
+    ct = qs.filter(~F.col("treated")).select(
+        "decile", F.col("cents").alias("cc")
+    )
+    return (
+        tr.join(ct, "decile")
+        .select(
+            "decile",
+            (F.col("tc").cast("double") / 100).alias("q_treated"),
+            (F.col("cc").cast("double") / 100).alias("q_control"),
+            ((F.col("tc") - F.col("cc")).cast("double") / 100).alias("qte"),
+        )
+        .orderBy("decile")
+    )

@@ -319,6 +319,18 @@ AUDITED_SITES = {
     ("queries/round5b.py", "q474_cramers_v", "rows_"),
     ("queries/round5b.py", "q474_cramers_v", "cols_"),
     ("queries/round5b.py", "q474_cramers_v", "terms"),
+    # q475: m/d are 1-row scalars (moments, D statistic)
+    ("queries/round5b.py", "q475_ks_exponential_arrivals", "m"),
+    ("queries/round5b.py", "q475_ks_exponential_arrivals", "d"),
+    # q476: binned/weights are <=20-bin histograms, ns/covered are
+    # 1-row scalars (the doc-grain sizes table is deliberately
+    # UNHINTED — the sample is a fraction, not a cap)
+    ("queries/round5b.py", "q476_lsh_parameter_planner", "binned"),
+    ("queries/round5b.py", "q476_lsh_parameter_planner", "weights"),
+    ("queries/round5b.py", "q476_lsh_parameter_planner", "ns"),
+    ("queries/round5b.py", "q476_lsh_parameter_planner", "covered"),
+    # q478: deciles is a 9-row literal spine
+    ("queries/round5b.py", "q478_quantile_treatment_effects", "deciles"),
     ("queries/similarity.py", "_pq_dist_and_codes", "train"),
     ("queries/similarity.py", "q343_pq_adc_topk", "qtab"),
     ("queries/similarity.py", "q344_ivf_pq_probe", "coarse"),

@@ -180,6 +180,16 @@ EVENT_QUERIES = [
     # components; equal-size clusters pin m0 = m exactly; constant
     # values zero both SS components identically
     "q473_design_effect",
+    # duplicate-ts corpora zero every gap (s=0 -> NULLIF, not ANSI
+    # /0); 1-event corpora empty the gap set (NULL stats row on both
+    # engines); the dual one-sided D gaps must agree on tied values
+    "q475_ks_exponential_arrivals",
+    # 1-user corpora pin n_arm=0 (NULLIF); zero-purchase corpora
+    # NULL the relative MDE and required-n via the p guards
+    "q477_power_mde_calculator",
+    # single-arm corpora (all-even/all-odd users) empty the decile
+    # join on both engines; 1-user arms pin every decile to rank 1
+    "q478_quantile_treatment_effects",
 ]
 DOC_QUERIES = [
     "q60_dedup_exact",
@@ -414,6 +424,10 @@ DOC_QUERIES = [
     # (NULLIF, not ANSI /0); independent-ish tables leave a tiny
     # negative sum_t-1 that GREATEST must clamp on both engines
     "q474_cramers_v",
+    # tiny/empty samples (md5 gate can select zero docs) must yield
+    # the all-zero-weight plan table identically; repeated texts
+    # collapse every pair into the top bin
+    "q476_lsh_parameter_planner",
     # tiny doc pools concentrate all keys on few vnodes (some shards
     # own zero docs and vanish identically); every mover must still
     # land on the new shard on ANY doc_id set
