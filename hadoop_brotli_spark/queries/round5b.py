@@ -4301,3 +4301,460 @@ def q478_quantile_treatment_effects(
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q479 k-core decomposition (bounded peeling)
+#
+# The graph-pruning standard (Seidman 1983): iteratively peel nodes
+# of degree < k until fixed point — the community-detection /
+# spam-filter preprocessing step beside the registry's PageRank
+# (q407), HITS (q319), and label propagation (q406). Six unrolled
+# peel rounds over the part co-purchase graph with a support floor;
+# convergence certified in-row by comparing the last two rounds.
+
+KCORE_K = 4
+KCORE_ROUNDS = 6
+KCORE_MIN_SUP = 2  # co-purchase support floor sparsifies the graph
+
+
+def _kcore_stage_sql(r: int) -> str:
+    return f""",
+    d{r} AS MATERIALIZED (
+      SELECT e.a AS v, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM edges e
+      JOIN n{r - 1} na ON na.v = e.a
+      JOIN n{r - 1} nb ON nb.v = e.b
+      GROUP BY e.a
+    ),
+    n{r} AS MATERIALIZED (
+      SELECT v FROM d{r} WHERE deg >= {KCORE_K}
+    )"""
+
+
+@register(
+    "q479_kcore_decomposition",
+    category="mixed-extensions",
+    oracle="""
+    WITH pairs AS MATERIALIZED (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey AND b.l_partkey <> a.l_partkey
+      GROUP BY a.l_orderkey, a.l_partkey, b.l_partkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS sup
+        FROM pairs GROUP BY a, b
+      ) WHERE sup >= """ + str(KCORE_MIN_SUP) + """
+    ),
+    n0 AS MATERIALIZED (SELECT DISTINCT a AS v FROM edges)"""
+    + "".join(_kcore_stage_sql(r) for r in range(1, KCORE_ROUNDS + 1))
+    + f"""
+    , conv AS (
+      SELECT (SELECT COUNT(*) FROM n{KCORE_ROUNDS})
+             = (SELECT COUNT(*) FROM n{KCORE_ROUNDS - 1}) AS converged
+    )
+    SELECT d.v AS part, d.deg AS core_degree, c.converged
+    FROM d{KCORE_ROUNDS} d
+    JOIN n{KCORE_ROUNDS} n ON n.v = d.v, conv c
+    ORDER BY d.v
+    """,
+)
+def q479_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core of the part co-purchase graph (Seidman 1983):
+    {KCORE_ROUNDS} unrolled peel rounds of "drop nodes with fewer
+    than {KCORE_K} surviving neighbors" over edges = part pairs
+    co-purchased in >= {KCORE_MIN_SUP} orders. Emits the surviving
+    core members with their within-core degree and an in-row
+    convergence certificate (round {KCORE_ROUNDS} == round
+    {KCORE_ROUNDS - 1}) — the dense-subgraph preprocessing standard
+    beside PageRank (q407) / HITS (q319) / label propagation (q406).
+
+    Determinism: degrees and support are exact integer counts; the
+    peel set is a pure threshold — no tie-breaking anywhere; the
+    basket pair generator dedups at (order, a, b) grain first so
+    duplicate lineitems can't inflate support.
+
+    Scale: the pair expansion is basket-bounded (q417's shape, with
+    the support floor sparsifying before any iteration); each peel
+    round is one join + partial-aggregated degree count; membership
+    frames stay node-grain. The oracle CTEs are MATERIALIZED
+    against exponential lineage inlining (the q459 lesson);
+    the Spark side localCheckpoints per round (the q64 rule).
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("b.l_partkey") != F.col("a.l_partkey"))
+        .select(
+            "l_orderkey",
+            F.col("a.l_partkey").alias("a"),
+            F.col("b.l_partkey").alias("b"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
+        .filter(F.col("sup") >= KCORE_MIN_SUP)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("a").alias("v")).distinct()
+    deg = None
+    prev_nodes = nodes
+    for _ in range(KCORE_ROUNDS):
+        nodes_a = prev_nodes.select(F.col("v").alias("a"))
+        nodes_b = prev_nodes.select(F.col("v").alias("b"))
+        deg = (
+            edges.join(nodes_a, "a")
+            .join(nodes_b, "b")
+            .groupBy(F.col("a").alias("v"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+            .localCheckpoint(eager=False)
+        )
+        new_nodes = deg.filter(F.col("deg") >= KCORE_K).select("v")
+        prev_count = prev_nodes
+        prev_nodes, last_prev = new_nodes, prev_count
+    conv = (
+        prev_nodes.agg(F.count(F.lit(1)).alias("c_now"))
+        .crossJoin(
+            F.broadcast(last_prev.agg(F.count(F.lit(1)).alias("c_prev")))
+        )
+        .select((F.col("c_now") == F.col("c_prev")).alias("converged"))
+    )
+    return (
+        deg.join(prev_nodes, "v")
+        .crossJoin(F.broadcast(conv))
+        .select(
+            F.col("v").alias("part"),
+            F.col("deg").alias("core_degree"),
+            "converged",
+        )
+        .orderBy("part")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q480 TextRank keywords
+#
+# The unsupervised keyword extractor (Mihalcea & Tarau, EMNLP 2004):
+# PageRank over the word co-occurrence (adjacency) graph. The
+# complement to q360's RAKE (degree/frequency heuristic) — TextRank
+# propagates importance through the graph instead of scoring
+# locally. Four unrolled weighted-PageRank rounds on the corpus
+# bigram graph.
+
+TR_ROUNDS = 4
+TR_DAMP_NUM = 85  # damping 0.85 as an exact integer ratio
+TR_TOP = 15
+
+
+def _textrank_stage_sql(r: int) -> str:
+    return f""",
+    pr{r} AS MATERIALIZED (
+      SELECT e.dst AS word,
+             FLOOR((0.15 + 0.85 * CAST(SUM(CAST(ROUND(
+               p.pr * e.w / d.wdeg, 9) AS DECIMAL(38,9)))
+               AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS pr
+      FROM edges e
+      JOIN pr{r - 1} p ON p.word = e.src
+      JOIN wdeg d ON d.word = e.src
+      GROUP BY e.dst
+    )"""
+
+
+@register(
+    "q480_textrank_keywords",
+    category="llm-text-analysis",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ),
+    big AS MATERIALIZED (
+      SELECT w[i] AS x, w[i + 1] AS y
+      FROM (SELECT doc_id, w,
+                   UNNEST(generate_series(1, len(w) - 1)) AS i
+            FROM toks)
+      WHERE w[i] <> w[i + 1]
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst, CAST(SUM(c) AS BIGINT) AS w FROM (
+        SELECT x AS src, y AS dst, COUNT(*) AS c FROM big GROUP BY 1, 2
+        UNION ALL
+        SELECT y AS src, x AS dst, COUNT(*) AS c FROM big GROUP BY 1, 2
+      ) GROUP BY src, dst
+    ),
+    wdeg AS MATERIALIZED (
+      SELECT src AS word, CAST(SUM(w) AS BIGINT) AS wdeg
+      FROM edges GROUP BY src
+    ),
+    pr0 AS MATERIALIZED (
+      SELECT word, CAST(1.0 AS DOUBLE) AS pr FROM wdeg
+    )"""
+    + "".join(_textrank_stage_sql(r) for r in range(1, TR_ROUNDS + 1))
+    + f"""
+    SELECT word, pr AS textrank,
+           CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, word ASC)
+                AS BIGINT) AS rk
+    FROM pr{TR_ROUNDS}
+    ORDER BY rk
+    LIMIT {TR_TOP}
+    """,
+)
+def q480_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004):
+    {TR_ROUNDS} unrolled weighted-PageRank rounds (damping 0.85)
+    over the corpus word-adjacency graph — importance PROPAGATES
+    through co-occurrence edges, the graph-global complement to
+    q360's local RAKE scores. Top-{TR_TOP} words by final rank.
+
+    Determinism: edge weights and weighted degrees are exact
+    integer counts; each round's incoming mass terms grid at 1e-9
+    before the exact DECIMAL sum and the round's output re-grids on
+    the half-up FLOOR(x*1e9+0.5) grid (plain ROUND splits half-up vs
+    half-even exactly at grid ties — caught live at sf0.01);
+    the final ranking orders by (pr, word).
+
+    Scale: the bigram edge list aggregates at word-pair grain
+    (map-side combinable, vocabulary-bounded); each round is one
+    shuffle join at edge grain joined to the word-grain rank frame
+    — the q406/q407 iteration shape with the same per-round
+    checkpoint rule. Self-loops are dropped (w[i] <> w[i+1]) so
+    mass cannot recirculate through repeated tokens.
+    """
+    docs = t(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= 2)
+    big = (
+        docs.select(
+            F.posexplode(F.expr("slice(w, 1, size(w) - 1)")).alias(
+                "i0", "x"
+            ),
+            "w",
+        )
+        .select("x", F.expr("w[i0 + 1]").alias("y"))
+        .filter(F.col("x") != F.col("y"))
+    )
+    fwd = big.groupBy(
+        F.col("x").alias("src"), F.col("y").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    rev = big.groupBy(
+        F.col("y").alias("src"), F.col("x").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    edges = (
+        fwd.unionByName(rev)
+        .groupBy("src", "dst")
+        .agg(F.sum("c").cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    wdeg = edges.groupBy(F.col("src").alias("word")).agg(
+        F.sum("w").cast("bigint").alias("wdeg")
+    )
+    pr = wdeg.select("word", F.lit(1.0).alias("pr"))
+    ed = edges.join(
+        wdeg.select(F.col("word").alias("src"), "wdeg"), "src"
+    ).localCheckpoint(eager=True)
+    for _ in range(TR_ROUNDS):
+        pr = (
+            ed.join(
+                pr.select(F.col("word").alias("src"), "pr"), "src"
+            )
+            .groupBy(F.col("dst").alias("word"))
+            .agg(
+                (
+                    F.floor(
+                        (
+                            F.lit(0.15)
+                            + F.lit(0.85)
+                            * F.sum(
+                                F.round(
+                                    F.col("pr") * F.col("w")
+                                    / F.col("wdeg"),
+                                    9,
+                                ).cast("decimal(38,9)")
+                            ).cast("double")
+                        )
+                        * 1e9
+                        + 0.5
+                    )
+                    / 1e9
+                ).alias("pr")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        pr.select(
+            "word",
+            F.col("pr").alias("textrank"),
+            F.row_number()
+            .over(Window.orderBy(F.col("pr").desc(), F.col("word").asc()))
+            .cast("bigint")
+            .alias("rk"),
+        )
+        .orderBy("rk")
+        .limit(TR_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q481 association-rule metrics (the second half of Apriori)
+#
+# q417 mines the frequent itemsets; this derives the RULES: for
+# each frequent pair, both directed rules A=>B with confidence,
+# lift, leverage, and conviction (Brin et al. 1997) — the four
+# metrics every market-basket readout reports. Pure integer
+# supports; every metric is an exact-ratio double.
+
+AR_MIN_SUP = 3
+AR_TOP = 20
+
+
+@register(
+    "q481_association_rules",
+    category="aggregation-advanced (rollup/percentile/sketch/pivot)",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    nb AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n
+      FROM baskets
+    ),
+    item AS (
+      SELECT l_partkey AS it, CAST(COUNT(*) AS BIGINT) AS sup
+      FROM baskets GROUP BY l_partkey
+    ),
+    pair AS (
+      SELECT a.l_partkey AS x, b.l_partkey AS y,
+             CAST(COUNT(*) AS BIGINT) AS sup
+      FROM baskets a JOIN baskets b
+        ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= {AR_MIN_SUP}
+    ),
+    rules AS (
+      SELECT x AS ante, y AS cons, sup FROM pair
+      UNION ALL
+      SELECT y AS ante, x AS cons, sup FROM pair
+    ),
+    scored AS (
+      SELECT r.ante, r.cons, r.sup,
+             ia.sup AS sup_a, ic.sup AS sup_c, nb.n,
+             CAST(r.sup AS DOUBLE) / ia.sup AS confidence,
+             CAST(r.sup AS DOUBLE) * nb.n
+               / (ia.sup * CAST(ic.sup AS DOUBLE)) AS lift,
+             CAST(r.sup AS DOUBLE) / nb.n
+               - (CAST(ia.sup AS DOUBLE) / nb.n)
+                 * (CAST(ic.sup AS DOUBLE) / nb.n) AS leverage,
+             (1 - CAST(ic.sup AS DOUBLE) / nb.n)
+               / NULLIF(1 - CAST(r.sup AS DOUBLE) / ia.sup, 0)
+               AS conviction
+      FROM rules r
+      JOIN item ia ON ia.it = r.ante
+      JOIN item ic ON ic.it = r.cons
+      CROSS JOIN nb
+    )
+    SELECT ante, cons, sup AS support,
+           ROUND(confidence, 6) AS confidence,
+           ROUND(lift, 6) AS lift,
+           ROUND(leverage, 6) AS leverage,
+           ROUND(conviction, 6) AS conviction
+    FROM scored
+    ORDER BY ROUND(lift, 6) DESC, ante ASC, cons ASC
+    LIMIT {AR_TOP}
+    """,
+)
+def q481_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics over co-purchase baskets — the
+    second half of Apriori that q417's frequent itemsets feed: both
+    directed rules A=>B per frequent pair (support >=
+    {AR_MIN_SUP}), scored by confidence, lift, leverage, and
+    conviction (Brin et al. 1997). Top-{AR_TOP} by lift with a
+    total (ante, cons) order.
+
+    Determinism: all supports are exact integer counts over
+    deduplicated (order, part) baskets; every metric is the same
+    exact-ratio double expression on both engines (conviction
+    NULLIFs the confidence=1 pole); ranking uses the ROUNDED lift.
+
+    Scale: the pair expansion is the within-basket self-join
+    (bounded by basket size, q417's shape) with the support floor
+    applied in the same aggregate; item supports broadcast-join
+    onto rules at pair grain.
+    """
+    baskets = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    nb = baskets.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n")
+    )
+    item = baskets.groupBy(F.col("l_partkey").alias("it")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("sup")
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("b.l_partkey") > F.col("a.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("x"),
+            F.col("b.l_partkey").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
+        .filter(F.col("sup") >= AR_MIN_SUP)
+    )
+    rules = pair.select(
+        F.col("x").alias("ante"), F.col("y").alias("cons"), "sup"
+    ).unionByName(
+        pair.select(
+            F.col("y").alias("ante"), F.col("x").alias("cons"), "sup"
+        )
+    )
+    scored = (
+        rules.join(
+            item.select(F.col("it").alias("ante"), F.col("sup").alias("sup_a")),
+            "ante",
+        )
+        .join(
+            item.select(F.col("it").alias("cons"), F.col("sup").alias("sup_c")),
+            "cons",
+        )
+        .crossJoin(F.broadcast(nb))
+    )
+    conf = F.col("sup").cast("double") / F.col("sup_a")
+    lift = (
+        F.col("sup").cast("double")
+        * F.col("n")
+        / (F.col("sup_a") * F.col("sup_c").cast("double"))
+    )
+    return (
+        scored.select(
+            "ante",
+            "cons",
+            F.col("sup").alias("support"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+            F.round(
+                F.col("sup").cast("double") / F.col("n")
+                - (F.col("sup_a").cast("double") / F.col("n"))
+                * (F.col("sup_c").cast("double") / F.col("n")),
+                6,
+            ).alias("leverage"),
+            F.round(
+                (1 - F.col("sup_c").cast("double") / F.col("n"))
+                / F.nullif(F.lit(1) - conf, F.lit(0.0)),
+                6,
+            ).alias("conviction"),
+        )
+        .orderBy(
+            F.round(lift, 6).desc(), F.col("ante").asc(), F.col("cons").asc()
+        )
+        .limit(AR_TOP)
+    )

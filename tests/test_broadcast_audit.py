@@ -331,6 +331,12 @@ AUDITED_SITES = {
     ("queries/round5b.py", "q476_lsh_parameter_planner", "covered"),
     # q478: deciles is a 9-row literal spine
     ("queries/round5b.py", "q478_quantile_treatment_effects", "deciles"),
+    # q479: conv is a 1-row scalar; last_prev is a 1-row count
+    # aggregate of the previous peel round
+    ("queries/round5b.py", "q479_kcore_decomposition", "conv"),
+    ("queries/round5b.py", "q479_kcore_decomposition", "last_prev"),
+    # q481: nb is a 1-row basket-count scalar
+    ("queries/round5b.py", "q481_association_rules", "nb"),
     ("queries/similarity.py", "_pq_dist_and_codes", "train"),
     ("queries/similarity.py", "q343_pq_adc_topk", "qtab"),
     ("queries/similarity.py", "q344_ivf_pq_probe", "coarse"),

@@ -191,6 +191,7 @@ EVENT_QUERIES = [
     # join on both engines; 1-user arms pin every decile to rank 1
     "q478_quantile_treatment_effects",
 ]
+# q479/q481 ride the ORDER hunt (lineitem baskets); q480 the DOC hunt
 DOC_QUERIES = [
     "q60_dedup_exact",
     "q126_sequence_packing",
@@ -428,6 +429,10 @@ DOC_QUERIES = [
     # the all-zero-weight plan table identically; repeated texts
     # collapse every pair into the top bin
     "q476_lsh_parameter_planner",
+    # single-word docs drop out; repeated-token docs drop self-loop
+    # edges (possibly emptying the graph on both engines); rank
+    # ties on the 1e-9 half-up grid fall to the word order
+    "q480_textrank_keywords",
     # tiny doc pools concentrate all keys on few vnodes (some shards
     # own zero docs and vanish identically); every mover must still
     # land on the new shard on ANY doc_id set
@@ -555,6 +560,14 @@ ORDER_QUERIES = [
     # constant-priority corpora pin k=1 ((k-1)=0 -> NULLIF, not ANSI
     # /0); single-order groups zero every deviation (SSW=0 -> NULL)
     "q461_brown_forsythe",
+    # tiny part pools densify the co-purchase graph (everything in
+    # the core) or the support floor empties it (zero rows both
+    # engines); the peel fixed-point must agree on ANY basket layout
+    "q479_kcore_decomposition",
+    # single-item baskets yield zero pairs; lift ties on symmetric
+    # supports fall to the (ante, cons) order; conviction hits the
+    # confidence=1 NULLIF on contained-pair layouts
+    "q481_association_rules",
     # constant-price corpora pin HHI=1/n_brands-ish ties; single-
     # brand years pin simpson=1, shannon=0, effective=1 exactly on
     # both engines; single-line years hit the N(N-1)=0 NULLIF
