@@ -4758,3 +4758,491 @@ def q481_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(AR_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q482 greedy set cover (corpus selection by coverage)
+#
+# Chvatal's ln(n)-approximate greedy for SET COVER: pick the
+# document covering the most still-uncovered trigram types, repeat.
+# The discrete sibling of q459's facility location (which maximizes
+# a SUM of similarities; set cover maximizes coverage of a type
+# UNIVERSE) — the "smallest eval set that exercises every feature"
+# selection primitive.
+
+SC_ROUNDS = 6
+
+
+def _sc_stage_sql(r: int) -> str:
+    prev_picks = " UNION ALL ".join(
+        f"SELECT doc_id FROM p{i}" for i in range(1, r)
+    )
+    not_in = (
+        f"AND s.doc_id NOT IN ({prev_picks})" if r > 1 else ""
+    )
+    return f""",
+    g{r} AS MATERIALIZED (
+      SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+      FROM sh s LEFT JOIN cov{r - 1} c ON c.tri = s.tri
+      WHERE c.tri IS NULL {not_in}
+      GROUP BY s.doc_id
+    ),
+    p{r} AS MATERIALIZED (
+      SELECT doc_id, gain FROM g{r}
+      ORDER BY gain DESC, doc_id ASC LIMIT 1
+    ),
+    cov{r} AS MATERIALIZED (
+      SELECT tri FROM cov{r - 1}
+      UNION
+      SELECT s.tri FROM sh s
+      WHERE s.doc_id = (SELECT doc_id FROM p{r})
+    )"""
+
+
+@register(
+    "q482_greedy_set_cover",
+    category="llm-corpus-pipeline",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tri
+      FROM (SELECT doc_id, w,
+                   UNNEST(generate_series(1, len(w) - 2)) AS i
+            FROM toks)
+    ),
+    uni AS MATERIALIZED (
+      SELECT CAST(COUNT(DISTINCT tri) AS BIGINT) AS n_types FROM sh
+    ),
+    cov0 AS MATERIALIZED (
+      SELECT tri FROM sh WHERE 1 = 0
+    )"""
+    + "".join(_sc_stage_sql(r) for r in range(1, SC_ROUNDS + 1))
+    + f"""
+    SELECT * FROM (
+    {" UNION ALL ".join(
+        f'''SELECT CAST({r} AS BIGINT) AS round_idx,
+               p{r}.doc_id AS picked_doc, p{r}.gain,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cov{r})
+                 AS covered_types,
+               (2000000 * (SELECT COUNT(*) FROM cov{r})
+                + (SELECT n_types FROM uni))
+                 // (2 * (SELECT n_types FROM uni)) AS coverage_micro
+            FROM p{r}''' for r in range(1, SC_ROUNDS + 1))}
+    ) ORDER BY round_idx
+    """,
+)
+def q482_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy set cover over the corpus (Chvatal 1979, the ln(n)
+    approximation): {SC_ROUNDS} rounds of "pick the document whose
+    trigram types cover the most still-uncovered universe" — the
+    coverage-universe sibling of q459's facility location and the
+    primitive behind minimal-eval-set / test-suite-reduction
+    selection. Emits each pick's marginal gain and the running
+    coverage share on a half-up 1e-6 integer grid.
+
+    Determinism: gains are exact integer counts over DISTINCT
+    (doc, trigram) pairs; the argmax carries a doc_id tie-break;
+    coverage share is pure integer DIV arithmetic — no floats
+    anywhere in the loop.
+
+    Scale: the (doc, type) bipartite frame is computed ONCE and
+    checkpointed; each round is one anti-join + count + 1-row
+    TakeOrdered, with the covered-type state growing by one doc's
+    types per round (type-grain, never broadcast — the universe is
+    corpus-sized). The oracle's recursive lineage is MATERIALIZED
+    (the q459 lesson).
+    """
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= 3)
+    sh = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.expr("slice(w, 1, size(w) - 2)")).alias(
+                "i0", "w1"
+            ),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.col("w1"), F.expr("w[i0 + 1]"), F.expr("w[i0 + 2]")
+            ).alias("tri"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    uni = sh.agg(F.countDistinct("tri").cast("bigint").alias("n_types"))
+    covered = None  # type-grain frame of covered tris
+    chosen = None
+    picks = []
+    for r in range(1, SC_ROUNDS + 1):
+        pool = sh if chosen is None else sh.join(
+            F.broadcast(chosen), "doc_id", "left_anti"
+        )
+        remaining = pool if covered is None else pool.join(
+            covered, "tri", "left_anti"
+        )
+        g = remaining.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("gain")
+        )
+        p = (
+            g.orderBy(F.col("gain").desc(), F.col("doc_id").asc())
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        new_types = sh.join(F.broadcast(p.select("doc_id")), "doc_id").select(
+            "tri"
+        )
+        covered = (
+            new_types
+            if covered is None
+            else covered.unionByName(new_types).distinct()
+        ).localCheckpoint(eager=False)
+        ctot = covered.agg(
+            F.count(F.lit(1)).cast("bigint").alias("covered_types")
+        )
+        picks.append(
+            p.crossJoin(F.broadcast(ctot))
+            .crossJoin(F.broadcast(uni))
+            .select(
+                F.lit(r).cast("bigint").alias("round_idx"),
+                F.col("doc_id").alias("picked_doc"),
+                "gain",
+                "covered_types",
+                F.expr(
+                    "(2000000 * covered_types + n_types) "
+                    "DIV (2 * n_types)"
+                ).alias("coverage_micro"),
+            )
+        )
+        chosen = (
+            p.select("doc_id")
+            if chosen is None
+            else chosen.unionByName(p.select("doc_id"))
+        )
+    out = picks[0]
+    for pk in picks[1:]:
+        out = out.unionByName(pk)
+    return out.orderBy("round_idx")
+
+
+# ---------------------------------------------------------------------------
+# q483 ABC-XYZ inventory classification
+#
+# The operations-planning standard: parts classed A/B/C by
+# cumulative revenue share (80/95 cuts, EXACT integer boundary
+# arithmetic) crossed with X/Y/Z by demand variability (weekly
+# coefficient of variation, 0.5/1.0 cuts) — the 3x3 matrix every
+# supply planner starts from.
+
+
+@register(
+    "q483_abc_xyz_classification",
+    category="analytics-stats (regression/tests/causal)",
+    oracle="""
+    WITH part_rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cents) OVER () AS tot
+      FROM part_rev
+    ),
+    abc AS (
+      SELECT l_partkey,
+             CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                  WHEN cum * 100 <= tot * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked
+    ),
+    weekly AS (
+      SELECT l_partkey,
+             (CAST(floor(epoch(l_shipdate)) AS BIGINT) // 604800)
+               AS wk,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * 100)
+                  AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cv AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS nw,
+             CAST(SUM(qty) AS BIGINT) AS s,
+             CAST(SUM(CAST(qty AS DECIMAL(19,0)) * qty)
+                  AS DECIMAL(38,0)) AS q
+      FROM weekly GROUP BY l_partkey
+    ),
+    xyz AS (
+      SELECT l_partkey,
+             CASE WHEN s = 0 OR nw < 2 THEN 'Z'
+                  WHEN SQRT((CAST(nw AS DOUBLE) * CAST(q AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                       / (CAST(nw AS DOUBLE) * (nw - 1)))
+                       * nw / s < 0.5 THEN 'X'
+                  WHEN SQRT((CAST(nw AS DOUBLE) * CAST(q AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                       / (CAST(nw AS DOUBLE) * (nw - 1)))
+                       * nw / s < 1.0 THEN 'Y'
+                  ELSE 'Z' END AS xyz
+      FROM cv
+    )
+    SELECT a.abc, x.xyz,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(p.cents) AS BIGINT) AS revenue_cents,
+           CAST((2000000 * SUM(p.cents) + SUM(SUM(p.cents)) OVER ())
+             // (2 * SUM(SUM(p.cents)) OVER ()) AS BIGINT)
+             AS revenue_share_micro
+    FROM abc a
+    JOIN xyz x ON x.l_partkey = a.l_partkey
+    JOIN part_rev p ON p.l_partkey = a.l_partkey
+    GROUP BY a.abc, x.xyz
+    ORDER BY a.abc, x.xyz
+    """,
+)
+def q483_abc_xyz_classification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ABC-XYZ inventory classification — the supply-planning
+    standard: A/B/C by cumulative revenue share (parts ranked by
+    revenue; A up to 80%, B to 95% — EXACT integer boundary tests
+    cum*100 <= tot*80, no float share), crossed with X/Y/Z by the
+    coefficient of variation of weekly demand (X < 0.5, Y < 1.0,
+    zero-demand/single-week parts -> Z). Emits the 3x3 matrix with
+    part counts and revenue share on a half-up integer micro grid.
+
+    Determinism: revenue and weekly quantities are exact BIGINT
+    cents (quantity x100); the ABC ranking carries a (cents DESC,
+    partkey) total order; CV comes from exact integer moments with
+    the sample-variance Bessel denominator and compares on
+    identical doubles; week ids are pure integer epoch DIV 604800.
+
+    Scale: two part-grain aggregates (map-side combinable), one
+    cumulative window over the part ranking (at 100 TB: the q444
+    bucket walk computes the 80/95 boundary values without a full
+    sort), a 9-row final.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    wrank = Window.orderBy(
+        F.col("cents").desc(), F.col("l_partkey").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    abc = part_rev.select(
+        "l_partkey",
+        F.when(
+            F.sum("cents").over(wrank) * 100
+            <= F.sum("cents").over(wall) * 80,
+            F.lit("A"),
+        )
+        .when(
+            F.sum("cents").over(wrank) * 100
+            <= F.sum("cents").over(wall) * 95,
+            F.lit("B"),
+        )
+        .otherwise(F.lit("C"))
+        .alias("abc"),
+    )
+    weekly = li.groupBy(
+        "l_partkey",
+        (F.unix_timestamp("l_shipdate").cast("bigint") / F.lit(604800))
+        .cast("bigint")
+        .alias("wk"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("qty")
+    )
+    cv = weekly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nw"),
+        F.sum("qty").cast("bigint").alias("s"),
+        F.sum(F.col("qty").cast("decimal(19,0)") * F.col("qty"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    cv_expr = (
+        F.sqrt(
+            (
+                F.col("nw").cast("double") * F.col("q").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double")
+            )
+            / (F.col("nw").cast("double") * (F.col("nw") - 1))
+        )
+        * F.col("nw")
+        / F.col("s")
+    )
+    xyz = cv.select(
+        "l_partkey",
+        F.when((F.col("s") == 0) | (F.col("nw") < 2), F.lit("Z"))
+        .when(cv_expr < 0.5, F.lit("X"))
+        .when(cv_expr < 1.0, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+        .alias("xyz"),
+    )
+    joined = abc.join(xyz, "l_partkey").join(part_rev, "l_partkey")
+    grouped = joined.groupBy("abc", "xyz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    return grouped.select(
+        "abc",
+        "xyz",
+        "n_parts",
+        "revenue_cents",
+        F.expr(
+            "(2000000 * revenue_cents + SUM(revenue_cents) OVER ()) "
+            "DIV (2 * SUM(revenue_cents) OVER ())"
+        ).alias("revenue_share_micro"),
+    ).orderBy("abc", "xyz")
+
+
+# ---------------------------------------------------------------------------
+# q484 zone-map (min/max) skipping audit
+#
+# The data-skipping readout behind every columnar format's row-group
+# pruning (ORC/Parquet zone maps; Moerkotte's SMAs): simulate
+# 64-row-group min/max indexes on l_shipdate under the table's
+# NATURAL (orderkey-clustered) layout vs a shipdate-SORTED layout,
+# and measure the scan fraction three range predicates actually
+# touch — the quantified argument for sort-on-write that q213's
+# Z-order audit makes for two dimensions.
+
+ZM_GROUP = 64
+ZM_PREDS = [
+    ("1994-01-01", "1994-03-31"),
+    ("1996-06-01", "1996-06-30"),
+    ("1998-01-01", "1998-12-31"),
+]
+
+
+@register(
+    "q484_zonemap_skipping_audit",
+    category="mixed-extensions",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    nat AS (
+      SELECT 'natural' AS layout,
+             CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber,
+                                     d) - 1 AS BIGINT)
+               // {ZM_GROUP} AS rg, d
+      FROM rows_
+    ),
+    srt AS (
+      SELECT 'sorted' AS layout,
+             CAST(ROW_NUMBER() OVER (ORDER BY d, l_orderkey,
+                                     l_linenumber) - 1 AS BIGINT)
+               // {ZM_GROUP} AS rg, d
+      FROM rows_
+    ),
+    zones AS (
+      SELECT layout, rg, MIN(d) AS lo, MAX(d) AS hi
+      FROM (SELECT * FROM nat UNION ALL SELECT * FROM srt)
+      GROUP BY layout, rg
+    ),
+    preds AS (
+      {" UNION ALL ".join(
+        f"SELECT {i} AS pred_id, DATE '{lo}' AS plo, DATE '{hi}' AS phi"
+        for i, (lo, hi) in enumerate(ZM_PREDS))}
+    )
+    SELECT p.pred_id, z.layout,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN z.hi < p.plo OR z.lo > p.phi
+                    THEN 1 ELSE 0 END) AS BIGINT) AS skipped,
+           CAST((2000000 * SUM(CASE WHEN z.hi < p.plo OR z.lo > p.phi
+                          THEN 0 ELSE 1 END) + COUNT(*))
+             // (2 * COUNT(*)) AS BIGINT) AS scan_fraction_micro
+    FROM zones z CROSS JOIN preds p
+    GROUP BY p.pred_id, z.layout
+    ORDER BY p.pred_id, z.layout
+    """,
+)
+def q484_zonemap_skipping_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Zone-map data-skipping audit (the ORC/Parquet row-group
+    min/max pruning model; Moerkotte's small materialized
+    aggregates): simulate {ZM_GROUP}-row-group min/max indexes on
+    ``l_shipdate`` under the NATURAL (orderkey-clustered) layout vs
+    a shipdate-SORTED layout and measure, for three range
+    predicates, how many groups a scan can skip — the quantified
+    sort-on-write argument beside q213's two-dimensional Z-order
+    audit and q368's layout advisor.
+
+    Determinism: both layouts pin total row orders ((orderkey,
+    linenumber, date) and (date, orderkey, linenumber) — the
+    fixture's duplicate keys need the full tie-break); group ids
+    are pure integer DIV; skip tests are date comparisons; the scan
+    fraction lands on a half-up integer micro grid.
+
+    Scale: the row-group simulation is one rank + one (layout, rg)
+    aggregate per layout — on a real table the zones come free from
+    file footers; the audit join is zones x 3 predicates.
+    """
+    rows_ = t(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("d"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    nat = rows_.select(
+        F.lit("natural").alias("layout"),
+        F.expr(
+            f"CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber,"
+            f" d) - 1 AS BIGINT) DIV {ZM_GROUP}"
+        ).alias("rg"),
+        "d",
+    )
+    srt = rows_.select(
+        F.lit("sorted").alias("layout"),
+        F.expr(
+            f"CAST(ROW_NUMBER() OVER (ORDER BY d, l_orderkey,"
+            f" l_linenumber) - 1 AS BIGINT) DIV {ZM_GROUP}"
+        ).alias("rg"),
+        "d",
+    )
+    zones = (
+        nat.unionByName(srt)
+        .groupBy("layout", "rg")
+        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    )
+    preds = spark.createDataFrame(
+        [(i, lo, hi) for i, (lo, hi) in enumerate(ZM_PREDS)],
+        "pred_id int, plo string, phi string",
+    ).select(
+        "pred_id",
+        F.col("plo").cast("date").alias("plo"),
+        F.col("phi").cast("date").alias("phi"),
+    )
+    skip = (F.col("hi") < F.col("plo")) | (F.col("lo") > F.col("phi"))
+    return (
+        zones.crossJoin(F.broadcast(preds))
+        .groupBy("pred_id", "layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(F.when(skip, 1).otherwise(0))
+            .cast("bigint")
+            .alias("skipped"),
+            F.expr(
+                "(2000000 * SUM(CASE WHEN hi < plo OR lo > phi "
+                "THEN 0 ELSE 1 END) + COUNT(*)) DIV (2 * COUNT(*))"
+            ).alias("scan_fraction_micro"),
+        )
+        .orderBy("pred_id", "layout")
+    )

@@ -337,6 +337,15 @@ AUDITED_SITES = {
     ("queries/round5b.py", "q479_kcore_decomposition", "last_prev"),
     # q481: nb is a 1-row basket-count scalar
     ("queries/round5b.py", "q481_association_rules", "nb"),
+    # q482: p/ctot/uni are 1-row pick/count scalars; chosen is
+    # bounded by the literal SC_ROUNDS pick count (the covered-TYPE
+    # state is deliberately never hinted — it is corpus-grain)
+    ("queries/round5b.py", "q482_greedy_set_cover", "p"),
+    ("queries/round5b.py", "q482_greedy_set_cover", "ctot"),
+    ("queries/round5b.py", "q482_greedy_set_cover", "uni"),
+    ("queries/round5b.py", "q482_greedy_set_cover", "chosen"),
+    # q484: preds is a 3-row literal predicate table
+    ("queries/round5b.py", "q484_zonemap_skipping_audit", "preds"),
     ("queries/similarity.py", "_pq_dist_and_codes", "train"),
     ("queries/similarity.py", "q343_pq_adc_topk", "qtab"),
     ("queries/similarity.py", "q344_ivf_pq_probe", "coarse"),

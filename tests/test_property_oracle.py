@@ -433,6 +433,10 @@ DOC_QUERIES = [
     # edges (possibly emptying the graph on both engines); rank
     # ties on the 1e-9 half-up grid fall to the word order
     "q480_textrank_keywords",
+    # tiny corpora exhaust the universe early (later rounds pick
+    # gain-0 docs by doc_id); all-identical docs give one covering
+    # pick then pure-tie-break rounds — both engines must agree
+    "q482_greedy_set_cover",
     # tiny doc pools concentrate all keys on few vnodes (some shards
     # own zero docs and vanish identically); every mover must still
     # land on the new shard on ANY doc_id set
@@ -568,6 +572,14 @@ ORDER_QUERIES = [
     # supports fall to the (ante, cons) order; conviction hits the
     # confidence=1 NULLIF on contained-pair layouts
     "q481_association_rules",
+    # constant prices tie every revenue rank (partkey order decides
+    # the 80/95 boundary); single-week parts and zero demand land in
+    # Z on both engines; boundary rows sit exactly on cum*100 ==
+    # tot*80 (the integer test must agree)
+    "q483_abc_xyz_classification",
+    # duplicate (orderkey, linenumber) rows force the full tie-break
+    # in BOTH layout orders; tiny tables make one partial row group
+    "q484_zonemap_skipping_audit",
     # constant-price corpora pin HHI=1/n_brands-ish ties; single-
     # brand years pin simpson=1, shannon=0, effective=1 exactly on
     # both engines; single-line years hit the N(N-1)=0 NULLIF
