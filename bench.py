@@ -66,6 +66,12 @@ DEPTH = [
     # shape (scalar bounds broadcast + combinable histogram + one
     # bucket-slice rank) round-over-round
     "q444_distributed_median",
+    # round-5 continuation rotation: representatives of the two
+    # heaviest new families — unrolled greedy selection over a
+    # checkpointed n x CAND similarity table (q459) and weighted-
+    # PageRank iteration on the corpus word graph (q480)
+    "q459_facility_location_greedy",
+    "q480_textrank_keywords",
 ]
 
 

@@ -734,9 +734,12 @@ def q456_silhouette_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ONE n x {SIL_KMAX} distance table (fan-out join against a
     broadcast 8 x 64 seed table, partial-aggregated) shared by all
-    seven k values; the k fan-out multiplies a 2-column slice, and
-    every window partitions by (k, vec_id) — nothing quadratic in
-    the corpus.
+    seven k values, collapsed to a per-vector SORTED (d2, cid)
+    array — each k then reads its argmin/arg-second from the array
+    prefix as a JVM expression, so the k fan-out never re-shuffles
+    or re-windows (the original 7x windowed fan-out was the one
+    superlinear plan in the r5 sf1 smoke); nothing quadratic in the
+    corpus.
     """
     from pyspark.sql import Window as W
 
@@ -766,30 +769,30 @@ def q456_silhouette_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ks = spark.createDataFrame([(k,) for k in SIL_KS], "k int")
-    fanned = (
-        dist.crossJoin(F.broadcast(ks))
-        .filter(F.col("cid") < F.col("k"))
+    # per-vector sorted (d2, cid) array ONCE, then every k reads its
+    # argmin/arg-second from the array prefix — replaces a 7x
+    # windowed fan-out (one giant row_number pass per k) with one
+    # vec-grain aggregate + JVM array expressions; same (d2, cid)
+    # total order as the oracle's ROW_NUMBER (sf1 smoke: the window
+    # form was the one superlinear plan in the batch)
+    arrs = dist.groupBy("vec_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("d2"), F.col("cid")))
+        ).alias("arr")
+    )
+    scored = (
+        arrs.crossJoin(F.broadcast(ks))
+        .withColumn("sub", F.expr("filter(arr, e -> e.cid < k)"))
+        .withColumn("d2own", F.expr("try_element_at(sub, 1).d2"))
+        .withColumn("d2alt", F.expr("try_element_at(sub, 2).d2"))
+        .filter(F.col("d2own").isNotNull())
         .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("k", "vec_id").orderBy(
-                    F.col("d2").asc(), F.col("cid").asc()
-                )
+            "s",
+            (F.sqrt("d2alt") - F.sqrt("d2own"))
+            / F.nullif(
+                F.greatest(F.sqrt("d2own"), F.sqrt("d2alt")), F.lit(0.0)
             ),
         )
-    )
-    a = fanned.filter(F.col("rn") == 1).select(
-        "k", "vec_id", F.col("d2").alias("d2own")
-    )
-    b = fanned.filter(F.col("rn") == 2).select(
-        "k", "vec_id", F.col("d2").alias("d2alt")
-    )
-    scored = a.join(b, ["k", "vec_id"], "left").withColumn(
-        "s",
-        (F.sqrt("d2alt") - F.sqrt("d2own"))
-        / F.nullif(
-            F.greatest(F.sqrt("d2own"), F.sqrt("d2alt")), F.lit(0.0)
-        ),
     )
     per_k = scored.groupBy(F.col("k").cast("bigint").alias("k")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
@@ -3720,8 +3723,8 @@ def q474_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(d.d_stat, 6) AS d_stat,
            ROUND(SQRT(CAST(m.n AS DOUBLE)) * d.d_stat, 6)
              AS sqrt_n_d,
-           SQRT(CAST(m.n AS DOUBLE)) * d.d_stat > 1.358
-             AS reject_exponential_05
+           COALESCE(SQRT(CAST(m.n AS DOUBLE)) * d.d_stat > 1.358,
+                    FALSE) AS reject_exponential_05
     FROM m, d
     """,
 )
@@ -3794,8 +3797,9 @@ def q475_ks_exponential_arrivals(
         F.round(
             F.sqrt(F.col("n").cast("double")) * F.col("d_stat"), 6
         ).alias("sqrt_n_d"),
-        (
-            F.sqrt(F.col("n").cast("double")) * F.col("d_stat") > 1.358
+        F.coalesce(
+            F.sqrt(F.col("n").cast("double")) * F.col("d_stat") > 1.358,
+            F.lit(False),
         ).alias("reject_exponential_05"),
     )
 
@@ -4457,9 +4461,9 @@ def _textrank_stage_sql(r: int) -> str:
     return f""",
     pr{r} AS MATERIALIZED (
       SELECT e.dst AS word,
-             FLOOR((0.15 + 0.85 * CAST(SUM(CAST(ROUND(
-               p.pr * e.w / d.wdeg, 9) AS DECIMAL(38,9)))
-               AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS pr
+             FLOOR((0.15 + 0.85 * (CAST(SUM(CAST(FLOOR(
+               p.pr * e.w / d.wdeg * 1e9 + 0.5) AS BIGINT))
+               AS DOUBLE) / 1e9)) * 1e9 + 0.5) / 1e9 AS pr
       FROM edges e
       JOIN pr{r - 1} p ON p.word = e.src
       JOIN wdeg d ON d.word = e.src
@@ -4514,10 +4518,11 @@ def q480_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     q360's local RAKE scores. Top-{TR_TOP} words by final rank.
 
     Determinism: edge weights and weighted degrees are exact
-    integer counts; each round's incoming mass terms grid at 1e-9
-    before the exact DECIMAL sum and the round's output re-grids on
-    the half-up FLOOR(x*1e9+0.5) grid (plain ROUND splits half-up vs
-    half-even exactly at grid ties — caught live at sf0.01);
+    integer counts; each round's incoming mass terms land on the
+    half-up FLOOR(x*1e9+0.5) NANO grid as BIGINTs (exact integer
+    sums) and the round's output re-grids the same way — BOTH grid
+    points had to be half-up FLOOR, not ROUND: the outer tie was
+    caught at sf0.01 and the inner one by the doc hunt;
     the final ranking orders by (pr, word).
 
     Scale: the bigram edge list aggregates at word-pair grain
@@ -4571,13 +4576,18 @@ def q480_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (
                             F.lit(0.15)
                             + F.lit(0.85)
-                            * F.sum(
-                                F.round(
-                                    F.col("pr") * F.col("w")
-                                    / F.col("wdeg"),
-                                    9,
-                                ).cast("decimal(38,9)")
-                            ).cast("double")
+                            * (
+                                F.sum(
+                                    F.floor(
+                                        F.col("pr")
+                                        * F.col("w")
+                                        / F.col("wdeg")
+                                        * 1e9
+                                        + 0.5
+                                    ).cast("bigint")
+                                ).cast("double")
+                                / 1e9
+                            )
                         )
                         * 1e9
                         + 0.5

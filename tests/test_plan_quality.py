@@ -334,6 +334,12 @@ PINNED_EXCHANGES = {
     # (scalar bounds, 256-bucket histogram + cumulative walk, the
     # winning-bucket rank, final scalar joins; 1 scan reused)
     "q444_distributed_median": 10,
+    # r5 continuation rotation: q459's 12 are the six greedy rounds'
+    # gain-agg + pick pairs over the eagerly-checkpointed sim table;
+    # q480's rounds hide behind per-round localCheckpoints, leaving
+    # only the final ranking exchange in the executed plan
+    "q459_facility_location_greedy": 12,
+    "q480_textrank_keywords": 1,
 }
 
 
