@@ -4372,8 +4372,11 @@ def q479_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchased in >= {KCORE_MIN_SUP} orders. Emits the surviving
     core members with their within-core degree and an in-row
     convergence certificate (round {KCORE_ROUNDS} == round
-    {KCORE_ROUNDS - 1}) — the dense-subgraph preprocessing standard
-    beside PageRank (q407) / HITS (q319) / label propagation (q406).
+    {KCORE_ROUNDS - 1}) — the MEMBERSHIP-grain sibling of q277's
+    k-core peeling (which traces per-round survivor COUNTS on the
+    supplier co-supply graph): this one answers "which nodes, at
+    what final degree, did the peel converge" on the
+    support-floored co-PURCHASE graph.
 
     Determinism: degrees and support are exact integer counts; the
     peel set is a pure threshold — no tie-breaking anywhere; the
