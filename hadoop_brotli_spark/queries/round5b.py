@@ -5259,3 +5259,393 @@ def q484_zonemap_skipping_audit(
         )
         .orderBy("pred_id", "layout")
     )
+
+
+# ---------------------------------------------------------------------------
+# q485 Dunning log-likelihood (G^2) collocations
+#
+# THE collocation statistic (Dunning 1993, "Accurate Methods for the
+# Statistics of Surprise and Coincidence"): the likelihood-ratio
+# G^2 over the bigram 2x2 table — famously robust where q355's PMI
+# over-rewards rare pairs. G^2 = 2 * sum o*ln(o/e) over the four
+# cells; zero cells contribute zero.
+
+G2_MIN_COUNT = 3
+G2_TOP = 20
+
+
+@register(
+    "q485_dunning_collocations",
+    category="llm-text-analysis",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ),
+    big AS (
+      SELECT w[i] AS a, w[i + 1] AS b
+      FROM (SELECT doc_id, w,
+                   UNNEST(generate_series(1, len(w) - 1)) AS i
+            FROM toks)
+    ),
+    pair AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o11
+      FROM big GROUP BY a, b HAVING COUNT(*) >= {G2_MIN_COUNT}
+    ),
+    lefts AS (
+      SELECT a, CAST(COUNT(*) AS BIGINT) AS ca FROM big GROUP BY a
+    ),
+    rights AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS cb FROM big GROUP BY b
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM big),
+    cells AS (
+      SELECT p.a, p.b, p.o11,
+             l.ca - p.o11 AS o12,
+             r.cb - p.o11 AS o21,
+             nn.n - l.ca - r.cb + p.o11 AS o22,
+             l.ca, r.cb, nn.n
+      FROM pair p JOIN lefts l USING (a) JOIN rights r USING (b)
+      CROSS JOIN nn
+    ),
+    scored AS (
+      SELECT a, b, o11, ca, cb,
+             ROUND(2 * (
+               (CASE WHEN o11 > 0 THEN o11 * ROUND(LN(o11 * CAST(n AS
+                  DOUBLE) / (ca * CAST(cb AS DOUBLE))), 9)
+                ELSE 0 END)
+             + (CASE WHEN o12 > 0 THEN o12 * ROUND(LN(o12 * CAST(n AS
+                  DOUBLE) / (ca * CAST(n - cb AS DOUBLE))), 9)
+                ELSE 0 END)
+             + (CASE WHEN o21 > 0 THEN o21 * ROUND(LN(o21 * CAST(n AS
+                  DOUBLE) / (CAST(n - ca AS DOUBLE) * cb)), 9)
+                ELSE 0 END)
+             + (CASE WHEN o22 > 0 THEN o22 * ROUND(LN(o22 * CAST(n AS
+                  DOUBLE) / (CAST(n - ca AS DOUBLE) * (n - cb))), 9)
+                ELSE 0 END)), 4) AS g2
+      FROM cells
+    )
+    SELECT a, b, o11 AS pair_count, ca AS left_count,
+           cb AS right_count, g2,
+           CAST(ROW_NUMBER() OVER (ORDER BY g2 DESC, a ASC, b ASC)
+                AS BIGINT) AS rk
+    FROM scored
+    ORDER BY rk
+    LIMIT {G2_TOP}
+    """,
+)
+def q485_dunning_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood (G^2) collocation extraction (Dunning
+    1993): the likelihood-ratio statistic over each bigram's 2x2
+    contingency table — the collocation standard that stays
+    calibrated on rare pairs where q355's PMI explodes. Zero cells
+    contribute zero by the CASE guards; top-{G2_TOP} by G^2 with an
+    (a, b) total order; pairs below {G2_MIN_COUNT} occurrences are
+    floored out.
+
+    Determinism: all cell counts and marginals are exact BIGINTs;
+    each of the four o*ln(o/e) terms computes ln on identical
+    integer-ratio doubles and grids at 1e-9 (q261 convention)
+    before the 4-term sum, with the final G^2 on a ROUND-4 grid.
+
+    Scale: bigram extraction is one in-row explode; marginals are
+    word-grain partial aggregates; the cell join runs at surviving-
+    pair grain (floored), all map-side combinable — no vocabulary
+    table is ever broadcast.
+    """
+    docs = t(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= 2)
+    big = docs.select(
+        F.posexplode(F.expr("slice(w, 1, size(w) - 1)")).alias("i0", "a"),
+        "w",
+    ).select("a", F.expr("w[i0 + 1]").alias("b"))
+    pair = (
+        big.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o11"))
+        .filter(F.col("o11") >= G2_MIN_COUNT)
+    )
+    lefts = big.groupBy("a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ca")
+    )
+    rights = big.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cb")
+    )
+    nn = big.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cells = (
+        pair.join(lefts, "a")
+        .join(rights, "b")
+        .crossJoin(F.broadcast(nn))
+        .withColumn("o12", F.col("ca") - F.col("o11"))
+        .withColumn("o21", F.col("cb") - F.col("o11"))
+        .withColumn(
+            "o22", F.col("n") - F.col("ca") - F.col("cb") + F.col("o11")
+        )
+    )
+
+    def term(o, row_m, col_m):
+        return F.when(
+            o > 0,
+            o
+            * F.round(
+                F.log(
+                    o * F.col("n").cast("double")
+                    / (row_m * col_m.cast("double"))
+                ),
+                9,
+            ),
+        ).otherwise(0.0)
+
+    g2 = F.round(
+        2
+        * (
+            term(F.col("o11"), F.col("ca"), F.col("cb"))
+            + term(F.col("o12"), F.col("ca"), F.col("n") - F.col("cb"))
+            + term(F.col("o21"), F.col("n") - F.col("ca"), F.col("cb"))
+            + term(
+                F.col("o22"),
+                F.col("n") - F.col("ca"),
+                F.col("n") - F.col("cb"),
+            )
+        ),
+        4,
+    )
+    return (
+        cells.select(
+            "a",
+            "b",
+            F.col("o11").alias("pair_count"),
+            F.col("ca").alias("left_count"),
+            F.col("cb").alias("right_count"),
+            g2.alias("g2"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("g2").desc(), F.col("a").asc(), F.col("b").asc()
+                )
+            )
+            .cast("bigint"),
+        )
+        .orderBy("rk")
+        .limit(G2_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q486 overdispersion / burstiness audit (Fano factor + NB moments)
+#
+# The point-process sanity check: a Poisson arrival stream has
+# variance == mean (Fano factor 1); real traffic is BURSTY. Per
+# event type, the index of dispersion over daily counts plus the
+# method-of-moments negative-binomial fit (r, p) that models the
+# overdispersion — the count-model family the registry lacked.
+
+
+@register(
+    "q486_overdispersion_audit",
+    category="events-temporal",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0))
+               AS q
+      FROM daily GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type, n_days, s,
+             CAST(s AS DOUBLE) / n_days AS mean_daily,
+             (CAST(n_days AS DOUBLE) * CAST(q AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n_days AS DOUBLE) * NULLIF(n_days - 1, 0))
+               AS var_daily
+      FROM m
+    )
+    SELECT event_type, n_days, s AS total_events,
+           ROUND(mean_daily, 6) AS mean_daily,
+           ROUND(var_daily, 6) AS var_daily,
+           ROUND(var_daily / NULLIF(mean_daily, 0), 6) AS fano_factor,
+           var_daily > mean_daily AS overdispersed,
+           ROUND(CASE WHEN var_daily > mean_daily
+                 THEN mean_daily * mean_daily
+                      / (var_daily - mean_daily) END, 6) AS nb_r,
+           ROUND(CASE WHEN var_daily > mean_daily
+                 THEN mean_daily / var_daily END, 6) AS nb_p
+    FROM stats
+    ORDER BY event_type
+    """,
+)
+def q486_overdispersion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion / burstiness audit per event type: the Fano
+    factor (index of dispersion, variance/mean of daily counts —
+    exactly 1 for a Poisson process) plus the method-of-moments
+    negative-binomial fit r = m^2/(v-m), p = m/v for overdispersed
+    types — the count-model diagnostic behind capacity planning and
+    anomaly baselines, complementing q475's inter-arrival KS (same
+    Poisson question, count domain instead of gap domain).
+
+    Determinism: daily counts are integers; mean/variance come from
+    exact DECIMAL moments with the Bessel NULLIF; every comparison
+    and NB parameter is the same double expression on both engines,
+    CASE-guarded to NULL for under-dispersed types (never an ANSI
+    /0); ROUND-6 at the boundary.
+
+    Scale: one (type, day) map-side-combinable aggregate, then a
+    handful of per-type scalars.
+    """
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    mean_d = F.col("s").cast("double") / F.col("n_days")
+    var_d = (
+        F.col("n_days").cast("double") * F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    ) / (
+        F.col("n_days").cast("double")
+        * F.nullif(F.col("n_days") - 1, F.lit(0))
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        F.col("s").alias("total_events"),
+        F.round(mean_d, 6).alias("mean_daily"),
+        F.round(var_d, 6).alias("var_daily"),
+        F.round(var_d / F.nullif(mean_d, F.lit(0.0)), 6).alias(
+            "fano_factor"
+        ),
+        (var_d > mean_d).alias("overdispersed"),
+        F.round(
+            F.when(var_d > mean_d, mean_d * mean_d / (var_d - mean_d)),
+            6,
+        ).alias("nb_r"),
+        F.round(F.when(var_d > mean_d, mean_d / var_d), 6).alias("nb_p"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q487 Hellinger / Bhattacharyya source drift
+#
+# The bounded distribution distances the drift shelf lacked: between
+# every source pair's language distributions, the Bhattacharyya
+# coefficient BC = sum sqrt(p*q), Hellinger H = sqrt(1 - BC) (a true
+# metric on [0,1]) and Bhattacharyya distance -ln BC — the bounded
+# complements of KL (unbounded) and Wasserstein (scale-dependent).
+
+
+@register(
+    "q487_hellinger_source_drift",
+    category="llm-corpus-pipeline",
+    oracle="""
+    WITH cells AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS nt
+      FROM cells GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.lang,
+             CAST(a.n AS DOUBLE) / ta.nt AS p,
+             CAST(b.n AS DOUBLE) / tb.nt AS q
+      FROM cells a
+      JOIN cells b ON b.lang = a.lang AND b.source > a.source
+      JOIN tot ta ON ta.source = a.source
+      JOIN tot tb ON tb.source = b.source
+    ),
+    bc AS (
+      SELECT source_a, source_b,
+             CAST(SUM(CAST(ROUND(SQRT(p * q), 9) AS DECIMAL(38,9)))
+                  AS DOUBLE) AS bc
+      FROM pairs GROUP BY source_a, source_b
+    )
+    SELECT source_a, source_b,
+           ROUND(bc, 6) AS bhattacharyya_coef,
+           ROUND(SQRT(GREATEST(1 - bc, 0)), 6) AS hellinger,
+           ROUND(-LN(NULLIF(bc, 0)), 6) AS bhattacharyya_dist
+    FROM bc
+    ORDER BY source_a, source_b
+    """,
+)
+def q487_hellinger_source_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hellinger and Bhattacharyya distances between every source
+    pair's language distributions — the BOUNDED drift metrics
+    ([0,1]; a true metric, unlike KL) that complement the
+    registry's Wasserstein (q409) and PSI (q250) drift readouts.
+    BC = sum sqrt(p_l * q_l) over shared languages (missing
+    languages contribute zero, so the inner lang join is exact),
+    H = sqrt(1 - BC), BD = -ln(BC).
+
+    Determinism: shares are exact-integer-ratio doubles; each
+    sqrt(p*q) term grids at 1e-9 before the exact DECIMAL sum
+    (sqrt is IEEE-exact); GREATEST clamps the 1-BC
+    identical-distribution corner where the grid can leave a tiny
+    negative; -ln NULLIFs disjoint-support pairs; ROUND-6 at the
+    boundary.
+
+    Scale: one (source, lang) aggregate — both marginals map-side
+    combinable; the pair join runs at category grain (sources x
+    langs), never at document grain.
+    """
+    cells = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = cells.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("nt")
+    )
+    a = cells.join(tot, "source").select(
+        F.col("source").alias("source_a"),
+        "lang",
+        (F.col("n").cast("double") / F.col("nt")).alias("p"),
+    )
+    b = cells.join(tot, "source").select(
+        F.col("source").alias("source_b"),
+        "lang",
+        (F.col("n").cast("double") / F.col("nt")).alias("q"),
+    )
+    pairs = a.join(b, "lang").filter(
+        F.col("source_b") > F.col("source_a")
+    )
+    bc = pairs.groupBy("source_a", "source_b").agg(
+        F.sum(
+            F.round(F.sqrt(F.col("p") * F.col("q")), 9).cast(
+                "decimal(38,9)"
+            )
+        )
+        .cast("double")
+        .alias("bc")
+    )
+    return bc.select(
+        "source_a",
+        "source_b",
+        F.round("bc", 6).alias("bhattacharyya_coef"),
+        F.round(
+            F.sqrt(F.greatest(F.lit(1) - F.col("bc"), F.lit(0.0))), 6
+        ).alias("hellinger"),
+        F.round(-F.log(F.nullif(F.col("bc"), F.lit(0.0))), 6).alias(
+            "bhattacharyya_dist"
+        ),
+    ).orderBy("source_a", "source_b")

@@ -346,6 +346,9 @@ AUDITED_SITES = {
     ("queries/round5b.py", "q482_greedy_set_cover", "chosen"),
     # q484: preds is a 3-row literal predicate table
     ("queries/round5b.py", "q484_zonemap_skipping_audit", "preds"),
+    # q485: nn is a 1-row total-bigram scalar (the word-grain
+    # marginals lefts/rights are deliberately unhinted)
+    ("queries/round5b.py", "q485_dunning_collocations", "nn"),
     ("queries/similarity.py", "_pq_dist_and_codes", "train"),
     ("queries/similarity.py", "q343_pq_adc_topk", "qtab"),
     ("queries/similarity.py", "q344_ivf_pq_probe", "coarse"),

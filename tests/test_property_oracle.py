@@ -190,6 +190,10 @@ EVENT_QUERIES = [
     # single-arm corpora (all-even/all-odd users) empty the decile
     # join on both engines; 1-user arms pin every decile to rank 1
     "q478_quantile_treatment_effects",
+    # single-day types hit the Bessel NULLIF (NULL variance); equal
+    # var==mean sits exactly on the overdispersed boundary (strict >
+    # must agree); constant series pin fano=0
+    "q486_overdispersion_audit",
 ]
 # q479/q481 ride the ORDER hunt (lineitem baskets); q480 the DOC hunt
 DOC_QUERIES = [
@@ -437,6 +441,14 @@ DOC_QUERIES = [
     # gain-0 docs by doc_id); all-identical docs give one covering
     # pick then pure-tie-break rounds — both engines must agree
     "q482_greedy_set_cover",
+    # tiny corpora drop every pair below the count floor (zero rows
+    # both engines); single-bigram corpora zero o12/o21/o22 (the
+    # CASE guards must agree); G2 ties fall to the (a,b) order
+    "q485_dunning_collocations",
+    # single-source corpora empty the pair set; identical sources
+    # pin BC=1 (GREATEST clamps the 1-BC grid epsilon); disjoint
+    # lang supports give BC=0 -> -ln NULLIFs on both engines
+    "q487_hellinger_source_drift",
     # tiny doc pools concentrate all keys on few vnodes (some shards
     # own zero docs and vanish identically); every mover must still
     # land on the new shard on ANY doc_id set
