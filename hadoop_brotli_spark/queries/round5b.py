@@ -5474,7 +5474,7 @@ def q485_dunning_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(mean_daily, 6) AS mean_daily,
            ROUND(var_daily, 6) AS var_daily,
            ROUND(var_daily / NULLIF(mean_daily, 0), 6) AS fano_factor,
-           var_daily > mean_daily AS overdispersed,
+           COALESCE(var_daily > mean_daily, FALSE) AS overdispersed,
            ROUND(CASE WHEN var_daily > mean_daily
                  THEN mean_daily * mean_daily
                       / (var_daily - mean_daily) END, 6) AS nb_r,
@@ -5497,7 +5497,10 @@ def q486_overdispersion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact DECIMAL moments with the Bessel NULLIF; every comparison
     and NB parameter is the same double expression on both engines,
     CASE-guarded to NULL for under-dispersed types (never an ANSI
-    /0); ROUND-6 at the boundary.
+    /0); the overdispersed boolean COALESCEs to FALSE on NULL
+    variance (single-day types) — possibly-NULL booleans
+    canonicalize asymmetrically across engines (the q475 hunt
+    find); ROUND-6 at the boundary.
 
     Scale: one (type, day) map-side-combinable aggregate, then a
     handful of per-type scalars.
@@ -5531,7 +5534,7 @@ def q486_overdispersion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var_d / F.nullif(mean_d, F.lit(0.0)), 6).alias(
             "fano_factor"
         ),
-        (var_d > mean_d).alias("overdispersed"),
+        F.coalesce(var_d > mean_d, F.lit(False)).alias("overdispersed"),
         F.round(
             F.when(var_d > mean_d, mean_d * mean_d / (var_d - mean_d)),
             6,
