@@ -23,6 +23,37 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ._util import fan_out, t
 
+
+def _score_desc_rank(users: DataFrame) -> DataFrame:
+    """Exact global ROW_NUMBER over (score DESC, user_id ASC) WITHOUT
+    a single-partition global window (r6 scale fix; the q242
+    rank-reconstruction pattern): the integer ``score`` is itself an
+    order-contiguous bucket, so rank = (count of users with a higher
+    score) + (rank within the score tie-group by user_id).  The
+    in-group window partitions by score (parallel over buckets); the
+    offset cumsum runs over the SCORE-GRAIN aggregate — bounded by
+    the number of distinct scores (max events per user), not the
+    user count.  Adds ``rk`` to ``users``.
+    """
+    wloc = Window.partitionBy("score").orderBy(F.col("user_id").asc())
+    local = users.withColumn("r_in", F.row_number().over(wloc))
+    woff = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        users.groupBy("score")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .select(
+            "score",
+            F.coalesce(F.sum("sz").over(woff), F.lit(0)).alias("off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offs), "score")
+        .withColumn("rk", F.col("off") + F.col("r_in"))
+        .drop("r_in", "off")
+    )
+
 # ---------------------------------------------------------------------------
 # q427 weighted reservoir sample (Efraimidis-Spirakis A-Res)
 #
@@ -1382,9 +1413,10 @@ def q438_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     and lift land on the FLOOR half-up grid; a zero-positive corpus
     NULLs both ratios identically.
 
-    Scale: one user-grain reduce, one global rank (decile cuts are
-    the operator's semantics — production uses approx quantiles),
-    then 10-row windows.
+    Scale: one user-grain reduce; the global rank is RECONSTRUCTED
+    from score-bucket local ranks + bounded score-grain offsets
+    (``_score_desc_rank``, the q242 pattern — no single-partition
+    window ever sees user-grain data), then 10-row windows.
     """
     ev = t(spark, sf_dir, "events")
     users = ev.groupBy("user_id").agg(
@@ -1399,12 +1431,7 @@ def q438_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("label").alias("n_pos"),
     )
-    ranked = users.crossJoin(F.broadcast(tot)).withColumn(
-        "rk",
-        F.row_number().over(
-            Window.orderBy(F.col("score").desc(), F.col("user_id").asc())
-        ),
-    )
+    ranked = _score_desc_rank(users).crossJoin(F.broadcast(tot))
     per = (
         ranked.select(
             F.floor((F.col("rk") - 1) * 10 / F.col("n"))
@@ -2286,8 +2313,10 @@ def q445_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln convention (q261); IV is summed in BIGINT micro x nano grid
     units (exact, order-independent) and divided once at the end.
 
-    Scale: user-grain reduce, a global rank (the binning semantics),
-    5-row aggregates after that. The IV window runs over 5 rows.
+    Scale: user-grain reduce; the quintile rank is RECONSTRUCTED
+    scale-safely via ``_score_desc_rank`` (score-bucket local ranks
+    + bounded score-grain offsets), 5-row aggregates after that.
+    The IV window runs over 5 rows.
     """
     ev = t(spark, sf_dir, "events")
     users = ev.groupBy("user_id").agg(
@@ -2299,12 +2328,7 @@ def q445_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("label"),
     )
     n = users.agg(F.count(F.lit(1)).alias("n"))
-    ranked = users.crossJoin(F.broadcast(n)).withColumn(
-        "rk",
-        F.row_number().over(
-            Window.orderBy(F.col("score").desc(), F.col("user_id").asc())
-        ),
-    )
+    ranked = _score_desc_rank(users).crossJoin(F.broadcast(n))
     per = (
         ranked.select(
             F.floor((F.col("rk") - 1) * 5 / F.col("n"))

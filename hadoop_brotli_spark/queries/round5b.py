@@ -3746,27 +3746,61 @@ def q475_ks_exponential_arrivals(
     contribute the same {i} rank set regardless of tie order, so D
     is tie-safe.
 
-    Scale: one global-order window over the event stream (at 100 TB:
-    per-partition gaps with boundary stitching, or per-user gaps);
-    everything after is one rank window + scalar reductions.
+    Scale: gaps come from DAY-partitioned lags + boundary stitching
+    over the bounded day-grain aggregate (no global-order window
+    ever sees the event stream), and D evaluates at gap-VALUE grain
+    via the tie-group endpoint rule; everything after is scalar
+    reductions.
     """
+    # r6 scale fix #1 (the docstring's own commitment): gaps come
+    # from DAY-partitioned lags plus boundary stitching — each day's
+    # in-day gaps run in parallel, and the cross-day boundary gaps
+    # (next day's first sec minus this day's last sec) come from a
+    # lag over the bounded day-grain aggregate.  The gap multiset is
+    # identical to the global (sec, event_id)-ordered lag: within a
+    # tied-sec run every gap is 0 regardless of event_id order, and
+    # day boundaries partition the sorted sec sequence.
     seq = t(spark, sf_dir, "events").select(
         F.unix_timestamp("ts").cast("bigint").alias("sec"), "event_id"
-    )
-    w = Window.orderBy("sec", "event_id")
-    g = (
-        seq.select((F.col("sec") - F.lag("sec").over(w)).alias("gap"))
+    ).withColumn("day", F.expr("sec DIV 86400"))
+    wd = Window.partitionBy("day").orderBy("sec", "event_id")
+    in_day = (
+        seq.select((F.col("sec") - F.lag("sec").over(wd)).alias("gap"))
         .filter(F.col("gap").isNotNull())
     )
+    days = seq.groupBy("day").agg(
+        F.min("sec").alias("fsec"), F.max("sec").alias("lsec")
+    )
+    wdy = Window.orderBy("day")
+    bnd = (
+        days.select(
+            (F.col("fsec") - F.lag("lsec").over(wdy)).alias("gap")
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    g = in_day.unionByName(bnd)
     m = g.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("gap").cast("bigint").alias("s"),
     )
-    ranked = g.select(
+    # r6 scale fix #2: the per-gap rank window is replaced by the
+    # gap-VALUE-grain endpoint evaluation.  For a tie group occupying
+    # ranks (lo, lo+c] the oracle's per-rank deviations sweep the
+    # grid {lo..lo+c}/n against the SAME fx, and |t - fx| over that
+    # set is maximized at the endpoints — so max-of-rounded per-rank
+    # terms equals round(greatest(|lo/n - fx|, |(lo+c)/n - fx|), 9)
+    # (round is monotone).  Gap seconds are a bounded grain, so the
+    # cumulative-count window runs over the small distinct-gap table.
+    gc = g.groupBy("gap").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wg = Window.orderBy("gap").rowsBetween(Window.unboundedPreceding, -1)
+    gl = gc.select(
         "gap",
-        F.row_number().over(Window.orderBy("gap")).cast("bigint").alias("rk"),
+        "c",
+        F.coalesce(F.sum("c").over(wg), F.lit(0))
+        .cast("bigint")
+        .alias("lo"),
     )
-    scored = ranked.crossJoin(F.broadcast(m)).withColumn(
+    scored = gl.crossJoin(F.broadcast(m)).withColumn(
         "fx",
         F.lit(1)
         - F.exp(
@@ -3778,9 +3812,13 @@ def q475_ks_exponential_arrivals(
         F.max(
             F.round(
                 F.greatest(
-                    F.abs(F.col("rk").cast("double") / F.col("n") - F.col("fx")),
                     F.abs(
-                        (F.col("rk").cast("double") - 1) / F.col("n")
+                        F.col("lo").cast("double") / F.col("n")
+                        - F.col("fx")
+                    ),
+                    F.abs(
+                        (F.col("lo") + F.col("c")).cast("double")
+                        / F.col("n")
                         - F.col("fx")
                     ),
                 ),
@@ -4600,17 +4638,28 @@ def q480_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
+    # TakeOrdered-then-rank (r6 scale fix): orderBy+limit compiles to
+    # TakeOrderedAndProject (per-partition top-K + driver merge of K
+    # rows), so the vocabulary-grain rank table never funnels through
+    # a single-task global window; the row_number below runs over the
+    # TR_TOP survivors only (bounded grain).
+    top = (
+        pr.select("word", F.col("pr").alias("textrank"))
+        .orderBy(F.col("textrank").desc(), F.col("word").asc())
+        .limit(TR_TOP)
+    )
     return (
-        pr.select(
-            "word",
-            F.col("pr").alias("textrank"),
+        top.withColumn(
+            "rk",
             F.row_number()
-            .over(Window.orderBy(F.col("pr").desc(), F.col("word").asc()))
-            .cast("bigint")
-            .alias("rk"),
+            .over(
+                Window.orderBy(
+                    F.col("textrank").desc(), F.col("word").asc()
+                )
+            )
+            .cast("bigint"),
         )
         .orderBy("rk")
-        .limit(TR_TOP)
     )
 
 
@@ -5038,10 +5087,11 @@ def q483_abc_xyz_classification(
     the sample-variance Bessel denominator and compares on
     identical doubles; week ids are pure integer epoch DIV 604800.
 
-    Scale: two part-grain aggregates (map-side combinable), one
-    cumulative window over the part ranking (at 100 TB: the q444
-    bucket walk computes the 80/95 boundary values without a full
-    sort), a 9-row final.
+    Scale: two part-grain aggregates (map-side combinable); the
+    cumulative-share ranking is RECONSTRUCTED from <=64 exact
+    bit-length revenue buckets (in-bucket partitioned cumsums +
+    bounded bucket-grain offsets — no single-partition window ever
+    sees part-grain data), a 9-row final.
     """
     li = t(spark, sf_dir, "lineitem")
     part_rev = li.groupBy("l_partkey").agg(
@@ -5049,26 +5099,49 @@ def q483_abc_xyz_classification(
         .cast("bigint")
         .alias("cents")
     )
-    wrank = Window.orderBy(
+    # r6 scale fix (the q242/q444 reconstruction): the cumulative
+    # revenue share used to run through ONE task via a global
+    # ORDER BY cents window.  The cumsum is now reconstructed from
+    # revenue-magnitude buckets: bkt = bit-length of cents (exact
+    # integer, monotone in cents, <= 64 buckets at any scale), so
+    # bucket DESC order is contiguous with the (cents DESC) ranking.
+    # In-bucket cumsums partition by bkt (parallel); the cross-bucket
+    # offsets cumulate over the <=64-row bucket aggregate; ties
+    # across equal cents values stay inside one bucket so the
+    # (cents DESC, l_partkey ASC) total order is preserved exactly.
+    bucketed = part_rev.withColumn(
+        "bkt", F.length(F.conv(F.col("cents").cast("string"), 10, 2))
+    )
+    woff = Window.orderBy(F.col("bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        bucketed.groupBy("bkt")
+        .agg(F.sum("cents").alias("bsum"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("bsum").over(woff), F.lit(0)).alias("off"),
+        )
+    )
+    tot_rev = part_rev.agg(F.sum("cents").alias("tot"))
+    win_b = Window.partitionBy("bkt").orderBy(
         F.col("cents").desc(), F.col("l_partkey").asc()
     ).rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    abc = part_rev.select(
-        "l_partkey",
-        F.when(
-            F.sum("cents").over(wrank) * 100
-            <= F.sum("cents").over(wall) * 80,
-            F.lit("A"),
+    cum = F.col("off") + F.sum("cents").over(win_b)
+    abc = (
+        bucketed.join(F.broadcast(offs), "bkt")
+        .crossJoin(F.broadcast(tot_rev))
+        .select(
+            "l_partkey",
+            "cents",
+            "off",
+            "bkt",
+            F.when(cum * 100 <= F.col("tot") * 80, F.lit("A"))
+            .when(cum * 100 <= F.col("tot") * 95, F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("abc"),
         )
-        .when(
-            F.sum("cents").over(wrank) * 100
-            <= F.sum("cents").over(wall) * 95,
-            F.lit("B"),
-        )
-        .otherwise(F.lit("C"))
-        .alias("abc"),
+        .select("l_partkey", "abc")
     )
     weekly = li.groupBy(
         "l_partkey",
@@ -5205,29 +5278,69 @@ def q484_zonemap_skipping_audit(
     are pure integer DIV; skip tests are date comparisons; the scan
     fraction lands on a half-up integer micro grid.
 
-    Scale: the row-group simulation is one rank + one (layout, rg)
-    aggregate per layout — on a real table the zones come free from
-    file footers; the audit join is zones x 3 predicates.
+    Scale: each layout's rank is RECONSTRUCTED from order-contiguous
+    buckets of its leading sort key (64 equi-width orderkey ranges /
+    calendar months) — partitioned in-bucket row_numbers + bounded
+    bucket-grain offsets, never a single-task global window; on a
+    real table the zones come free from file footers, and the audit
+    join is zones x 3 predicates.
     """
     rows_ = t(spark, sf_dir, "lineitem").select(
         F.col("l_shipdate").cast("date").alias("d"),
         "l_orderkey",
         "l_linenumber",
     )
-    nat = rows_.select(
+
+    # r6 scale fix (q242 rank reconstruction): each layout's global
+    # ROW_NUMBER used to funnel ALL of lineitem through one task
+    # (6.9x superlinear at the sf1 smoke).  Both ranks are now
+    # reconstructed from order-contiguous buckets of the LEADING sort
+    # key — buckets partition the window (parallel), cross-bucket
+    # offsets cumulate over the bounded bucket-grain aggregate, and
+    # because (l_orderkey, l_linenumber) is unique the total order
+    # (hence every rg assignment) is reproduced exactly.
+    def bucketed_rank(df: DataFrame, order_cols: list) -> DataFrame:
+        wloc = Window.partitionBy("bkt").orderBy(*order_cols)
+        local = df.withColumn("r_in", F.row_number().over(wloc))
+        woff = Window.orderBy("bkt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offs = (
+            df.groupBy("bkt")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .select(
+                "bkt",
+                F.coalesce(F.sum("sz").over(woff), F.lit(0)).alias("off"),
+            )
+        )
+        return local.join(F.broadcast(offs), "bkt").withColumn(
+            "rn", F.col("off") + F.col("r_in")
+        )
+
+    # natural layout: 64 equi-width l_orderkey ranges (scale-free —
+    # widths derive from the broadcast max key, never a constant)
+    mx = rows_.agg(F.max("l_orderkey").alias("max_ok"))
+    nat_b = rows_.crossJoin(F.broadcast(mx)).withColumn(
+        "bkt",
+        F.expr("((l_orderkey - 1) * 64) DIV max_ok").cast("bigint"),
+    )
+    nat = bucketed_rank(
+        nat_b, [F.col("l_orderkey"), F.col("l_linenumber"), F.col("d")]
+    ).select(
         F.lit("natural").alias("layout"),
-        F.expr(
-            f"CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber,"
-            f" d) - 1 AS BIGINT) DIV {ZM_GROUP}"
-        ).alias("rg"),
+        F.expr(f"CAST(rn - 1 AS BIGINT) DIV {ZM_GROUP}").alias("rg"),
         "d",
     )
-    srt = rows_.select(
+    # sorted layout: calendar-month buckets of the leading date key
+    srt_b = rows_.withColumn(
+        "bkt",
+        (F.year("d") * 12 + F.month("d")).cast("bigint"),
+    )
+    srt = bucketed_rank(
+        srt_b, [F.col("d"), F.col("l_orderkey"), F.col("l_linenumber")]
+    ).select(
         F.lit("sorted").alias("layout"),
-        F.expr(
-            f"CAST(ROW_NUMBER() OVER (ORDER BY d, l_orderkey,"
-            f" l_linenumber) - 1 AS BIGINT) DIV {ZM_GROUP}"
-        ).alias("rg"),
+        F.expr(f"CAST(rn - 1 AS BIGINT) DIV {ZM_GROUP}").alias("rg"),
         "d",
     )
     zones = (
@@ -5410,28 +5523,29 @@ def q485_dunning_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         4,
     )
-    return (
-        cells.select(
-            "a",
-            "b",
-            F.col("o11").alias("pair_count"),
-            F.col("ca").alias("left_count"),
-            F.col("cb").alias("right_count"),
-            g2.alias("g2"),
-        )
-        .withColumn(
-            "rk",
-            F.row_number()
-            .over(
-                Window.orderBy(
-                    F.col("g2").desc(), F.col("a").asc(), F.col("b").asc()
-                )
+    # TakeOrdered-then-rank (r6 scale fix): the limit-first form
+    # compiles to TakeOrderedAndProject over the pair-grain scored
+    # table; only the G2_TOP survivors see a (bounded) rank window.
+    top = cells.select(
+        "a",
+        "b",
+        F.col("o11").alias("pair_count"),
+        F.col("ca").alias("left_count"),
+        F.col("cb").alias("right_count"),
+        g2.alias("g2"),
+    ).orderBy(
+        F.col("g2").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(G2_TOP)
+    return top.withColumn(
+        "rk",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.col("g2").desc(), F.col("a").asc(), F.col("b").asc()
             )
-            .cast("bigint"),
         )
-        .orderBy("rk")
-        .limit(G2_TOP)
-    )
+        .cast("bigint"),
+    ).orderBy("rk")
 
 
 # ---------------------------------------------------------------------------

@@ -259,6 +259,9 @@ AUDITED_SITES = {
     ("queries/round5.py", "q437_blocking_quality", "hit"),
     ("queries/round5.py", "q437_blocking_quality", "truth"),
     ("queries/round5.py", "q438_decile_gains", "tot"),
+    # r6: offs is the score-grain offset table of the shared rank
+    # reconstruction (bounded by distinct click counts per user)
+    ("queries/round5.py", "_score_desc_rank", "offs"),
     ("queries/round5.py", "q440_skew_join_advisor", "tot"),
     # q444: bounds/target/picked are 1-row scalar relations (global
     # min/max/count, the winning histogram bucket, the picked median)
@@ -344,8 +347,15 @@ AUDITED_SITES = {
     ("queries/round5b.py", "q482_greedy_set_cover", "ctot"),
     ("queries/round5b.py", "q482_greedy_set_cover", "uni"),
     ("queries/round5b.py", "q482_greedy_set_cover", "chosen"),
-    # q484: preds is a 3-row literal predicate table
+    # q483 (r6): offs is the <=64-row bit-length bucket offset table,
+    # tot_rev a 1-row scalar
+    ("queries/round5b.py", "q483_abc_xyz_classification", "offs"),
+    ("queries/round5b.py", "q483_abc_xyz_classification", "tot_rev"),
+    # q484: preds is a 3-row literal predicate table; mx a 1-row max;
+    # offs (r6) the <=64/<=n-months bucket offset tables
     ("queries/round5b.py", "q484_zonemap_skipping_audit", "preds"),
+    ("queries/round5b.py", "q484_zonemap_skipping_audit", "mx"),
+    ("queries/round5b.py", "bucketed_rank", "offs"),
     # q485: nn is a 1-row total-bigram scalar (the word-grain
     # marginals lefts/rights are deliberately unhinted)
     ("queries/round5b.py", "q485_dunning_collocations", "nn"),
