@@ -101,3 +101,48 @@ def exchange_count(df: DataFrame) -> int:
     not counted — they move small data by design)."""
     plan = executed_plan(df)
     return len(re.findall(r"\bExchange (?:hash|range|Single)", plan))
+
+
+_WINDOW_EXEC_CLASSES = (
+    "WindowExec",
+    "WindowGroupLimitExec",
+    "WindowInPandasExec",
+)
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Physical window nodes with an EMPTY partition spec — Spark's
+    own ``WindowExec: No Partition Defined`` warning class.  Such a
+    node funnels its entire input through ONE task: correct at any
+    sf, a straggler/OOM at 100 TB unless the windowed grain is
+    provably bounded (a day spine, a ≤K-row design table, a
+    post-limit survivor set).  Walks the executed-plan JVM tree
+    (children + subqueries) so nested-bracket expression strings
+    can't fool a regex.  Returns one class-name entry per offending
+    node; Connect sessions (no _jdf) return [] — the audit runs on
+    classic sessions only."""
+    try:
+        root = df._jdf.queryExecution().executedPlan()
+    except AttributeError:  # pragma: no cover - Spark Connect
+        return []
+    out: list[str] = []
+    stack = [root]
+    seen: set[int] = set()
+    while stack:
+        node = stack.pop()
+        if id(node) in seen:
+            continue
+        seen.add(id(node))
+        cls = node.getClass().getSimpleName()
+        if cls in _WINDOW_EXEC_CLASSES and node.partitionSpec().isEmpty():
+            out.append(cls)
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+        try:
+            subqueries = node.subqueries()
+            for i in range(subqueries.size()):
+                stack.append(subqueries.apply(i))
+        except Exception:  # pragma: no cover - node without subqueries
+            pass
+    return out

@@ -5691,8 +5691,8 @@ def q486_overdispersion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bc AS (
       SELECT source_a, source_b,
-             CAST(SUM(CAST(ROUND(SQRT(p * q), 9) AS DECIMAL(38,9)))
-                  AS DOUBLE) AS bc
+             CAST(SUM(CAST(FLOOR(SQRT(p * q) * 1e9 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1e9 AS bc
       FROM pairs GROUP BY source_a, source_b
     )
     SELECT source_a, source_b,
@@ -5715,8 +5715,13 @@ def q487_hellinger_source_drift(
     H = sqrt(1 - BC), BD = -ln(BC).
 
     Determinism: shares are exact-integer-ratio doubles; each
-    sqrt(p*q) term grids at 1e-9 before the exact DECIMAL sum
-    (sqrt is IEEE-exact); GREATEST clamps the 1-BC
+    sqrt(p*q) term lands on the repo's half-up FLOOR(x*1e9 + 0.5)
+    nano grid before the exact BIGINT sum (sqrt is IEEE-exact, and
+    unlike q485's tie-free ln terms a sqrt(p*q) CAN be exactly
+    dyadic — identical distributions with power-of-two totals give
+    p = q = odd/2^k — so ROUND's half-up-Spark vs half-even-DuckDB
+    divergence is reachable here; r6 advice); GREATEST clamps the
+    1-BC
     identical-distribution corner where the grid can leave a tiny
     negative; -ln NULLIFs disjoint-support pairs; ROUND-6 at the
     boundary.
@@ -5747,13 +5752,14 @@ def q487_hellinger_source_drift(
         F.col("source_b") > F.col("source_a")
     )
     bc = pairs.groupBy("source_a", "source_b").agg(
-        F.sum(
-            F.round(F.sqrt(F.col("p") * F.col("q")), 9).cast(
-                "decimal(38,9)"
-            )
-        )
-        .cast("double")
-        .alias("bc")
+        (
+            F.sum(
+                F.floor(
+                    F.sqrt(F.col("p") * F.col("q")) * 1e9 + 0.5
+                ).cast("bigint")
+            ).cast("double")
+            / 1e9
+        ).alias("bc")
     )
     return bc.select(
         "source_a",

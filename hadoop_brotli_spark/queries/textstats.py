@@ -13,7 +13,7 @@ corpus — classic map-side-join shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -2197,28 +2197,36 @@ def q388_unigram_viterbi_tokenizer(
             ).alias("gm")
         )
     )
-    # in-row Viterbi over the piece-score map: best[i] as a fold of
-    # GREATEST chains, mirrored exactly by the oracle's unrolled CTEs
-    best = {0: F.lit(0).cast("bigint")}
-    for i in range(1, VIT_MAXW + 1):
-        cands = []
-        for ln in range(1, min(VIT_MAXP, i) + 1):
-            g = F.coalesce(
-                F.element_at("gm", F.lit((i - ln) * 10 + ln)),
-                F.lit(VIT_NEG),
-            )
-            cands.append(
-                F.when(
-                    F.col("wl") >= i, g + best[i - ln]
-                ).otherwise(F.lit(VIT_NEG))
-            )
-        best[i] = cands[0] if len(cands) == 1 else F.greatest(*cands)
-    final = None
-    for i in range(1, VIT_MAXW + 1):
-        cond = F.when(F.col("wl") == i, best[i])
-        final = cond if final is None else final.when(
-            F.col("wl") == i, best[i]
-        )
+    # in-row Viterbi over the piece-score map as ONE array fold
+    # (ArrayAggregate): acc = [best0..best_{i-1}]; step i appends
+    # max over piece lengths of acc[i-ln] + g. A runtime loop keeps
+    # janino's generated method tiny — the previous unrolled
+    # GREATEST chain inlined best{i-1..i-4} recursively (expression
+    # TREES, not DAGs), blew the 64KB method limit, and silently
+    # fell back to interpreted eval (r5 verdict task 3). Same
+    # max-plus BIGINT algebra as the oracle's unrolled CTEs; the
+    # fold only runs to wl, which the oracle's "wl >= i" CASE guards
+    # reduce to as well.
+    def _step(acc: Column, i: Column) -> Column:
+        cands = [
+            F.when(
+                i >= ln,
+                F.coalesce(
+                    F.element_at("gm", (i - ln) * 10 + ln),
+                    F.lit(VIT_NEG),
+                )
+                + F.element_at(acc, i - ln + 1),
+            ).otherwise(F.lit(VIT_NEG))
+            for ln in range(1, VIT_MAXP + 1)
+        ]
+        return F.concat(acc, F.array(F.greatest(*cands)))
+
+    best_arr = F.aggregate(
+        F.sequence(F.lit(1), F.col("wl")),
+        F.array(F.lit(0).cast("bigint")),
+        _step,
+    )
+    final = F.element_at(best_arr, F.col("wl") + 1)
     return looked.select(
         F.col("w").alias("word"),
         F.col("n").alias("freq"),

@@ -8,28 +8,35 @@ import java.io.IOException;
 import java.io.InputStream;
 import java.io.OutputStream;
 
+import org.apache.hadoop.io.compress.CompressionCodec;
 import org.apache.hadoop.io.compress.CompressionInputStream;
 import org.apache.hadoop.io.compress.CompressionOutputStream;
 
 public final class BroCodecCli {
   public static void main(String[] args) throws IOException {
-    BroStoredCodec codec = new BroStoredCodec();
     InputStream in = System.in;
     OutputStream out = System.out;
     byte[] buf = new byte[8192];
-    if (args.length == 1 && args[0].equals("compress")) {
+    String mode = args.length == 1 ? args[0] : "";
+    // `compress`/`decompress` drive the stored-mode codec;
+    // `compress-q0`/`decompress-q0` the compressed-metablock codec
+    // (BroHuffmanCodec: quality-0 writes, trivial-header-subset reads)
+    CompressionCodec codec =
+        mode.endsWith("-q0") ? new BroHuffmanCodec() : new BroStoredCodec();
+    if (mode.equals("compress") || mode.equals("compress-q0")) {
       CompressionOutputStream cos = codec.createOutputStream(out);
       int n;
       while ((n = in.read(buf)) > 0) cos.write(buf, 0, n);
       cos.finish();
       out.flush();
-    } else if (args.length == 1 && args[0].equals("decompress")) {
+    } else if (mode.equals("decompress") || mode.equals("decompress-q0")) {
       CompressionInputStream cis = codec.createInputStream(in);
       int n;
       while ((n = cis.read(buf, 0, buf.length)) > 0) out.write(buf, 0, n);
       out.flush();
     } else {
-      System.err.println("usage: BroCodecCli compress|decompress");
+      System.err.println(
+          "usage: BroCodecCli compress|decompress|compress-q0|decompress-q0");
       System.exit(2);
     }
   }

@@ -1,0 +1,271 @@
+/*
+ * Hadoop CompressionCodec for `.bro` with COMPRESSED metablocks —
+ * the r5-verdict follow-up to BroStoredCodec (which writes ratio-1.0
+ * stored-mode only). Writes quality-0 brotli (Huffman-only, one
+ * insert-only command per 1 MiB metablock — the BroHuffman encoder,
+ * byte-identical to the repo's pure-Python encoder at quality 0) and
+ * reads the trivial-header-shape subset the pure Python encoder
+ * emits at EVERY quality, plus stored-mode streams. Full-format
+ * brotli (context maps, multiple block types, static dictionary)
+ * still routes users to the PySpark reader chain with an actionable
+ * error. Reference parity: BroCodec.java:18 registers the reference
+ * codec in io.compression.codecs; register this class the same way
+ * for compressed JVM-side `.bro` writes.
+ */
+package io.spark_graft.bro;
+
+import java.io.ByteArrayOutputStream;
+import java.io.IOException;
+import java.io.InputStream;
+import java.io.OutputStream;
+
+import org.apache.hadoop.conf.Configurable;
+import org.apache.hadoop.conf.Configuration;
+import org.apache.hadoop.io.compress.CompressionCodec;
+import org.apache.hadoop.io.compress.CompressionInputStream;
+import org.apache.hadoop.io.compress.CompressionOutputStream;
+import org.apache.hadoop.io.compress.Compressor;
+import org.apache.hadoop.io.compress.Decompressor;
+
+public class BroHuffmanCodec implements Configurable, CompressionCodec {
+  private Configuration conf;
+
+  @Override public void setConf(Configuration c) { this.conf = c; }
+  @Override public Configuration getConf() { return conf; }
+  @Override public String getDefaultExtension() { return ".bro"; }
+
+  @Override
+  public CompressionOutputStream createOutputStream(OutputStream out) {
+    return new HuffmanOutputStream(out);
+  }
+
+  @Override
+  public CompressionOutputStream createOutputStream(
+      OutputStream out, Compressor compressor) {
+    return new HuffmanOutputStream(out);
+  }
+
+  @Override
+  public Class<? extends Compressor> getCompressorType() {
+    return HuffmanCompressor.class;
+  }
+
+  @Override public Compressor createCompressor() {
+    return new HuffmanCompressor();
+  }
+
+  @Override
+  public CompressionInputStream createInputStream(InputStream in)
+      throws IOException {
+    return new HuffmanInputStream(in);
+  }
+
+  @Override
+  public CompressionInputStream createInputStream(
+      InputStream in, Decompressor decompressor) throws IOException {
+    return new HuffmanInputStream(in);
+  }
+
+  @Override
+  public Class<? extends Decompressor> getDecompressorType() {
+    return HuffmanDecompressor.class;
+  }
+
+  @Override public Decompressor createDecompressor() {
+    return new HuffmanDecompressor();
+  }
+
+  /** Streaming writer: buffers one metablock (1 MiB), emits full
+   *  blocks non-last as they fill — same shape (and bytes) as the
+   *  Python PureBrotliCompressor at quality 0. */
+  static final class HuffmanOutputStream extends CompressionOutputStream {
+    private final BroHuffman.BitWriter bw = new BroHuffman.BitWriter();
+    private final byte[] buf = new byte[BroHuffman.BLOCK];
+    private int fill;
+    private boolean headerDone, finished;
+
+    HuffmanOutputStream(OutputStream out) { super(out); }
+
+    private void header() {
+      if (!headerDone) {
+        bw.write(1, 1);
+        bw.write(BroHuffman.WBITS - 17, 3);
+        headerDone = true;
+      }
+    }
+
+    private void drain() throws IOException {
+      byte[] ready = bw.out.toByteArray();
+      bw.out.reset();
+      out.write(ready);
+    }
+
+    @Override public void write(int b) throws IOException {
+      buf[fill++] = (byte) b;
+      if (fill == BroHuffman.BLOCK) flushBlock();
+    }
+
+    @Override public void write(byte[] b, int off, int len)
+        throws IOException {
+      while (len > 0) {
+        int take = Math.min(len, BroHuffman.BLOCK - fill);
+        System.arraycopy(b, off, buf, fill, take);
+        fill += take;
+        off += take;
+        len -= take;
+        if (fill == BroHuffman.BLOCK) flushBlock();
+      }
+    }
+
+    private void flushBlock() throws IOException {
+      header();
+      BroHuffman.encodeMetablock(bw, buf, 0, fill, false);
+      fill = 0;
+      drain();
+    }
+
+    @Override public void finish() throws IOException {
+      if (finished) return;
+      header();
+      if (fill > 0) {
+        BroHuffman.encodeMetablock(bw, buf, 0, fill, true);
+        fill = 0;
+      } else {
+        bw.write(1, 1); // ISLAST
+        bw.write(1, 1); // ISLASTEMPTY
+      }
+      bw.align();
+      drain();
+      finished = true;
+    }
+
+    @Override public void resetState() {
+      fill = 0; headerDone = false; finished = false;
+      bw.out.reset();
+    }
+  }
+
+  static final class HuffmanInputStream extends CompressionInputStream {
+    private byte[] decoded;
+    private int pos;
+
+    HuffmanInputStream(InputStream in) throws IOException {
+      super(in);
+      this.decoded = BroHuffman.decompress(in.readAllBytes());
+    }
+
+    @Override public int read() throws IOException {
+      return pos < decoded.length ? decoded[pos++] & 0xFF : -1;
+    }
+
+    @Override public int read(byte[] b, int off, int len) {
+      if (pos >= decoded.length) return -1;
+      int take = Math.min(len, decoded.length - pos);
+      System.arraycopy(decoded, pos, b, off, take);
+      pos += take;
+      return take;
+    }
+
+    @Override public void resetState() { pos = 0; }
+  }
+
+  // CodecPool-compatible buffer-whole wrappers (same shape as
+  // BroStoredCodec's)
+
+  public static final class HuffmanCompressor implements Compressor {
+    private final ByteArrayOutputStream input = new ByteArrayOutputStream();
+    private byte[] output;
+    private int outPos;
+    private boolean finishCalled;
+    private long bytesRead, bytesWritten;
+
+    @Override public void setInput(byte[] b, int off, int len) {
+      input.write(b, off, len);
+      bytesRead += len;
+    }
+
+    @Override public boolean needsInput() {
+      return !finishCalled && output == null;
+    }
+
+    @Override public void setDictionary(byte[] b, int off, int len) {
+      throw new UnsupportedOperationException(
+          "the quality-0 JVM encoder has no dictionary support");
+    }
+
+    @Override public long getBytesRead() { return bytesRead; }
+    @Override public long getBytesWritten() { return bytesWritten; }
+    @Override public void finish() { finishCalled = true; }
+
+    @Override public boolean finished() {
+      return finishCalled && output != null && outPos >= output.length;
+    }
+
+    @Override public int compress(byte[] b, int off, int len) {
+      if (!finishCalled) return 0;
+      if (output == null) {
+        output = BroHuffman.compress(input.toByteArray());
+        outPos = 0;
+      }
+      int take = Math.min(len, output.length - outPos);
+      System.arraycopy(output, outPos, b, off, take);
+      outPos += take;
+      bytesWritten += take;
+      return take;
+    }
+
+    @Override public void reset() {
+      input.reset(); output = null; outPos = 0; finishCalled = false;
+      bytesRead = 0; bytesWritten = 0;
+    }
+
+    @Override public void end() {}
+    @Override public void reinit(Configuration conf) { reset(); }
+  }
+
+  public static final class HuffmanDecompressor implements Decompressor {
+    private final ByteArrayOutputStream input = new ByteArrayOutputStream();
+    private byte[] output;
+    private int outPos;
+
+    @Override public void setInput(byte[] b, int off, int len) {
+      input.write(b, off, len);
+      output = null;
+    }
+
+    @Override public boolean needsInput() { return output == null; }
+
+    @Override public void setDictionary(byte[] b, int off, int len) {
+      throw new UnsupportedOperationException(
+          "the quality-0 JVM codec has no dictionary support");
+    }
+
+    @Override public boolean needsDictionary() { return false; }
+
+    @Override public boolean finished() {
+      return output != null && outPos >= output.length;
+    }
+
+    @Override public int decompress(byte[] b, int off, int len)
+        throws IOException {
+      if (output == null) {
+        output = BroHuffman.decompress(input.toByteArray());
+        outPos = 0;
+      }
+      int take = Math.min(len, output.length - outPos);
+      System.arraycopy(output, outPos, b, off, take);
+      outPos += take;
+      return take;
+    }
+
+    @Override public int getRemaining() {
+      return output == null ? 0 : output.length - outPos;
+    }
+
+    @Override public void reset() {
+      input.reset(); output = null; outPos = 0;
+    }
+
+    @Override public void end() {}
+  }
+}

@@ -156,16 +156,28 @@ def test_codec_integration_pure_encoder(monkeypatch):
 
 
 def test_pure_decoder_ceiling_guard(monkeypatch):
-    monkeypatch.setattr(bro_codec, "PURE_DECODE_CEILING", 1024)
+    # the ceiling is read LAZILY from the env (r6 advice), so a
+    # runtime override must take effect without re-import
+    monkeypatch.setenv("BRO_PURE_DECODE_CEILING_MB", "1")
+    assert bro_codec.pure_decode_ceiling() == 1 << 20
     d = bro_codec._PureBrotliDecompressor()
     with pytest.raises(IOError, match="ceiling"):
-        d.decompress(b"\0" * 2048)
+        d.decompress(b"\0" * ((1 << 20) + 1))
     # under the ceiling still works end-to-end
     d2 = bro_codec._PureBrotliDecompressor()
     comp = brotli_compress(b"hello world", 1)
-    assert len(comp) < 1024
+    assert len(comp) < 1 << 20
     d2.decompress(comp)
     assert d2.finish() == b"hello world"
+    # malformed / non-positive values fail with actionable context
+    monkeypatch.setenv("BRO_PURE_DECODE_CEILING_MB", "lots")
+    with pytest.raises(ValueError, match="not an integer"):
+        bro_codec.pure_decode_ceiling()
+    monkeypatch.setenv("BRO_PURE_DECODE_CEILING_MB", "0")
+    with pytest.raises(ValueError, match="positive"):
+        bro_codec.pure_decode_ceiling()
+    monkeypatch.delenv("BRO_PURE_DECODE_CEILING_MB")
+    assert bro_codec.pure_decode_ceiling() == 256 << 20
 
 
 def test_hypothesis_style_random_roundtrip():

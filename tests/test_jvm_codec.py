@@ -77,7 +77,7 @@ def jvm_cli(tmp_path_factory):
     assert sources, f"no java sources under {JAVA_SRC}"
     build = tmp_path_factory.mktemp("jvm_codec_classes")
     subprocess.run(
-        ["javac", "-cp", cp, "-d", str(build), *sources],
+        ["javac", "-encoding", "UTF-8", "-cp", cp, "-d", str(build), *sources],
         check=True,
         capture_output=True,
     )
@@ -154,3 +154,110 @@ def test_python_rejects_what_jvm_rejects():
     compressed = brotli_compress(b"entropy? " * 128, quality=1)
     with pytest.raises(BroCorruptError):
         decode_brotli_stored(compressed)
+
+
+# --------------------------------------------------------------------------
+# round-6 verdict task 4: compressed-metablock JVM writes (BroHuffmanCodec
+# + BroHuffman, CLI modes compress-q0/decompress-q0). The encoder is the
+# quality-0 Huffman-only metablock writer ported from brotli_encoder.py;
+# the decoder reads the trivial-header-shape subset the pure Python
+# encoder emits at EVERY quality.
+
+# straddle the 1 MiB metablock boundary and force the uncompressed
+# fallback (high-entropy) on purpose
+Q0_PAYLOADS = [
+    b"",
+    b"x",
+    b"hello bro codec\n" * 37,
+    b"A" * (1 << 16),
+    b"B" * (1 << 20),  # exactly one full metablock -> empty-last
+    b"C" * ((1 << 20) + 1),
+    bytes((i * 2654435761) % 256 for i in range(3000)),  # incompressible
+    (b"the quick brown fox " * 60000)[: (1 << 20) + 12345],
+]
+
+
+@pytest.mark.parametrize(
+    "payload", Q0_PAYLOADS, ids=[f"n{len(p)}" for p in Q0_PAYLOADS]
+)
+def test_jvm_q0_compress_matches_python_bit_for_bit(jvm_cli, payload):
+    """JVM quality-0 output is BYTE-IDENTICAL to the pure Python
+    encoder at quality 0 — same package-merge tie-breaking, repeat-run
+    numeration, simple/complex prefix forms, fallback guard."""
+    from hadoop_brotli_spark.sources.brotli_encoder import brotli_compress
+
+    assert jvm_cli("compress-q0", payload) == brotli_compress(
+        payload, quality=0
+    )
+
+
+@pytest.mark.parametrize(
+    "payload", Q0_PAYLOADS, ids=[f"n{len(p)}" for p in Q0_PAYLOADS]
+)
+def test_jvm_q0_round_trips_and_real_decoders_accept(jvm_cli, payload):
+    from_jvm = jvm_cli("compress-q0", payload)
+    # JVM reads its own compressed output (unlike the stored shim, the
+    # Huffman codec is read/write symmetric for what it writes)
+    assert jvm_cli("decompress-q0", from_jvm) == payload
+    # the full pure-Python RFC 7932 decoder accepts it
+    assert brotli_decompress(from_jvm) == payload
+    # and real libbrotli accepts it when present (wheel or ctypes) —
+    # the independent-implementation conformance proof
+    try:
+        import brotli  # type: ignore
+
+        assert brotli.decompress(from_jvm) == payload
+    except ImportError:
+        from hadoop_brotli_spark.sources import brotli_ctypes
+
+        if brotli_ctypes.available():
+            d = brotli_ctypes.CtypesBrotliDecompressor()
+            assert d.decompress(from_jvm) + d.finish() == payload
+
+
+@pytest.mark.parametrize(
+    "payload", Q0_PAYLOADS, ids=[f"n{len(p)}" for p in Q0_PAYLOADS]
+)
+def test_jvm_reads_python_lz_streams(jvm_cli, payload):
+    """The subset decoder covers everything the pure Python encoder
+    emits at quality >= 1 too (LZ insert-and-copy commands, explicit
+    distances) — a JVM reader decodes any wheel-less-Python-written
+    .bro, not just quality 0."""
+    from hadoop_brotli_spark.sources.brotli_encoder import brotli_compress
+
+    assert jvm_cli("decompress-q0", brotli_compress(payload, quality=1)) == payload
+
+
+def test_jvm_q0_ratio_beats_stored_on_text(jvm_cli):
+    """The point of the port: compressible payloads now compress
+    (stored mode is ratio >= 1.0 by construction)."""
+    payload = b"hello bro codec compresses text now\n" * 2000
+    q0 = jvm_cli("compress-q0", payload)
+    stored = jvm_cli("compress", payload)
+    assert len(q0) < len(payload) * 0.7
+    assert len(stored) >= len(payload)
+
+
+def test_jvm_q0_rejects_full_format_actionably(jvm_cli):
+    """Scope honesty, same as the stored shim: a full-format stream
+    (here: a real libbrotli stream with context modeling, when
+    available) fails loudly with a pointer at the PySpark chain."""
+    try:
+        import brotli  # type: ignore
+
+        stream = brotli.compress(b"the quick brown fox " * 64, quality=11)
+    except ImportError:
+        from hadoop_brotli_spark.sources import brotli_ctypes
+
+        if not brotli_ctypes.available():
+            pytest.skip("no libbrotli to produce a full-format stream")
+        c = brotli_ctypes.CtypesBrotliCompressor(quality=11)
+        stream = c.compress(b"the quick brown fox " * 64) + c.finish()
+    jvm_cli("decompress-q0", stream, expect_rc=1)
+    err = jvm_cli.last_stderr.decode(errors="replace")
+    assert "PySpark" in err or "full-format" in err
+
+
+def test_jvm_q0_truncation_detected(jvm_cli):
+    stream = jvm_cli("compress-q0", b"payload " * 4096)
+    jvm_cli("decompress-q0", stream[: len(stream) // 2], expect_rc=1)
