@@ -72,6 +72,13 @@ DEPTH = [
     # PageRank iteration on the corpus word graph (q480)
     "q459_facility_location_greedy",
     "q480_textrank_keywords",
+    # round-6 rotation (r5 verdict task 5): the slowest r5 sweep
+    # query — broadcast 200-query sample x streamed corpus kNN vote.
+    # WindowGroupLimit bounds the per-query top-5 below the shuffle;
+    # the r6 A/B kept the zip_with cosine (a DIM-unrolled chain
+    # measured ~3x slower; the apparent 30x win was an AQE
+    # same-DataFrame stage-reuse artifact)
+    "q232_label_noise_audit",
 ]
 
 

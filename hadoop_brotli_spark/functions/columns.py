@@ -28,7 +28,15 @@ from pyspark.sql import functions as F
 
 def dot_product(a: Column | str, b: Column | str) -> Column:
     """Σ aᵢ·bᵢ in double precision (sequential JVM-side fold over
-    ``zip_with`` — deterministic element order, no shuffle)."""
+    ``zip_with`` — deterministic element order, no shuffle).
+
+    r6 note: a DIM-unrolled ``element_at`` chain was A/B-tested as a
+    "codegen-friendly" fast path and measured ~3x SLOWER than this
+    fold on both the 5-query (q70) and 200-query (q232) broadcast-kNN
+    shapes at sf0.1 (an earlier apparent 30x win was an AQE artifact:
+    re-collecting the SAME DataFrame object reuses its materialized
+    shuffle stages). The HOF fold's specialized array loop beats a
+    64-term per-element expression tree; keep it."""
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),

@@ -103,38 +103,56 @@ def exchange_count(df: DataFrame) -> int:
     return len(re.findall(r"\bExchange (?:hash|range|Single)", plan))
 
 
-_WINDOW_EXEC_CLASSES = (
+_WINDOW_CLASSES = (
+    # logical nodes (optimizedPlan — the stable census signal)
+    "Window",
+    "WindowGroupLimit",
+    # physical nodes (executedPlan — for ad-hoc inspection)
     "WindowExec",
     "WindowGroupLimitExec",
     "WindowInPandasExec",
 )
 
 
-def unpartitioned_windows(df: DataFrame) -> list[str]:
-    """Physical window nodes with an EMPTY partition spec — Spark's
-    own ``WindowExec: No Partition Defined`` warning class.  Such a
-    node funnels its entire input through ONE task: correct at any
-    sf, a straggler/OOM at 100 TB unless the windowed grain is
-    provably bounded (a day spine, a ≤K-row design table, a
-    post-limit survivor set).  Walks the executed-plan JVM tree
-    (children + subqueries) so nested-bracket expression strings
+def unpartitioned_windows(df: DataFrame, physical: bool = False) -> list[str]:
+    """Window nodes with an EMPTY partition spec — Spark's own
+    ``WindowExec: No Partition Defined`` warning class.  Such a node
+    funnels its entire input through ONE task: correct at any sf, a
+    straggler/OOM at 100 TB unless the windowed grain is provably
+    bounded (a day spine, a ≤K-row design table, a post-limit
+    survivor set), or rank-filtered (WindowGroupLimit partial-limits
+    every input partition to K rows).
+
+    Walks the OPTIMIZED LOGICAL plan by default: physical plans
+    reuse exchanges data-dependently, so their node counts drift
+    across scale factors — the logical census is deterministic
+    (optimizer rules are data-independent with AQE out of the
+    picture).  ``physical=True`` walks the executed plan instead.
+    Walks children + subqueries so nested-bracket expression strings
     can't fool a regex.  Returns one class-name entry per offending
     node; Connect sessions (no _jdf) return [] — the audit runs on
     classic sessions only."""
     try:
-        root = df._jdf.queryExecution().executedPlan()
+        qe = df._jdf.queryExecution()
+        root = qe.executedPlan() if physical else qe.optimizedPlan()
     except AttributeError:  # pragma: no cover - Spark Connect
         return []
+    # JVM identity (not py4j wrapper id — wrappers are fresh per
+    # call): logical trees SHARE subtree objects when one DataFrame
+    # feeds several branches, and double-counting a shared window
+    # subtree made counts nondeterministic
+    ident = df.sparkSession._jvm.java.lang.System.identityHashCode  # type: ignore[union-attr]
     out: list[str] = []
     stack = [root]
     seen: set[int] = set()
     while stack:
         node = stack.pop()
-        if id(node) in seen:
+        key = ident(node)
+        if key in seen:
             continue
-        seen.add(id(node))
+        seen.add(key)
         cls = node.getClass().getSimpleName()
-        if cls in _WINDOW_EXEC_CLASSES and node.partitionSpec().isEmpty():
+        if cls in _WINDOW_CLASSES and node.partitionSpec().isEmpty():
             out.append(cls)
         children = node.children()
         for i in range(children.size()):

@@ -82,3 +82,49 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 def ts(date_str: str) -> Column:
     """UTC-naive timestamp literal matching DuckDB ``TIMESTAMP '...'``."""
     return F.lit(date_str).cast("timestamp")
+
+
+def grain_rank(
+    df: DataFrame,
+    score: str,
+    ties: list[str],
+    *,
+    descending: bool = True,
+    out: str = "rk",
+) -> DataFrame:
+    """Exact global ``ROW_NUMBER() OVER (ORDER BY score [DESC],
+    *ties ASC)`` WITHOUT a single-partition global window — the q242
+    rank-reconstruction pattern, generalized from round5's
+    ``_score_desc_rank`` (r6: six more sites measured unbounded by
+    the window audit).
+
+    The integer-valued ``score`` column is treated as an
+    order-contiguous bucket: rank = (count of rows in strictly
+    better score buckets) + (row_number within the bucket by the tie
+    keys). The in-bucket window partitions by score (parallel across
+    buckets); the offset cumsum runs over the SCORE-GRAIN aggregate —
+    bounded by the number of distinct scores, never the row count.
+    Requirement for scale: distinct scores ≪ rows (counts, grades,
+    integer bins). For near-unique scores use a coarsened bucket
+    column instead (q444/q484 pattern).
+    """
+    from pyspark.sql import Window as W
+
+    sc = F.col(score)
+    wloc = W.partitionBy(score).orderBy(*[F.col(c).asc() for c in ties])
+    local = df.withColumn("__r_in", F.row_number().over(wloc))
+    worder = sc.desc() if descending else sc.asc()
+    woff = W.orderBy(worder).rowsBetween(W.unboundedPreceding, -1)
+    offs = (
+        df.groupBy(score)
+        .agg(F.count(F.lit(1)).alias("__sz"))
+        .select(
+            score,
+            F.coalesce(F.sum("__sz").over(woff), F.lit(0)).alias("__off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offs), score)
+        .withColumn(out, F.col("__off") + F.col("__r_in"))
+        .drop("__r_in", "__off")
+    )

@@ -2032,10 +2032,16 @@ def q158_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue share — A carries the first 50% of revenue, B to 80%,
     C the tail — the inventory-prioritization classic.
 
-    The cumulative window runs over the PER-PART aggregate (catalog-
-    sized, not lineitem-sized) and accumulates DECIMAL (exact in any
-    order, q135's rule) before one double division per row; the
-    class cut then re-aggregates to three rows.
+    The cumulative runs over the PER-PART aggregate (catalog-sized,
+    not lineitem-sized) and accumulates DECIMAL (exact in any order,
+    q135's rule) before one double division per row; the class cut
+    then re-aggregates to three rows. r6 window audit: even the
+    part grain is corpus-bound (20k rows through ONE task at sf0.1),
+    so the cumulative is RECONSTRUCTED from <=64 exact bit-length
+    revenue buckets (the q483 pattern): in-bucket partitioned DECIMAL
+    cumsums + bounded bucket-grain offsets; equal revenues share a
+    bucket, so the (revenue DESC, partkey ASC) total order is
+    preserved exactly and the decimal prefix sums are identical.
     """
     li = t(spark, sf_dir, "lineitem")
     part_rev = li.groupBy("l_partkey").agg(
@@ -2043,16 +2049,45 @@ def q158_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_dec"
         )
     )
-    w_cum = Window.orderBy(
+    bucketed = part_rev.withColumn(
+        "bkt",
+        F.length(
+            F.conv(
+                (F.col("revenue_dec") * 100).cast("bigint").cast("string"),
+                10,
+                2,
+            )
+        ),
+    )
+    woff = Window.orderBy(F.col("bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        bucketed.groupBy("bkt")
+        .agg(F.sum("revenue_dec").alias("bsum"))
+        .select(
+            "bkt",
+            F.coalesce(
+                F.sum("bsum").over(woff), F.lit(0).cast("decimal(28,2)")
+            ).alias("off"),
+        )
+    )
+    tot = part_rev.agg(F.sum("revenue_dec").alias("tot_dec"))
+    win_b = Window.partitionBy("bkt").orderBy(
         F.col("revenue_dec").desc(), F.col("l_partkey").asc()
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_tot = Window.partitionBy()
-    ranked = part_rev.select(
-        F.col("revenue_dec").cast("double").alias("revenue"),
-        (
-            F.sum("revenue_dec").over(w_cum).cast("double")
-            / F.sum("revenue_dec").over(w_tot).cast("double")
-        ).alias("cum_share"),
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (
+        bucketed.join(F.broadcast(offs), "bkt")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("revenue_dec").cast("double").alias("revenue"),
+            (
+                (F.col("off") + F.sum("revenue_dec").over(win_b)).cast(
+                    "double"
+                )
+                / F.col("tot_dec").cast("double")
+            ).alias("cum_share"),
+        )
     )
     abc = (
         F.when(F.col("cum_share") <= 0.5, "A")
@@ -3695,9 +3730,14 @@ def q376_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-tied corpus (sigma = 0) NULL the z on both engines.
 
     Scale: ranks come from the DISTINCT-VALUE grain (q352's trick) —
-    one conditional-count groupBy, one running sum over the reduced
-    support, DECIMAL(38,0) rank sums so 10^12-row corpora cannot
-    overflow the n^2-scale rank total. No row-grain sort anywhere.
+    one conditional-count groupBy, then (r6 window audit: prices are
+    near-unique, so even the value grain is corpus-bound) the running
+    rank sum is RECONSTRUCTED from <=64 exact bit-length price-cent
+    buckets (the q483/q444 pattern): in-bucket partitioned cumsums +
+    bounded bucket-grain offsets, equal prices share a bucket, so the
+    value-ordered prefix sums are identical BIGINTs. DECIMAL(38,0)
+    rank sums so 10^12-row corpora cannot overflow the n^2-scale
+    rank total. No row-grain sort anywhere.
     """
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority").isin(MWU_GRP_A, MWU_GRP_B)
@@ -3714,9 +3754,35 @@ def q376_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps = s.groupBy("v").agg(
         F.sum("a").cast("bigint").alias("ca"),
         (F.sum("a") + F.sum("b")).cast("bigint").alias("tc"),
+    ).withColumn(
+        "bkt",
+        F.length(
+            F.conv(
+                (F.col("v").cast("decimal(18,2)") * 100)
+                .cast("bigint")
+                .cast("string"),
+                10,
+                2,
+            )
+        ),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = steps.select("ca", "tc", F.sum("tc").over(w).alias("cum"))
+    woff = Window.orderBy(F.col("bkt").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        steps.groupBy("bkt")
+        .agg(F.sum("tc").alias("bsum"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("bsum").over(woff), F.lit(0)).alias("off"),
+        )
+    )
+    win_b = Window.partitionBy("bkt").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = steps.join(F.broadcast(offs), "bkt").select(
+        "ca", "tc", (F.col("off") + F.sum("tc").over(win_b)).alias("cum")
+    )
     agg = ranked.agg(
         F.sum(
             (F.col("ca") * (2 * F.col("cum") - F.col("tc") + 1)).cast(

@@ -50,7 +50,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import dsum, fan_out, t
+from ._util import dsum, fan_out, grain_rank, t
 from .dedup import MAX_LSH_BUCKET, _shingle_df
 from .similarity import dot_double, norm_double
 
@@ -689,32 +689,32 @@ def q223_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     High Gini / top-1 share ⇒ salt the aggregation (q18's pattern)
     or let AQE skew-split the join. All arithmetic is integer until
     the three final divisions (exact int ratios divide bit-identically
-    on both engines — no rounding, no tolerance). The rank windows
-    run over the REDUCED per-key aggregate (|keys| rows), never raw
-    events; q145 profiles per-key fan-out, this reduces the whole
-    distribution to scalars.
+    on both engines — no rounding, no tolerance). The rank runs over
+    the REDUCED per-key aggregate, and (r6 window audit: the key
+    grain itself is corpus-bound) WITHOUT a single-partition window:
+    the ascending Gini rank reconstructs via ``grain_rank``
+    (count-bucket local ranks + bounded count-grain offsets) and the
+    top-10 share is a TakeOrdered of literally 10 rows.
     """
     counts = (
         t(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    wi = W.orderBy(F.col("c").asc(), F.col("user_id").asc())
-    wr = W.orderBy(F.col("c").desc(), F.col("user_id").asc())
-    ranked = counts.select(
-        "c",
-        F.row_number().over(wi).alias("i"),
-        F.row_number().over(wr).alias("r"),
+    ranked = grain_rank(
+        counts, "c", ["user_id"], descending=False, out="i"
+    )
+    top10 = (
+        counts.orderBy(F.col("c").desc(), F.col("user_id").asc())
+        .limit(10)
+        .agg(F.sum("c").cast("bigint").alias("top10"))
     )
     tot = ranked.agg(
         F.count(F.lit(1)).alias("k"),
         F.sum("c").cast("bigint").alias("n"),
         F.sum(F.col("i") * F.col("c")).cast("bigint").alias("swc"),
         F.max("c").cast("bigint").alias("cmax"),
-        F.sum(F.when(F.col("r") <= 10, F.col("c")).otherwise(0))
-        .cast("bigint")
-        .alias("top10"),
-    )
+    ).crossJoin(F.broadcast(top10))
     return tot.select(
         F.col("n").alias("n_rows"),
         F.col("k").alias("n_keys"),
@@ -1424,6 +1424,18 @@ def q235_cosupply_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold re-normalizes per period, so the diff compares
     RELATIVE co-supply strength (an absolute threshold would tag
     every edge 'lost' in a shrinking period).
+
+    r6 window audit: the edge grain itself is corpus-bound (~500k
+    rows through ONE task at sf0.1, 100x vs sf0.01 — the worst
+    single-partition window in the registry), so the decile
+    selection rn <= K over (c DESC, sa, sb) is now reconstructed
+    without any global window: (1) a bounded count-grain cumulative
+    finds the strata kept whole and the single boundary stratum with
+    its residual quota r; (2) inside the boundary stratum (which CAN
+    be most of the graph — co-supply counts concentrate at c=1) the
+    (sa, sb) rank is rebuilt from 256 order-contiguous sa-range
+    buckets (q444/q484 pattern: in-bucket partitioned row_numbers +
+    bounded bucket-grain offsets). Same edge set, bit for bit.
     """
 
     def period_edges(pred):
@@ -1451,18 +1463,72 @@ def q235_cosupply_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("pr.sa", "pr.sb")
             .groupBy("sa", "sb")
             .agg(F.count(F.lit(1)).alias("c"))
+            # the restructure reads the edge aggregate from FOUR
+            # branches (quota scalar, strata, full-keep join,
+            # boundary); checkpointing materializes the lineitem
+            # scan + pair explode once instead of four times
+            .localCheckpoint()
         )
-        w = W.orderBy(F.col("c").desc(), "sa", "sb")
-        return (
-            e.select(
-                "sa",
-                "sb",
-                F.row_number().over(w).alias("rn"),
-                F.count(F.lit(1)).over(W.partitionBy()).alias("ne"),
+        k = e.agg(
+            F.floor(F.count(F.lit(1)) / TRI_EDGE_FRACTION)
+            .cast("bigint")
+            .alias("k")
+        )
+        woff = W.orderBy(F.col("c").desc()).rowsBetween(
+            W.unboundedPreceding, -1
+        )
+        strata = (
+            e.groupBy("c")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .select(
+                "c",
+                "cnt",
+                F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("cb"),
             )
-            .filter(F.col("rn") <= F.floor(F.col("ne") / TRI_EDGE_FRACTION))
+            .crossJoin(F.broadcast(k))
+        )
+        full = e.join(
+            F.broadcast(
+                strata.filter(
+                    F.col("cb") + F.col("cnt") <= F.col("k")
+                ).select("c")
+            ),
+            "c",
+        ).select("sa", "sb")
+        boundary = strata.filter(
+            (F.col("cb") < F.col("k"))
+            & (F.col("k") < F.col("cb") + F.col("cnt"))
+        ).select("c", (F.col("k") - F.col("cb")).alias("r"))
+        be = e.join(F.broadcast(boundary), "c")
+        span = be.agg(
+            F.min("sa").cast("bigint").alias("mn"),
+            F.max("sa").cast("bigint").alias("mx"),
+        )
+        bb = be.crossJoin(F.broadcast(span)).withColumn(
+            "bkt",
+            F.expr("CAST((sa - mn) * 256 DIV (mx - mn + 1) AS BIGINT)"),
+        )
+        wboff = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+        boffs = (
+            bb.groupBy("bkt")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+            .select(
+                "bkt",
+                F.coalesce(F.sum("sz").over(wboff), F.lit(0)).alias("off"),
+            )
+        )
+        picked = (
+            bb.join(F.broadcast(boffs), "bkt")
+            .withColumn(
+                "lr",
+                F.row_number().over(
+                    W.partitionBy("bkt").orderBy("sa", "sb")
+                ),
+            )
+            .filter(F.col("off") + F.col("lr") <= F.col("r"))
             .select("sa", "sb")
         )
+        return full.unionByName(picked)
 
     split = F.lit(GRAPH_SPLIT_DATE).cast("timestamp")
     p1 = period_edges(F.col("l_shipdate") < split).withColumnRenamed(

@@ -1559,7 +1559,9 @@ def q232_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PAIR — 3x the array work. Factoring them into per-row columns
     # (evaluated once per corpus/query row under the join) leaves
     # only the dot product per pair. Bit-identical results: same
-    # IEEE ops on the same inputs, just not repeated.
+    # IEEE ops on the same inputs, just not repeated. (r6 A/B: a
+    # DIM-unrolled element_at chain measured ~3x SLOWER than this
+    # zip_with fold at 200x n pair volume — see dot_product's note.)
     cosine = F.round(
         dot_double("qe", "ce") / (F.col("qn") * F.col("cn")), 6
     )
@@ -2463,8 +2465,12 @@ def q375_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the sketch IS a tiny (bucket, count) aggregate — one
     partial-aggregated groupBy, mergeable across partitions,
-    executors, days; the exact-percentile audit is the only
-    corpus-sort stage and exists only to certify the guarantee.
+    executors, days. The exact-percentile audit (r6 window audit:
+    its global row_number funneled every value through ONE task)
+    reuses the sketch's own log-bucket histogram as a q444-style
+    exact selection: the cumulative walk over the bounded bucket
+    grain finds each quantile's winning bucket and residual rank,
+    then only that bucket's ~n/buckets slice is ranked.
     """
     from pyspark.sql import Window as W
 
@@ -2498,18 +2504,32 @@ def q375_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q")
         .agg(F.min("b").alias("qb"))
     )
-    wr = W.orderBy("v")
-    ranked = o.select(F.col("o_totalprice").alias("v")).withColumn(
-        "rn", F.row_number().over(wr)
+    wcb = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    cumb = merged.select(
+        "b",
+        "c",
+        F.coalesce(F.sum("c").over(wcb), F.lit(0)).alias("cum_before"),
     )
-    exact = (
+    targets = (
         qs.crossJoin(F.broadcast(n))
+        .withColumn("k", F.ceil(F.col("q") * F.col("n")).cast("bigint"))
         .join(
-            ranked,
-            F.col("rn") >= F.ceil(F.col("q") * F.col("n")).cast("bigint"),
+            F.broadcast(cumb),
+            (F.col("cum_before") < F.col("k"))
+            & (F.col("k") <= F.col("cum_before") + F.col("c")),
         )
-        .groupBy("q")
-        .agg(F.min("v").alias("xv"))
+        .select("q", "k", "b", "cum_before")
+    )
+    in_bucket = o.select(
+        F.col("o_totalprice").alias("v"), b.alias("b")
+    ).join(F.broadcast(targets), "b")
+    exact = (
+        in_bucket.withColumn(
+            "r",
+            F.row_number().over(W.partitionBy("q", "b").orderBy("v")),
+        )
+        .filter(F.col("r") == F.col("k") - F.col("cum_before"))
+        .select("q", F.col("v").alias("xv"))
     )
     est_v = 2 * F.exp(F.col("qb") * F.log(F.lit(lg))) / (lg + 1)
     return (

@@ -98,9 +98,14 @@ def q381_split_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     (value, orderkey) rank but defined by value alone, so ties cannot
     diverge engines. Coverage is an exact integer ratio.
 
-    Scale: two grouped reduces over the fact table + one global
-    TakeOrdered-style rank for the order statistic (single skinny
-    column); test scoring is a broadcast join of the 5-row model.
+    Scale: two grouped reduces over the fact table; the conformal
+    quantile is an EXACT distributed selection (the q444 two-pass
+    refinement — r6 window audit: the previous global rank funneled
+    the whole calibration half through ONE task): a 256-bucket
+    equi-width histogram over the residuals, a cumulative walk over
+    the 256-row histogram to find the bucket holding rank m, then a
+    rank over only that bucket's ~n/256 slice. Test scoring is a
+    broadcast join of the 5-row model.
     """
     o = t(spark, sf_dir, "orders")
     split = o.select(
@@ -125,23 +130,61 @@ def q381_split_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", F.abs(F.col("y") - F.col("pred")).alias("s"))
     )
     nc = scores.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    ranked = scores.select(
-        "s",
-        F.row_number()
-        .over(Window.orderBy("s", "o_orderkey"))
-        .alias("rk"),
+    bounds = scores.agg(
+        F.min("s").alias("lo"), F.max("s").alias("hi")
     )
-    qhat = (
-        ranked.crossJoin(F.broadcast(nc))
-        .filter(
-            F.col("rk")
-            == F.least(
+    # bucket is a monotone function of s ALONE (ties share a bucket),
+    # so in-bucket (s, o_orderkey) ranks + bucket offsets reproduce
+    # the global rank exactly; all-equal residuals degenerate to one
+    # bucket (still correct, single slice)
+    bucketed = scores.crossJoin(F.broadcast(bounds)).withColumn(
+        "bkt",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(255),
+                F.floor(
+                    (F.col("s") - F.col("lo"))
+                    * 256.0
+                    / (F.col("hi") - F.col("lo"))
+                ),
+            )
+        ),
+    )
+    hist = bucketed.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bucket_rows")
+    )
+    woff = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = (
+        hist.withColumn(
+            "cum_before",
+            F.coalesce(F.sum("bucket_rows").over(woff), F.lit(0)),
+        )
+        .crossJoin(F.broadcast(nc))
+        .withColumn(
+            "m",
+            F.least(
                 F.col("n"),
                 F.ceil((1.0 - CONF_ALPHA) * (F.col("n") + 1)).cast(
                     "bigint"
                 ),
-            )
+            ),
         )
+    )
+    target = cum.filter(
+        (F.col("cum_before") < F.col("m"))
+        & (F.col("m") <= F.col("cum_before") + F.col("bucket_rows"))
+    ).select("bkt", "m", "cum_before", "n")
+    qhat = (
+        bucketed.join(F.broadcast(target), "bkt")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("bkt").orderBy("s", "o_orderkey")
+            ),
+        )
+        .filter(F.col("rk") == F.col("m") - F.col("cum_before"))
         .select(F.col("s").alias("q"), "n")
     )
     test = split.filter(~F.col("calib")).join(F.broadcast(model), "grp")

@@ -21,38 +21,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import fan_out, t
+from ._util import fan_out, grain_rank, t
 
 
 def _score_desc_rank(users: DataFrame) -> DataFrame:
     """Exact global ROW_NUMBER over (score DESC, user_id ASC) WITHOUT
     a single-partition global window (r6 scale fix; the q242
-    rank-reconstruction pattern): the integer ``score`` is itself an
-    order-contiguous bucket, so rank = (count of users with a higher
-    score) + (rank within the score tie-group by user_id).  The
-    in-group window partitions by score (parallel over buckets); the
-    offset cumsum runs over the SCORE-GRAIN aggregate — bounded by
-    the number of distinct scores (max events per user), not the
-    user count.  Adds ``rk`` to ``users``.
+    rank-reconstruction pattern).  Generalized into
+    ``_util.grain_rank`` when the r6 window audit found six more
+    sites of the class — this wrapper keeps the q438/q445 call
+    sites' original shape.  Adds ``rk`` to ``users``.
     """
-    wloc = Window.partitionBy("score").orderBy(F.col("user_id").asc())
-    local = users.withColumn("r_in", F.row_number().over(wloc))
-    woff = Window.orderBy(F.col("score").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offs = (
-        users.groupBy("score")
-        .agg(F.count(F.lit(1)).alias("sz"))
-        .select(
-            "score",
-            F.coalesce(F.sum("sz").over(woff), F.lit(0)).alias("off"),
-        )
-    )
-    return (
-        local.join(F.broadcast(offs), "score")
-        .withColumn("rk", F.col("off") + F.col("r_in"))
-        .drop("r_in", "off")
-    )
+    return grain_rank(users, "score", ["user_id"], out="rk")
 
 # ---------------------------------------------------------------------------
 # q427 weighted reservoir sample (Efraimidis-Spirakis A-Res)

@@ -5320,9 +5320,14 @@ def q484_zonemap_skipping_audit(
     # natural layout: 64 equi-width l_orderkey ranges (scale-free —
     # widths derive from the broadcast max key, never a constant)
     mx = rows_.agg(F.max("l_orderkey").alias("max_ok"))
+    # GREATEST(...,1): hunt-generated corpora can have max_ok = 0
+    # (ANSI divide-by-zero); bucket stays monotone in l_orderkey for
+    # any positive divisor, which is all order-contiguity needs
     nat_b = rows_.crossJoin(F.broadcast(mx)).withColumn(
         "bkt",
-        F.expr("((l_orderkey - 1) * 64) DIV max_ok").cast("bigint"),
+        F.expr("((l_orderkey - 1) * 64) DIV GREATEST(max_ok, 1)").cast(
+            "bigint"
+        ),
     )
     nat = bucketed_rank(
         nat_b, [F.col("l_orderkey"), F.col("l_linenumber"), F.col("d")]

@@ -42,7 +42,9 @@ from ..functions.columns import sign_bucket as _sign_bucket  # noqa: E402
 
 
 def dot_double(a: str, b: str) -> Column:
-    """Σ aᵢ·bᵢ in double precision (sequential JVM-side fold)."""
+    """Σ aᵢ·bᵢ in double precision (sequential JVM-side fold; see
+    dot_product's r6 note on why the unrolled variant lost the
+    A/B)."""
     return dot_product(a, b)
 
 

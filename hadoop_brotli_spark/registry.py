@@ -100,6 +100,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         relational,
         round5,
         round5b,
+        round6,
         similarity,
         textstats,
         tpch_more,

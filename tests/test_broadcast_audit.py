@@ -86,6 +86,56 @@ AUDITED_SITES = {
     ("queries/analytics.py", "q390_shapley_attribution", "s_side"),
     ("queries/analytics.py", "q390_shapley_attribution", "su_side"),
     ("queries/analytics.py", "q390_shapley_attribution", "v"),
+    # r6 window-audit restructures: every hinted side is a bounded
+    # offset/boundary/scalar table from the rank-reconstruction
+    # patterns — score-grain or <=64/256-bucket-grain aggregates,
+    # 1-row scalars, or a literal top-10
+    ("queries/_util.py", "grain_rank", "offs"),
+    ("queries/analytics.py", "q158_abc_classification", "offs"),
+    ("queries/analytics.py", "q158_abc_classification", "tot"),
+    ("queries/analytics.py", "q376_mann_whitney_u", "offs"),
+    ("queries/corpus_ops.py", "period_edges", "boffs"),
+    ("queries/corpus_ops.py", "period_edges", "boundary"),
+    ("queries/corpus_ops.py", "period_edges", "k"),
+    ("queries/corpus_ops.py", "period_edges", "span"),
+    ("queries/corpus_ops.py", "period_edges", "strata"),
+    ("queries/corpus_ops.py", "q223_join_key_skew", "top10"),
+    ("queries/extras.py", "q375_ddsketch_quantiles", "cumb"),
+    ("queries/extras.py", "q375_ddsketch_quantiles", "targets"),
+    ("queries/mleval.py", "q381_split_conformal", "bounds"),
+    ("queries/mleval.py", "q381_split_conformal", "target"),
+    # r6 new operators (q488-q495): 1-row scalar aggregates (fit /
+    # gs / k / n / num / sr22 / tot / bounds / mid / plain / lo_v /
+    # hi_v), fixed design tables (filters = 3 literal predicates,
+    # types = event-type list, q = the fixed RAG query set), and the
+    # <=256-row bucket-offset table (offs)
+    ("queries/round6.py", "q489_durbin_watson", "fit"),
+    ("queries/round6.py", "q490_cochran_q", "gs"),
+    ("queries/round6.py", "q490_cochran_q", "k"),
+    ("queries/round6.py", "q491_friedman_test", "k"),
+    ("queries/round6.py", "q491_friedman_test", "n"),
+    ("queries/round6.py", "q491_friedman_test", "num"),
+    ("queries/round6.py", "q491_friedman_test", "sr22"),
+    ("queries/round6.py", "q491_friedman_test", "types"),
+    ("queries/round6.py", "q492_partition_pruning_advisor", "filters"),
+    ("queries/round6.py", "q492_partition_pruning_advisor", "tot"),
+    ("queries/round6.py", "q493_brier_decomposition", "tot"),
+    ("queries/round6.py", "q494_rag_context_packing", "q"),
+    ("queries/round6.py", "q495_trimmed_winsorized_mean", "bounds"),
+    ("queries/round6.py", "q495_trimmed_winsorized_mean", "hi_v"),
+    ("queries/round6.py", "q495_trimmed_winsorized_mean", "lo_v"),
+    ("queries/round6.py", "q495_trimmed_winsorized_mean", "mid"),
+    ("queries/round6.py", "q495_trimmed_winsorized_mean", "offs"),
+    ("queries/round6.py", "q495_trimmed_winsorized_mean", "plain"),
+    # q496-q498: 1-row scalars (worst day, bounds, sizes, cow) and
+    # bounded design tables (grps = ordered priority classes, offs =
+    # the (group x 256-bucket) offset table)
+    ("queries/round6.py", "q496_ab_srm_check", "worst"),
+    ("queries/round6.py", "q497_jonckheere_terpstra", "bounds"),
+    ("queries/round6.py", "q497_jonckheere_terpstra", "grps"),
+    ("queries/round6.py", "q497_jonckheere_terpstra", "offs"),
+    ("queries/round6.py", "q497_jonckheere_terpstra", "sizes"),
+    ("queries/round6.py", "q498_mor_cow_advisor", "cow"),
     ("queries/closing_ops.py", "agg_view", "c"),
     ("queries/closing_ops.py", "q254_semantic_dedup", "ok_buckets"),
     ("queries/closing_ops.py", "q257_benford_audit", "tot"),
@@ -261,7 +311,6 @@ AUDITED_SITES = {
     ("queries/round5.py", "q438_decile_gains", "tot"),
     # r6: offs is the score-grain offset table of the shared rank
     # reconstruction (bounded by distinct click counts per user)
-    ("queries/round5.py", "_score_desc_rank", "offs"),
     ("queries/round5.py", "q440_skew_join_advisor", "tot"),
     # q444: bounds/target/picked are 1-row scalar relations (global
     # min/max/count, the winning histogram bucket, the picked median)

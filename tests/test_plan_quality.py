@@ -340,7 +340,23 @@ PINNED_EXCHANGES = {
     # only the final ranking exchange in the executed plan
     "q459_facility_location_greedy": 12,
     "q480_textrank_keywords": 1,
+    # r6 depth rotation: broadcast-sample kNN — ONE shuffle for the
+    # per-query top-5 (WindowGroupLimit pre-limits each map task)
+    # plus the final vote aggregates
+    "q232_label_noise_audit": 3,
 }
+
+
+# --------------------------------------------------------------------------
+# r6 verdict task 2 lives in tests/test_window_audit.py: an AST-level
+# census of every unpartitioned window-spec site (Window.orderBy /
+# rowsBetween / rangeBetween / argument-less partitionBy), mirroring
+# the broadcast audit. It is AST-level because runtime plan node
+# counts proved nondeterministic (exchange reuse is data-dependent and
+# several queries embed driver-computed literals). The runtime
+# detector plans.unpartitioned_windows() remains the measurement tool:
+# walk the plan, find each node's single-partition exchange, and
+# compare its shuffle records at two SFs before auditing a new site.
 
 
 @pytest.mark.parametrize("name", sorted(PINNED_EXCHANGES))

@@ -194,6 +194,24 @@ EVENT_QUERIES = [
     # var==mean sits exactly on the overdispersed boundary (strict >
     # must agree); constant series pin fano=0
     "q486_overdispersion_audit",
+    # single-type corpora pin k=1 (df=0 -> NULL critical, denominator
+    # NULLIF); all-users-do-everything zeroes k*sum(L)-sum(L^2)
+    "q490_cochran_q",
+    # k=1 zeroes the tie-corrected denominator (NULLIF); all-tied
+    # users give pure midranks (doubled ranks stay integer)
+    "q491_friedman_test",
+    # workloads with zero overlapping days keep p_scanned=0 via the
+    # LEFT join on both engines
+    "q492_partition_pruning_advisor",
+    # all-purchase corpora pin base_rate=1 (UNC=0); single-bin
+    # corpora zero RES; the decomposition gap must stay 0 on the grid
+    "q493_brier_decomposition",
+    # 1-user corpora pin one group to zero (chi2 = n); tied worst-day
+    # chi2 falls to the day order in the TakeOrdered
+    "q496_ab_srm_check",
+    # single-event users produce zero updates: cow sums NULL and the
+    # CASE recommendation must fall to copy-on-write on both engines
+    "q498_mor_cow_advisor",
 ]
 # q479/q481 ride the ORDER hunt (lineitem baskets); q480 the DOC hunt
 DOC_QUERIES = [
@@ -429,6 +447,17 @@ DOC_QUERIES = [
     # (NULLIF, not ANSI /0); independent-ish tables leave a tiny
     # negative sum_t-1 that GREATEST must clamp on both engines
     "q474_cramers_v",
+    # 1-day corpora NULL the OLS slope (singular design) and the DW
+    # ratio (see=0 NULLIF); constant revenue zeroes residuals exactly
+    "q489_durbin_watson",
+    # all-equal prices collapse to one bucket (hi==lo guard) with
+    # t=0 -> lo_cut = hi_cut = the value; n <= 9 pins t=0 (trimmed
+    # mean == mean) on both engines
+    "q495_trimmed_winsorized_mean",
+    # single-priority corpora empty the pair set (NULL jt) and zero
+    # the variance (NULLIF z); all-equal prices make every pair a
+    # pure tie (2U = sum cnt_h * cnt_g exactly)
+    "q497_jonckheere_terpstra",
     # tiny/empty samples (md5 gate can select zero docs) must yield
     # the all-zero-weight plan table identically; repeated texts
     # collapse every pair into the top bin
@@ -453,6 +482,10 @@ DOC_QUERIES = [
     # own zero docs and vanish identically); every mover must still
     # land on the new shard on ANY doc_id set
     "q465_consistent_hash_ring",
+    # tiny docs have no 13-grams (empty benchmark set; LEFT join
+    # keeps every source at rate 0 on both engines); duplicated
+    # texts cross the benchmark split and must flag identically
+    "q488_ngram_decontamination",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get
@@ -821,6 +854,10 @@ EMB_QUERIES = [
     # tie-breaks pick own vs alt); n < 8 shrinks the seed pool so
     # high k values coincide; a=b=0 NULLs s via the GREATEST guard
     "q456_silhouette_elbow",
+    # duplicate vectors tie cosines (cand_id rank breaks); pools
+    # smaller than the budget keep everything; near-zero vectors
+    # score but cannot break the prefix rule
+    "q494_rag_context_packing",
 ]
 
 emb_params = st.tuples(

@@ -43,8 +43,11 @@ def main() -> None:
     print(f"{'query':42s} {'sf0.1 s':>9s} {'sf1 s':>9s} {'ratio':>7s}")
     for name in names:
         fn = specs[name].fn
-        # warm the session once on the small SF so JIT/codegen costs
-        # don't land in the first measured query
+        # r6 advice: one UNMEASURED warm-up execution at sf0.1 first —
+        # the sf0.1 run doubles as the ratio denominator, so taking
+        # the first (codegen/JIT-loaded) execution would inflate it
+        # and systematically understate the sf1/sf0.1 ratio
+        fn(spark, "/root/testdata/sf0.1").count()
         times = []
         for sf_dir in ("/root/testdata/sf0.1", ".tmp/sf1"):
             t0 = time.monotonic()
