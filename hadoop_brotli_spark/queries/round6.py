@@ -1687,3 +1687,375 @@ def q498_mor_cow_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("copy-on-write")
         .alias("recommendation"),
     )
+
+# ---------------------------------------------------------------------------
+# q499 intra-document code-switch (language-mixture) audit
+
+CS_PROFILE_K = 20  # q82's per-lang trigram profile width
+
+
+@register(
+    "q499_code_switch_audit",
+    category="llm-text-analysis",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, lang, substr(text, i + 1, 3) AS tri
+      FROM documents, UNNEST(range(length(text) - 2)) AS u(i)
+      WHERE length(text) >= 6
+    ),
+    profile_counts AS (
+      SELECT lang, tri, COUNT(*) AS cnt
+      FROM grams GROUP BY lang, tri
+    ),
+    profile AS (
+      SELECT lang, tri, cnt FROM (
+        SELECT lang, tri, cnt,
+               ROW_NUMBER() OVER (
+                 PARTITION BY lang ORDER BY cnt DESC, tri ASC
+               ) AS rk
+        FROM profile_counts
+      ) WHERE rk <= {CS_PROFILE_K}
+    ),
+    halves AS (
+      SELECT doc_id, source, 1 AS half,
+             substr(text, 1, length(text) // 2) AS seg
+      FROM documents WHERE length(text) >= 6
+      UNION ALL
+      SELECT doc_id, source, 2 AS half,
+             substr(text, length(text) // 2 + 1,
+                    length(text) - length(text) // 2) AS seg
+      FROM documents WHERE length(text) >= 6
+    ),
+    half_tris AS (
+      SELECT DISTINCT doc_id, source, half, substr(seg, i + 1, 3) AS tri
+      FROM halves, UNNEST(range(length(seg) - 2)) AS u(i)
+      WHERE length(seg) >= 3
+    ),
+    scores AS (
+      SELECT h.doc_id, h.source, h.half, p.lang AS cand_lang,
+             CAST(SUM(p.cnt) AS BIGINT) AS score
+      FROM half_tris h JOIN profile p ON p.tri = h.tri
+      GROUP BY h.doc_id, h.source, h.half, p.lang
+    ),
+    best AS (
+      SELECT doc_id, source, half, cand_lang FROM (
+        SELECT doc_id, source, half, cand_lang,
+               ROW_NUMBER() OVER (
+                 PARTITION BY doc_id, half
+                 ORDER BY score DESC, cand_lang ASC
+               ) AS rk
+        FROM scores
+      ) WHERE rk = 1
+    ),
+    paired AS (
+      SELECT a.doc_id, a.source,
+             CASE WHEN a.cand_lang <> b.cand_lang THEN 1 ELSE 0 END
+               AS mixed
+      FROM best a JOIN best b
+        ON b.doc_id = a.doc_id AND a.half = 1 AND b.half = 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(mixed) AS BIGINT) AS n_mixed,
+           CAST(SUM(mixed) AS DOUBLE) / COUNT(*) AS mixed_rate
+    FROM paired GROUP BY source ORDER BY source
+    """,
+)
+def q499_code_switch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document code-switch audit: split every document into
+    two character halves, language-ID each half independently with
+    the corpus-trained top-{CS_PROFILE_K} trigram profiles (q82's
+    detector), and flag documents whose halves DISAGREE — mixed-
+    language documents that a doc-level lang label (and doc-level
+    lang-ID like q82/q191/q377) silently mislabels, poisoning
+    monolingual training mixtures. Reports per-source mixed rates;
+    docs where either half draws no profile hit drop from the
+    denominator (no prediction, both engines).
+
+    Determinism: profiles and scores are pure integer counts with
+    (score DESC, lang ASC) argmax tie-breaks; rates are exact
+    integer ratios.
+
+    Scale: q82's plan shape x2 — profile branch partial-aggregates
+    the trigram stream to vocabulary grain before its exchange; the
+    half-scoring branch explodes in-row-deduped trigrams into the
+    broadcast profile join, so its exchange runs at
+    (doc, half) x cand_lang grain. The per-(doc, half) argmax
+    windows partition by doc — nothing unpartitioned.
+    """
+    docs = fan_out(
+        t(spark, sf_dir, "documents").filter(F.length("text") >= 6)
+    )
+    tri_expr = (
+        "transform(sequence(1, length(text) - 2),"
+        " i -> substring(text, i, 3))"
+    )
+    profile_counts = (
+        docs.select("lang", F.explode(F.expr(tri_expr)).alias("tri"))
+        .groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wprof = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("tri").asc()
+    )
+    profile = (
+        profile_counts.withColumn("rk", F.row_number().over(wprof))
+        .filter(F.col("rk") <= CS_PROFILE_K)
+        .select(F.col("lang").alias("cand_lang"), "tri", "cnt")
+    )
+    h1 = docs.select(
+        "doc_id",
+        "source",
+        F.lit(1).alias("half"),
+        F.expr("substring(text, 1, length(text) DIV 2)").alias("seg"),
+    )
+    h2 = docs.select(
+        "doc_id",
+        "source",
+        F.lit(2).alias("half"),
+        F.expr(
+            "substring(text, length(text) DIV 2 + 1,"
+            " length(text) - length(text) DIV 2)"
+        ).alias("seg"),
+    )
+    seg_tris = (
+        h1.unionByName(h2)
+        .filter(F.length("seg") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            "half",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform("
+                    "sequence(1, length(seg) - 2),"
+                    " i -> substring(seg, i, 3)))"
+                )
+            ).alias("tri"),
+        )
+    )
+    scores = (
+        seg_tris.join(F.broadcast(profile), "tri")
+        .groupBy("doc_id", "source", "half", "cand_lang")
+        .agg(F.sum("cnt").cast("bigint").alias("score"))
+    )
+    wbest = Window.partitionBy("doc_id", "half").orderBy(
+        F.col("score").desc(), F.col("cand_lang").asc()
+    )
+    best = (
+        scores.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "source", "half", "cand_lang")
+    )
+    a = best.filter(F.col("half") == 1).select(
+        "doc_id", "source", F.col("cand_lang").alias("l1")
+    )
+    b = best.filter(F.col("half") == 2).select(
+        "doc_id", F.col("cand_lang").alias("l2")
+    )
+    paired = a.join(b, "doc_id").select(
+        "source",
+        F.when(F.col("l1") != F.col("l2"), 1).otherwise(0).alias("mixed"),
+    )
+    return (
+        paired.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.sum("mixed").cast("bigint").alias("n_mixed"),
+            (
+                F.sum("mixed").cast("double") / F.count(F.lit(1))
+            ).alias("mixed_rate"),
+        )
+        .orderBy("source")
+    )
+
+# ---------------------------------------------------------------------------
+# q500 histogram bin-count advisor (Sturges / Scott / Freedman-Diaconis)
+
+
+@register(
+    "q500_histogram_bin_advisor",
+    category="mixed-extensions",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MIN(cents) AS BIGINT) AS lo,
+             CAST(MAX(cents) AS BIGINT) AS hi,
+             CAST(SUM(cents) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(cents AS DECIMAL(19,0)) * cents)
+                  AS DECIMAL(38,0)) AS q
+      FROM c
+    ),
+    ranked AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rk
+      FROM c
+    ),
+    quart AS (
+      SELECT
+        (SELECT cents FROM ranked, m
+         WHERE rk = GREATEST(1, CAST(ceil(0.25 * m.n) AS BIGINT))) AS q1,
+        (SELECT cents FROM ranked, m
+         WHERE rk = GREATEST(1, CAST(ceil(0.75 * m.n) AS BIGINT))) AS q3
+    ),
+    stat AS (
+      SELECT m.n, m.lo, m.hi,
+             SQRT((m.n * CAST(m.q AS DOUBLE)
+                   - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE))
+                  / (CAST(m.n AS DOUBLE) * NULLIF(m.n - 1, 0))) AS sigma,
+             CAST(qt.q3 - qt.q1 AS DOUBLE) AS iqr
+      FROM m, quart qt
+    )
+    SELECT n AS n_rows,
+           ROUND(sigma / 100, 4) AS sigma,
+           ROUND(iqr / 100, 4) AS iqr,
+           CAST(CEIL(LN(n) / LN(2)) + 1 AS BIGINT) AS k_sturges,
+           CAST(CEIL((hi - lo)
+                / NULLIF(3.5 * sigma / EXP(LN(CAST(n AS DOUBLE)) / 3),
+                         0)) AS BIGINT) AS k_scott,
+           CAST(CEIL((hi - lo)
+                / NULLIF(2 * iqr / EXP(LN(CAST(n AS DOUBLE)) / 3), 0))
+                AS BIGINT) AS k_fd
+    FROM stat
+    """,
+)
+def q500_histogram_bin_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Histogram bin-count advisor: Sturges (ceil(log2 n)+1), Scott
+    (3.5 sigma n^-1/3), and Freedman-Diaconis (2 IQR n^-1/3) bin
+    recommendations for the order-total distribution — the rule
+    choice behind every histogram op in the registry (q186 builds
+    equi-depth, q416 optimizes boundaries, q131 reads CDFs; this
+    picks HOW MANY bins a fixed-width layout should use, and FD vs
+    Scott quantifies how much the heavy tail inflates sigma).
+
+    Determinism: moments are exact BIGINT/DECIMAL sums; the
+    quartiles are exact order statistics at ceil(n/4)/ceil(3n/4)
+    (values, not interpolations) selected WITHOUT a global sort (the
+    q444/q375 two-target bucket selection); n^(1/3) runs as
+    EXP(LN(n)/3) with identical op order on both engines (the
+    POWER-avoidance rule); NULLIF guards the all-equal corpus
+    (sigma = IQR = 0 -> NULL recommendations, honestly).
+
+    Scale: one scalar-moment scan + a 256-bucket histogram + two
+    bucket-slice ranks; no global sort, no unpartitioned windows.
+    """
+    c = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    m = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("cents").cast("bigint").alias("lo"),
+        F.max("cents").cast("bigint").alias("hi"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("cents").cast("decimal(19,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    bucketed = c.crossJoin(F.broadcast(m.select("n", "lo", "hi"))).withColumn(
+        "bkt",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.expr("CAST((cents - lo) * 256 DIV (hi - lo + 1) AS BIGINT)")
+        ),
+    )
+    woff = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    hist = (
+        bucketed.groupBy("bkt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+        .select(
+            "bkt",
+            "sz",
+            F.coalesce(F.sum("sz").over(woff), F.lit(0)).alias("cb"),
+        )
+    )
+    targets = (
+        spark.range(2)
+        .select(
+            F.when(F.col("id") == 0, "q1").otherwise("q3").alias("which"),
+            F.when(F.col("id") == 0, 0.25).otherwise(0.75).alias("p"),
+        )
+        .crossJoin(F.broadcast(m.select("n")))
+        .select(
+            "which",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("p") * F.col("n")).cast("bigint")
+            ).alias("k"),
+        )
+        .join(
+            F.broadcast(hist),
+            (F.col("cb") < F.col("k"))
+            & (F.col("k") <= F.col("cb") + F.col("sz")),
+        )
+        .select("which", "k", "bkt", "cb")
+    )
+    picked = (
+        bucketed.join(F.broadcast(targets), "bkt")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("which", "bkt").orderBy(
+                    "cents", "o_orderkey"
+                )
+            ),
+        )
+        .filter(F.col("r") == F.col("k") - F.col("cb"))
+        .select("which", "cents")
+    )
+    q1 = picked.filter(F.col("which") == "q1").select(
+        F.col("cents").alias("q1")
+    )
+    q3 = picked.filter(F.col("which") == "q3").select(
+        F.col("cents").alias("q3")
+    )
+    stat = (
+        m.crossJoin(F.broadcast(q1))
+        .crossJoin(F.broadcast(q3))
+        .select(
+            "n",
+            "lo",
+            "hi",
+            F.sqrt(
+                (
+                    F.col("n") * F.col("q").cast("double")
+                    - F.col("s").cast("double") * F.col("s").cast("double")
+                )
+                / (
+                    F.col("n").cast("double")
+                    * F.nullif(F.col("n") - 1, F.lit(0))
+                )
+            ).alias("sigma"),
+            (F.col("q3") - F.col("q1")).cast("double").alias("iqr"),
+        )
+    )
+    cuberoot = F.exp(F.log(F.col("n").cast("double")) / 3)
+    return stat.select(
+        F.col("n").alias("n_rows"),
+        F.round(F.col("sigma") / 100, 4).alias("sigma"),
+        F.round(F.col("iqr") / 100, 4).alias("iqr"),
+        (F.ceil(F.log(F.col("n").cast("double")) / F.log(F.lit(2.0))) + 1)
+        .cast("bigint")
+        .alias("k_sturges"),
+        F.ceil(
+            (F.col("hi") - F.col("lo"))
+            / F.nullif(3.5 * F.col("sigma") / cuberoot, F.lit(0.0))
+        )
+        .cast("bigint")
+        .alias("k_scott"),
+        F.ceil(
+            (F.col("hi") - F.col("lo"))
+            / F.nullif(2 * F.col("iqr") / cuberoot, F.lit(0.0))
+        )
+        .cast("bigint")
+        .alias("k_fd"),
+    )

@@ -136,6 +136,15 @@ AUDITED_SITES = {
     ("queries/round6.py", "q497_jonckheere_terpstra", "offs"),
     ("queries/round6.py", "q497_jonckheere_terpstra", "sizes"),
     ("queries/round6.py", "q498_mor_cow_advisor", "cow"),
+    # q499/q500: the top-K-per-lang trigram profile (bounded
+    # langs x K), scalar moments, 256-row histogram, 2-row
+    # quantile-target/boundary tables
+    ("queries/round6.py", "q499_code_switch_audit", "profile"),
+    ("queries/round6.py", "q500_histogram_bin_advisor", "hist"),
+    ("queries/round6.py", "q500_histogram_bin_advisor", "m"),
+    ("queries/round6.py", "q500_histogram_bin_advisor", "q1"),
+    ("queries/round6.py", "q500_histogram_bin_advisor", "q3"),
+    ("queries/round6.py", "q500_histogram_bin_advisor", "targets"),
     ("queries/closing_ops.py", "agg_view", "c"),
     ("queries/closing_ops.py", "q254_semantic_dedup", "ok_buckets"),
     ("queries/closing_ops.py", "q257_benford_audit", "tot"),

@@ -458,6 +458,10 @@ DOC_QUERIES = [
     # the variance (NULLIF z); all-equal prices make every pair a
     # pure tie (2U = sum cnt_h * cnt_g exactly)
     "q497_jonckheere_terpstra",
+    # all-equal prices zero sigma AND IQR (NULL Scott/FD via NULLIF,
+    # hi==lo single bucket); n=1 hits the Bessel NULLIF; quartile
+    # ranks ceil(n/4) floor at 1 on tiny corpora
+    "q500_histogram_bin_advisor",
     # tiny/empty samples (md5 gate can select zero docs) must yield
     # the all-zero-weight plan table identically; repeated texts
     # collapse every pair into the top bin
@@ -486,6 +490,10 @@ DOC_QUERIES = [
     # keeps every source at rate 0 on both engines); duplicated
     # texts cross the benchmark split and must flag identically
     "q488_ngram_decontamination",
+    # docs shorter than 6 chars drop out entirely; single-lang
+    # corpora can never disagree (rate 0); duplicated halves tie
+    # profile scores (lang ASC argmax must agree)
+    "q499_code_switch_audit",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get

@@ -162,6 +162,8 @@ AUDITED_WINDOW_SITES = {
     # bucket histogram
     ("queries/round6.py", "q489_durbin_watson", "orderBy"): 1,
     ("queries/round6.py", "q495_trimmed_winsorized_mean", "orderBy"): 1,
+    # q500's offset cumsum over the 256-row bucket histogram
+    ("queries/round6.py", "q500_histogram_bin_advisor", "orderBy"): 1,
     ("queries/textstats.py", "q181_mixture_weights", "partitionBy"): 1,
     ("queries/textstats.py", "q225_vocab_indexing", "orderBy"): 1,
     ("queries/textstats.py", "q226_bpe_pair_counts", "orderBy"): 1,
