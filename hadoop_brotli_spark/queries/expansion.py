@@ -260,15 +260,28 @@ def q398_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     {RA_DEG_CAP}-degree cap (certified: the oracle applies the SAME
     cap, so correctness proves the cap's semantics, and hub parts
     carry ~zero RA weight anyway) bounds the worst key at
-    ~{RA_DEG_CAP}²/2 rows; top-k goes through one TakeOrdered.
+    ~{RA_DEG_CAP}²/2 rows. The cap is applied UPSTREAM of the pair
+    self-join (r6 verdict: joining deg after the a⋈b build left the
+    intermediate unbounded at hub keys — Catalyst has no CBO to
+    reorder it): bip⋈deg is a linear part-keyed shuffle join (deg is
+    part-grain, so NOT broadcast — its cardinality grows with the
+    part universe), and only the capped posting list is self-joined,
+    the q235/q333 shape. Top-k goes through one TakeOrdered.
 
     Determinism: RA terms are ROUND(1/d, 9) summed as DECIMAL(18,9)
     — exact, order-free; Jaccard is a single division of integers.
     """
+    # One lineitem scan + one distinct shuffle, reused by deg, sdeg and
+    # both pair sides (5 consumers — without this the self-join
+    # recomputes the distinct per branch). Non-eager: materializes on
+    # first action, so registry/plan enumeration stays job-free; local
+    # (not fault-tolerant) — an executor loss recomputes the query,
+    # the documented tradeoff for iterative/multi-consumer frames.
     bip = (
         t(spark, sf_dir, "lineitem")
         .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         bip.groupBy("p")
@@ -276,12 +289,12 @@ def q398_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d") <= RA_DEG_CAP)
     )
     sdeg = bip.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
-    a = bip.select(F.col("s").alias("supp_a"), "p")
-    b = bip.select(F.col("s").alias("supp_b"), "p")
+    bip_capped = bip.join(deg, "p")  # cap BEFORE pairing: fan-out ≤ C(64,2)
+    a = bip_capped.select("p", F.col("s").alias("supp_a"), "d")
+    b = bip_capped.select("p", F.col("s").alias("supp_b"))
     pairs = (
         a.join(b, "p")
         .filter(F.col("supp_a") < F.col("supp_b"))
-        .join(deg, "p")
         .groupBy("supp_a", "supp_b")
         .agg(
             F.count(F.lit(1)).alias("common_parts"),
@@ -1367,12 +1380,15 @@ def q406_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d") <= LP_DEG_CAP)
         .select("p")
     )
-    a = bip.select(F.col("s").alias("a"), "p")
-    b = bip.select(F.col("s").alias("b"), "p")
+    # cap BEFORE pairing (r6 verdict, q398 fix): only the capped
+    # posting list is self-joined, so a hub part never materializes
+    # its C(deg,2) pair fan-out just to drop it afterwards
+    bip_capped = bip.join(okp, "p")
+    a = bip_capped.select("p", F.col("s").alias("a"))
+    b = bip_capped.select("p", F.col("s").alias("b"))
     edges = (
         a.join(b, "p")
         .filter(F.col("a") < F.col("b"))
-        .join(okp, "p")
         .select("a", "b")
         .distinct()
     )
@@ -1505,12 +1521,15 @@ def q407_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d") <= LP_DEG_CAP)
         .select("p")
     )
-    a = bip.select(F.col("s").alias("a"), "p")
-    b = bip.select(F.col("s").alias("b"), "p")
+    # cap BEFORE pairing (r6 verdict, q398 fix): only the capped
+    # posting list is self-joined, so a hub part never materializes
+    # its C(deg,2) pair fan-out just to drop it afterwards
+    bip_capped = bip.join(okp, "p")
+    a = bip_capped.select("p", F.col("s").alias("a"))
+    b = bip_capped.select("p", F.col("s").alias("b"))
     edges = (
         a.join(b, "p")
         .filter(F.col("a") < F.col("b"))
-        .join(okp, "p")
         .select("a", "b")
         .distinct()
     )
@@ -2599,8 +2618,11 @@ def q414_twohop_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d") <= LP_DEG_CAP)
         .select("p")
     )
-    a = bip.select(F.col("s").alias("a"), "p")
-    b = bip.select(F.col("s").alias("b"), "p")
+    # cap BEFORE pairing (r6 verdict, q398 fix): self-join only the
+    # capped posting list
+    bip_capped = bip.join(okp, "p")
+    a = bip_capped.select("p", F.col("s").alias("a"))
+    b = bip_capped.select("p", F.col("s").alias("b"))
     edge_hash = F.conv(
         F.substring(
             F.md5(
@@ -2619,7 +2641,6 @@ def q414_twohop_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         a.join(b, "p")
         .filter(F.col("a") < F.col("b"))
-        .join(okp, "p")
         .select("a", "b")
         .distinct()
         .filter(edge_hash % R2_EDGE_MOD == 0)

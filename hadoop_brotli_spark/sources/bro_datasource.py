@@ -37,15 +37,16 @@ from __future__ import annotations
 
 import glob
 import os
+import struct
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
-    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -55,6 +56,7 @@ from .bro_codec import (
     Bro2Header,
     Bro2Writer,
     BroConfig,
+    BroCorruptError,
     compress_stream,
     decompress_stream,
     is_bro2_file,
@@ -97,6 +99,57 @@ def _list_bro_files(path: str) -> list[str]:
     return sorted(p for p in glob.glob(path) if p.endswith(BRO_EXTENSION))
 
 
+def _file_partitions(path: str) -> list[InputPartition]:
+    """Framed BRO2 files split into one partition PER BLOCK (the footer
+    index read here is the only driver-side I/O — same O(metadata) cost
+    as a Parquet footer). Legacy v1 files keep the reference's
+    non-splittable 1-file-1-task semantics. Shared by the batch reader
+    and the streaming reader's partition planner."""
+    if is_bro2_file(path):
+        header, blocks = read_bro2_index(path)
+        return [BroBlockPartition(path, header, b) for b in blocks]
+    return [BroFilePartition(path)]
+
+
+def _partition_rows(
+    partition: InputPartition, config: BroConfig
+) -> Iterator[tuple]:
+    """Decode one partition into (line, path) rows. Runs on EXECUTORS
+    for both the batch reader and the streaming reader — the driver
+    never touches block bytes."""
+    path = partition.path
+
+    if isinstance(partition, BroBlockPartition):
+        # One block, decoded and crc-verified independently of
+        # every other task. Blocks are line-aligned by the writer,
+        # so no cross-partition record stitching is needed.
+        data = read_bro2_block(path, partition.block, partition.header, config)
+        lines = data.split(b"\n")
+        if lines and lines[-1] == b"":
+            lines.pop()  # writer terminates blocks with "\n"
+        for line in lines:
+            yield (line.decode("utf-8"), path)
+        return
+
+    def chunks() -> Iterator[bytes]:
+        with open(path, "rb") as f:
+            while True:
+                b = f.read(config.buffer_size)
+                if not b:
+                    return
+                yield b
+
+    tail = b""
+    for block in decompress_stream(chunks(), config):
+        buf = tail + block
+        lines = buf.split(b"\n")
+        tail = lines.pop()
+        for line in lines:
+            yield (line.decode("utf-8"), path)
+    if tail:
+        yield (tail.decode("utf-8"), path)
+
+
 class BroReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.path = options.get("path")
@@ -105,54 +158,13 @@ class BroReader(DataSourceReader):
         self.config = BroConfig.from_options(dict(options))
 
     def partitions(self) -> Sequence[InputPartition]:
-        # Framed BRO2 files split into one partition PER BLOCK (the
-        # footer index read here is the only driver-side I/O — same
-        # O(metadata) cost as a Parquet footer). Legacy v1 files keep
-        # the reference's non-splittable 1-file-1-task semantics.
         parts: list[InputPartition] = []
         for p in _list_bro_files(self.path):
-            if is_bro2_file(p):
-                header, blocks = read_bro2_index(p)
-                parts.extend(BroBlockPartition(p, header, b) for b in blocks)
-            else:
-                parts.append(BroFilePartition(p))
+            parts.extend(_file_partitions(p))
         return parts
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
-        config = self.config
-        path = partition.path
-
-        if isinstance(partition, BroBlockPartition):
-            # One block, decoded and crc-verified independently of
-            # every other task. Blocks are line-aligned by the writer,
-            # so no cross-partition record stitching is needed.
-            data = read_bro2_block(
-                path, partition.block, partition.header, config
-            )
-            lines = data.split(b"\n")
-            if lines and lines[-1] == b"":
-                lines.pop()  # writer terminates blocks with "\n"
-            for line in lines:
-                yield (line.decode("utf-8"), path)
-            return
-
-        def chunks() -> Iterator[bytes]:
-            with open(path, "rb") as f:
-                while True:
-                    b = f.read(config.buffer_size)
-                    if not b:
-                        return
-                    yield b
-
-        tail = b""
-        for block in decompress_stream(chunks(), config):
-            buf = tail + block
-            lines = buf.split(b"\n")
-            tail = lines.pop()
-            for line in lines:
-                yield (line.decode("utf-8"), path)
-        if tail:
-            yield (tail.decode("utf-8"), path)
+        return _partition_rows(partition, self.config)
 
 
 class BroWriter(DataSourceWriter):
@@ -238,16 +250,54 @@ class BroWriter(DataSourceWriter):
                 pass
 
 
-class BroStreamReader(SimpleDataSourceStreamReader):
-    """Streaming ``format("bro")``: new ``.bro`` files are the
-    micro-batch unit; offsets are the set of files already committed,
-    so replays between two offsets are deterministic (exactly-once
-    with a checkpointed sink).
+class _BroEmptyPartition(InputPartition):
+    """Planned when a replayed offset range matches no surviving files
+    (e.g. manual deletion between restart offsets) — yields nothing but
+    keeps the micro-batch plan non-degenerate."""
 
-    Scale note: the offset carries the processed-file list — fine for
-    demo/ingest dirs; a production source would watermark on
-    (mtime, name) to keep offsets O(1). Discovery order is sorted, so
-    restarts are stable.
+    def __init__(self) -> None:
+        super().__init__(None)
+
+
+def _file_key(path: str) -> list:
+    """Watermark key for a published file: (mtime_ns, basename).
+    JSON-serializable (offsets are opaque dicts) and totally ordered —
+    list comparison gives (int, str) lexicographic order."""
+    return [os.stat(path).st_mtime_ns, os.path.basename(path)]
+
+
+class BroStreamReader(DataSourceStreamReader):
+    """Streaming ``format("bro")``: new ``.bro`` files are the
+    micro-batch unit. Production-shaped (r7):
+
+    - **Executor-side reads.** ``partitions(start, end)`` plans one
+      task per legacy file / per BRO2 block and ``read()`` decodes on
+      executors — the driver only globs and reads BRO2 footers
+      (O(metadata), same as Parquet). The previous
+      ``SimpleDataSourceStreamReader`` materialized every micro-batch
+      on the driver; at 100 TB ingest that was THE bottleneck.
+    - **O(1) offsets.** An offset is a single ``(mtime_ns, name)``
+      watermark, not the processed-file list. A file belongs to batch
+      ``(start, end]`` iff ``start.wm < key(file) <= end.wm``; files
+      are immutable once published, so replays between checkpointed
+      offsets are deterministic (exactly-once with a checkpointed
+      sink).
+    - **In-flight files are deferred, not fatal.** ``latestOffset``
+      probes each candidate: a framed BRO2 file is ready when its
+      footer parses (magic + index crc — a half-written file fails
+      the probe and is retried next trigger); a legacy v1 file is
+      ready once its mtime is older than ``bro.stream.settle-ms``
+      (default 200, writers bump mtime on every write). The watermark
+      only advances to the largest ready key that is *below every
+      not-ready key*, so a slow writer can never be skipped by a
+      faster neighbor.
+
+    Publish contract (same one the sinks in this module follow):
+    write to a temp name, then ``os.replace`` to ``*.bro`` — the
+    rename happens right after the last write, so the published mtime
+    is at/after visibility time. A *completed* file that still fails
+    decode is data corruption and fails the query loudly on the
+    executor (silently skipping it would break exactly-once).
     """
 
     def __init__(self, options: dict) -> None:
@@ -255,32 +305,67 @@ class BroStreamReader(SimpleDataSourceStreamReader):
         if not self.path:
             raise ValueError("bro stream source requires a path")
         self.config = BroConfig.from_options(dict(options))
+        self.settle_ns = (
+            int(options.get("bro.stream.settle-ms", "200")) * 1_000_000
+        )
+        self._wm: list | None = None  # driver-side monotonic cache
 
     def initialOffset(self) -> dict:
-        return {"files": []}
+        return {"wm": [-1, ""]}
 
-    def _rows(self, files: list[str]) -> list[tuple]:
-        # materialized (not a generator): the simple-reader protocol
-        # pickles prefetched rows into the micro-batch plan
-        out: list[tuple] = []
-        for path in files:
-            reader = BroReader({"path": path})
-            reader.config = self.config
-            # partitions() sniffs framed-vs-legacy per file, so the
-            # stream source reads both layouts transparently
-            for part in reader.partitions():
-                out.extend(reader.read(part))
-        return out
+    def _ready(self, path: str, now_ns: int) -> bool:
+        if is_bro2_file(path):
+            try:
+                read_bro2_index(path)
+                return True
+            except (BroCorruptError, OSError, ValueError, struct.error):
+                return False  # footer not landed yet — retry next poll
+        try:
+            return now_ns - os.stat(path).st_mtime_ns >= self.settle_ns
+        except OSError:
+            return False
 
-    def read(self, start: dict) -> tuple:
-        seen = set(start["files"])
-        new = [f for f in _list_bro_files(self.path) if f not in seen]
-        end = {"files": sorted(seen | set(new))}
-        return iter(self._rows(new)), end
+    def latestOffset(self) -> dict:
+        import time
 
-    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        new = sorted(set(end["files"]) - set(start["files"]))
-        return iter(self._rows(new))
+        now_ns = time.time_ns()
+        ready: list[list] = []
+        in_flight: list[list] = []
+        for p in _list_bro_files(self.path):
+            try:
+                key = _file_key(p)
+            except OSError:
+                continue  # vanished between glob and stat
+            (ready if self._ready(p, now_ns) else in_flight).append(key)
+        # Never advance past an in-flight file: a later-keyed ready
+        # file must wait, or membership-by-key would sweep the
+        # half-written one into the batch.
+        cutoff = min(in_flight) if in_flight else None
+        eligible = [k for k in ready if cutoff is None or k < cutoff]
+        wm = max(eligible) if eligible else None
+        if wm is not None and (self._wm is None or wm > self._wm):
+            self._wm = wm
+        return {"wm": self._wm} if self._wm is not None else {"wm": [-1, ""]}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = list(start["wm"]), list(end["wm"])
+        parts: list[InputPartition] = []
+        for p in _list_bro_files(self.path):
+            try:
+                key = _file_key(p)
+            except OSError:
+                continue
+            if lo < key <= hi:
+                parts.extend(_file_partitions(p))
+        # Deterministic: published files are immutable and the range is
+        # fixed by the checkpointed offsets, so a replay re-plans the
+        # same file set (block grain included — footers are immutable).
+        return parts or [_BroEmptyPartition()]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        if isinstance(partition, _BroEmptyPartition):
+            return iter(())
+        return _partition_rows(partition, self.config)
 
     def commit(self, end: dict) -> None:
         pass
@@ -420,7 +505,7 @@ class BroDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> BroWriter:
         return BroWriter(dict(self.options), overwrite)
 
-    def simpleStreamReader(self, schema) -> BroStreamReader:
+    def streamReader(self, schema) -> BroStreamReader:
         return BroStreamReader(dict(self.options))
 
     def streamWriter(self, schema, overwrite: bool) -> BroStreamWriter:

@@ -225,8 +225,10 @@ def test_bro_datasource_streaming(spark, sf_dir, tmp_path):
 
     from pyspark.sql import functions as F
 
+    import os
+
     from hadoop_brotli_spark.catalog import load_table
-    from hadoop_brotli_spark.sources.bro_codec import BroConfig, compress_stream
+    from hadoop_brotli_spark.sources.bro_codec import Bro2Writer, BroConfig
     from hadoop_brotli_spark.sources.bro_datasource import register_bro_source
 
     register_bro_source(spark)
@@ -248,17 +250,238 @@ def test_bro_datasource_streaming(spark, sf_dir, tmp_path):
         q.processAllAvailable()
         n1 = spark.sql("SELECT COUNT(*) c FROM t_ds_bro").first().c
         assert n1 == nation.count()
-        # late-arriving file → next micro-batch
+        # late-arriving file → next micro-batch. Published atomically
+        # (tmp + os.replace, framed) — the source's publish contract;
+        # the footer probe admits it on the first poll after rename.
         cfg = BroConfig.from_options(None)
-        with open(f"{out}/late-00000.bro", "wb") as f:
-            for block in compress_stream(iter([b"extra_row\n"]), cfg):
-                f.write(block)
+        tmp = f"{out}/late-00000.bro.tmp"
+        with Bro2Writer(tmp, cfg) as w:
+            w.write_block(b"extra_row\n")
+        os.replace(tmp, f"{out}/late-00000.bro")
         q.processAllAvailable()
         n2 = spark.sql("SELECT COUNT(*) c FROM t_ds_bro").first().c
         assert n2 == n1 + 1
     finally:
         q.stop()
     assert len(glob.glob(f"{out}/*.bro")) == 3
+
+
+def test_bro_stream_watermark_defers_inflight(tmp_path):
+    """Driver-side planner unit test (no Spark): the watermark must
+    never advance past an in-flight file, even when a newer completed
+    file exists — otherwise membership-by-key would sweep the
+    half-written file into a batch. A complete framed file is admitted
+    by the footer probe regardless of age; a footer-less (in-flight)
+    file falls to the settle window and is deferred while recent."""
+    import os
+    import time
+
+    from hadoop_brotli_spark.sources.bro_codec import Bro2Writer, BroConfig
+    from hadoop_brotli_spark.sources.bro_datasource import (
+        BroStreamReader,
+        _file_key,
+    )
+
+    cfg = BroConfig()
+    now = time.time()
+
+    def publish(name: str, payload: bytes, mtime_s: float) -> str:
+        p = str(tmp_path / name)
+        with Bro2Writer(p + ".tmp", cfg) as w:
+            w.write_block(payload)
+        os.replace(p + ".tmp", p)
+        os.utime(p, (mtime_s, mtime_s))
+        return p
+
+    # settle window 100s: only the footer probe can admit a fresh file
+    reader = BroStreamReader(
+        {"path": str(tmp_path), "bro.stream.settle-ms": "100000"}
+    )
+    a = publish("a.bro", b"a\n", now)
+    # probe admits a complete framed file instantly (no settle wait)
+    assert reader.latestOffset() == {"wm": _file_key(a)}
+
+    # half-written framed file (footer truncated) — sniffs as legacy,
+    # mtime is fresh → deferred by the settle window
+    b = publish("b.bro", b"b\n", now + 5)
+    with open(b, "r+b") as f:
+        f.truncate(os.path.getsize(b) - 10)
+    os.utime(b, (now + 5, now + 5))
+    # completed file NEWER than the in-flight one
+    c = publish("c.bro", b"c\n", now + 10)
+    # wm must hold at a: c is ready but sits above in-flight b
+    assert reader.latestOffset() == {"wm": _file_key(a)}
+
+    # b completes (atomic re-publish) → wm advances past both
+    publish("b.bro", b"b\n", now + 7)
+    assert reader.latestOffset() == {"wm": _file_key(c)}
+
+    # membership (a, c] picks up exactly b and c
+    parts = reader.partitions({"wm": _file_key(a)}, {"wm": _file_key(c)})
+    assert sorted({p.path for p in parts}) == [b, c]
+
+
+def test_bro_streaming_inflight_stress_exactly_once(spark, tmp_path):
+    """r7 verdict task 1 'done' test: start the query, concurrently
+    publish files NON-atomically (incremental writes, both framed and
+    legacy layouts), and require (a) the query never dies on a
+    half-written file and (b) every row arrives exactly once."""
+    import glob
+    import json
+    import os
+    import threading
+    import time
+
+    from hadoop_brotli_spark.sources.bro_codec import (
+        Bro2Writer,
+        BroConfig,
+        compress_stream,
+    )
+    from hadoop_brotli_spark.sources.bro_datasource import register_bro_source
+
+    register_bro_source(spark)
+    out = str(tmp_path / "stress_bro")
+    os.makedirs(out)
+    ckpt = str(tmp_path / "ckpt_stress")
+    cfg = BroConfig()
+
+    n_framed, n_legacy, rows_per_file = 4, 2, 5
+    expected = {
+        f"f{i}_r{j}"
+        for i in range(n_framed + n_legacy)
+        for j in range(rows_per_file)
+    }
+
+    def slow_publish_framed(i: int) -> None:
+        # Bro2Writer writes header+blocks as it goes and the footer at
+        # close — writing straight to the final name with sleeps is a
+        # maximally non-atomic publish (visible half-written for ~30ms).
+        p = f"{out}/f-{i:03d}.bro"
+        with Bro2Writer(p, cfg) as w:
+            for j in range(rows_per_file):
+                w.write_block(f"f{i}_r{j}\n".encode())
+                time.sleep(0.01)
+
+    def slow_publish_legacy(i: int) -> None:
+        payload = "".join(
+            f"f{i}_r{j}\n" for j in range(rows_per_file)
+        ).encode()
+        blocks = list(compress_stream(iter([payload]), cfg))
+        p = f"{out}/l-{i:03d}.bro"
+        with open(p, "wb") as f:
+            half = max(1, len(blocks[0]) // 2)
+            f.write(blocks[0][:half])
+            f.flush()
+            time.sleep(0.05)
+            f.write(blocks[0][half:])
+            for b in blocks[1:]:
+                f.write(b)
+
+    stream = (
+        spark.readStream.format("bro")
+        .option("bro.stream.settle-ms", "150")
+        .load(out)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stress_bro")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+    def writer() -> None:
+        for i in range(n_framed):
+            slow_publish_framed(i)
+            time.sleep(0.02)
+        for i in range(n_legacy):
+            slow_publish_legacy(n_framed + i)
+            time.sleep(0.02)
+
+    t = threading.Thread(target=writer)
+    try:
+        t.start()
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = [
+                r.value
+                for r in spark.sql("SELECT value FROM t_stress_bro").collect()
+            ]
+            if set(got) == expected and not t.is_alive():
+                break
+            time.sleep(0.1)
+        assert q.exception() is None, q.exception()
+        got = [
+            r.value
+            for r in spark.sql("SELECT value FROM t_stress_bro").collect()
+        ]
+        assert sorted(got) == sorted(expected)  # exactly once: no dupes/loss
+    finally:
+        t.join(timeout=10)
+        q.stop()
+
+    # offsets are O(1) watermarks, not file lists: every checkpointed
+    # offset fits in one small json with a "wm" key
+    offset_files = sorted(glob.glob(f"{ckpt}/offsets/*"))
+    assert offset_files
+    for of in offset_files:
+        lines = open(of).read().splitlines()
+        payload = json.loads(lines[-1])
+        if isinstance(payload, str):  # engine may double-encode
+            payload = json.loads(payload)
+        assert set(payload) == {"wm"}
+        # the offset itself (not Spark's file header/conf) is O(1)
+        assert len(lines[-1]) < 256
+
+
+def test_bro_streaming_restart_from_checkpoint(spark, tmp_path):
+    """Exactly-once across a stop/restart: the (mtime, name) watermark
+    checkpoint must resume without re-reading or skipping files."""
+    import os
+
+    from hadoop_brotli_spark.sources.bro_codec import Bro2Writer, BroConfig
+    from hadoop_brotli_spark.sources.bro_datasource import register_bro_source
+
+    register_bro_source(spark)
+    out = str(tmp_path / "restart_bro")
+    os.makedirs(out)
+    ckpt = str(tmp_path / "ckpt_restart")
+    cfg = BroConfig()
+
+    def publish(name: str, lines: list) -> None:
+        p = f"{out}/{name}"
+        with Bro2Writer(p + ".tmp", cfg) as w:
+            w.write_block(("".join(x + "\n" for x in lines)).encode())
+        os.replace(p + ".tmp", p)
+
+    publish("one.bro", ["r1", "r2"])
+    sink = str(tmp_path / "sink_restart")
+
+    def run_once() -> list:
+        # parquet sink: supports checkpoint recovery and upgrades the
+        # source's deterministic replays to end-to-end exactly-once
+        stream = spark.readStream.format("bro").load(out)
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return [r.value for r in spark.read.parquet(sink).collect()]
+
+    got1 = run_once()
+    assert sorted(got1) == ["r1", "r2"]
+    # files landing while the query is DOWN are picked up on restart;
+    # the committed watermark excludes the already-processed file
+    publish("two.bro", ["r3"])
+    got2 = run_once()
+    assert sorted(got2) == ["r1", "r2", "r3"]  # no dupes, no loss
 
 
 def test_codec_stats_real_counters():

@@ -339,7 +339,11 @@ PINNED_EXCHANGES = {
     # q480's rounds hide behind per-round localCheckpoints, leaving
     # only the final ranking exchange in the executed plan
     "q459_facility_location_greedy": 12,
-    "q480_textrank_keywords": 1,
+    # r7 ratchet: every round hides behind its localCheckpoint
+    "q480_textrank_keywords": 0,
+    # r7 fix (r6 verdict task 2): cap joined BEFORE the pair
+    # self-join; one checkpointed bip feeds deg/sdeg/both pair sides
+    "q398_link_prediction_ra": 10,
     # r6 depth rotation: broadcast-sample kNN — ONE shuffle for the
     # per-query top-5 (WindowGroupLimit pre-limits each map task)
     # plus the final vote aggregates
