@@ -107,6 +107,15 @@ def grain_rank(
     Requirement for scale: distinct scores ≪ rows (counts, grades,
     integer bins). For near-unique scores use a coarsened bucket
     column instead (q444/q484 pattern).
+
+    PRECONDITION (r6 advice): ``score`` must be NON-NULL on every
+    row. The offset table joins back on the score column with a
+    plain (null-rejecting) equi-join, so a NULL score silently DROPS
+    the row — unlike the global window this replaces, which ranked
+    NULLs FIRST/LAST. Callers with a nullable score must
+    ``F.coalesce`` it to a sentinel bucket (and decide the NULL
+    ordering explicitly) before calling; all current call sites pass
+    non-null aggregates.
     """
     from pyspark.sql import Window as W
 

@@ -1466,8 +1466,15 @@ def q235_cosupply_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the restructure reads the edge aggregate from FOUR
             # branches (quota scalar, strata, full-keep join,
             # boundary); checkpointing materializes the lineitem
-            # scan + pair explode once instead of four times
-            .localCheckpoint()
+            # scan + pair explode once instead of four times.
+            # Non-eager (r6 advice): eager ran two Spark jobs at
+            # DataFrame CONSTRUCTION (registry enumeration, plan
+            # audits); lazy materializes on the first real action.
+            # localCheckpoint is not fault-tolerant — an executor
+            # loss after materialization fails the query instead of
+            # recomputing lineage, the accepted tradeoff for
+            # multi-consumer frames (same note as q398/q406).
+            .localCheckpoint(eager=False)
         )
         k = e.agg(
             F.floor(F.count(F.lit(1)) / TRI_EDGE_FRACTION)

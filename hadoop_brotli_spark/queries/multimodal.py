@@ -39,6 +39,21 @@ def _grid_mean(total: int, n: int) -> float:
 
 
 
+def _fan_out(df):
+    """Spread a CPU-bound decode stage across every core. The decode
+    input is a NARROW meta frame (doc_id + small ints, ~16 bytes/row)
+    whose partitioning comes from the parquet scan — and a sub-128 MB
+    documents file arrives as ONE partition, serializing the whole
+    pure-Python decode onto a single core (measured: q422 one-task at
+    sf0.1). The round-robin exchange here moves meta bytes only —
+    pixels/blobs are BUILT and consumed inside the task and still
+    never shuffle. At 100 TB the scan already has thousands of
+    splits, and the extra narrow shuffle stays bounded by the meta
+    row size."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 @register(
     "q90_multimodal_decode",
     oracle="""
@@ -379,7 +394,7 @@ def q279_bmp_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return meta.mapInPandas(run, schema=out_schema)
+    return _fan_out(meta).mapInPandas(run, schema=out_schema)
 
 
 # ----------------------------------------- q339 real PNG pixel decode
@@ -487,7 +502,7 @@ def q339_png_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return meta.mapInPandas(run, schema=out_schema)
+    return _fan_out(meta).mapInPandas(run, schema=out_schema)
 
 
 # ----------------------------------------- q341 real GIF pixel decode
@@ -597,7 +612,7 @@ def q341_gif_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return meta.mapInPandas(run, schema=out_schema)
+    return _fan_out(meta).mapInPandas(run, schema=out_schema)
 
 
 # ----------------------------------------- q364 real JPEG pixel decode
@@ -742,7 +757,7 @@ def q364_jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return meta.mapInPandas(run, schema=out_schema)
+    return _fan_out(meta).mapInPandas(run, schema=out_schema)
 
 
 # ----------------------------------------- q366 G.711 mu-law audio decode
@@ -844,7 +859,7 @@ def q366_mulaw_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return meta.mapInPandas(run, schema=out_schema)
+    return _fan_out(meta).mapInPandas(run, schema=out_schema)
 
 
 # ------------------------------ q367 MJPEG-in-AVI video frame sampling
@@ -985,7 +1000,7 @@ def q367_mjpeg_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return meta.mapInPandas(run, schema=out_schema)
+    return _fan_out(meta).mapInPandas(run, schema=out_schema)
 
 
 # --------------------------------- q369 IMA ADPCM stateful audio decode
@@ -1096,7 +1111,7 @@ def q369_adpcm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return meta.mapInPandas(run, schema=out_schema)
+    return _fan_out(meta).mapInPandas(run, schema=out_schema)
 
 
 # ------------------------------ q379 real 4:2:0 JPEG pixel decode
@@ -1238,7 +1253,7 @@ def q379_jpeg420_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return meta.mapInPandas(run, schema=out_schema)
+    return _fan_out(meta).mapInPandas(run, schema=out_schema)
 
 
 # ------------------------- q422 real PROGRESSIVE JPEG pixel decode
@@ -1381,7 +1396,7 @@ def q422_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return meta.mapInPandas(run, schema=out_schema)
+    return _fan_out(meta).mapInPandas(run, schema=out_schema)
 
 
 # ------------------------- q423 baseline JPEG decode across RESTART intervals
@@ -1520,7 +1535,7 @@ def q423_jpeg_restart_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return meta.mapInPandas(run, schema=out_schema)
+    return _fan_out(meta).mapInPandas(run, schema=out_schema)
 
 
 # ------------------------- q424 12-bit-precision JPEG pixel decode
@@ -1657,7 +1672,7 @@ def q424_jpeg_12bit_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return meta.mapInPandas(run, schema=out_schema)
+    return _fan_out(meta).mapInPandas(run, schema=out_schema)
 
 
 # ------------------ q425 perceptual-hash image dedup (dHash)
@@ -1764,7 +1779,7 @@ def q425_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    hashes = meta.mapInPandas(
+    hashes = _fan_out(meta).mapInPandas(
         run, schema="doc_id long, dhash_hi long, dhash_lo long"
     )
     fams = hashes.groupBy("dhash_hi", "dhash_lo").agg(
@@ -1882,7 +1897,7 @@ def q426_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append({"doc_id": d, "fp": fp})
             yield pd.DataFrame(rows)
 
-    fps = meta.mapInPandas(run, schema="doc_id long, fp long")
+    fps = _fan_out(meta).mapInPandas(run, schema="doc_id long, fp long")
     fams = fps.groupBy("fp").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("canonical_doc"),
@@ -2009,7 +2024,7 @@ def q439_tiff_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return meta.mapInPandas(run, schema=out_schema)
+    return _fan_out(meta).mapInPandas(run, schema=out_schema)
 
 
 # --------------------- q450 REAL box-filter image downsample (3x)
@@ -2120,7 +2135,7 @@ def q450_image_box_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return meta.mapInPandas(run, schema=out_schema)
+    return _fan_out(meta).mapInPandas(run, schema=out_schema)
 
 
 # ------------------ q451 REAL FIR audio decimation (2x downsample)
@@ -2211,4 +2226,4 @@ def q451_audio_decimation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return meta.mapInPandas(run, schema=out_schema)
+    return _fan_out(meta).mapInPandas(run, schema=out_schema)

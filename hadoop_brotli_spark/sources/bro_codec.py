@@ -318,9 +318,18 @@ class _PureBrotliDecompressor:
         self._buf = bytearray()
         self._dictionary = dictionary
         self._eof = False
+        # Validate the ceiling env var at stream-OPEN (r6 advice): a
+        # malformed BRO_PURE_DECODE_CEILING_MB surfaces here, at a
+        # predictable layer, not mid-decode on an executor.
+        pure_decode_ceiling()
 
     def decompress(self, data: bytes) -> bytes:
-        ceiling = pure_decode_ceiling()
+        try:
+            ceiling = pure_decode_ceiling()
+        except ValueError as e:
+            # env changed to a malformed value AFTER open: surface as
+            # IOError so decode-failure handlers still catch it
+            raise IOError(str(e)) from e
         if len(self._buf) + len(data) > ceiling:
             raise IOError(
                 "pure-Python brotli decode buffers unframed streams "

@@ -29,6 +29,7 @@ package io.spark_graft.bro;
 
 import java.io.ByteArrayOutputStream;
 import java.io.IOException;
+import java.io.InputStream;
 import java.util.ArrayList;
 import java.util.Arrays;
 import java.util.List;
@@ -437,13 +438,23 @@ final class BroHuffman {
   // subset DECODER: the trivial header shape the pure Python encoder
   // emits at every quality (and this encoder at quality 0)
 
-  static final class BitReader {
+  /** LSB-first bit source; implemented over byte[] (one-shot decode)
+   *  and over InputStream (metablock-at-a-time streaming decode). */
+  interface BitIn {
+    int read(int bits) throws IOException;
+
+    void align() throws IOException;
+
+    void raw(byte[] out, int outOff, int n) throws IOException;
+  }
+
+  static final class BitReader implements BitIn {
     private final byte[] data;
     private int pos;
 
     BitReader(byte[] data) { this.data = data; }
 
-    int read(int bits) throws IOException {
+    @Override public int read(int bits) throws IOException {
       int v = 0;
       for (int i = 0; i < bits; i++) {
         int b = pos >> 3;
@@ -455,15 +466,53 @@ final class BroHuffman {
       return v;
     }
 
-    void align() { pos = (pos + 7) & ~7; }
+    @Override public void align() { pos = (pos + 7) & ~7; }
 
-    void raw(byte[] out, int outOff, int n) throws IOException {
+    @Override public void raw(byte[] out, int outOff, int n)
+        throws IOException {
       if ((pos & 7) != 0) throw new IOException("unaligned raw read");
       int start = pos >> 3;
       if (start + n > data.length)
         throw new IOException("Corrupted input: truncated stored block");
       System.arraycopy(data, start, out, outOff, n);
       pos += n * 8;
+    }
+  }
+
+  /** Bit source over an InputStream: pulls one byte at a time, so the
+   *  codec never buffers the compressed stream (r6 advice — the
+   *  readAllBytes() whole-stream buffer was the same silent-OOM class
+   *  the Python side fenced with pure_decode_ceiling()). */
+  static final class StreamBitReader implements BitIn {
+    private final InputStream in;
+    private int cur;
+    private int bit = 8; // 8 = current byte exhausted
+
+    StreamBitReader(InputStream in) { this.in = in; }
+
+    @Override public int read(int bits) throws IOException {
+      int v = 0;
+      for (int i = 0; i < bits; i++) {
+        if (bit == 8) {
+          cur = in.read();
+          if (cur < 0)
+            throw new IOException("Corrupted input: truncated brotli stream");
+          bit = 0;
+        }
+        v |= ((cur >> bit) & 1) << i;
+        bit++;
+      }
+      return v;
+    }
+
+    @Override public void align() { bit = 8; } // drop partial byte
+
+    @Override public void raw(byte[] out, int outOff, int n)
+        throws IOException {
+      if (bit != 8) throw new IOException("unaligned raw read");
+      int got = in.readNBytes(out, outOff, n);
+      if (got < n)
+        throw new IOException("Corrupted input: truncated stored block");
     }
   }
 
@@ -507,7 +556,7 @@ final class BroHuffman {
       }
     }
 
-    int decode(BitReader r) throws IOException {
+    int decode(BitIn r) throws IOException {
       if (symbols == null) return singleSymbol;
       int code = 0;
       for (int ln = 1; ln <= 15; ln++) {
@@ -522,7 +571,7 @@ final class BroHuffman {
     }
   }
 
-  static Prefix readPrefixCode(BitReader r, int alphabet) throws IOException {
+  static Prefix readPrefixCode(BitIn r, int alphabet) throws IOException {
     int alphaBits = Math.max(1, 32 - Integer.numberOfLeadingZeros(alphabet - 1));
     int hskip = r.read(2);
     int[] lengths = new int[alphabet];
@@ -617,40 +666,63 @@ final class BroHuffman {
         + "RFC 7932 decoder) for general streams";
   }
 
-  /** Decode a stream written by the pure encoder (any quality) or by
-   *  {@link #compress}. */
-  static byte[] decompress(byte[] data) throws IOException {
-    BitReader r = new BitReader(data);
-    if (r.read(1) == 1) {
-      int n = r.read(3);
-      if (n == 0) {
-        int m = r.read(3);
-        if (m == 0) throw new IOException(unsupported("large WBITS form"));
+  /** Incremental decoder: one metablock per {@link #next} call, so
+   *  peak memory is ONE metablock (MLEN <= 16 MiB — metablocks are
+   *  independent here, cross-metablock distances are rejected), never
+   *  the whole stream. This is the JVM twin of the Python side's
+   *  pure_decode_ceiling() OOM fence (r6 advice): instead of a
+   *  ceiling, the framed format makes bounded decode the default. */
+  static final class MetablockDecoder {
+    private final BitIn r;
+    private boolean done;
+
+    MetablockDecoder(BitIn r) throws IOException {
+      this.r = r;
+      if (r.read(1) == 1) {
+        int n = r.read(3);
+        if (n == 0) {
+          int m = r.read(3);
+          if (m == 0) throw new IOException(unsupported("large WBITS form"));
+        }
       }
     }
-    ByteArrayOutputStream out = new ByteArrayOutputStream();
-    byte[] window = new byte[0];
-    while (true) {
+
+    /** Next metablock's decoded bytes, or null at end of stream. */
+    byte[] next() throws IOException {
+      if (done) return null;
       int islast = r.read(1);
-      if (islast == 1 && r.read(1) == 1) break; // ISLASTEMPTY
+      if (islast == 1 && r.read(1) == 1) { // ISLASTEMPTY
+        done = true;
+        return null;
+      }
       int mnibbles = r.read(2);
-      if (mnibbles == 3) throw new IOException(unsupported("metadata metablock"));
+      if (mnibbles == 3)
+        throw new IOException(unsupported("metadata metablock"));
       int mlen = r.read(4 * (4 + mnibbles)) + 1;
+      if (islast == 1) done = true; // remaining bits after it are pad
       if (islast == 0 && r.read(1) == 1) { // ISUNCOMPRESSED
         r.align();
         byte[] buf = new byte[mlen];
         r.raw(buf, 0, mlen);
-        out.write(buf, 0, mlen);
-        continue;
+        return buf;
       }
-      decodeCompressedMetablock(r, mlen, out);
-      if (islast == 1) break; // last metablock: remaining bits are pad
+      return decodeCompressedMetablock(r, mlen);
+    }
+  }
+
+  /** Decode a stream written by the pure encoder (any quality) or by
+   *  {@link #compress}. One-shot convenience over MetablockDecoder. */
+  static byte[] decompress(byte[] data) throws IOException {
+    MetablockDecoder d = new MetablockDecoder(new BitReader(data));
+    ByteArrayOutputStream out = new ByteArrayOutputStream();
+    for (byte[] block = d.next(); block != null; block = d.next()) {
+      out.write(block, 0, block.length);
     }
     return out.toByteArray();
   }
 
-  private static void decodeCompressedMetablock(BitReader r, int mlen,
-      ByteArrayOutputStream out) throws IOException {
+  private static byte[] decodeCompressedMetablock(BitIn r, int mlen)
+      throws IOException {
     // trivial header shape only
     if (r.read(1) != 0) throw new IOException(unsupported("NBLTYPESL > 1"));
     if (r.read(1) != 0) throw new IOException(unsupported("NBLTYPESI > 1"));
@@ -698,6 +770,6 @@ final class BroHuffman {
         pos++;
       }
     }
-    out.write(block, 0, mlen);
+    return block;
   }
 }

@@ -145,28 +145,52 @@ public class BroHuffmanCodec implements Configurable, CompressionCodec {
     }
   }
 
+  /** Streaming reader: decodes one metablock at a time off the
+   *  underlying stream (r6 advice — the previous readAllBytes() +
+   *  whole-stream decode was an unbounded buffer, the silent-OOM
+   *  class the Python side fenced with pure_decode_ceiling()). Peak
+   *  memory is one metablock (MLEN <= 16 MiB). */
   static final class HuffmanInputStream extends CompressionInputStream {
-    private byte[] decoded;
+    private BroHuffman.MetablockDecoder decoder;
+    private byte[] block = new byte[0];
     private int pos;
 
-    HuffmanInputStream(InputStream in) throws IOException {
-      super(in);
-      this.decoded = BroHuffman.decompress(in.readAllBytes());
+    HuffmanInputStream(InputStream in) throws IOException { super(in); }
+
+    private boolean ensure() throws IOException {
+      if (decoder == null) {
+        decoder = new BroHuffman.MetablockDecoder(
+            new BroHuffman.StreamBitReader(in));
+      }
+      while (pos >= block.length) {
+        byte[] next = decoder.next();
+        if (next == null) return false;
+        block = next;
+        pos = 0;
+      }
+      return true;
     }
 
     @Override public int read() throws IOException {
-      return pos < decoded.length ? decoded[pos++] & 0xFF : -1;
+      return ensure() ? block[pos++] & 0xFF : -1;
     }
 
-    @Override public int read(byte[] b, int off, int len) {
-      if (pos >= decoded.length) return -1;
-      int take = Math.min(len, decoded.length - pos);
-      System.arraycopy(decoded, pos, b, off, take);
+    @Override public int read(byte[] b, int off, int len)
+        throws IOException {
+      if (!ensure()) return -1;
+      int take = Math.min(len, block.length - pos);
+      System.arraycopy(block, pos, b, off, take);
       pos += take;
       return take;
     }
 
-    @Override public void resetState() { pos = 0; }
+    @Override public void resetState() {
+      // stream repositioned to a fresh `.bro` payload: re-parse the
+      // header on the next read
+      decoder = null;
+      block = new byte[0];
+      pos = 0;
+    }
   }
 
   // CodecPool-compatible buffer-whole wrappers (same shape as

@@ -324,11 +324,15 @@ PINNED_EXCHANGES = {
     "q82_lang_id_ngram": 7,
     "q253_exact_substring_dup": 7,
     "q260_cdc_chunk_dedup": 4,
-    # r5 depth rotation: JPEG decode is pure mapInPandas (0 — any
-    # exchange appearing here means pixels started shuffling);
+    # r7: the ONE exchange is the _fan_out round-robin repartition of
+    # the NARROW meta frame (doc_id + n_chars, ~16 bytes/row) that
+    # spreads the CPU-bound decode across all cores — a sub-128MB
+    # parquet scan arrives as one partition and serialized the whole
+    # decode onto one task (17s -> 1.3s at sf0.1). Pixels still never
+    # shuffle: a second exchange here means they started to.
     # q406's 16 are the unrolled propagation rounds over the
     # localCheckpointed edge list
-    "q422_jpeg_progressive_decode": 0,
+    "q422_jpeg_progressive_decode": 1,
     "q406_label_propagation": 16,
     # r5 depth addition: 10 = the 2-pass refinement's honest budget
     # (scalar bounds, 256-bucket histogram + cumulative walk, the
