@@ -446,6 +446,10 @@ final class BroHuffman {
     void align() throws IOException;
 
     void raw(byte[] out, int outOff, int n) throws IOException;
+
+    /** Consume up to the next byte boundary; returns the pad bits'
+     *  value so strict decoders can verify zero padding. */
+    int padBits() throws IOException;
   }
 
   static final class BitReader implements BitIn {
@@ -467,6 +471,14 @@ final class BroHuffman {
     }
 
     @Override public void align() { pos = (pos + 7) & ~7; }
+
+    @Override public int padBits() throws IOException {
+      int n = (-pos) & 7;
+      return n == 0 ? 0 : read(n);
+    }
+
+    /** True when every input bit is consumed (strict trailing check). */
+    boolean exhausted() { return pos == data.length * 8; }
 
     @Override public void raw(byte[] out, int outOff, int n)
         throws IOException {
@@ -506,6 +518,11 @@ final class BroHuffman {
     }
 
     @Override public void align() { bit = 8; } // drop partial byte
+
+    @Override public int padBits() throws IOException {
+      if (bit == 8) return 0;
+      return read(8 - bit);
+    }
 
     @Override public void raw(byte[] out, int outOff, int n)
         throws IOException {
@@ -569,207 +586,5 @@ final class BroHuffman {
       }
       throw new IOException("Corrupted input: bad prefix code word");
     }
-  }
-
-  static Prefix readPrefixCode(BitIn r, int alphabet) throws IOException {
-    int alphaBits = Math.max(1, 32 - Integer.numberOfLeadingZeros(alphabet - 1));
-    int hskip = r.read(2);
-    int[] lengths = new int[alphabet];
-    if (hskip == 1) { // simple form
-      int n = r.read(2) + 1;
-      int[] syms = new int[n];
-      for (int i = 0; i < n; i++) {
-        syms[i] = r.read(alphaBits);
-        if (syms[i] >= alphabet)
-          throw new IOException("Corrupted input: symbol out of range");
-      }
-      if (n == 1) { lengths[syms[0]] = 1; return new Prefix(lengths); }
-      if (n == 2) { lengths[syms[0]] = 1; lengths[syms[1]] = 1; }
-      else if (n == 3) {
-        lengths[syms[0]] = 1; lengths[syms[1]] = 2; lengths[syms[2]] = 2;
-      } else {
-        if (r.read(1) == 1) {
-          lengths[syms[0]] = 1; lengths[syms[1]] = 2;
-          lengths[syms[2]] = 3; lengths[syms[3]] = 3;
-        } else {
-          for (int i = 0; i < 4; i++) lengths[syms[i]] = 2;
-        }
-      }
-      return new Prefix(lengths);
-    }
-    if (hskip != 0)
-      throw new IOException(unsupported("HSKIP=" + hskip + " prefix header"));
-    // complex form: code-length code under the fixed code
-    int[] clcLengths = new int[18];
-    int space = 32, nUsed = 0;
-    // fixed code: 4-bit LSB peek tables (value, bits)
-    int[] clcValue = {0, 4, 3, 2, 0, 4, 3, 1, 0, 4, 3, 2, 0, 4, 3, 5};
-    int[] clcBits = {2, 2, 2, 3, 2, 2, 2, 4, 2, 2, 2, 3, 2, 2, 2, 4};
-    for (int i = 0; i < CLC_ORDER.length && space > 0; i++) {
-      int b0 = r.read(2);
-      int v, nb;
-      // re-peek semantics of the 4-bit table with only 2 bits read:
-      // entries repeat with period 4 for 2-bit codes; read more bits
-      // when the table says the code is longer
-      int idx = b0;
-      nb = clcBits[idx];
-      if (nb == 2) v = clcValue[idx];
-      else {
-        int b1 = r.read(1);
-        idx = b0 | (b1 << 2);
-        nb = clcBits[idx];
-        if (nb == 3) v = clcValue[idx];
-        else {
-          int b2 = r.read(1);
-          idx = b0 | (b1 << 2) | (b2 << 3);
-          v = clcValue[idx];
-        }
-      }
-      clcLengths[CLC_ORDER[i]] = v;
-      if (v > 0) { space -= 32 >> v; nUsed++; }
-    }
-    if (space < 0) throw new IOException("Corrupted input: CLC over-subscribed");
-    Prefix clc = new Prefix(clcLengths);
-    // standard RFC 7932 §3.5 repeat recurrence: a chained 16/17 run
-    // extends repeat via (repeat-2)<<extraBits and applies only the
-    // DELTA of new entries; any literal length resets the chain
-    int sym = 0, prevLen = 8, repeat = 0, repeatLen = -1;
-    long total = 0;
-    while (sym < alphabet && total < (1L << 15)) {
-      int c = clc.decode(r);
-      if (c < 16) {
-        lengths[sym++] = c;
-        repeat = 0;
-        repeatLen = -1;
-        if (c > 0) { prevLen = c; total += (1L << 15) >> c; }
-      } else {
-        int extraBits = c == 16 ? 2 : 3;
-        int newLen = c == 16 ? prevLen : 0;
-        if (repeatLen != newLen) { repeat = 0; repeatLen = newLen; }
-        int oldRepeat = repeat;
-        if (repeat > 0) repeat = (repeat - 2) << extraBits;
-        repeat += r.read(extraBits) + 3;
-        int delta = repeat - oldRepeat;
-        if (sym + delta > alphabet)
-          throw new IOException("Corrupted input: repeat overruns alphabet");
-        for (int i = 0; i < delta; i++) lengths[sym++] = newLen;
-        if (newLen > 0) total += (long) delta * ((1L << 15) >> newLen);
-      }
-    }
-    return new Prefix(lengths);
-  }
-
-  static String unsupported(String what) {
-    return "full-format brotli (" + what + "): this thin JVM codec reads "
-        + "only the trivial-header subset the repo's pure encoder emits; "
-        + "use the PySpark-side reader (wheel -> ctypes -> pure-Python "
-        + "RFC 7932 decoder) for general streams";
-  }
-
-  /** Incremental decoder: one metablock per {@link #next} call, so
-   *  peak memory is ONE metablock (MLEN <= 16 MiB — metablocks are
-   *  independent here, cross-metablock distances are rejected), never
-   *  the whole stream. This is the JVM twin of the Python side's
-   *  pure_decode_ceiling() OOM fence (r6 advice): instead of a
-   *  ceiling, the framed format makes bounded decode the default. */
-  static final class MetablockDecoder {
-    private final BitIn r;
-    private boolean done;
-
-    MetablockDecoder(BitIn r) throws IOException {
-      this.r = r;
-      if (r.read(1) == 1) {
-        int n = r.read(3);
-        if (n == 0) {
-          int m = r.read(3);
-          if (m == 0) throw new IOException(unsupported("large WBITS form"));
-        }
-      }
-    }
-
-    /** Next metablock's decoded bytes, or null at end of stream. */
-    byte[] next() throws IOException {
-      if (done) return null;
-      int islast = r.read(1);
-      if (islast == 1 && r.read(1) == 1) { // ISLASTEMPTY
-        done = true;
-        return null;
-      }
-      int mnibbles = r.read(2);
-      if (mnibbles == 3)
-        throw new IOException(unsupported("metadata metablock"));
-      int mlen = r.read(4 * (4 + mnibbles)) + 1;
-      if (islast == 1) done = true; // remaining bits after it are pad
-      if (islast == 0 && r.read(1) == 1) { // ISUNCOMPRESSED
-        r.align();
-        byte[] buf = new byte[mlen];
-        r.raw(buf, 0, mlen);
-        return buf;
-      }
-      return decodeCompressedMetablock(r, mlen);
-    }
-  }
-
-  /** Decode a stream written by the pure encoder (any quality) or by
-   *  {@link #compress}. One-shot convenience over MetablockDecoder. */
-  static byte[] decompress(byte[] data) throws IOException {
-    MetablockDecoder d = new MetablockDecoder(new BitReader(data));
-    ByteArrayOutputStream out = new ByteArrayOutputStream();
-    for (byte[] block = d.next(); block != null; block = d.next()) {
-      out.write(block, 0, block.length);
-    }
-    return out.toByteArray();
-  }
-
-  private static byte[] decodeCompressedMetablock(BitIn r, int mlen)
-      throws IOException {
-    // trivial header shape only
-    if (r.read(1) != 0) throw new IOException(unsupported("NBLTYPESL > 1"));
-    if (r.read(1) != 0) throw new IOException(unsupported("NBLTYPESI > 1"));
-    if (r.read(1) != 0) throw new IOException(unsupported("NBLTYPESD > 1"));
-    if (r.read(2) != 0) throw new IOException(unsupported("NPOSTFIX != 0"));
-    if (r.read(4) != 0) throw new IOException(unsupported("NDIRECT != 0"));
-    r.read(2); // context mode (irrelevant with one literal tree)
-    if (r.read(1) != 0) throw new IOException(unsupported("NTREESL > 1"));
-    if (r.read(1) != 0) throw new IOException(unsupported("NTREESD > 1"));
-    Prefix lit = readPrefixCode(r, 256);
-    Prefix cmd = readPrefixCode(r, 704);
-    Prefix dist = readPrefixCode(r, 64);
-    byte[] block = new byte[mlen];
-    int pos = 0;
-    while (pos < mlen) {
-      int sym = cmd.decode(r);
-      int cell = sym >> 6;
-      if (cell > 10) throw new IOException("Corrupted input: bad command cell");
-      int[] c = CMD_CELLS[cell];
-      int ic = c[0] + ((sym >> 3) & 7);
-      int cc = c[1] + (sym & 7);
-      int insLen = INSERT_BASE[ic]
-          + (INSERT_EXTRA[ic] > 0 ? r.read(INSERT_EXTRA[ic]) : 0);
-      int copyLen = COPY_BASE[cc]
-          + (COPY_EXTRA[cc] > 0 ? r.read(COPY_EXTRA[cc]) : 0);
-      for (int i = 0; i < insLen; i++) {
-        if (pos >= mlen)
-          throw new IOException("Corrupted input: literals overrun MLEN");
-        block[pos++] = (byte) lit.decode(r);
-      }
-      if (pos >= mlen) break; // insert-only tail (copy length ignored)
-      if (c[2] == 1) throw new IOException(unsupported("implicit distance"));
-      int ds = dist.decode(r);
-      if (ds < 16) throw new IOException(unsupported("distance short code"));
-      int x = ds - 16;
-      int nbits = (x >> 1) + 1;
-      int hi = (x & 1) + 2;
-      int distance = ((hi << nbits) | r.read(nbits)) - 3;
-      if (distance <= 0 || distance > pos)
-        throw new IOException(unsupported("distance beyond metablock"));
-      for (int i = 0; i < copyLen; i++) {
-        if (pos >= mlen)
-          throw new IOException("Corrupted input: copy overruns MLEN");
-        block[pos] = block[pos - distance];
-        pos++;
-      }
-    }
-    return block;
   }
 }
