@@ -20,23 +20,29 @@ public final class BroCodecCli {
     String mode = args.length == 1 ? args[0] : "";
     // `compress`/`decompress` drive the stored-mode codec;
     // `compress-q0`/`decompress-q0` the compressed-metablock codec
-    // (BroHuffmanCodec: quality-0 writes, trivial-header-subset reads)
+    // (quality-0 Huffman writes, full RFC 7932 reads); `-lz` the same
+    // codec with bro.quality=1 (greedy LZ77 writes)
     CompressionCodec codec =
-        mode.endsWith("-q0") ? new BroHuffmanCodec() : new BroStoredCodec();
-    if (mode.equals("compress") || mode.equals("compress-q0")) {
+        mode.endsWith("-lz") ? new BroHuffmanCodec(1)
+            : mode.endsWith("-q0") ? new BroHuffmanCodec()
+            : new BroStoredCodec();
+    if (mode.equals("compress") || mode.equals("compress-q0")
+        || mode.equals("compress-lz")) {
       CompressionOutputStream cos = codec.createOutputStream(out);
       int n;
       while ((n = in.read(buf)) > 0) cos.write(buf, 0, n);
       cos.finish();
       out.flush();
-    } else if (mode.equals("decompress") || mode.equals("decompress-q0")) {
+    } else if (mode.equals("decompress") || mode.equals("decompress-q0")
+        || mode.equals("decompress-lz")) {
       CompressionInputStream cis = codec.createInputStream(in);
       int n;
       while ((n = cis.read(buf, 0, buf.length)) > 0) out.write(buf, 0, n);
       out.flush();
     } else {
       System.err.println(
-          "usage: BroCodecCli compress|decompress|compress-q0|decompress-q0");
+          "usage: BroCodecCli compress|decompress|compress-q0|"
+              + "decompress-q0|compress-lz|decompress-lz");
       System.exit(2);
     }
   }

@@ -343,18 +343,109 @@ final class BroHuffman {
     if (nibbles > 4) bw.write(v >>> 16, 4 * (nibbles - 4));
   }
 
-  /** One quality-0 metablock: single insert-only command, Huffman
-   *  over literals, uncompressed fallback if that is smaller. */
+  static final int MAX_DIST = (1 << WBITS) - 16;
+
+  /** Greedy LZ77 parse (port of brotli_encoder._lz_parse): commands
+   *  {litStart, litEnd, copyLen, distance} relative to off; matches
+   *  are 4+ bytes via a last-position table on 4-byte keys. The
+   *  final command may be insert-only (copyLen 0). */
+  static java.util.List<int[]> lzParse(byte[] data, int off, int n,
+      int maxDist) {
+    java.util.List<int[]> cmds = new java.util.ArrayList<>();
+    java.util.HashMap<Integer, Integer> table = new java.util.HashMap<>();
+    int litStart = 0;
+    int pos = 0;
+    while (pos + 4 <= n) {
+      int key = ((data[off + pos] & 0xFF) << 24)
+          | ((data[off + pos + 1] & 0xFF) << 16)
+          | ((data[off + pos + 2] & 0xFF) << 8)
+          | (data[off + pos + 3] & 0xFF);
+      Integer cand = table.put(key, pos); // returns previous position
+      if (cand != null && pos - cand <= maxDist) {
+        int m = 4;
+        while (pos + m < n && data[off + cand + m] == data[off + pos + m]) {
+          m++;
+        }
+        cmds.add(new int[] {litStart, pos, m, pos - cand});
+        pos += m;
+        litStart = pos;
+      } else {
+        pos++;
+      }
+    }
+    if (litStart < n || cmds.isEmpty()) {
+      cmds.add(new int[] {litStart, n, 0, 0});
+    }
+    return cmds;
+  }
+
+  /** Distance -> {symbol, extra value, extra bits} with NPOSTFIX=0,
+   *  NDIRECT=0 (port of brotli_encoder._dist_symbol). */
+  static int[] distSymbol(int distance) {
+    int v = distance + 3;
+    int nbits = 32 - Integer.numberOfLeadingZeros(v) - 2;
+    int hi = v >>> nbits;
+    int extra = v & ((1 << nbits) - 1);
+    int x = ((nbits - 1) << 1) | (hi - 2);
+    return new int[] {16 + x, extra, nbits};
+  }
+
   static void encodeMetablock(BitWriter bw, byte[] chunk, int off, int mlen,
       boolean islast) {
+    encodeMetablock(bw, chunk, off, mlen, islast, 0);
+  }
+
+  /** One metablock: quality 0 = single insert-only command (Huffman
+   *  over literals); quality >= 1 = greedy LZ77 commands with
+   *  explicit distances — both byte-identical to the Python pure
+   *  encoder (brotli_encoder._encode_metablock) at the same quality.
+   *  Uncompressed fallback if the compressed body is not smaller. */
+  static void encodeMetablock(BitWriter bw, byte[] chunk, int off, int mlen,
+      boolean islast, int quality) {
+    java.util.List<int[]> cmds = quality <= 0
+        ? java.util.Collections.singletonList(new int[] {0, mlen, 0, 0})
+        : lzParse(chunk, off, mlen, MAX_DIST);
+
     long[] litFreqs = new long[256];
-    for (int i = 0; i < mlen; i++) litFreqs[chunk[off + i] & 0xFF]++;
-    int ic = lenCode(INSERT_BASE, mlen);
-    int cell = cellOf(ic >> 3, 0);
-    int cmdSym = (cell << 6) | ((ic & 7) << 3);
     long[] cmdFreqs = new long[704];
-    cmdFreqs[cmdSym] = 1;
     long[] distFreqs = new long[64];
+    // per-command: {sym, insExtraVal, insExtraBits, copyExtraVal,
+    //               copyExtraBits, distSym(-1 none), distVal, distBits,
+    //               litStart, litEnd}
+    int[][] enc = new int[cmds.size()][];
+    for (int k = 0; k < cmds.size(); k++) {
+      int[] c = cmds.get(k);
+      int ls = c[0];
+      int le = c[1];
+      int copyLen = c[2];
+      int distance = c[3];
+      int insLen = le - ls;
+      int ic = lenCode(INSERT_BASE, insLen);
+      int cc;
+      int copyExtraVal = 0;
+      int copyExtraBits = 0;
+      int dSym = -1;
+      int dVal = 0;
+      int dBits = 0;
+      if (copyLen != 0) {
+        cc = lenCode(COPY_BASE, copyLen);
+        copyExtraVal = copyLen - COPY_BASE[cc];
+        copyExtraBits = COPY_EXTRA[cc];
+        int[] d = distSymbol(distance);
+        dSym = d[0];
+        dVal = d[1];
+        dBits = d[2];
+        distFreqs[dSym]++;
+      } else {
+        cc = 0; // copy part of the final command is ignored
+      }
+      int cell = cellOf(ic >> 3, cc >> 3);
+      int sym = (cell << 6) | ((ic & 7) << 3) | (cc & 7);
+      cmdFreqs[sym]++;
+      for (int i = ls; i < le; i++) litFreqs[chunk[off + i] & 0xFF]++;
+      enc[k] = new int[] {sym, insLen - INSERT_BASE[ic], INSERT_EXTRA[ic],
+          copyExtraVal, copyExtraBits, dSym, dVal, dBits, ls, le};
+    }
 
     BitWriter body = new BitWriter();
     body.write(0, 1); // NBLTYPESL = 1
@@ -367,14 +458,21 @@ final class BroHuffman {
     body.write(0, 1); // NTREESD = 1
     int[][] litCodes = writePrefixCode(body, litFreqs, 256);
     int[][] cmdCodes = writePrefixCode(body, cmdFreqs, 704);
-    writePrefixCode(body, distFreqs, 64);
-    int[] cc = cmdCodes[cmdSym];
-    body.write(cc[0], cc[1]);
-    int ib = INSERT_EXTRA[ic];
-    if (ib > 0) body.write(mlen - INSERT_BASE[ic], ib);
-    for (int i = 0; i < mlen; i++) {
-      int[] lc = litCodes[chunk[off + i] & 0xFF];
-      body.write(lc[0], lc[1]);
+    int[][] distCodes = writePrefixCode(body, distFreqs, 64);
+    for (int[] e : enc) {
+      int[] cw = cmdCodes[e[0]];
+      body.write(cw[0], cw[1]);
+      if (e[2] > 0) body.write(e[1], e[2]);
+      if (e[4] > 0) body.write(e[3], e[4]);
+      for (int i = e[8]; i < e[9]; i++) {
+        int[] lc = litCodes[chunk[off + i] & 0xFF];
+        body.write(lc[0], lc[1]);
+      }
+      if (e[5] >= 0) {
+        int[] dw = distCodes[e[5]];
+        body.write(dw[0], dw[1]);
+        if (e[7] > 0) body.write(e[6], e[7]);
+      }
     }
     int nbits = body.bitLength();
     int pend = body.pendingBits();
@@ -409,9 +507,11 @@ final class BroHuffman {
     return m[iHigh][cHigh];
   }
 
-  /** One-shot quality-0 compression — byte-identical to the Python
-   *  pure encoder's brotli_compress(data, quality=0). */
-  static byte[] compress(byte[] data) {
+  /** One-shot compression — byte-identical to the Python pure
+   *  encoder's brotli_compress(data, quality=q). */
+  static byte[] compress(byte[] data) { return compress(data, 0); }
+
+  static byte[] compress(byte[] data, int quality) {
     BitWriter bw = new BitWriter();
     bw.write(1, 1);
     bw.write(WBITS - 17, 3);
@@ -421,11 +521,11 @@ final class BroHuffman {
     // metablock terminates (also covers empty input)
     int off = 0;
     while (data.length - off >= BLOCK) {
-      encodeMetablock(bw, data, off, BLOCK, false);
+      encodeMetablock(bw, data, off, BLOCK, false, quality);
       off += BLOCK;
     }
     if (off < data.length) {
-      encodeMetablock(bw, data, off, data.length - off, true);
+      encodeMetablock(bw, data, off, data.length - off, true, quality);
     } else {
       bw.write(1, 1); // ISLAST
       bw.write(1, 1); // ISLASTEMPTY

@@ -29,20 +29,35 @@ import org.apache.hadoop.io.compress.Decompressor;
 
 public class BroHuffmanCodec implements Configurable, CompressionCodec {
   private Configuration conf;
+  private final int defaultQuality;
+
+  public BroHuffmanCodec() { this(0); }
+
+  /** Conf-free construction for environments without hadoop-common's
+   *  Configuration on the classpath (e.g. the test CLI). */
+  public BroHuffmanCodec(int quality) { this.defaultQuality = quality; }
 
   @Override public void setConf(Configuration c) { this.conf = c; }
   @Override public Configuration getConf() { return conf; }
   @Override public String getDefaultExtension() { return ".bro"; }
 
+  /** The reference's `bro.quality` knob (BroCodec.java:22): 0 =
+   *  Huffman-only metablocks, >= 1 = greedy LZ77 (both byte-identical
+   *  to the Python pure encoder at the same quality). */
+  private int quality() {
+    return conf == null
+        ? defaultQuality : conf.getInt("bro.quality", defaultQuality);
+  }
+
   @Override
   public CompressionOutputStream createOutputStream(OutputStream out) {
-    return new HuffmanOutputStream(out);
+    return new HuffmanOutputStream(out, quality());
   }
 
   @Override
   public CompressionOutputStream createOutputStream(
       OutputStream out, Compressor compressor) {
-    return new HuffmanOutputStream(out);
+    return new HuffmanOutputStream(out, quality());
   }
 
   @Override
@@ -51,7 +66,7 @@ public class BroHuffmanCodec implements Configurable, CompressionCodec {
   }
 
   @Override public Compressor createCompressor() {
-    return new HuffmanCompressor();
+    return new HuffmanCompressor(quality());
   }
 
   @Override
@@ -81,10 +96,16 @@ public class BroHuffmanCodec implements Configurable, CompressionCodec {
   static final class HuffmanOutputStream extends CompressionOutputStream {
     private final BroHuffman.BitWriter bw = new BroHuffman.BitWriter();
     private final byte[] buf = new byte[BroHuffman.BLOCK];
+    private final int quality;
     private int fill;
     private boolean headerDone, finished;
 
-    HuffmanOutputStream(OutputStream out) { super(out); }
+    HuffmanOutputStream(OutputStream out) { this(out, 0); }
+
+    HuffmanOutputStream(OutputStream out, int quality) {
+      super(out);
+      this.quality = quality;
+    }
 
     private void header() {
       if (!headerDone) {
@@ -119,7 +140,7 @@ public class BroHuffmanCodec implements Configurable, CompressionCodec {
 
     private void flushBlock() throws IOException {
       header();
-      BroHuffman.encodeMetablock(bw, buf, 0, fill, false);
+      BroHuffman.encodeMetablock(bw, buf, 0, fill, false, quality);
       fill = 0;
       drain();
     }
@@ -128,7 +149,7 @@ public class BroHuffmanCodec implements Configurable, CompressionCodec {
       if (finished) return;
       header();
       if (fill > 0) {
-        BroHuffman.encodeMetablock(bw, buf, 0, fill, true);
+        BroHuffman.encodeMetablock(bw, buf, 0, fill, true, quality);
         fill = 0;
       } else {
         bw.write(1, 1); // ISLAST
@@ -204,6 +225,11 @@ public class BroHuffmanCodec implements Configurable, CompressionCodec {
     private int outPos;
     private boolean finishCalled;
     private long bytesRead, bytesWritten;
+    private int quality;
+
+    public HuffmanCompressor() { this(0); }
+
+    public HuffmanCompressor(int quality) { this.quality = quality; }
 
     @Override public void setInput(byte[] b, int off, int len) {
       input.write(b, off, len);
@@ -230,7 +256,7 @@ public class BroHuffmanCodec implements Configurable, CompressionCodec {
     @Override public int compress(byte[] b, int off, int len) {
       if (!finishCalled) return 0;
       if (output == null) {
-        output = BroHuffman.compress(input.toByteArray());
+        output = BroHuffman.compress(input.toByteArray(), quality);
         outPos = 0;
       }
       int take = Math.min(len, output.length - outPos);
@@ -246,7 +272,11 @@ public class BroHuffmanCodec implements Configurable, CompressionCodec {
     }
 
     @Override public void end() {}
-    @Override public void reinit(Configuration conf) { reset(); }
+
+    @Override public void reinit(Configuration conf) {
+      if (conf != null) quality = conf.getInt("bro.quality", quality);
+      reset();
+    }
   }
 
   public static final class HuffmanDecompressor implements Decompressor {
