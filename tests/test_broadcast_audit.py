@@ -110,6 +110,9 @@ AUDITED_SITES = {
     # types = event-type list, q = the fixed RAG query set), and the
     # <=256-row bucket-offset table (offs)
     ("queries/round6.py", "q489_durbin_watson", "fit"),
+    # r7: 1-row scalar aggregates (pair/type totals)
+    ("queries/round7.py", "q502_kendall_tau", "n_items"),
+    ("queries/round7.py", "q503_vocab_gini_lorenz", "tot"),
     ("queries/round6.py", "q490_cochran_q", "gs"),
     ("queries/round6.py", "q490_cochran_q", "k"),
     ("queries/round6.py", "q491_friedman_test", "k"),

@@ -494,6 +494,19 @@ DOC_QUERIES = [
     # corpora can never disagree (rate 0); duplicated halves tie
     # profile scores (lang ASC argmax must agree)
     "q499_code_switch_audit",
+    # docs shorter than K+W-1 chars contribute no full window (and
+    # len<K no grams at all); duplicated texts must share identical
+    # fingerprints cross-source; repeated k-grams inside one window
+    # exercise the packed rightmost tie-break on both engines
+    "q501_winnowing_fingerprints",
+    # single-source corpora empty the pair set (NULL sums, NULL tau
+    # on both engines); all-tied metrics zero the tie-corrected
+    # denominator (NULLIF)
+    "q502_kendall_tau",
+    # empty word sets (md5 gate can select zero docs) yield zero
+    # decile rows identically; single-type vocabularies pin gini=0;
+    # all-equal frequencies exercise the grain_rank tie order
+    "q503_vocab_gini_lorenz",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get

@@ -119,6 +119,8 @@ AUDITED_WINDOW_SITES = {
     ("queries/expansion.py", "q419_logrank_test", "orderBy"): 1,
     ("queries/expansion.py", "q420_bandit_replay", "orderBy"): 1,
     ("queries/extras.py", "q198_rolling_median", "orderBy"): 1,
+    # r7: cumulative Lorenz share over the 10-row decile grain
+    ("queries/round7.py", "q503_vocab_gini_lorenz", "orderBy"): 1,
     ("queries/extras.py", "q202_approx_top_k", "orderBy"): 1,
     ("queries/extras.py", "q219_count_min_sketch", "orderBy"): 1,
     ("queries/extras.py", "q220_interval_bin_join", "orderBy"): 1,
