@@ -123,6 +123,13 @@ def main(argv: list[str] | None = None) -> int:
                 except AssertionError as exc:
                     n_fail += 1
                     print(f"FAIL {name}: {exc}")
+                except Exception as exc:  # engine error ≠ run abort
+                    # a query or oracle that CRASHES (e.g. a DuckDB
+                    # overflow on regenerated data) is a FAIL for that
+                    # query, not a reason to lose the rest of `all`
+                    n_fail += 1
+                    print(f"FAIL {name}: {type(exc).__name__}: "
+                          f"{str(exc)[:300]}")
             if n_fail:
                 print(f"{n_fail}/{len(names)} queries FAILED",
                       file=sys.stderr)

@@ -4036,6 +4036,13 @@ def q378_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(empty_conv)
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("c"))
+        # r7: the unrolled absorption loop below references this edge
+        # aggregate from every iteration (rp -> base each round), so
+        # without a checkpoint the final plan re-embeds the two
+        # events shuffles per round (~10 s at sf0.1; 6.1 s after).
+        # Non-eager: materializes on the first action, keeping
+        # registry/plan enumeration job-free (q398/q235 convention).
+        .localCheckpoint(eager=False)
     )
     wsrc = Window.partitionBy("src")
     prob = trans.select(

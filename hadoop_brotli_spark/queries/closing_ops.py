@@ -643,9 +643,12 @@ def _acf_lag_sql(k: int) -> str:
       SELECT COUNT(*) AS n_pairs,
              CAST(COUNT(*) AS DOUBLE) AS n,
              CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-             CAST(SUM(x * y) AS DOUBLE) AS sxy,
-             CAST(SUM(x * x) AS DOUBLE) AS sxx,
-             CAST(SUM(y * y) AS DOUBLE) AS syy
+             -- widen one operand: DECIMAL(18)xDECIMAL(18) products of
+             -- ~1e9-unscaled daily revenues overflow DuckDB's int64
+             -- DECIMAL(18) multiply (hit on the r7 regenerated data)
+             CAST(SUM(CAST(x AS DECIMAL(28,2)) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(28,2)) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(28,2)) * y) AS DOUBLE) AS syy
       FROM (
         SELECT rev AS x, LAG(rev, {k}) OVER (ORDER BY d) AS y FROM daily
       ) WHERE y IS NOT NULL
@@ -2517,7 +2520,20 @@ def q275_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EWMA_ALPHA = 0.3
 EWMA_K = 20  # truncation depth; tail weight (1-a)^20 ~ 8e-4
-EWMA_W = [EWMA_ALPHA * (1 - EWMA_ALPHA) ** k for k in range(EWMA_K)]
+# alpha = 3/10 makes every truncated weight an EXACT decimal:
+# w_k = 3*7^k / 10^(k+1) — scaled by 10^20 they are the INTEGER
+# coefficients 3*7^k*10^(19-k), so the weighted sum runs entirely in
+# DECIMAL(38,0) integer space (scale 0 has nothing for Spark's
+# precision-loss rule to shave — a scale-20 chain was silently
+# truncated to 6 digits) and only ONE final division drops to double
+# (r7: the previous shared-double-literal chain drifted 1 ulp
+# between engines on regenerated data and crossed a ROUND-6 grid
+# boundary)
+EWMA_COEF_STR = [str(3 * 7**k * 10**(19 - k)) for k in range(EWMA_K)]
+# denominator: (sum of scaled weights) * 100 converts cents back to
+# currency units in the same single division
+_EWMA_S = sum(3 * 7**k * 10**(19 - k) for k in range(EWMA_K))
+EWMA_DEN_STR = str(_EWMA_S * 100)
 
 
 @register(
@@ -2530,17 +2546,20 @@ EWMA_W = [EWMA_ALPHA * (1 - EWMA_ALPHA) ** k for k in range(EWMA_K)]
     ),
     lagged AS (
       SELECT d, rev,
-             {", ".join(f"LAG(rev, {k}) OVER (ORDER BY d) AS x{k}"
+             {", ".join(f"CAST(LAG(rev, {k}) OVER (ORDER BY d) * 100"
+                        f" AS DECIMAL(14,0)) AS c{k}"
                         for k in range(EWMA_K))}
       FROM daily
     )
     SELECT d, rev,
-           ROUND(({" + ".join(f"CAST({w!r} AS DOUBLE) * x{k}"
-                              for k, w in enumerate(EWMA_W))})
-             / ({" + ".join(f"CAST({w!r} AS DOUBLE)" for w in EWMA_W)}), 6)
-             AS ewma
+           FLOOR(CAST(({" + ".join(
+               f"CAST(CAST('{w}' AS DECIMAL(20,0)) * c{k}"
+               f" AS DECIMAL(38,0))"
+               for k, w in enumerate(EWMA_COEF_STR))}) AS DOUBLE)
+             / CAST('{EWMA_DEN_STR}' AS DOUBLE)
+             * 1000000 + 0.5) / 1000000.0 AS ewma
     FROM lagged
-    WHERE x{EWMA_K - 1} IS NOT NULL
+    WHERE c{EWMA_K - 1} IS NOT NULL
     ORDER BY d
     """,
 )
@@ -2552,12 +2571,17 @@ def q276_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine determinism), so this computes the TRUNCATED form:
     Σ_{{k<{EWMA_K}}} α(1−α)^k·x_{{t−k}}, renormalized over the
     included weights — tail weight (1−α)^{EWMA_K} ≈ 8e-4 bounds the
-    truncation error, the window is a fixed {EWMA_K}-lag frame over
-    the bounded daily grain, and the weights are shared double
-    literals, so the weighted sum is the same IEEE op sequence on
-    both engines (left-to-right `+` chain). Warm-up rows (fewer than
-    {EWMA_K} trailing days) are excluded rather than silently
-    under-weighted.
+    truncation error and the window is a fixed {EWMA_K}-lag frame
+    over the bounded daily grain. α = 3/10 makes the scaled weights
+    EXACT integers (3·7^k·10^(19−k)), so the weighted sum runs in
+    DECIMAL(38,0) integer space — order-free and engine-free — and
+    only ONE final division (by the exact scaled weight sum × 100)
+    drops to double on the half-up 1e-6 grid (r7: a shared-double-
+    literal `+` chain drifted 1 ulp between engines and crossed a
+    ROUND boundary; a scale-20 DECIMAL chain was silently truncated
+    by Spark's precision-loss rule — scale 0 has nothing to shave).
+    Warm-up rows (fewer than {EWMA_K} trailing days) are excluded
+    rather than silently under-weighted.
     """
     from pyspark.sql import Window as W
 
@@ -2574,17 +2598,37 @@ def q276_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     lagged = daily.select(
         "d",
         "rev",
-        *[F.lag("rev", k).over(w).alias(f"x{k}") for k in range(EWMA_K)],
+        *[
+            (F.lag("rev", k).over(w) * 100)
+            .cast("decimal(14,0)")
+            .alias(f"c{k}")
+            for k in range(EWMA_K)
+        ],
     )
-    num = F.lit(EWMA_W[0]) * F.col("x0")
+    # exact DECIMAL weighted sum: cents x 20-digit exact weights
+    # (alpha=3/10 => w_k = 3*7^k/10^(k+1) exactly); order-free, so
+    # both engines hold the SAME exact value until the one final
+    # double division on the half-up 1e-6 grid
+    num = (
+        F.lit(EWMA_COEF_STR[0]).cast("decimal(20,0)") * F.col("c0")
+    ).cast("decimal(38,0)")
     for k in range(1, EWMA_K):
-        num = num + F.lit(EWMA_W[k]) * F.col(f"x{k}")
-    den = sum(EWMA_W[1:], EWMA_W[0])
-    # den is a Python float folded in the same left-to-right order as
-    # the SQL literal chain
+        num = num + (
+            F.lit(EWMA_COEF_STR[k]).cast("decimal(20,0)") * F.col(f"c{k}")
+        ).cast("decimal(38,0)")
+    den100 = F.lit(EWMA_DEN_STR).cast("double")
     return (
-        lagged.filter(F.col(f"x{EWMA_K - 1}").isNotNull())
-        .select("d", "rev", F.round(num / F.lit(den), 6).alias("ewma"))
+        lagged.filter(F.col(f"c{EWMA_K - 1}").isNotNull())
+        .select(
+            "d",
+            "rev",
+            (
+                F.floor(
+                    num.cast("double") / den100 * 1_000_000 + F.lit(0.5)
+                )
+                / 1_000_000.0
+            ).alias("ewma"),
+        )
         .orderBy("d")
     )
 
@@ -9175,9 +9219,12 @@ LB_LAGS = 7
       FROM (
         SELECT COUNT(*) AS n_pairs, CAST(COUNT(*) AS DOUBLE) AS n,
                CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-               CAST(SUM(x * y) AS DOUBLE) AS sxy,
-               CAST(SUM(x * x) AS DOUBLE) AS sxx,
-               CAST(SUM(y * y) AS DOUBLE) AS syy
+               -- widened operand: ~1e9-unscaled daily revenues
+               -- overflow DuckDB's int64 DECIMAL(18) multiply (the
+               -- q258 r7 fix, same sufficient-statistics shape)
+               CAST(SUM(CAST(x AS DECIMAL(28,2)) * y) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(28,2)) * x) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(28,2)) * y) AS DOUBLE) AS syy
         FROM (SELECT rev AS x, LAG(rev, {k}) OVER (ORDER BY d) AS y
               FROM daily) WHERE y IS NOT NULL
       )''' for k in range(1, LB_LAGS + 1))}
