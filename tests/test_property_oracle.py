@@ -524,6 +524,10 @@ ORDER_QUERIES = [
     # 1-2 day revenue series (< max lag) must shrink/NULL the
     # portmanteau identically; constant series zero the ACF denom
     "q338_ljung_box",
+    # series shorter than the 20-lag truncation window empty the
+    # result on both engines; constant revenue pins ewma == rev on
+    # the exact integer-coefficient path (r7 fix coverage)
+    "q276_ewma_smoothing",
     # constant prices make mx = mn (zero-width grid) and sd_h = 0
     # everywhere: bin division and Neyman weights must not diverge
     "q347_quantile_sketch_merge",
