@@ -229,6 +229,18 @@ class BroWriter(DataSourceWriter):
         # assumption: see class docstring.
         for m in messages:
             if m is not None:
+                # Bump mtime to publish time before the rename:
+                # os.replace preserves the temp file's mtime (set when
+                # the executor wrote it, possibly seconds earlier), and
+                # the stream reader's (mtime_ns, name) watermark would
+                # otherwise see a key that predates visibility — a
+                # concurrent poll could advance past it and skip the
+                # file forever. Explicit ns (not UTIME_NOW) — the
+                # kernel's coarse clock can lag time_ns by a tick.
+                import time
+
+                now = time.time_ns()
+                os.utime(m.tmp, ns=(now, now))
                 os.replace(m.tmp, m.final)
         self._sweep_stale_tmps()
 
@@ -292,12 +304,31 @@ class BroStreamReader(DataSourceStreamReader):
       not-ready key*, so a slow writer can never be skipped by a
       faster neighbor.
 
-    Publish contract (same one the sinks in this module follow):
-    write to a temp name, then ``os.replace`` to ``*.bro`` — the
-    rename happens right after the last write, so the published mtime
-    is at/after visibility time. A *completed* file that still fails
-    decode is data corruption and fails the query loudly on the
-    executor (silently skipping it would break exactly-once).
+    Publish contract (the sinks in this module follow it): write to a
+    temp name, bump mtime to publish time (``os.utime``), then
+    ``os.replace`` to ``*.bro``. The utime step matters — a bare
+    rename PRESERVES the temp file's write-time mtime, so a file
+    could become visible carrying a key that predates visibility and
+    a concurrent poll could advance the watermark past it (silent,
+    permanent skip). External publishers must either touch-before-
+    rename the same way or write in place (mtime advances with every
+    write, and the settle window defers the file until writes stop).
+    A *completed* file that still fails decode is data corruption and
+    fails the query loudly on the executor (silently skipping it
+    would break exactly-once).
+
+    Per-trigger driver cost is O(new files), not O(directory):
+    candidates at/below the cached monotonic watermark are skipped
+    before the readiness probe (the probe parses a BRO2 footer —
+    real I/O), and the optional ``bro.stream.clean-source``
+    (``off``/``delete``/``archive``) retires committed files at
+    ``commit()`` so the glob itself stays bounded at sustained
+    100 TB ingest. The watermark floor is re-seeded from every
+    offset Spark hands back (``partitions(start, end)`` on replay,
+    ``commit(end)`` on restart-with-committed-batch), so a restart
+    can never emit an offset below one already checkpointed — even
+    if retention deleted every file the glob would have rediscovered
+    it from.
     """
 
     def __init__(self, options: dict) -> None:
@@ -308,7 +339,27 @@ class BroStreamReader(DataSourceStreamReader):
         self.settle_ns = (
             int(options.get("bro.stream.settle-ms", "200")) * 1_000_000
         )
+        self.clean_source = options.get("bro.stream.clean-source", "off")
+        if self.clean_source not in ("off", "delete", "archive"):
+            raise ValueError(
+                "bro.stream.clean-source must be off|delete|archive, got "
+                f"{self.clean_source!r}"
+            )
+        self.archive_dir = options.get(
+            "bro.stream.archive-dir",
+            os.path.join(self.path, "_archive") if self.path else "",
+        )
         self._wm: list | None = None  # driver-side monotonic cache
+
+    def _floor(self, *offsets: dict) -> None:
+        """Raise the monotonic watermark floor to every offset Spark
+        has shown us (checkpointed starts/ends). Keeps latestOffset
+        from regressing after a restart where retention deleted the
+        files the watermark was derived from."""
+        for off in offsets:
+            key = list(off["wm"])
+            if self._wm is None or key > self._wm:
+                self._wm = key
 
     def initialOffset(self) -> dict:
         return {"wm": [-1, ""]}
@@ -336,6 +387,13 @@ class BroStreamReader(DataSourceStreamReader):
                 key = _file_key(p)
             except OSError:
                 continue  # vanished between glob and stat
+            if self._wm is not None and key <= self._wm:
+                # Already inside a planned batch — never re-probe
+                # (the probe parses the BRO2 footer, real I/O; at
+                # millions of accumulated files this is the
+                # difference between O(new) and O(directory) driver
+                # work per trigger).
+                continue
             (ready if self._ready(p, now_ns) else in_flight).append(key)
         # Never advance past an in-flight file: a later-keyed ready
         # file must wait, or membership-by-key would sweep the
@@ -348,6 +406,7 @@ class BroStreamReader(DataSourceStreamReader):
         return {"wm": self._wm} if self._wm is not None else {"wm": [-1, ""]}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        self._floor(start, end)  # replayed offsets re-seed the floor
         lo, hi = list(start["wm"]), list(end["wm"])
         parts: list[InputPartition] = []
         for p in _list_bro_files(self.path):
@@ -368,7 +427,33 @@ class BroStreamReader(DataSourceStreamReader):
         return _partition_rows(partition, self.config)
 
     def commit(self, end: dict) -> None:
-        pass
+        # Spark calls this once a batch's sink commit lands — and on
+        # restart for the last committed batch, which makes it the
+        # floor-seeding path that covers "restart straight into
+        # latestOffset" (partitions() is never called for committed
+        # batches).
+        self._floor(end)
+        if self.clean_source == "off":
+            return
+        hi = list(end["wm"])
+        for p in _list_bro_files(self.path):
+            try:
+                key = _file_key(p)
+            except OSError:
+                continue
+            if key > hi:
+                continue
+            try:
+                if self.clean_source == "delete":
+                    os.remove(p)
+                else:  # archive: rename preserves name + mtime
+                    os.makedirs(self.archive_dir, exist_ok=True)
+                    os.replace(
+                        p,
+                        os.path.join(self.archive_dir, os.path.basename(p)),
+                    )
+            except OSError:
+                pass  # best-effort retirement; retried next commit
 
 
 class BroStreamWriter(DataSourceStreamWriter):
@@ -460,6 +545,14 @@ class BroStreamWriter(DataSourceStreamWriter):
                     self.path,
                     f"part-{batchId:08d}-{m.final}{BRO_EXTENSION}",
                 )
+                # mtime := publish time (see BroWriter.commit): the
+                # temp file's write-time mtime predates visibility and
+                # would let a downstream stream reader's watermark
+                # race past this file.
+                import time
+
+                now = time.time_ns()
+                os.utime(m.tmp, ns=(now, now))
                 os.replace(m.tmp, final)
         self._sweep_stale_tmps()
 

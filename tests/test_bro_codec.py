@@ -498,6 +498,169 @@ def test_bro_streaming_restart_from_checkpoint(spark, tmp_path):
     assert sorted(got2) == ["r1", "r2", "r3"]  # no dupes, no loss
 
 
+def test_bro_publish_bumps_mtime_to_commit_time(tmp_path):
+    """r8 (advice-high): os.replace preserves the temp file's mtime, so
+    a published file's (mtime_ns, name) watermark key could predate its
+    visibility — a concurrent latestOffset poll between write and
+    rename would advance the watermark past it and the file would never
+    be read. Both sinks must utime the temp to publish time right
+    before the rename."""
+    import os
+    import time
+
+    from hadoop_brotli_spark.sources.bro_datasource import (
+        BroStreamWriter,
+        BroWriter,
+    )
+
+    # batch sink
+    out = str(tmp_path / "batch_sink")
+    w = BroWriter({"path": out}, overwrite=False)
+    msg = w.write(iter([("hello",), ("world",)]))
+    # simulate the write→commit gap (executor finished seconds ago)
+    past = time.time() - 3600
+    os.utime(msg.tmp, (past, past))
+    t_before_commit = time.time_ns()
+    w.commit([msg])
+    assert os.stat(msg.final).st_mtime_ns >= t_before_commit
+
+    # streaming sink
+    out2 = str(tmp_path / "stream_sink")
+    sw = BroStreamWriter({"path": out2})
+    msg2 = sw.write(iter([("row",)]))
+    os.utime(msg2.tmp, (past, past))
+    t_before_commit = time.time_ns()
+    sw.commit([msg2], batchId=7)
+    final2 = f"{out2}/part-00000007-{msg2.final}.bro"
+    assert os.stat(final2).st_mtime_ns >= t_before_commit
+
+
+def test_bro_stream_probe_cost_is_o_new_files(tmp_path, monkeypatch):
+    """r8 verdict task 1 'done' test: latestOffset must not re-probe
+    files at/below the cached watermark — per-trigger footer I/O is
+    O(new files), not O(directory)."""
+    import os
+    import time
+
+    from hadoop_brotli_spark.sources import bro_datasource as ds
+    from hadoop_brotli_spark.sources.bro_codec import Bro2Writer, BroConfig
+
+    cfg = BroConfig()
+    now = time.time()
+
+    def publish(name: str, mtime_s: float) -> str:
+        p = str(tmp_path / name)
+        with Bro2Writer(p + ".tmp", cfg) as w:
+            w.write_block(f"{name}\n".encode())
+        os.replace(p + ".tmp", p)
+        os.utime(p, (mtime_s, mtime_s))
+        return p
+
+    for i in range(20):
+        publish(f"old-{i:03d}.bro", now + i)
+
+    calls = {"n": 0}
+    real_index = ds.read_bro2_index
+
+    def counting_index(path, *a, **kw):
+        calls["n"] += 1
+        return real_index(path, *a, **kw)
+
+    monkeypatch.setattr(ds, "read_bro2_index", counting_index)
+
+    reader = ds.BroStreamReader({"path": str(tmp_path)})
+    reader.latestOffset()  # first poll probes everything
+    assert calls["n"] == 20
+
+    calls["n"] = 0
+    reader.latestOffset()  # steady-state poll, nothing new
+    assert calls["n"] == 0
+
+    publish("new-000.bro", now + 100)
+    calls["n"] = 0
+    reader.latestOffset()  # one new file → exactly one probe
+    assert calls["n"] == 1
+
+
+def test_bro_stream_watermark_restart_floor(tmp_path):
+    """r8 (advice-medium): the watermark floor is in-memory; after a
+    restart where retention deleted the committed files, latestOffset
+    must not emit a key below an offset Spark already checkpointed —
+    commit(end) and partitions(start, end) both re-seed the floor."""
+    from hadoop_brotli_spark.sources.bro_datasource import BroStreamReader
+
+    committed = {"wm": [1_000_000_000_000_000_000, "gone.bro"]}
+
+    # restart path A: last batch committed → Spark calls commit(end)
+    r = BroStreamReader({"path": str(tmp_path)})  # empty dir
+    r.commit(committed)
+    assert r.latestOffset() == committed  # no regression to [-1, ""]
+
+    # restart path B: last batch uncommitted → Spark replays via
+    # partitions(start, end)
+    r2 = BroStreamReader({"path": str(tmp_path)})
+    r2.partitions({"wm": [-1, ""]}, committed)
+    assert r2.latestOffset() == committed
+
+
+def test_bro_stream_clean_source(tmp_path):
+    """Opt-in retirement of committed files bounds the glob at
+    sustained ingest: delete removes them, archive moves them out of
+    the watched directory (name + mtime preserved)."""
+    import os
+    import time
+
+    from hadoop_brotli_spark.sources.bro_datasource import (
+        BroStreamReader,
+        _file_key,
+    )
+    from hadoop_brotli_spark.sources.bro_codec import Bro2Writer, BroConfig
+
+    cfg = BroConfig()
+    now = time.time()
+
+    def publish(d, name: str, mtime_s: float) -> str:
+        p = str(d / name)
+        with Bro2Writer(p + ".tmp", cfg) as w:
+            w.write_block(f"{name}\n".encode())
+        os.replace(p + ".tmp", p)
+        os.utime(p, (mtime_s, mtime_s))
+        return p
+
+    # delete mode: files at/below the committed watermark go away,
+    # newer files survive
+    d1 = tmp_path / "del"
+    os.makedirs(d1)
+    a = publish(d1, "a.bro", now)
+    b = publish(d1, "b.bro", now + 10)
+    r = BroStreamReader(
+        {"path": str(d1), "bro.stream.clean-source": "delete"}
+    )
+    r.commit({"wm": _file_key(a)})
+    assert not os.path.exists(a) and os.path.exists(b)
+
+    # archive mode: moved under _archive/, invisible to the glob
+    d2 = tmp_path / "arch"
+    os.makedirs(d2)
+    c = publish(d2, "c.bro", now)
+    key_c = _file_key(c)
+    r2 = BroStreamReader(
+        {"path": str(d2), "bro.stream.clean-source": "archive"}
+    )
+    r2.commit({"wm": key_c})
+    assert not os.path.exists(c)
+    moved = d2 / "_archive" / "c.bro"
+    assert moved.exists()
+    assert _file_key(str(moved)) == key_c  # mtime + name preserved
+
+    import pytest
+
+    with pytest.raises(ValueError, match="clean-source"):
+        BroStreamReader(
+            {"path": str(d2), "bro.stream.clean-source": "bogus"}
+        )
+
+
 def test_codec_stats_real_counters():
     """The reference stubs getBytesRead/getBytesWritten to 0
     (BroCompressor.java:83-91); our counters must be real and
