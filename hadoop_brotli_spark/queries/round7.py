@@ -116,8 +116,16 @@ def q501_winnowing_fingerprints(
     join is fingerprint-grain (hash cardinality ≪ gram cardinality
     by the winnowing density guarantee).
     """
+    # Explicit short-doc guard: for length(text) < WIN_K, Spark's
+    # sequence(1, 0) defaults to step -1 and yields the DESCENDING
+    # list [1, 0] — two bogus grams per short doc that only the
+    # pos >= WIN_W filter happened to drop. Filter first so the empty
+    # case never reaches the explode (DuckDB's range(1, 1) is already
+    # empty, so the oracle needs no guard).
     docs = fan_out(
-        t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.length("text") >= WIN_K)
     )
     grams = docs.select(
         "doc_id",
@@ -215,10 +223,10 @@ def q501_winnowing_fingerprints(
     cnt AS (
       SELECT
         COUNT(*) AS n0,
-        SUM(CASE WHEN (xa - xb) * (ya - yb) > 0 THEN 1 ELSE 0 END)
-          AS concordant,
-        SUM(CASE WHEN (xa - xb) * (ya - yb) < 0 THEN 1 ELSE 0 END)
-          AS discordant,
+        SUM(CASE WHEN (xa > xb AND ya > yb) OR (xa < xb AND ya < yb)
+                 THEN 1 ELSE 0 END) AS concordant,
+        SUM(CASE WHEN (xa > xb AND ya < yb) OR (xa < xb AND ya > yb)
+                 THEN 1 ELSE 0 END) AS discordant,
         SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS ties_x,
         SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS ties_y
       FROM pairs
@@ -265,22 +273,21 @@ def q502_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").alias("yb"),
     )
     pairs = a.join(b, F.col("sa") < F.col("sb"))
+    # Concordance by SIGN comparison, never (xa-xb)*(ya-yb): at corpus
+    # scale the char-sum delta (~1e12) times the doc-count delta
+    # (~1e7) overflows int64 — Spark wraps silently (misclassified
+    # pairs) while DuckDB raises, so the engines would diverge exactly
+    # when it matters.
+    concordant = ((F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb"))) | (
+        (F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb"))
+    )
+    discordant = ((F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb"))) | (
+        (F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb"))
+    )
     cnt = pairs.agg(
         F.count(F.lit(1)).alias("n0"),
-        F.sum(
-            F.when(
-                (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
-                > 0,
-                1,
-            ).otherwise(0)
-        ).alias("concordant"),
-        F.sum(
-            F.when(
-                (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
-                < 0,
-                1,
-            ).otherwise(0)
-        ).alias("discordant"),
+        F.sum(F.when(concordant, 1).otherwise(0)).alias("concordant"),
+        F.sum(F.when(discordant, 1).otherwise(0)).alias("discordant"),
         F.sum(F.when(F.col("xa") == F.col("xb"), 1).otherwise(0)).alias(
             "ties_x"
         ),
