@@ -627,7 +627,14 @@ final class BroHuffman {
     @Override public void raw(byte[] out, int outOff, int n)
         throws IOException {
       if (bit != 8) throw new IOException("unaligned raw read");
-      int got = in.readNBytes(out, outOff, n);
+      // manual fill loop: InputStream.readNBytes is Java 9+ and the
+      // jar targets Java 8 bytecode (pom.xml)
+      int got = 0;
+      while (got < n) {
+        int r = in.read(out, outOff + got, n - got);
+        if (r < 0) break;
+        got += r;
+      }
       if (got < n)
         throw new IOException("Corrupted input: truncated stored block");
     }

@@ -245,7 +245,13 @@ public class BroStoredCodec implements Configurable, CompressionCodec {
 
     BroStoredInputStream(InputStream in) throws IOException {
       super(in);
-      this.decoded = decodeStored(in.readAllBytes());
+      // drain loop instead of readAllBytes (Java 9+): the jar
+      // targets Java 8 bytecode (pom.xml)
+      ByteArrayOutputStream all = new ByteArrayOutputStream();
+      byte[] buf = new byte[8192];
+      int r;
+      while ((r = in.read(buf)) > 0) all.write(buf, 0, r);
+      this.decoded = decodeStored(all.toByteArray());
     }
 
     @Override public int read() throws IOException {

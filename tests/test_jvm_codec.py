@@ -338,3 +338,47 @@ def test_jvm_full_format_corruption_loud(jvm_cli):
 def test_jvm_q0_truncation_detected(jvm_cli):
     stream = jvm_cli("compress-q0", b"payload " * 4096)
     jvm_cli("decompress-q0", stream[: len(stream) // 2], expect_rc=1)
+
+
+def test_jar_build_produces_usable_artifact(tmp_path):
+    """r8 verdict task 3: the codec must ship as an installable jar
+    (reference parity: /root/reference/pom.xml packages
+    hadoop-brotli-0.0.1-SNAPSHOT.jar). java/build.sh is the offline
+    `mvn package` equivalent — the jar it emits must round-trip
+    payloads with no loose classes on the classpath, and its bytecode
+    must honor the pom's Java 8 target so old cluster JVMs load it."""
+    if shutil.which("javac") is None or shutil.which("java") is None:
+        pytest.skip("JDK not available")
+    cp = _hadoop_classpath()
+    if cp is None:
+        pytest.skip("hadoop client jars not bundled with this pyspark")
+    repo = os.path.dirname(JAVA_SRC.split("/java/")[0] + "/java")
+    build_sh = os.path.join(repo, "java", "build.sh")
+    out = subprocess.run(
+        ["sh", build_sh, str(tmp_path)], capture_output=True, check=True
+    )
+    jar = out.stdout.decode().strip().splitlines()[-1]
+    assert os.path.exists(jar) and jar.endswith(".jar")
+
+    runtime_cp = os.pathsep.join([jar, cp])
+    payload = b"jar artifact roundtrip " * 999
+
+    def run(mode: str, data: bytes) -> bytes:
+        proc = subprocess.run(
+            ["java", "-cp", runtime_cp,
+             "io.spark_graft.bro.BroCodecCli", mode],
+            input=data, capture_output=True,
+        )
+        assert proc.returncode == 0, proc.stderr.decode(errors="replace")
+        return proc.stdout
+
+    assert run("decompress-lz", run("compress-lz", payload)) == payload
+    assert run("decompress", run("compress", payload)) == payload
+
+    # bytecode major version 52 = Java 8 (pom target); check one class
+    import zipfile
+
+    with zipfile.ZipFile(jar) as zf:
+        cls = zf.read("io/spark_graft/bro/BroHuffmanCodec.class")
+    major = int.from_bytes(cls[6:8], "big")
+    assert major <= 52, f"bytecode major {major} exceeds Java 8 target"
