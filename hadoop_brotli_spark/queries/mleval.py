@@ -129,26 +129,34 @@ def q381_split_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(model), "grp")
         .select("o_orderkey", F.abs(F.col("y") - F.col("pred")).alias("s"))
     )
-    nc = scores.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    bounds = scores.agg(
-        F.min("s").alias("lo"), F.max("s").alias("hi")
+    # n + residual bounds in ONE calibration-half pass (r8: these were
+    # two separate aggregates — two fact-table scans and two broadcast
+    # jobs for three scalars)
+    calib_stats = scores.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("s").alias("lo"),
+        F.max("s").alias("hi"),
     )
     # bucket is a monotone function of s ALONE (ties share a bucket),
     # so in-bucket (s, o_orderkey) ranks + bucket offsets reproduce
     # the global rank exactly; all-equal residuals degenerate to one
     # bucket (still correct, single slice)
-    bucketed = scores.crossJoin(F.broadcast(bounds)).withColumn(
-        "bkt",
-        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
-            F.least(
-                F.lit(255),
-                F.floor(
-                    (F.col("s") - F.col("lo"))
-                    * 256.0
-                    / (F.col("hi") - F.col("lo"))
-                ),
-            )
-        ),
+    bucketed = (
+        scores.crossJoin(F.broadcast(calib_stats))
+        .withColumn(
+            "bkt",
+            F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(255),
+                    F.floor(
+                        (F.col("s") - F.col("lo"))
+                        * 256.0
+                        / (F.col("hi") - F.col("lo"))
+                    ),
+                )
+            ),
+        )
+        .drop("n", "lo", "hi")
     )
     hist = bucketed.groupBy("bkt").agg(
         F.count(F.lit(1)).cast("bigint").alias("bucket_rows")
@@ -161,7 +169,7 @@ def q381_split_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_before",
             F.coalesce(F.sum("bucket_rows").over(woff), F.lit(0)),
         )
-        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(calib_stats.select("n")))
         .withColumn(
             "m",
             F.least(
@@ -185,7 +193,7 @@ def q381_split_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("rk") == F.col("m") - F.col("cum_before"))
-        .select(F.col("s").alias("q"), "n")
+        .select(F.col("s").alias("q"))
     )
     test = split.filter(~F.col("calib")).join(F.broadcast(model), "grp")
     # aggregate the test half FIRST (a no-groupBy agg always yields
@@ -205,7 +213,9 @@ def q381_split_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("coverage"),
     )
-    meta = nc.join(F.broadcast(qhat.select("q")), F.lit(True), "left")
+    meta = calib_stats.select("n").join(
+        F.broadcast(qhat.select("q")), F.lit(True), "left"
+    )
     return stats.crossJoin(F.broadcast(meta)).select(
         F.col("n").alias("n_calib"),
         "n_test",
