@@ -207,6 +207,9 @@ RA_DEG_CAP = 64  # parts supplied by more suppliers than this are
 # hub noise for link prediction AND the pair-join fan-out hazard;
 # excluded by shared spec (certified: the oracle applies the same cap)
 RA_TOPK = 30
+RA_PAIR_SHUFFLE = 256  # width of the two pair-volume stages (explode
+# + pair agg): the session's 32 shuffle partitions put ~2.7M pairs in
+# each task at sf1 (87M pairs), forcing sort-spill in both stages
 
 
 @register(
@@ -290,11 +293,24 @@ def q398_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sdeg = bip.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
     bip_capped = bip.join(deg, "p")  # cap BEFORE pairing: fan-out ≤ C(64,2)
-    a = bip_capped.select("p", F.col("s").alias("supp_a"), "d")
+    # Widen the two pair-volume stages beyond the session's shuffle
+    # width (r8, the sf1 smoke's spill constant): repartitioning the
+    # SMALL capped posting list on p costs one narrow-row shuffle but
+    # runs the C(deg,2) explode + its 87M-row shuffle write across
+    # RA_PAIR_SHUFFLE tasks instead of 32; the pair-key repartition
+    # below replaces (not adds to) the aggregation exchange — same
+    # hash partitioning, just wider, so each reduce task's hash map
+    # fits in memory instead of sort-spilling. Map-side partial agg
+    # loses nothing: pairs from different parts rarely collide within
+    # one map partition, so the partial pass collapsed ~0 rows.
+    a = bip_capped.repartition(RA_PAIR_SHUFFLE, "p").select(
+        "p", F.col("s").alias("supp_a"), "d"
+    )
     b = bip_capped.select("p", F.col("s").alias("supp_b"))
     pairs = (
         a.join(b, "p")
         .filter(F.col("supp_a") < F.col("supp_b"))
+        .repartition(RA_PAIR_SHUFFLE, "supp_a", "supp_b")
         .groupBy("supp_a", "supp_b")
         .agg(
             F.count(F.lit(1)).alias("common_parts"),

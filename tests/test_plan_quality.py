@@ -346,8 +346,13 @@ PINNED_EXCHANGES = {
     # r7 ratchet: every round hides behind its localCheckpoint
     "q480_textrank_keywords": 0,
     # r7 fix (r6 verdict task 2): cap joined BEFORE the pair
-    # self-join; one checkpointed bip feeds deg/sdeg/both pair sides
-    "q398_link_prediction_ra": 10,
+    # self-join; one checkpointed bip feeds deg/sdeg/both pair sides.
+    # r8 (+1): the RA_PAIR_SHUFFLE widening — the capped posting list
+    # repartitions on p before the self-join (the NEW narrow-row
+    # exchange) and the pair stream repartitions on the pair key,
+    # REPLACING the aggregation exchange at 8x the width; the pair of
+    # repartitions took the sf1 smoke from 148 s to 13 s (spill gone)
+    "q398_link_prediction_ra": 11,
     # r6 depth rotation: broadcast-sample kNN — ONE shuffle for the
     # per-query top-5 (WindowGroupLimit pre-limits each map task)
     # plus the final vote aggregates
