@@ -42,10 +42,15 @@ bijective base-4/base-8 numeration induced by the decoder's
 
 from __future__ import annotations
 
+from ._brotli_data import (
+    DICT_OFFSETS_BY_LENGTH,
+    DICT_SIZE_BITS_BY_LENGTH,
+)
 from .brotli_pure import (
     _CLC_ORDER,
     _COPY_CODES,
     _INSERT_CODES,
+    _dict_data,
 )
 
 # Metablock input granularity.  1 MiB keeps encoder memory and
@@ -311,26 +316,111 @@ def _dist_symbol(distance: int) -> tuple[int, int, int]:
     return 16 + x, extra, nbits
 
 
+# --- static-dictionary matching (r8; RFC 7932 section 8) ------------------
+#
+# Identity transform only (transform_id 0): a match of length L at
+# stream position p is encoded as distance
+# ``min(p, window) + 1 + word_index`` — exactly the decoder's
+# ``word_idx = distance - max_dist - 1`` inverse with tid 0.  Word
+# lengths 4..24 all have dictionary classes (DICT_SIZE_BITS nonzero),
+# and the resulting distances stay inside the NPOSTFIX=0 NDIRECT=0
+# 64-symbol distance alphabet (window + 2^11 < (2+1)<<24).
+#
+# Probe policy (mirrored BYTE-IDENTICALLY by the JVM encoder in
+# BroHuffman.lzParse — change both or neither):
+#   - only at quality >= _DICT_QUALITY;
+#   - only where the previous byte is non-alphanumeric (word
+#     boundary) — dictionary words are word-aligned tokens, and this
+#     caps probe volume at ~1/word;
+#   - only when the next 4 bytes prefix SOME dictionary word (one
+#     set lookup before the length scan);
+#   - lengths scan LONGEST-first down to lz_len+1, first hit wins;
+#     within a length class the FIRST occurrence of a duplicated word
+#     keeps the lowest index.
+
+_DICT_QUALITY = 5
+
+_dict_index_cache: tuple[dict[bytes, int], set[bytes]] | None = None
+
+
+def _dict_index() -> tuple[dict[bytes, int], set[bytes]]:
+    """(word bytes -> index-within-its-length-class, 4-byte-prefix
+    set).  ~13.5k words, built once per process."""
+    global _dict_index_cache
+    if _dict_index_cache is None:
+        data = _dict_data()
+        words: dict[bytes, int] = {}
+        prefixes: set[bytes] = set()
+        for length in range(4, 25):
+            sbits = DICT_SIZE_BITS_BY_LENGTH[length]
+            if sbits == 0:
+                continue
+            base = DICT_OFFSETS_BY_LENGTH[length]
+            for idx in range(1 << sbits):
+                w = data[base + length * idx : base + length * (idx + 1)]
+                if w not in words:  # first occurrence wins
+                    words[w] = idx
+                prefixes.add(w[:4])
+        _dict_index_cache = (words, prefixes)
+    return _dict_index_cache
+
+
+def _is_alnum(b: int) -> bool:
+    return (
+        (0x61 <= b <= 0x7A) or (0x41 <= b <= 0x5A) or (0x30 <= b <= 0x39)
+    )
+
+
 def _lz_parse(
-    data: bytes, max_dist: int
+    data: bytes, max_dist: int, base_pos: int = 0, use_dict: bool = False
 ) -> list[tuple[int, int, int, int]]:
     """Greedy LZ77: [(lit_start, lit_end, copy_len, distance), ...].
     The final command may be insert-only (copy_len 0).  Matches are
     4+ bytes, found via a last-position hash table on 4-byte keys;
-    overlapping copies (distance < length) are produced naturally."""
+    overlapping copies (distance < length) are produced naturally.
+    With ``use_dict``, static-dictionary matches STRICTLY longer than
+    the LZ candidate are emitted as beyond-window distances
+    (``base_pos`` = stream bytes before ``data``, needed because the
+    decoder's max_dist is a stream-wide position)."""
     n = len(data)
     cmds: list[tuple[int, int, int, int]] = []
     table: dict[bytes, int] = {}
+    if use_dict:
+        dwords, dprefixes = _dict_index()
     lit_start = 0
     pos = 0
     while pos + 4 <= n:
         key = data[pos : pos + 4]
         cand = table.get(key)
         table[key] = pos
+        m = 0
         if cand is not None and pos - cand <= max_dist:
             m = 4
             while pos + m < n and data[cand + m] == data[pos + m]:
                 m += 1
+        if (
+            use_dict
+            and (pos == 0 or not _is_alnum(data[pos - 1]))
+            and key in dprefixes
+        ):
+            lmax = min(24, n - pos)
+            for length in range(lmax, max(4, m + 1) - 1, -1):
+                idx = dwords.get(data[pos : pos + length])
+                if idx is not None:
+                    d = min(base_pos + pos, max_dist) + 1 + idx
+                    cmds.append((lit_start, pos, length, d))
+                    pos += length
+                    lit_start = pos
+                    break
+            else:
+                if m:
+                    cmds.append((lit_start, pos, m, pos - cand))
+                    pos += m
+                    lit_start = pos
+                else:
+                    pos += 1
+            continue
+        if m:
             cmds.append((lit_start, pos, m, pos - cand))
             pos += m
             lit_start = pos
@@ -342,16 +432,21 @@ def _lz_parse(
 
 
 def _encode_metablock(
-    bw: _BitWriter, chunk: bytes, islast: bool, quality: int
+    bw: _BitWriter, chunk: bytes, islast: bool, quality: int,
+    base_pos: int = 0,
 ) -> None:
     """Emit one metablock for ``chunk`` (1..16 MiB): compressed with
-    the trivial header shape, or uncompressed if that is smaller."""
+    the trivial header shape, or uncompressed if that is smaller.
+    ``base_pos`` = stream bytes before this chunk (static-dictionary
+    distances are relative to the stream-wide position)."""
     mlen = len(chunk)
 
     if quality <= 0:
         cmds = [(0, mlen, 0, 0)]
     else:
-        cmds = _lz_parse(chunk, _MAX_DIST)
+        cmds = _lz_parse(
+            chunk, _MAX_DIST, base_pos, use_dict=quality >= _DICT_QUALITY
+        )
 
     # --- gather symbol statistics ------------------------------------
     lit_freqs: dict[int, int] = {}
@@ -478,6 +573,7 @@ class PureBrotliCompressor:
         self._buf = bytearray()
         self._header = False
         self._finished = False
+        self._pos = 0  # stream bytes already encoded (dict distances)
 
     def _ensure_header(self) -> None:
         if not self._header:
@@ -496,7 +592,8 @@ class PureBrotliCompressor:
             chunk = bytes(self._buf[:_BLOCK])
             del self._buf[:_BLOCK]
             _encode_metablock(self._bw, chunk, islast=False,
-                              quality=self._quality)
+                              quality=self._quality, base_pos=self._pos)
+            self._pos += len(chunk)
         return self._bw.take()
 
     def finish(self) -> bytes:
@@ -505,7 +602,8 @@ class PureBrotliCompressor:
         self._ensure_header()
         if self._buf:
             _encode_metablock(self._bw, bytes(self._buf), islast=True,
-                              quality=self._quality)
+                              quality=self._quality, base_pos=self._pos)
+            self._pos += len(self._buf)
             del self._buf[:]
         else:
             self._bw.write(1, 1)  # ISLAST

@@ -21,20 +21,22 @@ public final class BroCodecCli {
     // `compress`/`decompress` drive the stored-mode codec;
     // `compress-q0`/`decompress-q0` the compressed-metablock codec
     // (quality-0 Huffman writes, full RFC 7932 reads); `-lz` the same
-    // codec with bro.quality=1 (greedy LZ77 writes)
+    // codec with bro.quality=1 (greedy LZ77 writes); `-d5` with
+    // bro.quality=5 (LZ77 + static-dictionary writes)
     CompressionCodec codec =
         mode.endsWith("-lz") ? new BroHuffmanCodec(1)
+            : mode.endsWith("-d5") ? new BroHuffmanCodec(5)
             : mode.endsWith("-q0") ? new BroHuffmanCodec()
             : new BroStoredCodec();
     if (mode.equals("compress") || mode.equals("compress-q0")
-        || mode.equals("compress-lz")) {
+        || mode.equals("compress-lz") || mode.equals("compress-d5")) {
       CompressionOutputStream cos = codec.createOutputStream(out);
       int n;
       while ((n = in.read(buf)) > 0) cos.write(buf, 0, n);
       cos.finish();
       out.flush();
     } else if (mode.equals("decompress") || mode.equals("decompress-q0")
-        || mode.equals("decompress-lz")) {
+        || mode.equals("decompress-lz") || mode.equals("decompress-d5")) {
       CompressionInputStream cis = codec.createInputStream(in);
       int n;
       while ((n = cis.read(buf, 0, buf.length)) > 0) out.write(buf, 0, n);
@@ -42,7 +44,8 @@ public final class BroCodecCli {
     } else {
       System.err.println(
           "usage: BroCodecCli compress|decompress|compress-q0|"
-              + "decompress-q0|compress-lz|decompress-lz");
+              + "decompress-q0|compress-lz|decompress-lz|"
+              + "compress-d5|decompress-d5");
       System.exit(2);
     }
   }

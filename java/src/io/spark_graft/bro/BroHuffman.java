@@ -345,12 +345,65 @@ final class BroHuffman {
 
   static final int MAX_DIST = (1 << WBITS) - 16;
 
+  // --- static-dictionary matching (r8; RFC 7932 section 8) ---------------
+  // Identity transform only: a match of length L at stream position p
+  // encodes as distance min(p, window) + 1 + word_index. The probe
+  // policy mirrors brotli_encoder._lz_parse BYTE-IDENTICALLY (change
+  // both or neither): quality >= DICT_QUALITY, word-boundary starts
+  // (previous byte non-alphanumeric), 4-byte-prefix prefilter,
+  // LONGEST length first down to lzLen+1, first-occurrence-wins
+  // indices for duplicated dictionary words.
+
+  static final int DICT_QUALITY = 5;
+
+  private static java.util.HashMap<String, Integer> dictWords;
+  private static java.util.HashSet<Integer> dictPrefixes;
+
+  private static synchronized void ensureDictIndex() {
+    if (dictWords != null) return;
+    java.util.HashMap<String, Integer> words = new java.util.HashMap<>();
+    java.util.HashSet<Integer> prefixes = new java.util.HashSet<>();
+    for (int length = 4; length <= 24; length++) {
+      int sbits = BroData.DICT_SIZE_BITS_BY_LENGTH[length];
+      if (sbits == 0) continue;
+      int base = BroData.DICT_OFFSETS_BY_LENGTH[length];
+      for (int idx = 0; idx < (1 << sbits); idx++) {
+        int o = base + length * idx;
+        // ISO-8859-1 is byte-preserving: the String key hashes the
+        // raw word bytes, matching the Python bytes-keyed dict
+        String w = new String(BroData.DICTIONARY, o, length,
+            java.nio.charset.StandardCharsets.ISO_8859_1);
+        if (!words.containsKey(w)) words.put(w, idx);
+        prefixes.add(((BroData.DICTIONARY[o] & 0xFF) << 24)
+            | ((BroData.DICTIONARY[o + 1] & 0xFF) << 16)
+            | ((BroData.DICTIONARY[o + 2] & 0xFF) << 8)
+            | (BroData.DICTIONARY[o + 3] & 0xFF));
+      }
+    }
+    dictWords = words;
+    dictPrefixes = prefixes;
+  }
+
+  private static boolean isAlnum(int b) {
+    return (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+        || (b >= '0' && b <= '9');
+  }
+
+  static java.util.List<int[]> lzParse(byte[] data, int off, int n,
+      int maxDist) {
+    return lzParse(data, off, n, maxDist, 0L, false);
+  }
+
   /** Greedy LZ77 parse (port of brotli_encoder._lz_parse): commands
    *  {litStart, litEnd, copyLen, distance} relative to off; matches
    *  are 4+ bytes via a last-position table on 4-byte keys. The
-   *  final command may be insert-only (copyLen 0). */
+   *  final command may be insert-only (copyLen 0). With useDict,
+   *  static-dictionary matches STRICTLY longer than the LZ candidate
+   *  emit beyond-window distances (basePos = stream bytes before this
+   *  chunk — the decoder's max distance is stream-wide). */
   static java.util.List<int[]> lzParse(byte[] data, int off, int n,
-      int maxDist) {
+      int maxDist, long basePos, boolean useDict) {
+    if (useDict) ensureDictIndex();
     java.util.List<int[]> cmds = new java.util.ArrayList<>();
     java.util.HashMap<Integer, Integer> table = new java.util.HashMap<>();
     int litStart = 0;
@@ -361,11 +414,42 @@ final class BroHuffman {
           | ((data[off + pos + 2] & 0xFF) << 8)
           | (data[off + pos + 3] & 0xFF);
       Integer cand = table.put(key, pos); // returns previous position
+      int m = 0;
       if (cand != null && pos - cand <= maxDist) {
-        int m = 4;
+        m = 4;
         while (pos + m < n && data[off + cand + m] == data[off + pos + m]) {
           m++;
         }
+      }
+      if (useDict
+          && (pos == 0 || !isAlnum(data[off + pos - 1] & 0xFF))
+          && dictPrefixes.contains(key)) {
+        int lmax = Math.min(24, n - pos);
+        boolean emitted = false;
+        for (int length = lmax; length >= Math.max(4, m + 1); length--) {
+          Integer idx = dictWords.get(new String(data, off + pos, length,
+              java.nio.charset.StandardCharsets.ISO_8859_1));
+          if (idx != null) {
+            int d = (int) Math.min(basePos + pos, (long) maxDist) + 1 + idx;
+            cmds.add(new int[] {litStart, pos, length, d});
+            pos += length;
+            litStart = pos;
+            emitted = true;
+            break;
+          }
+        }
+        if (!emitted) {
+          if (m != 0) {
+            cmds.add(new int[] {litStart, pos, m, pos - cand});
+            pos += m;
+            litStart = pos;
+          } else {
+            pos++;
+          }
+        }
+        continue;
+      }
+      if (m != 0) {
         cmds.add(new int[] {litStart, pos, m, pos - cand});
         pos += m;
         litStart = pos;
@@ -395,16 +479,25 @@ final class BroHuffman {
     encodeMetablock(bw, chunk, off, mlen, islast, 0);
   }
 
-  /** One metablock: quality 0 = single insert-only command (Huffman
-   *  over literals); quality >= 1 = greedy LZ77 commands with
-   *  explicit distances — both byte-identical to the Python pure
-   *  encoder (brotli_encoder._encode_metablock) at the same quality.
-   *  Uncompressed fallback if the compressed body is not smaller. */
   static void encodeMetablock(BitWriter bw, byte[] chunk, int off, int mlen,
       boolean islast, int quality) {
+    encodeMetablock(bw, chunk, off, mlen, islast, quality, 0L);
+  }
+
+  /** One metablock: quality 0 = single insert-only command (Huffman
+   *  over literals); quality >= 1 = greedy LZ77 commands with
+   *  explicit distances; quality >= DICT_QUALITY additionally emits
+   *  static-dictionary references — all byte-identical to the Python
+   *  pure encoder (brotli_encoder._encode_metablock) at the same
+   *  quality. basePos = stream bytes before this chunk (dictionary
+   *  distances are stream-position-relative). Uncompressed fallback
+   *  if the compressed body is not smaller. */
+  static void encodeMetablock(BitWriter bw, byte[] chunk, int off, int mlen,
+      boolean islast, int quality, long basePos) {
     java.util.List<int[]> cmds = quality <= 0
         ? java.util.Collections.singletonList(new int[] {0, mlen, 0, 0})
-        : lzParse(chunk, off, mlen, MAX_DIST);
+        : lzParse(chunk, off, mlen, MAX_DIST, basePos,
+            quality >= DICT_QUALITY);
 
     long[] litFreqs = new long[256];
     long[] cmdFreqs = new long[704];
@@ -521,11 +614,11 @@ final class BroHuffman {
     // metablock terminates (also covers empty input)
     int off = 0;
     while (data.length - off >= BLOCK) {
-      encodeMetablock(bw, data, off, BLOCK, false, quality);
+      encodeMetablock(bw, data, off, BLOCK, false, quality, off);
       off += BLOCK;
     }
     if (off < data.length) {
-      encodeMetablock(bw, data, off, data.length - off, true, quality);
+      encodeMetablock(bw, data, off, data.length - off, true, quality, off);
     } else {
       bw.write(1, 1); // ISLAST
       bw.write(1, 1); // ISLASTEMPTY

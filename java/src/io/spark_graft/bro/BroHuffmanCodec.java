@@ -98,6 +98,7 @@ public class BroHuffmanCodec implements Configurable, CompressionCodec {
     private final byte[] buf = new byte[BroHuffman.BLOCK];
     private final int quality;
     private int fill;
+    private long basePos; // stream bytes already encoded (dict dists)
     private boolean headerDone, finished;
 
     HuffmanOutputStream(OutputStream out) { this(out, 0); }
@@ -140,7 +141,8 @@ public class BroHuffmanCodec implements Configurable, CompressionCodec {
 
     private void flushBlock() throws IOException {
       header();
-      BroHuffman.encodeMetablock(bw, buf, 0, fill, false, quality);
+      BroHuffman.encodeMetablock(bw, buf, 0, fill, false, quality, basePos);
+      basePos += fill;
       fill = 0;
       drain();
     }
@@ -149,7 +151,8 @@ public class BroHuffmanCodec implements Configurable, CompressionCodec {
       if (finished) return;
       header();
       if (fill > 0) {
-        BroHuffman.encodeMetablock(bw, buf, 0, fill, true, quality);
+        BroHuffman.encodeMetablock(bw, buf, 0, fill, true, quality, basePos);
+        basePos += fill;
         fill = 0;
       } else {
         bw.write(1, 1); // ISLAST
@@ -161,7 +164,7 @@ public class BroHuffmanCodec implements Configurable, CompressionCodec {
     }
 
     @Override public void resetState() {
-      fill = 0; headerDone = false; finished = false;
+      fill = 0; basePos = 0; headerDone = false; finished = false;
       bw.out.reset();
     }
   }

@@ -59,10 +59,47 @@ def _payloads() -> list[bytes]:
     ]
 
 
-@pytest.mark.parametrize("quality", [0, 1, 6])
+@pytest.mark.parametrize("quality", [0, 1, 5, 6])
 def test_roundtrip_pure_decoder(quality):
     for data in _payloads():
         assert brotli_decompress(brotli_compress(data, quality)) == data
+
+
+def test_dict_refs_across_metablock_boundary():
+    """r8 static-dictionary path: a dictionary match in the SECOND
+    metablock encodes max_dist from the STREAM-wide position
+    (base_pos + local), not the metablock-local one — and streaming
+    emission must equal one-shot (the base_pos bookkeeping is shared).
+    """
+    block = 1 << 20
+    rng = random.Random(7)
+    filler = bytes(rng.randrange(256) for _ in range(block - 3))
+    data = filler + b" information government description university "
+    enc = brotli_compress(data, 5)
+    assert brotli_decompress(enc) == data
+    c = PureBrotliCompressor(5)
+    streamed = c.compress(data[: block // 2]) + c.compress(
+        data[block // 2 :]
+    ) + c.finish()
+    assert streamed == enc
+
+
+def test_dict_ratio_on_first_occurrence_words():
+    """Words LZ77 has never seen compress as dictionary copies: the
+    q5 stream beats dictionary-blind q1 by a wide margin (and zlib-9,
+    which has no preset dictionary either)."""
+    import zlib
+
+    from hadoop_brotli_spark.sources.brotli_encoder import _dict_index
+
+    words, _ = _dict_index()
+    ws = sorted(w for w in words if len(w) >= 6 and w.isascii())[:1500]
+    payload = b" ".join(ws)
+    q5 = brotli_compress(payload, 5)
+    q1 = brotli_compress(payload, 1)
+    assert brotli_decompress(q5) == payload
+    assert len(q5) < len(q1) * 0.8
+    assert len(q5) < len(zlib.compress(payload, 9))
 
 
 def test_metablock_boundary_sizes():
@@ -90,7 +127,7 @@ def test_streaming_equals_oneshot():
 @pytest.mark.skipif(
     not brotli_ctypes.available(), reason="no system libbrotli"
 )
-@pytest.mark.parametrize("quality", [0, 1])
+@pytest.mark.parametrize("quality", [0, 1, 5])
 def test_golden_crosscheck_real_decoder(quality):
     """Pure-encoder output decodes byte-exact with REAL libbrotli —
     the independent-implementation conformance proof."""

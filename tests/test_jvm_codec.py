@@ -267,6 +267,61 @@ def test_jvm_lz_ratio_beats_q0_on_repetitive_text(jvm_cli):
     assert jvm_cli("decompress-q0", lz) == payload
 
 
+def _dict_rich_payload() -> bytes:
+    """First-occurrence dictionary words: LZ77 cannot see them (no
+    prior occurrence in the window) — only a static-dictionary match
+    can encode them as copies."""
+    from hadoop_brotli_spark.sources.brotli_encoder import _dict_index
+
+    words, _ = _dict_index()
+    ws = sorted(w for w in words if len(w) >= 6 and w.isascii())[:1500]
+    return b" ".join(ws)
+
+
+DICT_PAYLOADS = [
+    _dict_rich_payload(),
+    b"the quick brown fox jumps over the lazy dog because information "
+    b"about the public domain must be distributed " * 200,
+    bytes(range(256)) * 300,  # binary: dictionary must not misfire
+    b"A" * (1 << 16) + b"information government" + b"B" * 500,
+    b"",
+    b"x",
+]
+
+
+@pytest.mark.parametrize(
+    "payload", DICT_PAYLOADS, ids=[f"n{len(p)}" for p in DICT_PAYLOADS]
+)
+def test_jvm_dict_compress_matches_python_bit_for_bit(jvm_cli, payload):
+    """r8 (r7 verdict task 6): static-dictionary writes. At
+    bro.quality >= 5 both encoders emit identity-transform dictionary
+    references (distance = min(pos, window) + 1 + word_index) under
+    the same boundary/prefix/longest-first probe policy — streams are
+    byte-identical, so the Python side's conformance evidence
+    transfers to JVM dictionary writes too."""
+    from hadoop_brotli_spark.sources.brotli_encoder import brotli_compress
+
+    from_jvm = jvm_cli("compress-d5", payload)
+    assert from_jvm == brotli_compress(payload, quality=5)
+    # both decoders read the dictionary references back
+    assert jvm_cli("decompress-d5", from_jvm) == payload
+    assert brotli_decompress(from_jvm) == payload
+
+
+def test_jvm_dict_ratio_beats_lz_on_first_occurrence_text(jvm_cli):
+    """The point of dictionary matching: words LZ77 has never seen
+    compress as copies. On the first-occurrence fixture the q5 stream
+    must be meaningfully smaller than the dictionary-blind q1 stream
+    (measured ~29% here, beating zlib-9)."""
+    payload = _dict_rich_payload()
+    d5 = jvm_cli("compress-d5", payload)
+    lz = jvm_cli("compress-lz", payload)
+    assert len(d5) < len(lz) * 0.8, (len(d5), len(lz))
+    import zlib
+
+    assert len(d5) < len(zlib.compress(payload, 9))
+
+
 # reference-parity payloads: dictionary-rich text (static dictionary +
 # word transforms + context maps at q11), raw binary, long-range
 # repetition (distance ring + NDIRECT/postfix buckets)
