@@ -102,6 +102,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         round5b,
         round6,
         round7,
+        round8,
         similarity,
         textstats,
         tpch_more,

@@ -102,7 +102,8 @@ AUDITED_SITES = {
     ("queries/corpus_ops.py", "q223_join_key_skew", "top10"),
     ("queries/extras.py", "q375_ddsketch_quantiles", "cumb"),
     ("queries/extras.py", "q375_ddsketch_quantiles", "targets"),
-    ("queries/mleval.py", "q381_split_conformal", "bounds"),
+    # r8: n+min+max merged into one 1-row scalar aggregate
+    ("queries/mleval.py", "q381_split_conformal", "calib_stats"),
     ("queries/mleval.py", "q381_split_conformal", "target"),
     # r6 new operators (q488-q495): 1-row scalar aggregates (fit /
     # gs / k / n / num / sr22 / tot / bounds / mid / plain / lo_v /
@@ -113,6 +114,11 @@ AUDITED_SITES = {
     # r7: 1-row scalar aggregates (pair/type totals)
     ("queries/round7.py", "q502_kendall_tau", "n_items"),
     ("queries/round7.py", "q503_vocab_gini_lorenz", "tot"),
+    # r8: supplier = the bounded cluster-node dimension (the
+    # rendezvous score relation is keys x nodes by design); tot =
+    # 1-row part count
+    ("queries/round8.py", "q506_quorum_placement_audit", "s"),
+    ("queries/round8.py", "q506_quorum_placement_audit", "tot"),
     ("queries/round6.py", "q490_cochran_q", "gs"),
     ("queries/round6.py", "q490_cochran_q", "k"),
     ("queries/round6.py", "q491_friedman_test", "k"),
@@ -284,7 +290,6 @@ AUDITED_SITES = {
     ("queries/extras.py", "q375_ddsketch_quantiles", "n"),
     ("queries/mleval.py", "q381_split_conformal", "meta"),
     ("queries/mleval.py", "q381_split_conformal", "model"),
-    ("queries/mleval.py", "q381_split_conformal", "nc"),
     ("queries/mleval.py", "q381_split_conformal", "qhat"),
     ("queries/mleval.py", "q382_ndcg_at_k", "q"),
     ("queries/mleval.py", "q383_dsir_importance_selection", "model"),

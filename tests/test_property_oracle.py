@@ -507,6 +507,11 @@ DOC_QUERIES = [
     # decile rows identically; single-type vocabularies pin gini=0;
     # all-equal frequencies exercise the grain_rank tie order
     "q503_vocab_gini_lorenz",
+    # r8: docs shorter than SUF_MIN produce no suffixes (the q501
+    # sequence(1,0) guard); duplicated texts across docs produce
+    # equal-suffix ties (LCP = full cap) whose adjacent order must
+    # agree; single-doc corpora empty the cross-doc pair set
+    "q504_suffix_lcp_repeats",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get
@@ -883,6 +888,11 @@ EMB_QUERIES = [
     # smaller than the budget keep everything; near-zero vectors
     # score but cannot break the prefix rule
     "q494_rag_context_packing",
+    # r8: duplicate vectors tie core distances at 0 (vb tie-break);
+    # tiny corpora / lone-vector buckets drop below DENS_K in-bucket
+    # peers and must surface as n_sparse identically via the left
+    # join, never as fabricated distances
+    "q505_density_core_audit",
 ]
 
 emb_params = st.tuples(
@@ -953,6 +963,12 @@ PART_QUERIES = [
     # JVM vs DuckDB C++) and true-DL-vs-OSA divergence cases from
     # the name pool ('abdc', 'dcba' transposition traps)
     "q467_edit_distance_suite",
+    # r8: tiny part pools shrink the rendezvous key set (1-part
+    # corpora place exactly QUO_R replicas); the per-key top-3 rank
+    # over md5 weights must tie-break (h DESC, suppkey ASC)
+    # identically; nations hosting no replicas take the left-join
+    # zero path
+    "q506_quorum_placement_audit",
 ]
 
 # names chosen to sit on Jaro/Winkler edges: empty, 1-char (match

@@ -121,6 +121,9 @@ AUDITED_WINDOW_SITES = {
     ("queries/extras.py", "q198_rolling_median", "orderBy"): 1,
     # r7: cumulative Lorenz share over the 10-row decile grain
     ("queries/round7.py", "q503_vocab_gini_lorenz", "orderBy"): 1,
+    # r8: TakeOrdered-then-rank tail — the rank window sees exactly
+    # the SUF_TOPK=20 post-limit rows
+    ("queries/round8.py", "q504_suffix_lcp_repeats", "orderBy"): 1,
     ("queries/extras.py", "q202_approx_top_k", "orderBy"): 1,
     ("queries/extras.py", "q219_count_min_sketch", "orderBy"): 1,
     ("queries/extras.py", "q220_interval_bin_join", "orderBy"): 1,
