@@ -20,6 +20,14 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ._util import fan_out, t
+from .dedup import (
+    MAX_LSH_BUCKET,
+    N_HASHES,
+    _minhash_pairs,
+    _minhash_pairs_ctes,
+    _shingle_df,
+    _signatures,
+)
 from .similarity import _sql_sign_bucket, dot_double, norm_double, sign_bucket
 
 # ---------------------------------------------------------------------------
@@ -482,4 +490,473 @@ def q506_quorum_placement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("risk_share"),
         )
         .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q507 clustering agreement: adjusted Rand index + purity
+
+ARI_BITS = 4  # sign-LSH "clustering" under audit (16 clusters)
+
+
+@register(
+    "q507_adjusted_rand_index",
+    category="llm-similarity-ann",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label,
+             {_sql_sign_bucket('embedding', ARI_BITS)} AS bucket
+      FROM embeddings
+    ),
+    cell AS (
+      SELECT bucket, label, CAST(COUNT(*) AS DECIMAL(38,0)) AS nij
+      FROM b GROUP BY bucket, label
+    ),
+    rows_ AS (
+      SELECT bucket, CAST(SUM(nij) AS DECIMAL(38,0)) AS ai,
+             MAX(nij) AS mx
+      FROM cell GROUP BY bucket
+    ),
+    cols_ AS (
+      SELECT label, CAST(SUM(nij) AS DECIMAL(38,0)) AS bj
+      FROM cell GROUP BY label
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_clusters,
+             CAST(COUNT(DISTINCT label) AS BIGINT) AS n_classes
+      FROM b
+    ),
+    sums AS (
+      -- doubled pair counts: x*(x-1) stays in exact DECIMAL(38,0)
+      -- integer space (decimal DIVISION semantics differ between
+      -- engines — the q276 lesson); the /2 happens in double below
+      SELECT
+        (SELECT SUM(nij * (nij - 1)) FROM cell) AS s_cells2,
+        (SELECT SUM(ai * (ai - 1)) FROM rows_) AS s_rows2,
+        (SELECT SUM(bj * (bj - 1)) FROM cols_) AS s_cols2,
+        (SELECT SUM(mx) FROM rows_) AS s_purity
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_vecs,
+           t.n_clusters, t.n_classes,
+           ROUND((CAST(s.s_cells2 AS DOUBLE) / 2
+                  - (CAST(s.s_rows2 AS DOUBLE) / 2)
+                    * (CAST(s.s_cols2 AS DOUBLE) / 2)
+                    / (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) - 1)
+                       / 2))
+                 / NULLIF((CAST(s.s_rows2 AS DOUBLE) / 2
+                           + CAST(s.s_cols2 AS DOUBLE) / 2) / 2
+                          - (CAST(s.s_rows2 AS DOUBLE) / 2)
+                            * (CAST(s.s_cols2 AS DOUBLE) / 2)
+                            / (CAST(t.n AS DOUBLE)
+                               * (CAST(t.n AS DOUBLE) - 1) / 2), 0),
+                 6) AS ari,
+           ROUND(CAST(s.s_purity AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+             AS purity
+    FROM tot t CROSS JOIN sums s
+    """,
+)
+def q507_adjusted_rand_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-agreement audit: the adjusted Rand index (Hubert &
+    Arabie 1985) between the {ARI_BITS}-bit sign-LSH bucketing and the
+    ground-truth labels, plus cluster purity — the standard "is this
+    cheap hash clustering aligned with semantics at all" check run
+    before trusting LSH buckets for stratification or dedup blocking
+    (q62/q71/q505 all build on these buckets; this measures them).
+
+    Exactness: every pair count C(x,2) = x(x-1)/2 is computed in
+    DECIMAL(38,0) (cell counts ~1e12 at corpus scale overflow BIGINT
+    products — the q503 lesson); the expected-index correction and
+    the two final divisions are the only doubles, on identical
+    operands in both engines, ROUND-6 at the boundary. Degenerate
+    single-cluster/single-class corpora zero the denominator and
+    NULL the ARI identically via NULLIF.
+
+    Scale: one (bucket, label)-grain aggregate over the corpus, then
+    16-row / 10-row / 1-row reductions. No pairs materialize — the
+    pair counts are closed-form in the contingency cells.
+    """
+    b = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", sign_bucket("embedding", ARI_BITS).alias("bucket")
+    )
+    cell = b.groupBy("bucket", "label").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nij")
+    )
+
+    def paired2(c: F.Column) -> F.Column:
+        # DOUBLED pair count x*(x-1): exact DECIMAL(38,0) integers —
+        # decimal division semantics differ between engines (q276
+        # lesson), so the /2 happens in double space at the end
+        return c * (c - 1)
+
+    rows_ = cell.groupBy("bucket").agg(
+        F.sum("nij").cast("decimal(38,0)").alias("ai"),
+        F.max("nij").alias("mx"),
+    )
+    cols_ = cell.groupBy("label").agg(
+        F.sum("nij").cast("decimal(38,0)").alias("bj")
+    )
+    tot = b.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.countDistinct("bucket").cast("bigint").alias("n_clusters"),
+        F.countDistinct("label").cast("bigint").alias("n_classes"),
+    )
+    s_cells = cell.agg(F.sum(paired2(F.col("nij"))).alias("s_cells2"))
+    s_rows = rows_.agg(
+        F.sum(paired2(F.col("ai"))).alias("s_rows2"),
+        F.sum("mx").alias("s_purity"),
+    )
+    s_cols = cols_.agg(F.sum(paired2(F.col("bj"))).alias("s_cols2"))
+    nd = F.col("n").cast("double")
+    pairs_n = nd * (nd - 1) / 2
+    half_rows = F.col("s_rows2").cast("double") / 2
+    half_cols = F.col("s_cols2").cast("double") / 2
+    expected = half_rows * half_cols / pairs_n
+    return (
+        tot.crossJoin(F.broadcast(s_cells))
+        .crossJoin(F.broadcast(s_rows))
+        .crossJoin(F.broadcast(s_cols))
+        .select(
+            F.col("n").cast("bigint").alias("n_vecs"),
+            "n_clusters",
+            "n_classes",
+            F.round(
+                (F.col("s_cells2").cast("double") / 2 - expected)
+                / F.nullif(
+                    (half_rows + half_cols) / 2 - expected,
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("ari"),
+            F.round(
+                F.col("s_purity").cast("double") / nd, 6
+            ).alias("purity"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q508 MinHash sketch fidelity audit (estimator vs exact Jaccard)
+
+
+@register(
+    "q508_minhash_fidelity",
+    category="llm-dedup",
+    oracle=f"""
+    WITH {_minhash_pairs_ctes()},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    est AS (
+      SELECT p.doc_a, p.doc_b,
+             ({" + ".join(
+                 f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+                 for i in range(N_HASHES)
+             )}) AS matches
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b
+    ),
+    common AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b2 ON b2.doc_id = p.doc_b AND b2.shingle = a.shingle
+      GROUP BY p.doc_a, p.doc_b
+    ),
+    scored AS (
+      SELECT e.matches,
+             ROUND(ABS(e.matches / {N_HASHES}.0
+                       - COALESCE(c.n_common, 0) * 1.0
+                         / (za.sz + zb.sz - COALESCE(c.n_common, 0))),
+                   6) AS err,
+             ROUND(COALESCE(c.n_common, 0) * 1.0
+                   / (za.sz + zb.sz - COALESCE(c.n_common, 0)), 6)
+               AS true_j
+      FROM est e
+      LEFT JOIN common c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+      JOIN sizes za ON za.doc_id = e.doc_a
+      JOIN sizes zb ON zb.doc_id = e.doc_b
+    )
+    SELECT matches,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           -- half-up 1e-6 grid, not ROUND: the mean can land exactly
+           -- on a .5e-6 boundary where the engines' ROUND-on-double
+           -- implementations disagree by one grid step
+           FLOOR(CAST(SUM(CAST(true_j AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*) * 1e6 + 0.5) / 1e6 AS avg_true_jaccard,
+           FLOOR(CAST(SUM(CAST(err AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*) * 1e6 + 0.5) / 1e6 AS mean_abs_err,
+           MAX(err) AS max_abs_err
+    FROM scored GROUP BY matches ORDER BY matches
+    """,
+)
+def q508_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-fidelity audit for the q62 MinHash pipeline: for every
+    LSH candidate pair, compare the 8-hash signature ESTIMATE of
+    Jaccard similarity (matching minhashes / 8) against the EXACT
+    shingle-set Jaccard, reported per estimate level — the
+    calibration curve that tells a dedup operator what a band
+    collision actually means before they pick thresholds. (q62 emits
+    the candidates; q61 computes exact Jaccard over ALL co-shingle
+    pairs; this joins the two views on the candidate set only.)
+
+    Exactness: estimates are exact multiples of 1/8 (binary-exact
+    doubles); exact Jaccard and the absolute error are single
+    divisions of integers, ROUND-6 per pair, then summed as
+    DECIMAL(18,6) so the per-level means are order-independent and
+    engine-identical.
+
+    Scale: candidate pairs are LSH-bounded (banded buckets with the
+    {MAX_LSH_BUCKET}-cap, never docs²); the exact-Jaccard join fans
+    each pair out by ONE document's shingle set — pair-grain × doc
+    length, the same order as scoring the candidates at all.
+    """
+    pairs = _minhash_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    sig = _signatures(spark, sf_dir)
+    sh = _shingle_df(spark, sf_dir, 3, distinct=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(N_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    est = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", matches.alias("matches"))
+    )
+    common = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    true_j = nc * F.lit(1.0) / (F.col("sza") + F.col("szb") - nc)
+    scored = (
+        est.join(common, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "matches",
+            F.round(
+                F.abs(F.col("matches") / F.lit(float(N_HASHES)) - true_j), 6
+            ).alias("err"),
+            F.round(true_j, 6).alias("true_j"),
+        )
+    )
+    return (
+        scored.groupBy("matches")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            # half-up 1e-6 grid (not F.round): boundary-safe cross-
+            # engine, same double ops on both sides
+            (
+                F.floor(
+                    F.sum(F.col("true_j").cast("decimal(18,6)"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("avg_true_jaccard"),
+            (
+                F.floor(
+                    F.sum(F.col("err").cast("decimal(18,6)"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("mean_abs_err"),
+            F.max("err").alias("max_abs_err"),
+        )
+        .orderBy("matches")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q509 intra-document repetition (boilerplate) audit
+
+REP_MIN = 8  # minimum internal repeat length worth counting
+REP_BOILER = 20  # docs whose longest internal repeat reaches this
+# are flagged as boilerplate-heavy
+
+
+@register(
+    "q509_intradoc_repetition",
+    category="llm-text-analysis",
+    oracle=f"""
+    WITH suf AS (
+      SELECT d.doc_id, d.source, r.i AS pos,
+             SUBSTRING(d.text, CAST(r.i AS INTEGER), {SUF_K}) AS s
+      FROM documents d,
+           UNNEST(range(1, GREATEST(LENGTH(d.text) - {REP_MIN - 1}, 0) + 1))
+             r(i)
+    ),
+    adj AS (
+      SELECT doc_id, source, s, LENGTH(s) AS ln,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY s, pos) AS ps
+      FROM suf
+    ),
+    cand AS (
+      SELECT doc_id, source, s, ps, LEAST(ln, LENGTH(ps)) AS cap
+      FROM adj
+      WHERE ps IS NOT NULL
+        AND SUBSTRING(s, 1, {REP_MIN}) = SUBSTRING(ps, 1, {REP_MIN})
+    ),
+    lcp AS (
+      SELECT doc_id, source,
+             LEAST(MAX(k.k), cap) AS rep_len
+      FROM cand,
+           UNNEST(range({REP_MIN}, {SUF_K} + 1)) k(k)
+      WHERE SUBSTRING(s, 1, CAST(k.k AS INTEGER))
+              = SUBSTRING(ps, 1, CAST(k.k AS INTEGER))
+      GROUP BY doc_id, source, s, ps, cap
+    ),
+    per_doc AS (
+      SELECT d.doc_id, d.source,
+             COALESCE(MAX(l.rep_len), 0) AS max_rep,
+             CAST(COUNT(l.rep_len) AS BIGINT) AS n_repeats
+      FROM documents d LEFT JOIN lcp l ON l.doc_id = d.doc_id
+      GROUP BY d.doc_id, d.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(CASE WHEN max_rep >= {REP_MIN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_repeats,
+           CAST(SUM(CASE WHEN max_rep >= {REP_BOILER} THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_boilerplate,
+           CAST(MAX(max_rep) AS BIGINT) AS longest_repeat,
+           CAST(SUM(n_repeats) AS BIGINT) AS total_repeat_anchors,
+           ROUND(SUM(CASE WHEN max_rep >= {REP_BOILER} THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS boilerplate_share
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def q509_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition audit: the longest substring a
+    document repeats WITHIN itself (adjacent-suffix LCP with both
+    suffixes from the same doc — the single-doc slice of the q504
+    construction) — the boilerplate/template signal quality filters
+    use that neither cross-doc dedup (q504) nor char-stat scoring
+    (q80) captures: a doc that repeats a {REP_BOILER}+ char block is
+    navigation chrome, a log loop, or generated filler.
+
+    Engine parity: suffixes sort PER DOCUMENT (no bucket needed —
+    the partition is the doc), candidates prefilter on {REP_MIN}-char
+    prefix equality before the LCP explode, LCP is the monotone
+    prefix-equality MAX capped by both truncated lengths; docs with
+    no repeats enter via the left join with max_rep 0.
+
+    Scale: the suffix window partitions per doc (bounded by document
+    length, never corpus-bound); the LCP explode applies only to
+    prefix-matching adjacent rows; the report is source-grain.
+    """
+    suf = (
+        fan_out(
+            t(spark, sf_dir, "documents")
+            .select("doc_id", "source", "text")
+            .filter(F.length("text") >= REP_MIN)
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(text) - "
+                    f"{REP_MIN - 1}, 0)), i -> substring(text, i, {SUF_K}))"
+                )
+            ).alias("pos0", "s"),
+        )
+        .select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), "s")
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "pos")
+    cand = (
+        suf.select(
+            "doc_id",
+            "source",
+            "s",
+            F.length("s").alias("ln"),
+            F.lag("s").over(w).alias("ps"),
+            "pos",
+        )
+        .filter(
+            F.col("ps").isNotNull()
+            & (
+                F.substring("s", 1, REP_MIN)
+                == F.substring("ps", 1, REP_MIN)
+            )
+        )
+        .select(
+            "doc_id",
+            "source",
+            "s",
+            "ps",
+            F.least(F.col("ln"), F.length("ps")).alias("cap"),
+        )
+    )
+    lcp = (
+        cand.select(
+            "doc_id",
+            "source",
+            "s",
+            "ps",
+            "cap",
+            F.explode(F.sequence(F.lit(REP_MIN), F.lit(SUF_K))).alias("k"),
+        )
+        .filter(
+            F.expr("substring(s, 1, k)") == F.expr("substring(ps, 1, k)")
+        )
+        .groupBy("doc_id", "source", "s", "ps", "cap")
+        .agg(F.least(F.max("k"), F.first("cap")).alias("rep_len"))
+    )
+    per_doc = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .join(lcp.select("doc_id", "rep_len"), "doc_id", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.coalesce(F.max("rep_len"), F.lit(0)).alias("max_rep"),
+            F.count("rep_len").cast("bigint").alias("n_repeats"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum(F.when(F.col("max_rep") >= REP_MIN, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_with_repeats"),
+            F.sum(F.when(F.col("max_rep") >= REP_BOILER, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_boilerplate"),
+            F.max("max_rep").cast("bigint").alias("longest_repeat"),
+            F.sum("n_repeats").cast("bigint").alias("total_repeat_anchors"),
+            F.round(
+                F.sum(
+                    F.when(F.col("max_rep") >= REP_BOILER, 1).otherwise(0)
+                )
+                * F.lit(1.0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("boilerplate_share"),
+        )
+        .orderBy("source")
     )

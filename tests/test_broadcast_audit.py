@@ -119,6 +119,10 @@ AUDITED_SITES = {
     # 1-row part count
     ("queries/round8.py", "q506_quorum_placement_audit", "s"),
     ("queries/round8.py", "q506_quorum_placement_audit", "tot"),
+    # r8: three 1-row scalar aggregates (contingency pair-count sums)
+    ("queries/round8.py", "q507_adjusted_rand_index", "s_cells"),
+    ("queries/round8.py", "q507_adjusted_rand_index", "s_rows"),
+    ("queries/round8.py", "q507_adjusted_rand_index", "s_cols"),
     ("queries/round6.py", "q490_cochran_q", "gs"),
     ("queries/round6.py", "q490_cochran_q", "k"),
     ("queries/round6.py", "q491_friedman_test", "k"),

@@ -512,6 +512,15 @@ DOC_QUERIES = [
     # equal-suffix ties (LCP = full cap) whose adjacent order must
     # agree; single-doc corpora empty the cross-doc pair set
     "q504_suffix_lcp_repeats",
+    # r8: tiny corpora can yield zero LSH candidate pairs (zero
+    # output rows both engines); duplicated texts pin est=1 AND
+    # true=1 (err 0); 16-bit chunk collisions can surface pairs with
+    # ZERO shared shingles — the COALESCE(0) true-jaccard path
+    "q508_minhash_fidelity",
+    # r8: word-pool texts repeat words heavily, exercising the
+    # intra-doc adjacent-LCP ties; docs shorter than REP_MIN take
+    # the left-join max_rep=0 path; single-word docs have no repeats
+    "q509_intradoc_repetition",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get
@@ -893,6 +902,11 @@ EMB_QUERIES = [
     # peers and must surface as n_sparse identically via the left
     # join, never as fabricated distances
     "q505_density_core_audit",
+    # r8: dup blocks concentrate one bucket/label cell (ARI pinned
+    # by exact DECIMAL pair counts); single-bucket or single-label
+    # degenerate corpora zero the ARI denominator (NULL via NULLIF
+    # on both engines); purity ties resolved by MAX identically
+    "q507_adjusted_rand_index",
 ]
 
 emb_params = st.tuples(
