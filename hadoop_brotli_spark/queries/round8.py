@@ -960,3 +960,464 @@ def q509_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q510 compaction (small-file bin-packing) advisor
+
+CPT_TARGET = 200  # target rows per compacted file (a stand-in for
+# the 128 MB object-store target; rows are the deterministic proxy)
+CPT_SMALL = 50  # "small file" threshold for the before-picture
+
+
+@register(
+    "q510_compaction_advisor",
+    category="mixed-extensions",
+    oracle=f"""
+    WITH files AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+             o_orderdate AS dt, COUNT(*) AS sz
+      FROM orders GROUP BY 1, 2
+    ),
+    packed AS (
+      SELECT yr, dt, sz,
+             CAST(FLOOR(
+               (SUM(sz) OVER (PARTITION BY yr ORDER BY dt
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) * 1.0) / {CPT_TARGET}
+             ) AS BIGINT) AS bin
+      FROM files
+    ),
+    bins AS (
+      SELECT yr, COALESCE(bin, 0) AS bin, SUM(sz) AS bin_rows,
+             COUNT(*) AS files_in
+      FROM packed GROUP BY yr, COALESCE(bin, 0)
+    )
+    SELECT f.yr,
+           CAST(COUNT(DISTINCT f.dt) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN f.sz < {CPT_SMALL} THEN 1 ELSE 0 END)
+                AS BIGINT) AS small_files,
+           CAST(b.n_bins AS BIGINT) AS n_bins,
+           CAST(b.max_bin_rows AS BIGINT) AS max_bin_rows,
+           ROUND(SUM(f.sz) * 1.0 / (b.n_bins * {CPT_TARGET}), 6)
+             AS avg_fill,
+           ROUND(1.0 - b.n_bins * 1.0 / COUNT(DISTINCT f.dt), 6)
+             AS file_reduction
+    FROM files f
+    JOIN (
+      SELECT yr, COUNT(*) AS n_bins, MAX(bin_rows) AS max_bin_rows
+      FROM bins GROUP BY yr
+    ) b ON b.yr = f.yr
+    GROUP BY f.yr, b.n_bins, b.max_bin_rows
+    ORDER BY f.yr
+    """,
+)
+def q510_compaction_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction advisor: treat each (day) of orders as
+    one data file, pack consecutive days into target-size bins with
+    PREFIX packing (bin = floor(running_rows_before / target) — the
+    q126 sequence-packing rule at file grain, so the plan is
+    order-deterministic, not first-fit-decreasing), and report per
+    year the before/after file counts, fill factor, and the
+    small-file share the compaction retires. This is the maintenance
+    pass every table-format deployment schedules (the write-side
+    sibling of q484 zone maps / q492 partition pruning / q496
+    MoR-vs-CoW).
+
+    Scale: files are DAY-grain (a calendar dimension, not
+    corpus-bound); the running sum partitions per YEAR (<= 366 rows
+    per partition); everything else is year-grain.
+    """
+    files = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.col("o_orderdate").alias("dt"),
+        )
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    wcum = (
+        Window.partitionBy("yr")
+        .orderBy("dt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = files.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum("sz").over(wcum), F.lit(0))
+            * F.lit(1.0)
+            / CPT_TARGET
+        ).cast("bigint"),
+    )
+    bins = packed.groupBy("yr", "bin").agg(
+        F.sum("sz").alias("bin_rows"), F.count(F.lit(1)).alias("files_in")
+    )
+    per_year_bins = bins.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.max("bin_rows").alias("max_bin_rows"),
+    )
+    return (
+        files.join(per_year_bins, "yr")
+        .groupBy("yr", "n_bins", "max_bin_rows")
+        .agg(
+            F.countDistinct("dt").cast("bigint").alias("n_files"),
+            F.sum(F.when(F.col("sz") < CPT_SMALL, 1).otherwise(0))
+            .cast("bigint")
+            .alias("small_files"),
+            F.round(
+                F.sum("sz") * F.lit(1.0) / (F.col("n_bins") * CPT_TARGET), 6
+            ).alias("avg_fill"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_bins") * F.lit(1.0) / F.countDistinct("dt"),
+                6,
+            ).alias("file_reduction"),
+        )
+        .select(
+            "yr",
+            "n_files",
+            "small_files",
+            F.col("n_bins").cast("bigint").alias("n_bins"),
+            F.col("max_bin_rows").cast("bigint").alias("max_bin_rows"),
+            "avg_fill",
+            "file_reduction",
+        )
+        .orderBy("yr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q511 Heaps-law vocabulary growth fit
+
+HEAPS_CKPTS = 10
+
+
+@register(
+    "q511_heaps_law_fit",
+    category="llm-text-analysis",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    wn AS (SELECT doc_id, word FROM words WHERE word <> ''),
+    firsts AS (
+      SELECT word, MIN(doc_id) AS first_doc FROM wn GROUP BY word
+    ),
+    toks AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM wn GROUP BY doc_id
+    ),
+    bounds AS (
+      SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+    ),
+    ckpts AS (
+      SELECT i.i AS ck,
+             b.lo + CAST(FLOOR((b.hi - b.lo) * i.i * 1.0
+                               / {HEAPS_CKPTS}) AS BIGINT) AS cut
+      FROM bounds b, UNNEST(range(1, {HEAPS_CKPTS} + 1)) i(i)
+    ),
+    growth AS (
+      SELECT c.ck,
+             (SELECT COALESCE(SUM(t.n_tok), 0) FROM toks t
+              WHERE t.doc_id <= c.cut) AS n_tokens,
+             (SELECT COUNT(*) FROM firsts f
+              WHERE f.first_doc <= c.cut) AS vocab
+      FROM ckpts c
+    ),
+    pts AS (
+      SELECT ck,
+             -- DECIMAL(12,9), not wider: the OLS moments multiply two
+             -- of these, and (28,9)x(28,9) = 57 digits overflows the
+             -- 38-digit cap where Spark silently TRUNCATES scale;
+             -- (12,9)x(12,9) = (25,18) stays exact in both engines
+             CAST(ROUND(LN(CAST(n_tokens AS DOUBLE)), 9)
+                  AS DECIMAL(12,9)) AS x,
+             CAST(ROUND(LN(CAST(vocab AS DOUBLE)), 9)
+                  AS DECIMAL(12,9)) AS y
+      FROM growth WHERE n_tokens > 0 AND vocab > 0
+    ),
+    fit AS (
+      SELECT COUNT(*) AS m,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts
+    )
+    SELECT CAST(f.m AS BIGINT) AS n_points,
+           CAST(g.n_tokens AS BIGINT) AS tokens_final,
+           CAST(g.vocab AS BIGINT) AS vocab_final,
+           ROUND((CAST(f.m AS DOUBLE) * CAST(f.sxy AS DOUBLE)
+                  - CAST(f.sx AS DOUBLE) * CAST(f.sy AS DOUBLE))
+                 / NULLIF(CAST(f.m AS DOUBLE) * CAST(f.sxx AS DOUBLE)
+                          - CAST(f.sx AS DOUBLE)
+                            * CAST(f.sx AS DOUBLE), 0),
+                 6) AS heaps_beta,
+           ROUND(EXP(CAST(f.sy AS DOUBLE) / f.m
+                     - ((CAST(f.m AS DOUBLE) * CAST(f.sxy AS DOUBLE)
+                         - CAST(f.sx AS DOUBLE) * CAST(f.sy AS DOUBLE))
+                        / NULLIF(CAST(f.m AS DOUBLE)
+                                 * CAST(f.sxx AS DOUBLE)
+                                 - CAST(f.sx AS DOUBLE)
+                                   * CAST(f.sx AS DOUBLE), 0))
+                       * CAST(f.sx AS DOUBLE) / f.m),
+                 6) AS heaps_k
+    FROM fit f,
+         (SELECT n_tokens, vocab FROM growth
+          WHERE ck = {HEAPS_CKPTS}) g
+    """,
+)
+def q511_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth fit V(N) = K·N^beta: distinct
+    vocabulary vs cumulative token count at {HEAPS_CKPTS} corpus
+    prefixes, log-log OLS for (K, beta) — the growth-curve audit
+    behind tokenizer vocab-size budgets (q503 measures where today's
+    mass sits; this predicts how the vocabulary GROWS as the corpus
+    scales, which is the 100 TB question).
+
+    Engine parity: prefixes cut on doc_id VALUE deciles (min/max
+    bounds — no corpus-grain rank); each word enters the growth curve
+    at MIN(doc_id); ln() values are gridded to 1e-9 and summed as
+    DECIMAL(28,9) so the 10-point OLS moments are order-free; the
+    slope/intercept divisions are the only ungridded doubles,
+    identical operands both engines, ROUND-6 out. Degenerate corpora
+    (single doc -> one point) NULL the slope via NULLIF identically.
+
+    Scale: one word-grain MIN aggregate + one doc-grain token count;
+    each doc/word lands in its checkpoint BUCKET (no per-checkpoint
+    rescan — bucket then 10-row cumulative), all downstream work is
+    on {HEAPS_CKPTS} rows.
+    """
+    wn = (
+        fan_out(t(spark, sf_dir, "documents").select("doc_id", "text"))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    firsts = wn.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    toks = wn.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    bounds = t(spark, sf_dir, "documents").agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    ckpts = bounds.select(
+        F.explode(F.sequence(F.lit(1), F.lit(HEAPS_CKPTS))).alias("ck"),
+        "lo",
+        "hi",
+    ).select(
+        "ck",
+        (
+            F.col("lo")
+            + F.floor(
+                (F.col("hi") - F.col("lo"))
+                * F.col("ck")
+                * F.lit(1.0)
+                / HEAPS_CKPTS
+            ).cast("bigint")
+        ).alias("cut"),
+    )
+    # bucket each doc/word into its FIRST covering checkpoint, then a
+    # 10-row cumulative gives every prefix total without rescans
+    ck_b = F.broadcast(ckpts)
+    tok_by_ck = (
+        toks.join(ck_b, toks.doc_id <= ck_b.cut)
+        .groupBy("doc_id", "n_tok")
+        .agg(F.min("ck").alias("ck"))
+        .groupBy("ck")
+        .agg(F.sum("n_tok").alias("tok_in"))
+    )
+    voc_by_ck = (
+        firsts.join(ck_b, firsts.first_doc <= ck_b.cut)
+        .groupBy("word")
+        .agg(F.min("ck").alias("ck"))
+        .groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("voc_in"))
+    )
+    wc = Window.orderBy("ck").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    growth = (
+        ckpts.join(tok_by_ck, "ck", "left")
+        .join(voc_by_ck, "ck", "left")
+        .select(
+            "ck",
+            F.sum(F.coalesce("tok_in", F.lit(0)))
+            .over(wc)
+            .alias("n_tokens"),
+            F.sum(F.coalesce("voc_in", F.lit(0))).over(wc).alias("vocab"),
+        )
+    )
+    pts = growth.filter(
+        (F.col("n_tokens") > 0) & (F.col("vocab") > 0)
+    ).select(
+        "ck",
+        # decimal(12,9): products must stay under the 38-digit cap
+        # (Spark silently truncates scale past it — see oracle note)
+        F.round(F.log(F.col("n_tokens").cast("double")), 9)
+        .cast("decimal(12,9)")
+        .alias("x"),
+        F.round(F.log(F.col("vocab").cast("double")), 9)
+        .cast("decimal(12,9)")
+        .alias("y"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    final = growth.filter(F.col("ck") == HEAPS_CKPTS).select(
+        F.col("n_tokens").alias("tokens_final"),
+        F.col("vocab").alias("vocab_final"),
+    )
+    md = F.col("m").cast("double")
+    beta = (
+        md * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / F.nullif(
+        md * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double"),
+        F.lit(0.0),
+    )
+    return fit.crossJoin(F.broadcast(final)).select(
+        F.col("m").cast("bigint").alias("n_points"),
+        F.col("tokens_final").cast("bigint").alias("tokens_final"),
+        F.col("vocab_final").cast("bigint").alias("vocab_final"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(
+            F.exp(
+                F.col("sy").cast("double") / F.col("m")
+                - beta * F.col("sx").cast("double") / F.col("m")
+            ),
+            6,
+        ).alias("heaps_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q512 hash-partition skew advisor
+
+SKEW_NS = (32, 256)  # candidate shuffle widths to audit
+
+
+def _skew_bucket_sql(n: int) -> str:
+    return (
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7)) "
+        f"AS BIGINT) % {n}"
+    )
+
+
+@register(
+    "q512_partition_skew_advisor",
+    category="mixed-extensions",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT user_id, COUNT(*) AS rows_ FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(SUM(rows_) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(rows_) AS BIGINT) AS hot_key_rows
+      FROM keyed
+    ),
+    per_n AS (
+      {" UNION ALL ".join(
+        f'''SELECT {n} AS n_parts, {_skew_bucket_sql(n)} AS bucket,
+               SUM(rows_) AS b_rows
+        FROM keyed GROUP BY 1, 2'''
+        for n in SKEW_NS
+      )}
+    ),
+    ranked AS (
+      SELECT n_parts, bucket, b_rows,
+             ROW_NUMBER() OVER (PARTITION BY n_parts
+                                ORDER BY b_rows ASC, bucket ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY n_parts) AS n_used
+      FROM per_n
+    )
+    SELECT r.n_parts,
+           CAST(r.n_used AS BIGINT) AS buckets_used,
+           CAST(MAX(r.b_rows) AS BIGINT) AS max_bucket_rows,
+           ROUND(MAX(r.b_rows) * 1.0
+                 / (t.n_rows * 1.0 / r.n_parts), 6) AS max_skew,
+           CAST(MAX(CASE WHEN r.rk * 100 <= r.n_used * 99
+                         THEN r.b_rows END) AS BIGINT) AS p99_bucket_rows,
+           ROUND(t.hot_key_rows * 1.0 / t.n_rows, 6) AS hot_key_share
+    FROM ranked r CROSS JOIN tot t
+    GROUP BY r.n_parts, r.n_used, t.n_rows, t.hot_key_rows
+    ORDER BY r.n_parts
+    """,
+)
+def q512_partition_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-width skew advisor: hash the event key space (user_id)
+    into each candidate partition count and report the max-over-mean
+    skew, the p99 bucket, and the irreducible hot-key share — the
+    numbers that decide whether a stage needs more partitions, AQE
+    skew-join, or salting (and that q18's salted agg / q281's salt
+    balance ASSUME someone measured). Portable md5 bucketing, not
+    engine hash, so the oracle certifies the exact histogram.
+
+    Scale: one key-grain count (the natural pre-aggregation), then
+    {len(SKEW_NS)} bucket-grain histograms of <= max(SKEW_NS) rows
+    each; the rank window partitions per candidate width over those
+    bounded histograms.
+    """
+    keyed = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("rows_"))
+    )
+    tot = keyed.agg(
+        F.sum("rows_").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("rows_").cast("bigint").alias("hot_key_rows"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 7), 16, 10
+    ).cast("bigint")
+    per_n = None
+    for n in SKEW_NS:
+        part = keyed.select(
+            F.lit(n).alias("n_parts"),
+            (h % n).alias("bucket"),
+            F.col("rows_"),
+        ).groupBy("n_parts", "bucket").agg(F.sum("rows_").alias("b_rows"))
+        per_n = part if per_n is None else per_n.unionAll(part)
+    wrk = Window.partitionBy("n_parts").orderBy(
+        F.col("b_rows").asc(), F.col("bucket").asc()
+    )
+    wcnt = Window.partitionBy("n_parts")
+    ranked = per_n.select(
+        "n_parts",
+        "b_rows",
+        F.row_number().over(wrk).alias("rk"),
+        F.count(F.lit(1)).over(wcnt).alias("n_used"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("n_parts", "n_used", "n_rows", "hot_key_rows")
+        .agg(
+            F.max("b_rows").cast("bigint").alias("max_bucket_rows"),
+            F.max(
+                F.when(
+                    F.col("rk") * 100 <= F.col("n_used") * 99,
+                    F.col("b_rows"),
+                )
+            )
+            .cast("bigint")
+            .alias("p99_bucket_rows"),
+        )
+        .select(
+            "n_parts",
+            F.col("n_used").cast("bigint").alias("buckets_used"),
+            "max_bucket_rows",
+            F.round(
+                F.col("max_bucket_rows")
+                * F.lit(1.0)
+                / (F.col("n_rows") * F.lit(1.0) / F.col("n_parts")),
+                6,
+            ).alias("max_skew"),
+            "p99_bucket_rows",
+            F.round(
+                F.col("hot_key_rows") * F.lit(1.0) / F.col("n_rows"), 6
+            ).alias("hot_key_share"),
+        )
+        .orderBy("n_parts")
+    )

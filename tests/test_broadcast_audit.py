@@ -123,6 +123,11 @@ AUDITED_SITES = {
     ("queries/round8.py", "q507_adjusted_rand_index", "s_cells"),
     ("queries/round8.py", "q507_adjusted_rand_index", "s_rows"),
     ("queries/round8.py", "q507_adjusted_rand_index", "s_cols"),
+    # r8 wave 3: the 10-row checkpoint grid, the 1-row final
+    # growth point, and the 1-row key-space totals
+    ("queries/round8.py", "q511_heaps_law_fit", "ckpts"),
+    ("queries/round8.py", "q511_heaps_law_fit", "final"),
+    ("queries/round8.py", "q512_partition_skew_advisor", "tot"),
     ("queries/round6.py", "q490_cochran_q", "gs"),
     ("queries/round6.py", "q490_cochran_q", "k"),
     ("queries/round6.py", "q491_friedman_test", "k"),

@@ -161,6 +161,10 @@ EVENT_QUERIES = [
     # all-concordant corpora zero sum_v (NULLIF, not ANSI /0);
     # singleton strata (n<2) must drop identically on both engines
     "q460_cmh_test",
+    # r8: tiny user pools leave most buckets empty (buckets_used <<
+    # n_parts, the p99 CASE can go NULL when rk*100 > n_used*99 for
+    # every row); single-user corpora pin hot_key_share = 1
+    "q512_partition_skew_advisor",
     # all-H1 / all-H2 splits zero b or c; zero discordant users must
     # NULL the statistic via NULLIF on both engines
     "q462_mcnemar_test",
@@ -521,6 +525,11 @@ DOC_QUERIES = [
     # intra-doc adjacent-LCP ties; docs shorter than REP_MIN take
     # the left-join max_rep=0 path; single-word docs have no repeats
     "q509_intradoc_repetition",
+    # r8: single-doc corpora collapse all 10 checkpoints onto one
+    # point (NULL beta via NULLIF on both engines); tiny word pools
+    # saturate the vocabulary at checkpoint 1 (beta ~ 0, K ~ |V| —
+    # the exact-decimal OLS moments must agree on the flat curve)
+    "q511_heaps_law_fit",
 ]
 
 # orders/lineitem-shaped ops (r2 verdict task 3: the newest ops get
@@ -664,6 +673,11 @@ ORDER_QUERIES = [
     # duplicate (orderkey, linenumber) rows force the full tie-break
     # in BOTH layout orders; tiny tables make one partial row group
     "q484_zonemap_skipping_audit",
+    # r8: single-day corpora pack into one bin (file_reduction 0 on
+    # both engines); all-small-file years pin small_files = n_files;
+    # the per-year prefix-packing cumulative must agree on any
+    # day/row layout
+    "q510_compaction_advisor",
     # constant-price corpora pin HHI=1/n_brands-ish ties; single-
     # brand years pin simpson=1, shannon=0, effective=1 exactly on
     # both engines; single-line years hit the N(N-1)=0 NULLIF

@@ -124,6 +124,9 @@ AUDITED_WINDOW_SITES = {
     # r8: TakeOrdered-then-rank tail — the rank window sees exactly
     # the SUF_TOPK=20 post-limit rows
     ("queries/round8.py", "q504_suffix_lcp_repeats", "orderBy"): 1,
+    # r8: cumulative growth over the HEAPS_CKPTS=10-row checkpoint
+    # grid (bounded by construction)
+    ("queries/round8.py", "q511_heaps_law_fit", "orderBy"): 1,
     ("queries/extras.py", "q202_approx_top_k", "orderBy"): 1,
     ("queries/extras.py", "q219_count_min_sketch", "orderBy"): 1,
     ("queries/extras.py", "q220_interval_bin_join", "orderBy"): 1,
