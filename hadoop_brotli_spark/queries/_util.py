@@ -79,6 +79,43 @@ def sql_davg(expr: str, scale: int = 2) -> str:
     return f"{sql_dsum(expr, scale)} / COUNT(*)"
 
 
+def dround(col: Column, scale: int = 0) -> Column:
+    """Deterministic half-up rounding of a DOUBLE — the repo-wide
+    replacement for ``F.round`` on final outputs (round-9 census).
+
+    ``ROUND(double, k)`` is engine-ambiguous at representational
+    ties: the JVM rounds the double's SHORTEST decimal repr
+    (``BigDecimal.valueOf``) HALF_UP while DuckDB decides on the
+    binary value, so an exact integer ratio landing on a ``.5e-k``
+    boundary diverges (six hunt finds: q325 q416 q475 q480 q486
+    q384). ``FLOOR(CAST(x AS DOUBLE) * 10^k + 0.5) / 10^k`` is pure
+    IEEE-754 arithmetic — multiply, add, floor, divide on the same
+    doubles — so both engines produce bit-identical results for
+    EVERY input, ties included. Pair every use with ``sql_dround``
+    in the oracle. ``tests/test_round_census.py`` pins that no bare
+    ``F.round``/``ROUND(`` site reappears.
+    """
+    if isinstance(col, str):  # F.round accepted names; stay drop-in
+        col = F.col(col)
+    s = float(10**scale)
+    z = col.cast("double") * F.lit(s) + F.lit(0.5)
+    # Spark's FLOOR(double) returns LONG and overflows past 2^63
+    # (DuckDB's returns DOUBLE and is total — the q471 migration
+    # find: cent-squared residuals at scale 6 overflow the LONG).
+    # Any double with |z| >= 2^53 is already integral, so FLOOR is
+    # the identity there; branching at 9.0e18 keeps the LONG floor
+    # for every fractional value and mirrors DuckDB bit-for-bit on
+    # the rest (including inf/NaN, which fall to the otherwise arm).
+    fz = F.when(F.abs(z) < F.lit(9.0e18), F.floor(z).cast("double")).otherwise(z)
+    return fz / F.lit(s)
+
+
+def sql_dround(expr: str, scale: int = 0) -> str:
+    """DuckDB twin of :func:`dround` (same IEEE ops, same literals)."""
+    s = float(10**scale)
+    return f"(FLOOR(CAST({expr} AS DOUBLE) * {s!r} + 0.5) / {s!r})"
+
+
 def ts(date_str: str) -> Column:
     """UTC-naive timestamp literal matching DuckDB ``TIMESTAMP '...'``."""
     return F.lit(date_str).cast("timestamp")

@@ -28,7 +28,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import dsum, fan_out, sql_dsum, t
+from ._util import dround, dsum, fan_out, sql_dsum, t
 from .similarity import dot_double, norm_double
 
 # ------------------------------------------------------------- joins
@@ -156,9 +156,9 @@ def q27_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+           (FLOOR(CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS p25,
+           (FLOOR(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS p50,
+           (FLOOR(CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS p75
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -178,9 +178,9 @@ def q28_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+        dround(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        dround(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        dround(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
     )
 
 
@@ -217,8 +217,8 @@ def q36_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q46_window_percent_rank",
     oracle="""
     SELECT c_custkey, c_mktsegment,
-           ROUND(PERCENT_RANK() OVER w, 6) AS acctbal_pct_rank,
-           ROUND(CUME_DIST() OVER w, 6) AS acctbal_cume_dist
+           (FLOOR(CAST(PERCENT_RANK() OVER w AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS acctbal_pct_rank,
+           (FLOOR(CAST(CUME_DIST() OVER w AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS acctbal_cume_dist
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
     """,
@@ -233,8 +233,8 @@ def q46_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "c_mktsegment",
-            F.round(F.percent_rank().over(w), 6).alias("acctbal_pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("acctbal_cume_dist"),
+            dround(F.percent_rank().over(w), 6).alias("acctbal_pct_rank"),
+            dround(F.cume_dist().over(w), 6).alias("acctbal_cume_dist"),
         )
     )
 
@@ -335,9 +335,9 @@ def q57_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(length(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
-           ROUND(list_sum(list_transform(embedding,
-                 x -> ABS(CAST(x AS DOUBLE)))), 4) AS l1_norm,
-           ROUND(CAST(list_max(embedding[1:4]) AS DOUBLE), 6) AS head4_max
+           (FLOOR(CAST(list_sum(list_transform(embedding,
+                 x -> ABS(CAST(x AS DOUBLE)))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS l1_norm,
+           (FLOOR(CAST(CAST(list_max(embedding[1:4]) AS DOUBLE) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS head4_max
     FROM embeddings
     """,
 )
@@ -358,8 +358,8 @@ def q58_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("bigint").alias(
             "n_pos"
         ),
-        F.round(l1, 4).alias("l1_norm"),
-        F.round(
+        dround(l1, 4).alias("l1_norm"),
+        dround(
             F.array_max(F.slice(F.col("embedding"), 1, 4)).cast("double"), 6
         ).alias("head4_max"),
     )
@@ -471,7 +471,7 @@ def q59_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q85_pandas_udf_score",
     oracle="""
     SELECT doc_id,
-           ROUND(LN(1 + n_chars) + 0.1 * len(string_split(text, ' ')), 6)
+           (FLOOR(CAST(LN(1 + n_chars) + 0.1 * len(string_split(text, ' ')) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS readability
     FROM documents
     """,
@@ -520,7 +520,7 @@ N_CENTROIDS = 8
       SELECT vec_id, cid AS cell FROM (
         SELECT vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id
-                 ORDER BY ROUND(dot / (nv * nc), 6) DESC, cid ASC) AS rn
+                 ORDER BY (FLOOR(CAST(dot / (nv * nc) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) DESC, cid ASC) AS rn
         FROM dots
       ) WHERE rn = 1
     ),
@@ -541,9 +541,9 @@ N_CENTROIDS = 8
     ),
     scored AS (
       SELECT query_id, cand_id, cell,
-             ROUND(dot / (nq * nc), 6) AS cosine,
+             (FLOOR(CAST(dot / (nq * nc) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS cosine,
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-               ORDER BY ROUND(dot / (nq * nc), 6) DESC, cand_id ASC)
+               ORDER BY (FLOOR(CAST(dot / (nq * nc) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) DESC, cand_id ASC)
                AS BIGINT) AS rn
       FROM pdots
     )
@@ -568,7 +568,7 @@ def q74_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
         F.col("nrm").alias("cnrm"),
     )
-    sim = F.round(
+    sim = dround(
         dot_double("embedding", "ce") / (F.col("nrm") * F.col("cnrm")), 6
     )
     rn_w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid").asc())
@@ -602,7 +602,7 @@ def q74_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands,
         (F.col("cell") == F.col("cell_v")) & (F.col("cand_id") != F.col("query_id")),
     )
-    cosine = F.round(dot_double("qe", "ve") / (F.col("qn") * F.col("vn")), 6)
+    cosine = dround(dot_double("qe", "ve") / (F.col("qn") * F.col("vn")), 6)
     topk_w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id").asc()
     )
@@ -755,8 +755,15 @@ def q92_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q37_merge_upsert",
     oracle="""
     WITH updates AS (
+      -- +10% in EXACT integer cents, rounded half-up on the cent
+      -- grid: (cents*11/10) half-up = (22*cents + 10) // 20. The
+      -- engines' decimal-vs-double literal typing of `* 1.1` differs
+      -- at .xx5 boundaries (r9 migration find), integer cents don't;
+      -- cents themselves come from FLOOR(x*100 + 0.5) because
+      -- double->BIGINT CAST rounds in DuckDB but truncates in Spark.
       SELECT o_orderkey,
-             ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2) AS o_totalprice,
+             ((22 * CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) + 10)
+               // 20) / 100.0 AS o_totalprice,
              'R' AS o_orderstatus
       FROM orders WHERE o_orderstatus = 'F'
     ),
@@ -791,9 +798,13 @@ def q37_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     updates = o.filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey",
-        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 1.1, 2)
-        .cast("double")
-        .alias("o_totalprice"),
+        (
+            F.expr(
+                "(22 * CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+                " + 10) DIV 20"
+            )
+            / F.lit(100.0)
+        ).alias("o_totalprice"),
         F.lit("R").alias("o_orderstatus"),
     )
     max_key = o.agg(F.max("o_orderkey").alias("mk"))
@@ -1119,10 +1130,10 @@ QSK_QS = (0.5, 0.9, 0.99)
            (SELECT CAST(COUNT(*) AS BIGINT) FROM partials)
              AS n_partial_bins,
            {", ".join(
-             f"ROUND(e.est_p{int(q * 100)}, 4) AS est_p{int(q * 100)}, "
-             f"ROUND(x.exact_p{int(q * 100)}, 4) AS exact_p{int(q * 100)}, "
-             f"ROUND(ABS(e.est_p{int(q * 100)} - x.exact_p{int(q * 100)})"
-             f" / NULLIF(x.exact_p{int(q * 100)}, 0.0), 6)"
+             f"(FLOOR(CAST(e.est_p{int(q * 100)} AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS est_p{int(q * 100)}, "
+             f"(FLOOR(CAST(x.exact_p{int(q * 100)} AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS exact_p{int(q * 100)}, "
+             f"(FLOOR(CAST(ABS(e.est_p{int(q * 100)} - x.exact_p{int(q * 100)})"
+             f" / NULLIF(x.exact_p{int(q * 100)}, 0.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)"
              f" AS relerr_p{int(q * 100)}"
              for q in QSK_QS)}
     FROM rng r CROSS JOIN est e CROSS JOIN exact x
@@ -1218,12 +1229,12 @@ def q347_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             / QSK_BINS
         )
         sel += [
-            F.round(est_v, 4).alias(f"est_p{p}"),
-            F.round(F.col(f"exact_raw_p{p}"), 4).alias(f"exact_p{p}"),
+            dround(est_v, 4).alias(f"est_p{p}"),
+            dround(F.col(f"exact_raw_p{p}"), 4).alias(f"exact_p{p}"),
             # NULLIF: an all-zero price column zeroes the exact
             # percentile — ANSI Spark would error on /0 while DuckDB
             # returns inf (property-hunt find, r3)
-            F.round(
+            dround(
                 F.abs(est_v - F.col(f"exact_raw_p{p}"))
                 / F.nullif(F.col(f"exact_raw_p{p}"), F.lit(0.0)),
                 6,

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import dsum, fan_out, t, ts
+from ._util import dround, dsum, fan_out, t, ts
 
 
 @register(
@@ -2337,8 +2337,8 @@ def q173_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 'lines_gte_header'
                   ELSE 'lines_lt_header' END AS recon_class,
              CASE WHEN l.l_orderkey IS NULL THEN NULL
-                  ELSE CAST(ROUND(CAST(l.line_total AS DOUBLE)
-                                  / o.o_totalprice, 4)
+                  ELSE CAST((FLOOR(CAST(CAST(l.line_total AS DOUBLE)
+                                  / o.o_totalprice AS DOUBLE) * 10000.0 + 0.5) / 10000.0)
                             AS DECIMAL(12,4)) END AS ratio
       FROM orders o
       LEFT JOIN lines l ON o.o_orderkey = l.l_orderkey
@@ -2375,7 +2375,7 @@ def q174_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recon_class"),
         F.when(
             F.col("l_orderkey").isNotNull(),
-            F.round(
+            dround(
                 F.col("line_total").cast("double") / F.col("o_totalprice"), 4
             ).cast("decimal(12,4)"),
         ).alias("ratio"),
@@ -2920,11 +2920,11 @@ NEYMAN_BUDGET = 500
     )
     SELECT a.stratum,
            CAST(a.nh AS BIGINT) AS pop_size,
-           ROUND(a.mean_h, 6) AS pop_mean,
-           ROUND(a.sd_h, 6) AS pop_sd,
+           (FLOOR(CAST(a.mean_h AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS pop_mean,
+           (FLOOR(CAST(a.sd_h AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS pop_sd,
            a.n_alloc,
            CAST(p.n_sampled AS BIGINT) AS n_sampled,
-           ROUND(p.sample_mean, 6) AS sample_mean
+           (FLOOR(CAST(p.sample_mean AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS sample_mean
     FROM alloc a JOIN sampled p ON p.stratum = a.stratum
     """,
 )
@@ -3019,11 +3019,11 @@ def q348_neyman_stratified_sample(
     return alloc.join(sampled, "stratum").select(
         "stratum",
         F.col("nh").cast("bigint").alias("pop_size"),
-        F.round("mean_h", 6).alias("pop_mean"),
-        F.round("sd_h", 6).alias("pop_sd"),
+        dround("mean_h", 6).alias("pop_mean"),
+        dround("sd_h", 6).alias("pop_sd"),
         "n_alloc",
         F.col("n_sampled").cast("bigint").alias("n_sampled"),
-        F.round("sample_mean", 6).alias("sample_mean"),
+        dround("sample_mean", 6).alias("sample_mean"),
     )
 
 
@@ -3053,10 +3053,9 @@ CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
       FROM pairs GROUP BY pair
     )
     SELECT pair, CAST(n AS BIGINT) AS n_rows,
-           ROUND((n * sxy - sx * sy)
+           (FLOOR(CAST((n * sxy - sx * sy)
                  / NULLIF(SQRT(GREATEST(
-                     (n * sxx - sx * sx) * (n * syy - sy * sy), 0.0)), 0.0),
-                 6) AS pearson_r
+                     (n * sxx - sx * sx) * (n * syy - sy * sy), 0.0)), 0.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS pearson_r
     FROM s ORDER BY pair
     """,
 )
@@ -3109,7 +3108,7 @@ def q349_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "pair",
         F.col("n").cast("bigint").alias("n_rows"),
-        F.round(r, 6).alias("pearson_r"),
+        dround(r, 6).alias("pearson_r"),
     ).orderBy("pair")
 
 
@@ -3169,9 +3168,9 @@ _FLEISS_SPARK_H = (
     )
     SELECT b.n_subjects,
            {FLEISS_RATERS} AS n_raters,
-           ROUND(b.p_bar, 6) AS p_bar,
-           ROUND(j.pe, 6) AS p_e,
-           ROUND((b.p_bar - j.pe) / NULLIF(1.0 - j.pe, 0.0), 6)
+           (FLOOR(CAST(b.p_bar AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS p_bar,
+           (FLOOR(CAST(j.pe AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS p_e,
+           (FLOOR(CAST((b.p_bar - j.pe) / NULLIF(1.0 - j.pe, 0.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS fleiss_kappa
     FROM pbar b CROSS JOIN pj j
     """,
@@ -3249,9 +3248,9 @@ def q350_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pbar.crossJoin(F.broadcast(pj)).select(
         "n_subjects",
         F.lit(FLEISS_RATERS).alias("n_raters"),
-        F.round("p_bar", 6).alias("p_bar"),
-        F.round("pe", 6).alias("p_e"),
-        F.round(
+        dround("p_bar", 6).alias("p_bar"),
+        dround("pe", 6).alias("p_e"),
+        dround(
             (F.col("p_bar") - F.col("pe"))
             / F.nullif(F.lit(1.0) - F.col("pe"), F.lit(0.0)),
             6,
@@ -3291,12 +3290,12 @@ KS_SRC_B = "src1"
            CAST(t.nb AS BIGINT) AS n_b,
            -- NULLIF: a one-source corpus empties a side; D is then
            -- undefined (NULL) on both engines, not inf/error
-           ROUND(MAX(ABS(c.cum_a / NULLIF(t.na, 0.0)
-                         - c.cum_b / NULLIF(t.nb, 0.0))), 6) AS ks_d,
-           ROUND(MAX(ABS(c.cum_a / NULLIF(t.na, 0.0)
+           (FLOOR(CAST(MAX(ABS(c.cum_a / NULLIF(t.na, 0.0)
+                         - c.cum_b / NULLIF(t.nb, 0.0))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS ks_d,
+           (FLOOR(CAST(MAX(ABS(c.cum_a / NULLIF(t.na, 0.0)
                          - c.cum_b / NULLIF(t.nb, 0.0)))
                  / (1.36 * SQRT((t.na + t.nb)
-                                / NULLIF(t.na * t.nb, 0.0))), 6)
+                                / NULLIF(t.na * t.nb, 0.0))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS d_over_crit_95
     FROM cdf c CROSS JOIN tot t
     GROUP BY t.na, t.nb
@@ -3353,8 +3352,8 @@ def q352_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("na").cast("bigint").alias("n_a"),
             F.col("nb").cast("bigint").alias("n_b"),
-            F.round("d", 6).alias("ks_d"),
-            F.round(
+            dround("d", 6).alias("ks_d"),
+            dround(
                 F.col("d")
                 / (
                     F.lit(1.36)
@@ -3415,7 +3414,7 @@ BH_ALPHA = 0.1
       -- logistic approximation of the two-sided normal p-value:
       -- identical op order on both engines, so hash-stable
       SELECT event_type,
-             ROUND(2.0 / (1.0 + exp(1.702 * ABS(z))), 6) AS p
+             (FLOOR(CAST(2.0 / (1.0 + exp(1.702 * ABS(z))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS p
       FROM ztab
     ),
     ranked AS (
@@ -3431,7 +3430,7 @@ BH_ALPHA = 0.1
     )
     SELECT rk.event_type, rk.p AS p_value,
            CAST(rk.r AS BIGINT) AS rank_asc,
-           ROUND({BH_ALPHA} * rk.r / rk.m, 6) AS bh_line,
+           (FLOOR(CAST({BH_ALPHA} * rk.r / rk.m AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS bh_line,
            CASE WHEN rk.p <= c.p_star THEN 1 ELSE 0 END AS rejected
     FROM ranked rk CROSS JOIN cutoff c
     """,
@@ -3497,7 +3496,7 @@ def q353_bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.nullif(F.sqrt(F.greatest(var1 + var2, F.lit(0.0))), F.lit(0.0))
     ptab = stats.select(
         "event_type",
-        F.round(2.0 / (1.0 + F.exp(1.702 * F.abs(z))), 6).alias("p"),
+        dround(2.0 / (1.0 + F.exp(1.702 * F.abs(z))), 6).alias("p"),
     ).filter(F.col("p").isNotNull())
     wr = W.orderBy("p", "event_type")
     ranked = ptab.select(
@@ -3521,7 +3520,7 @@ def q353_bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("p").alias("p_value"),
         F.col("r").cast("bigint").alias("rank_asc"),
-        F.round(F.lit(BH_ALPHA) * F.col("r") / F.col("m"), 6).alias("bh_line"),
+        dround(F.lit(BH_ALPHA) * F.col("r") / F.col("m"), 6).alias("bh_line"),
         F.when(F.col("p") <= F.col("p_star"), 1).otherwise(0).alias("rejected"),
     )
 
@@ -3550,11 +3549,11 @@ _HOLT_SQL = """    WITH RECURSIVE m AS (
       FROM m JOIN h ON m.mi = h.mi + 1
     )
     SELECT CAST(mi AS BIGINT) AS month_idx,
-           ROUND(y, 2) AS revenue,
-           ROUND(l, 4) AS level,
-           ROUND(b, 4) AS trend,
-           ROUND(fitted, 4) AS fitted,
-           ROUND(y - fitted, 4) AS residual
+           (FLOOR(CAST(y AS DOUBLE) * 100.0 + 0.5) / 100.0) AS revenue,
+           (FLOOR(CAST(l AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS level,
+           (FLOOR(CAST(b AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS trend,
+           (FLOOR(CAST(fitted AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS fitted,
+           (FLOOR(CAST(y - fitted AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS residual
     FROM h"""
 
 
@@ -3643,11 +3642,11 @@ def q365_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return h.select(
         F.col("mi").alias("month_idx"),
-        F.round("y", 2).alias("revenue"),
-        F.round("l", 4).alias("level"),
-        F.round("b", 4).alias("trend"),
-        F.round("fitted", 4).alias("fitted"),
-        F.round(F.col("y") - F.col("fitted"), 4).alias("residual"),
+        dround("y", 2).alias("revenue"),
+        dround("l", 4).alias("level"),
+        dround("b", 4).alias("trend"),
+        dround("fitted", 4).alias("fitted"),
+        dround(F.col("y") - F.col("fitted"), 4).alias("residual"),
     )
 
 
@@ -3690,16 +3689,14 @@ MWU_GRP_B = "5-LOW"
     )
     SELECT t.na AS n_a, t.nb AS n_b,
            (g.two_ra - CAST(t.na AS DOUBLE) * (t.na + 1)) / 2 AS u_a,
-           ROUND(
-             (g.two_ra - CAST(t.na AS DOUBLE) * (t.na + 1)
+           (FLOOR(CAST((g.two_ra - CAST(t.na AS DOUBLE) * (t.na + 1)
               - CAST(t.na AS DOUBLE) * t.nb)
              / NULLIF(2 * SQRT(GREATEST(
                  CAST(t.na AS DOUBLE) * t.nb / 12
                  * ((t.na + t.nb + 1)
                     - g.ties / NULLIF(CAST(t.na + t.nb AS DOUBLE)
                                       * (t.na + t.nb - 1), 0.0)),
-                 0.0)), 0.0),
-             6) AS z,
+                 0.0)), 0.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS z,
            CAST(CASE WHEN ABS(
              (g.two_ra - CAST(t.na AS DOUBLE) * (t.na + 1)
               - CAST(t.na AS DOUBLE) * t.nb)
@@ -3814,7 +3811,7 @@ def q376_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("na").alias("n_a"),
             F.col("nb").alias("n_b"),
             ((F.col("two_ra") - na * (F.col("na") + 1)) / 2).alias("u_a"),
-            F.round(z, 6).alias("z"),
+            dround(z, 6).alias("z"),
             F.when(F.abs(z) > F.lit(1.959964).cast("double"), 1)
             .otherwise(0)
             .cast("bigint")
@@ -3941,10 +3938,10 @@ _MRE_SQL = (
     ),
     tot AS (SELECT SUM(re) AS te FROM eff)
     SELECT e.r AS channel,
-           ROUND(e.pb, 6) AS p_conv_base,
-           ROUND(e.p, 6) AS p_conv_removed,
-           ROUND(e.re, 6) AS removal_effect,
-           ROUND(e.re / NULLIF(t.te, 0.0), 6) AS attribution_share
+           (FLOOR(CAST(e.pb AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS p_conv_base,
+           (FLOOR(CAST(e.p AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS p_conv_removed,
+           (FLOOR(CAST(e.re AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS removal_effect,
+           (FLOOR(CAST(e.re / NULLIF(t.te, 0.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS attribution_share
     FROM eff e CROSS JOIN tot t
     """
 )
@@ -4131,10 +4128,10 @@ def q378_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = eff.agg(F.sum("re").alias("te"))
     return eff.crossJoin(F.broadcast(tot)).select(
         F.col("r").alias("channel"),
-        F.round("pb", 6).alias("p_conv_base"),
-        F.round("p", 6).alias("p_conv_removed"),
-        F.round("re", 6).alias("removal_effect"),
-        F.round(F.col("re") / F.nullif(F.col("te"), F.lit(0.0)), 6).alias(
+        dround("pb", 6).alias("p_conv_base"),
+        dround("p", 6).alias("p_conv_removed"),
+        dround("re", 6).alias("removal_effect"),
+        dround(F.col("re") / F.nullif(F.col("te"), F.lit(0.0)), 6).alias(
             "attribution_share"
         ),
     )
@@ -4201,7 +4198,7 @@ def _iso_hash(col: str, salt: str) -> str:
            c.n,
            CAST(c.sms AS DOUBLE) / (1000.0 * c.n) AS pred_rate,
            CAST(c.sy AS DOUBLE) / c.n AS emp_rate,
-           ROUND(f.iso, 6) AS iso_rate
+           (FLOOR(CAST(f.iso AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS iso_rate
     FROM cum c JOIN fit f ON f.pos = c.pos
     """,
 )
@@ -4315,7 +4312,7 @@ def q380_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pred_rate"
         ),
         (F.col("sy").cast("double") / F.col("n")).alias("emp_rate"),
-        F.round("iso", 6).alias("iso_rate"),
+        dround("iso", 6).alias("iso_rate"),
     )
 
 
@@ -4387,7 +4384,7 @@ SHAP_CONV = "purchase"
         ON su.m = s.m + CAST(2 ** (c.r - 1) AS BIGINT)
     )
     SELECT ch AS channel,
-           ROUND(SUM(w_delta), 6) AS shapley_value
+           (FLOOR(CAST(SUM(w_delta) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS shapley_value
     FROM contrib GROUP BY ch
     """,
 )
@@ -4507,5 +4504,5 @@ def q390_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return contrib.groupBy(F.col("ch").alias("channel")).agg(
-        F.round(F.sum("w_delta"), 6).alias("shapley_value")
+        dround(F.sum("w_delta"), 6).alias("shapley_value")
     )

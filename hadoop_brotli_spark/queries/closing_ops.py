@@ -74,7 +74,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import fan_out, t
+from ._util import dround, fan_out, t
 from .similarity import _sql_sign_bucket, dot_double, norm_double, sign_bucket
 from .textstats import BPE_RE
 
@@ -210,7 +210,7 @@ SUBSTR_W = 8  # tokens per sliding window
            COUNT(*) AS n_docs,
            CAST(SUM(n_windows) AS BIGINT) AS total_windows,
            CAST(SUM(n_dup) AS BIGINT) AS dup_windows,
-           ROUND(CAST(SUM(n_dup) AS DOUBLE) / SUM(n_windows), 6)
+           (FLOOR(CAST(CAST(SUM(n_dup) AS DOUBLE) / SUM(n_windows) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS dup_window_fraction,
            CAST(SUM(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS docs_with_dup_span
@@ -264,7 +264,7 @@ def q253_exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_windows").cast("bigint").alias("total_windows"),
         F.sum("n_dup").cast("bigint").alias("dup_windows"),
-        F.round(
+        dround(
             F.sum("n_dup").cast("double") / F.sum("n_windows"), 6
         ).alias("dup_window_fraction"),
         F.sum(F.when(F.col("n_dup") > 0, 1).otherwise(0))
@@ -317,7 +317,7 @@ SEMDEDUP_MAX_BUCKET = 5000
     ),
     dropped AS (
       SELECT DISTINCT drop_id FROM dots
-      WHERE ROUND(dot / (na * nb), 6) >= {SEMDEDUP_TAU}
+      WHERE (FLOOR(CAST(dot / (na * nb) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) >= {SEMDEDUP_TAU}
     )
     SELECT b0.label,
            COUNT(*) AS n_vectors,
@@ -325,8 +325,8 @@ SEMDEDUP_MAX_BUCKET = 5000
              AS BIGINT) AS n_dropped,
            CAST(SUM(CASE WHEN d.drop_id IS NULL THEN 1 ELSE 0 END)
              AS BIGINT) AS n_kept,
-           ROUND(CAST(SUM(CASE WHEN d.drop_id IS NOT NULL THEN 1 ELSE 0 END)
-             AS DOUBLE) / COUNT(*), 6) AS drop_rate
+           (FLOOR(CAST(CAST(SUM(CASE WHEN d.drop_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS drop_rate
     FROM b0 LEFT JOIN dropped d ON d.drop_id = b0.vec_id
     GROUP BY b0.label
     """,
@@ -370,7 +370,7 @@ def q254_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("bucket_b"),
         F.col("nrm").alias("nb"),
     )
-    cosine = F.round(
+    cosine = dround(
         dot_double("ea", "eb") / (F.col("na") * F.col("nb")), 6
     )
     dropped = (
@@ -395,7 +395,7 @@ def q254_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum(dropped_flag).cast("bigint").alias("n_dropped"),
         F.sum(1 - dropped_flag).cast("bigint").alias("n_kept"),
-        F.round(
+        dround(
             F.sum(dropped_flag).cast("double") / F.count(F.lit(1)), 6
         ).alias("drop_rate"),
     )
@@ -413,11 +413,11 @@ def q254_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
            CAST(SUM(len(regexp_extract_all(text, '{BPE_RE}'))) AS BIGINT)
              AS total_tokens,
-           ROUND(CAST(SUM(len(text)) AS DOUBLE)
-             / SUM(len(regexp_extract_all(text, '{BPE_RE}'))), 6)
+           (FLOOR(CAST(CAST(SUM(len(text)) AS DOUBLE)
+             / SUM(len(regexp_extract_all(text, '{BPE_RE}'))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS chars_per_token,
-           ROUND(CAST(SUM(len(regexp_extract_all(text, '{BPE_RE}'))) AS DOUBLE)
-             / SUM(len(string_split(text, ' '))), 6) AS tokens_per_word
+           (FLOOR(CAST(CAST(SUM(len(regexp_extract_all(text, '{BPE_RE}'))) AS DOUBLE)
+             / SUM(len(string_split(text, ' '))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS tokens_per_word
     FROM documents
     GROUP BY lang
     """,
@@ -441,10 +441,10 @@ def q255_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).cast("bigint").alias("total_chars"),
         F.sum(n_words).cast("bigint").alias("total_words"),
         F.sum(n_tok).cast("bigint").alias("total_tokens"),
-        F.round(
+        dround(
             F.sum(F.length("text")).cast("double") / F.sum(n_tok), 6
         ).alias("chars_per_token"),
-        F.round(F.sum(n_tok).cast("double") / F.sum(n_words), 6).alias(
+        dround(F.sum(n_tok).cast("double") / F.sum(n_words), 6).alias(
             "tokens_per_word"
         ),
     )
@@ -468,7 +468,7 @@ ER_MAX_LEV = 3
     SELECT a.p_name AS name_a, b.p_name AS name_b,
            CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_distance,
            a.n_entries AS entries_a, b.n_entries AS entries_b,
-           ROUND(ABS(a.avg_price - b.avg_price), 6) AS price_gap
+           (FLOOR(CAST(ABS(a.avg_price - b.avg_price) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS price_gap
     FROM names a JOIN names b
       ON a.block = b.block AND a.p_name < b.p_name
     WHERE levenshtein(a.p_name, b.p_name) <= {ER_MAX_LEV}
@@ -528,7 +528,7 @@ def q256_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             lev.cast("bigint").alias("edit_distance"),
             "entries_a",
             "entries_b",
-            F.round(F.abs(F.col("price_a") - F.col("price_b")), 6).alias("price_gap"),
+            dround(F.abs(F.col("price_a") - F.col("price_b")), 6).alias("price_gap"),
         )
     )
 
@@ -572,11 +572,11 @@ _BENFORD_CASE_SQL = "CASE " + " ".join(
     tot AS (SELECT SUM(n_orders) AS n FROM counts)
     SELECT c.first_digit,
            CAST(c.n_orders AS BIGINT) AS n_orders,
-           ROUND(CAST(c.n_orders AS DOUBLE) / t.n, 6) AS observed_freq,
-           ROUND({_BENFORD_CASE_SQL}, 6) AS benford_freq,
-           ROUND((c.n_orders - t.n * ({_BENFORD_CASE_SQL}))
+           (FLOOR(CAST(CAST(c.n_orders AS DOUBLE) / t.n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS observed_freq,
+           (FLOOR(CAST({_BENFORD_CASE_SQL} AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS benford_freq,
+           (FLOOR(CAST((c.n_orders - t.n * ({_BENFORD_CASE_SQL}))
                    * (c.n_orders - t.n * ({_BENFORD_CASE_SQL}))
-                   / (t.n * ({_BENFORD_CASE_SQL})), 6) AS chi2_contribution
+                   / (t.n * ({_BENFORD_CASE_SQL})) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS chi2_contribution
     FROM counts c, tot t
     """,
 )
@@ -610,11 +610,11 @@ def q257_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "first_digit",
         F.col("n_orders").cast("bigint").alias("n_orders"),
-        F.round(F.col("n_orders").cast("double") / F.col("n"), 6).alias(
+        dround(F.col("n_orders").cast("double") / F.col("n"), 6).alias(
             "observed_freq"
         ),
-        F.round(bcase, 6).alias("benford_freq"),
-        F.round(
+        dround(bcase, 6).alias("benford_freq"),
+        dround(
             (F.col("n_orders") - F.col("n") * bcase)
             * (F.col("n_orders") - F.col("n") * bcase)
             / (F.col("n") * bcase),
@@ -635,10 +635,9 @@ def _acf_lag_sql(k: int) -> str:
     # final correlation arithmetic drops to IEEE double.
     return f"""
     SELECT {k} AS lag, n_pairs,
-           ROUND((n * sxy - sx * sy)
+           (FLOOR(CAST((n * sxy - sx * sy)
              / NULLIF(SQRT(GREATEST(
-                 (n * sxx - sx * sx) * (n * syy - sy * sy), 0.0)), 0.0),
-             6) AS acf
+                 (n * sxx - sx * sx) * (n * syy - sy * sy), 0.0)), 0.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS acf
     FROM (
       SELECT COUNT(*) AS n_pairs,
              CAST(COUNT(*) AS DOUBLE) AS n,
@@ -738,7 +737,7 @@ def q258_revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0.0),
     )
-    return stats.select("lag", "n_pairs", F.round(num / den, 6).alias("acf"))
+    return stats.select("lag", "n_pairs", dround(num / den, 6).alias("acf"))
 
 
 # ----------------------------- q259 HLL intersection (incl-excl)
@@ -806,9 +805,9 @@ def _hll_est_sql(regs: str, keys: str) -> str:
     )
     SELECT x.et_a, x.et_b,
            CAST(x.exact_intersection AS BIGINT) AS exact_intersection,
-           ROUND(ea.est + eb.est - u.est, 4) AS est_intersection,
-           ROUND(ABS(ea.est + eb.est - u.est - x.exact_intersection)
-                 / x.exact_intersection, 6) AS rel_error
+           (FLOOR(CAST(ea.est + eb.est - u.est AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS est_intersection,
+           (FLOOR(CAST(ABS(ea.est + eb.est - u.est - x.exact_intersection)
+                 / x.exact_intersection AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS rel_error
     FROM exact x
     JOIN est ea ON ea.event_type = x.et_a
     JOIN est eb ON eb.event_type = x.et_b
@@ -924,8 +923,8 @@ def q259_hll_intersection(spark, sf_dir):
             "et_a",
             "et_b",
             F.col("exact_intersection").cast("bigint").alias("exact_intersection"),
-            F.round(inter, 4).alias("est_intersection"),
-            F.round(
+            dround(inter, 4).alias("est_intersection"),
+            dround(
                 F.abs(inter - F.col("exact_intersection"))
                 / F.col("exact_intersection"),
                 6,
@@ -976,7 +975,7 @@ CDC_D = 32  # boundary divisor -> expected chunk length ~CDC_D bytes
            CAST(SUM(n_copies * clen) AS BIGINT) AS total_bytes,
            COUNT(*) AS distinct_chunks,
            CAST(SUM(clen) AS BIGINT) AS distinct_bytes,
-           ROUND(1.0 - CAST(SUM(clen) AS DOUBLE) / SUM(n_copies * clen), 6)
+           (FLOOR(CAST(1.0 - CAST(SUM(clen) AS DOUBLE) / SUM(n_copies * clen) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS dedup_ratio
     FROM per_hash GROUP BY source
     """,
@@ -1041,7 +1040,7 @@ def q260_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_copies") * F.col("clen")).cast("bigint").alias("total_bytes"),
         F.count(F.lit(1)).alias("distinct_chunks"),
         F.sum("clen").cast("bigint").alias("distinct_bytes"),
-        F.round(
+        dround(
             1.0
             - F.sum("clen").cast("double")
             / F.sum(F.col("n_copies") * F.col("clen")),
@@ -1095,9 +1094,9 @@ KM_WINDOW_DAYS = 7  # administrative right-censoring horizon
            CAST(n_risk AS BIGINT) AS n_risk,
            CAST(d AS BIGINT) AS d_events,
            CAST(c AS BIGINT) AS n_censored,
-           ROUND(EXP(SUM(LN(GREATEST(
+           (FLOOR(CAST(EXP(SUM(LN(GREATEST(
                    1.0 - CAST(d AS DOUBLE) / n_risk, 1e-300)))
-                 OVER (ORDER BY t)), 6) AS survival
+                 OVER (ORDER BY t)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS survival
     FROM km
     """,
 )
@@ -1159,7 +1158,7 @@ def q261_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_risk").cast("bigint").alias("n_risk"),
         F.col("d").cast("bigint").alias("d_events"),
         F.col("c").cast("bigint").alias("n_censored"),
-        F.round(F.exp(F.sum(F.log(factor)).over(wcum)), 6).alias("survival"),
+        dround(F.exp(F.sum(F.log(factor)).over(wcum)), 6).alias("survival"),
     )
 
 
@@ -1506,8 +1505,8 @@ def q264_merkle_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT (SELECT COUNT(*) FROM idx) AS n_months,
            (SELECT COUNT(*) FROM slopes) AS n_pairs,
-           ROUND(ts.theil_sen, 4) AS theil_sen_slope,
-           ROUND(ols.ols, 4) AS ols_slope
+           (FLOOR(CAST(ts.theil_sen AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS theil_sen_slope,
+           (FLOOR(CAST(ols.ols AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS ols_slope
     FROM ts, ols
     """,
 )
@@ -1545,11 +1544,11 @@ def q265_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ts_df = slopes.agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.percentile("s", F.lit(0.5)), 4).alias("theil_sen_slope"),
+        dround(F.percentile("s", F.lit(0.5)), 4).alias("theil_sen_slope"),
     )
     ols = idx.agg(
         F.count(F.lit(1)).alias("n_months"),
-        F.round(
+        dround(
             (
                 F.count(F.lit(1)) * F.sum(F.col("i") * F.col("rev"))
                 - F.sum("i") * F.sum("rev")
@@ -1589,11 +1588,11 @@ WILSON_Z = 1.959963984540054  # 97.5th normal quantile, shared literal
       FROM assigned GROUP BY variant
     )
     SELECT variant, n_users, n_converted,
-           ROUND(p_hat, 6) AS conversion_rate,
-           ROUND((p_hat + zz / (2 * n) - z * SQRT(p_hat * (1 - p_hat) / n
-                  + zz / (4 * n * n))) / (1 + zz / n), 6) AS wilson_lower,
-           ROUND((p_hat + zz / (2 * n) + z * SQRT(p_hat * (1 - p_hat) / n
-                  + zz / (4 * n * n))) / (1 + zz / n), 6) AS wilson_upper
+           (FLOOR(CAST(p_hat AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS conversion_rate,
+           (FLOOR(CAST((p_hat + zz / (2 * n) - z * SQRT(p_hat * (1 - p_hat) / n
+                  + zz / (4 * n * n))) / (1 + zz / n) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS wilson_lower,
+           (FLOOR(CAST((p_hat + zz / (2 * n) + z * SQRT(p_hat * (1 - p_hat) / n
+                  + zz / (4 * n * n))) / (1 + zz / n) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS wilson_upper
     FROM (
       SELECT variant, n_users, n_converted,
              CAST(n_converted AS DOUBLE) / n_users AS p_hat,
@@ -1663,9 +1662,9 @@ def q266_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "variant",
         "n_users",
         "n_converted",
-        F.round(p, 6).alias("conversion_rate"),
-        F.round((center - margin) / denom, 6).alias("wilson_lower"),
-        F.round((center + margin) / denom, 6).alias("wilson_upper"),
+        dround(p, 6).alias("conversion_rate"),
+        dround((center - margin) / denom, 6).alias("wilson_lower"),
+        dround((center + margin) / denom, 6).alias("wilson_upper"),
     )
 
 
@@ -1690,16 +1689,16 @@ def q266_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(qg AS DECIMAL(28,4))) AS DOUBLE) AS q,
              -- per-group (Σv)²/n in double, decimal-summed so the
              -- cross-group addition is order-independent
-             CAST(SUM(CAST(ROUND(sg * sg / ng, 6) AS DECIMAL(28,8)))
+             CAST(SUM(CAST((FLOOR(CAST(sg * sg / ng AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS DECIMAL(28,8)))
                AS DOUBLE) AS sb
       FROM g
     )
     SELECT k AS k_groups, n AS n_total,
-           ROUND(sb - s * s / n, 6) AS ss_between,
-           ROUND(q - sb, 6) AS ss_within,
-           ROUND(((sb - s * s / n) / (k - 1)) / ((q - sb) / (n - k)), 6)
+           (FLOOR(CAST(sb - s * s / n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS ss_between,
+           (FLOOR(CAST(q - sb AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS ss_within,
+           (FLOOR(CAST(((sb - s * s / n) / (k - 1)) / ((q - sb) / (n - k)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS f_stat,
-           ROUND((sb - s * s / n) / (q - s * s / n), 6) AS eta_sq
+           (FLOOR(CAST((sb - s * s / n) / (q - s * s / n) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS eta_sq
     FROM parts
     """,
 )
@@ -1732,7 +1731,7 @@ def q267_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             # their shortest string repr, DuckDB via the binary value
             # — off-grid doubles can round differently at the cast
             # scale; a 6-dp-rounded double is on-grid for scale 8
-            F.round(F.col("sg") * F.col("sg") / F.col("ng"), 6).cast(
+            dround(F.col("sg") * F.col("sg") / F.col("ng"), 6).cast(
                 "decimal(28,8)"
             )
         )
@@ -1745,11 +1744,11 @@ def q267_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts.select(
         F.col("k").alias("k_groups"),
         F.col("n").alias("n_total"),
-        F.round(ssb, 6).alias("ss_between"),
-        F.round(ssw, 6).alias("ss_within"),
-        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6)
+        dround(ssb, 6).alias("ss_between"),
+        dround(ssw, 6).alias("ss_within"),
+        dround((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6)
         .alias("f_stat"),
-        F.round(ssb / sst, 6).alias("eta_sq"),
+        dround(ssb / sst, 6).alias("eta_sq"),
     )
 
 
@@ -2088,12 +2087,12 @@ BOTTOMK_SPACE = float(1 << 56)  # hash domain: 14 hex chars
     )
     SELECT event_type,
            CAST(nd AS BIGINT) AS exact_distinct,
-           ROUND(CASE WHEN nd < {BOTTOMK_K} THEN CAST(nd AS DOUBLE)
-                 ELSE ({BOTTOMK_K} - 1) * {BOTTOMK_SPACE!r} / v END, 4)
+           (FLOOR(CAST(CASE WHEN nd < {BOTTOMK_K} THEN CAST(nd AS DOUBLE)
+                 ELSE ({BOTTOMK_K} - 1) * {BOTTOMK_SPACE!r} / v END AS DOUBLE) * 10000.0 + 0.5) / 10000.0)
              AS bottomk_estimate,
-           ROUND(ABS(CASE WHEN nd < {BOTTOMK_K} THEN CAST(nd AS DOUBLE)
+           (FLOOR(CAST(ABS(CASE WHEN nd < {BOTTOMK_K} THEN CAST(nd AS DOUBLE)
                  ELSE ({BOTTOMK_K} - 1) * {BOTTOMK_SPACE!r} / v END - nd)
-                 / nd, 6) AS rel_error
+                 / nd AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS rel_error
     FROM ranked
     WHERE rk = CASE WHEN nd < {BOTTOMK_K} THEN nd ELSE {BOTTOMK_K} END
     """,
@@ -2154,8 +2153,8 @@ def q271_bottomk_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type",
         F.col("nd").cast("bigint").alias("exact_distinct"),
-        F.round(est, 4).alias("bottomk_estimate"),
-        F.round(F.abs(est - F.col("nd")) / F.col("nd"), 6).alias("rel_error"),
+        dround(est, 4).alias("bottomk_estimate"),
+        dround(F.abs(est - F.col("nd")) / F.col("nd"), 6).alias("rel_error"),
     )
 
 
@@ -2199,12 +2198,12 @@ WOE_BINS = [0.2, 0.4, 0.6, 0.8]
     SELECT bin,
            COUNT(*) AS n_users,
            CAST(SUM(y) AS BIGINT) AS n_converted,
-           ROUND(LN(((SUM(y) + 0.5) / NULLIF(p, 0.0))
-                 / ((SUM(1 - y) + 0.5) / NULLIF(n, 0.0))), 6) AS woe,
-           ROUND(((SUM(y) + 0.5) / NULLIF(p, 0.0)
+           (FLOOR(CAST(LN(((SUM(y) + 0.5) / NULLIF(p, 0.0))
+                 / ((SUM(1 - y) + 0.5) / NULLIF(n, 0.0))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS woe,
+           (FLOOR(CAST(((SUM(y) + 0.5) / NULLIF(p, 0.0)
                    - (SUM(1 - y) + 0.5) / NULLIF(n, 0.0))
                  * LN(((SUM(y) + 0.5) / NULLIF(p, 0.0))
-                 / ((SUM(1 - y) + 0.5) / NULLIF(n, 0.0))), 6)
+                 / ((SUM(1 - y) + 0.5) / NULLIF(n, 0.0))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS iv_contribution
     FROM binned, tot
     GROUP BY bin, p, n
@@ -2275,8 +2274,8 @@ def q272_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         "n_users",
         "n_converted",
-        F.round(woe, 6).alias("woe"),
-        F.round((pos_share - neg_share) * woe, 6).alias("iv_contribution"),
+        dround(woe, 6).alias("woe"),
+        dround((pos_share - neg_share) * woe, 6).alias("iv_contribution"),
     )
 
 
@@ -2302,9 +2301,9 @@ LOO_PROBE_KEYS = 20
     )
     SELECT sp.c_custkey, sp.c_mktsegment,
            CAST(sp.y AS DOUBLE) AS own_spend,
-           ROUND(CAST(sg.s - sp.y AS DOUBLE) / NULLIF(sg.n - 1, 0), 6)
+           (FLOOR(CAST(CAST(sg.s - sp.y AS DOUBLE) / NULLIF(sg.n - 1, 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS loo_encoding,
-           ROUND(CAST(sg.s AS DOUBLE) / sg.n, 6) AS naive_encoding
+           (FLOOR(CAST(CAST(sg.s AS DOUBLE) / sg.n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS naive_encoding
     FROM spend sp JOIN seg sg ON sg.c_mktsegment = sp.c_mktsegment
     WHERE sp.c_custkey < {LOO_PROBE_KEYS}
     """,
@@ -2349,12 +2348,12 @@ def q273_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_mktsegment",
             F.col("y").cast("double").alias("own_spend"),
-            F.round(
+            dround(
                 (F.col("s") - F.col("y")).cast("double")
                 / F.nullif(F.col("n") - 1, F.lit(0)),
                 6,
             ).alias("loo_encoding"),
-            F.round(F.col("s").cast("double") / F.col("n"), 6).alias(
+            dround(F.col("s").cast("double") / F.col("n"), 6).alias(
                 "naive_encoding"
             ),
         )
@@ -2457,8 +2456,8 @@ def q274_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cum
     )
     SELECT p AS n_pos, n AS n_neg,
-           ROUND(CAST(num2 AS DOUBLE) / NULLIF(2.0 * p * n, 0.0), 6) AS auc,
-           ROUND(CAST(num2 AS DOUBLE) / NULLIF(1.0 * p * n, 0.0) - 1.0, 6)
+           (FLOOR(CAST(CAST(num2 AS DOUBLE) / NULLIF(2.0 * p * n, 0.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS auc,
+           (FLOOR(CAST(CAST(num2 AS DOUBLE) / NULLIF(1.0 * p * n, 0.0) - 1.0 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS gini
     FROM agg
     """,
@@ -2502,12 +2501,12 @@ def q275_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("p").alias("n_pos"),
         F.col("n").alias("n_neg"),
-        F.round(
+        dround(
             F.col("num2").cast("double")
             / F.nullif(2.0 * F.col("p") * F.col("n"), F.lit(0.0)),
             6,
         ).alias("auc"),
-        F.round(
+        dround(
             F.col("num2").cast("double")
             / F.nullif(1.0 * F.col("p") * F.col("n"), F.lit(0.0))
             - 1.0,
@@ -2752,16 +2751,16 @@ def q277_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON b.l_partkey = a.l_partkey AND a.y = 1996 AND b.y = 1997
     )
     SELECT COUNT(*) AS n_parts,
-           ROUND(CAST(SUM(CAST(ROUND(r1 - r0, 4) AS DECIMAL(28,6)))
-             AS DOUBLE), 2) AS revenue_delta,
-           ROUND(CAST(SUM(CAST(ROUND((p1 - p0) * q0, 4) AS DECIMAL(28,6)))
-             AS DOUBLE), 2) AS price_effect,
-           ROUND(CAST(SUM(CAST(ROUND(p1 * (q1 - q0), 4) AS DECIMAL(28,6)))
-             AS DOUBLE), 2) AS volume_effect,
-           ROUND(CAST(SUM(CAST(ROUND(p1 * q0, 4) AS DECIMAL(28,6)))
+           (FLOOR(CAST(CAST(SUM(CAST((FLOOR(CAST(r1 - r0 AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS DECIMAL(28,6)))
+             AS DOUBLE) AS DOUBLE) * 100.0 + 0.5) / 100.0) AS revenue_delta,
+           (FLOOR(CAST(CAST(SUM(CAST((FLOOR(CAST((p1 - p0) * q0 AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS DECIMAL(28,6)))
+             AS DOUBLE) AS DOUBLE) * 100.0 + 0.5) / 100.0) AS price_effect,
+           (FLOOR(CAST(CAST(SUM(CAST((FLOOR(CAST(p1 * (q1 - q0) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS DECIMAL(28,6)))
+             AS DOUBLE) AS DOUBLE) * 100.0 + 0.5) / 100.0) AS volume_effect,
+           (FLOOR(CAST(CAST(SUM(CAST((FLOOR(CAST(p1 * q0 AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS DECIMAL(28,6)))
              AS DOUBLE)
-             / CAST(SUM(CAST(ROUND(p0 * q0, 4) AS DECIMAL(28,6)))
-                    AS DOUBLE), 6) AS laspeyres_price_index
+             / CAST(SUM(CAST((FLOOR(CAST(p0 * q0 AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS laspeyres_price_index
     FROM both_years
     """,
 )
@@ -2811,18 +2810,18 @@ def q278_price_volume_decomposition(spark: SparkSession, sf_dir: str) -> DataFra
     def dsum6(col):
         # round-to-grid before the decimal cast (cross-engine
         # double->decimal rounding divergence on off-grid values)
-        return F.sum(F.round(col, 4).cast("decimal(28,6)")).cast("double")
+        return F.sum(dround(col, 4).cast("decimal(28,6)")).cast("double")
 
     return j.agg(
         F.count(F.lit(1)).alias("n_parts"),
-        F.round(dsum6(F.col("r1") - F.col("r0")), 2).alias("revenue_delta"),
-        F.round(dsum6((F.col("p1") - F.col("p0")) * F.col("q0")), 2).alias(
+        dround(dsum6(F.col("r1") - F.col("r0")), 2).alias("revenue_delta"),
+        dround(dsum6((F.col("p1") - F.col("p0")) * F.col("q0")), 2).alias(
             "price_effect"
         ),
-        F.round(dsum6(F.col("p1") * (F.col("q1") - F.col("q0"))), 2).alias(
+        dround(dsum6(F.col("p1") * (F.col("q1") - F.col("q0"))), 2).alias(
             "volume_effect"
         ),
-        F.round(
+        dround(
             dsum6(F.col("p1") * F.col("q0")) / dsum6(F.col("p0") * F.col("q0")),
             6,
         ).alias("laspeyres_price_index"),
@@ -3036,10 +3035,10 @@ def q281_salted_join_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     )
     SELECT CAST(n AS BIGINT) AS n_orders,
-           ROUND(det0 / det, 6) AS beta0,
-           ROUND(det1 / det, 6) AS beta1,
-           ROUND(det2 / det, 6) AS beta2,
-           ROUND(1.0 - (syy - 2 * ((det0 / det) * sy + (det1 / det) * s1y
+           (FLOOR(CAST(det0 / det AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS beta0,
+           (FLOOR(CAST(det1 / det AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS beta1,
+           (FLOOR(CAST(det2 / det AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS beta2,
+           (FLOOR(CAST(1.0 - (syy - 2 * ((det0 / det) * sy + (det1 / det) * s1y
                                    + (det2 / det) * s2y)
                         + ((det0 / det) * ((det0 / det) * n
                              + (det1 / det) * s1 + (det2 / det) * s2)
@@ -3047,7 +3046,7 @@ def q281_salted_join_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                              + (det1 / det) * s11 + (det2 / det) * s12)
                            + (det2 / det) * ((det0 / det) * s2
                              + (det1 / det) * s12 + (det2 / det) * s22)))
-                 / (syy - sy * sy / n), 6) AS r_squared
+                 / (syy - sy * sy / n) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS r_squared
     FROM solved
     """,
 )
@@ -3138,10 +3137,10 @@ def q282_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     sst = c("syy") - c("sy") * c("sy") / c("n")
     return solved.select(
         c("n").cast("bigint").alias("n_orders"),
-        F.round(b0, 6).alias("beta0"),
-        F.round(b1, 6).alias("beta1"),
-        F.round(b2, 6).alias("beta2"),
-        F.round(1.0 - sse / sst, 6).alias("r_squared"),
+        dround(b0, 6).alias("beta0"),
+        dround(b1, 6).alias("beta1"),
+        dround(b2, 6).alias("beta2"),
+        dround(1.0 - sse / sst, 6).alias("r_squared"),
     )
 
 
@@ -3166,10 +3165,10 @@ def q282_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, d,
            COUNT(*) AS n_events,
            CAST(SUM(dt_us) AS BIGINT) AS covered_us,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)) * dt_us) AS DOUBLE)
-                 / SUM(dt_us), 6) AS twap,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                 / COUNT(*), 6) AS plain_avg
+           (FLOOR(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)) * dt_us) AS DOUBLE)
+                 / SUM(dt_us) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS twap,
+           (FLOOR(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS plain_avg
     FROM weighted
     GROUP BY event_type, d
     """,
@@ -3210,11 +3209,11 @@ def q283_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted.groupBy("event_type", "d").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("dt_us").cast("bigint").alias("covered_us"),
-        F.round(
+        dround(
             F.sum(F.col("v") * F.col("dt_us")).cast("double") / F.sum("dt_us"),
             6,
         ).alias("twap"),
-        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6).alias(
+        dround(F.sum("v").cast("double") / F.count(F.lit(1)), 6).alias(
             "plain_avg"
         ),
     )
@@ -3255,7 +3254,7 @@ ATTR_WINDOW = "1 hour"
     )
     SELECT click_id,
            COUNT(*) AS n_conversions_touched,
-           ROUND(SUM(credit), 4) AS attributed_revenue
+           (FLOOR(CAST(SUM(credit) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS attributed_revenue
     FROM normed GROUP BY click_id
     """,
 )
@@ -3316,7 +3315,7 @@ def q284_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return normed.groupBy("click_id").agg(
         F.count(F.lit(1)).alias("n_conversions_touched"),
-        F.round(F.sum("credit"), 4).alias("attributed_revenue"),
+        dround(F.sum("credit"), 4).alias("attributed_revenue"),
     )
 
 
@@ -3475,7 +3474,7 @@ FS_UPPER, FS_LOWER = 1.5, -0.5  # match / possible / non-match cuts
       FROM pairs
     )
     SELECT name_a, name_b, agr_adj, agr_price, agr_entries,
-           ROUND(fs_weight, 6) AS fs_weight,
+           (FLOOR(CAST(fs_weight AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS fs_weight,
            CASE WHEN fs_weight >= {FS_UPPER} THEN 'match'
                 WHEN fs_weight <= {FS_LOWER} THEN 'non_match'
                 ELSE 'possible' END AS decision
@@ -3566,7 +3565,7 @@ def q286_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "agr_adj",
         "agr_price",
         "agr_entries",
-        F.round(w, 6).alias("fs_weight"),
+        dround(w, 6).alias("fs_weight"),
         F.when(w >= FS_UPPER, "match")
         .when(w <= FS_LOWER, "non_match")
         .otherwise("possible")
@@ -3589,7 +3588,7 @@ def _look_sql(cutoff: str, bound: float) -> str:
     SELECT DATE '{cutoff}' AS look_date,
            CAST({bound!r} AS DOUBLE) AS obf_bound,
            n_c, n_t, x_c, x_t,
-           ROUND(z, 4) AS z_stat,
+           (FLOOR(CAST(z AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS z_stat,
            CASE WHEN ABS(z) >= {bound!r} THEN 1 ELSE 0 END AS crossed
     FROM (
       SELECT n_c, n_t, x_c, x_t,
@@ -3717,7 +3716,7 @@ def q287_group_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_t",
             "x_c",
             "x_t",
-            F.round(z, 4).alias("z_stat"),
+            dround(z, 4).alias("z_stat"),
             F.when(F.abs(z) >= bound, 1).otherwise(0).alias("crossed"),
         )
         out = row if out is None else out.unionByName(row)
@@ -3758,14 +3757,14 @@ def q287_group_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(date_diff('day', sp.d0, sp.d1) + 1 AS BIGINT) AS span_days,
            sp.n_orders,
-           ROUND(CAST(i.area AS DOUBLE)
-                 / (date_diff('day', sp.d0, sp.d1) + 1), 6) AS l_sweep,
-           ROUND(CAST(sp.n_orders AS DOUBLE)
-                 / (date_diff('day', sp.d0, sp.d1) + 1), 6) AS lambda_rate,
-           ROUND(CAST(sp.total_days AS DOUBLE) / sp.n_orders, 6) AS w_days,
-           ROUND((CAST(sp.n_orders AS DOUBLE)
+           (FLOOR(CAST(CAST(i.area AS DOUBLE)
+                 / (date_diff('day', sp.d0, sp.d1) + 1) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS l_sweep,
+           (FLOOR(CAST(CAST(sp.n_orders AS DOUBLE)
+                 / (date_diff('day', sp.d0, sp.d1) + 1) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS lambda_rate,
+           (FLOOR(CAST(CAST(sp.total_days AS DOUBLE) / sp.n_orders AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS w_days,
+           (FLOOR(CAST((CAST(sp.n_orders AS DOUBLE)
                   / (date_diff('day', sp.d0, sp.d1) + 1))
-                 * (CAST(sp.total_days AS DOUBLE) / sp.n_orders), 6)
+                 * (CAST(sp.total_days AS DOUBLE) / sp.n_orders) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS littles_rhs,
            CAST(i.area - sp.total_days AS BIGINT) AS integral_gap
     FROM span sp, integral i
@@ -3823,10 +3822,10 @@ def q288_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         span_days.cast("bigint").alias("span_days"),
         "n_orders",
-        F.round(F.col("area").cast("double") / span_days, 6).alias("l_sweep"),
-        F.round(lam, 6).alias("lambda_rate"),
-        F.round(w_days, 6).alias("w_days"),
-        F.round(lam * w_days, 6).alias("littles_rhs"),
+        dround(F.col("area").cast("double") / span_days, 6).alias("l_sweep"),
+        dround(lam, 6).alias("lambda_rate"),
+        dround(w_days, 6).alias("w_days"),
+        dround(lam * w_days, 6).alias("littles_rhs"),
         (F.col("area") - F.col("total_days")).cast("bigint").alias(
             "integral_gap"
         ),
@@ -3967,7 +3966,7 @@ def q289_funnel_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            COUNT(*) AS n_lines,
            CAST(SUM(bus_days) AS BIGINT) AS total_bus_days,
-           ROUND(CAST(SUM(bus_days) AS DOUBLE) / COUNT(*), 6)
+           (FLOOR(CAST(CAST(SUM(bus_days) AS DOUBLE) / COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS avg_bus_days,
            CAST(MAX(bus_days) AS BIGINT) AS max_bus_days
     FROM counted GROUP BY o_orderpriority
@@ -4013,7 +4012,7 @@ def q290_business_day_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum("bus_days").cast("bigint").alias("total_bus_days"),
-        F.round(
+        dround(
             F.sum("bus_days").cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_bus_days"),
         F.max("bus_days").cast("bigint").alias("max_bus_days"),
@@ -4168,11 +4167,11 @@ QQ_PROBS = {
         f" (SELECT quantile_cont(o_totalprice, {p!r}) FROM orders) AS emp"
         for p, z in QQ_PROBS.items())}
     )
-    SELECT prob, ROUND(z_expected, 6) AS z_expected,
-           ROUND((emp - s / n) / SQRT((q - s * s / n) / (n - 1)), 6)
+    SELECT prob, (FLOOR(CAST(z_expected AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS z_expected,
+           (FLOOR(CAST((emp - s / n) / SQRT((q - s * s / n) / (n - 1)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS z_observed,
-           ROUND((emp - s / n) / SQRT((q - s * s / n) / (n - 1))
-                 - z_expected, 6) AS deviation
+           (FLOOR(CAST((emp - s / n) / SQRT((q - s * s / n) / (n - 1))
+                 - z_expected AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS deviation
     FROM qs, stats
     """,
 )
@@ -4209,9 +4208,9 @@ def q292_qq_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         row = stats.select(
             F.lit(p).alias("prob"),
-            F.round(F.lit(z), 6).alias("z_expected"),
-            F.round(zobs, 6).alias("z_observed"),
-            F.round(zobs - F.lit(z), 6).alias("deviation"),
+            dround(F.lit(z), 6).alias("z_expected"),
+            dround(zobs, 6).alias("z_observed"),
+            dround(zobs - F.lit(z), 6).alias("deviation"),
         )
         rows = row if rows is None else rows.unionByName(row)
     return rows
@@ -4246,14 +4245,14 @@ def q292_qq_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored WHERE split = 'tgt'
     )
     SELECT CAST(t.n_tgt AS BIGINT) AS n_target,
-           ROUND(c.tpr, 6) AS clf_tpr,
-           ROUND(c.fpr, 6) AS clf_fpr,
-           ROUND(t.mu, 6) AS target_pred_rate,
-           ROUND((t.mu - c.fpr) / NULLIF(c.tpr - c.fpr, 0.0), 6)
+           (FLOOR(CAST(c.tpr AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS clf_tpr,
+           (FLOOR(CAST(c.fpr AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS clf_fpr,
+           (FLOOR(CAST(t.mu AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS target_pred_rate,
+           (FLOOR(CAST((t.mu - c.fpr) / NULLIF(c.tpr - c.fpr, 0.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS bbse_estimate,
-           ROUND(t.actual, 6) AS actual_rate,
-           ROUND(ABS((t.mu - c.fpr) / NULLIF(c.tpr - c.fpr, 0.0)
-                 - t.actual), 6) AS abs_error
+           (FLOOR(CAST(t.actual AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS actual_rate,
+           (FLOOR(CAST(ABS((t.mu - c.fpr) / NULLIF(c.tpr - c.fpr, 0.0)
+                 - t.actual) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS abs_error
     FROM conf c, tgt t
     """,
 )
@@ -4310,12 +4309,12 @@ def q293_label_shift_bbse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.select(
         F.col("n_tgt").cast("bigint").alias("n_target"),
-        F.round("tpr", 6).alias("clf_tpr"),
-        F.round("fpr", 6).alias("clf_fpr"),
-        F.round("mu", 6).alias("target_pred_rate"),
-        F.round(est, 6).alias("bbse_estimate"),
-        F.round("actual", 6).alias("actual_rate"),
-        F.round(F.abs(est - F.col("actual")), 6).alias("abs_error"),
+        dround("tpr", 6).alias("clf_tpr"),
+        dround("fpr", 6).alias("clf_fpr"),
+        dround("mu", 6).alias("target_pred_rate"),
+        dround(est, 6).alias("bbse_estimate"),
+        dround("actual", 6).alias("actual_rate"),
+        dround(F.abs(est - F.col("actual")), 6).alias("abs_error"),
     )
 
 
@@ -4448,9 +4447,9 @@ TINY_FILE_MB = 16
                 / ({TARGET_FILE_MB} * 1048576.0))) AS BIGINT) AS n_files,
            CASE WHEN est_bytes < {TINY_FILE_MB} * 1048576 THEN 1 ELSE 0 END
              AS tiny_file_flag,
-           ROUND(CAST(est_bytes AS DOUBLE) / GREATEST(1,
+           (FLOOR(CAST(CAST(est_bytes AS DOUBLE) / GREATEST(1,
                  CEIL(CAST(est_bytes AS DOUBLE)
-                      / ({TARGET_FILE_MB} * 1048576.0))) / 1048576.0, 6)
+                      / ({TARGET_FILE_MB} * 1048576.0))) / 1048576.0 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS avg_file_mb
     FROM parts
     """,
@@ -4497,7 +4496,7 @@ def q295_file_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("est_bytes") < TINY_FILE_MB * 1048576, 1)
         .otherwise(0)
         .alias("tiny_file_flag"),
-        F.round(
+        dround(
             F.col("est_bytes").cast("double") / n_files / 1048576.0, 6
         ).alias("avg_file_mb"),
     )
@@ -4700,9 +4699,9 @@ _C = _cramer_sql("t")
     )
     SELECT fold,
            CAST(tn AS BIGINT) AS n_train,
-           ROUND({_C['det0']} / {_C['det']}, 6) AS beta0,
-           ROUND({_C['det1']} / {_C['det']}, 6) AS beta1,
-           ROUND({_C['det2']} / {_C['det']}, 6) AS beta2
+           (FLOOR(CAST({_C['det0']} / {_C['det']} AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS beta0,
+           (FLOOR(CAST({_C['det1']} / {_C['det']} AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS beta1,
+           (FLOOR(CAST({_C['det2']} / {_C['det']} AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS beta2
     FROM train
     """,
 )
@@ -4808,9 +4807,9 @@ def q297_kfold_ols_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.select(
         "fold",
         c("tn").cast("bigint").alias("n_train"),
-        F.round(det0 / det, 6).alias("beta0"),
-        F.round(det1 / det, 6).alias("beta1"),
-        F.round(det2 / det, 6).alias("beta2"),
+        dround(det0 / det, 6).alias("beta0"),
+        dround(det1 / det, 6).alias("beta1"),
+        dround(det2 / det, 6).alias("beta2"),
     )
 
 
@@ -4847,8 +4846,8 @@ SPRT_B = -2.9444389791664407
     )
     SELECT d,
            n_cum, x_cum,
-           ROUND(x_cum * CAST({SPRT_LR_POS!r} AS DOUBLE)
-                 + (n_cum - x_cum) * CAST({SPRT_LR_NEG!r} AS DOUBLE), 6)
+           (FLOOR(CAST(x_cum * CAST({SPRT_LR_POS!r} AS DOUBLE)
+                 + (n_cum - x_cum) * CAST({SPRT_LR_NEG!r} AS DOUBLE) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS llr,
            CASE WHEN x_cum * CAST({SPRT_LR_POS!r} AS DOUBLE)
                      + (n_cum - x_cum) * CAST({SPRT_LR_NEG!r} AS DOUBLE)
@@ -4922,7 +4921,7 @@ def q298_sprt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         "n_cum",
         "x_cum",
-        F.round(llr, 6).alias("llr"),
+        dround(llr, 6).alias("llr"),
         F.when(llr >= SPRT_A, "accept_h1")
         .when(llr <= SPRT_B, "accept_h0")
         .otherwise("continue")
@@ -5272,15 +5271,15 @@ def _ring_assign_sql(n_nodes: int, alias: str) -> str:
            COUNT(*) AS n_keys,
            CAST(SUM(CASE WHEN n4 <> n5 THEN 1 ELSE 0 END) AS BIGINT)
              AS keys_moved,
-           ROUND(CAST(SUM(CASE WHEN n4 <> n5 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 6) AS moved_fraction
+           (FLOOR(CAST(CAST(SUM(CASE WHEN n4 <> n5 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS moved_fraction
     FROM ring
     UNION ALL
     SELECT 'modulo',
            COUNT(*),
            CAST(SUM(CASE WHEN kh % 4 <> kh % 5 THEN 1 ELSE 0 END) AS BIGINT),
-           ROUND(CAST(SUM(CASE WHEN kh % 4 <> kh % 5 THEN 1 ELSE 0 END)
-                 AS DOUBLE) / COUNT(*), 6)
+           (FLOOR(CAST(CAST(SUM(CASE WHEN kh % 4 <> kh % 5 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
     FROM keys
     """,
 )
@@ -5385,7 +5384,7 @@ def q301_consistent_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ring").alias("scheme"),
         F.count(F.lit(1)).alias("n_keys"),
         moved.cast("bigint").alias("keys_moved"),
-        F.round(moved.cast("double") / F.count(F.lit(1)), 6).alias(
+        dround(moved.cast("double") / F.count(F.lit(1)), 6).alias(
             "moved_fraction"
         ),
     )
@@ -5396,7 +5395,7 @@ def q301_consistent_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("modulo").alias("scheme"),
         F.count(F.lit(1)).alias("n_keys"),
         mod_moved.cast("bigint").alias("keys_moved"),
-        F.round(mod_moved.cast("double") / F.count(F.lit(1)), 6).alias(
+        dround(mod_moved.cast("double") / F.count(F.lit(1)), 6).alias(
             "moved_fraction"
         ),
     )
@@ -5431,15 +5430,15 @@ BACKTEST_LAG = 7  # seasonal-naive horizon (weekly)
     )
     SELECT event_type,
            COUNT(*) AS n_days,
-           ROUND(CAST(SUM(CAST(ae AS DECIMAL(28,2))) AS DOUBLE)
-                 / COUNT(*), 6) AS mae,
-           ROUND(CAST(SUM(CAST(ROUND(ae / NULLIF(av, 0.0), 8)
-                 AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS mape,
-           ROUND(CAST(SUM(CAST(ROUND(2 * ae / NULLIF(av + fv, 0.0), 8)
-                 AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS smape,
-           ROUND(CAST(SUM(CAST(ae AS DECIMAL(28,2))) AS DOUBLE)
+           (FLOOR(CAST(CAST(SUM(CAST(ae AS DECIMAL(28,2))) AS DOUBLE)
+                 / COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mae,
+           (FLOOR(CAST(CAST(SUM(CAST((FLOOR(CAST(ae / NULLIF(av, 0.0) AS DOUBLE) * 100000000.0 + 0.5) / 100000000.0)
+                 AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mape,
+           (FLOOR(CAST(CAST(SUM(CAST((FLOOR(CAST(2 * ae / NULLIF(av + fv, 0.0) AS DOUBLE) * 100000000.0 + 0.5) / 100000000.0)
+                 AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS smape,
+           (FLOOR(CAST(CAST(SUM(CAST(ae AS DECIMAL(28,2))) AS DOUBLE)
                  / NULLIF(CAST(SUM(CAST(nae AS DECIMAL(28,2))) AS DOUBLE),
-                          0.0), 6) AS mase
+                          0.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mase
     FROM scored GROUP BY event_type
     """,
 )
@@ -5493,15 +5492,15 @@ def q302_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return scored.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.round(d28(F.col("ae"), 2) / F.count(F.lit(1)), 6).alias("mae"),
-        F.round(
-            d28(F.round(F.col("ae") / F.nullif(F.col("av"), F.lit(0.0)), 8), 10)
+        dround(d28(F.col("ae"), 2) / F.count(F.lit(1)), 6).alias("mae"),
+        dround(
+            d28(dround(F.col("ae") / F.nullif(F.col("av"), F.lit(0.0)), 8), 10)
             / F.count(F.lit(1)),
             6,
         ).alias("mape"),
-        F.round(
+        dround(
             d28(
-                F.round(
+                dround(
                     2
                     * F.col("ae")
                     / F.nullif(F.col("av") + F.col("fv"), F.lit(0.0)),
@@ -5512,7 +5511,7 @@ def q302_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)),
             6,
         ).alias("smape"),
-        F.round(
+        dround(
             d28(F.col("ae"), 2) / F.nullif(d28(F.col("nae"), 2), F.lit(0.0)),
             6,
         ).alias("mase"),
@@ -5550,7 +5549,7 @@ RESID_TOPK = 5
       FROM daily d JOIN dow_eff e ON e.dow = d.dow, grand
     ),
     ranked AS (
-      SELECT d, dow, ROUND(rev, 2) AS rev, ROUND(r, 4) AS residual,
+      SELECT d, dow, (FLOOR(CAST(rev AS DOUBLE) * 100.0 + 0.5) / 100.0) AS rev, (FLOOR(CAST(r AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS residual,
              ROW_NUMBER() OVER (ORDER BY ABS(r) DESC, d ASC) AS rk
       FROM resid
     )
@@ -5620,8 +5619,8 @@ def q303_seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFra
         .select(
             "d",
             F.col("dow").cast("bigint").alias("dow"),
-            F.round("rev", 2).alias("rev"),
-            F.round("r", 4).alias("residual"),
+            dround("rev", 2).alias("rev"),
+            dround("r", 4).alias("residual"),
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
@@ -5645,13 +5644,13 @@ def q303_seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFra
       FROM preds
     )
     SELECT CAST(n AS BIGINT) AS n_docs,
-           ROUND(agree / n, 6) AS percent_agreement,
-           ROUND((pa / n) * (pb / n) + (1 - pa / n) * (1 - pb / n), 6)
+           (FLOOR(CAST(agree / n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS percent_agreement,
+           (FLOOR(CAST((pa / n) * (pb / n) + (1 - pa / n) * (1 - pb / n) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS chance_agreement,
-           ROUND((agree / n - ((pa / n) * (pb / n)
+           (FLOOR(CAST((agree / n - ((pa / n) * (pb / n)
                   + (1 - pa / n) * (1 - pb / n)))
                  / NULLIF(1 - ((pa / n) * (pb / n)
-                  + (1 - pa / n) * (1 - pb / n)), 0.0), 6) AS kappa
+                  + (1 - pa / n) * (1 - pb / n)), 0.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS kappa
     FROM counts
     """,
 )
@@ -5685,9 +5684,9 @@ def q304_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * (1 - F.col("pb") / F.col("n"))
     return counts.select(
         F.col("n").cast("bigint").alias("n_docs"),
-        F.round(po, 6).alias("percent_agreement"),
-        F.round(pe, 6).alias("chance_agreement"),
-        F.round((po - pe) / F.nullif(1 - pe, F.lit(0.0)), 6).alias("kappa"),
+        dround(po, 6).alias("percent_agreement"),
+        dround(pe, 6).alias("chance_agreement"),
+        dround((po - pe) / F.nullif(1 - pe, F.lit(0.0)), 6).alias("kappa"),
     )
 
 
@@ -5895,8 +5894,8 @@ CALIB_BINS = 5
       SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
              -- deterministic "model": longer docs get higher
              -- predicted P(en); clipped linear score on n_chars
-             ROUND(LEAST(0.95, GREATEST(0.05,
-               CAST(n_chars AS DOUBLE) / 640.0)), 8) AS p
+             (FLOOR(CAST(LEAST(0.95, GREATEST(0.05,
+               CAST(n_chars AS DOUBLE) / 640.0)) AS DOUBLE) * 100000000.0 + 0.5) / 100000000.0) AS p
       FROM documents
     ),
     binned AS (
@@ -5907,13 +5906,13 @@ CALIB_BINS = 5
     )
     SELECT bin,
            COUNT(*) AS n_docs,
-           ROUND(CAST(SUM(CAST(p AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6)
+           (FLOOR(CAST(CAST(SUM(CAST(p AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS mean_predicted,
-           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS observed_rate,
-           ROUND(ABS(CAST(SUM(CAST(p AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)
-                 - CAST(SUM(y) AS DOUBLE) / COUNT(*)), 6) AS calibration_gap,
-           ROUND(CAST(SUM(CAST(ROUND((p - y) * (p - y), 10)
-                 AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS brier
+           (FLOOR(CAST(CAST(SUM(y) AS DOUBLE) / COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS observed_rate,
+           (FLOOR(CAST(ABS(CAST(SUM(CAST(p AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)
+                 - CAST(SUM(y) AS DOUBLE) / COUNT(*)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS calibration_gap,
+           (FLOOR(CAST(CAST(SUM(CAST((FLOOR(CAST((p - y) * (p - y) AS DOUBLE) * 10000000000.0 + 0.5) / 10000000000.0)
+                 AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS brier
     FROM binned GROUP BY bin
     """,
 )
@@ -5933,7 +5932,7 @@ def q307_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     scored = t(spark, sf_dir, "documents").select(
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
-        F.round(
+        dround(
             F.least(
                 F.lit(0.95),
                 F.greatest(
@@ -5958,12 +5957,12 @@ def q307_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = F.sum("y").cast("double") / F.count(F.lit(1))
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(mean_p, 6).alias("mean_predicted"),
-        F.round(obs, 6).alias("observed_rate"),
-        F.round(F.abs(mean_p - obs), 6).alias("calibration_gap"),
-        F.round(
+        dround(mean_p, 6).alias("mean_predicted"),
+        dround(obs, 6).alias("observed_rate"),
+        dround(F.abs(mean_p - obs), 6).alias("calibration_gap"),
+        dround(
             F.sum(
-                F.round(
+                dround(
                     (F.col("p") - F.col("y")) * (F.col("p") - F.col("y")), 10
                 ).cast("decimal(28,12)")
             ).cast("double")
@@ -5993,7 +5992,7 @@ def _enc_sql(table: str, col: str) -> str:
     SELECT '{table}.{col}' AS column_name,
            COUNT(*) AS n_rows,
            COUNT(DISTINCT {col}) AS n_distinct,
-           ROUND(CAST(COUNT(DISTINCT {col}) AS DOUBLE) / COUNT(*), 6)
+           (FLOOR(CAST(CAST(COUNT(DISTINCT {col}) AS DOUBLE) / COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS distinct_ratio,
            CAST(SUM(len({col})) AS BIGINT) AS plain_bytes,
            CAST((SELECT SUM(len(x)) FROM
@@ -6041,7 +6040,7 @@ def q308_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "column_name",
             "n_rows",
             "n_distinct",
-            F.round(
+            dround(
                 F.col("n_distinct").cast("double") / F.col("n_rows"), 6
             ).alias("distinct_ratio"),
             "plain_bytes",
@@ -6091,8 +6090,8 @@ def q308_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM logs
     )
     SELECT CAST(n AS BIGINT) AS n_sources,
-           ROUND(beta, 6) AS heaps_beta,
-           ROUND(EXP(lnk), 6) AS heaps_k
+           (FLOOR(CAST(beta AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS heaps_beta,
+           (FLOOR(CAST(EXP(lnk) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS heaps_k
     FROM fit
     """,
 )
@@ -6130,8 +6129,8 @@ def q309_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     lnk = F.sum("y") / n - beta * F.sum("x") / n
     return logs.agg(
         n.cast("bigint").alias("n_sources"),
-        F.round(beta, 6).alias("heaps_beta"),
-        F.round(F.exp(lnk), 6).alias("heaps_k"),
+        dround(beta, 6).alias("heaps_beta"),
+        dround(F.exp(lnk), 6).alias("heaps_k"),
     )
 
 
@@ -6160,11 +6159,11 @@ def q309_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT g.r AS freq,
            CAST(g.nr AS BIGINT) AS n_types,
-           ROUND(CASE WHEN g.r_next = g.r + 1
+           (FLOOR(CAST(CASE WHEN g.r_next = g.r + 1
                  THEN (g.r + 1.0) * g.nr_next / g.nr
-                 ELSE CAST(g.r AS DOUBLE) END, 6) AS r_star,
-           ROUND(CASE WHEN g.r = 1
-                 THEN CAST(g.nr AS DOUBLE) / t.n_tokens END, 6)
+                 ELSE CAST(g.r AS DOUBLE) END AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS r_star,
+           (FLOOR(CAST(CASE WHEN g.r = 1
+                 THEN CAST(g.nr AS DOUBLE) / t.n_tokens END AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS unseen_mass
     FROM gt g, tot t
     WHERE g.r <= 10
@@ -6209,8 +6208,8 @@ def q310_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         F.col("r").alias("freq"),
         F.col("nr").cast("bigint").alias("n_types"),
-        F.round(r_star, 6).alias("r_star"),
-        F.round(
+        dround(r_star, 6).alias("r_star"),
+        dround(
             F.when(
                 F.col("r") == 1,
                 F.col("nr").cast("double") / F.col("n_tokens"),
@@ -6237,9 +6236,9 @@ HILL_K = 50
     topk AS (SELECT x, rk FROM ranked WHERE rk <= {HILL_K + 1}),
     xk AS (SELECT x AS x_k FROM topk WHERE rk = {HILL_K + 1})
     SELECT {HILL_K} AS k,
-           ROUND(x_k, 2) AS threshold,
-           ROUND(SUM(LN(t.x / xk.x_k)) / {HILL_K}, 6) AS hill_estimate,
-           ROUND({HILL_K} / SUM(LN(t.x / xk.x_k)), 6) AS tail_index_alpha
+           (FLOOR(CAST(x_k AS DOUBLE) * 100.0 + 0.5) / 100.0) AS threshold,
+           (FLOOR(CAST(SUM(LN(t.x / xk.x_k)) / {HILL_K} AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS hill_estimate,
+           (FLOOR(CAST({HILL_K} / SUM(LN(t.x / xk.x_k)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS tail_index_alpha
     FROM topk t, xk
     WHERE t.rk <= {HILL_K}
     GROUP BY x_k
@@ -6282,9 +6281,9 @@ def q311_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     hill = F.sum(F.log(F.col("x") / F.col("x_k"))) / HILL_K
     return topk.groupBy("x_k").agg(
         F.lit(HILL_K).alias("k"),
-        F.round(F.col("x_k"), 2).alias("threshold"),
-        F.round(hill, 6).alias("hill_estimate"),
-        F.round(HILL_K / F.sum(F.log(F.col("x") / F.col("x_k"))), 6).alias(
+        dround(F.col("x_k"), 2).alias("threshold"),
+        dround(hill, 6).alias("hill_estimate"),
+        dround(HILL_K / F.sum(F.log(F.col("x") / F.col("x_k"))), 6).alias(
             "tail_index_alpha"
         ),
     ).drop("x_k").select("k", "threshold", "hill_estimate", "tail_index_alpha")
@@ -6568,13 +6567,13 @@ NV_Q = NV_CU / (NV_CU + NV_CO)  # critical ratio -> 0.75
     )
     SELECT l.p_brand,
            l.n_days,
-           ROUND(l.mean_demand, 6) AS mean_demand,
+           (FLOOR(CAST(l.mean_demand AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mean_demand,
            CAST({NV_Q!r} AS DOUBLE) AS critical_ratio,
-           ROUND(l.order_up_to, 4) AS order_up_to,
-           ROUND(CAST((SELECT COUNT(*) FROM demand d
+           (FLOOR(CAST(l.order_up_to AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS order_up_to,
+           (FLOOR(CAST(CAST((SELECT COUNT(*) FROM demand d
                        WHERE d.p_brand = l.p_brand
                          AND d.q > l.order_up_to) AS DOUBLE)
-                 / l.n_days, 6) AS stockout_day_share
+                 / l.n_days AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS stockout_day_share
     FROM lvl l
     """,
 )
@@ -6630,10 +6629,10 @@ def q315_newsvendor_stocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_brand",
             "n_days",
-            F.round("mean_demand", 6).alias("mean_demand"),
+            dround("mean_demand", 6).alias("mean_demand"),
             F.lit(NV_Q).alias("critical_ratio"),
-            F.round("order_up_to", 4).alias("order_up_to"),
-            F.round(
+            dround("order_up_to", 4).alias("order_up_to"),
+            dround(
                 F.coalesce(F.col("n_over"), F.lit(0)).cast("double")
                 / F.col("n_days"),
                 6,
@@ -6663,13 +6662,13 @@ def q315_newsvendor_stocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p_brand,
            COUNT(*) AS n_weeks,
-           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
-                 / NULLIF(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x), 0.0), 6)
+           (FLOOR(CAST((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / NULLIF(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x), 0.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS elasticity,
-           ROUND(EXP(SUM(y) / COUNT(*)
+           (FLOOR(CAST(EXP(SUM(y) / COUNT(*)
                  - ((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
                     / NULLIF(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x), 0.0))
-                   * SUM(x) / COUNT(*)), 4) AS demand_at_unit_price
+                   * SUM(x) / COUNT(*)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS demand_at_unit_price
     FROM logs GROUP BY p_brand
     """,
 )
@@ -6721,8 +6720,8 @@ def q316_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     intercept = F.sum("y") / n - slope * F.sum("x") / n
     return logs.groupBy("p_brand").agg(
         n.alias("n_weeks"),
-        F.round(slope, 6).alias("elasticity"),
-        F.round(F.exp(intercept), 4).alias("demand_at_unit_price"),
+        dround(slope, 6).alias("elasticity"),
+        dround(F.exp(intercept), 4).alias("demand_at_unit_price"),
     )
 
 
@@ -7029,7 +7028,7 @@ HITS_TOPK = 10
       SELECT s, hub / (SELECT SUM(hub) FROM h{i}_raw) AS hub
       FROM h{i}_raw
     )''' for i in range(1, HITS_ITERS + 1))}
-    SELECT s AS supplier, ROUND(hub, 8) AS hub_score,
+    SELECT s AS supplier, (FLOOR(CAST(hub AS DOUBLE) * 100000000.0 + 0.5) / 100000000.0) AS hub_score,
            CAST(rk AS BIGINT) AS rk
     FROM (
       SELECT s, hub, ROW_NUMBER() OVER (ORDER BY hub DESC, s) AS rk
@@ -7081,7 +7080,7 @@ def q319_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= HITS_TOPK)
         .select(
             F.col("s").alias("supplier"),
-            F.round("hub", 8).alias("hub_score"),
+            dround("hub", 8).alias("hub_score"),
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
@@ -7116,9 +7115,9 @@ def q319_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN deg dv ON dv.u = e.v
     )
     SELECT COUNT(*) AS n_directed_edges,
-           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+           (FLOOR(CAST((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
              / NULLIF(SQRT((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
-                  * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))), 0.0), 6)
+                  * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))), 0.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS assortativity
     FROM de
     """,
@@ -7180,7 +7179,7 @@ def q320_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return de.agg(
         n.alias("n_directed_edges"),
-        F.round(num / den, 6).alias("assortativity"),
+        dround(num / den, 6).alias("assortativity"),
     )
 
 
@@ -7224,9 +7223,9 @@ def q320_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     )
     SELECT CAST(m2.m2 AS BIGINT) AS n_directed_edges,
-           ROUND(i.e_in / m2.m2, 6) AS intra_community_share,
-           ROUND(k.sum_k2 / (m2.m2 * m2.m2), 6) AS expected_share,
-           ROUND(i.e_in / m2.m2 - k.sum_k2 / (m2.m2 * m2.m2), 6)
+           (FLOOR(CAST(i.e_in / m2.m2 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS intra_community_share,
+           (FLOOR(CAST(k.sum_k2 / (m2.m2 * m2.m2) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS expected_share,
+           (FLOOR(CAST(i.e_in / m2.m2 - k.sum_k2 / (m2.m2 * m2.m2) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS modularity
     FROM m2, intra i, ktot k
     """,
@@ -7300,11 +7299,11 @@ def q321_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = m2.crossJoin(F.broadcast(intra)).crossJoin(F.broadcast(ktot))
     return j.select(
         F.col("m2").cast("bigint").alias("n_directed_edges"),
-        F.round(F.col("e_in") / F.col("m2"), 6).alias("intra_community_share"),
-        F.round(F.col("sum_k2") / (F.col("m2") * F.col("m2")), 6).alias(
+        dround(F.col("e_in") / F.col("m2"), 6).alias("intra_community_share"),
+        dround(F.col("sum_k2") / (F.col("m2") * F.col("m2")), 6).alias(
             "expected_share"
         ),
-        F.round(
+        dround(
             F.col("e_in") / F.col("m2")
             - F.col("sum_k2") / (F.col("m2") * F.col("m2")),
             6,
@@ -7358,9 +7357,9 @@ STUMP_CUT_PROBS = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
                AS gini_before
       FROM split
     )
-    SELECT feature, ROUND(cut, 4) AS cut,
+    SELECT feature, (FLOOR(CAST(cut AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS cut,
            CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
-           ROUND(gini_before - gini_after, 6) AS gini_gain,
+           (FLOOR(CAST(gini_before - gini_after AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS gini_gain,
            CAST(rk AS BIGINT) AS rk
     FROM (
       SELECT *, ROW_NUMBER() OVER (ORDER BY gini_before - gini_after DESC,
@@ -7440,10 +7439,10 @@ def q322_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select(
             "feature",
-            F.round("cut", 4).alias("cut"),
+            dround("cut", 4).alias("cut"),
             F.col("nl").cast("bigint").alias("n_left"),
             F.col("nr").cast("bigint").alias("n_right"),
-            F.round("gain", 6).alias("gini_gain"),
+            dround("gain", 6).alias("gini_gain"),
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
@@ -7490,9 +7489,8 @@ def q322_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.n AS n_brands,
            k.nc AS concordant, k.nd AS discordant,
-           ROUND(CAST(k.nc - k.nd AS DOUBLE) / k.np, 6) AS kendall_tau,
-           ROUND(1.0 - 6.0 * s.d2 / (s.n * (CAST(s.n AS DOUBLE) * s.n - 1)),
-                 6) AS spearman_rho
+           (FLOOR(CAST(CAST(k.nc - k.nd AS DOUBLE) / k.np AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS kendall_tau,
+           (FLOOR(CAST(1.0 - 6.0 * s.d2 / (s.n * (CAST(s.n AS DOUBLE) * s.n - 1)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS spearman_rho
     FROM kend k, spear s
     """,
 )
@@ -7577,9 +7575,9 @@ def q323_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_brands"),
         F.col("nc").alias("concordant"),
         F.col("nd").alias("discordant"),
-        F.round((F.col("nc") - F.col("nd")).cast("double") / F.col("np"), 6)
+        dround((F.col("nc") - F.col("nd")).cast("double") / F.col("np"), 6)
         .alias("kendall_tau"),
-        F.round(
+        dround(
             1.0
             - 6.0
             * F.col("d2")
@@ -7633,9 +7631,9 @@ def _pois_w_sql(u: str) -> str:
     ),
     means AS (
       SELECT b,
-             ROUND(CAST(SUM(w * CAST(o_totalprice AS DECIMAL(18,2)))
+             (FLOOR(CAST(CAST(SUM(w * CAST(o_totalprice AS DECIMAL(18,2)))
                   AS DOUBLE)
-               / NULLIF(SUM(w), 0), 6) AS m
+               / NULLIF(SUM(w), 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS m
       FROM weighted GROUP BY b
     ),
     agg AS (
@@ -7650,14 +7648,14 @@ def _pois_w_sql(u: str) -> str:
       FROM orders
     )
     SELECT CAST({BOOT_B} AS BIGINT) AS n_replicates,
-           ROUND(pt.est, 6) AS point_estimate,
-           ROUND(SQRT((a.sm2 - a.sm * a.sm / a.nb) / (a.nb - 1)), 6)
+           (FLOOR(CAST(pt.est AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS point_estimate,
+           (FLOOR(CAST(SQRT((a.sm2 - a.sm * a.sm / a.nb) / (a.nb - 1)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS bootstrap_se,
-           ROUND(pt.est - CAST({BOOT_Z!r} AS DOUBLE)
-                 * SQRT((a.sm2 - a.sm * a.sm / a.nb) / (a.nb - 1)), 6)
+           (FLOOR(CAST(pt.est - CAST({BOOT_Z!r} AS DOUBLE)
+                 * SQRT((a.sm2 - a.sm * a.sm / a.nb) / (a.nb - 1)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS ci_lower,
-           ROUND(pt.est + CAST({BOOT_Z!r} AS DOUBLE)
-                 * SQRT((a.sm2 - a.sm * a.sm / a.nb) / (a.nb - 1)), 6)
+           (FLOOR(CAST(pt.est + CAST({BOOT_Z!r} AS DOUBLE)
+                 * SQRT((a.sm2 - a.sm * a.sm / a.nb) / (a.nb - 1)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS ci_upper
     FROM agg a, pt
     """,
@@ -7728,7 +7726,7 @@ def q324_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = F.when(u < POIS_CDF[k], k).otherwise(w)
     weighted = reps.select("b", w.alias("w"), "o_totalprice")
     means = weighted.groupBy("b").agg(
-        F.round(
+        dround(
             F.sum(
                 F.col("w") * F.col("o_totalprice").cast("decimal(18,2)")
             ).cast("double")
@@ -7755,10 +7753,10 @@ def q324_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.crossJoin(F.broadcast(pt)).select(
         F.lit(BOOT_B).cast("bigint").alias("n_replicates"),
-        F.round("est", 6).alias("point_estimate"),
-        F.round(se, 6).alias("bootstrap_se"),
-        F.round(F.col("est") - F.lit(BOOT_Z) * se, 6).alias("ci_lower"),
-        F.round(F.col("est") + F.lit(BOOT_Z) * se, 6).alias("ci_upper"),
+        dround("est", 6).alias("point_estimate"),
+        dround(se, 6).alias("bootstrap_se"),
+        dround(F.col("est") - F.lit(BOOT_Z) * se, 6).alias("ci_lower"),
+        dround(F.col("est") + F.lit(BOOT_Z) * se, 6).alias("ci_upper"),
     )
 
 
@@ -7918,10 +7916,10 @@ def q325_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT stratum,
            CAST(n AS BIGINT) AS n_users,
            CAST(nt AS BIGINT) AS n_treated,
-           ROUND(sy_t / NULLIF(nt, 0)
-                 - sy_c / NULLIF(n - nt, 0), 6) AS stratum_ate,
-           ROUND(sy_t / NULLIF(CAST(nt AS DOUBLE) / n, 0.0) / n
-                 - sy_c / NULLIF(1.0 - CAST(nt AS DOUBLE) / n, 0.0) / n, 6)
+           (FLOOR(CAST(sy_t / NULLIF(nt, 0)
+                 - sy_c / NULLIF(n - nt, 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS stratum_ate,
+           (FLOOR(CAST(sy_t / NULLIF(CAST(nt AS DOUBLE) / n, 0.0) / n
+                 - sy_c / NULLIF(1.0 - CAST(nt AS DOUBLE) / n, 0.0) / n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS ipw_ate
     FROM per_stratum
     """,
@@ -7989,12 +7987,12 @@ def q326_propensity_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stratum",
         F.col("n").cast("bigint").alias("n_users"),
         F.col("nt").cast("bigint").alias("n_treated"),
-        F.round(
+        dround(
             F.col("sy_t") / F.nullif(F.col("nt"), F.lit(0))
             - F.col("sy_c") / F.nullif(F.col("n") - F.col("nt"), F.lit(0)),
             6,
         ).alias("stratum_ate"),
-        F.round(
+        dround(
             F.col("sy_t") / F.nullif(p, F.lit(0.0)) / F.col("n")
             - F.col("sy_c") / F.nullif(1.0 - p, F.lit(0.0)) / F.col("n"),
             6,
@@ -8027,14 +8025,14 @@ DID_POLICY_DATE = "2024-01-15"
     SELECT
       CAST((SELECT n FROM cell WHERE treat=1 AND post=1) AS BIGINT)
         AS n_treat_post,
-      ROUND((SELECT m FROM cell WHERE treat=1 AND post=1), 6) AS m_treat_post,
-      ROUND((SELECT m FROM cell WHERE treat=1 AND post=0), 6) AS m_treat_pre,
-      ROUND((SELECT m FROM cell WHERE treat=0 AND post=1), 6) AS m_ctrl_post,
-      ROUND((SELECT m FROM cell WHERE treat=0 AND post=0), 6) AS m_ctrl_pre,
-      ROUND(((SELECT m FROM cell WHERE treat=1 AND post=1)
+      (FLOOR(CAST((SELECT m FROM cell WHERE treat=1 AND post=1) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS m_treat_post,
+      (FLOOR(CAST((SELECT m FROM cell WHERE treat=1 AND post=0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS m_treat_pre,
+      (FLOOR(CAST((SELECT m FROM cell WHERE treat=0 AND post=1) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS m_ctrl_post,
+      (FLOOR(CAST((SELECT m FROM cell WHERE treat=0 AND post=0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS m_ctrl_pre,
+      (FLOOR(CAST(((SELECT m FROM cell WHERE treat=1 AND post=1)
              - (SELECT m FROM cell WHERE treat=1 AND post=0))
             - ((SELECT m FROM cell WHERE treat=0 AND post=1)
-               - (SELECT m FROM cell WHERE treat=0 AND post=0)), 6)
+               - (SELECT m FROM cell WHERE treat=0 AND post=0)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
         AS did_estimate
     """,
 )
@@ -8093,11 +8091,11 @@ def q327_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return wide.select(
         F.col("1_npost").cast("bigint").alias("n_treat_post"),
-        F.round(F.col("1_post"), 6).alias("m_treat_post"),
-        F.round(F.col("1_pre"), 6).alias("m_treat_pre"),
-        F.round(F.col("0_post"), 6).alias("m_ctrl_post"),
-        F.round(F.col("0_pre"), 6).alias("m_ctrl_pre"),
-        F.round(
+        dround(F.col("1_post"), 6).alias("m_treat_post"),
+        dround(F.col("1_pre"), 6).alias("m_treat_pre"),
+        dround(F.col("0_post"), 6).alias("m_ctrl_post"),
+        dround(F.col("0_pre"), 6).alias("m_ctrl_pre"),
+        dround(
             (F.col("1_post") - F.col("1_pre"))
             - (F.col("0_post") - F.col("0_pre")),
             6,
@@ -8116,8 +8114,8 @@ RDD_BANDWIDTH = 50000.0
     oracle=f"""
     WITH iv AS (
       SELECT o.o_totalprice AS x,
-             ROUND(CAST(AVG(date_diff('day', CAST(o.o_orderdate AS DATE),
-                  CAST(l.l_shipdate AS DATE))) AS DOUBLE), 6) AS y
+             (FLOOR(CAST(CAST(AVG(date_diff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE))) AS DOUBLE) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS y
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       WHERE o.o_totalprice BETWEEN {RDD_CUTOFF - RDD_BANDWIDTH}
                                AND {RDD_CUTOFF + RDD_BANDWIDTH}
@@ -8133,10 +8131,10 @@ RDD_BANDWIDTH = 50000.0
     SELECT
       CAST((SELECT n FROM sides WHERE side = 'below') AS BIGINT) AS n_below,
       CAST((SELECT n FROM sides WHERE side = 'above') AS BIGINT) AS n_above,
-      ROUND((SELECT m FROM sides WHERE side = 'below'), 6) AS mean_below,
-      ROUND((SELECT m FROM sides WHERE side = 'above'), 6) AS mean_above,
-      ROUND((SELECT m FROM sides WHERE side = 'above')
-            - (SELECT m FROM sides WHERE side = 'below'), 6)
+      (FLOOR(CAST((SELECT m FROM sides WHERE side = 'below') AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mean_below,
+      (FLOOR(CAST((SELECT m FROM sides WHERE side = 'above') AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mean_above,
+      (FLOOR(CAST((SELECT m FROM sides WHERE side = 'above')
+            - (SELECT m FROM sides WHERE side = 'below') AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
         AS discontinuity
     """,
 )
@@ -8164,7 +8162,7 @@ def q328_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame
         o.join(l, o["o_orderkey"] == l["l_orderkey"])
         .groupBy("o_orderkey", "o_totalprice")
         .agg(
-            F.round(
+            dround(
                 F.avg(
                     F.datediff(
                         F.to_date("l_shipdate"), F.to_date("o_orderdate")
@@ -8191,9 +8189,9 @@ def q328_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame
     return wide.select(
         F.col("below_n").cast("bigint").alias("n_below"),
         F.col("above_n").cast("bigint").alias("n_above"),
-        F.round(F.col("below_m"), 6).alias("mean_below"),
-        F.round(F.col("above_m"), 6).alias("mean_above"),
-        F.round(F.col("above_m") - F.col("below_m"), 6).alias("discontinuity"),
+        dround(F.col("below_m"), 6).alias("mean_below"),
+        dround(F.col("above_m"), 6).alias("mean_above"),
+        dround(F.col("above_m") - F.col("below_m"), 6).alias("discontinuity"),
     )
 
 
@@ -8228,9 +8226,9 @@ HT_MAX_RATE = 0.5  # capped inclusion prob for the largest
       FROM o
     )
     SELECT t.n_pop, e.n_sampled,
-           ROUND(t.true_total, 2) AS true_total,
-           ROUND(e.ht_total, 2) AS ht_estimate,
-           ROUND(ABS(e.ht_total - t.true_total) / t.true_total, 6)
+           (FLOOR(CAST(t.true_total AS DOUBLE) * 100.0 + 0.5) / 100.0) AS true_total,
+           (FLOOR(CAST(e.ht_total AS DOUBLE) * 100.0 + 0.5) / 100.0) AS ht_estimate,
+           (FLOOR(CAST(ABS(e.ht_total - t.true_total) / t.true_total AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS rel_error
     FROM est e, truth t
     """,
@@ -8291,9 +8289,9 @@ def q329_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(F.broadcast(truth)).select(
         "n_pop",
         "n_sampled",
-        F.round("true_total", 2).alias("true_total"),
-        F.round("ht_total", 2).alias("ht_estimate"),
-        F.round(
+        dround("true_total", 2).alias("true_total"),
+        dround("ht_total", 2).alias("ht_estimate"),
+        dround(
             F.abs(F.col("ht_total") - F.col("true_total"))
             / F.col("true_total"),
             6,
@@ -8327,10 +8325,10 @@ CR_RATE2 = 300  # second survey
            CAST(SUM(s2) AS BIGINT) AS n_capture2,
            CAST(SUM(s1 * s2) AS BIGINT) AS n_recaptured,
            COUNT(*) AS true_population,
-           ROUND(CAST(SUM(s1) AS DOUBLE) * SUM(s2)
-                 / NULLIF(SUM(s1 * s2), 0), 4) AS lincoln_petersen,
-           ROUND(ABS(CAST(SUM(s1) AS DOUBLE) * SUM(s2)
-                 / NULLIF(SUM(s1 * s2), 0) - COUNT(*)) / COUNT(*), 6)
+           (FLOOR(CAST(CAST(SUM(s1) AS DOUBLE) * SUM(s2)
+                 / NULLIF(SUM(s1 * s2), 0) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS lincoln_petersen,
+           (FLOOR(CAST(ABS(CAST(SUM(s1) AS DOUBLE) * SUM(s2)
+                 / NULLIF(SUM(s1 * s2), 0) - COUNT(*)) / COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS rel_error
     FROM marked
     """,
@@ -8383,8 +8381,8 @@ def q330_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s2").cast("bigint").alias("n_capture2"),
         F.sum(F.col("s1") * F.col("s2")).cast("bigint").alias("n_recaptured"),
         F.count(F.lit(1)).alias("true_population"),
-        F.round(lp, 4).alias("lincoln_petersen"),
-        F.round(F.abs(lp - F.count(F.lit(1))) / F.count(F.lit(1)), 6).alias(
+        dround(lp, 4).alias("lincoln_petersen"),
+        dround(F.abs(lp - F.count(F.lit(1))) / F.count(F.lit(1)), 6).alias(
             "rel_error"
         ),
     )
@@ -8412,7 +8410,7 @@ def q330_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(s_obs AS BIGINT) AS observed_vocab,
            CAST(f1 AS BIGINT) AS singletons,
            CAST(f2 AS BIGINT) AS doubletons,
-           ROUND(s_obs + f1 * (f1 - 1) / (2 * (f2 + 1)), 4)
+           (FLOOR(CAST(s_obs + f1 * (f1 - 1) / (2 * (f2 + 1)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0)
              AS chao1_estimate
     FROM fof
     """,
@@ -8451,7 +8449,7 @@ def q331_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_obs").cast("bigint").alias("observed_vocab"),
         F.col("f1").cast("bigint").alias("singletons"),
         F.col("f2").cast("bigint").alias("doubletons"),
-        F.round(
+        dround(
             F.col("s_obs")
             + F.col("f1") * (F.col("f1") - 1) / (2 * (F.col("f2") + 1)),
             4,
@@ -8477,8 +8475,8 @@ def q331_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     my AS (SELECT y, CAST(SUM(nxy) AS DOUBLE) AS ny FROM joint GROUP BY y)
     SELECT j.x AS event_type, CAST(j.y AS BIGINT) AS hour_bucket,
            CAST(j.nxy AS BIGINT) AS n,
-           ROUND((j.nxy / t.n)
-                 * LN((j.nxy * t.n) / (mx.nx * my.ny)), 8)
+           (FLOOR(CAST((j.nxy / t.n)
+                 * LN((j.nxy * t.n) / (mx.nx * my.ny)) AS DOUBLE) * 100000000.0 + 0.5) / 100000000.0)
              AS mi_contribution
     FROM joint j
     JOIN mx ON mx.x = j.x
@@ -8524,7 +8522,7 @@ def q332_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("event_type"),
         F.col("y").cast("bigint").alias("hour_bucket"),
         F.col("nxy").cast("bigint").alias("n"),
-        F.round(mi, 8).alias("mi_contribution"),
+        dround(mi, 8).alias("mi_contribution"),
     )
 
 
@@ -8580,8 +8578,8 @@ TFIDF_TOPK = 15
     )
     SELECT doc_a, doc_b, cosine, CAST(rk AS BIGINT) AS rk
     FROM (
-      SELECT doc_a, doc_b, ROUND(cosine, 6) AS cosine,
-             ROW_NUMBER() OVER (ORDER BY ROUND(cosine, 6) DESC,
+      SELECT doc_a, doc_b, (FLOOR(CAST(cosine AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS cosine,
+             ROW_NUMBER() OVER (ORDER BY (FLOOR(CAST(cosine AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) DESC,
                                 doc_a, doc_b) AS rk
       FROM scored
     ) WHERE rk <= {TFIDF_TOPK}
@@ -8689,7 +8687,7 @@ def q333_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             # identically on both engines — ranking the raw double
             # let Spark and DuckDB order a displayed-equal pair
             # differently (property-hunt find, r3)
-            F.round(
+            dround(
                 F.col("dot") / (F.col("na") * F.col("nb")), 6
             ).alias("cosine"),
         )
@@ -8756,7 +8754,7 @@ BM25_TOPK = 10
       CROSS JOIN stats s
       GROUP BY t.doc_id
     )
-    SELECT doc_id, ROUND(bm25, 6) AS bm25, CAST(rk AS BIGINT) AS rk
+    SELECT doc_id, (FLOOR(CAST(bm25 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS bm25, CAST(rk AS BIGINT) AS rk
     FROM (
       SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
       FROM scored
@@ -8836,7 +8834,7 @@ def q334_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= BM25_TOPK)
         .select(
             "doc_id",
-            F.round("bm25", 6).alias("bm25"),
+            dround("bm25", 6).alias("bm25"),
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
@@ -8882,10 +8880,10 @@ def _item_factor_sql(i: int) -> str:
     )
     SELECT u AS custkey,
            CAST(n_items AS BIGINT) AS n_items,
-           ROUND((b1 * a22 - b2 * a12)
-                 / NULLIF(a11 * a22 - a12 * a12, 0.0), 6) AS user_f1,
-           ROUND((a11 * b2 - a12 * b1)
-                 / NULLIF(a11 * a22 - a12 * a12, 0.0), 6) AS user_f2
+           (FLOOR(CAST((b1 * a22 - b2 * a12)
+                 / NULLIF(a11 * a22 - a12 * a12, 0.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS user_f1,
+           (FLOOR(CAST((a11 * b2 - a12 * b1)
+                 / NULLIF(a11 * a22 - a12 * a12, 0.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS user_f2
     FROM normal WHERE u < {ALS_PROBE_USERS}
     """,
 )
@@ -8950,10 +8948,10 @@ def q335_als_halfstep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normal.filter(F.col("u") < ALS_PROBE_USERS).select(
         F.col("u").alias("custkey"),
         F.col("n_items").cast("bigint").alias("n_items"),
-        F.round(
+        dround(
             (F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")) / det, 6
         ).alias("user_f1"),
-        F.round(
+        dround(
             (F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1")) / det, 6
         ).alias("user_f2"),
     )
@@ -8999,7 +8997,7 @@ CF_USER_CAP = 60  # per-user basket cap bounds pair fan-out
       SELECT ib, ia, nco, cosine FROM scored
     )
     SELECT i AS item, j AS neighbor, CAST(nco AS BIGINT) AS co_users,
-           ROUND(cosine, 6) AS cosine, CAST(rk AS BIGINT) AS rk
+           (FLOOR(CAST(cosine AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS cosine, CAST(rk AS BIGINT) AS rk
     FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY i
                ORDER BY cosine DESC, j) AS rk
@@ -9084,7 +9082,7 @@ def q336_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "item",
             "neighbor",
             F.col("nco").cast("bigint").alias("co_users"),
-            F.round("cosine", 6).alias("cosine"),
+            dround("cosine", 6).alias("cosine"),
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
@@ -9128,7 +9126,7 @@ LTV_MAX_AGE = 6  # months tracked per cohort
     )
     SELECT c.cohort, CAST(c.age AS BIGINT) AS age_months,
            s.n_users,
-           ROUND(CAST(c.cum_rev AS DOUBLE) / s.n_users, 6)
+           (FLOOR(CAST(CAST(c.cum_rev AS DOUBLE) / s.n_users AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS cum_ltv_per_user
     FROM cum c JOIN sizes s ON s.cohort = c.cohort
     WHERE c.cohort <= DATE '1997-06-01'
@@ -9188,7 +9186,7 @@ def q337_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort",
             F.col("age").cast("bigint").alias("age_months"),
             "n_users",
-            F.round(
+            dround(
                 F.col("cum_rev").cast("double") / F.col("n_users"), 6
             ).alias("cum_ltv_per_user"),
         )
@@ -9232,8 +9230,8 @@ LB_LAGS = 7
     nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM daily)
     SELECT CAST(nn.n AS BIGINT) AS n_days,
            {LB_LAGS} AS n_lags,
-           ROUND(nn.n * (nn.n + 2)
-                 * SUM(a.rho * a.rho / (nn.n - a.lag)), 6) AS ljung_box_q,
+           (FLOOR(CAST(nn.n * (nn.n + 2)
+                 * SUM(a.rho * a.rho / (nn.n - a.lag)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS ljung_box_q,
            CAST(14.067 AS DOUBLE) AS chi2_crit_95
     FROM acf a, nn
     GROUP BY nn.n
@@ -9320,7 +9318,7 @@ def q338_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("n").agg(
         F.col("n").cast("bigint").alias("n_days"),
         F.lit(LB_LAGS).alias("n_lags"),
-        F.round(
+        dround(
             F.col("n")
             * (F.col("n") + 2)
             * F.sum(F.col("rho") * F.col("rho") / (F.col("n") - F.col("lag"))),

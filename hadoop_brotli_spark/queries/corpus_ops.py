@@ -50,7 +50,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import dsum, fan_out, grain_rank, t
+from ._util import dround, dsum, fan_out, grain_rank, t
 from .dedup import MAX_LSH_BUCKET, _shingle_df
 from .similarity import dot_double, norm_double
 
@@ -417,7 +417,7 @@ ZIPF_TOP_RANKS = 100
       FROM top GROUP BY source
     )
     SELECT source, CAST(n AS BIGINT) AS n_ranks,
-           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 4)
+           (FLOOR(CAST((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) * 10000.0 + 0.5) / 10000.0)
              AS zipf_slope
     FROM stats
     """,
@@ -434,7 +434,7 @@ def q215_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, and the regression collapses the top-100 ranks into 5
     sufficient statistics per source. Rank ties share the same count,
     so the (rank, freq) multiset — and hence the slope — is
-    tie-order-invariant; ROUND(…, 4) absorbs summation-order float
+    tie-order-invariant; (FLOOR(CAST(… AS DOUBLE) * 10000.0 + 0.5) / 10000.0) absorbs summation-order float
     noise (the q87 precedent).
     """
     words = fan_out(t(spark, sf_dir, "documents")).select(
@@ -463,7 +463,7 @@ def q215_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "source",
         F.col("n").cast("bigint").alias("n_ranks"),
-        F.round(num / F.when(den != 0, den), 4).alias("zipf_slope"),
+        dround(num / F.when(den != 0, den), 4).alias("zipf_slope"),
     )
 
 
@@ -497,7 +497,7 @@ KNN_EVAL_K = 5
       SELECT query_id, true_label, cand_label,
              ROW_NUMBER() OVER (
                PARTITION BY query_id
-               ORDER BY ROUND(dot / (nq * nc), 6) DESC, cand_id ASC
+               ORDER BY (FLOOR(CAST(dot / (nq * nc) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) DESC, cand_id ASC
              ) AS rn
       FROM dots
     ),
@@ -551,7 +551,7 @@ def q216_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (evaluated once per corpus/query row under the join) leaves
     # only the dot product per pair. Bit-identical results: same
     # IEEE ops on the same inputs, just not repeated.
-    cosine = F.round(
+    cosine = dround(
         dot_double("qe", "ce") / (F.col("qn") * F.col("cn")), 6
     )
     scored = (
@@ -747,10 +747,10 @@ def q223_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e GROUP BY dim
     )
     SELECT dim, CAST(n AS BIGINT) AS n_values,
-           ROUND(sx / n, 6) AS mean,
-           ROUND((sxx - sx * sx / n) / n, 6) AS variance,
+           (FLOOR(CAST(sx / n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mean,
+           (FLOOR(CAST((sxx - sx * sx / n) / n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS variance,
            xmin AS dim_min, xmax AS dim_max,
-           ROUND(127.0 / GREATEST(ABS(xmin), ABS(xmax)), 6) AS int8_scale
+           (FLOOR(CAST(127.0 / GREATEST(ABS(xmin), ABS(xmax)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS int8_scale
     FROM s
     """,
 )
@@ -781,13 +781,13 @@ def q224_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "dim",
         F.col("n").cast("bigint").alias("n_values"),
-        F.round(F.col("sx") / F.col("n"), 6).alias("mean"),
-        F.round(
+        dround(F.col("sx") / F.col("n"), 6).alias("mean"),
+        dround(
             (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n"), 6
         ).alias("variance"),
         F.col("xmin").alias("dim_min"),
         F.col("xmax").alias("dim_max"),
-        F.round(127.0 / F.greatest(F.abs("xmin"), F.abs("xmax")), 6).alias(
+        dround(127.0 / F.greatest(F.abs("xmin"), F.abs("xmax")), 6).alias(
             "int8_scale"
         ),
     )
@@ -822,7 +822,7 @@ MRR_Q_LO, MRR_Q_HI = 100, 150  # evaluation query slice
       SELECT query_id, qlabel, clabel,
              ROW_NUMBER() OVER (
                PARTITION BY query_id
-               ORDER BY ROUND(dot / (nq * nc), 6) DESC, cand_id ASC
+               ORDER BY (FLOOR(CAST(dot / (nq * nc) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) DESC, cand_id ASC
              ) AS rnk
       FROM dots
     ),
@@ -833,7 +833,7 @@ MRR_Q_LO, MRR_Q_HI = 100, 150  # evaluation query slice
     )
     SELECT qlabel AS label,
            COUNT(*) AS n_queries,
-           ROUND(SUM(1.0 / hit_rank) / COUNT(*), 6) AS mrr,
+           (FLOOR(CAST(SUM(1.0 / hit_rank) / COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mrr,
            CAST(MIN(hit_rank) AS BIGINT) AS best_rank,
            CAST(MAX(hit_rank) AS BIGINT) AS worst_rank
     FROM first_hit GROUP BY qlabel
@@ -848,7 +848,7 @@ def q227_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape is q70's: 50 broadcast queries against the streamed
     corpus, scoring window partitioned per query, conditional-MIN
-    for the first hit (no per-rank loop). ROUND(…, 6) absorbs the
+    for the first hit (no per-rank loop). (FLOOR(CAST(… AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) absorbs the
     reciprocal-sum's last-ulp order sensitivity (q73's precedent).
     """
     emb = t(spark, sf_dir, "embeddings")
@@ -870,7 +870,7 @@ def q227_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (evaluated once per corpus/query row under the join) leaves
     # only the dot product per pair. Bit-identical results: same
     # IEEE ops on the same inputs, just not repeated.
-    cosine = F.round(
+    cosine = dround(
         dot_double("qe", "ce") / (F.col("qn") * F.col("cn")), 6
     )
     wq = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
@@ -889,7 +889,7 @@ def q227_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return first_hit.groupBy(F.col("qlabel").alias("label")).agg(
         F.count(F.lit(1)).alias("n_queries"),
-        F.round(F.sum(1.0 / F.col("hit_rank")) / F.count(F.lit(1)), 6).alias("mrr"),
+        dround(F.sum(1.0 / F.col("hit_rank")) / F.count(F.lit(1)), 6).alias("mrr"),
         F.min("hit_rank").cast("bigint").alias("best_rank"),
         F.max("hit_rank").cast("bigint").alias("worst_rank"),
     )
@@ -1009,7 +1009,7 @@ PREFIX_JACCARD_T = 0.6
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
-           ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+           (FLOOR(CAST(CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
@@ -1100,7 +1100,7 @@ def q230_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", dround(jac, 6).alias("jaccard"))
         .filter(jac >= PREFIX_JACCARD_T)
     )
 
@@ -1139,7 +1139,7 @@ RRF_SIGN_DIMS = 56  # sign-agreement ranker dimensionality
     ranked AS (
       SELECT query_id, cand_id,
              ROW_NUMBER() OVER (PARTITION BY query_id
-               ORDER BY ROUND(dot / (nq * nc), 6) DESC, cand_id ASC)
+               ORDER BY (FLOOR(CAST(dot / (nq * nc) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) DESC, cand_id ASC)
                AS rank_cos,
              ROW_NUMBER() OVER (PARTITION BY query_id
                ORDER BY sign_agree DESC, cand_id ASC) AS rank_sign
@@ -1147,8 +1147,8 @@ RRF_SIGN_DIMS = 56  # sign-agreement ranker dimensionality
     ),
     fused AS (
       SELECT query_id, cand_id, rank_cos, rank_sign,
-             ROUND(1.0 / ({RRF_K} + rank_cos)
-                   + 1.0 / ({RRF_K} + rank_sign), 6) AS rrf_score
+             (FLOOR(CAST(1.0 / ({RRF_K} + rank_cos)
+                   + 1.0 / ({RRF_K} + rank_sign) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS rrf_score
       FROM ranked
     )
     SELECT query_id, cand_id,
@@ -1193,7 +1193,7 @@ def q233_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (evaluated once per corpus/query row under the join) leaves
     # only the dot product per pair. Bit-identical results: same
     # IEEE ops on the same inputs, just not repeated.
-    cosine = F.round(
+    cosine = dround(
         dot_double("qe", "ce") / (F.col("qn") * F.col("cn")), 6
     )
     sign_agree = F.aggregate(
@@ -1225,7 +1225,7 @@ def q233_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wc).alias("rank_cos"),
         F.row_number().over(ws).alias("rank_sign"),
     )
-    rrf = F.round(
+    rrf = dround(
         1.0 / (RRF_K + F.col("rank_cos")) + 1.0 / (RRF_K + F.col("rank_sign")), 6
     )
     wf = W.partitionBy("query_id").orderBy(
@@ -1289,11 +1289,11 @@ CUPED_SPLIT = "2024-01-16"  # pre-period | post-period boundary
     )
     SELECT variant,
            COUNT(*) AS n_users,
-           ROUND(CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+           (FLOOR(CAST(CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS mean_post,
-           ROUND(SUM(y_adj) / COUNT(*), 6) AS mean_post_cuped,
-           ROUND((SUM(y_adj * y_adj) - SUM(y_adj) * SUM(y_adj) / COUNT(*))
-                 / NULLIF(SUM(y * y) - SUM(y) * SUM(y) / COUNT(*), 0), 6)
+           (FLOOR(CAST(SUM(y_adj) / COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mean_post_cuped,
+           (FLOOR(CAST((SUM(y_adj * y_adj) - SUM(y_adj) * SUM(y_adj) / COUNT(*))
+                 / NULLIF(SUM(y * y) - SUM(y) * SUM(y) / COUNT(*), 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS var_ratio
     FROM adjusted GROUP BY variant
     """,
@@ -1357,9 +1357,9 @@ def q234_cuped_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_raw = F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y") / n
     return adjusted.groupBy("variant").agg(
         n.alias("n_users"),
-        F.round(F.sum(d2("y")).cast("double") / n, 6).alias("mean_post"),
-        F.round(F.sum("y_adj") / n, 6).alias("mean_post_cuped"),
-        F.round(var_adj / F.when(var_raw != 0, var_raw), 6).alias("var_ratio"),
+        dround(F.sum(d2("y")).cast("double") / n, 6).alias("mean_post"),
+        dround(F.sum("y_adj") / n, 6).alias("mean_post_cuped"),
+        dround(var_adj / F.when(var_raw != 0, var_raw), 6).alias("var_ratio"),
     )
 
 
@@ -1581,7 +1581,7 @@ MINE_ANCHORS = 100
     ),
     scored AS (
       SELECT anchor_id, alabel, cand_id, clabel,
-             ROUND(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))), 6)
+             (FLOOR(CAST(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
                AS cos
       FROM pairs GROUP BY anchor_id, alabel, cand_id, clabel
     ),
@@ -1604,7 +1604,7 @@ MINE_ANCHORS = 100
     SELECT p.anchor_id, p.alabel AS label,
            p.positive_id, p.pos_cos,
            n.negative_id, n.neg_cos,
-           ROUND(p.pos_cos - n.neg_cos, 6) AS margin
+           (FLOOR(CAST(p.pos_cos - n.neg_cos AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS margin
     FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
     """,
 )
@@ -1639,7 +1639,7 @@ def q237_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (evaluated once per corpus/query row under the join) leaves
     # only the dot product per pair. Bit-identical results: same
     # IEEE ops on the same inputs, just not repeated.
-    cosine = F.round(
+    cosine = dround(
         dot_double("qe", "ce") / (F.col("qn") * F.col("cn")), 6
     )
     scored = (
@@ -1676,7 +1676,7 @@ def q237_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos_cos",
         "negative_id",
         "neg_cos",
-        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+        dround(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
     )
 
 
@@ -2200,16 +2200,16 @@ MIX_TEMP_NUM, MIX_TEMP_DEN = 7, 10  # temperature 0.7 as a rational
     ),
     weighted AS (
       SELECT source, n_tokens,
-             ROUND(POWER(n_tokens, {MIX_TEMP_NUM} / {MIX_TEMP_DEN}.0), 6)
+             (FLOOR(CAST(POWER(n_tokens, {MIX_TEMP_NUM} / {MIX_TEMP_DEN}.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
                AS w
       FROM src
     ),
     tot AS (SELECT SUM(w) AS sw FROM weighted)
     SELECT w.source, w.n_tokens,
-           ROUND(w.w / t.sw, 6) AS mix_weight,
+           (FLOOR(CAST(w.w / t.sw AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mix_weight,
            CAST(FLOOR({BUDGET_TOKENS} * w.w / t.sw) AS BIGINT)
              AS budget_tokens,
-           ROUND({BUDGET_TOKENS} * w.w / t.sw / w.n_tokens, 4) AS epochs
+           (FLOOR(CAST({BUDGET_TOKENS} * w.w / t.sw / w.n_tokens AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS epochs
     FROM weighted w CROSS JOIN tot t
     """,
 )
@@ -2233,17 +2233,17 @@ def q243_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sum("n").cast("bigint").alias("n_tokens"))
     )
-    w = F.round(F.pow(F.col("n_tokens"), F.lit(MIX_TEMP_NUM / MIX_TEMP_DEN)), 6)
+    w = dround(F.pow(F.col("n_tokens"), F.lit(MIX_TEMP_NUM / MIX_TEMP_DEN)), 6)
     weighted = src.select("source", "n_tokens", w.alias("w"))
     tot = weighted.agg(F.sum("w").alias("sw"))
     return weighted.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_tokens",
-        F.round(F.col("w") / F.col("sw"), 6).alias("mix_weight"),
+        dround(F.col("w") / F.col("sw"), 6).alias("mix_weight"),
         F.floor(BUDGET_TOKENS * F.col("w") / F.col("sw"))
         .cast("bigint")
         .alias("budget_tokens"),
-        F.round(
+        dround(
             BUDGET_TOKENS * F.col("w") / F.col("sw") / F.col("n_tokens"), 4
         ).alias("epochs"),
     )
@@ -2271,8 +2271,8 @@ def q243_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_late,
-           ROUND(MAX(late_s), 4) AS max_lateness_s,
-           ROUND(quantile_cont(late_s, 0.99), 4) AS p99_lateness_s
+           (FLOOR(CAST(MAX(late_s) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS max_lateness_s,
+           (FLOOR(CAST(quantile_cont(late_s, 0.99) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS p99_lateness_s
     FROM lateness GROUP BY event_type
     """,
 )
@@ -2309,8 +2309,8 @@ def q244_watermark_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0))
         .cast("bigint")
         .alias("n_late"),
-        F.round(F.max("late_s"), 4).alias("max_lateness_s"),
-        F.round(F.percentile("late_s", F.lit(0.99)), 4).alias("p99_lateness_s"),
+        dround(F.max("late_s"), 4).alias("max_lateness_s"),
+        dround(F.percentile("late_s", F.lit(0.99)), 4).alias("p99_lateness_s"),
     )
 
 
@@ -2590,14 +2590,14 @@ RERANK_FINAL_K = 5
     ),
     stage1 AS (
       SELECT query_id, cand_id,
-             ROUND(dot / (nq * nc), 6) AS cosine, l2sq,
+             (FLOOR(CAST(dot / (nq * nc) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS cosine, l2sq,
              ROW_NUMBER() OVER (PARTITION BY query_id
-               ORDER BY ROUND(dot / (nq * nc), 6) DESC, cand_id ASC) AS rn
+               ORDER BY (FLOOR(CAST(dot / (nq * nc) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) DESC, cand_id ASC) AS rn
       FROM feats
     ),
     reranked AS (
       SELECT query_id, cand_id, cosine,
-             ROUND(0.7 * cosine - 0.3 * SQRT(l2sq) / 8.0, 6) AS rerank_score
+             (FLOOR(CAST(0.7 * cosine - 0.3 * SQRT(l2sq) / 8.0 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS rerank_score
       FROM stage1 WHERE rn <= {RERANK_STAGE1_K}
     )
     SELECT query_id, cand_id, cosine, rerank_score,
@@ -2642,7 +2642,7 @@ def q249_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (evaluated once per corpus/query row under the join) leaves
     # only the dot product per pair. Bit-identical results: same
     # IEEE ops on the same inputs, just not repeated.
-    cosine = F.round(
+    cosine = dround(
         dot_double("qe", "ce") / (F.col("qn") * F.col("cn")), 6
     )
     l2sq = F.aggregate(
@@ -2723,9 +2723,8 @@ LEAGUE_STOPWORDS = ("the", "a", "of", "and")  # q81's gate words
     ),
     quality AS (
       SELECT d.source,
-             ROUND(SUM(ROUND(LEAST(1.0, s.n_tokens / 100.0)
-                             * (1.0 - CAST(s.n_stop AS DOUBLE) / s.n_tokens),
-                             6)) / COUNT(*), 4) AS avg_quality
+             (FLOOR(CAST(SUM((FLOOR(CAST(LEAST(1.0, s.n_tokens / 100.0)
+                             * (1.0 - CAST(s.n_stop AS DOUBLE) / s.n_tokens) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)) / COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_quality
       FROM (
         SELECT doc_id, COUNT(*) AS n_tokens,
                SUM(CASE WHEN word IN {LEAGUE_STOPWORDS!r} THEN 1 ELSE 0 END)
@@ -2778,11 +2777,11 @@ LEAGUE_STOPWORDS = ("the", "a", "of", "and")  # q81's gate words
     ),
     league AS (
       SELECT d.source, d.n_docs, q.avg_quality,
-             ROUND(d.dup_rate, 6) AS dup_rate,
-             ROUND(o.oov_rate, 6) AS oov_rate,
-             ROUND(bl.boiler_rate, 6) AS boiler_rate,
-             ROUND(q.avg_quality - 0.5 * d.dup_rate - 0.5 * o.oov_rate
-                   - 0.5 * bl.boiler_rate, 6) AS league_score
+             (FLOOR(CAST(d.dup_rate AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS dup_rate,
+             (FLOOR(CAST(o.oov_rate AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS oov_rate,
+             (FLOOR(CAST(bl.boiler_rate AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS boiler_rate,
+             (FLOOR(CAST(q.avg_quality - 0.5 * d.dup_rate - 0.5 * o.oov_rate
+                   - 0.5 * bl.boiler_rate AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS league_score
       FROM dup d
       JOIN quality q ON q.source = d.source
       JOIN oov o ON o.source = d.source
@@ -2823,7 +2822,7 @@ def q251_source_quality_league(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("word").isin(*LEAGUE_STOPWORDS), 1).otherwise(0)
         ).alias("n_stop"),
     )
-    score = F.round(
+    score = dround(
         F.least(F.lit(1.0), F.col("n_tokens") / 100.0)
         * (1.0 - F.col("n_stop").cast("double") / F.col("n_tokens")),
         6,
@@ -2831,7 +2830,7 @@ def q251_source_quality_league(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = (
         per_doc.join(t(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id")
         .groupBy("source")
-        .agg(F.round(F.sum(score) / F.count(F.lit(1)), 4).alias("avg_quality"))
+        .agg(dround(F.sum(score) / F.count(F.lit(1)), 4).alias("avg_quality"))
     )
     # exact-dup rate
     dup = (
@@ -2903,10 +2902,10 @@ def q251_source_quality_league(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "avg_quality",
-            F.round("dup_rate", 6).alias("dup_rate"),
-            F.round("oov_rate", 6).alias("oov_rate"),
-            F.round("boiler_rate", 6).alias("boiler_rate"),
-            F.round(
+            dround("dup_rate", 6).alias("dup_rate"),
+            dround("oov_rate", 6).alias("oov_rate"),
+            dround("boiler_rate", 6).alias("boiler_rate"),
+            dround(
                 F.col("avg_quality")
                 - 0.5 * F.col("dup_rate")
                 - 0.5 * F.col("oov_rate")
@@ -3021,8 +3020,8 @@ PMI_TOPK = 20
     tot_b AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM big),
     scored AS (
       SELECT b.w1, b.w2, b.c,
-             ROUND(LN((b.c / tb.n)
-                      / ((u1.c / tu.n) * (u2.c / tu.n))), 6) AS pmi
+             (FLOOR(CAST(LN((b.c / tb.n)
+                      / ((u1.c / tu.n) * (u2.c / tu.n))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS pmi
       FROM big b
       JOIN uni u1 ON u1.w = b.w1
       JOIN uni u2 ON u2.w = b.w2
@@ -3099,7 +3098,7 @@ def q355_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "c",
-            F.round(
+            dround(
                 F.log(
                     (F.col("c") / F.col("nb"))
                     / (
@@ -3141,7 +3140,7 @@ MIX_TOKEN_BUDGET = 1_000_000  # training-token budget B
       FROM documents GROUP BY source
     ),
     powered AS (
-      SELECT *, ROUND(exp({MIX_ALPHA!r} * ln(CAST(n_tokens AS DOUBLE))), 9)
+      SELECT *, (FLOOR(CAST(exp({MIX_ALPHA!r} * ln(CAST(n_tokens AS DOUBLE))) AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0)
                AS pw
       FROM per_source
     ),
@@ -3151,9 +3150,9 @@ MIX_TOKEN_BUDGET = 1_000_000  # training-token budget B
       FROM powered
     )
     SELECT p.source, p.n_docs, p.n_tokens,
-           ROUND(p.n_tokens / t.stok, 6) AS raw_share,
-           ROUND(p.pw / t.spw, 6) AS weight,
-           ROUND({MIX_TOKEN_BUDGET} * (p.pw / t.spw) / p.n_tokens, 6)
+           (FLOOR(CAST(p.n_tokens / t.stok AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS raw_share,
+           (FLOOR(CAST(p.pw / t.spw AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS weight,
+           (FLOOR(CAST({MIX_TOKEN_BUDGET} * (p.pw / t.spw) / p.n_tokens AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS effective_epochs
     FROM powered p, tot t
     """,
@@ -3185,7 +3184,7 @@ def q362_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     powered = per_source.withColumn(
         "pw",
-        F.round(
+        dround(
             F.exp(F.lit(MIX_ALPHA) * F.log(F.col("n_tokens").cast("double"))),
             9,
         ),
@@ -3198,9 +3197,9 @@ def q362_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens") / F.col("stok"), 6).alias("raw_share"),
-        F.round(F.col("pw") / F.col("spw"), 6).alias("weight"),
-        F.round(
+        dround(F.col("n_tokens") / F.col("stok"), 6).alias("raw_share"),
+        dround(F.col("pw") / F.col("spw"), 6).alias("weight"),
+        dround(
             F.lit(MIX_TOKEN_BUDGET)
             * (F.col("pw") / F.col("spw"))
             / F.col("n_tokens"),
@@ -3239,7 +3238,7 @@ PPMI_CTX_CAP = 1000  # scale rule: drop contexts shared by > CAP words
     ctx_df AS (SELECT c, COUNT(*) AS df FROM nwc GROUP BY c),
     ppmi AS (
       SELECT x.w, x.c,
-             ROUND(GREATEST(ln((x.n * t.nn) / (w1.nw * c1.nc)), 0.0), 6)
+             (FLOOR(CAST(GREATEST(ln((x.n * t.nn) / (w1.nw * c1.nc)), 0.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
                AS v
       FROM nwc x
       JOIN nw w1 ON w1.w = x.w
@@ -3249,20 +3248,20 @@ PPMI_CTX_CAP = 1000  # scale rule: drop contexts shared by > CAP words
       WHERE d.df <= {PPMI_CTX_CAP}
     ),
     norms AS (
-      SELECT w, SQRT(CAST(SUM(CAST(ROUND(v * v, 9) AS DECIMAL(38,9)))
+      SELECT w, SQRT(CAST(SUM(CAST((FLOOR(CAST(v * v AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS DECIMAL(38,9)))
                           AS DOUBLE)) AS nrm
       FROM ppmi GROUP BY w
     ),
     dots AS (
       SELECT a.w AS w1, b.w AS w2,
-             CAST(SUM(CAST(ROUND(a.v * b.v, 9) AS DECIMAL(38,9)))
+             CAST(SUM(CAST((FLOOR(CAST(a.v * b.v AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS DECIMAL(38,9)))
                   AS DOUBLE) AS dot
       FROM ppmi a JOIN ppmi b ON a.c = b.c AND a.w < b.w
       GROUP BY a.w, b.w
     ),
     scored AS (
       SELECT d.w1, d.w2,
-             ROUND(d.dot / NULLIF(na.nrm * nb.nrm, 0.0), 6) AS cosine
+             (FLOOR(CAST(d.dot / NULLIF(na.nrm * nb.nrm, 0.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS cosine
       FROM dots d
       JOIN norms na ON na.w = d.w1
       JOIN norms nb ON nb.w = d.w2
@@ -3325,7 +3324,7 @@ def q372_ppmi_word_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "w",
             "c",
-            F.round(
+            dround(
                 F.greatest(
                     F.log(
                         (F.col("n") * F.col("nn_"))
@@ -3339,7 +3338,7 @@ def q372_ppmi_word_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norms = ppmi.groupBy("w").agg(
         F.sqrt(
-            F.sum(F.round(F.col("v") * F.col("v"), 9).cast("decimal(38,9)"))
+            F.sum(dround(F.col("v") * F.col("v"), 9).cast("decimal(38,9)"))
             .cast("double")
         ).alias("nrm")
     )
@@ -3351,7 +3350,7 @@ def q372_ppmi_word_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1", "w2")
         .agg(
             F.sum(
-                F.round(F.col("va") * F.col("vb"), 9).cast("decimal(38,9)")
+                dround(F.col("va") * F.col("vb"), 9).cast("decimal(38,9)")
             )
             .cast("double")
             .alias("dot")
@@ -3366,7 +3365,7 @@ def q372_ppmi_word_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "w1",
             "w2",
-            F.round(
+            dround(
                 F.col("dot")
                 / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
                 6,
@@ -3431,9 +3430,9 @@ def _duplen_size_sql(s: int) -> str:
                 AS BIGINT) AS n_dup_hashes,
            CAST(SUM(CASE WHEN occurrences >= 2 THEN occurrences ELSE 0 END)
                 AS BIGINT) AS n_dup_windows,
-           ROUND(SUM(CASE WHEN occurrences >= 2 THEN occurrences
+           (FLOOR(CAST(SUM(CASE WHEN occurrences >= 2 THEN occurrences
                           ELSE 0 END)
-                 / CAST(NULLIF(SUM(occurrences), 0) AS DOUBLE), 6)
+                 / CAST(NULLIF(SUM(occurrences), 0) AS DOUBLE) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS dup_share
     FROM per_hash
     GROUP BY win_tokens
@@ -3497,7 +3496,7 @@ def q373_duplication_length_profile(
         .cast("bigint")
         .alias("n_dup_hashes"),
         F.sum(dup).cast("bigint").alias("n_dup_windows"),
-        F.round(
+        dround(
             F.sum(dup)
             / F.nullif(F.sum("occurrences"), F.lit(0)).cast("double"),
             6,

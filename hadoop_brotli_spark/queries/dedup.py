@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import fan_out, t
+from ._util import dround, fan_out, t
 
 N_HASHES = 8  # minhash functions
 N_BANDS = 4  # LSH bands (2 rows per band)
@@ -951,9 +951,9 @@ def q179_incremental_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.source,
            p.vol AS volume,
            p.cut AS cut_edges,
-           ROUND(CAST(p.cut AS DOUBLE)
+           (FLOOR(CAST(CAST(p.cut AS DOUBLE)
                  / NULLIF(CAST(LEAST(p.vol, t.vol_all - p.vol) AS DOUBLE),
-                          0.0), 6) AS conductance
+                          0.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS conductance
     FROM per p CROSS JOIN tot t
     """,
 )
@@ -1028,7 +1028,7 @@ def q387_dedup_partition_conductance(
         "source",
         "volume",
         "cut_edges",
-        F.round(
+        dround(
             F.col("cut_edges").cast("double")
             / F.nullif(
                 F.least(
@@ -1099,11 +1099,11 @@ def q387_dedup_partition_conductance(
       FROM assigned
     )
     SELECT p.n_dup_pairs, p.n_leaked_pairs,
-           ROUND(CAST(p.n_leaked_pairs AS DOUBLE)
-                 / NULLIF(p.n_dup_pairs, 0), 6) AS leak_rate,
+           (FLOOR(CAST(CAST(p.n_leaked_pairs AS DOUBLE)
+                 / NULLIF(p.n_dup_pairs, 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS leak_rate,
            d.n_heldout_docs, p.n_tainted_heldout_docs,
-           ROUND(CAST(p.n_tainted_heldout_docs AS DOUBLE)
-                 / NULLIF(d.n_heldout_docs, 0), 6) AS taint_rate
+           (FLOOR(CAST(CAST(p.n_tainted_heldout_docs AS DOUBLE)
+                 / NULLIF(d.n_heldout_docs, 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS taint_rate
     FROM pair_stats p, doc_stats d
     """.format(pairs_ctes=_minhash_pairs_ctes()),
 )
@@ -1184,14 +1184,14 @@ def q394_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_stats.crossJoin(F.broadcast(doc_stats)).select(
         "n_dup_pairs",
         "n_leaked_pairs",
-        F.round(
+        dround(
             F.col("n_leaked_pairs").cast("double")
             / F.nullif(F.col("n_dup_pairs"), F.lit(0)),
             6,
         ).alias("leak_rate"),
         "n_heldout_docs",
         "n_tainted_heldout_docs",
-        F.round(
+        dround(
             F.col("n_tainted_heldout_docs").cast("double")
             / F.nullif(F.col("n_heldout_docs"), F.lit(0)),
             6,
@@ -1227,11 +1227,11 @@ def q394_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.source, b.source
     )
     SELECT a.source AS source_a, b.source AS source_b,
-           ROUND(({" + ".join(
+           (FLOOR(CAST(({" + ".join(
                f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)"
-               for i in range(8))}) / 8.0, 6) AS est_jaccard,
-           ROUND(CAST(COALESCE(c.c, 0) AS DOUBLE)
-                 / (na.n + nb.n - COALESCE(c.c, 0)), 6) AS exact_jaccard,
+               for i in range(8))}) / 8.0 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS est_jaccard,
+           (FLOOR(CAST(CAST(COALESCE(c.c, 0) AS DOUBLE)
+                 / (na.n + nb.n - COALESCE(c.c, 0)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS exact_jaccard,
            CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
            CAST(COALESCE(c.c, 0) AS BIGINT) AS n_common
     FROM sigs a
@@ -1319,8 +1319,8 @@ def q396_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source_a",
             "source_b",
-            F.round(matches / F.lit(8.0), 6).alias("est_jaccard"),
-            F.round(
+            dround(matches / F.lit(8.0), 6).alias("est_jaccard"),
+            dround(
                 cc.cast("double") / (F.col("n_a") + F.col("n_b") - cc), 6
             ).alias("exact_jaccard"),
             F.col("n_a").cast("bigint").alias("n_a"),

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import dsum, sql_dsum, t
+from ._util import dround, dsum, sql_dsum, t
 
 # ------------------------------------------------------- scalar funcs
 
@@ -97,7 +97,7 @@ def q51_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            FLOOR(l_quantity / 7.0) AS qty_bucket,
            CEIL(l_extendedprice / 1000.0) AS price_k,
            SQRT(l_extendedprice) AS price_sqrt,
-           ROUND(LN(l_extendedprice), 6) AS price_ln
+           (FLOOR(CAST(LN(l_extendedprice) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS price_ln
     FROM lineitem
     WHERE l_extendedprice > 0
     """,
@@ -112,7 +112,7 @@ def q52_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_quantity") / 7.0).cast("double").alias("qty_bucket"),
         F.ceil(F.col("l_extendedprice") / 1000.0).cast("double").alias("price_k"),
         F.sqrt("l_extendedprice").alias("price_sqrt"),
-        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        dround(F.log("l_extendedprice"), 6).alias("price_ln"),
     )
 
 
@@ -931,9 +931,9 @@ RET_DENOM = 100 * (1 << RET_HORIZON)  # cents grid * 2^horizon
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_episodes,
            CAST(SUM(n_steps) AS BIGINT) AS n_steps,
-           ROUND(CAST(SUM(gg) AS DOUBLE)
-                 / (COUNT(*) * {RET_DENOM}.0), 6) AS mean_return,
-           ROUND(CAST(MAX(gg) AS DOUBLE) / {RET_DENOM}.0, 6)
+           (FLOOR(CAST(CAST(SUM(gg) AS DOUBLE)
+                 / (COUNT(*) * {RET_DENOM}.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mean_return,
+           (FLOOR(CAST(CAST(MAX(gg) AS DOUBLE) / {RET_DENOM}.0 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS best_return
     FROM episodes GROUP BY user_id
     """,
@@ -1007,12 +1007,12 @@ def q395_discounted_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return episodes.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_episodes"),
         F.sum("n_steps").cast("bigint").alias("n_steps"),
-        F.round(
+        dround(
             F.sum("gg").cast("double")
             / (F.count(F.lit(1)) * F.lit(float(RET_DENOM))),
             6,
         ).alias("mean_return"),
-        F.round(F.max("gg").cast("double") / F.lit(float(RET_DENOM)), 6).alias(
+        dround(F.max("gg").cast("double") / F.lit(float(RET_DENOM)), 6).alias(
             "best_return"
         ),
     )

@@ -6,7 +6,7 @@ moment drift, and semi-supervised label propagation.
 
 Shares the repo's determinism contract (FIXTURES.md): exact integer /
 DECIMAL reductions wherever cross-row sums occur, common-denominator
-integer arithmetic for distribution distances, ROUND(…, 6) on final
+integer arithmetic for distribution distances, (FLOOR(CAST(… AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) on final
 float columns, and total-order tie-breakers on every ranked output.
 
 Reference parity note: the reference (tesseract2048/hadoop-brotli) is
@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t
+from ._util import dround, t
 
 # ---------------------------------------------------------------------------
 # q397 BLEU-2 pair scoring (linear brevity penalty)
@@ -97,10 +97,10 @@ from ._util import t
       LEFT JOIN clip2 c2 ON c2.cand_id = p.cand_id
     )
     SELECT cand_id, ref_id, n_cand, n_ref,
-           ROUND(p1, 6) AS p1,
-           ROUND(COALESCE(p2, 0.0), 6) AS p2,
-           ROUND(bp, 6) AS bp,
-           ROUND(bp * SQRT(p1 * COALESCE(p2, 0.0)), 6) AS bleu2
+           (FLOOR(CAST(p1 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS p1,
+           (FLOOR(CAST(COALESCE(p2, 0.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS p2,
+           (FLOOR(CAST(bp AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS bp,
+           (FLOOR(CAST(bp * SQRT(p1 * COALESCE(p2, 0.0)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS bleu2
     FROM scored
     """,
 )
@@ -187,10 +187,10 @@ def q397_bleu_pair_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ref_id",
             F.col("nc").cast("bigint").alias("n_cand"),
             F.col("nr").cast("bigint").alias("n_ref"),
-            F.round(p1, 6).alias("p1"),
-            F.round(p2, 6).alias("p2"),
-            F.round(bp, 6).alias("bp"),
-            F.round(bp * F.sqrt(p1 * p2), 6).alias("bleu2"),
+            dround(p1, 6).alias("p1"),
+            dround(p2, 6).alias("p2"),
+            dround(bp, 6).alias("bp"),
+            dround(bp * F.sqrt(p1 * p2), 6).alias("bleu2"),
         )
     )
 
@@ -226,7 +226,7 @@ RA_PAIR_SHUFFLE = 256  # width of the two pair-volume stages (explode
     pairs AS (
       SELECT a.s AS supp_a, b.s AS supp_b,
              COUNT(*) AS common_parts,
-             SUM(CAST(ROUND(1.0 / deg.d, 9) AS DECIMAL(18,9))) AS ra
+             SUM(CAST((FLOOR(CAST(1.0 / deg.d AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS DECIMAL(18,9))) AS ra
       FROM bip a
       JOIN bip b ON b.p = a.p AND a.s < b.s
       JOIN deg ON deg.p = a.p
@@ -236,8 +236,8 @@ RA_PAIR_SHUFFLE = 256  # width of the two pair-volume stages (explode
       SELECT p.supp_a, p.supp_b,
              CAST(p.common_parts AS BIGINT) AS common_parts,
              CAST(p.ra AS DOUBLE) AS ra_score,
-             ROUND(CAST(p.common_parts AS DOUBLE)
-                   / (da.ds + db.ds - p.common_parts), 6) AS jaccard
+             (FLOOR(CAST(CAST(p.common_parts AS DOUBLE)
+                   / (da.ds + db.ds - p.common_parts) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS jaccard
       FROM pairs p
       JOIN sdeg da ON da.s = p.supp_a
       JOIN sdeg db ON db.s = p.supp_b
@@ -271,7 +271,7 @@ def q398_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     part universe), and only the capped posting list is self-joined,
     the q235/q333 shape. Top-k goes through one TakeOrdered.
 
-    Determinism: RA terms are ROUND(1/d, 9) summed as DECIMAL(18,9)
+    Determinism: RA terms are (FLOOR(CAST(1/d AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) summed as DECIMAL(18,9)
     — exact, order-free; Jaccard is a single division of integers.
     """
     # One lineitem scan + one distinct shuffle, reused by deg, sdeg and
@@ -315,7 +315,7 @@ def q398_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("common_parts"),
             F.sum(
-                F.round(F.lit(1.0) / F.col("d"), 9).cast("decimal(18,9)")
+                dround(F.lit(1.0) / F.col("d"), 9).cast("decimal(18,9)")
             ).alias("ra"),
         )
     )
@@ -333,7 +333,7 @@ def q398_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_b",
             F.col("common_parts").cast("bigint").alias("common_parts"),
             F.col("ra").cast("double").alias("ra_score"),
-            F.round(
+            dround(
                 F.col("common_parts").cast("double")
                 / (F.col("da") + F.col("db") - F.col("common_parts")),
                 6,
@@ -410,7 +410,7 @@ _TC_SENS = (
     SELECT segment, region,
            CAST(k AS BIGINT) AS k,
            CAST(l AS BIGINT) AS l_distinct,
-           ROUND(0.5 * num / (k * (SELECT n FROM tot)), 6) AS tvd,
+           (FLOOR(CAST(0.5 * num / (k * (SELECT n FROM tot)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS tvd,
            k >= {TC_K_MIN} AS k_anon_pass,
            l >= {TC_L_MIN} AS l_div_pass,
            0.5 * num / (k * (SELECT n FROM tot)) <= {TC_T_MAX}
@@ -478,7 +478,7 @@ def q399_ldiversity_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region",
         F.col("k").cast("bigint").alias("k"),
         F.col("l").cast("bigint").alias("l_distinct"),
-        F.round(tvd, 6).alias("tvd"),
+        dround(tvd, 6).alias("tvd"),
         (F.col("k") >= TC_K_MIN).alias("k_anon_pass"),
         (F.col("l") >= TC_L_MIN).alias("l_div_pass"),
         (tvd <= TC_T_MAX).alias("t_close_pass"),
@@ -535,8 +535,8 @@ def _ams_sign_sql(e: int) -> str:
       FROM means
     )
     SELECT CAST(f2_exact AS BIGINT) AS f2_exact,
-           ROUND((gs[2] + gs[3]) / 2.0, 4) AS f2_est,
-           ROUND(((gs[2] + gs[3]) / 2.0 - f2_exact) / f2_exact, 6)
+           (FLOOR(CAST((gs[2] + gs[3]) / 2.0 AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS f2_est,
+           (FLOOR(CAST(((gs[2] + gs[3]) / 2.0 - f2_exact) / f2_exact AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS rel_err,
            CAST(n_keys AS BIGINT) AS n_keys,
            CAST(n_rows AS BIGINT) AS n_rows
@@ -593,8 +593,8 @@ def q400_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = (F.col("gs")[1] + F.col("gs")[2]) / F.lit(2.0)
     return med.select(
         F.col("f2_exact").cast("bigint").alias("f2_exact"),
-        F.round(est, 4).alias("f2_est"),
-        F.round((est - F.col("f2_exact")) / F.col("f2_exact"), 6).alias("rel_err"),
+        dround(est, 4).alias("f2_est"),
+        dround((est - F.col("f2_exact")) / F.col("f2_exact"), 6).alias("rel_err"),
         F.col("n_keys").cast("bigint").alias("n_keys"),
         F.col("n_rows").cast("bigint").alias("n_rows"),
     )
@@ -651,12 +651,12 @@ NA_WINDOW_DAYS = 7  # same administrative censoring horizon as q261
     SELECT tday AS t_day,
            CAST(n_risk AS BIGINT) AS n_risk,
            CAST(d AS BIGINT) AS d_events,
-           ROUND(CAST(SUM(CAST(ROUND(CAST(d AS DOUBLE) / n_risk, 9)
+           (FLOOR(CAST(CAST(SUM(CAST((FLOOR(CAST(CAST(d AS DOUBLE) / n_risk AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0)
                           AS DECIMAL(18,9))) OVER (ORDER BY tday)
-                 AS DOUBLE), 6) AS cum_hazard,
-           ROUND(CAST(SUM(CAST(ROUND(CAST(d AS DOUBLE) / (n_risk * n_risk), 9)
+                 AS DOUBLE) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS cum_hazard,
+           (FLOOR(CAST(CAST(SUM(CAST((FLOOR(CAST(CAST(d AS DOUBLE) / (n_risk * n_risk) AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0)
                           AS DECIMAL(18,9))) OVER (ORDER BY tday)
-                 AS DOUBLE), 6) AS hazard_var
+                 AS DOUBLE) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS hazard_var
     FROM na
     """,
 )
@@ -667,7 +667,7 @@ def q401_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ dᵢ/nᵢ², the additive form survival tooling prefers because
     hazard DIFFERENCES between cohorts are directly comparable.
 
-    Determinism: hazard terms are ROUND(d/n, 9) accumulated as
+    Determinism: hazard terms are (FLOOR(CAST(d/n AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) accumulated as
     DECIMAL over the cumulative window — exact, order-free — so this
     query needs none of q261's exp/ln machinery.
 
@@ -714,18 +714,18 @@ def q401_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
     )
     w_cum = Window.orderBy("tday").rowsBetween(Window.unboundedPreceding, 0)
-    hterm = F.round(F.col("d").cast("double") / F.col("n_risk"), 9).cast(
+    hterm = dround(F.col("d").cast("double") / F.col("n_risk"), 9).cast(
         "decimal(18,9)"
     )
-    vterm = F.round(
+    vterm = dround(
         F.col("d").cast("double") / (F.col("n_risk") * F.col("n_risk")), 9
     ).cast("decimal(18,9)")
     return na.select(
         F.col("tday").alias("t_day"),
         F.col("n_risk").cast("bigint").alias("n_risk"),
         F.col("d").cast("bigint").alias("d_events"),
-        F.round(F.sum(hterm).over(w_cum).cast("double"), 6).alias("cum_hazard"),
-        F.round(F.sum(vterm).over(w_cum).cast("double"), 6).alias("hazard_var"),
+        dround(F.sum(hterm).over(w_cum).cast("double"), 6).alias("cum_hazard"),
+        dround(F.sum(vterm).over(w_cum).cast("double"), 6).alias("hazard_var"),
     )
 
 
@@ -777,11 +777,11 @@ PINBALL_SPLIT = "1999-01-01"
       FROM qs q CROSS JOIN test te
       GROUP BY q.t10, q.q
     )
-    SELECT ROUND(t10 / 10.0, 1) AS tau,
+    SELECT (FLOOR(CAST(t10 / 10.0 AS DOUBLE) * 10.0 + 0.5) / 10.0) AS tau,
            CAST(q AS DOUBLE) AS q_value,
            CAST(loss_num AS DOUBLE) / (n_test * 1000.0) AS mean_pinball,
            CAST(n_test AS BIGINT) AS n_test_days,
-           ROUND(CAST(covered AS DOUBLE) / n_test, 6) AS coverage
+           (FLOOR(CAST(CAST(covered AS DOUBLE) / n_test AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS coverage
     FROM losses
     """,
 )
@@ -850,12 +850,12 @@ def q402_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return losses.select(
-        F.round(F.col("t10") / F.lit(10.0), 1).alias("tau"),
+        dround(F.col("t10") / F.lit(10.0), 1).alias("tau"),
         F.col("q").cast("double").alias("q_value"),
         (F.col("loss_num").cast("double") / (F.col("n_test") * F.lit(1000.0)))
         .alias("mean_pinball"),
         F.col("n_test").cast("bigint").alias("n_test_days"),
-        F.round(F.col("covered").cast("double") / F.col("n_test"), 6).alias(
+        dround(F.col("covered").cast("double") / F.col("n_test"), 6).alias(
             "coverage"
         ),
     )
@@ -904,8 +904,8 @@ def q402_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_steps,
            CAST(SUM(CASE WHEN s.w2 = d.pred THEN 1 ELSE 0 END) AS BIGINT)
              AS n_accepted,
-           ROUND(CAST(SUM(CASE WHEN s.w2 = d.pred THEN 1 ELSE 0 END)
-                      AS DOUBLE) / COUNT(*), 6) AS acceptance_rate
+           (FLOOR(CAST(CAST(SUM(CASE WHEN s.w2 = d.pred THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS acceptance_rate
     FROM steps s JOIN draft d ON d.w1 = s.w1
     GROUP BY s.source
     """,
@@ -959,7 +959,7 @@ def q403_draft_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_steps"),
             acc.cast("bigint").alias("n_accepted"),
-            F.round(
+            dround(
                 acc.cast("double") / F.count(F.lit(1)), 6
             ).alias("acceptance_rate"),
         )
@@ -991,7 +991,7 @@ def _mmr_oracle() -> str:
       SELECT vec_id, rel, m FROM (
         SELECT c.vec_id, c.rel, ms.m,
                ROW_NUMBER() OVER (
-                 ORDER BY ROUND((7 * c.rel - 3 * ms.m) / 10, 6) DESC,
+                 ORDER BY (FLOOR(CAST((7 * c.rel - 3 * ms.m) / 10 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) DESC,
                           c.vec_id ASC) AS rk
         FROM pool c JOIN ms{i} ms ON ms.vec_id = c.vec_id
         WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
@@ -1001,15 +1001,15 @@ def _mmr_oracle() -> str:
       SELECT * FROM sel{i - 1}
       UNION ALL
       SELECT {i} AS step, vec_id, rel, m AS max_sim_selected,
-             ROUND((7 * rel - 3 * m) / 10, 6) AS mmr_score
+             (FLOOR(CAST((7 * rel - 3 * m) / 10 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mmr_score
       FROM pick{i}
     )""")
     return f"""
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
     scored AS (
       SELECT c.vec_id,
-             ROUND(SUM(x.x * y.y)
-                   / (SQRT(SUM(x.x * x.x)) * SQRT(SUM(y.y * y.y))), 6)
+             (FLOOR(CAST(SUM(x.x * y.y)
+                   / (SQRT(SUM(x.x * x.x)) * SQRT(SUM(y.y * y.y))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
                AS rel
       FROM embeddings c, q,
            LATERAL (SELECT UNNEST(c.embedding) AS x,
@@ -1028,12 +1028,12 @@ def _mmr_oracle() -> str:
     ),
     sims AS (
       SELECT a.vec_id AS a, b.vec_id AS b,
-             ROUND(SUM(CAST(ea.embedding[d.d] AS DOUBLE)
+             (FLOOR(CAST(SUM(CAST(ea.embedding[d.d] AS DOUBLE)
                        * CAST(eb.embedding[d.d] AS DOUBLE))
                    / (SQRT(SUM(CAST(ea.embedding[d.d] AS DOUBLE)
                                * CAST(ea.embedding[d.d] AS DOUBLE)))
                       * SQRT(SUM(CAST(eb.embedding[d.d] AS DOUBLE)
-                                 * CAST(eb.embedding[d.d] AS DOUBLE)))), 6)
+                                 * CAST(eb.embedding[d.d] AS DOUBLE)))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
                AS sim
       FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
       JOIN embeddings ea ON ea.vec_id = a.vec_id
@@ -1043,12 +1043,12 @@ def _mmr_oracle() -> str:
     ),
     sel1 AS (
       SELECT 1 AS step, vec_id, rel, 0.0 AS max_sim_selected,
-             ROUND(7 * rel / 10, 6) AS mmr_score
+             (FLOOR(CAST(7 * rel / 10 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mmr_score
       FROM pool QUALIFY ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id ASC) = 1
     ),
     {",".join(steps)}
     SELECT CAST(step AS BIGINT) AS step, vec_id, rel AS relevance,
-           ROUND(max_sim_selected, 6) AS max_sim_selected, mmr_score
+           (FLOOR(CAST(max_sim_selected AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS max_sim_selected, mmr_score
     FROM sel{MMR_K}
     """
 
@@ -1085,7 +1085,7 @@ def q404_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            F.round(
+            dround(
                 dot_product("embedding", "qe")
                 / (l2_norm("embedding") * l2_norm("qe")),
                 6,
@@ -1120,7 +1120,7 @@ def q404_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "a",
             "b",
-            F.round(
+            dround(
                 dot_product("ea", "eb") / (l2_norm("ea") * l2_norm("eb")), 6
             ).alias("sim"),
         )
@@ -1139,7 +1139,7 @@ def q404_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "rel",
             F.lit(0.0).alias("max_sim_selected"),
-            F.round(F.lit(7) * F.col("rel") / 10, 6).alias("mmr_score"),
+            dround(F.lit(7) * F.col("rel") / 10, 6).alias("mmr_score"),
         )
     )
     sel = first
@@ -1159,7 +1159,7 @@ def q404_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rk",
                 F.row_number().over(
                     Window.orderBy(
-                        F.round(
+                        dround(
                             (F.lit(7) * F.col("rel") - F.lit(3) * F.col("m"))
                             / 10,
                             6,
@@ -1174,7 +1174,7 @@ def q404_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id",
                 "rel",
                 F.col("m").alias("max_sim_selected"),
-                F.round(
+                dround(
                     (F.lit(7) * F.col("rel") - F.lit(3) * F.col("m")) / 10, 6
                 ).alias("mmr_score"),
             )
@@ -1184,7 +1184,7 @@ def q404_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("step").cast("bigint").alias("step"),
         "vec_id",
         F.col("rel").alias("relevance"),
-        F.round("max_sim_selected", 6).alias("max_sim_selected"),
+        dround("max_sim_selected", 6).alias("max_sim_selected"),
         "mmr_score",
     )
 
@@ -1207,8 +1207,8 @@ MD_DIMS = 8  # leading dims audited: 36 upper-triangle moments
     oracle=f"""
     WITH terms AS (
       SELECT e.label, gi.i AS i, gj.j AS j,
-             ROUND(CAST(e.embedding[gi.i] AS DOUBLE)
-                   * CAST(e.embedding[gj.j] AS DOUBLE), 7) AS xx
+             (FLOOR(CAST(CAST(e.embedding[gi.i] AS DOUBLE)
+                   * CAST(e.embedding[gj.j] AS DOUBLE) AS DOUBLE) * 10000000.0 + 0.5) / 10000000.0) AS xx
       FROM embeddings e,
            generate_series(1, {MD_DIMS}) AS gi(i),
            generate_series(1, {MD_DIMS}) AS gj(j)
@@ -1223,9 +1223,8 @@ MD_DIMS = 8  # leading dims audited: 36 upper-triangle moments
     drift AS (
       SELECT a.label AS label_a, b.label AS label_b,
              MAX(a.n) AS n_a, MAX(b.n) AS n_b,
-             SUM(CAST(ROUND(
-               (a.m - b.m) * (a.m - b.m)
-               * (CASE WHEN a.i = a.j THEN 1 ELSE 2 END), 12)
+             SUM(CAST((FLOOR(CAST((a.m - b.m) * (a.m - b.m)
+               * (CASE WHEN a.i = a.j THEN 1 ELSE 2 END) AS DOUBLE) * 1000000000000.0 + 0.5) / 1000000000000.0)
                AS DECIMAL(28,12))) AS mmd2
       FROM mom a
       JOIN mom b ON b.i = a.i AND b.j = a.j AND a.label < b.label
@@ -1233,8 +1232,8 @@ MD_DIMS = 8  # leading dims audited: 36 upper-triangle moments
     )
     SELECT label_a, label_b,
            CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-           ROUND(CAST(mmd2 AS DOUBLE), 9) AS mmd2_quad,
-           ROUND(SQRT(CAST(mmd2 AS DOUBLE)), 6) AS frobenius_dist
+           (FLOOR(CAST(CAST(mmd2 AS DOUBLE) AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS mmd2_quad,
+           (FLOOR(CAST(SQRT(CAST(mmd2 AS DOUBLE)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS frobenius_dist
     FROM drift
     """,
 )
@@ -1264,7 +1263,7 @@ def q405_embedding_moment_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "i",
         "j",
-        F.round(
+        dround(
             F.element_at("embedding", F.col("i")).cast("double")
             * F.element_at("embedding", F.col("j")).cast("double"),
             7,
@@ -1294,7 +1293,7 @@ def q405_embedding_moment_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("na").alias("n_a"),
             F.max("nb").alias("n_b"),
             F.sum(
-                F.round(
+                dround(
                     (F.col("ma") - F.col("mb"))
                     * (F.col("ma") - F.col("mb"))
                     * w,
@@ -1308,8 +1307,8 @@ def q405_embedding_moment_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label_b",
         F.col("n_a").cast("bigint").alias("n_a"),
         F.col("n_b").cast("bigint").alias("n_b"),
-        F.round(F.col("mmd2").cast("double"), 9).alias("mmd2_quad"),
-        F.round(F.sqrt(F.col("mmd2").cast("double")), 6).alias(
+        dround(F.col("mmd2").cast("double"), 9).alias("mmd2_quad"),
+        dround(F.sqrt(F.col("mmd2").cast("double")), 6).alias(
             "frobenius_dist"
         ),
     )
@@ -1873,7 +1872,7 @@ def q408_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source_a, source_b,
            CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-           ROUND(CAST(num AS DOUBLE) / (n_a * n_b), 6) AS w1_distance
+           (FLOOR(CAST(CAST(num AS DOUBLE) / (n_a * n_b) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS w1_distance
     FROM pairs
     """,
 )
@@ -1948,7 +1947,7 @@ def q409_wasserstein_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame
         "source_b",
         F.col("n_a").cast("bigint").alias("n_a"),
         F.col("n_b").cast("bigint").alias("n_b"),
-        F.round(
+        dround(
             F.col("num").cast("double") / (F.col("n_a") * F.col("n_b")), 6
         ).alias("w1_distance"),
     )
@@ -1986,7 +1985,7 @@ def q409_wasserstein_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT s.source, s.v AS n_chars,
            CAST(s.c AS BIGINT) AS n_docs,
-           ROUND(CAST(s.r AS DOUBLE) / t.n, 6) AS source_quantile,
+           (FLOOR(CAST(CAST(s.r AS DOUBLE) / t.n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS source_quantile,
            MIN(g.v) AS normalized_value
     FROM srccdf s
     JOIN totals t ON t.source = s.source
@@ -2049,7 +2048,7 @@ def q410_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.col("v").alias("n_chars"),
             F.col("c").cast("bigint").alias("n_docs"),
-            F.round(F.col("r").cast("double") / F.col("n"), 6).alias(
+            dround(F.col("r").cast("double") / F.col("n"), 6).alias(
                 "source_quantile"
             ),
             "normalized_value",
@@ -2101,18 +2100,18 @@ MAT_QUERIES = 8  # vec_id < 8
     ranked AS (
       SELECT query_id, cand_id,
              ROW_NUMBER() OVER (PARTITION BY query_id
-               ORDER BY ROUND(dot / (nq * nc), 6) DESC, cand_id ASC)
+               ORDER BY (FLOOR(CAST(dot / (nq * nc) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) DESC, cand_id ASC)
                AS full_rn,
              ROW_NUMBER() OVER (PARTITION BY query_id
-               ORDER BY ROUND(pdot / NULLIF(pnq * pnc, 0), 6) DESC,
+               ORDER BY (FLOOR(CAST(pdot / NULLIF(pnq * pnc, 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) DESC,
                         cand_id ASC) AS pfx_rn
       FROM pairs
     )
     SELECT query_id,
            CAST(SUM(CASE WHEN full_rn <= {MAT_K} AND pfx_rn <= {MAT_K}
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           ROUND(SUM(CASE WHEN full_rn <= {MAT_K} AND pfx_rn <= {MAT_K}
-                     THEN 1.0 ELSE 0 END) / {MAT_K}, 6)
+           (FLOOR(CAST(SUM(CASE WHEN full_rn <= {MAT_K} AND pfx_rn <= {MAT_K}
+                     THEN 1.0 ELSE 0 END) / {MAT_K} AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS recall_at_k
     FROM ranked GROUP BY query_id
     """,
@@ -2161,10 +2160,10 @@ def q411_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("cand_id") != F.col("query_id")
     )
-    full_cos = F.round(
+    full_cos = dround(
         dot_product("qe", "ce") / (F.col("nq") * F.col("nc")), 6
     )
-    pfx_cos = F.round(
+    pfx_cos = dround(
         dot_product("qp", "cp")
         / F.nullif(F.col("pnq") * F.col("pnc"), F.lit(0.0)),
         6,
@@ -2193,7 +2192,7 @@ def q411_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.groupBy("query_id").agg(
         kept.cast("bigint").alias("n_kept"),
-        F.round(kept.cast("double") / MAT_K, 6).alias("recall_at_k"),
+        dround(kept.cast("double") / MAT_K, 6).alias("recall_at_k"),
     )
 
 
@@ -2254,7 +2253,7 @@ RANSAC_TH_CENTS = 3_000_000  # inlier band: |residual| <= $30k
     SELECT CAST(k AS BIGINT) AS model_id,
            CAST(n_inliers AS BIGINT) AS n_inliers,
            CAST(n_days AS BIGINT) AS n_days,
-           ROUND(CAST(n_inliers AS DOUBLE) / n_days, 6) AS inlier_share,
+           (FLOOR(CAST(CAST(n_inliers AS DOUBLE) / n_days AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS inlier_share,
            -- FLOOR(x*1e4 + 0.5)/1e4: the repo's half-up grid rule --
            -- ROUND would be half-even in DuckDB vs half-up in Spark
            FLOOR(CAST(y2 - y1 AS DOUBLE) / (100.0 * (x2 - x1)) * 10000
@@ -2348,7 +2347,7 @@ def q412_ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k").cast("bigint").alias("model_id"),
             F.col("n_inliers").cast("bigint").alias("n_inliers"),
             F.col("n_days").cast("bigint").alias("n_days"),
-            F.round(
+            dround(
                 F.col("n_inliers").cast("double") / F.col("n_days"), 6
             ).alias("inlier_share"),
             (
@@ -2383,8 +2382,8 @@ PR_THRESHOLDS = [x / 20.0 for x in range(1, 20)]  # 0.05 .. 0.95
     oracle=f"""
     WITH scored AS (
       SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-             ROUND(LEAST(0.95, GREATEST(0.05,
-               CAST(n_chars AS DOUBLE) / 640.0)), 8) AS p
+             (FLOOR(CAST(LEAST(0.95, GREATEST(0.05,
+               CAST(n_chars AS DOUBLE) / 640.0)) AS DOUBLE) * 100000000.0 + 0.5) / 100000000.0) AS p
       FROM documents
     ),
     th AS (SELECT UNNEST([{", ".join(str(x) for x in PR_THRESHOLDS)}]) AS t),
@@ -2399,13 +2398,13 @@ PR_THRESHOLDS = [x / 20.0 for x in range(1, 20)]  # 0.05 .. 0.95
     curve AS (
       SELECT t, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
              CAST(fn AS BIGINT) AS fn,
-             ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS precision,
-             ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS recall,
-             ROUND(CAST(2 * tp AS DOUBLE)
-                   / NULLIF(2 * tp + fp + fn, 0), 6) AS f1
+             (FLOOR(CAST(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS precision,
+             (FLOOR(CAST(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS recall,
+             (FLOOR(CAST(CAST(2 * tp AS DOUBLE)
+                   / NULLIF(2 * tp + fp + fn, 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS f1
       FROM cm
     )
-    SELECT ROUND(t, 2) AS threshold, tp, fp, fn, precision, recall, f1,
+    SELECT (FLOOR(CAST(t AS DOUBLE) * 100.0 + 0.5) / 100.0) AS threshold, tp, fp, fn, precision, recall, f1,
            CAST(ROW_NUMBER() OVER (ORDER BY f1 DESC, t ASC) AS BIGINT) = 1
              AS is_f1_argmax
     FROM curve
@@ -2426,7 +2425,7 @@ def q413_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     scored = t(spark, sf_dir, "documents").select(
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
-        F.round(
+        dround(
             F.least(
                 F.lit(0.95),
                 F.greatest(F.lit(0.05), F.col("n_chars").cast("double") / 640.0),
@@ -2461,15 +2460,15 @@ def q413_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tp").cast("bigint").alias("tp"),
         F.col("fp").cast("bigint").alias("fp"),
         F.col("fn").cast("bigint").alias("fn"),
-        F.round(
+        dround(
             F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)),
             6,
         ).alias("precision"),
-        F.round(
+        dround(
             F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)),
             6,
         ).alias("recall"),
-        F.round(
+        dround(
             (2 * F.col("tp")).cast("double")
             / F.nullif(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0)),
             6,
@@ -2477,7 +2476,7 @@ def q413_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("f1").desc(), F.col("t").asc())
     return curve.select(
-        F.round("t", 2).alias("threshold"),
+        dround("t", 2).alias("threshold"),
         "tp",
         "fp",
         "fn",
@@ -2602,8 +2601,8 @@ def _r2_rho_col(w):
     )
     SELECT x.v AS s_suppkey,
            CAST(x.exact_reach AS BIGINT) AS exact_reach,
-           ROUND(c.hll_est, 4) AS hll_estimate,
-           ROUND(ABS(c.hll_est - x.exact_reach) / x.exact_reach, 6)
+           (FLOOR(CAST(c.hll_est AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS hll_estimate,
+           (FLOOR(CAST(ABS(c.hll_est - x.exact_reach) / x.exact_reach AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS rel_error,
            CAST(ROW_NUMBER() OVER (ORDER BY x.exact_reach DESC, x.v ASC)
                 AS BIGINT) AS rn
@@ -2729,8 +2728,8 @@ def q414_twohop_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("v").alias("s_suppkey"),
             F.col("exact_reach").cast("bigint").alias("exact_reach"),
-            F.round("hll_est", 4).alias("hll_estimate"),
-            F.round(
+            dround("hll_est", 4).alias("hll_estimate"),
+            dround(
                 F.abs(F.col("hll_est") - F.col("exact_reach"))
                 / F.col("exact_reach"),
                 6,
@@ -2768,12 +2767,12 @@ SEG_MIN_PTS = 3  # each segment must have >= 3 months
       SELECT x, y,
              ROW_NUMBER() OVER (ORDER BY x) AS i,
              SUM(x) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS sx,
-             SUM(CAST(ROUND(y, 6) AS DECIMAL(28,6)))
+             SUM(CAST((FLOOR(CAST(y AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS DECIMAL(28,6)))
                OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS sy,
              SUM(x * x) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS sxx,
-             SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6)))
+             SUM(CAST((FLOOR(CAST(x * y AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS DECIMAL(28,6)))
                OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS sxy,
-             SUM(CAST(ROUND(y * y, 6) AS DECIMAL(28,6)))
+             SUM(CAST((FLOOR(CAST(y * y AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS DECIMAL(28,6)))
                OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS syy
       FROM monthly
     ),
@@ -2819,16 +2818,16 @@ SEG_MIN_PTS = 3  # each segment must have >= 3 months
     )
     SELECT bp AS breakpoint_month,
            CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
-           ROUND(slope_l, 6) AS slope_left,
-           ROUND(slope_r, 6) AS slope_right,
-           ROUND(sse_l + sse_r, 6) AS sse_split,
-           ROUND((SELECT sse_1 FROM single), 6) AS sse_single,
-           ROUND(1.0 - (sse_l + sse_r)
-                 / NULLIF((SELECT sse_1 FROM single), 0), 6)
+           (FLOOR(CAST(slope_l AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS slope_left,
+           (FLOOR(CAST(slope_r AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS slope_right,
+           (FLOOR(CAST(sse_l + sse_r AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS sse_split,
+           (FLOOR(CAST((SELECT sse_1 FROM single) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS sse_single,
+           (FLOOR(CAST(1.0 - (sse_l + sse_r)
+                 / NULLIF((SELECT sse_1 FROM single), 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS sse_reduction
     FROM scored
     QUALIFY ROW_NUMBER() OVER (
-      ORDER BY ROUND(sse_l + sse_r, 6) ASC, bp ASC) = 1
+      ORDER BY (FLOOR(CAST(sse_l + sse_r AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) ASC, bp ASC) = 1
     """,
 )
 def q415_segmented_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2869,12 +2868,12 @@ def q415_segmented_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         F.row_number().over(Window.orderBy("x")).alias("i"),
         F.sum("x").over(wcum).alias("sx"),
-        F.sum(F.round("y", 6).cast("decimal(28,6)")).over(wcum).alias("sy"),
+        F.sum(dround("y", 6).cast("decimal(28,6)")).over(wcum).alias("sy"),
         F.sum(F.col("x") * F.col("x")).over(wcum).alias("sxx"),
-        F.sum(F.round(F.col("x") * F.col("y"), 6).cast("decimal(28,6)"))
+        F.sum(dround(F.col("x") * F.col("y"), 6).cast("decimal(28,6)"))
         .over(wcum)
         .alias("sxy"),
-        F.sum(F.round(F.col("y") * F.col("y"), 6).cast("decimal(28,6)"))
+        F.sum(dround(F.col("y") * F.col("y"), 6).cast("decimal(28,6)"))
         .over(wcum)
         .alias("syy"),
     )
@@ -2939,7 +2938,7 @@ def q415_segmented_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     sse_1, _ = _sse("ssy", "ssxy", "ssx", "ssxx", "ssyy", "sn")
     single = single.select(sse_1.alias("sse_1"))
     w = Window.orderBy(
-        F.round(F.col("sse_l") + F.col("sse_r"), 6).asc(), F.col("bp").asc()
+        dround(F.col("sse_l") + F.col("sse_r"), 6).asc(), F.col("bp").asc()
     )
     return (
         scored.crossJoin(F.broadcast(single))
@@ -2949,11 +2948,11 @@ def q415_segmented_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bp").alias("breakpoint_month"),
             F.col("nl").cast("bigint").alias("n_left"),
             F.col("nr").cast("bigint").alias("n_right"),
-            F.round("slope_l", 6).alias("slope_left"),
-            F.round("slope_r", 6).alias("slope_right"),
-            F.round(F.col("sse_l") + F.col("sse_r"), 6).alias("sse_split"),
-            F.round("sse_1", 6).alias("sse_single"),
-            F.round(
+            dround("slope_l", 6).alias("slope_left"),
+            dround("slope_r", 6).alias("slope_right"),
+            dround(F.col("sse_l") + F.col("sse_r"), 6).alias("sse_split"),
+            dround("sse_1", 6).alias("sse_single"),
+            dround(
                 F.lit(1.0)
                 - (F.col("sse_l") + F.col("sse_r"))
                 / F.nullif(F.col("sse_1"), F.lit(0.0)),
@@ -3390,9 +3389,9 @@ DH_TOPK = 15
     ),
     ranked AS (
       SELECT p_brand,
-             ROUND(CAST(decayed_scaled AS DOUBLE)
-                   / {(1 << DH_MAX_PERIODS) * 100}, 2) AS decayed_revenue,
-             ROUND(CAST(raw_cents AS DOUBLE) / 100, 2) AS raw_revenue,
+             (FLOOR(CAST(CAST(decayed_scaled AS DOUBLE)
+                   / {(1 << DH_MAX_PERIODS) * 100} AS DOUBLE) * 100.0 + 0.5) / 100.0) AS decayed_revenue,
+             (FLOOR(CAST(CAST(raw_cents AS DOUBLE) / 100 AS DOUBLE) * 100.0 + 0.5) / 100.0) AS raw_revenue,
              CAST(ROW_NUMBER() OVER (ORDER BY decayed_scaled DESC,
                   p_brand ASC) AS BIGINT) AS decayed_rank,
              CAST(ROW_NUMBER() OVER (ORDER BY raw_cents DESC,
@@ -3451,12 +3450,12 @@ def q418_decayed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = scored.select(
         "p_brand",
-        F.round(
+        dround(
             F.col("decayed_scaled").cast("double")
             / F.lit(float((1 << DH_MAX_PERIODS) * 100)),
             2,
         ).alias("decayed_revenue"),
-        F.round(F.col("raw_cents").cast("double") / 100, 2).alias(
+        dround(F.col("raw_cents").cast("double") / 100, 2).alias(
             "raw_revenue"
         ),
         F.row_number()
@@ -3545,11 +3544,11 @@ def q418_decayed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
       SELECT CAST(SUM(d0) AS BIGINT) AS obs0,
-             FLOOR(CAST(SUM(CAST(ROUND(e0, 9) AS DECIMAL(28,9)))
+             FLOOR(CAST(SUM(CAST((FLOOR(CAST(e0 AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS DECIMAL(28,9)))
                    AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS exp0,
-             CAST(SUM(CAST(ROUND(e0, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             CAST(SUM(CAST((FLOOR(CAST(e0 AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS DECIMAL(28,9))) AS DOUBLE)
                AS exp0_raw,
-             CAST(SUM(CAST(ROUND(v0, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             CAST(SUM(CAST((FLOOR(CAST(v0 AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS DECIMAL(28,9))) AS DOUBLE)
                AS var0,
              CAST(SUM(d1) AS BIGINT) AS obs1
       FROM terms
@@ -3639,10 +3638,10 @@ def q419_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = terms.agg(
         F.sum("d0").cast("bigint").alias("obs0"),
-        F.sum(F.round("e0", 9).cast("decimal(28,9)"))
+        F.sum(dround("e0", 9).cast("decimal(28,9)"))
         .cast("double")
         .alias("exp0_raw"),
-        F.sum(F.round("v0", 9).cast("decimal(28,9)"))
+        F.sum(dround("v0", 9).cast("decimal(28,9)"))
         .cast("double")
         .alias("var0_raw"),
         F.sum("d1").cast("bigint").alias("obs1"),
@@ -3822,18 +3821,18 @@ DP_SALT = "dp_r4"
     ),
     released AS (
       SELECT lang, source, true_count, n_cells,
-             ROUND(eps_cell, 6) AS eps_cell,
+             (FLOOR(CAST(eps_cell AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS eps_cell,
              -- inverse-CDF Laplace(b = 1/eps): -b*sign(u-.5)*ln(1-2|u-.5|)
-             ROUND(true_count
+             (FLOOR(CAST(true_count
                - (1.0 / eps_cell)
                  * (CASE WHEN u >= 0.5 THEN 1 ELSE -1 END)
-                 * ln(1 - 2 * ABS(u - 0.5)), 4) AS noisy_count
+                 * ln(1 - 2 * ABS(u - 0.5)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS noisy_count
       FROM noised
     )
     SELECT lang, source,
            CAST(true_count AS BIGINT) AS true_count,
            noisy_count, eps_cell,
-           ROUND(ABS(noisy_count - true_count), 4) AS abs_error,
+           (FLOOR(CAST(ABS(noisy_count - true_count) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS abs_error,
            CAST(n_cells AS BIGINT) AS n_cells
     FROM released
     """,
@@ -3881,7 +3880,7 @@ def q421_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 1.0
     ) / float((1 << 52) + 2)
     eps_cell = F.lit(DP_EPS_TOTAL) / F.col("n_cells")
-    noisy = F.round(
+    noisy = dround(
         F.col("true_count")
         - (F.lit(1.0) / eps_cell)
         * F.when(u >= 0.5, F.lit(1)).otherwise(F.lit(-1))
@@ -3895,8 +3894,8 @@ def q421_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.col("true_count").cast("bigint").alias("true_count"),
             noisy.alias("noisy_count"),
-            F.round(eps_cell, 6).alias("eps_cell"),
-            F.round(F.abs(noisy - F.col("true_count")), 4).alias("abs_error"),
+            dround(eps_cell, 6).alias("eps_cell"),
+            dround(F.abs(noisy - F.col("true_count")), 4).alias("abs_error"),
             "n_cells",
         )
     )

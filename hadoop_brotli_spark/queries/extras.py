@@ -40,7 +40,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import dsum, fan_out, sql_dsum, t
+from ._util import dround, dsum, fan_out, sql_dsum, t
 from .dedup import N_HASHES, _minhash_pairs, _minhash_pairs_ctes, _signatures
 from .similarity import dot_double, norm_double
 
@@ -103,7 +103,7 @@ def q197_argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d, rev,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window,
-           ROUND(quantile_cont(rev, 0.5) OVER w, 4) AS med7
+           (FLOOR(CAST(quantile_cont(rev, 0.5) OVER w AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS med7
     FROM daily
     WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
@@ -126,7 +126,7 @@ def q198_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         "rev",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_in_window"),
-        F.round(F.percentile("rev", F.lit(0.5)).over(w), 4).alias("med7"),
+        dround(F.percentile("rev", F.lit(0.5)).over(w), 4).alias("med7"),
     )
 
 
@@ -213,7 +213,7 @@ N_PROBES = 2
     ranked AS (
       SELECT vec_id, cid,
              ROW_NUMBER() OVER (PARTITION BY vec_id
-               ORDER BY ROUND(dot / (nv * nc), 6) DESC, cid ASC) AS rn
+               ORDER BY (FLOOR(CAST(dot / (nv * nc) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) DESC, cid ASC) AS rn
       FROM cdots
     ),
     assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
@@ -240,9 +240,9 @@ N_PROBES = 2
     scored AS (
       SELECT query_id, cand_id, cell,
              CAST(probe AS BIGINT) AS probe,
-             ROUND(dot / (nq * nc), 6) AS cosine,
+             (FLOOR(CAST(dot / (nq * nc) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS cosine,
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-               ORDER BY ROUND(dot / (nq * nc), 6) DESC, cand_id ASC)
+               ORDER BY (FLOOR(CAST(dot / (nq * nc) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) DESC, cand_id ASC)
                AS BIGINT) AS rn
       FROM pdots
     )
@@ -266,7 +266,7 @@ def q200_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
         F.col("nrm").alias("cnrm"),
     )
-    sim = F.round(
+    sim = dround(
         dot_double("embedding", "ce") / (F.col("nrm") * F.col("cnrm")), 6
     )
     rn_w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid").asc())
@@ -302,7 +302,7 @@ def q200_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands,
         (F.col("cell") == F.col("cell_v")) & (F.col("cand_id") != F.col("query_id")),
     )
-    cosine = F.round(
+    cosine = dround(
         dot_double("qe", "ve") / (F.col("qn") * F.col("vn")), 6
     )
     topk_w = W.partitionBy("query_id").orderBy(
@@ -660,7 +660,7 @@ def q207_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.event_type,
              CASE WHEN e.value < b.lo THEN 1 ELSE 0 END AS is_lo,
              CASE WHEN e.value > b.hi THEN 1 ELSE 0 END AS is_hi,
-             ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 6) AS wv
+             (FLOOR(CAST(LEAST(GREATEST(e.value, b.lo), b.hi) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS wv
       FROM events e JOIN b ON b.event_type = e.event_type
     )
     SELECT event_type,
@@ -694,7 +694,7 @@ def q208_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.when(F.col("value") < F.col("lo"), 1).otherwise(0).alias("is_lo"),
         F.when(F.col("value") > F.col("hi"), 1).otherwise(0).alias("is_hi"),
-        F.round(F.least(F.greatest("value", "lo"), "hi"), 6).alias("wv"),
+        dround(F.least(F.greatest("value", "lo"), "hi"), 6).alias("wv"),
     )
     return clipped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -770,8 +770,8 @@ def q209_nulls_last_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           ROUND(quantile_cont(value, 0.5), 6) AS p50_value,
-           ROUND(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6)
+           (FLOOR(CAST(quantile_cont(value, 0.5) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS p50_value,
+           (FLOOR(CAST(quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS iqr_value
     FROM events GROUP BY event_type
     """,
@@ -1327,8 +1327,8 @@ def _hll_rho_col(w):
     )
     SELECT e.event_type,
            CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
-           ROUND(e.hll_est, 4) AS hll_estimate,
-           ROUND(ABS(e.hll_est - x.exact_distinct) / x.exact_distinct, 6)
+           (FLOOR(CAST(e.hll_est AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS hll_estimate,
+           (FLOOR(CAST(ABS(e.hll_est - x.exact_distinct) / x.exact_distinct AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS rel_error
     FROM corrected e JOIN exact x ON x.event_type = e.event_type
     """,
@@ -1402,8 +1402,8 @@ def q229_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").select(
         "event_type",
         F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
-        F.round("hll_est", 4).alias("hll_estimate"),
-        F.round(
+        dround("hll_est", 4).alias("hll_estimate"),
+        dround(
             F.abs(F.col("hll_est") - F.col("exact_distinct"))
             / F.col("exact_distinct"),
             6,
@@ -1431,7 +1431,7 @@ def q229_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily
     ),
     ranked AS (
-      SELECT d, rev, ROUND(cusum, 4) AS cusum,
+      SELECT d, rev, (FLOOR(CAST(cusum AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS cusum,
              ROW_NUMBER() OVER (ORDER BY ABS(cusum) DESC, d ASC) AS rn
       FROM cum
     )
@@ -1465,7 +1465,7 @@ def q231_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = daily.crossJoin(F.broadcast(tot)).select(
         "d",
         "rev",
-        F.round(F.sum(F.col("rev") - F.col("mean_rev")).over(wc), 4).alias("cusum"),
+        dround(F.sum(F.col("rev") - F.col("mean_rev")).over(wc), 4).alias("cusum"),
     )
     wr = W.orderBy(F.abs(F.col("cusum")).desc(), F.col("d").asc())
     return (
@@ -1511,7 +1511,7 @@ NOISE_K = 5
         SELECT query_id, qlabel, clabel,
                ROW_NUMBER() OVER (
                  PARTITION BY query_id
-                 ORDER BY ROUND(dot / (nq * nc), 6) DESC, cand_id ASC
+                 ORDER BY (FLOOR(CAST(dot / (nq * nc) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) DESC, cand_id ASC
                ) AS rn
         FROM dots
       ) WHERE rn <= {NOISE_K}
@@ -1562,7 +1562,7 @@ def q232_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IEEE ops on the same inputs, just not repeated. (r6 A/B: a
     # DIM-unrolled element_at chain measured ~3x SLOWER than this
     # zip_with fold at 200x n pair volume — see dot_product's note.)
-    cosine = F.round(
+    cosine = dround(
         dot_double("qe", "ce") / (F.col("qn") * F.col("cn")), 6
     )
     wq = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
@@ -1632,8 +1632,8 @@ def q232_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM per_source_regs)
              AS n_partial_registers,
            CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
-           ROUND(c.hll_est, 4) AS merged_estimate,
-           ROUND(ABS(c.hll_est - x.exact_distinct) / x.exact_distinct, 6)
+           (FLOOR(CAST(c.hll_est AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS merged_estimate,
+           (FLOOR(CAST(ABS(c.hll_est - x.exact_distinct) / x.exact_distinct AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS rel_error
     FROM corrected c CROSS JOIN exact x
     """,
@@ -1711,8 +1711,8 @@ def q246_hll_register_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_partial_registers",
             F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
-            F.round("hll_est", 4).alias("merged_estimate"),
-            F.round(
+            dround("hll_est", 4).alias("merged_estimate"),
+            dround(
                 F.abs(F.col("hll_est") - F.col("exact_distinct"))
                 / F.col("exact_distinct"),
                 6,
@@ -1764,7 +1764,7 @@ PSI_BIN_WIDTH = 100  # value in [0, ~1000): fixed-width bins, shared grid
     SELECT event_type,
            CAST(SUM(nr) AS BIGINT) AS n_ref,
            CAST(SUM(nc) AS BIGINT) AS n_cur,
-           ROUND(SUM(term), 4) AS psi
+           (FLOOR(CAST(SUM(term) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS psi
     FROM terms GROUP BY event_type
     """,
 )
@@ -1807,7 +1807,7 @@ def q250_psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("event_type").agg(
         F.sum("nr").cast("bigint").alias("n_ref"),
         F.sum("nc").cast("bigint").alias("n_cur"),
-        F.round(F.sum(term), 4).alias("psi"),
+        dround(F.sum(term), 4).alias("psi"),
     )
 
 
@@ -1865,9 +1865,9 @@ _ZO_INTERLEAVE = " + ".join(
            CAST(files_z AS BIGINT) AS files_zorder,
            CAST(read_rm AS BIGINT) AS read_rows_rowmajor,
            CAST(read_z AS BIGINT) AS read_rows_zorder,
-           ROUND(read_rm / CAST(NULLIF(matching, 0) AS DOUBLE), 4)
+           (FLOOR(CAST(read_rm / CAST(NULLIF(matching, 0) AS DOUBLE) AS DOUBLE) * 10000.0 + 0.5) / 10000.0)
              AS amp_rowmajor,
-           ROUND(read_z / CAST(NULLIF(matching, 0) AS DOUBLE), 4)
+           (FLOOR(CAST(read_z / CAST(NULLIF(matching, 0) AS DOUBLE) AS DOUBLE) * 10000.0 + 0.5) / 10000.0)
              AS amp_zorder
     FROM touched
     """,
@@ -1952,12 +1952,12 @@ def q368_zorder_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("files_z").cast("bigint").alias("files_zorder"),
             F.col("read_rm").cast("bigint").alias("read_rows_rowmajor"),
             F.col("read_z").cast("bigint").alias("read_rows_zorder"),
-            F.round(
+            dround(
                 F.col("read_rm")
                 / F.nullif(F.col("matching"), F.lit(0)).cast("double"),
                 4,
             ).alias("amp_rowmajor"),
-            F.round(
+            dround(
                 F.col("read_z")
                 / F.nullif(F.col("matching"), F.lit(0)).cast("double"),
                 4,
@@ -2012,12 +2012,12 @@ def _geo_hash_coord_sql(key: str, salt: str, span: int, offset: int) -> str:
     ),
     cand AS (
       SELECT cc.c_custkey, sc.s_suppkey,
-             ROUND(2 * {GEO_EARTH_KM!r} * asin(sqrt(
+             (FLOOR(CAST(2 * {GEO_EARTH_KM!r} * asin(sqrt(
                sin(radians(sc.lat - cc.lat) / 2)
                  * sin(radians(sc.lat - cc.lat) / 2)
                + cos(radians(cc.lat)) * cos(radians(sc.lat))
                  * sin(radians(sc.lon - cc.lon) / 2)
-                 * sin(radians(sc.lon - cc.lon) / 2))), 3) AS dist_km
+                 * sin(radians(sc.lon - cc.lon) / 2))) AS DOUBLE) * 1000.0 + 0.5) / 1000.0) AS dist_km
       FROM cc JOIN sc ON cc.cy = sc.cy AND cc.cx = sc.cx
     ),
     nearest AS (
@@ -2118,7 +2118,7 @@ def q370_spatial_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = cc.join(F.broadcast(sc), ["cy", "cx"]).select(
         "c_custkey",
         "s_suppkey",
-        F.round(2 * GEO_EARTH_KM * F.asin(F.sqrt(hav)), 3).alias("dist_km"),
+        dround(2 * GEO_EARTH_KM * F.asin(F.sqrt(hav)), 3).alias("dist_km"),
     )
     wn = W.partitionBy("c_custkey").orderBy(
         F.col("dist_km").asc(), F.col("s_suppkey").asc()
@@ -2187,8 +2187,8 @@ def q370_spatial_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_valid,
            CAST(SUM(CASE WHEN luhn_sum % 10 = 0 THEN 0 ELSE 1 END)
                 AS BIGINT) AS n_invalid,
-           ROUND(SUM(CASE WHEN luhn_sum % 10 = 0 THEN 1 ELSE 0 END)
-                 / CAST(COUNT(*) AS DOUBLE), 6) AS valid_share
+           (FLOOR(CAST(SUM(CASE WHEN luhn_sum % 10 = 0 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS valid_share
     FROM walked GROUP BY o_orderpriority
     """,
 )
@@ -2295,7 +2295,7 @@ def q371_luhn_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_cards"),
         F.sum(ok).cast("bigint").alias("n_valid"),
         F.sum(1 - ok).cast("bigint").alias("n_invalid"),
-        F.round(
+        dround(
             F.sum(ok) / F.count(F.lit(1)).cast("double"), 6
         ).alias("valid_share"),
     )
@@ -2432,11 +2432,11 @@ DD_QS = (0.5, 0.95, 0.99)
       GROUP BY qs.q
     )
     SELECT e.q AS quantile,
-           ROUND(2 * exp(e.qb * ln({DD_GAMMA!r}))
-                 / ({DD_GAMMA!r} + 1), 4) AS estimate,
+           (FLOOR(CAST(2 * exp(e.qb * ln({DD_GAMMA!r}))
+                 / ({DD_GAMMA!r} + 1) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS estimate,
            x.xv AS exact_value,
-           ROUND(ABS(2 * exp(e.qb * ln({DD_GAMMA!r})) / ({DD_GAMMA!r} + 1)
-                     - x.xv) / x.xv, 6) AS rel_err,
+           (FLOOR(CAST(ABS(2 * exp(e.qb * ln({DD_GAMMA!r})) / ({DD_GAMMA!r} + 1)
+                     - x.xv) / x.xv AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS rel_err,
            CAST(CASE WHEN ABS(2 * exp(e.qb * ln({DD_GAMMA!r}))
                               / ({DD_GAMMA!r} + 1) - x.xv) / x.xv
                           <= {DD_ALPHA!r} THEN 1 ELSE 0 END AS BIGINT)
@@ -2537,9 +2537,9 @@ def q375_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(mismatch))
         .select(
             F.col("q").alias("quantile"),
-            F.round(est_v, 4).alias("estimate"),
+            dround(est_v, 4).alias("estimate"),
             F.col("xv").alias("exact_value"),
-            F.round(F.abs(est_v - F.col("xv")) / F.col("xv"), 6).alias(
+            dround(F.abs(est_v - F.col("xv")) / F.col("xv"), 6).alias(
                 "rel_err"
             ),
             F.when(

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t
+from ._util import dround, t
 
 # ---------------------------------------------------------------------------
 # q381 split-conformal prediction intervals
@@ -73,10 +73,10 @@ def _h7(col: str, salt: str) -> str:
     )
     SELECT (SELECT n FROM nc) AS n_calib,
            CAST(COUNT(*) AS BIGINT) AS n_test,
-           ROUND((SELECT q FROM qhat), 4) AS q_hat,
-           ROUND(CAST(SUM(CASE WHEN ABS(y - pred) <= (SELECT q FROM qhat)
+           (FLOOR(CAST((SELECT q FROM qhat) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS q_hat,
+           (FLOOR(CAST(CAST(SUM(CASE WHEN ABS(y - pred) <= (SELECT q FROM qhat)
                                THEN 1 ELSE 0 END) AS DOUBLE)
-                 / NULLIF(COUNT(*), 0), 6) AS coverage,
+                 / NULLIF(COUNT(*), 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS coverage,
            CAST({1.0 - CONF_ALPHA!r} AS DOUBLE) AS target
     FROM test
     """,
@@ -203,7 +203,7 @@ def q381_split_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # half is too, so the left cross-join never drops coverage rows)
     stats = test.crossJoin(F.broadcast(qhat.select("q"))).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_test"),
-        F.round(
+        dround(
             F.sum(
                 F.when(
                     F.abs(F.col("y") - F.col("pred")) <= F.col("q"), 1
@@ -219,7 +219,7 @@ def q381_split_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(F.broadcast(meta)).select(
         F.col("n").alias("n_calib"),
         "n_test",
-        F.round("q", 4).alias("q_hat"),
+        dround("q", 4).alias("q_hat"),
         "coverage",
         F.lit(1.0 - CONF_ALPHA).alias("target"),
     )
@@ -258,7 +258,7 @@ NDCG_NQ = 5  # query vectors
                   WHEN cl % 2 = ql % 2 THEN 1 ELSE 0 END AS rel,
              ROW_NUMBER() OVER (
                PARTITION BY query_id
-               ORDER BY ROUND(dot / (nq * nc), 6) DESC, cand_id ASC
+               ORDER BY (FLOOR(CAST(dot / (nq * nc) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) DESC, cand_id ASC
              ) AS rk
       FROM dots
     ),
@@ -280,9 +280,9 @@ NDCG_NQ = 5  # query vectors
       FROM ideal WHERE rk <= {NDCG_K} GROUP BY 1
     )
     SELECT d.query_id,
-           ROUND(d.dcg, 6) AS dcg_at_k,
-           ROUND(i.idcg, 6) AS idcg_at_k,
-           ROUND(d.dcg / NULLIF(i.idcg, 0.0), 6) AS ndcg_at_k
+           (FLOOR(CAST(d.dcg AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS dcg_at_k,
+           (FLOOR(CAST(i.idcg AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS idcg_at_k,
+           (FLOOR(CAST(d.dcg / NULLIF(i.idcg, 0.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS ndcg_at_k
     FROM dcg d JOIN idcg i ON i.query_id = d.query_id
     """,
 )
@@ -319,7 +319,7 @@ def q382_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("ce"),
         F.col("label").alias("cl"),
     ).withColumn("cn", norm_double("ce"))
-    cosine = F.round(
+    cosine = dround(
         dot_double("qe", "ce") / (F.col("qn") * F.col("cn")), 6
     )
     graded = (
@@ -371,9 +371,9 @@ def q382_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dcg.join(idcg, "query_id").select(
         "query_id",
-        F.round("dcg", 6).alias("dcg_at_k"),
-        F.round("idcg", 6).alias("idcg_at_k"),
-        F.round(
+        dround("dcg", 6).alias("dcg_at_k"),
+        dround("idcg", 6).alias("idcg_at_k"),
+        dround(
             F.col("dcg") / F.nullif(F.col("idcg"), F.lit(0.0)), 6
         ).alias("ndcg_at_k"),
     )
@@ -586,25 +586,41 @@ DOREMI_SCALE = 1_000_000
              CAST(COUNT(*) AS BIGINT) AS nt
       FROM nll GROUP BY 1
     ),
-    loss AS (
-      SELECT source, nt,
-             CAST(sg AS DOUBLE) / ({DOREMI_SCALE}.0 * nt) AS l
-      FROM dom
+    base AS (
+      -- argmin domain by the shared double key, ties broken exactly;
+      -- both engines see identical doubles, so the pick is identical
+      SELECT sg AS sg0, nt AS nt0
+      FROM (SELECT source, sg, nt,
+                   CAST(sg AS DOUBLE) / ({DOREMI_SCALE}.0 * nt) AS l
+            FROM dom)
+      ORDER BY l, sg, nt, source LIMIT 1
     ),
-    base AS (SELECT MIN(l) AS l0 FROM loss),
+    grid AS (
+      -- half-up integer grid: avg_nll = round(sg/nt) on the 1e-6 grid,
+      -- excess = round((sg*nt0 - sg0*nt)/(nt*nt0)) on the same grid,
+      -- all in exact integer space (no double ROUND ties possible)
+      SELECT d.source, d.nt,
+             (2 * d.sg + d.nt) // (2 * d.nt) AS anll_i,
+             CAST((2 * GREATEST(CAST(d.sg AS HUGEINT) * b.nt0
+                                - CAST(b.sg0 AS HUGEINT) * d.nt,
+                                CAST(0 AS HUGEINT))
+                   + CAST(d.nt AS HUGEINT) * b.nt0)
+                  // (2 * CAST(d.nt AS HUGEINT) * b.nt0) AS BIGINT) AS exc_i
+      FROM dom d, base b
+    ),
     ew AS (
-      SELECT source, nt, l,
-             exp({DOREMI_ETA!r} * (l - (SELECT l0 FROM base))) AS e
-      FROM loss
+      SELECT source, nt, anll_i, exc_i,
+             exp({DOREMI_ETA!r} * (exc_i / {DOREMI_SCALE}.0)) AS e
+      FROM grid
     ),
     z AS (SELECT SUM(e) AS z, COUNT(*) AS k FROM ew)
     SELECT source,
            nt AS n_tokens,
-           ROUND(l, 6) AS avg_nll,
-           ROUND(l - (SELECT l0 FROM base), 6) AS excess_loss,
-           ROUND(e / (SELECT z FROM z), 6) AS weight,
-           ROUND((1.0 - {DOREMI_SMOOTH!r}) * e / (SELECT z FROM z)
-                 + {DOREMI_SMOOTH!r} / (SELECT k FROM z), 6)
+           anll_i / {DOREMI_SCALE}.0 AS avg_nll,
+           exc_i / {DOREMI_SCALE}.0 AS excess_loss,
+           (FLOOR(CAST(e / (SELECT z FROM z) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS weight,
+           (FLOOR(CAST((1.0 - {DOREMI_SMOOTH!r}) * e / (SELECT z FROM z)
+                 + {DOREMI_SMOOTH!r} / (SELECT k FROM z) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS smoothed_weight
     FROM ew
     """,
@@ -620,8 +636,12 @@ def q384_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     temperature-mixing shelf-mate).
 
     Determinism: per-token NLL snaps to the 1e-6 integer grid before
-    the domain sum (exact BIGINT, order-independent); the exp/sum
-    stage touches one row per domain (<= 3 here) and rounds at 1e-6
+    the domain sum (exact BIGINT, order-independent); avg_nll and
+    excess_loss are then rounded half-up IN INTEGER SPACE
+    ((2*num + den) DIV (2*den), DECIMAL(38,0) products) so a
+    cross-engine ROUND tie on an exact integer ratio is impossible
+    (r8 hunt find; q480 precedent). Only the exp/sum stage — one row
+    per domain, irrational exp outputs — uses dround-grid rounding
     (q229/q261 libm precedent).
 
     Scale: one vocabulary aggregate (broadcastable), one token-grain
@@ -655,29 +675,50 @@ def q384_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g").cast("bigint").alias("sg"),
         F.count(F.lit(1)).cast("bigint").alias("nt"),
     )
-    loss = dom.select(
-        "source",
-        "nt",
-        (F.col("sg").cast("double") / (float(DOREMI_SCALE) * F.col("nt"))).alias(
-            "l"
-        ),
+    # Argmin domain by the shared double key, ties broken exactly on the
+    # integer pair; the key doubles are identical cross-engine, so the
+    # pick is identical. Then both avg_nll and excess_loss are computed
+    # half-up on the exact 1e-6 integer grid — an integer ratio rounded
+    # in integer space can never hit a cross-engine ROUND tie (the
+    # q325/q416/q475/q480/q486 class; r8 hunt find on this query).
+    base = (
+        dom.withColumn(
+            "l",
+            F.col("sg").cast("double") / (float(DOREMI_SCALE) * F.col("nt")),
+        )
+        .orderBy("l", "sg", "nt", "source")
+        .limit(1)
+        .select(F.col("sg").alias("sg0"), F.col("nt").alias("nt0"))
     )
-    base = loss.agg(F.min("l").alias("l0"))
-    ew = loss.crossJoin(F.broadcast(base)).select(
+    grid = dom.crossJoin(F.broadcast(base)).select(
         "source",
         "nt",
-        "l",
-        "l0",
-        F.exp(DOREMI_ETA * (F.col("l") - F.col("l0"))).alias("e"),
+        F.expr("(2 * sg + nt) DIV (2 * nt)").alias("anll_i"),
+        F.expr(
+            "(2 * GREATEST(CAST(sg AS DECIMAL(38,0)) * nt0"
+            "              - CAST(sg0 AS DECIMAL(38,0)) * nt,"
+            "              CAST(0 AS DECIMAL(38,0)))"
+            " + CAST(nt AS DECIMAL(38,0)) * nt0)"
+            " DIV (2 * CAST(nt AS DECIMAL(38,0)) * nt0)"
+        )
+        .cast("bigint")
+        .alias("exc_i"),
+    )
+    ew = grid.select(
+        "source",
+        "nt",
+        "anll_i",
+        "exc_i",
+        F.exp(DOREMI_ETA * (F.col("exc_i") / float(DOREMI_SCALE))).alias("e"),
     )
     z = ew.agg(F.sum("e").alias("z"), F.count(F.lit(1)).alias("k"))
     return ew.crossJoin(F.broadcast(z)).select(
         "source",
         F.col("nt").alias("n_tokens"),
-        F.round("l", 6).alias("avg_nll"),
-        F.round(F.col("l") - F.col("l0"), 6).alias("excess_loss"),
-        F.round(F.col("e") / F.col("z"), 6).alias("weight"),
-        F.round(
+        (F.col("anll_i") / float(DOREMI_SCALE)).alias("avg_nll"),
+        (F.col("exc_i") / float(DOREMI_SCALE)).alias("excess_loss"),
+        dround(F.col("e") / F.col("z"), 6).alias("weight"),
+        dround(
             (1.0 - DOREMI_SMOOTH) * F.col("e") / F.col("z")
             + DOREMI_SMOOTH / F.col("k"),
             6,
@@ -721,8 +762,8 @@ PASS_GRID = 1_000_000_000  # per-task grid for the order-independent mean
     allk AS (SELECT * FROM p1 UNION ALL SELECT * FROM p5)
     SELECT CAST(k AS BIGINT) AS k,
            CAST(COUNT(*) AS BIGINT) AS n_tasks,
-           ROUND(CAST(SUM(pg) AS DOUBLE)
-                 / ({PASS_GRID}.0 * COUNT(*)), 6) AS mean_pass_at_k
+           (FLOOR(CAST(CAST(SUM(pg) AS DOUBLE)
+                 / ({PASS_GRID}.0 * COUNT(*)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mean_pass_at_k
     FROM allk GROUP BY k
     """,
 )
@@ -776,7 +817,7 @@ def q385_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     allk = p1.unionByName(p5)
     return allk.groupBy(F.col("k").cast("bigint").alias("k")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tasks"),
-        F.round(
+        dround(
             F.sum("pg").cast("double")
             / (float(PASS_GRID) * F.count(F.lit(1))),
             6,
@@ -840,8 +881,8 @@ def _rouge_sql() -> str:
            CAST(c{n}_{n} AS BIGINT) AS lcs_len,
            CAST(la AS BIGINT) AS len_a,
            CAST(lb AS BIGINT) AS len_b,
-           ROUND(2.0 * c{n}_{n}
-                 / NULLIF(CAST(la + lb AS DOUBLE), 0.0), 6) AS rouge_l_f1
+           (FLOOR(CAST(2.0 * c{n}_{n}
+                 / NULLIF(CAST(la + lb AS DOUBLE), 0.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS rouge_l_f1
     FROM d{2 * n}
     """
 
@@ -957,8 +998,8 @@ PFX_MAX_DEPTH = 4
            CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_shared_groups,
            CAST(SUM((n - 1) * d) AS BIGINT) AS saved_tokens,
-           ROUND(CAST(SUM((n - 1) * d) AS DOUBLE)
-                 / NULLIF(CAST(SUM(n) * d AS DOUBLE), 0.0), 6)
+           (FLOOR(CAST(CAST(SUM((n - 1) * d) AS DOUBLE)
+                 / NULLIF(CAST(SUM(n) * d AS DOUBLE), 0.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS save_rate
     FROM groups GROUP BY d
     """,
@@ -1008,7 +1049,7 @@ def q389_prefix_cache_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("n") - 1) * F.col("d")).cast("bigint").alias(
             "saved_tokens"
         ),
-        F.round(
+        dround(
             F.sum((F.col("n") - 1) * F.col("d")).cast("double")
             / F.nullif(
                 (F.sum("n") * F.first("d")).cast("double"), F.lit(0.0)
@@ -1064,11 +1105,10 @@ IPS_GRID = 1_000_000_000
       FROM probs WHERE p0 > 0
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_logged,
-           ROUND(CAST(SUM(r) AS DOUBLE) / COUNT(*), 6) AS logging_ctr,
-           ROUND(CAST(SUM(wr_g) AS DOUBLE) / ({IPS_GRID}.0 * COUNT(*)),
-                 6) AS ips_estimate,
-           ROUND(CAST(SUM(wr_g) AS DOUBLE)
-                 / NULLIF(CAST(SUM(w_g) AS DOUBLE), 0.0), 6)
+           (FLOOR(CAST(CAST(SUM(r) AS DOUBLE) / COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS logging_ctr,
+           (FLOOR(CAST(CAST(SUM(wr_g) AS DOUBLE) / ({IPS_GRID}.0 * COUNT(*)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS ips_estimate,
+           (FLOOR(CAST(CAST(SUM(wr_g) AS DOUBLE)
+                 / NULLIF(CAST(SUM(w_g) AS DOUBLE), 0.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS snips_estimate
     FROM w
     """,
@@ -1138,15 +1178,15 @@ def q391_ips_offpolicy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(p0 > 0)
     return w.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_logged"),
-        F.round(F.sum("r").cast("double") / F.count(F.lit(1)), 6).alias(
+        dround(F.sum("r").cast("double") / F.count(F.lit(1)), 6).alias(
             "logging_ctr"
         ),
-        F.round(
+        dround(
             F.sum("wr_g").cast("double")
             / (float(IPS_GRID) * F.count(F.lit(1))),
             6,
         ).alias("ips_estimate"),
-        F.round(
+        dround(
             F.sum("wr_g").cast("double")
             / F.nullif(F.sum("w_g").cast("double"), F.lit(0.0)),
             6,
@@ -1232,7 +1272,7 @@ def _bt_sql() -> str:
     p0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS p FROM wg),
     {",".join(its)}
     SELECT w.i AS arm, w.games, w.wins,
-           ROUND(p.p, 6) AS strength,
+           (FLOOR(CAST(p.p AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS strength,
            CAST(ROW_NUMBER() OVER (ORDER BY p.p DESC, w.i)
                 AS BIGINT) AS rk
     FROM wg w JOIN p{BT_ITERS} p ON p.i = w.i
@@ -1370,7 +1410,7 @@ def q393_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("i").alias("arm"),
             "games",
             "wins",
-            F.round("p", 6).alias("strength"),
+            dround("p", 6).alias("strength"),
             F.row_number().over(wr).cast("bigint").alias("rk"),
         )
     )

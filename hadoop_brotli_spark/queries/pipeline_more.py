@@ -9,7 +9,7 @@ Like every relational op, these are absent from the reference codec
 BASELINE.json north star (LLM-data-pipeline surface).
 
 Numeric determinism (see _util/similarity docstrings): float arrays
-are cast to DOUBLE before math; centroid sums run over ROUND(x, 6)
+are cast to DOUBLE before math; centroid sums run over (FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
 values in DECIMAL so partial-aggregation order cannot change the
 result; salience avoids ``ln`` entirely (libm results differ between
 engines) in favor of exact integer ratios.
@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import dsum, fan_out, t, ts
+from ._util import dround, dsum, fan_out, t, ts
 from .similarity import _sql_sign_bucket, sign_bucket
 
 
@@ -53,7 +53,7 @@ from .similarity import _sql_sign_bucket, sign_bucket
       FROM b
     )
     SELECT bucket, dim,
-           CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           CAST(SUM(CAST((FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
              AS centroid,
            COUNT(*) AS n_vecs
     FROM ex GROUP BY bucket, dim
@@ -74,7 +74,7 @@ def q75_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ex.groupBy("bucket", F.col("dim").cast("bigint").alias("dim"))
         .agg(
-            (dsum(F.round(F.col("x").cast("double"), 6), 6) / F.count(F.lit(1))).alias(
+            (dsum(dround(F.col("x").cast("double"), 6), 6) / F.count(F.lit(1))).alias(
                 "centroid"
             ),
             F.count(F.lit(1)).alias("n_vecs"),
@@ -103,7 +103,7 @@ def q75_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            CAST(COUNT(DISTINCT code) AS BIGINT) AS n_levels,
-           ROUND(MAX(ABS(mn + (code + 0.5) * sc - x)), 6) AS max_abs_err
+           (FLOOR(CAST(MAX(ABS(mn + (code + 0.5) * sc - x)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS max_abs_err
     FROM c GROUP BY vec_id
     """,
 )
@@ -140,7 +140,7 @@ def q76_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     deq = F.col("mn") + (F.col("code").cast("double") + F.lit(0.5)) * F.col("sc")
     return c.groupBy("vec_id").agg(
         F.countDistinct("code").alias("n_levels"),
-        F.round(F.max(F.abs(deq - F.col("x"))), 6).alias("max_abs_err"),
+        dround(F.max(F.abs(deq - F.col("x"))), 6).alias("max_abs_err"),
     )
 
 
@@ -572,9 +572,9 @@ def q102_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id,
-           ROUND(UNNEST(CASE WHEN len(pair) = 0
+           (FLOOR(CAST(UNNEST(CASE WHEN len(pair) = 0
                              THEN [CAST(NULL AS DOUBLE)]
-                             ELSE pair END), 6) AS x
+                             ELSE pair END) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS x
     FROM base
     """,
 )
@@ -595,7 +595,7 @@ def q103_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select("vec_id", pair.alias("pair"))
         .select("vec_id", F.explode_outer("pair").alias("raw_x"))
-        .select("vec_id", F.round("raw_x", 6).alias("x"))
+        .select("vec_id", dround("raw_x", 6).alias("x"))
     )
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import fan_out, grain_rank, t
+from ._util import dround, fan_out, grain_rank, t
 
 
 def _score_desc_rank(users: DataFrame) -> DataFrame:
@@ -56,11 +56,10 @@ RES_SALT = "res_r5"
     WITH keyed AS (
       SELECT doc_id, source,
              CAST(GREATEST(n_chars, 1) AS BIGINT) AS weight,
-             ROUND(
-               LN((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+             (FLOOR(CAST(LN((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
                      || '|{RES_SALT}'), 1, 13)) AS BIGINT) + 1.0)
                   / {float((1 << 52) + 2)!r})
-               / GREATEST(n_chars, 1), 6) AS sample_key
+               / GREATEST(n_chars, 1) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS sample_key
       FROM documents
     )
     SELECT doc_id, source, weight, sample_key,
@@ -112,7 +111,7 @@ def q427_weighted_reservoir_sample(
         "doc_id",
         "source",
         w.alias("weight"),
-        F.round(F.log(u) / w, 6).alias("sample_key"),
+        dround(F.log(u) / w, 6).alias("sample_key"),
     )
     topk = keyed.orderBy(
         F.col("sample_key").desc(), F.col("doc_id").asc()
@@ -2259,9 +2258,8 @@ def q444_distributed_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     woe AS (
       SELECT p.bin, p.n_users, p.pos, p.neg,
-             ROUND(LN(((p.pos + 0.5) / (t.tot_pos + 0.5 * t.n_bins))
-                      / ((p.neg + 0.5) / (t.tot_neg + 0.5 * t.n_bins))),
-                   6) AS woe,
+             (FLOOR(CAST(LN(((p.pos + 0.5) / (t.tot_pos + 0.5 * t.n_bins))
+                      / ((p.neg + 0.5) / (t.tot_neg + 0.5 * t.n_bins))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS woe,
              FLOOR(((p.pos + 0.5) / (t.tot_pos + 0.5 * t.n_bins)
                     - (p.neg + 0.5) / (t.tot_neg + 0.5 * t.n_bins))
                    * 1e9 + 0.5) AS dshare_nano
@@ -2337,7 +2335,7 @@ def q445_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         "pos",
         "neg",
-        F.round(F.log(ps / ns_), 6).alias("woe"),
+        dround(F.log(ps / ns_), 6).alias("woe"),
         F.floor((ps - ns_) * F.lit(1e9) + F.lit(0.5)).alias("dshare_nano"),
     )
     iv_win = Window.partitionBy()

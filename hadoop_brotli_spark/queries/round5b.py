@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t
+from ._util import dround, t
 
 # ---------------------------------------------------------------------------
 # q452 columnar encoding advisor (plain vs dictionary vs RLE)
@@ -638,7 +638,7 @@ def _gsum(col, scale: int):
     in DECIMAL (int128-exact, partition-order-free), read back as
     DOUBLE — the q282/q324 memory-bank roundtrip idiom."""
     return (
-        F.sum(F.round(col, scale).cast(f"decimal(38,{scale})")).cast("double")
+        F.sum(dround(col, scale).cast(f"decimal(38,{scale})")).cast("double")
     )
 
 
@@ -674,9 +674,9 @@ SIL_KS = list(range(2, SIL_KMAX + 1))
     ),
     dist AS (
       SELECT xl.vec_id, seeds.cid,
-             ROUND(CAST(SUM(CAST(ROUND((xl.x - seeds.sx)
-                                       * (xl.x - seeds.sx), 12)
-                                 AS DECIMAL(38,12))) AS DOUBLE), 6) AS d2
+             (FLOOR(CAST(CAST(SUM(CAST((FLOOR(CAST((xl.x - seeds.sx)
+                                       * (xl.x - seeds.sx) AS DOUBLE) * 1000000000000.0 + 0.5) / 1000000000000.0)
+                                 AS DECIMAL(38,12))) AS DOUBLE) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS d2
       FROM xl JOIN seeds USING (j)
       GROUP BY xl.vec_id, seeds.cid
     ),
@@ -702,9 +702,9 @@ SIL_KS = list(range(2, SIL_KMAX + 1))
              CAST(COUNT(*) AS BIGINT) AS n_vectors,
              CAST(SUM(CAST(d2own AS DECIMAL(38,6))) AS DOUBLE)
                AS inertia,
-             ROUND(CAST(SUM(CAST(ROUND(s, 9) AS DECIMAL(38,9)))
+             (FLOOR(CAST(CAST(SUM(CAST((FLOOR(CAST(s AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS DECIMAL(38,9)))
                         AS DOUBLE)
-                   / NULLIF(COUNT(s), 0), 6) AS mean_silhouette
+                   / NULLIF(COUNT(s), 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mean_silhouette
       FROM scored GROUP BY k
     )
     SELECT k, n_vectors, inertia, mean_silhouette,
@@ -759,7 +759,7 @@ def q456_silhouette_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
         xl.join(F.broadcast(seeds), "j")
         .groupBy("vec_id", "cid")
         .agg(
-            F.round(
+            dround(
                 _gsum(
                     (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")),
                     12,
@@ -799,7 +799,7 @@ def q456_silhouette_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("d2own").cast("decimal(38,6)"))
         .cast("double")
         .alias("inertia"),
-        F.round(
+        dround(
             _gsum(F.col("s"), 9) / F.nullif(F.count("s"), F.lit(0)), 6
         ).alias("mean_silhouette"),
     )
@@ -1119,8 +1119,8 @@ def _fl_oracle() -> str:
     ),
     sims AS MATERIALIZED (
       SELECT xl.vec_id AS u, cand.c,
-             GREATEST(ROUND(CAST(SUM(CAST(ROUND(xl.x * cand.cx, 12)
-                        AS DECIMAL(38,12))) AS DOUBLE), 6), 0) AS sim
+             GREATEST((FLOOR(CAST(CAST(SUM(CAST((FLOOR(CAST(xl.x * cand.cx AS DOUBLE) * 1000000000000.0 + 0.5) / 1000000000000.0)
+                        AS DECIMAL(38,12))) AS DOUBLE) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0), 0) AS sim
       FROM xl JOIN cand USING (j)
       GROUP BY xl.vec_id, cand.c
     ),
@@ -1138,7 +1138,7 @@ def _fl_oracle() -> str:
         stages.append(f""",
     g{r} AS MATERIALIZED (
       SELECT s.c,
-             CAST(SUM(CAST(ROUND(GREATEST(s.sim - v.cov, 0), 9)
+             CAST(SUM(CAST((FLOOR(CAST(GREATEST(s.sim - v.cov, 0) AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0)
                   AS DECIMAL(38,9))) AS DOUBLE) AS gain
       FROM sims s JOIN cov{r - 1} v USING (u)
       {not_in}
@@ -1157,9 +1157,9 @@ def _fl_oracle() -> str:
     finals = [
         f"""
       SELECT CAST({r} AS BIGINT) AS round_idx,
-             c AS center_id, ROUND(gain, 6) AS gain,
-             (SELECT ROUND(CAST(SUM(CAST(ROUND(cov, 9)
-                AS DECIMAL(38,9))) AS DOUBLE), 6) FROM cov{r})
+             c AS center_id, (FLOOR(CAST(gain AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS gain,
+             (SELECT (FLOOR(CAST(CAST(SUM(CAST((FLOOR(CAST(cov AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0)
+                AS DECIMAL(38,9))) AS DOUBLE) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) FROM cov{r})
                AS total_coverage
       FROM p{r}"""
         for r in range(1, FL_K + 1)
@@ -1223,7 +1223,7 @@ def q459_facility_location_greedy(
         .groupBy(F.col("vec_id").alias("u"), "c")
         .agg(
             F.greatest(
-                F.round(_gsum(F.col("x") * F.col("cx"), 12), 6),
+                dround(_gsum(F.col("x") * F.col("cx"), 12), 6),
                 F.lit(0.0),
             ).alias("sim")
         )
@@ -1260,13 +1260,13 @@ def q459_facility_location_greedy(
             .localCheckpoint(eager=False)
         )
         coverage = cov.agg(
-            F.round(_gsum(F.col("cov"), 9), 6).alias("total_coverage")
+            dround(_gsum(F.col("cov"), 9), 6).alias("total_coverage")
         )
         picks.append(
             p.crossJoin(F.broadcast(coverage)).select(
                 F.lit(r).cast("bigint").alias("round_idx"),
                 F.col("c").alias("center_id"),
-                F.round("gain", 6).alias("gain"),
+                dround("gain", 6).alias("gain"),
                 "total_coverage",
             )
         )
@@ -1320,25 +1320,23 @@ def q459_facility_location_greedy(
     acc AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
              CAST(SUM(a) AS BIGINT) AS sum_a,
-             CAST(SUM(CAST(ROUND(CAST((a + b) AS DOUBLE) * (a + c) / n,
-                  9) AS DECIMAL(38,9))) AS DOUBLE) AS sum_e,
-             CAST(SUM(CAST(ROUND(
-                  (CAST((a + b) * (c + d) AS DOUBLE) / n)
+             CAST(SUM(CAST((FLOOR(CAST(CAST((a + b) AS DOUBLE) * (a + c) / n AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS DECIMAL(38,9))) AS DOUBLE) AS sum_e,
+             CAST(SUM(CAST((FLOOR(CAST((CAST((a + b) * (c + d) AS DOUBLE) / n)
                   * (CAST((a + c) * (b + d) AS DOUBLE) / n)
-                  / (n - 1), 9) AS DECIMAL(38,9))) AS DOUBLE) AS sum_v,
-             CAST(SUM(CAST(ROUND(CAST(a * d AS DOUBLE) / n, 9)
+                  / (n - 1) AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS DECIMAL(38,9))) AS DOUBLE) AS sum_v,
+             CAST(SUM(CAST((FLOOR(CAST(CAST(a * d AS DOUBLE) / n AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0)
                   AS DECIMAL(38,9))) AS DOUBLE) AS sum_ad,
-             CAST(SUM(CAST(ROUND(CAST(b * c AS DOUBLE) / n, 9)
+             CAST(SUM(CAST((FLOOR(CAST(CAST(b * c AS DOUBLE) / n AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0)
                   AS DECIMAL(38,9))) AS DOUBLE) AS sum_bc
       FROM terms
     )
     SELECT n_strata, sum_a,
-           ROUND(sum_e, 6) AS sum_expected,
-           ROUND(sum_v, 6) AS sum_variance,
-           ROUND(GREATEST(ABS(sum_a - sum_e) - 0.5, 0)
+           (FLOOR(CAST(sum_e AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS sum_expected,
+           (FLOOR(CAST(sum_v AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS sum_variance,
+           (FLOOR(CAST(GREATEST(ABS(sum_a - sum_e) - 0.5, 0)
                  * GREATEST(ABS(sum_a - sum_e) - 0.5, 0)
-                 / NULLIF(sum_v, 0), 6) AS cmh_statistic,
-           ROUND(sum_ad / NULLIF(sum_bc, 0), 6) AS mh_odds_ratio
+                 / NULLIF(sum_v, 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS cmh_statistic,
+           (FLOOR(CAST(sum_ad / NULLIF(sum_bc, 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mh_odds_ratio
     FROM acc
     """,
 )
@@ -1386,7 +1384,7 @@ def q460_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n") >= 2)
 
     def grid9(col):
-        return F.round(col, 9).cast("decimal(38,9)")
+        return dround(col, 9).cast("decimal(38,9)")
 
     acc = terms.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_strata"),
@@ -1430,12 +1428,12 @@ def q460_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acc.select(
         "n_strata",
         "sum_a",
-        F.round("sum_e", 6).alias("sum_expected"),
-        F.round("sum_v", 6).alias("sum_variance"),
-        F.round(
+        dround("sum_e", 6).alias("sum_expected"),
+        dround("sum_v", 6).alias("sum_variance"),
+        dround(
             corrected * corrected / F.nullif(F.col("sum_v"), F.lit(0.0)), 6
         ).alias("cmh_statistic"),
-        F.round(
+        dround(
             F.col("sum_ad") / F.nullif(F.col("sum_bc"), F.lit(0.0)), 6
         ).alias("mh_odds_ratio"),
     )
@@ -1505,9 +1503,9 @@ def q460_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.n, t.k,
            CAST(b.ssb AS DOUBLE) / 1e4 AS ss_between,
            CAST(w.ssw AS DOUBLE) / 1e4 AS ss_within,
-           ROUND(CAST((t.n - t.k) AS DOUBLE) / NULLIF(t.k - 1, 0)
+           (FLOOR(CAST(CAST((t.n - t.k) AS DOUBLE) / NULLIF(t.k - 1, 0)
                  * CAST(b.ssb AS DOUBLE)
-                 / NULLIF(CAST(w.ssw AS DOUBLE), 0), 6) AS bf_statistic
+                 / NULLIF(CAST(w.ssw AS DOUBLE), 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS bf_statistic
     FROM tot t, ssb b, ssw w
     """,
 )
@@ -1602,7 +1600,7 @@ def q461_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k",
             (F.col("ssb").cast("double") / 1e4).alias("ss_between"),
             (F.col("ssw").cast("double") / 1e4).alias("ss_within"),
-            F.round(
+            dround(
                 (F.col("n") - F.col("k")).cast("double")
                 / F.nullif(F.col("k") - 1, F.lit(0))
                 * F.col("ssb").cast("double")
@@ -1765,23 +1763,23 @@ def q462_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DECIMAL(38,0)) AS sq_cents,
              CAST(SUM(CAST(n AS DECIMAL(19,0)) * (n - 1))
                   AS DECIMAL(38,0)) AS pair_n,
-             CAST(SUM(CAST(ROUND(-1.0 * share * LN(share), 9)
+             CAST(SUM(CAST((FLOOR(CAST(-1.0 * share * LN(share) AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0)
                AS DECIMAL(38,9))) AS DOUBLE) AS shannon_raw
       FROM shared
       GROUP BY year
     )
     SELECT year, n_brands,
            CAST(tot_cents AS DOUBLE) / 100 AS total_revenue,
-           ROUND(CAST(sq_cents AS DOUBLE)
+           (FLOOR(CAST(CAST(sq_cents AS DOUBLE)
                  / (CAST(tot_cents AS DOUBLE)
-                    * CAST(tot_cents AS DOUBLE)), 6) AS hhi,
-           ROUND(CAST(pair_n AS DOUBLE)
+                    * CAST(tot_cents AS DOUBLE)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS hhi,
+           (FLOOR(CAST(CAST(pair_n AS DOUBLE)
                  / NULLIF(CAST(tot_n AS DOUBLE)
-                          * (tot_n - 1), 0), 6) AS simpson,
-           ROUND(shannon_raw, 6) AS shannon,
-           ROUND(CAST(tot_cents AS DOUBLE)
+                          * (tot_n - 1), 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS simpson,
+           (FLOOR(CAST(shannon_raw AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS shannon,
+           (FLOOR(CAST(CAST(tot_cents AS DOUBLE)
                  * CAST(tot_cents AS DOUBLE)
-                 / NULLIF(CAST(sq_cents AS DOUBLE), 0), 6)
+                 / NULLIF(CAST(sq_cents AS DOUBLE), 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS effective_brands
     FROM peryear
     ORDER BY year
@@ -1842,7 +1840,7 @@ def q463_concentration_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("pair_n"),
         F.sum(
-            F.round(
+            dround(
                 F.lit(-1.0) * F.col("share") * F.log(F.col("share")), 9
             ).cast("decimal(38,9)")
         )
@@ -1853,7 +1851,7 @@ def q463_concentration_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         "year",
         "n_brands",
         (F.col("tot_cents").cast("double") / 100).alias("total_revenue"),
-        F.round(
+        dround(
             F.col("sq_cents").cast("double")
             / (
                 F.col("tot_cents").cast("double")
@@ -1861,7 +1859,7 @@ def q463_concentration_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("hhi"),
-        F.round(
+        dround(
             F.col("pair_n").cast("double")
             / F.nullif(
                 F.col("tot_n").cast("double") * (F.col("tot_n") - 1),
@@ -1869,8 +1867,8 @@ def q463_concentration_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("simpson"),
-        F.round("shannon_raw", 6).alias("shannon"),
-        F.round(
+        dround("shannon_raw", 6).alias("shannon"),
+        dround(
             F.col("tot_cents").cast("double")
             * F.col("tot_cents").cast("double")
             / F.nullif(F.col("sq_cents").cast("double"), F.lit(0.0)),
@@ -1953,14 +1951,14 @@ def q463_concentration_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m
     )
     SELECT n AS n_samples,
-           ROUND(a1, 6) AS ar_coef,
-           ROUND(b1, 6) AS y_lag_coef,
-           ROUND(b2, 6) AS x_lag_coef,
-           ROUND((myy - a1 * m1y) / n, 6) AS sse_restricted,
-           ROUND((myy - b1 * m1y - b2 * m2y) / n, 6) AS sse_unrestricted,
-           ROUND(((myy - a1 * m1y) - (myy - b1 * m1y - b2 * m2y))
+           (FLOOR(CAST(a1 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS ar_coef,
+           (FLOOR(CAST(b1 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS y_lag_coef,
+           (FLOOR(CAST(b2 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS x_lag_coef,
+           (FLOOR(CAST((myy - a1 * m1y) / n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS sse_restricted,
+           (FLOOR(CAST((myy - b1 * m1y - b2 * m2y) / n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS sse_unrestricted,
+           (FLOOR(CAST(((myy - a1 * m1y) - (myy - b1 * m1y - b2 * m2y))
                  * (n - 3)
-                 / NULLIF(myy - b1 * m1y - b2 * m2y, 0), 6)
+                 / NULLIF(myy - b1 * m1y - b2 * m2y, 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS f_statistic
     FROM fit
     """,
@@ -2051,12 +2049,12 @@ def q464_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.col("n")
     return m.select(
         F.col("n").alias("n_samples"),
-        F.round(a1, 6).alias("ar_coef"),
-        F.round(b1, 6).alias("y_lag_coef"),
-        F.round(b2, 6).alias("x_lag_coef"),
-        F.round(sse_r, 6).alias("sse_restricted"),
-        F.round(sse_u, 6).alias("sse_unrestricted"),
-        F.round(
+        dround(a1, 6).alias("ar_coef"),
+        dround(b1, 6).alias("y_lag_coef"),
+        dround(b2, 6).alias("x_lag_coef"),
+        dround(sse_r, 6).alias("sse_restricted"),
+        dround(sse_u, 6).alias("sse_unrestricted"),
+        dround(
             (
                 (F.col("myy") - a1 * F.col("m1y"))
                 - (
@@ -2739,11 +2737,11 @@ HURST_SIZES = [8, 16, 32, 64]
     ),
     rs AS (
       SELECT m,
-             ROUND(LN(
+             (FLOOR(CAST(LN(
                (CAST(dev_max - LEAST(dev_min, 0) AS DOUBLE) / m)
                / NULLIF(SQRT((CAST(nb AS DOUBLE) * CAST(bq AS DOUBLE)
                     - CAST(bs AS DOUBLE) * CAST(bs AS DOUBLE))
-                   / (CAST(nb AS DOUBLE) * nb)), 0)), 9) AS ln_rs
+                   / (CAST(nb AS DOUBLE) * nb)), 0)) AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS ln_rs
       FROM blocks WHERE nb = m
     ),
     pts AS (
@@ -2759,8 +2757,8 @@ HURST_SIZES = [8, 16, 32, 64]
                AS hurst
       FROM pts WHERE mean_ln_rs IS NOT NULL
     )
-    SELECT p.m, p.n_blocks, ROUND(p.mean_ln_rs, 6) AS mean_ln_rs,
-           ROUND(f.hurst, 6) AS hurst
+    SELECT p.m, p.n_blocks, (FLOOR(CAST(p.mean_ln_rs AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mean_ln_rs,
+           (FLOOR(CAST(f.hurst AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS hurst
     FROM pts p, fit f
     ORDER BY p.m
     """,
@@ -2837,7 +2835,7 @@ def q469_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rs = blocks.select(
         "m",
-        F.round(
+        dround(
             F.log(
                 (
                     (
@@ -2880,8 +2878,8 @@ def q469_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "m",
             "n_blocks",
-            F.round("mean_ln_rs", 6).alias("mean_ln_rs"),
-            F.round("hurst", 6).alias("hurst"),
+            dround("mean_ln_rs", 6).alias("mean_ln_rs"),
+            dround("hurst", 6).alias("hurst"),
         )
         .orderBy("m")
     )
@@ -2915,14 +2913,14 @@ EB_TOP = 15
     ),
     mom AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS nu,
-             CAST(SUM(CAST(ROUND(p, 9) AS DECIMAL(38,9))) AS DOUBLE)
+             CAST(SUM(CAST((FLOOR(CAST(p AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS DECIMAL(38,9))) AS DOUBLE)
                / COUNT(*) AS pbar,
-             (CAST(SUM(CAST(ROUND(p * p, 9) AS DECIMAL(38,9)))
+             (CAST(SUM(CAST((FLOOR(CAST(p * p AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS DECIMAL(38,9)))
                    AS DOUBLE)
               - CAST(COUNT(*) AS DOUBLE)
-                * (CAST(SUM(CAST(ROUND(p, 9) AS DECIMAL(38,9)))
+                * (CAST(SUM(CAST((FLOOR(CAST(p AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS DECIMAL(38,9)))
                         AS DOUBLE) / COUNT(*))
-                * (CAST(SUM(CAST(ROUND(p, 9) AS DECIMAL(38,9)))
+                * (CAST(SUM(CAST((FLOOR(CAST(p AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS DECIMAL(38,9)))
                         AS DOUBLE) / COUNT(*)))
                / NULLIF(COUNT(*) - 1, 0) AS pvar
       FROM rates
@@ -2935,11 +2933,10 @@ EB_TOP = 15
       FROM mom
     )
     SELECT r.user_id, r.n, r.x,
-           ROUND(r.p, 6) AS raw_rate,
-           ROUND(pr.alpha, 6) AS alpha,
-           ROUND(pr.beta, 6) AS beta,
-           ROUND((r.x + pr.alpha) / NULLIF(r.n + pr.alpha + pr.beta, 0),
-                 6) AS shrunk_rate
+           (FLOOR(CAST(r.p AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS raw_rate,
+           (FLOOR(CAST(pr.alpha AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS alpha,
+           (FLOOR(CAST(pr.beta AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS beta,
+           (FLOOR(CAST((r.x + pr.alpha) / NULLIF(r.n + pr.alpha + pr.beta, 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS shrunk_rate
     FROM rates r, prior pr
     ORDER BY r.n DESC, r.user_id ASC
     LIMIT {EB_TOP}
@@ -2978,9 +2975,9 @@ def q470_beta_binomial_shrinkage(
         )
     )
     rates = users.withColumn("p", F.col("x").cast("double") / F.col("n"))
-    sp = F.sum(F.round(F.col("p"), 9).cast("decimal(38,9)")).cast("double")
+    sp = F.sum(dround(F.col("p"), 9).cast("decimal(38,9)")).cast("double")
     spp = F.sum(
-        F.round(F.col("p") * F.col("p"), 9).cast("decimal(38,9)")
+        dround(F.col("p") * F.col("p"), 9).cast("decimal(38,9)")
     ).cast("double")
     cnt = F.count(F.lit(1))
     mom = rates.agg(
@@ -3010,10 +3007,10 @@ def q470_beta_binomial_shrinkage(
             "user_id",
             "n",
             "x",
-            F.round("p", 6).alias("raw_rate"),
-            F.round("alpha", 6).alias("alpha"),
-            F.round("beta", 6).alias("beta"),
-            F.round(
+            dround("p", 6).alias("raw_rate"),
+            dround("alpha", 6).alias("alpha"),
+            dround("beta", 6).alias("beta"),
+            dround(
                 (F.col("x") + F.col("alpha"))
                 / F.nullif(
                     F.col("n") + F.col("alpha") + F.col("beta"),
@@ -3085,7 +3082,7 @@ COOK_TOP = 10
       FROM seq q, fit f
     ),
     sse AS (
-      SELECT CAST(SUM(CAST(ROUND(e * e, 6) AS DECIMAL(38,6)))
+      SELECT CAST(SUM(CAST((FLOOR(CAST(e * e AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS DECIMAL(38,6)))
                   AS DOUBLE) AS sse
       FROM resid
     ),
@@ -3097,12 +3094,12 @@ COOK_TOP = 10
     )
     SELECT day, tk,
            CAST(y AS DOUBLE) / 100 AS revenue,
-           ROUND(h, 6) AS leverage,
-           ROUND(rstud, 6) AS studentized,
-           ROUND(rstud * rstud * h / NULLIF(2 * (1 - h), 0), 6)
+           (FLOOR(CAST(h AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS leverage,
+           (FLOOR(CAST(rstud AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS studentized,
+           (FLOOR(CAST(rstud * rstud * h / NULLIF(2 * (1 - h), 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS cooks_d
     FROM scored
-    ORDER BY ROUND(rstud * rstud * h / NULLIF(2 * (1 - h), 0), 6)
+    ORDER BY (FLOOR(CAST(rstud * rstud * h / NULLIF(2 * (1 - h), 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
       DESC NULLS LAST, day ASC
     LIMIT {COOK_TOP}
     """,
@@ -3191,7 +3188,7 @@ def q471_regression_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     )
     sse = resid.agg(
-        F.sum(F.round(F.col("e") * F.col("e"), 6).cast("decimal(38,6)"))
+        F.sum(dround(F.col("e") * F.col("e"), 6).cast("decimal(38,6)"))
         .cast("double")
         .alias("sse")
     )
@@ -3200,7 +3197,7 @@ def q471_regression_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(1 - F.col("h")),
         F.lit(0.0),
     )
-    cooks = F.round(
+    cooks = dround(
         rstud * rstud * F.col("h")
         / F.nullif(2 * (1 - F.col("h")), F.lit(0.0)),
         6,
@@ -3211,8 +3208,8 @@ def q471_regression_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             "tk",
             (F.col("y").cast("double") / 100).alias("revenue"),
-            F.round("h", 6).alias("leverage"),
-            F.round(rstud, 6).alias("studentized"),
+            dround("h", 6).alias("leverage"),
+            dround(rstud, 6).alias("studentized"),
             cooks.alias("cooks_d"),
         )
         .orderBy(F.col("cooks_d").desc_nulls_last(), F.col("day").asc())
@@ -3261,7 +3258,7 @@ MAP_NQ = 5
              CASE WHEN cl = ql THEN 1 ELSE 0 END AS rel,
              ROW_NUMBER() OVER (
                PARTITION BY query_id
-               ORDER BY ROUND(dot / (nq * nc), 6) DESC, cand_id ASC
+               ORDER BY (FLOOR(CAST(dot / (nq * nc) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) DESC, cand_id ASC
              ) AS rk
       FROM dots
     ),
@@ -3290,10 +3287,10 @@ MAP_NQ = 5
       FROM relq r JOIN perq p USING (query_id)
     )
     SELECT query_id, n_relevant, hits_at_k,
-           ROUND(ap_at_k, 6) AS ap_at_k,
-           ROUND(CAST(SUM(CAST(ROUND(ap_at_k, 9) AS DECIMAL(38,9)))
+           (FLOOR(CAST(ap_at_k AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS ap_at_k,
+           (FLOOR(CAST(CAST(SUM(CAST((FLOOR(CAST(ap_at_k AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS DECIMAL(38,9)))
                       OVER () AS DOUBLE)
-                 / COUNT(*) OVER (), 6) AS map_at_k
+                 / COUNT(*) OVER () AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS map_at_k
     FROM ap
     ORDER BY query_id
     """,
@@ -3350,7 +3347,7 @@ def q472_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wr = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("dot") / (F.col("nq") * F.col("nc")), 6).desc(),
+        dround(F.col("dot") / (F.col("nq") * F.col("nc")), 6).desc(),
         F.col("cand_id").asc(),
     )
     ranked = dots.select(
@@ -3400,9 +3397,9 @@ def q472_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "n_relevant",
         "hits_at_k",
-        F.round("ap_at_k", 6).alias("ap_at_k"),
-        F.round(
-            F.sum(F.round(F.col("ap_at_k"), 9).cast("decimal(38,9)"))
+        dround("ap_at_k", 6).alias("ap_at_k"),
+        dround(
+            F.sum(dround(F.col("ap_at_k"), 9).cast("decimal(38,9)"))
             .over(wall)
             .cast("double")
             / F.count(F.lit(1)).over(wall),
@@ -3442,8 +3439,8 @@ def q472_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(sg) AS DECIMAL(38,0)) AS s,
              CAST(SUM(CAST(m AS DECIMAL(19,0)) * m) AS DECIMAL(38,0))
                AS sum_m2,
-             CAST(SUM(CAST(ROUND(CAST(sg AS DOUBLE)
-                    * CAST(sg AS DOUBLE) / m, 6) AS DECIMAL(38,6)))
+             CAST(SUM(CAST((FLOOR(CAST(CAST(sg AS DOUBLE)
+                    * CAST(sg AS DOUBLE) / m AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS DECIMAL(38,6)))
                   AS DOUBLE) AS sum_sg2_over_m
       FROM grp
     ),
@@ -3470,13 +3467,13 @@ def q472_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM comp
     )
     SELECT k AS n_clusters, n AS n_events,
-           ROUND(m0, 6) AS m0,
-           ROUND(msb / 10000, 6) AS msb,
-           ROUND(msw / 10000, 6) AS msw,
-           ROUND((msb - msw) / NULLIF(msb + (m0 - 1) * msw, 0), 6)
+           (FLOOR(CAST(m0 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS m0,
+           (FLOOR(CAST(msb / 10000 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS msb,
+           (FLOOR(CAST(msw / 10000 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS msw,
+           (FLOOR(CAST((msb - msw) / NULLIF(msb + (m0 - 1) * msw, 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS icc,
-           ROUND(1 + (m0 - 1)
-                 * ((msb - msw) / NULLIF(msb + (m0 - 1) * msw, 0)), 6)
+           (FLOOR(CAST(1 + (m0 - 1)
+                 * ((msb - msw) / NULLIF(msb + (m0 - 1) * msw, 0)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS design_effect
     FROM ms
     """,
@@ -3520,7 +3517,7 @@ def q473_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("sum_m2"),
         F.sum(
-            F.round(
+            dround(
                 F.col("sg").cast("double")
                 * F.col("sg").cast("double")
                 / F.col("m"),
@@ -3556,11 +3553,11 @@ def q473_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         F.col("k").alias("n_clusters"),
         F.col("n").alias("n_events"),
-        F.round("m0", 6).alias("m0"),
-        F.round(msb / 10000, 6).alias("msb"),
-        F.round(msw / 10000, 6).alias("msw"),
-        F.round(icc, 6).alias("icc"),
-        F.round(1 + (F.col("m0") - 1) * icc, 6).alias("design_effect"),
+        dround("m0", 6).alias("m0"),
+        dround(msb / 10000, 6).alias("msb"),
+        dround(msw / 10000, 6).alias("msw"),
+        dround(icc, 6).alias("icc"),
+        dround(1 + (F.col("m0") - 1) * icc, 6).alias("design_effect"),
     )
 
 
@@ -3595,15 +3592,15 @@ def q473_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cells
     ),
     terms AS (
-      SELECT CAST(SUM(CAST(ROUND(CAST(e.o AS DOUBLE) * e.o
-                  / (r1.ra * CAST(c1.cb AS DOUBLE)), 9)
+      SELECT CAST(SUM(CAST((FLOOR(CAST(CAST(e.o AS DOUBLE) * e.o
+                  / (r1.ra * CAST(c1.cb AS DOUBLE)) AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0)
                 AS DECIMAL(38,9))) AS DOUBLE) AS sum_t
       FROM cells e JOIN rows_ r1 USING (a) JOIN cols_ c1 USING (b)
     )
     SELECT t.n, t.r, t.c,
-           ROUND(t.n * (x.sum_t - 1), 6) AS chi2,
-           ROUND(SQRT(GREATEST(x.sum_t - 1, 0)
-                 / NULLIF(LEAST(t.r - 1, t.c - 1), 0)), 6)
+           (FLOOR(CAST(t.n * (x.sum_t - 1) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS chi2,
+           (FLOOR(CAST(SQRT(GREATEST(x.sum_t - 1, 0)
+                 / NULLIF(LEAST(t.r - 1, t.c - 1), 0)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS cramers_v
     FROM tot t, terms x
     """,
@@ -3645,7 +3642,7 @@ def q474_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cols_), "b")
         .agg(
             F.sum(
-                F.round(
+                dround(
                     F.col("o").cast("double")
                     * F.col("o")
                     / (F.col("ra") * F.col("cb").cast("double")),
@@ -3660,8 +3657,8 @@ def q474_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "r",
         "c",
-        F.round(F.col("n") * (F.col("sum_t") - 1), 6).alias("chi2"),
-        F.round(
+        dround(F.col("n") * (F.col("sum_t") - 1), 6).alias("chi2"),
+        dround(
             F.sqrt(
                 F.greatest(F.col("sum_t") - 1, F.lit(0.0))
                 / F.nullif(
@@ -3713,15 +3710,15 @@ def q474_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked r, m
     ),
     d AS (
-      SELECT MAX(ROUND(GREATEST(
+      SELECT MAX((FLOOR(CAST(GREATEST(
                ABS(CAST(rk AS DOUBLE) / n - fx),
-               ABS((CAST(rk AS DOUBLE) - 1) / n - fx)), 9)) AS d_stat
+               ABS((CAST(rk AS DOUBLE) - 1) / n - fx)) AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0)) AS d_stat
       FROM scored
     )
     SELECT m.n AS n_gaps,
            CAST(m.s AS DOUBLE) / NULLIF(m.n, 0) AS mean_gap_sec,
-           ROUND(d.d_stat, 6) AS d_stat,
-           ROUND(SQRT(CAST(m.n AS DOUBLE)) * d.d_stat, 6)
+           (FLOOR(CAST(d.d_stat AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS d_stat,
+           (FLOOR(CAST(SQRT(CAST(m.n AS DOUBLE)) * d.d_stat AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS sqrt_n_d,
            COALESCE(SQRT(CAST(m.n AS DOUBLE)) * d.d_stat > 1.358,
                     FALSE) AS reject_exponential_05
@@ -3810,7 +3807,7 @@ def q475_ks_exponential_arrivals(
     )
     d = scored.agg(
         F.max(
-            F.round(
+            dround(
                 F.greatest(
                     F.abs(
                         F.col("lo").cast("double") / F.col("n")
@@ -3831,8 +3828,8 @@ def q475_ks_exponential_arrivals(
         (F.col("s").cast("double") / F.nullif(F.col("n"), F.lit(0))).alias(
             "mean_gap_sec"
         ),
-        F.round("d_stat", 6).alias("d_stat"),
-        F.round(
+        dround("d_stat", 6).alias("d_stat"),
+        dround(
             F.sqrt(F.col("n").cast("double")) * F.col("d_stat"), 6
         ).alias("sqrt_n_d"),
         F.coalesce(
@@ -3943,22 +3940,22 @@ def _lsh_p_case() -> str:
     ),
     masses AS (
       SELECT r, b,
-             CAST(SUM(CAST(ROUND(CASE WHEN s_mid < {LSH_TAU}
-                  THEN w * p ELSE 0 END, 9) AS DECIMAL(38,9)))
+             CAST(SUM(CAST((FLOOR(CAST(CASE WHEN s_mid < {LSH_TAU}
+                  THEN w * p ELSE 0 END AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS DECIMAL(38,9)))
                   AS DOUBLE) AS exp_fp,
-             CAST(SUM(CAST(ROUND(CASE WHEN s_mid >= {LSH_TAU}
-                  THEN w * (1 - p) ELSE 0 END, 9) AS DECIMAL(38,9)))
+             CAST(SUM(CAST((FLOOR(CAST(CASE WHEN s_mid >= {LSH_TAU}
+                  THEN w * (1 - p) ELSE 0 END AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS DECIMAL(38,9)))
                   AS DOUBLE) AS exp_fn
       FROM curve GROUP BY r, b
     )
     SELECT CAST(r AS BIGINT) AS rows_per_band,
            CAST(b AS BIGINT) AS bands,
            CAST(r * b AS BIGINT) AS signature_len,
-           ROUND(exp_fp, 6) AS exp_fp,
-           ROUND(exp_fn, 6) AS exp_fn,
-           ROUND(exp_fp + exp_fn, 6) AS exp_cost,
+           (FLOOR(CAST(exp_fp AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS exp_fp,
+           (FLOOR(CAST(exp_fn AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS exp_fn,
+           (FLOOR(CAST(exp_fp + exp_fn AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS exp_cost,
            CAST(ROW_NUMBER() OVER (
-             ORDER BY ROUND(exp_fp + exp_fn, 6) ASC, r * b ASC, b ASC)
+             ORDER BY (FLOOR(CAST(exp_fp + exp_fn AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) ASC, r * b ASC, b ASC)
              AS BIGINT) AS plan_rank
     FROM masses
     ORDER BY rows_per_band, bands
@@ -4082,7 +4079,7 @@ def q476_lsh_parameter_planner(
     )
     masses = curve.groupBy("r", "b").agg(
         F.sum(
-            F.round(
+            dround(
                 F.when(
                     F.col("s_mid") < LSH_TAU, F.col("w") * F.col("p")
                 ).otherwise(0.0),
@@ -4092,7 +4089,7 @@ def q476_lsh_parameter_planner(
         .cast("double")
         .alias("exp_fp"),
         F.sum(
-            F.round(
+            dround(
                 F.when(
                     F.col("s_mid") >= LSH_TAU,
                     F.col("w") * (1 - F.col("p")),
@@ -4107,13 +4104,13 @@ def q476_lsh_parameter_planner(
         F.col("r").cast("bigint").alias("rows_per_band"),
         F.col("b").cast("bigint").alias("bands"),
         (F.col("r") * F.col("b")).cast("bigint").alias("signature_len"),
-        F.round("exp_fp", 6).alias("exp_fp"),
-        F.round("exp_fn", 6).alias("exp_fn"),
-        F.round(F.col("exp_fp") + F.col("exp_fn"), 6).alias("exp_cost"),
+        dround("exp_fp", 6).alias("exp_fp"),
+        dround("exp_fn", 6).alias("exp_fn"),
+        dround(F.col("exp_fp") + F.col("exp_fn"), 6).alias("exp_cost"),
         F.row_number()
         .over(
             Window.orderBy(
-                F.round(F.col("exp_fp") + F.col("exp_fn"), 6).asc(),
+                dround(F.col("exp_fp") + F.col("exp_fn"), 6).asc(),
                 (F.col("r") * F.col("b")).asc(),
                 F.col("b").asc(),
             )
@@ -4160,14 +4157,14 @@ PWR_REL_LIFT = 0.10
       FROM base
     )
     SELECT n_users, n_conv,
-           ROUND(p, 6) AS conversion_rate,
+           (FLOOR(CAST(p AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS conversion_rate,
            n_arm,
-           ROUND(({PWR_Z_A} + {PWR_Z_B})
-                 * SQRT(2 * p * (1 - p) / NULLIF(n_arm, 0)), 6)
+           (FLOOR(CAST(({PWR_Z_A} + {PWR_Z_B})
+                 * SQRT(2 * p * (1 - p) / NULLIF(n_arm, 0)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS mde_abs,
-           ROUND(({PWR_Z_A} + {PWR_Z_B})
+           (FLOOR(CAST(({PWR_Z_A} + {PWR_Z_B})
                  * SQRT(2 * p * (1 - p) / NULLIF(n_arm, 0))
-                 / NULLIF(p, 0), 6) AS mde_rel,
+                 / NULLIF(p, 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mde_rel,
            CAST(CEIL(({PWR_Z_A} + {PWR_Z_B}) * ({PWR_Z_A} + {PWR_Z_B})
                  * (p * (1 - p)
                     + (p * {1 + PWR_REL_LIFT})
@@ -4221,10 +4218,10 @@ def q477_power_mde_calculator(
     return base.select(
         "n_users",
         "n_conv",
-        F.round(p, 6).alias("conversion_rate"),
+        dround(p, 6).alias("conversion_rate"),
         n_arm.cast("bigint").alias("n_arm"),
-        F.round(mde, 6).alias("mde_abs"),
-        F.round(mde / F.nullif(p, F.lit(0.0)), 6).alias("mde_rel"),
+        dround(mde, 6).alias("mde_abs"),
+        dround(mde / F.nullif(p, F.lit(0.0)), 6).alias("mde_rel"),
         F.ceil(
             F.lit(z * z)
             * (p * (1 - p) + p2 * (1 - p2))
@@ -4722,12 +4719,12 @@ AR_TOP = 20
       CROSS JOIN nb
     )
     SELECT ante, cons, sup AS support,
-           ROUND(confidence, 6) AS confidence,
-           ROUND(lift, 6) AS lift,
-           ROUND(leverage, 6) AS leverage,
-           ROUND(conviction, 6) AS conviction
+           (FLOOR(CAST(confidence AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS confidence,
+           (FLOOR(CAST(lift AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS lift,
+           (FLOOR(CAST(leverage AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS leverage,
+           (FLOOR(CAST(conviction AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS conviction
     FROM scored
-    ORDER BY ROUND(lift, 6) DESC, ante ASC, cons ASC
+    ORDER BY (FLOOR(CAST(lift AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) DESC, ante ASC, cons ASC
     LIMIT {AR_TOP}
     """,
 )
@@ -4801,22 +4798,22 @@ def q481_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ante",
             "cons",
             F.col("sup").alias("support"),
-            F.round(conf, 6).alias("confidence"),
-            F.round(lift, 6).alias("lift"),
-            F.round(
+            dround(conf, 6).alias("confidence"),
+            dround(lift, 6).alias("lift"),
+            dround(
                 F.col("sup").cast("double") / F.col("n")
                 - (F.col("sup_a").cast("double") / F.col("n"))
                 * (F.col("sup_c").cast("double") / F.col("n")),
                 6,
             ).alias("leverage"),
-            F.round(
+            dround(
                 (1 - F.col("sup_c").cast("double") / F.col("n"))
                 / F.nullif(F.lit(1) - conf, F.lit(0.0)),
                 6,
             ).alias("conviction"),
         )
         .orderBy(
-            F.round(lift, 6).desc(), F.col("ante").asc(), F.col("cons").asc()
+            dround(lift, 6).desc(), F.col("ante").asc(), F.col("cons").asc()
         )
         .limit(AR_TOP)
     )
@@ -5428,19 +5425,19 @@ G2_TOP = 20
     ),
     scored AS (
       SELECT a, b, o11, ca, cb,
-             ROUND(2 * (
-               (CASE WHEN o11 > 0 THEN o11 * ROUND(LN(o11 * CAST(n AS
-                  DOUBLE) / (ca * CAST(cb AS DOUBLE))), 9)
+             (FLOOR(CAST(2 * (
+               (CASE WHEN o11 > 0 THEN o11 * (FLOOR(CAST(LN(o11 * CAST(n AS
+                  DOUBLE) / (ca * CAST(cb AS DOUBLE))) AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0)
                 ELSE 0 END)
-             + (CASE WHEN o12 > 0 THEN o12 * ROUND(LN(o12 * CAST(n AS
-                  DOUBLE) / (ca * CAST(n - cb AS DOUBLE))), 9)
+             + (CASE WHEN o12 > 0 THEN o12 * (FLOOR(CAST(LN(o12 * CAST(n AS
+                  DOUBLE) / (ca * CAST(n - cb AS DOUBLE))) AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0)
                 ELSE 0 END)
-             + (CASE WHEN o21 > 0 THEN o21 * ROUND(LN(o21 * CAST(n AS
-                  DOUBLE) / (CAST(n - ca AS DOUBLE) * cb)), 9)
+             + (CASE WHEN o21 > 0 THEN o21 * (FLOOR(CAST(LN(o21 * CAST(n AS
+                  DOUBLE) / (CAST(n - ca AS DOUBLE) * cb)) AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0)
                 ELSE 0 END)
-             + (CASE WHEN o22 > 0 THEN o22 * ROUND(LN(o22 * CAST(n AS
-                  DOUBLE) / (CAST(n - ca AS DOUBLE) * (n - cb))), 9)
-                ELSE 0 END)), 4) AS g2
+             + (CASE WHEN o22 > 0 THEN o22 * (FLOOR(CAST(LN(o22 * CAST(n AS
+                  DOUBLE) / (CAST(n - ca AS DOUBLE) * (n - cb))) AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0)
+                ELSE 0 END)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS g2
       FROM cells
     )
     SELECT a, b, o11 AS pair_count, ca AS left_count,
@@ -5505,7 +5502,7 @@ def q485_dunning_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.when(
             o > 0,
             o
-            * F.round(
+            * dround(
                 F.log(
                     o * F.col("n").cast("double")
                     / (row_m * col_m.cast("double"))
@@ -5514,7 +5511,7 @@ def q485_dunning_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(0.0)
 
-    g2 = F.round(
+    g2 = dround(
         2
         * (
             term(F.col("o11"), F.col("ca"), F.col("cb"))
@@ -5590,15 +5587,15 @@ def q485_dunning_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m
     )
     SELECT event_type, n_days, s AS total_events,
-           ROUND(mean_daily, 6) AS mean_daily,
-           ROUND(var_daily, 6) AS var_daily,
-           ROUND(var_daily / NULLIF(mean_daily, 0), 6) AS fano_factor,
+           (FLOOR(CAST(mean_daily AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mean_daily,
+           (FLOOR(CAST(var_daily AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS var_daily,
+           (FLOOR(CAST(var_daily / NULLIF(mean_daily, 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS fano_factor,
            COALESCE(var_daily > mean_daily, FALSE) AS overdispersed,
-           ROUND(CASE WHEN var_daily > mean_daily
+           (FLOOR(CAST(CASE WHEN var_daily > mean_daily
                  THEN mean_daily * mean_daily
-                      / (var_daily - mean_daily) END, 6) AS nb_r,
-           ROUND(CASE WHEN var_daily > mean_daily
-                 THEN mean_daily / var_daily END, 6) AS nb_p
+                      / (var_daily - mean_daily) END AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS nb_r,
+           (FLOOR(CAST(CASE WHEN var_daily > mean_daily
+                 THEN mean_daily / var_daily END AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS nb_p
     FROM stats
     ORDER BY event_type
     """,
@@ -5648,17 +5645,17 @@ def q486_overdispersion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_days",
         F.col("s").alias("total_events"),
-        F.round(mean_d, 6).alias("mean_daily"),
-        F.round(var_d, 6).alias("var_daily"),
-        F.round(var_d / F.nullif(mean_d, F.lit(0.0)), 6).alias(
+        dround(mean_d, 6).alias("mean_daily"),
+        dround(var_d, 6).alias("var_daily"),
+        dround(var_d / F.nullif(mean_d, F.lit(0.0)), 6).alias(
             "fano_factor"
         ),
         F.coalesce(var_d > mean_d, F.lit(False)).alias("overdispersed"),
-        F.round(
+        dround(
             F.when(var_d > mean_d, mean_d * mean_d / (var_d - mean_d)),
             6,
         ).alias("nb_r"),
-        F.round(F.when(var_d > mean_d, mean_d / var_d), 6).alias("nb_p"),
+        dround(F.when(var_d > mean_d, mean_d / var_d), 6).alias("nb_p"),
     ).orderBy("event_type")
 
 
@@ -5701,9 +5698,9 @@ def q486_overdispersion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs GROUP BY source_a, source_b
     )
     SELECT source_a, source_b,
-           ROUND(bc, 6) AS bhattacharyya_coef,
-           ROUND(SQRT(GREATEST(1 - bc, 0)), 6) AS hellinger,
-           ROUND(-LN(NULLIF(bc, 0)), 6) AS bhattacharyya_dist
+           (FLOOR(CAST(bc AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS bhattacharyya_coef,
+           (FLOOR(CAST(SQRT(GREATEST(1 - bc, 0)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS hellinger,
+           (FLOOR(CAST(-LN(NULLIF(bc, 0)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS bhattacharyya_dist
     FROM bc
     ORDER BY source_a, source_b
     """,
@@ -5769,11 +5766,11 @@ def q487_hellinger_source_drift(
     return bc.select(
         "source_a",
         "source_b",
-        F.round("bc", 6).alias("bhattacharyya_coef"),
-        F.round(
+        dround("bc", 6).alias("bhattacharyya_coef"),
+        dround(
             F.sqrt(F.greatest(F.lit(1) - F.col("bc"), F.lit(0.0))), 6
         ).alias("hellinger"),
-        F.round(-F.log(F.nullif(F.col("bc"), F.lit(0.0))), 6).alias(
+        dround(-F.log(F.nullif(F.col("bc"), F.lit(0.0))), 6).alias(
             "bhattacharyya_dist"
         ),
     ).orderBy("source_a", "source_b")

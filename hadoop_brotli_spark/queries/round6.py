@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import fan_out, t
+from ._util import dround, fan_out, t
 
 # ---------------------------------------------------------------------------
 # q488 benchmark n-gram decontamination (GPT-3 appendix-C style)
@@ -189,8 +189,8 @@ DW_GRID = 0.0001
       FROM lagged
     )
     SELECT n_days,
-           ROUND(CAST(sdd AS DOUBLE) / NULLIF(see, 0), 6) AS dw,
-           ROUND(1.0 - CAST(sdd AS DOUBLE) / NULLIF(see, 0) / 2, 6)
+           (FLOOR(CAST(CAST(sdd AS DOUBLE) / NULLIF(see, 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS dw,
+           (FLOOR(CAST(1.0 - CAST(sdd AS DOUBLE) / NULLIF(see, 0) / 2 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS rho_approx,
            CAST(CASE WHEN CAST(sdd AS DOUBLE) / NULLIF(see, 0) < 1.5
                      THEN 1 ELSE 0 END AS BIGINT) AS positive_autocorr
@@ -300,8 +300,8 @@ def q489_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sums.select(
         "n_days",
-        F.round(dw, 6).alias("dw"),
-        F.round(F.lit(1.0) - dw / 2, 6).alias("rho_approx"),
+        dround(dw, 6).alias("dw"),
+        dround(F.lit(1.0) - dw / 2, 6).alias("rho_approx"),
         F.when(dw < 1.5, 1).otherwise(0).cast("bigint").alias(
             "positive_autocorr"
         ),
@@ -354,7 +354,7 @@ _CHI2_CASE_SQL = "CASE df " + " ".join(
       FROM ls, k, gs
     )
     SELECT n_users, k AS n_treatments, df,
-           ROUND(q, 6) AS q_stat,
+           (FLOOR(CAST(q AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS q_stat,
            CAST(CASE WHEN q > ({_CHI2_CASE_SQL})
                      THEN 1 ELSE 0 END AS BIGINT) AS significant_05
     FROM stat
@@ -431,7 +431,7 @@ def q490_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.col("k").alias("n_treatments"),
         "df",
-        F.round("q", 6).alias("q_stat"),
+        dround("q", 6).alias("q_stat"),
         F.when(F.col("q") > crit, 1)
         .otherwise(0)
         .cast("bigint")
@@ -483,7 +483,7 @@ def q490_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scal
     )
     SELECT n AS n_users, k AS n_treatments, df,
-           ROUND(f, 6) AS friedman_stat,
+           (FLOOR(CAST(f AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS friedman_stat,
            CAST(CASE WHEN f > ({_CHI2_CASE_SQL})
                      THEN 1 ELSE 0 END AS BIGINT) AS significant_05
     FROM stat
@@ -585,7 +585,7 @@ def q491_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_users"),
         F.col("k").alias("n_treatments"),
         "df",
-        F.round("f", 6).alias("friedman_stat"),
+        dround("f", 6).alias("friedman_stat"),
         F.when(F.col("f") > crit, 1)
         .otherwise(0)
         .cast("bigint")
@@ -765,19 +765,19 @@ BRIER_GRID = 1_000_000_000  # 1e-9 half-up grid for the 10-bin term sums
       FROM terms
     )
     SELECT t.n AS n_users,
-           ROUND(CAST(t.s AS DOUBLE) / t.n, 6) AS base_rate,
-           ROUND(CAST(a.bs AS DOUBLE) / {BRIER_GRID} / t.n, 6)
+           (FLOOR(CAST(CAST(t.s AS DOUBLE) / t.n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS base_rate,
+           (FLOOR(CAST(CAST(a.bs AS DOUBLE) / {BRIER_GRID} / t.n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS brier_score,
-           ROUND(CAST(a.rel AS DOUBLE) / {BRIER_GRID} / t.n, 6)
+           (FLOOR(CAST(CAST(a.rel AS DOUBLE) / {BRIER_GRID} / t.n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS reliability,
-           ROUND(CAST(a.res AS DOUBLE) / {BRIER_GRID} / t.n, 6)
+           (FLOOR(CAST(CAST(a.res AS DOUBLE) / {BRIER_GRID} / t.n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS resolution,
-           ROUND((CAST(t.s AS DOUBLE) / t.n)
-                 * (1 - CAST(t.s AS DOUBLE) / t.n), 6) AS uncertainty,
-           ROUND(CAST(a.bs - (a.rel - a.res) AS DOUBLE) / {BRIER_GRID}
+           (FLOOR(CAST((CAST(t.s AS DOUBLE) / t.n)
+                 * (1 - CAST(t.s AS DOUBLE) / t.n) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS uncertainty,
+           (FLOOR(CAST(CAST(a.bs - (a.rel - a.res) AS DOUBLE) / {BRIER_GRID}
                    / t.n
                  - (CAST(t.s AS DOUBLE) / t.n)
-                   * (1 - CAST(t.s AS DOUBLE) / t.n), 6)
+                   * (1 - CAST(t.s AS DOUBLE) / t.n) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS decomposition_gap
     FROM agg a, tot t
     """,
@@ -874,15 +874,15 @@ def q493_brier_decomposition(
     unc = ybar * (1 - ybar)
     return out.select(
         F.col("n").alias("n_users"),
-        F.round(ybar, 6).alias("base_rate"),
-        F.round(F.col("bs").cast("double") / BRIER_GRID / F.col("n"), 6)
+        dround(ybar, 6).alias("base_rate"),
+        dround(F.col("bs").cast("double") / BRIER_GRID / F.col("n"), 6)
         .alias("brier_score"),
-        F.round(F.col("rel").cast("double") / BRIER_GRID / F.col("n"), 6)
+        dround(F.col("rel").cast("double") / BRIER_GRID / F.col("n"), 6)
         .alias("reliability"),
-        F.round(F.col("res").cast("double") / BRIER_GRID / F.col("n"), 6)
+        dround(F.col("res").cast("double") / BRIER_GRID / F.col("n"), 6)
         .alias("resolution"),
-        F.round(unc, 6).alias("uncertainty"),
-        F.round(
+        dround(unc, 6).alias("uncertainty"),
+        dround(
             (F.col("bs") - (F.col("rel") - F.col("res"))).cast("double")
             / BRIER_GRID
             / F.col("n")
@@ -921,7 +921,7 @@ RAG_COST_MOD = 400   # deterministic per-candidate token cost fixture
     ),
     scored AS (
       SELECT query_id, cand_id, cost,
-             ROUND(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))), 6)
+             (FLOOR(CAST(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
                AS score
       FROM pairs GROUP BY query_id, cand_id, cost
     ),
@@ -1001,7 +1001,7 @@ def q494_rag_context_packing(
         "query_id",
         "cand_id",
         "cost",
-        F.round(
+        dround(
             dot_double("qe", "ce") / (F.col("qn") * F.col("cn")), 6
         ).alias("score"),
     )
@@ -1078,14 +1078,12 @@ TRIM_FRAC_NUM, TRIM_FRAC_DEN = 1, 10  # 10% two-sided trim
       SELECT CAST(SUM(cents) AS DECIMAL(38,0)) AS s_all FROM c
     )
     SELECT scal.n AS n_rows, scal.t AS n_trimmed_each_side,
-           ROUND(CAST(plain.s_all AS DOUBLE) / NULLIF(scal.n, 0) / 100,
-                 6) AS mean,
-           ROUND(CAST(mid.s_mid AS DOUBLE) / NULLIF(mid.n_mid, 0) / 100,
-                 6) AS trimmed_mean,
-           ROUND((CAST(mid.s_mid AS DOUBLE)
+           (FLOOR(CAST(CAST(plain.s_all AS DOUBLE) / NULLIF(scal.n, 0) / 100 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mean,
+           (FLOOR(CAST(CAST(mid.s_mid AS DOUBLE) / NULLIF(mid.n_mid, 0) / 100 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS trimmed_mean,
+           (FLOOR(CAST((CAST(mid.s_mid AS DOUBLE)
                   + scal.t * CAST(bounds.lo_v AS DOUBLE)
                   + scal.t * CAST(bounds.hi_v AS DOUBLE))
-                 / NULLIF(scal.n, 0) / 100, 6) AS winsorized_mean,
+                 / NULLIF(scal.n, 0) / 100 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS winsorized_mean,
            CAST(bounds.lo_v AS DOUBLE) / 100 AS lo_cut,
            CAST(bounds.hi_v AS DOUBLE) / 100 AS hi_cut
     FROM scal, mid, bounds, plain
@@ -1181,19 +1179,19 @@ def q495_trimmed_winsorized_mean(
     return out.select(
         F.col("n").alias("n_rows"),
         F.col("t").alias("n_trimmed_each_side"),
-        F.round(
+        dround(
             F.col("s_all").cast("double")
             / F.nullif(F.col("n"), F.lit(0))
             / 100,
             6,
         ).alias("mean"),
-        F.round(
+        dround(
             F.col("s_mid").cast("double")
             / F.nullif(F.col("n_mid"), F.lit(0))
             / 100,
             6,
         ).alias("trimmed_mean"),
-        F.round(
+        dround(
             (
                 F.col("s_mid").cast("double")
                 + F.col("t") * F.col("lo_v").cast("double")
@@ -1253,13 +1251,13 @@ CHI2_1DF_05 = 3.841459
       SELECT d, chi2 FROM per_day ORDER BY chi2 DESC, d LIMIT 1
     )
     SELECT t.na AS n_a, t.nb AS n_b,
-           ROUND(CAST((t.na - t.nb) * (t.na - t.nb) AS DOUBLE)
-                 / NULLIF(t.na + t.nb, 0), 6) AS srm_chi2,
+           (FLOOR(CAST(CAST((t.na - t.nb) * (t.na - t.nb) AS DOUBLE)
+                 / NULLIF(t.na + t.nb, 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS srm_chi2,
            CAST(CASE WHEN CAST((t.na - t.nb) * (t.na - t.nb) AS DOUBLE)
                           / NULLIF(t.na + t.nb, 0) > {CHI2_1DF_05}
                      THEN 1 ELSE 0 END AS BIGINT) AS srm_detected,
            w.d AS worst_day,
-           ROUND(w.chi2, 6) AS worst_day_chi2
+           (FLOOR(CAST(w.chi2 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS worst_day_chi2
     FROM tot t, worst w
     """,
 )
@@ -1334,13 +1332,13 @@ def q496_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.crossJoin(F.broadcast(worst)).select(
         F.col("na").alias("n_a"),
         F.col("nb").alias("n_b"),
-        F.round(chi2_tot, 6).alias("srm_chi2"),
+        dround(chi2_tot, 6).alias("srm_chi2"),
         F.when(chi2_tot > CHI2_1DF_05, 1)
         .otherwise(0)
         .cast("bigint")
         .alias("srm_detected"),
         F.col("d").alias("worst_day"),
-        F.round(F.col("chi2"), 6).alias("worst_day_chi2"),
+        dround(F.col("chi2"), 6).alias("worst_day_chi2"),
     )
 
 # ---------------------------------------------------------------------------
@@ -1402,9 +1400,9 @@ Z_95_TWO_SIDED = 1.959964
       FROM jt j, sizes s
     )
     SELECT n AS n_rows, k AS n_groups,
-           ROUND(jt, 1) AS jt_stat,
-           ROUND(e_jt, 1) AS jt_mean,
-           ROUND((jt - e_jt) / NULLIF(SQRT(var_jt), 0), 6) AS z,
+           (FLOOR(CAST(jt AS DOUBLE) * 10.0 + 0.5) / 10.0) AS jt_stat,
+           (FLOOR(CAST(e_jt AS DOUBLE) * 10.0 + 0.5) / 10.0) AS jt_mean,
+           (FLOOR(CAST((jt - e_jt) / NULLIF(SQRT(var_jt), 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS z,
            CAST(CASE WHEN ABS((jt - e_jt) / NULLIF(SQRT(var_jt), 0))
                           > {Z_95_TWO_SIDED} THEN 1 ELSE 0 END
                 AS BIGINT) AS significant_95
@@ -1548,9 +1546,9 @@ def q497_jonckheere_terpstra(
     return stat.select(
         F.col("n").alias("n_rows"),
         F.col("k").alias("n_groups"),
-        F.round("jt", 1).alias("jt_stat"),
-        F.round("e_jt", 1).alias("jt_mean"),
-        F.round(z, 6).alias("z"),
+        dround("jt", 1).alias("jt_stat"),
+        dround("e_jt", 1).alias("jt_mean"),
+        dround(z, 6).alias("z"),
         F.when(F.abs(z) > Z_95_TWO_SIDED, 1)
         .otherwise(0)
         .cast("bigint")
@@ -1596,10 +1594,10 @@ def q497_jonckheere_terpstra(
            c.partition_rewrites,
            c.cow_write_rows,
            t.n_updates AS mor_write_rows,
-           ROUND(CAST(c.cow_write_rows AS DOUBLE)
-                 / NULLIF(t.n_updates, 0), 6) AS cow_write_amplification,
-           ROUND(CAST(t.n_updates AS DOUBLE)
-                 / NULLIF(t.n_inserts, 0), 6) AS mor_read_overhead,
+           (FLOOR(CAST(CAST(c.cow_write_rows AS DOUBLE)
+                 / NULLIF(t.n_updates, 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS cow_write_amplification,
+           (FLOOR(CAST(CAST(t.n_updates AS DOUBLE)
+                 / NULLIF(t.n_inserts, 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mor_read_overhead,
            CASE WHEN CAST(c.cow_write_rows AS DOUBLE)
                      / NULLIF(t.n_updates, 0) >
                      10 * (1 + CAST(t.n_updates AS DOUBLE)
@@ -1681,8 +1679,8 @@ def q498_mor_cow_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partition_rewrites",
         "cow_write_rows",
         F.col("n_updates").alias("mor_write_rows"),
-        F.round(cow_amp, 6).alias("cow_write_amplification"),
-        F.round(mor_tax, 6).alias("mor_read_overhead"),
+        dround(cow_amp, 6).alias("cow_write_amplification"),
+        dround(mor_tax, 6).alias("mor_read_overhead"),
         F.when(cow_amp > 10 * (1 + mor_tax), "merge-on-read")
         .otherwise("copy-on-write")
         .alias("recommendation"),
@@ -1912,8 +1910,8 @@ def q499_code_switch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m, quart qt
     )
     SELECT n AS n_rows,
-           ROUND(sigma / 100, 4) AS sigma,
-           ROUND(iqr / 100, 4) AS iqr,
+           (FLOOR(CAST(sigma / 100 AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS sigma,
+           (FLOOR(CAST(iqr / 100 AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS iqr,
            CAST(CEIL(LN(n) / LN(2)) + 1 AS BIGINT) AS k_sturges,
            CAST(CEIL((hi - lo)
                 / NULLIF(3.5 * sigma / EXP(LN(CAST(n AS DOUBLE)) / 3),
@@ -2041,8 +2039,8 @@ def q500_histogram_bin_advisor(
     cuberoot = F.exp(F.log(F.col("n").cast("double")) / 3)
     return stat.select(
         F.col("n").alias("n_rows"),
-        F.round(F.col("sigma") / 100, 4).alias("sigma"),
-        F.round(F.col("iqr") / 100, 4).alias("iqr"),
+        dround(F.col("sigma") / 100, 4).alias("sigma"),
+        dround(F.col("iqr") / 100, 4).alias("iqr"),
         (F.ceil(F.log(F.col("n").cast("double")) / F.log(F.lit(2.0))) + 1)
         .cast("bigint")
         .alias("k_sturges"),

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import fan_out, grain_rank, t
+from ._util import dround, fan_out, grain_rank, t
 
 # ---------------------------------------------------------------------------
 # q501 winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03 —
@@ -86,7 +86,7 @@ _WIN_POS_BASE = 9_999_999_999
            CAST(p.fp_total AS BIGINT) AS fp_total,
            CAST(p.fp_distinct AS BIGINT) AS fp_distinct,
            CAST(p.fp_shared_out AS BIGINT) AS fp_shared_out,
-           ROUND(p.fp_total * 1000.0 / c.total_chars, 6) AS fp_per_kchar
+           (FLOOR(CAST(p.fp_total * 1000.0 / c.total_chars AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS fp_per_kchar
     FROM per_source p JOIN chars c ON c.source = p.source
     ORDER BY p.source
     """,
@@ -194,7 +194,7 @@ def q501_winnowing_fingerprints(
             F.col("fp_total").cast("bigint").alias("fp_total"),
             F.col("fp_distinct").cast("bigint").alias("fp_distinct"),
             F.col("fp_shared_out").cast("bigint").alias("fp_shared_out"),
-            F.round(
+            dround(
                 F.col("fp_total") * F.lit(1000.0) / F.col("total_chars"), 6
             ).alias("fp_per_kchar"),
         )
@@ -237,10 +237,9 @@ def q501_winnowing_fingerprints(
            CAST(discordant AS BIGINT) AS discordant,
            CAST(ties_x AS BIGINT) AS ties_x,
            CAST(ties_y AS BIGINT) AS ties_y,
-           ROUND((concordant - discordant)
+           (FLOOR(CAST((concordant - discordant)
                  / NULLIF(SQRT(CAST((n0 - ties_x) AS DOUBLE)
-                               * CAST((n0 - ties_y) AS DOUBLE)), 0),
-                 6) AS tau_b
+                               * CAST((n0 - ties_y) AS DOUBLE)), 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS tau_b
     FROM cnt
     """,
 )
@@ -303,7 +302,7 @@ def q502_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("discordant").cast("bigint").alias("discordant"),
         F.col("ties_x").cast("bigint").alias("ties_x"),
         F.col("ties_y").cast("bigint").alias("ties_y"),
-        F.round(
+        dround(
             (F.col("concordant") - F.col("discordant"))
             / F.nullif(
                 F.sqrt(
@@ -355,12 +354,11 @@ def q502_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.decile,
            CAST(d.types AS BIGINT) AS types,
            CAST(d.mass AS BIGINT) AS mass,
-           ROUND(CAST(SUM(d.mass) OVER (ORDER BY d.decile) AS DOUBLE)
-                 / CAST(t.mass AS DOUBLE), 6) AS cum_mass_share,
-           ROUND((2.0 * CAST(t.rank_mass AS DOUBLE)
+           (FLOOR(CAST(CAST(SUM(d.mass) OVER (ORDER BY d.decile) AS DOUBLE)
+                 / CAST(t.mass AS DOUBLE) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS cum_mass_share,
+           (FLOOR(CAST((2.0 * CAST(t.rank_mass AS DOUBLE)
                   - (t.n + 1) * CAST(t.mass AS DOUBLE))
-                 / (CAST(t.n AS DOUBLE) * CAST(t.mass AS DOUBLE)),
-                 6) AS gini
+                 / (CAST(t.n AS DOUBLE) * CAST(t.mass AS DOUBLE)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS gini
     FROM deciles d CROSS JOIN tot t
     ORDER BY d.decile
     """,
@@ -427,12 +425,12 @@ def q503_vocab_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile",
             F.col("types").cast("bigint").alias("types"),
             F.col("mass").cast("bigint").alias("mass"),
-            F.round(
+            dround(
                 F.sum(F.col("mass").cast("double")).over(wcum)
                 / F.col("mass_total"),
                 6,
             ).alias("cum_mass_share"),
-            F.round(
+            dround(
                 (
                     F.lit(2.0) * F.col("rank_mass").cast("double")
                     - (F.col("n") + 1) * F.col("mass_total")

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import fan_out, t
+from ._util import dround, fan_out, t
 from .dedup import (
     MAX_LSH_BUCKET,
     N_HASHES,
@@ -38,6 +38,20 @@ SUF_B = 12  # sort bucket = first SUF_B chars (pairs with LCP < SUF_B
 # can never be adjacent winners, so bucketing loses nothing >= SUF_MIN)
 SUF_MIN = 16  # report threshold: maximal repeats of at least this len
 SUF_TOPK = 20
+# Per-bucket suffix cap (r9 verdict task 3 — the q62/q398 shared-spec
+# precedent): a hot {SUF_B}-char prefix (mass boilerplate) would
+# otherwise put an UNBOUNDED suffix set into one sort-window task at
+# 100x. Both engines keep the same {SUF_CAP} suffixes per bucket,
+# selected by a deterministic md5 order, so results stay identical.
+# Dropping suffixes is a SOUND subsample, not an approximation of the
+# reported values: pair LCPs are computed from the retained strings
+# themselves, so every reported (doc_a, doc_b, max_lcp) is a true
+# repeat — over-cap buckets only lose recall (an explicit sampling
+# contract). Fixture buckets max at 110 (sf0.01) / 868 (sf0.1), so
+# the cap never bites at test SFs. 1000 (not higher) because Spark's
+# InferWindowGroupLimit rule only fires for limits at or under
+# spark.sql.window.group.limit.threshold (default 1000).
+SUF_CAP = 1000
 
 
 @register(
@@ -51,11 +65,26 @@ SUF_TOPK = 20
            UNNEST(range(1, GREATEST(LENGTH(d.text) - {SUF_MIN - 1}, 0) + 1))
              r(i)
     ),
+    capped AS (
+      -- shared-spec per-bucket cap: deterministic md5 order, both
+      -- engines; rank-filter shape so Spark plans WindowGroupLimit
+      SELECT doc_id, pos, s FROM (
+        SELECT doc_id, pos, s,
+               ROW_NUMBER() OVER (
+                 PARTITION BY SUBSTRING(s, 1, {SUF_B})
+                 ORDER BY CAST('0x' || substr(md5(
+                     s || '|' || CAST(doc_id AS VARCHAR)
+                       || ':' || CAST(pos AS VARCHAR)), 1, 7) AS BIGINT),
+                   doc_id, pos
+               ) AS hrk
+        FROM suf)
+      WHERE hrk <= {SUF_CAP}
+    ),
     adj AS (
       SELECT doc_id, pos, s, LENGTH(s) AS ln,
              LAG(doc_id) OVER w AS pdoc,
              LAG(s) OVER w AS ps
-      FROM suf
+      FROM capped
       WINDOW w AS (PARTITION BY SUBSTRING(s, 1, {SUF_B})
                    ORDER BY s, doc_id, pos)
     ),
@@ -110,10 +139,16 @@ def q504_suffix_lcp_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the suffix explode fans out from the narrow (doc_id, text)
     scan; the sort window is PARTITIONED by the {SUF_B}-char bucket
-    (natural-text bucket sizes, the q253 posting-list class — never
-    corpus-bound); the LCP fan-out (x{SUF_K - SUF_B + 1}) applies only
-    to adjacent CROSS-DOC rows, a vanishing fraction of suffixes; the
-    report is pair-grain with a TakeOrdered top-{SUF_TOPK} tail.
+    AND each bucket is capped at {SUF_CAP} suffixes by a shared-spec
+    deterministic md5 order (r9: a hot boilerplate prefix would
+    otherwise be one unbounded window task at 100x — the q62/q398
+    cap precedent; retained pairs stay exact, over-cap buckets trade
+    recall, never precision). The cap's own rank filter plans as
+    WindowGroupLimit(Partial), so map tasks pre-limit hot buckets
+    before the exchange. The LCP fan-out (x{SUF_K - SUF_B + 1})
+    applies only to adjacent CROSS-DOC rows, a vanishing fraction of
+    suffixes; the report is pair-grain with a TakeOrdered
+    top-{SUF_TOPK} tail.
     """
     # length filter BEFORE the explode (the q501 lesson: Spark's
     # sequence(1, 0) steps -1 and would emit two bogus suffixes per
@@ -134,6 +169,35 @@ def q504_suffix_lcp_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos0", "s"),
         )
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
+    )
+    # shared-spec per-bucket cap (see SUF_CAP above): the rank filter
+    # lets Spark plan WindowGroupLimit(Partial), so every map task
+    # pre-limits a hot bucket to SUF_CAP rows BEFORE the exchange —
+    # the sort window below then sees <= SUF_CAP rows per bucket
+    hkey = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("s"),
+                    F.lit("|"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("pos").cast("string"),
+                )
+            ),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    wcap = Window.partitionBy(F.substring("s", 1, SUF_B)).orderBy(
+        hkey, "doc_id", "pos"
+    )
+    suf = (
+        suf.withColumn("hrk", F.row_number().over(wcap))
+        .filter(F.col("hrk") <= SUF_CAP)
+        .drop("hrk")
     )
     w = Window.partitionBy(F.substring("s", 1, SUF_B)).orderBy(
         "s", "doc_id", "pos"
@@ -218,8 +282,8 @@ DENS_T = 0.85  # cosine-distance outlier threshold (p90 at sf0.01)
     ),
     dists AS (
       SELECT va, vb, ANY_VALUE(label) AS label,
-             ROUND(1 - SUM(x * y)
-                   / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))), 6) AS d
+             (FLOOR(CAST(1 - SUM(x * y)
+                   / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS d
       FROM pairs GROUP BY va, vb
     ),
     core AS (
@@ -234,8 +298,8 @@ DENS_T = 0.85  # cosine-distance outlier threshold (p90 at sf0.01)
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
            CAST(COUNT(c.core_dist) AS BIGINT) AS n_dense,
            CAST(COUNT(*) - COUNT(c.core_dist) AS BIGINT) AS n_sparse,
-           ROUND(AVG(c.core_dist), 6) AS avg_core,
-           ROUND(MAX(c.core_dist), 6) AS max_core,
+           (FLOOR(CAST(AVG(c.core_dist) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS avg_core,
+           (FLOOR(CAST(MAX(c.core_dist) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS max_core,
            CAST(SUM(CASE WHEN c.core_dist > {DENS_T} THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_outliers
     FROM b LEFT JOIN core c ON c.va = b.vec_id
@@ -290,7 +354,7 @@ def q505_density_core_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "va",
         "vb",
         "label",
-        F.round(
+        dround(
             F.lit(1.0)
             - dot_double("ea", "eb") / (F.col("na") * F.col("nb")),
             6,
@@ -312,8 +376,8 @@ def q505_density_core_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.count("core_dist"))
             .cast("bigint")
             .alias("n_sparse"),
-            F.round(F.avg("core_dist"), 6).alias("avg_core"),
-            F.round(F.max("core_dist"), 6).alias("max_core"),
+            dround(F.avg("core_dist"), 6).alias("avg_core"),
+            dround(F.max("core_dist"), 6).alias("max_core"),
             F.sum(F.when(F.col("core_dist") > DENS_T, 1).otherwise(0))
             .cast("bigint")
             .alias("n_outliers"),
@@ -378,8 +442,7 @@ def _quo_hash_sql() -> str:
            COALESCE(pn.replicas_hosted, 0) AS replicas_hosted,
            COALESCE(pn.parts_quorum_at_risk, 0) AS parts_quorum_at_risk,
            COALESCE(pn.parts_total_loss, 0) AS parts_total_loss,
-           ROUND(COALESCE(pn.parts_quorum_at_risk, 0) * 1.0 / t.n_parts,
-                 6) AS risk_share
+           (FLOOR(CAST(COALESCE(pn.parts_quorum_at_risk, 0) * 1.0 / t.n_parts AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS risk_share
     FROM nation n
     LEFT JOIN per_nation pn ON pn.s_nationkey = n.n_nationkey
     LEFT JOIN nsupp ns ON ns.s_nationkey = n.n_nationkey
@@ -482,7 +545,7 @@ def q506_quorum_placement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("parts_total_loss", F.lit(0)).alias(
                 "parts_total_loss"
             ),
-            F.round(
+            dround(
                 F.coalesce("parts_quorum_at_risk", F.lit(0))
                 * F.lit(1.0)
                 / F.col("n_parts"),
@@ -539,7 +602,7 @@ ARI_BITS = 4  # sign-LSH "clustering" under audit (16 clusters)
     )
     SELECT CAST(t.n AS BIGINT) AS n_vecs,
            t.n_clusters, t.n_classes,
-           ROUND((CAST(s.s_cells2 AS DOUBLE) / 2
+           (FLOOR(CAST((CAST(s.s_cells2 AS DOUBLE) / 2
                   - (CAST(s.s_rows2 AS DOUBLE) / 2)
                     * (CAST(s.s_cols2 AS DOUBLE) / 2)
                     / (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) - 1)
@@ -549,9 +612,8 @@ ARI_BITS = 4  # sign-LSH "clustering" under audit (16 clusters)
                           - (CAST(s.s_rows2 AS DOUBLE) / 2)
                             * (CAST(s.s_cols2 AS DOUBLE) / 2)
                             / (CAST(t.n AS DOUBLE)
-                               * (CAST(t.n AS DOUBLE) - 1) / 2), 0),
-                 6) AS ari,
-           ROUND(CAST(s.s_purity AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+                               * (CAST(t.n AS DOUBLE) - 1) / 2), 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS ari,
+           (FLOOR(CAST(CAST(s.s_purity AS DOUBLE) / CAST(t.n AS DOUBLE) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS purity
     FROM tot t CROSS JOIN sums s
     """,
@@ -620,7 +682,7 @@ def q507_adjusted_rand_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_vecs"),
             "n_clusters",
             "n_classes",
-            F.round(
+            dround(
                 (F.col("s_cells2").cast("double") / 2 - expected)
                 / F.nullif(
                     (half_rows + half_cols) / 2 - expected,
@@ -628,7 +690,7 @@ def q507_adjusted_rand_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("ari"),
-            F.round(
+            dround(
                 F.col("s_purity").cast("double") / nd, 6
             ).alias("purity"),
         )
@@ -664,12 +726,11 @@ def q507_adjusted_rand_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT e.matches,
-             ROUND(ABS(e.matches / {N_HASHES}.0
+             (FLOOR(CAST(ABS(e.matches / {N_HASHES}.0
                        - COALESCE(c.n_common, 0) * 1.0
-                         / (za.sz + zb.sz - COALESCE(c.n_common, 0))),
-                   6) AS err,
-             ROUND(COALESCE(c.n_common, 0) * 1.0
-                   / (za.sz + zb.sz - COALESCE(c.n_common, 0)), 6)
+                         / (za.sz + zb.sz - COALESCE(c.n_common, 0))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS err,
+             (FLOOR(CAST(COALESCE(c.n_common, 0) * 1.0
+                   / (za.sz + zb.sz - COALESCE(c.n_common, 0)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
                AS true_j
       FROM est e
       LEFT JOIN common c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
@@ -753,10 +814,10 @@ def q508_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(zb, "doc_b")
         .select(
             "matches",
-            F.round(
+            dround(
                 F.abs(F.col("matches") / F.lit(float(N_HASHES)) - true_j), 6
             ).alias("err"),
-            F.round(true_j, 6).alias("true_j"),
+            dround(true_j, 6).alias("true_j"),
         )
     )
     return (
@@ -845,8 +906,8 @@ REP_BOILER = 20  # docs whose longest internal repeat reaches this
                 AS BIGINT) AS docs_boilerplate,
            CAST(MAX(max_rep) AS BIGINT) AS longest_repeat,
            CAST(SUM(n_repeats) AS BIGINT) AS total_repeat_anchors,
-           ROUND(SUM(CASE WHEN max_rep >= {REP_BOILER} THEN 1 ELSE 0 END)
-                 * 1.0 / COUNT(*), 6) AS boilerplate_share
+           (FLOOR(CAST(SUM(CASE WHEN max_rep >= {REP_BOILER} THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS boilerplate_share
     FROM per_doc GROUP BY source ORDER BY source
     """,
 )
@@ -949,7 +1010,7 @@ def q509_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("docs_boilerplate"),
             F.max("max_rep").cast("bigint").alias("longest_repeat"),
             F.sum("n_repeats").cast("bigint").alias("total_repeat_anchors"),
-            F.round(
+            dround(
                 F.sum(
                     F.when(F.col("max_rep") >= REP_BOILER, 1).otherwise(0)
                 )
@@ -999,9 +1060,9 @@ CPT_SMALL = 50  # "small file" threshold for the before-picture
                 AS BIGINT) AS small_files,
            CAST(b.n_bins AS BIGINT) AS n_bins,
            CAST(b.max_bin_rows AS BIGINT) AS max_bin_rows,
-           ROUND(SUM(f.sz) * 1.0 / (b.n_bins * {CPT_TARGET}), 6)
+           (FLOOR(CAST(SUM(f.sz) * 1.0 / (b.n_bins * {CPT_TARGET}) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS avg_fill,
-           ROUND(1.0 - b.n_bins * 1.0 / COUNT(DISTINCT f.dt), 6)
+           (FLOOR(CAST(1.0 - b.n_bins * 1.0 / COUNT(DISTINCT f.dt) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS file_reduction
     FROM files f
     JOIN (
@@ -1064,10 +1125,10 @@ def q510_compaction_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("sz") < CPT_SMALL, 1).otherwise(0))
             .cast("bigint")
             .alias("small_files"),
-            F.round(
+            dround(
                 F.sum("sz") * F.lit(1.0) / (F.col("n_bins") * CPT_TARGET), 6
             ).alias("avg_fill"),
-            F.round(
+            dround(
                 F.lit(1.0)
                 - F.col("n_bins") * F.lit(1.0) / F.countDistinct("dt"),
                 6,
@@ -1130,9 +1191,9 @@ HEAPS_CKPTS = 10
              -- of these, and (28,9)x(28,9) = 57 digits overflows the
              -- 38-digit cap where Spark silently TRUNCATES scale;
              -- (12,9)x(12,9) = (25,18) stays exact in both engines
-             CAST(ROUND(LN(CAST(n_tokens AS DOUBLE)), 9)
+             CAST((FLOOR(CAST(LN(CAST(n_tokens AS DOUBLE)) AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0)
                   AS DECIMAL(12,9)) AS x,
-             CAST(ROUND(LN(CAST(vocab AS DOUBLE)), 9)
+             CAST((FLOOR(CAST(LN(CAST(vocab AS DOUBLE)) AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0)
                   AS DECIMAL(12,9)) AS y
       FROM growth WHERE n_tokens > 0 AND vocab > 0
     ),
@@ -1145,21 +1206,19 @@ HEAPS_CKPTS = 10
     SELECT CAST(f.m AS BIGINT) AS n_points,
            CAST(g.n_tokens AS BIGINT) AS tokens_final,
            CAST(g.vocab AS BIGINT) AS vocab_final,
-           ROUND((CAST(f.m AS DOUBLE) * CAST(f.sxy AS DOUBLE)
+           (FLOOR(CAST((CAST(f.m AS DOUBLE) * CAST(f.sxy AS DOUBLE)
                   - CAST(f.sx AS DOUBLE) * CAST(f.sy AS DOUBLE))
                  / NULLIF(CAST(f.m AS DOUBLE) * CAST(f.sxx AS DOUBLE)
                           - CAST(f.sx AS DOUBLE)
-                            * CAST(f.sx AS DOUBLE), 0),
-                 6) AS heaps_beta,
-           ROUND(EXP(CAST(f.sy AS DOUBLE) / f.m
+                            * CAST(f.sx AS DOUBLE), 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS heaps_beta,
+           (FLOOR(CAST(EXP(CAST(f.sy AS DOUBLE) / f.m
                      - ((CAST(f.m AS DOUBLE) * CAST(f.sxy AS DOUBLE)
                          - CAST(f.sx AS DOUBLE) * CAST(f.sy AS DOUBLE))
                         / NULLIF(CAST(f.m AS DOUBLE)
                                  * CAST(f.sxx AS DOUBLE)
                                  - CAST(f.sx AS DOUBLE)
                                    * CAST(f.sx AS DOUBLE), 0))
-                       * CAST(f.sx AS DOUBLE) / f.m),
-                 6) AS heaps_k
+                       * CAST(f.sx AS DOUBLE) / f.m) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS heaps_k
     FROM fit f,
          (SELECT n_tokens, vocab FROM growth
           WHERE ck = {HEAPS_CKPTS}) g
@@ -1249,10 +1308,10 @@ def q511_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ck",
         # decimal(12,9): products must stay under the 38-digit cap
         # (Spark silently truncates scale past it — see oracle note)
-        F.round(F.log(F.col("n_tokens").cast("double")), 9)
+        dround(F.log(F.col("n_tokens").cast("double")), 9)
         .cast("decimal(12,9)")
         .alias("x"),
-        F.round(F.log(F.col("vocab").cast("double")), 9)
+        dround(F.log(F.col("vocab").cast("double")), 9)
         .cast("decimal(12,9)")
         .alias("y"),
     )
@@ -1280,8 +1339,8 @@ def q511_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").cast("bigint").alias("n_points"),
         F.col("tokens_final").cast("bigint").alias("tokens_final"),
         F.col("vocab_final").cast("bigint").alias("vocab_final"),
-        F.round(beta, 6).alias("heaps_beta"),
-        F.round(
+        dround(beta, 6).alias("heaps_beta"),
+        dround(
             F.exp(
                 F.col("sy").cast("double") / F.col("m")
                 - beta * F.col("sx").cast("double") / F.col("m")
@@ -1335,11 +1394,11 @@ def _skew_bucket_sql(n: int) -> str:
     SELECT r.n_parts,
            CAST(r.n_used AS BIGINT) AS buckets_used,
            CAST(MAX(r.b_rows) AS BIGINT) AS max_bucket_rows,
-           ROUND(MAX(r.b_rows) * 1.0
-                 / (t.n_rows * 1.0 / r.n_parts), 6) AS max_skew,
+           (FLOOR(CAST(MAX(r.b_rows) * 1.0
+                 / (t.n_rows * 1.0 / r.n_parts) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS max_skew,
            CAST(MAX(CASE WHEN r.rk * 100 <= r.n_used * 99
                          THEN r.b_rows END) AS BIGINT) AS p99_bucket_rows,
-           ROUND(t.hot_key_rows * 1.0 / t.n_rows, 6) AS hot_key_share
+           (FLOOR(CAST(t.hot_key_rows * 1.0 / t.n_rows AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS hot_key_share
     FROM ranked r CROSS JOIN tot t
     GROUP BY r.n_parts, r.n_used, t.n_rows, t.hot_key_rows
     ORDER BY r.n_parts
@@ -1408,14 +1467,14 @@ def q512_partition_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_parts",
             F.col("n_used").cast("bigint").alias("buckets_used"),
             "max_bucket_rows",
-            F.round(
+            dround(
                 F.col("max_bucket_rows")
                 * F.lit(1.0)
                 / (F.col("n_rows") * F.lit(1.0) / F.col("n_parts")),
                 6,
             ).alias("max_skew"),
             "p99_bucket_rows",
-            F.round(
+            dround(
                 F.col("hot_key_rows") * F.lit(1.0) / F.col("n_rows"), 6
             ).alias("hot_key_share"),
         )

@@ -4,7 +4,7 @@ approximate NN (the scale path), embedding near-dup pairs, and
 norm statistics.
 
 Numeric determinism: dot products / norms are computed in DOUBLE
-(elements cast up) and every emitted similarity is ROUND(x, 6); the
+(elements cast up) and every emitted similarity is (FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0); the
 ranking key is the *rounded* value with a vec_id tie-break, so
 last-ULP summation-order differences between engines cannot reorder
 the top-k.
@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t
+from ._util import dround, t
 
 DIM = 64
 N_SIGN_BITS = 8
@@ -84,10 +84,10 @@ def _sql_sign_bucket(col: str, bits: int = N_SIGN_BITS) -> str:
       FROM pairs GROUP BY query_id, cand_id
     ),
     scored AS (
-      SELECT query_id, cand_id, ROUND(dot / (nq * nc), 6) AS cosine,
+      SELECT query_id, cand_id, (FLOOR(CAST(dot / (nq * nc) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS cosine,
              CAST(ROW_NUMBER() OVER (
                PARTITION BY query_id
-               ORDER BY ROUND(dot / (nq * nc), 6) DESC, cand_id ASC
+               ORDER BY (FLOOR(CAST(dot / (nq * nc) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) DESC, cand_id ASC
              ) AS BIGINT) AS rn
       FROM dots
     )
@@ -114,7 +114,7 @@ def q70_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (evaluated once per corpus/query row under the join) leaves
     # only the dot product per pair. Bit-identical results: same
     # IEEE ops on the same inputs, just not repeated.
-    cosine = F.round(
+    cosine = dround(
         dot_double("qe", "ce") / (F.col("qn") * F.col("cn")), 6
     )
     from pyspark.sql import Window as W
@@ -150,10 +150,10 @@ def q70_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs GROUP BY vec_a, vec_b, bucket
     ),
     scored AS (
-      SELECT vec_a, vec_b, bucket, ROUND(dot / (na * nb), 6) AS cosine,
+      SELECT vec_a, vec_b, bucket, (FLOOR(CAST(dot / (na * nb) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS cosine,
              CAST(ROW_NUMBER() OVER (
                PARTITION BY vec_a
-               ORDER BY ROUND(dot / (na * nb), 6) DESC, vec_b ASC
+               ORDER BY (FLOOR(CAST(dot / (na * nb) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) DESC, vec_b ASC
              ) AS BIGINT) AS rn
       FROM dots
     )
@@ -186,7 +186,7 @@ def q71_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         b,
         (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")),
     )
-    cosine = F.round(dot_double("ea", "eb") / (F.col("na") * F.col("nb")), 6)
+    cosine = dround(dot_double("ea", "eb") / (F.col("na") * F.col("nb")), 6)
     from pyspark.sql import Window as W
 
     scored = pairs.select("vec_a", "vec_b", "bucket", cosine.alias("cosine"))
@@ -217,9 +217,9 @@ def q71_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(x * y) AS dot, SQRT(SUM(x * x)) AS na, SQRT(SUM(y * y)) AS nb
       FROM pairs GROUP BY vec_a, vec_b
     )
-    SELECT vec_a, vec_b, ROUND(dot / (na * nb), 6) AS cosine
+    SELECT vec_a, vec_b, (FLOOR(CAST(dot / (na * nb) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS cosine
     FROM dots
-    WHERE ROUND(dot / (na * nb), 6) >= 0.92
+    WHERE (FLOOR(CAST(dot / (na * nb) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) >= 0.92
     """,
 )
 def q72_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,7 +243,7 @@ def q72_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(
         b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b"))
     )
-    cosine = F.round(dot_double("ea", "eb") / (F.col("na") * F.col("nb")), 6)
+    cosine = dround(dot_double("ea", "eb") / (F.col("na") * F.col("nb")), 6)
     return (
         pairs.select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= 0.92)
@@ -262,9 +262,9 @@ def q72_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e GROUP BY label, vec_id
     )
     SELECT label, COUNT(*) AS n_vectors,
-           ROUND(SUM(nrm) / COUNT(*), 4) AS avg_norm,
-           ROUND(MIN(nrm), 6) AS min_norm,
-           ROUND(MAX(nrm), 6) AS max_norm
+           (FLOOR(CAST(SUM(nrm) / COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_norm,
+           (FLOOR(CAST(MIN(nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS min_norm,
+           (FLOOR(CAST(MAX(nrm) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS max_norm
     FROM norms GROUP BY label
     """,
 )
@@ -275,9 +275,9 @@ def q73_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        F.round(F.sum("nrm") / F.count(F.lit(1)), 4).alias("avg_norm"),
-        F.round(F.min("nrm"), 6).alias("min_norm"),
-        F.round(F.max("nrm"), 6).alias("max_norm"),
+        dround(F.sum("nrm") / F.count(F.lit(1)), 4).alias("avg_norm"),
+        dround(F.min("nrm"), 6).alias("min_norm"),
+        dround(F.max("nrm"), 6).alias("max_norm"),
     )
 
 
@@ -309,7 +309,7 @@ def q73_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT query_id, cand_id, qb, cb,
              ROW_NUMBER() OVER (
                PARTITION BY query_id
-               ORDER BY ROUND(dot / (nq * nc), 6) DESC, cand_id ASC
+               ORDER BY (FLOOR(CAST(dot / (nq * nc) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) DESC, cand_id ASC
              ) AS rn
       FROM dots
     )
@@ -355,7 +355,7 @@ def q98_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (evaluated once per corpus/query row under the join) leaves
     # only the dot product per pair. Bit-identical results: same
     # IEEE ops on the same inputs, just not repeated.
-    cosine = F.round(
+    cosine = dround(
         dot_double("qe", "ce") / (F.col("qn") * F.col("cn")), 6
     )
     scored = (
@@ -386,7 +386,7 @@ def q98_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ),
     cent AS (
-      SELECT label, i, ROUND(SUM(x) / COUNT(*), 6) AS c
+      SELECT label, i, (FLOOR(CAST(SUM(x) / COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS c
       FROM elems GROUP BY label, i
     ),
     pairs AS (
@@ -397,7 +397,7 @@ def q98_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.label, b.label
     )
     SELECT label_a, label_b,
-           ROUND(dot / (na * nb), 6) AS centroid_cosine
+           (FLOOR(CAST(dot / (na * nb) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS centroid_cosine
     FROM pairs
     """,
 )
@@ -424,7 +424,7 @@ def q177_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFram
         "label", (F.col("i0") + 1).alias("i"), F.col("xf").cast("double").alias("x")
     )
     cent = elems.groupBy("label", "i").agg(
-        F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("c")
+        dround(F.sum("x") / F.count(F.lit(1)), 6).alias("c")
     )
     a = cent.select(
         F.col("label").alias("label_a"), F.col("i").alias("ia"), F.col("c").alias("ca")
@@ -445,7 +445,7 @@ def q177_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFram
         .select(
             "label_a",
             "label_b",
-            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+            dround(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
                 "centroid_cosine"
             ),
         )
@@ -488,7 +488,7 @@ def _pq_dist_and_codes(spark: SparkSession, sf_dir: str):
     train = subs.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("cid"), "m", F.col("sub").alias("csub")
     )
-    dist2 = F.round(
+    dist2 = dround(
         F.aggregate(
             F.zip_with("sub", "csub", lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
@@ -524,7 +524,7 @@ def _pq_dist_and_codes(spark: SparkSession, sf_dir: str):
       FROM subs s JOIN train t ON t.m = s.m
     ),
     d AS (
-      SELECT vec_id, m, cid, ROUND(SUM((x - y) * (x - y)), 6) AS dist2
+      SELECT vec_id, m, cid, (FLOOR(CAST(SUM((x - y) * (x - y)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS dist2
       FROM dpairs GROUP BY vec_id, m, cid
     ),
     codes AS (
@@ -541,7 +541,7 @@ def _pq_dist_and_codes(spark: SparkSession, sf_dir: str):
     ),
     adc AS (
       SELECT q.query_id, c.vec_id AS cand_id,
-             ROUND(SUM(q.dist2), 6) AS adist
+             (FLOOR(CAST(SUM(q.dist2) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS adist
       FROM codes c JOIN qtab q ON q.m = c.m AND q.cid = c.code
       GROUP BY q.query_id, c.vec_id
     )
@@ -570,7 +570,7 @@ def q343_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors (one broadcast-able distance table per query), and code
     assignment is an equi-join on the broadcast codebook — no
     all-pairs stage anywhere. Argmin and top-k carry (dist, cid)
-    total orders; ROUND(…, 6) before every compare absorbs
+    total orders; (FLOOR(CAST(… AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) before every compare absorbs
     sum-order ulps (q70's precedent).
     """
     from pyspark.sql import Window as W
@@ -590,7 +590,7 @@ def q343_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("m") == F.col("qm")) & (F.col("code") == F.col("qcid")),
         )
         .groupBy("query_id", F.col("vec_id").alias("cand_id"))
-        .agg(F.round(F.sum("dist2"), 6).alias("adist"))
+        .agg(dround(F.sum("dist2"), 6).alias("adist"))
     )
     w = W.partitionBy("query_id").orderBy("adist", "cand_id")
     return (
@@ -618,7 +618,7 @@ IVFPQ_CELLS = 8  # coarse cells (centroids = first 8 vectors, L2)
       FROM v a JOIN v c ON c.vec_id < {IVFPQ_CELLS}
     ),
     cdist AS (
-      SELECT vec_id, cell_cid, ROUND(SUM((x - y) * (x - y)), 6) AS d2
+      SELECT vec_id, cell_cid, (FLOOR(CAST(SUM((x - y) * (x - y)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS d2
       FROM cpairs GROUP BY vec_id, cell_cid
     ),
     cells AS (
@@ -644,7 +644,7 @@ IVFPQ_CELLS = 8  # coarse cells (centroids = first 8 vectors, L2)
       FROM subs s JOIN train t ON t.m = s.m
     ),
     d AS (
-      SELECT vec_id, m, cid, ROUND(SUM((x - y) * (x - y)), 6) AS dist2
+      SELECT vec_id, m, cid, (FLOOR(CAST(SUM((x - y) * (x - y)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS dist2
       FROM dpairs GROUP BY vec_id, m, cid
     ),
     codes AS (
@@ -661,7 +661,7 @@ IVFPQ_CELLS = 8  # coarse cells (centroids = first 8 vectors, L2)
     ),
     adc AS (
       SELECT q.query_id, c.vec_id AS cand_id,
-             ROUND(SUM(q.dist2), 6) AS adist
+             (FLOOR(CAST(SUM(q.dist2) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS adist
       FROM codes c
       JOIN cells cc ON cc.vec_id = c.vec_id
       JOIN qtab q ON q.m = c.m AND q.cid = c.code
@@ -689,7 +689,7 @@ def q344_ivf_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment are map-side argmins; the probe is an equi-join on
     the cell key (no all-pairs anywhere); ADC re-uses the shared
     `_pq_dist_and_codes` stages, so flat-PQ and IVF-PQ stay
-    plan-consistent. All compares run on ROUND(…, 6) values with id
+    plan-consistent. All compares run on (FLOOR(CAST(… AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) values with id
     tie-breaks — cross-engine deterministic.
     """
     from pyspark.sql import Window as W
@@ -701,7 +701,7 @@ def q344_ivf_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse = emb.filter(F.col("vec_id") < IVFPQ_CELLS).select(
         F.col("vec_id").alias("cell_cid"), F.col("vec").alias("cvec")
     )
-    d2 = F.round(
+    d2 = dround(
         F.aggregate(
             F.zip_with("vec", "cvec", lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
@@ -738,7 +738,7 @@ def q344_ivf_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adc = probed.groupBy(
         "query_id", F.col("vec_id").alias("cand_id")
-    ).agg(F.round(F.sum("dist2"), 6).alias("adist"))
+    ).agg(dround(F.sum("dist2"), 6).alias("adist"))
     w = W.partitionBy("query_id").orderBy("adist", "cand_id")
     return (
         adc.withColumn("rn", F.row_number().over(w).cast("bigint"))
@@ -758,7 +758,7 @@ def _dsum(col: Column, scale: int) -> Column:
     DECIMAL (int128-exact, partition-order-free), read back as
     DOUBLE. The memory-bank roundtrip idiom (q282/q324 precedent)."""
     return (
-        F.sum(F.round(col, scale).cast(f"decimal(38,{scale})")).cast("double")
+        F.sum(dround(col, scale).cast(f"decimal(38,{scale})")).cast("double")
     )
 
 
@@ -770,18 +770,18 @@ def _pca_oracle() -> str:
         it += f"""
     s{k} AS (
       SELECT c.vec_id,
-             CAST(SUM(CAST(ROUND(c.c * {prev}.v, 12) AS DECIMAL(38,12)))
+             CAST(SUM(CAST((FLOOR(CAST(c.c * {prev}.v AS DOUBLE) * 1000000000000.0 + 0.5) / 1000000000000.0) AS DECIMAL(38,12)))
                   AS DOUBLE) AS s
       FROM c JOIN {prev} USING (j) GROUP BY c.vec_id
     ),
     u{k} AS (
       SELECT c.j,
-             CAST(SUM(CAST(ROUND(c.c * s{k}.s, 9) AS DECIMAL(38,9)))
+             CAST(SUM(CAST((FLOOR(CAST(c.c * s{k}.s AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS DECIMAL(38,9)))
                   AS DOUBLE) AS u
       FROM c JOIN s{k} USING (vec_id) GROUP BY c.j
     ),
     n{k} AS (
-      SELECT SQRT(CAST(SUM(CAST(ROUND(u * u, 12) AS DECIMAL(38,12)))
+      SELECT SQRT(CAST(SUM(CAST((FLOOR(CAST(u * u AS DOUBLE) * 1000000000000.0 + 0.5) / 1000000000000.0) AS DECIMAL(38,12)))
                        AS DOUBLE)) AS nrm
       FROM u{k}
     ),
@@ -798,7 +798,7 @@ def _pca_oracle() -> str:
     nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
     mu AS (
       SELECT j,
-             CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+             CAST(SUM(CAST((FLOOR(CAST(x AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS DECIMAL(38,9))) AS DOUBLE)
                / COUNT(*) AS mu
       FROM x GROUP BY j
     ),
@@ -809,23 +809,23 @@ def _pca_oracle() -> str:
            FROM range(64) AS r(i)),{it}
     sf AS (
       SELECT c.vec_id,
-             CAST(SUM(CAST(ROUND(c.c * v3.v, 12) AS DECIMAL(38,12)))
+             CAST(SUM(CAST((FLOOR(CAST(c.c * v3.v AS DOUBLE) * 1000000000000.0 + 0.5) / 1000000000000.0) AS DECIMAL(38,12)))
                   AS DOUBLE) AS s
       FROM c JOIN v3 USING (j) GROUP BY c.vec_id
     ),
     lam AS (
-      SELECT CAST(SUM(CAST(ROUND(s * s, 9) AS DECIMAL(38,9))) AS DOUBLE)
+      SELECT CAST(SUM(CAST((FLOOR(CAST(s * s AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS DECIMAL(38,9))) AS DOUBLE)
                / NULLIF((SELECT n FROM nn) - 1, 0.0) AS lam
       FROM sf
     ),
     tot AS (
-      SELECT CAST(SUM(CAST(ROUND(c * c, 12) AS DECIMAL(38,12))) AS DOUBLE)
+      SELECT CAST(SUM(CAST((FLOOR(CAST(c * c AS DOUBLE) * 1000000000000.0 + 0.5) / 1000000000000.0) AS DECIMAL(38,12))) AS DOUBLE)
                / NULLIF((SELECT n FROM nn) - 1, 0.0) AS tv
       FROM c
     )
-    SELECT v3.j AS dim_idx, ROUND(v3.v, 6) AS loading,
-           ROUND(lam.lam, 6) AS lambda1,
-           ROUND(lam.lam / NULLIF(tot.tv, 0.0), 6) AS explained_share
+    SELECT v3.j AS dim_idx, (FLOOR(CAST(v3.v AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS loading,
+           (FLOOR(CAST(lam.lam AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS lambda1,
+           (FLOOR(CAST(lam.lam / NULLIF(tot.tv, 0.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS explained_share
     FROM v3, lam, tot
     """
 
@@ -929,9 +929,9 @@ def q357_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select(
             F.col("j").alias("dim_idx"),
-            F.round("v", 6).alias("loading"),
-            F.round("lam", 6).alias("lambda1"),
-            F.round(
+            dround("v", 6).alias("loading"),
+            dround("lam", 6).alias("lambda1"),
+            dround(
                 F.col("lam") / F.nullif(F.col("tv"), F.lit(0.0)), 6
             ).alias("explained_share"),
         )
@@ -962,42 +962,42 @@ JL_SAMPLE = 30    # audit pair sample: vec_id < 30 -> 435 pairs
     ),
     y AS (
       SELECT xl.vec_id, sgn.k,
-             CAST(SUM(CAST(ROUND(xl.x * sgn.sgn, 9) AS DECIMAL(38,9)))
+             CAST(SUM(CAST((FLOOR(CAST(xl.x * sgn.sgn AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS DECIMAL(38,9)))
                   AS DOUBLE) / SQRT(CAST({JL_K} AS DOUBLE)) AS y
       FROM xl JOIN sgn USING (j)
       GROUP BY xl.vec_id, sgn.k
     ),
     d2 AS (
       SELECT a.vec_id AS va, b.vec_id AS vb,
-             CAST(SUM(CAST(ROUND((a.x - b.x) * (a.x - b.x), 12)
+             CAST(SUM(CAST((FLOOR(CAST((a.x - b.x) * (a.x - b.x) AS DOUBLE) * 1000000000000.0 + 0.5) / 1000000000000.0)
                            AS DECIMAL(38,12))) AS DOUBLE) AS d2
       FROM xl a JOIN xl b ON a.j = b.j AND a.vec_id < b.vec_id
       GROUP BY a.vec_id, b.vec_id
     ),
     d2p AS (
       SELECT a.vec_id AS va, b.vec_id AS vb,
-             CAST(SUM(CAST(ROUND((a.y - b.y) * (a.y - b.y), 12)
+             CAST(SUM(CAST((FLOOR(CAST((a.y - b.y) * (a.y - b.y) AS DOUBLE) * 1000000000000.0 + 0.5) / 1000000000000.0)
                            AS DECIMAL(38,12))) AS DOUBLE) AS d2p
       FROM y a JOIN y b ON a.k = b.k AND a.vec_id < b.vec_id
       GROUP BY a.vec_id, b.vec_id
     ),
     r AS (
       SELECT d2.va, d2.vb,
-             ROUND(d2p.d2p / NULLIF(d2.d2, 0.0), 9) AS ratio
+             (FLOOR(CAST(d2p.d2p / NULLIF(d2.d2, 0.0) AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS ratio
       FROM d2 JOIN d2p ON d2.va = d2p.va AND d2.vb = d2p.vb
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(COUNT(*) - COUNT(ratio) AS BIGINT) AS n_degenerate,
-           ROUND(CAST(SUM(CAST(ratio AS DECIMAL(38,9))) AS DOUBLE)
-                 / NULLIF(COUNT(ratio), 0), 6) AS mean_ratio,
-           ROUND(MIN(ratio), 6) AS min_ratio,
-           ROUND(MAX(ratio), 6) AS max_ratio,
-           ROUND(CAST(COUNT(CASE WHEN ratio BETWEEN 0.9 AND 1.1
+           (FLOOR(CAST(CAST(SUM(CAST(ratio AS DECIMAL(38,9))) AS DOUBLE)
+                 / NULLIF(COUNT(ratio), 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mean_ratio,
+           (FLOOR(CAST(MIN(ratio) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS min_ratio,
+           (FLOOR(CAST(MAX(ratio) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS max_ratio,
+           (FLOOR(CAST(CAST(COUNT(CASE WHEN ratio BETWEEN 0.9 AND 1.1
                                  THEN 1 END) AS DOUBLE)
-                 / NULLIF(COUNT(ratio), 0), 6) AS share_within_10pct,
-           ROUND(CAST(COUNT(CASE WHEN ratio BETWEEN 0.75 AND 1.25
+                 / NULLIF(COUNT(ratio), 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS share_within_10pct,
+           (FLOOR(CAST(CAST(COUNT(CASE WHEN ratio BETWEEN 0.75 AND 1.25
                                  THEN 1 END) AS DOUBLE)
-                 / NULLIF(COUNT(ratio), 0), 6) AS share_within_25pct
+                 / NULLIF(COUNT(ratio), 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS share_within_25pct
     FROM r
     """,
 )
@@ -1107,7 +1107,7 @@ def q358_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     r = d2.join(d2p, ["va", "vb"]).select(
-        F.round(
+        dround(
             F.col("d2p") / F.nullif(F.col("d2"), F.lit(0.0)), 9
         ).alias("ratio")
     )
@@ -1117,21 +1117,21 @@ def q358_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.count(F.lit(1)) - F.count("ratio")).cast("bigint").alias(
             "n_degenerate"
         ),
-        F.round(
+        dround(
             F.sum(F.col("ratio").cast("decimal(38,9)")).cast("double")
             / F.nullif(nr, F.lit(0)),
             6,
         ).alias("mean_ratio"),
-        F.round(F.min("ratio"), 6).alias("min_ratio"),
-        F.round(F.max("ratio"), 6).alias("max_ratio"),
-        F.round(
+        dround(F.min("ratio"), 6).alias("min_ratio"),
+        dround(F.max("ratio"), 6).alias("max_ratio"),
+        dround(
             F.count(
                 F.when(F.col("ratio").between(0.9, 1.1), F.lit(1))
             ).cast("double")
             / F.nullif(nr, F.lit(0)),
             6,
         ).alias("share_within_10pct"),
-        F.round(
+        dround(
             F.count(
                 F.when(F.col("ratio").between(0.75, 1.25), F.lit(1))
             ).cast("double")
@@ -1159,9 +1159,9 @@ KM_K = 8  # seed centroids: vec_id 0..7
     ),
     dist AS (
       SELECT xl.vec_id, seeds.cid,
-             ROUND(CAST(SUM(CAST(ROUND((xl.x - seeds.sx)
-                                       * (xl.x - seeds.sx), 12)
-                                 AS DECIMAL(38,12))) AS DOUBLE), 6) AS d2
+             (FLOOR(CAST(CAST(SUM(CAST((FLOOR(CAST((xl.x - seeds.sx)
+                                       * (xl.x - seeds.sx) AS DOUBLE) * 1000000000000.0 + 0.5) / 1000000000000.0)
+                                 AS DECIMAL(38,12))) AS DOUBLE) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS d2
       FROM xl JOIN seeds USING (j)
       GROUP BY xl.vec_id, seeds.cid
     ),
@@ -1175,14 +1175,14 @@ KM_K = 8  # seed centroids: vec_id 0..7
     ),
     newc AS (
       SELECT a.cid, xl.j,
-             CAST(SUM(CAST(ROUND(xl.x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+             CAST(SUM(CAST((FLOOR(CAST(xl.x AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS DECIMAL(38,9))) AS DOUBLE)
                / COUNT(*) AS cx
       FROM assign a JOIN xl ON a.vec_id = xl.vec_id
       GROUP BY a.cid, xl.j
     ),
     shift AS (
       SELECT n.cid,
-             SQRT(CAST(SUM(CAST(ROUND((n.cx - s.sx) * (n.cx - s.sx), 12)
+             SQRT(CAST(SUM(CAST((FLOOR(CAST((n.cx - s.sx) * (n.cx - s.sx) AS DOUBLE) * 1000000000000.0 + 0.5) / 1000000000000.0)
                                 AS DECIMAL(38,12))) AS DOUBLE)) AS sh
       FROM newc n JOIN seeds s ON n.cid = s.cid AND n.j = s.j
       GROUP BY n.cid
@@ -1193,8 +1193,8 @@ KM_K = 8  # seed centroids: vec_id 0..7
       FROM assign GROUP BY cid
     )
     SELECT s.cid AS cluster_id, s.n_members,
-           ROUND(s.inertia, 4) AS inertia,
-           ROUND(sh.sh, 6) AS centroid_shift
+           (FLOOR(CAST(s.inertia AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS inertia,
+           (FLOOR(CAST(sh.sh AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS centroid_shift
     FROM stats s JOIN shift sh ON s.cid = sh.cid
     """,
 )
@@ -1242,7 +1242,7 @@ def q359_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         xl.join(F.broadcast(seeds), "j")
         .groupBy("vec_id", "cid")
         .agg(
-            F.round(
+            dround(
                 _dsum(
                     (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")),
                     12,
@@ -1286,8 +1286,8 @@ def q359_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(shift, "cid").select(
         F.col("cid").alias("cluster_id"),
         "n_members",
-        F.round("inertia", 4).alias("inertia"),
-        F.round("sh", 6).alias("centroid_shift"),
+        dround("inertia", 4).alias("inertia"),
+        dround("sh", 6).alias("centroid_shift"),
     )
 
 
@@ -1298,7 +1298,7 @@ KC_K = 8  # centers
 
 def _kc_sql() -> str:
     """Unrolled greedy rounds: center 0 = MIN(vec_id); each round
-    picks argmax over points of min ROUND(d2, 6) to the chosen set,
+    picks argmax over points of min (FLOOR(CAST(d2 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) to the chosen set,
     tie-broken by vec_id. d2 = |a|^2 + |b|^2 - 2<a,b> with
     precomputed norms; dots come from one element-grain hash join
     per round (the q98 pattern), every stage MATERIALIZED so the
@@ -1317,7 +1317,7 @@ def _kc_sql() -> str:
     ),
     mind{r} AS MATERIALIZED (
       SELECT d.vec_id,
-             MIN(ROUND(ne.n2 + nc.n2 - 2 * d.dot, 6)) AS md
+             MIN((FLOOR(CAST(ne.n2 + nc.n2 - 2 * d.dot AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)) AS md
       FROM dots{r} d
       JOIN n2s ne ON ne.vec_id = d.vec_id
       JOIN n2s nc ON nc.vec_id = d.c_id
@@ -1354,7 +1354,7 @@ def _kc_sql() -> str:
     {",".join(rounds)}
     SELECT CAST(round_idx AS BIGINT) AS round_idx,
            vec_id AS center_id,
-           ROUND(md, 6) AS sel_min_d2
+           (FLOOR(CAST(md AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS sel_min_d2
     FROM (
       SELECT 0 AS round_idx, vec_id, CAST(NULL AS DOUBLE) AS md
       FROM centers0
@@ -1421,7 +1421,7 @@ def q392_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("ce"),
             F.col("n2").alias("cn2"),
         )
-        d2 = F.round(
+        d2 = dround(
             F.col("n2") + F.col("cn2") - 2 * dot_double("embedding", "ce"),
             6,
         )
@@ -1451,7 +1451,7 @@ def q392_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             pick.select(
                 F.lit(r).cast("bigint").alias("round_idx"),
                 F.col("vec_id").alias("center_id"),
-                F.round("md", 6).alias("sel_min_d2"),
+                dround("md", 6).alias("sel_min_d2"),
             )
         )
         chosen = chosen.unionByName(pick.select("vec_id"))

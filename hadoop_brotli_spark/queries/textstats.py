@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import fan_out, t
+from ._util import dround, fan_out, t
 
 STOPWORDS = ("the", "a", "of", "and")
 PROFILE_K = 20  # trigrams per language profile
@@ -67,10 +67,8 @@ def q80_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.doc_id, d.lang, s.n_tokens,
            CAST(s.n_stop AS DOUBLE) / s.n_tokens AS stopword_ratio,
-           ROUND(
-             LEAST(1.0, s.n_tokens / 100.0)
-             * (1.0 - CAST(s.n_stop AS DOUBLE) / s.n_tokens), 6
-           ) AS quality_score
+           (FLOOR(CAST(LEAST(1.0, s.n_tokens / 100.0)
+             * (1.0 - CAST(s.n_stop AS DOUBLE) / s.n_tokens) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS quality_score
     FROM stats s JOIN documents d ON d.doc_id = s.doc_id
     """,
 )
@@ -87,7 +85,7 @@ def q81_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("word").isin(*STOPWORDS), 1).otherwise(0)).alias("n_stop"),
     )
     stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
-    score = F.round(
+    score = dround(
         F.least(F.lit(1.0), F.col("n_tokens") / 100.0) * (1.0 - stop_ratio), 6
     )
     return (
@@ -336,7 +334,7 @@ def q86_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(n AS BIGINT) AS n_chars_total,
-           ROUND(log2(n) - s / n, 4) AS char_entropy
+           (FLOOR(CAST(log2(n) - s / n AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS char_entropy
     FROM agg
     """,
 )
@@ -365,7 +363,7 @@ def q87_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("n").cast("bigint").alias("n_chars_total"),
-            F.round(F.log2("n") - F.col("s") / F.col("n"), 4).alias("char_entropy"),
+            dround(F.log2("n") - F.col("s") / F.col("n"), 4).alias("char_entropy"),
         )
     )
 
@@ -538,7 +536,7 @@ def q176_filter_rule_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM src
     )
     SELECT source, n_docs, n_chars,
-           ROUND(raw_w / SUM(raw_w) OVER (), 6) AS mix_weight
+           (FLOOR(CAST(raw_w / SUM(raw_w) OVER () AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mix_weight
     FROM w
     """,
 )
@@ -565,7 +563,7 @@ def q181_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_chars",
-        F.round(
+        dround(
             F.col("raw_w") / F.sum("raw_w").over(W.partitionBy()), 6
         ).alias("mix_weight"),
     )
@@ -703,7 +701,7 @@ def q184_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                / n_chars AS es_key
       FROM documents
     )
-    SELECT doc_id, source, n_chars, ROUND(es_key, 9) AS es_key
+    SELECT doc_id, source, n_chars, (FLOOR(CAST(es_key AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS es_key
     FROM keyed
     ORDER BY es_key ASC, doc_id ASC
     LIMIT 20
@@ -735,7 +733,7 @@ def q188_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("es_key").asc(), F.col("doc_id").asc())
         .limit(20)
         .select(
-            "doc_id", "source", "n_chars", F.round("es_key", 9).alias("es_key")
+            "doc_id", "source", "n_chars", dround("es_key", 9).alias("es_key")
         )
     )
 
@@ -1012,7 +1010,7 @@ LM_TRAIN_LT = 8
     )
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
-           ROUND(-SUM(lp) / COUNT(*), 4) AS avg_neg_logprob
+           (FLOOR(CAST(-SUM(lp) / COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_neg_logprob
     FROM scored GROUP BY doc_id
     """,
 )
@@ -1093,7 +1091,7 @@ def q236_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(-F.sum("lp") / F.count(F.lit(1)), 4).alias("avg_neg_logprob"),
+        dround(-F.sum("lp") / F.count(F.lit(1)), 4).alias("avg_neg_logprob"),
     )
 
 
@@ -1149,12 +1147,12 @@ def _sql_has(col: str, marker: str) -> str:
            CAST(SUM({_sql_has('t', _ZWSP)}) AS BIGINT) AS n_zero_width,
            CAST(SUM({_sql_has('t', _MOJI)}) AS BIGINT) AS n_mojibake,
            CAST(SUM({_sql_has('t', _CTRL)}) AS BIGINT) AS n_control,
-           ROUND(CAST(SUM(CASE WHEN {_sql_has('t', _REPL)} = 0
+           (FLOOR(CAST(CAST(SUM(CASE WHEN {_sql_has('t', _REPL)} = 0
                             AND {_sql_has('t', _NBSP)} = 0
                             AND {_sql_has('t', _ZWSP)} = 0
                             AND {_sql_has('t', _MOJI)} = 0
                             AND {_sql_has('t', _CTRL)} = 0
-                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS clean_rate
     FROM planted GROUP BY source
     """,
@@ -1198,7 +1196,7 @@ def q345_text_health_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(has(_ZWSP)).cast("bigint").alias("n_zero_width"),
         F.sum(has(_MOJI)).cast("bigint").alias("n_mojibake"),
         F.sum(has(_CTRL)).cast("bigint").alias("n_control"),
-        F.round(
+        dround(
             F.sum(F.when(dirty == 0, 1).otherwise(0)).cast("double")
             / F.count(F.lit(1)),
             6,
@@ -1250,8 +1248,8 @@ PAD_BUCKETS = 4
       SELECT * FROM per_bucket UNION ALL SELECT * FROM global_strat
     )
     SELECT strategy, bucket, n_docs, pad_to, useful_tokens, padded_tokens,
-           ROUND(CAST(padded_tokens AS DOUBLE)
-                 / (useful_tokens + padded_tokens), 6) AS waste_rate
+           (FLOOR(CAST(CAST(padded_tokens AS DOUBLE)
+                 / (useful_tokens + padded_tokens) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS waste_rate
     FROM both_s
     """,
 )
@@ -1310,7 +1308,7 @@ def q346_padding_waste_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both_s.select(
         "strategy", "bucket", "n_docs", "pad_to", "useful_tokens",
         "padded_tokens",
-        F.round(
+        dround(
             F.col("padded_tokens").cast("double")
             / (F.col("useful_tokens") + F.col("padded_tokens")),
             6,
@@ -1327,7 +1325,7 @@ RAKE_TOPK = 15
 
 def _dsum9(col):
     """Order-independent sum of grid-rounded doubles (q357 idiom)."""
-    return F.sum(F.round(col, 9).cast("decimal(38,9)")).cast("double")
+    return F.sum(dround(col, 9).cast("decimal(38,9)")).cast("double")
 
 
 @register(
@@ -1363,8 +1361,8 @@ def _dsum9(col):
     ),
     pscore AS (
       SELECT dp.phrase, dp.n_occurrences,
-             ROUND(CAST(SUM(CAST(ROUND(CAST(ws.deg AS DOUBLE) / ws.freq, 9)
-                                 AS DECIMAL(38,9))) AS DOUBLE), 6) AS score
+             (FLOOR(CAST(CAST(SUM(CAST((FLOOR(CAST(CAST(ws.deg AS DOUBLE) / ws.freq AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0)
+                                 AS DECIMAL(38,9))) AS DOUBLE) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS score
       FROM distinct_phrases dp,
            UNNEST(string_split(dp.phrase, ' ')) AS u(pw)
       JOIN wstats ws ON ws.w = u.pw
@@ -1442,7 +1440,7 @@ def q360_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("phrase", "n_occurrences")
         .agg(
-            F.round(
+            dround(
                 _dsum9(F.col("deg").cast("double") / F.col("freq")), 6
             ).alias("score")
         )
@@ -1520,17 +1518,16 @@ KN_D = 0.75  # absolute discount (exact in binary)
     ),
     lps AS (
       SELECT doc_id, oov,
-             ROUND(ln(CASE WHEN p > 0 THEN p
+             (FLOOR(CAST(ln(CASE WHEN p > 0 THEN p
                            ELSE 1.0 / ((SELECT t FROM tt)
-                                       + (SELECT v FROM vv) + 1) END),
-                   9) AS lp
+                                       + (SELECT v FROM vv) + 1) END) AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS lp
       FROM probs
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(-CAST(SUM(CAST(lp AS DECIMAL(38,9))) AS DOUBLE)
-                 / COUNT(*), 4) AS avg_neg_logprob,
-           ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_share
+           (FLOOR(CAST(-CAST(SUM(CAST(lp AS DECIMAL(38,9))) AS DOUBLE)
+                 / COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_neg_logprob,
+           (FLOOR(CAST(CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS oov_share
     FROM lps GROUP BY doc_id
     """,
 )
@@ -1608,7 +1605,7 @@ def q361_kneser_ney_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("c1")
         + (F.lit(KN_D) * F.col("n1p_fwd") / F.col("c1")) * pcont,
     ).otherwise(pcont)
-    lp = F.round(
+    lp = dround(
         F.log(
             F.when(p > 0, p).otherwise(
                 F.lit(1.0) / (F.col("t") + F.col("v") + 1)
@@ -1634,12 +1631,12 @@ def q361_kneser_ney_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-        F.round(
+        dround(
             -F.sum(F.col("lp").cast("decimal(38,9)")).cast("double")
             / F.count(F.lit(1)),
             4,
         ).alias("avg_neg_logprob"),
-        F.round(
+        dround(
             F.sum("oov").cast("double") / F.count(F.lit(1)), 6
         ).alias("oov_share"),
     )
@@ -1698,11 +1695,11 @@ GOPHER_DUP3_MAX = 0.15
       FROM tri GROUP BY doc_id
     )
     SELECT b.doc_id, b.n_tok AS n_tokens,
-           ROUND(1.0 - CAST(u.n_distinct AS DOUBLE) / u.n, 6)
+           (FLOOR(CAST(1.0 - CAST(u.n_distinct AS DOUBLE) / u.n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS dup_word_frac,
-           ROUND(COALESCE(t2.top2_chars, 0) / CAST(b.n_char AS DOUBLE), 6)
+           (FLOOR(CAST(COALESCE(t2.top2_chars, 0) / CAST(b.n_char AS DOUBLE) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS top2gram_char_frac,
-           ROUND(COALESCE(d3.dup3_chars, 0) / CAST(b.n_char AS DOUBLE), 6)
+           (FLOOR(CAST(COALESCE(d3.dup3_chars, 0) / CAST(b.n_char AS DOUBLE) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
              AS dup3gram_char_frac,
            CAST(CASE WHEN COALESCE(t2.top2_chars, 0)
                           / CAST(b.n_char AS DOUBLE) > {GOPHER_TOP2_MAX!r}
@@ -1809,13 +1806,13 @@ def q363_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("n_tok").alias("n_tokens"),
-            F.round(
+            dround(
                 1.0 - F.col("n_distinct").cast("double") / F.col("n"), 6
             ).alias("dup_word_frac"),
-            F.round(t2c / F.col("n_char").cast("double"), 6).alias(
+            dround(t2c / F.col("n_char").cast("double"), 6).alias(
                 "top2gram_char_frac"
             ),
-            F.round(d3c / F.col("n_char").cast("double"), 6).alias(
+            dround(d3c / F.col("n_char").cast("double"), 6).alias(
                 "dup3gram_char_frac"
             ),
             F.when(

@@ -296,6 +296,53 @@ def test_q253_window_hashing_precedes_shuffle(spark, sf_dir):
     assert "HashAggregate" in plan
 
 
+def test_q504_bucket_cap_plans_window_group_limit(spark, sf_dir):
+    """r9 verdict task 3: the suffix-sort bucket cap must plan as
+    WindowGroupLimit (Partial + Final), so a hot boilerplate prefix
+    is pre-limited to SUF_CAP rows per map task BEFORE the exchange —
+    the scale guard for the one previously-unbounded window task.
+    SUF_CAP must also stay at or under Spark's
+    spark.sql.window.group.limit.threshold (default 1000) or the rule
+    silently stops firing."""
+    from hadoop_brotli_spark.queries.round8 import SUF_CAP
+
+    threshold = int(
+        spark.conf.get("spark.sql.window.group.limit.threshold", "1000")
+    )
+    assert SUF_CAP <= threshold
+    plan = plans.executed_plan(q(spark, sf_dir, "q504_suffix_lcp_repeats"))
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_q504_fixture_buckets_below_cap(spark, sf_dir):
+    """The cap is a scale guard, not a fixture semantic: at test SFs
+    every 12-char suffix bucket must stay under SUF_CAP (measured 110
+    at sf0.01 / 868 at sf0.1 when pinned), so the oracle comparison
+    covers the FULL uncapped semantics. If the fixtures ever grow a
+    hotter bucket, this fails and the cap contract needs re-auditing
+    (recall-vs-bound trade becomes live on the test surface)."""
+    from hadoop_brotli_spark.queries.round8 import SUF_B, SUF_CAP, SUF_K, SUF_MIN
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    suf = docs.filter(F.length("text") >= SUF_MIN).select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - "
+                f"{SUF_MIN - 1}, 0)), i -> substring(text, i, {SUF_K}))"
+            )
+        ).alias("s")
+    )
+    worst = (
+        suf.groupBy(F.substring("s", 1, SUF_B).alias("b"))
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert worst <= SUF_CAP, f"hot bucket {worst} > cap {SUF_CAP}"
+
+
 # --------------------------------------------------------------------------
 # r3 verdict task 9: pinned exchange budgets for the bench surface.
 # A future edit that adds a shuffle to a headline/depth query should
