@@ -295,14 +295,18 @@ class BroStreamReader(DataSourceStreamReader):
       offsets are deterministic (exactly-once with a checkpointed
       sink).
     - **In-flight files are deferred, not fatal.** ``latestOffset``
-      probes each candidate: a framed BRO2 file is ready when its
-      footer parses (magic + index crc — a half-written file fails
-      the probe and is retried next trigger); a legacy v1 file is
-      ready once its mtime is older than ``bro.stream.settle-ms``
-      (default 200, writers bump mtime on every write). The watermark
-      only advances to the largest ready key that is *below every
-      not-ready key*, so a slow writer can never be skipped by a
-      faster neighbor.
+      probes each candidate: every file must first be older than
+      ``bro.stream.settle-ms`` (default 200, writers bump mtime on
+      every write, publishers on publish), and a framed BRO2 file is
+      additionally ready only when its footer parses (magic + index
+      crc — a half-written file fails the probe and is retried next
+      trigger). The watermark only advances to the largest ready key
+      that is *below every not-ready key*, so a slow writer cannot be
+      skipped by a faster neighbor, and the settle window covers the
+      utime-to-rename gap of a concurrent publisher (gaps longer
+      than settle-ms — a publisher pausing mid-publish — would
+      reopen the race; keep settle-ms above any realistic pause, or
+      use a single publisher per directory).
 
     Publish contract (the sinks in this module follow it): write to a
     temp name, bump mtime to publish time (``os.utime``), then
@@ -345,10 +349,20 @@ class BroStreamReader(DataSourceStreamReader):
                 "bro.stream.clean-source must be off|delete|archive, got "
                 f"{self.clean_source!r}"
             )
-        self.archive_dir = options.get(
-            "bro.stream.archive-dir",
-            os.path.join(self.path, "_archive") if self.path else "",
-        )
+        self.archive_dir = options.get("bro.stream.archive-dir", "")
+        if not self.archive_dir:
+            # The default <path>/_archive only makes sense when path
+            # is a plain directory: for a glob pattern it would name
+            # a literal '*.bro/_archive' directory that the glob can
+            # then rediscover as a candidate (r9 — ADVICE). Require
+            # an explicit archive-dir for pattern paths.
+            if self.clean_source == "archive" and glob.has_magic(self.path):
+                raise ValueError(
+                    "bro.stream.archive-dir must be set explicitly when "
+                    "path is a glob pattern (the <path>/_archive default "
+                    "would live inside the pattern)"
+                )
+            self.archive_dir = os.path.join(self.path, "_archive")
         self._wm: list | None = None  # driver-side monotonic cache
 
     def _floor(self, *offsets: dict) -> None:
@@ -365,16 +379,27 @@ class BroStreamReader(DataSourceStreamReader):
         return {"wm": [-1, ""]}
 
     def _ready(self, path: str, now_ns: int) -> bool:
+        # The settle window applies to BRO2 candidates too (r9 —
+        # ADVICE): footer-only readiness left a race with MULTIPLE
+        # independent publishers in one directory — between one
+        # writer's utime and its os.replace, a concurrent poll could
+        # see a later-keyed neighbor as ready and advance the
+        # watermark past the not-yet-visible key. Deferring every
+        # candidate for settle-ms after its publish-time mtime closes
+        # any utime->replace gap shorter than the window (default
+        # 200 ms for two steps of the same syscall sequence).
+        try:
+            if now_ns - os.stat(path).st_mtime_ns < self.settle_ns:
+                return False
+        except OSError:
+            return False
         if is_bro2_file(path):
             try:
                 read_bro2_index(path)
                 return True
             except (BroCorruptError, OSError, ValueError, struct.error):
                 return False  # footer not landed yet — retry next poll
-        try:
-            return now_ns - os.stat(path).st_mtime_ns >= self.settle_ns
-        except OSError:
-            return False
+        return True
 
     def latestOffset(self) -> dict:
         import time

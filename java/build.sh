@@ -20,7 +20,12 @@ classes="$out/classes"
 if [ -n "$HADOOP_CLASSPATH" ]; then
   cp="$HADOOP_CLASSPATH"
 else
-  cp="$(python - <<'EOF'
+  # many systems ship only python3 (r9 — ADVICE)
+  py="$(command -v python3 || command -v python)" || {
+    echo "no HADOOP_CLASSPATH and no python to locate pyspark jars" >&2
+    exit 1
+  }
+  cp="$("$py" - <<'EOF'
 import glob, os, sys
 try:
     import pyspark

@@ -61,12 +61,23 @@ def test_query_surface_has_no_classic_only_calls():
     for path in sorted(glob.glob(os.path.join(QUERY_DIR, "*.py"))):
         rel = os.path.basename(path)
         tree = ast.parse(open(path).read())
+        # the exemption is fan_out's guarded fallback site ONLY — a
+        # classic-only call anywhere else in _util.py must still trip
+        # the gate (r9 — ADVICE: the old file-wide exemption hid them)
+        exempt_spans: list[tuple[int, int]] = []
+        if rel == "_util.py":
+            for fn in ast.walk(tree):
+                if (
+                    isinstance(fn, ast.FunctionDef)
+                    and fn.name == "fan_out"
+                ):
+                    exempt_spans.append((fn.lineno, fn.end_lineno))
         for node in ast.walk(tree):
             if not isinstance(node, ast.Attribute):
                 continue
             if node.attr in ("sparkContext", "rdd"):
-                if rel == "_util.py":
-                    continue  # fan_out's guarded fallback site
+                if any(a <= node.lineno <= b for a, b in exempt_spans):
+                    continue
                 offenders.append(f"{rel}:{node.lineno} .{node.attr}")
     assert not offenders, (
         "classic-only API outside _util.fan_out — these break Spark "
