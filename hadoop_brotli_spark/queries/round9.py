@@ -1,0 +1,683 @@
+"""Round-9 operators (q513+): incremental MinHash index maintenance
+(the update-rule certificate for q62's LSH dedup — what a streaming
+ingest pipeline runs per batch instead of re-sketching the corpus),
+an HNSW-style layered-graph index build audit (the graph member of
+the ANN shelf beside q71 LSH / q74 IVF / q343 PQ), and a shuffle-free
+two-table AMS join-size estimator (the cross-table composition of
+q400's F2 self-join sketch, feeding q431's CBO advisor).
+
+Conventions: exact integer arithmetic until a final division,
+dround/sql_dround grids at output boundaries (never bare ROUND —
+tests/test_round_census.py), NULLIF guards for ANSI division, no
+unpartitioned window over a corpus-bound grain, every per-bucket
+fan-in capped by a shared deterministic spec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import dround, sql_dround, t
+from .dedup import MAX_LSH_BUCKET, N_BANDS, _signatures, _sql_shingles
+from .similarity import dot_double, norm_double
+
+# ---------------------------------------------------------------------------
+# q513 incremental MinHash index maintenance
+
+INC_DELTA_HEX = "0123"  # md5 first-nibble in this set -> delta doc (1/4)
+
+
+def _sql_is_delta(col: str) -> str:
+    return (
+        f"strpos('{INC_DELTA_HEX}', substr(md5(CAST({col} AS VARCHAR)"
+        f" || '_inc'), 1, 1)) > 0"
+    )
+
+
+def _is_delta(col: str) -> F.Column:
+    return F.substring(
+        F.md5(F.concat(F.col(col).cast("string"), F.lit("_inc"))), 1, 1
+    ).isin(*list(INC_DELTA_HEX))
+
+
+@register(
+    "q513_incremental_minhash",
+    category="llm-corpus-pipeline",
+    oracle=f"""
+    WITH {_sql_shingles(3)},
+    hashed AS (SELECT doc_id, md5(shingle) AS h1 FROM sh),
+    sig AS (
+      SELECT doc_id,
+        {", ".join(
+            f"MIN(CAST('0x' || substr(h1, {i * 4 + 1}, 4) AS BIGINT)) AS h{i}"
+            for i in range(8))}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band,"
+          f" h{2 * b} * 65536 + h{2 * b + 1} AS bkey,"
+          f" {_sql_is_delta('doc_id')} AS is_delta FROM sig"
+          for b in range(N_BANDS))}
+    ),
+    bsz AS (
+      SELECT band, bkey, COUNT(*) AS n,
+             SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS n_delta
+      FROM bands GROUP BY band, bkey
+    ),
+    live AS (
+      SELECT band, bkey, n, n_delta FROM bsz
+      WHERE n BETWEEN 2 AND {MAX_LSH_BUCKET}
+    ),
+    -- route 1 (incremental update rule): join the DELTA band keys
+    -- against the full bucket index; a pair is new iff either side
+    -- is a delta doc
+    inc AS (
+      SELECT DISTINCT d.band,
+             LEAST(d.doc_id, o.doc_id) AS doc_a,
+             GREATEST(d.doc_id, o.doc_id) AS doc_b
+      FROM bands d
+      JOIN bands o ON o.band = d.band AND o.bkey = d.bkey
+                  AND o.doc_id <> d.doc_id
+      JOIN live s ON s.band = d.band AND s.bkey = d.bkey
+      WHERE d.is_delta
+    ),
+    -- route 2 (full recompute): every in-cap collision pair, then
+    -- restricted to delta-involving
+    full_pairs AS (
+      SELECT a.band, a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON b.band = a.band AND b.bkey = a.bkey
+                  AND a.doc_id < b.doc_id
+      JOIN live s ON s.band = a.band AND s.bkey = a.bkey
+      WHERE {_sql_is_delta('a.doc_id')} OR {_sql_is_delta('b.doc_id')}
+    ),
+    per_band AS (
+      SELECT b.band,
+             CAST(COUNT(DISTINCT CASE WHEN l.n_delta > 0
+                                      THEN l.bkey END) AS BIGINT)
+               AS touched_buckets,
+             CAST(COALESCE((SELECT COUNT(*) FROM inc i
+                            WHERE i.band = b.band), 0) AS BIGINT)
+               AS inc_pairs,
+             CAST(COALESCE((SELECT COUNT(*) FROM full_pairs f
+                            WHERE f.band = b.band), 0) AS BIGINT)
+               AS full_pairs
+      FROM (SELECT DISTINCT band FROM bands) b
+      LEFT JOIN live l ON l.band = b.band
+      GROUP BY b.band
+    )
+    SELECT band, touched_buckets, inc_pairs, full_pairs,
+           inc_pairs = full_pairs AS rule_exact
+    FROM per_band
+    """,
+)
+def q513_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash/LSH index maintenance audit — the update
+    rule a streaming dedup pipeline runs per ingest batch: new (delta)
+    documents sketch THEMSELVES only, join their band keys against
+    the standing bucket index, and emit candidate pairs touching a
+    delta doc. Certified per band against the full recompute (q62's
+    bucket-collect route restricted to delta-involving pairs):
+    ``rule_exact`` must read true everywhere, proving the incremental
+    rule loses nothing — the streaming twin of q62 (delta split is a
+    deterministic md5 quarter of doc_ids).
+
+    Determinism: bands/buckets are q62's shared integer spec (16-bit
+    md5-chunk minhashes, 32-bit band keys, combined-size cap
+    {MAX_LSH_BUCKET}); delta membership is a pure hash of doc_id, so
+    both engines and both routes see identical sets.
+
+    Scale: the incremental route is the point — per batch it is
+    O(delta shingles) sketch work plus one join of delta band keys
+    against a bucket-keyed index (uniform 32-bit keys, no skew), with
+    the same bucket cap bounding any degenerate collision group. The
+    full-recompute route exists only as the audit's reference side.
+    Spark computes it via the q62 bucket-collect (one shuffle, pairs
+    emitted JVM-side from capped buckets) rather than the oracle's
+    self-join — route diversity is what makes the certificate real.
+    """
+    sig = _signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.col(f"h{2 * b}") * F.lit(1 << 16)
+                            + F.col(f"h{2 * b + 1}")
+                        ).alias("bkey"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id", "bk.band", "bk.bkey", _is_delta("doc_id").alias("is_delta")
+    )
+    wb = Window.partitionBy("band", "bkey")
+    sized = bands.withColumn(
+        "n", F.count(F.lit(1)).over(wb)
+    ).withColumn(
+        "n_delta", F.sum(F.col("is_delta").cast("int")).over(wb)
+    )
+    live = sized.filter(
+        (F.col("n") >= 2) & (F.col("n") <= MAX_LSH_BUCKET)
+    )
+    # route 1: incremental update rule — delta rows joined back to
+    # their (band, bkey) bucket members
+    delta_side = live.filter("is_delta").select(
+        "band", "bkey", F.col("doc_id").alias("d")
+    )
+    inc = (
+        delta_side.join(
+            live.select("band", "bkey", F.col("doc_id").alias("o")),
+            ["band", "bkey"],
+        )
+        .filter(F.col("o") != F.col("d"))
+        .select(
+            "band",
+            F.least("d", "o").alias("doc_a"),
+            F.greatest("d", "o").alias("doc_b"),
+        )
+        .distinct()
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inc_pairs"))
+    )
+    # route 2: full recompute via the q62 bucket-collect shape (pairs
+    # emitted from each capped bucket's sorted doc list), then the
+    # delta-involving restriction as a pure hash of the pair ids
+    buckets = (
+        live.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+    )
+    full = (
+        buckets.select(
+            "band",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p"),
+        )
+        .select("band", "p.doc_a", "p.doc_b")
+        .filter(_is_delta("doc_a") | _is_delta("doc_b"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("full_pairs"))
+    )
+    touched = (
+        live.filter(F.col("n_delta") > 0)
+        .select("band", "bkey")
+        .distinct()
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("touched_buckets"))
+    )
+    base = bands.select("band").distinct()
+    return (
+        base.join(touched, "band", "left")
+        .join(inc, "band", "left")
+        .join(full, "band", "left")
+        .select(
+            "band",
+            F.coalesce("touched_buckets", F.lit(0)).cast("bigint").alias(
+                "touched_buckets"
+            ),
+            F.coalesce("inc_pairs", F.lit(0)).cast("bigint").alias("inc_pairs"),
+            F.coalesce("full_pairs", F.lit(0)).cast("bigint").alias(
+                "full_pairs"
+            ),
+            (
+                F.coalesce("inc_pairs", F.lit(0))
+                == F.coalesce("full_pairs", F.lit(0))
+            ).alias("rule_exact"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q514 HNSW-style layered-graph index build audit
+
+HNSW_MAX_LAYER = 4  # geometric layer cap (p = 1/2 per level, M = 2 style)
+HNSW_M = 4  # out-degree target per node per layer
+HNSW_BUCKET_BITS = 3  # sign-LSH buckets bounding candidate sets (8)
+HNSW_BUCKET_CAP = 100  # audited members per (layer, bucket), md5 order
+
+
+def _sql_hnsw_layer(col: str) -> str:
+    # trailing-zero bits of a 32-bit md5 hash -> geometric levels
+    h = (
+        f"CAST('0x' || substr(md5(CAST({col} AS VARCHAR) || '_hnsw'),"
+        f" 1, 8) AS BIGINT)"
+    )
+    return (
+        f"CASE WHEN {h} % 2 = 1 THEN 0 WHEN {h} % 4 = 2 THEN 1"
+        f" WHEN {h} % 8 = 4 THEN 2 WHEN {h} % 16 = 8 THEN 3"
+        f" ELSE {HNSW_MAX_LAYER} END"
+    )
+
+
+def _hnsw_layer(col: str) -> F.Column:
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(col).cast("string"), F.lit("_hnsw"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        F.when(h % 2 == 1, 0)
+        .when(h % 4 == 2, 1)
+        .when(h % 8 == 4, 2)
+        .when(h % 16 == 8, 3)
+        .otherwise(HNSW_MAX_LAYER)
+    )
+
+
+def _sql_hnsw_bucket() -> str:
+    cases = ", ".join(
+        f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(HNSW_BUCKET_BITS)
+    )
+    return f"CONCAT({cases})"
+
+
+@register(
+    "q514_hnsw_layer_audit",
+    category="similarity-search",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             {_sql_hnsw_layer('vec_id')} AS node_layer,
+             {_sql_hnsw_bucket()} AS bucket
+      FROM embeddings
+    ),
+    member AS (
+      -- node participates in every layer l <= its node_layer
+      SELECT l.l AS layer, vec_id, embedding, node_layer, bucket
+      FROM v, UNNEST(range(0, {HNSW_MAX_LAYER} + 1)) l(l)
+      WHERE l.l <= node_layer
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT layer, vec_id, embedding, node_layer, bucket,
+               ROW_NUMBER() OVER (
+                 PARTITION BY layer, bucket
+                 ORDER BY CAST('0x' || substr(md5(
+                     CAST(vec_id AS VARCHAR) || ':' ||
+                     CAST(layer AS VARCHAR)), 1, 7) AS BIGINT), vec_id
+               ) AS crk
+        FROM member)
+      WHERE crk <= {HNSW_BUCKET_CAP}
+    ),
+    zipped AS (
+      -- parallel UNNEST zips positionally (the q70 convention)
+      SELECT a.layer, a.vec_id AS u, b.vec_id AS cand,
+             b.node_layer AS cand_layer,
+             CAST(UNNEST(a.embedding) AS DOUBLE) AS x,
+             CAST(UNNEST(b.embedding) AS DOUBLE) AS y
+      FROM capped a
+      JOIN capped b ON b.layer = a.layer AND b.bucket = a.bucket
+                   AND b.vec_id <> a.vec_id
+    ),
+    dots AS (
+      SELECT layer, u, cand, cand_layer,
+             SUM(x * y) AS dot,
+             SQRT(SUM(x * x)) AS na,
+             SQRT(SUM(y * y)) AS nb
+      FROM zipped
+      GROUP BY layer, u, cand, cand_layer
+    ),
+    ranked AS (
+      SELECT layer, u, cand, cand_layer,
+             ROW_NUMBER() OVER (
+               PARTITION BY layer, u
+               ORDER BY {sql_dround("dot / (na * nb)", 6)} DESC, cand ASC
+             ) AS rn
+      FROM dots
+    ),
+    nbr AS (
+      SELECT layer, u,
+             COUNT(*) AS deg,
+             MAX(CASE WHEN cand_layer > layer THEN 1 ELSE 0 END) AS esc
+      FROM ranked WHERE rn <= {HNSW_M}
+      GROUP BY layer, u
+    ),
+    per_layer AS (
+      SELECT c.layer,
+             CAST(COUNT(*) AS BIGINT) AS n_audited,
+             CAST(SUM(CASE WHEN n.deg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_isolated,
+             CAST(SUM(COALESCE(n.deg, 0)) AS BIGINT) AS total_deg,
+             CAST(SUM(CASE WHEN COALESCE(n.esc, 0) = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_escape
+      FROM capped c
+      LEFT JOIN nbr n ON n.layer = c.layer AND n.u = c.vec_id
+      GROUP BY c.layer
+    )
+    SELECT layer, n_audited, n_isolated,
+           {sql_dround("CAST(total_deg AS DOUBLE) / n_audited", 6)}
+             AS avg_degree,
+           {sql_dround(
+               "CAST(n_escape AS DOUBLE) / NULLIF(n_audited - n_isolated, 0)",
+               6)} AS escape_rate
+    FROM per_layer
+    ORDER BY layer
+    """,
+)
+def q514_hnsw_layer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW-style layered ANN graph build audit (Malkov & Yashunin
+    2018): assign every vector a geometric layer (trailing-zero bits
+    of an id hash — the deterministic stand-in for HNSW's
+    floor(-ln(U)·mL) draw), build each layer's neighbor lists as
+    cosine top-{HNSW_M} within sign-LSH buckets among nodes of that
+    layer and above, and report the three properties a navigable
+    hierarchy needs: geometric layer occupancy, healthy out-degree,
+    and a nonzero ESCAPE RATE (neighbors reaching a higher layer —
+    what greedy search descends through). The graph member of the ANN
+    shelf beside q71 (LSH), q74 (IVF), q343 (PQ); a real HNSW build
+    is sequential-insert, this is the order-free bulk variant whose
+    metrics upper-bound what the sequential build can achieve.
+
+    Determinism: layers and the per-bucket audit cap are pure md5
+    functions of vec_id; cosine ranks are dround-6 grid values with
+    vec_id tie-breaks.
+
+    Scale: candidate generation is bucket-local (2^{HNSW_BUCKET_BITS}
+    sign buckets) AND capped at {HNSW_BUCKET_CAP} audited members per
+    (layer, bucket) by a deterministic md5 order — the q62/q504
+    shared-spec cap — so pair work is O(layers · buckets · cap²) with
+    a WindowGroupLimit pre-limit, never corpus². Layer membership
+    fans out at most {HNSW_MAX_LAYER + 1}x but decays geometrically
+    (E[copies per node] < 2).
+    """
+    from .similarity import sign_bucket
+
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _hnsw_layer("vec_id").alias("node_layer"),
+        sign_bucket("embedding", HNSW_BUCKET_BITS).alias("bucket"),
+    )
+    member = v.select(
+        F.explode(
+            F.sequence(F.lit(0), F.col("node_layer"))
+        ).alias("layer"),
+        "vec_id",
+        "embedding",
+        "node_layer",
+        "bucket",
+    )
+    crk_key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("vec_id").cast("string"),
+                    F.lit(":"),
+                    F.col("layer").cast("string"),
+                )
+            ),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    wcap = Window.partitionBy("layer", "bucket").orderBy(crk_key, "vec_id")
+    capped = (
+        member.withColumn("crk", F.row_number().over(wcap))
+        .filter(F.col("crk") <= HNSW_BUCKET_CAP)
+        .drop("crk")
+    )
+    a = capped.select(
+        "layer",
+        "bucket",
+        F.col("vec_id").alias("u"),
+        F.col("embedding").alias("ea"),
+    ).withColumn("na", norm_double("ea"))
+    b = capped.select(
+        "layer",
+        "bucket",
+        F.col("vec_id").alias("cand"),
+        F.col("node_layer").alias("cand_layer"),
+        F.col("embedding").alias("eb"),
+    ).withColumn("nb", norm_double("eb"))
+    pairs = a.join(b, ["layer", "bucket"]).filter(F.col("cand") != F.col("u"))
+    cosine = dround(dot_double("ea", "eb") / (F.col("na") * F.col("nb")), 6)
+    wr = Window.partitionBy("layer", "u").orderBy(
+        cosine.desc(), F.col("cand").asc()
+    )
+    nbr = (
+        pairs.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= HNSW_M)
+        .groupBy("layer", "u")
+        .agg(
+            F.count(F.lit(1)).alias("deg"),
+            F.max(
+                (F.col("cand_layer") > F.col("layer")).cast("int")
+            ).alias("esc"),
+        )
+        .select(
+            F.col("layer").alias("nlayer"),
+            F.col("u").alias("nu"),
+            "deg",
+            "esc",
+        )
+    )
+    per_layer = (
+        capped.join(
+            nbr,
+            (F.col("nlayer") == F.col("layer"))
+            & (F.col("nu") == F.col("vec_id")),
+            "left",
+        )
+        .select(
+            F.col("layer").alias("l"),
+            "deg",
+            "esc",
+        )
+        .groupBy("l")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_audited"),
+            F.sum(F.when(F.col("deg").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_isolated"),
+            F.sum(F.coalesce("deg", F.lit(0))).cast("bigint").alias(
+                "total_deg"
+            ),
+            F.sum(F.when(F.coalesce("esc", F.lit(0)) == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_escape"),
+        )
+    )
+    return (
+        per_layer.select(
+            F.col("l").alias("layer"),
+            "n_audited",
+            "n_isolated",
+            dround(
+                F.col("total_deg").cast("double") / F.col("n_audited"), 6
+            ).alias("avg_degree"),
+            dround(
+                F.col("n_escape").cast("double")
+                / F.nullif(
+                    (F.col("n_audited") - F.col("n_isolated")).cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("escape_rate"),
+        )
+        .orderBy("layer")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q515 shuffle-free two-table AMS join-size estimator
+
+JS_EST = 32  # ±1-sign estimators, one md5 nibble each
+JS_GROUPS = 4  # median-of-means groups (8 estimators each)
+
+
+def _js_sign_sql(col: str, e: int) -> str:
+    return (
+        f"CASE WHEN strpos('89abcdef', substr(md5(CAST({col} AS VARCHAR)"
+        f" || '_js'), {e + 1}, 1)) > 0 THEN 1 ELSE -1 END"
+    )
+
+
+@register(
+    "q515_join_size_ams",
+    category="mixed-extensions",
+    oracle=f"""
+    WITH co AS (
+      SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1
+    ),
+    cl AS (
+      SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1
+    ),
+    sa AS (
+      SELECT
+        {", ".join(f"SUM(({_js_sign_sql('k', e)}) * c) AS a{e}"
+                   for e in range(JS_EST))},
+        COUNT(*) AS keys_a, SUM(c) AS rows_a
+      FROM co
+    ),
+    sb AS (
+      SELECT
+        {", ".join(f"SUM(({_js_sign_sql('k', e)}) * c) AS b{e}"
+                   for e in range(JS_EST))},
+        COUNT(*) AS keys_b, SUM(c) AS rows_b
+      FROM cl
+    ),
+    exact AS (
+      SELECT SUM(co.c * cl.c) AS join_exact
+      FROM co JOIN cl ON cl.k = co.k
+    ),
+    means AS (
+      SELECT keys_a, rows_a, keys_b, rows_b,
+        {", ".join(
+            "(" + " + ".join(f"a{g * 8 + i} * b{g * 8 + i}" for i in range(8))
+            + f") / 8.0 AS g{g}" for g in range(JS_GROUPS))}
+      FROM sa, sb
+    ),
+    med AS (
+      SELECT keys_a, rows_a, keys_b, rows_b,
+             LIST_SORT([g0, g1, g2, g3]) AS gs
+      FROM means
+    )
+    SELECT CAST((SELECT join_exact FROM exact) AS BIGINT) AS join_exact,
+           {sql_dround("(gs[2] + gs[3]) / 2.0", 4)} AS join_est,
+           {sql_dround(
+               "((gs[2] + gs[3]) / 2.0"
+               " - (SELECT join_exact FROM exact))"
+               " / (SELECT join_exact FROM exact)", 6)} AS rel_err,
+           CAST(keys_a AS BIGINT) AS keys_a,
+           CAST(rows_a AS BIGINT) AS rows_a,
+           CAST(keys_b AS BIGINT) AS keys_b,
+           CAST(rows_b AS BIGINT) AS rows_b
+    FROM med
+    """,
+)
+def q515_join_size_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free two-table join-size estimator: |orders ⋈ lineitem
+    on orderkey| from paired AMS ±1-sign sketches — E[S_e(A)·S_e(B)]
+    is exactly the inner product Σ_k c_A(k)·c_B(k) = the join
+    cardinality (Alon-Gibbons-Matias-Szegedy 1999, the join-size
+    extension of q400's F2 self-join sketch). Median of {JS_GROUPS}
+    means of 8 estimators; certified against the exact join size in
+    the same row. This is the statistic q431's CBO advisor needs
+    BEFORE choosing shuffle-vs-broadcast: two independent single-table
+    sketch scans replace the join it is trying to plan.
+
+    Determinism: signs are md5-nibble functions of the key under a
+    shared salt, counters and their products are exact integers; only
+    the group means and the final median/relative-error rows divide,
+    on the dround grid.
+
+    Scale/mergeability: each side's sketch is 32 plain SUMs over a
+    key-count aggregate — map-side partials, a 256-byte final state,
+    NO cross-table shuffle anywhere in the estimate path (the exact
+    side exists only as the certificate). Sketches of disjoint ingest
+    shards merge by addition, so the estimator also serves streaming
+    ingest without recomputation.
+    """
+    co = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cl = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    h = F.md5(F.concat(F.col("k").cast("string"), F.lit("_js")))
+    signs = [
+        F.when(
+            F.substring(h, e + 1, 1).isin(*list("89abcdef")), F.lit(1)
+        ).otherwise(F.lit(-1))
+        for e in range(JS_EST)
+    ]
+    sa = co.agg(
+        *[F.sum(signs[e] * F.col("c")).alias(f"a{e}") for e in range(JS_EST)],
+        F.count(F.lit(1)).alias("keys_a"),
+        F.sum("c").alias("rows_a"),
+    )
+    sb = cl.agg(
+        *[F.sum(signs[e] * F.col("c")).alias(f"b{e}") for e in range(JS_EST)],
+        F.count(F.lit(1)).alias("keys_b"),
+        F.sum("c").alias("rows_b"),
+    )
+    exact = (
+        co.join(cl.select(F.col("k"), F.col("c").alias("c2")), "k")
+        .agg(F.sum(F.col("c") * F.col("c2")).alias("join_exact"))
+    )
+    gmeans = [
+        (
+            sum(
+                F.col(f"a{g * 8 + i}") * F.col(f"b{g * 8 + i}")
+                for i in range(8)
+            )
+            / F.lit(8.0)
+        ).alias(f"g{g}")
+        for g in range(JS_GROUPS)
+    ]
+    med = (
+        sa.crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "join_exact",
+            "keys_a",
+            "rows_a",
+            "keys_b",
+            "rows_b",
+            *gmeans,
+        )
+        .select(
+            "join_exact",
+            "keys_a",
+            "rows_a",
+            "keys_b",
+            "rows_b",
+            F.array_sort(
+                F.array(*[F.col(f"g{g}") for g in range(JS_GROUPS)])
+            ).alias("gs"),
+        )
+    )
+    est = (F.col("gs")[1] + F.col("gs")[2]) / F.lit(2.0)
+    return med.select(
+        F.col("join_exact").cast("bigint").alias("join_exact"),
+        dround(est, 4).alias("join_est"),
+        dround(
+            (est - F.col("join_exact")) / F.col("join_exact"), 6
+        ).alias("rel_err"),
+        F.col("keys_a").cast("bigint").alias("keys_a"),
+        F.col("rows_a").cast("bigint").alias("rows_a"),
+        F.col("keys_b").cast("bigint").alias("keys_b"),
+        F.col("rows_b").cast("bigint").alias("rows_b"),
+    )

@@ -103,6 +103,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         round6,
         round7,
         round8,
+        round9,
         similarity,
         textstats,
         tpch_more,
