@@ -339,6 +339,10 @@ def _dist_symbol(distance: int) -> tuple[int, int, int]:
 #     keeps the lowest index.
 
 _DICT_QUALITY = 5
+# One-position lazy matching from this quality up (r9): defer an LZ
+# match when position+1 has a strictly longer candidate. Quality 7
+# mirrors libbrotli's own greedy->lazy handoff point.
+_LAZY_QUALITY = 7
 
 _dict_index_cache: tuple[dict[bytes, int], set[bytes]] | None = None
 
@@ -372,7 +376,11 @@ def _is_alnum(b: int) -> bool:
 
 
 def _lz_parse(
-    data: bytes, max_dist: int, base_pos: int = 0, use_dict: bool = False
+    data: bytes,
+    max_dist: int,
+    base_pos: int = 0,
+    use_dict: bool = False,
+    lazy: bool = False,
 ) -> list[tuple[int, int, int, int]]:
     """Greedy LZ77: [(lit_start, lit_end, copy_len, distance), ...].
     The final command may be insert-only (copy_len 0).  Matches are
@@ -381,7 +389,14 @@ def _lz_parse(
     With ``use_dict``, static-dictionary matches STRICTLY longer than
     the LZ candidate are emitted as beyond-window distances
     (``base_pos`` = stream bytes before ``data``, needed because the
-    decoder's max_dist is a stream-wide position)."""
+    decoder's max_dist is a stream-wide position).  With ``lazy``
+    (quality >= {_LAZY_QUALITY}), a one-position lookahead defers an
+    LZ match when the NEXT position's last-table candidate extends
+    strictly longer (zlib-style lazy matching, r9) — the deferred
+    byte joins the literal run and the longer match wins. The probe
+    reads the table only (the current key was already recorded), so
+    the JVM parse mirrors it BYTE-IDENTICALLY (change both or
+    neither)."""
     n = len(data)
     cmds: list[tuple[int, int, int, int]] = []
     table: dict[bytes, int] = {}
@@ -404,6 +419,7 @@ def _lz_parse(
             and key in dprefixes
         ):
             lmax = min(24, n - pos)
+            dict_hit = False
             for length in range(lmax, max(4, m + 1) - 1, -1):
                 idx = dwords.get(data[pos : pos + length])
                 if idx is not None:
@@ -411,16 +427,23 @@ def _lz_parse(
                     cmds.append((lit_start, pos, length, d))
                     pos += length
                     lit_start = pos
+                    dict_hit = True
                     break
-            else:
-                if m:
-                    cmds.append((lit_start, pos, m, pos - cand))
-                    pos += m
-                    lit_start = pos
-                else:
-                    pos += 1
-            continue
+            if dict_hit:
+                continue
         if m:
+            if lazy and pos + 5 <= n:
+                cand2 = table.get(data[pos + 1 : pos + 5])
+                if cand2 is not None and pos + 1 - cand2 <= max_dist:
+                    m2 = 4
+                    while (
+                        pos + 1 + m2 < n
+                        and data[cand2 + m2] == data[pos + 1 + m2]
+                    ):
+                        m2 += 1
+                    if m2 > m:
+                        pos += 1  # defer: byte becomes a literal
+                        continue
             cmds.append((lit_start, pos, m, pos - cand))
             pos += m
             lit_start = pos
@@ -445,7 +468,11 @@ def _encode_metablock(
         cmds = [(0, mlen, 0, 0)]
     else:
         cmds = _lz_parse(
-            chunk, _MAX_DIST, base_pos, use_dict=quality >= _DICT_QUALITY
+            chunk,
+            _MAX_DIST,
+            base_pos,
+            use_dict=quality >= _DICT_QUALITY,
+            lazy=quality >= _LAZY_QUALITY,
         )
 
     # --- gather symbol statistics ------------------------------------

@@ -355,6 +355,10 @@ final class BroHuffman {
   // indices for duplicated dictionary words.
 
   static final int DICT_QUALITY = 5;
+  // one-position lazy matching from this quality up (r9; mirrors
+  // brotli_encoder._LAZY_QUALITY byte-identically — change both or
+  // neither)
+  static final int LAZY_QUALITY = 7;
 
   private static java.util.HashMap<String, Integer> dictWords;
   private static java.util.HashSet<Integer> dictPrefixes;
@@ -391,7 +395,7 @@ final class BroHuffman {
 
   static java.util.List<int[]> lzParse(byte[] data, int off, int n,
       int maxDist) {
-    return lzParse(data, off, n, maxDist, 0L, false);
+    return lzParse(data, off, n, maxDist, 0L, false, false);
   }
 
   /** Greedy LZ77 parse (port of brotli_encoder._lz_parse): commands
@@ -400,9 +404,13 @@ final class BroHuffman {
    *  final command may be insert-only (copyLen 0). With useDict,
    *  static-dictionary matches STRICTLY longer than the LZ candidate
    *  emit beyond-window distances (basePos = stream bytes before this
-   *  chunk — the decoder's max distance is stream-wide). */
+   *  chunk — the decoder's max distance is stream-wide). With lazy
+   *  (quality >= LAZY_QUALITY), a one-position lookahead defers an
+   *  LZ match when the next position's candidate extends strictly
+   *  longer — byte-identical to the Python parse (change both or
+   *  neither). */
   static java.util.List<int[]> lzParse(byte[] data, int off, int n,
-      int maxDist, long basePos, boolean useDict) {
+      int maxDist, long basePos, boolean useDict, boolean lazy) {
     if (useDict) ensureDictIndex();
     java.util.List<int[]> cmds = new java.util.ArrayList<>();
     java.util.HashMap<Integer, Integer> table = new java.util.HashMap<>();
@@ -421,9 +429,10 @@ final class BroHuffman {
           m++;
         }
       }
-      if (useDict
+      boolean dictBranch = useDict
           && (pos == 0 || !isAlnum(data[off + pos - 1] & 0xFF))
-          && dictPrefixes.contains(key)) {
+          && dictPrefixes.contains(key);
+      if (dictBranch) {
         int lmax = Math.min(24, n - pos);
         boolean emitted = false;
         for (int length = lmax; length >= Math.max(4, m + 1); length--) {
@@ -438,18 +447,27 @@ final class BroHuffman {
             break;
           }
         }
-        if (!emitted) {
-          if (m != 0) {
-            cmds.add(new int[] {litStart, pos, m, pos - cand});
-            pos += m;
-            litStart = pos;
-          } else {
-            pos++;
-          }
-        }
-        continue;
+        if (emitted) continue;
       }
       if (m != 0) {
+        if (lazy && pos + 5 <= n) {
+          int key2 = ((data[off + pos + 1] & 0xFF) << 24)
+              | ((data[off + pos + 2] & 0xFF) << 16)
+              | ((data[off + pos + 3] & 0xFF) << 8)
+              | (data[off + pos + 4] & 0xFF);
+          Integer cand2 = table.get(key2); // peek only
+          if (cand2 != null && pos + 1 - cand2 <= maxDist) {
+            int m2 = 4;
+            while (pos + 1 + m2 < n
+                && data[off + cand2 + m2] == data[off + pos + 1 + m2]) {
+              m2++;
+            }
+            if (m2 > m) {
+              pos++; // defer: byte becomes a literal
+              continue;
+            }
+          }
+        }
         cmds.add(new int[] {litStart, pos, m, pos - cand});
         pos += m;
         litStart = pos;
@@ -497,7 +515,7 @@ final class BroHuffman {
     java.util.List<int[]> cmds = quality <= 0
         ? java.util.Collections.singletonList(new int[] {0, mlen, 0, 0})
         : lzParse(chunk, off, mlen, MAX_DIST, basePos,
-            quality >= DICT_QUALITY);
+            quality >= DICT_QUALITY, quality >= LAZY_QUALITY);
 
     long[] litFreqs = new long[256];
     long[] cmdFreqs = new long[704];
