@@ -295,18 +295,24 @@ class BroStreamReader(DataSourceStreamReader):
       offsets are deterministic (exactly-once with a checkpointed
       sink).
     - **In-flight files are deferred, not fatal.** ``latestOffset``
-      probes each candidate: every file must first be older than
-      ``bro.stream.settle-ms`` (default 200, writers bump mtime on
-      every write, publishers on publish), and a framed BRO2 file is
-      additionally ready only when its footer parses (magic + index
-      crc — a half-written file fails the probe and is retried next
-      trigger). The watermark only advances to the largest ready key
-      that is *below every not-ready key*, so a slow writer cannot be
-      skipped by a faster neighbor, and the settle window covers the
-      utime-to-rename gap of a concurrent publisher (gaps longer
-      than settle-ms — a publisher pausing mid-publish — would
-      reopen the race; keep settle-ms above any realistic pause, or
-      use a single publisher per directory).
+      probes each candidate: a framed BRO2 file is ready when its
+      footer parses (magic + index crc — a half-written file fails
+      the probe and is retried next trigger); a legacy v1 file is
+      ready once its mtime is older than ``bro.stream.settle-ms``
+      (default 200, writers bump mtime on every write). The watermark
+      only advances to the largest ready key that is *below every
+      not-ready key*, so a slow writer cannot be skipped by a faster
+      neighbor — GIVEN one publisher per directory (next point).
+    - **One publisher per directory (r9).** The no-skip guarantee
+      assumes a single publisher process per directory: this module's
+      sinks bump each file's mtime immediately before its own rename
+      and after every earlier rename, so a key can never predate its
+      visibility. With two INDEPENDENT publishers, a poll landing in
+      one publisher's utime-to-rename gap could advance the watermark
+      past the other's not-yet-visible key and skip it. Run multiple
+      writers into separate directories (a glob path reads them all),
+      or accept that a concurrent publisher must keep its
+      utime-to-rename gap shorter than the poll interval.
 
     Publish contract (the sinks in this module follow it): write to a
     temp name, bump mtime to publish time (``os.utime``), then
@@ -379,27 +385,26 @@ class BroStreamReader(DataSourceStreamReader):
         return {"wm": [-1, ""]}
 
     def _ready(self, path: str, now_ns: int) -> bool:
-        # The settle window applies to BRO2 candidates too (r9 —
-        # ADVICE): footer-only readiness left a race with MULTIPLE
-        # independent publishers in one directory — between one
-        # writer's utime and its os.replace, a concurrent poll could
-        # see a later-keyed neighbor as ready and advance the
-        # watermark past the not-yet-visible key. Deferring every
-        # candidate for settle-ms after its publish-time mtime closes
-        # any utime->replace gap shorter than the window (default
-        # 200 ms for two steps of the same syscall sequence).
-        try:
-            if now_ns - os.stat(path).st_mtime_ns < self.settle_ns:
-                return False
-        except OSError:
-            return False
+        # BRO2 candidates are admitted the moment their footer parses
+        # — no settle wait — so raising bro.stream.settle-ms for slow
+        # legacy writers never delays framed ingest. The cost is a
+        # single-publisher-per-directory assumption (r9 — ADVICE):
+        # with TWO independent publishers, a poll landing inside one
+        # publisher's utime->os.replace gap could see the other's
+        # later-keyed file as ready and advance the watermark past
+        # the not-yet-visible key. One publisher is safe by loop
+        # ordering (each file's mtime bump precedes its own rename
+        # and follows every earlier rename); see the class docstring.
         if is_bro2_file(path):
             try:
                 read_bro2_index(path)
                 return True
             except (BroCorruptError, OSError, ValueError, struct.error):
                 return False  # footer not landed yet — retry next poll
-        return True
+        try:
+            return now_ns - os.stat(path).st_mtime_ns >= self.settle_ns
+        except OSError:
+            return False
 
     def latestOffset(self) -> dict:
         import time

@@ -128,6 +128,10 @@ AUDITED_SITES = {
     ("queries/round8.py", "q511_heaps_law_fit", "ckpts"),
     ("queries/round8.py", "q511_heaps_law_fit", "final"),
     ("queries/round8.py", "q512_partition_skew_advisor", "tot"),
+    # r9: two 1-row sketch/certificate aggregates (32 sign counters
+    # each; the exact join size is one row)
+    ("queries/round9.py", "q515_join_size_ams", "sb"),
+    ("queries/round9.py", "q515_join_size_ams", "exact"),
     ("queries/round6.py", "q490_cochran_q", "gs"),
     ("queries/round6.py", "q490_cochran_q", "k"),
     ("queries/round6.py", "q491_friedman_test", "k"),
