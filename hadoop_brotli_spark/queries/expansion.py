@@ -2626,7 +2626,13 @@ def q414_twohop_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: regs1 is |V|×64 integers; the 2-hop merge joins the edge
     list to it once — no |V|² pair materialization anywhere; the
-    exact side exists to certify and is itself degree-capped.
+    exact side exists to certify and is itself degree-capped. The
+    symmetrized edge list is localCheckpoint'ed (non-eager, r9):
+    three consumers (frontier, 2-hop probe, sketch parts) otherwise
+    each recompute the capped self-join + distinct, and the 25-
+    exchange composite replans them data-dependently — the q378
+    precedent. Idle sf0.1 min-of-5 7.6 -> 4.5 s; the remaining
+    run-to-run band is AQE/GC, not plan shape (BASELINE.md r9).
     """
     bip = (
         t(spark, sf_dir, "lineitem")
@@ -2668,7 +2674,7 @@ def q414_twohop_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sym = edges.unionAll(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    ).localCheckpoint(eager=False)
     front = sym.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
         sym.select(F.col("a").alias("v"), F.col("a").alias("u")).distinct()
     )
