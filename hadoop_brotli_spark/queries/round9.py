@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import dround, sql_dround, t
+from ._util import dround, fan_out, sql_dround, t
 from .dedup import MAX_LSH_BUCKET, N_BANDS, _signatures, _sql_shingles
 from .similarity import dot_double, norm_double
 
@@ -680,4 +680,518 @@ def q515_join_size_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rows_a").cast("bigint").alias("rows_a"),
         F.col("keys_b").cast("bigint").alias("keys_b"),
         F.col("rows_b").cast("bigint").alias("rows_b"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q516 weighted MinHash (tf-replicated) fuzzy dedup audit
+
+WMH_TF_CAP = 4  # replicate each word min(tf, cap) times (integer CWS)
+WMH_BUCKET_CAP = 64  # LSH bucket skew guard (q62 shared spec)
+
+
+@register(
+    "q516_weighted_minhash",
+    category="llm-corpus-pipeline",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w,
+             LEAST(CAST(COUNT(*) AS BIGINT), {WMH_TF_CAP}) AS c
+      FROM words GROUP BY doc_id, w
+    ),
+    rep AS (
+      SELECT doc_id, md5(w || '#' || CAST(r.i AS VARCHAR)) AS h1
+      FROM tf, UNNEST(range(1, c + 1)) r(i)
+    ),
+    sig AS (
+      SELECT doc_id,
+        {", ".join(
+            f"MIN(CAST('0x' || substr(h1, {i * 4 + 1}, 4) AS BIGINT)) AS h{i}"
+            for i in range(8))}
+      FROM rep GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band,"
+          f" h{2 * b} * 65536 + h{2 * b + 1} AS bkey FROM sig"
+          for b in range(4))}
+    ),
+    bsz AS (
+      SELECT band, bkey, COUNT(*) AS n FROM bands GROUP BY band, bkey
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON b.band = a.band AND b.bkey = a.bkey
+                  AND a.doc_id < b.doc_id
+      JOIN bsz s ON s.band = a.band AND s.bkey = a.bkey
+                AND s.n BETWEEN 2 AND {WMH_BUCKET_CAP}
+    ),
+    est AS (
+      SELECT p.doc_a, p.doc_b,
+             {" + ".join(
+                 f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+                 for i in range(8))} AS n_match
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b
+    ),
+    ta AS (
+      SELECT p.doc_a, p.doc_b, f.w, f.c AS ca
+      FROM pairs p JOIN tf f ON f.doc_id = p.doc_a
+    ),
+    tb AS (
+      SELECT p.doc_a, p.doc_b, f.w, f.c AS cb
+      FROM pairs p JOIN tf f ON f.doc_id = p.doc_b
+    ),
+    overlap AS (
+      SELECT COALESCE(ta.doc_a, tb.doc_a) AS doc_a,
+             COALESCE(ta.doc_b, tb.doc_b) AS doc_b,
+             CAST(SUM(LEAST(COALESCE(ca, 0), COALESCE(cb, 0)))
+                  AS BIGINT) AS s_min,
+             CAST(SUM(GREATEST(COALESCE(ca, 0), COALESCE(cb, 0)))
+                  AS BIGINT) AS s_max
+      FROM ta FULL JOIN tb
+        ON tb.doc_a = ta.doc_a AND tb.doc_b = ta.doc_b AND tb.w = ta.w
+      GROUP BY 1, 2
+    )
+    SELECT e.doc_a, e.doc_b,
+           CAST(e.n_match AS BIGINT) AS n_match,
+           {sql_dround("e.n_match / 8.0", 6)} AS est_sim,
+           {sql_dround(
+               "CAST(o.s_min AS DOUBLE) / NULLIF(o.s_max, 0)", 6)}
+             AS exact_wjacc
+    FROM est e JOIN overlap o
+      ON o.doc_a = e.doc_a AND o.doc_b = e.doc_b
+    """,
+)
+def q516_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (tf-sensitive) MinHash near-dup audit: each word is
+    replicated min(tf, {WMH_TF_CAP}) times before hashing, so the
+    signature estimates the WEIGHTED Jaccard
+    sum(min(tf_a, tf_b)) / sum(max(tf_a, tf_b)) — integer consistent
+    weighted sampling, the tf-aware upgrade of q62's set-semantics
+    MinHash (a doc repeating one template line 50 times looks very
+    different from one mentioning it once; set Jaccard cannot see
+    that). Candidate pairs come from the same banding spec as q62
+    (2x16-bit band keys, bucket cap {WMH_BUCKET_CAP}), and every pair
+    reports the signature estimate BESIDE the exact capped weighted
+    Jaccard — the calibration certificate (q508 shape).
+
+    Determinism: hashes are md5(word#i) chunks (shared spec), the
+    estimate n_match/8 lands on the exact eighth grid, the exact
+    ratio is an integer ratio on the dround grid.
+
+    Scale: replication multiplies the word stream by at most
+    {WMH_TF_CAP}; signatures are one HashAggregate; pair generation
+    is the capped-bucket collect (never corpus^2); the exact side
+    joins tf vectors only for CANDIDATE pairs (bucket-capped), each
+    pair's work bounded by its two docs' vocabularies.
+    """
+    words = (
+        fan_out(t(spark, sf_dir, "documents").select("doc_id", "text"))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    )
+    tf = words.groupBy("doc_id", "w").agg(
+        F.least(F.count(F.lit(1)).cast("bigint"), F.lit(WMH_TF_CAP)).alias(
+            "c"
+        )
+    )
+    rep = tf.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(1), F.col("c"))).alias("i"),
+    ).select(
+        "doc_id",
+        F.md5(
+            F.concat(F.col("w"), F.lit("#"), F.col("i").cast("string"))
+        ).alias("h1"),
+    )
+    sig = rep.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(F.substring("h1", i * 4 + 1, 4), 16, 10).cast("long")
+            ).alias(f"h{i}")
+            for i in range(8)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.col(f"h{2 * b}") * F.lit(1 << 16)
+                            + F.col(f"h{2 * b + 1}")
+                        ).alias("bkey"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+    bn = F.count(F.lit(1)).over(Window.partitionBy("band", "bkey"))
+    buckets = (
+        bands.withColumn("bn", bn)
+        .filter((F.col("bn") >= 2) & (F.col("bn") <= WMH_BUCKET_CAP))
+        .groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(8)],
+    )
+    est = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            sum(
+                F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+                for i in range(8)
+            ).alias("n_match"),
+        )
+    )
+    ta = pairs.join(
+        tf.select(F.col("doc_id").alias("doc_a"), "w", F.col("c").alias("ca")),
+        "doc_a",
+    )
+    tb = pairs.join(
+        tf.select(F.col("doc_id").alias("doc_b"), "w", F.col("c").alias("cb")),
+        "doc_b",
+    )
+    overlap = (
+        ta.join(tb, ["doc_a", "doc_b", "w"], "full")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.least(F.coalesce("ca", F.lit(0)), F.coalesce("cb", F.lit(0)))
+            )
+            .cast("bigint")
+            .alias("s_min"),
+            F.sum(
+                F.greatest(
+                    F.coalesce("ca", F.lit(0)), F.coalesce("cb", F.lit(0))
+                )
+            )
+            .cast("bigint")
+            .alias("s_max"),
+        )
+    )
+    return est.join(overlap, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_match").cast("bigint").alias("n_match"),
+        dround(F.col("n_match") / 8.0, 6).alias("est_sim"),
+        dround(
+            F.col("s_min").cast("double")
+            / F.nullif(F.col("s_max").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("exact_wjacc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q517 sample-based distinct-count estimation (the ANALYZE statistic)
+
+GEE_HEX = "0123"  # row sample: md5 first nibble in this set (q = 1/4)
+GEE_Q = 0.25
+
+
+@register(
+    "q517_sample_distinct_gee",
+    category="mixed-extensions",
+    oracle=f"""
+    WITH rows_s AS (
+      SELECT l_partkey,
+             strpos('{GEE_HEX}', substr(md5(
+                 CAST(l_orderkey AS VARCHAR) || ':' ||
+                 CAST(l_linenumber AS VARCHAR)), 1, 1)) > 0 AS picked
+      FROM lineitem
+    ),
+    samp AS (
+      SELECT l_partkey, COUNT(*) AS c FROM rows_s
+      WHERE picked GROUP BY l_partkey
+    ),
+    sstats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+             CAST(SUM(c) AS BIGINT) AS n_sampled
+      FROM samp
+    ),
+    ex AS (
+      SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS d_exact,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem
+    )
+    SELECT ex.d_exact, ex.n_rows, s.n_sampled, s.d, s.f1, s.f2,
+           {sql_dround(
+               f"SQRT(1.0 / {GEE_Q!r}) * s.f1 + (s.d - s.f1)", 4)}
+             AS est_gee,
+           {sql_dround(
+               "s.d + (CAST(s.f1 AS DOUBLE) * s.f1)"
+               " / NULLIF(2.0 * s.f2, 0)", 4)} AS est_chao1,
+           {sql_dround(
+               f"(SQRT(1.0 / {GEE_Q!r}) * s.f1 + (s.d - s.f1)"
+               " - ex.d_exact) / ex.d_exact", 6)} AS gee_rel_err
+    FROM sstats s, ex
+    """,
+)
+def q517_sample_distinct_gee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-based distinct-count estimation — the statistic ANALYZE
+    computes when a full scan is too expensive: a deterministic
+    Bernoulli row sample (hash of the row key, q = {GEE_Q}), sample
+    frequency-of-frequencies (d, f1, f2), then the GEE estimator
+    sqrt(1/q)*f1 + (d - f1) (Charikar et al. 2000, within their
+    sqrt(1/q) ratio-error guarantee) and Chao1 d + f1^2/(2 f2)
+    beside the exact distinct count. Completes the cardinality shelf:
+    q229/q246 (HLL, full-scan sketch), q271 (KMV), q400/q515 (AMS
+    moments) estimate from FULL passes — this is the only member that
+    reads a FRACTION of the data, the trade a CBO actually faces.
+
+    Determinism: sample membership is a pure row-key hash; d/f1/f2
+    are exact integers; the two estimates and the relative error are
+    dround-grid outputs of identical double expressions.
+
+    Scale: the sampled aggregate touches q of the rows; both
+    frequency tables are one HashAggregate each; everything after is
+    one row. The exact side exists as the certificate.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    picked = F.substring(
+        F.md5(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        1,
+        1,
+    ).isin(*list(GEE_HEX))
+    samp = (
+        fan_out(li.select("l_orderkey", "l_linenumber", "l_partkey"))
+        .filter(picked)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sstats = samp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+        F.sum("c").cast("bigint").alias("n_sampled"),
+    )
+    ex = li.agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("d_exact"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    gee = (
+        F.lit(float(1.0 / GEE_Q) ** 0.5) * F.col("f1")
+        + (F.col("d") - F.col("f1"))
+    )
+    return (
+        sstats.crossJoin(F.broadcast(ex))
+        .select(
+            "d_exact",
+            "n_rows",
+            "n_sampled",
+            "d",
+            "f1",
+            "f2",
+            dround(gee, 4).alias("est_gee"),
+            dround(
+                F.col("d")
+                + (F.col("f1").cast("double") * F.col("f1"))
+                / F.nullif(2.0 * F.col("f2"), F.lit(0.0)),
+                4,
+            ).alias("est_chao1"),
+            dround(
+                (gee - F.col("d_exact")) / F.col("d_exact"), 6
+            ).alias("gee_rel_err"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q518 mergeable top-k heavy-hitter summaries (SpaceSaving-style bounds)
+
+SS_K = 12  # per-shard summary keeps the top-SS_K items
+SS_SHARDS = 4  # deterministic hash shards (stand-ins for ingest shards)
+SS_TOP = 10  # merged report rows
+
+
+@register(
+    "q518_topk_summary_merge",
+    category="mixed-extensions",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_partkey % 997 AS item,
+             CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+                 || '_ss'), 1, 7) AS BIGINT) % {SS_SHARDS} AS shard
+      FROM lineitem
+    ),
+    shard_counts AS (
+      SELECT shard, item, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY shard, item
+    ),
+    ranked AS (
+      SELECT shard, item, c,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY c DESC, item ASC) AS rk
+      FROM shard_counts
+    ),
+    summar AS (SELECT shard, item, c FROM ranked WHERE rk <= {SS_K}),
+    bound AS (
+      -- per-shard residual bound: the largest DROPPED count (0 if
+      -- nothing dropped) — an absent item's shard count is <= this
+      SELECT r.shard,
+             COALESCE(MAX(CASE WHEN r.rk > {SS_K} THEN r.c END), 0) AS b
+      FROM ranked r GROUP BY r.shard
+    ),
+    cand AS (SELECT DISTINCT item FROM summar),
+    merged AS (
+      SELECT cand.item,
+             CAST(SUM(COALESCE(s.c, 0)) AS BIGINT) AS lower_b,
+             CAST(SUM(COALESCE(s.c, bound.b)) AS BIGINT) AS upper_b
+      FROM cand
+      CROSS JOIN bound
+      LEFT JOIN summar s ON s.shard = bound.shard AND s.item = cand.item
+      GROUP BY cand.item
+    ),
+    exact AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS c_exact
+      FROM base GROUP BY item
+    ),
+    report AS (
+      SELECT m.item, m.lower_b, m.upper_b, e.c_exact,
+             e.c_exact BETWEEN m.lower_b AND m.upper_b AS within_bounds,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY m.lower_b DESC, m.item ASC) AS BIGINT) AS rn
+      FROM merged m JOIN exact e ON e.item = m.item
+    )
+    SELECT item, lower_b, upper_b, c_exact, within_bounds, rn
+    FROM report WHERE rn <= {SS_TOP}
+    """,
+)
+def q518_topk_summary_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable top-k heavy-hitter summaries with deterministic error
+    bounds (the Agarwal et al. "Mergeable Summaries" shape of
+    SpaceSaving): each of {SS_SHARDS} hash shards keeps only its top
+    {SS_K} item counts plus one residual bound (the largest count it
+    dropped); merging sums present counts (lower bound) and
+    substitutes the shard bound for absent items (upper bound). The
+    certificate: the exact global count of every reported item must
+    lie within [lower, upper]. This is how heavy hitters are actually
+    computed at 100 TB — shards ship k+1 numbers each, never their
+    full frequency tables — and the error interval is carried
+    explicitly instead of hoped about (the mergeable-bounds
+    complement of q79 exact / q202 approx_top_k / q219 CMS).
+
+    Determinism: shard assignment is an md5 of the row key; per-shard
+    ranks break count ties by item; bounds and merges are pure
+    integers end to end — no doubles anywhere.
+
+    Scale: per-shard summaries are rank-filtered top-k
+    (WindowGroupLimit pre-limit per map task); the merge joins
+    {SS_SHARDS} x {SS_K} summary rows against {SS_SHARDS} bound rows
+    — constant-size no matter the corpus. The exact side exists as
+    the certificate.
+    """
+    base = fan_out(
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ).select(
+        (F.col("l_partkey") % 997).alias("item"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("l_orderkey").cast("string"), F.lit("_ss")
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % SS_SHARDS
+        ).alias("shard"),
+    )
+    shard_counts = base.groupBy("shard", "item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ranked = shard_counts.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("shard").orderBy(
+                F.col("c").desc(), F.col("item").asc()
+            )
+        ),
+    )
+    summar = ranked.filter(F.col("rk") <= SS_K).select("shard", "item", "c")
+    bound = ranked.groupBy("shard").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") > SS_K, F.col("c"))), F.lit(0)
+        ).alias("b")
+    )
+    cand = summar.select("item").distinct()
+    merged = (
+        cand.crossJoin(F.broadcast(bound))
+        .join(F.broadcast(summar), ["shard", "item"], "left")
+        .groupBy("item")
+        .agg(
+            F.sum(F.coalesce("c", F.lit(0))).cast("bigint").alias("lower_b"),
+            F.sum(F.coalesce(F.col("c"), F.col("b")))
+            .cast("bigint")
+            .alias("upper_b"),
+        )
+    )
+    exact = base.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_exact")
+    )
+    wr = Window.orderBy(F.col("lower_b").desc(), F.col("item").asc())
+    return (
+        merged.join(exact, "item")
+        .select(
+            "item",
+            "lower_b",
+            "upper_b",
+            "c_exact",
+            (
+                (F.col("c_exact") >= F.col("lower_b"))
+                & (F.col("c_exact") <= F.col("upper_b"))
+            ).alias("within_bounds"),
+            F.row_number().over(wr).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= SS_TOP)
     )

@@ -132,6 +132,11 @@ AUDITED_SITES = {
     # each; the exact join size is one row)
     ("queries/round9.py", "q515_join_size_ams", "sb"),
     ("queries/round9.py", "q515_join_size_ams", "exact"),
+    # r9: 1-row exact-distinct certificate; SS_SHARDS=4 bound rows;
+    # SS_SHARDS x SS_K = 48 summary rows
+    ("queries/round9.py", "q517_sample_distinct_gee", "ex"),
+    ("queries/round9.py", "q518_topk_summary_merge", "bound"),
+    ("queries/round9.py", "q518_topk_summary_merge", "summar"),
     ("queries/round6.py", "q490_cochran_q", "gs"),
     ("queries/round6.py", "q490_cochran_q", "k"),
     ("queries/round6.py", "q491_friedman_test", "k"),

@@ -127,6 +127,9 @@ AUDITED_WINDOW_SITES = {
     # r8: cumulative growth over the HEAPS_CKPTS=10-row checkpoint
     # grid (bounded by construction)
     ("queries/round8.py", "q511_heaps_law_fit", "orderBy"): 1,
+    # r9: final rank over the merged summary — at most
+    # SS_SHARDS x SS_K = 48 candidate rows (bounded by construction)
+    ("queries/round9.py", "q518_topk_summary_merge", "orderBy"): 1,
     ("queries/extras.py", "q202_approx_top_k", "orderBy"): 1,
     ("queries/extras.py", "q219_count_min_sketch", "orderBy"): 1,
     ("queries/extras.py", "q220_interval_bin_join", "orderBy"): 1,
