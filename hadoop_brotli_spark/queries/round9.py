@@ -1195,3 +1195,489 @@ def q518_topk_summary_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= SS_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# q519 portable Bloom filter with certified false-positive rate
+
+BF_M = 1024  # filter bits
+BF_K = 4  # hash functions = 3-hex-char md5 chunks mod m
+
+
+def _bf_bits_sql(col: str) -> str:
+    """The K bit positions of a key (DuckDB)."""
+    return ", ".join(
+        f"CAST('0x' || substr(md5(CAST({col} AS VARCHAR) || '_bf'),"
+        f" {h * 3 + 1}, 3) AS BIGINT) % {BF_M} AS bit{h}"
+        for h in range(BF_K)
+    )
+
+
+@register(
+    "q519_bloom_filter_fpr",
+    category="mixed-extensions",
+    oracle=f"""
+    WITH members AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+    ),
+    bits AS (
+      -- the built filter: the set of distinct bit positions
+      SELECT DISTINCT b.bit FROM (
+        SELECT {_bf_bits_sql('k')} FROM members
+      ) s, UNNEST([{", ".join(f"s.bit{h}" for h in range(BF_K))}]) b(bit)
+    ),
+    probes AS (
+      -- probe with keys OUTSIDE the member domain: customers with no
+      -- orders (true negatives by construction)
+      SELECT c.c_custkey AS k FROM customer c
+      ANTI JOIN members m ON m.k = c.c_custkey
+    ),
+    probe_bits AS (
+      SELECT k, UNNEST([{", ".join(f"bit{h}" for h in range(BF_K))}]) AS bit
+      FROM (SELECT k, {_bf_bits_sql('k')} FROM probes)
+    ),
+    hits AS (
+      SELECT p.k,
+             COUNT(DISTINCT CASE WHEN b.bit IS NOT NULL
+                                 THEN p.bit END) AS set_bits,
+             COUNT(DISTINCT p.bit) AS want_bits
+      FROM probe_bits p LEFT JOIN bits b ON b.bit = p.bit
+      GROUP BY p.k
+    ),
+    agg AS (
+      SELECT CAST((SELECT COUNT(*) FROM members) AS BIGINT) AS n_members,
+             CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS bits_set,
+             CAST(COUNT(*) AS BIGINT) AS n_probes,
+             CAST(SUM(CASE WHEN set_bits = want_bits
+                           THEN 1 ELSE 0 END) AS BIGINT) AS false_pos
+      FROM hits
+    )
+    SELECT n_members, bits_set, n_probes, false_pos,
+           {sql_dround("CAST(false_pos AS DOUBLE) / NULLIF(n_probes, 0)", 6)}
+             AS fpr_measured,
+           {sql_dround(
+               f"POW(CAST(bits_set AS DOUBLE) / {BF_M}, {BF_K})", 6)}
+             AS fpr_load_predicted
+    FROM agg
+    """,
+)
+def q519_bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter built and probed in-engine with a
+    CERTIFIED false-positive rate: member keys (customers with
+    orders) set {BF_K} md5-chunk bits each in an m={BF_M} filter;
+    probe keys are customers with NO orders (true negatives by
+    construction), so every all-bits-set probe is a measured false
+    positive. Reported beside the load-based prediction
+    (bits_set/m)^k — the exact expected FPR given the realized fill,
+    the check a join-pruning deployment (Spark's own runtime bloom
+    filters, q151) runs before trusting a filter size. Completes the
+    sketch shelf: CMS (q219) overcounts, HLL (q229) counts, KMV
+    (q271) samples, AMS (q400/q515) squares — Bloom answers
+    membership, and unlike the engine-native one its state here is a
+    plain bit-position table, byte-identical cross-engine.
+
+    Determinism: bit positions are md5-chunk mods of the key; the
+    filter is a distinct integer set; counts are exact; the two FPR
+    readouts are dround-grid outputs of identical expressions.
+
+    Scale: the filter build is one distinct over <= m integers
+    (constant-size state regardless of member cardinality — the
+    mergeable-by-OR property that makes Bloom filters shippable);
+    the probe is a broadcast-friendly join of probe bit rows against
+    the <= {BF_M}-row bit table.
+    """
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    members = orders.select(F.col("o_custkey").alias("k")).distinct()
+
+    def bf_bits(df: DataFrame) -> DataFrame:
+        h = F.md5(F.concat(F.col("k").cast("string"), F.lit("_bf")))
+        return df.select(
+            "k",
+            F.explode(
+                F.array(
+                    *[
+                        (
+                            F.conv(
+                                F.substring(h, i * 3 + 1, 3), 16, 10
+                            ).cast("bigint")
+                            % BF_M
+                        )
+                        for i in range(BF_K)
+                    ]
+                )
+            ).alias("bit"),
+        )
+
+    bits = bf_bits(members).select("bit").distinct()
+    probes = customer.select(F.col("c_custkey").alias("k")).join(
+        members, "k", "left_anti"
+    )
+    probe_bits = bf_bits(probes)
+    hits = (
+        probe_bits.join(
+            F.broadcast(bits.withColumn("present", F.lit(1))), "bit", "left"
+        )
+        .groupBy("k")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("present").isNotNull(), F.col("bit"))
+            ).alias("set_bits"),
+            F.count_distinct("bit").alias("want_bits"),
+        )
+    )
+    n_members = members.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    bits_set = bits.agg(F.count(F.lit(1)).cast("bigint").alias("bits_set"))
+    agg = hits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(
+            F.when(F.col("set_bits") == F.col("want_bits"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("false_pos"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(n_members))
+        .crossJoin(F.broadcast(bits_set))
+        .select(
+            "n_members",
+            "bits_set",
+            "n_probes",
+            "false_pos",
+            dround(
+                F.col("false_pos").cast("double")
+                / F.nullif(F.col("n_probes").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("fpr_measured"),
+            dround(
+                F.pow(
+                    F.col("bits_set").cast("double") / F.lit(float(BF_M)),
+                    F.lit(float(BF_K)),
+                ),
+                6,
+            ).alias("fpr_load_predicted"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q520 Merkle corpus-snapshot audit (incremental == full rebuild)
+
+MK_SHARDS = 16  # leaf shards (4 tree levels)
+
+
+@register(
+    "q520_merkle_snapshot_audit",
+    category="llm-corpus-pipeline",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_mk'),
+                  1, 7) AS BIGINT) % {MK_SHARDS} AS shard,
+             md5(text) AS dh,
+             {_sql_is_delta('doc_id')} AS is_delta
+      FROM documents
+    ),
+    leaves AS (
+      SELECT shard, md5(string_agg(dh, '' ORDER BY doc_id)) AS leaf,
+             CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_delta,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM docs GROUP BY shard
+    ),
+    spine AS (
+      SELECT s.s AS shard FROM UNNEST(range({MK_SHARDS})) s(s)
+    ),
+    l0 AS (
+      -- empty shards hash the empty string (both engines)
+      SELECT sp.shard, COALESCE(l.leaf, md5('')) AS h,
+             COALESCE(l.n_delta, 0) AS n_delta,
+             COALESCE(l.n_docs, 0) AS n_docs
+      FROM spine sp LEFT JOIN leaves l ON l.shard = sp.shard
+    ),
+    l1 AS (
+      SELECT shard // 2 AS shard,
+             md5(string_agg(h, '' ORDER BY shard)) AS h,
+             SUM(n_delta) AS n_delta
+      FROM l0 GROUP BY shard // 2
+    ),
+    l2 AS (
+      SELECT shard // 2 AS shard,
+             md5(string_agg(h, '' ORDER BY shard)) AS h,
+             SUM(n_delta) AS n_delta
+      FROM l1 GROUP BY shard // 2
+    ),
+    l3 AS (
+      SELECT shard // 2 AS shard,
+             md5(string_agg(h, '' ORDER BY shard)) AS h,
+             SUM(n_delta) AS n_delta
+      FROM l2 GROUP BY shard // 2
+    ),
+    root AS (
+      SELECT md5(string_agg(h, '' ORDER BY shard)) AS root_h
+      FROM l3
+    ),
+    -- incremental route: recompute ONLY delta-touched leaves from
+    -- docs; splice untouched leaf digests through unchanged, and
+    -- fold the same tree
+    inc_l0 AS (
+      SELECT l0.shard,
+             CASE WHEN l0.n_delta > 0
+                  THEN (SELECT md5(string_agg(d.dh, '' ORDER BY d.doc_id))
+                        FROM docs d WHERE d.shard = l0.shard)
+                  ELSE l0.h END AS h
+      FROM l0
+    ),
+    inc_l1 AS (
+      SELECT shard // 2 AS shard, md5(string_agg(h, '' ORDER BY shard)) AS h
+      FROM inc_l0 GROUP BY shard // 2
+    ),
+    inc_l2 AS (
+      SELECT shard // 2 AS shard, md5(string_agg(h, '' ORDER BY shard)) AS h
+      FROM inc_l1 GROUP BY shard // 2
+    ),
+    inc_l3 AS (
+      SELECT shard // 2 AS shard, md5(string_agg(h, '' ORDER BY shard)) AS h
+      FROM inc_l2 GROUP BY shard // 2
+    ),
+    inc_root AS (
+      SELECT md5(string_agg(h, '' ORDER BY shard)) AS root_h FROM inc_l3
+    )
+    SELECT CAST((SELECT COUNT(*) FROM l0 WHERE n_delta > 0) AS BIGINT)
+             AS touched_leaves,
+           CAST({MK_SHARDS} AS BIGINT) AS n_leaves,
+           CAST((SELECT SUM(n_docs) FROM l0) AS BIGINT) AS n_docs,
+           substr((SELECT root_h FROM root), 1, 16) AS root_prefix,
+           (SELECT root_h FROM root) = (SELECT root_h FROM inc_root)
+             AS roots_match
+    """,
+)
+def q520_merkle_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-tree corpus snapshot audit: shard every document by an
+    id hash into {MK_SHARDS} leaves, digest each leaf (md5 over its
+    docs' content hashes in doc_id order), fold a binary tree to one
+    root — the content-addressed snapshot identity a dataset registry
+    publishes (what "the corpus at commit X" MEANS) — then certify
+    the INCREMENTAL maintenance rule: re-digesting only the leaves
+    containing changed (delta) docs and splicing untouched digests
+    through must reproduce the identical root. touched_leaves vs
+    n_leaves is the cost argument: an update re-hashes O(affected
+    shards + tree path), never the corpus.
+
+    Determinism: shard assignment and the delta split are pure id
+    hashes; every digest is md5 over an ORDER BY doc_id
+    concatenation; empty shards hash the empty string on both
+    engines.
+
+    Scale: leaf digests are one grouped aggregate over (doc_id,
+    content-hash) rows — content hashes are 32 bytes each regardless
+    of document size, and the ordered within-shard concat is
+    shard-local; the tree above is {MK_SHARDS} rows folding to 1.
+    (At petabyte scale the leaf aggregate would use a sorted
+    sub-digest chain instead of one concat, same invariant.)
+    """
+    docs = fan_out(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("doc_id").cast("string"), F.lit("_mk"))
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % MK_SHARDS
+        ).alias("shard"),
+        F.md5("text").alias("dh"),
+        _is_delta("doc_id").alias("is_delta"),
+    )
+    leaf_digest = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "dh"))
+            ).getField("dh"),
+            "",
+        )
+    )
+    leaves = docs.groupBy("shard").agg(
+        leaf_digest.alias("leaf"),
+        F.sum(F.col("is_delta").cast("int")).cast("bigint").alias("n_delta"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    spine = spark.range(MK_SHARDS).select(F.col("id").alias("shard"))
+    l0 = spine.join(leaves, "shard", "left").select(
+        "shard",
+        F.coalesce("leaf", F.md5(F.lit(""))).alias("h"),
+        F.coalesce("n_delta", F.lit(0)).alias("n_delta"),
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+    )
+
+    def fold(df: DataFrame) -> DataFrame:
+        return df.groupBy((F.col("shard") / 2).cast("bigint").alias("shard")).agg(
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(F.struct("shard", "h"))
+                    ).getField("h"),
+                    "",
+                )
+            ).alias("h")
+        )
+
+    # full route
+    lvl = l0.select("shard", "h")
+    for _ in range(4):
+        lvl = fold(lvl)
+    root = lvl.select(F.col("h").alias("root_h"))
+    # incremental route: recompute ONLY touched leaves, splice the rest
+    inc_leaves = docs.join(
+        l0.filter(F.col("n_delta") > 0).select("shard"), "shard"
+    ).groupBy("shard").agg(leaf_digest.alias("h2"))
+    inc0 = l0.join(inc_leaves, "shard", "left").select(
+        "shard", F.coalesce("h2", F.col("h")).alias("h")
+    )
+    ilvl = inc0
+    for _ in range(4):
+        ilvl = fold(ilvl)
+    inc_root = ilvl.select(F.col("h").alias("inc_root_h"))
+    stats = l0.agg(
+        F.sum(F.when(F.col("n_delta") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("touched_leaves"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(root))
+        .crossJoin(F.broadcast(inc_root))
+        .select(
+            "touched_leaves",
+            F.lit(MK_SHARDS).cast("bigint").alias("n_leaves"),
+            "n_docs",
+            F.substring("root_h", 1, 16).alias("root_prefix"),
+            (F.col("root_h") == F.col("inc_root_h")).alias("roots_match"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q521 population stability index (PSI) distribution drift
+
+PSI_BINS = 10
+PSI_EPS = 0.0005  # additive floor so empty bins keep ln finite (shared)
+
+
+@register(
+    "q521_psi_drift",
+    category="llm-corpus-pipeline",
+    oracle=f"""
+    WITH rng AS (
+      SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents
+    ),
+    binned AS (
+      SELECT d.source,
+             LEAST({PSI_BINS - 1}, CAST(FLOOR(
+               (d.n_chars - r.lo) * {PSI_BINS}.0
+               / NULLIF(r.hi - r.lo, 0)) AS BIGINT)) AS bin
+      FROM documents d, rng r
+    ),
+    g AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS cg FROM binned GROUP BY bin
+    ),
+    gt AS (SELECT CAST(SUM(cg) AS BIGINT) AS n FROM g),
+    s AS (
+      SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS cs
+      FROM binned GROUP BY source, bin
+    ),
+    st AS (
+      SELECT source, CAST(SUM(cs) AS BIGINT) AS n FROM s GROUP BY source
+    ),
+    terms AS (
+      SELECT st.source,
+             (COALESCE(s.cs, 0) / CAST(st.n AS DOUBLE) + {PSI_EPS!r})
+               AS p,
+             (g.cg / CAST((SELECT n FROM gt) AS DOUBLE) + {PSI_EPS!r})
+               AS q
+      FROM st
+      CROSS JOIN g
+      LEFT JOIN s ON s.source = st.source AND s.bin = g.bin
+    )
+    SELECT source,
+           (SELECT MAX(n) FROM st x WHERE x.source = terms.source)
+             AS n_docs,
+           {sql_dround("SUM((p - q) * ln(p / q))", 6)} AS psi
+    FROM terms
+    GROUP BY source
+    """,
+)
+def q521_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index per source vs the global corpus —
+    the production drift gauge risk teams run between scoring
+    batches: bin the n_chars distribution into {PSI_BINS} equal-width
+    bins, PSI = sum (p_i - q_i) ln(p_i/q_i) with a shared additive
+    floor {PSI_EPS} keeping empty bins finite. Rule of thumb: < 0.1
+    stable, 0.1-0.25 drifting, > 0.25 shifted. Completes the drift
+    shelf: q141 (chi-square counts), q352 (KS statistic), q409
+    (Wasserstein) — PSI is the one with industry-standard action
+    thresholds.
+
+    Determinism: integer bin edges from one (min, max) scalar
+    aggregate; bin counts are exact; the PSI sum runs over the fixed
+    {PSI_BINS}-bin grid per source (ln of a ratio of identical
+    doubles), dround at the output.
+
+    Scale: one corpus pass for the range, one for the per-source bin
+    counts (map-side partial); everything after is sources x
+    {PSI_BINS} rows.
+    """
+    d = t(spark, sf_dir, "documents").select("source", "n_chars")
+    rng = d.agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"))
+    binned = d.crossJoin(F.broadcast(rng)).select(
+        "source",
+        F.least(
+            F.lit(PSI_BINS - 1),
+            F.floor(
+                (F.col("n_chars") - F.col("lo"))
+                * float(PSI_BINS)
+                / F.nullif((F.col("hi") - F.col("lo")).cast("double"), F.lit(0.0))
+            ),
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    g = binned.groupBy("bin").agg(F.count(F.lit(1)).cast("bigint").alias("cg"))
+    gt = g.agg(F.sum("cg").cast("bigint").alias("n"))
+    s = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cs")
+    )
+    st = s.groupBy("source").agg(F.sum("cs").cast("bigint").alias("n"))
+    terms = (
+        st.crossJoin(F.broadcast(g))
+        .join(s, ["source", "bin"], "left")
+        .crossJoin(F.broadcast(gt.select(F.col("n").alias("ng"))))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            (
+                F.coalesce("cs", F.lit(0)) / F.col("n").cast("double")
+                + F.lit(PSI_EPS)
+            ).alias("p"),
+            (F.col("cg") / F.col("ng").cast("double") + F.lit(PSI_EPS)).alias(
+                "q"
+            ),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.max("n_docs").alias("n_docs"),
+        dround(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+            6,
+        ).alias("psi"),
+    )

@@ -137,6 +137,17 @@ AUDITED_SITES = {
     ("queries/round9.py", "q517_sample_distinct_gee", "ex"),
     ("queries/round9.py", "q518_topk_summary_merge", "bound"),
     ("queries/round9.py", "q518_topk_summary_merge", "summar"),
+    # r9 wave 3: the <= BF_M=1024-row bit table and two 1-row count
+    # aggregates; two 1-row Merkle roots; the PSI_BINS=10-row global
+    # histogram, its 1-row total, and the 2-row (min, max) range
+    ("queries/round9.py", "q519_bloom_filter_fpr", "bits"),
+    ("queries/round9.py", "q519_bloom_filter_fpr", "n_members"),
+    ("queries/round9.py", "q519_bloom_filter_fpr", "bits_set"),
+    ("queries/round9.py", "q520_merkle_snapshot_audit", "root"),
+    ("queries/round9.py", "q520_merkle_snapshot_audit", "inc_root"),
+    ("queries/round9.py", "q521_psi_drift", "g"),
+    ("queries/round9.py", "q521_psi_drift", "gt"),
+    ("queries/round9.py", "q521_psi_drift", "rng"),
     ("queries/round6.py", "q490_cochran_q", "gs"),
     ("queries/round6.py", "q490_cochran_q", "k"),
     ("queries/round6.py", "q491_friedman_test", "k"),
