@@ -337,7 +337,7 @@ def _sql_hnsw_bucket() -> str:
       SELECT layer, u, cand, cand_layer,
              ROW_NUMBER() OVER (
                PARTITION BY layer, u
-               ORDER BY {sql_dround("dot / (na * nb)", 6)} DESC, cand ASC
+               ORDER BY {sql_dround("dot / NULLIF(na * nb, 0)", 6)} DESC, cand ASC
              ) AS rn
       FROM dots
     ),
@@ -448,7 +448,11 @@ def q514_hnsw_layer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
     ).withColumn("nb", norm_double("eb"))
     pairs = a.join(b, ["layer", "bucket"]).filter(F.col("cand") != F.col("u"))
-    cosine = dround(dot_double("ea", "eb") / (F.col("na") * F.col("nb")), 6)
+    cosine = dround(
+        dot_double("ea", "eb")
+        / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
+        6,
+    )
     wr = Window.partitionBy("layer", "u").orderBy(
         cosine.desc(), F.col("cand").asc()
     )
@@ -575,7 +579,8 @@ def _js_sign_sql(col: str, e: int) -> str:
            {sql_dround(
                "((gs[2] + gs[3]) / 2.0"
                " - (SELECT join_exact FROM exact))"
-               " / (SELECT join_exact FROM exact)", 6)} AS rel_err,
+               " / NULLIF((SELECT join_exact FROM exact), 0)", 6)}
+             AS rel_err,
            CAST(keys_a AS BIGINT) AS keys_a,
            CAST(rows_a AS BIGINT) AS rows_a,
            CAST(keys_b AS BIGINT) AS keys_b,
@@ -674,7 +679,9 @@ def q515_join_size_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("join_exact").cast("bigint").alias("join_exact"),
         dround(est, 4).alias("join_est"),
         dround(
-            (est - F.col("join_exact")) / F.col("join_exact"), 6
+            (est - F.col("join_exact"))
+            / F.nullif(F.col("join_exact").cast("double"), F.lit(0.0)),
+            6,
         ).alias("rel_err"),
         F.col("keys_a").cast("bigint").alias("keys_a"),
         F.col("rows_a").cast("bigint").alias("rows_a"),
@@ -958,7 +965,7 @@ GEE_Q = 0.25
                " / NULLIF(2.0 * s.f2, 0)", 4)} AS est_chao1,
            {sql_dround(
                f"(SQRT(1.0 / {GEE_Q!r}) * s.f1 + (s.d - s.f1)"
-               " - ex.d_exact) / ex.d_exact", 6)} AS gee_rel_err
+               " - ex.d_exact) / NULLIF(ex.d_exact, 0)", 6)} AS gee_rel_err
     FROM sstats s, ex
     """,
 )
@@ -1035,7 +1042,9 @@ def q517_sample_distinct_gee(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("est_chao1"),
             dround(
-                (gee - F.col("d_exact")) / F.col("d_exact"), 6
+                (gee - F.col("d_exact"))
+                / F.nullif(F.col("d_exact").cast("double"), F.lit(0.0)),
+                6,
             ).alias("gee_rel_err"),
         )
     )

@@ -349,6 +349,19 @@ DOC_QUERIES = [
     # docs shorter than the depth drop out per depth; all-identical
     # corpora collapse every depth to one fully-shared group
     "q389_prefix_cache_sharing",
+    # r9: delta-quarter incremental LSH maintenance — mass-dup
+    # corpora stress the combined bucket cap on BOTH routes; all-delta
+    # and no-delta corpora empty one side of the certificate
+    "q513_incremental_minhash",
+    # r9: tf-replicated weighted minhash — repeated single-word docs
+    # pin tf at the cap; identical docs give est = exact = 1
+    "q516_weighted_minhash",
+    # r9: delta-leaf re-digest must reproduce the root on every
+    # corpus shape (incl. all docs in one shard / empty shards)
+    "q520_merkle_snapshot_audit",
+    # r9: single-source corpora read psi = 0 exactly; constant
+    # n_chars degenerates the bin formula to the LEAST null-skip
+    "q521_psi_drift",
     "q366_mulaw_audio_decode",
     "q367_mjpeg_frame_decode",
     # stateful recurrence: oracle recursion and decoder must stay in
@@ -694,6 +707,18 @@ ORDER_QUERIES = [
     # guard (a 2-point fit has zero residual, rstud NULL); ties on
     # rounded Cook's D fall to the day total order
     "q471_regression_influence",
+    # r9: paired AMS sign sketches — tiny tables make the median of
+    # means exact-checkable; every lineitem key joins (join_exact >= 1)
+    "q515_join_size_ams",
+    # r9: the hash row sample can be EMPTY -> d/f1/f2 NULL chain must
+    # agree; f2 = 0 NULLIFs Chao1 on both engines
+    "q517_sample_distinct_gee",
+    # r9: <= 4-shard summaries with heavy count ties; the exact count
+    # must sit inside [lower, upper] for every generated shape
+    "q518_topk_summary_merge",
+    # r9: generated orders use custkeys 0..3, so the static customer
+    # table supplies a large true-negative probe set
+    "q519_bloom_filter_fpr",
 ]
 
 
@@ -867,6 +892,10 @@ EMB_QUERIES = [
     "q72_embedding_neardup",
     # norm stats over duplicated / tiny-magnitude vectors
     "q73_embedding_norm_stats",
+    # r9: duplicate vectors tie every cosine in a layer (cand
+    # tie-break) and collapse sign buckets; near-zero vectors keep
+    # norms finite (exact zero excluded by the fixture contract)
+    "q514_hnsw_layer_audit",
     # single-label corpora and k>n queries stress the vote windows
     "q216_knn_label_eval",
     # PQ: duplicate vectors map to one code; sub-k training sets
