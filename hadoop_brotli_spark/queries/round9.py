@@ -1690,3 +1690,339 @@ def q521_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi"),
     )
+
+
+# --------------------------------------------------------------------------
+# q522 corpus snapshot diff (the registry operation between two commits)
+
+
+@register(
+    "q522_snapshot_diff",
+    category="llm-corpus-pipeline",
+    oracle=f"""
+    WITH full_snap AS (
+      SELECT doc_id, source, md5(text) AS dh, n_chars FROM documents
+    ),
+    base_snap AS (
+      -- the "previous commit": the corpus without the delta quarter
+      SELECT * FROM full_snap WHERE NOT {_sql_is_delta('doc_id')}
+    ),
+    adds AS (
+      SELECT f.source, f.n_chars FROM full_snap f
+      ANTI JOIN base_snap b ON b.doc_id = f.doc_id
+    ),
+    dels AS (
+      SELECT b.source, b.n_chars FROM base_snap b
+      ANTI JOIN full_snap f ON f.doc_id = b.doc_id
+    ),
+    common AS (
+      SELECT f.source,
+             CASE WHEN f.dh <> b.dh THEN 1 ELSE 0 END AS changed,
+             f.n_chars
+      FROM full_snap f JOIN base_snap b ON b.doc_id = f.doc_id
+    ),
+    srcs AS (
+      SELECT DISTINCT source FROM full_snap
+      UNION SELECT DISTINCT source FROM base_snap
+    )
+    SELECT s.source,
+           CAST(COALESCE((SELECT COUNT(*) FROM adds a
+                          WHERE a.source = s.source), 0) AS BIGINT)
+             AS n_added,
+           CAST(COALESCE((SELECT COUNT(*) FROM dels d
+                          WHERE d.source = s.source), 0) AS BIGINT)
+             AS n_removed,
+           CAST(COALESCE((SELECT SUM(changed) FROM common c
+                          WHERE c.source = s.source), 0) AS BIGINT)
+             AS n_changed,
+           CAST(COALESCE((SELECT COUNT(*) - SUM(changed) FROM common c
+                          WHERE c.source = s.source), 0) AS BIGINT)
+             AS n_unchanged,
+           CAST(COALESCE((SELECT SUM(a.n_chars) FROM adds a
+                          WHERE a.source = s.source), 0) AS BIGINT)
+             AS chars_added
+    FROM srcs s
+    """,
+)
+def q522_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the registry operation between two
+    dataset commits (the changelog q520's Merkle root summarizes to
+    one hash): per source, documents ADDED, REMOVED, CHANGED
+    (same id, different content hash), UNCHANGED, plus the added
+    char volume. The "previous commit" is the corpus minus the
+    deterministic delta quarter (q513's split), so both engines
+    derive both snapshots from one table — in production the two
+    sides are two manifest-table snapshots (sources/manifest_table
+    time travel).
+
+    Determinism: membership is a pure id hash; change detection
+    compares md5 content hashes; every count is an exact integer.
+
+    Scale: two anti-joins and one inner join on doc_id (32-byte hash
+    rows, never text bytes); per-source rollups are map-side
+    partials. This is the incremental-ingest accounting pass — cost
+    scales with the snapshot SIZE, not document length, because only
+    (id, hash, n_chars) rows move.
+    """
+    full_snap = fan_out(
+        t(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text", "n_chars"
+        )
+    ).select("doc_id", "source", F.md5("text").alias("dh"), "n_chars")
+    base_snap = full_snap.filter(~_is_delta("doc_id"))
+    adds = full_snap.join(base_snap.select("doc_id"), "doc_id", "left_anti")
+    dels = base_snap.join(full_snap.select("doc_id"), "doc_id", "left_anti")
+    common = full_snap.alias("f").join(
+        base_snap.select("doc_id", F.col("dh").alias("bh")), "doc_id"
+    )
+    srcs = (
+        full_snap.select("source")
+        .union(base_snap.select("source"))
+        .distinct()
+    )
+    a = adds.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_added"),
+        F.sum("n_chars").cast("bigint").alias("chars_added"),
+    )
+    d = dels.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_removed")
+    )
+    c = common.groupBy("source").agg(
+        F.sum(F.when(F.col("dh") != F.col("bh"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_changed"),
+        F.sum(F.when(F.col("dh") == F.col("bh"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unchanged"),
+    )
+    return (
+        srcs.join(a, "source", "left")
+        .join(d, "source", "left")
+        .join(c, "source", "left")
+        .select(
+            "source",
+            F.coalesce("n_added", F.lit(0)).cast("bigint").alias("n_added"),
+            F.coalesce("n_removed", F.lit(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("n_changed", F.lit(0))
+            .cast("bigint")
+            .alias("n_changed"),
+            F.coalesce("n_unchanged", F.lit(0))
+            .cast("bigint")
+            .alias("n_unchanged"),
+            F.coalesce("chars_added", F.lit(0))
+            .cast("bigint")
+            .alias("chars_added"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q523 dedup impact tiers (what each dedup pass would actually save)
+
+
+@register(
+    "q523_dedup_impact_tiers",
+    category="llm-corpus-pipeline",
+    oracle=f"""
+    WITH alldocs AS (
+      SELECT doc_id, md5(text) AS dh,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    -- tier 1: exact copies (q60 semantics — keep MIN doc_id)
+    exact_groups AS (
+      SELECT dh, MIN(doc_id) AS keep_id,
+             CAST(COUNT(*) AS BIGINT) AS n_copies,
+             CAST(SUM(n_tokens) AS BIGINT) AS tok,
+             CAST(MIN(n_tokens) AS BIGINT) AS tok_keep
+      FROM alldocs GROUP BY dh
+    ),
+    t1 AS (
+      SELECT CAST(SUM(n_copies - 1) AS BIGINT) AS docs_removed,
+             CAST(SUM(tok - tok_keep) AS BIGINT) AS tokens_removed
+      FROM exact_groups
+    ),
+    -- tier 2: near-dups among exact-distinct survivors (q62's
+    -- MinHash+LSH pairs over the kept docs; the lower doc keeps)
+    kept AS (
+      SELECT d.doc_id, d.n_tokens FROM alldocs d
+      JOIN exact_groups g ON g.keep_id = d.doc_id
+    ),
+    {_sql_shingles(3)},
+    hashed AS (
+      SELECT sh.doc_id, md5(sh.shingle) AS h1 FROM sh
+      JOIN kept k ON k.doc_id = sh.doc_id
+    ),
+    sig AS (
+      SELECT doc_id,
+        {", ".join(
+            f"MIN(CAST('0x' || substr(h1, {i * 4 + 1}, 4) AS BIGINT)) AS h{i}"
+            for i in range(8))}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band,"
+          f" h{2 * b} * 65536 + h{2 * b + 1} AS bkey FROM sig"
+          for b in range(N_BANDS))}
+    ),
+    bsz AS (
+      SELECT band, bkey, COUNT(*) AS n FROM bands GROUP BY band, bkey
+    ),
+    neardup_losers AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands a
+      JOIN bands b ON b.band = a.band AND b.bkey = a.bkey
+                  AND a.doc_id < b.doc_id
+      JOIN bsz s ON s.band = a.band AND s.bkey = a.bkey
+                AND s.n BETWEEN 2 AND {MAX_LSH_BUCKET}
+    ),
+    t2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS docs_removed,
+             CAST(COALESCE(SUM(k.n_tokens), 0) AS BIGINT) AS tokens_removed
+      FROM neardup_losers nl JOIN kept k ON k.doc_id = nl.doc_id
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM alldocs
+    )
+    SELECT tier, docs_removed, tokens_removed,
+           {sql_dround(
+               "tokens_removed / CAST((SELECT n_tokens FROM tot)"
+               " AS DOUBLE)", 6)} AS token_share
+    FROM (
+      SELECT 1 AS tier, docs_removed, tokens_removed FROM t1
+      UNION ALL
+      SELECT 2 AS tier, docs_removed, tokens_removed FROM t2
+    )
+    """,
+)
+def q523_dedup_impact_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact accounting — the executive-summary number a data
+    team needs BEFORE running a dedup campaign: how many documents
+    and tokens each tier would actually remove. Tier 1 = exact copies
+    (q60's keep-MIN rule; removable tokens = group total minus the
+    kept doc). Tier 2 = MinHash/LSH near-dups among the tier-1
+    SURVIVORS (q62's banding; the higher doc_id of a candidate pair
+    loses), counted disjointly so the tiers sum to a defensible
+    campaign estimate, each beside its share of the corpus token
+    count. Composes the dedup shelf into the decision artifact.
+
+    Determinism: tier-1 groups key on md5(text); tier-2 pairs use
+    q62's shared banding spec over the kept set; token counts are
+    exact integers; the share divides on the dround grid (corpus
+    token total >= 1 whenever documents exist — the UNION output is
+    empty on an empty corpus on both engines).
+
+    Scale: tier 1 is one 32-byte-key groupBy; tier 2 rides the
+    capped-bucket LSH plan (never corpus^2); the output is 2 rows.
+    """
+    docs = fan_out(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select(
+        "doc_id",
+        "text",
+        F.md5("text").alias("dh"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    exact_groups = docs.groupBy("dh").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.sum("n_tokens").cast("bigint").alias("tok"),
+        F.min("n_tokens").cast("bigint").alias("tok_keep"),
+    )
+    t1 = exact_groups.agg(
+        F.sum(F.col("n_copies") - 1).cast("bigint").alias("docs_removed"),
+        F.sum(F.col("tok") - F.col("tok_keep"))
+        .cast("bigint")
+        .alias("tokens_removed"),
+    ).select(F.lit(1).alias("tier"), "docs_removed", "tokens_removed")
+    kept = docs.join(
+        exact_groups.select(F.col("keep_id").alias("doc_id")), "doc_id"
+    ).select("doc_id", "text", "n_tokens")
+    # q62's banding over the kept set only (shingle inline — the
+    # shared _shingle_df helper reads the full table)
+    sh = kept.select(
+        "doc_id", F.split("text", " ").alias("w"), "n_tokens"
+    ).filter(F.size("w") >= 3)
+    sh = sh.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 2),"
+                " i -> concat_ws(' ', slice(w, i, 3)))"
+            )
+        ).alias("shingle"),
+    )
+    sig = (
+        sh.select("doc_id", F.md5(F.col("shingle").cast("binary")).alias("h1"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    F.conv(F.substring("h1", i * 4 + 1, 4), 16, 10).cast(
+                        "long"
+                    )
+                ).alias(f"h{i}")
+                for i in range(8)
+            ]
+        )
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.col(f"h{2 * b}") * F.lit(1 << 16)
+                            + F.col(f"h{2 * b + 1}")
+                        ).alias("bkey"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+    bn = F.count(F.lit(1)).over(Window.partitionBy("band", "bkey"))
+    buckets = (
+        bands.withColumn("bn", bn)
+        .filter((F.col("bn") >= 2) & (F.col("bn") <= MAX_LSH_BUCKET))
+        .groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+    )
+    losers = (
+        buckets.select(
+            F.explode(F.expr("slice(ids, 2, size(ids) - 1)")).alias("doc_id")
+        )
+        .distinct()
+    )
+    t2 = (
+        losers.join(kept.select("doc_id", "n_tokens"), "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs_removed"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_removed"),
+        )
+        .select(F.lit(2).alias("tier"), "docs_removed", "tokens_removed")
+    )
+    tot = docs.agg(F.sum("n_tokens").cast("bigint").alias("n_tokens"))
+    return (
+        t1.unionByName(t2)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("tier").cast("int").alias("tier"),
+            "docs_removed",
+            "tokens_removed",
+            dround(
+                F.col("tokens_removed")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("token_share"),
+        )
+    )

@@ -148,6 +148,8 @@ AUDITED_SITES = {
     ("queries/round9.py", "q521_psi_drift", "g"),
     ("queries/round9.py", "q521_psi_drift", "gt"),
     ("queries/round9.py", "q521_psi_drift", "rng"),
+    # r9 wave 4: 1-row corpus token total
+    ("queries/round9.py", "q523_dedup_impact_tiers", "tot"),
     ("queries/round6.py", "q490_cochran_q", "gs"),
     ("queries/round6.py", "q490_cochran_q", "k"),
     ("queries/round6.py", "q491_friedman_test", "k"),
