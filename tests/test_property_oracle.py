@@ -362,6 +362,12 @@ DOC_QUERIES = [
     # r9: single-source corpora read psi = 0 exactly; constant
     # n_chars degenerates the bin formula to the LEAST null-skip
     "q521_psi_drift",
+    # r9: all-delta corpora empty the base snapshot (everything
+    # "added"); no-delta corpora zero every diff column
+    "q522_snapshot_diff",
+    # r9: mass-duplicated corpora push all savings into tier 1 and
+    # empty tier 2's kept-set banding; sub-3-word docs skip shingles
+    "q523_dedup_impact_tiers",
     "q366_mulaw_audio_decode",
     "q367_mjpeg_frame_decode",
     # stateful recurrence: oracle recursion and decoder must stay in
