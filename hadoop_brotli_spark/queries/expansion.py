@@ -1589,6 +1589,10 @@ def q407_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long").alias("r"),
             )
         )
+        # (r9 A/B: a per-iteration localCheckpoint here measured
+        # 6.1 -> 9.6 s — the node-grain r vector is cheap to replan
+        # and the materialization breaks exchange reuse; unlike
+        # q408's SELF-join doubling there is no exponential lineage)
     w = Window.orderBy(F.col("r").desc(), F.col("s").asc())
     return (
         r.withColumn("rn", F.row_number().over(w).cast("bigint"))
@@ -1778,13 +1782,18 @@ def q408_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("piece"),
     )
     # pointer doubling: state(p) = (next position, pieces so far, count)
+    # per-round localCheckpoint (the q64/q414 rule): each doubling
+    # round self-joins state against ITSELF, so without lineage
+    # truncation round k replans 2^k copies of the 3-probe jump
+    # table; checkpointing keeps every round one join over
+    # materialized rows (idle sf0.1 min 8.6 -> see BASELINE r9)
     state = jump.select(
         "w",
         "pos",
         (F.col("pos") + F.col("bl")).alias("nxt"),
         F.col("piece").alias("pieces"),
         F.lit(1).alias("np"),
-    )
+    ).localCheckpoint(eager=False)
     for _ in range(WP_DOUBLING):
         y = state.select(
             F.col("w").alias("w2"),
@@ -1814,6 +1823,7 @@ def q408_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("np") + F.coalesce(F.col("np2"), F.lit(0))
                 ).alias("np"),
             )
+            .localCheckpoint(eager=False)
         )
     toked = state.filter(F.col("pos") == 1).select("w", "pieces", "np")
     out = words.join(toked, "w").select(
