@@ -635,14 +635,22 @@ def q124_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
         .distinct()
     )
-    word_srcs = sw.groupBy("w").agg(F.collect_set("source").alias("srcs"))
-    # vocab sizes derived from word_srcs (identical subtree on both
-    # branches -> the planner reuses one exchange instead of running
-    # the distinct twice)
+    # the vocabulary-grain source-set table feeds BOTH the sizes and
+    # the co-occurrence branches; checkpoint it so the corpus-sized
+    # explode+distinct+collect_set pipeline runs once, not once per
+    # branch (exchange reuse alone does not survive the diverging
+    # column pruning)
+    word_srcs = (
+        sw.groupBy("w")
+        .agg(F.collect_set("source").alias("srcs"))
+        .localCheckpoint(eager=False)
+    )
     sizes = (
         word_srcs.select(F.explode("srcs").alias("source"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("vocab"))
+        # tiny (|sources| rows) but consumed twice (sa and sb)
+        .localCheckpoint(eager=False)
     )
     inter = (
         word_srcs.select(F.explode("srcs").alias("src_a"), "srcs")
@@ -921,11 +929,18 @@ def q137_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     divide exact integers, identically in both engines.
     """
     ev = t(spark, sf_dir, "events")
-    baskets = ev.select(
-        "user_id", F.col("ts").cast("date").alias("d"), "event_type"
-    ).distinct()
-    per_basket = baskets.groupBy("user_id", "d").agg(
-        F.collect_set("event_type").alias("types")
+    # ONE corpus pass: collect_set dedups within the basket, so the
+    # old pre-groupBy distinct was a redundant extra exchange; and
+    # the basket table feeds THREE aggregates (total, singles,
+    # pairs), so without the checkpoint each branch replayed the
+    # events scan + wide groupBy — the basket table is user-day
+    # grain, tiny to materialize at any scale (guide: materialize
+    # multi-consumer intermediates).
+    per_basket = (
+        ev.select("user_id", F.col("ts").cast("date").alias("d"), "event_type")
+        .groupBy("user_id", "d")
+        .agg(F.collect_set("event_type").alias("types"))
+        .localCheckpoint(eager=False)
     )
     n_baskets = per_basket.agg(F.count(F.lit(1)).alias("total"))
     singles = (
@@ -1140,6 +1155,10 @@ def q141_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source", "bin")
         .agg(F.count(F.lit(1)).alias("n"))
+        # |sources| x |bins| bounded aggregate feeding THREE branches
+        # (totals, the bin grid, and the CDF left join) — checkpoint
+        # so the corpus scan+histogram runs once, not three times
+        .localCheckpoint(eager=False)
     )
     totals = binned.groupBy("source").agg(F.sum("n").alias("total"))
     bins = binned.select("bin").distinct()

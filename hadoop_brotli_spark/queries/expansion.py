@@ -1437,11 +1437,17 @@ def q406_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == 1)
             .select("s", F.col("lbl").alias("mlbl"))
         )
+        # checkpoint the label frame every round (q408 rule: cur is
+        # consumed TWICE per round — by maj and by the update join —
+        # so without the cut round k replans 2^k copies of the
+        # upstream rounds; the node-grain frame is tiny to
+        # materialize at any scale)
         cur = (
             cur.join(maj, "s", "left")
             .select(
                 "s", F.coalesce(F.col("mlbl"), F.col("lbl")).alias("lbl")
             )
+            .localCheckpoint(eager=False)
         )
     return (
         cur.join(l0.withColumnRenamed("lbl", "seed"), "s")
