@@ -1327,6 +1327,46 @@ LP_ROUNDS = 3
 LP_DEG_CAP = 64  # same inverted-index fan-out cap as q398
 
 
+def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct co-supply pairs (a < b) of suppliers sharing a part
+    whose distinct-supplier degree is <= {LP_DEG_CAP}, built from
+    part-grain posting lists instead of the a⋈b self-join.
+
+    One lineitem pass: groupBy(p).collect_set(s) IS the distinct
+    (s,p) dedup, the degree census (size <= cap), and the pair
+    source all at once — the r6 self-join needed three lineitem
+    scans + corpus-wide distincts (degree census, stream side,
+    broadcast side) plus a join whose broadcast depended on size
+    estimates; at 100 TB that join degrades to shuffling both
+    591k-per-SF sides, while the posting list crosses the wire
+    exactly once. Per-part pair fan-out is C(deg,2) <= C(cap,2),
+    exploded from a sorted set so a < b by construction.
+    """
+    posting = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .groupBy("p")
+        .agg(F.sort_array(F.collect_set("s")).alias("ss"))
+        .filter(F.size("ss") <= LP_DEG_CAP)
+    )
+    pairs = posting.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) -> "
+                "transform(slice(ss, i + 2, size(ss)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    # plain distinct, NOT a pair-key repartition: duplicate pairs are
+    # ~17x of unique here, so the partial (map-side) aggregation
+    # collapses most rows before the exchange -- q398 widened its
+    # pair stages instead because ITS pairs barely collide and carry
+    # per-pair payload sums; measured here the repartition tripled
+    # shuffled bytes (35 -> 107 MB) for nothing
+    return pairs.distinct()
+
+
 def _lp_round_sql(prev: str, out: str) -> str:
     return f"""
     {out} AS (
@@ -1390,32 +1430,25 @@ def q406_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: synchronous updates (round r+1 reads only round r),
     integer counts, (count DESC, label ASC) argmax.
     """
-    bip = (
-        t(spark, sf_dir, "lineitem")
-        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
-        .distinct()
+    # edge build: one lineitem pass via part-grain posting lists
+    # (_cosupply_edges) -- the r6 self-join shape recomputed the
+    # corpus-wide (s,p) distinct for each of its three consumers
+    edges = _cosupply_edges(spark, sf_dir)
+    # symmetrize by exploding each deduped edge into both directions:
+    # one narrow pass over the edge set instead of unioning a second
+    # copy of the whole build subtree
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .localCheckpoint(eager=True)  # q64 rule: reused every round
     )
-    okp = (
-        bip.groupBy("p")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .filter(F.col("d") <= LP_DEG_CAP)
-        .select("p")
-    )
-    # cap BEFORE pairing (r6 verdict, q398 fix): only the capped
-    # posting list is self-joined, so a hub part never materializes
-    # its C(deg,2) pair fan-out just to drop it afterwards
-    bip_capped = bip.join(okp, "p")
-    a = bip_capped.select("p", F.col("s").alias("a"))
-    b = bip_capped.select("p", F.col("s").alias("b"))
-    edges = (
-        a.join(b, "p")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
-    sym = edges.unionAll(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)  # q64 rule: reused every round
     l0 = t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("s"),
         F.col("s_nationkey").cast("int").alias("lbl"),
@@ -1537,33 +1570,33 @@ def q407_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop shape); the seed CASE is a broadcast scalar. Unrolled here;
     the production loop localCheckpoints between rounds.
     """
-    bip = (
+    # edge build: one lineitem pass via part-grain posting lists
+    # (_cosupply_edges, q406's shape)
+    edges = _cosupply_edges(spark, sf_dir)
+    # symmetrize by exploding each deduped edge into both directions:
+    # one narrow pass over the edge set instead of unioning a second
+    # copy of the whole build subtree
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .localCheckpoint(eager=True)  # q64 rule: reused every iteration
+    )
+    # node set = every supplier appearing in lineitem (uncapped parts
+    # included) -- a single-column scan+distinct, far cheaper than the
+    # (s,p)-grain distinct the old bip carried for this
+    nodes = (
         t(spark, sf_dir, "lineitem")
-        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .select(F.col("l_suppkey").alias("s"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    okp = (
-        bip.groupBy("p")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .filter(F.col("d") <= LP_DEG_CAP)
-        .select("p")
-    )
-    # cap BEFORE pairing (r6 verdict, q398 fix): only the capped
-    # posting list is self-joined, so a hub part never materializes
-    # its C(deg,2) pair fan-out just to drop it afterwards
-    bip_capped = bip.join(okp, "p")
-    a = bip_capped.select("p", F.col("s").alias("a"))
-    b = bip_capped.select("p", F.col("s").alias("b"))
-    edges = (
-        a.join(b, "p")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
-    sym = edges.unionAll(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)  # q64 rule: reused every iteration
-    nodes = bip.select("s").distinct().localCheckpoint(eager=True)
     seed = nodes.agg(F.min("s").alias("seed_s"))
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
     r = nodes.crossJoin(F.broadcast(seed)).select(
@@ -2650,22 +2683,6 @@ def q414_twohop_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent. Idle sf0.1 min-of-5 7.6 -> 4.5 s; the remaining
     run-to-run band is AQE/GC, not plan shape (BASELINE.md r9).
     """
-    bip = (
-        t(spark, sf_dir, "lineitem")
-        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    okp = (
-        bip.groupBy("p")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .filter(F.col("d") <= LP_DEG_CAP)
-        .select("p")
-    )
-    # cap BEFORE pairing (r6 verdict, q398 fix): self-join only the
-    # capped posting list
-    bip_capped = bip.join(okp, "p")
-    a = bip_capped.select("p", F.col("s").alias("a"))
-    b = bip_capped.select("p", F.col("s").alias("b"))
     edge_hash = F.conv(
         F.substring(
             F.md5(
@@ -2681,16 +2698,24 @@ def q414_twohop_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("bigint")
-    edges = (
-        a.join(b, "p")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-        .filter(edge_hash % R2_EDGE_MOD == 0)
+    # edge build: one lineitem pass via part-grain posting lists
+    # (_cosupply_edges, q406's shape); the deterministic edge
+    # subsample applies after the pair dedup exactly as before
+    edges = _cosupply_edges(spark, sf_dir).filter(
+        edge_hash % R2_EDGE_MOD == 0
     )
-    sym = edges.unionAll(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=False)
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .localCheckpoint(eager=False)
+    )
     front = sym.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
         sym.select(F.col("a").alias("v"), F.col("a").alias("u")).distinct()
     )
