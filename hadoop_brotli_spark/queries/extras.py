@@ -1549,7 +1549,11 @@ def q232_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qe"),
         F.col("label").alias("qlabel"),
     ).withColumn("qn", norm_double("qe"))
-    c = emb.select(
+    # fan the one-file embeddings scan across cores: the broadcast
+    # nested-loop join below multiplies every corpus row by the
+    # {NOISE_SAMPLE}-query sample, and without the fan-out all 1M
+    # dot products run in the single scan task (r9 measurement)
+    c = fan_out(emb).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("ce"),
         F.col("label").alias("clabel"),

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import dround, t
+from ._util import dround, fan_out, t
 
 # ---------------------------------------------------------------------------
 # q452 columnar encoding advisor (plain vs dictionary vs RLE)
@@ -1206,8 +1206,11 @@ def q459_facility_location_greedy(
     """
     from pyspark.sql import Window as W  # noqa: F401
 
+    # fan the one-file embeddings scan across cores BEFORE the
+    # dim x {FL_CAND} fan-out join (measured: the whole dot-product
+    # aggregation otherwise ran as ONE scan task at sf0.1)
     xl = (
-        t(spark, sf_dir, "embeddings")
+        fan_out(t(spark, sf_dir, "embeddings"))
         .select("vec_id", F.posexplode("embedding").alias("jp", "xf"))
         .select(
             "vec_id",
@@ -1218,7 +1221,24 @@ def q459_facility_location_greedy(
     cand = xl.filter(F.col("vec_id") < FL_CAND).select(
         F.col("vec_id").alias("c"), "j", F.col("x").alias("cx")
     )
-    sims = (
+    # u-grain sim VECTOR (r9 restructure): one fan-out join + ONE
+    # aggregation produces all {FL_CAND} candidate sims per vector as
+    # an array (element i+1 = candidate i; the candidate ids are the
+    # compile-time constants 0..{FL_CAND}-1, so the per-candidate
+    # conditional sums are static expressions). Each greedy round is
+    # then a single JOIN-FREE aggregation pass over this frame with
+    # the coverage max computed inline from the chosen-id array — the
+    # r5 shape instead ran per round: an anti-join, an n-row cov SMJ
+    # (the checkpointed cov table has no stats, so the planner can
+    # never broadcast it), a pick broadcast, a cov-update join and a
+    # cov checkpoint. Per-term grids are unchanged (grid-12 dot terms
+    # DECIMAL-summed, grid-6 sims, grid-9 gain/coverage terms), so
+    # every number matches the oracle bit-for-bit.
+    # two-level: the (u,c)-grain dot products first (ONE decimal sum
+    # per fan-out row — a single-level 16-conditional-sum variant
+    # measured 2x slower because every fan-out row paid 16 decimal
+    # ops), then the tiny n x {FL_CAND} frame pivots to the array
+    sim_uc = (
         xl.join(F.broadcast(cand), "j")
         .groupBy(F.col("vec_id").alias("u"), "c")
         .agg(
@@ -1227,53 +1247,96 @@ def q459_facility_location_greedy(
                 F.lit(0.0),
             ).alias("sim")
         )
+    )
+    su = (
+        sim_uc.groupBy("u")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("c", "sim"))),
+                lambda s: s["sim"],
+            ).alias("sims")
+        )
         .localCheckpoint(eager=True)
     )
-    cov = sims.select("u").distinct().withColumn("cov", F.lit(0.0))
-    picks = []
-    chosen = None
-    for r in range(1, FL_K + 1):
-        pool = sims if chosen is None else sims.join(
-            F.broadcast(chosen), "c", "left_anti"
-        )
-        g = pool.join(cov, "u").groupBy("c").agg(
-            _gsum(
-                F.greatest(F.col("sim") - F.col("cov"), F.lit(0.0)), 9
-            ).alias("gain")
-        )
-        p = (
-            g.orderBy(F.col("gain").desc(), F.col("c").asc())
-            .limit(1)
-            .localCheckpoint(eager=True)
-        )
-        new = sims.join(F.broadcast(p.select("c")), "c").select(
-            "u", F.col("sim").alias("nsim")
-        )
-        cov = (
-            cov.join(new, "u", "left")
-            .select(
-                "u",
-                F.greatest(
-                    F.col("cov"), F.coalesce("nsim", F.lit(0.0))
-                ).alias("cov"),
+    # chosen-so-far rides a 1-row broadcast frame; cov(u) is the max
+    # of the chosen sims (empty -> 0.0), identical to the iterated
+    # GREATEST of the unrolled oracle
+    state = spark.range(1).select(
+        F.array().cast("array<int>").alias("chosen")
+    )
+    cov_col = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.col("chosen"),
+                lambda i: F.element_at(F.col("sims"), i + F.lit(1)),
             )
-            .localCheckpoint(eager=False)
-        )
-        coverage = cov.agg(
-            dround(_gsum(F.col("cov"), 9), 6).alias("total_coverage")
+        ),
+        F.lit(0.0),
+    )
+    passes = []  # pass r: totals after r-1 picks + all round-r gains
+    for r in range(1, FL_K + 2):
+        agg_exprs = [
+            F.first("chosen").alias("chosen"),
+            dround(_gsum(cov_col, 9), 6).alias("prev_total"),
+        ]
+        if r <= FL_K:
+            agg_exprs += [
+                _gsum(
+                    F.greatest(
+                        F.element_at(F.col("sims"), i + 1) - cov_col,
+                        F.lit(0.0),
+                    ),
+                    9,
+                ).alias(f"gain_{i}")
+                for i in range(FL_CAND)
+            ]
+        agg = su.crossJoin(F.broadcast(state)).agg(*agg_exprs)
+        if r <= FL_K:
+            # argmax over the still-unchosen candidates with the
+            # (gain DESC, c ASC) tie-break: lexicographic array_max
+            # over (gain, -c) structs
+            best = F.array_max(
+                F.filter(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.col(f"gain_{i}").alias("gain"),
+                                F.lit(-i).alias("negc"),
+                            )
+                            for i in range(FL_CAND)
+                        ]
+                    ),
+                    lambda x: ~F.array_contains(
+                        F.col("chosen"), -x["negc"]
+                    ),
+                )
+            )
+            agg = agg.select(
+                "prev_total",
+                best["gain"].alias("gain"),
+                (-best["negc"]).alias("pick"),
+                F.concat(
+                    F.col("chosen"), F.array(-best["negc"])
+                ).alias("chosen"),
+            ).localCheckpoint(eager=True)
+            state = agg.select("chosen")
+        else:
+            agg = agg.select("prev_total").localCheckpoint(eager=True)
+        passes.append(agg)
+    picks = []
+    for r in range(1, FL_K + 1):
+        total_after = passes[r].select("prev_total").withColumnRenamed(
+            "prev_total", "total_coverage"
         )
         picks.append(
-            p.crossJoin(F.broadcast(coverage)).select(
+            passes[r - 1]
+            .crossJoin(F.broadcast(total_after))
+            .select(
                 F.lit(r).cast("bigint").alias("round_idx"),
-                F.col("c").alias("center_id"),
+                F.col("pick").cast("bigint").alias("center_id"),
                 dround("gain", 6).alias("gain"),
                 "total_coverage",
             )
-        )
-        chosen = (
-            p.select("c")
-            if chosen is None
-            else chosen.unionByName(p.select("c"))
         )
     out = picks[0]
     for pk in picks[1:]:

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import dround, t
+from ._util import dround, fan_out, t
 
 DIM = 64
 N_SIGN_BITS = 8
@@ -226,7 +226,12 @@ def q72_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.92) with a
     coarse 4-bit LSH prefilter — the embedding twin of MinHash
     dedup for semantically-duplicated training data."""
-    emb = t(spark, sf_dir, "embeddings").select(
+    # fan the one-file embeddings scan before the bucket self-join:
+    # ~780k in-bucket pairs x a dim-wide dot product otherwise run in
+    # the single scan task (r9 A/B: 2.01 -> 1.75 s; the same wrap
+    # measured SLOWER on q70/q343/q392 whose per-task work is small
+    # or iterative, so it is applied per-query, not family-wide)
+    emb = fan_out(t(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding", sign_bucket("embedding", 4).alias("bucket"),
         norm_double("embedding").alias("nrm"),
     )
