@@ -2638,6 +2638,50 @@ KCORE_K = 8  # degree threshold
 KCORE_ROUNDS = 3  # unrolled peels
 KCORE_CAP = 40  # per-part posting-list cap (q214's bound)
 
+def _cosupply_canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct canonical (u < v) co-supply pairs over parts whose
+    distinct-supplier degree is <= KCORE_CAP, via part-grain posting
+    lists: groupBy(part).collect_set(supplier) is simultaneously the
+    (part, supplier) distinct, the degree cap census, and the pair
+    source (r9; the q406/_cosupply_edges shape). The r3-era build
+    ran a corpus-wide window count + a theta self-join + an edge
+    dedup over BOTH directions — three part/pair-grain exchanges and
+    a size-estimate-dependent join strategy; this is one exchange,
+    and the pair dedup handles half the volume (canonical only)."""
+    posting = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .groupBy("l_partkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
+        .filter(F.size("ss") <= KCORE_CAP)
+    )
+    pairs = posting.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) -> "
+                "transform(slice(ss, i + 2, size(ss)), "
+                "y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    return pairs.distinct()
+
+
+def _cosupply_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both directions of _cosupply_canonical_edges, exploded from
+    the deduped canonical set (one narrow pass, no second subtree)."""
+    e = _cosupply_canonical_edges(spark, sf_dir)
+    return e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u"), F.col("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+
+
+
 
 @register(
     "q277_kcore_peeling",
@@ -2686,26 +2730,10 @@ def q277_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     q214's posting-list cap bounding pair fan-out — never on raw
     lineitem.
     """
-    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
-    from pyspark.sql import Window as W
-
-    deg_w = W.partitionBy("l_partkey")
-    capped = (
-        ps.withColumn("deg", F.count(F.lit(1)).over(deg_w))
-        .filter(F.col("deg") <= KCORE_CAP)
-        .drop("deg")
-    )
-    b = capped.select(
-        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("v")
-    )
-    edges = (
-        capped.join(
-            b,
-            (F.col("l_partkey") == F.col("pk"))
-            & (F.col("l_suppkey") != F.col("v")),
-        )
-        .select(F.col("l_suppkey").alias("u"), "v")
-        .distinct()
+    # posting-list edge build (r9): one lineitem pass; the peel loop
+    # consumes edges twice per round, so materialize them once
+    edges = _cosupply_sym_edges(spark, sf_dir).localCheckpoint(
+        eager=False
     )
     survivors = edges.select("u").distinct()
     counts = [survivors.agg(F.count(F.lit(1)).alias("survivors"))]
@@ -4990,7 +5018,15 @@ def q299_negative_edge_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization, which is the only wrong way to do this at
     scale.
     """
-    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    # edge build kept as the codegen window-cap + theta self-join
+    # (r9 A/B: the posting-list variant measured 6.5-8.6 vs 3.1-3.3 s
+    # interleaved — one anti-join consumer, no recompute to save, and
+    # the allocating collect_set/explode loses to the codegen join)
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
     from pyspark.sql import Window as W
 
     capped = (
@@ -5745,9 +5781,19 @@ def q305_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint components, q196 jumps log-depth ancestry, q277 peels
     cores, q214 counts triangles — this one measures DISTANCE.
     """
+    # edge build kept as the codegen window-cap + theta self-join
+    # (r9 A/B: the posting-list variant measured 7.2-11.6 vs
+    # 5.4-9.0 s interleaved — every BFS round consumes the IDENTICAL
+    # edge subtree, so ReuseExchange already pays the build once and
+    # the allocating collect_set/explode loses to the codegen join;
+    # contrast q277/q479 where the build feeds a checkpoint)
     from pyspark.sql import Window as W
 
-    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
     capped = (
         ps.withColumn(
             "deg", F.count(F.lit(1)).over(W.partitionBy("l_partkey"))
@@ -7138,9 +7184,19 @@ def q320_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sufficient statistics (both directions of each undirected edge
     are counted, per Newman's definition).
     """
+    # edge build kept as the codegen window-cap + theta self-join
+    # (r9 A/B: the posting-list + checkpoint variant measured 1-3 s
+    # SLOWER interleaved — the few reductions here consume the
+    # IDENTICAL edge subtree, so ReuseExchange already pays the build
+    # once and the checkpoint only costs block re-reads + lost stats;
+    # contrast q277/q479 whose loops iterate over a mutating state)
     from pyspark.sql import Window as W
 
-    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
     capped = (
         ps.withColumn(
             "deg", F.count(F.lit(1)).over(W.partitionBy("l_partkey"))
@@ -7246,9 +7302,19 @@ def q321_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DECIMAL-exact squares), and the edge total — the formula
     evaluates on a 1-row frame.
     """
+    # edge build kept as the codegen window-cap + theta self-join
+    # (r9 A/B: the posting-list + checkpoint variant measured 1-3 s
+    # SLOWER interleaved — the few reductions here consume the
+    # IDENTICAL edge subtree, so ReuseExchange already pays the build
+    # once and the checkpoint only costs block re-reads + lost stats;
+    # contrast q277/q479 whose loops iterate over a mutating state)
     from pyspark.sql import Window as W
 
-    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
     capped = (
         ps.withColumn(
             "deg", F.count(F.lit(1)).over(W.partitionBy("l_partkey"))

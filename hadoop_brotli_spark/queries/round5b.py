@@ -4488,24 +4488,43 @@ def q479_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     against exponential lineage inlining (the q459 lesson);
     the Spark side localCheckpoints per round (the q64 rule).
     """
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("b.l_partkey") != F.col("a.l_partkey"))
-        .select(
-            "l_orderkey",
-            F.col("a.l_partkey").alias("a"),
-            F.col("b.l_partkey").alias("b"),
-        )
-        .distinct()
+    # basket posting lists (r9): groupBy(order).collect_set(part) is
+    # simultaneously the per-basket dedup and the pair source — the
+    # old basket self-join + (order, a, b)-grain distinct shuffled
+    # the pair expansion twice before support counting. Support is
+    # symmetric, so count canonical (a < b) pairs once and mirror the
+    # surviving edges.
+    baskets = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ss"))
     )
-    edges = (
-        pairs.groupBy("a", "b")
+    cpairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) -> "
+                "transform(slice(ss, i + 2, size(ss)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    cedges = (
+        cpairs.groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
         .filter(F.col("sup") >= KCORE_MIN_SUP)
         .select("a", "b")
+    )
+    edges = (
+        cedges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .localCheckpoint(eager=True)
     )
     nodes = edges.select(F.col("a").alias("v")).distinct()

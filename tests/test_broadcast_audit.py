@@ -384,9 +384,10 @@ AUDITED_SITES = {
     # q459: cand is a fixed 16 x 64 candidate table; p/coverage are
     # 1-row picks/scalars; chosen is bounded by the literal FL_K
     ("queries/round5b.py", "q459_facility_location_greedy", "cand"),
-    ("queries/round5b.py", "q459_facility_location_greedy", "p"),
-    ("queries/round5b.py", "q459_facility_location_greedy", "coverage"),
-    ("queries/round5b.py", "q459_facility_location_greedy", "chosen"),
+    # r9 join-free rounds: state is a 1-row chosen-id array frame and
+    # total_after a 1-row coverage scalar — both bounded by FL_K rows
+    ("queries/round5b.py", "q459_facility_location_greedy", "state"),
+    ("queries/round5b.py", "q459_facility_location_greedy", "total_after"),
     # q461: tot/ssb/ssw are 1-row scalars, gstats is a 5-row
     # per-priority aggregate (bounded by the priority domain)
     ("queries/round5b.py", "q461_brown_forsythe", "tot"),

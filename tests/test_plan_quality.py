@@ -363,9 +363,15 @@ PINNED_EXCHANGES = {
     "q70_knn_bruteforce": 2,
     "q80_token_stats": 2,
     "q107_pipeline_funnel": 3,
-    "q124_source_vocab_overlap": 6,
-    "q137_basket_lift": 9,
-    "q141_distribution_drift": 9,
+    # r9 ratchet: multi-consumer intermediates (vocab source-sets,
+    # user-day baskets) hide behind non-eager localCheckpoints
+    "q124_source_vocab_overlap": 3,
+    "q137_basket_lift": 7,
+    # r9 (+2): the checkpointed sources-x-bins histogram feeds three
+    # branches as an ExistingRDD whose partitioning the planner no
+    # longer recognizes, so two BOUNDED (|sources| x |bins|) exchanges
+    # reappear — the trade removes two corpus scans + histogram passes
+    "q141_distribution_drift": 11,
     # r5 restructure: profile branch exchanges at vocabulary grain,
     # scores branch at doc x cand_lang — no doc-grain trigram shuffle
     "q82_lang_id_ngram": 7,
@@ -377,19 +383,20 @@ PINNED_EXCHANGES = {
     # parquet scan arrives as one partition and serialized the whole
     # decode onto one task (17s -> 1.3s at sf0.1). Pixels still never
     # shuffle: a second exchange here means they started to.
-    # q406's 16 are the unrolled propagation rounds over the
-    # localCheckpointed edge list
     "q422_jpeg_progressive_decode": 1,
-    "q406_label_propagation": 16,
+    # r9 ratchet: the posting-list edge build + per-round label
+    # checkpoints leave only the final seed join's exchange visible
+    "q406_label_propagation": 1,
     # r5 depth addition: 10 = the 2-pass refinement's honest budget
     # (scalar bounds, 256-bucket histogram + cumulative walk, the
     # winning-bucket rank, final scalar joins; 1 scan reused)
     "q444_distributed_median": 10,
-    # r5 continuation rotation: q459's 12 are the six greedy rounds'
-    # gain-agg + pick pairs over the eagerly-checkpointed sim table;
+    # r9 ratchet: q459's greedy rounds are join-free aggregation
+    # passes over the checkpointed u-grain sim-array frame; what
+    # remains visible is the final assembly of the 1-row pick frames.
     # q480's rounds hide behind per-round localCheckpoints, leaving
     # only the final ranking exchange in the executed plan
-    "q459_facility_location_greedy": 12,
+    "q459_facility_location_greedy": 6,
     # r7 ratchet: every round hides behind its localCheckpoint
     "q480_textrank_keywords": 0,
     # r7 fix (r6 verdict task 2): cap joined BEFORE the pair
@@ -402,8 +409,11 @@ PINNED_EXCHANGES = {
     "q398_link_prediction_ra": 11,
     # r6 depth rotation: broadcast-sample kNN — ONE shuffle for the
     # per-query top-5 (WindowGroupLimit pre-limits each map task)
-    # plus the final vote aggregates
-    "q232_label_noise_audit": 3,
+    # plus the final vote aggregates. r9 (+1): the fan_out
+    # repartition of the NARROW candidate rows that spreads the 1M
+    # broadcast-nested-loop cosines off the single scan task
+    # (2.9 -> 1.3 s at sf0.1)
+    "q232_label_noise_audit": 4,
 }
 
 
