@@ -175,14 +175,75 @@ def q452_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("len").cast("bigint").alias("dict_bytes"),
         F.max("len").cast("bigint").alias("max_len"),
     )
-    w = Window.partitionBy("col_name", "l_orderkey").orderBy(
-        "l_linenumber", "v"
+    # run counting via groupBy(order) + in-array adjacency (r9): the
+    # old (col, orderkey)-partitioned lag window shuffled and SORTED
+    # the full 6-way melt (3.6M rows, 72 MB at sf0.1); grouping the
+    # PRE-melt rows ships each (orderkey, linenumber, 6 values) tuple
+    # once (~half the bytes) and the per-order sort is an array_sort
+    # over <= a basket of lines x 6 columns — same (linenumber, v)
+    # order, same "first row of each group starts a run" count
+    enc_cols = [
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_discount",
+        "l_suppkey",
+        "l_shipdate",
+    ]
+    pre_melt = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("CAST(l_returnflag AS STRING)").alias("c0"),
+        F.expr("CAST(l_linestatus AS STRING)").alias("c1"),
+        F.expr(
+            "CAST(CAST(l_quantity AS DECIMAL(12,2)) AS STRING)"
+        ).alias("c2"),
+        F.expr(
+            "CAST(CAST(l_discount AS DECIMAL(12,2)) AS STRING)"
+        ).alias("c3"),
+        F.expr("CAST(l_suppkey AS STRING)").alias("c4"),
+        F.expr("CAST(CAST(l_shipdate AS DATE) AS STRING)").alias("c5"),
     )
-    runs = (
-        long_df.withColumn("prev", F.lag("v").over(w))
-        .filter(~F.col("v").eqNullSafe(F.col("prev")))
-        .groupBy("col_name")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_runs"))
+    grouped = pre_melt.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct("l_linenumber", "c0", "c1", "c2", "c3", "c4", "c5")
+        ).alias("rows")
+    )
+    # sort each column's (linenumber, value) array ONCE per order in
+    # a projection (a lambda-inlined variant re-sorted per adjacency
+    # probe and measured slower than the window it replaced), then
+    # count adjacent changes; sequence(2, n) counts DOWN for n < 2
+    # (Spark picks step -1), so guard the single-line basket
+    sorted_arrs = grouped.select(
+        F.size("rows").alias("n"),
+        *[
+            F.expr(
+                f"transform(array_sort(transform(rows, r -> "
+                f"struct(r.l_linenumber AS ln, r.c{i} AS v))), "
+                f"s -> s.v)"
+            ).alias(f"a{i}")
+            for i in range(6)
+        ],
+    )
+    run_sums = sorted_arrs.select(
+        "n",
+        *[
+            F.expr(
+                f"CASE WHEN n < 2 THEN 1 ELSE "
+                f"1 + size(filter(sequence(2, n), j -> "
+                f"element_at(a{i}, j) != element_at(a{i}, j - 1))) END"
+            ).alias(f"r{i}")
+            for i in range(6)
+        ],
+    ).agg(*[F.sum(f"r{i}").cast("bigint").alias(f"nr{i}") for i in range(6)])
+    runs = run_sums.select(
+        F.expr(
+            "stack(6, "
+            + ", ".join(
+                f"'{enc_cols[i]}', nr{i}" for i in range(6)
+            )
+            + ") AS (col_name, n_runs)"
+        )
     )
     sized = colstats.join(F.broadcast(runs), "col_name").select(
         "col_name",
