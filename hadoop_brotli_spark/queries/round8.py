@@ -298,7 +298,12 @@ DENS_T = 0.85  # cosine-distance outlier threshold (p90 at sf0.01)
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
            CAST(COUNT(c.core_dist) AS BIGINT) AS n_dense,
            CAST(COUNT(*) - COUNT(c.core_dist) AS BIGINT) AS n_sparse,
-           (FLOOR(CAST(AVG(c.core_dist) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS avg_core,
+           -- exact-decimal average: core_dist values are grid-6, so
+           -- SUM(DECIMAL(38,6)) is order-independent and both engines
+           -- divide identical doubles (plain AVG(double) diverged at a
+           -- half-up tie on a hypothesis-generated corpus, r10)
+           (FLOOR(CAST(CAST(SUM(CAST(c.core_dist AS DECIMAL(38,6))) AS DOUBLE)
+                  / COUNT(c.core_dist) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS avg_core,
            (FLOOR(CAST(MAX(c.core_dist) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS max_core,
            CAST(SUM(CASE WHEN c.core_dist > {DENS_T} THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_outliers
@@ -376,7 +381,14 @@ def q505_density_core_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.count("core_dist"))
             .cast("bigint")
             .alias("n_sparse"),
-            dround(F.avg("core_dist"), 6).alias("avg_core"),
+            # exact-decimal average (see oracle comment): grid-6 core
+            # distances sum exactly in DECIMAL(38,6); one double
+            # division of identical operands is engine-bit-identical
+            dround(
+                F.sum(F.col("core_dist").cast("decimal(38,6)")).cast("double")
+                / F.count("core_dist"),
+                6,
+            ).alias("avg_core"),
             dround(F.max("core_dist"), 6).alias("max_core"),
             F.sum(F.when(F.col("core_dist") > DENS_T, 1).otherwise(0))
             .cast("bigint")
