@@ -139,12 +139,29 @@ def test_q68_contamination_marker_join_on_hashes(spark, sf_dir):
 def test_no_cartesian_product_anywhere(spark, sf_dir):
     """Blanket guard: no registered query may plan a CartesianProduct
     — even the deliberate cross joins must broadcast their small side
-    (BroadcastNestedLoopJoin), never shuffle-pair full partitions."""
-    bad = []
-    for name, spec in sorted(SPECS.items()):
-        plan = plans.executed_plan(spec.fn(spark, sf_dir))
-        if "CartesianProduct" in plan:
-            bad.append(name)
+    (BroadcastNestedLoopJoin), never shuffle-pair full partitions.
+
+    Planning the 523 registered queries is the suite's single
+    slowest test (~5 min sequentially), so the plan renders run on a
+    thread pool: each thread builds the DataFrame and renders its
+    executedPlan (a JVM call that releases the GIL). The CartesianProduct
+    probe needs no scan metadata, so the render skips
+    executed_plan()'s session-global maxMetadataStringLength
+    set/restore (which would race across threads)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def render(item):
+        name, spec = item
+        df = spec.fn(spark, sf_dir)
+        try:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except AttributeError:  # Spark Connect
+            plan = plans.explain_string(df, "simple")
+        return name, plan
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(render, sorted(SPECS.items())))
+    bad = [name for name, plan in results if "CartesianProduct" in plan]
     assert not bad, bad
 
 

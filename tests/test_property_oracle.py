@@ -27,6 +27,20 @@ from .oracle_harness import compare
 
 SPECS = load_all_queries()
 
+
+def _compare_all(names, spark, sf_dir) -> None:
+    """Run every query's oracle comparison for one generated example,
+    a few CONCURRENTLY: each compare() is independent (fresh DuckDB
+    connection per call; Spark actions are thread-safe and the
+    scheduler overlaps the tiny jobs), so threading the per-example
+    loop cuts its wall-clock ~4x without dropping a single
+    comparison. Failures propagate to hypothesis exactly as before
+    (pool.map re-raises the first exception)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        list(pool.map(lambda n: compare(SPECS[n], spark, str(sf_dir)), names))
+
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 WORDS = ["scan", "join", "sort", "hash", "merge", "table", "key", "batch"]
 
@@ -798,8 +812,7 @@ def _write_docs(base: Path, rows) -> None:
 @given(rows=events_rows)
 def test_event_queries_match_oracle_on_generated_data(spark, scratch_sf, rows):
     _write_events(scratch_sf, rows)
-    for name in EVENT_QUERIES:
-        compare(SPECS[name], spark, str(scratch_sf))
+    _compare_all(EVENT_QUERIES, spark, scratch_sf)
 
 
 @settings(
@@ -809,8 +822,7 @@ def test_event_queries_match_oracle_on_generated_data(spark, scratch_sf, rows):
 @given(rows=docs_rows)
 def test_doc_queries_match_oracle_on_generated_data(spark, scratch_sf, rows):
     _write_docs(scratch_sf, rows)
-    for name in DOC_QUERIES:
-        compare(SPECS[name], spark, str(scratch_sf))
+    _compare_all(DOC_QUERIES, spark, scratch_sf)
 
 
 # ------------------------------------------------------- orders-shaped hunt
@@ -884,8 +896,7 @@ def _write_orders(base: Path, rows) -> None:
 @given(rows=orders_rows)
 def test_order_queries_match_oracle_on_generated_data(spark, scratch_sf, rows):
     _write_orders(scratch_sf, rows)
-    for name in ORDER_QUERIES:
-        compare(SPECS[name], spark, str(scratch_sf))
+    _compare_all(ORDER_QUERIES, spark, scratch_sf)
 
 
 # --------------------------------------------------- embeddings-shaped hunt
@@ -1002,8 +1013,7 @@ def _write_embeddings(base: Path, params) -> None:
 @given(params=emb_params)
 def test_emb_queries_match_oracle_on_generated_data(spark, scratch_sf, params):
     _write_embeddings(scratch_sf, params)
-    for name in EMB_QUERIES:
-        compare(SPECS[name], spark, str(scratch_sf))
+    _compare_all(EMB_QUERIES, spark, scratch_sf)
 
 
 # ------------------------------------------------- part/geo-shaped hunt
@@ -1094,8 +1104,7 @@ def _write_part(base: Path, rows) -> None:
 @given(rows=part_rows)
 def test_part_queries_match_oracle_on_generated_data(spark, scratch_sf, rows):
     _write_part(scratch_sf, rows)
-    for name in PART_QUERIES:
-        compare(SPECS[name], spark, str(scratch_sf))
+    _compare_all(PART_QUERIES, spark, scratch_sf)
 
 
 geo_params = st.tuples(
@@ -1132,5 +1141,4 @@ def _write_geo(base: Path, params) -> None:
 @given(params=geo_params)
 def test_geo_queries_match_oracle_on_generated_data(spark, scratch_sf, params):
     _write_geo(scratch_sf, params)
-    for name in GEO_QUERIES:
-        compare(SPECS[name], spark, str(scratch_sf))
+    _compare_all(GEO_QUERIES, spark, scratch_sf)
