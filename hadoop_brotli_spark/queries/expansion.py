@@ -1735,27 +1735,38 @@ def q408_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm alongside BPE (q226/q268) and unigram-LM Viterbi
     (q388).
 
-    Scale design: greedy matching is a per-position LONGEST-MATCH
-    table (4 broadcast vocab probes per position — no iteration) and
-    the left-to-right walk is POINTER DOUBLING — {WP_DOUBLING}
-    self-joins on the position grain cover 2^{WP_DOUBLING} pieces —
-    so a corpus-sized vocabulary application runs in O(chars ·
-    log max_word_len) shuffles instead of a sequential per-word scan
-    or a driver-side vocab collect. The oracle walks the same jump
-    table one piece at a time with a recursive CTE, certifying the
-    doubling.
+    Scale design (r10 restructure): the vocabulary is BOUNDED by
+    construction ({WP_TOP2}+{WP_TOP3}+{WP_TOP4} grams), so it rides a
+    1-row broadcast of three arrays and the greedy longest-match walk
+    runs IN-ROW per word (an `aggregate` over the word's positions —
+    each step probes the arrays and jumps by the matched length).
+    Only the {WP_TOPWORDS} output words are tokenized: the top-k rank
+    runs first (WindowGroupLimit partial-limits every partition), so
+    the walk touches {WP_TOPWORDS} rows regardless of corpus size.
+    The r9 shape instead materialized a per-POSITION table (corpus
+    chars grain), probed it with 3 broadcast joins and walked it with
+    {WP_DOUBLING} pointer-doubling self-joins + per-round
+    checkpoints — O(chars) rows through 6 materializations for a
+    walk the bounded vocab lets every word do locally. The recursive
+    oracle CTE is unchanged and certifies the greedy semantics.
 
     Determinism: vocab cut by (count DESC, gram ASC); matching and
     concatenation are pure string/integer ops.
     """
     d = t(spark, sf_dir, "documents")
     words = (
+        # no fan_out: the explode feeds a partial-aggregated groupBy,
+        # so the single-scan-task explode beats paying a pre-explode
+        # shuffle (interleaved A/B r10: 1.39 vs 2.05 s)
         d.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(
             (F.length("w") >= 1) & (F.length("w") <= WP_MAXLEN)
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_occ"))
+        # word-grain frame feeds BOTH the vocab build and the top-k
+        # output rank: materialize the corpus explode+count once
+        .localCheckpoint(eager=False)
     )
     ls = spark.range(2, 5).select(F.col("id").cast("int").alias("L"))
     # substring grid: (word, L, p) for p in 1..len-L+1
@@ -1791,90 +1802,47 @@ def q408_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("g", "L")
     )
-    # position table with longest-match length: 3 broadcast probes
-    # (single chars always match -> floor of 1)
-    pos = wl.select(
-        "w", F.explode(F.sequence(F.lit(1), F.col("len"))).alias("pos")
+    # single-row vocab: three BOUNDED arrays (top-{WP_TOP2}/{WP_TOP3}/
+    # {WP_TOP4} by construction — broadcast-safe at any corpus size).
+    # collect_set ignores the NULLs the non-matching lengths produce.
+    vrow = vocab.groupBy().agg(
+        F.collect_set(F.when(F.col("L") == 2, F.col("g"))).alias("v2"),
+        F.collect_set(F.when(F.col("L") == 3, F.col("g"))).alias("v3"),
+        F.collect_set(F.when(F.col("L") == 4, F.col("g"))).alias("v4"),
     )
-    for L in (4, 3, 2):
-        vk = vocab.filter(F.col("L") == L).select(
-            F.col("g").alias(f"g{L}"), F.lit(True).alias(f"hit{L}")
-        )
-        pos = pos.join(
-            F.broadcast(vk),
-            F.expr(f"substr(w, pos, {L})") == F.col(f"g{L}"),
-            "left",
-        ).drop(f"g{L}")
+    # rank FIRST, tokenize only the survivors: the top-k filter
+    # enables WindowGroupLimit (per-partition partial limit before
+    # the single-partition rank), and the walk below then runs on
+    # exactly {WP_TOPWORDS} rows
+    wtop = Window.orderBy(F.col("n_occ").desc(), F.col("w").asc())
+    top = words.withColumn(
+        "rn", F.row_number().over(wtop).cast("bigint")
+    ).filter(F.col("rn") <= WP_TOPWORDS)
+    # in-row greedy longest-match walk: one pass i = 1..len(w); at
+    # i == pos, probe the vocab arrays for the longest match (4, 3,
+    # 2, else 1 — substr() past the end is shorter than L and cannot
+    # equal a length-L gram), emit the piece and jump. Identical to
+    # the oracle CTE's one-piece-at-a-time recursive walk.
     bl = (
-        F.when(F.col("hit4"), 4)
-        .when(F.col("hit3"), 3)
-        .when(F.col("hit2"), 2)
-        .otherwise(1)
+        "(CASE WHEN array_contains(v4, substr(w, i, 4)) THEN 4"
+        " WHEN array_contains(v3, substr(w, i, 3)) THEN 3"
+        " WHEN array_contains(v2, substr(w, i, 2)) THEN 2 ELSE 1 END)"
     )
-    jump = pos.select(
-        "w",
-        "pos",
-        bl.alias("bl"),
-        F.expr(
-            "substr(w, pos, (CASE WHEN hit4 THEN 4 WHEN hit3 THEN 3 "
-            "WHEN hit2 THEN 2 ELSE 1 END))"
-        ).alias("piece"),
+    walk = F.expr(
+        "aggregate(sequence(1, length(w)),"
+        " named_struct('pos', 1, 'pieces', '', 'np', 0),"
+        " (acc, i) -> IF(i = acc.pos, named_struct("
+        f"'pos', acc.pos + {bl},"
+        " 'pieces', concat(acc.pieces, IF(acc.np = 0, '', '|'),"
+        f" substr(w, i, {bl})),"
+        " 'np', acc.np + 1), acc))"
     )
-    # pointer doubling: state(p) = (next position, pieces so far, count)
-    # per-round localCheckpoint (the q64/q414 rule): each doubling
-    # round self-joins state against ITSELF, so without lineage
-    # truncation round k replans 2^k copies of the 3-probe jump
-    # table; checkpointing keeps every round one join over
-    # materialized rows (idle sf0.1 min 8.6 -> see BASELINE r9)
-    state = jump.select(
-        "w",
-        "pos",
-        (F.col("pos") + F.col("bl")).alias("nxt"),
-        F.col("piece").alias("pieces"),
-        F.lit(1).alias("np"),
-    ).localCheckpoint(eager=False)
-    for _ in range(WP_DOUBLING):
-        y = state.select(
-            F.col("w").alias("w2"),
-            F.col("pos").alias("pos2"),
-            F.col("nxt").alias("nxt2"),
-            F.col("pieces").alias("pieces2"),
-            F.col("np").alias("np2"),
-        )
-        state = (
-            state.join(
-                y,
-                (F.col("w") == F.col("w2")) & (F.col("nxt") == F.col("pos2")),
-                "left",
-            )
-            .select(
-                "w",
-                "pos",
-                F.coalesce(F.col("nxt2"), F.col("nxt")).alias("nxt"),
-                F.when(
-                    F.col("pieces2").isNull(), F.col("pieces")
-                )
-                .otherwise(
-                    F.concat(F.col("pieces"), F.lit("|"), F.col("pieces2"))
-                )
-                .alias("pieces"),
-                (
-                    F.col("np") + F.coalesce(F.col("np2"), F.lit(0))
-                ).alias("np"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    toked = state.filter(F.col("pos") == 1).select("w", "pieces", "np")
-    out = words.join(toked, "w").select(
+    return top.crossJoin(F.broadcast(vrow)).withColumn("wk", walk).select(
         F.col("w").alias("word"),
         F.col("n_occ").cast("bigint").alias("n_occ"),
-        F.col("np").cast("bigint").alias("n_pieces"),
-        "pieces",
-    )
-    w = Window.orderBy(F.col("n_occ").desc(), F.col("word").asc())
-    return (
-        out.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= WP_TOPWORDS)
+        F.col("wk.np").cast("bigint").alias("n_pieces"),
+        F.col("wk.pieces").alias("pieces"),
+        "rn",
     )
 
 

@@ -271,7 +271,8 @@ AUDITED_SITES = {
     ("queries/expansion.py", "q405_embedding_moment_drift", "grid"),
     ("queries/expansion.py", "q407_personalized_pagerank", "seed"),
     ("queries/expansion.py", "q408_wordpiece_tokenize", "ls"),
-    ("queries/expansion.py", "q408_wordpiece_tokenize", "vk"),
+    # r10: 1-row vocab arrays (top-100/50/25 grams by construction)
+    ("queries/expansion.py", "q408_wordpiece_tokenize", "vrow"),
     ("queries/expansion.py", "q409_wasserstein_source_drift", "grid"),
     ("queries/expansion.py", "q410_quantile_normalization", "gcdf"),
     ("queries/expansion.py", "q410_quantile_normalization", "gtot"),

@@ -136,6 +136,19 @@ def test_q68_contamination_marker_join_on_hashes(spark, sf_dir):
     assert "LeftSemi" not in plan
 
 
+def test_q408_tokenize_walk_is_join_free(spark, sf_dir):
+    """r10 restructure: the greedy longest-match walk runs IN-ROW
+    against a 1-row broadcast vocab (three bounded arrays) — no
+    per-position table, no broadcast probe joins, no pointer-doubling
+    self-joins. The only joins left are the broadcast of the literal
+    length spine and the 1-row vocab crossJoin."""
+    plan = plans.executed_plan(q(spark, sf_dir, "q408_wordpiece_tokenize"))
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    # the in-row walk expression survives optimization
+    assert "aggregate(sequence(1, length(" in plan
+
+
 def test_no_cartesian_product_anywhere(spark, sf_dir):
     """Blanket guard: no registered query may plan a CartesianProduct
     — even the deliberate cross joins must broadcast their small side
