@@ -1438,44 +1438,57 @@ def q235_cosupply_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded bucket-grain offsets). Same edge set, bit for bit.
     """
 
-    def period_edges(pred):
-        ps = (
-            t(spark, sf_dir, "lineitem")
-            .filter(pred)
-            .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
-            .distinct()
+    # ONE tagged lineitem scan builds BOTH periods' edge aggregates
+    # (r10, r9-verdict task 3): every lineitem row belongs to exactly
+    # one period, so distinct over (period, p, s) IS the union of the
+    # per-period (p, s) distincts, the posting lists group per
+    # (period, p), and the edge counts group per (period, sa, sb) —
+    # the r9 shape ran the whole scan -> distinct -> posting ->
+    # explode -> count pipeline TWICE, once per period predicate.
+    split_ts = F.lit(GRAPH_SPLIT_DATE).cast("timestamp")
+    ps_all = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_shipdate") < split_ts).alias("pd"),
+            F.col("l_partkey").alias("p"),
+            F.col("l_suppkey").alias("s"),
         )
-        parts = (
-            ps.groupBy("p")
-            .agg(F.sort_array(F.collect_set("s")).alias("ss"))
-            .filter(F.size("ss") <= MAX_SUPP_PER_PART)
+        .distinct()
+    )
+    parts_all = (
+        ps_all.groupBy("pd", "p")
+        .agg(F.sort_array(F.collect_set("s")).alias("ss"))
+        .filter(F.size("ss") <= MAX_SUPP_PER_PART)
+    )
+    e_all = (
+        parts_all.select(
+            "pd",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) ->"
+                    " transform(slice(ss, i + 2, size(ss) - i - 1),"
+                    " y -> struct(x AS sa, y AS sb))))"
+                )
+            ).alias("pr"),
         )
-        e = (
-            parts.select(
-                F.explode(
-                    F.expr(
-                        "flatten(transform(ss, (x, i) ->"
-                        " transform(slice(ss, i + 2, size(ss) - i - 1),"
-                        " y -> struct(x AS sa, y AS sb))))"
-                    )
-                ).alias("pr")
-            )
-            .select("pr.sa", "pr.sb")
-            .groupBy("sa", "sb")
-            .agg(F.count(F.lit(1)).alias("c"))
-            # the restructure reads the edge aggregate from FOUR
-            # branches (quota scalar, strata, full-keep join,
-            # boundary); checkpointing materializes the lineitem
-            # scan + pair explode once instead of four times.
-            # Non-eager (r6 advice): eager ran two Spark jobs at
-            # DataFrame CONSTRUCTION (registry enumeration, plan
-            # audits); lazy materializes on the first real action.
-            # localCheckpoint is not fault-tolerant — an executor
-            # loss after materialization fails the query instead of
-            # recomputing lineage, the accepted tradeoff for
-            # multi-consumer frames (same note as q398/q406).
-            .localCheckpoint(eager=False)
-        )
+        .select("pd", "pr.sa", "pr.sb")
+        .groupBy("pd", "sa", "sb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # the restructure reads the edge aggregate from FOUR branches
+        # PER PERIOD (quota scalar, strata, full-keep join, boundary);
+        # checkpointing materializes the single lineitem scan + pair
+        # explode once instead of eight times. Non-eager (r6 advice):
+        # eager ran Spark jobs at DataFrame CONSTRUCTION (registry
+        # enumeration, plan audits); lazy materializes on the first
+        # real action. localCheckpoint is not fault-tolerant — an
+        # executor loss after materialization fails the query instead
+        # of recomputing lineage, the accepted tradeoff for
+        # multi-consumer frames (same note as q398/q406).
+        .localCheckpoint(eager=False)
+    )
+
+    def period_edges(pd_val: bool):
+        e = e_all.filter(F.col("pd") == F.lit(pd_val)).select("sa", "sb", "c")
         k = e.agg(
             F.floor(F.count(F.lit(1)) / TRI_EDGE_FRACTION)
             .cast("bigint")
@@ -1486,10 +1499,20 @@ def q235_cosupply_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         strata = (
             e.groupBy("c")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            # min/max sa ride the SAME stratum aggregate (r10): the
+            # boundary stratum's sa-range span used to be a separate
+            # 1-row aggregate over the joined boundary edges — one
+            # more full pass over the checkpointed edge frame
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.min("sa").cast("bigint").alias("mn"),
+                F.max("sa").cast("bigint").alias("mx"),
+            )
             .select(
                 "c",
                 "cnt",
+                "mn",
+                "mx",
                 F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("cb"),
             )
             .crossJoin(F.broadcast(k))
@@ -1505,13 +1528,9 @@ def q235_cosupply_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         boundary = strata.filter(
             (F.col("cb") < F.col("k"))
             & (F.col("k") < F.col("cb") + F.col("cnt"))
-        ).select("c", (F.col("k") - F.col("cb")).alias("r"))
+        ).select("c", (F.col("k") - F.col("cb")).alias("r"), "mn", "mx")
         be = e.join(F.broadcast(boundary), "c")
-        span = be.agg(
-            F.min("sa").cast("bigint").alias("mn"),
-            F.max("sa").cast("bigint").alias("mx"),
-        )
-        bb = be.crossJoin(F.broadcast(span)).withColumn(
+        bb = be.withColumn(
             "bkt",
             F.expr("CAST((sa - mn) * 256 DIV (mx - mn + 1) AS BIGINT)"),
         )
@@ -1537,11 +1556,10 @@ def q235_cosupply_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return full.unionByName(picked)
 
-    split = F.lit(GRAPH_SPLIT_DATE).cast("timestamp")
-    p1 = period_edges(F.col("l_shipdate") < split).withColumnRenamed(
+    p1 = period_edges(True).withColumnRenamed(
         "sa", "sa1"
     ).withColumnRenamed("sb", "sb1")
-    p2 = period_edges(F.col("l_shipdate") >= split).withColumnRenamed(
+    p2 = period_edges(False).withColumnRenamed(
         "sa", "sa2"
     ).withColumnRenamed("sb", "sb2")
     diff = p1.join(

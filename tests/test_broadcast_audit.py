@@ -97,7 +97,6 @@ AUDITED_SITES = {
     ("queries/corpus_ops.py", "period_edges", "boffs"),
     ("queries/corpus_ops.py", "period_edges", "boundary"),
     ("queries/corpus_ops.py", "period_edges", "k"),
-    ("queries/corpus_ops.py", "period_edges", "span"),
     ("queries/corpus_ops.py", "period_edges", "strata"),
     ("queries/corpus_ops.py", "q223_join_key_skew", "top10"),
     ("queries/extras.py", "q375_ddsketch_quantiles", "cumb"),
