@@ -1570,14 +1570,38 @@ def q407_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop shape); the seed CASE is a broadcast scalar. Unrolled here;
     the production loop localCheckpoints between rounds.
     """
-    # edge build: one lineitem pass via part-grain posting lists
-    # (_cosupply_edges, q406's shape)
-    edges = _cosupply_edges(spark, sf_dir)
+    # ONE lineitem pass feeds BOTH the capped posting lists and the
+    # node set (r10): the part-grain collect_set is computed before
+    # the degree-cap filter, so the node set (every supplier in
+    # lineitem, uncapped parts included) explodes out of the same
+    # aggregate instead of paying a second corpus scan + distinct.
+    posting_all = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .groupBy("p")
+        .agg(F.sort_array(F.collect_set("s")).alias("ss"))
+        # part-grain posting frame, two consumers (q398's bip rule)
+        .localCheckpoint(eager=False)
+    )
+    pairs = (
+        posting_all.filter(F.size("ss") <= LP_DEG_CAP)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .distinct()  # see _cosupply_edges: partial agg collapses dups
+    )
     # symmetrize by exploding each deduped edge into both directions:
     # one narrow pass over the edge set instead of unioning a second
     # copy of the whole build subtree
     sym = (
-        edges.select(
+        pairs.select(
             F.explode(
                 F.array(
                     F.struct(F.col("a"), F.col("b")),
@@ -1588,12 +1612,8 @@ def q407_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.a", "e.b")
         .localCheckpoint(eager=True)  # q64 rule: reused every iteration
     )
-    # node set = every supplier appearing in lineitem (uncapped parts
-    # included) -- a single-column scan+distinct, far cheaper than the
-    # (s,p)-grain distinct the old bip carried for this
     nodes = (
-        t(spark, sf_dir, "lineitem")
-        .select(F.col("l_suppkey").alias("s"))
+        posting_all.select(F.explode("ss").alias("s"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -1616,7 +1636,12 @@ def q407_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         r = (
             nodes.crossJoin(F.broadcast(seed))
-            .join(contribs, F.col("s") == F.col("b"), "left")
+            # contribs is node-grain (bounded by the supplier
+            # dimension), so broadcast it: the default plan ran this
+            # left join as a per-round SortMergeJoin, exchanging BOTH
+            # node-grain sides every iteration (4 SMJ -> 4 BHJ, 8
+            # exchanges removed, r10)
+            .join(F.broadcast(contribs), F.col("s") == F.col("b"), "left")
             .select(
                 "s",
                 (

@@ -269,6 +269,9 @@ AUDITED_SITES = {
     ("queries/expansion.py", "q404_mmr_diverse_topk", "q"),
     ("queries/expansion.py", "q405_embedding_moment_drift", "grid"),
     ("queries/expansion.py", "q407_personalized_pagerank", "seed"),
+    # r10: per-round rank contributions — node-grain, bounded by the
+    # supplier dimension (the left join otherwise plans 4 SMJs)
+    ("queries/expansion.py", "q407_personalized_pagerank", "contribs"),
     ("queries/expansion.py", "q408_wordpiece_tokenize", "ls"),
     # r10: 1-row vocab arrays (top-100/50/25 grams by construction)
     ("queries/expansion.py", "q408_wordpiece_tokenize", "vrow"),
