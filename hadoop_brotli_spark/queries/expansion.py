@@ -3138,108 +3138,111 @@ def q416_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(wcum)
         .alias("s2"),
     )
-    nn = pre.agg(F.max("i").alias("n"))
-    ks = spark.range(1, VOPT_CANDS + 1).select(F.col("id").alias("k"))
-    cand = (
-        ks.crossJoin(F.broadcast(nn))
-        .select(
-            F.ceil(F.col("k") * F.col("n") / F.lit(float(VOPT_CANDS + 1)))
-            .cast("bigint")
-            .alias("i")
+    # r10 restructure (r9-verdict task 5): everything downstream of
+    # `pre` operates on <= VOPT_CANDS+2 candidate rows, but the r9
+    # shape spelled it as 7 chained DataFrame ops (candidate union +
+    # distinct, cstat join, lo x hi segment join, 3 triple joins, an
+    # argmin window, a 4-way bucket union and a final segment join) —
+    # 19 stages of pure scheduler latency at day-grain volume. The
+    # whole search now runs as array expressions over ONE aggregated
+    # row: collect the (i, s, s2) prefix table (bounded by the
+    # CALENDAR — day grain, data-volume-free), enumerate candidate
+    # triples with transform/filter, score them with the identical
+    # DECIMAL->DOUBLE arithmetic, argmin via array_sort, and explode
+    # exactly 4 bucket rows. Same numbers bit for bit: every
+    # subexpression keeps the r9 types (bigint counts, DECIMAL(38,0)
+    # prefix sums, the same cast-to-double-then-divide SSE).
+    state = pre.agg(
+        F.max("i").alias("n"),
+        # i is the 1-based dense rank, so rows[i-1] IS the lookup
+        F.array_sort(F.collect_list(F.struct("i", "s", "s2"))).alias("rows"),
+    )
+    K = VOPT_CANDS
+    D = float(VOPT_CANDS + 1)
+    ZS = "CAST(0 AS DECIMAL(38,0))"
+    # candidate stats: equi-depth ranks + both sentinels, deduped;
+    # rank 0 is the zero sentinel, every other rank reads the prefix
+    # table (get() is null-safe under ANSI for the n-IS-NULL corner)
+    cs_sql = f"""
+    transform(
+      array_distinct(array_sort(concat(
+        transform(sequence(CAST(1 AS BIGINT), CAST({K} AS BIGINT)),
+                  k -> CAST(ceil((k * n) / {D!r}D) AS BIGINT)),
+        array(CAST(0 AS BIGINT), n)))),
+      i -> IF(i = 0,
+              named_struct('i', CAST(0 AS BIGINT), 's', {ZS}, 's2', {ZS}),
+              named_struct('i', i,
+                           's', get(rows, CAST(i - 1 AS INT)).s,
+                           's2', get(rows, CAST(i - 1 AS INT)).s2)))
+    """
+
+    def e_sql(lo: str, hi: str) -> str:
+        # SSE of segment (lo, hi]: identical ops/types to the r9
+        # seg/sse frames — bigint cnt, DECIMAL(38,0) differences,
+        # exact DECIMAL numerator, one double division
+        return (
+            f"(CAST((({hi}.i - {lo}.i) * ({hi}.s2 - {lo}.s2)"
+            f" - ({hi}.s - {lo}.s) * ({hi}.s - {lo}.s)) AS DOUBLE)"
+            f" / ({hi}.i - {lo}.i))"
         )
-        .unionAll(spark.range(1).select(F.lit(0).cast("bigint").alias("i")))
-        .unionAll(nn.select(F.col("n").cast("bigint").alias("i")))
-        .distinct()
+
+    z0 = f"named_struct('i', CAST(0 AS BIGINT), 's', {ZS}, 's2', {ZS})"
+    cn = "get(filter(cs, x -> x.i = n), 0)"
+    scored_sql = f"""
+    array_sort(transform(
+      filter(
+        flatten(transform(cs, a ->
+          flatten(transform(cs, b ->
+            transform(cs, c -> named_struct('a', a, 'b', b, 'c', c)))))),
+        t -> t.a.i > 0 AND t.b.i > t.a.i AND t.c.i > t.b.i AND t.c.i < n),
+      t -> named_struct(
+        'total_sse', CAST(FLOOR(({e_sql(z0, 't.a')} + {e_sql('t.a', 't.b')}
+                       + {e_sql('t.b', 't.c')} + {e_sql('t.c', cn)})
+                       / 10000 + 0.5D) AS BIGINT),
+        'c1', t.a.i, 'c2', t.b.i, 'c3', t.c.i)))
+    """
+    one = (
+        state.withColumn("cs", F.expr(cs_sql))
+        # argmin with the full (total_sse, c1, c2, c3) tie-break =
+        # lexicographic struct sort, first element
+        .withColumn("best", F.expr(f"get({scored_sql}, 0)"))
     )
-    cstat = cand.join(F.broadcast(pre.select("i", "s", "s2")), "i", "left").select(
-        "i",
-        F.coalesce(F.col("s"), F.lit(0).cast("decimal(38,0)")).alias("s"),
-        F.coalesce(F.col("s2"), F.lit(0).cast("decimal(38,0)")).alias("s2"),
+    bux_sql = """
+    IF(isnull(best), slice(array(named_struct(
+         'bucket_id', 1, 'lo', CAST(0 AS BIGINT), 'hi', best.c1)), 1, 0),
+       array(
+         named_struct('bucket_id', 1, 'lo', CAST(0 AS BIGINT), 'hi', best.c1),
+         named_struct('bucket_id', 2, 'lo', best.c1, 'hi', best.c2),
+         named_struct('bucket_id', 3, 'lo', best.c2, 'hi', best.c3),
+         named_struct('bucket_id', 4, 'lo', best.c3, 'hi', n)))
+    """
+    b = one.select(
+        F.col("n"),
+        F.col("rows"),
+        F.col("best").getField("total_sse").alias("total_sse"),
+        F.explode(F.expr(bux_sql)).alias("b"),
+    ).select(
+        "n",
+        "rows",
+        "total_sse",
+        F.col("b.bucket_id").alias("bucket_id"),
+        F.col("b.lo").alias("lo"),
+        F.col("b.hi").alias("hi"),
     )
-    lo = cstat.select(
-        F.col("i").alias("lo"), F.col("s").alias("ls"), F.col("s2").alias("ls2")
-    )
-    hi = cstat.select(
-        F.col("i").alias("hi"), F.col("s").alias("hs"), F.col("s2").alias("hs2")
-    )
-    seg = (
-        lo.join(F.broadcast(hi), F.col("hi") > F.col("lo"))
-        .select(
-            "lo",
-            "hi",
-            (F.col("hi") - F.col("lo")).alias("cnt"),
-            (F.col("hs") - F.col("ls")).alias("ds"),
-            (F.col("hs2") - F.col("ls2")).alias("ds2"),
-        )
-    )
-    # exact DECIMAL numerator (see oracle comment): n*Sum(y^2) - Sum(y)^2
-    sse = seg.select(
-        "lo",
-        "hi",
-        "cnt",
-        (
-            (F.col("cnt") * F.col("ds2") - F.col("ds") * F.col("ds"))
-            .cast("double")
-            / F.col("cnt")
-        ).alias("e"),
-        (F.col("ds").cast("double") / F.col("cnt")).alias("mean"),
-    )
-    a = sse.select(F.col("lo").alias("alo"), F.col("hi").alias("c1"), F.col("e").alias("ea"))
-    b = sse.select(F.col("lo").alias("c1"), F.col("hi").alias("c2"), F.col("e").alias("eb"))
-    c = sse.select(F.col("lo").alias("c2"), F.col("hi").alias("c3"), F.col("e").alias("ec"))
-    d = sse.select(F.col("lo").alias("c3"), F.col("hi").alias("dhi"), F.col("e").alias("ed"))
-    triples = (
-        a.filter(F.col("alo") == 0)
-        .join(F.broadcast(b), "c1")
-        .join(F.broadcast(c), "c2")
-        .join(F.broadcast(d), "c3")
-        .crossJoin(F.broadcast(nn))
-        .filter(F.col("dhi") == F.col("n"))
-        .select(
-            "c1",
-            "c2",
-            "c3",
-            F.floor(
-                (F.col("ea") + F.col("eb") + F.col("ec") + F.col("ed"))
-                / 10000
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("total_sse"),
-        )
-    )
-    best = (
-        triples.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(
-                    F.col("total_sse").asc(),
-                    F.col("c1").asc(),
-                    F.col("c2").asc(),
-                    F.col("c3").asc(),
-                )
-            ),
-        )
-        .filter(F.col("rk") == 1)
-        .select("c1", "c2", "c3", "total_sse")
-    )
-    buckets = (
-        best.select(F.lit(1).alias("bucket_id"), F.lit(0).cast("bigint").alias("lo"), F.col("c1").alias("hi"), "total_sse")
-        .unionAll(best.select(F.lit(2), F.col("c1"), F.col("c2"), "total_sse"))
-        .unionAll(best.select(F.lit(3), F.col("c2"), F.col("c3"), "total_sse"))
-        .unionAll(
-            best.crossJoin(F.broadcast(nn)).select(
-                F.lit(4), F.col("c3"), F.col("n").cast("bigint"), "total_sse"
-            )
-        )
-    )
-    return buckets.join(sse, ["lo", "hi"]).select(
+    lo_s = f"IF(lo = 0, {z0}, get(rows, CAST(lo - 1 AS INT)))"
+    hi_s = "get(rows, CAST(hi - 1 AS INT))"
+    return b.select(
         "bucket_id",
         F.col("lo").cast("bigint").alias("lo_rank"),
         F.col("hi").cast("bigint").alias("hi_rank"),
-        F.col("cnt").cast("bigint").alias("n_days"),
-        (F.floor(F.col("mean") + F.lit(0.5)) / 100).alias("mean_revenue"),
-        F.floor(F.col("e") / 10000 + F.lit(0.5)).cast("bigint").alias("bucket_sse"),
+        (F.col("hi") - F.col("lo")).cast("bigint").alias("n_days"),
+        F.expr(
+            f"FLOOR(CAST(({hi_s}.s - {lo_s}.s) AS DOUBLE) / (hi - lo) + 0.5D)"
+            " / 100"
+        ).alias("mean_revenue"),
+        F.expr(
+            f"CAST(FLOOR({e_sql(lo_s, hi_s)} / 10000 + 0.5D) AS BIGINT)"
+        ).alias("bucket_sse"),
         F.col("total_sse"),
     )
 

@@ -286,12 +286,6 @@ AUDITED_SITES = {
     ("queries/expansion.py", "q413_pr_threshold_sweep", "th"),
     ("queries/expansion.py", "q415_segmented_regression", "single"),
     ("queries/expansion.py", "q415_segmented_regression", "tot"),
-    ("queries/expansion.py", "q416_voptimal_histogram", "b"),
-    ("queries/expansion.py", "q416_voptimal_histogram", "c"),
-    ("queries/expansion.py", "q416_voptimal_histogram", "d"),
-    ("queries/expansion.py", "q416_voptimal_histogram", "hi"),
-    ("queries/expansion.py", "q416_voptimal_histogram", "nn"),
-    ("queries/expansion.py", "q416_voptimal_histogram", "pre"),
     ("queries/expansion.py", "q417_apriori_itemsets", "cand3"),
     ("queries/expansion.py", "q418_decayed_heavy_hitters", "anchor"),
     ("queries/expansion.py", "q418_decayed_heavy_hitters", "p"),

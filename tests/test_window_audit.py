@@ -114,7 +114,11 @@ AUDITED_WINDOW_SITES = {
     ("queries/expansion.py", "q413_pr_threshold_sweep", "orderBy"): 1,
     ("queries/expansion.py", "q414_twohop_reach_sketch", "orderBy"): 1,
     ("queries/expansion.py", "q415_segmented_regression", "orderBy"): 3,
-    ("queries/expansion.py", "q416_voptimal_histogram", "orderBy"): 3,
+    # r10: only the day-grain prefix windows remain (row_number +
+    # cumulative sums over the calendar-day spine — bounded grain);
+    # the candidate-triple argmin window folded into the 1-row
+    # array DP
+    ("queries/expansion.py", "q416_voptimal_histogram", "orderBy"): 2,
     ("queries/expansion.py", "q418_decayed_heavy_hitters", "orderBy"): 2,
     ("queries/expansion.py", "q419_logrank_test", "orderBy"): 1,
     ("queries/expansion.py", "q420_bandit_replay", "orderBy"): 1,
