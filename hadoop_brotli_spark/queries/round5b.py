@@ -1334,65 +1334,71 @@ def q459_facility_location_greedy(
         ),
         F.lit(0.0),
     )
-    passes = []  # pass r: totals after r-1 picks + all round-r gains
-    for r in range(1, FL_K + 2):
-        agg_exprs = [
-            F.first("chosen").alias("chosen"),
-            dround(_gsum(cov_col, 9), 6).alias("prev_total"),
-        ]
-        if r <= FL_K:
-            agg_exprs += [
-                _gsum(
-                    F.greatest(
-                        F.element_at(F.col("sims"), i + 1) - cov_col,
-                        F.lit(0.0),
-                    ),
-                    9,
-                ).alias(f"gain_{i}")
-                for i in range(FL_CAND)
-            ]
-        agg = su.crossJoin(F.broadcast(state)).agg(*agg_exprs)
-        if r <= FL_K:
-            # argmax over the still-unchosen candidates with the
-            # (gain DESC, c ASC) tie-break: lexicographic array_max
-            # over (gain, -c) structs
-            best = F.array_max(
-                F.filter(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.col(f"gain_{i}").alias("gain"),
-                                F.lit(-i).alias("negc"),
-                            )
-                            for i in range(FL_CAND)
-                        ]
-                    ),
-                    lambda x: ~F.array_contains(
-                        F.col("chosen"), -x["negc"]
-                    ),
-                )
-            )
-            agg = agg.select(
-                "prev_total",
-                best["gain"].alias("gain"),
-                (-best["negc"]).alias("pick"),
-                F.concat(
-                    F.col("chosen"), F.array(-best["negc"])
-                ).alias("chosen"),
-            ).localCheckpoint(eager=True)
-            state = agg.select("chosen")
-        else:
-            agg = agg.select("prev_total").localCheckpoint(eager=True)
-        passes.append(agg)
+    # FL_K passes, not FL_K+1 (r10): round r's post-pick total used
+    # to need pass r+1's coverage sum, so a 7th coverage-only pass
+    # closed the chain. The decimal sums make it foldable instead:
+    # per vector, round9(max(cov, sim_pick)) == round9(cov) +
+    # round9(max(sim_pick - cov, 0)) EXACTLY on the 1e-9 grid (cov
+    # and sims are grid-6 values), so summing each side in
+    # DECIMAL(38,9) gives total_after_r = round6(double(S_{r-1} +
+    # G_pick)) with S and G the pass-r decimal sums — one sequential
+    # checkpoint job fewer and no cross-pass total joins. The argmax
+    # still compares the gains' DOUBLE casts (identical tie surface
+    # to r9, which compared _gsum doubles).
+    def gdec(col):  # grid-round terms, exact DECIMAL(38,9) sum
+        return F.sum(dround(col, 9).cast("decimal(38,9)"))
+
     picks = []
     for r in range(1, FL_K + 1):
-        total_after = passes[r].select("prev_total").withColumnRenamed(
-            "prev_total", "total_coverage"
+        agg_exprs = [
+            F.first("chosen").alias("chosen"),
+            gdec(cov_col).alias("prev_dec"),
+        ] + [
+            gdec(
+                F.greatest(
+                    F.element_at(F.col("sims"), i + 1) - cov_col,
+                    F.lit(0.0),
+                )
+            ).alias(f"gain_{i}")
+            for i in range(FL_CAND)
+        ]
+        agg = su.crossJoin(F.broadcast(state)).agg(*agg_exprs)
+        # argmax over the still-unchosen candidates with the
+        # (gain DESC, c ASC) tie-break: lexicographic array_max
+        # over (gain-as-double, -c) structs
+        best = F.array_max(
+            F.filter(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col(f"gain_{i}").cast("double").alias("gain"),
+                            F.lit(-i).alias("negc"),
+                        )
+                        for i in range(FL_CAND)
+                    ]
+                ),
+                lambda x: ~F.array_contains(
+                    F.col("chosen"), -x["negc"]
+                ),
+            )
         )
+        gain_dec_pick = F.element_at(
+            F.array(*[F.col(f"gain_{i}") for i in range(FL_CAND)]),
+            (-best["negc"]) + F.lit(1),
+        )
+        agg = agg.select(
+            best["gain"].alias("gain"),
+            (-best["negc"]).alias("pick"),
+            dround(
+                (F.col("prev_dec") + gain_dec_pick).cast("double"), 6
+            ).alias("total_coverage"),
+            F.concat(
+                F.col("chosen"), F.array(-best["negc"])
+            ).alias("chosen"),
+        ).localCheckpoint(eager=True)
+        state = agg.select("chosen")
         picks.append(
-            passes[r - 1]
-            .crossJoin(F.broadcast(total_after))
-            .select(
+            agg.select(
                 F.lit(r).cast("bigint").alias("round_idx"),
                 F.col("pick").cast("bigint").alias("center_id"),
                 dround("gain", 6).alias("gain"),

@@ -384,7 +384,6 @@ AUDITED_SITES = {
     # r9 join-free rounds: state is a 1-row chosen-id array frame and
     # total_after a 1-row coverage scalar — both bounded by FL_K rows
     ("queries/round5b.py", "q459_facility_location_greedy", "state"),
-    ("queries/round5b.py", "q459_facility_location_greedy", "total_after"),
     # q461: tot/ssb/ssw are 1-row scalars, gstats is a 5-row
     # per-priority aggregate (bounded by the priority domain)
     ("queries/round5b.py", "q461_brown_forsythe", "tot"),
