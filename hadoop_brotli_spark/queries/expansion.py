@@ -1453,10 +1453,16 @@ def q406_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("s"),
         F.col("s_nationkey").cast("int").alias("lbl"),
     )
-    cur = l0
+    # carry the seed label THROUGH the rounds (r10): the final output
+    # used to re-join the propagated frame against l0 (one more
+    # supplier scan + join after round 3); rounds preserve the node
+    # set, so the seed rides along as a column instead
+    cur = l0.select("s", "lbl", F.col("lbl").alias("seed"))
     for _ in range(LP_ROUNDS):
         maj = (
-            sym.join(cur.withColumnRenamed("s", "a"), "a")
+            sym.join(
+                cur.select("s", "lbl").withColumnRenamed("s", "a"), "a"
+            )
             .groupBy(F.col("b").alias("s"), "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
             .withColumn(
@@ -1478,18 +1484,17 @@ def q406_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = (
             cur.join(maj, "s", "left")
             .select(
-                "s", F.coalesce(F.col("mlbl"), F.col("lbl")).alias("lbl")
+                "s",
+                F.coalesce(F.col("mlbl"), F.col("lbl")).alias("lbl"),
+                "seed",
             )
             .localCheckpoint(eager=False)
         )
-    return (
-        cur.join(l0.withColumnRenamed("lbl", "seed"), "s")
-        .select(
-            F.col("s").alias("s_suppkey"),
-            F.col("seed").cast("int").alias("label_seed"),
-            F.col("lbl").cast("int").alias("label_final"),
-            (F.col("lbl") != F.col("seed")).alias("changed"),
-        )
+    return cur.select(
+        F.col("s").alias("s_suppkey"),
+        F.col("seed").cast("int").alias("label_seed"),
+        F.col("lbl").cast("int").alias("label_final"),
+        (F.col("lbl") != F.col("seed")).alias("changed"),
     )
 
 
