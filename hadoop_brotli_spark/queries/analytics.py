@@ -1169,7 +1169,11 @@ def q141_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cdf = (
-        grid.join(binned, ["source", "bin"], "left")
+        # binned is |sources| x |bins| (the checkpointed histogram);
+        # the ExistingRDD has no stats, so without the hint the zero-
+        # fill left join planned a SortMergeJoin that re-exchanged
+        # both bounded sides (the r9 verdict's "reappeared" exchanges)
+        grid.join(F.broadcast(binned), ["source", "bin"], "left")
         .select(
             "source",
             "bin",
@@ -1191,7 +1195,9 @@ def q141_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("src_b"), "bin", F.col("cum_share").alias("cb")
     )
     return (
-        a.join(b, "bin")
+        # b is the same bounded CDF grain — broadcast kills the pair
+        # join's exchange+sort pair on both sides
+        a.join(F.broadcast(b), "bin")
         .filter(F.col("src_a") < F.col("src_b"))
         .groupBy("src_a", "src_b")
         .agg(F.max(F.abs(F.col("ca") - F.col("cb"))).alias("ks_stat"))

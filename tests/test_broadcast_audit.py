@@ -51,6 +51,8 @@ AUDITED_SITES = {
     ("queries/analytics.py", "q137_basket_lift", "n_baskets"),
     ("queries/analytics.py", "q137_basket_lift", "singles"),
     ("queries/analytics.py", "q139_outlier_audit", "stats"),
+    ("queries/analytics.py", "q141_distribution_drift", "b"),
+    ("queries/analytics.py", "q141_distribution_drift", "binned"),
     ("queries/analytics.py", "q141_distribution_drift", "bins"),
     ("queries/analytics.py", "q142_chi_square_cells", "col_t"),
     ("queries/analytics.py", "q142_chi_square_cells", "row_t"),
