@@ -102,13 +102,25 @@ def test_dict_ratio_on_first_occurrence_words():
     assert len(q5) < len(zlib.compress(payload, 9))
 
 
+def _metablock_roundtrip_ok(data: bytes) -> bool:
+    return brotli_decompress(brotli_compress(data, 1)) == data
+
+
 def test_metablock_boundary_sizes():
+    # the five sizes are independent pure-Python compressions (the
+    # suite's single slowest brotli test); processes, not threads —
+    # the encoder is GIL-bound CPU work
+    from concurrent.futures import ProcessPoolExecutor
+
     block = 1 << 20
     rng = random.Random(3)
     base = bytes(rng.randrange(64) for _ in range(block + 17))
-    for n in (block - 1, block, block + 1, 2 * block, 2 * block + 5):
-        data = (base * ((n // len(base)) + 1))[:n]
-        assert brotli_decompress(brotli_compress(data, 1)) == data
+    sizes = (block - 1, block, block + 1, 2 * block, 2 * block + 5)
+    datas = [(base * ((n // len(base)) + 1))[:n] for n in sizes]
+    with ProcessPoolExecutor(max_workers=len(sizes)) as pool:
+        results = list(pool.map(_metablock_roundtrip_ok, datas))
+    for n, ok in zip(sizes, results):
+        assert ok, f"metablock round-trip failed at size {n}"
 
 
 def test_streaming_equals_oneshot():
